@@ -1,0 +1,392 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+
+/** The declared relational query surface (SURVEY.md §2.11): scans,
+  * projection/filter, joins (broadcast/equi/semi/anti/as-of), aggregation,
+  * grouping sets, windows, sorts/limits, set ops, explode, JSON access,
+  * event-time bucketing and sessionization.
+  *
+  * Every query is written against the driver's star schema and has a DuckDB
+  * oracle with identical output column names and a deterministic ORDER BY so
+  * the driver's hash compare is stable.
+  *
+  * Scale notes (100 TB): all aggregates here are partial-aggregated map-side
+  * by Catalyst before the shuffle; small dimensions (region/nation/supplier/
+  * part/customer) are explicitly broadcast so the fact table never shuffles
+  * for a dim join; window/sessionization queries shuffle once on their
+  * partition key and reuse that single exchange for every window function
+  * over the same key.
+  */
+object RelationalQueries {
+  import Tables._
+
+  /** Deterministic money rounding: double sums differ across engines in the
+    * last ulp; inputs are 2-decimal quantities so rounding to 2 decimals is
+    * stable (error ~1e-8 of the boundary at sf0.1).
+    */
+  private def money(c: Column): Column = round(c, 2)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- aggregation --------------------------------------------------
+    "q1_pricing_summary" -> { (s, d) =>
+      import s.implicits._
+      lineitem(s, d)
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          money(sum($"l_quantity")).as("sum_qty"),
+          money(sum($"l_extendedprice")).as("sum_base_price"),
+          money(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+            .as("sum_disc_price"),
+          round(avg($"l_quantity"), 4).as("avg_qty"),
+          round(avg($"l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+    "q6_forecast_revenue" -> { (s, d) =>
+      import s.implicits._
+      lineitem(s, d)
+        .filter($"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
+        .agg(money(sum($"l_extendedprice" * $"l_discount")).as("revenue"),
+          count(lit(1)).as("n"))
+    },
+    "q11_distinct_parts" -> { (s, d) =>
+      import s.implicits._
+      lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(countDistinct($"l_partkey").as("n_parts"),
+          countDistinct($"l_suppkey").as("n_supps"))
+        .orderBy($"l_returnflag")
+    },
+    // --- joins --------------------------------------------------------
+    "q3_customer_revenue" -> { (s, d) =>
+      import s.implicits._
+      // customer is small at every SF relative to lineitem: broadcast both
+      // dim joins; the only shuffle is the final groupBy on o_custkey.
+      val o = orders(s, d)
+      val l = lineitem(s, d)
+      val c = customer(s, d)
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_custkey", $"c_name")
+        .agg(money(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"c_custkey")
+    },
+    "q5_nation_revenue" -> { (s, d) =>
+      import s.implicits._
+      // classic star join: every dimension broadcast, single agg shuffle.
+      val l = lineitem(s, d)
+      val o = orders(s, d)
+      val c = customer(s, d)
+      val n = nation(s, d)
+      val r = region(s, d)
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(money(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+          .as("revenue"))
+        .orderBy($"r_name", $"n_name")
+    },
+    "q4_part_brand_volume" -> { (s, d) =>
+      import s.implicits._
+      lineitem(s, d)
+        .join(broadcast(part(s, d)), $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand")
+        .agg(money(sum($"l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"p_brand")
+    },
+    "q9_semi_join" -> { (s, d) =>
+      import s.implicits._
+      val haveOrders = orders(s, d).select($"o_custkey")
+      customer(s, d)
+        .join(haveOrders, $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+        .orderBy($"c_custkey")
+    },
+    "q10_anti_join" -> { (s, d) =>
+      import s.implicits._
+      // customers with no large order: anti join against a filtered build
+      // side (filter is pushed below the join, so the build side stays
+      // small and broadcastable at scale).
+      val bigOrders = orders(s, d)
+        .filter($"o_totalprice" > 300000).select($"o_custkey")
+      customer(s, d)
+        .join(bigOrders, $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    },
+    "q13_order_lines_dist" -> { (s, d) =>
+      import s.implicits._
+      // orders left-joined to big-line counts → distribution of counts.
+      val l = lineitem(s, d).groupBy($"l_orderkey")
+        .agg(count(lit(1)).as("n_lines"))
+      orders(s, d)
+        .join(l, $"o_orderkey" === $"l_orderkey", "left")
+        .select(coalesce($"n_lines", lit(0L)).as("n_lines"))
+        .groupBy($"n_lines")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy($"n_lines")
+    },
+    // --- windows ------------------------------------------------------
+    "q7_running_supplier" -> { (s, d) =>
+      import s.implicits._
+      // one shuffle on l_suppkey feeds both window functions (same frame
+      // spec), so rn and running share a single exchange+sort.
+      val w = Window.partitionBy($"l_suppkey")
+        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+      lineitem(s, d)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("running",
+          money(sum($"l_quantity")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))))
+        .filter($"rn" <= 50)
+        .select($"l_suppkey", $"rn", $"l_orderkey", $"l_linenumber",
+          $"running")
+        .orderBy($"l_suppkey", $"rn")
+    },
+    "q8_top_parts_per_brand" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"p_brand")
+        .orderBy($"p_retailprice".desc, $"p_partkey")
+      part(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 3)
+        .select($"p_brand", $"rk", $"p_partkey", $"p_retailprice")
+        .orderBy($"p_brand", $"rk")
+    },
+    // --- grouping sets / set ops / sort-limit -------------------------
+    "q12_cube_flags" -> { (s, d) =>
+      import s.implicits._
+      lineitem(s, d)
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce($"l_returnflag", lit("ALL")).as("rf"),
+          coalesce($"l_linestatus", lit("ALL")).as("ls"), $"n")
+        .orderBy($"rf", $"ls")
+    },
+    "q15_union_extremes" -> { (s, d) =>
+      import s.implicits._
+      val o = orders(s, d)
+      val hi = o.filter($"o_totalprice" > 400000)
+        .select($"o_orderkey", lit("hi").as("bucket"))
+      val lo = o.filter($"o_totalprice" < 5000)
+        .select($"o_orderkey", lit("lo").as("bucket"))
+      hi.unionAll(lo).orderBy($"o_orderkey", $"bucket")
+    },
+    "q2_topk_orders" -> { (s, d) =>
+      import s.implicits._
+      // global top-k: Spark plans TakeOrderedAndProject — per-partition
+      // heap + single driver merge, no full sort at 100 TB.
+      orders(s, d)
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(10)
+        .select($"o_orderkey", $"o_custkey", money($"o_totalprice")
+          .as("o_totalprice"))
+    },
+    // --- events: time bucketing, sessionization, as-of, json ----------
+    "q14_events_hourly" -> { (s, d) =>
+      import s.implicits._
+      events(s, d)
+        .groupBy(date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm")
+          .as("hour"), $"event_type")
+        .agg(count(lit(1)).as("n"), money(sum($"value")).as("total"))
+        .orderBy($"hour", $"event_type")
+    },
+    "q16_sessionize" -> { (s, d) =>
+      import s.implicits._
+      // batch sessionization: 30-min inactivity gap. One shuffle on
+      // user_id serves the lag, the session-id running sum, and the final
+      // per-session agg (Catalyst reuses the exchange).
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      events(s, d)
+        .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+        .withColumn("new_session",
+          when($"prev_ts".isNull ||
+            unix_micros($"ts") - unix_micros($"prev_ts") > 1800L * 1000000L,
+            1L).otherwise(0L))
+        .withColumn("session_id",
+          sum($"new_session")
+            .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy($"user_id", $"session_id")
+        .agg(count(lit(1)).as("n_events"), money(sum($"value")).as("total"))
+        .orderBy($"user_id", $"session_id")
+    },
+    "q17_asof_join" -> { (s, d) =>
+      import s.implicits._
+      val ev = events(s, d)
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      val errors = ev.filter($"event_type" === "error")
+        .select($"event_id".as("err_id"), $"user_id".as("err_user"),
+          $"ts".as("err_ts"))
+      AsOfJoin.backward(purchases, errors,
+        leftKey = $"user_id", rightKey = $"err_user",
+        leftTime = $"ts", rightTime = $"err_ts",
+        rightValues = Seq($"err_id"))
+        .select($"event_id", $"err_id")
+        .orderBy($"event_id")
+    },
+    "q18_json_props" -> { (s, d) =>
+      import s.implicits._
+      events(s, d)
+        .withColumn("k", get_json_object($"props", "$.k").cast("int"))
+        .groupBy($"event_type")
+        .agg(round(avg($"k"), 4).as("avg_k"), max($"k").as("max_k"))
+        .orderBy($"event_type")
+    },
+    "q19_explode_sequence" -> { (s, d) =>
+      import s.implicits._
+      // explode/UNNEST surface: expand each order into its month sequence
+      // between orderdate and orderdate+3 months, count per month.
+      orders(s, d)
+        .filter($"o_orderkey" % 100 === 0)
+        .select($"o_orderkey",
+          explode(sequence(lit(1), lit(3))).as("m"))
+        .groupBy($"m")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"m")
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+         round(avg(l_quantity), 4) AS avg_qty,
+         round(avg(l_discount), 4) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+         count(*) AS n
+         FROM lineitem
+         WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+    "q11_distinct_parts" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+         count(DISTINCT l_suppkey) AS n_supps
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q3_customer_revenue" ->
+      """SELECT c_custkey, c_name,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+         count(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_custkey, c_name ORDER BY c_custkey""",
+    "q5_nation_revenue" ->
+      """SELECT r_name, n_name,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q4_part_brand_volume" ->
+      """SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty,
+         count(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand ORDER BY p_brand""",
+    "q9_semi_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "q10_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+         ORDER BY c_custkey""",
+    "q13_order_lines_dist" ->
+      """WITH l AS (SELECT l_orderkey, count(*) AS n_lines FROM lineitem
+           GROUP BY l_orderkey)
+         SELECT coalesce(n_lines, 0) AS n_lines, count(*) AS n_orders
+         FROM orders LEFT JOIN l ON o_orderkey = l_orderkey
+         GROUP BY 1 ORDER BY n_lines""",
+    "q7_running_supplier" ->
+      """WITH w AS (
+           SELECT l_suppkey,
+             row_number() OVER (PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn,
+             l_orderkey, l_linenumber,
+             round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING), 2) AS running
+           FROM lineitem)
+         SELECT * FROM w WHERE rn <= 50 ORDER BY l_suppkey, rn""",
+    "q8_top_parts_per_brand" ->
+      """WITH w AS (
+           SELECT p_brand,
+             row_number() OVER (PARTITION BY p_brand
+               ORDER BY p_retailprice DESC, p_partkey) AS rk,
+             p_partkey, p_retailprice
+           FROM part)
+         SELECT * FROM w WHERE rk <= 3 ORDER BY p_brand, rk""",
+    "q12_cube_flags" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+         coalesce(l_linestatus, 'ALL') AS ls, count(*) AS n
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY rf, ls""",
+    "q15_union_extremes" ->
+      """SELECT o_orderkey, 'hi' AS bucket FROM orders
+           WHERE o_totalprice > 400000
+         UNION ALL
+         SELECT o_orderkey, 'lo' AS bucket FROM orders
+           WHERE o_totalprice < 5000
+         ORDER BY o_orderkey, bucket""",
+    "q2_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+         FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q14_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+         event_type, count(*) AS n, round(sum(value), 2) AS total
+         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    "q16_sessionize" ->
+      """WITH g AS (
+           SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+               THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sx AS (
+           SELECT user_id, value,
+             CAST(sum(new_session) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
+           FROM g)
+         SELECT user_id, session_id, count(*) AS n_events,
+           round(sum(value), 2) AS total
+         FROM sx GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""",
+    "q17_asof_join" ->
+      """SELECT p.event_id AS event_id, e.err_id AS err_id
+         FROM (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN
+              (SELECT event_id AS err_id, user_id AS err_user, ts AS err_ts
+               FROM events WHERE event_type = 'error') e
+         ON p.user_id = e.err_user AND p.ts >= e.err_ts
+         ORDER BY p.event_id""",
+    "q18_json_props" ->
+      """SELECT event_type,
+         round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4)
+           AS avg_k,
+         max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q19_explode_sequence" ->
+      """SELECT m, count(*) AS n
+         FROM orders, unnest([1, 2, 3]) AS t(m)
+         WHERE o_orderkey % 100 = 0
+         GROUP BY m ORDER BY m"""
+  )
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+class RelationalQueriesSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("every declared query runs and is non-empty at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("every query with an oracle has matching column names") {
+    // cheap guard against the alias-mismatch failure mode: oracle SQL must
+    // mention every output column name of the Spark result.
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      val cols = SparkEntry.queries(name)(spark, sf).columns
+      cols.foreach { c =>
+        assert(sql.toLowerCase.contains(c.toLowerCase),
+          s"$name: column $c not mentioned in oracle SQL")
+      }
+    }
+  }
+
+  test("q1 pricing summary values are exact at sf0.001") {
+    val rows = SparkEntry.queries("q1_pricing_summary")(spark, sf).collect()
+    assert(rows.length === 6)
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    assert(total === 6000L)
+  }
+
+  test("asof join attaches the latest prior error") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val left = Seq((1L, "u", 100L), (2L, "u", 50L), (3L, "v", 10L))
+      .toDF("id", "k", "t").withColumn("t", timestamp_micros($"t"))
+    val right = Seq((10L, "u", 60L), (11L, "u", 90L), (12L, "w", 5L))
+      .toDF("rid", "rk", "rt").withColumn("rt", timestamp_micros($"rt"))
+    val got = operators.AsOfJoin.backward(left, right,
+        $"k", $"rk", $"t", $"rt", Seq($"rid"))
+      .select($"id", $"rid").collect().map(r =>
+        (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+      .toMap
+    assert(got(1L) === Some(11L)) // latest of 60,90 <= 100
+    assert(got(2L) === None)      // no error <= 50
+    assert(got(3L) === None)      // no key match
+  }
+}

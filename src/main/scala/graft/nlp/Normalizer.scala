@@ -1,0 +1,111 @@
+package graft.nlp
+
+import java.util.regex.Pattern
+
+/** Token-norm rewriting + exclusion tagging, mirroring the five dimensions of
+  * the reference normalizer (`/root/reference/edsnlp/pipes/core/normalizer/
+  * normalizer.py:15-87`): lowercase, accents, quotes, spaces, pollution.
+  *
+  * Accents/quotes are deterministic fixed-length char maps (translate-safe,
+  * `accents/patterns.py`, `quotes/patterns.py`), so `begin`/`end` offsets
+  * never drift — the property the whole span pipeline depends on
+  * (SURVEY.md §7.4 risk 1). Spaces and pollution only flip the `excluded`
+  * flag; the raw text is untouched.
+  */
+object Normalizer {
+
+  /** char -> replacement; fixed-length so offsets are stable. */
+  private val charMap: Map[Char, Char] = {
+    val accents = Seq(
+      "ç" -> 'c', "àáâä" -> 'a', "èéêë" -> 'e', "ìíîï" -> 'i',
+      "òóôö" -> 'o', "ùúûü" -> 'u')
+    val lower = accents.flatMap { case (ks, v) => ks.map(_ -> v) }
+    val upper = lower.map { case (k, v) => k.toUpper -> v.toUpper }
+    val quotes = "＂〃ײ᳓″״‶˶ʺ“”˝‟".map(_ -> '"')
+    val apostrophes = "｀΄＇ˈˊᑊˋꞌᛌ‘’՚‛՝`′׳´ʹ˴ߴ‵ߵʻʼ".map(_ -> '\'')
+    (lower ++ upper ++ quotes ++ apostrophes).toMap
+  }
+
+  def mapChars(s: String): String = s.map(c => charMap.getOrElse(c, c))
+
+  /** Pollution detectors (excluded char ranges), generic subset of the
+    * reference bank (`pollution/patterns.py`): repeated filler bars, web
+    * addresses, mid-word line splits.
+    */
+  private val pollutionPatterns: Seq[Pattern] = Seq(
+    "(?i)([nbw]|_|-|=){5,}",
+    "www\\.\\S*|\\S*@\\S*|\\S*\\.(?:fr|com|net|org)\\b",
+    "(?<![\\W\\d_])-\\n"
+  ).map(Pattern.compile)
+
+  case class Options(
+      lowercase: Boolean = true,
+      accents: Boolean = true,
+      quotes: Boolean = true,
+      spaces: Boolean = true,
+      pollution: Boolean = true)
+
+  /** True for whitespace-only tokens ("SPACE"-tagged in the reference,
+    * `spaces/spaces.py:9-53`). Kept distinct from `excluded`: the sentence
+    * segmenter must still see newline tokens, while matchers skip both.
+    */
+  def isSpace(t: Token): Boolean = t.text.forall(Character.isWhitespace)
+
+  /** Rewrite norms and tag pollution exclusions. Pure per-document fn. */
+  def normalize(
+      text: String,
+      tokens: Array[Token],
+      opts: Options = Options()): Array[Token] = {
+    val polluted: Array[(Int, Int)] =
+      if (opts.pollution && text != null)
+        pollutionPatterns.flatMap { p =>
+          val m = p.matcher(text)
+          val acc = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+          while (m.find()) acc += ((m.start, m.end))
+          acc
+        }.toArray
+      else Array.empty
+
+    tokens.map { t =>
+      var n = t.text
+      if (opts.lowercase) n = n.toLowerCase
+      if (opts.accents || opts.quotes) n = mapChars(n)
+      val excl =
+        polluted.exists { case (b, e) => t.begin < e && t.end > b }
+      t.copy(norm = n, excluded = excl)
+    }
+  }
+
+  /** Clean text + offset map: concatenation of non-excluded token texts with
+    * single spaces between non-adjacent tokens, plus `cleanToRaw(i)` = raw
+    * offset of clean char i (the prefix-sum realignment of
+    * `/root/reference/edsnlp/utils/doc_to_text.py:117-193`).
+    */
+  def cleanTextWithOffsets(
+      tokens: Array[Token],
+      useNorm: Boolean): (String, Array[Int]) = {
+    val sb = new StringBuilder
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var lastEnd = -1
+    tokens.foreach { t =>
+      if (!t.excluded && !isSpace(t)) {
+        if (lastEnd >= 0 && t.begin > lastEnd) {
+          sb += ' '
+          offsets += lastEnd
+        }
+        val s = if (useNorm) t.norm else t.text
+        // norm is fixed-length by construction; guard anyway
+        val body = if (s.length == t.end - t.begin) s else t.text
+        var i = 0
+        while (i < body.length) {
+          sb += body(i)
+          offsets += t.begin + i
+          i += 1
+        }
+        lastEnd = t.end
+      }
+    }
+    offsets += (if (lastEnd >= 0) lastEnd else 0) // end sentinel
+    (sb.toString, offsets.toArray)
+  }
+}

@@ -1,0 +1,72 @@
+package graft.pipes
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.nlp._
+
+/** Full annotations for one document — the fused pipeline output. */
+case class Annotations(tokens: Seq[Token], sents: Seq[Sent], ents: Seq[Ent])
+
+/** The `map_pipeline` analog (`/root/reference/edsnlp/core/stream.py:
+  * 675-763`): a configured chain tokenize -> normalize -> sentences ->
+  * phrase/regex match -> filter_spans -> qualifiers, spliced into the
+  * logical plan.
+  *
+  * Unlike the reference (one Python op per pipe with per-op batching), the
+  * whole chain is FUSED into a single row-local function: one UDF call per
+  * document, annotations never round-trip through Spark's serializers
+  * between stages. This is the stage-fusion Catalyst can't do for opaque
+  * functions, done by construction. Downstream ops (explode to an entity
+  * table, joins against terminologies) stay declarative.
+  */
+case class DocPipeline(
+    terms: Map[String, Seq[String]] = Map.empty,
+    regexPatterns: Map[String, Seq[String]] = Map.empty,
+    qualifiers: Seq[QualifierPatterns] = Seq.empty,
+    normOpts: Normalizer.Options = Normalizer.Options()) extends Serializable {
+
+  @transient private lazy val phraseMatcher =
+    if (terms.nonEmpty) Some(PhraseMatcher.build(terms, normOpts = normOpts))
+    else None
+  @transient private lazy val regexMatcher =
+    if (regexPatterns.nonEmpty) Some(RegexMatcher.build(regexPatterns))
+    else None
+  @transient private lazy val ruleQualifiers =
+    qualifiers.map(new RuleQualifier(_))
+
+  /** Pure per-document run — also the single-doc `nlp(text)` entry point
+    * (`/root/reference/edsnlp/core/pipeline.py:373-400`).
+    */
+  def annotate(text: String): Annotations = {
+    val tokens = Normalizer.normalize(text, Tokenizer.tokenize(text), normOpts)
+    val sents = Sentencizer.sentences(tokens)
+    val rawEnts =
+      phraseMatcher.map(_.findMatches(tokens, text)).getOrElse(Nil) ++
+        regexMatcher.map(_.findMatches(tokens, text)).getOrElse(Nil)
+    var ents = SpanAlgebra.filterSpans(rawEnts)
+    ruleQualifiers.foreach { q => ents = q.apply(text, tokens, sents, ents) }
+    Annotations(tokens.toSeq, sents.toSeq, ents)
+  }
+
+  /** Add an `anno` struct column (tokens/sents/ents) to `df`. */
+  def annotateCol(text: Column): Column = {
+    val self = this
+    udf((s: String) => self.annotate(s)).apply(text)
+  }
+
+  /** One row per entity: the "ents" converter
+    * (`/root/reference/edsnlp/data/converters.py:651-711`) — relational
+    * UNNEST of the annotation layer, with qualifier attrs as typed columns.
+    */
+  def entsTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val attrCols = qualifiers.map(q =>
+      coalesce(element_at(col("ent.attrs"), q.name), lit("false"))
+        .cast("boolean").as(q.name))
+    df.withColumn("ent", explode(annotateCol(col(textCol))("ents")))
+      .select(
+        Seq(col(idCol), col("ent.begin").as("begin"),
+          col("ent.end").as("end"), col("ent.label").as("label"),
+          col("ent.text").as("lexical_variant")) ++ attrCols: _*)
+  }
+}

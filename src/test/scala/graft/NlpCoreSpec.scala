@@ -1,0 +1,140 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.nlp._
+
+class NlpCoreSpec extends AnyFunSuite {
+
+  private def toks(s: String) =
+    Normalizer.normalize(s, Tokenizer.tokenize(s))
+
+  test("tokenizer splits numbers from letters and keeps offsets exact") {
+    val t = Tokenizer.tokenize("ACR5 mg")
+    assert(t.map(_.text).toSeq === Seq("ACR", "5", " ", "mg"))
+    t.foreach(tok => assert(tok.text === "ACR5 mg".substring(tok.begin, tok.end)))
+  }
+
+  test("tokenizer: newlines are single tokens, decimals stay together") {
+    assert(Tokenizer.tokenize("\n \n").map(_.text).toSeq === Seq("\n", " ", "\n"))
+    assert(Tokenizer.tokenize("3,5 mg").map(_.text).toSeq === Seq("3,5", " ", "mg"))
+    assert(Tokenizer.tokenize("Dr. X").map(_.text).toSeq === Seq("Dr.", " ", "X"))
+  }
+
+  test("tokenizer partitions text (offsets contiguous, no gaps)") {
+    val s = "Le patient, vu par le Dr. X le 03/05/2021 (10h: 37,2°C) !\nOK."
+    val t = Tokenizer.tokenize(s)
+    assert(t.head.begin === 0 && t.last.end === s.length)
+    t.sliding(2).foreach {
+      case Array(a, b) => assert(a.end === b.begin, s"gap between ${a.text}|${b.text}")
+      case _ =>
+    }
+  }
+
+  test("normalizer: accents and case fold into norm, offsets unchanged") {
+    val t = toks("Lésion à l'estomac")
+    assert(t.filter(tok => !Normalizer.isSpace(tok)).map(_.norm).toSeq ===
+      Seq("lesion", "a", "l'", "estomac"))
+    t.foreach(tok => assert(tok.norm.length === tok.end - tok.begin))
+  }
+
+  test("sentencizer: period always opens a sentence; newline needs capitalization") {
+    // after a period the next word starts a sentence regardless of case
+    // (capitalization is only checked for newline-triggered boundaries)
+    val s = "Il va bien. Le scanner est normal. pas de changement."
+    val sents = Sentencizer.sentences(toks(s))
+    assert(sents.length === 3)
+    assert(s.substring(sents(0).begin, sents(0).end) === "Il va bien.")
+    // lowercase continuation after newline does NOT split
+    val s2 = "Douleur au bras\nsans fièvre. OK."
+    assert(Sentencizer.sentences(toks(s2)).length === 2)
+  }
+
+  test("sentencizer: newline + capitalized opens sentence; digit after period does not split") {
+    val s = "Douleur à l'estomac\nIl y a 2 ans. 3,5 mg donnés."
+    val sents = Sentencizer.sentences(toks(s))
+    assert(s.substring(sents(0).begin, sents(0).end).startsWith("Douleur"))
+    assert(sents.length === 3)
+  }
+
+  test("filter_spans keeps longest-leftmost on overlap") {
+    val spans = Seq(
+      Ent(0, 5, "a", ""), Ent(3, 10, "b", ""), Ent(3, 8, "c", ""),
+      Ent(12, 14, "d", ""))
+    val kept = SpanAlgebra.filterSpans(spans)
+    assert(kept.map(_.label) === Seq("b", "d")) // b is longest; a,c overlap it
+  }
+
+  test("filter_spans with label_to_remove drops only overlapping spans") {
+    val spans = Seq(
+      Ent(0, 10, "pseudo", ""), Ent(2, 5, "preceding", ""),
+      Ent(12, 15, "preceding", ""))
+    val kept = SpanAlgebra.filterSpans(spans, Some("pseudo"))
+    assert(kept.map(s => (s.begin, s.label)) === Seq((12, "preceding")))
+  }
+
+  test("align_spans finds overlapping sources per target") {
+    val sources = Seq(Ent(0, 4, "s", ""), Ent(3, 8, "s", ""), Ent(10, 12, "s", ""))
+    val targets = Seq(Ent(2, 6, "t", ""), Ent(9, 15, "t", ""))
+    val aligned = SpanAlgebra.alignSpans(sources, targets)
+    assert(aligned(0).map(_.begin) === Seq(0, 3))
+    assert(aligned(1).map(_.begin) === Seq(10))
+  }
+
+  test("phrase matcher matches multi-token terms on norm across case/accents") {
+    val m = PhraseMatcher.build(Map("covid" -> Seq("covid", "coronavirus"),
+      "dl" -> Seq("douleur au bras")))
+    val s = "Douleur au bras et Covid-19 ; covid suspecté."
+    val hits = m.findMatches(toks(s), s)
+    assert(hits.map(h => (h.label, h.text)).toSet ===
+      Set(("dl", "Douleur au bras"), ("covid", "Covid"), ("covid", "covid")))
+  }
+
+  test("regex matcher on clean text realigns offsets to raw text") {
+    // pollution bars are excluded; clean-text match must map back around them
+    val s = "Fracture NBNBNBNBNBNB du radius"
+    val tokens = toks(s)
+    val m = RegexMatcher.build(Map("frac" -> Seq("fracture du radius")),
+      attrNorm = true)
+    val hits = m.findMatches(tokens, s)
+    assert(hits.size === 1)
+    assert(hits.head.begin === 0 && hits.head.end === s.length)
+  }
+
+  test("negation: NegEx-style golden examples") {
+    val pipe = DocFixtures.pipeline
+    def negated(text: String, term: String): Boolean = {
+      val anns = pipe.annotate(text)
+      val ent = anns.ents.find(_.text.toLowerCase.contains(term))
+        .getOrElse(fail(s"no entity '$term' in '$text': ${anns.ents}"))
+      ent.attrs("negation").toBoolean
+    }
+    // from the reference's negation examples (negation.py docstring)
+    assert(negated("Le scanner ne détecte aucune fracture.", "fracture"))
+    assert(!negated("Le patient est admis pour une douleur au bras.", "douleur"))
+    // termination bounds the cue scope
+    assert(!negated("Pas de fièvre mais une fracture du radius.", "fracture"))
+    // pseudo-negation does not negate
+    assert(!negated("Sans doute une fracture du radius.", "fracture"))
+    // following cue
+    assert(negated("Fracture du radius : exclue.", "fracture"))
+  }
+
+  test("family qualifier") {
+    val pipe = DocFixtures.pipeline
+    val anns = pipe.annotate("Antécédents familiaux de diabète. Le patient a une fracture.")
+    val fam = anns.ents.find(_.text.toLowerCase.contains("diabète")).get
+    val self = anns.ents.find(_.text.toLowerCase.contains("fracture")).get
+    assert(fam.attrs("family").toBoolean)
+    assert(!self.attrs("family").toBoolean)
+  }
+}
+
+object DocFixtures {
+  val pipeline: graft.pipes.DocPipeline = graft.pipes.DocPipeline(
+    terms = Map(
+      "fracture" -> Seq("fracture", "fracture du radius"),
+      "douleur" -> Seq("douleur", "douleur au bras"),
+      "diabete" -> Seq("diabète"),
+      "fievre" -> Seq("fièvre")),
+    qualifiers = Seq(Patterns.negation, Patterns.family, Patterns.hypothesis))
+}

@@ -13,7 +13,8 @@ object SparkEntry {
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame],
       Map[String, String])] = Seq(
     (relational.RelationalQueries.queries, relational.RelationalQueries.oracleSql),
-    (relational.DocQueries.queries, relational.DocQueries.oracleSql)
+    (relational.DocQueries.queries, relational.DocQueries.oracleSql),
+    (relational.PipelineQueries.queries, relational.PipelineQueries.oracleSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

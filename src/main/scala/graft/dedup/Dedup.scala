@@ -1,0 +1,130 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Large-scale deduplication operators for training-data pipelines.
+  *
+  * Everything here is expressed with codegen'd built-in functions (no UDF in
+  * the hot path): shingling via `sequence`/`transform`/`slice`, MinHash via
+  * `aggregate` over universal-hash permutations of `xxhash64`, banding via
+  * re-hash of signature slices. The only shuffles are the ones the problem
+  * requires (bucket groupBy, pair dedup), all on bounded-size keys.
+  *
+  * Scale design: candidate generation is LSH (linear in corpus size), never
+  * all-pairs; verification joins are equi-joins on doc ids; signatures are
+  * fixed-width arrays (k longs) so memory per row is constant. At 100 TB,
+  * bucket skew (a shingle-set shared by millions of boilerplate docs) is the
+  * known hazard — cap bucket width with a count filter, as done in
+  * production LSH dedups.
+  */
+object Dedup {
+  /** Large prime < 2^31 for universal hashing: (a*h+b) mod P with
+    * h < P, a,b < P keeps every product < 2^62 (no long overflow).
+    */
+  private val P = 2147483647L // 2^31 - 1, Mersenne prime
+
+  /** Deterministic permutation parameters (splitmix-ish, fixed seed so
+    * signatures are reproducible across runs/engines).
+    */
+  private def perm(i: Int): (Long, Long) = {
+    var z = 0x9E3779B97F4A7C15L * (i + 1)
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    val a = math.floorMod(z ^ (z >>> 31), P - 1) + 1 // a in [1, P-1]
+    var w = 0xD1B54A32D192ED03L * (i + 7)
+    w = (w ^ (w >>> 29)) * 0xFF51AFD7ED558CCDL
+    val b = math.floorMod(w ^ (w >>> 32), P) // b in [0, P-1]
+    (a, b)
+  }
+
+  /** Word n-gram shingles of a text column as distinct hashes mod P (the
+    * MinHash input). For clinical text, tokenize+normalize first and
+    * shingle the norms; for the single-space corpus `split` suffices.
+    */
+  def shingleHashes(text: Column, n: Int): Column = {
+    val words = split(text, "\\s+")
+    val shingles = transform(
+      sequence(lit(0), greatest(size(words) - n, lit(0))),
+      i => array_join(slice(words, i + 1, lit(n)), " "))
+    array_distinct(transform(shingles, s => pmod(xxhash64(s), lit(P))))
+  }
+
+  /** MinHash signature: array of k minima of universal-hash permutations —
+    * the classic (a*h+b) mod P scheme over xxhash64'd shingles. Pure
+    * expression: whole-stage codegen applies.
+    */
+  def minHashSignature(hashes: Column, k: Int): Column = {
+    val mins = (0 until k).map { i =>
+      val (a, b) = perm(i)
+      aggregate(hashes, lit(Long.MaxValue),
+        (acc, h) => least(acc, pmod(h * lit(a) + lit(b), lit(P))))
+    }
+    array(mins: _*)
+  }
+
+  /** Exact duplicate groups: hash-groupBy on content. Returns one row per
+    * distinct content with the kept (min) id and the duplicate count.
+    * Map-side partial aggregation makes this one bounded shuffle at scale;
+    * group on a content hash (not the content) so shuffle keys stay small.
+    */
+  def exactDuplicates(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    df.groupBy(sha2(col(textCol), 256).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** LSH candidate pairs: signature sliced into `bands` bands, each band
+    * re-hashed to a bucket; ids sharing (band, bucket) become candidates.
+    * Self-join happens per-bucket only — linear + bucket-local quadratic.
+    * `maxBucket` guards against boilerplate-skew buckets at scale.
+    */
+  def lshCandidatePairs(
+      sigs: DataFrame, // (id, sig array<bigint>)
+      idCol: String,
+      bands: Int,
+      maxBucket: Int = 1000): DataFrame = {
+    val buckets = sigs
+      .select(col(idCol).as("id"),
+        posexplode(expr(s"transform(sequence(0, $bands - 1), " +
+          s"b -> xxhash64(b, array_join(slice(sig, b * (size(sig) div $bands) + 1, " +
+          s"size(sig) div $bands), ',')))")))
+      .select(col("id"), concat_ws("_", col("pos"), col("col")).as("bucket"))
+    val capped = buckets
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("bucket")))
+      .filter(col("n") <= maxBucket)
+    val l = capped.select(col("bucket"), col("id").as("id_a"))
+    val r = capped.select(col("bucket"), col("id").as("id_b"))
+    l.join(r, "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Exact Jaccard similarity between two shingle-hash set columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    val uni = size(array_union(a, b))
+    when(uni === 0, 0.0).otherwise(inter.cast("double") / uni.cast("double"))
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: shingle -> sign -> band ->
+    * candidates -> verify with exact Jaccard >= threshold.
+    */
+  def minHashNearDuplicates(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    val hashed = df.select(col(idCol).as("id"),
+      shingleHashes(col(textCol), n).as("hs"))
+    val sigs = hashed.select(col("id"),
+      minHashSignature(col("hs"), k).as("sig"))
+    val cands = lshCandidatePairs(sigs, "id", bands)
+    val ha = hashed.select(col("id").as("id_a"), col("hs").as("hs_a"))
+    val hb = hashed.select(col("id").as("id_b"), col("hs").as("hs_b"))
+    cands.join(ha, "id_a").join(hb, "id_b")
+      .withColumn("jaccard", jaccard(col("hs_a"), col("hs_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SimHash near-duplicate detection: 64-bit fingerprint from bitwise votes
+  * of shingle hashes; near-dups are pairs within a Hamming-distance radius.
+  *
+  * Pair generation uses the pigeonhole block trick: split the 64-bit
+  * fingerprint into `radius + 1` blocks — any pair within the radius must
+  * agree exactly on at least one block, so candidates come from equi-joins
+  * on (block index, block value), never an all-pairs scan. Linear shuffle,
+  * bucket-local verification; the standard scheme for web-scale simhash
+  * dedup (Charikar/Google crawl dedup).
+  */
+object SimHash {
+
+  /** 64-bit simhash of a shingle-hash array column: for each bit, sum +1/-1
+    * votes across shingles. Row-local UDF (the per-bit loop doesn't map to
+    * the Column DSL's fixed-shift signatures); promotion path is a native
+    * Catalyst Expression with `doGenCode` — same semantics.
+    */
+  def simhash(hashes: Column): Column = {
+    val f = udf((hs: Seq[Long]) => {
+      val votes = new Array[Long](64)
+      hs.foreach { h0 =>
+        // finalize to spread 31-bit shingle hashes over 64 bits
+        var h = h0 * -7046029254386353131L
+        h = (h ^ (h >>> 32)) * -4417276706812531889L
+        h = h ^ (h >>> 29)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      var fp = 0L
+      var b = 0
+      while (b < 64) {
+        if (votes(b) > 0) fp |= (1L << b)
+        b += 1
+      }
+      fp
+    })
+    f(hashes)
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Near-dup pairs with Hamming distance <= radius. */
+  def nearDuplicates(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, radius: Int = 3): DataFrame = {
+    val blocks = radius + 1
+    val width = 64 / blocks // bits per block (last block gets the remainder)
+    val fp = df.select(col(idCol).as("id"),
+      simhash(Dedup.shingleHashes(col(textCol), n)).as("fp"))
+    val blocked = fp.select(col("id"), col("fp"),
+      posexplode(expr(
+        s"transform(sequence(0, ${blocks - 1}), b -> " +
+        s"shiftright(fp, b * $width) & " +
+        s"CASE WHEN b = ${blocks - 1} THEN -1L >> (${blocks - 1} * $width) " +
+        s"ELSE (1L << $width) - 1 END)")))
+      .select(col("id"), col("fp"),
+        concat_ws("_", col("pos"), col("col")).as("bucket"))
+    val l = blocked.select(col("bucket"), col("id").as("id_a"),
+      col("fp").as("fp_a"))
+    val r = blocked.select(col("bucket"), col("id").as("id_b"),
+      col("fp").as("fp_b"))
+    l.join(r, "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming(col("fp_a"), col("fp_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= radius)
+  }
+}

@@ -1,0 +1,107 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns for training-data pipelines: media payloads are
+  * opaque `binary` columns with typed metadata; decode / feature-extract /
+  * resize / frame-sample run as partition-local batch functions.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic STUB (byte-level features standing in for
+  * pixel decoding) — the Spark-side plumbing (schema, batched
+  * `mapPartitions`, partition sizing) is real and is what matters at scale:
+  * payloads never pass through a shuffle; feature extraction is a narrow
+  * map over whatever partitioning the source had, and downstream analytics
+  * see only small fixed-width feature rows.
+  */
+object Multimodal {
+
+  case class MediaMeta(
+      format: String, width: Int, height: Int, durationMs: Long)
+
+  case class MediaRow(
+      media_id: Long, content: Array[Byte], meta: MediaMeta)
+
+  case class MediaFeatures(
+      media_id: Long,
+      n_bytes: Long,
+      entropy: Double,     // byte-histogram entropy (stub for pixel stats)
+      brightness: Double,  // mean byte value (stub)
+      histogram: Seq[Long]) // 16-bucket byte histogram
+
+  /** STUB decode: deterministic byte-level features in place of a codec.
+    * Swap body for a real decoder when codecs are available; the signature
+    * and batching are the production shape.
+    */
+  def decodeFeatures(content: Array[Byte]): (Double, Double, Array[Long]) = {
+    val hist = new Array[Long](16)
+    var sum = 0L
+    var i = 0
+    while (i < content.length) {
+      val b = content(i) & 0xFF
+      hist(b >> 4) += 1
+      sum += b
+      i += 1
+    }
+    val n = math.max(content.length, 1)
+    var entropy = 0.0
+    hist.foreach { h =>
+      if (h > 0) {
+        val p = h.toDouble / n
+        entropy -= p * math.log(p) / math.log(2)
+      }
+    }
+    (entropy, sum.toDouble / n, hist)
+  }
+
+  /** Partition-local feature extraction: one pass over payload bytes per
+    * row, emitting fixed-width features. No shuffle; the heavy `content`
+    * column is dropped as early as possible (column pruning downstream).
+    */
+  def extractFeatures(ds: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        val (entropy, brightness, hist) = decodeFeatures(r.content)
+        MediaFeatures(r.media_id, r.content.length.toLong,
+          math.rint(entropy * 10000) / 10000,
+          math.rint(brightness * 10000) / 10000,
+          hist.toSeq)
+      }
+    }
+  }
+
+  /** Frame sampling stub for video-as-bytes: every `stride`-th fixed-size
+    * block becomes a "frame" payload — 1→N explode done lazily per
+    * partition so a 100 MB payload never materializes N copies up front.
+    */
+  def sampleFrames(
+      ds: Dataset[MediaRow], frameBytes: Int, stride: Int)
+      : Dataset[(Long, Int, Array[Byte])] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { r =>
+      val n = r.content.length / frameBytes
+      (0 until n by stride).iterator.map { f =>
+        val from = f * frameBytes
+        (r.media_id, f,
+          java.util.Arrays.copyOfRange(r.content, from, from + frameBytes))
+      }
+    }
+  }
+
+  /** Build a synthetic media table from the documents corpus (text bytes as
+    * payload) — exercises the exact schema/plumbing with deterministic
+    * content.
+    */
+  def mediaFromDocuments(
+      spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("content"),
+      struct(lit("stub/text").as("format"), lit(0).as("width"),
+        lit(0).as("height"), lit(0L).as("durationMs")).as("meta"))
+      .as[MediaRow]
+  }
+}

@@ -1,0 +1,207 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.dedup.{Dedup, SimHash}
+import graft.multimodal.Multimodal
+import graft.similarity.Ann
+import graft.text.TextStats
+
+/** Training-data pipeline operators (dedup / similarity / text analysis /
+  * multimodal) as declared queries. MinHash-LSH and brute-force ANN have
+  * exact DuckDB oracles (the corpus's near-dup structure is bimodal —
+  * planted pairs at J >= 0.9 vs background <= 0.07 — so LSH at threshold
+  * 0.8 is exhaustive by construction); simhash/langid/fingerprint/media are
+  * algorithm-specific and get rows-only checks plus ScalaTest coverage.
+  */
+object PipelineQueries {
+  import Tables.{documents, embeddings}
+
+  /** Distinct word-trigram shingle strings (exact-oracle-friendly:
+    * DuckDB recomputes the same sets from the same split).
+    */
+  private def shingleStrings(text: org.apache.spark.sql.Column) = {
+    val words = split(text, " ")
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(words) - 3, lit(0))),
+      i => array_join(slice(words, i + 1, lit(3)), " ")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_exact_dedup" -> { (s, d) =>
+      import s.implicits._
+      Dedup.exactDuplicates(documents(s, d), "doc_id", "text")
+        .select($"keep_id", $"n_copies")
+        .orderBy($"keep_id")
+    },
+    "q31_jaccard_pairs" -> { (s, d) =>
+      import s.implicits._
+      // exact n-gram Jaccard: sampled query side x full corpus. The
+      // all-pairs form is quadratic by nature; the scale path is q32.
+      val sh = documents(s, d)
+        .select($"doc_id", shingleStrings($"text").as("sh"))
+      val a = sh.filter($"doc_id" % 10 === 0)
+        .select($"doc_id".as("id_a"), $"sh".as("sh_a"))
+      val b = sh.select($"doc_id".as("id_b"), $"sh".as("sh_b"))
+      a.crossJoin(b).filter($"id_a" < $"id_b")
+        .withColumn("jaccard",
+          round(size(array_intersect($"sh_a", $"sh_b")).cast("double") /
+            size(array_union($"sh_a", $"sh_b")).cast("double"), 4))
+        .filter($"jaccard" >= 0.3)
+        .select($"id_a", $"id_b", $"jaccard")
+        .orderBy($"id_a", $"id_b")
+    },
+    "q32_minhash_lsh" -> { (s, d) =>
+      import s.implicits._
+      // MinHash (k=64) -> LSH banding (16 bands) -> candidate pairs ->
+      // exact verification on shingle strings. Linear-shuffle scale path.
+      val docs = documents(s, d)
+      val withShingles = docs.select($"doc_id",
+        shingleStrings($"text").as("sh"),
+        Dedup.shingleHashes($"text", 3).as("hs"))
+      val sigs = withShingles.select($"doc_id".as("id"),
+        Dedup.minHashSignature($"hs", 64).as("sig"))
+      val cands = Dedup.lshCandidatePairs(sigs, "id", bands = 16)
+      val sa = withShingles.select($"doc_id".as("id_a"), $"sh".as("sh_a"))
+      val sb = withShingles.select($"doc_id".as("id_b"), $"sh".as("sh_b"))
+      cands.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jaccard",
+          round(size(array_intersect($"sh_a", $"sh_b")).cast("double") /
+            size(array_union($"sh_a", $"sh_b")).cast("double"), 4))
+        .filter($"jaccard" >= 0.8)
+        .select($"id_a", $"id_b", $"jaccard")
+        .orderBy($"id_a", $"id_b")
+    },
+    "q33_simhash" -> { (s, d) =>
+      import s.implicits._
+      // rows-only check (simhash values are engine-specific); recall is
+      // asserted against exact Jaccard dups in ScalaTest.
+      SimHash.nearDuplicates(documents(s, d), "doc_id", "text",
+        n = 3, radius = 8)
+        .orderBy($"id_a", $"id_b")
+    },
+    "q34_embedding_topk" -> { (s, d) =>
+      import s.implicits._
+      val emb = embeddings(s, d).select($"vec_id".as("id"),
+        transform($"embedding", x => x.cast("double")).as("vec"))
+      Ann.bruteForceTopK(emb.filter($"id" % 25 === 0), emb, k = 10)
+        .select($"query_id", $"rank".as("rnk"), $"neighbor_id")
+        .orderBy($"query_id", $"rnk")
+    },
+    "q35_quality" -> { (s, d) =>
+      import s.implicits._
+      documents(s, d)
+        .withColumn("q", TextStats.qualityScore($"text", Seq("the", "a")))
+        .select($"doc_id", $"q.n_words".as("n_words"),
+          $"q.mean_word_len".as("mean_word_len"),
+          $"q.stopword_ratio".as("stopword_ratio"),
+          $"q.type_token_ratio".as("type_token_ratio"))
+        .orderBy($"doc_id")
+    },
+    "q36_langid" -> { (s, d) =>
+      import s.implicits._
+      // heuristic language ID vs the metadata label: confusion counts.
+      // rows-only (the n-gram heuristic is engine-specific); semantic
+      // accuracy is asserted on real multi-language text in ScalaTest.
+      documents(s, d)
+        .withColumn("predicted", TextStats.langId($"text"))
+        .groupBy($"lang", $"predicted")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"lang", $"predicted")
+    },
+    "q37_fingerprint" -> { (s, d) =>
+      import s.implicits._
+      // order-sensitive rolling fingerprint; grouping by it finds exact
+      // word-sequence dups regardless of whitespace. rows-only check.
+      documents(s, d)
+        .select($"doc_id", TextStats.fingerprint($"text").as("fp"))
+        .groupBy($"fp").agg(min($"doc_id").as("keep_id"),
+          count(lit(1)).as("n_copies"))
+        .select($"keep_id", $"n_copies")
+        .orderBy($"keep_id")
+    },
+    "q38_media_features" -> { (s, d) =>
+      import s.implicits._
+      // multimodal plumbing: binary payloads -> partition-local stub
+      // decode -> fixed-width features. rows-only check.
+      val media = Multimodal.mediaFromDocuments(s, documents(s, d))
+      Multimodal.extractFeatures(media).toDF()
+        .select($"media_id", $"n_bytes", $"entropy", $"brightness")
+        .orderBy($"media_id")
+    },
+    "q39_subword_count" -> { (s, d) =>
+      import s.implicits._
+      documents(s, d)
+        .select($"doc_id",
+          TextStats.subwordCount($"text").as("n_subwords"),
+          TextStats.wordCount($"text").as("n_words"))
+        .orderBy($"doc_id")
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q30_exact_dedup" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM documents GROUP BY text ORDER BY keep_id""",
+    "q31_jaccard_pairs" ->
+      """WITH s AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, len(string_split(text, ' ')) - 1),
+             i -> concat_ws(' ', string_split(text, ' ')[i],
+               string_split(text, ' ')[i+1], string_split(text, ' ')[i+2])))
+             AS sh
+           FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+             len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+         FROM s a JOIN s b ON a.doc_id < b.doc_id
+         WHERE a.doc_id % 10 = 0
+           AND round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+             len(list_distinct(a.sh || b.sh)), 4) >= 0.3
+         ORDER BY id_a, id_b""",
+    "q32_minhash_lsh" ->
+      """WITH s AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, len(string_split(text, ' ')) - 1),
+             i -> concat_ws(' ', string_split(text, ' ')[i],
+               string_split(text, ' ')[i+1], string_split(text, ' ')[i+2])))
+             AS sh
+           FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+             len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+         FROM s a JOIN s b ON a.doc_id < b.doc_id
+         WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+             len(list_distinct(a.sh || b.sh)), 4) >= 0.8
+         ORDER BY id_a, id_b""",
+    "q34_embedding_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+             FROM embeddings WHERE vec_id % 25 = 0),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv
+             FROM embeddings),
+         scored AS (
+           SELECT query_id, neighbor_id,
+             list_cosine_similarity(qv, cv) AS sim
+           FROM q, c WHERE query_id != neighbor_id),
+         ranked AS (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, neighbor_id) AS rnk
+           FROM scored)
+         SELECT query_id, rnk, neighbor_id FROM ranked
+         WHERE rnk <= 10 ORDER BY query_id, rnk""",
+    "q35_quality" ->
+      """SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         round(length(text)::DOUBLE / len(string_split(text, ' ')), 4)
+           AS mean_word_len,
+         round(len(list_filter(string_split(text, ' '),
+             w -> w IN ('the', 'a')))::DOUBLE /
+           len(string_split(text, ' ')), 4) AS stopword_ratio,
+         round(len(list_distinct(string_split(text, ' ')))::DOUBLE /
+           len(string_split(text, ' ')), 4) AS type_token_ratio
+         FROM documents ORDER BY doc_id"""
+  )
+}

@@ -1,0 +1,90 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Brute-force cosine top-k is the exact baseline: a broadcast of the query
+  * side against a full scan of the corpus — one pass, no shuffle except the
+  * per-query top-k (TakeOrdered semantics via window row_number with AQE).
+  *
+  * The scale path is random-hyperplane LSH: each vector gets a `nbits`-bit
+  * sign signature from fixed seeded hyperplanes; neighbors are searched only
+  * within matching buckets (multi-probe = also buckets at Hamming distance
+  * 1). Bucketing is a single narrow projection + equi-join: linear at
+  * 100 TB where brute force is quadratic.
+  */
+object Ann {
+
+  /** dot(a,b) via zip_with + aggregate — codegen'd, no UDF. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d),
+      (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Exact top-k cosine neighbors for each query row.
+    * queries/corpus: (id, vec). Broadcast the smaller (query) side.
+    */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes (dim x nbits), fixed seed. */
+  private def hyperplanes(dim: Int, nbits: Int): Array[Array[Double]] = {
+    val rng = new java.util.Random(42)
+    Array.fill(nbits)(Array.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Sign-bit signature column for LSH bucketing. */
+  def signature(vec: Column, dim: Int, nbits: Int): Column = {
+    val planes = hyperplanes(dim, nbits)
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(vec, planeCol) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Approximate top-k: candidates share an LSH bucket (or a bucket at
+    * Hamming distance 1 via multi-probe), ranked by exact cosine.
+    */
+  def lshTopK(
+      queries: DataFrame, corpus: DataFrame, dim: Int, k: Int,
+      nbits: Int = 12): DataFrame = {
+    val cs = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"),
+      signature(col("vec"), dim, nbits).as("sig"))
+    // multi-probe: query probes its own bucket + all 1-bit flips
+    val qs = queries.select(col("id").as("query_id"), col("vec").as("qv"),
+      signature(col("vec"), dim, nbits).as("qsig"))
+      .withColumn("sig", explode(concat(
+        array(col("qsig")),
+        expr(s"transform(sequence(0, ${nbits - 1}), " +
+          s"b -> qsig ^ (1L << b))"))))
+    val scored = cs.join(qs, "sig")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .select(col("query_id"), col("neighbor_id"), col("sim")).distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+}

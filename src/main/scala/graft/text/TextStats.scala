@@ -1,0 +1,93 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: quality scoring, language ID,
+  * token counting, document fingerprinting. All pure column expressions
+  * (codegen'd) except langId's profile lookup, which ships a small static
+  * table in the closure.
+  */
+object TextStats {
+
+  /** Word count on whitespace. */
+  def wordCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish subword count estimate: word-piece regex — runs of letters
+    * (split every 6 chars), digits, or single punctuation, approximating a
+    * byte-pair vocabulary's granularity without shipping a vocab.
+    */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text,
+      lit("[\\p{L}]{1,6}|[0-9]{1,3}|[^\\p{L}0-9\\s]"), lit(0)))
+
+  /** Quality heuristics: length, punctuation ratio, stopword ratio,
+    * type-token ratio, mean word length — the standard pre-training
+    * corpus filters (C4/Gopher-style rules).
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val words = split(trim(text), "\\s+")
+    val nWords = size(words).cast("double")
+    val stopArr = array(stopwords.map(lit): _*)
+    val nStop = size(filter(words, w => array_contains(stopArr, w)))
+      .cast("double")
+    val nDistinct = size(array_distinct(words)).cast("double")
+    val meanLen = length(trim(text)).cast("double") / nWords
+    val punctRatio =
+      (length(text) - length(regexp_replace(text, "[\\p{P}]", "")))
+        .cast("double") / greatest(length(text), lit(1)).cast("double")
+    struct(
+      nWords.cast("long").as("n_words"),
+      round(meanLen, 4).as("mean_word_len"),
+      round(nStop / greatest(nWords, lit(1.0)), 4).as("stopword_ratio"),
+      round(nDistinct / greatest(nWords, lit(1.0)), 4).as("type_token_ratio"),
+      round(punctRatio, 4).as("punct_ratio"))
+  }
+
+  /** Character/stopword profiles per language for the n-gram heuristic
+    * language identifier. Tiny on purpose: marker words + marker chars.
+    */
+  private val langProfiles: Seq[(String, Seq[String], String)] = Seq(
+    ("fr", Seq("le", "la", "les", "de", "des", "et", "un", "une", "est",
+      "pas", "pour", "que", "qui", "dans", "au", "aux", "du"), "éèêàçùâîô"),
+    ("en", Seq("the", "of", "and", "to", "in", "is", "that", "for", "it",
+      "with", "as", "was", "on", "are", "this"), ""),
+    ("es", Seq("el", "la", "los", "las", "de", "y", "en", "que", "es",
+      "un", "una", "por", "con", "para", "del"), "ñáéíóúü¿¡"),
+    ("de", Seq("der", "die", "das", "und", "in", "den", "von", "zu",
+      "mit", "ist", "des", "im", "nicht", "ein", "eine"), "äöüß"),
+    ("zh", Seq.empty, "的一是不了人我在有他这中大来上国"))
+
+  /** Heuristic language ID: argmax over per-language evidence =
+    * stopword-hit ratio + marker-char ratio. Returns the language code,
+    * "und" when no evidence. Pure expressions; profiles are literals.
+    */
+  def langId(text: Column): Column = {
+    val words = split(lower(trim(text)), "\\s+")
+    val nWords = greatest(size(words), lit(1)).cast("double")
+    val scores = langProfiles.map { case (code, stops, chars) =>
+      val stopScore =
+        if (stops.isEmpty) lit(0.0)
+        else size(filter(words, w =>
+          array_contains(array(stops.map(lit): _*), w))).cast("double") / nWords
+      val charScore =
+        if (chars.isEmpty) lit(0.0)
+        else (length(text) -
+          length(translate(text, chars, ""))).cast("double") /
+          greatest(length(text), lit(1)).cast("double") * 5.0
+      struct((stopScore + charScore).as("score"), lit(code).as("code"))
+    }
+    val best = greatest(scores: _*)
+    when(best("score") > 0, best("code")).otherwise(lit("und"))
+  }
+
+  /** 64-bit fingerprint of the normalized word sequence (order sensitive,
+    * whitespace insensitive): xxhash64 over the canonical single-space
+    * join. A polynomial rolling hash would need wraparound multiply, which
+    * ANSI mode rejects; the canonicalize-then-hash form is equivalent for
+    * dedup purposes and fully codegen'd.
+    */
+  def fingerprint(text: Column): Column =
+    xxhash64(array_join(split(trim(text), "\\s+"), " "))
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.{Dedup, SimHash}
+import graft.multimodal.Multimodal
+import graft.similarity.Ann
+import graft.text.TextStats
+
+class PipelineOpsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private lazy val docs =
+    relational.Tables.documents(spark, sf).cache()
+
+  test("minhash LSH finds every exact-Jaccard near-dup pair (recall=1 here)") {
+    val exact = {
+      val sh = docs.select($"doc_id",
+        Dedup.shingleHashes($"text", 3).as("hs"))
+      val a = sh.select($"doc_id".as("id_a"), $"hs".as("hs_a"))
+      val b = sh.select($"doc_id".as("id_b"), $"hs".as("hs_b"))
+      a.crossJoin(b).filter($"id_a" < $"id_b")
+        .filter(Dedup.jaccard($"hs_a", $"hs_b") >= 0.8)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val lsh = Dedup.minHashNearDuplicates(docs, "doc_id", "text",
+      threshold = 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+    assert(lsh === exact)
+  }
+
+  test("simhash near-dups cover the high-Jaccard planted pairs") {
+    val exact = Dedup.minHashNearDuplicates(docs, "doc_id", "text",
+      threshold = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = SimHash.nearDuplicates(docs, "doc_id", "text", radius = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(sim.contains).toDouble / math.max(exact.size, 1)
+    assert(recall >= 0.9, s"simhash recall $recall on ${exact.size} pairs")
+  }
+
+  test("LSH ANN: high recall on clustered vectors, bounded candidate set") {
+    // deterministic clustered corpus: 10 centroids, small noise — the
+    // regime LSH is built for (the driver's random-Gaussian embeddings
+    // have no neighborhood structure, so recall there is meaningless).
+    val rng = new scala.util.Random(7)
+    val centroids = Array.fill(10)(Array.fill(16)(rng.nextGaussian()))
+    val rows = (0 until 400).map { i =>
+      val c = centroids(i % 10)
+      (i.toLong, c.map(_ + rng.nextGaussian() * 0.15).toSeq)
+    }
+    val emb = rows.toDF("id", "vec")
+    val q = emb.filter($"id" < 20)
+    val exact = Ann.bruteForceTopK(q, emb, 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Ann.lshTopK(q, emb, dim = 16, k = 10, nbits = 8)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"ANN recall $recall on clustered data")
+  }
+
+  test("langId identifies real sentences") {
+    val samples = Seq(
+      ("Le patient est admis pour une douleur à l'estomac", "fr"),
+      ("The patient was admitted to the hospital with pain", "en"),
+      ("El paciente fue admitido en el hospital con dolor", "es"),
+      ("Der Patient wurde mit Schmerzen in die Klinik gebracht", "de"))
+      .toDF("text", "expected")
+    val got = samples.withColumn("predicted", TextStats.langId($"text"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getAs[String]("predicted") === r.getAs[String]("expected"),
+        r.getAs[String]("text"))
+    }
+  }
+
+  test("multimodal stub features are deterministic and sane") {
+    val media = Multimodal.mediaFromDocuments(spark, docs.limit(50))
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length === 50)
+    feats.foreach { f =>
+      assert(f.n_bytes > 0)
+      assert(f.entropy > 0 && f.entropy <= 4.0) // 16 buckets -> max 4 bits
+      assert(f.histogram.sum === f.n_bytes)
+    }
+    // frame sampling: 1->N lazily
+    val frames = Multimodal.sampleFrames(media, frameBytes = 16, stride = 2)
+    assert(frames.count() > 0)
+  }
+
+  test("fingerprint is whitespace-insensitive and order-sensitive") {
+    val df = Seq("a b c", "a  b   c", "c b a").toDF("text")
+      .select(TextStats.fingerprint($"text").as("fp")).collect().map(_.getLong(0))
+    assert(df(0) === df(1))
+    assert(df(0) !== df(2))
+  }
+}

@@ -14,7 +14,8 @@ object SparkEntry {
       Map[String, String])] = Seq(
     (relational.RelationalQueries.queries, relational.RelationalQueries.oracleSql),
     (relational.DocQueries.queries, relational.DocQueries.oracleSql),
-    (relational.PipelineQueries.queries, relational.PipelineQueries.oracleSql)
+    (relational.PipelineQueries.queries, relational.PipelineQueries.oracleSql),
+    (relational.ExtractionQueries.queries, relational.ExtractionQueries.oracleSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

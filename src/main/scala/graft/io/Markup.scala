@@ -1,0 +1,74 @@
+package graft.io
+
+import java.util.regex.Pattern
+import scala.collection.mutable.ArrayBuffer
+
+import graft.nlp.Ent
+
+/** Inline-annotated markup converter — the golden-fixture format of the
+  * reference test suite (`/root/reference/edsnlp/data/converters.py:
+  * 714-950`, presets `md`/`xml`): parse `"[lesion](disease negation=true)"`
+  * or `"<disease negation=true>lesion</disease>"` into (clean text,
+  * expected entities with attrs). Offsets in the returned entities are
+  * positions in the CLEAN text.
+  */
+object Markup {
+
+  private val mdPat = Pattern.compile(
+    "\\[(?<txt>[^\\]]*)\\]\\((?<label>[^\\s)]+)(?<attrs>[^)]*)\\)")
+  private val xmlPat = Pattern.compile(
+    "<(?<label>[a-zA-Z_][\\w-]*)(?<attrs>[^>]*)>(?<txt>.*?)</\\k<label>>",
+    Pattern.DOTALL)
+  private val attrPat =
+    Pattern.compile("([\\w.]+)\\s*=\\s*\"?([^\\s\"]+)\"?")
+
+  private def parseAttrs(s: String): Map[String, String] = {
+    if (s == null) return Map.empty
+    val m = attrPat.matcher(s)
+    val out = scala.collection.mutable.Map.empty[String, String]
+    while (m.find()) out += (m.group(1) -> m.group(2))
+    out.toMap
+  }
+
+  /** Parse markup -> (clean text, entities with clean-text offsets). */
+  def parse(markup: String, preset: String = "md"): (String, Seq[Ent]) = {
+    val pat = if (preset == "xml") xmlPat else mdPat
+    val m = pat.matcher(markup)
+    val sb = new StringBuilder
+    val ents = new ArrayBuffer[Ent]
+    var last = 0
+    while (m.find()) {
+      sb.append(markup.substring(last, m.start))
+      val begin = sb.length
+      val txt = m.group("txt")
+      sb.append(txt)
+      ents += Ent(begin, begin + txt.length, m.group("label"), txt,
+        parseAttrs(m.group("attrs")))
+      last = m.end
+    }
+    sb.append(markup.substring(last))
+    (sb.toString, ents.toSeq)
+  }
+
+  /** Render (text, ents) back to markup (round-trip / debugging). */
+  def render(text: String, ents: Seq[Ent], preset: String = "md"): String = {
+    val sorted = ents.sortBy(_.begin)
+    val sb = new StringBuilder
+    var last = 0
+    sorted.foreach { e =>
+      sb.append(text.substring(last, e.begin))
+      val attrs = e.attrs.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k=$v" }.mkString(" ")
+      if (preset == "xml") {
+        val a = if (attrs.isEmpty) "" else s" $attrs"
+        sb.append(s"<${e.label}$a>${text.substring(e.begin, e.end)}</${e.label}>")
+      } else {
+        val a = if (attrs.isEmpty) "" else s" $attrs"
+        sb.append(s"[${text.substring(e.begin, e.end)}](${e.label}$a)")
+      }
+      last = e.end
+    }
+    sb.append(text.substring(last))
+    sb.toString
+  }
+}

@@ -1,0 +1,173 @@
+package graft.pipes
+
+import java.util.regex.Pattern
+import scala.collection.mutable.ArrayBuffer
+
+import graft.nlp.{Ent, PhraseMatcher, Token}
+
+/** Terminology matching with concept ids — the `eds.terminology` /
+  * `eds.cim10` / `eds.drugs` / `eds.umls` surface
+  * (`/root/reference/edsnlp/pipes/core/terminology/terminology.py:15-205`;
+  * factories instantiate it over shipped dictionaries). Terminologies are
+  * `concept_id -> variants` data; matches carry `kb_id` in attrs. At scale
+  * the dictionary rides the task closure (broadcast-equivalent); matching
+  * stays row-local — the broadcast-hash-join shape of SURVEY §2.4.
+  */
+object Terminology {
+  final class Matcher(
+      label: String, concepts: Map[String, Seq[String]])
+      extends Serializable {
+    private val pm = PhraseMatcher.build(concepts)
+    def findMatches(tokens: Array[Token], text: String): Seq[Ent] =
+      graft.nlp.SpanAlgebra.filterSpans(pm.findMatches(tokens, text)).map {
+        e => Ent(e.begin, e.end, label, e.text, Map("kb_id" -> e.label))
+      }
+  }
+  def matcher(label: String, concepts: Map[String, Seq[String]]): Matcher =
+    new Matcher(label, concepts)
+}
+
+/** Named clinical score extraction: trigger mention + value regex +
+  * normalization (`/root/reference/edsnlp/pipes/ner/scores/base_score.py:
+  * 13-190`; per-score factories, e.g. Charlson/SOFA/Glasgow).
+  */
+object Scores {
+  case class Config(
+      name: String,
+      triggers: Seq[String],
+      valueRegex: String = "(\\d+(?:[.,]\\d+)?)",
+      window: Int = 20,
+      normalize: Double => Double = identity)
+
+  val charlson: Config = Config("charlson",
+    Seq("charlson", "score de charlson"))
+  val sofa: Config = Config("sofa", Seq("sofa", "score sofa"))
+  val glasgow: Config = Config("glasgow",
+    Seq("glasgow", "score de glasgow", "gcs"))
+
+  final class Matcher(config: Config) extends Serializable {
+    private val trigPat = Pattern.compile(
+      config.triggers.sortBy(-_.length).map(Pattern.quote)
+        .mkString("(?i)(?:", "|", ")"))
+    private val valPat = Pattern.compile(config.valueRegex)
+
+    def findMatches(text: String): Seq[Ent] = {
+      if (text == null) return Nil
+      val out = new ArrayBuffer[Ent]
+      val m = trigPat.matcher(text)
+      while (m.find()) {
+        val winEnd = math.min(text.length, m.end + config.window)
+        val vm = valPat.matcher(text.substring(m.end, winEnd))
+        if (vm.find()) {
+          val raw = vm.group(1).replace(',', '.').toDouble
+          out += Ent(m.start, m.end + vm.end(1), config.name,
+            text.substring(m.start, m.end + vm.end(1)),
+            Map("score_name" -> config.name,
+              "value" -> config.normalize(raw).toString))
+        }
+      }
+      out.toSeq
+    }
+  }
+  def matcher(config: Config): Matcher = new Matcher(config)
+}
+
+/** TNM cancer staging parser (`/root/reference/edsnlp/pipes/ner/tnm/
+  * tnm.py:18-184`): one regex, struct-parsed components (prefix, T, N, M).
+  */
+object Tnm {
+  private val pat = Pattern.compile(
+    "(?i)\\b(?<prefix>[cpyraum]{0,3})\\s*" +
+      "T\\s*(?<t>[0-4Xx](?:[a-c])?|is)\\s*" +
+      "N\\s*(?<n>[0-3Xx](?:[a-c])?)\\s*" +
+      "(?:M\\s*(?<m>[01Xx]))?\\b")
+
+  def extract(text: String): Seq[Ent] = {
+    if (text == null) return Nil
+    val out = new ArrayBuffer[Ent]
+    val m = pat.matcher(text)
+    while (m.find()) {
+      var attrs = Map(
+        "tumour" -> m.group("t").toLowerCase,
+        "node" -> m.group("n").toLowerCase)
+      Option(m.group("m")).foreach(v => attrs += ("metastasis" -> v))
+      val p = m.group("prefix")
+      if (p != null && p.nonEmpty) attrs += ("prefix" -> p.toLowerCase)
+      out += Ent(m.start, m.end, "tnm", m.group(), attrs)
+    }
+    out.toSeq
+  }
+}
+
+/** ADICAP pathology code detection + dictionary decode
+  * (`/root/reference/edsnlp/pipes/ner/adicap/adicap.py:18-260`,
+  * `decoder.py`): code = 4 letters (sampling/technique/organ) + 4
+  * digits/letters; decode maps are broadcast data.
+  */
+object Adicap {
+  val samplingModes: Map[String, String] = Map(
+    "B" -> "biopsie chirurgicale",
+    "H" -> "biopsie transcutanee",
+    "O" -> "pièce opératoire",
+    "P" -> "ponction",
+    "E" -> "examen direct",
+    "C" -> "cytoponction",
+    "F" -> "frottis")
+
+  private val pat =
+    Pattern.compile("\\b(?<code>[BHOPECF][A-Z]{3}[A-Z0-9]{4})\\b")
+
+  def extract(text: String): Seq[Ent] = {
+    if (text == null) return Nil
+    val out = new ArrayBuffer[Ent]
+    val m = pat.matcher(text)
+    while (m.find()) {
+      val code = m.group("code")
+      var attrs = Map("code" -> code)
+      samplingModes.get(code.substring(0, 1))
+        .foreach(v => attrs += ("sampling_mode" -> v))
+      out += Ent(m.start, m.end, "adicap", code, attrs)
+    }
+    out.toSeq
+  }
+}
+
+/** Disorder/behavior detector configs: `ContextualMatcher` instances with
+  * per-disorder pattern data (`/root/reference/edsnlp/pipes/ner/disorders/
+  * base.py:14`, per-disorder `patterns.py`; behaviors alcohol/tobacco).
+  * Representative bank; the full reference set is config, not code.
+  */
+object Disorders {
+  import ContextualMatcher.{Config, SideRule}
+
+  val diabetes: Config = Config(
+    label = "diabetes",
+    terms = Seq("diabète", "diabétique", "dnid", "did"),
+    exclude = Seq(SideRule(Seq("insipide"), windowAfter = 20)))
+
+  val covid: Config = Config(
+    label = "covid",
+    terms = Seq("covid", "covid-19", "coronavirus", "sars-cov-2"))
+
+  val hypertension: Config = Config(
+    label = "hypertension",
+    terms = Seq("hypertension", "hta", "hypertendu", "hypertendue"),
+    exclude = Seq(SideRule(Seq("oculaire", "portale"), windowAfter = 15)))
+
+  val tobacco: Config = Config(
+    label = "tobacco",
+    terms = Seq("tabac", "tabagisme", "fumeur", "fumeuse"),
+    assign = Seq(ContextualMatcher.AssignRule(
+      name = "pack_years",
+      regex = "(\\d+)\\s*(?:pa|paquets?[- ]ann[ée]es?)",
+      windowAfter = 30)))
+
+  val alcohol: Config = Config(
+    label = "alcohol",
+    terms = Seq("alcool", "alcoolisme", "éthylisme", "oh chronique"),
+    exclude = Seq(SideRule(Seq("sans alcool", "pas d'alcool"),
+      windowBefore = 15, windowAfter = 5)))
+
+  val all: Seq[Config] =
+    Seq(diabetes, covid, hypertension, tobacco, alcohol)
+}

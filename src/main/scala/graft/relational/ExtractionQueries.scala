@@ -1,0 +1,246 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.nlp.{Ent, Normalizer, Sentencizer, Tokenizer}
+import graft.pipes._
+
+/** Extraction-pipe queries, oracle-checked end-to-end: clinical-style text
+  * is SYNTHESIZED from table columns (dates from o_orderdate, doses from
+  * l_quantity, ...), the pipe extracts+normalizes from the text, and the
+  * DuckDB oracle recomputes the expected values directly from the source
+  * columns — so the oracle is independent of the extraction logic and any
+  * regex/parse drift fails the hash compare.
+  */
+object ExtractionQueries {
+  import Tables._
+
+  private val extractDateUdf = udf((s: String) =>
+    Dates.extract(s).headOption.flatMap(_.attrs.get("datetime")))
+
+  private val extractDoseUdf = udf((s: String) =>
+    Quantities.extract(s).headOption.flatMap(_.attrs.get("value"))
+      .map(_.toDouble))
+
+  private val sectionsUdf = udf((s: String) => {
+    val (_, sections) = SectionQueriesShared.matcher(s)
+    sections.map(e => (e.label, e.begin, e.end))
+  })
+
+  private val contextualUdf = udf((s: String) => {
+    val tokens = Normalizer.normalize(s, Tokenizer.tokenize(s))
+    val sents = Sentencizer.sentences(tokens)
+    SectionQueriesShared.fractureMatcher.findMatches(s, tokens, sents)
+      .map(e => e.attrs.getOrElse("side", ""))
+  })
+
+  private val terminologyUdf = udf((s: String) => {
+    val tokens = Normalizer.normalize(s, Tokenizer.tokenize(s))
+    SectionQueriesShared.eventTerminology.findMatches(tokens, s)
+      .map(_.attrs("kb_id"))
+  })
+
+  private val tnmUdf = udf((s: String) =>
+    Tnm.extract(s).headOption.map(e =>
+      (e.attrs.getOrElse("tumour", ""), e.attrs.getOrElse("node", ""),
+        e.attrs.getOrElse("metastasis", ""))))
+
+  private val scoreUdf = udf((s: String) =>
+    Scores.matcher(Scores.glasgow).findMatches(s)
+      .headOption.map(_.attrs("value").toDouble))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_dates_extract" -> { (s, d) =>
+      import s.implicits._
+      orders(s, d)
+        .filter($"o_orderkey" % 20 === 0)
+        .withColumn("note_text",
+          concat(lit("Patient vu le "),
+            date_format($"o_orderdate", "dd/MM/yyyy"),
+            lit(" en consultation.")))
+        .select($"o_orderkey",
+          extractDateUdf($"note_text").as("extracted_datetime"))
+        .orderBy($"o_orderkey")
+    },
+    "q25_quantities_extract" -> { (s, d) =>
+      import s.implicits._
+      lineitem(s, d)
+        .filter($"l_orderkey" % 50 === 0 && $"l_linenumber" === 1)
+        .withColumn("note_text",
+          concat(lit("Dose administrée "), $"l_quantity", lit(" mg.")))
+        .select($"l_orderkey",
+          round(extractDoseUdf($"note_text"), 6).as("dose_g"))
+        .orderBy($"l_orderkey")
+    },
+    "q26_sections_extract" -> { (s, d) =>
+      import s.implicits._
+      customer(s, d)
+        .filter($"c_custkey" % 5 === 0)
+        .withColumn("note_text",
+          concat(lit("Motif :\n"), $"c_mktsegment",
+            lit("\nConclusion :\nRAS.")))
+        .select($"c_custkey", explode(sectionsUdf($"note_text")).as("sec"))
+        .select($"c_custkey", $"sec._1".as("label"),
+          $"sec._2".as("begin"), $"sec._3".as("end"))
+        .orderBy($"c_custkey", $"begin")
+    },
+    "q27_contextual_extract" -> { (s, d) =>
+      import s.implicits._
+      customer(s, d)
+        .withColumn("note_text",
+          when($"c_acctbal" < 0, lit("Ancienne fracture du radius."))
+            .otherwise(lit("Fracture du radius droite.")))
+        .select($"c_custkey", explode(contextualUdf($"note_text")).as("side"))
+        .orderBy($"c_custkey")
+    },
+    "q28_terminology_extract" -> { (s, d) =>
+      import s.implicits._
+      events(s, d)
+        .filter($"event_id" % 20 === 0)
+        .withColumn("note_text",
+          concat(lit("Evenement de type "), $"event_type", lit(" observe.")))
+        .select($"event_id",
+          explode(terminologyUdf($"note_text")).as("kb_id"))
+        .orderBy($"event_id")
+    },
+    "q29_tnm_extract" -> { (s, d) =>
+      import s.implicits._
+      part(s, d)
+        .withColumn("note_text",
+          concat(lit("Carcinome classé pT"), pmod($"p_size", lit(4)),
+            lit("N"), pmod($"p_size", lit(3)),
+            lit("M"), pmod($"p_size", lit(2)), lit(".")))
+        .select($"p_partkey", tnmUdf($"note_text").as("t"))
+        .select($"p_partkey", $"t._1".as("tumour"), $"t._2".as("node"),
+          $"t._3".as("metastasis"))
+        .orderBy($"p_partkey")
+    },
+    "q41_score_extract" -> { (s, d) =>
+      import s.implicits._
+      part(s, d)
+        .filter($"p_size".between(3, 15))
+        .withColumn("note_text",
+          concat(lit("Patient confus, Glasgow "), $"p_size",
+            lit(" à l'arrivée.")))
+        .select($"p_partkey", scoreUdf($"note_text").as("score_value"))
+        .orderBy($"p_partkey")
+    },
+    "q40_ner_metrics" -> { (s, d) =>
+      import s.implicits._
+      // pred: engine phrase matches for {spark, join}; gold: positions of
+      // {spark, merge} computed relationally. Metric agg is validated
+      // against DuckDB's independent count arithmetic.
+      val docs = documents(s, d)
+      val pipe = DocPipeline(terms = Map(
+        "spark" -> Seq("spark"), "join" -> Seq("join")))
+      val pred = pipe.entsTable(docs, "doc_id", "text")
+        .select($"doc_id", $"begin", $"end", $"label")
+      val words = docs.select($"doc_id",
+        posexplode(split($"text", " ")).as(Seq("i", "w")))
+      val gold = words
+        .withColumn("begin",
+          (sum(length($"w") + 1).over(
+            org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+              .orderBy($"i").rowsBetween(Long.MinValue, -1)))
+            .cast("int"))
+        .withColumn("begin", coalesce($"begin", lit(0)))
+        .filter($"w".isin("spark", "merge"))
+        .select($"doc_id", $"begin",
+          ($"begin" + length($"w")).cast("int").as("end"),
+          $"w".as("label"))
+      graft.metrics.NerMetrics.nerExact(pred, gold)
+        .orderBy($"label")
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q24_dates_extract" ->
+      """SELECT o_orderkey,
+         strftime(o_orderdate, '%Y-%m-%dT00:00:00') AS extracted_datetime
+         FROM orders WHERE o_orderkey % 20 = 0 ORDER BY o_orderkey""",
+    "q25_quantities_extract" ->
+      """SELECT l_orderkey, round(l_quantity * 0.001, 6) AS dose_g
+         FROM lineitem WHERE l_orderkey % 50 = 0 AND l_linenumber = 1
+         ORDER BY l_orderkey""",
+    "q26_sections_extract" ->
+      """WITH t AS (SELECT c_custkey, length(c_mktsegment) AS L
+           FROM customer WHERE c_custkey % 5 = 0)
+         SELECT c_custkey, 'motif' AS label, 0 AS begin, 9 + L AS "end"
+           FROM t
+         UNION ALL
+         SELECT c_custkey, 'conclusion' AS label, 9 + L AS begin,
+           9 + L + 17 AS "end" FROM t
+         ORDER BY c_custkey, begin""",
+    "q27_contextual_extract" ->
+      """SELECT c_custkey, 'droite' AS side FROM customer
+         WHERE c_acctbal >= 0 ORDER BY c_custkey""",
+    "q28_terminology_extract" ->
+      """SELECT event_id,
+         CASE event_type
+           WHEN 'click' THEN 'EV001' WHEN 'view' THEN 'EV002'
+           WHEN 'purchase' THEN 'EV003' WHEN 'signup' THEN 'EV004'
+           WHEN 'error' THEN 'EV005' END AS kb_id
+         FROM events WHERE event_id % 20 = 0 ORDER BY event_id""",
+    "q29_tnm_extract" ->
+      """SELECT p_partkey,
+         CAST(p_size % 4 AS VARCHAR) AS tumour,
+         CAST(p_size % 3 AS VARCHAR) AS node,
+         CAST(p_size % 2 AS VARCHAR) AS metastasis
+         FROM part ORDER BY p_partkey""",
+    "q41_score_extract" ->
+      """SELECT p_partkey, CAST(p_size AS DOUBLE) AS score_value
+         FROM part WHERE p_size BETWEEN 3 AND 15 ORDER BY p_partkey""",
+    "q40_ner_metrics" ->
+      """WITH words AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           FROM documents),
+         counts AS (
+           SELECT
+             sum(CASE WHEN w = 'spark' THEN 1 ELSE 0 END) AS n_spark,
+             sum(CASE WHEN w = 'join' THEN 1 ELSE 0 END) AS n_join,
+             sum(CASE WHEN w = 'merge' THEN 1 ELSE 0 END) AS n_merge
+           FROM words)
+         SELECT label, precision, recall, f1, tp,
+           CAST(n_pred AS BIGINT) AS n_pred,
+           CAST(n_gold AS BIGINT) AS n_gold
+         FROM (
+           SELECT 'join' AS label, 0.0 AS precision, 0.0 AS recall,
+             0.0 AS f1, 0.0 AS tp, n_join AS n_pred, 0 AS n_gold FROM counts
+           UNION ALL
+           SELECT 'merge', 0.0, 0.0, 0.0, 0.0, 0, n_merge FROM counts
+           UNION ALL
+           SELECT 'micro',
+             round(n_spark / (n_spark + n_join), 4),
+             round(n_spark / (n_spark + n_merge), 4),
+             round(2.0 * (n_spark / (n_spark + n_join)) *
+               (n_spark / (n_spark + n_merge)) /
+               ((n_spark / (n_spark + n_join)) +
+                (n_spark / (n_spark + n_merge))), 4),
+             CAST(n_spark AS DOUBLE), n_spark + n_join, n_spark + n_merge
+           FROM counts
+           UNION ALL
+           SELECT 'spark', 1.0, 1.0, 1.0, CAST(n_spark AS DOUBLE),
+             n_spark, n_spark FROM counts)
+         ORDER BY label"""
+  )
+}
+
+/** Shared matcher instances for the extraction queries (built once on the
+  * driver, shipped in UDF closures).
+  */
+private object SectionQueriesShared extends Serializable {
+  val matcher: Sections.Matcher = Sections.matcher()
+  val fractureMatcher: ContextualMatcher.Matcher = ContextualMatcher.matcher(
+    ContextualMatcher.Config(
+      label = "fracture",
+      terms = Seq("fracture"),
+      exclude = Seq(ContextualMatcher.SideRule(Seq("ancienne"),
+        windowBefore = 20)),
+      assign = Seq(ContextualMatcher.AssignRule(
+        name = "side", regex = "(droite|gauche)", windowAfter = 20))))
+  val eventTerminology: Terminology.Matcher = Terminology.matcher("event",
+    Map("EV001" -> Seq("click"), "EV002" -> Seq("view"),
+      "EV003" -> Seq("purchase"), "EV004" -> Seq("signup"),
+      "EV005" -> Seq("error")))
+}

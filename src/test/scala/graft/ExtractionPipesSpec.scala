@@ -1,0 +1,173 @@
+package graft
+
+import java.time.LocalDateTime
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.nlp._
+import graft.pipes._
+
+class ExtractionPipesSpec extends AnyFunSuite {
+
+  private def toks(s: String) =
+    Normalizer.normalize(s, Tokenizer.tokenize(s))
+
+  test("dates: absolute numeric with and without time") {
+    val es = Dates.extract("Admis le 23/08/2021 à 14h30, sorti le 2021-09-02.")
+    assert(es.length === 2)
+    assert(es(0).attrs("datetime") === "2021-08-23T14:30:00")
+    assert(es(1).attrs("datetime") === "2021-09-02T00:00:00")
+  }
+
+  test("dates: letter month, two-digit year, bare month rejected") {
+    val es = Dates.extract("Vu le 3 janvier 2020. Contrôle en mars 2021. RAS en mai.")
+    assert(es.count(_.attrs.get("kind").contains("absolute")) === 2)
+    assert(es(0).attrs("datetime") === "2020-01-03T00:00:00")
+    assert(es(1).attrs("month") === "3")
+    val twoDigit = Dates.extract("le 05/06/99")
+    assert(twoDigit.head.attrs("year") === "1999")
+  }
+
+  test("dates: relative resolves against note_datetime") {
+    val ref = LocalDateTime.parse("2021-08-23T10:00:00")
+    val es = Dates.extract("Symptômes depuis trois jours, RDV dans 2 semaines.",
+      Some(ref))
+    assert(es.length === 2)
+    assert(es(0).attrs("direction") === "past")
+    assert(es(0).attrs("datetime") === "2021-08-20T10:00:00")
+    assert(es(1).attrs("direction") === "future")
+    assert(es(1).attrs("datetime") === "2021-09-06T10:00:00")
+  }
+
+  test("dates: durations") {
+    val es = Dates.extract("Traitement pendant quinze jours.")
+    assert(es.head.label === "duration")
+    assert(es.head.attrs("duration_seconds") === (15L * 86400).toString)
+  }
+
+  test("quantities: values normalize to base units; ranges") {
+    val es = Quantities.extract(
+      "Poids 75 kg, taille 1,80 m, dose 500 mg, glycémie entre 0,8 et 1,2 g/l.")
+    val byUnit = es.map(e => e.attrs("raw_unit") -> e).toMap
+    assert(byUnit("kg").attrs("value").toDouble === 75000.0) // grams
+    assert(byUnit("m").attrs("value").toDouble === 1.80)
+    assert(byUnit("mg").attrs("value").toDouble === 0.5)
+    val r = byUnit("g/l")
+    assert(r.attrs("kind") === "range")
+    assert(r.attrs("from_value").toDouble === 0.8)
+  }
+
+  test("sections: titles found, gap-fill spans partition the tail") {
+    val text = "Motif :\nDouleur abdominale.\nAntécédents\nDiabète connu.\nConclusion :\nRAS."
+    val (titles, sections) = Sections.matcher()(text)
+    assert(titles.map(_.label) === Seq("motif", "antecedents", "conclusion"))
+    assert(sections.length === 3)
+    assert(sections(0).end === sections(1).begin)
+    assert(sections.last.end === text.length)
+  }
+
+  test("contextual matcher: exclude, include, assign") {
+    val cfg = ContextualMatcher.Config(
+      label = "fracture",
+      terms = Seq("fracture"),
+      exclude = Seq(ContextualMatcher.SideRule(
+        Seq("ancienne"), windowBefore = 20)),
+      assign = Seq(ContextualMatcher.AssignRule(
+        name = "side", regex = "(droite|gauche)", windowAfter = 20)))
+    val m = ContextualMatcher.matcher(cfg)
+    def run(s: String) = {
+      val t = toks(s)
+      m.findMatches(s, t, Sentencizer.sentences(t))
+    }
+    val hit = run("Fracture du radius droite confirmée.")
+    assert(hit.length === 1 && hit.head.attrs("side") === "droite")
+    assert(run("Ancienne fracture du radius.").isEmpty)
+  }
+
+  test("terminology matcher attaches kb_id") {
+    val m = Terminology.matcher("drug", Map(
+      "N02BE01" -> Seq("paracétamol", "doliprane"),
+      "B01AC06" -> Seq("aspirine")))
+    val s = "Doliprane 500 mg puis aspirine."
+    val hits = m.findMatches(toks(s), s)
+    assert(hits.map(h => (h.text.toLowerCase, h.attrs("kb_id"))).toSet ===
+      Set(("doliprane", "N02BE01"), ("aspirine", "B01AC06")))
+  }
+
+  test("scores: trigger + value in window") {
+    val hits = Scores.matcher(Scores.glasgow)
+      .findMatches("Patient confus, Glasgow 12 à l'arrivée.")
+    assert(hits.length === 1)
+    assert(hits.head.attrs("value").toDouble === 12.0)
+  }
+
+  test("TNM staging parses components") {
+    val hits = Tnm.extract("Carcinome classé pT2N1M0.")
+    assert(hits.length === 1)
+    val a = hits.head.attrs
+    assert(a("prefix") === "p" && a("tumour") === "2" &&
+      a("node") === "1" && a("metastasis") === "0")
+  }
+
+  test("ADICAP codes decode sampling mode") {
+    val hits = Adicap.extract("Prélèvement codé BHGS0040.")
+    assert(hits.length === 1)
+    assert(hits.head.attrs("sampling_mode") === "biopsie chirurgicale")
+  }
+
+  test("disorder configs: diabetes excludes insipide") {
+    val m = ContextualMatcher.matcher(Disorders.diabetes)
+    def run(s: String) = {
+      val t = toks(s)
+      m.findMatches(s, t, Sentencizer.sentences(t))
+    }
+    assert(run("Patient diabétique sous metformine.").nonEmpty)
+    assert(run("Diabète insipide central.").isEmpty)
+  }
+
+  test("markup parse/render round-trip (md and xml)") {
+    val md = "Le patient a une [fracture](disease negation=false) du radius."
+    val (clean, ents) = io.Markup.parse(md)
+    assert(clean === "Le patient a une fracture du radius.")
+    assert(ents.head.label === "disease")
+    assert(ents.head.attrs("negation") === "false")
+    assert(clean.substring(ents.head.begin, ents.head.end) === "fracture")
+    assert(io.Markup.render(clean, ents) === md)
+    val xml = "Pas de <ent negation=true>lésion pulmonaire</ent>."
+    val (cx, ex) = io.Markup.parse(xml, "xml")
+    assert(cx === "Pas de lésion pulmonaire.")
+    assert(ex.head.attrs("negation") === "true")
+  }
+
+  test("split remaps entity offsets into fragments") {
+    val text = "Premier paragraphe avec douleur.\n\nSecond paragraphe avec fracture."
+    val ents = Seq(
+      Ent(24, 31, "sym", "douleur"),
+      Ent(57, 65, "sym", "fracture"))
+    val frags = SplitExplode.split(text, ents)
+    assert(frags.length === 2)
+    assert(frags(0).ents.head.begin === 24)
+    val f1 = frags(1)
+    assert(f1.text.substring(f1.ents.head.begin, f1.ents.head.end) === "fracture")
+  }
+
+  test("qualifier parity on markup golden examples (negation bank)") {
+    // reference-style fixtures: annotation is the expected output
+    val examples = Seq(
+      "Le scanner ne détecte <ent negation=true>aucune fracture</ent>.",
+      "Présence d'une <ent negation=false>fracture du radius</ent>.",
+      "Pas de <ent negation=true>lésion suspecte</ent>.",
+      "<ent negation=false>Fracture</ent> mais pas de <ent negation=true>déplacement</ent>.")
+    val q = new RuleQualifier(Patterns.negation)
+    examples.foreach { ex =>
+      val (text, golds) = io.Markup.parse(ex, "xml")
+      val tokens = toks(text)
+      val sents = Sentencizer.sentences(tokens)
+      val got = q.apply(text, tokens, sents,
+        golds.map(g => Ent(g.begin, g.end, "ent", g.text)))
+      got.zip(golds).foreach { case (pred, gold) =>
+        assert(pred.attrs("negation") === gold.attrs("negation"),
+          s"'${gold.text}' in: $ex")
+      }
+    }
+  }
+}

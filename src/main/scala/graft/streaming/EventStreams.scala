@@ -1,0 +1,127 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming operators over the events stream — the engine's
+  * answer to the reference's sentinel-punctuated infinite streams
+  * (`loop`, `edsnlp/utils/stream_sentinels.py`; incremental per-fragment
+  * writes `edsnlp/data/parquet.py:167-176`). Watermarks play the
+  * fragment/dataset-sentinel role: they bound state and declare when a
+  * window is complete.
+  *
+  * All operators take an unbounded DataFrame from `readStream` and return
+  * a transformed unbounded DataFrame; sinks are the caller's choice
+  * (`writeStream.format(...)`). State stores are keyed by (window,
+  * event_type) or user_id — bounded by watermark expiry, so executors
+  * hold O(active keys), not O(history): the property that matters when the
+  * stream has run for a year.
+  */
+object EventStreams {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos (driver parquet layout)
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-stream source over a directory of events parquet (nanos ts →
+    * microsecond TimestampType, same conversion as the batch loader).
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventSchema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling-window counts/sums per event type with late-data handling. */
+  def tumblingCounts(
+      events: DataFrame,
+      window: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), round(col("total"), 2).as("total"))
+
+  /** Sliding-window rates (window/slide), watermark-bounded. */
+  def slidingRates(
+      events: DataFrame,
+      window: String = "1 hour",
+      slide: String = "15 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions
+        .window(col("ts"), window, slide))
+      .agg(count(lit(1)).as("n"),
+        approx_count_distinct(col("user_id")).as("approx_users"))
+      .select(col("window.start").as("window_start"), col("n"),
+        col("approx_users"))
+
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp,
+      value: Double)
+  case class SessionState(start: Long, lastTs: Long, n: Long, total: Double)
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      n_events: Long, total: Double, duration_s: Double)
+
+  /** Sessionization with a 30-min inactivity gap via
+    * `flatMapGroupsWithState` — custom state machine per user, emitting a
+    * row when a session closes (event-time timeout). The streaming twin of
+    * the batch q16_sessionize window query.
+    */
+  def sessionize(
+      events: Dataset[SessionEvent],
+      gapSeconds: Long = 1800): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[SessionEvent],
+            state: GroupState[SessionState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          var st = state.getOption.orNull
+          if (state.hasTimedOut) {
+            if (st != null)
+              out += SessionOut(userId, new java.sql.Timestamp(st.start),
+                st.n, math.rint(st.total * 100) / 100,
+                (st.lastTs - st.start) / 1000.0)
+            state.remove()
+          } else {
+            rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              if (st == null) st = SessionState(t, t, 1, e.value)
+              else if (t - st.lastTs > gapSeconds * 1000) {
+                out += SessionOut(userId, new java.sql.Timestamp(st.start),
+                  st.n, math.rint(st.total * 100) / 100,
+                  (st.lastTs - st.start) / 1000.0)
+                st = SessionState(t, t, 1, e.value)
+              } else {
+                st = SessionState(st.start, t, st.n + 1, st.total + e.value)
+              }
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(st.lastTs + gapSeconds * 1000)
+          }
+          out.iterator
+      }
+  }
+
+  /** Stateful exact dedup on event_id within the watermark horizon —
+    * Spark's `dropDuplicates` over a keyed state store (the streaming form
+    * of the exact-dedup operator).
+    */
+  def dedupEvents(events: DataFrame, watermark: String = "2 hours")
+      : DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+}

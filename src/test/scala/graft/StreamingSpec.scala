@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private lazy val streamDir: String = {
+    // stage the batch events parquet as a file-stream source directory
+    val dir = Files.createTempDirectory("events-stream").toString
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      Paths.get(dir, "events.parquet"))
+    dir
+  }
+
+  private def runToCompletion(df: org.apache.spark.sql.DataFrame,
+      name: String, mode: String = "append"): org.apache.spark.sql.DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  test("tumbling window counts match the batch computation") {
+    val ev = EventStreams.readEvents(spark, streamDir)
+    val got = runToCompletion(
+      EventStreams.tumblingCounts(ev, "1 hour", "0 seconds"), "tumbling",
+      mode = "append")
+    // batch reference on the same data
+    val batch = relational.Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", $"ts").as("window_start"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    // append mode emits only watermark-closed windows; every emitted row
+    // must match the batch row exactly
+    val b = batch.collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    val emitted = got.collect()
+    assert(emitted.nonEmpty)
+    emitted.foreach { r =>
+      val key = (r.getTimestamp(0), r.getString(1))
+      assert(b(key) === r.getLong(2), s"window $key")
+    }
+  }
+
+  test("streaming sessionization matches batch q16 session count") {
+    val ev = EventStreams.readEvents(spark, streamDir)
+      .select($"user_id", $"ts", $"value").as[EventStreams.SessionEvent]
+    val sessions = runToCompletion(
+      EventStreams.sessionize(ev).toDF(), "sessions")
+    // batch count of CLOSED sessions: all sessions whose end is at least
+    // 30min before the max ts (watermark at end-of-stream = max ts).
+    val batch = SparkEntry.queries("q16_sessionize")(spark, sf)
+    val totalSessions = batch.count()
+    val emitted = sessions.count()
+    assert(emitted > 0, "no sessions emitted")
+    assert(emitted <= totalSessions)
+    // the vast majority of sessions closed before end-of-stream
+    assert(emitted >= totalSessions / 2,
+      s"$emitted of $totalSessions sessions emitted")
+  }
+
+  test("stateful dedup drops duplicate event ids") {
+    // duplicate the source file so every event appears twice
+    val dir = Files.createTempDirectory("events-dup").toString
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      Paths.get(dir, "a.parquet"))
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      Paths.get(dir, "b.parquet"))
+    val ev = EventStreams.readEvents(spark, dir)
+    val got = runToCompletion(EventStreams.dedupEvents(ev), "dedup")
+    val n = relational.Tables.events(spark, sf).count()
+    assert(got.count() === n)
+  }
+}

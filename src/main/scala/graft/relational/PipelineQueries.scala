@@ -19,14 +19,17 @@ import graft.text.TextStats
 object PipelineQueries {
   import Tables.{documents, embeddings}
 
-  /** Distinct word-trigram shingle strings (exact-oracle-friendly:
-    * DuckDB recomputes the same sets from the same split).
+  /** Distinct word-trigram shingles as full 64-bit hashes. Jaccard over
+    * these equals Jaccard over the shingle strings up to 64-bit collisions
+    * (P ~ 1e-14 per pair) — oracle-exact in practice, and pair
+    * verification compares longs instead of hashing strings per join row
+    * (the 2.5M-pair hot loop at sf0.1).
     */
-  private def shingleStrings(text: org.apache.spark.sql.Column) = {
+  private def shingleHashes64(text: org.apache.spark.sql.Column) = {
     val words = split(text, " ")
     array_distinct(transform(
       sequence(lit(0), greatest(size(words) - 3, lit(0))),
-      i => array_join(slice(words, i + 1, lit(3)), " ")))
+      i => xxhash64(array_join(slice(words, i + 1, lit(3)), " "))))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -40,12 +43,18 @@ object PipelineQueries {
       import s.implicits._
       // exact n-gram Jaccard: sampled query side x full corpus. The
       // all-pairs form is quadratic by nature; the scale path is q32.
+      // Size-ratio prune: J >= t forces min(|A|,|B|)/max(|A|,|B|) >= t,
+      // so the prune is semantically a no-op but skips the set ops for
+      // most pairs.
       val sh = documents(s, d)
-        .select($"doc_id", shingleStrings($"text").as("sh"))
+        .select($"doc_id", shingleHashes64($"text").as("sh"))
+        .withColumn("n", size($"sh"))
       val a = sh.filter($"doc_id" % 10 === 0)
-        .select($"doc_id".as("id_a"), $"sh".as("sh_a"))
-      val b = sh.select($"doc_id".as("id_b"), $"sh".as("sh_b"))
-      a.crossJoin(b).filter($"id_a" < $"id_b")
+        .select($"doc_id".as("id_a"), $"sh".as("sh_a"), $"n".as("n_a"))
+      val b = sh.select($"doc_id".as("id_b"), $"sh".as("sh_b"), $"n".as("n_b"))
+      a.crossJoin(b)
+        .filter($"id_a" < $"id_b" &&
+          least($"n_a", $"n_b") >= lit(0.3) * greatest($"n_a", $"n_b"))
         .withColumn("jaccard",
           round(size(array_intersect($"sh_a", $"sh_b")).cast("double") /
             size(array_union($"sh_a", $"sh_b")).cast("double"), 4))
@@ -59,7 +68,7 @@ object PipelineQueries {
       // exact verification on shingle strings. Linear-shuffle scale path.
       val docs = documents(s, d)
       val withShingles = docs.select($"doc_id",
-        shingleStrings($"text").as("sh"),
+        shingleHashes64($"text").as("sh"),
         Dedup.shingleHashes($"text", 3).as("hs"))
       val sigs = withShingles.select($"doc_id".as("id"),
         Dedup.minHashSignature($"hs", 64).as("sig"))

@@ -1,0 +1,65 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Example: the clinical extraction pipes over an in-memory French note —
+  * sections, tables, reason, consultation dates, history qualifier.
+  * Usage: sbt "runMain graft.tools.PipesDemo"
+  */
+object PipesDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[2]")
+      .appName("graft-pipes-demo")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import graft.nlp._
+    import graft.pipes._
+
+    val note =
+      """Motif :
+        |Hospitalisé pour douleur thoracique le 12/03/2021.
+        |Antécédents
+        |Infarctus en 2010. Diabète connu.
+        |Examens complémentaires
+        |Bilan :
+        |Na | 140 | mmol/l
+        |K | 4,1 | mmol/l
+        |Conclusion :
+        |Consultation du 15/03/2021 : pas de récidive.""".stripMargin
+
+    val annotateAll = org.apache.spark.sql.functions.udf((text: String) => {
+      val tokens = Normalizer.normalize(text, Tokenizer.tokenize(text))
+      val sents = Sentencizer.sentences(tokens)
+      val (titles, sections) = Sections.matcher()(text)
+      val tables = TextTables.findTables(text)
+      val cells = tables.flatMap(t => TextTables.toCells(text, t))
+      val reasons = Reason.extract(text, tokens, sections)
+      val consults = ConsultationDates.extract(text)
+      val ents = Seq(
+        Ent(text.indexOf("Infarctus"), text.indexOf("Infarctus") + 9,
+          "disease", "Infarctus"),
+        Ent(text.indexOf("Diabète"), text.indexOf("Diabète") + 7,
+          "disease", "Diabète"))
+      val hist = History.qualify(text, tokens, sents, ents, sections,
+        Some(java.time.LocalDateTime.parse("2021-03-16T08:00:00")))
+      Seq(
+        "sections: " + sections.map(_.label).mkString(","),
+        "tables: " + tables.size + " cells: " + cells.size +
+          " cell(1,1)=" + cells.find(c => c.row == 1 && c.col == 1)
+            .map(_.text).getOrElse("?"),
+        "reasons: " + reasons.map(r =>
+          r.attrs.getOrElse("in_motif_section", "?")).mkString(","),
+        "consultation_dates: " + consults.map(_.attrs("datetime")).mkString(","),
+        "history: " + hist.map(e => e.text + "=" + e.attrs("history"))
+          .mkString(","))
+    })
+
+    Seq(note).toDF("text")
+      .select(org.apache.spark.sql.functions
+        .explode(annotateAll($"text")).as("result"))
+      .collect().foreach(r => println("PIPE >>> " + r.getString(0)))
+    spark.stop()
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.nlp._
+import graft.pipes._
+
+class MiscPipesSpec extends AnyFunSuite {
+  private def toks(s: String) =
+    Normalizer.normalize(s, Tokenizer.tokenize(s))
+
+  test("text tables: detection and cell explode") {
+    val text = "Bilan :\nNa | 140 | mmol/l\nK | 4,1 | mmol/l\nConclusion."
+    val tables = TextTables.findTables(text)
+    assert(tables.length === 1)
+    assert(tables.head.attrs("n_rows") === "2")
+    val cells = TextTables.toCells(text, tables.head)
+    assert(cells.count(_.row == 0) === 3)
+    assert(cells.find(c => c.row == 1 && c.col == 1).get.text === "4,1")
+    cells.foreach(c => assert(text.substring(c.begin, c.end) === c.text))
+  }
+
+  test("reason: trigger extraction with section restriction attr") {
+    val text = "Motif :\nHospitalisé pour douleur thoracique.\nConclusion :\nRAS."
+    val (_, sections) = Sections.matcher()(text)
+    val hits = Reason.extract(text, toks(text), sections)
+    assert(hits.nonEmpty)
+    assert(hits.exists(_.attrs.get("in_motif_section").contains("true")))
+  }
+
+  test("consultation dates require a trigger before the date") {
+    val hits = ConsultationDates.extract(
+      "Consultation du 12/03/2021. Né le 01/01/1950.")
+    assert(hits.length === 1)
+    assert(hits.head.attrs("datetime").startsWith("2021-03-12"))
+  }
+
+  test("history: cue, section, and old-date paths") {
+    val ref = java.time.LocalDateTime.parse("2021-08-23T10:00:00")
+    val text = "Antécédents\nInfarctus en 2010.\nConclusion :\nFracture du radius le 20/08/2021."
+    val tokens = toks(text)
+    val sents = Sentencizer.sentences(tokens)
+    val (_, sections) = Sections.matcher()(text)
+    val ents = Seq(
+      Ent(12, 21, "disease", "Infarctus"),
+      Ent(text.indexOf("Fracture"), text.indexOf("Fracture") + 8, "disease",
+        "Fracture"))
+    val out = History.qualify(text, tokens, sents, ents, sections, Some(ref))
+    assert(out(0).attrs("history") === "true")  // in antecedents section
+    assert(out(1).attrs("history") === "false") // recent date, no cue
+  }
+
+  test("hypothesis and reported speech golden examples") {
+    val hyp = new RuleQualifier(Patterns.hypothesis)
+    val rep = new RuleQualifier(Patterns.reportedSpeech)
+    def run(q: RuleQualifier, text: String, entText: String): Boolean = {
+      val tokens = toks(text)
+      val sents = Sentencizer.sentences(tokens)
+      val b = text.indexOf(entText)
+      val out = q.qualify(text, tokens, sents,
+        Seq(Ent(b, b + entText.length, "ent", entText)))
+      out.head._1
+    }
+    assert(run(hyp, "Suspicion de fracture du radius.", "fracture"))
+    assert(!run(hyp, "Fracture du radius confirmée.", "fracture"))
+    assert(run(rep, "Le patient rapporte une douleur thoracique.", "douleur"))
+    assert(!run(rep, "Douleur thoracique constatée à l'examen.", "douleur"))
+  }
+}

@@ -38,21 +38,31 @@ object SpanAlgebra {
     spans.partition(pred)
 
   /** For each target span, the source spans overlapping it
-    * (`filter.py:234-289`). Sort + sweep, O((n+m) log) not O(n·m).
+    * (`filter.py:234-289`). Begin-sorted array + max-end prefix: binary
+    * search to the target's begin, then walk back only while some earlier
+    * source can still reach past t.begin (overlaps are not contiguous in
+    * begin order — a long early span can overlap when its neighbors
+    * don't, so the prune must use the prefix maximum of ends).
     */
   def alignSpans(sources: Seq[Ent], targets: Seq[Ent]): Seq[Seq[Ent]] = {
     val srt = sources.sortBy(_.begin).toArray
+    val maxEnd = new Array[Int](srt.length)
+    var m = Int.MinValue
+    var k = 0
+    while (k < srt.length) {
+      m = math.max(m, srt(k).end)
+      maxEnd(k) = m
+      k += 1
+    }
     targets.map { t =>
-      // binary search for first source with end > t.begin
       var lo = 0
       var hi = srt.length
       while (lo < hi) {
         val mid = (lo + hi) / 2
         if (srt(mid).begin < t.begin) lo = mid + 1 else hi = mid
       }
-      // walk back over sources starting before t.begin but overlapping
       var start = lo
-      while (start > 0 && srt(start - 1).end > t.begin) start -= 1
+      while (start > 0 && maxEnd(start - 1) > t.begin) start -= 1
       val acc = new ArrayBuffer[Ent]
       var i = start
       while (i < srt.length && srt(i).begin < t.end) {

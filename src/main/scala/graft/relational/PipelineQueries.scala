@@ -56,8 +56,8 @@ object PipelineQueries {
         .filter($"id_a" < $"id_b" &&
           least($"n_a", $"n_b") >= lit(0.3) * greatest($"n_a", $"n_b"))
         .withColumn("jaccard",
-          round(size(array_intersect($"sh_a", $"sh_b")).cast("double") /
-            size(array_union($"sh_a", $"sh_b")).cast("double"), 4))
+          round(graft.functions.JaccardDistinctLongs
+            .jaccard64($"sh_a", $"sh_b"), 4))
         .filter($"jaccard" >= 0.3)
         .select($"id_a", $"id_b", $"jaccard")
         .orderBy($"id_a", $"id_b")
@@ -77,8 +77,8 @@ object PipelineQueries {
       val sb = withShingles.select($"doc_id".as("id_b"), $"sh".as("sh_b"))
       cands.join(sa, "id_a").join(sb, "id_b")
         .withColumn("jaccard",
-          round(size(array_intersect($"sh_a", $"sh_b")).cast("double") /
-            size(array_union($"sh_a", $"sh_b")).cast("double"), 4))
+          round(graft.functions.JaccardDistinctLongs
+            .jaccard64($"sh_a", $"sh_b"), 4))
         .filter($"jaccard" >= 0.8)
         .select($"id_a", $"id_b", $"jaccard")
         .orderBy($"id_a", $"id_b")
@@ -139,6 +139,26 @@ object PipelineQueries {
       Multimodal.extractFeatures(media).toDF()
         .select($"media_id", $"n_bytes", $"entropy", $"brightness")
         .orderBy($"media_id")
+    },
+    "q42_batched_inference" -> { (s, d) =>
+      import s.implicits._
+      // map_gpu-shaped stage: partition-local content-aware rebatching
+      // ("1024 words" policy) around a batch forward function. The stub
+      // forward emits per-item word counts, so results are independent of
+      // batch boundaries and oracle-checkable; a real model forward slots
+      // into the same signature.
+      val docs = documents(s, d).select($"doc_id", $"text")
+        .as[(Long, String)]
+      docs.mapPartitions { rows =>
+        graft.operators.Batching.inferenceStage[(Long, String),
+            Seq[Array[String]], Int](
+          sizeExpr = "1024 words",
+          sizeOf = r => r._2.split(" ").length.toLong,
+          prepare = batch => batch.map(_._2.split(" ")),
+          forward = prepared => prepared.map(_.length))(rows)
+          .map { case ((id, _), n) => (id, n) }
+      }.toDF("doc_id", "n_words")
+        .orderBy($"doc_id")
     },
     "q39_subword_count" -> { (s, d) =>
       import s.implicits._
@@ -201,6 +221,10 @@ object PipelineQueries {
            FROM scored)
          SELECT query_id, rnk, neighbor_id FROM ranked
          WHERE rnk <= 10 ORDER BY query_id, rnk""",
+    "q42_batched_inference" ->
+      """SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words
+         FROM documents ORDER BY doc_id""",
     "q35_quality" ->
       """SELECT doc_id,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,

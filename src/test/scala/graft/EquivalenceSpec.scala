@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Backend-equivalence analog (`/root/reference/tests/processing/
+  * test_backends.py`): the declared queries produce identical results
+  * regardless of parallelism — local[2] vs local[8], different shuffle
+  * partition counts. Catches operators that accidentally depend on
+  * partitioning or ordering.
+  */
+class EquivalenceSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+
+  // NOTE: getOrCreate() reuses any active session and ignores master(),
+  // so per-thread-count sessions can't be created safely mid-suite; vary
+  // the runtime parallelism knob (shuffle partitions) on the shared
+  // session instead — the partitioning-sensitivity this spec hunts for.
+  private def runAll(shuffle: Int): Map[String, Seq[String]] = {
+    val spark = TestSpark.spark
+    spark.conf.set("spark.sql.shuffle.partitions", shuffle.toString)
+    val sample = Seq("q1_pricing_summary", "q5_nation_revenue",
+      "q16_sessionize", "q22_ents_explode", "q23_qualifier",
+      "q32_minhash_lsh", "q34_embedding_topk", "q40_ner_metrics")
+    try sample.map { name =>
+      name -> SparkEntry.queries(name)(spark, sf)
+        .collect().map(_.toString).sorted.toSeq
+    }.toMap
+    finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+  }
+
+  test("query results are identical under 3, 4, and 13 shuffle partitions") {
+    val a = runAll(4)
+    val b = runAll(13)
+    val c = runAll(3)
+    a.keys.foreach { name =>
+      assert(a(name) === b(name), s"$name differs at 13 partitions")
+      assert(a(name) === c(name), s"$name differs at 3 partitions")
+    }
+  }
+
+  test("typed PRF aggregator matches hand arithmetic") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.metrics.PrfAggregator._
+    val ds = Seq(
+      SpanOutcome(true, true), SpanOutcome(true, true),
+      SpanOutcome(true, false), SpanOutcome(false, true))
+      .toDS()
+    val got = ds.select(prf.toColumn).head()
+    assert(got.tp === 2 && got.nPred === 3 && got.nGold === 3)
+    assert(math.abs(got.f1 - 2.0 / 3.0) < 1e-12)
+    assert(averagePrecision(Seq((0.9, true), (0.8, false), (0.7, true)))
+      === (1.0 + 2.0 / 3.0) / 2)
+  }
+}

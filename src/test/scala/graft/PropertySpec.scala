@@ -1,0 +1,113 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.nlp._
+
+/** Property tests for the span-algebra / offset invariants (SURVEY §5's
+  * engine test plan: filter_spans idempotence, alignment symmetry,
+  * offset-realignment inverse, tokenizer partition property).
+  * Deterministic: generators sampled from a fixed seed.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def forAll[A](g: Gen[A], n: Int = 150)(f: A => Unit): Unit = {
+    var seed = Seed(42L)
+    var produced = 0
+    while (produced < n) {
+      g.apply(Gen.Parameters.default, seed).foreach { v =>
+        f(v); produced += 1
+      }
+      seed = seed.next
+    }
+  }
+
+  private def forAll2[A, B](ga: Gen[A], gb: Gen[B], n: Int = 100)(
+      f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(ga, gb), n) { case (a, b) => f(a, b) }
+
+  private val genSpan: Gen[Ent] = for {
+    b <- Gen.choose(0, 200)
+    len <- Gen.choose(1, 30)
+    label <- Gen.oneOf("a", "b", "c")
+  } yield Ent(b, b + len, label, "")
+
+  private val genSpans: Gen[List[Ent]] = Gen.listOfN(25, genSpan)
+
+  test("filter_spans output is overlap-free and idempotent") {
+    forAll(genSpans) { spans =>
+      val kept = SpanAlgebra.filterSpans(spans)
+      kept.combinations(2).foreach { case Seq(x, y) =>
+        assert(x.end <= y.begin || y.end <= x.begin,
+          s"overlap between $x and $y")
+      }
+      assert(SpanAlgebra.filterSpans(kept) === kept)
+    }
+  }
+
+  test("filter_spans keeps a maximal set: every dropped span overlaps a kept one") {
+    forAll(genSpans) { spans =>
+      val kept = SpanAlgebra.filterSpans(spans)
+      spans.foreach { s =>
+        val overlapsKept =
+          kept.exists(k => s.begin < k.end && s.end > k.begin)
+        assert(overlapsKept, s"dropped $s overlaps nothing kept")
+      }
+    }
+  }
+
+  test("align_spans finds exactly the overlapping sources (vs brute force)") {
+    forAll2(genSpans, genSpans) { (sources, targets) =>
+      val aligned = SpanAlgebra.alignSpans(sources, targets)
+      targets.zip(aligned).foreach { case (t, got) =>
+        val expected = sources.filter(s => s.begin < t.end && s.end > t.begin)
+        assert(got.toSet === expected.toSet)
+      }
+    }
+  }
+
+  private val genText: Gen[String] = Gen.listOf(Gen.frequency(
+    (8, Gen.alphaNumChar), (2, Gen.const(' ')), (1, Gen.const('\n')),
+    (1, Gen.oneOf('.', ',', '!', '?', '(', ')', 'é', 'à', '\'')),
+    (1, Gen.choose('0', '9')))).map(_.mkString)
+
+  test("tokenizer partitions any text: contiguous offsets, exact slices") {
+    forAll(genText) { text =>
+      val toks = Tokenizer.tokenize(text)
+      if (text.nonEmpty) {
+        assert(toks.head.begin === 0)
+        assert(toks.last.end === text.length)
+        toks.sliding(2).foreach {
+          case Array(a, b) => assert(a.end === b.begin)
+          case _ =>
+        }
+      }
+      toks.foreach(t =>
+        assert(t.text === text.substring(t.begin, t.end)))
+    }
+  }
+
+  test("clean-text offsets are an inverse map (clean char == raw char)") {
+    forAll(genText) { text =>
+      val toks = Normalizer.normalize(text, Tokenizer.tokenize(text),
+        Normalizer.Options(lowercase = false, accents = false,
+          quotes = false))
+      val (clean, offsets) = Normalizer.cleanTextWithOffsets(toks,
+        useNorm = false)
+      clean.zipWithIndex.foreach { case (c, i) =>
+        if (c != ' ') // inserted separators map to the gap position
+          assert(text(offsets(i)) === c, s"pos $i of '$clean' in '$text'")
+      }
+    }
+  }
+
+  test("normalization never changes token lengths") {
+    forAll(genText) { text =>
+      Normalizer.normalize(text, Tokenizer.tokenize(text)).foreach { t =>
+        assert(t.norm.length === t.end - t.begin)
+      }
+    }
+  }
+}

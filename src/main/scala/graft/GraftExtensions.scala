@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extensions registering the engine's native expressions for SQL
+  * use (`spark.sql("SELECT graft_jaccard64(a, b) ...")`).
+  *
+  * Install with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_jaccard64"),
+      new ExpressionInfo(
+        classOf[functions.JaccardDistinctLongs].getName, "graft_jaccard64"),
+      (children: Seq[Expression]) =>
+        functions.JaccardDistinctLongs(children(0), children(1))))
+  }
+}

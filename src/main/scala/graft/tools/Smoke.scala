@@ -7,6 +7,7 @@ object Smoke {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .appName("graft-smoke")
+      .withExtensions(new graft.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -21,6 +22,21 @@ object Smoke {
       "note_nlp_source_value = 'join' as isGold")
       .as[SpanOutcome]
     val prfRow = outcomes.select(prf.toColumn).head()
+    // Stream facade through the public API
+    import graft.core.Stream
+    val streamOut = Stream.fromSeq(spark, (1 to 20).toSeq)
+      .map(_ * 3)
+      .mapBatches[Int]("4 docs", _ => 1L)(b => Seq(b.sum))
+      .shuffle(seed = 5)
+      .toLocalIterator.toSeq
+    println(s"STREAM >>> batches=${streamOut.size} total=${streamOut.sum}")
+    try Stream.fromSeq(spark, Seq(1)).mapBatches[Int]("12 bananas", _ => 1L)(identity)
+    catch { case e: IllegalArgumentException =>
+      println(s"STREAM_ERR >>> ${e.getMessage}") }
+    val sqlJ = spark.sql(
+      "SELECT graft_jaccard64(array(1L,2L,3L,4L), array(3L,4L,5L)) AS j")
+      .head().getDouble(0)
+    println(s"SQL_EXT >>> graft_jaccard64 = $sqlJ")
     println(f"PRF >>> p=${prfRow.precision}%.4f r=${prfRow.recall}%.4f f1=${prfRow.f1}%.4f tp=${prfRow.tp} np=${prfRow.nPred} ng=${prfRow.nGold}")
     spark.stop()
   }

@@ -29,17 +29,29 @@ object Standoff {
       attributes: Map[String, String],
       notes: Seq[String])
 
+  case class BratRelation(
+      relation_id: String, label: String, arg1: String, arg2: String)
+
   private val entityLine =
     "^(T\\d+)\\t([^\\s]+) ([^\\t]+)\\t(.*)$".r
   private val attrLine =
     "^([AM]\\d+)\\t([^\\s]+) ([TE]\\d+)(?: (.*))?$".r
   private val noteLine =
     "^(#\\d+)\\tAnnotatorNotes ([TE]\\d+)\\t(.*)$".r
+  private val relationLine =
+    "^(R\\d+)\\t([^\\s]+) Arg1:([TE]\\d+) Arg2:([TE]\\d+)\\s*$".r
 
   /** Parse one .ann file's content against its text. */
   def parseAnn(text: String, ann: String,
-      mergeSpacedFragments: Boolean = true): Seq[BratEntity] = {
-    if (ann == null || ann.isEmpty) return Nil
+      mergeSpacedFragments: Boolean = true): Seq[BratEntity] =
+    parseAnnFull(text, ann, mergeSpacedFragments)._1
+
+  /** Full parse: (entities, relations). */
+  def parseAnnFull(text: String, ann: String,
+      mergeSpacedFragments: Boolean = true)
+      : (Seq[BratEntity], Seq[BratRelation]) = {
+    if (ann == null || ann.isEmpty) return (Nil, Nil)
+    val relations = mutable.ArrayBuffer.empty[BratRelation]
     val entities = mutable.LinkedHashMap.empty[String, BratEntity]
     ann.split("\n").iterator.map(_.stripLineEnd).filter(_.nonEmpty)
       .foreach {
@@ -68,13 +80,17 @@ object Standoff {
           entities.get(target).foreach { e =>
             entities(target) = e.copy(notes = e.notes :+ note)
           }
-        case _ => // relations/events (R/E lines) not yet modeled
+        case relationLine(id, label, a1, a2) =>
+          relations += BratRelation(id, label, a1, a2)
+        case _ => // events (E lines) and unrecognized lines: lenient skip
       }
-    entities.values.toSeq
+    (entities.values.toSeq, relations.toSeq)
   }
 
   private val parseUdf = udf((text: String, ann: String) =>
     parseAnn(text, ann))
+  private val parseRelUdf = udf((text: String, ann: String) =>
+    parseAnnFull(text, ann)._2)
 
   private def basename(c: org.apache.spark.sql.Column) =
     regexp_extract(c, "([^/]+)\\.(txt|ann)$", 1)
@@ -92,7 +108,9 @@ object Standoff {
     txt.join(ann, Seq("doc_id"), "left")
       .select(col("doc_id"), col("text"),
         parseUdf(col("text"), coalesce(col("ann"), lit("")))
-          .as("entities"))
+          .as("entities"),
+        parseRelUdf(col("text"), coalesce(col("ann"), lit("")))
+          .as("relations"))
   }
 
   /** Write (doc_id, text, entities) back to {doc}.txt + {doc}.ann.

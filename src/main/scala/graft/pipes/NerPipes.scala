@@ -168,6 +168,88 @@ object Disorders {
     exclude = Seq(SideRule(Seq("sans alcool", "pas d'alcool"),
       windowBefore = 15, windowAfter = 5)))
 
-  val all: Seq[Config] =
-    Seq(diabetes, covid, hypertension, tobacco, alcohol)
+  val ckd: Config = Config(
+    label = "ckd",
+    terms = Seq("insuffisance rénale chronique", "irc", "néphropathie chronique",
+      "dialyse", "hémodialyse", "maladie rénale chronique"))
+
+  val copd: Config = Config(
+    label = "copd",
+    terms = Seq("bpco", "bronchopneumopathie chronique obstructive",
+      "emphysème", "insuffisance respiratoire chronique"))
+
+  val cerebrovascularAccident: Config = Config(
+    label = "cerebrovascular_accident",
+    terms = Seq("avc", "accident vasculaire cérébral", "ait",
+      "accident ischémique transitoire", "hémorragie cérébrale"))
+
+  val congestiveHeartFailure: Config = Config(
+    label = "congestive_heart_failure",
+    terms = Seq("insuffisance cardiaque", "oedème aigu du poumon", "oap",
+      "décompensation cardiaque"))
+
+  val connectiveTissueDisease: Config = Config(
+    label = "connective_tissue_disease",
+    terms = Seq("lupus", "sclérodermie", "polyarthrite rhumatoïde",
+      "connectivite", "sjögren"))
+
+  val dementia: Config = Config(
+    label = "dementia",
+    terms = Seq("démence", "alzheimer", "troubles cognitifs majeurs",
+      "démence vasculaire"))
+
+  val hemiplegia: Config = Config(
+    label = "hemiplegia",
+    terms = Seq("hémiplégie", "hémiparésie", "paraplégie", "tétraplégie"))
+
+  val leukemia: Config = Config(
+    label = "leukemia",
+    terms = Seq("leucémie", "lal", "lam", "llc", "leucémie aiguë"))
+
+  val liverDisease: Config = Config(
+    label = "liver_disease",
+    terms = Seq("cirrhose", "hépatite chronique", "insuffisance hépatique",
+      "hépatopathie"))
+
+  val lymphoma: Config = Config(
+    label = "lymphoma",
+    terms = Seq("lymphome", "hodgkin", "lymphome non hodgkinien", "lnh"))
+
+  val myocardialInfarction: Config = Config(
+    label = "myocardial_infarction",
+    terms = Seq("infarctus du myocarde", "idm", "syndrome coronarien aigu",
+      "sca", "infarctus"))
+
+  val peripheralVascularDisease: Config = Config(
+    label = "peripheral_vascular_disease",
+    terms = Seq("artériopathie", "aomi",
+      "artériopathie oblitérante des membres inférieurs",
+      "ischémie des membres inférieurs"))
+
+  val pepticUlcerDisease: Config = Config(
+    label = "peptic_ulcer_disease",
+    terms = Seq("ulcère gastrique", "ulcère duodénal",
+      "ulcère gastro-duodénal"))
+
+  val solidTumor: Config = Config(
+    label = "solid_tumor",
+    terms = Seq("cancer", "carcinome", "adénocarcinome", "néoplasie",
+      "tumeur maligne", "métastase", "métastases"),
+    exclude = Seq(SideRule(Seq("bénin", "bénigne"), windowAfter = 20)))
+
+  val aids: Config = Config(
+    label = "aids",
+    terms = Seq("sida", "vih", "séropositif", "séropositive"),
+    assign = Seq(ContextualMatcher.AssignRule(
+      name = "stade", regex = "stade\\s+(a|b|c|\\d)", windowAfter = 20)))
+
+  /** The 16 disorder + 2 behavior configs of the reference's bank
+    * (`edsnlp/pipes/ner/disorders/`, `behaviors/`).
+    */
+  val all: Seq[Config] = Seq(
+    diabetes, covid, hypertension, ckd, copd, cerebrovascularAccident,
+    congestiveHeartFailure, connectiveTissueDisease, dementia, hemiplegia,
+    leukemia, liverDisease, lymphoma, myocardialInfarction,
+    peripheralVascularDisease, pepticUlcerDisease, solidTumor, aids,
+    tobacco, alcohol)
 }

@@ -140,6 +140,22 @@ object PipelineQueries {
         .select($"media_id", $"n_bytes", $"entropy", $"brightness")
         .orderBy($"media_id")
     },
+    "q43_fuzzy_match" -> { (s, d) =>
+      import s.implicits._
+      // approximate terminology matching: the misspelled term 'sparc'
+      // matches 'spark' tokens at dice >= 0.5 (next-nearest vocab word is
+      // below 0.4, so the oracle is the exact token count).
+      val fm = graft.nlp.FuzzyMatcher.build("spark", Seq("sparc"),
+        threshold = 0.5, maxTokens = 2)
+      val fuzzyUdf = udf((text: String) => {
+        val tokens = graft.nlp.Normalizer.normalize(text,
+          graft.nlp.Tokenizer.tokenize(text))
+        fm.findMatches(tokens, text).size
+      })
+      documents(s, d)
+        .select($"doc_id", fuzzyUdf($"text").as("n_hits"))
+        .orderBy($"doc_id")
+    },
     "q42_batched_inference" -> { (s, d) =>
       import s.implicits._
       // map_gpu-shaped stage: partition-local content-aware rebatching
@@ -221,6 +237,11 @@ object PipelineQueries {
            FROM scored)
          SELECT query_id, rnk, neighbor_id FROM ranked
          WHERE rnk <= 10 ORDER BY query_id, rnk""",
+    "q43_fuzzy_match" ->
+      """SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), w -> w = 'spark'))
+           AS INTEGER) AS n_hits
+         FROM documents ORDER BY doc_id""",
     "q42_batched_inference" ->
       """SELECT doc_id,
          CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words

@@ -56,6 +56,14 @@ object PipesDemo {
           .mkString(","))
     })
 
+    // HF BIO converter round trip through the public API
+    val (hfText, hfEnts) = graft.io.HuggingFace.nerToDoc(
+      Seq("Le", "patient", "a", "une", "fracture"),
+      Seq("O", "B-PER", "O", "O", "B-DIS"))
+    println("HF >>> " + hfText + " | " +
+      hfEnts.map(e => s"${e.label}:${e.text}").mkString(",") + " | back=" +
+      graft.io.HuggingFace.docToNer(
+        Seq("Le", "patient", "a", "une", "fracture"), hfEnts).mkString(" "))
     Seq(note).toDF("text")
       .select(org.apache.spark.sql.functions
         .explode(annotateAll($"text")).as("result"))

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.nlp._
+import graft.io.{HuggingFace, Standoff}
+
+class FuzzyHfSpec extends AnyFunSuite {
+  private def toks(s: String) =
+    Normalizer.normalize(s, Tokenizer.tokenize(s))
+
+  test("fuzzy matcher catches misspellings above threshold") {
+    val m = FuzzyMatcher.build("drug",
+      Seq("paracetamol", "amoxicilline", "doliprane"))
+    def hits(s: String) = m.findMatches(toks(s), s)
+    // exact
+    assert(hits("Prise de paracetamol ce matin.").map(_.attrs("term"))
+      === Seq("paracetamol"))
+    // one-letter typo
+    val typo = hits("Prise de paracetemol ce matin.")
+    assert(typo.nonEmpty && typo.head.attrs("term") === "paracetamol")
+    // accent/case variants fold through normalization
+    assert(hits("Amoxicilline prescrite.").nonEmpty)
+    // unrelated words do not match
+    assert(hits("Le patient mange des pommes de terre.").isEmpty)
+  }
+
+  test("fuzzy matcher multi-token terms and similarity ordering") {
+    val m = FuzzyMatcher.build("dx", Seq("douleur thoracique"),
+      threshold = 0.7)
+    val s = "Se plaint de douleurs thoraciques depuis hier."
+    val hits = m.findMatches(toks(s), s)
+    assert(hits.nonEmpty)
+    assert(hits.head.attrs("similarity").toDouble >= 0.7)
+    assert(hits.head.text.toLowerCase.startsWith("douleurs"))
+  }
+
+  test("HF NER round trip: BIO -> spans -> BIO") {
+    val tokens = Seq("Le", "patient", "a", "une", "fracture", "du", "radius")
+    val tags = Seq("O", "B-PER", "O", "O", "B-DIS", "I-DIS", "I-DIS")
+    val (text, ents) = HuggingFace.nerToDoc(tokens, tags)
+    assert(text === "Le patient a une fracture du radius")
+    assert(ents.map(e => (e.label, e.text)) ===
+      Seq(("PER", "patient"), ("DIS", "fracture du radius")))
+    assert(HuggingFace.docToNer(tokens, ents) === tags)
+  }
+
+  test("HF NER: BIOUL and broken-BIO tolerance") {
+    val (_, ents) = HuggingFace.nerToDoc(
+      Seq("a", "b", "c", "d"), Seq("U-X", "O", "B-Y", "L-Y"))
+    assert(ents.map(_.label) === Seq("X", "Y"))
+    // I- without B- starts a new span (lenient)
+    val (_, e2) = HuggingFace.nerToDoc(
+      Seq("a", "b"), Seq("I-Z", "I-Z"))
+    assert(e2.map(_.label) === Seq("Z"))
+    assert(e2.head.text === "a b")
+  }
+
+  test("BRAT relations parse") {
+    val ann = "T1\tdisease 0 8\tfracture\n" +
+      "T2\tbody_part 12 18\tradius\n" +
+      "R1\tlocated_in Arg1:T1 Arg2:T2\n"
+    val (ents, rels) = Standoff.parseAnnFull("fracture du radius", ann)
+    assert(ents.size === 2)
+    assert(rels === Seq(Standoff.BratRelation("R1", "located_in", "T1", "T2")))
+  }
+}

@@ -50,6 +50,37 @@ class MiscPipesSpec extends AnyFunSuite {
     assert(out(1).attrs("history") === "false") // recent date, no cue
   }
 
+  test("all 20 disorder/behavior configs build and detect their term") {
+    val examples = Map(
+      "ckd" -> "Patient en hémodialyse depuis 2019.",
+      "copd" -> "BPCO post-tabagique.",
+      "cerebrovascular_accident" -> "AVC ischémique en 2018.",
+      "congestive_heart_failure" -> "Décompensation cardiaque récente.",
+      "dementia" -> "Maladie d'Alzheimer débutante.",
+      "myocardial_infarction" -> "Infarctus du myocarde inférieur.",
+      "solid_tumor" -> "Adénocarcinome pulmonaire métastatique.",
+      "aids" -> "Patient VIH stade C.")
+    Disorders.all.foreach { cfg =>
+      val m = ContextualMatcher.matcher(cfg) // every config must build
+      examples.get(cfg.label).foreach { ex =>
+        val t = toks(ex)
+        val hits = m.findMatches(ex, t, Sentencizer.sentences(t))
+        assert(hits.nonEmpty, s"${cfg.label} missed in: $ex")
+      }
+    }
+    // exclusion rule: benign tumor is not a solid_tumor hit
+    val st = ContextualMatcher.matcher(Disorders.solidTumor)
+    val benign = "Tumeur bénigne du sein."
+    val tb = toks(benign)
+    assert(st.findMatches(benign, tb, Sentencizer.sentences(tb)).isEmpty)
+    // assign rule: VIH stade extraction
+    val aids = ContextualMatcher.matcher(Disorders.aids)
+    val ta = toks("Patient VIH stade C.")
+    val hit = aids.findMatches("Patient VIH stade C.", ta,
+      Sentencizer.sentences(ta))
+    assert(hit.head.attrs.get("stade").map(_.toLowerCase) === Some("c"))
+  }
+
   test("hypothesis and reported speech golden examples") {
     val hyp = new RuleQualifier(Patterns.hypothesis)
     val rep = new RuleQualifier(Patterns.reportedSpeech)

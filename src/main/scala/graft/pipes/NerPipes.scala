@@ -243,13 +243,24 @@ object Disorders {
     assign = Seq(ContextualMatcher.AssignRule(
       name = "stade", regex = "stade\\s+(a|b|c|\\d)", windowAfter = 20)))
 
-  /** The 16 disorder + 2 behavior configs of the reference's bank
-    * (`edsnlp/pipes/ner/disorders/`, `behaviors/`).
+  /** Suicide-attempt mentions with modality
+    * (`edsnlp/pipes/ner/suicide_attempt/suicide_attempt.py:15-171`).
+    */
+  val suicideAttempt: Config = Config(
+    label = "suicide_attempt",
+    terms = Seq("tentative de suicide", "tentative d'autolyse", "ts",
+      "intoxication médicamenteuse volontaire", "imv",
+      "phlébotomie", "autolyse"),
+    exclude = Seq(SideRule(Seq("idées", "idéation", "risque de"),
+      windowBefore = 25)))
+
+  /** The disorder + behavior configs of the reference's bank
+    * (`edsnlp/pipes/ner/disorders/`, `behaviors/`, `suicide_attempt/`).
     */
   val all: Seq[Config] = Seq(
     diabetes, covid, hypertension, ckd, copd, cerebrovascularAccident,
     congestiveHeartFailure, connectiveTissueDisease, dementia, hemiplegia,
     leukemia, liverDisease, lymphoma, myocardialInfarction,
     peripheralVascularDisease, pepticUlcerDisease, solidTumor, aids,
-    tobacco, alcohol)
+    tobacco, alcohol, suicideAttempt)
 }

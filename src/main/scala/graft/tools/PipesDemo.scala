@@ -56,6 +56,14 @@ object PipesDemo {
           .mkString(","))
     })
 
+    // disorder bank: positive + excluded mention
+    val sa = ContextualMatcher.matcher(Disorders.suicideAttempt)
+    def saHits(t: String) = {
+      val tk = Normalizer.normalize(t, Tokenizer.tokenize(t))
+      sa.findMatches(t, tk, Sentencizer.sentences(tk)).size
+    }
+    println(s"DISORDER >>> ts=${saHits("Admise après tentative de suicide.")}" +
+      s" excluded=${saHits("Idées suicidaires sans tentative de suicide.")}")
     // HF BIO converter round trip through the public API
     val (hfText, hfEnts) = graft.io.HuggingFace.nerToDoc(
       Seq("Le", "patient", "a", "une", "fracture"),

@@ -56,6 +56,20 @@ object PipesDemo {
           .mkString(","))
     })
 
+    // endlines: line-wrap seen through by the clean-text view
+    val wrapped = "Douleur au bras\ndepuis hier.\nLe scanner est normal."
+    val endl = Endlines.classify(
+      Normalizer.normalize(wrapped, Tokenizer.tokenize(wrapped)))
+    println("ENDLINES >>> " + Normalizer
+      .cleanTextWithOffsets(endl, useNorm = false)._1.replace("\n", "\\n"))
+    // LLM micro-batch operator with an injected stub model
+    val llm = LlmAnnotator.annotatePartition(
+      Iterator((1L, "Le patient a une fracture du radius.")),
+      callModel = _.map(_.replace("fracture du radius",
+        "<disease>fracture du radius</disease>"))).toSeq
+    println("LLM >>> " + llm.map { case (id, es) =>
+      s"$id:" + es.map(e => s"${e.label}@${e.begin}-${e.end}").mkString(",")
+    }.mkString(" "))
     // disorder bank: positive + excluded mention
     val sa = ContextualMatcher.matcher(Disorders.suicideAttempt)
     def saHits(t: String) = {

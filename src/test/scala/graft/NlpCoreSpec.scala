@@ -119,6 +119,21 @@ class NlpCoreSpec extends AnyFunSuite {
     assert(negated("Fracture du radius : exclue.", "fracture"))
   }
 
+  test("null and empty note_text flow through the distributed pipeline") {
+    import TestSpark.spark
+    import spark.implicits._
+    val df = Seq((1L, "Douleur au bras sans fracture."), (2L, null),
+      (3L, ""), (4L, "   \n  "))
+      .toDF("doc_id", "text")
+    val ents = DocFixtures.pipeline.entsTable(df, "doc_id", "text")
+    val byDoc = ents.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc.getOrElse(2L, 0L) === 0L)
+    assert(byDoc.getOrElse(3L, 0L) === 0L)
+    assert(byDoc.getOrElse(4L, 0L) === 0L)
+    assert(byDoc(1L) >= 1L) // real text still annotates
+  }
+
   test("family qualifier") {
     val pipe = DocFixtures.pipeline
     val anns = pipe.annotate("Antécédents familiaux de diabète. Le patient a une fracture.")

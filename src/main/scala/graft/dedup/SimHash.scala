@@ -68,11 +68,13 @@ object SimHash {
       col("fp").as("fp_a"))
     val r = blocked.select(col("bucket"), col("id").as("id_b"),
       col("fp").as("fp_b"))
+    // filter BEFORE distinct: the dedup shuffle then carries only
+    // near-dup pairs, not every bucket-collision candidate.
     l.join(r, "bucket")
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         hamming(col("fp_a"), col("fp_b")).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= radius)
+      .distinct()
   }
 }

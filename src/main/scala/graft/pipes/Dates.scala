@@ -65,6 +65,15 @@ object Dates {
     s"(?<trig>il\\s+y\\s+a|depuis|dans)\\s+(?<n>\\d+|$numAlt)\\s+(?<u>$unitAlt)",
     Pattern.CASE_INSENSITIVE)
 
+  // day-relative specials: aujourd'hui / hier / demain / avant-hier /
+  // après-demain (dates/patterns/relative.py "specific" bank)
+  private val daySpecial = Pattern.compile(
+    "(?i)\\b(?<w>aujourd'hui|avant[- ]hier|hier|apr[èe]s[- ]demain|demain)\\b")
+  private val daySpecialOffsets: Map[String, Int] = Map(
+    "aujourd'hui" -> 0, "hier" -> -1, "avant-hier" -> -2,
+    "avant hier" -> -2, "demain" -> 1, "apres-demain" -> 2,
+    "apres demain" -> 2)
+
   // duration: "pendant N unit", "durant N unit", "pour N unit"
   private val duration = Pattern.compile(
     s"(?<trig>pendant|durant|pour)\\s+(?<n>\\d+|$numAlt)\\s+(?<u>$unitAlt)",
@@ -149,6 +158,22 @@ object Dates {
             .ofPattern("yyyy-MM-dd'T'HH:mm:ss")))
       }
       out += Ent(rm.start, rm.end, "date", text.substring(rm.start, rm.end),
+        attrs)
+    }
+
+    val sm = daySpecial.matcher(text)
+    while (sm.find()) {
+      val word = graft.nlp.Normalizer.mapChars(sm.group("w").toLowerCase)
+      val offset = daySpecialOffsets(word)
+      var attrs = Map("kind" -> "relative",
+        "direction" -> (if (offset < 0) "past" else "future"),
+        "value" -> math.abs(offset).toString, "unit" -> "jour")
+      noteDatetime.foreach { ref =>
+        attrs += ("datetime" -> ref.plusDays(offset).format(
+          java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd'T'HH:mm:ss")))
+      }
+      out += Ent(sm.start, sm.end, "date", text.substring(sm.start, sm.end),
         attrs)
     }
 

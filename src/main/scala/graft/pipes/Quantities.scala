@@ -27,7 +27,16 @@ object Quantities {
     "mm" -> ("length", 1e-3),
     "h" -> ("time", 3600.0), "min" -> ("time", 60.0), "s" -> ("time", 1.0),
     "°c" -> ("temperature", 1.0), "%" -> ("fraction", 0.01),
-    "ui" -> ("unit_intl", 1.0), "mmhg" -> ("pressure", 1.0))
+    "ui" -> ("unit_intl", 1.0), "mmhg" -> ("pressure", 1.0),
+    // lab chemistry (base: mol) and counts (base: count)
+    "mol" -> ("amount", 1.0), "mmol" -> ("amount", 1e-3),
+    "µmol" -> ("amount", 1e-6), "umol" -> ("amount", 1e-6),
+    "nmol" -> ("amount", 1e-9),
+    "g/24h" -> ("mass_per_day", 1.0),
+    "10^9/l" -> ("count_per_volume", 1e9), "10*9/l" -> ("count_per_volume", 1e9),
+    "giga/l" -> ("count_per_volume", 1e9),
+    "cp" -> ("tablet", 1.0), "gouttes" -> ("drop", 1.0),
+    "bpm" -> ("per_minute", 1.0))
 
   private val unitAlt = registry.keys.toSeq.sortBy(-_.length)
     .map(Pattern.quote).mkString("|")
@@ -42,10 +51,14 @@ object Quantities {
 
   private def parseVal(s: String): Double = s.replace(',', '.').toDouble
 
-  /** (dimension, normalized scale) of a possibly composed unit "a/b". */
+  /** (dimension, normalized scale) of a possibly composed unit "a/b".
+    * Registry entries that themselves contain '/' (g/24h, 10^9/l) win
+    * over per-denominator composition.
+    */
   def normalizeUnit(u: String): (String, Double) = {
     val lu = u.toLowerCase
-    if (lu.startsWith("/")) {
+    if (registry.contains(lu)) registry(lu)
+    else if (lu.startsWith("/")) {
       val (dim, sc) = registry(lu.drop(1))
       (s"per_$dim", 1.0 / sc)
     } else if (lu.contains("/")) {

@@ -56,6 +56,14 @@ object PipesDemo {
           .mkString(","))
     })
 
+    // broadened date specials + lab units
+    val dsp = Dates.extract("Vu hier, recontrôle demain.",
+      Some(java.time.LocalDateTime.parse("2021-08-23T10:00:00")))
+    println("DATES >>> " + dsp.map(e =>
+      e.text + "=" + e.attrs("datetime").take(10)).mkString(","))
+    val qty = Quantities.extract("Natrémie 140 mmol/l, plaquettes 250 10^9/l.")
+    println("QTY >>> " + qty.map(e =>
+      e.attrs("raw_unit") + "=" + e.attrs("value")).mkString(","))
     // endlines: line-wrap seen through by the clean-text view
     val wrapped = "Douleur au bras\ndepuis hier.\nLe scanner est normal."
     val endl = Endlines.classify(

@@ -44,6 +44,25 @@ class ExtractionPipesSpec extends AnyFunSuite {
     assert(es.head.attrs("duration_seconds") === (15L * 86400).toString)
   }
 
+  test("dates: day-relative specials resolve against note_datetime") {
+    val ref = LocalDateTime.parse("2021-08-23T10:00:00")
+    val es = Dates.extract("Vu hier, recontrôle demain, point avant-hier.",
+      Some(ref))
+    val byText = es.map(e => e.text.toLowerCase -> e.attrs).toMap
+    assert(byText("hier")("datetime").startsWith("2021-08-22"))
+    assert(byText("demain")("datetime").startsWith("2021-08-24"))
+    assert(byText("avant-hier")("datetime").startsWith("2021-08-21"))
+  }
+
+  test("quantities: lab units (mmol/l, 10^9/l, g/24h)") {
+    val es = Quantities.extract(
+      "Natrémie 140 mmol/l, plaquettes 250 10^9/l, protéinurie 0,3 g/24h.")
+    val byUnit = es.map(e => e.attrs("raw_unit") -> e).toMap
+    assert(byUnit("mmol/l").attrs("value").toDouble === 140 * 1e-3)
+    assert(byUnit("10^9/l").attrs("value").toDouble === 250e9)
+    assert(byUnit("g/24h").attrs("value").toDouble === 0.3)
+  }
+
   test("quantities: values normalize to base units; ranges") {
     val es = Quantities.extract(
       "Poids 75 kg, taille 1,80 m, dose 500 mg, glycémie entre 0,8 et 1,2 g/l.")

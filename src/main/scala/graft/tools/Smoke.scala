@@ -22,6 +22,17 @@ object Smoke {
       "note_nlp_source_value = 'join' as isGold")
       .as[SpanOutcome]
     val prfRow = outcomes.select(prf.toColumn).head()
+    // typed ClinicalDoc view through the public API
+    val typedDocs = graft.core.ClinicalDoc.annotate(
+      Seq(("n1", "Le scanner ne détecte aucune fracture."))
+        .toDF("note_id", "note_text"),
+      graft.pipes.DocPipeline(
+        terms = Map("fracture" -> Seq("fracture")),
+        qualifiers = Seq(graft.nlp.Patterns.negation)))
+    val d0 = typedDocs.head()
+    println(s"TYPED >>> ${d0.note_id}: ${d0.tokens.size} tokens, " +
+      s"${d0.sents.size} sents, ents=" + d0.entities.map(e =>
+        s"${e.text}[negation=${e.attrs("negation")}]").mkString(","))
     // Stream facade through the public API
     import graft.core.Stream
     val streamOut = Stream.fromSeq(spark, (1 to 20).toSeq)

@@ -45,6 +45,24 @@ class StreamFacadeSpec extends AnyFunSuite {
     assert(back.toSeq === (1 to 50).map(_ * 10))
   }
 
+  test("typed ClinicalDoc view: annotate and project to note_nlp") {
+    val df = Seq(
+      ("n1", "Le scanner ne détecte aucune fracture.", "2021-08-23 10:00:00"),
+      ("n2", "Douleur au bras.", "2021-08-24 09:00:00"))
+      .toDF("note_id", "note_text", "dt")
+    val docs = graft.core.ClinicalDoc.annotate(df, NlpFixture.pipeline,
+      datetimeCol = Some("dt"))
+    val collected = docs.collect().map(d => d.note_id -> d).toMap
+    assert(collected("n1").sents.nonEmpty)
+    assert(collected("n1").entities.exists(e =>
+      e.text.toLowerCase.contains("fracture") &&
+        e.attrs("negation") == "true"))
+    assert(collected("n1").note_datetime.isDefined)
+    val nlpRows = graft.core.ClinicalDoc.toNoteNlp(docs)
+    assert(nlpRows.columns.toSeq.take(2) === Seq("note_nlp_id", "note_id"))
+    assert(nlpRows.count() >= 2)
+  }
+
   test("graft_jaccard64 is SQL-callable once registered") {
     // GraftExtensions does this at session build via injectFunction; an
     // already-running session registers through the function registry.
@@ -57,4 +75,10 @@ class StreamFacadeSpec extends AnyFunSuite {
       .head().getDouble(0)
     assert(j === 0.5)
   }
+}
+
+object NlpFixture {
+  val pipeline: graft.pipes.DocPipeline = graft.pipes.DocPipeline(
+    terms = Map("fracture" -> Seq("fracture"), "douleur" -> Seq("douleur")),
+    qualifiers = Seq(graft.nlp.Patterns.negation))
 }

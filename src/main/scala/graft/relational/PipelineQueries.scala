@@ -241,6 +241,22 @@ object PipelineQueries {
            FROM scored)
          SELECT query_id, rnk, neighbor_id FROM ranked
          WHERE rnk <= 10 ORDER BY query_id, rnk""",
+    "q39_subword_count" ->
+      """SELECT doc_id,
+         CAST(len(regexp_extract_all(text,
+           '[a-z]{1,6}|[0-9]{1,3}|[^a-z0-9 ]')) AS INTEGER) AS n_subwords,
+         CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS n_words
+         FROM documents ORDER BY doc_id""",
+    "q36_langid" ->
+      """SELECT lang,
+         CASE WHEN list_contains(string_split(text, ' '), 'the')
+           THEN 'en' ELSE 'und' END AS predicted, count(*) AS n
+         FROM documents GROUP BY 1, 2 ORDER BY lang, predicted""",
+    "q37_fingerprint" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM documents
+         GROUP BY array_to_string(string_split(text, ' '), ' ')
+         ORDER BY keep_id""",
     "q43_fuzzy_match" ->
       """SELECT doc_id,
          CAST(len(list_filter(string_split(text, ' '), w -> w = 'spark'))

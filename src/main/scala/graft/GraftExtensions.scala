@@ -19,5 +19,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[functions.JaccardDistinctLongs].getName, "graft_jaccard64"),
       (children: Seq[Expression]) =>
         functions.JaccardDistinctLongs(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_split_text"),
+      new ExpressionInfo(
+        classOf[functions.SplitTextGenerator].getName, "graft_split_text"),
+      (children: Seq[Expression]) =>
+        functions.SplitTextGenerator(children(0), children(1))))
   }
 }

@@ -144,6 +144,16 @@ object PipelineQueries {
         .select($"media_id", $"n_bytes", $"entropy", $"brightness")
         .orderBy($"media_id")
     },
+    "q44_split_generator" -> { (s, d) =>
+      import s.implicits._
+      // registered Catalyst Generator (plan-level 1->N split): one row
+      // per fragment between " the " boundaries, with exact offsets.
+      documents(s, d)
+        .select($"doc_id", graft.functions.SplitTextGenerator
+          .splitText($"text", lit(" the ")))
+        .select($"doc_id", $"idx", $"begin", $"end")
+        .orderBy($"doc_id", $"idx")
+    },
     "q43_fuzzy_match" -> { (s, d) =>
       import s.implicits._
       // approximate terminology matching: the misspelled term 'sparc'
@@ -241,6 +251,20 @@ object PipelineQueries {
            FROM scored)
          SELECT query_id, rnk, neighbor_id FROM ranked
          WHERE rnk <= 10 ORDER BY query_id, rnk""",
+    "q44_split_generator" ->
+      """WITH f AS (
+           SELECT doc_id, unnest(string_split(text, ' the ')) AS frag,
+             generate_subscripts(string_split(text, ' the '), 1) AS i
+           FROM documents),
+         pos AS (
+           SELECT doc_id, i - 1 AS idx, frag,
+             CAST(coalesce(sum(length(frag) + 5) OVER (PARTITION BY doc_id
+               ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS INTEGER) AS begin
+           FROM f)
+         SELECT doc_id, CAST(idx AS INTEGER) AS idx, begin,
+           CAST(begin + length(frag) AS INTEGER) AS "end"
+         FROM pos ORDER BY doc_id, idx""",
     "q39_subword_count" ->
       """SELECT doc_id,
          CAST(len(regexp_extract_all(text,

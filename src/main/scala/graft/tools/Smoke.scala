@@ -44,6 +44,11 @@ object Smoke {
     try Stream.fromSeq(spark, Seq(1)).mapBatches[Int]("12 bananas", _ => 1L)(identity)
     catch { case e: IllegalArgumentException =>
       println(s"STREAM_ERR >>> ${e.getMessage}") }
+    val frags = spark.sql(
+      "SELECT s.idx, s.begin, s.fragment FROM (SELECT 'a b the c d the e' AS t) " +
+      "LATERAL VIEW graft_split_text(t, ' the ') s")
+      .collect().map(r => s"${r.getInt(0)}:[${r.getInt(1)}]${r.getString(2)}")
+    println("GENERATOR >>> " + frags.mkString(" | "))
     val sqlJ = spark.sql(
       "SELECT graft_jaccard64(array(1L,2L,3L,4L), array(3L,4L,5L)) AS j")
       .head().getDouble(0)

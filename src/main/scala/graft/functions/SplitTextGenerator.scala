@@ -31,13 +31,22 @@ case class SplitTextGenerator(text: Expression, delim: Expression)
     StructField("end", IntegerType, nullable = false),
     StructField("fragment", StringType, nullable = false)))
 
+  // per-row regex compilation would dominate the generator's cost; the
+  // delim is foldable in practice, so memoize on its string value.
+  @transient private var cachedDelim: String = _
+  @transient private var cachedPattern: java.util.regex.Pattern = _
+
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val t = text.eval(input)
     val d = delim.eval(input)
     if (t == null || d == null) return Nil
     val s = t.asInstanceOf[UTF8String].toString
-    val pattern = java.util.regex.Pattern
-      .compile(d.asInstanceOf[UTF8String].toString)
+    val ds = d.asInstanceOf[UTF8String].toString
+    if (cachedPattern == null || cachedDelim != ds) {
+      cachedDelim = ds
+      cachedPattern = java.util.regex.Pattern.compile(ds)
+    }
+    val pattern = cachedPattern
     val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
     val m = pattern.matcher(s)
     var start = 0

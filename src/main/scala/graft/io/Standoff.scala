@@ -87,10 +87,9 @@ object Standoff {
     (entities.values.toSeq, relations.toSeq)
   }
 
-  private val parseUdf = udf((text: String, ann: String) =>
-    parseAnn(text, ann))
-  private val parseRelUdf = udf((text: String, ann: String) =>
-    parseAnnFull(text, ann)._2)
+  // single parse per row: one UDF yields both layers as a struct
+  private val parseFullUdf = udf((text: String, ann: String) =>
+    parseAnnFull(text, ann))
 
   private def basename(c: org.apache.spark.sql.Column) =
     regexp_extract(c, "([^/]+)\\.(txt|ann)$", 1)
@@ -107,10 +106,11 @@ object Standoff {
         col("value").as("ann"))
     txt.join(ann, Seq("doc_id"), "left")
       .select(col("doc_id"), col("text"),
-        parseUdf(col("text"), coalesce(col("ann"), lit("")))
-          .as("entities"),
-        parseRelUdf(col("text"), coalesce(col("ann"), lit("")))
-          .as("relations"))
+        parseFullUdf(col("text"), coalesce(col("ann"), lit("")))
+          .as("parsed"))
+      .select(col("doc_id"), col("text"),
+        col("parsed._1").as("entities"),
+        col("parsed._2").as("relations"))
   }
 
   /** Write (doc_id, text, entities) back to {doc}.txt + {doc}.ann.

@@ -58,8 +58,10 @@ object NerMetrics {
     */
   def nerToken(pred: DataFrame, gold: DataFrame): DataFrame = {
     def toTokens(df: DataFrame): DataFrame =
-      df.select(col("doc_id"), col("label"),
-        explode(sequence(col("begin"), col("end") - 1)).as("pos"))
+      df.filter(col("end") > col("begin")) // zero-length spans (legal in
+        // BRAT) would make sequence() count DOWN and fabricate positions
+        .select(col("doc_id"), col("label"),
+          explode(sequence(col("begin"), col("end") - 1)).as("pos"))
         .distinct()
         .withColumnRenamed("pos", "begin")
         .withColumn("end", col("begin") + 1)

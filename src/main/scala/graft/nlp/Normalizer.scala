@@ -14,19 +14,27 @@ import java.util.regex.Pattern
   */
 object Normalizer {
 
-  /** char -> replacement; fixed-length so offsets are stable. */
-  private val charMap: Map[Char, Char] = {
+  /** char -> replacement maps; fixed-length so offsets are stable. Accent
+    * and quote folding are independent options, so they are separate maps.
+    */
+  private val accentMap: Map[Char, Char] = {
     val accents = Seq(
       "ç" -> 'c', "àáâä" -> 'a', "èéêë" -> 'e', "ìíîï" -> 'i',
       "òóôö" -> 'o', "ùúûü" -> 'u')
     val lower = accents.flatMap { case (ks, v) => ks.map(_ -> v) }
     val upper = lower.map { case (k, v) => k.toUpper -> v.toUpper }
-    val quotes = "＂〃ײ᳓″״‶˶ʺ“”˝‟".map(_ -> '"')
-    val apostrophes = "｀΄＇ˈˊᑊˋꞌᛌ‘’՚‛՝`′׳´ʹ˴ߴ‵ߵʻʼ".map(_ -> '\'')
-    (lower ++ upper ++ quotes ++ apostrophes).toMap
+    (lower ++ upper).toMap
   }
 
-  def mapChars(s: String): String = s.map(c => charMap.getOrElse(c, c))
+  private val quoteMap: Map[Char, Char] = {
+    val quotes = "＂〃ײ᳓″״‶˶ʺ“”˝‟".map(_ -> '"')
+    val apostrophes = "｀΄＇ˈˊᑊˋꞌᛌ‘’՚‛՝`′׳´ʹ˴ߴ‵ߵʻʼ".map(_ -> '\'')
+    (quotes ++ apostrophes).toMap
+  }
+
+  private val fullMap: Map[Char, Char] = accentMap ++ quoteMap
+
+  def mapChars(s: String): String = s.map(c => fullMap.getOrElse(c, c))
 
   /** Pollution detectors (excluded char ranges), generic subset of the
     * reference bank (`pollution/patterns.py`): repeated filler bars, web
@@ -68,8 +76,9 @@ object Normalizer {
 
     tokens.map { t =>
       var n = t.text
-      if (opts.lowercase) n = n.toLowerCase
-      if (opts.accents || opts.quotes) n = mapChars(n)
+      if (opts.lowercase) n = n.map(Character.toLowerCase) // fixed-length
+      if (opts.accents) n = n.map(c => accentMap.getOrElse(c, c))
+      if (opts.quotes) n = n.map(c => quoteMap.getOrElse(c, c))
       val excl =
         polluted.exists { case (b, e) => t.begin < e && t.end > b }
       t.copy(norm = n, excluded = excl)

@@ -55,20 +55,22 @@ object Dates {
       "(?:\\s+[àa]?\\s*(?<h>[01]?\\d|2[0-3])[h:](?<min>[0-5]\\d)?)?(?![/\\d-])",
     Pattern.CASE_INSENSITIVE)
 
-  // letter-month absolute: "3 janvier 2021", "1er mars", "mars 2020"
+  // letter-month absolute: "3 janvier 2021", "1er mars", "mars 2020".
+  // Word-boundary lookaheads keep month/unit alternations from matching
+  // inside ordinary words ("mai" in "maisons", "an" in "analyses").
   private val letterAbs = Pattern.compile(
-    s"(?<![\\d/])(?:(?<d>0?[1-9]|[12]\\d|3[01])(?:er)?\\s+)?(?<mon>$monthAlt)(?:\\s+(?<y>\\d{4}))?(?![\\d/])",
+    s"(?<![\\d/\\p{L}])(?:(?<d>0?[1-9]|[12]\\d|3[01])(?:er)?\\s+)?(?<mon>$monthAlt)(?![\\p{L}])(?:\\s+(?<y>\\d{4}))?(?![\\d/])",
     Pattern.CASE_INSENSITIVE)
 
   // relative: "il y a N unit", "depuis N unit", "dans N unit"
   private val relative = Pattern.compile(
-    s"(?<trig>il\\s+y\\s+a|depuis|dans)\\s+(?<n>\\d+|$numAlt)\\s+(?<u>$unitAlt)",
+    s"(?<trig>il\\s+y\\s+a|depuis|dans)\\s+(?<n>\\d+|$numAlt)\\s+(?<u>$unitAlt)(?![\\p{L}])",
     Pattern.CASE_INSENSITIVE)
 
   // day-relative specials: aujourd'hui / hier / demain / avant-hier /
   // après-demain (dates/patterns/relative.py "specific" bank)
   private val daySpecial = Pattern.compile(
-    "(?i)\\b(?<w>aujourd'hui|avant[- ]hier|hier|apr[èe]s[- ]demain|demain)\\b")
+    "(?i)\\b(?<w>aujourd['’]hui|avant[- ]hier|hier|apr[èe]s[- ]demain|demain)\\b")
   private val daySpecialOffsets: Map[String, Int] = Map(
     "aujourd'hui" -> 0, "hier" -> -1, "avant-hier" -> -2,
     "avant hier" -> -2, "demain" -> 1, "apres-demain" -> 2,
@@ -76,7 +78,7 @@ object Dates {
 
   // duration: "pendant N unit", "durant N unit", "pour N unit"
   private val duration = Pattern.compile(
-    s"(?<trig>pendant|durant|pour)\\s+(?<n>\\d+|$numAlt)\\s+(?<u>$unitAlt)",
+    s"(?<trig>pendant|durant|pour)\\s+(?<n>\\d+|$numAlt)\\s+(?<u>$unitAlt)(?![\\p{L}])",
     Pattern.CASE_INSENSITIVE)
 
   private def parseNum(s: String): Int =

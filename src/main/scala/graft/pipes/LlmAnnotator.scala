@@ -82,14 +82,31 @@ object LlmAnnotator {
       batch.map { case (id, _) => (id, Seq.empty[Ent]) } // degrade
     }
 
-    val batches = rows.grouped(batchSize).toSeq
-    val futures = batches.map(b => Future(callWithRetry(b)))
-    val results =
-      try futures.flatMap(f => Await.result(f, Duration.Inf))
-      finally {
-        pool.shutdown()
-        pool.awaitTermination(60, TimeUnit.SECONDS)
+    // lazy pipeline: at most `concurrency` batches in flight; the row
+    // iterator is drained batch-by-batch, never materialized (bounded
+    // memory on arbitrarily large partitions).
+    val batches = rows.grouped(batchSize)
+    val inFlight =
+      scala.collection.mutable.Queue.empty[Future[Seq[(Long, Seq[Ent])]]]
+    new Iterator[Seq[(Long, Seq[Ent])]] {
+      private def fill(): Unit =
+        while (inFlight.size < config.concurrency && batches.hasNext) {
+          val b = batches.next()
+          inFlight.enqueue(Future(callWithRetry(b)))
+        }
+      def hasNext: Boolean = {
+        fill()
+        val more = inFlight.nonEmpty
+        if (!more) {
+          pool.shutdown()
+          pool.awaitTermination(60, TimeUnit.SECONDS)
+        }
+        more
       }
-    results.iterator
+      def next(): Seq[(Long, Seq[Ent])] = {
+        fill()
+        Await.result(inFlight.dequeue(), Duration.Inf)
+      }
+    }.flatten
   }
 }

@@ -40,7 +40,10 @@ object Quantities {
 
   private val unitAlt = registry.keys.toSeq.sortBy(-_.length)
     .map(Pattern.quote).mkString("|")
-  private val num = "\\d+(?:[.,]\\d+)?"
+  // French numbers: space- or NBSP-grouped thousands ("4 500") or plain
+  // with decimal comma/point
+  private val num =
+    "(?:\\d{1,3}(?:[ \\u00A0]\\d{3})+|\\d+(?:[.,]\\d+)?)"
   // simple: "12 mg", "37,2 °C", "1.80 m"; composed: "5 mg/l", "4 500 /mm3"
   private val simple = Pattern.compile(
     s"(?<![\\d,.])(?<v>$num)\\s*(?<u>(?:$unitAlt)(?:/(?:$unitAlt))?|/(?:$unitAlt))(?![\\p{L}\\d])",
@@ -49,25 +52,27 @@ object Quantities {
     s"(?:entre\\s+(?<a>$num)\\s+et\\s+(?<b>$num)|(?<a2>$num)\\s*[-–]\\s*(?<b2>$num))\\s*(?<u>(?:$unitAlt)(?:/(?:$unitAlt))?)(?![\\p{L}\\d])",
     Pattern.CASE_INSENSITIVE)
 
-  private def parseVal(s: String): Double = s.replace(',', '.').toDouble
+  private def parseVal(s: String): Double =
+    s.replace(" ", "").replace(" ", "").replace(',', '.').toDouble
 
   /** (dimension, normalized scale) of a possibly composed unit "a/b".
     * Registry entries that themselves contain '/' (g/24h, 10^9/l) win
-    * over per-denominator composition.
+    * over per-denominator composition. Total: an unresolvable unit (e.g.
+    * "g/24h/l" assembled by the regex) yields None and the match is
+    * skipped — one odd token must never kill a 100 TB job.
     */
-  def normalizeUnit(u: String): (String, Double) = {
+  def normalizeUnit(u: String): Option[(String, Double)] = {
     val lu = u.toLowerCase
-    if (registry.contains(lu)) registry(lu)
-    else if (lu.startsWith("/")) {
-      val (dim, sc) = registry(lu.drop(1))
-      (s"per_$dim", 1.0 / sc)
-    } else if (lu.contains("/")) {
-      val Array(a, b) = lu.split("/", 2)
-      val (da, sa) = registry(a)
-      val (db, sb) = registry(b)
-      (s"${da}_per_$db", sa / sb)
-    } else {
-      registry(lu)
+    registry.get(lu).orElse {
+      if (lu.startsWith("/"))
+        registry.get(lu.drop(1)).map { case (dim, sc) =>
+          (s"per_$dim", 1.0 / sc)
+        }
+      else if (lu.contains("/")) {
+        val Array(a, b) = lu.split("/", 2)
+        for ((da, sa) <- registry.get(a); (db, sb) <- registry.get(b))
+          yield (s"${da}_per_$db", sa / sb)
+      } else None
     }
   }
 
@@ -78,24 +83,26 @@ object Quantities {
     while (rm.find()) {
       val a = parseVal(Option(rm.group("a")).getOrElse(rm.group("a2")))
       val b = parseVal(Option(rm.group("b")).getOrElse(rm.group("b2")))
-      val (dim, scale) = normalizeUnit(rm.group("u"))
-      out += Ent(rm.start, rm.end, "quantity",
-        text.substring(rm.start, rm.end),
-        Map("kind" -> "range", "dimension" -> dim,
-          "raw_unit" -> rm.group("u").toLowerCase,
-          "from_value" -> (a * scale).toString,
-          "to_value" -> (b * scale).toString))
+      normalizeUnit(rm.group("u")).foreach { case (dim, scale) =>
+        out += Ent(rm.start, rm.end, "quantity",
+          text.substring(rm.start, rm.end),
+          Map("kind" -> "range", "dimension" -> dim,
+            "raw_unit" -> rm.group("u").toLowerCase,
+            "from_value" -> (a * scale).toString,
+            "to_value" -> (b * scale).toString))
+      }
     }
     val sm = simple.matcher(text)
     while (sm.find()) {
       val v = parseVal(sm.group("v"))
-      val (dim, scale) = normalizeUnit(sm.group("u"))
-      out += Ent(sm.start, sm.end, "quantity",
-        text.substring(sm.start, sm.end),
-        Map("kind" -> "simple", "dimension" -> dim,
-          "raw_unit" -> sm.group("u").toLowerCase,
-          "raw_value" -> v.toString,
-          "value" -> (v * scale).toString))
+      normalizeUnit(sm.group("u")).foreach { case (dim, scale) =>
+        out += Ent(sm.start, sm.end, "quantity",
+          text.substring(sm.start, sm.end),
+          Map("kind" -> "simple", "dimension" -> dim,
+            "raw_unit" -> sm.group("u").toLowerCase,
+            "raw_value" -> v.toString,
+            "value" -> (v * scale).toString))
+      }
     }
     // ranges win over the simple matches they contain
     graft.nlp.SpanAlgebra.filterSpans(out.toSeq)

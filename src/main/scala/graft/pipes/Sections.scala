@@ -62,8 +62,11 @@ object Sections {
     /** (titles, sections): title spans and gap-filled section spans. */
     def apply(text: String): (Seq[Ent], Seq[Ent]) = {
       if (text == null) return (Nil, Nil)
-      // match on accent-folded lowercase text: fixed-length map keeps offsets
-      val folded = Normalizer.mapChars(text.toLowerCase)
+      // match on accent-folded lowercase text. Per-CHAR lowercase is
+      // locale-independent and fixed-length (String.toLowerCase is
+      // neither: U+0130 expands to two chars and tr locales break 'I'),
+      // which keeps every matched offset valid in the original text.
+      val folded = Normalizer.mapChars(text.map(Character.toLowerCase))
       val m = pattern.matcher(folded)
       val titleSpans = new ArrayBuffer[Ent]
       while (m.find()) {

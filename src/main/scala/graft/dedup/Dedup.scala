@@ -83,12 +83,20 @@ object Dedup {
       sigs: DataFrame, // (id, sig array<bigint>)
       idCol: String,
       bands: Int,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000,
+      sigLength: Int = 0): DataFrame = {
+    require(bands > 0, "bands must be positive")
+    // bands > signature length would make every band slice empty: all
+    // docs collide into one bucket per band and the maxBucket cap then
+    // silently drops everything.
+    require(sigLength <= 0 || bands <= sigLength,
+      s"bands ($bands) must not exceed signature length ($sigLength)")
     val buckets = sigs
       .select(col(idCol).as("id"),
         posexplode(expr(s"transform(sequence(0, $bands - 1), " +
-          s"b -> xxhash64(b, array_join(slice(sig, b * (size(sig) div $bands) + 1, " +
-          s"size(sig) div $bands), ',')))")))
+          s"b -> xxhash64(b, array_join(slice(sig, " +
+          s"b * greatest(size(sig) div $bands, 1) + 1, " +
+          s"greatest(size(sig) div $bands, 1)), ',')))")))
       .select(col("id"), concat_ws("_", col("pos"), col("col")).as("bucket"))
     val capped = buckets
       .withColumn("n", count(lit(1)).over(Window.partitionBy("bucket")))
@@ -119,7 +127,7 @@ object Dedup {
       shingleHashes(col(textCol), n).as("hs"))
     val sigs = hashed.select(col("id"),
       minHashSignature(col("hs"), k).as("sig"))
-    val cands = lshCandidatePairs(sigs, "id", bands)
+    val cands = lshCandidatePairs(sigs, "id", bands, sigLength = k)
     val ha = hashed.select(col("id").as("id_a"), col("hs").as("hs_a"))
     val hb = hashed.select(col("id").as("id_b"), col("hs").as("hs_b"))
     cands.join(ha, "id_a").join(hb, "id_b")

@@ -23,7 +23,8 @@ object SimHash {
   def simhash(hashes: Column): Column = {
     val f = udf((hs: Seq[Long]) => {
       val votes = new Array[Long](64)
-      hs.foreach { h0 =>
+      val safe = if (hs == null) Seq.empty[Long] else hs
+      safe.foreach { h0 =>
         // finalize to spread 31-bit shingle hashes over 64 bits
         var h = h0 * -7046029254386353131L
         h = (h ^ (h >>> 32)) * -4417276706812531889L
@@ -54,8 +55,9 @@ object SimHash {
       n: Int = 3, radius: Int = 3): DataFrame = {
     val blocks = radius + 1
     val width = 64 / blocks // bits per block (last block gets the remainder)
-    val fp = df.select(col(idCol).as("id"),
-      simhash(Dedup.shingleHashes(col(textCol), n)).as("fp"))
+    val fp = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        simhash(Dedup.shingleHashes(col(textCol), n)).as("fp"))
     val blocked = fp.select(col("id"), col("fp"),
       posexplode(expr(
         s"transform(sequence(0, ${blocks - 1}), b -> " +

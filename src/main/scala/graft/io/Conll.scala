@@ -30,8 +30,10 @@ object Conll {
       .withColumn("words",
         transform(col("lines"), l => {
           val f = split(l, "\t")
+          // try_element_at: a truncated data line yields null fields
+          // instead of an ANSI INVALID_ARRAY_INDEX job failure
           struct(cols.zipWithIndex.map { case (name, i) =>
-            element_at(f, i + 1).as(name)
+            try_element_at(f, lit(i + 1)).as(name)
           }: _*)
         }))
       .filter(size(col("words")) > 0)

@@ -56,20 +56,27 @@ object Standoff {
     ann.split("\n").iterator.map(_.stripLineEnd).filter(_.nonEmpty)
       .foreach {
         case entityLine(id, label, span, mention) =>
-          val ranges = span.split(";").toSeq.map { s =>
-            val parts = s.trim.split("\\s+")
-            (parts(0).toInt, parts(1).toInt)
-          }.sorted
-          val frags = mutable.ArrayBuffer.empty[Fragment]
-          ranges.foreach { case (b, e) =>
-            if (mergeSpacedFragments && frags.nonEmpty &&
-              text != null && frags.last.end <= b &&
-              text.substring(frags.last.end, b).trim.isEmpty)
-              frags(frags.size - 1) = frags.last.copy(end = e)
-            else frags += Fragment(b, e)
+          // lenient end-to-end: a malformed span list (missing offset,
+          // non-numeric, out of text bounds) skips THIS line, like every
+          // other unrecognized line — one bad annotation must not poison
+          // a corpus load
+          scala.util.Try {
+            val ranges = span.split(";").toSeq.map { s =>
+              val parts = s.trim.split("\\s+")
+              (parts(0).toInt, parts(1).toInt)
+            }.sorted
+            val frags = mutable.ArrayBuffer.empty[Fragment]
+            ranges.foreach { case (b, e) =>
+              if (mergeSpacedFragments && frags.nonEmpty &&
+                text != null && frags.last.end <= b && b <= text.length &&
+                frags.last.end >= 0 &&
+                text.substring(frags.last.end, b).trim.isEmpty)
+                frags(frags.size - 1) = frags.last.copy(end = e)
+              else frags += Fragment(b, e)
+            }
+            entities(id) =
+              BratEntity(id, label, mention, frags.toSeq, Map.empty, Nil)
           }
-          entities(id) =
-            BratEntity(id, label, mention, frags.toSeq, Map.empty, Nil)
         case attrLine(_, name, target, value) =>
           entities.get(target).foreach { e =>
             // bool coercion on read mirrors converters.py:297-306
@@ -113,33 +120,48 @@ object Standoff {
         col("parsed._2").as("relations"))
   }
 
-  /** Write (doc_id, text, entities) back to {doc}.txt + {doc}.ann.
-    * Executor-local writes (`foreachPartition`), no driver bottleneck.
+  /** Write (doc_id, text, entities[, relations]) back to {doc}.txt +
+    * {doc}.ann — full round trip: attributes, annotator notes, and (when
+    * the column is present) relations are re-emitted. Executor-local
+    * writes (`foreachPartition`), no driver bottleneck.
     */
   def write(df: DataFrame, dir: String): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-    df.select("doc_id", "text", "entities").foreachPartition {
+    val hasRelations = df.columns.contains("relations")
+    val cols =
+      if (hasRelations) Seq("doc_id", "text", "entities", "relations")
+      else Seq("doc_id", "text", "entities")
+    df.select(cols.map(col): _*).foreachPartition {
       (rows: Iterator[org.apache.spark.sql.Row]) =>
         rows.foreach { r =>
           val docId = r.getString(0)
           val text = r.getString(1)
           val sb = new StringBuilder
           var attrId = 1
-          r.getSeq[org.apache.spark.sql.Row](2).zipWithIndex.foreach {
-            case (e, _) =>
-              val id = e.getAs[String]("entity_id")
-              val label = e.getAs[String]("label")
-              val frags = e.getSeq[org.apache.spark.sql.Row](3)
-                .map(f => s"${f.getInt(0)} ${f.getInt(1)}")
-                .mkString(";")
-              val mention = e.getAs[String]("text")
-              sb.append(s"$id\t$label $frags\t$mention\n")
-              e.getAs[Map[String, String]]("attributes").toSeq.sortBy(_._1)
-                .foreach { case (k, v) =>
-                  sb.append(s"A$attrId\t$k $id $v\n")
-                  attrId += 1
-                }
+          var noteId = 1
+          r.getSeq[org.apache.spark.sql.Row](2).foreach { e =>
+            val id = e.getAs[String]("entity_id")
+            val label = e.getAs[String]("label")
+            val frags = e.getSeq[org.apache.spark.sql.Row](3)
+              .map(f => s"${f.getInt(0)} ${f.getInt(1)}")
+              .mkString(";")
+            val mention = e.getAs[String]("text")
+            sb.append(s"$id\t$label $frags\t$mention\n")
+            e.getAs[Map[String, String]]("attributes").toSeq.sortBy(_._1)
+              .foreach { case (k, v) =>
+                sb.append(s"A$attrId\t$k $id $v\n")
+                attrId += 1
+              }
+            e.getSeq[String](5).foreach { note =>
+              sb.append(s"#$noteId\tAnnotatorNotes $id\t$note\n")
+              noteId += 1
+            }
           }
+          if (hasRelations)
+            r.getSeq[org.apache.spark.sql.Row](3).foreach { rel =>
+              sb.append(s"${rel.getString(0)}\t${rel.getString(1)} " +
+                s"Arg1:${rel.getString(2)} Arg2:${rel.getString(3)}\n")
+            }
           java.nio.file.Files.writeString(
             java.nio.file.Paths.get(dir, s"$docId.txt"), text)
           java.nio.file.Files.writeString(

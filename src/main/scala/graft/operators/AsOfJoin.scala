@@ -34,22 +34,31 @@ object AsOfJoin {
       rightValues: Seq[Column]): DataFrame = {
     val leftSchema = left.schema
     val valueSchema = right.select(rightValues: _*).schema
+    val valueType = org.apache.spark.sql.types.StructType(valueSchema)
 
+    // The right row's values travel as ONE struct so the match is atomic:
+    // per-column last() windows could mix columns from different right
+    // rows (and skip a newer row whose value is legitimately NULL).
     val lpart = left.select(
       leftSchema.map(f => col(f.name)) ++
-        Seq(leftKey.as("__k"), leftTime.as("__t"), lit(1).as("__side")) ++
-        valueSchema.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+        Seq(leftKey.as("__k"), leftTime.as("__t"), lit(1).as("__side"),
+          lit(null).cast(valueType).as("__v")): _*)
     val rpart = right.select(
       leftSchema.map(f => lit(null).cast(f.dataType).as(f.name)) ++
-        Seq(rightKey.as("__k"), rightTime.as("__t"), lit(0).as("__side")) ++
-        rightValues: _*)
+        Seq(rightKey.as("__k"), rightTime.as("__t"), lit(0).as("__side"),
+          struct(rightValues: _*).as("__v")): _*)
 
+    // Tie-break equal (key, time) right rows by the value struct itself:
+    // deterministic under any partitioning (last = max struct), matching
+    // the driver's hash-compare requirement.
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t"), col("__side"))
+      .orderBy(col("__t"), col("__side"), col("__v"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = valueSchema.map(_.name).foldLeft(lpart.unionByName(rpart)) {
-      (df, v) => df.withColumn(v, last(col(v), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1).drop("__k", "__t", "__side")
+    val filled = lpart.unionByName(rpart)
+      .withColumn("__v", last(col("__v"), ignoreNulls = true).over(w))
+    valueSchema.map(_.name).foldLeft(
+      filled.filter(col("__side") === 1)) { (df, v) =>
+      df.withColumn(v, col(s"__v.$v"))
+    }.drop("__k", "__t", "__side", "__v")
   }
 }

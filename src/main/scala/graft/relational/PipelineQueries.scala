@@ -43,9 +43,10 @@ object PipelineQueries {
       import s.implicits._
       // exact n-gram Jaccard: sampled query side x full corpus. The
       // all-pairs form is quadratic by nature; the scale path is q32.
-      // Size-ratio prune: J >= t forces min(|A|,|B|)/max(|A|,|B|) >= t,
-      // so the prune is semantically a no-op but skips the set ops for
-      // most pairs.
+      // Size-ratio prune: UNROUNDED J >= t forces min/max >= t, but the
+      // kept filter is on round(J, 4) — a pair at J in [t - 5e-5, t) can
+      // round up to t, so the prune threshold is slackened accordingly
+      // (0.2999 < 0.3 - 5e-5) to stay a semantic no-op vs the oracle.
       val sh = documents(s, d)
         .select($"doc_id", shingleHashes64($"text").as("sh"))
         .withColumn("n", size($"sh"))
@@ -54,7 +55,7 @@ object PipelineQueries {
       val b = sh.select($"doc_id".as("id_b"), $"sh".as("sh_b"), $"n".as("n_b"))
       a.crossJoin(b)
         .filter($"id_a" < $"id_b" &&
-          least($"n_a", $"n_b") >= lit(0.3) * greatest($"n_a", $"n_b"))
+          least($"n_a", $"n_b") >= lit(0.2999) * greatest($"n_a", $"n_b"))
         .withColumn("jaccard",
           round(graft.functions.JaccardDistinctLongs
             .jaccard64($"sh_a", $"sh_b"), 4))

@@ -25,8 +25,14 @@ object Ann {
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (l2norm(a) * l2norm(b))
+  /** NaN-safe: a zero-norm vector (failed/padded embedding) similarity is
+    * 0, not NaN — NaN sorts as the LARGEST double under desc ordering and
+    * would displace every true top-k result.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = l2norm(a) * l2norm(b)
+    when(denom > 0, dot(a, b) / denom).otherwise(lit(0.0))
+  }
 
   /** Exact top-k cosine neighbors for each query row.
     * queries/corpus: (id, vec). Broadcast the smaller (query) side.

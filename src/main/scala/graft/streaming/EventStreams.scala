@@ -106,7 +106,12 @@ object EventStreams {
                   (st.lastTs - st.start) / 1000.0)
                 st = SessionState(t, t, 1, e.value)
               } else {
-                st = SessionState(st.start, t, st.n + 1, st.total + e.value)
+                // cross-batch late event (t may precede lastTs within the
+                // watermark): extend the session both ways, never move
+                // lastTs backward (a backward move would rewind the
+                // event-time timeout and split live sessions)
+                st = SessionState(math.min(st.start, t),
+                  math.max(st.lastTs, t), st.n + 1, st.total + e.value)
               }
             }
             state.update(st)

@@ -75,6 +75,81 @@ class ReviewFixesSpec extends AnyFunSuite {
     assert(m("micro").getAs[Double]("precision") === 1.0)
   }
 
+  test("asof join: atomic right row, null values, deterministic ties") {
+    import TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // right rows: (t=1: id=7, code=null), (t=2: id=null, code=X)
+    val left = Seq((1L, "u", 100L)).toDF("lid", "k", "t")
+      .withColumn("t", timestamp_micros($"t"))
+    val right = Seq(
+      (Some(7L), Option.empty[String], "u", 10L),
+      (Option.empty[Long], Some("X"), "u", 20L))
+      .toDF("rid", "rcode", "rk", "rt")
+      .withColumn("rt", timestamp_micros($"rt"))
+    val out = graft.operators.AsOfJoin.backward(left, right,
+      $"k", $"rk", $"t", $"rt", Seq($"rid", $"rcode")).head()
+    // the LATEST right ROW is (null, X) — not a mix of both rows
+    assert(out.isNullAt(out.fieldIndex("rid")))
+    assert(out.getAs[String]("rcode") === "X")
+  }
+
+  test("cosine of a zero vector is 0, never NaN/rank-1") {
+    import TestSpark.spark
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(0.0, 0.0)), (1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1)),
+      (3L, Seq(0.0, 1.0)))
+      .toDF("id", "vec")
+    val top = graft.similarity.Ann.bruteForceTopK(
+      emb.filter($"id" === 1), emb, k = 1).head()
+    assert(top.getAs[Long]("neighbor_id") === 2L) // not the zero vector
+  }
+
+  test("standoff: malformed span line skipped; relations round-trip") {
+    import TestSpark.spark
+    val dir = java.nio.file.Files.createTempDirectory("brat-bad").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "d.txt"), "abc def")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "d.ann"),
+      "T1\tx 10\tbroken-single-offset\n" +   // malformed: skipped
+      "T2\tok 0 3\tabc\n" +
+      "R1\trel Arg1:T2 Arg2:T2\n")
+    val df = graft.io.Standoff.read(spark, dir)
+    val row = df.head()
+    val ents = row.getSeq[org.apache.spark.sql.Row](2)
+    assert(ents.map(_.getString(0)) === Seq("T2"))
+    val out = java.nio.file.Files.createTempDirectory("brat-bad-out").toString
+    graft.io.Standoff.write(df, out)
+    val ann = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(out, "d.ann"))
+    assert(ann.contains("R1\trel Arg1:T2 Arg2:T2"))
+  }
+
+  test("conll: truncated data line yields null fields, not a job failure") {
+    import TestSpark.spark
+    val dir = java.nio.file.Files.createTempDirectory("conll-bad").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "s.conllu"),
+      "1\tLe\tle\tDET\t_\t_\t2\tdet\t_\t_\n2\ttruncated\n")
+    val words = graft.io.Conll.read(spark, s"$dir/*.conllu")
+      .selectExpr("explode(words) as w").select("w.FORM", "w.MISC").collect()
+    assert(words.length === 2)
+    assert(words(1).getString(0) === "truncated")
+    assert(words(1).isNullAt(1)) // missing field -> null
+  }
+
+  test("lsh bands guard rejects bands > signature length") {
+    import TestSpark.spark
+    import spark.implicits._
+    val sigs = Seq((1L, Seq(1L, 2L))).toDF("id", "sig")
+    intercept[IllegalArgumentException] {
+      graft.dedup.Dedup.lshCandidatePairs(sigs, "id", bands = 16,
+        sigLength = 2)
+    }
+  }
+
   test("LLM annotator stays lazy over large partitions") {
     // 1000 one-doc batches with concurrency 2: if the operator
     // materialized all batches eagerly, callCount would hit 1000 before

@@ -13,17 +13,26 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    def arity2(name: String, children: Seq[Expression])(
+        build: (Expression, Expression) => Expression): Expression = {
+      if (children.size != 2)
+        throw new IllegalArgumentException(
+          s"$name requires exactly 2 arguments, got ${children.size}")
+      build(children(0), children(1))
+    }
     ext.injectFunction((
       new FunctionIdentifier("graft_jaccard64"),
       new ExpressionInfo(
         classOf[functions.JaccardDistinctLongs].getName, "graft_jaccard64"),
       (children: Seq[Expression]) =>
-        functions.JaccardDistinctLongs(children(0), children(1))))
+        arity2("graft_jaccard64", children)(
+          functions.JaccardDistinctLongs(_, _))))
     ext.injectFunction((
       new FunctionIdentifier("graft_split_text"),
       new ExpressionInfo(
         classOf[functions.SplitTextGenerator].getName, "graft_split_text"),
       (children: Seq[Expression]) =>
-        functions.SplitTextGenerator(children(0), children(1))))
+        arity2("graft_split_text", children)(
+          functions.SplitTextGenerator(_, _))))
   }
 }

@@ -83,13 +83,13 @@ object Dedup {
       sigs: DataFrame, // (id, sig array<bigint>)
       idCol: String,
       bands: Int,
-      maxBucket: Int = 1000,
-      sigLength: Int = 0): DataFrame = {
+      sigLength: Int,
+      maxBucket: Int = 1000): DataFrame = {
     require(bands > 0, "bands must be positive")
     // bands > signature length would make every band slice empty: all
     // docs collide into one bucket per band and the maxBucket cap then
-    // silently drops everything.
-    require(sigLength <= 0 || bands <= sigLength,
+    // silently drops everything — mandatory check, not opt-in.
+    require(bands <= sigLength,
       s"bands ($bands) must not exceed signature length ($sigLength)")
     val buckets = sigs
       .select(col(idCol).as("id"),
@@ -128,6 +128,7 @@ object Dedup {
     val sigs = hashed.select(col("id"),
       minHashSignature(col("hs"), k).as("sig"))
     val cands = lshCandidatePairs(sigs, "id", bands, sigLength = k)
+    // (sigLength = k makes the band/width invariant checkable up front)
     val ha = hashed.select(col("id").as("id_a"), col("hs").as("hs_a"))
     val hb = hashed.select(col("id").as("id_b"), col("hs").as("hs_b"))
     cands.join(ha, "id_a").join(hb, "id_b")

@@ -84,7 +84,8 @@ final class FuzzyMatcher private (
             out += Ent(first.begin, last.end, label,
               text.substring(first.begin, last.end),
               Map("term" -> termTexts(tid),
-                "similarity" -> f"$sc%.4f"))
+                "similarity" -> String.format(java.util.Locale.ROOT,
+                  "%.4f", Double.box(sc))))
           }
         }
         w += 1

@@ -48,11 +48,12 @@ object AsOfJoin {
         Seq(rightKey.as("__k"), rightTime.as("__t"), lit(0).as("__side"),
           struct(rightValues: _*).as("__v")): _*)
 
-    // Tie-break equal (key, time) right rows by the value struct itself:
-    // deterministic under any partitioning (last = max struct), matching
-    // the driver's hash-compare requirement.
+    // Tie-break equal (key, time) right rows by the JSON rendering of the
+    // value struct: deterministic under any partitioning, and — unlike
+    // ordering (or hashing) the struct itself — works when a value column
+    // is non-orderable/non-hashable (MapType, e.g. entity attrs).
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t"), col("__side"), col("__v"))
+      .orderBy(col("__t"), col("__side"), to_json(col("__v")))
       .rowsBetween(Window.unboundedPreceding, 0)
     val filled = lpart.unionByName(rpart)
       .withColumn("__v", last(col("__v"), ignoreNulls = true).over(w))

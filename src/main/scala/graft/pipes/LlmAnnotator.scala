@@ -60,7 +60,16 @@ object LlmAnnotator {
       callModel: Seq[String] => Seq[String],
       batchSize: Int = 8,
       config: Config = Config()): Iterator[(Long, Seq[Ent])] = {
-    val pool = Executors.newFixedThreadPool(config.concurrency)
+    // daemon threads: a consumer that abandons the iterator early (limit,
+    // take, task failure) must not pin the JVM; the pool is additionally
+    // shut down on drain and on Spark task completion.
+    val pool = Executors.newFixedThreadPool(config.concurrency, r => {
+      val t = new Thread(r, "graft-llm-annotator")
+      t.setDaemon(true)
+      t
+    })
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => pool.shutdownNow()))
     implicit val ec: ExecutionContext =
       ExecutionContext.fromExecutor(pool)
 

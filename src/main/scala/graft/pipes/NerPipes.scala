@@ -44,6 +44,23 @@ object Scores {
   val sofa: Config = Config("sofa", Seq("sofa", "score sofa"))
   val glasgow: Config = Config("glasgow",
     Seq("glasgow", "score de glasgow", "gcs"))
+  // emergency scores (`edsnlp/pipes/ner/scores/emergency/`): CCMU and
+  // GEMSA triage classes, value range clamped by normalize
+  val ccmu: Config = Config("emergency_ccmu",
+    Seq("ccmu", "classe ccmu"),
+    normalize = v => if (v >= 1 && v <= 5) v else Double.NaN)
+  val gemsa: Config = Config("emergency_gemsa",
+    Seq("gemsa", "classe gemsa"),
+    normalize = v => if (v >= 1 && v <= 6) v else Double.NaN)
+  val priority: Config = Config("emergency_priority",
+    Seq("priorité", "priorite", "tri iao"))
+  // Elston-Ellis / SBR histologic grade (`scores/elston_ellis/`)
+  val elstonEllis: Config = Config("elston_ellis",
+    Seq("elston", "elston-ellis", "elston et ellis", "sbr", "grade sbr"),
+    normalize = v => if (v >= 1 && v <= 3) v else Double.NaN)
+
+  val all: Seq[Config] =
+    Seq(charlson, sofa, glasgow, ccmu, gemsa, priority, elstonEllis)
 
   final class Matcher(config: Config) extends Serializable {
     private val trigPat = Pattern.compile(

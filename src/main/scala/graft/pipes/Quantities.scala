@@ -40,10 +40,10 @@ object Quantities {
 
   private val unitAlt = registry.keys.toSeq.sortBy(-_.length)
     .map(Pattern.quote).mkString("|")
-  // French numbers: space- or NBSP-grouped thousands ("4 500") or plain
-  // with decimal comma/point
+  // French numbers: space- or NBSP-grouped thousands with optional
+  // decimal tail ("4 500", "4 500,5") or plain with decimal comma/point
   private val num =
-    "(?:\\d{1,3}(?:[ \\u00A0]\\d{3})+|\\d+(?:[.,]\\d+)?)"
+    "(?:\\d{1,3}(?:[ \\u00A0]\\d{3})+(?:[.,]\\d+)?|\\d+(?:[.,]\\d+)?)"
   // simple: "12 mg", "37,2 °C", "1.80 m"; composed: "5 mg/l", "4 500 /mm3"
   private val simple = Pattern.compile(
     s"(?<![\\d,.])(?<v>$num)\\s*(?<u>(?:$unitAlt)(?:/(?:$unitAlt))?|/(?:$unitAlt))(?![\\p{L}\\d])",

@@ -77,7 +77,8 @@ object PipelineQueries {
           h => pmod(h, lit(2147483647L))))
       val sigs = withShingles.select($"doc_id".as("id"),
         Dedup.minHashSignature($"hs", 64).as("sig"))
-      val cands = Dedup.lshCandidatePairs(sigs, "id", bands = 16)
+      val cands = Dedup.lshCandidatePairs(sigs, "id", bands = 16,
+        sigLength = 64)
       val sa = withShingles.select($"doc_id".as("id_a"), $"sh".as("sh_a"))
       val sb = withShingles.select($"doc_id".as("id_b"), $"sh".as("sh_b"))
       cands.join(sa, "id_a").join(sb, "id_b")

@@ -105,11 +105,18 @@ object EventStreams {
                   st.n, math.rint(st.total * 100) / 100,
                   (st.lastTs - st.start) / 1000.0)
                 st = SessionState(t, t, 1, e.value)
+              } else if (t < st.start - gapSeconds * 1000) {
+                // late event more than a gap BEFORE the current session:
+                // it belongs to an earlier, already-expired session —
+                // emit it as its own session rather than stretching the
+                // current one across a silent interval longer than gap
+                out += SessionOut(userId, new java.sql.Timestamp(t),
+                  1, math.rint(e.value * 100) / 100, 0.0)
               } else {
-                // cross-batch late event (t may precede lastTs within the
-                // watermark): extend the session both ways, never move
-                // lastTs backward (a backward move would rewind the
-                // event-time timeout and split live sessions)
+                // in-gap late or in-order event: extend the session both
+                // ways; lastTs never moves backward (a backward move
+                // would rewind the event-time timeout and split live
+                // sessions)
                 st = SessionState(math.min(st.start, t),
                   math.max(st.lastTs, t), st.n + 1, st.total + e.value)
               }

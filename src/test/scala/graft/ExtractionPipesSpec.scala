@@ -119,6 +119,18 @@ class ExtractionPipesSpec extends AnyFunSuite {
     assert(hits.head.attrs("value").toDouble === 12.0)
   }
 
+  test("emergency and histologic score configs extract and clamp values") {
+    def value(cfg: Scores.Config, text: String): Option[Double] =
+      Scores.matcher(cfg).findMatches(text)
+        .headOption.map(_.attrs("value").toDouble)
+    assert(value(Scores.ccmu, "Classe CCMU 3 aux urgences.") === Some(3.0))
+    assert(value(Scores.gemsa, "GEMSA 5 ce jour.") === Some(5.0))
+    assert(value(Scores.elstonEllis, "Grade SBR 2.") === Some(2.0))
+    // out-of-range clamps to NaN (kept as a mention, flagged value)
+    assert(value(Scores.ccmu, "CCMU 9 erroné.").exists(_.isNaN))
+    assert(Scores.all.size === 7)
+  }
+
   test("TNM staging parses components") {
     val hits = Tnm.extract("Carcinome classé pT2N1M0.")
     assert(hits.length === 1)

@@ -140,7 +140,7 @@ class ReviewFixesSpec extends AnyFunSuite {
     assert(words(1).isNullAt(1)) // missing field -> null
   }
 
-  test("lsh bands guard rejects bands > signature length") {
+  test("lsh bands guard is mandatory") {
     import TestSpark.spark
     import spark.implicits._
     val sigs = Seq((1L, Seq(1L, 2L))).toDF("id", "sig")
@@ -148,6 +148,41 @@ class ReviewFixesSpec extends AnyFunSuite {
       graft.dedup.Dedup.lshCandidatePairs(sigs, "id", bands = 16,
         sigLength = 2)
     }
+  }
+
+  test("asof join tie-break works with map-typed right values") {
+    import TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val left = Seq((1L, "u", 100L)).toDF("lid", "k", "t")
+      .withColumn("t", timestamp_micros($"t"))
+    val right = Seq((7L, "u", 10L)).toDF("rid", "rk", "rt")
+      .withColumn("rt", timestamp_micros($"rt"))
+      .withColumn("rattrs", map(lit("a"), lit("b")))
+    val out = graft.operators.AsOfJoin.backward(left, right,
+      $"k", $"rk", $"t", $"rt", Seq($"rid", $"rattrs")).head()
+    assert(out.getAs[Long]("rid") === 7L)
+    assert(out.getAs[Map[String, String]]("rattrs") === Map("a" -> "b"))
+  }
+
+  test("quantities: grouped thousands with decimal tail") {
+    val es = graft.pipes.Quantities.extract("Plaquettes 4 500,5 /mm3.")
+    assert(es.nonEmpty)
+    assert(es.head.attrs("raw_value").toDouble === 4500.5)
+  }
+
+  test("fuzzy similarity attr uses ROOT-locale decimal point") {
+    val saved = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.FRANCE)
+      val m = graft.nlp.FuzzyMatcher.build("x", Seq("paracetamol"))
+      val s = "paracetemol pris"
+      val toks = graft.nlp.Normalizer.normalize(s,
+        graft.nlp.Tokenizer.tokenize(s))
+      val hit = m.findMatches(toks, s).head
+      assert(hit.attrs("similarity").contains("."))
+      assert(hit.attrs("similarity").toDouble > 0.5)
+    } finally java.util.Locale.setDefault(saved)
   }
 
   test("LLM annotator stays lazy over large partitions") {

@@ -49,6 +49,71 @@ object SimHash {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Fused text -> simhash: word split, n-gram shingle hashing (FNV-1a
+    * over words, mixed per shingle, splitmix-finalized), dedup, and bit
+    * votes in ONE pass with zero intermediate Spark arrays or shingle
+    * strings — profiling showed the expression-built shingle arrays plus
+    * a boxed Seq[Long] UDF dominating the whole near-dup query.
+    */
+  def simhashFromText(text: Column, n: Int): Column = {
+    val f = udf((s: String) => {
+      if (s == null) 0L
+      else {
+        // FNV-1a per word over the whole text, shingle = mix of n
+        // consecutive word hashes
+        val wordHashes = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var h = 0xCBF29CE484222325L
+        var inWord = false
+        var i = 0
+        while (i < s.length) {
+          val c = s.charAt(i)
+          if (Character.isWhitespace(c)) {
+            if (inWord) { wordHashes += h; h = 0xCBF29CE484222325L }
+            inWord = false
+          } else {
+            h = (h ^ c) * 0x100000001B3L
+            inWord = true
+          }
+          i += 1
+        }
+        if (inWord) wordHashes += h
+        val votes = new Array[Long](64)
+        val seen = new java.util.HashSet[java.lang.Long]()
+        val m = math.max(wordHashes.length - n + 1, 0)
+        var j = 0
+        while (j < m) {
+          var sh = 0L
+          var k = 0
+          while (k < n) {
+            sh = sh * 0x9E3779B97F4A7C15L + wordHashes(j + k)
+            k += 1
+          }
+          // splitmix finalize
+          var z = sh
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          z = z ^ (z >>> 31)
+          if (seen.add(z)) {
+            var b = 0
+            while (b < 64) {
+              if (((z >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+              b += 1
+            }
+          }
+          j += 1
+        }
+        var fp = 0L
+        var b = 0
+        while (b < 64) {
+          if (votes(b) > 0) fp |= (1L << b)
+          b += 1
+        }
+        fp
+      }
+    })
+    f(text)
+  }
+
   /** Near-dup pairs with Hamming distance <= radius. */
   def nearDuplicates(
       df: DataFrame, idCol: String, textCol: String,
@@ -57,7 +122,7 @@ object SimHash {
     val width = 64 / blocks // bits per block (last block gets the remainder)
     val fp = df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"),
-        simhash(Dedup.shingleHashes(col(textCol), n)).as("fp"))
+        simhashFromText(col(textCol), n).as("fp"))
     val blocked = fp.select(col("id"), col("fp"),
       posexplode(expr(
         s"transform(sequence(0, ${blocks - 1}), b -> " +

@@ -65,6 +65,20 @@ class StreamingSpec extends AnyFunSuite {
       s"$emitted of $totalSessions sessions emitted")
   }
 
+  test("sliding window rates emit watermark-closed windows") {
+    val ev = EventStreams.readEvents(spark, streamDir)
+    val got = runToCompletion(
+      EventStreams.slidingRates(ev, "1 hour", "15 minutes", "0 seconds"),
+      "sliding")
+    assert(got.count() > 0)
+    // each 1h window slid by 15min: counts are positive and approx_users
+    // bounded by event count
+    got.collect().foreach { r =>
+      assert(r.getAs[Long]("n") > 0)
+      assert(r.getAs[Long]("approx_users") <= r.getAs[Long]("n") * 2)
+    }
+  }
+
   test("stateful dedup drops duplicate event ids") {
     // duplicate the source file so every event appears twice
     val dir = Files.createTempDirectory("events-dup").toString

@@ -68,15 +68,11 @@ object PipelineQueries {
       // MinHash (k=64) -> LSH banding (16 bands) -> candidate pairs ->
       // exact verification on shingle strings. Linear-shuffle scale path.
       val docs = documents(s, d)
-      // one shingle pass: minhash input is the mod-P reduction of the
-      // 64-bit shingle hashes (min over a multiset == min over its set,
-      // so the lost distinctness is irrelevant to the signature).
       val withShingles = docs.select($"doc_id",
         shingleHashes64($"text").as("sh"))
-        .withColumn("hs", transform($"sh",
-          h => pmod(h, lit(2147483647L))))
-      val sigs = withShingles.select($"doc_id".as("id"),
-        Dedup.minHashSignature($"hs", 64).as("sig"))
+      // fused single-pass signature (no intermediate shingle arrays)
+      val sigs = docs.select($"doc_id".as("id"),
+        Dedup.minHashSignatureFromText($"text", 3, 64).as("sig"))
       val cands = Dedup.lshCandidatePairs(sigs, "id", bands = 16,
         sigLength = 64)
       val sa = withShingles.select($"doc_id".as("id_a"), $"sh".as("sh_a"))

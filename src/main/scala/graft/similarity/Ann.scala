@@ -27,12 +27,11 @@ object Ann {
 
   /** NaN-safe: a zero-norm vector (failed/padded embedding) similarity is
     * 0, not NaN — NaN sorts as the LARGEST double under desc ordering and
-    * would displace every true top-k result.
+    * would displace every true top-k result. Backed by the native codegen
+    * expression (one fused loop; HOF lambdas evaluate interpreted).
     */
-  def cosine(a: Column, b: Column): Column = {
-    val denom = l2norm(a) * l2norm(b)
-    when(denom > 0, dot(a, b) / denom).otherwise(lit(0.0))
-  }
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity.cosine64(a, b)
 
   /** Exact top-k cosine neighbors for each query row.
     * queries/corpus: (id, vec). Broadcast the smaller (query) side.

@@ -61,25 +61,41 @@ object TextStats {
 
   /** Heuristic language ID: argmax over per-language evidence =
     * stopword-hit ratio + marker-char ratio. Returns the language code,
-    * "und" when no evidence. Pure expressions; profiles are literals.
+    * "und" when no evidence. Fused single-pass UDF (the equivalent
+    * higher-order-function formulation evaluates its lambdas interpreted,
+    * dominating the query); decision logic is arithmetic-identical:
+    * per-language (score, code) max with lexicographic tie-break.
     */
   def langId(text: Column): Column = {
-    val words = split(lower(trim(text)), "\\s+")
-    val nWords = greatest(size(words), lit(1)).cast("double")
-    val scores = langProfiles.map { case (code, stops, chars) =>
-      val stopScore =
-        if (stops.isEmpty) lit(0.0)
-        else size(filter(words, w =>
-          array_contains(array(stops.map(lit): _*), w))).cast("double") / nWords
-      val charScore =
-        if (chars.isEmpty) lit(0.0)
-        else (length(text) -
-          length(translate(text, chars, ""))).cast("double") /
-          greatest(length(text), lit(1)).cast("double") * 5.0
-      struct((stopScore + charScore).as("score"), lit(code).as("code"))
+    val profiles = langProfiles.map { case (code, stops, chars) =>
+      (code, stops.toSet, chars.toSet)
     }
-    val best = greatest(scores: _*)
-    when(best("score") > 0, best("code")).otherwise(lit("und"))
+    val f = udf((t: String) => {
+      if (t == null) "und"
+      else {
+        val words = t.trim.toLowerCase.split("\\s+")
+        val nWords = math.max(words.length, 1).toDouble
+        val textLen = math.max(t.length, 1).toDouble
+        var bestScore = 0.0
+        var bestCode = ""
+        profiles.foreach { case (code, stops, chars) =>
+          var stopHits = 0
+          if (stops.nonEmpty) words.foreach(w =>
+            if (stops.contains(w)) stopHits += 1)
+          var charHits = 0
+          if (chars.nonEmpty) t.foreach(c =>
+            if (chars.contains(c)) charHits += 1)
+          val score = stopHits / nWords + charHits / textLen * 5.0
+          if (score > bestScore ||
+            (score == bestScore && code > bestCode)) {
+            bestScore = score
+            bestCode = code
+          }
+        }
+        if (bestScore > 0) bestCode else "und"
+      }
+    })
+    f(text)
   }
 
   /** 64-bit fingerprint of the normalized word sequence (order sensitive,

@@ -136,19 +136,14 @@ object ExtractionQueries {
         "spark" -> Seq("spark"), "join" -> Seq("join")))
       val pred = pipe.entsTable(docs, "doc_id", "text")
         .select($"doc_id", $"begin", $"end", $"label")
-      val words = docs.select($"doc_id",
-        posexplode(split($"text", " ")).as(Seq("i", "w")))
-      val gold = words
-        .withColumn("begin",
-          (sum(length($"w") + 1).over(
-            org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
-              .orderBy($"i").rowsBetween(Long.MinValue, -1)))
-            .cast("int"))
-        .withColumn("begin", coalesce($"begin", lit(0)))
-        .filter($"w".isin("spark", "merge"))
-        .select($"doc_id", $"begin",
-          ($"begin" + length($"w")).cast("int").as("end"),
-          $"w".as("label"))
+      // gold offsets from our own split Generator: narrow 1->N with exact
+      // char offsets — replaces a posexplode + per-doc window prefix-sum
+      // (which shuffled every word row on doc_id)
+      val gold = docs
+        .select($"doc_id", graft.functions.SplitTextGenerator
+          .splitText($"text", lit(" ")))
+        .filter($"fragment".isin("spark", "merge"))
+        .select($"doc_id", $"begin", $"end", $"fragment".as("label"))
       graft.metrics.NerMetrics.nerExact(pred, gold)
         .orderBy($"label")
     }

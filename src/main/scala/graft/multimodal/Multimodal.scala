@@ -62,12 +62,14 @@ object Multimodal {
   def extractFeatures(ds: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
+      // HALF_UP rounding matches Spark's round() and DuckDB's round()
+      // (rint's half-even would diverge on exact .00005 boundaries)
+      def r4(x: Double): Double =
+        BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
       rows.map { r =>
         val (entropy, brightness, hist) = decodeFeatures(r.content)
         MediaFeatures(r.media_id, r.content.length.toLong,
-          math.rint(entropy * 10000) / 10000,
-          math.rint(brightness * 10000) / 10000,
-          hist.toSeq)
+          r4(entropy), r4(brightness), hist.toSeq)
       }
     }
   }

@@ -136,10 +136,12 @@ object PipelineQueries {
     "q38_media_features" -> { (s, d) =>
       import s.implicits._
       // multimodal plumbing: binary payloads -> partition-local stub
-      // decode -> fixed-width features. rows-only check.
+      // decode -> fixed-width features. n_bytes/brightness are exact
+      // integer arithmetic, so DuckDB recomputes them from the chars;
+      // entropy (float log sums) stays spec-covered only.
       val media = Multimodal.mediaFromDocuments(s, documents(s, d))
       Multimodal.extractFeatures(media).toDF()
-        .select($"media_id", $"n_bytes", $"entropy", $"brightness")
+        .select($"media_id", $"n_bytes", $"brightness")
         .orderBy($"media_id")
     },
     "q44_split_generator" -> { (s, d) =>
@@ -263,6 +265,11 @@ object PipelineQueries {
          SELECT doc_id, CAST(idx AS INTEGER) AS idx, begin,
            CAST(begin + length(frag) AS INTEGER) AS "end"
          FROM pos ORDER BY doc_id, idx""",
+    "q38_media_features" ->
+      """SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS n_bytes,
+         round(list_sum(list_transform(string_split(text, ''),
+           c -> ord(c)))::DOUBLE / length(text), 4) AS brightness
+         FROM documents ORDER BY media_id""",
     "q39_subword_count" ->
       """SELECT doc_id,
          CAST(len(regexp_extract_all(text,

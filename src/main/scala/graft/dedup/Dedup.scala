@@ -75,41 +75,14 @@ object Dedup {
     val perms: Array[(Long, Long)] = Array.tabulate(k)(perm)
     val f = udf((s: String) => {
       val sig = Array.fill(k)(Long.MaxValue)
-      if (s != null) {
-        val wordHashes = scala.collection.mutable.ArrayBuffer.empty[Long]
-        var h = 0xCBF29CE484222325L
-        var inWord = false
-        var i = 0
-        while (i < s.length) {
-          val c = s.charAt(i)
-          if (Character.isWhitespace(c)) {
-            if (inWord) { wordHashes += h; h = 0xCBF29CE484222325L }
-            inWord = false
-          } else {
-            h = (h ^ c) * 0x100000001B3L
-            inWord = true
-          }
-          i += 1
-        }
-        if (inWord) wordHashes += h
-        val m = math.max(wordHashes.length - n + 1, 0)
-        var j = 0
-        while (j < m) {
-          var sh = 0L
-          var q = 0
-          while (q < n) {
-            sh = sh * 0x9E3779B97F4A7C15L + wordHashes(j + q)
-            q += 1
-          }
-          val hp = math.floorMod(sh, P)
-          var b = 0
-          while (b < k) {
-            val (a, c0) = perms(b)
-            val v = math.floorMod(a * hp + c0, P)
-            if (v < sig(b)) sig(b) = v
-            b += 1
-          }
-          j += 1
+      Shingling.foreachShingleHash(s, n) { z =>
+        val hp = math.floorMod(z, P)
+        var b = 0
+        while (b < k) {
+          val (a, c0) = perms(b)
+          val v = math.floorMod(a * hp + c0, P)
+          if (v < sig(b)) sig(b) = v
+          b += 1
         }
       }
       sig.toSeq

@@ -57,59 +57,24 @@ object SimHash {
     */
   def simhashFromText(text: Column, n: Int): Column = {
     val f = udf((s: String) => {
-      if (s == null) 0L
-      else {
-        // FNV-1a per word over the whole text, shingle = mix of n
-        // consecutive word hashes
-        val wordHashes = scala.collection.mutable.ArrayBuffer.empty[Long]
-        var h = 0xCBF29CE484222325L
-        var inWord = false
-        var i = 0
-        while (i < s.length) {
-          val c = s.charAt(i)
-          if (Character.isWhitespace(c)) {
-            if (inWord) { wordHashes += h; h = 0xCBF29CE484222325L }
-            inWord = false
-          } else {
-            h = (h ^ c) * 0x100000001B3L
-            inWord = true
+      val votes = new Array[Long](64)
+      val seen = new java.util.HashSet[java.lang.Long]()
+      Shingling.foreachShingleHash(s, n) { z =>
+        if (seen.add(z)) {
+          var b = 0
+          while (b < 64) {
+            if (((z >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
           }
-          i += 1
         }
-        if (inWord) wordHashes += h
-        val votes = new Array[Long](64)
-        val seen = new java.util.HashSet[java.lang.Long]()
-        val m = math.max(wordHashes.length - n + 1, 0)
-        var j = 0
-        while (j < m) {
-          var sh = 0L
-          var k = 0
-          while (k < n) {
-            sh = sh * 0x9E3779B97F4A7C15L + wordHashes(j + k)
-            k += 1
-          }
-          // splitmix finalize
-          var z = sh
-          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-          z = z ^ (z >>> 31)
-          if (seen.add(z)) {
-            var b = 0
-            while (b < 64) {
-              if (((z >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-              b += 1
-            }
-          }
-          j += 1
-        }
-        var fp = 0L
-        var b = 0
-        while (b < 64) {
-          if (votes(b) > 0) fp |= (1L << b)
-          b += 1
-        }
-        fp
       }
+      var fp = 0L
+      var b = 0
+      while (b < 64) {
+        if (votes(b) > 0) fp |= (1L << b)
+        b += 1
+      }
+      fp
     })
     f(text)
   }

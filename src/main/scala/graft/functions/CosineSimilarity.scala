@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native cosine similarity over two `array<double>` columns with
   * whole-stage codegen — the ANN hot loop. Spark's higher-order functions
@@ -25,28 +25,42 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(DoubleType, _) => true
+      case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
       case _ => false
     })
     if (ok)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-        .TypeCheckFailure(s"requires (array<double>, array<double>), got " +
+        .TypeCheckFailure(
+          s"requires array<double>/array<float> inputs, got " +
           s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
 
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  /** Length-mismatched or null-element vectors score 0.0, matching the
+    * HOF formulation this replaces (zip_with null-pads, null products
+    * nullify the fold, the zero-guard catches it).
+    */
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return 0.0
+    val lf = isFloat(left)
+    val rf = isFloat(right)
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
-      val xi = x.getDouble(i)
-      val yi = y.getDouble(i)
+      if (x.isNullAt(i) || y.isNullAt(i)) return 0.0
+      val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xi * yi
       na += xi * xi
       nb += yi * yi
@@ -67,16 +81,25 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       val denom = ctx.freshName("denom")
+      val bad = ctx.freshName("bad")
+      val getX =
+        if (isFloat(left)) s"(double) $a.getFloat($i)"
+        else s"$a.getDouble($i)"
+      val getY =
+        if (isFloat(right)) s"(double) $b.getFloat($i)"
+        else s"$b.getDouble($i)"
       s"""
-         |final int $n = Math.min($a.numElements(), $b.numElements());
+         |final int $n = $a.numElements();
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  final double $xi = $a.getDouble($i);
-         |  final double $yi = $b.getDouble($i);
+         |boolean $bad = $n != $b.numElements();
+         |for (int $i = 0; !$bad && $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |  final double $xi = $getX;
+         |  final double $yi = $getY;
          |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |}
          |final double $denom = Math.sqrt($na) * Math.sqrt($nb);
-         |${ev.value} = $denom > 0 ? $dot / $denom : 0.0;
+         |${ev.value} = (!$bad && $denom > 0) ? $dot / $denom : 0.0;
        """.stripMargin
     })
 

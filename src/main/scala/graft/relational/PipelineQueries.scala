@@ -137,9 +137,12 @@ object PipelineQueries {
       import s.implicits._
       // multimodal plumbing: binary payloads -> partition-local stub
       // decode -> fixed-width features. n_bytes/brightness are exact
-      // integer arithmetic, so DuckDB recomputes them from the chars;
-      // entropy (float log sums) stays spec-covered only.
-      val media = Multimodal.mediaFromDocuments(s, documents(s, d))
+      // integer arithmetic, so DuckDB recomputes them from the chars —
+      // valid only for ASCII payloads (bytes == codepoints), so both
+      // sides restrict to ASCII docs explicitly rather than assuming
+      // the corpus stays that way.
+      val media = Multimodal.mediaFromDocuments(s,
+        documents(s, d).filter($"text".rlike("^[\\x00-\\x7F]*$")))
       Multimodal.extractFeatures(media).toDF()
         .select($"media_id", $"n_bytes", $"brightness")
         .orderBy($"media_id")
@@ -269,7 +272,9 @@ object PipelineQueries {
       """SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS n_bytes,
          round(list_sum(list_transform(string_split(text, ''),
            c -> ord(c)))::DOUBLE / length(text), 4) AS brightness
-         FROM documents ORDER BY media_id""",
+         FROM documents
+         WHERE regexp_matches(text, '^[\x00-\x7F]*$')
+         ORDER BY media_id""",
     "q39_subword_count" ->
       """SELECT doc_id,
          CAST(len(regexp_extract_all(text,

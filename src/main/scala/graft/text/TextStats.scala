@@ -73,9 +73,12 @@ object TextStats {
     val f = udf((t: String) => {
       if (t == null) "und"
       else {
-        val words = t.trim.toLowerCase.split("\\s+")
+        // ROOT locale: default-locale lowercase (tr-TR dotless i) would
+        // diverge from the locale-independent lower() this replaced
+        val words = t.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
         val nWords = math.max(words.length, 1).toDouble
-        val textLen = math.max(t.length, 1).toDouble
+        val textLen =
+          math.max(t.codePointCount(0, t.length), 1).toDouble
         var bestScore = 0.0
         var bestCode = ""
         profiles.foreach { case (code, stops, chars) =>

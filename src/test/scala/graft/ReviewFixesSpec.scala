@@ -185,6 +185,38 @@ class ReviewFixesSpec extends AnyFunSuite {
     } finally java.util.Locale.setDefault(saved)
   }
 
+  test("short docs get content-dependent fingerprints and signatures") {
+    import TestSpark.spark
+    import spark.implicits._
+    // one- and two-word docs must NOT be mutual near-duplicates
+    val docs = Seq((1L, "foo bar"), (2L, "lorem ipsum"), (3L, "foo bar"))
+      .toDF("doc_id", "text")
+    val dups = graft.dedup.SimHash.nearDuplicates(docs, "doc_id", "text",
+      radius = 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dups === Set((1L, 3L))) // identical short docs only
+    val mh = graft.dedup.Dedup.minHashNearDuplicates(docs, "doc_id",
+      "text", threshold = 0.9)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh === Set((1L, 3L)))
+  }
+
+  test("cosine accepts float arrays and neutralizes ragged/null vectors") {
+    import TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f))).toDF("a", "b")
+    val sim = df.select(graft.similarity.Ann.cosine($"a", $"b")).head()
+      .getDouble(0)
+    assert(math.abs(sim - 1.0) < 1e-12)
+    // ragged lengths score 0, not a truncated partial similarity
+    val ragged = Seq((Seq(1.0, 0.0), Seq(1.0))).toDF("a", "b")
+      .select(graft.similarity.Ann.cosine($"a", $"b")).head().getDouble(0)
+    assert(ragged === 0.0)
+  }
+
   test("LLM annotator stays lazy over large partitions") {
     // 1000 one-doc batches with concurrency 2: if the operator
     // materialized all batches eagerly, callCount would hit 1000 before

@@ -1,7 +1,6 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Large-scale deduplication operators for training-data pipelines.
@@ -110,7 +109,9 @@ object Dedup {
       idCol: String,
       bands: Int,
       sigLength: Int,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000,
+      droppedBuckets: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
     require(bands > 0, "bands must be positive")
     // bands > signature length would make every band slice empty: all
     // docs collide into one bucket per band and the maxBucket cap then
@@ -124,15 +125,79 @@ object Dedup {
           s"b * greatest(size(sig) div $bands, 1) + 1, " +
           s"greatest(size(sig) div $bands, 1)), ',')))")))
       .select(col("id"), concat_ws("_", col("pos"), col("col")).as("bucket"))
-    val capped = buckets
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("bucket")))
-      .filter(col("n") <= maxBucket)
+    // Cap boilerplate-skew buckets with a groupBy count + join, not a
+    // window: a window count sorts every row WITHIN the mega-bucket it is
+    // about to discard; the aggregate pre-shrinks to one row per bucket.
+    // The cap is a documented recall tradeoff — never a silent one: the
+    // number of dropped buckets is pushed to an accumulator (and the kept
+    // side is what joins below).
+    val cnt = buckets.groupBy("bucket").agg(count(lit(1)).as("n"))
+    val keptBuckets = droppedBuckets match {
+      case Some(acc) =>
+        // nondeterministic so Catalyst neither duplicates nor reorders the
+        // side-effecting predicate; it sees one row per bucket, so the
+        // accumulator counts dropped BUCKETS (retries may overcount — the
+        // standard accumulator-in-transformation caveat, fine for a
+        // visibility metric).
+        val keepAndCount = udf { (n: Long) =>
+          val keep = n <= maxBucket
+          if (!keep) acc.add(1L)
+          keep
+        }.asNondeterministic()
+        cnt.filter(keepAndCount(col("n")))
+      case None => cnt.filter(col("n") <= maxBucket)
+    }
+    val capped = buckets.join(keptBuckets.select("bucket"), "bucket")
     val l = capped.select(col("bucket"), col("id").as("id_a"))
     val r = capped.select(col("bucket"), col("id").as("id_b"))
     l.join(r, "bucket")
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
+  }
+
+  /** Exact all-pairs n-gram Jaccard >= threshold WITHOUT a cartesian:
+    * prefix-filtered inverted-index self-join (the AllPairs/PPJoin prefix
+    * principle). Each shingle set is sorted under a global total order
+    * (the 64-bit hash value); two sets with J >= t must share an element
+    * within their first `|x| - ceil(t*|x|) + 1` elements, so the join key
+    * is only those prefix shingles — the rarest fraction of each doc.
+    * Candidates then verify with exact Jaccard.
+    *
+    * Scale shape: explode is prefix-only (~(1-t)·|set| per doc), the join
+    * is an equi-join on a single 64-bit hash, and the quadratic blowup of
+    * a shared key is bounded by the frequency of individual prefix
+    * shingles — no all-pairs stage anywhere. This is the exact-result
+    * counterpart to [[lshCandidatePairs]] (approximate candidates).
+    *
+    * `sh` must be (id, sh: array<bigint>) with DISTINCT hashes per row.
+    * `pairFilter` (over id_a/id_b) prunes candidates BEFORE the exact
+    * verification join — e.g. a sampled-side restriction.
+    */
+  def jaccardPairsPrefix(sh: DataFrame, threshold: Double,
+      pairFilter: Column = lit(true)): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val sorted = sh.select(col("id"), array_sort(col("sh")).as("sh"),
+      size(col("sh")).as("n"))
+    val prefLen = (col("n") -
+      ceil(col("n") * lit(threshold)).cast("int") + 1)
+    val pref = sorted.select(col("id"), col("n"),
+      explode(slice(col("sh"), lit(1), prefLen)).as("h"))
+    val a = pref.select(col("h"), col("id").as("id_a"), col("n").as("n_a"))
+    val b = pref.select(col("h"), col("id").as("id_b"), col("n").as("n_b"))
+    val cands = a.join(b, "h")
+      .filter(col("id_a") < col("id_b") && pairFilter &&
+        least(col("n_a"), col("n_b")) >=
+          lit(threshold) * greatest(col("n_a"), col("n_b")))
+      .select("id_a", "id_b").distinct()
+    val sa = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val sb = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    cands.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("jaccard",
+        graft.functions.JaccardDistinctLongs.jaccard64(
+          col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** Exact Jaccard similarity between two shingle-hash set columns. */

@@ -28,22 +28,30 @@ object NerMetrics {
 
   /** Exact-span NER metric: per-label rows plus a micro row
     * (label = 'micro'), one pass (`ner.py:34-64` computes both
-    * simultaneously; here via GROUPING SETS).
+    * simultaneously).
+    *
+    * Set semantics on ALL THREE counters — the reference builds sets of
+    * (begin, end, label), so duplicate identical spans in either input
+    * must not deflate precision/recall: both sides are distinct'd first.
+    * TP is then an inner join on the span key: the distincts leave both
+    * sides hash-partitioned on exactly that key, so the join adds no
+    * exchange, and the per-label aggregates partial-aggregate map-side —
+    * the old `intersect` + 3-way union + double groupBy planned three
+    * data-sized exchanges more than the math needs.
     */
   def nerExact(pred: DataFrame, gold: DataFrame): DataFrame = {
     val key = Seq("doc_id", "begin", "end", "label")
-    val p = pred.select(key.map(col): _*)
-    val g = gold.select(key.map(col): _*)
-    val tp = p.intersect(g).withColumn("kind", lit("tp"))
-    val allPred = p.withColumn("kind", lit("pred"))
-    val allGold = g.withColumn("kind", lit("gold"))
-    val counts = tp.unionByName(allPred).unionByName(allGold)
-      .groupBy(col("label"), col("kind")).agg(count(lit(1)).as("n"))
-      .groupBy(col("label"))
-      .agg(
-        sum(when(col("kind") === "tp", col("n")).otherwise(0L)).as("tp"),
-        sum(when(col("kind") === "pred", col("n")).otherwise(0L)).as("np"),
-        sum(when(col("kind") === "gold", col("n")).otherwise(0L)).as("ng"))
+    val p = pred.select(key.map(col): _*).distinct()
+    val g = gold.select(key.map(col): _*).distinct()
+    val tp = p.join(g, key).groupBy("label").agg(count(lit(1)).as("tp"))
+    val np = p.groupBy("label").agg(count(lit(1)).as("np"))
+    val ng = g.groupBy("label").agg(count(lit(1)).as("ng"))
+    val counts = np.join(ng, Seq("label"), "full_outer")
+      .join(tp, Seq("label"), "left_outer")
+      .select(col("label"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("np"), lit(0L)).as("np"),
+        coalesce(col("ng"), lit(0L)).as("ng"))
     val perLabel = counts.select(
       col("label") +: prf(col("tp").cast("double"), col("np"), col("ng")): _*)
     val micro = counts.agg(sum("tp").as("tp"), sum("np").as("np"),
@@ -53,11 +61,15 @@ object NerMetrics {
     perLabel.unionByName(micro)
   }
 
-  /** Token-level NER metric: explode each span into its char positions
-    * (`sequence(begin, end-1)`) then exact-set logic (`ner.py:66-99`).
+  /** Char-level NER metric: explode each span into its char positions
+    * (`sequence(begin, end-1)`) then exact-set logic. NOTE this weights
+    * entities by their character length — it is NOT the reference's
+    * token metric (`ner.py:66-99` counts tokens); see [[nerToken]] for
+    * that. Kept as the tokenization-free variant (useful when no text is
+    * at hand to tokenize).
     */
-  def nerToken(pred: DataFrame, gold: DataFrame): DataFrame = {
-    def toTokens(df: DataFrame): DataFrame =
+  def nerChar(pred: DataFrame, gold: DataFrame): DataFrame = {
+    def toPositions(df: DataFrame): DataFrame =
       df.filter(col("end") > col("begin")) // zero-length spans (legal in
         // BRAT) would make sequence() count DOWN and fabricate positions
         .select(col("doc_id"), col("label"),
@@ -65,7 +77,35 @@ object NerMetrics {
         .distinct()
         .withColumnRenamed("pos", "begin")
         .withColumn("end", col("begin") + 1)
-    nerExact(toTokens(pred), toTokens(gold))
+    nerExact(toPositions(pred), toPositions(gold))
+  }
+
+  /** Token-level NER metric matching `ner.py:66-99`: each span becomes
+    * the set of TOKEN INDICES it overlaps (items `(doc_id, token_i,
+    * label)`), so scores count tokens — an 8-token entity weighs 8, a
+    * 40-char one does not weigh 40. Needs the doc text to tokenize:
+    * `docs` is `(idCol, textCol)`; spans join to their doc's tokens by
+    * char-interval overlap (per-doc local, no window).
+    */
+  def nerToken(pred: DataFrame, gold: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    // drop whitespace tokens before indexing: spaCy docs have no bare
+    // space tokens, so the reference's token.i never counts them
+    val tokUdf = udf((text: String) =>
+      graft.nlp.Tokenizer.tokenize(text)
+        .filter(t => t.text.exists(!_.isWhitespace))
+        .zipWithIndex.map { case (t, i) => (i, t.begin, t.end) })
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokUdf(col(textCol))).as("t"))
+      .select(col("doc_id"), col("t._1").as("ti"),
+        col("t._2").as("tb"), col("t._3").as("te"))
+    def items(spans: DataFrame): DataFrame =
+      spans.select(col("doc_id"), col("begin"), col("end"), col("label"))
+        .join(toks, Seq("doc_id"))
+        .filter(col("tb") < col("end") && col("te") > col("begin"))
+        .select(col("doc_id"), col("ti").as("begin"),
+          (col("ti") + 1).as("end"), col("label"))
+    nerExact(items(pred), items(gold))
   }
 
   /** Overlap-tolerant metric: a predicted span counts as TP if it overlaps
@@ -103,11 +143,66 @@ object NerMetrics {
       round(col("tpg") / greatest(col("ng"), lit(1L)), 4).as("recall"))
   }
 
-  /** Span-attribute accuracy/P-R-F over matched spans
-    * (`span_attribute.py:52-340`): join pred<->gold on the span key, then
-    * per-attribute-value agreement.
+  /** Span-attribute classification metric matching
+    * `span_attribute.py:52-340`: items are `(doc_id, begin, end, attr,
+    * value)` SETS built from BOTH sides independently (spans present on
+    * only one side count against precision/recall — no inner-join
+    * narrowing), scored per-attribute plus micro with the reference's prf
+    * (`metrics/__init__.py:33-46`: `p = 1 if tp == n_pred`, `f =
+    * 2·tp/max(1, n_pred+n_gold)`). With the reference's default
+    * `include_falsy=False`, falsy values (null, '', 'false', '0') are not
+    * items.
     */
   def spanAttribute(
+      pred: DataFrame, gold: DataFrame, attrs: Seq[String],
+      includeFalsy: Boolean = false): DataFrame = {
+    def items(df: DataFrame): DataFrame = {
+      val av = array(attrs.map(a => struct(lit(a).as("attr"),
+        col(a).cast("string").as("value"))): _*)
+      val base = df.select(col("doc_id"), col("begin"), col("end"),
+        explode(av).as("av"))
+        .select(col("doc_id"), col("begin"), col("end"),
+          col("av.attr").as("attr"), col("av.value").as("value"))
+      val kept =
+        if (includeFalsy) base.filter(col("value").isNotNull)
+        else base.filter(col("value").isNotNull &&
+          !lower(col("value")).isin("", "false", "0", "none"))
+      kept.distinct()
+    }
+    val key = Seq("doc_id", "begin", "end", "attr", "value")
+    val p = items(pred)
+    val g = items(gold)
+    val tp = p.join(g, key).groupBy("attr").agg(count(lit(1)).as("tp"))
+    val np = p.groupBy("attr").agg(count(lit(1)).as("np"))
+    val ng = g.groupBy("attr").agg(count(lit(1)).as("ng"))
+    val counts = np.join(ng, Seq("attr"), "full_outer")
+      .join(tp, Seq("attr"), "left_outer")
+      .select(col("attr"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("np"), lit(0L)).as("np"),
+        coalesce(col("ng"), lit(0L)).as("ng"))
+    val withMicro = counts.unionByName(
+      counts.agg(sum("tp").as("tp"), sum("np").as("np"),
+        sum("ng").as("ng")).select(lit("micro").as("attr"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("np"), lit(0L)).as("np"),
+        coalesce(col("ng"), lit(0L)).as("ng")))
+    withMicro.select(col("attr"),
+      round(when(col("tp") === col("np"), lit(1.0))
+        .otherwise(col("tp") / col("np")), 4).as("precision"),
+      round(when(col("tp") === col("ng"), lit(1.0))
+        .otherwise(col("tp") / col("ng")), 4).as("recall"),
+      round(lit(2.0) * col("tp") /
+        greatest(col("np") + col("ng"), lit(1L)), 4).as("f1"),
+      col("tp"), col("np").as("n_pred"), col("ng").as("n_gold"))
+  }
+
+  /** Attribute accuracy over MATCHED spans only (inner join on the span
+    * key) — a deliberate narrowing of [[spanAttribute]] for the common
+    * "how often do the two sides agree where they both found the span"
+    * question; unmatched spans are excluded by construction.
+    */
+  def spanAttributeAccuracy(
       pred: DataFrame, gold: DataFrame, attr: String): DataFrame = {
     val key = Seq("doc_id", "begin", "end", "label")
     val joined = pred.select((key :+ attr).map(col): _*)

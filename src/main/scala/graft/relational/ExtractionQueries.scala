@@ -146,6 +146,30 @@ object ExtractionQueries {
         .select($"doc_id", $"begin", $"end", $"fragment".as("label"))
       graft.metrics.NerMetrics.nerExact(pred, gold)
         .orderBy($"label")
+    },
+    "q46_dep_parsing" -> { (s, d) =>
+      import s.implicits._
+      // UAS/LAS metric (ref edsnlp/metrics/dep_parsing.py): arcs are
+      // derived deterministically from word positions so DuckDB can
+      // recompute the scores by count arithmetic. Gold attaches every
+      // word to its predecessor ('det' dep for "the", 'prev' otherwise);
+      // pred heads every "spark" at idx+1 (never equals the gold head
+      // max(idx-1, 0)) and always labels 'prev' — so every "spark" row
+      // breaks UAS+LAS and every "the" row breaks LAS only.
+      val words = documents(s, d)
+        .select($"doc_id", graft.functions.SplitTextGenerator
+          .splitText($"text", lit(" ")))
+      val gold = words.select($"doc_id".as("sent_id"),
+        $"idx".as("token_i"),
+        greatest($"idx" - 1, lit(0)).as("head_i"),
+        when($"fragment" === "the", "det").otherwise("prev").as("dep"))
+      val pred = words.select($"doc_id".as("sent_id"),
+        $"idx".as("token_i"),
+        when($"fragment" === "spark", $"idx" + 1)
+          .otherwise(greatest($"idx" - 1, lit(0))).as("head_i"),
+        lit("prev").as("dep"))
+      graft.metrics.DepParsing.uasLas(pred, gold)
+        .orderBy($"metric")
     }
   )
 
@@ -217,7 +241,27 @@ object ExtractionQueries {
            UNION ALL
            SELECT 'spark', 1.0, 1.0, 1.0, CAST(n_spark AS DOUBLE),
              n_spark, n_spark FROM counts)
-         ORDER BY label"""
+         ORDER BY label""",
+    "q46_dep_parsing" ->
+      """WITH words AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           FROM documents),
+         c AS (
+           SELECT count(*) AS n,
+             sum(CASE WHEN w = 'spark' THEN 1 ELSE 0 END) AS bad_head,
+             sum(CASE WHEN w = 'the' THEN 1 ELSE 0 END) AS bad_dep
+           FROM words)
+         SELECT 'las' AS metric,
+           round((n - bad_head - bad_dep) / n, 4) AS f,
+           CAST(n - bad_head - bad_dep AS BIGINT) AS tp,
+           CAST(n AS BIGINT) AS n_pred, CAST(n AS BIGINT) AS n_gold
+         FROM c
+         UNION ALL
+         SELECT 'uas', round((n - bad_head) / n, 4),
+           CAST(n - bad_head AS BIGINT), CAST(n AS BIGINT),
+           CAST(n AS BIGINT)
+         FROM c
+         ORDER BY metric"""
   )
 }
 

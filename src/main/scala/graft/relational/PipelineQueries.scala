@@ -10,11 +10,17 @@ import graft.similarity.Ann
 import graft.text.TextStats
 
 /** Training-data pipeline operators (dedup / similarity / text analysis /
-  * multimodal) as declared queries. MinHash-LSH and brute-force ANN have
-  * exact DuckDB oracles (the corpus's near-dup structure is bimodal —
-  * planted pairs at J >= 0.9 vs background <= 0.07 — so LSH at threshold
-  * 0.8 is exhaustive by construction); simhash/langid/fingerprint/media are
+  * multimodal) as declared queries. MinHash-LSH, prefix-join exact Jaccard,
+  * brute-force ANN and hyperplane-LSH ANN have exact DuckDB oracles (the
+  * corpus's near-dup structure is bimodal — planted pairs at J >= 0.9 vs
+  * background <= 0.07 — so LSH at threshold 0.8 is exhaustive by
+  * construction, and q45 constructs clustered vectors where LSH recall is
+  * provably total); simhash/langid/fingerprint/media are
   * algorithm-specific and get rows-only checks plus ScalaTest coverage.
+  * No declared query shuffles a cartesian: q31 is a prefix-filtered
+  * inverted-index join, q45 an LSH equi-join; q34 (the declared EXACT
+  * baseline) is a broadcast nested-loop whose quadratic part is compute
+  * only — its top-k aggregator ships just k rows per partition per query.
   */
 object PipelineQueries {
   import Tables.{documents, embeddings}
@@ -41,24 +47,19 @@ object PipelineQueries {
     },
     "q31_jaccard_pairs" -> { (s, d) =>
       import s.implicits._
-      // exact n-gram Jaccard: sampled query side x full corpus. The
-      // all-pairs form is quadratic by nature; the scale path is q32.
-      // Size-ratio prune: UNROUNDED J >= t forces min/max >= t, but the
-      // kept filter is on round(J, 4) — a pair at J in [t - 5e-5, t) can
-      // round up to t, so the prune threshold is slackened accordingly
-      // (0.2999 < 0.3 - 5e-5) to stay a semantic no-op vs the oracle.
+      // exact n-gram Jaccard WITHOUT a cartesian: prefix-filtered
+      // inverted-index self-join (Dedup.jaccardPairsPrefix), then the
+      // sampled-side restriction as a candidate prune. Exact-result
+      // counterpart to the approximate LSH path (q32) — same oracle as
+      // before, linear-ish plan instead of crossJoin.
+      // Threshold slack: the kept filter is on round(J, 4) — a pair at
+      // J in [0.3 - 5e-5, 0.3) can round UP to 0.3, so prefix + size
+      // pruning run at 0.2999 (< 0.3 - 5e-5) to stay a semantic no-op.
       val sh = documents(s, d)
-        .select($"doc_id", shingleHashes64($"text").as("sh"))
-        .withColumn("n", size($"sh"))
-      val a = sh.filter($"doc_id" % 10 === 0)
-        .select($"doc_id".as("id_a"), $"sh".as("sh_a"), $"n".as("n_a"))
-      val b = sh.select($"doc_id".as("id_b"), $"sh".as("sh_b"), $"n".as("n_b"))
-      a.crossJoin(b)
-        .filter($"id_a" < $"id_b" &&
-          least($"n_a", $"n_b") >= lit(0.2999) * greatest($"n_a", $"n_b"))
-        .withColumn("jaccard",
-          round(graft.functions.JaccardDistinctLongs
-            .jaccard64($"sh_a", $"sh_b"), 4))
+        .select($"doc_id".as("id"), shingleHashes64($"text").as("sh"))
+      Dedup.jaccardPairsPrefix(sh, threshold = 0.2999,
+          pairFilter = $"id_a" % 10 === 0)
+        .withColumn("jaccard", round($"jaccard", 4))
         .filter($"jaccard" >= 0.3)
         .select($"id_a", $"id_b", $"jaccard")
         .orderBy($"id_a", $"id_b")
@@ -100,6 +101,30 @@ object PipelineQueries {
       Ann.bruteForceTopK(emb.filter($"id" % 25 === 0), emb, k = 10)
         .select($"query_id", $"rank".as("rnk"), $"neighbor_id")
         .orderBy($"query_id", $"rnk")
+    },
+    "q45_ann_lsh" -> { (s, d) =>
+      import s.implicits._
+      // hyperplane-LSH ANN as the DECLARED scale path, oracle-checked
+      // against DuckDB's exact brute-force top-k. The corpus embeddings
+      // are unclustered Gaussians (recall there is meaningless), so both
+      // sides derive the same deterministic clustered vectors from
+      // vec_id with exact integer arithmetic: clusters of 8 ids share a
+      // direction (integer lattice point) and differ only by positive
+      // integer scale, so each id's 7 true nearest neighbors are exactly
+      // its cluster-mates (cosine ~1 vs <=0.999999 across clusters) and
+      // LSH bucket equality within a cluster is exact by construction
+      // (sign(dot) is scale-invariant). The plan is the linear one:
+      // signature projection + multi-probe equi-join, no cartesian.
+      val n = embeddings(s, d).count()
+      val m = (n / 8) * 8
+      val vecs = embeddings(s, d).filter($"vec_id" < m)
+        .select($"vec_id".as("id"),
+          expr("transform(sequence(0, 7), j -> " +
+            "CAST((vec_id div 8 * 1009 + j * 173) % 2003 - 1001 AS DOUBLE)" +
+            " * CAST(1 + vec_id % 5 AS DOUBLE))").as("vec"))
+      Ann.lshTopK(vecs, vecs, dim = 8, k = 7, nbits = 12)
+        .select($"query_id", $"neighbor_id")
+        .orderBy($"query_id", $"neighbor_id")
     },
     "q35_quality" -> { (s, d) =>
       import s.implicits._
@@ -254,6 +279,24 @@ object PipelineQueries {
            FROM scored)
          SELECT query_id, rnk, neighbor_id FROM ranked
          WHERE rnk <= 10 ORDER BY query_id, rnk""",
+    "q45_ann_lsh" ->
+      """WITH p AS (SELECT (count(*) // 8) * 8 AS m FROM embeddings),
+         v AS (
+           SELECT vec_id, list_transform(range(0, 8),
+             j -> ((vec_id // 8 * 1009 + j * 173) % 2003 - 1001)::DOUBLE
+                  * (1 + vec_id % 5)) AS vec
+           FROM embeddings, p WHERE vec_id < m),
+         scored AS (
+           SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             list_cosine_similarity(a.vec, b.vec) AS sim
+           FROM v a, v b WHERE a.vec_id != b.vec_id),
+         ranked AS (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, neighbor_id) AS rnk
+           FROM scored)
+         SELECT query_id, neighbor_id FROM ranked
+         WHERE rnk <= 7 ORDER BY query_id, neighbor_id""",
     "q44_split_generator" ->
       """WITH f AS (
            SELECT doc_id, unnest(string_split(text, ' the ')) AS frag,

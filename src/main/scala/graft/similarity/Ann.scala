@@ -1,14 +1,14 @@
 package graft.similarity
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`).
   *
   * Brute-force cosine top-k is the exact baseline: a broadcast of the query
-  * side against a full scan of the corpus — one pass, no shuffle except the
-  * per-query top-k (TakeOrdered semantics via window row_number with AQE).
+  * side against a full scan of the corpus — one pass, with the per-query
+  * top-k done by a partial-aggregating `TopKAggregator` so only k rows per
+  * (partition, query) reach the shuffle (never all N·Q scored rows).
   *
   * The scale path is random-hyperplane LSH: each vector gets a `nbits`-bit
   * sign signature from fixed seeded hyperplanes; neighbors are searched only
@@ -33,8 +33,23 @@ object Ann {
   def cosine(a: Column, b: Column): Column =
     graft.functions.CosineSimilarity.cosine64(a, b)
 
+  /** Turn `(query_id, array<Scored>)` rows (best-first) into
+    * `(query_id, rank, neighbor_id)` — the window-top-k output shape.
+    */
+  private def rankedFromTopK(grouped: DataFrame): DataFrame =
+    grouped
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.neighbor_id").as("neighbor_id"))
+
   /** Exact top-k cosine neighbors for each query row.
     * queries/corpus: (id, vec). Broadcast the smaller (query) side.
+    * The top-k cut is a typed Aggregator with map-side partial
+    * aggregation: each input partition forwards at most k candidates per
+    * query, so the exchange is O(partitions·|Q|·k), independent of corpus
+    * size — compute stays quadratic (that is what "exact" costs), but the
+    * shuffle no longer is.
     */
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
@@ -43,11 +58,9 @@ object Ann {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    val topk = udaf(new TopKAggregator(k), Encoders.product[Scored])
+    rankedFromTopK(scored.groupBy(col("query_id"))
+      .agg(topk(col("neighbor_id"), col("sim")).as("topk")))
   }
 
   /** Deterministic pseudo-random hyperplanes (dim x nbits), fixed seed. */
@@ -84,12 +97,12 @@ object Ann {
     val scored = cs.join(qs, "sig")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored
+    // distinct first: multi-probe yields the same (query, neighbor) from
+    // several buckets and a duplicate must not occupy two top-k slots.
+    val topk = udaf(new TopKAggregator(k), Encoders.product[Scored])
+    rankedFromTopK(scored
       .select(col("query_id"), col("neighbor_id"), col("sim")).distinct()
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .groupBy(col("query_id"))
+      .agg(topk(col("neighbor_id"), col("sim")).as("topk")))
   }
 }

@@ -1,0 +1,53 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** One scored candidate neighbor. */
+case class Scored(neighbor_id: Long, sim: Double)
+
+/** Bounded buffer wrapper so the aggregation state has a product encoder
+  * (kept best-first, never longer than k).
+  */
+case class TopKBuf(items: Seq[Scored])
+
+/** Partition-local top-k by (sim desc, neighbor_id asc) — the same total
+  * order `row_number` over `Window.partitionBy(query).orderBy(sim.desc,
+  * neighbor_id)` uses, so swapping the window for this aggregator is
+  * output-identical.
+  *
+  * Scale rationale: a window top-k shuffles EVERY scored row to the
+  * query's partition and sorts there (N·Q rows for brute-force ANN). A
+  * typed Aggregator gets map-side partial aggregation, so at most k rows
+  * per (input partition, query) ever reach the exchange — the shuffle is
+  * O(partitions · queries · k) regardless of corpus size. Mirrors the
+  * reference's per-worker batching of scored candidates
+  * (edsnlp/processing/multiprocessing.py keeps per-worker partial results)
+  * re-expressed as Spark partial aggregation.
+  */
+class TopKAggregator(k: Int)
+    extends Aggregator[Scored, TopKBuf, Seq[Scored]] {
+  require(k > 0, "k must be positive")
+
+  private def better(x: Scored, y: Scored): Boolean =
+    x.sim > y.sim || (x.sim == y.sim && x.neighbor_id < y.neighbor_id)
+
+  override def zero: TopKBuf = TopKBuf(Nil)
+
+  override def reduce(buf: TopKBuf, r: Scored): TopKBuf = {
+    val items = buf.items
+    if (items.size >= k && !better(r, items.last)) buf
+    else TopKBuf(((items :+ r).sortWith(better)).take(k))
+  }
+
+  override def merge(a: TopKBuf, b: TopKBuf): TopKBuf =
+    TopKBuf((a.items ++ b.items).sortWith(better).take(k))
+
+  override def finish(buf: TopKBuf): Seq[Scored] = buf.items
+
+  override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+  override def outputEncoder: Encoder[Seq[Scored]] = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    ExpressionEncoder[Seq[Scored]]()
+  }
+}

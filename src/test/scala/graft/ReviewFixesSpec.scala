@@ -63,13 +63,13 @@ class ReviewFixesSpec extends AnyFunSuite {
     assert(quotesOnly.exists(_.norm == "\""))
   }
 
-  test("nerToken: zero-length spans contribute no phantom positions") {
+  test("nerChar: zero-length spans contribute no phantom positions") {
     import TestSpark.spark
     import spark.implicits._
     val pred = Seq(("d1", 5, 5, "x"), ("d1", 0, 2, "x"))
       .toDF("doc_id", "begin", "end", "label")
     val gold = Seq(("d1", 0, 2, "x")).toDF("doc_id", "begin", "end", "label")
-    val m = graft.metrics.NerMetrics.nerToken(pred, gold).collect()
+    val m = graft.metrics.NerMetrics.nerChar(pred, gold).collect()
       .map(r => r.getString(0) -> r).toMap
     assert(m("micro").getAs[Long]("n_pred") === 2L) // not 2 + phantoms
     assert(m("micro").getAs[Double]("precision") === 1.0)

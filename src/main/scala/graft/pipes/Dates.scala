@@ -9,15 +9,26 @@ import graft.nlp.Ent
 /** French clinical date/duration extraction with normalization — the
   * re-expression of `/root/reference/edsnlp/pipes/misc/dates/dates.py:
   * 28-503` and its pattern bank (`dates/patterns/`): absolute dates
-  * (numeric and letter months, optional time), relative dates ("il y a
-  * trois jours", "depuis 2 semaines", "dans un mois"), and bare durations
-  * ("pendant trois semaines").
+  * (numeric and letter months, optional time, partial forms dd/mm,
+  * mm/yyyy and bare full years), relative dates (forward "il y a trois
+  * jours" / "dans un mois", backward "la semaine dernière" / "3 jours
+  * plus tard", current "ce jour" / "cette année"), bare durations
+  * ("pendant trois semaines", "pdt 1 mois"), bound/mode prefixes
+  * (`patterns/atomic/modes.py`: "du"/"depuis"/"à partir de" → from,
+  * "au"/"jusqu'au" → until) and period linking of adjacent
+  * opposite-bound mentions (`dates.py:423-503`).
   *
   * Output entities carry typed attrs: `kind` (absolute|relative|duration),
   * calendar fields for absolute dates, `direction`/`value`/`unit` for
-  * relative+duration, and — when a reference instant is supplied (the
-  * `note_datetime` resolution of `dates/models.py:283-380`) — a resolved
-  * ISO `datetime`.
+  * relative+duration, `bound` when a mode prefix precedes, and — when a
+  * reference instant is supplied (the `note_datetime` resolution of
+  * `dates/models.py:283-380`) — a resolved ISO `datetime`.
+  *
+  * Deliberate divergence: bare letter months ("RAS en mai") are NOT
+  * matched — the reference's `no_day_no_year_pattern` accepts them and
+  * then fights the resulting noise with `false_positive.py`; requiring a
+  * day or year is the higher-precision call for a batch engine (pinned by
+  * ExtractionPipesSpec).
   */
 object Dates {
 
@@ -41,12 +52,15 @@ object Dates {
   private val unitSeconds: Map[String, Long] = Map(
     "seconde" -> 1L, "minute" -> 60L, "heure" -> 3600L, "jour" -> 86400L,
     "semaine" -> 604800L, "mois" -> 2592000L, "an" -> 31536000L,
-    "annee" -> 31536000L)
+    "annee" -> 31536000L,
+    // patterns/atomic/units.py additions
+    "journee" -> 86400L, "trimestre" -> 7776000L, "semestre" -> 15552000L)
 
   private val monthAlt = monthMap.keys.toSeq.sortBy(-_.length).mkString("|")
   private val numAlt = numberMap.keys.toSeq.sortBy(-_.length).mkString("|")
   private val unitAlt =
-    "secondes?|minutes?|heures?|jours?|semaines?|mois|ans?|ann[ée]es?"
+    "secondes?|sec|minutes?|min|heures?|h|journ[ée]es?|jours?|semaines?|" +
+      "semestres?|trimestres?|mois|ans?|ann[ée]es?"
 
   // numeric absolute: dd/mm/yyyy, dd-mm-yy, yyyy-mm-dd, with optional time
   private val numericAbs = Pattern.compile(
@@ -55,17 +69,50 @@ object Dates {
       "(?:\\s+[àa]?\\s*(?<h>[01]?\\d|2[0-3])[h:](?<min>[0-5]\\d)?)?(?![/\\d-])",
     Pattern.CASE_INSENSITIVE)
 
-  // letter-month absolute: "3 janvier 2021", "1er mars", "mars 2020".
+  // letter-month absolute: "3 janvier 2021", "1er mars", "mars 2020",
+  // optional time tail "4 août à 11h13" (patterns/atomic/time.py).
   // Word-boundary lookaheads keep month/unit alternations from matching
   // inside ordinary words ("mai" in "maisons", "an" in "analyses").
   private val letterAbs = Pattern.compile(
-    s"(?<![\\d/\\p{L}])(?:(?<d>0?[1-9]|[12]\\d|3[01])(?:er)?\\s+)?(?<mon>$monthAlt)(?![\\p{L}])(?:\\s+(?<y>\\d{4}))?(?![\\d/])",
+    s"(?<![\\d/\\p{L}])(?:(?<d>0?[1-9]|[12]\\d|3[01])(?:er)?\\s+)?(?<mon>$monthAlt)(?![\\p{L}])(?:\\s+(?<y>\\d{4}))?" +
+      "(?:\\s+[àa]\\s*(?<h>[01]?\\d|2[0-3])[h:](?<min>[0-5]\\d)?)?(?![\\d/])",
     Pattern.CASE_INSENSITIVE)
+
+  // partial numeric absolute without a year: "le 09/08", "Le 07/01."
+  // (reference no_year_pattern over raw delimiters). Pagination "1/3" is
+  // a reference false positive (false_positive.py: \d/\d) — excluded in
+  // the handler.
+  private val dayMonth = Pattern.compile(
+    "(?<![\\d/.\\-])(?<d>0?[1-9]|[12]\\d|3[01])[/.\\-](?<m>0?[1-9]|1[0-2])(?![\\d/.\\-])")
+
+  // month/year without a day: "11/2017" (lz numeric month + full year)
+  private val monthYear = Pattern.compile(
+    "(?<![\\d/.\\-])(?<m>0[1-9]|1[0-2])/(?<y>19\\d\\d|20[0-4]\\d)(?![\\d/.\\-])")
+
+  // bare full year: "en 2019" (reference full_year_pattern: 19xx/20xx)
+  private val bareYear = Pattern.compile(
+    "(?<![\\d/.\\-])(?<y>19\\d\\d|20[0-4]\\d)(?![\\d/.\\-])")
 
   // relative: "il y a N unit", "depuis N unit", "dans N unit"
   private val relative = Pattern.compile(
     s"(?<trig>il\\s+y\\s+a|depuis|dans)\\s+(?<n>\\d+|$numAlt)\\s+(?<u>$unitAlt)(?![\\p{L}])",
     Pattern.CASE_INSENSITIVE)
+
+  // backward relative (patterns/atomic/directions.py following forms):
+  // "depuis la semaine dernière", "3 jours plus tard", "les 2 mois
+  // précédents". A following direction word is REQUIRED; trigger,
+  // article and number are optional (missing number = 1).
+  private val relBackward = Pattern.compile(
+    s"(?:(?<trig>depuis|il\\s+y\\s+a|dans)\\s+)?(?:l[ae]s?\\s+|l')?(?:(?<n>\\d+|$numAlt)\\s+)?" +
+      s"(?<u>$unitAlt)\\s+(?<dir>prochaine?s?|suivante?s?|plus\\s+tard|" +
+      "derni[èe]re?s?|pass[ée]e?s?|pr[ée]c[ée]dente?s?|plus\\s+t[ôo]t)(?![\\p{L}])",
+    Pattern.CASE_INSENSITIVE)
+
+  // current-period deictics (patterns/current.py): value-0 relatives
+  private val currentRel = Pattern.compile(
+    "(?i)(?<![\\p{L}])(?:(?<y0>cette\\s+ann[ée]e(?![\\s-]l[àa]))|" +
+      "(?<d0>ce\\s+jour)|(?<w0>cette\\s+semaine|ces\\s+jours[-\\s]ci)|" +
+      "(?<m0>ce\\s+mois(?:[-\\s]ci)?))(?![\\p{L}])")
 
   // day-relative specials: aujourd'hui / hier / demain / avant-hier /
   // après-demain (dates/patterns/relative.py "specific" bank)
@@ -76,9 +123,10 @@ object Dates {
     "avant hier" -> -2, "demain" -> 1, "apres-demain" -> 2,
     "apres demain" -> 2)
 
-  // duration: "pendant N unit", "durant N unit", "pour N unit"
+  // duration: "pendant N unit", "durant N unit", "pour N unit", and the
+  // clinical abbreviation "pdt" (patterns/duration.py cue_pattern)
   private val duration = Pattern.compile(
-    s"(?<trig>pendant|durant|pour)\\s+(?<n>\\d+|$numAlt)\\s+(?<u>$unitAlt)(?![\\p{L}])",
+    s"(?<trig>pendant|durant|pour|pdt)\\s+(?<n>\\d+|$numAlt)\\s+(?<u>$unitAlt)(?![\\p{L}])",
     Pattern.CASE_INSENSITIVE)
 
   private def parseNum(s: String): Int =
@@ -88,7 +136,29 @@ object Dates {
     val base = graft.nlp.Normalizer.mapChars(u.toLowerCase)
     if (base == "mois") "mois"
     else if (base.startsWith("anne")) "annee"
-    else base.stripSuffix("s")
+    else base.stripSuffix("s") match {
+      case "sec" => "seconde"
+      case "min" => "minute"
+      case "h" => "heure"
+      case other => other
+    }
+  }
+
+  // mode/bound prefix (patterns/atomic/modes.py): matched over a short
+  // window ENDING at the date's start, like the reference's
+  // `(?<=mode_pattern.{,3})?` lookbehind.
+  private val boundPrefix = Pattern.compile(
+    "(?i)(?<![\\p{L}'])(?<m>depuis\\s+le|depuis|[àa]\\s+partir\\s+d[eu]|du|jusqu'[àa]u?|au)\\s{1,3}$")
+
+  private def boundBefore(text: String, start: Int): Option[String] = {
+    val from = math.max(0, start - 18)
+    val m = boundPrefix.matcher(text.substring(from, start))
+    if (!m.find()) None
+    else {
+      val cue = m.group("m").toLowerCase
+      if (cue.startsWith("jusqu") || cue == "au") Some("until")
+      else Some("from")
+    }
   }
 
   /** Extract all date/duration mentions from raw text. `noteDatetime`
@@ -121,8 +191,40 @@ object Dates {
         year, m, d,
         Option(nm.group("h")).map(_.toInt).getOrElse(0),
         Option(nm.group("min")).map(_.toInt).getOrElse(0)))
+      boundBefore(text, nm.start).foreach(b => attrs += ("bound" -> b))
       out += Ent(nm.start, nm.end, "date", text.substring(nm.start, nm.end),
         attrs)
+    }
+
+    val dmm = dayMonth.matcher(text)
+    while (dmm.find()) {
+      val matched = text.substring(dmm.start, dmm.end)
+      // pagination false positive "1/3" (single digit / single digit)
+      if (!matched.matches("\\d/\\d")) {
+        var attrs = Map("kind" -> "absolute",
+          "day" -> dmm.group("d").toInt.toString,
+          "month" -> dmm.group("m").toInt.toString)
+        boundBefore(text, dmm.start).foreach(b => attrs += ("bound" -> b))
+        out += Ent(dmm.start, dmm.end, "date", matched, attrs)
+      }
+    }
+
+    val mym = monthYear.matcher(text)
+    while (mym.find()) {
+      var attrs = Map("kind" -> "absolute",
+        "month" -> mym.group("m").toInt.toString,
+        "year" -> mym.group("y"))
+      boundBefore(text, mym.start).foreach(b => attrs += ("bound" -> b))
+      out += Ent(mym.start, mym.end, "date",
+        text.substring(mym.start, mym.end), attrs)
+    }
+
+    val bym = bareYear.matcher(text)
+    while (bym.find()) {
+      var attrs = Map("kind" -> "absolute", "year" -> bym.group("y"))
+      boundBefore(text, bym.start).foreach(b => attrs += ("bound" -> b))
+      out += Ent(bym.start, bym.end, "date",
+        text.substring(bym.start, bym.end), attrs)
     }
 
     val lm = letterAbs.matcher(text)
@@ -134,9 +236,17 @@ object Dates {
         var attrs = Map("kind" -> "absolute", "month" -> month.toString)
         Option(lm.group("d")).foreach(d => attrs += ("day" -> d.toInt.toString))
         Option(lm.group("y")).foreach(y => attrs += ("year" -> y))
+        if (lm.group("h") != null) {
+          attrs += ("hour" -> lm.group("h").toInt.toString)
+          attrs += ("minute" ->
+            Option(lm.group("min")).map(_.toInt).getOrElse(0).toString)
+        }
         if (lm.group("y") != null && lm.group("d") != null)
-          attrs += ("datetime" -> "%04d-%02d-%02dT00:00:00".format(
-            lm.group("y").toInt, month, lm.group("d").toInt))
+          attrs += ("datetime" -> "%04d-%02d-%02dT%02d:%02d:00".format(
+            lm.group("y").toInt, month, lm.group("d").toInt,
+            Option(lm.group("h")).map(_.toInt).getOrElse(0),
+            Option(lm.group("min")).map(_.toInt).getOrElse(0)))
+        boundBefore(text, lm.start).foreach(b => attrs += ("bound" -> b))
         out += Ent(lm.start, lm.end, "date",
           text.substring(lm.start, lm.end), attrs)
       }
@@ -160,6 +270,49 @@ object Dates {
             .ofPattern("yyyy-MM-dd'T'HH:mm:ss")))
       }
       out += Ent(rm.start, rm.end, "date", text.substring(rm.start, rm.end),
+        attrs)
+    }
+
+    val bm = relBackward.matcher(text)
+    while (bm.find()) {
+      val n = Option(bm.group("n")).map(parseNum).getOrElse(1)
+      val unit = canonUnit(bm.group("u"))
+      val dirWord = graft.nlp.Normalizer
+        .mapChars(bm.group("dir").toLowerCase).replaceAll("\\s+", " ")
+      val dir =
+        if (dirWord.startsWith("prochain") || dirWord.startsWith("suivant")
+          || dirWord == "plus tard") "future"
+        else "past"
+      var attrs = Map("kind" -> "relative", "direction" -> dir,
+        "value" -> n.toString, "unit" -> unit)
+      noteDatetime.foreach { ref =>
+        val secs = unitSeconds.getOrElse(unit, 0L) * n
+        val resolved =
+          if (dir == "past") ref.minus(Duration.ofSeconds(secs))
+          else ref.plus(Duration.ofSeconds(secs))
+        attrs += ("datetime" -> resolved.format(
+          java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd'T'HH:mm:ss")))
+      }
+      out += Ent(bm.start, bm.end, "date", text.substring(bm.start, bm.end),
+        attrs)
+    }
+
+    val cm = currentRel.matcher(text)
+    while (cm.find()) {
+      val unit =
+        if (cm.group("y0") != null) "annee"
+        else if (cm.group("d0") != null) "jour"
+        else if (cm.group("w0") != null) "semaine"
+        else "mois"
+      var attrs = Map("kind" -> "relative", "direction" -> "current",
+        "value" -> "0", "unit" -> unit)
+      noteDatetime.foreach { ref =>
+        attrs += ("datetime" -> ref.format(
+          java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd'T'HH:mm:ss")))
+      }
+      out += Ent(cm.start, cm.end, "date", text.substring(cm.start, cm.end),
         attrs)
     }
 
@@ -191,5 +344,75 @@ object Dates {
     }
 
     graft.nlp.SpanAlgebra.filterSpans(out.toSeq)
+  }
+
+  /** Period detection (`dates.py:423-503` `process_periods`): adjacent
+    * date mentions either carrying OPPOSITE bounds ("du 5 juin au 6
+    * juillet") or pairing a date with a duration ("depuis le 12/03
+    * pendant trois semaines") merge into a `period` entity spanning both.
+    * Periods are returned SEPARATELY (the reference keeps them in their
+    * own span group): they contain their member dates, so mixing them
+    * into the date list would have longest-leftmost filtering swallow
+    * the members.
+    *
+    * `proximity` is a char-gap threshold (the reference uses 3 tokens).
+    */
+  def periods(text: String, dates: Seq[Ent],
+      proximity: Int = 15): Seq[Ent] = {
+    if (dates.size < 2) return Nil
+    val sorted = dates.sortBy(_.begin)
+    val seen = scala.collection.mutable.Set[Int]()
+    val out = new ArrayBuffer[Ent]
+    sorted.sliding(2).foreach { pair =>
+      val d1 = pair.head
+      val d2 = pair.last
+      val isDur1 = d1.attrs.get("kind").contains("duration")
+      val isDur2 = d2.attrs.get("kind").contains("duration")
+      val b1 = d1.attrs.get("bound")
+      val b2 = d2.attrs.get("bound")
+      val eligible =
+        if (isDur1 || isDur2) !(isDur1 && isDur2)
+        else !seen.contains(d1.begin) && b1.isDefined && b2.isDefined &&
+          b1 != b2
+      if (eligible && d2.begin - d1.end >= 0 &&
+          d2.begin - d1.end <= proximity) {
+        // role inference as in the reference: a date keeps its bound; a
+        // duration takes the opposite role of its partner (default
+        // from/until by position)
+        val r1 = b1.getOrElse(
+          if (isDur1) (if (b2.contains("from")) "until" else "from")
+          else "from")
+        val r2 = b2.getOrElse(
+          if (isDur2) (if (r1 == "from") "until" else "from")
+          else "until")
+        var attrs = Map("kind" -> "period")
+        def sideAttrs(role: String, d: Ent, isDur: Boolean): Unit = {
+          if (isDur)
+            d.attrs.get("duration_seconds")
+              .foreach(v => attrs += ("duration_seconds" -> v))
+          else {
+            d.attrs.get("datetime")
+              .foreach(v => attrs += (s"${role}_datetime" -> v))
+            attrs += (s"${role}_text" -> d.text)
+          }
+        }
+        sideAttrs(r1, d1, isDur1)
+        sideAttrs(r2, d2, isDur2)
+        seen += d1.begin
+        seen += d2.begin
+        out += Ent(d1.begin, d2.end, "period",
+          text.substring(d1.begin, d2.end), attrs)
+      }
+      ()
+    }
+    out.toSeq
+  }
+
+  /** One-call convenience: dates/durations plus the periods they form. */
+  def extractWithPeriods(
+      text: String,
+      noteDatetime: Option[LocalDateTime] = None): (Seq[Ent], Seq[Ent]) = {
+    val ds = extract(text, noteDatetime)
+    (ds, periods(text, ds))
   }
 }

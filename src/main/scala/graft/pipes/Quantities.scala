@@ -36,7 +36,16 @@ object Quantities {
     "10^9/l" -> ("count_per_volume", 1e9), "10*9/l" -> ("count_per_volume", 1e9),
     "giga/l" -> ("count_per_volume", 1e9),
     "cp" -> ("tablet", 1.0), "gouttes" -> ("drop", 1.0),
-    "bpm" -> ("per_minute", 1.0))
+    "bpm" -> ("per_minute", 1.0),
+    // quantities.py:142-378 registry breadth: word time units, day
+    // abbreviations (for "/j" per-day composition), area (BMI kg/m2)
+    "m2" -> ("area", 1.0), "cm2" -> ("area", 1e-4),
+    "j" -> ("time", 86400.0), "24h" -> ("time", 86400.0),
+    "seconde" -> ("time", 1.0), "secondes" -> ("time", 1.0),
+    "minute" -> ("time", 60.0), "minutes" -> ("time", 60.0),
+    "heure" -> ("time", 3600.0), "heures" -> ("time", 3600.0),
+    "jour" -> ("time", 86400.0), "jours" -> ("time", 86400.0),
+    "semaine" -> ("time", 604800.0), "semaines" -> ("time", 604800.0))
 
   private val unitAlt = registry.keys.toSeq.sortBy(-_.length)
     .map(Pattern.quote).mkString("|")
@@ -50,6 +59,11 @@ object Quantities {
     Pattern.CASE_INSENSITIVE)
   private val range = Pattern.compile(
     s"(?:entre\\s+(?<a>$num)\\s+et\\s+(?<b>$num)|(?<a2>$num)\\s*[-–]\\s*(?<b2>$num))\\s*(?<u>(?:$unitAlt)(?:/(?:$unitAlt))?)(?![\\p{L}\\d])",
+    Pattern.CASE_INSENSITIVE)
+  // generalized lab powers beyond the fixed 10^9 entries: "250 x10*6/L",
+  // "4,5 10E3/mm3" (quantities.py power tokens "x10*N")
+  private val power = Pattern.compile(
+    s"(?<![\\d,.])(?<v>$num)\\s*(?:x\\s*)?10\\s*[\\^*eE]\\s*(?<p>\\d{1,2})\\s*/\\s*(?<du>l|dl|cl|ml|µl|mm3)(?![\\p{L}\\d])",
     Pattern.CASE_INSENSITIVE)
 
   private def parseVal(s: String): Double =
@@ -79,6 +93,21 @@ object Quantities {
   def extract(text: String): Seq[Ent] = {
     if (text == null) return Nil
     val out = new ArrayBuffer[Ent]
+    val pm = power.matcher(text)
+    while (pm.find()) {
+      val v = parseVal(pm.group("v"))
+      val p = pm.group("p").toInt
+      registry.get(pm.group("du").toLowerCase).foreach { case (_, volScale) =>
+        val scale = math.pow(10.0, p) / volScale
+        out += Ent(pm.start, pm.end, "quantity",
+          text.substring(pm.start, pm.end),
+          Map("kind" -> "simple", "dimension" -> "count_per_volume",
+            "raw_unit" ->
+              s"10^$p/${pm.group("du").toLowerCase}",
+            "raw_value" -> v.toString,
+            "value" -> (v * scale).toString))
+      }
+    }
     val rm = range.matcher(text)
     while (rm.find()) {
       val a = parseVal(Option(rm.group("a")).getOrElse(rm.group("a2")))
@@ -107,4 +136,65 @@ object Quantities {
     // ranges win over the simple matches they contain
     graft.nlp.SpanAlgebra.filterSpans(out.toSeq)
   }
+
+  /** Value-from-table context (`quantities.py:961-1100` `prep_table` /
+    * `infer_unit_from_table`, simplified to its two productive rules):
+    * a bare number in a table cell takes its unit from
+    *   (a) a `(unit)` suffix in its column's header cell, or
+    *   (b) a dedicated unit column (cells that are bare units)
+    *       immediately to its right.
+    * Runs over `TextTables.findTables` spans (the `eds.tables` upstream
+    * dependency of the reference). Emitted entities carry
+    * `source=table`.
+    */
+  def extractFromTables(text: String): Seq[Ent] = {
+    if (text == null) return Nil
+    val out = new ArrayBuffer[Ent]
+    val headerUnitRe = Pattern.compile("\\(([^)]{1,12})\\)\\s*$")
+    for (table <- TextTables.findTables(text)) {
+      val cells = TextTables.toCells(text, table)
+      if (cells.nonEmpty) {
+        val byRow = cells.groupBy(_.row)
+        def isNum(c: TextTables.Cell) = c.text.matches(num)
+        val headerRows = byRow.collect {
+          case (r, cs) if !cs.exists(isNum) => r
+        }.toSet
+        val nCols = cells.map(_.col).max + 1
+        val headerUnit: Map[Int, String] = cells
+          .filter(c => headerRows(c.row))
+          .flatMap { c =>
+            val m = headerUnitRe.matcher(c.text)
+            if (m.find() && normalizeUnit(m.group(1)).isDefined)
+              Some(c.col -> m.group(1))
+            else None
+          }.toMap
+        val unitCols = (0 until nCols).filter { col =>
+          val body = cells.filter(c => c.col == col && !headerRows(c.row))
+          body.nonEmpty && body.forall(c =>
+            !c.text.exists(_.isDigit) && normalizeUnit(c.text).isDefined)
+        }.toSet
+        val cellAt = cells.map(c => (c.row, c.col) -> c).toMap
+        for (c <- cells if !headerRows(c.row) && isNum(c)) {
+          val unitRaw = headerUnit.get(c.col).orElse {
+            if (unitCols(c.col + 1))
+              cellAt.get((c.row, c.col + 1)).map(_.text)
+            else None
+          }
+          for (u <- unitRaw; (dim, scale) <- normalizeUnit(u)) {
+            val v = parseVal(c.text)
+            out += Ent(c.begin, c.end, "quantity", c.text,
+              Map("kind" -> "simple", "dimension" -> dim,
+                "raw_unit" -> u.toLowerCase, "raw_value" -> v.toString,
+                "value" -> (v * scale).toString, "source" -> "table"))
+          }
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Inline + table-inferred quantities, deduped longest-leftmost. */
+  def extractWithTables(text: String): Seq[Ent] =
+    graft.nlp.SpanAlgebra.filterSpans(
+      extract(text) ++ extractFromTables(text))
 }

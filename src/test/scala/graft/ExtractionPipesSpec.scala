@@ -38,6 +38,63 @@ class ExtractionPipesSpec extends AnyFunSuite {
     assert(es(1).attrs("datetime") === "2021-09-06T10:00:00")
   }
 
+  test("dates: partial forms from the reference bank (test_dates.py)") {
+    // "le 09/08" -> ????-08-09
+    val dm = Dates.extract("le 09/08").head
+    assert(dm.attrs("day") === "9" && dm.attrs("month") === "8")
+    // "En 11/2017 stabilité sur..." -> 2017-11-??
+    val my = Dates.extract("En 11/2017 stabilité sur...").head
+    assert(my.attrs("month") === "11" && my.attrs("year") === "2017")
+    // bare full year "en 2019"
+    val y = Dates.extract("Le patient est venu en 2019 pour une consultation.")
+    assert(y.map(_.attrs("year")) === Seq("2019"))
+    // pagination "1/3" is a false positive; the real date still matches
+    val pg = Dates.extract("CS le 11-01-2017 1/3")
+    assert(pg.length === 1)
+    assert(pg.head.attrs("datetime") === "2017-01-11T00:00:00")
+    // letter month with time: "4 août à 11h13" -> ????-08-04 11h13
+    val lt = Dates.extract("Le patient est venu le 4 août à 11h13").head
+    assert(lt.attrs("day") === "4" && lt.attrs("month") === "8")
+    assert(lt.attrs("hour") === "11" && lt.attrs("minute") === "13")
+  }
+
+  test("dates: backward and current relatives") {
+    val ref = LocalDateTime.parse("2021-09-04T00:00:00")
+    val bw = Dates.extract(
+      "Il est cas contact depuis la semaine dernière.", Some(ref)).head
+    assert(bw.attrs("direction") === "past")
+    assert(bw.attrs("value") === "1" && bw.attrs("unit") === "semaine")
+    assert(bw.attrs("datetime") === "2021-08-28T00:00:00")
+    val fw = Dates.extract("Revu trois jours plus tard.", Some(ref)).head
+    assert(fw.attrs("direction") === "future" && fw.attrs("value") === "3")
+    val cur = Dates.extract("Il est venu ce jour.", Some(ref)).head
+    assert(cur.attrs("direction") === "current" && cur.attrs("value") === "0")
+    assert(cur.attrs("datetime") === "2021-09-04T00:00:00")
+    val cy = Dates.extract("Suivi depuis cette année.").head
+    assert(cy.attrs("unit") === "annee" && cy.attrs("value") === "0")
+  }
+
+  test("dates: bounds and period linking") {
+    // "du 03 07 19" -> bound=from (modes.py), space-delimited 2-digit year
+    val b = Dates.extract("Consultation du 03 07 19").head
+    assert(b.attrs("bound") === "from")
+    assert(b.attrs("datetime") === "2019-07-03T00:00:00")
+    // "du 5 juin au 6 juillet" -> two bounded dates -> one period
+    val (ds, ps) = Dates.extractWithPeriods("Hospitalisé du 5 juin au 6 juillet.")
+    assert(ds.length === 2)
+    assert(ds.head.attrs("bound") === "from")
+    assert(ds(1).attrs("bound") === "until")
+    assert(ps.length === 1)
+    assert(ps.head.attrs("from_text") === "5 juin")
+    assert(ps.head.attrs("until_text") === "6 juillet")
+    // date + duration pair -> period with from_datetime and duration
+    val (_, ps2) = Dates.extractWithPeriods(
+      "Traité depuis le 12/03/2020 pendant trois semaines.")
+    assert(ps2.length === 1)
+    assert(ps2.head.attrs("from_datetime") === "2020-03-12T00:00:00")
+    assert(ps2.head.attrs("duration_seconds") === (3L * 604800).toString)
+  }
+
   test("dates: durations") {
     val es = Dates.extract("Traitement pendant quinze jours.")
     assert(es.head.label === "duration")
@@ -52,6 +109,35 @@ class ExtractionPipesSpec extends AnyFunSuite {
     assert(byText("hier")("datetime").startsWith("2021-08-22"))
     assert(byText("demain")("datetime").startsWith("2021-08-24"))
     assert(byText("avant-hier")("datetime").startsWith("2021-08-21"))
+  }
+
+  test("quantities: generalized powers and word time units") {
+    val es = Quantities.extract(
+      "GB 4,5 x10*6/mm3, attente 90 secondes, débit 2 l/j.")
+    val byUnit = es.map(e => e.attrs("raw_unit") -> e).toMap
+    assert(byUnit("10^6/mm3").attrs("value").toDouble === 4.5e6 / 1e-6)
+    assert(byUnit("secondes").attrs("value").toDouble === 90.0)
+    assert(byUnit("l/j").attrs("dimension") === "volume_per_time")
+  }
+
+  test("quantities: units inferred from table context (quantities.py use_tables)") {
+    // the reference's own test table (test_quantities.py:687-694)
+    val text =
+      "Patient | Poids (kg) | Taille (m) | IMC (kg/m2)\n" +
+        "A | 67 | 1.68 | 23.7\n" +
+        "\n" +
+        "Quantity | Unit | Measurement duration (s)\n" +
+        "150 | cm | 5\n" +
+        "55 | kg | 10\n"
+    val es = Quantities.extractWithTables(text)
+      .filter(_.attrs.get("source").contains("table"))
+    val got = es.map(e => (e.attrs("raw_value").toDouble,
+      e.attrs("raw_unit"))).toSet
+    assert(got === Set((67.0, "kg"), (1.68, "m"), (23.7, "kg/m2"),
+      (150.0, "cm"), (55.0, "kg"), (5.0, "s"), (10.0, "s")))
+    // header-unit columns normalize through the registry
+    val bmi = es.find(_.attrs("raw_unit") == "kg/m2").get
+    assert(bmi.attrs("dimension") === "mass_per_area")
   }
 
   test("quantities: lab units (mmol/l, 10^9/l, g/24h)") {

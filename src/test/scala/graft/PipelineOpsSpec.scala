@@ -42,6 +42,46 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"simhash recall $recall on ${exact.size} pairs")
   }
 
+  test("LSH maxBucket cap surfaces the dropped-bucket count") {
+    // 30 identical docs: every band bucket holds all 30, so a cap of 10
+    // drops every bucket — pairs vanish AND the accumulator says so
+    // (the "no silent caps" rule).
+    val sigs = (0 until 30).map(i => (i.toLong, "same same same text"))
+      .toDF("doc_id", "text")
+      .select($"doc_id".as("id"),
+        Dedup.minHashSignatureFromText($"text", 3, 16).as("sig"))
+    val acc = spark.sparkContext.longAccumulator("droppedBuckets")
+    val pairs = Dedup.lshCandidatePairs(sigs, "id", bands = 4,
+      sigLength = 16, maxBucket = 10, droppedBuckets = Some(acc))
+    assert(pairs.count() === 0L)
+    assert(acc.value === 4L, "one dropped bucket per band")
+    // and without the cap triggering, nothing is counted
+    val acc2 = spark.sparkContext.longAccumulator("droppedBuckets2")
+    val pairs2 = Dedup.lshCandidatePairs(sigs, "id", bands = 4,
+      sigLength = 16, maxBucket = 1000, droppedBuckets = Some(acc2))
+    assert(pairs2.count() === (30L * 29 / 2))
+    assert(acc2.value === 0L)
+  }
+
+  test("prefix-join exact Jaccard equals the brute-force pairs") {
+    val sh = docs.select($"doc_id".as("id"),
+      Dedup.shingleHashes($"text", 3).as("sh"))
+    val brute = {
+      val a = sh.select($"id".as("id_a"), $"sh".as("sh_a"))
+      val b = sh.select($"id".as("id_b"), $"sh".as("sh_b"))
+      a.crossJoin(b).filter($"id_a" < $"id_b")
+        .withColumn("j", Dedup.jaccard($"sh_a", $"sh_b"))
+        .filter($"j" >= 0.5)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val prefix = Dedup.jaccardPairsPrefix(sh, 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty)
+    assert(prefix === brute)
+  }
+
   test("LSH ANN: high recall on clustered vectors, bounded candidate set") {
     // deterministic clustered corpus: 10 centroids, small noise — the
     // regime LSH is built for (the driver's random-Gaussian embeddings

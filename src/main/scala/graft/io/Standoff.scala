@@ -32,6 +32,28 @@ object Standoff {
   case class BratRelation(
       relation_id: String, label: String, arg1: String, arg2: String)
 
+  /** One event argument: role name -> T/E target (`standoff.py:166-179`). */
+  case class BratEventArg(role: String, ref_id: String)
+  case class BratEvent(
+      event_id: String,
+      arguments: Seq[BratEventArg],
+      attributes: Map[String, String])
+
+  /** Full .ann parse result. `corrupt_lines` holds the lines that carry
+    * an annotation prefix (T/A/M/R/E/#) but fail their grammar — in
+    * lenient mode they are skipped AND surfaced (never a silent drop);
+    * in strict mode the first one throws, like the reference's
+    * `BratParsingError` (`standoff.py:37-40, 88-197`).
+    */
+  case class ParsedAnn(
+      entities: Seq[BratEntity],
+      relations: Seq[BratRelation],
+      events: Seq[BratEvent],
+      corrupt_lines: Seq[String])
+
+  final class BratParsingException(line: String)
+    extends IllegalArgumentException(s"unrecognized Brat line: $line")
+
   private val entityLine =
     "^(T\\d+)\\t([^\\s]+) ([^\\t]+)\\t(.*)$".r
   private val attrLine =
@@ -40,71 +62,113 @@ object Standoff {
     "^(#\\d+)\\tAnnotatorNotes ([TE]\\d+)\\t(.*)$".r
   private val relationLine =
     "^(R\\d+)\\t([^\\s]+) Arg1:([TE]\\d+) Arg2:([TE]\\d+)\\s*$".r
+  private val eventLine = "^(E\\d+)\\t(.+)$".r
+  private val eventPart = "(\\S+):([TE]\\d+)".r
 
   /** Parse one .ann file's content against its text. */
   def parseAnn(text: String, ann: String,
       mergeSpacedFragments: Boolean = true): Seq[BratEntity] =
-    parseAnnFull(text, ann, mergeSpacedFragments)._1
+    parseAnnAll(text, ann, mergeSpacedFragments).entities
 
-  /** Full parse: (entities, relations). */
+  /** Back-compat pair view: (entities, relations). */
   def parseAnnFull(text: String, ann: String,
       mergeSpacedFragments: Boolean = true)
       : (Seq[BratEntity], Seq[BratRelation]) = {
-    if (ann == null || ann.isEmpty) return (Nil, Nil)
-    val relations = mutable.ArrayBuffer.empty[BratRelation]
-    val entities = mutable.LinkedHashMap.empty[String, BratEntity]
-    ann.split("\n").iterator.map(_.stripLineEnd).filter(_.nonEmpty)
-      .foreach {
-        case entityLine(id, label, span, mention) =>
-          // lenient end-to-end: a malformed span list (missing offset,
-          // non-numeric, out of text bounds) skips THIS line, like every
-          // other unrecognized line — one bad annotation must not poison
-          // a corpus load
-          scala.util.Try {
-            val ranges = span.split(";").toSeq.map { s =>
-              val parts = s.trim.split("\\s+")
-              (parts(0).toInt, parts(1).toInt)
-            }.sorted
-            val frags = mutable.ArrayBuffer.empty[Fragment]
-            ranges.foreach { case (b, e) =>
-              if (mergeSpacedFragments && frags.nonEmpty &&
-                text != null && frags.last.end <= b && b <= text.length &&
-                frags.last.end >= 0 &&
-                text.substring(frags.last.end, b).trim.isEmpty)
-                frags(frags.size - 1) = frags.last.copy(end = e)
-              else frags += Fragment(b, e)
-            }
-            entities(id) =
-              BratEntity(id, label, mention, frags.toSeq, Map.empty, Nil)
-          }
-        case attrLine(_, name, target, value) =>
-          entities.get(target).foreach { e =>
-            // bool coercion on read mirrors converters.py:297-306
-            val v = Option(value).getOrElse("true")
-            entities(target) = e.copy(attributes = e.attributes + (name -> v))
-          }
-        case noteLine(_, target, note) =>
-          entities.get(target).foreach { e =>
-            entities(target) = e.copy(notes = e.notes :+ note)
-          }
-        case relationLine(id, label, a1, a2) =>
-          relations += BratRelation(id, label, a1, a2)
-        case _ => // events (E lines) and unrecognized lines: lenient skip
-      }
-    (entities.values.toSeq, relations.toSeq)
+    val p = parseAnnAll(text, ann, mergeSpacedFragments)
+    (p.entities, p.relations)
   }
 
-  // single parse per row: one UDF yields both layers as a struct
-  private val parseFullUdf = udf((text: String, ann: String) =>
-    parseAnnFull(text, ann))
+  /** Full parse: entities + relations + events (E lines), with
+    * strict/lenient malformed-line handling.
+    */
+  def parseAnnAll(text: String, ann: String,
+      mergeSpacedFragments: Boolean = true,
+      strict: Boolean = false): ParsedAnn = {
+    if (ann == null || ann.isEmpty) return ParsedAnn(Nil, Nil, Nil, Nil)
+    val relations = mutable.ArrayBuffer.empty[BratRelation]
+    val entities = mutable.LinkedHashMap.empty[String, BratEntity]
+    val events = mutable.LinkedHashMap.empty[String, BratEvent]
+    val corrupt = mutable.ArrayBuffer.empty[String]
+    def bad(line: String): Unit =
+      if (strict) throw new BratParsingException(line)
+      else corrupt += line
+    ann.split("\n").iterator.map(_.stripLineEnd).filter(_.nonEmpty)
+      .foreach { line =>
+        line match {
+          case entityLine(id, label, span, mention) =>
+            // a malformed span list (missing offset, non-numeric) fails
+            // THIS line only in lenient mode — one bad annotation must
+            // not poison a corpus load — but is still counted
+            scala.util.Try {
+              val ranges = span.split(";").toSeq.map { s =>
+                val parts = s.trim.split("\\s+")
+                (parts(0).toInt, parts(1).toInt)
+              }.sorted
+              val frags = mutable.ArrayBuffer.empty[Fragment]
+              ranges.foreach { case (b, e) =>
+                if (mergeSpacedFragments && frags.nonEmpty &&
+                  text != null && frags.last.end <= b && b <= text.length &&
+                  frags.last.end >= 0 &&
+                  text.substring(frags.last.end, b).trim.isEmpty)
+                  frags(frags.size - 1) = frags.last.copy(end = e)
+                else frags += Fragment(b, e)
+              }
+              entities(id) =
+                BratEntity(id, label, mention, frags.toSeq, Map.empty, Nil)
+            }.getOrElse(bad(line))
+          case attrLine(_, name, target, value) =>
+            // bool coercion on read mirrors converters.py:297-306;
+            // E targets route to events (standoff.py:134-144)
+            val v = Option(value).getOrElse("true")
+            if (target.startsWith("E"))
+              events.get(target).foreach { ev =>
+                events(target) =
+                  ev.copy(attributes = ev.attributes + (name -> v))
+              }
+            else entities.get(target).foreach { e =>
+              entities(target) =
+                e.copy(attributes = e.attributes + (name -> v))
+            }
+          case noteLine(_, target, note) =>
+            entities.get(target).foreach { e =>
+              entities(target) = e.copy(notes = e.notes :+ note)
+            }
+          case relationLine(id, label, a1, a2) =>
+            relations += BratRelation(id, label, a1, a2)
+          case eventLine(id, argsTxt) =>
+            val args = eventPart.findAllMatchIn(argsTxt)
+              .map(m => BratEventArg(m.group(1), m.group(2))).toSeq
+            if (args.isEmpty) bad(line)
+            else events(id) = BratEvent(id, args, Map.empty)
+          case other
+            if other.headOption.exists("TAMRE#".contains(_)) &&
+              other.length > 1 && other(1).isDigit =>
+            // annotation-shaped but grammar-failed: corrupt, not ignorable
+            bad(other)
+          case _ => // non-annotation lines: ignored, like the reference
+        }
+      }
+    ParsedAnn(entities.values.toSeq, relations.toSeq,
+      events.values.toSeq, corrupt.toSeq)
+  }
 
   private def basename(c: org.apache.spark.sql.Column) =
     regexp_extract(c, "([^/]+)\\.(txt|ann)$", 1)
 
-  /** Read a directory of {doc}.txt + {doc}.ann into
-    * (doc_id, text, entities).
+  /** Read a directory of {doc}.txt + {doc}.ann into (doc_id, text,
+    * entities, relations, events, corrupt_lines, n_corrupt_lines).
+    *
+    * `strict = true` mirrors the reference default (`standoff.py` raises
+    * `BratParsingError`): the job fails on the first malformed
+    * annotation line. Lenient (default here, the batch-engine call)
+    * skips malformed lines but SURFACES them per doc — aggregate
+    * `sum(n_corrupt_lines)` for the corpus-level corruption report.
     */
-  def read(spark: SparkSession, dir: String): DataFrame = {
+  def read(spark: SparkSession, dir: String,
+      strict: Boolean = false): DataFrame = {
+    // single parse per row: one UDF yields all layers as a struct
+    val parseAllUdf = udf((text: String, ann: String) =>
+      parseAnnAll(text, ann, strict = strict))
     val txt = spark.read.option("wholetext", "true").text(s"$dir/*.txt")
       .select(basename(input_file_name()).as("doc_id"),
         col("value").as("text"))
@@ -113,11 +177,14 @@ object Standoff {
         col("value").as("ann"))
     txt.join(ann, Seq("doc_id"), "left")
       .select(col("doc_id"), col("text"),
-        parseFullUdf(col("text"), coalesce(col("ann"), lit("")))
+        parseAllUdf(col("text"), coalesce(col("ann"), lit("")))
           .as("parsed"))
       .select(col("doc_id"), col("text"),
-        col("parsed._1").as("entities"),
-        col("parsed._2").as("relations"))
+        col("parsed.entities").as("entities"),
+        col("parsed.relations").as("relations"),
+        col("parsed.events").as("events"),
+        col("parsed.corrupt_lines").as("corrupt_lines"))
+      .withColumn("n_corrupt_lines", size(col("corrupt_lines")))
   }
 
   /** Write (doc_id, text, entities[, relations]) back to {doc}.txt +
@@ -128,9 +195,12 @@ object Standoff {
   def write(df: DataFrame, dir: String): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     val hasRelations = df.columns.contains("relations")
-    val cols =
-      if (hasRelations) Seq("doc_id", "text", "entities", "relations")
-      else Seq("doc_id", "text", "entities")
+    val hasEvents = df.columns.contains("events")
+    val cols = Seq("doc_id", "text", "entities") ++
+      (if (hasRelations) Seq("relations") else Nil) ++
+      (if (hasEvents) Seq("events") else Nil)
+    val relIdx = 3
+    val evtIdx = if (hasRelations) 4 else 3
     df.select(cols.map(col): _*).foreachPartition {
       (rows: Iterator[org.apache.spark.sql.Row]) =>
         rows.foreach { r =>
@@ -158,9 +228,22 @@ object Standoff {
             }
           }
           if (hasRelations)
-            r.getSeq[org.apache.spark.sql.Row](3).foreach { rel =>
+            r.getSeq[org.apache.spark.sql.Row](relIdx).foreach { rel =>
               sb.append(s"${rel.getString(0)}\t${rel.getString(1)} " +
                 s"Arg1:${rel.getString(2)} Arg2:${rel.getString(3)}\n")
+            }
+          if (hasEvents)
+            r.getSeq[org.apache.spark.sql.Row](evtIdx).foreach { ev =>
+              val id = ev.getAs[String]("event_id")
+              val args = ev.getSeq[org.apache.spark.sql.Row](1)
+                .map(a => s"${a.getString(0)}:${a.getString(1)}")
+                .mkString(" ")
+              sb.append(s"$id\t$args\n")
+              ev.getAs[Map[String, String]]("attributes").toSeq
+                .sortBy(_._1).foreach { case (k, v) =>
+                  sb.append(s"A$attrId\t$k $id $v\n")
+                  attrId += 1
+                }
             }
           java.nio.file.Files.writeString(
             java.nio.file.Paths.get(dir, s"$docId.txt"), text)

@@ -57,6 +57,44 @@ class IoSpec extends AnyFunSuite {
     assert(entsBack === Set(("T1", "disease"), ("T2", "disease")))
   }
 
+  test("standoff events (E lines), strict mode, corrupt-line counts") {
+    val dir = Files.createTempDirectory("brat-evt").toString
+    Files.writeString(Paths.get(dir, "doc-3.txt"), "Opéré puis surveillé.")
+    Files.writeString(Paths.get(dir, "doc-3.ann"),
+      "T1\tprocedure 0 5\tOpéré\n" +
+        "T2\tsurveillance 11 20\tsurveillé\n" +
+        "E1\tProcedure:T1 After:T2\n" +
+        "A1\tstatus E1 done\n" +
+        "T9\tbroken NOPE\tgarbage\n" + // corrupt span -> counted
+        "Xjunk line without annotation prefix\n") // ignored, not counted
+    // lenient read: events parsed, corrupt surfaced, junk ignored
+    val row = Standoff.read(spark, dir).filter("doc_id = 'doc-3'").head()
+    val events = row.getSeq[org.apache.spark.sql.Row](
+      row.fieldIndex("events"))
+    assert(events.size === 1)
+    val e1 = events.head
+    assert(e1.getString(0) === "E1")
+    val args = e1.getSeq[org.apache.spark.sql.Row](1)
+      .map(a => (a.getString(0), a.getString(1)))
+    assert(args === Seq(("Procedure", "T1"), ("After", "T2")))
+    assert(e1.getAs[Map[String, String]](2) === Map("status" -> "done"))
+    assert(row.getAs[Int]("n_corrupt_lines") === 1)
+    assert(row.getSeq[String](row.fieldIndex("corrupt_lines"))
+      .head.startsWith("T9"))
+    // events survive the writer round-trip
+    val out = Files.createTempDirectory("brat-evt-out").toString
+    Standoff.write(Standoff.read(spark, dir), out)
+    val back = Standoff.read(spark, out).filter("doc_id = 'doc-3'").head()
+    assert(back.getSeq[org.apache.spark.sql.Row](
+      back.fieldIndex("events")).size === 1)
+    assert(back.getAs[Int]("n_corrupt_lines") === 0)
+    // strict mode: the corrupt line fails the job, reference-style
+    val thrown = intercept[org.apache.spark.SparkException] {
+      Standoff.read(spark, dir, strict = true).collect()
+    }
+    assert(thrown.getMessage != null)
+  }
+
   test("conll-u read: sentences and word fields") {
     val dir = Files.createTempDirectory("conll").toString
     Files.writeString(Paths.get(dir, "sample.conllu"),

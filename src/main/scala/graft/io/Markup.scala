@@ -50,12 +50,18 @@ object Markup {
     (sb.toString, ents.toSeq)
   }
 
-  /** Render (text, ents) back to markup (round-trip / debugging). */
+  /** Render (text, ents) back to markup (round-trip / debugging).
+    * Overlapping entities are legal upstream (PhraseMatcher emits
+    * overlapping matches) but markup is strictly nested-free, so any
+    * entity starting before the render cursor is skipped rather than
+    * crashing the substring arithmetic.
+    */
   def render(text: String, ents: Seq[Ent], preset: String = "md"): String = {
-    val sorted = ents.sortBy(_.begin)
+    val sorted = ents.sortBy(e => (e.begin, -e.end))
     val sb = new StringBuilder
     var last = 0
     sorted.foreach { e =>
+      if (e.begin >= last) {
       sb.append(text.substring(last, e.begin))
       val attrs = e.attrs.toSeq.sortBy(_._1)
         .map { case (k, v) => s"$k=$v" }.mkString(" ")
@@ -67,6 +73,7 @@ object Markup {
         sb.append(s"[${text.substring(e.begin, e.end)}](${e.label}$a)")
       }
       last = e.end
+      }
     }
     sb.append(text.substring(last))
     sb.toString

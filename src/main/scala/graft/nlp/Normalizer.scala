@@ -36,14 +36,29 @@ object Normalizer {
 
   def mapChars(s: String): String = s.map(c => fullMap.getOrElse(c, c))
 
-  /** Pollution detectors (excluded char ranges), generic subset of the
-    * reference bank (`pollution/patterns.py`): repeated filler bars, web
-    * addresses, mid-word line splits.
+  /** Pollution detectors (excluded char ranges), following the reference
+    * bank (`pollution/patterns.py`) and its `default_enabled` set:
+    * filler bars, web addresses, mid-word line splits, doctor-name
+    * margin columns, patient-information boilerplate, print footers.
+    * `biology` (table rows) and `coding` (ICD-10 blocks) stay off by
+    * default there too — disease-name false positives.
     */
   private val pollutionPatterns: Seq[Pattern] = Seq(
+    // bars: NBNbWbW filler + rules
     "(?i)([nbw]|_|-|=){5,}",
+    // web/mail
     "www\\.\\S*|\\S*@\\S*|\\S*\\.(?:fr|com|net|org)\\b",
-    "(?<![\\W\\d_])-\\n"
+    // intraword line split
+    "(?<![\\W\\d_])-\\n",
+    // leftside margin with doctor names
+    "(?mi)(^((dr)|(pr))(\\.|\\s|of).*)+",
+    // patient-information boilerplate block (condensed reference form)
+    "(?s)(=====+\\s*)?(Les\\s*donn[ée]es\\s*administratives,\\s*sociales\\s*" +
+      "|I?nfo\\s*rmation\\s*aux?\\s*patients?" +
+      "|L['’]AP-HP\\s*collecte\\s*vos\\s*donn[ée]es\\s*administratives)" +
+      ".{0,2000}?https?://\\S*droit-opposition[\\s.]*",
+    // print footer "imprimé le dd/mm/yyyy"
+    "(?i)imprim.\\sle\\s\\d\\d/\\d\\d/\\d\\d\\d\\d.*"
   ).map(Pattern.compile)
 
   case class Options(

@@ -23,38 +23,87 @@ object Patterns {
     name = "negation",
     pseudo = Seq(
       "aucun changement", "aucun doute", "aucune hésitation",
-      "aucune diminution", "ne permet pas d'", "ne permet pas de",
-      "n'exclut pas", "non négligeable", "pas d'autre", "pas de changement",
-      "pas de doute", "pas exclu", "pas exclue", "sans doute",
-      "sans aucun doute", "sans certitude", "sans changement"),
+      "aucune diminution",
+      "permet pas d'", "permet pas de", "permet pas d'écarter",
+      "permet pas d'éliminer", "permet pas d'exclure",
+      "permet pas d'infirmer", "permet pas d'interdire",
+      "permet pas de nier", "permet pas de réfuter",
+      "permet pas de rejeter",
+      "ne permet pas d'", "ne permet pas de", "ne permet pas d'écarter",
+      "ne permet pas d'éliminer", "ne permet pas d'exclure",
+      "ne permet pas d'infirmer", "ne permet pas d'interdire",
+      "ne permet pas de nier", "ne permet pas de réfuter",
+      "ne permet pas de rejeter",
+      "n'exclut pas", "non négligeable",
+      "pas d'amélioration", "pas d'augmentation", "pas d'autre",
+      "pas de changement", "pas de diminution", "pas de doute",
+      "pas écarté", "pas écartée", "pas écartées",
+      "pas exclu", "pas exclue", "pas exclues", "pas exclus",
+      "pas immunisé", "pas immunisée", "pas immunisés", "pas immunisées",
+      "sans amélioration", "sans aucun doute", "sans augmentation",
+      "sans certitude", "sans changement", "sans diminution", "sans doute",
+      "sans être certain"),
     preceding = Seq(
-      "absence", "aucun", "aucune", "aucuns", "aucunes", "décline",
-      "dépourvu", "dépourvue", "disparition de", "disparition des",
-      "élimination", "exclusion", "exclut", "excluent", "impossibilité de",
-      "immunisé", "immunisée", "incapable de", "incapacité de", "jamais",
-      "ne", "n'", "négatif", "négative", "ni", "non", "pas", "pas d'",
-      "pas de", "plus d'", "plus de", "sans", "zéro", "élimine", "éliminé",
-      "éliminée", "éliminer", "éliminant", "exclue", "exclure", "excluant",
-      "infirme", "infirmé", "infirmer", "infirmant", "réfute", "réfuté",
-      "réfuter", "réfutant", "rejette", "rejeté", "rejeter", "rejetant"),
+      "à la place de", "absence", "aucun", "aucune", "aucuns", "aucunes",
+      "décline", "décliné",
+      "dépourvu", "dépourvue", "dépourvus", "dépourvues",
+      "disparition de", "disparition des",
+      "élimination", "exclusion", "exclut", "excluent",
+      "impossibilité de",
+      "immunisé", "immunisée", "immunisés", "immunisées",
+      "incapable de", "incapacité de",
+      "incompatible avec", "incompatibles avec",
+      "infirmation de", "infirmation du", "jamais",
+      "ne", "n'", "négatif", "négatif pour", "négative",
+      "ni", "niant", "nie", "nié", "non", "nullement", "pas", "pas d'",
+      "pas de", "permet d'exclure",
+      "peu d'argument en", "peu d'argument pour",
+      "peu d'arguments en", "peu d'arguments pour",
+      "plus d'", "plus de", "plus d'aspect de", "sans",
+      "symptôme atypique", "zéro",
+      "élimine", "éliminé", "éliminée", "éliminer", "éliminant",
+      "exclue", "exclure", "excluant",
+      "infirme", "infirmé", "infirmer", "infirmant",
+      "réfute", "réfuté", "réfuter", "réfutant",
+      "rejette", "rejeté", "rejeter", "rejetant"),
     following = Seq(
-      ": non", ": aucun", ": aucune", ": négatif", ": négative",
-      "négatif", "négatifs", "négative", "négatives", "nul", "nulle",
-      "exclu", "exclue", "exclus", "éliminé", "éliminée", "infirmé",
-      "infirmée", "réfuté", "réfutée"),
-    precedingRegex = Seq("(?i)aucun(e)?\\s+signe\\s+(de|d')"),
+      ":0", ": 0", ": non", ":non", ": aucun", ": aucune",
+      ": négatif", ": négative",
+      "absent", "absente", "absents", "absentes",
+      "dépourvu", "dépourvue", "dépourvus", "dépourvues",
+      "disparait", "disparaissent", "élimination",
+      "est exclu", "est exclue",
+      "immunisé", "immunisée", "immunisés", "immunisées",
+      "impossible", "improbable",
+      "négatif", "négatifs", "négative", "négatives",
+      "négligeable", "négligeables", "nié", "niée", "non", "nul", "nulle",
+      "pas nécessaire", "peu probable",
+      "exclu", "exclue", "exclus", "sont exclus", "sont exclues",
+      "éliminé", "éliminée", "infirmé", "infirmée", "réfuté", "réfutée"),
+    precedingRegex = Seq(
+      "(?i)aucun(e)?\\s+signe\\s+(de|d')",
+      // reference negation/patterns.py preceding_regex: "ne" followed
+      // within 3 words by pas/point/ni/aucun/jamais/rien
+      "(?i)\\bne\\b(?=[ \\n]*(?:\\w*[ \\n]*){3}(?:pas|point|ni|aucun|jamais|rien))"),
     termination = termination)
 
   val family: QualifierPatterns = QualifierPatterns(
     name = "family",
     pseudo = Seq.empty,
     preceding = Seq(
-      "antécédents familiaux", "antécédent familial", "atcd familiaux",
+      "aïeul", "aïeux", "antécédents familiaux", "antécédent familial",
+      "arrière-grand-mère", "arrière-grand-père",
+      "arrière-grands-parents", "atcd familiaux",
       "aux parents", "chez le père", "chez la mère", "chez les parents",
-      "côté maternel", "côté paternel", "familial", "familiale",
-      "familiales", "familiaux", "père", "mère", "frère", "soeur", "sœur",
-      "cousin", "cousine", "oncle", "tante", "grand-père", "grand-mère",
-      "grands-parents", "papa", "maman", "fils", "fille", "parents"),
+      "côté maternel", "côté paternel",
+      "cousin", "cousine", "cousins", "cousines",
+      "enfant", "enfants", "épouse", "époux",
+      "familial", "familiale", "familiales", "familiaux", "famille",
+      "fiancé", "fiancée", "fils", "fille", "filles",
+      "frère", "frères", "grand-père", "grand-mère", "grands-parents",
+      "maman", "mari", "mère", "neveu", "neveux", "nièce", "nièces",
+      "oncle", "papa", "parent", "parents", "père",
+      "soeur", "sœur", "soeurs", "sœurs", "tante"),
     following = Seq.empty,
     precedingRegex = Seq.empty,
     termination = termination)
@@ -62,19 +111,35 @@ object Patterns {
   val hypothesis: QualifierPatterns = QualifierPatterns(
     name = "hypothesis",
     pseudo = Seq(
-      "pas de suspicion", "sans suspicion", "suspicion écartée"),
+      "aucun doute", "même si", "pas de condition", "pas de doute",
+      "pas de suspicion", "sans aucun doute", "sans condition",
+      "sans risque", "sans suspicion", "suspicion écartée"),
     preceding = Seq(
-      "à la recherche de", "au conditionnel", "conditionnel", "doute",
+      "à condition", "à la condition que", "à la recherche de",
+      "à moins que", "au cas où", "au conditionnel", "conditionnel",
+      "conditionnellement", "discret", "discrets", "discrète",
+      "discrètes", "doute", "en admettant que", "en cas",
+      "en considérant que", "en supposant que",
       "éventuel", "éventuelle", "éventuellement", "éventuels",
-      "éventuelles", "hypothèse", "hypothèses", "hypothétique",
-      "peut-être", "possibilité", "possible", "possiblement",
-      "potentiel", "potentielle", "potentiellement", "probable",
-      "probablement", "présomption", "recherche de", "recherche d'",
-      "semble", "semblerait", "soupçon", "soupçonne", "suspecte",
-      "suspectée", "suspicion", "suspicions", "susceptible de"),
+      "éventuelles", "exploration", "faudrait", "hypothèse", "hypothèses",
+      "hypothétique", "idée de", "pas confirmer", "pas sûr", "pas sûre",
+      "peut correspondre", "peut-être", "peuvent correspondre",
+      "possibilité", "possible", "possiblement",
+      "potentiel", "potentielle", "potentiellement", "potentiels",
+      "potentielles", "prédisposant à", "probable", "probablement",
+      "probables", "présomption", "recherche de", "recherche d'",
+      "recherche des", "risque", "selon", "semble", "semblerait", "si",
+      "s'il", "soit", "soupçon", "soupçonne", "sous condition",
+      "sous réserve", "suspecte", "suspectée", "suspicion", "suspicions",
+      "susceptible de"),
     following = Seq(
-      "envisagé", "envisagée", "envisageable", "possible", "potentiel",
-      "potentielle", "probable", "suspecté", "suspectée", "à confirmer"),
+      "?", "envisagé", "envisagée", "envisageable", "envisageables",
+      "hypothétique", "hypothétiquement", "hypothétiques",
+      "pas certain", "pas certaine", "pas clair", "pas claire",
+      "pas confirmé", "pas confirmée", "pas confirmés", "pas confirmées",
+      "pas évident", "pas évidente", "pas sûr", "pas sûre",
+      "possibilité", "possible", "potentiel", "potentielle", "potentiels",
+      "probable", "probables", "suspecté", "suspectée", "à confirmer"),
     precedingRegex = Seq("(?i)suspicion(s)?\\s+(de|d')"),
     termination = termination)
 
@@ -82,14 +147,24 @@ object Patterns {
     name = "reported_speech",
     pseudo = Seq.empty,
     preceding = Seq(
-      "affirme", "affirmant", "ajoute", "d'après le patient",
-      "d'après la patiente", "décrit", "décrivant", "dit", "disant",
+      "affirme", "affirmant", "ajoute", "assure", "confirme",
+      "crainte de", "d'après le patient", "d'après la patiente",
+      "décrit", "décrivant", "démontre", "dit", "disant",
       "déclare", "déclarant", "évoque", "évoquant", "explique",
-      "expliquant", "mentionne", "mentionnant", "plaint", "se plaignant",
-      "rapporte", "rapportant", "raconte", "racontant", "signale",
-      "signalant", "selon le patient", "selon la patiente",
+      "expliquant", "indique", "informe", "insinue", "insiste",
+      "insiste sur le fait que", "jure", "menace de", "mentionne",
+      "mentionnant", "nie", "niant", "note", "objecte", "observe",
+      "parle", "pas de critique de", "peur de", "plaint", "précise",
+      "prétend", "prévient", "promet", "se plaignant",
+      "rapporte", "rapportant", "raconte", "racontant", "rappelle",
+      "reconnaît", "réfute", "réplique", "répond", "répète", "révèle",
+      "signale", "signalant", "souhaite", "souligne", "supplie",
+      "selon le patient", "selon la patiente", "verbalise",
       "aux dires du patient", "aux dires de la patiente"),
-    following = Seq.empty,
+    following = Seq("d'après le patient", "d'après la patiente"),
+    // the reference also flags entities INSIDE quotation marks
+    // (patterns.py `quotation`); that is a containment cue, not a
+    // preceding one — out of scope for the window engine here
     precedingRegex = Seq.empty,
     termination = termination)
 

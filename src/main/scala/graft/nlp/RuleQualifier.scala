@@ -53,6 +53,10 @@ final class RuleQualifier(patterns: QualifierPatterns) extends Serializable {
     val cues = phraseMatcher.findMatches(tokens, text) ++
       regexMatcher.map(_.findMatches(tokens, text)).getOrElse(Nil)
 
+    // terminations derive from RAW matches, before pseudo suppression —
+    // the reference order (negation.py:303-307): even a termination word
+    // embedded in a longer cue cuts the scope ("avec" inside
+    // "incompatible avec" self-terminates that cue, faithfully).
     val terminations = cues.filter(_.label == "termination")
     val docEnd = if (text == null) 0 else text.length
     val starts =

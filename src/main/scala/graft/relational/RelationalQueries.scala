@@ -31,6 +31,18 @@ object RelationalQueries {
     */
   private def money(c: Column): Column = round(c, 2)
 
+  /** Money SUM in decimal, not double: double addition is not
+    * associative, so a 600k-row sum can drift a cent depending on
+    * partial-aggregation order — across engines (the DuckDB oracle at
+    * sf0.1) and across RUNS at cluster scale (AQE/retries reorder
+    * partials). Inputs are 2-decimal money and 4-decimal products, so a
+    * per-term cast to DECIMAL(20,6) is lossless-for-the-purpose and the
+    * sum becomes exact and order-independent. Output cast back to double
+    * keeps the public schema unchanged.
+    */
+  private def moneySum(c: Column): Column =
+    round(sum(c.cast("decimal(20,6)")), 2).cast("double")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- aggregation --------------------------------------------------
     "q1_pricing_summary" -> { (s, d) =>
@@ -39,8 +51,8 @@ object RelationalQueries {
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
           money(sum($"l_quantity")).as("sum_qty"),
-          money(sum($"l_extendedprice")).as("sum_base_price"),
-          money(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+          moneySum($"l_extendedprice").as("sum_base_price"),
+          moneySum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
             .as("sum_disc_price"),
           round(avg($"l_quantity"), 4).as("avg_qty"),
           round(avg($"l_discount"), 4).as("avg_disc"),
@@ -51,7 +63,7 @@ object RelationalQueries {
       import s.implicits._
       lineitem(s, d)
         .filter($"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
-        .agg(money(sum($"l_extendedprice" * $"l_discount")).as("revenue"),
+        .agg(moneySum($"l_extendedprice" * $"l_discount").as("revenue"),
           count(lit(1)).as("n"))
     },
     "q11_distinct_parts" -> { (s, d) =>
@@ -73,7 +85,7 @@ object RelationalQueries {
       l.join(o, $"l_orderkey" === $"o_orderkey")
         .join(broadcast(c), $"o_custkey" === $"c_custkey")
         .groupBy($"c_custkey", $"c_name")
-        .agg(money(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+        .agg(moneySum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
           .as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy($"c_custkey")
@@ -91,7 +103,7 @@ object RelationalQueries {
         .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
         .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
         .groupBy($"r_name", $"n_name")
-        .agg(money(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+        .agg(moneySum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
           .as("revenue"))
         .orderBy($"r_name", $"n_name")
     },
@@ -198,7 +210,7 @@ object RelationalQueries {
       events(s, d)
         .groupBy(date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm")
           .as("hour"), $"event_type")
-        .agg(count(lit(1)).as("n"), money(sum($"value")).as("total"))
+        .agg(count(lit(1)).as("n"), moneySum($"value").as("total"))
         .orderBy($"hour", $"event_type")
     },
     "q16_sessionize" -> { (s, d) =>
@@ -217,7 +229,7 @@ object RelationalQueries {
           sum($"new_session")
             .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
         .groupBy($"user_id", $"session_id")
-        .agg(count(lit(1)).as("n_events"), money(sum($"value")).as("total"))
+        .agg(count(lit(1)).as("n_events"), moneySum($"value").as("total"))
         .orderBy($"user_id", $"session_id")
     },
     "q17_asof_join" -> { (s, d) =>
@@ -261,15 +273,15 @@ object RelationalQueries {
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,
-         round(sum(l_extendedprice), 2) AS sum_base_price,
-         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+         round(sum(CAST(l_extendedprice AS DECIMAL(20,6))), 2)::DOUBLE AS sum_base_price,
+         round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(20,6))), 2)::DOUBLE AS sum_disc_price,
          round(avg(l_quantity), 4) AS avg_qty,
          round(avg(l_discount), 4) AS avg_disc,
          count(*) AS count_order
          FROM lineitem GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
     "q6_forecast_revenue" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      """SELECT round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(20,6))), 2)::DOUBLE AS revenue,
          count(*) AS n
          FROM lineitem
          WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
@@ -279,14 +291,14 @@ object RelationalQueries {
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q3_customer_revenue" ->
       """SELECT c_custkey, c_name,
-         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+         round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(20,6))), 2)::DOUBLE AS revenue,
          count(*) AS n_items
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
          GROUP BY c_custkey, c_name ORDER BY c_custkey""",
     "q5_nation_revenue" ->
       """SELECT r_name, n_name,
-         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(20,6))), 2)::DOUBLE AS revenue
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
@@ -348,7 +360,7 @@ object RelationalQueries {
          FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
     "q14_events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
-         event_type, count(*) AS n, round(sum(value), 2) AS total
+         event_type, count(*) AS n, round(sum(CAST(value AS DECIMAL(20,6))), 2)::DOUBLE AS total
          FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
     "q16_sessionize" ->
       """WITH g AS (
@@ -365,7 +377,7 @@ object RelationalQueries {
                AS session_id
            FROM g)
          SELECT user_id, session_id, count(*) AS n_events,
-           round(sum(value), 2) AS total
+           round(sum(CAST(value AS DECIMAL(20,6))), 2)::DOUBLE AS total
          FROM sx GROUP BY user_id, session_id
          ORDER BY user_id, session_id""",
     "q17_asof_join" ->

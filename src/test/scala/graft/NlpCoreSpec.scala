@@ -134,6 +134,54 @@ class NlpCoreSpec extends AnyFunSuite {
     assert(byDoc(1L) >= 1L) // real text still annotates
   }
 
+  test("negation: widened reference-bank cues fire") {
+    val pipe = DocFixtures.pipeline
+    def negated(text: String, term: String): Boolean = {
+      val anns = pipe.annotate(text)
+      anns.ents.find(_.text.toLowerCase.contains(term))
+        .getOrElse(fail(s"no entity '$term'")).attrs("negation").toBoolean
+    }
+    // "ne ... <3 words> ... jamais/pas" regex cue (negation patterns.py
+    // preceding_regex)
+    assert(negated("On ne retrouve par ailleurs jamais de fracture.",
+      "fracture"))
+    // new preceding cues
+    assert(negated("Infirmation de fracture du radius.", "fracture"))
+    assert(negated("Nullement de fracture visible.", "fracture"))
+    // new following cues
+    assert(negated("Fracture du radius improbable.", "fracture"))
+    assert(negated("Fracture : 0.", "fracture"))
+    // new pseudo-negations stay positive
+    assert(!negated("Pas d'amélioration de la fracture du radius.",
+      "fracture"))
+    assert(!negated("Ne permet pas d'exclure une fracture.", "fracture"))
+  }
+
+  test("pollution: doctor margins and print footers are excluded") {
+    import graft.nlp.{Normalizer, Tokenizer}
+    val text = "Dr Martin Service ORL\nDouleur au bras.\n" +
+      "Imprimé le 01/02/2021 page 1"
+    val toks = Normalizer.normalize(text, Tokenizer.tokenize(text))
+    def excludedAt(sub: String): Boolean = {
+      val i = text.indexOf(sub)
+      toks.filter(t => t.begin >= i && t.end <= i + sub.length)
+        .forall(_.excluded)
+    }
+    assert(excludedAt("Dr Martin Service ORL"))
+    assert(excludedAt("Imprimé le 01/02/2021 page 1"))
+    assert(!excludedAt("Douleur au bras."))
+  }
+
+  test("markup render: overlapping entities skip instead of crashing") {
+    import graft.nlp.Ent
+    val text = "fracture du radius gauche"
+    val ents = Seq(
+      Ent(0, 18, "dis", "fracture du radius"),
+      Ent(9, 25, "loc", "du radius gauche")) // overlaps the first
+    val rendered = graft.io.Markup.render(text, ents)
+    assert(rendered === "[fracture du radius](dis) gauche")
+  }
+
   test("family qualifier") {
     val pipe = DocFixtures.pipeline
     val anns = pipe.annotate("Antécédents familiaux de diabète. Le patient a une fracture.")

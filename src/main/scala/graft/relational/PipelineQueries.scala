@@ -225,6 +225,20 @@ object PipelineQueries {
           TextStats.subwordCount($"text").as("n_subwords"),
           TextStats.wordCount($"text").as("n_words"))
         .orderBy($"doc_id")
+    },
+    "q47_arrow_stage" -> { (s, d) =>
+      import s.implicits._
+      // the map_gpu-shaped Arrow stage on the declared surface: rows
+      // serialize to Arrow record batches, cross the stage boundary (the
+      // model runtime's wire format), deserialize back — end-to-end
+      // through ArrowConverters, oracle-checked. The forward here is the
+      // identity batch fn (no torch in this container); a model client
+      // consumes/returns the same Arrow IPC bytes.
+      val src = documents(s, d)
+        .select($"doc_id", length($"text").as("n_chars"))
+      graft.operators.GpuStage.mapInArrow(src, src.schema,
+        maxRecordsPerBatch = 256)(identity)
+        .orderBy($"doc_id")
     }
   )
 
@@ -318,6 +332,9 @@ object PipelineQueries {
          FROM documents
          WHERE regexp_matches(text, '^[\x00-\x7F]*$')
          ORDER BY media_id""",
+    "q47_arrow_stage" ->
+      """SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars
+         FROM documents ORDER BY doc_id""",
     "q39_subword_count" ->
       """SELECT doc_id,
          CAST(len(regexp_extract_all(text,

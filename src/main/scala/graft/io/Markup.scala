@@ -14,11 +14,44 @@ import graft.nlp.Ent
   */
 object Markup {
 
+  /** One markup dialect: `pattern` must expose named groups `txt`,
+    * `label`, `attrs`; `render` receives (entity text, label, attr
+    * string incl. leading space or empty).
+    */
+  final case class Preset(
+      pattern: Pattern,
+      render: (String, String, String) => String)
+
   private val mdPat = Pattern.compile(
     "\\[(?<txt>[^\\]]*)\\]\\((?<label>[^\\s)]+)(?<attrs>[^)]*)\\)")
   private val xmlPat = Pattern.compile(
     "<(?<label>[a-zA-Z_][\\w-]*)(?<attrs>[^>]*)>(?<txt>.*?)</\\k<label>>",
     Pattern.DOTALL)
+  private val curlyPat = Pattern.compile(
+    "\\{(?<txt>[^}]*)\\}\\((?<label>[^\\s)]+)(?<attrs>[^)]*)\\)")
+
+  /** Name-resolved preset registry (the reference's `PRESETS` +
+    * opener/closer customization, `converters.py:744-829`): `md` and
+    * `xml` match the reference; `curly` (`{lesion}(disease neg=true)`)
+    * ships as the extension example; users register their own dialects
+    * with [[registerPreset]].
+    */
+  private val presets =
+    scala.collection.concurrent.TrieMap[String, Preset](
+      "md" -> Preset(mdPat, (t, l, a) => s"[$t]($l$a)"),
+      "xml" -> Preset(xmlPat, (t, l, a) => s"<$l$a>$t</$l>"),
+      "curly" -> Preset(curlyPat, (t, l, a) => s"{$t}($l$a)"))
+
+  def registerPreset(name: String, preset: Preset): Unit =
+    presets.put(name, preset)
+
+  def availablePresets: Seq[String] = presets.keys.toSeq.sorted
+
+  private def resolvePreset(name: String): Preset =
+    presets.getOrElse(name, throw new IllegalArgumentException(
+      s"Unknown markup preset '$name'. " +
+        s"Available presets are ${availablePresets.mkString(", ")}"))
+
   private val attrPat =
     Pattern.compile("([\\w.]+)\\s*=\\s*\"?([^\\s\"]+)\"?")
 
@@ -32,7 +65,7 @@ object Markup {
 
   /** Parse markup -> (clean text, entities with clean-text offsets). */
   def parse(markup: String, preset: String = "md"): (String, Seq[Ent]) = {
-    val pat = if (preset == "xml") xmlPat else mdPat
+    val pat = resolvePreset(preset).pattern
     val m = pat.matcher(markup)
     val sb = new StringBuilder
     val ents = new ArrayBuffer[Ent]
@@ -57,6 +90,7 @@ object Markup {
     * crashing the substring arithmetic.
     */
   def render(text: String, ents: Seq[Ent], preset: String = "md"): String = {
+    val p = resolvePreset(preset)
     val sorted = ents.sortBy(e => (e.begin, -e.end))
     val sb = new StringBuilder
     var last = 0
@@ -65,13 +99,8 @@ object Markup {
       sb.append(text.substring(last, e.begin))
       val attrs = e.attrs.toSeq.sortBy(_._1)
         .map { case (k, v) => s"$k=$v" }.mkString(" ")
-      if (preset == "xml") {
-        val a = if (attrs.isEmpty) "" else s" $attrs"
-        sb.append(s"<${e.label}$a>${text.substring(e.begin, e.end)}</${e.label}>")
-      } else {
-        val a = if (attrs.isEmpty) "" else s" $attrs"
-        sb.append(s"[${text.substring(e.begin, e.end)}](${e.label}$a)")
-      }
+      val a = if (attrs.isEmpty) "" else s" $attrs"
+      sb.append(p.render(text.substring(e.begin, e.end), e.label, a))
       last = e.end
       }
     }

@@ -255,6 +255,55 @@ class ExtractionPipesSpec extends AnyFunSuite {
     assert(ex.head.attrs("negation") === "true")
   }
 
+  test("markup preset registry: curly preset, custom registration, errors") {
+    // the new non-reference preset round-trips like md/xml
+    val curly = "Une {fracture}(disease negation=true) du radius."
+    val (clean, ents) = io.Markup.parse(curly, "curly")
+    assert(clean === "Une fracture du radius.")
+    assert(ents.head.attrs("negation") === "true")
+    assert(io.Markup.render(clean, ents, "curly") === curly)
+    // runtime registration, reference registry style
+    io.Markup.registerPreset("pipe", io.Markup.Preset(
+      java.util.regex.Pattern.compile(
+        "\\|(?<txt>[^|]*)\\|(?<label>[\\w-]+)(?<attrs>(?: [\\w.]+=\\S+)*)\\|"),
+      (t, l, a) => s"|$t|$l$a|"))
+    val (c2, e2) = io.Markup.parse("Pas de |lésion|dis|.", "pipe")
+    assert(c2 === "Pas de lésion." && e2.head.label === "dis")
+    // unknown presets fail with the available list
+    val err = intercept[IllegalArgumentException] {
+      io.Markup.parse("x", "nope")
+    }
+    assert(err.getMessage.contains("md") && err.getMessage.contains("xml"))
+  }
+
+  test("converter name registry resolves like the reference") {
+    import TestSpark.spark
+    // suffix-filtered substring resolution: "standoff" -> standoff2doc
+    val dir = java.nio.file.Files.createTempDirectory("conv").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "d1.txt"), "fracture du radius")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "d1.ann"),
+      "T1\tdisease 0 8\tfracture\n")
+    val df = io.Converters.dict2doc("standoff")(spark, dir)
+    assert(df.selectExpr("explode(entities)").count() === 1L)
+    // markup reader: one annotated doc per line
+    val mdir = java.nio.file.Files.createTempDirectory("convmd").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(mdir, "docs.txt"),
+      "Une [fracture](dis) simple.\nPas de [fievre](sym).\n")
+    val mdf = io.Converters.dict2doc("markup")(spark, mdir)
+    assert(mdf.count() === 2L)
+    assert(mdf.selectExpr("explode(entities) as e").selectExpr("e.label")
+      .collect().map(_.getString(0)).toSet === Set("dis", "sym"))
+    // writer resolution + unknown-name error carries the available list
+    assert(io.Converters.doc2dict("standoff") != null)
+    val err = intercept[IllegalArgumentException] {
+      io.Converters.dict2doc("tfrecord")
+    }
+    assert(err.getMessage.contains("Available dict2doc converters"))
+  }
+
   test("split remaps entity offsets into fragments") {
     val text = "Premier paragraphe avec douleur.\n\nSecond paragraphe avec fracture."
     val ents = Seq(

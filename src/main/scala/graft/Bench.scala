@@ -10,18 +10,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Neutral warm-up: JIT/codegen via a synthetic range agg, then one
-    // plain count() of every table so the OS page cache is warm for ALL
-    // queries equally — warming with a timed query (old behavior) gave
-    // that query a codegen-cache edge in its reported number.
+    // Neutral warm-up: JIT/codegen via a synthetic range agg, then a
+    // full-width hash aggregate over every table so the OS page cache
+    // holds the DATA pages for ALL queries equally (a bare count() only
+    // touches parquet footers) — warming with a timed query (old
+    // behavior) gave that query a codegen-cache edge in its number.
     try {
       spark.range(2000000L).selectExpr("sum(id * 2 + 1)").collect()
       Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "documents", "embeddings").foreach { t =>
-        try relational.Tables.table(spark, sfDir, t).count()
+        try relational.Tables.table(spark, sfDir, t)
+          .selectExpr("sum(xxhash64(struct(*)))").collect()
         catch { case _: Throwable => }
       }
-      try relational.Tables.events(spark, sfDir).count()
+      try relational.Tables.events(spark, sfDir)
+        .selectExpr("sum(xxhash64(struct(*)))").collect()
       catch { case _: Throwable => }
     } catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>

@@ -128,25 +128,17 @@ object Dedup {
     // Cap boilerplate-skew buckets with a groupBy count + join, not a
     // window: a window count sorts every row WITHIN the mega-bucket it is
     // about to discard; the aggregate pre-shrinks to one row per bucket.
-    // The cap is a documented recall tradeoff — never a silent one: the
-    // number of dropped buckets is pushed to an accumulator (and the kept
-    // side is what joins below).
+    // The cap is a documented recall tradeoff — never a silent one: when
+    // observability is requested, the dropped-bucket count is computed
+    // EAGERLY by its own small action. An in-plan side-effecting filter
+    // would double-count whenever the self-join below plans the
+    // aggregate+filter subtree on both sides (only the underlying
+    // exchange is reused); one extra narrow pass, exact semantics.
     val cnt = buckets.groupBy("bucket").agg(count(lit(1)).as("n"))
-    val keptBuckets = droppedBuckets match {
-      case Some(acc) =>
-        // nondeterministic so Catalyst neither duplicates nor reorders the
-        // side-effecting predicate; it sees one row per bucket, so the
-        // accumulator counts dropped BUCKETS (retries may overcount — the
-        // standard accumulator-in-transformation caveat, fine for a
-        // visibility metric).
-        val keepAndCount = udf { (n: Long) =>
-          val keep = n <= maxBucket
-          if (!keep) acc.add(1L)
-          keep
-        }.asNondeterministic()
-        cnt.filter(keepAndCount(col("n")))
-      case None => cnt.filter(col("n") <= maxBucket)
+    droppedBuckets.foreach { acc =>
+      acc.add(cnt.filter(col("n") > maxBucket).count())
     }
+    val keptBuckets = cnt.filter(col("n") <= maxBucket)
     val capped = buckets.join(keptBuckets.select("bucket"), "bucket")
     val l = capped.select(col("bucket"), col("id").as("id_a"))
     val r = capped.select(col("bucket"), col("id").as("id_b"))

@@ -20,17 +20,23 @@ object Converters {
   type Reader = (SparkSession, String) => DataFrame
   type Writer = (DataFrame, String) => Unit
 
-  private val markupParseUdf = udf((line: String, preset: String) =>
-    Markup.parse(line, preset))
-
   /** Markup files (one annotated doc per line) -> (doc_id, text,
     * entities): the distributed form of the reference's
-    * MarkupToDocConverter over a text source.
+    * MarkupToDocConverter over a text source. The preset OBJECT is
+    * resolved on the driver and captured in the UDF closure (names are
+    * driver-JVM state — see [[Markup.registerPreset]]); doc_id is the
+    * stable string "<file>-<line index>", invariant under partitioning,
+    * matching the string doc_id contract of the standoff/conll readers.
     */
-  private def readMarkup(preset: String): Reader = { (spark, path) =>
-    spark.read.text(path)
-      .select(monotonically_increasing_id().as("doc_id"),
-        markupParseUdf(col("value"), lit(preset)).as("parsed"))
+  private def readMarkup(presetName: String): Reader = { (spark, path) =>
+    val preset = Markup.preset(presetName)
+    val parseUdf = udf((line: String) => Markup.parseWith(line, preset))
+    spark.read.option("wholetext", "true").text(path)
+      .select(regexp_extract(input_file_name(), "([^/]+)$", 1).as("f"),
+        posexplode(split(col("value"), "\n")))
+      .filter(trim(col("col")) =!= "")
+      .select(concat(col("f"), lit("-"), col("pos")).as("doc_id"),
+        parseUdf(col("col")).as("parsed"))
       .select(col("doc_id"), col("parsed._1").as("text"),
         col("parsed._2").as("entities"))
   }

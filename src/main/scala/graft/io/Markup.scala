@@ -20,7 +20,7 @@ object Markup {
     */
   final case class Preset(
       pattern: Pattern,
-      render: (String, String, String) => String)
+      render: (String, String, String) => String) extends Serializable
 
   private val mdPat = Pattern.compile(
     "\\[(?<txt>[^\\]]*)\\]\\((?<label>[^\\s)]+)(?<attrs>[^)]*)\\)")
@@ -42,15 +42,24 @@ object Markup {
       "xml" -> Preset(xmlPat, (t, l, a) => s"<$l$a>$t</$l>"),
       "curly" -> Preset(curlyPat, (t, l, a) => s"{$t}($l$a)"))
 
+  /** Registration is DRIVER-JVM state: a name registered here does not
+    * exist on executors. Code that parses inside Spark tasks must
+    * resolve the [[Preset]] on the driver ([[preset]]) and capture the
+    * (serializable) object in the closure — as [[Converters]] does —
+    * rather than shipping the name.
+    */
   def registerPreset(name: String, preset: Preset): Unit =
     presets.put(name, preset)
 
   def availablePresets: Seq[String] = presets.keys.toSeq.sorted
 
-  private def resolvePreset(name: String): Preset =
+  /** Resolve a preset by name (throws with the available list). */
+  def preset(name: String): Preset =
     presets.getOrElse(name, throw new IllegalArgumentException(
       s"Unknown markup preset '$name'. " +
         s"Available presets are ${availablePresets.mkString(", ")}"))
+
+  private def resolvePreset(name: String): Preset = preset(name)
 
   private val attrPat =
     Pattern.compile("([\\w.]+)\\s*=\\s*\"?([^\\s\"]+)\"?")
@@ -64,9 +73,14 @@ object Markup {
   }
 
   /** Parse markup -> (clean text, entities with clean-text offsets). */
-  def parse(markup: String, preset: String = "md"): (String, Seq[Ent]) = {
-    val pat = resolvePreset(preset).pattern
-    val m = pat.matcher(markup)
+  def parse(markup: String, preset: String = "md"): (String, Seq[Ent]) =
+    parseWith(markup, resolvePreset(preset))
+
+  /** Preset-object variant — executor-safe (no name lookup at task
+    * time).
+    */
+  def parseWith(markup: String, preset: Preset): (String, Seq[Ent]) = {
+    val m = preset.pattern.matcher(markup)
     val sb = new StringBuilder
     val ents = new ArrayBuffer[Ent]
     var last = 0

@@ -39,19 +39,30 @@ object NerMetrics {
     * the old `intersect` + 3-way union + double groupBy planned three
     * data-sized exchanges more than the math needs.
     */
+  /** Set-semantics (tp, n_pred, n_gold) per `groupCol`: inner join on
+    * the full item key for TP, per-group counts, full-outer assembled
+    * with zero-coalesce — shared by [[nerExact]] and [[spanAttribute]].
+    * `p`/`g` must already be distinct on `key`.
+    */
+  private def setCounts(
+      p: DataFrame, g: DataFrame, key: Seq[String],
+      groupCol: String): DataFrame = {
+    val tp = p.join(g, key).groupBy(groupCol).agg(count(lit(1)).as("tp"))
+    val np = p.groupBy(groupCol).agg(count(lit(1)).as("np"))
+    val ng = g.groupBy(groupCol).agg(count(lit(1)).as("ng"))
+    np.join(ng, Seq(groupCol), "full_outer")
+      .join(tp, Seq(groupCol), "left_outer")
+      .select(col(groupCol),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("np"), lit(0L)).as("np"),
+        coalesce(col("ng"), lit(0L)).as("ng"))
+  }
+
   def nerExact(pred: DataFrame, gold: DataFrame): DataFrame = {
     val key = Seq("doc_id", "begin", "end", "label")
     val p = pred.select(key.map(col): _*).distinct()
     val g = gold.select(key.map(col): _*).distinct()
-    val tp = p.join(g, key).groupBy("label").agg(count(lit(1)).as("tp"))
-    val np = p.groupBy("label").agg(count(lit(1)).as("np"))
-    val ng = g.groupBy("label").agg(count(lit(1)).as("ng"))
-    val counts = np.join(ng, Seq("label"), "full_outer")
-      .join(tp, Seq("label"), "left_outer")
-      .select(col("label"),
-        coalesce(col("tp"), lit(0L)).as("tp"),
-        coalesce(col("np"), lit(0L)).as("np"),
-        coalesce(col("ng"), lit(0L)).as("ng"))
+    val counts = setCounts(p, g, key, "label")
     val perLabel = counts.select(
       col("label") +: prf(col("tp").cast("double"), col("np"), col("ng")): _*)
     val micro = counts.agg(sum("tp").as("tp"), sum("np").as("np"),
@@ -172,15 +183,7 @@ object NerMetrics {
     val key = Seq("doc_id", "begin", "end", "attr", "value")
     val p = items(pred)
     val g = items(gold)
-    val tp = p.join(g, key).groupBy("attr").agg(count(lit(1)).as("tp"))
-    val np = p.groupBy("attr").agg(count(lit(1)).as("np"))
-    val ng = g.groupBy("attr").agg(count(lit(1)).as("ng"))
-    val counts = np.join(ng, Seq("attr"), "full_outer")
-      .join(tp, Seq("attr"), "left_outer")
-      .select(col("attr"),
-        coalesce(col("tp"), lit(0L)).as("tp"),
-        coalesce(col("np"), lit(0L)).as("np"),
-        coalesce(col("ng"), lit(0L)).as("ng"))
+    val counts = setCounts(p, g, key, "attr")
     val withMicro = counts.unionByName(
       counts.agg(sum("tp").as("tp"), sum("np").as("np"),
         sum("ng").as("ng")).select(lit("micro").as("attr"),

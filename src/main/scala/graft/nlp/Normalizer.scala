@@ -57,8 +57,10 @@ object Normalizer {
       "|I?nfo\\s*rmation\\s*aux?\\s*patients?" +
       "|L['’]AP-HP\\s*collecte\\s*vos\\s*donn[ée]es\\s*administratives)" +
       ".{0,2000}?https?://\\S*droit-opposition[\\s.]*",
-    // print footer "imprimé le dd/mm/yyyy"
-    "(?i)imprim.\\sle\\s\\d\\d/\\d\\d/\\d\\d\\d\\d.*"
+    // print footer: a SHORT line starting with "imprimé le dd/mm/yyyy"
+    // (page footers are standalone lines; requiring line-start + bounded
+    // tail keeps narrative sentences that merely mention a print date)
+    "(?im)^\\s*imprim.\\sle\\s\\d\\d/\\d\\d/\\d\\d\\d\\d\\b[^\\n]{0,30}$"
   ).map(Pattern.compile)
 
   case class Options(

@@ -79,11 +79,12 @@ object Dates {
     Pattern.CASE_INSENSITIVE)
 
   // partial numeric absolute without a year: "le 09/08", "Le 07/01."
-  // (reference no_year_pattern over raw delimiters). Pagination "1/3" is
-  // a reference false positive (false_positive.py: \d/\d) — excluded in
-  // the handler.
+  // Delimiters are the reference's RAW delimiters only ('/' and '-',
+  // delimiters.py) — '.' would turn every decimal like "23.7" into a
+  // day/month date. Pagination "1/3" is a reference false positive
+  // (false_positive.py: \d/\d) — excluded in the handler.
   private val dayMonth = Pattern.compile(
-    "(?<![\\d/.\\-])(?<d>0?[1-9]|[12]\\d|3[01])[/.\\-](?<m>0?[1-9]|1[0-2])(?![\\d/.\\-])")
+    "(?<![\\d/.\\-])(?<d>0?[1-9]|[12]\\d|3[01])[/\\-](?<m>0?[1-9]|1[0-2])(?![\\d/.\\-])")
 
   // month/year without a day: "11/2017" (lz numeric month + full year)
   private val monthYear = Pattern.compile(

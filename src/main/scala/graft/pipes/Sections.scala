@@ -17,35 +17,65 @@ import graft.nlp.{Ent, Normalizer}
   */
 object Sections {
 
-  /** label -> title variants (matched on accent-folded lowercase norm). */
+  /** label -> title variants (matched on accent-folded lowercase norm) —
+    * the full reference bank (`sections/patterns.py`, all 25 labels) with
+    * its two regex-ish entries expanded to literal variants (this matcher
+    * is a norm-level phrase trie), plus a few common extras kept from
+    * round 1 (ordonnance, biologie, imagerie, motif de consultation).
+    */
   val defaultTitles: Map[String, Seq[String]] = Map(
     "allergies" -> Seq("allergies"),
-    "antecedents" -> Seq("antecedents", "antecedents medicaux",
+    "antecedents" -> Seq("antecedents",
+      "antecedents medicaux et chirurgicaux", "antecedents medicaux",
       "antecedents chirurgicaux", "antecedents personnels", "atcd"),
     "antecedents_familiaux" -> Seq("antecedents familiaux"),
-    "traitements_entree" -> Seq("traitement a l'entree",
-      "traitement actuel", "traitement en cours", "traitements a l'entree"),
-    "conclusion" -> Seq("au total", "conclusion", "synthese",
-      "synthese medicale", "conclusion de sortie"),
-    "habitus" -> Seq("mode de vie", "habitus", "contexte familial et social"),
+    "traitements_entree" -> Seq("attitude therapeutique initiale",
+      "traitement a l'entree", "traitement actuel", "traitement en cours",
+      "traitements a l'entree"),
+    "conclusion" -> Seq("au total", "conclusion", "conclusion de sortie",
+      "syntese medicale / conclusion", "synthese", "synthese medicale",
+      "synthese medicale/conclusion", "conclusion medicale"),
+    "conclusion_entree" -> Seq("conclusion a l'entree"),
+    "habitus" -> Seq("contexte familial et social", "habitus",
+      "mode de vie", "mode de vie - scolarite",
+      "situation sociale, mode de vie"),
+    "correspondants" -> Seq("correspondants"),
     "diagnostic" -> Seq("diagnostic retenu"),
+    "donnees_biometriques_entree" -> Seq(
+      "donnees biometriques et parametres vitaux a l'entree",
+      "parametres vitaux et donnees biometriques a l'entree"),
     "examens" -> Seq("examen clinique", "examens cliniques",
       "examen clinique a l'entree"),
     "examens_complementaires" -> Seq("examens complementaires",
-      "examen complementaire", "biologie", "imagerie"),
+      "examen complementaire", "examen(s) complementaire(s)",
+      "examens complementaires a l'entree",
+      "examens complementaires realises a l'entree",
+      "examens complementaires realises pendant le sejour",
+      "examens para-cliniques", "imagerie post-operatoire",
+      "biologie", "imagerie"),
     "facteurs_de_risques" -> Seq("facteurs de risque",
       "facteurs de risques"),
     "histoire_de_la_maladie" -> Seq("histoire de la maladie",
+      "histoire de la maladie - explorations",
+      "histoire de la maladie actuelle", "histoire du poids",
       "histoire recente", "histoire recente de la maladie",
-      "rappel clinique", "resume clinique"),
-    "motif" -> Seq("motif", "motif de l'hospitalisation",
-      "motif d'hospitalisation", "motif de consultation"),
+      "rappel clinique", "resume", "resume clinique",
+      "resume clinique - histoire de la maladie",
+      "antecedents et histoire de la maladie"),
+    "actes" -> Seq("intervention"),
+    "motif" -> Seq("motif", "motif d'hospitalisation",
+      "motif de l'hospitalisation", "motif medical",
+      "motif de consultation"),
     "prescriptions" -> Seq("prescriptions de sortie", "ordonnance",
       "prescriptions medicales de sortie"),
     "traitements_sortie" -> Seq("traitement de sortie"),
-    "evolution" -> Seq("evolution", "evolution dans le service"),
-    "modalites_sortie" -> Seq("modalites de sortie"),
-    "vaccinations" -> Seq("vaccinations", "vaccins"))
+    "evolution" -> Seq("evolution",
+      "evolution et examen clinique aux lits portes",
+      "evolution dans le service"),
+    "modalites_sortie" -> Seq("modalites de sortie", "devenir du patient"),
+    "vaccinations" -> Seq("vaccinations", "vaccination", "vaccins"),
+    "introduction" -> Seq("compte rendu d'hospitalisation",
+      "compte-rendu d'hospitalisation"))
 
   final class Matcher(titles: Map[String, Seq[String]]) extends Serializable {
     // title must sit at line start, optionally followed by ':'

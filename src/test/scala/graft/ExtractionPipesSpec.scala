@@ -42,6 +42,9 @@ class ExtractionPipesSpec extends AnyFunSuite {
     // "le 09/08" -> ????-08-09
     val dm = Dates.extract("le 09/08").head
     assert(dm.attrs("day") === "9" && dm.attrs("month") === "8")
+    // decimals are NOT day/month dates ('.' is not a raw delimiter)
+    assert(Dates.extract("CRP 5.2 en hausse, IMC 23.7 ce bilan.")
+      .filterNot(_.attrs.get("kind").contains("relative")).isEmpty)
     // "En 11/2017 stabilité sur..." -> 2017-11-??
     val my = Dates.extract("En 11/2017 stabilité sur...").head
     assert(my.attrs("month") === "11" && my.attrs("year") === "2017")

@@ -170,6 +170,11 @@ class NlpCoreSpec extends AnyFunSuite {
     assert(excludedAt("Dr Martin Service ORL"))
     assert(excludedAt("Imprimé le 01/02/2021 page 1"))
     assert(!excludedAt("Douleur au bras."))
+    // narrative mention of a print date is NOT a footer
+    val nar = "Compte rendu imprimé le 01/02/2021 et remis au patient, " +
+      "fracture du radius confirmée."
+    val narToks = Normalizer.normalize(nar, Tokenizer.tokenize(nar))
+    assert(narToks.filter(t => !t.text.isBlank).forall(!_.excluded))
   }
 
   test("markup render: overlapping entities skip instead of crashing") {

@@ -36,20 +36,28 @@ object LlmAnnotator {
       retryBackoffMs: Long = 100)
 
   /** Align entities parsed from (possibly drifted) model output to the
-    * source text. Entities that cannot be re-anchored are dropped.
+    * source text. Fast paths: identical echo keeps offsets; a clean
+    * in-order verbatim scan re-anchors simple prefix/suffix drift. When
+    * either fails (reordered blocks, paraphrased surroundings,
+    * whitespace churn), fall through to the full context-similarity
+    * alignment ([[graft.nlp.FuzzyAlign]], the reference
+    * `fuzzy_alignment.py` algorithm). Entities that still cannot be
+    * anchored are dropped (degrade, don't poison).
     */
   def align(source: String, modelText: String, ents: Seq[Ent]): Seq[Ent] = {
     if (source == modelText) return ents
     val out = new ArrayBuffer[Ent]
     var searchFrom = 0
+    var ok = true
     ents.sortBy(_.begin).foreach { e =>
       val idx = source.indexOf(e.text, searchFrom)
       if (idx >= 0) {
         out += e.copy(begin = idx, end = idx + e.text.length)
         searchFrom = idx + e.text.length
-      }
+      } else ok = false
     }
-    out.toSeq
+    if (ok) out.toSeq
+    else graft.nlp.FuzzyAlign.align(modelText, ents, source).aligned
   }
 
   /** Annotate an iterator of (id, text) rows. `callModel` maps a prompt

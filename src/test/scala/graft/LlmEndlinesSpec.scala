@@ -57,6 +57,54 @@ class LlmEndlinesSpec extends AnyFunSuite {
     assert(calls.get() >= 4) // 4 batches + >=1 retry
   }
 
+  test("fuzzy alignment: context similarity picks the right occurrence") {
+    import graft.nlp.{Ent, FuzzyAlign}
+    // two occurrences of "fracture"; context must disambiguate even
+    // after an insertion shifts everything
+    val oldText = "Ancienne fracture du poignet. Nouvelle fracture du radius."
+    val ents = Seq(Ent(39, 47, "dis", "fracture")) // the radius one
+    val newText =
+      "Note ajoutée au dossier. Ancienne fracture du poignet. " +
+        "Nouvelle fracture du radius."
+    val r = FuzzyAlign.align(oldText, ents, newText)
+    assert(r.good === 1 && r.missing === 0)
+    val a = r.aligned.head
+    assert(newText.substring(a.begin, a.end) === "fracture")
+    assert(newText.substring(a.begin).startsWith("fracture du radius"))
+  }
+
+  test("fuzzy alignment: survives block swap and whitespace churn") {
+    import graft.nlp.{Ent, FuzzyAlign}
+    val oldText = "Paragraphe A avec douleur persistante. Paragraphe B avec fracture nette."
+    val ents = Seq(
+      Ent(18, 25, "sym", "douleur"),
+      Ent(57, 65, "dis", "fracture"))
+    // blocks swapped + extra whitespace
+    val newText = "Paragraphe B avec  fracture nette. Paragraphe A avec\ndouleur persistante."
+    val r = FuzzyAlign.align(oldText, ents, newText)
+    assert(r.good === 2)
+    val byLabel = r.aligned.map(e => e.label ->
+      newText.substring(e.begin, e.end)).toMap
+    assert(byLabel("sym") === "douleur")
+    assert(byLabel("dis") === "fracture")
+  }
+
+  test("fuzzy alignment: ratio matches difflib on known cases") {
+    import graft.nlp.FuzzyAlign.ratio
+    assert(ratio("abcd", "abcd") === 1.0)
+    assert(ratio("abcd", "bcde") === 0.75) // difflib: 2*3/8
+    assert(ratio("", "") === 1.0)
+    assert(ratio("abc", "xyz") === 0.0)
+  }
+
+  test("fuzzy alignment: unmatchable fragments are counted, not guessed") {
+    import graft.nlp.{Ent, FuzzyAlign}
+    val r = FuzzyAlign.align("le mot disparu ici", Seq(Ent(7, 14, "x", "disparu")),
+      "texte totalement différent sans rapport")
+    assert(r.aligned.isEmpty)
+    assert(r.missing + r.unsure === 1)
+  }
+
   test("LLM annotator: permanently failing batch degrades to empty") {
     val out = LlmAnnotator.annotatePartition(
       Iterator((1L, "texte")),

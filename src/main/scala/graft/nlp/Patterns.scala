@@ -162,11 +162,11 @@ object Patterns {
       "selon le patient", "selon la patiente", "verbalise",
       "aux dires du patient", "aux dires de la patiente"),
     following = Seq("d'après le patient", "d'après la patiente"),
-    // the reference also flags entities INSIDE quotation marks
-    // (patterns.py `quotation`); that is a containment cue, not a
-    // preceding one — out of scope for the window engine here
     precedingRegex = Seq.empty,
-    termination = termination)
+    termination = termination,
+    // the reference flags entities INSIDE quotation marks
+    // (reported_speech patterns.py `quotation`) — a containment cue
+    containingRegex = Seq("(\"[^\"]+\")|(«[^»]+»)"))
 
   /** History-of-illness section triggers (used by the history qualifier
     * together with section spans; `.../history/patterns.py`).

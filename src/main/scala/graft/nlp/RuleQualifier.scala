@@ -10,7 +10,13 @@ case class QualifierPatterns(
     preceding: Seq[String],
     following: Seq[String],
     precedingRegex: Seq[String],
-    termination: Seq[String])
+    termination: Seq[String],
+    /** Containment cues: an entity qualifies when one of these regex
+      * matches CONTAINS it (the reference's quotation cue in
+      * reported_speech/patterns.py — quoted content is reported speech
+      * regardless of cue position). Scope boundaries do not apply.
+      */
+    containingRegex: Seq[String] = Nil)
 
 /** The shared rule-based qualifier engine (the reference's "window
   * functions" — `/root/reference/edsnlp/pipes/qualifiers/base.py:63` and the
@@ -41,6 +47,11 @@ final class RuleQualifier(patterns: QualifierPatterns) extends Serializable {
     else Some(RegexMatcher.build(
       Map("preceding" -> patterns.precedingRegex), attrNorm = false))
 
+  private val containingMatcher =
+    if (patterns.containingRegex.isEmpty) None
+    else Some(RegexMatcher.build(
+      Map("containing" -> patterns.containingRegex), attrNorm = false))
+
   /** For each entity (in input order), whether the qualifier fires, plus
     * the triggering cues.
     */
@@ -67,6 +78,19 @@ final class RuleQualifier(patterns: QualifierPatterns) extends Serializable {
     val matches = SpanAlgebra.filterSpans(cues, Some("pseudo"))
 
     val results = Array.fill[(Boolean, Seq[Ent])](ents.size)((false, Nil))
+
+    // containment cues: independent of scopes/terminations — the cue
+    // match must span the entity (quotation semantics)
+    containingMatcher.foreach { cm =>
+      val spans = cm.findMatches(tokens, text)
+      ents.zipWithIndex.foreach { case (ent, i) =>
+        val hit = spans.filter(s =>
+          s.begin <= ent.begin && s.end >= ent.end)
+        if (hit.nonEmpty)
+          results(i) = (true, results(i)._2 ++ hit)
+      }
+    }
+
     boundaries.foreach { case (bStart, bEnd) =>
       val inScope = matches.filter(m => bStart <= m.begin && m.begin < bEnd)
       lazy val preceding = inScope.filter(_.label == "preceding")

@@ -115,9 +115,12 @@ object PipelineQueries {
       // LSH bucket equality within a cluster is exact by construction
       // (sign(dot) is scale-invariant). The plan is the linear one:
       // signature projection + multi-probe equi-join, no cartesian.
-      val n = embeddings(s, d).count()
-      val m = (n / 8) * 8
-      val vecs = embeddings(s, d).filter($"vec_id" < m)
+      // corpus size enters the plan as a broadcast one-row aggregate —
+      // no separate blocking count() job on the driver
+      val m = embeddings(s, d)
+        .agg(expr("(count(1) div 8) * 8").as("m"))
+      val vecs = embeddings(s, d).join(broadcast(m))
+        .filter($"vec_id" < $"m")
         .select($"vec_id".as("id"),
           expr("transform(sequence(0, 7), j -> " +
             "CAST((vec_id div 8 * 1009 + j * 173) % 2003 - 1001 AS DOUBLE)" +

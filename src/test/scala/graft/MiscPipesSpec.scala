@@ -96,5 +96,11 @@ class MiscPipesSpec extends AnyFunSuite {
     assert(!run(hyp, "Fracture du radius confirmée.", "fracture"))
     assert(run(rep, "Le patient rapporte une douleur thoracique.", "douleur"))
     assert(!run(rep, "Douleur thoracique constatée à l'examen.", "douleur"))
+    // quotation containment cue (reference patterns.py `quotation`):
+    // entities inside quotes are reported speech even with no verb cue
+    // in their scope; guillemets and straight quotes both count
+    assert(run(rep, "Au dossier : « douleur thoracique » depuis hier.", "douleur"))
+    assert(run(rep, "Au dossier : \"douleur thoracique\" depuis hier.", "douleur"))
+    assert(!run(rep, "Au dossier : douleur thoracique depuis hier.", "douleur"))
   }
 }

@@ -57,6 +57,48 @@ class LlmEndlinesSpec extends AnyFunSuite {
     assert(calls.get() >= 4) // 4 batches + >=1 retry
   }
 
+  test("endlines trained model: separates hard wraps from paragraph ends") {
+    import TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{avg, when}
+    import graft.pipes.EndlinesModel
+    // synthetic corpus: documents hard-wrapped at ~40 chars (wrapped
+    // lines are long/uniform) with true paragraph ends on short lines
+    val rng = new scala.util.Random(3)
+    def doc(): String = {
+      val paras = (0 until 4).map { _ =>
+        val words = (0 until 30 + rng.nextInt(20))
+          .map(_ => "mot" + rng.nextInt(100))
+        // wrap at 40 chars
+        val sb = new StringBuilder; var lineLen = 0
+        words.foreach { w =>
+          if (lineLen + w.length + 1 > 40) { sb.append("\n"); lineLen = 0 }
+          else if (lineLen > 0) { sb.append(" "); lineLen += 1 }
+          sb.append(w); lineLen += w.length
+        }
+        sb.toString
+      }
+      paras.mkString("\n") // paragraph-final short lines precede these
+    }
+    val docs = (1L to 30L).map(i => (i, doc())).toDF("doc_id", "text")
+    val feats = EndlinesModel.featurize(docs, "doc_id", "text")
+    val model = EndlinesModel.fit(feats)
+    val pred = EndlinesModel.predict(model, feats)
+    // offsets point at actual newlines
+    val sample = pred.join(docs, "doc_id")
+      .select($"text", $"pos").limit(50).collect()
+    sample.foreach(r =>
+      assert(r.getString(0).charAt(r.getLong(1).toInt) === '\n'))
+    // wrapped newlines (long previous line) are classified spurious far
+    // more often than short-line newlines
+    val byLen = pred.withColumn("longPrev", $"b1" > 0)
+      .groupBy("longPrev")
+      .agg(avg(when($"end_line", 1.0).otherwise(0.0)).as("endRate"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(byLen(false) > byLen(true),
+      s"short-line newlines should be real ends: $byLen")
+  }
+
   test("fuzzy alignment: context similarity picks the right occurrence") {
     import graft.nlp.{Ent, FuzzyAlign}
     // two occurrences of "fracture"; context must disambiguate even

@@ -1,0 +1,63 @@
+package graft.nlp
+
+/** Span getter/setter CONFIGS — the re-expression of the reference's
+  * `SpanGetterArg`/`SpanSetterArg` resolution
+  * (`/root/reference/edsnlp/utils/span_getters.py:40-134`): a mapping
+  * from span-group name to either "all spans" (`True` there) or a label
+  * subset, usable both to SELECT spans feeding a pipe and to ROUTE a
+  * pipe's output into groups. `"ents"` addresses the main entity layer,
+  * like `doc.ents`; other names address `doc.spans[name]` groups (here a
+  * `Map[String, Seq[Ent]]` column).
+  */
+object SpanGetters {
+
+  type SpanGroups = Map[String, Seq[Ent]]
+
+  sealed trait GroupFilter extends Serializable
+  /** the reference's `True`: every span of the group */
+  case object All extends GroupFilter
+  /** the reference's label list */
+  final case class WithLabels(labels: Seq[String]) extends GroupFilter
+
+  /** The main-entity pseudo-group name. */
+  val Ents = "ents"
+
+  /** Select spans per config, preserving group order then span order
+    * (`get_spans`, span_getters.py:40-57).
+    */
+  def getSpans(
+      ents: Seq[Ent], groups: SpanGroups,
+      config: Map[String, GroupFilter]): Seq[Ent] =
+    config.toSeq.sortBy(_._1).flatMap { case (name, f) =>
+      val src = if (name == Ents) ents else groups.getOrElse(name, Nil)
+      f match {
+        case All => src
+        case WithLabels(ls) =>
+          val set = ls.toSet
+          src.filter(e => set.contains(e.label))
+      }
+    }
+
+  /** Route spans into groups per config (`set_spans` semantics): each
+    * configured group receives the spans its filter admits; the `ents`
+    * group additionally drops overlaps (doc.ents must be non-overlapping
+    * in the reference — longest-leftmost like spaCy).
+    */
+  def setSpans(
+      spans: Seq[Ent],
+      config: Map[String, GroupFilter]): (Seq[Ent], SpanGroups) = {
+    var ents: Seq[Ent] = Nil
+    val groups = scala.collection.mutable.Map.empty[String, Seq[Ent]]
+    config.foreach { case (name, f) =>
+      val admitted = f match {
+        case All => spans
+        case WithLabels(ls) =>
+          val set = ls.toSet
+          spans.filter(e => set.contains(e.label))
+      }
+      if (name == Ents) ents = SpanAlgebra.filterSpans(admitted)
+      else groups(name) = admitted
+    }
+    (ents, groups.toMap)
+  }
+}

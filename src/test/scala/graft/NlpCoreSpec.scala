@@ -187,6 +187,26 @@ class NlpCoreSpec extends AnyFunSuite {
     assert(rendered === "[fracture du radius](dis) gauche")
   }
 
+  test("span getter/setter configs resolve like the reference") {
+    import graft.nlp.{Ent, SpanGetters}
+    import SpanGetters.{All, WithLabels}
+    val ents = Seq(Ent(0, 3, "dis", "abc"), Ent(5, 8, "sym", "def"))
+    val groups = Map(
+      "dates" -> Seq(Ent(10, 14, "date", "2021")),
+      "quantities" -> Seq(Ent(20, 24, "dose", "5 mg")))
+    // {"ents": ["dis"], "dates": True}
+    val got = SpanGetters.getSpans(ents, groups,
+      Map("ents" -> WithLabels(Seq("dis")), "dates" -> All))
+    assert(got.map(_.label) === Seq("date", "dis"))
+    // setter: route by label; ents layer drops overlaps
+    val produced = Seq(Ent(0, 6, "dis", "abcdef"), Ent(2, 4, "dis", "cd"),
+      Ent(9, 12, "date", "jan"))
+    val (mainEnts, outGroups) = SpanGetters.setSpans(produced,
+      Map("ents" -> WithLabels(Seq("dis")), "dates" -> WithLabels(Seq("date"))))
+    assert(mainEnts.map(_.text) === Seq("abcdef")) // overlap filtered
+    assert(outGroups("dates").map(_.text) === Seq("jan"))
+  }
+
   test("family qualifier") {
     val pipe = DocFixtures.pipeline
     val anns = pipe.annotate("Antécédents familiaux de diabète. Le patient a une fracture.")

@@ -33,6 +33,49 @@ class TrainableStagesSpec extends AnyFunSuite {
     assert(pick(5)._1 === 2)
   }
 
+  test("CRF: constrained Viterbi only emits legal BIOUL paths") {
+    import graft.pipes.NerCrf
+    // 1 label -> tags O=0 I=1 B=2 L=3 U=4. Emissions push a raw argmax
+    // toward an ILLEGAL sequence (I with no B, dangling B at the end):
+    val e = Array(
+      Array(0.0, 5.0, 1.0, 0.0, 0.0), // argmax I (illegal start)
+      Array(0.0, 5.0, 0.0, 1.0, 0.0), // argmax I
+      Array(0.0, 0.0, 5.0, 0.0, 0.0)) // argmax B (illegal end)
+    val raw = e.map(r => r.indexOf(r.max))
+    assert(raw.toSeq === Seq(1, 1, 2), "premise: raw argmax is illegal")
+    val path = NerCrf.viterbi(e, NerCrf.bioulConstraints(1))
+    // legal decode: B I L — starts with B, ends with L, keeps the high
+    // I scores in the middle
+    assert(path.toSeq === Seq(2, 1, 3))
+    assert(NerCrf.tagsToSpans(path) === Seq((0, 3, 0)))
+  }
+
+  test("CRF: multi-label spans and singletons decode to spans") {
+    import graft.pipes.NerCrf
+    // 2 labels; build emissions that spell "U(0) O B(1) L(1)"
+    def oneHot(tag: Int, n: Int = 9) =
+      Array.tabulate(n)(j => if (j == tag) 10.0 else 0.0)
+    val U0 = 4; val B1 = 6; val L1 = 7
+    val e = Array(oneHot(U0), oneHot(0), oneHot(B1), oneHot(L1))
+    val spans = NerCrf.decodeToSpans(e, numLabels = 2)
+    assert(spans === Seq((0, 1, 0), (2, 4, 1)))
+  }
+
+  test("span pooler: mean/max/sum over token ranges") {
+    import graft.pipes.SpanPooler
+    val emb = IndexedSeq(
+      Array(1f, 0f), Array(3f, 2f), Array(5f, 4f))
+    val spans = Seq((0, 2), (1, 3), (5, 9))
+    val mean = SpanPooler.pool(emb, spans, SpanPooler.Mean)
+    assert(mean(0).toSeq === Seq(2f, 1f))
+    assert(mean(1).toSeq === Seq(4f, 3f))
+    assert(mean(2).toSeq === Seq(0f, 0f)) // out-of-range -> zeros
+    val mx = SpanPooler.pool(emb, Seq((0, 3)), SpanPooler.Max)
+    assert(mx.head.toSeq === Seq(5f, 4f))
+    val sm = SpanPooler.pool(emb, Seq((0, 3)), SpanPooler.Sum)
+    assert(sm.head.toSeq === Seq(9f, 6f))
+  }
+
   test("embedTokens: overlapping windows keep the contextualized vector") {
     // fake forward: embedding of a token = [token value, window sum] so
     // the same token embeds DIFFERENTLY per window — the output must

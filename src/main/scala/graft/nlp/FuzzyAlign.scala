@@ -88,16 +88,22 @@ object FuzzyAlign {
     c.substring(0, math.min(n, c.length))
   }
 
-  /** Whitespace-tolerant literal search: all raw-offset occurrences. */
+  /** Whitespace-tolerant literal search: all raw-offset occurrences.
+    * Second element of the result is true when the safety cap was hit —
+    * the caller then treats the fragment as missing rather than risk
+    * anchoring to a wrong occurrence it never scored (the reference
+    * enumerates everything; the cap bounds adversarial boilerplate).
+    */
   private def occurrences(
-      needle: String, hay: String, cap: Int = 200): Seq[(Int, Int)] = {
+      needle: String, hay: String,
+      cap: Int = 1000): (Seq[(Int, Int)], Boolean) = {
     val parts = needle.trim.split("\\s+").filter(_.nonEmpty)
-    if (parts.isEmpty) return Nil
+    if (parts.isEmpty) return (Nil, false)
     val pat = Pattern.compile(parts.map(Pattern.quote).mkString("\\s+"))
     val m = pat.matcher(hay)
     val out = new ArrayBuffer[(Int, Int)]
     while (m.find() && out.size < cap) out += ((m.start, m.end))
-    out.toSeq
+    (out.toSeq, out.size >= cap)
   }
 
   /** Align `ents` (offsets in `oldText`) onto `newText`. Fragments whose
@@ -127,8 +133,8 @@ object FuzzyAlign {
       }
       var anchorEnd = false
       var anchorPos = e.begin
-      var cands = occurrences(fragText, newText)
-      if (tiny && cands.size > 20) { missing += 1 }
+      var (cands, capped) = occurrences(fragText, newText)
+      if ((tiny && cands.size > 20) || capped) { missing += 1 }
       else {
         if (cands.isEmpty) {
           // end-anchor fallback: snippet just AFTER the fragment
@@ -137,15 +143,19 @@ object FuzzyAlign {
           val after = oldText.substring(
             math.min(e.end, oldText.length))
           fragText = after.substring(0, math.min(10, after.length))
-          cands = occurrences(fragText, newText)
+          val (c2, cap2) = occurrences(fragText, newText)
+          cands = c2; capped = cap2
         }
-        if (cands.isEmpty) missing += 1
+        if ((tiny && cands.size > 20) || capped) missing += 1
+        else if (cands.isEmpty) missing += 1
         else {
+          // both sides' right context starts AFTER the search snippet
+          // (the reference's virtual_fragment end — fuzzy_alignment.py
+          // :317-329); including the snippet on one side only would
+          // systematically deflate the score at small scales
           val oldCtx = scheme.map { case (n, _) =>
             (leftCtx(oldText, anchorPos, n),
-              rightCtx(oldText,
-                if (anchorEnd) anchorPos
-                else anchorPos + fragText.length, n))
+              rightCtx(oldText, anchorPos + fragText.length, n))
           }
           val scored = cands.map { case (cb, ce) =>
             val s = scheme.zip(oldCtx).map {
@@ -155,17 +165,26 @@ object FuzzyAlign {
             }.sum / wSum
             (cb, ce, s)
           }
-          val (cb, _, best) = scored.maxBy(_._3)
+          val (cb, ce, best) = scored.maxBy(_._3)
           if (best > threshold) {
             good += 1
-            out += (if (anchorEnd)
-              e.copy(begin = cb - origLen, end = cb,
-                text = newText.substring(
-                  math.max(0, cb - origLen), cb))
-            else
-              e.copy(begin = cb, end = cb + origLen,
-                text = newText.substring(cb,
-                  math.min(newText.length, cb + origLen))))
+            out += (if (anchorEnd) {
+              // snippet sits after the (unfound) fragment: the entity
+              // ends where the snippet begins; clamp so begin/end/text
+              // stay mutually consistent near the doc start
+              val b = math.max(0, cb - origLen)
+              e.copy(begin = b, end = cb,
+                text = newText.substring(b, cb))
+            } else if (!tiny)
+              // fragText == entity text: the match itself is the span
+              // (ce accounts for whitespace differences inside it)
+              e.copy(begin = cb, end = ce,
+                text = newText.substring(cb, ce))
+            else {
+              val en = math.min(newText.length, cb + origLen)
+              e.copy(begin = cb, end = en,
+                text = newText.substring(cb, en))
+            })
           } else unsure += 1
         }
       }

@@ -22,21 +22,26 @@ object SpanGetters {
   /** The main-entity pseudo-group name. */
   val Ents = "ents"
 
-  /** Select spans per config, preserving group order then span order
-    * (`get_spans`, span_getters.py:40-57).
+  /** Select spans per config, preserving the CONFIG's order (the
+    * reference iterates dict insertion order) then span order, and
+    * deduplicating spans reachable through several groups (the `seen`
+    * guard of `get_spans`, span_getters.py:46-69).
     */
   def getSpans(
       ents: Seq[Ent], groups: SpanGroups,
-      config: Map[String, GroupFilter]): Seq[Ent] =
-    config.toSeq.sortBy(_._1).flatMap { case (name, f) =>
+      config: Seq[(String, GroupFilter)]): Seq[Ent] = {
+    val seen = scala.collection.mutable.Set.empty[Ent]
+    config.flatMap { case (name, f) =>
       val src = if (name == Ents) ents else groups.getOrElse(name, Nil)
-      f match {
+      val admitted = f match {
         case All => src
         case WithLabels(ls) =>
           val set = ls.toSet
           src.filter(e => set.contains(e.label))
       }
+      admitted.filter(seen.add)
     }
+  }
 
   /** Route spans into groups per config (`set_spans` semantics): each
     * configured group receives the spans its filter admits; the `ents`
@@ -45,7 +50,7 @@ object SpanGetters {
     */
   def setSpans(
       spans: Seq[Ent],
-      config: Map[String, GroupFilter]): (Seq[Ent], SpanGroups) = {
+      config: Seq[(String, GroupFilter)]): (Seq[Ent], SpanGroups) = {
     var ents: Seq[Ent] = Nil
     val groups = scala.collection.mutable.Map.empty[String, Seq[Ent]]
     config.foreach { case (name, f) =>

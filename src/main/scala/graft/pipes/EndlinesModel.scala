@@ -6,19 +6,22 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** The TRAINED endlines classifier — re-expression of the reference's
-  * unsupervised `EndLinesModel` (`edsnlp/pipes/core/endlines/model.py`):
-  * newline sites featurize as per-document STANDARDIZED line lengths
-  * (the reference's B1/B2: `(l - mu_doc) / sigma_doc`, `model.py:621-651`)
-  * and an unsupervised 2-cluster KMeans separates real paragraph ends
-  * from hard-wrap artifacts (`_fit_M2`, `model.py:425-447`). The cluster
-  * whose mean B1 is higher is the SPACE class — wrapped lines run up
-  * against the page width (long, uniform), true ends fall short.
+/** The TRAINED endlines classifier. The reference `EndLinesModel`
+  * (`edsnlp/pipes/core/endlines/model.py`) standardizes line lengths per
+  * document (B features, `model.py:621-651`) and fits supervised
+  * MultinomialNB models over encoded features; that needs labeled
+  * newlines. This is a deliberate UNSUPERVISED reformulation on the same
+  * core signal: newline sites featurize as the standardized lengths of
+  * the lines before/after (`(l - mu_doc) / sigma_doc`), and a 2-cluster
+  * Spark-ML KMeans separates real paragraph ends from hard-wrap
+  * artifacts with no labels. The cluster whose mean b1 is higher is the
+  * SPACE class — wrapped lines run up against the page width (long,
+  * uniform), true ends fall short.
   *
   * Fit is two Spark jobs (feature aggregation + MLlib KMeans on the
-  * 2-dim feature space); predict is a broadcast of two centroids into a
-  * row-local expression — nothing here shuffles more than the per-doc
-  * line stats at 100 TB. The rule-based [[Endlines]] remains the
+  * 2-dim feature space); the per-doc stats join and the lead() window
+  * share one shuffle on doc_id; predict is a row-local expression over
+  * the two centroids. The rule-based [[Endlines]] remains the
   * no-training path, as in the reference.
   */
 object EndlinesModel {
@@ -36,8 +39,11 @@ object EndlinesModel {
     val stats = lines.groupBy("doc_id")
       .agg(avg(col("l")).as("mu"),
         coalesce(stddev_samp(col("l")), lit(0.0)).as("sigma"))
+    // plain shuffle join: stats is one row per DOCUMENT (broadcast would
+    // collect a corpus-sized table to the driver), and the following
+    // window already shuffles on doc_id — the exchange is shared
     val byDoc = Window.partitionBy("doc_id").orderBy("line_idx")
-    lines.join(broadcast(stats), "doc_id")
+    lines.join(stats, "doc_id")
       .withColumn("b", (col("l") - col("mu")) /
         when(col("sigma") > 0, col("sigma")).otherwise(lit(1.0)))
       .withColumn("b2_next", lead(col("b"), 1).over(byDoc))

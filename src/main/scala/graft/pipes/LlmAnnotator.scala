@@ -46,18 +46,23 @@ object LlmAnnotator {
     */
   def align(source: String, modelText: String, ents: Seq[Ent]): Seq[Ent] = {
     if (source == modelText) return ents
-    val out = new ArrayBuffer[Ent]
+    val anchored = new ArrayBuffer[Ent]
+    val failed = new ArrayBuffer[Ent]
     var searchFrom = 0
-    var ok = true
     ents.sortBy(_.begin).foreach { e =>
       val idx = source.indexOf(e.text, searchFrom)
       if (idx >= 0) {
-        out += e.copy(begin = idx, end = idx + e.text.length)
+        anchored += e.copy(begin = idx, end = idx + e.text.length)
         searchFrom = idx + e.text.length
-      } else ok = false
+      } else failed += e
     }
-    if (ok) out.toSeq
-    else graft.nlp.FuzzyAlign.align(modelText, ents, source).aligned
+    // fuzzy-align ONLY the entities the verbatim scan missed — a
+    // hallucinated entity must not demote its verbatim-anchored
+    // neighbors into the threshold-gated path
+    if (failed.isEmpty) anchored.toSeq
+    else (anchored.toSeq ++
+      graft.nlp.FuzzyAlign.align(modelText, failed.toSeq, source).aligned)
+      .sortBy(_.begin)
   }
 
   /** Annotate an iterator of (id, text) rows. `callModel` maps a prompt

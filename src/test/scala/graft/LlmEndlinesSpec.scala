@@ -139,6 +139,20 @@ class LlmEndlinesSpec extends AnyFunSuite {
     assert(ratio("abc", "xyz") === 0.0)
   }
 
+  test("fuzzy alignment: whitespace inside a fragment keeps span exact") {
+    import graft.nlp.{Ent, FuzzyAlign}
+    val oldText = "Patient avec douleur persistante au bras."
+    val ents = Seq(Ent(13, 32, "sym", "douleur persistante"))
+    // double space INSIDE the entity in the target text
+    val newText = "Patient avec douleur  persistante au bras."
+    val r = FuzzyAlign.align(oldText, ents, newText)
+    assert(r.good === 1)
+    val a = r.aligned.head
+    // span must cover the whole (now 20-char) match, not truncate it
+    assert(newText.substring(a.begin, a.end) === "douleur  persistante")
+    assert(a.text === "douleur  persistante")
+  }
+
   test("fuzzy alignment: unmatchable fragments are counted, not guessed") {
     import graft.nlp.{Ent, FuzzyAlign}
     val r = FuzzyAlign.align("le mot disparu ici", Seq(Ent(7, 14, "x", "disparu")),

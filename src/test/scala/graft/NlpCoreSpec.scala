@@ -194,15 +194,19 @@ class NlpCoreSpec extends AnyFunSuite {
     val groups = Map(
       "dates" -> Seq(Ent(10, 14, "date", "2021")),
       "quantities" -> Seq(Ent(20, 24, "dose", "5 mg")))
-    // {"ents": ["dis"], "dates": True}
+    // {"ents": ["dis"], "dates": True} — CONFIG order preserved
     val got = SpanGetters.getSpans(ents, groups,
-      Map("ents" -> WithLabels(Seq("dis")), "dates" -> All))
-    assert(got.map(_.label) === Seq("date", "dis"))
+      Seq("ents" -> WithLabels(Seq("dis")), "dates" -> All))
+    assert(got.map(_.label) === Seq("dis", "date"))
+    // a span reachable through two groups comes out once (seen guard)
+    val dup = SpanGetters.getSpans(ents, Map("extra" -> ents),
+      Seq("ents" -> All, "extra" -> All))
+    assert(dup.size === ents.size)
     // setter: route by label; ents layer drops overlaps
     val produced = Seq(Ent(0, 6, "dis", "abcdef"), Ent(2, 4, "dis", "cd"),
       Ent(9, 12, "date", "jan"))
     val (mainEnts, outGroups) = SpanGetters.setSpans(produced,
-      Map("ents" -> WithLabels(Seq("dis")), "dates" -> WithLabels(Seq("date"))))
+      Seq("ents" -> WithLabels(Seq("dis")), "dates" -> WithLabels(Seq("date"))))
     assert(mainEnts.map(_.text) === Seq("abcdef")) // overlap filtered
     assert(outGroups("dates").map(_.text) === Seq("jan"))
   }

@@ -55,6 +55,17 @@ case class DocPipeline(
     udf((s: String) => self.annotate(s)).apply(text)
   }
 
+  /** Entities-only column: same fused run, but the UDF RETURNS only the
+    * entity layer — encoding the full token layer (~150 structs/doc)
+    * through the UDF serializer just for a downstream explode("ents") to
+    * discard it was the dominant cost of the ents path, not the NLP
+    * itself.
+    */
+  def entsCol(text: Column): Column = {
+    val self = this
+    udf((s: String) => self.annotate(s).ents).apply(text)
+  }
+
   /** One row per entity: the "ents" converter
     * (`/root/reference/edsnlp/data/converters.py:651-711`) — relational
     * UNNEST of the annotation layer, with qualifier attrs as typed columns.
@@ -63,7 +74,7 @@ case class DocPipeline(
     val attrCols = qualifiers.map(q =>
       coalesce(element_at(col("ent.attrs"), q.name), lit("false"))
         .cast("boolean").as(q.name))
-    df.withColumn("ent", explode(annotateCol(col(textCol))("ents")))
+    df.withColumn("ent", explode(entsCol(col(textCol))))
       .select(
         Seq(col(idCol), col("ent.begin").as("begin"),
           col("ent.end").as("end"), col("ent.label").as("label"),

@@ -82,6 +82,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(prefix === brute)
   }
 
+  test("top-k aggregator and prefix join are partition-invariant") {
+    // the Aggregator's merge path and the prefix join's distinct only
+    // fully exercise across partitions: results must not depend on
+    // layout (the 1000-executor invariance the operators claim)
+    val rng = new scala.util.Random(11)
+    val emb = (0 until 120).map(i =>
+      (i.toLong, Seq.fill(8)(rng.nextGaussian()))).toDF("id", "vec")
+    def topk(parts: Int) =
+      Ann.bruteForceTopK(emb.filter($"id" < 10),
+        emb.repartition(parts), 5)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .toSet
+    assert(topk(1) === topk(13))
+    val sh = docs.select($"doc_id".as("id"),
+      Dedup.shingleHashes($"text", 3).as("sh"))
+    def pairs(parts: Int) =
+      Dedup.jaccardPairsPrefix(sh.repartition(parts), 0.5)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(1) === pairs(7))
+  }
+
   test("LSH ANN: high recall on clustered vectors, bounded candidate set") {
     // deterministic clustered corpus: 10 centroids, small noise — the
     // regime LSH is built for (the driver's random-Gaussian embeddings

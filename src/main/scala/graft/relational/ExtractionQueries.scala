@@ -19,6 +19,15 @@ object ExtractionQueries {
   private val extractDateUdf = udf((s: String) =>
     Dates.extract(s).headOption.flatMap(_.attrs.get("datetime")))
 
+  private val extractPeriodUdf = udf((s: String) =>
+    Dates.extractWithPeriods(s)._2.headOption.map(p =>
+      (p.attrs.getOrElse("from_datetime", ""),
+        p.attrs.getOrElse("until_datetime", ""))))
+
+  private val tableDoseUdf = udf((s: String) =>
+    Quantities.extractFromTables(s).headOption
+      .flatMap(_.attrs.get("value")).map(_.toDouble))
+
   private val extractDoseUdf = udf((s: String) =>
     Quantities.extract(s).headOption.flatMap(_.attrs.get("value"))
       .map(_.toDouble))
@@ -170,6 +179,38 @@ object ExtractionQueries {
         lit("prev").as("dep"))
       graft.metrics.DepParsing.uasLas(pred, gold)
         .orderBy($"metric")
+    },
+    "q48_date_periods" -> { (s, d) =>
+      import s.implicits._
+      // period linking on the declared surface: "du <date> au <date>"
+      // produces two bounded dates merged into one period whose
+      // from/until datetimes the oracle recomputes from o_orderdate.
+      orders(s, d)
+        .filter($"o_orderkey" % 25 === 0)
+        .withColumn("note_text",
+          concat(lit("Hospitalise du "),
+            date_format($"o_orderdate", "dd/MM/yyyy"), lit(" au "),
+            date_format(date_add($"o_orderdate", 10), "dd/MM/yyyy"),
+            lit(".")))
+        .select($"o_orderkey",
+          extractPeriodUdf($"note_text").as("p"))
+        .select($"o_orderkey", $"p._1".as("from_datetime"),
+          $"p._2".as("until_datetime"))
+        .orderBy($"o_orderkey")
+    },
+    "q49_table_quantities" -> { (s, d) =>
+      import s.implicits._
+      // value-from-table context on the declared surface: the dose cell
+      // is a bare number whose unit comes from the "(mg)" column
+      // header; the oracle recomputes the normalized grams directly.
+      lineitem(s, d)
+        .filter($"l_orderkey" % 40 === 0 && $"l_linenumber" === 1)
+        .withColumn("note_text",
+          concat(lit("Parametre | Dose (mg)\nperfusion | "),
+            $"l_quantity", lit("\n")))
+        .select($"l_orderkey",
+          round(tableDoseUdf($"note_text"), 6).as("dose_g"))
+        .orderBy($"l_orderkey")
     }
   )
 
@@ -261,7 +302,17 @@ object ExtractionQueries {
            CAST(n - bad_head AS BIGINT), CAST(n AS BIGINT),
            CAST(n AS BIGINT)
          FROM c
-         ORDER BY metric"""
+         ORDER BY metric""",
+    "q48_date_periods" ->
+      """SELECT o_orderkey,
+         strftime(o_orderdate, '%Y-%m-%dT00:00:00') AS from_datetime,
+         strftime(o_orderdate + INTERVAL 10 DAY, '%Y-%m-%dT00:00:00')
+           AS until_datetime
+         FROM orders WHERE o_orderkey % 25 = 0 ORDER BY o_orderkey""",
+    "q49_table_quantities" ->
+      """SELECT l_orderkey, round(l_quantity * 0.001, 6) AS dose_g
+         FROM lineitem WHERE l_orderkey % 40 = 0 AND l_linenumber = 1
+         ORDER BY l_orderkey"""
   )
 }
 

@@ -61,6 +61,56 @@ class TrainableStagesSpec extends AnyFunSuite {
     assert(spans === Seq((0, 1, 0), (2, 4, 1)))
   }
 
+  test("dep decoder: MST matches brute force on random score matrices") {
+    import graft.pipes.DepDecoder
+    val rng = new scala.util.Random(17)
+    // brute force: enumerate every head assignment, keep trees
+    // (reachable from root, acyclic), maximize score
+    def brute(s: Array[Array[Double]], oneRoot: Boolean): Double = {
+      val n = s.length
+      def assignments(v: Int): Seq[List[Int]] =
+        if (v == n) Seq(Nil)
+        else for {
+          h <- 0 until n; if h != v
+          rest <- assignments(v + 1)
+        } yield h :: rest
+      val valid = assignments(1).filter { hs =>
+        val heads = 0 :: hs
+        val arr = heads.toArray
+        // acyclic + all reachable from 0
+        (1 until n).forall { v =>
+          var cur = v; var steps = 0
+          while (cur != 0 && steps <= n) { cur = arr(cur); steps += 1 }
+          cur == 0
+        } && (!oneRoot || hs.count(_ == 0) == 1)
+      }
+      valid.map(hs => hs.zipWithIndex.map {
+        case (h, i) => s(i + 1)(h)
+      }.sum).max
+    }
+    def score(s: Array[Array[Double]], heads: Array[Int]): Double =
+      (1 until s.length).map(v => s(v)(heads(v))).sum
+    for (_ <- 0 until 30; n <- Seq(3, 4, 5)) {
+      val s = Array.fill(n, n)(rng.nextDouble() * 10 - 5)
+      val t = DepDecoder.mst(s)
+      assert(math.abs(score(s, t) - brute(s, oneRoot = false)) < 1e-9,
+        s"mst suboptimal on ${s.map(_.mkString(",")).mkString(";")}")
+      val t1 = DepDecoder.mstOneRoot(s)
+      assert((1 until n).count(t1(_) == 0) === 1)
+      assert(math.abs(score(s, t1) - brute(s, oneRoot = true)) < 1e-9,
+        "one-root mst suboptimal")
+    }
+  }
+
+  test("dep decoder: greedy is the per-token argmax") {
+    import graft.pipes.DepDecoder
+    val s = Array(
+      Array(0.0, 0.0, 0.0),
+      Array(5.0, 0.0, 1.0),
+      Array(0.0, 9.0, 0.0))
+    assert(DepDecoder.greedy(s).toSeq === Seq(0, 0, 1))
+  }
+
   test("span pooler: mean/max/sum over token ranges") {
     import graft.pipes.SpanPooler
     val emb = IndexedSeq(

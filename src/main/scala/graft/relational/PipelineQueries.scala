@@ -229,6 +229,20 @@ object PipelineQueries {
           TextStats.wordCount($"text").as("n_words"))
         .orderBy($"doc_id")
     },
+    "q50_repetition" -> { (s, d) =>
+      import s.implicits._
+      // Gopher-style repetition filters: duplicate-line fraction (every
+      // even doc doubled into two identical lines — DuckDB knows the
+      // closed form) and the occurrence count of the most frequent word
+      // bigram, recomputed independently by the oracle's group-by.
+      documents(s, d)
+        .select($"doc_id",
+          TextStats.duplicateLineFraction(
+            when($"doc_id" % 2 === 0, concat($"text", lit("\n"), $"text"))
+              .otherwise($"text")).as("dup_line_frac"),
+          TextStats.topNgramCount($"text", 2).as("top_bigram_count"))
+        .orderBy($"doc_id")
+    },
     "q47_arrow_stage" -> { (s, d) =>
       import s.implicits._
       // the map_gpu-shaped Arrow stage on the declared surface: rows
@@ -338,6 +352,23 @@ object PipelineQueries {
     "q47_arrow_stage" ->
       """SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars
          FROM documents ORDER BY doc_id""",
+    "q50_repetition" ->
+      """WITH g AS (
+           SELECT doc_id, unnest(list_transform(
+             range(1, greatest(len(string_split(text, ' ')) - 1, 1) + 1),
+             i -> concat_ws(' ', string_split(text, ' ')[i],
+               string_split(text, ' ')[i+1]))) AS gram
+           FROM documents),
+         t AS (
+           SELECT doc_id, CAST(max(c) AS INTEGER) AS top_bigram_count
+           FROM (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+           GROUP BY doc_id)
+         SELECT d.doc_id,
+           CASE WHEN d.doc_id % 2 = 0 THEN 0.5 ELSE 0.0 END
+             AS dup_line_frac,
+           t.top_bigram_count
+         FROM documents d JOIN t ON d.doc_id = t.doc_id
+         ORDER BY d.doc_id""",
     "q39_subword_count" ->
       """SELECT doc_id,
          CAST(len(regexp_extract_all(text,

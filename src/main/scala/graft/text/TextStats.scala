@@ -109,4 +109,42 @@ object TextStats {
     */
   def fingerprint(text: Column): Column =
     xxhash64(array_join(split(trim(text), "\\s+"), " "))
+
+  /** Gopher-style repetition signals (Rae et al. 2021, table A1):
+    * fraction of duplicate lines and fraction of words inside the most
+    * frequent word n-gram. High values mark boilerplate/templated docs
+    * that inflate LM loss. Pure column expressions:
+    * `aggregate` over a frequency map for the top n-gram — no UDF, no
+    * shuffle; runs inside the scan's codegen stage.
+    */
+  def duplicateLineFraction(text: Column): Column = {
+    val lines = filter(split(text, "\n"), l => trim(l) =!= "")
+    val n = size(lines).cast("double")
+    when(n === 0, 0.0).otherwise(
+      round((n - size(array_distinct(lines)).cast("double")) / n, 4))
+  }
+
+  /** Occurrence count of the most frequent word `n`-gram. With the
+    * total n-gram count this gives the top-n-gram fraction; exposed as
+    * a count so oracles compare integers.
+    */
+  def topNgramCount(text: Column, n: Int): Column = {
+    val words = split(trim(text), "\\s+")
+    val grams = transform(
+      sequence(lit(0), greatest(size(words) - n, lit(0))),
+      i => array_join(slice(words, i + 1, lit(n)), " "))
+    // frequency of the mode: sort the grams, count the longest run —
+    // expressible with aggregate over the sorted array
+    val sorted = array_sort(grams)
+    val counts = aggregate(sorted,
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, g) => {
+        val run = when(g === acc.getField("prev"),
+          acc.getField("run") + 1).otherwise(lit(1))
+        struct(g.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    counts
+  }
 }

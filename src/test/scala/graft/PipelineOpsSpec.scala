@@ -126,6 +126,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"ANN recall $recall on clustered data")
   }
 
+  test("repetition signals: duplicate lines and top n-gram") {
+    val df = Seq(
+      (1L, "a b\na b\nc d"),          // 3 lines, 1 dup -> 1/3
+      (2L, "x y x y x y"),            // "x y" bigram x3, "y x" x2
+      (3L, "unique words only here")) // all distinct bigrams
+      .toDF("doc_id", "text")
+    val got = df.select($"doc_id",
+      TextStats.duplicateLineFraction($"text").as("dup"),
+      TextStats.topNgramCount($"text", 2).as("top2"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getInt(2)))
+      .toMap
+    assert(got(1L)._1 === 0.3333)
+    assert(got(2L) === ((0.0, 3)))
+    assert(got(3L) === ((0.0, 1)))
+  }
+
   test("langId identifies real sentences") {
     val samples = Seq(
       ("Le patient est admis pour une douleur à l'estomac", "fr"),

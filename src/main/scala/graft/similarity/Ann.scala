@@ -79,6 +79,76 @@ object Ann {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** IVF-flat approximate top-k (the FAISS IVF shape): a KMeans coarse
+    * quantizer over the corpus assigns every vector to one of `nlist`
+    * cells; each query probes its `nprobe` nearest centroids and ranks
+    * only those cells' vectors by exact cosine. Candidate generation is
+    * an equi-join on the cell id — linear at corpus scale, with recall
+    * controlled by `nprobe`. Complements [[lshTopK]] (data-independent
+    * buckets) with a data-ADAPTIVE partitioner: on clustered real
+    * embeddings IVF cells hug the data manifold.
+    *
+    * The fitted centroids are broadcast (nlist × dim doubles — small by
+    * construction); assignment and probing are row-local expressions.
+    */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame, dim: Int, k: Int,
+      nlist: Int = 16, nprobe: Int = 3, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.Vectors
+    val toVec = udf((v: Seq[Double]) => Vectors.dense(v.toArray))
+    val km = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("features")
+    val model = km.fit(corpus.select(toVec(col("vec")).as("features")))
+    val centers: Array[Array[Double]] =
+      model.clusterCenters.map(_.toArray)
+    def dist2(a: Array[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val cellUdf = udf((v: Seq[Double]) =>
+      centers.zipWithIndex.minBy { case (c, _) => dist2(c, v) }._2)
+    val probesUdf = udf((v: Seq[Double]) =>
+      centers.zipWithIndex.sortBy { case (c, _) => dist2(c, v) }
+        .take(nprobe).map(_._2).toSeq)
+    val cs = corpus.select(col("id").as("neighbor_id"),
+      col("vec").as("cv"), cellUdf(col("vec")).as("cell"))
+    val qs = queries.select(col("id").as("query_id"),
+      col("vec").as("qv"),
+      explode(probesUdf(col("vec"))).as("cell"))
+    val scored = cs.join(qs, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val topk = udaf(new TopKAggregator(k), Encoders.product[Scored])
+    rankedFromTopK(scored
+      .select(col("query_id"), col("neighbor_id"), col("sim")).distinct()
+      .groupBy(col("query_id"))
+      .agg(topk(col("neighbor_id"), col("sim")).as("topk")))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: hyperplane-LSH bucket join
+    * for candidates, exact cosine verification at `threshold` — the
+    * embedding-space member of the dedup family (exact / minhash /
+    * simhash / ngram live in [[graft.dedup.Dedup]]).
+    */
+  def cosineNearDuplicates(
+      corpus: DataFrame, dim: Int, threshold: Double,
+      nbits: Int = 12): DataFrame = {
+    val withSig = corpus.select(col("id"), col("vec"),
+      signature(col("vec"), dim, nbits).as("sig"))
+    val a = withSig.select(col("sig"), col("id").as("id_a"),
+      col("vec").as("va"))
+    val b = withSig.select(col("sig"), col("id").as("id_b"),
+      col("vec").as("vb"))
+    a.join(b, "sig")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+      .distinct()
+  }
+
   /** Approximate top-k: candidates share an LSH bucket (or a bucket at
     * Hamming distance 1 via multi-probe), ranked by exact cosine.
     */

@@ -142,6 +142,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(3L) === ((0.0, 1)))
   }
 
+  test("IVF ANN and cosine near-dup: high recall on clustered vectors") {
+    val rng = new scala.util.Random(23)
+    val centroids = Array.fill(8)(Array.fill(16)(rng.nextGaussian()))
+    val rows = (0 until 320).map { i =>
+      val c = centroids(i % 8)
+      (i.toLong, c.map(_ + rng.nextGaussian() * 0.12).toSeq)
+    }
+    val emb = rows.toDF("id", "vec")
+    val q = emb.filter($"id" < 16)
+    val exact = Ann.bruteForceTopK(q, emb, 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ann.ivfTopK(q, emb, dim = 16, k = 10, nlist = 8, nprobe = 2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall $recall")
+    // cosine near-dup: same-cluster low-noise vectors land above 0.9
+    val nd = Ann.cosineNearDuplicates(emb.filter($"id" < 64), dim = 16,
+      threshold = 0.9)
+    val pairs = nd.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // all reported pairs genuinely clear the threshold vs brute force
+    val vecs = rows.take(64).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    pairs.foreach { case (x, y) =>
+      assert(cos(vecs(x), vecs(y)) >= 0.9 - 1e-9) }
+  }
+
   test("langId identifies real sentences") {
     val samples = Seq(
       ("Le patient est admis pour une douleur à l'estomac", "fr"),

@@ -136,4 +136,80 @@ object EventStreams {
       : DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  case class BucketDoc(
+      bucket: String, doc_id: Long, ts: java.sql.Timestamp, sig: Seq[Long])
+  case class BucketState(
+      docs: List[(Long, Seq[Long])], lastTsMs: Long)
+  case class NearDupHit(id_a: Long, id_b: Long, est_jaccard: Double)
+
+  /** STREAMING near-duplicate detection — the unbounded twin of
+    * `Dedup.minHashNearDuplicates`: documents MinHash-sign on arrival
+    * (same fused signature as the batch path), band buckets key a
+    * per-bucket state store of recent signatures, and a new arrival
+    * emits a hit for every stored neighbor whose SIGNATURE AGREEMENT
+    * (the unbiased MinHash estimator of Jaccard) clears `threshold`.
+    * Exact shingle verification would require keeping full texts in
+    * state — the estimator-on-signatures tradeoff is what a stream can
+    * afford; a batch verify downstream of the hit stream recovers
+    * exactness where needed. State is bounded two ways: event-time
+    * timeout past the watermark horizon AND a per-bucket `maxPerBucket`
+    * ring (the streaming form of the batch `maxBucket` skew cap).
+    * A pair colliding in several bands emits once per band —
+    * `dropDuplicates` downstream of the hit stream dedups if needed.
+    */
+  def nearDupDocs(
+      docs: DataFrame, // (doc_id, ts, text)
+      n: Int = 3, k: Int = 32, bands: Int = 8,
+      threshold: Double = 0.8,
+      watermark: String = "2 hours",
+      maxPerBucket: Int = 64): Dataset[NearDupHit] = {
+    import docs.sparkSession.implicits._
+    val horizonMs = 2L * 3600 * 1000
+    val width = math.max(k / bands, 1)
+    val bucketed = docs
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"),
+        graft.dedup.Dedup.minHashSignatureFromText(col("text"), n, k)
+          .as("sig"))
+      .select(col("doc_id"), col("ts"), col("sig"),
+        posexplode(expr(s"transform(sequence(0, $bands - 1), " +
+          s"b -> xxhash64(b, array_join(slice(sig, b * $width + 1, " +
+          s"$width), ',')))")))
+      .select(concat_ws("_", col("pos"), col("col")).as("bucket"),
+        col("doc_id"), col("ts"), col("sig"))
+      .as[BucketDoc]
+    bucketed
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[BucketState, NearDupHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, rows: Iterator[BucketDoc],
+            state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val out =
+              scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
+            var st = state.getOption.getOrElse(BucketState(Nil, 0L))
+            rows.toSeq.sortBy(_.ts.getTime).foreach { d =>
+              st.docs.foreach { case (oid, osig) =>
+                if (oid != d.doc_id) {
+                  val agree = osig.zip(d.sig).count {
+                    case (a, b) => a == b
+                  }.toDouble / math.max(osig.size, 1)
+                  if (agree >= threshold)
+                    out += NearDupHit(math.min(oid, d.doc_id),
+                      math.max(oid, d.doc_id),
+                      math.rint(agree * 10000) / 10000)
+                }
+              }
+              st = BucketState(
+                ((d.doc_id, d.sig) :: st.docs).take(maxPerBucket),
+                math.max(st.lastTsMs, d.ts.getTime))
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(st.lastTsMs + horizonMs)
+            out.iterator
+          }
+      }
+  }
 }

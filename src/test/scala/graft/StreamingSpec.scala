@@ -79,6 +79,40 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming near-dup finds the batch minhash pairs") {
+    // stage documents as a stream with synthetic timestamps
+    val docsDir = Files.createTempDirectory("docs-stream").toString
+    graft.relational.Tables.documents(spark, sf)
+      .withColumn("ts",
+        expr("timestamp_micros(1600000000000000 + doc_id * 1000000)"))
+      .select("doc_id", "ts", "text")
+      .write.mode("overwrite").parquet(docsDir)
+    val stream = spark.readStream
+      .schema("doc_id LONG, ts TIMESTAMP, text STRING")
+      .parquet(docsDir)
+    val hits = runToCompletion(
+      EventStreams.nearDupDocs(stream, threshold = 0.9).toDF(), "neardup")
+      .select("id_a", "id_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch truth: the planted exact-Jaccard >= 0.9 pairs
+    val batch = graft.dedup.Dedup
+      .minHashNearDuplicates(
+        graft.relational.Tables.documents(spark, sf), "doc_id", "text",
+        threshold = 0.9)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty)
+    val recall = batch.count(hits.contains).toDouble / batch.size
+    assert(recall >= 0.9, s"stream recall $recall on ${batch.size} pairs")
+    // estimator precision: background pairs sit at Jaccard <= 0.07 in
+    // this corpus, far under the 0.9 signature bar — the stream must
+    // not hallucinate unrelated pairs (allow only estimator jitter
+    // around the genuine near-dups)
+    val extras = hits -- batch
+    assert(extras.size <= batch.size,
+      s"too many non-batch pairs: ${extras.take(5)}")
+  }
+
   test("stateful dedup drops duplicate event ids") {
     // duplicate the source file so every event appears twice
     val dir = Files.createTempDirectory("events-dup").toString

@@ -92,6 +92,32 @@ object Multimodal {
     }
   }
 
+  /** Resize stub: deterministic stride-downsample of the payload to a
+    * target byte budget, standing in for a pixel resize — the payload
+    * SHRINKS in place per partition (the property that matters: resize
+    * before shuffle/collect so only the small form ever moves). Swap
+    * the body for a codec-backed resample when codecs are available.
+    */
+  def resize(ds: Dataset[MediaRow], targetBytes: Int): Dataset[MediaRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.content.length <= targetBytes) r
+        else {
+          val step = r.content.length.toDouble / targetBytes
+          val out = new Array[Byte](targetBytes)
+          var i = 0
+          while (i < targetBytes) {
+            out(i) = r.content((i * step).toInt)
+            i += 1
+          }
+          r.copy(content = out,
+            meta = r.meta.copy(width = targetBytes, height = 1))
+        }
+      }
+    }
+  }
+
   /** Build a synthetic media table from the documents corpus (text bytes as
     * payload) — exercises the exact schema/plumbing with deterministic
     * content.

@@ -198,6 +198,11 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(f.entropy > 0 && f.entropy <= 4.0) // 16 buckets -> max 4 bits
       assert(f.histogram.sum === f.n_bytes)
     }
+    // resize shrinks payloads in place to the byte budget
+    val resized = Multimodal.resize(media, 32).collect()
+    assert(resized.forall(_.content.length <= 32))
+    assert(resized.map(_.media_id).toSet ===
+      media.collect().map(_.media_id).toSet)
     // frame sampling: 1->N lazily
     val frames = Multimodal.sampleFrames(media, frameBytes = 16, stride = 2)
     assert(frames.count() > 0)

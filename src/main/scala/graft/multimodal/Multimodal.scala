@@ -111,8 +111,9 @@ object Multimodal {
             out(i) = r.content((i * step).toInt)
             i += 1
           }
-          r.copy(content = out,
-            meta = r.meta.copy(width = targetBytes, height = 1))
+          // meta keeps its ORIGINAL semantics (pixel dims etc.); the
+          // new payload size is observable from the content itself
+          r.copy(content = out)
         }
       }
     }

@@ -137,6 +137,25 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** "N seconds|minutes|hours|days" → milliseconds (the subset of
+    * watermark syntax this module uses).
+    */
+  private[streaming] def parseDurationMs(s: String): Long = {
+    val m = "(?i)\\s*(\\d+)\\s*(second|minute|hour|day)s?\\s*".r
+    s match {
+      case m(n, unit) =>
+        val mult = unit.toLowerCase match {
+          case "second" => 1000L
+          case "minute" => 60L * 1000
+          case "hour" => 3600L * 1000
+          case "day" => 86400L * 1000
+        }
+        n.toLong * mult
+      case _ => throw new IllegalArgumentException(
+        s"Cannot parse duration: '$s'")
+    }
+  }
+
   case class BucketDoc(
       bucket: String, doc_id: Long, ts: java.sql.Timestamp, sig: Seq[Long])
   case class BucketState(
@@ -165,7 +184,10 @@ object EventStreams {
       watermark: String = "2 hours",
       maxPerBucket: Int = 64): Dataset[NearDupHit] = {
     import docs.sparkSession.implicits._
-    val horizonMs = 2L * 3600 * 1000
+    // state expiry horizon DERIVES from the watermark argument so the
+    // documented coupling (state outlives data admissibility by exactly
+    // the watermark) holds for any setting
+    val horizonMs = parseDurationMs(watermark)
     val width = math.max(k / bands, 1)
     val bucketed = docs
       .withWatermark("ts", watermark)
@@ -191,8 +213,12 @@ object EventStreams {
               scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
             var st = state.getOption.getOrElse(BucketState(Nil, 0L))
             rows.toSeq.sortBy(_.ts.getTime).foreach { d =>
-              st.docs.foreach { case (oid, osig) =>
-                if (oid != d.doc_id) {
+              // source replays re-deliver docs (the scenario dedupEvents
+              // exists for): a doc already in the ring neither re-emits
+              // its hits nor evicts genuine neighbors — refresh in place
+              val already = st.docs.exists(_._1 == d.doc_id)
+              if (!already) {
+                st.docs.foreach { case (oid, osig) =>
                   val agree = osig.zip(d.sig).count {
                     case (a, b) => a == b
                   }.toDouble / math.max(osig.size, 1)
@@ -203,7 +229,8 @@ object EventStreams {
                 }
               }
               st = BucketState(
-                ((d.doc_id, d.sig) :: st.docs).take(maxPerBucket),
+                ((d.doc_id, d.sig) ::
+                  st.docs.filterNot(_._1 == d.doc_id)).take(maxPerBucket),
                 math.max(st.lastTsMs, d.ts.getTime))
             }
             state.update(st)

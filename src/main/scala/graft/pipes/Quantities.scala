@@ -45,7 +45,20 @@ object Quantities {
     "minute" -> ("time", 60.0), "minutes" -> ("time", 60.0),
     "heure" -> ("time", 3600.0), "heures" -> ("time", 3600.0),
     "jour" -> ("time", 86400.0), "jours" -> ("time", 86400.0),
-    "semaine" -> ("time", 604800.0), "semaines" -> ("time", 604800.0))
+    "semaine" -> ("time", 604800.0), "semaines" -> ("time", 604800.0),
+    // word-form unit aliases (quantities.py registry breadth)
+    "gramme" -> ("mass", 1.0), "grammes" -> ("mass", 1.0),
+    "kilo" -> ("mass", 1000.0), "kilos" -> ("mass", 1000.0),
+    "kilogramme" -> ("mass", 1000.0), "kilogrammes" -> ("mass", 1000.0),
+    "milligramme" -> ("mass", 1e-3), "milligrammes" -> ("mass", 1e-3),
+    "litre" -> ("volume", 1.0), "litres" -> ("volume", 1.0),
+    "millilitre" -> ("volume", 1e-3), "millilitres" -> ("volume", 1e-3),
+    "centimetre" -> ("length", 0.01), "centimetres" -> ("length", 0.01),
+    "metre" -> ("length", 1.0), "metres" -> ("length", 1.0),
+    "comprime" -> ("tablet", 1.0), "comprimes" -> ("tablet", 1.0),
+    "goutte" -> ("drop", 1.0),
+    "ui/l" -> ("unit_intl_per_volume", 1.0),
+    "kg/m2" -> ("mass_per_area", 1.0))
 
   private val unitAlt = registry.keys.toSeq.sortBy(-_.length)
     .map(Pattern.quote).mkString("|")

@@ -187,6 +187,24 @@ class NlpCoreSpec extends AnyFunSuite {
     assert(rendered === "[fracture du radius](dis) gauche")
   }
 
+  test("pipeline builds from a JSON config spec") {
+    import graft.pipes.PipelineConfig
+    val pipe = PipelineConfig.fromJson(
+      """{ "terms": { "fracture": ["fracture", "fracture du radius"] },
+           "qualifiers": ["negation", "family"] }""")
+    val neg = pipe.annotate("Pas de fracture du radius.").ents.head
+    assert(neg.text === "fracture du radius")
+    assert(neg.attrs("negation").toBoolean)
+    val fam = pipe
+      .annotate("Antécédents familiaux de fracture du radius.").ents.head
+    assert(fam.attrs("family").toBoolean && !fam.attrs("negation").toBoolean)
+    // unknown qualifier name fails with the available list
+    val err = intercept[IllegalArgumentException] {
+      PipelineConfig.fromJson("""{ "qualifiers": ["negatoin"] }""")
+    }
+    assert(err.getMessage.contains("negation"))
+  }
+
   test("span getter/setter configs resolve like the reference") {
     import graft.nlp.{Ent, SpanGetters}
     import SpanGetters.{All, WithLabels}

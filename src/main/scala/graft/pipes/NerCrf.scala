@@ -149,3 +149,52 @@ object NerCrf {
     tagsToSpans(viterbi(emissions, bioulConstraints(numLabels),
       withStartEnd))
 }
+
+/** The decode side of `eds.extractive_qa` (the reference frames QA as
+  * prompt-conditioned span extraction): from per-token START and END
+  * logits pick the best-scoring spans with `start <= end <
+  * start + maxLen` — the standard reading-comprehension decode. Top-k
+  * selection is greedy non-overlapping (the usual answer-list shape).
+  * Logits come from an injected model; the decode is row-local math.
+  */
+object QaDecoder {
+
+  /** All candidate spans scored `startLogit + endLogit`, best first. */
+  private def candidates(
+      startLogits: Array[Double], endLogits: Array[Double],
+      maxLen: Int): Seq[(Int, Int, Double)] = {
+    val n = math.min(startLogits.length, endLogits.length)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, Double)]
+    var s = 0
+    while (s < n) {
+      var e = s
+      while (e < math.min(n, s + maxLen)) {
+        out += ((s, e + 1, startLogits(s) + endLogits(e)))
+        e += 1
+      }
+      s += 1
+    }
+    out.sortBy { case (b, en, sc) => (-sc, b, en) }.toSeq
+  }
+
+  /** Best single answer span [begin, end) with its score. */
+  def bestSpan(
+      startLogits: Array[Double], endLogits: Array[Double],
+      maxLen: Int = 30): Option[(Int, Int, Double)] =
+    candidates(startLogits, endLogits, maxLen).headOption
+
+  /** Greedy top-k NON-OVERLAPPING answer spans, best first. */
+  def topSpans(
+      startLogits: Array[Double], endLogits: Array[Double],
+      k: Int, maxLen: Int = 30): Seq[(Int, Int, Double)] = {
+    val picked = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, Double)]
+    candidates(startLogits, endLogits, maxLen).foreach { c =>
+      if (picked.size < k &&
+        !picked.exists(p => c._1 < p._2 && c._2 > p._1))
+        picked += c
+    }
+    picked.toSeq
+  }
+}

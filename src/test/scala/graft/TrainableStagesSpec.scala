@@ -111,6 +111,26 @@ class TrainableStagesSpec extends AnyFunSuite {
     assert(DepDecoder.greedy(s).toSeq === Seq(0, 0, 1))
   }
 
+  test("QA decoder: best span and greedy non-overlapping top-k") {
+    import graft.pipes.QaDecoder
+    val start = Array(0.1, 5.0, 0.0, 3.0, 0.0)
+    val end = Array(0.0, 1.0, 4.0, 0.0, 2.0)
+    // best: s=1 (5.0) + e=2 (4.0) = 9.0 -> span [1, 3)
+    assert(QaDecoder.bestSpan(start, end, maxLen = 3) ===
+      Some((1, 3, 9.0)))
+    // maxLen binds: with maxLen 1, best is s=1,e=1 -> 6.0
+    assert(QaDecoder.bestSpan(start, end, maxLen = 1) ===
+      Some((1, 2, 6.0)))
+    // top-2 non-overlapping: [1,3) then the best disjoint span [3,5)
+    val top = QaDecoder.topSpans(start, end, k = 2, maxLen = 3)
+    assert(top.map(t => (t._1, t._2)) === Seq((1, 3), (3, 5)))
+    // brute-force: no candidate under maxLen scores above the best
+    val all = for {
+      s <- 0 until 5; e <- s until math.min(5, s + 3)
+    } yield start(s) + end(e)
+    assert(all.max === 9.0)
+  }
+
   test("span pooler: mean/max/sum over token ranges") {
     import graft.pipes.SpanPooler
     val emb = IndexedSeq(

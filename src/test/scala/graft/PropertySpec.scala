@@ -73,6 +73,43 @@ class PropertySpec extends AnyFunSuite {
     (1, Gen.oneOf('.', ',', '!', '?', '(', ')', 'é', 'à', '\'')),
     (1, Gen.choose('0', '9')))).map(_.mkString)
 
+  private val genClinicalText: Gen[String] = {
+    val frag = Gen.oneOf(
+      "vu le 03/01", "en 11/2017", "le 23/08/2021 à 14h30",
+      "depuis la semaine dernière", "ce jour", "il y a trois mois",
+      "du 5 juin au 6 juillet", "pendant quinze jours", "pdt 1 mois",
+      "dose 5 mg/l", "plaquettes 250 10^9/l", "IMC 23.7", "CRP 5.2",
+      "attente 90 secondes", "entre 1 et 2m", "x 4 500 /mm3",
+      "consultation", "fracture du radius", "1/3", "tel 01 23 45 67 89")
+    Gen.listOfN(6, frag).map(_.mkString(" ")).flatMap(base =>
+      genText.map(noise => s"$base $noise"))
+  }
+
+  test("extraction spans always index their text exactly (widened banks)") {
+    // offset-invariant across the round-2 date/quantity pattern banks:
+    // every emitted entity must slice its source text to its own `text`
+    // and stay in bounds — the property regex-bank growth most easily
+    // breaks
+    forAll(genClinicalText, n = 120) { text =>
+      val all = graft.pipes.Dates.extract(text) ++
+        graft.pipes.Quantities.extract(text) ++
+        graft.pipes.Quantities.extractFromTables(text)
+      all.foreach { e =>
+        assert(0 <= e.begin && e.begin < e.end && e.end <= text.length,
+          s"bad span $e in '$text'")
+        assert(text.substring(e.begin, e.end) == e.text,
+          s"span text drift: $e in '$text'")
+      }
+      // periods stay in bounds too
+      val (ds, ps) = graft.pipes.Dates.extractWithPeriods(text)
+      ps.foreach { p =>
+        assert(0 <= p.begin && p.begin < p.end && p.end <= text.length)
+        assert(text.substring(p.begin, p.end) == p.text)
+      }
+      assert(ds.forall(d => d.end <= text.length))
+    }
+  }
+
   test("tokenizer partitions any text: contiguous offsets, exact slices") {
     forAll(genText) { text =>
       val toks = Tokenizer.tokenize(text)

@@ -15,16 +15,19 @@ object Bench {
     // holds the DATA pages for ALL queries equally (a bare count() only
     // touches parquet footers) — warming with a timed query (old
     // behavior) gave that query a codegen-cache edge in its number.
+    // max(), not sum(): summing 64-bit hashes overflows Long and ANSI
+    // mode (Spark 4 default) ABORTS the job — the round-2 warm-up
+    // silently died on every large table and left the bench cold.
     try {
-      spark.range(2000000L).selectExpr("sum(id * 2 + 1)").collect()
+      spark.range(2000000L).selectExpr("max(id * 2 + 1)").collect()
       Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "documents", "embeddings").foreach { t =>
         try relational.Tables.table(spark, sfDir, t)
-          .selectExpr("sum(xxhash64(struct(*)))").collect()
+          .selectExpr("max(xxhash64(struct(*)))").collect()
         catch { case _: Throwable => }
       }
       try relational.Tables.events(spark, sfDir)
-        .selectExpr("sum(xxhash64(struct(*)))").collect()
+        .selectExpr("max(xxhash64(struct(*)))").collect()
       catch { case _: Throwable => }
     } catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>

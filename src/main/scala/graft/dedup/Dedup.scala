@@ -199,6 +199,40 @@ object Dedup {
     when(uni === 0, 0.0).otherwise(inter.cast("double") / uni.cast("double"))
   }
 
+  /** Corpus-wide paragraph-level dedup (the CCNet/RefinedWeb pipeline
+    * shape): split each doc on `sepRegex`, keep a paragraph only at its
+    * globally FIRST occurrence — ordered by (doc id, position) — and
+    * reassemble each doc from its surviving paragraphs in order.
+    *
+    * Scale shape: one explode, one groupBy on a 64-bit content hash
+    * (min(struct(id, idx)) is a tiny map-side-combining aggregate), one
+    * equi-join back on the hash, one groupBy(id) to reassemble — every
+    * shuffle key is bounded; no text ever becomes a shuffle key.
+    * Returns (id, text, n_paragraphs, n_kept).
+    */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
+      sepRegex: String = "\n"): DataFrame = {
+    val paras = df
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), sepRegex)).as(Seq("idx", "para")))
+      .withColumn("h", xxhash64(col("para")))
+    val first = paras.groupBy("h")
+      .agg(min(struct(col("id"), col("idx"))).as("f"))
+      .select(col("h"), col("f.id").as("f_id"), col("f.idx").as("f_idx"))
+    paras.join(first, "h")
+      .groupBy(col("id"))
+      .agg(
+        array_join(transform(array_sort(collect_list(
+          when(col("id") === col("f_id") && col("idx") === col("f_idx"),
+            struct(col("idx"), col("para"))))),
+          s => s("para")), " ").as("text"),
+        count(lit(1)).as("n_paragraphs"),
+        sum(when(col("id") === col("f_id") && col("idx") === col("f_idx"),
+          1L).otherwise(0L)).as("n_kept"))
+      .select(col("id").as(idCol), col("text"),
+        col("n_paragraphs"), col("n_kept"))
+  }
+
   /** Full MinHash+LSH near-dup pipeline: shingle -> sign -> band ->
     * candidates -> verify with exact Jaccard >= threshold.
     */

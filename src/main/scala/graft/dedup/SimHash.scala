@@ -83,16 +83,28 @@ object SimHash {
   def nearDuplicates(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, radius: Int = 3): DataFrame = {
-    val blocks = radius + 1
-    val width = 64 / blocks // bits per block (last block gets the remainder)
     val fp = df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"),
         simhashFromText(col(textCol), n).as("fp"))
+    pairsFromFingerprints(fp, radius, nbits = 64)
+  }
+
+  /** Pigeonhole-block pair join over an (id, fp) frame: `radius + 1`
+    * blocks of an `nbits`-bit fingerprint; any pair within the radius
+    * agrees exactly on >= 1 block, so candidates come from equi-joins.
+    */
+  private def pairsFromFingerprints(
+      fp: DataFrame, radius: Int, nbits: Int): DataFrame = {
+    val blocks = radius + 1
+    val width = nbits / blocks // bits per block (last gets the remainder)
+    val lastMask =
+      if (nbits == 64) s"-1L >> (${blocks - 1} * $width)"
+      else s"(1L << ${nbits - (blocks - 1) * width}) - 1"
     val blocked = fp.select(col("id"), col("fp"),
       posexplode(expr(
         s"transform(sequence(0, ${blocks - 1}), b -> " +
         s"shiftright(fp, b * $width) & " +
-        s"CASE WHEN b = ${blocks - 1} THEN -1L >> (${blocks - 1} * $width) " +
+        s"CASE WHEN b = ${blocks - 1} THEN $lastMask " +
         s"ELSE (1L << $width) - 1 END)")))
       .select(col("id"), col("fp"),
         concat_ws("_", col("pos"), col("col")).as("bucket"))
@@ -108,5 +120,53 @@ object SimHash {
         hamming(col("fp_a"), col("fp_b")).as("hamming"))
       .filter(col("hamming") <= radius)
       .distinct()
+  }
+
+  /** PORTABLE simhash: the shingle hash is the first 15 hex chars of the
+    * MD5 of each distinct word n-gram (60 bits — the widest slice that
+    * fits a signed 64-bit int in every engine). MD5 is bit-for-bit
+    * reproducible wherever an md5() builtin exists, so unlike the fused
+    * FNV path the WHOLE pipeline — votes -> fingerprint -> pigeonhole
+    * blocks -> Hamming join — is recomputable by an independent SQL
+    * oracle. Same vote/threshold semantics as [[simhash]].
+    */
+  def simhashPortable(text: Column, n: Int, nbits: Int = 60): Column = {
+    val words = split(text, " ")
+    val shingles = array_distinct(transform(
+      sequence(lit(0), greatest(size(words) - n, lit(0))),
+      i => array_join(slice(words, i + 1, lit(n)), " ")))
+    val hashes = transform(shingles,
+      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
+    val votesToFp = udf((hs: Seq[Long], bits: Int) => {
+      val votes = new Array[Long](bits)
+      val safe = if (hs == null) Seq.empty[Long] else hs
+      safe.foreach { h =>
+        var b = 0
+        while (b < bits) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      var fpv = 0L
+      var b = 0
+      while (b < bits) {
+        if (votes(b) > 0) fpv |= (1L << b)
+        b += 1
+      }
+      fpv
+    })
+    votesToFp(hashes, lit(nbits))
+  }
+
+  /** Near-dup pairs over the portable (MD5-based, oracle-checkable)
+    * fingerprint. Identical plan shape to [[nearDuplicates]].
+    */
+  def nearDuplicatesPortable(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, radius: Int = 3, nbits: Int = 60): DataFrame = {
+    val fp = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        simhashPortable(col(textCol), n, nbits).as("fp"))
+    pairsFromFingerprints(fp, radius, nbits)
   }
 }

@@ -32,36 +32,36 @@ object NerMetrics {
     *
     * Set semantics on ALL THREE counters — the reference builds sets of
     * (begin, end, label), so duplicate identical spans in either input
-    * must not deflate precision/recall: both sides are distinct'd first.
-    * TP is then an inner join on the span key: the distincts leave both
-    * sides hash-partitioned on exactly that key, so the join adds no
-    * exchange, and the per-label aggregates partial-aggregate map-side —
-    * the old `intersect` + 3-way union + double groupBy planned three
-    * data-sized exchanges more than the math needs.
+    * must not deflate precision/recall. [[setCounts]] realizes the sets,
+    * the intersection and the per-label counts from a single union-flag
+    * shuffle (one exchange where the round-1 `intersect` form planned
+    * four).
     */
-  /** Set-semantics (tp, n_pred, n_gold) per `groupCol`: inner join on
-    * the full item key for TP, per-group counts, full-outer assembled
-    * with zero-coalesce — shared by [[nerExact]] and [[spanAttribute]].
-    * `p`/`g` must already be distinct on `key`.
+  /** Set-semantics (tp, n_pred, n_gold) per `groupCol` in ONE data-sized
+    * shuffle: union both sides with membership flags, groupBy the full
+    * item key with max-flags (this IS the distinct AND the intersection
+    * — no separate distincts, no join), then a small groupBy(groupCol)
+    * that partial-aggregates map-side. Shared by [[nerExact]] and
+    * [[spanAttribute]]; inputs need NOT be pre-distinct'd.
     */
   private def setCounts(
       p: DataFrame, g: DataFrame, key: Seq[String],
       groupCol: String): DataFrame = {
-    val tp = p.join(g, key).groupBy(groupCol).agg(count(lit(1)).as("tp"))
-    val np = p.groupBy(groupCol).agg(count(lit(1)).as("np"))
-    val ng = g.groupBy(groupCol).agg(count(lit(1)).as("ng"))
-    np.join(ng, Seq(groupCol), "full_outer")
-      .join(tp, Seq(groupCol), "left_outer")
-      .select(col(groupCol),
-        coalesce(col("tp"), lit(0L)).as("tp"),
-        coalesce(col("np"), lit(0L)).as("np"),
-        coalesce(col("ng"), lit(0L)).as("ng"))
+    val u = p.select(key.map(col) :+ lit(1).as("p") :+ lit(0).as("g"): _*)
+      .unionByName(
+        g.select(key.map(col) :+ lit(0).as("p") :+ lit(1).as("g"): _*))
+    u.groupBy(key.map(col): _*)
+      .agg(max(col("p")).as("in_p"), max(col("g")).as("in_g"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("in_p") * col("in_g")).cast("long").as("tp"),
+        sum(col("in_p")).cast("long").as("np"),
+        sum(col("in_g")).cast("long").as("ng"))
   }
 
   def nerExact(pred: DataFrame, gold: DataFrame): DataFrame = {
     val key = Seq("doc_id", "begin", "end", "label")
-    val p = pred.select(key.map(col): _*).distinct()
-    val g = gold.select(key.map(col): _*).distinct()
+    val p = pred.select(key.map(col): _*)
+    val g = gold.select(key.map(col): _*)
     val counts = setCounts(p, g, key, "label")
     val perLabel = counts.select(
       col("label") +: prf(col("tp").cast("double"), col("np"), col("ng")): _*)
@@ -85,7 +85,7 @@ object NerMetrics {
         // BRAT) would make sequence() count DOWN and fabricate positions
         .select(col("doc_id"), col("label"),
           explode(sequence(col("begin"), col("end") - 1)).as("pos"))
-        .distinct()
+        // no distinct: setCounts dedups on the item key in its own pass
         .withColumnRenamed("pos", "begin")
         .withColumn("end", col("begin") + 1)
     nerExact(toPositions(pred), toPositions(gold))
@@ -178,7 +178,7 @@ object NerMetrics {
         if (includeFalsy) base.filter(col("value").isNotNull)
         else base.filter(col("value").isNotNull &&
           !lower(col("value")).isin("", "false", "0", "none"))
-      kept.distinct()
+      kept // setCounts dedups on the item key
     }
     val key = Seq("doc_id", "begin", "end", "attr", "value")
     val p = items(pred)

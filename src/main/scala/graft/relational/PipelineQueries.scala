@@ -15,10 +15,11 @@ import graft.text.TextStats
   * corpus's near-dup structure is bimodal — planted pairs at J >= 0.9 vs
   * background <= 0.07 — so LSH at threshold 0.8 is exhaustive by
   * construction, and q45 constructs clustered vectors where LSH recall is
-  * provably total); simhash/langid/fingerprint/media are
-  * algorithm-specific and get rows-only checks plus ScalaTest coverage.
+  * provably total); q33's simhash uses MD5 shingle hashes so even the
+  * fingerprint arithmetic is recomputed independently by DuckDB — every
+  * query in this module is oracle-checked, none is rows-only.
   * No declared query shuffles a cartesian: q31 is a prefix-filtered
-  * inverted-index join, q45 an LSH equi-join; q34 (the declared EXACT
+  * inverted-index join, q45/q51/q52 LSH/IVF equi-joins; q34 (the declared EXACT
   * baseline) is a broadcast nested-loop whose quadratic part is compute
   * only — its top-k aggregator ships just k rows per partition per query.
   */
@@ -88,10 +89,17 @@ object PipelineQueries {
     },
     "q33_simhash" -> { (s, d) =>
       import s.implicits._
-      // rows-only check (simhash values are engine-specific); recall is
-      // asserted against exact Jaccard dups in ScalaTest.
-      SimHash.nearDuplicates(documents(s, d), "doc_id", "text",
+      // PORTABLE simhash (MD5 shingle hashes, 60-bit fingerprint): the
+      // oracle recomputes fingerprints, pigeonhole radius and Hamming
+      // distances bit-for-bit in DuckDB — this was the one rows-only
+      // query; now fully oracle-checked. The corpus is bimodal by
+      // construction (planted near-dups at hamming <= 7, background
+      // >= 15), so radius 8 is a robust cut on both sides. The fused
+      // FNV fingerprint (SimHash.nearDuplicates) stays the fast
+      // engine-internal path; recall spec-asserted in ScalaTest.
+      SimHash.nearDuplicatesPortable(documents(s, d), "doc_id", "text",
         n = 3, radius = 8)
+        .select($"id_a", $"id_b", $"hamming".cast("int").as("hamming"))
         .orderBy($"id_a", $"id_b")
     },
     "q34_embedding_topk" -> { (s, d) =>
@@ -128,6 +136,62 @@ object PipelineQueries {
       Ann.lshTopK(vecs, vecs, dim = 8, k = 7, nbits = 12)
         .select($"query_id", $"neighbor_id")
         .orderBy($"query_id", $"neighbor_id")
+    },
+    "q51_ann_ivf" -> { (s, d) =>
+      import s.implicits._
+      // IVF-flat ANN (KMeans coarse quantizer + nprobe cells) as a
+      // DECLARED oracle-checked query. Construction: clusters of 8 ids
+      // share ONE exact vector (a pseudo-random 16-dim integer lattice
+      // direction, nonlinear in the component index so directions are
+      // genuinely spread — max cross-cluster cosine 0.983 at sf0.1 vs
+      // within-cluster 1.0). Identical in-cluster vectors make IVF cell
+      // agreement EXACT by construction (assignment is a function of the
+      // vector value), so the approximate path provably returns the 7
+      // cluster-mates and the oracle brute-forces the same top-7.
+      val m = embeddings(s, d)
+        .agg(expr("(count(1) div 8) * 8").as("m"))
+      val vecs = embeddings(s, d).join(broadcast(m))
+        .filter($"vec_id" < $"m")
+        .select($"vec_id".as("id"),
+          expr("transform(sequence(0, 15), j -> " +
+            "CAST((vec_id div 8 * 1009 + j * j * 571 + " +
+            "vec_id div 8 * j * 37) % 2003 - 1001 AS DOUBLE))").as("vec"))
+      Ann.ivfTopK(vecs, vecs, k = 7, nlist = 16, nprobe = 2)
+        .select($"query_id", $"neighbor_id")
+        .orderBy($"query_id", $"neighbor_id")
+    },
+    "q52_cosine_neardup" -> { (s, d) =>
+      import s.implicits._
+      // embedding-cosine near-duplicate pairs (multi-table hyperplane
+      // LSH + exact verify) as a DECLARED oracle-checked query, on the
+      // same spread-lattice construction: within-cluster pairs are
+      // identical vectors (cosine 1, and EVERY LSH table's signature
+      // matches — recall is total by construction, not probability),
+      // cross-cluster cosine <= 0.983 < the 0.995 threshold by a margin
+      // vastly wider than FP noise. The oracle recomputes all pairs.
+      val m = embeddings(s, d)
+        .agg(expr("(count(1) div 8) * 8").as("m"))
+      val vecs = embeddings(s, d).join(broadcast(m))
+        .filter($"vec_id" < $"m")
+        .select($"vec_id".as("id"),
+          expr("transform(sequence(0, 15), j -> " +
+            "CAST((vec_id div 8 * 1009 + j * j * 571 + " +
+            "vec_id div 8 * j * 37) % 2003 - 1001 AS DOUBLE))").as("vec"))
+      Ann.cosineNearDuplicates(vecs, dim = 16, threshold = 0.995)
+        .select($"id_a", $"id_b", $"sim")
+        .orderBy($"id_a", $"id_b")
+    },
+    "q53_paragraph_dedup" -> { (s, d) =>
+      import s.implicits._
+      // corpus-wide paragraph-level dedup (the CCNet/RefinedWeb shape):
+      // a paragraph survives only at its globally FIRST occurrence
+      // (doc_id, position order); docs are reassembled from surviving
+      // paragraphs. Sentence-split on '. ' stands in for newline
+      // paragraphs (the synthetic corpus is single-line). Entirely
+      // SQL-expressible, so the oracle recomputes survivorship and the
+      // reassembled text verbatim.
+      Dedup.dedupParagraphs(documents(s, d), "doc_id", "text", "\\. ")
+        .orderBy($"doc_id")
     },
     "q35_quality" -> { (s, d) =>
       import s.implicits._
@@ -294,6 +358,73 @@ object PipelineQueries {
          WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
              len(list_distinct(a.sh || b.sh)), 4) >= 0.8
          ORDER BY id_a, id_b""",
+    "q33_simhash" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+           FROM documents),
+         sh AS (SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(ws) - 2, 1) + 1),
+             i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS shs
+           FROM w),
+         u AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+         h AS (SELECT doc_id,
+             ('0x' || substr(md5(s), 1, 15))::BIGINT AS hv FROM u),
+         bits AS (SELECT doc_id, b,
+             sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+           FROM h, range(0, 60) t(b) GROUP BY 1, 2),
+         fp AS (SELECT doc_id,
+             sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END) AS fp
+           FROM bits GROUP BY 1)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.fp, b.fp)) <= 8
+         ORDER BY id_a, id_b""",
+    "q51_ann_ivf" ->
+      """WITH p AS (SELECT (count(*) // 8) * 8 AS m FROM embeddings),
+         v AS (
+           SELECT vec_id, list_transform(range(0, 16),
+             j -> ((vec_id // 8 * 1009 + j * j * 571 +
+                    vec_id // 8 * j * 37) % 2003 - 1001)::DOUBLE) AS vec
+           FROM embeddings, p WHERE vec_id < m),
+         scored AS (
+           SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             list_cosine_similarity(a.vec, b.vec) AS sim
+           FROM v a, v b WHERE a.vec_id != b.vec_id),
+         ranked AS (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, neighbor_id) AS rnk
+           FROM scored)
+         SELECT query_id, neighbor_id FROM ranked
+         WHERE rnk <= 7 ORDER BY query_id, neighbor_id""",
+    "q52_cosine_neardup" ->
+      """WITH p AS (SELECT (count(*) // 8) * 8 AS m FROM embeddings),
+         v AS (
+           SELECT vec_id, list_transform(range(0, 16),
+             j -> ((vec_id // 8 * 1009 + j * j * 571 +
+                    vec_id // 8 * j * 37) % 2003 - 1001)::DOUBLE) AS vec
+           FROM embeddings, p WHERE vec_id < m)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.vec, b.vec), 4) AS sim
+         FROM v a, v b
+         WHERE a.vec_id < b.vec_id
+           AND list_cosine_similarity(a.vec, b.vec) >= 0.995
+         ORDER BY id_a, id_b""",
+    "q53_paragraph_dedup" ->
+      """WITH sp AS (SELECT doc_id,
+             string_split_regex(text, '\. ') AS ps FROM documents),
+         paras AS (SELECT doc_id, unnest(ps) AS para,
+             generate_subscripts(ps, 1) - 1 AS idx FROM sp),
+         r AS (SELECT doc_id, idx, para,
+             row_number() OVER (PARTITION BY para
+               ORDER BY doc_id, idx) AS rn
+           FROM paras)
+         SELECT doc_id,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN para END,
+             ' ' ORDER BY idx), '') AS text,
+           count(*) AS n_paragraphs,
+           count(CASE WHEN rn = 1 THEN 1 END) AS n_kept
+         FROM r GROUP BY doc_id ORDER BY doc_id""",
     "q34_embedding_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
              FROM embeddings WHERE vec_id % 25 = 0),

@@ -52,11 +52,16 @@ object Ann {
     * shuffle no longer is.
     */
   def bruteForceTopK(
-      queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
     val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"))
     val scored = c.crossJoin(broadcast(q))
-      .filter(col("query_id") =!= col("neighbor_id"))
+      // excludeSelf = false when query/corpus ids are DIFFERENT id
+      // spaces (e.g. span -> concept linking) where an accidental id
+      // collision must not suppress a legitimate pair
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id")
+              else lit(true))
       .withColumn("sim", cosine(col("qv"), col("cv")))
     val topk = udaf(new TopKAggregator(k), Encoders.product[Scored])
     rankedFromTopK(scored.groupBy(col("query_id"))
@@ -70,15 +75,31 @@ object Ann {
     Array.fill(nbits)(Array.fill(dim)(rng.nextGaussian()))
   }
 
-  /** Sign-bit signature column for LSH bucketing. */
+  /** Sign-bit signature column for LSH bucketing. Row-local UDF with the
+    * plane matrix in the closure: the expression form (nbits × dot via
+    * `aggregate`/`zip_with`) evaluates its lambdas INTERPRETED and
+    * hands janino an expression tree that takes longer to codegen than
+    * the query takes to run — one fused loop is both the fast and the
+    * scale-correct shape (same FP accumulation order, identical bits).
+    */
   def signature(
       vec: Column, dim: Int, nbits: Int, seed: Long = 42L): Column = {
     val planes = hyperplanes(dim, nbits, seed)
-    val bits = planes.zipWithIndex.map { case (p, i) =>
-      val planeCol = array(p.map(lit): _*)
-      when(dot(vec, planeCol) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+    val f = udf((v: Seq[Double]) => {
+      var sig = 0L
+      var i = 0
+      while (i < planes.length) {
+        val p = planes(i)
+        var acc = 0.0
+        var d = 0
+        val n = math.min(p.length, v.length)
+        while (d < n) { acc += v(d) * p(d); d += 1 }
+        if (acc >= 0) sig |= (1L << i)
+        i += 1
+      }
+      sig
+    })
+    f(vec)
   }
 
   /** IVF-flat approximate top-k (the FAISS IVF shape): a KMeans coarse

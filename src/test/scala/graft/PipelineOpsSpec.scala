@@ -220,4 +220,75 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(df(0) === df(1))
     assert(df(0) !== df(2))
   }
+
+  test("portable simhash agrees with a scala reimplementation") {
+    // independent recomputation of the MD5/60-bit fingerprint for a few
+    // docs — guards the Spark expression chain (split/slice/md5/conv)
+    // against drift from the declared oracle semantics
+    def md5hash60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    def fingerprint(text: String): Long = {
+      val words = text.split(" ", -1)
+      val n = math.max(words.length - 2, 1)
+      val shingles = (0 until n)
+        .map(i => words.slice(i, i + 3).mkString(" ")).distinct
+      val votes = new Array[Long](60)
+      shingles.foreach { sh =>
+        val h = md5hash60(sh)
+        (0 until 60).foreach { b =>
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        }
+      }
+      (0 until 60).foldLeft(0L)((acc, b) =>
+        if (votes(b) > 0) acc | (1L << b) else acc)
+    }
+    val sample = docs.limit(5).select("text").as[String].collect()
+    val got = docs.limit(5)
+      .select(SimHash.simhashPortable($"text", 3).as("fp"))
+      .as[Long].collect()
+    assert(got.toSeq === sample.map(fingerprint).toSeq)
+  }
+
+  test("paragraph dedup keeps only globally-first occurrences") {
+    val df = Seq(
+      (0L, "alpha beta. gamma delta. alpha beta"),
+      (1L, "gamma delta. epsilon zeta"),
+      (2L, "alpha beta")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(df, "doc_id", "text", "\\. ")
+      .orderBy("doc_id").collect()
+    // doc 0: "alpha beta" kept at idx 0, "gamma delta" kept at idx 1,
+    // the REPEAT of "alpha beta" (same doc, idx 2) dropped
+    assert(out(0).getAs[String]("text") === "alpha beta gamma delta")
+    assert(out(0).getAs[Long]("n_paragraphs") === 3L)
+    assert(out(0).getAs[Long]("n_kept") === 2L)
+    // doc 1: "gamma delta" already seen in doc 0 -> only "epsilon zeta"
+    assert(out(1).getAs[String]("text") === "epsilon zeta")
+    // doc 2: everything seen -> empty text, zero kept
+    assert(out(2).getAs[String]("text") === "")
+    assert(out(2).getAs[Long]("n_kept") === 0L)
+  }
+
+  test("span linker table join links each span to its best concept") {
+    import graft.pipes.SpanLinker
+    val spans = Seq(
+      (100L, Seq(1.0, 0.05)), // -> concept 1 (x-axis)
+      (101L, Seq(0.0, 2.0)),  // -> concept 2 (y-axis)
+      (102L, Seq(1.0, 1.0))   // equidistant -> below threshold
+    ).toDF("span_id", "vec")
+    val concepts = Seq(
+      (1L, Seq(5.0, 0.0)),
+      (2L, Seq(0.0, 1.0))
+    ).toDF("concept_id", "vec")
+    val out = SpanLinker.linkTable(spans, concepts, threshold = 0.9)
+      .orderBy("span_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((100L, 1L), (101L, 2L)))
+    // span 102 at cosine ~0.707 to both: filtered by the threshold
+    assert(!out.map(_.getLong(0)).contains(102L))
+  }
 }

@@ -164,4 +164,52 @@ class TrainableStagesSpec extends AnyFunSuite {
     // token 5's vector comes from window (4,8): sum 4+5+6+7 = 22
     assert(got(5)(1) === 22f)
   }
+
+  test("span classifier: per-group argmax with label filters") {
+    import graft.pipes.SpanClassifier
+    import graft.pipes.SpanClassifier.Binding
+    val bindings = Seq(
+      Binding("negation", None, IndexedSeq("false", "true")),
+      Binding("event", Some(Set("date")), IndexedSeq("start", "stop")))
+    assert(SpanClassifier.offsets(bindings) === Seq(0, 2))
+    // scores: negation slice [0,2) argmax -> "true"; event slice [2,4)
+    // argmax -> "start"
+    val scores = Array(0.1, 0.9, 3.0, 2.0)
+    // a "date" span gets both attributes
+    assert(SpanClassifier.decode(bindings, "date", scores) ===
+      Map("negation" -> "true", "event" -> "start"))
+    // a "drug" span: event group's label filter excludes it
+    assert(SpanClassifier.decode(bindings, "drug", scores) ===
+      Map("negation" -> "true"))
+    // tie breaks toward the lowest value index (torch argmax)
+    val tied = Array(0.5, 0.5, 1.0, 1.0)
+    assert(SpanClassifier.decode(bindings, "date", tied) ===
+      Map("negation" -> "false", "event" -> "start"))
+  }
+
+  test("span linker: cosine scores, synonym rows, threshold to None") {
+    import graft.pipes.SpanLinker
+    val matrix = IndexedSeq(
+      Array(1.0, 0.0), // row 0 -> concept C1
+      Array(0.0, 1.0), // row 1 -> concept C2
+      Array(1.0, 1.0)) // row 2 -> concept C2 (synonym mode: 2 rows)
+    val rowConcept = Map(0 -> "C1", 1 -> "C2", 2 -> "C2")
+    val s = SpanLinker.scores(Array(2.0, 2.1), matrix)
+    // nearest row is 2 (cosine ~1), so synonym mode links to C2
+    val (c, p) = SpanLinker.decode(s, rowConcept, SpanLinker.Softmax)
+    assert(c === Some("C2"))
+    assert(p > 0.3 && p <= 1.0)
+    // group restriction masks out row 2: winner becomes row 1 (C2 still,
+    // via the y-axis synonym) — and restricting to row 0 only gives C1
+    val s0 = SpanLinker.scores(Array(2.0, 2.1), matrix,
+      allowed = Some(Set(0)))
+    assert(SpanLinker.decode(s0, rowConcept)._1 === Some("C1"))
+    // threshold above the achievable probability -> None, prob reported
+    val (none, prob) = SpanLinker.decode(s, rowConcept,
+      SpanLinker.Softmax, threshold = 1.1)
+    assert(none === None && prob > 0.0)
+    // sigmoid mode: monotone in the raw score
+    val (cs, ps) = SpanLinker.decode(s, rowConcept, SpanLinker.Sigmoid)
+    assert(cs === Some("C2") && ps > 0.5)
+  }
 }

@@ -150,32 +150,54 @@ object Dedup {
 
   /** Exact all-pairs n-gram Jaccard >= threshold WITHOUT a cartesian:
     * prefix-filtered inverted-index self-join (the AllPairs/PPJoin prefix
-    * principle). Each shingle set is sorted under a global total order
-    * (the 64-bit hash value); two sets with J >= t must share an element
-    * within their first `|x| - ceil(t*|x|) + 1` elements, so the join key
-    * is only those prefix shingles — the rarest fraction of each doc.
-    * Candidates then verify with exact Jaccard.
+    * principle). Each shingle set is sorted under a global total order;
+    * two sets with J >= t must share an element within their first
+    * `|x| - ceil(t*|x|) + 1` elements, so the join key is only those
+    * prefix shingles. Candidates then verify with exact Jaccard.
+    *
+    * The global order is **ascending document frequency** (ties by hash)
+    * — the canonical AllPairs/PPJoin choice. Under df order the prefix of
+    * every set is its RAREST shingles, so a corpus-common (boilerplate)
+    * shingle can never become a hot join key: a shingle shared by f docs
+    * lands in a prefix only when it is among a doc's rarest, and the
+    * per-key join fan-out is bounded by the df of genuinely rare tokens.
+    * (A hash order — the previous shape — puts hot shingles in prefixes
+    * uniformly at random, and one shingle shared by millions of docs
+    * makes the equi-join quadratic in its frequency.) The df pass itself
+    * is one map-side-combining groupBy over the exploded shingles — the
+    * standard AllPairs preprocessing cost, linear in corpus token count.
     *
     * Scale shape: explode is prefix-only (~(1-t)·|set| per doc), the join
-    * is an equi-join on a single 64-bit hash, and the quadratic blowup of
-    * a shared key is bounded by the frequency of individual prefix
-    * shingles — no all-pairs stage anywhere. This is the exact-result
+    * is an equi-join on a single 64-bit hash with df-bounded key fan-out,
+    * and no all-pairs stage exists anywhere. This is the exact-result
     * counterpart to [[lshCandidatePairs]] (approximate candidates).
     *
     * `sh` must be (id, sh: array<bigint>) with DISTINCT hashes per row.
-    * `pairFilter` (over id_a/id_b) prunes candidates BEFORE the exact
-    * verification join — e.g. a sampled-side restriction.
+    * `aFilter` (over `id`) restricts the LEFT side of the candidate join
+    * BEFORE the prefix explode — push a sampled-query restriction here so
+    * the join input shrinks by the sampling factor, not after the join.
+    * `pairFilter` (over id_a/id_b) prunes any remaining candidates before
+    * the exact verification join.
     */
   def jaccardPairsPrefix(sh: DataFrame, threshold: Double,
-      pairFilter: Column = lit(true)): DataFrame = {
+      pairFilter: Column = lit(true),
+      aFilter: Column = lit(true)): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
-    val sorted = sh.select(col("id"), array_sort(col("sh")).as("sh"),
-      size(col("sh")).as("n"))
+    val tok = sh.select(col("id"), explode(col("sh")).as("h"))
+    val dfreq = tok.groupBy("h").agg(count(lit(1)).as("df"))
+    // re-rank every set under the (df, h) total order; struct sort is
+    // lexicographic by field, so array_sort gives rarest-first directly
+    val ranked = tok.join(dfreq, "h")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n"),
+        array_sort(collect_list(struct(col("df"), col("h")))).as("sorted"))
     val prefLen = (col("n") -
       ceil(col("n") * lit(threshold)).cast("int") + 1)
-    val pref = sorted.select(col("id"), col("n"),
-      explode(slice(col("sh"), lit(1), prefLen)).as("h"))
-    val a = pref.select(col("h"), col("id").as("id_a"), col("n").as("n_a"))
+    val pref = ranked.select(col("id"), col("n"),
+      explode(transform(slice(col("sorted"), lit(1), prefLen),
+        s => s("h"))).as("h"))
+    val a = pref.filter(aFilter)
+      .select(col("h"), col("id").as("id_a"), col("n").as("n_a"))
     val b = pref.select(col("h"), col("id").as("id_b"), col("n").as("n_b"))
     val cands = a.join(b, "h")
       .filter(col("id_a") < col("id_b") && pairFilter &&

@@ -49,17 +49,20 @@ object PipelineQueries {
     "q31_jaccard_pairs" -> { (s, d) =>
       import s.implicits._
       // exact n-gram Jaccard WITHOUT a cartesian: prefix-filtered
-      // inverted-index self-join (Dedup.jaccardPairsPrefix), then the
-      // sampled-side restriction as a candidate prune. Exact-result
-      // counterpart to the approximate LSH path (q32) — same oracle as
-      // before, linear-ish plan instead of crossJoin.
+      // inverted-index self-join (Dedup.jaccardPairsPrefix) under the
+      // rarest-first (document-frequency) token order, with the
+      // sampled-side restriction PUSHED into the a-side prefix explode
+      // (id_a is always the smaller id, so filtering the left input
+      // cuts the join 10x before it happens). Exact-result counterpart
+      // to the approximate LSH path (q32) — same oracle, linear-ish
+      // plan instead of crossJoin, and no hot-prefix-key skew.
       // Threshold slack: the kept filter is on round(J, 4) — a pair at
       // J in [0.3 - 5e-5, 0.3) can round UP to 0.3, so prefix + size
       // pruning run at 0.2999 (< 0.3 - 5e-5) to stay a semantic no-op.
       val sh = documents(s, d)
         .select($"doc_id".as("id"), shingleHashes64($"text").as("sh"))
       Dedup.jaccardPairsPrefix(sh, threshold = 0.2999,
-          pairFilter = $"id_a" % 10 === 0)
+          aFilter = $"id" % 10 === 0)
         .withColumn("jaccard", round($"jaccard", 4))
         .filter($"jaccard" >= 0.3)
         .select($"id_a", $"id_b", $"jaccard")

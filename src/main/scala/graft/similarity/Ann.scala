@@ -102,29 +102,101 @@ object Ann {
     f(vec)
   }
 
+  /** Local Lloyd's KMeans over a driver-side sample — the FAISS-standard
+    * coarse-quantizer fit. Nobody fits a quantizer on the full corpus
+    * inside the query: at 100 TB the quantizer's ONLY job is to
+    * partition space, and a few hundred vectors per cell estimate the
+    * centroids as well as the corpus does. Seeded k-means++ init,
+    * bounded iterations, pure driver-side arithmetic — zero Spark jobs
+    * (the previous MLlib fit launched ~20 distributed jobs per query
+    * invocation and dominated the whole query's wall time).
+    */
+  private[graft] def fitCentersLocal(
+      sample: Array[Array[Double]], nlist: Int, seed: Long,
+      maxIter: Int = 10): Array[Array[Double]] = {
+    // distinctBy(_.toSeq): Array equality is reference equality, so a
+    // bare .distinct would never collapse duplicate vectors
+    val distinct = sample.distinctBy(_.toSeq)
+    if (distinct.isEmpty) return Array(Array(0.0))
+    if (distinct.length <= nlist) return distinct
+    val rng = new java.util.Random(seed)
+    val dim = distinct(0).length
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // k-means++ seeding
+    val centers = scala.collection.mutable.ArrayBuffer(
+      distinct(rng.nextInt(distinct.length)))
+    while (centers.length < nlist) {
+      val dists = distinct.map(p => centers.map(c => d2(p, c)).min)
+      val total = dists.sum
+      if (total <= 0) {
+        centers += distinct(rng.nextInt(distinct.length))
+      } else {
+        var r = rng.nextDouble() * total
+        var i = 0
+        while (i < dists.length - 1 && r > dists(i)) { r -= dists(i); i += 1 }
+        centers += distinct(i)
+      }
+    }
+    var cs = centers.toArray
+    var it = 0
+    var moved = true
+    while (it < maxIter && moved) {
+      val sums = Array.fill(cs.length)(new Array[Double](dim))
+      val counts = new Array[Long](cs.length)
+      sample.foreach { p =>
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < cs.length) {
+          val d = d2(p, cs(c)); if (d < bd) { bd = d; best = c }; c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+      }
+      val next = cs.indices.map { c =>
+        if (counts(c) == 0) cs(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+      moved = cs.indices.exists(c => d2(cs(c), next(c)) > 1e-12)
+      cs = next
+      it += 1
+    }
+    cs
+  }
+
   /** IVF-flat approximate top-k (the FAISS IVF shape): a KMeans coarse
-    * quantizer over the corpus assigns every vector to one of `nlist`
-    * cells; each query probes its `nprobe` nearest centroids and ranks
-    * only those cells' vectors by exact cosine. Candidate generation is
-    * an equi-join on the cell id — linear at corpus scale, with recall
-    * controlled by `nprobe`. Complements [[lshTopK]] (data-independent
-    * buckets) with a data-ADAPTIVE partitioner: on clustered real
-    * embeddings IVF cells hug the data manifold.
+    * quantizer over a corpus SAMPLE assigns every vector to one of
+    * `nlist` cells; each query probes its `nprobe` nearest centroids and
+    * ranks only those cells' vectors by exact cosine. Candidate
+    * generation is an equi-join on the cell id — linear at corpus scale,
+    * with recall controlled by `nprobe`. Complements [[lshTopK]]
+    * (data-independent buckets) with a data-ADAPTIVE partitioner: on
+    * clustered real embeddings IVF cells hug the data manifold.
     *
-    * The fitted centroids are broadcast (nlist × dim doubles — small by
-    * construction); assignment and probing are row-local expressions.
+    * The quantizer fits on a driver-side sample of `sampleSize` vectors
+    * (FAISS uses ~39×nlist as its floor) via [[fitCentersLocal]] — one
+    * narrow collect, no distributed fit. Cell assignment is a pure
+    * function of the fitted centers, so the approximate result is
+    * identical whether centers came from the sample or the full corpus,
+    * as long as the cells partition space reasonably. The centers ride
+    * to executors in the UDF closure (nlist × dim doubles — small by
+    * construction); assignment and probing are row-local.
     */
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 3, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.linalg.Vectors
-    val toVec = udf((v: Seq[Double]) => Vectors.dense(v.toArray))
-    val km = new KMeans().setK(nlist).setSeed(seed)
-      .setFeaturesCol("features")
-    val model = km.fit(corpus.select(toVec(col("vec")).as("features")))
-    val centers: Array[Array[Double]] =
-      model.clusterCenters.map(_.toArray)
+      nlist: Int = 16, nprobe: Int = 3, seed: Long = 42L,
+      sampleSize: Int = 0): DataFrame = {
+    val sz = if (sampleSize > 0) sampleSize else math.max(nlist * 64, 1024)
+    // limit() pulls from the first partitions — fine for a coarse
+    // quantizer (its only job is to partition space); swap in a seeded
+    // Bernoulli sample if corpus order were adversarial.
+    val sample: Array[Array[Double]] = corpus.select(col("vec"))
+      .limit(sz).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val centers = fitCentersLocal(sample, nlist, seed)
     def dist2(a: Array[Double], b: Seq[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
@@ -153,6 +225,33 @@ object Ann {
       .agg(topk(col("neighbor_id"), col("sim")).as("topk")))
   }
 
+  /** Signature width that keeps expected bucket population bounded:
+    * `nbits ~ log2(corpusSize)` puts O(1) vectors per bucket on
+    * hash-uniform data, so per-bucket quadratic work stays constant as
+    * the corpus grows (a FIXED nbits means bucket population — and the
+    * per-bucket self-join — grows linearly with corpus size).
+    */
+  def scaledNbits(corpusSize: Long, floor: Int = 8, cap: Int = 24): Int =
+    math.min(cap, math.max(floor,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(corpusSize, 1L)))).toInt
+
+  // Cap boilerplate-skew buckets exactly as Dedup.lshCandidatePairs
+  // does: aggregate pre-shrinks to one row per bucket, the optional
+  // dropped-bucket count is computed EAGERLY by its own small action
+  // (an in-plan side-effecting filter would double-count when the
+  // self-join plans the subtree on both sides).
+  private def capBuckets(
+      withBucket: DataFrame, maxBucket: Int,
+      droppedBuckets: Option[org.apache.spark.util.LongAccumulator])
+      : DataFrame = {
+    val cnt = withBucket.groupBy("bucket").agg(count(lit(1)).as("n"))
+    droppedBuckets.foreach { acc =>
+      acc.add(cnt.filter(col("n") > maxBucket).count())
+    }
+    withBucket.join(
+      cnt.filter(col("n") <= maxBucket).select("bucket"), "bucket")
+  }
+
   /** Embedding-cosine near-duplicate pairs: MULTI-TABLE hyperplane-LSH
     * candidates (a pair collides if any of `tables` independent
     * signatures match — the amplification that makes recall real: one
@@ -161,20 +260,35 @@ object Ann {
     * embedding-space member of the dedup family (exact / minhash /
     * simhash / ngram live in [[graft.dedup.Dedup]]). The cross-table
     * duplicate candidates make the final distinct necessary here.
+    *
+    * Scale guards: `nbits <= 0` derives the signature width from the
+    * corpus size ([[scaledNbits]] — a fixed width makes every bucket's
+    * population, and its quadratic self-join, grow linearly with the
+    * corpus), and `maxBucket` drops degenerate buckets (a spike of
+    * near-identical embeddings — e.g. a padding vector — collapses into
+    * one bucket whose self-join is quadratic in the spike) with the
+    * dropped count surfaced through `droppedBuckets`, never silently.
     */
   def cosineNearDuplicates(
       corpus: DataFrame, dim: Int, threshold: Double,
-      nbits: Int = 8, tables: Int = 8): DataFrame = {
+      nbits: Int = 8, tables: Int = 8,
+      maxBucket: Int = 100000,
+      droppedBuckets: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    val bits =
+      if (nbits > 0) nbits
+      else scaledNbits(corpus.select(count(lit(1))).head.getLong(0))
     val sigArr = array((0 until tables).map(t =>
       struct(lit(t).as("t"),
-        signature(col("vec"), dim, nbits, seed = 42L + t).as("s"))): _*)
+        signature(col("vec"), dim, bits, seed = 42L + t).as("s"))): _*)
     val withSig = corpus.select(col("id"), col("vec"),
       explode(sigArr).as("ts"))
       .select(col("id"), col("vec"),
         concat_ws("_", col("ts.t"), col("ts.s")).as("bucket"))
-    val a = withSig.select(col("bucket"), col("id").as("id_a"),
+    val capped = capBuckets(withSig, maxBucket, droppedBuckets)
+    val a = capped.select(col("bucket"), col("id").as("id_a"),
       col("vec").as("va"))
-    val b = withSig.select(col("bucket"), col("id").as("id_b"),
+    val b = capped.select(col("bucket"), col("id").as("id_b"),
       col("vec").as("vb"))
     a.join(b, "bucket")
       .filter(col("id_a") < col("id_b"))
@@ -186,12 +300,21 @@ object Ann {
 
   /** Approximate top-k: candidates share an LSH bucket (or a bucket at
     * Hamming distance 1 via multi-probe), ranked by exact cosine.
+    * `maxBucket` caps degenerate corpus buckets before the probe join
+    * (same skew guard as [[cosineNearDuplicates]]); dropping a bucket
+    * costs recall for queries probing it — surfaced, never silent.
     */
   def lshTopK(
       queries: DataFrame, corpus: DataFrame, dim: Int, k: Int,
-      nbits: Int = 12): DataFrame = {
-    val cs = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"),
+      nbits: Int = 12,
+      maxBucket: Int = 100000,
+      droppedBuckets: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    val cs0 = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"),
       signature(col("vec"), dim, nbits).as("sig"))
+    val cs = capBuckets(cs0.withColumn("bucket", col("sig")),
+        maxBucket, droppedBuckets)
+      .drop("bucket")
     // multi-probe: query probes its own bucket + all 1-bit flips
     val qs = queries.select(col("id").as("query_id"), col("vec").as("qv"),
       signature(col("vec"), dim, nbits).as("qsig"))

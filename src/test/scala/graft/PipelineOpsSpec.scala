@@ -180,6 +180,59 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ndRecall >= 0.85, s"near-dup recall $ndRecall of ${brute.size}")
   }
 
+  test("embedding-LSH bucket cap drops skew buckets and surfaces the count") {
+    // a degenerate spike: 50 identical vectors (a padding embedding)
+    // plus a handful of spread ones — the spike collapses into ONE
+    // bucket per table whose self-join would be quadratic in the spike
+    val spike = (0 until 50).map(i => (i.toLong, Seq.fill(16)(1.0)))
+    val spread = (50 until 60).map(i =>
+      (i.toLong, (0 until 16).map(j => ((i * 7 + j * 13) % 11 - 5).toDouble)))
+    val emb = (spike ++ spread).toDF("id", "vec")
+    val acc = spark.sparkContext.longAccumulator("droppedBuckets")
+    val pairs = Ann.cosineNearDuplicates(emb, dim = 16, threshold = 0.99,
+      maxBucket = 10, droppedBuckets = Some(acc))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every spike bucket (one per table) exceeds the cap -> dropped,
+    // accounted; no spike pair survives, and the count is surfaced
+    assert(acc.value >= 1, "cap must surface a dropped-bucket count")
+    assert(!pairs.exists { case (a, b) => a < 50 && b < 50 })
+    // without the cap the spike pairs all come back
+    val uncapped = Ann.cosineNearDuplicates(emb, dim = 16, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0 until 50).combinations(2).forall { c =>
+      uncapped.contains((c(0).toLong, c(1).toLong)) })
+    // lshTopK: same guard on the corpus side
+    val acc2 = spark.sparkContext.longAccumulator("droppedBuckets2")
+    val q = emb.filter($"id" >= 50)
+    Ann.lshTopK(q, emb, dim = 16, k = 3, nbits = 8,
+      maxBucket = 10, droppedBuckets = Some(acc2)).collect()
+    assert(acc2.value >= 1)
+    // scaledNbits grows with corpus size and stays bounded
+    assert(Ann.scaledNbits(1000) === 10)
+    assert(Ann.scaledNbits(1000000) === 20)
+    assert(Ann.scaledNbits(100L * 1000 * 1000 * 1000) === 24)
+    assert(Ann.scaledNbits(10) === 8)
+  }
+
+  test("local IVF quantizer fit partitions space without Spark jobs") {
+    val rng = new scala.util.Random(5)
+    val cents = Array.fill(4)(Array.fill(8)(rng.nextGaussian() * 10))
+    val sample = Array.tabulate(400) { i =>
+      val c = cents(i % 4); c.map(_ + rng.nextGaussian() * 0.05)
+    }
+    val fitted = Ann.fitCentersLocal(sample, nlist = 4, seed = 11L)
+    assert(fitted.length === 4)
+    // every true centroid has a fitted center within noise distance
+    cents.foreach { c =>
+      val d = fitted.map(f =>
+        math.sqrt(c.zip(f).map { case (x, y) => (x - y) * (x - y) }.sum)).min
+      assert(d < 0.5, s"no fitted center near a true centroid (d=$d)")
+    }
+    // degenerate: fewer distinct points than nlist -> just the points
+    val two = Array(Array(1.0, 2.0), Array(1.0, 2.0), Array(3.0, 4.0))
+    assert(Ann.fitCentersLocal(two, nlist = 8, seed = 1L).length === 2)
+  }
+
   test("langId identifies real sentences") {
     val samples = Seq(
       ("Le patient est admis pour une douleur à l'estomac", "fr"),

@@ -212,4 +212,57 @@ class TrainableStagesSpec extends AnyFunSuite {
     val (cs, ps) = SpanLinker.decode(s, rowConcept, SpanLinker.Sigmoid)
     assert(cs === Some("C2") && ps > 0.5)
   }
+
+  test("text_cnn: conv padding/taps match a hand-computed example") {
+    import graft.pipes.TextCnn
+    import graft.pipes.TextCnn.{Conv, Linear, Weights}
+    // dim=1, x = [1, 2, 3]
+    // k=3 kernel, taps (1, 10, 100), pad 1 left / 1 right:
+    //   c(t) = x[t-1] + 10 x[t] + 100 x[t+1]  -> 210, 321, 32
+    // k=2 kernel, taps (1, 1000), bias -5, pad 1 left / 0 right:
+    //   c2(t) = x[t-1] + 1000 x[t] - 5        -> 995, 1996, 2997
+    // relu no-op (all positive), linear [1, -1] bias 0.5:
+    //   y(t) = c - c2 + 0.5 -> -784.5, -1674.5, -2964.5
+    val w = Weights(
+      convs = Seq(
+        Conv(Array(Array(Array(1.0, 10.0, 100.0))), Array(0.0)),
+        Conv(Array(Array(Array(1.0, 1000.0))), Array(-5.0))),
+      linear = Linear(Array(Array(1.0, -1.0)), Array(0.5)),
+      residual = false)
+    val x = IndexedSeq(Array(1.0), Array(2.0), Array(3.0))
+    val got = TextCnn.forward(x, w)
+    assert(got.map(_.toSeq) ===
+      Seq(Seq(-784.5), Seq(-1674.5), Seq(-2964.5)))
+    assert(TextCnn.forward(IndexedSeq.empty, w).isEmpty)
+  }
+
+  test("text_cnn: residual pre/post/none layer-norm arithmetic") {
+    import graft.pipes.TextCnn
+    import graft.pipes.TextCnn.{Conv, Linear, Weights}
+    // dim=2, center-tap identity conv (k=3), linear doubles: y = 2x.
+    val idConv = Conv(
+      Array(Array(Array(0.0, 1.0, 0.0), Array(0.0, 0.0, 0.0)),
+        Array(Array(0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0))),
+      Array(0.0, 0.0))
+    val lin = Linear(Array(Array(2.0, 0.0), Array(0.0, 2.0)),
+      Array(0.0, 0.0))
+    val x = IndexedSeq(Array(1.0, 2.0), Array(3.0, 4.0))
+    // pre: out = x + layer_norm(2x); 2x=(2,4): mean 3, var 1
+    //   -> ln = -/+ 1/sqrt(1 + 1e-5) = -/+ 0.9999950
+    val pre = TextCnn.forward(x,
+      Weights(Seq(idConv), lin, residual = true, TextCnn.Pre))
+    assert(math.abs(pre(0)(0) - (1.0 - 0.9999950)) < 1e-6)
+    assert(math.abs(pre(0)(1) - (2.0 + 0.9999950)) < 1e-6)
+    assert(math.abs(pre(1)(0) - (3.0 - 0.9999950)) < 1e-6)
+    // post: out = layer_norm(x + 2x) = layer_norm(3x); 3x=(3,6):
+    //   mean 4.5, sd 1.5 -> -/+ 1.4999925/1.5
+    val post = TextCnn.forward(x,
+      Weights(Seq(idConv), lin, residual = true, TextCnn.Post))
+    assert(math.abs(post(0)(0) + 1.5 / math.sqrt(2.25 + 1e-5)) < 1e-6)
+    assert(math.abs(post(0)(1) - 1.5 / math.sqrt(2.25 + 1e-5)) < 1e-6)
+    // none: out = x + 2x = 3x
+    val none = TextCnn.forward(x,
+      Weights(Seq(idConv), lin, residual = true, TextCnn.NoNorm))
+    assert(none.map(_.toSeq) === Seq(Seq(3.0, 6.0), Seq(9.0, 12.0)))
+  }
 }

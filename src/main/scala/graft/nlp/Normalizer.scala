@@ -60,15 +60,39 @@ object Normalizer {
     // print footer: a SHORT line starting with "imprimé le dd/mm/yyyy"
     // (page footers are standalone lines; requiring line-start + bounded
     // tail keeps narrative sentences that merely mention a print date)
-    "(?im)^\\s*imprim.\\sle\\s\\d\\d/\\d\\d/\\d\\d\\d\\d\\b[^\\n]{0,30}$"
+    "(?im)^\\s*imprim.\\sle\\s\\d\\d/\\d\\d/\\d\\d\\d\\d\\b[^\\n]{0,30}$",
+    // page-footer family (pollution/patterns.py `footer`): a page
+    // counter line ("1/3", "2/10?") followed by a patient line, or a
+    // date + 10-digit IPP identifier line
+    "(?im)^\\d\\d?/\\d\\d?\\s?[^\\n]*\\n?pat[^\\n]*(\\n?courrier valid[^\\n]*)?",
+    "(?i)[^\\n]*\\b\\d\\d/\\d\\d/\\d\\d\\d\\d\\b[^\\n]*80\\d{8}[^\\n]*",
+    // the second AP-HP information-block opener (patterns.py
+    // `information`), same bounded tail to the droit-opposition URL
+    "(?s)L['’]Assistance\\s*Publique\\s*-\\s*H[ôo]pitaux\\s*de\\s*Paris\\s*" +
+      "\\(?AP-HP\\)?\\s*a\\s*cr[éee]{1,2}\\s*une\\s*base\\s*de\\s*donn[ée]es" +
+      ".{0,2000}?https?://\\S*droit-opposition[\\s.]*",
+    // tobacco-cessation banner (patterns.py `information` second entry)
+    "(?si)l['’]arr[êe]t\\s*du\\s*tabac\\s*permet\\s*de\\s*diminuer\\s*le\\s*" +
+      "risque\\s*de\\s*maladie\\s*cardiovasculaire\\."
   ).map(Pattern.compile)
+
+  /** Off-by-default pollution detectors, mirroring the reference's
+    * `default_enabled` (pollution/patterns.py:60-69): biology table rows
+    * and ICD-10 coding blocks false-positive on disease names, so they
+    * are opt-in there too.
+    */
+  private val biologyPattern = Pattern.compile("(\\b.*[|¦].*\\n)+")
+  private val codingPattern = Pattern.compile(
+    ".*? \\(\\d+\\) [a-zA-Z]\\d{2,4}.*?(\\n|[a-zA-Z]\\d{2,4})")
 
   case class Options(
       lowercase: Boolean = true,
       accents: Boolean = true,
       quotes: Boolean = true,
       spaces: Boolean = true,
-      pollution: Boolean = true)
+      pollution: Boolean = true,
+      pollutionBiology: Boolean = false,
+      pollutionCoding: Boolean = false)
 
   /** True for whitespace-only tokens ("SPACE"-tagged in the reference,
     * `spaces/spaces.py:9-53`). Kept distinct from `excluded`: the sentence
@@ -81,15 +105,18 @@ object Normalizer {
       text: String,
       tokens: Array[Token],
       opts: Options = Options()): Array[Token] = {
+    val active =
+      if (!opts.pollution || text == null) Seq.empty
+      else pollutionPatterns ++
+        (if (opts.pollutionBiology) Seq(biologyPattern) else Nil) ++
+        (if (opts.pollutionCoding) Seq(codingPattern) else Nil)
     val polluted: Array[(Int, Int)] =
-      if (opts.pollution && text != null)
-        pollutionPatterns.flatMap { p =>
-          val m = p.matcher(text)
-          val acc = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
-          while (m.find()) acc += ((m.start, m.end))
-          acc
-        }.toArray
-      else Array.empty
+      active.flatMap { p =>
+        val m = p.matcher(text)
+        val acc = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+        while (m.find()) acc += ((m.start, m.end))
+        acc
+      }.toArray
 
     tokens.map { t =>
       var n = t.text

@@ -61,11 +61,16 @@ object Patterns {
       "peu d'arguments en", "peu d'arguments pour",
       "plus d'", "plus de", "plus d'aspect de", "sans",
       "symptôme atypique", "zéro",
+      // the reference's `verbs` bank (negation/patterns.py:142-151) is
+      // conjugated by its lemmatizer; the conjugation families are
+      // enumerated here as data — écarter and interdire included
       "élimine", "éliminé", "éliminée", "éliminer", "éliminant",
       "exclue", "exclure", "excluant",
       "infirme", "infirmé", "infirmer", "infirmant",
       "réfute", "réfuté", "réfuter", "réfutant",
-      "rejette", "rejeté", "rejeter", "rejetant"),
+      "rejette", "rejeté", "rejeter", "rejetant",
+      "écarte", "écarté", "écartée", "écarter", "écartant",
+      "interdit", "interdite", "interdire", "interdisant"),
     following = Seq(
       ":0", ": 0", ": non", ":non", ": aucun", ": aucune",
       ": négatif", ": négative",
@@ -79,7 +84,12 @@ object Patterns {
       "négligeable", "négligeables", "nié", "niée", "non", "nul", "nulle",
       "pas nécessaire", "peu probable",
       "exclu", "exclue", "exclus", "sont exclus", "sont exclues",
-      "éliminé", "éliminée", "infirmé", "infirmée", "réfuté", "réfutée"),
+      "éliminé", "éliminée", "infirmé", "infirmée", "réfuté", "réfutée",
+      // past participles of the remaining reference verbs — the
+      // reference exposes Participe Passé forms as FOLLOWING cues too
+      // (negation.py load_verbs:270)
+      "écarté", "écartée", "écartés", "écartées",
+      "rejeté", "rejetée", "interdit", "interdite"),
     precedingRegex = Seq(
       "(?i)aucun(e)?\\s+signe\\s+(de|d')",
       // reference negation/patterns.py preceding_regex: "ne" followed
@@ -131,7 +141,18 @@ object Patterns {
       "recherche des", "risque", "selon", "semble", "semblerait", "si",
       "s'il", "soit", "soupçon", "soupçonne", "sous condition",
       "sous réserve", "suspecte", "suspectée", "suspicion", "suspicions",
-      "susceptible de"),
+      "susceptible de",
+      // verbs_hyp present forms (hypothesis/patterns.py:108-118)
+      "envisage", "envisagent", "explore", "explorent",
+      "suggère", "suggèrent", "s'apparente à",
+      // conditional mood on common verbs — the reference conjugates its
+      // whole verbs_eds list into conditional (patterns.py:120+); the
+      // high-frequency clinical conditionals are enumerated as data
+      "serait", "seraient", "aurait", "auraient",
+      "pourrait", "pourraient", "devrait", "devraient",
+      "ferait", "feraient", "sembleraient",
+      "évoquerait", "évoqueraient", "correspondrait", "correspondraient",
+      "s'agirait", "suggérerait", "resterait", "faudrait que"),
     following = Seq(
       "?", "envisagé", "envisagée", "envisageable", "envisageables",
       "hypothétique", "hypothétiquement", "hypothétiques",
@@ -160,7 +181,11 @@ object Patterns {
       "reconnaît", "réfute", "réplique", "répond", "répète", "révèle",
       "signale", "signalant", "souhaite", "souligne", "supplie",
       "selon le patient", "selon la patiente", "verbalise",
-      "aux dires du patient", "aux dires de la patiente"),
+      "aux dires du patient", "aux dires de la patiente",
+      // remaining reference verbs (reported_speech/patterns.py:3-46):
+      // demander, faire remarquer, vouloir — conjugations as data
+      "demande", "demandant", "fait remarquer", "faisant remarquer",
+      "veut", "voulant", "souhaitant", "promettant", "jurant"),
     following = Seq("d'après le patient", "d'après la patiente"),
     precedingRegex = Seq.empty,
     termination = termination,

@@ -82,17 +82,19 @@ object Dates {
   // Delimiters are the reference's RAW delimiters only ('/' and '-',
   // delimiters.py) — '.' would turn every decimal like "23.7" into a
   // day/month date. Pagination "1/3" is a reference false positive
-  // (false_positive.py: \d/\d) — excluded in the handler.
+  // (false_positive.py: \d/\d) — excluded in the handler. The trailing
+  // guard rejects '.' only when a DIGIT follows (decimal guard): a
+  // sentence-final "Le 07/01." is a date (test_dates.py:66), "5.2" not.
   private val dayMonth = Pattern.compile(
-    "(?<![\\d/.\\-])(?<d>0?[1-9]|[12]\\d|3[01])[/\\-](?<m>0?[1-9]|1[0-2])(?![\\d/.\\-])")
+    "(?<![\\d/.\\-])(?<d>0?[1-9]|[12]\\d|3[01])[/\\-](?<m>0?[1-9]|1[0-2])(?![\\d/\\-]|\\.\\d)")
 
   // month/year without a day: "11/2017" (lz numeric month + full year)
   private val monthYear = Pattern.compile(
-    "(?<![\\d/.\\-])(?<m>0[1-9]|1[0-2])/(?<y>19\\d\\d|20[0-4]\\d)(?![\\d/.\\-])")
+    "(?<![\\d/.\\-])(?<m>0[1-9]|1[0-2])/(?<y>19\\d\\d|20[0-4]\\d)(?![\\d/\\-]|\\.\\d)")
 
   // bare full year: "en 2019" (reference full_year_pattern: 19xx/20xx)
   private val bareYear = Pattern.compile(
-    "(?<![\\d/.\\-])(?<y>19\\d\\d|20[0-4]\\d)(?![\\d/.\\-])")
+    "(?<![\\d/.\\-])(?<y>19\\d\\d|20[0-4]\\d)(?![\\d/\\-]|\\.\\d)")
 
   // relative: "il y a N unit", "depuis N unit", "dans N unit"
   private val relative = Pattern.compile(

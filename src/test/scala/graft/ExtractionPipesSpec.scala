@@ -104,6 +104,59 @@ class ExtractionPipesSpec extends AnyFunSuite {
     assert(es.head.attrs("duration_seconds") === (15L * 86400).toString)
   }
 
+  test("dates: noisy-form parity ledger (test_dates.py bank)") {
+    // Every noisy form from the reference bank, with its verdict: either
+    // extracted with the reference's norm components, or an explicitly
+    // documented skip. This is the parity ledger for the deliberate
+    // high-precision grammar divergence (Dates.scala:27-31).
+    def attrs(text: String) = {
+      val es = Dates.extract(text)
+      assert(es.nonEmpty, s"no date in '$text'")
+      es.head.attrs
+    }
+    // "1er Septembre" — ordinal day + letter month (bank line 31)
+    val ord = attrs("Il est venu le 1er Septembre pour")
+    assert(ord("day") === "1" && ord("month") === "9")
+    // "octobre 2020" — letter month + year, no day (line 33)
+    val my = attrs("Il est venu en octobre 2020 pour une consultation.")
+    assert(my("month") === "10" && my("year") === "2020")
+    // "sept 2017 :" — abbreviated month that doubles as the number
+    // seven (line 57; the bank notes fr-language issues — here the
+    // year disambiguates)
+    val sept = attrs("sept 2017 :")
+    assert(sept("month") === "9" && sept("year") === "2017")
+    // "- Décembre 2004 :" — leading bullet dash (line 54)
+    val dec = attrs("- Décembre 2004 :")
+    assert(dec("month") === "12" && dec("year") === "2004")
+    // "pdt 1 mois" — duration abbreviation (line 60)
+    val dur = Dates.extract("il y a 1 an pdt 1 mois")
+    assert(dur.map(_.label).sorted === Seq("date", "duration"))
+    assert(dur.find(_.label === "duration").get
+      .attrs("duration_seconds") === "2592000")
+    // "Prélevé le : 22/04/2016" — colon before the date (line 63)
+    val col = attrs("Prélevé le : 22/04/2016 à 13h11")
+    assert(col("datetime") === "2016-04-22T13:11:00")
+    // "Le 07/01." — sentence-final day/month (line 66): the trailing
+    // period must not suppress the match (decimals still do)
+    val dm = attrs("Le 07/01.")
+    assert(dm("day") === "7" && dm("month") === "1")
+    assert(Dates.extract("CRP 5.2 en hausse.")
+      .filterNot(_.attrs.get("kind").contains("relative")).isEmpty)
+    // "11 janvier\n2017" — newline inside the date (line 70)
+    val nl = attrs("Vu le 11 janvier\n2017 .")
+    assert(nl("datetime") === "2017-01-11T00:00:00")
+    // "il y a un an" — word-number relative (line 41)
+    val rel = attrs("Il lui était arrivé la même chose il y a un an.")
+    assert(rel("direction") === "past" && rel("value") === "1" &&
+      rel("unit") === "an")
+    // DOCUMENTED SKIP — "Il est venu en août." (line 67): a bare letter
+    // month with neither day nor year. The reference accepts it via
+    // no_day_no_year_pattern and then suppresses the noise with
+    // false_positive.py; this grammar requires a day or a year
+    // (higher-precision call, Dates.scala:27-31). Pinned as a skip:
+    assert(Dates.extract("Il est venu en août.").isEmpty)
+  }
+
   test("dates: day-relative specials resolve against note_datetime") {
     val ref = LocalDateTime.parse("2021-08-23T10:00:00")
     val es = Dates.extract("Vu hier, recontrôle demain, point avant-hier.",

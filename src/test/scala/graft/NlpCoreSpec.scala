@@ -237,6 +237,104 @@ class NlpCoreSpec extends AnyFunSuite {
     assert(fam.attrs("family").toBoolean)
     assert(!self.attrs("family").toBoolean)
   }
+
+  test("negation: reference test-bank goldens (test_negation.py)") {
+    // ported from /root/reference/tests/pipelines/qualifiers/
+    // test_negation.py:10-35 — the examples expressible without the
+    // reference's French lemmatizer, over a matcher for their entities
+    val pipe = graft.pipes.DocPipeline(
+      terms = Map(
+        "meta" -> Seq("métastases", "métastase"),
+        "malade" -> Seq("malade"), "traitement" -> Seq("traitement"),
+        "scan" -> Seq("scan"), "smd" -> Seq("SMD"),
+        "fume" -> Seq("fume"), "maladie" -> Seq("maladie")),
+      qualifiers = Seq(Patterns.negation))
+    def negation(text: String, term: String): Boolean = {
+      val anns = pipe.annotate(text)
+      anns.ents.find(_.text.toLowerCase.contains(term))
+        .getOrElse(fail(s"no entity '$term' in '$text'"))
+        .attrs("negation").toBoolean
+    }
+    assert(negation("il n'y a pas de métastases", "métastases"))
+    assert(negation("il n'y a pas d'métastases", "métastases"))
+    assert(!negation("il y a des métastases", "métastases"))
+    assert(!negation("aucun doute sur les métastases", "métastases"))
+    assert(negation("Le patient n'est pas malade.", "malade"))
+    assert(negation("Aucun traitement.", "traitement"))
+    assert(!negation("Le scan révèle une grosseur.", "scan"))
+    assert(negation("Le résultat exclut un SMD", "smd"))
+    assert(!negation("Le résultat ne permet pas d'exclure un SMD", "smd"))
+    assert(negation("Le patient ne fume pas.", "fume"))
+    assert(negation("Le patient ne fume vraiment vraiment pas.", "fume"))
+    // past-participle verb as a FOLLOWING cue (load_verbs:270)
+    assert(negation("maladie écartée", "maladie"))
+  }
+
+  test("hypothesis: reference test-bank goldens (test_hypothesis.py)") {
+    val pipe = graft.pipes.DocPipeline(
+      terms = Map(
+        "covid" -> Seq("covid-19"), "diag" -> Seq("diagnostics"),
+        "diabete" -> Seq("diabète"), "rompu" -> Seq("rompu"),
+        "cecite" -> Seq("cécité"), "jeune" -> Seq("jeune")),
+      qualifiers = Seq(Patterns.hypothesis))
+    def hyp(text: String, term: String): Boolean = {
+      val anns = pipe.annotate(text)
+      anns.ents.find(_.text.toLowerCase.contains(term))
+        .getOrElse(fail(s"no entity '$term' in '$text'"))
+        .attrs("hypothesis").toBoolean
+    }
+    assert(hyp("Possible covid-19", "covid"))
+    assert(hyp("Suspicion de diabète.", "diabète"))
+    assert(!hyp("Le ligament est rompu.", "rompu"))
+    // "même si" is a pseudo cue: no hypothesis fires on the clause
+    assert(!hyp("même si le patient est jeune.", "jeune"))
+    // termination ("mais") bounds the cue scope
+    assert(!hyp("Probablement du diabète mais pas de cécité.", "cécité"))
+    // conditional-mood cues added from the verbs_eds conditional family
+    assert(hyp("Il pourrait s'agir d'un diabète.", "diabète"))
+    assert(hyp("Ce serait un diabète débutant.", "diabète"))
+  }
+
+  test("pollution: footer family and opt-in biology/coding banks") {
+    import graft.nlp.{Normalizer, Tokenizer}
+    // page-counter + patient footer, and a date + IPP line
+    val text = "Douleur au bras.\n2/3 \nPat : DUPONT Jean\n" +
+      "le 01/02/2021 IPP 8012345678 suite"
+    val toks = Normalizer.normalize(text, Tokenizer.tokenize(text))
+    def excludedAt(sub: String): Boolean = {
+      val i = text.indexOf(sub)
+      toks.filter(t => t.begin >= i && t.end <= i + sub.length)
+        .filter(t => !t.text.isBlank).forall(_.excluded)
+    }
+    assert(excludedAt("Pat : DUPONT Jean"))
+    assert(excludedAt("IPP 8012345678"))
+    assert(!excludedAt("Douleur au bras."))
+    // biology tables are OFF by default (disease-name false positives,
+    // reference default_enabled) and ON on request
+    val bio = "Hb | 12.3 | g/dl\nNa | 140 | mmol/l\nDouleur au bras."
+    val defToks = Normalizer.normalize(bio, Tokenizer.tokenize(bio))
+    assert(defToks.filter(t => !t.text.isBlank).forall(!_.excluded))
+    val bioToks = Normalizer.normalize(bio, Tokenizer.tokenize(bio),
+      Normalizer.Options(pollutionBiology = true))
+    val hb = bioToks.filter(t => t.begin < bio.indexOf("Douleur"))
+    assert(hb.filter(t => !t.text.isBlank).forall(_.excluded))
+    assert(!bioToks.filter(t => t.begin >= bio.indexOf("Douleur"))
+      .exists(_.excluded))
+  }
+
+  test("reported speech: demander/faire remarquer/vouloir verb forms") {
+    val pipe = graft.pipes.DocPipeline(
+      terms = Map("dlr" -> Seq("douleur")),
+      qualifiers = Seq(Patterns.reportedSpeech))
+    def reported(text: String): Boolean = {
+      val anns = pipe.annotate(text)
+      anns.ents.headOption.getOrElse(fail(s"no entity in '$text'"))
+        .attrs("reported_speech").toBoolean
+    }
+    assert(reported("Le patient fait remarquer une douleur au bras."))
+    assert(reported("Il demande si la douleur va passer."))
+    assert(!reported("Examen clinique: douleur au bras."))
+  }
 }
 
 object DocFixtures {

@@ -26,18 +26,30 @@ import graft.text.TextStats
 object PipelineQueries {
   import Tables.{documents, embeddings}
 
-  /** Distinct word-trigram shingles as full 64-bit hashes. Jaccard over
-    * these equals Jaccard over the shingle strings up to 64-bit collisions
-    * (P ~ 1e-14 per pair) — oracle-exact in practice, and pair
-    * verification compares longs instead of hashing strings per join row
-    * (the 2.5M-pair hot loop at sf0.1).
+  /** Distinct word-trigram shingles as full 64-bit hashes, via the fused
+    * [[graft.dedup.Shingling]] walker (FNV-1a words, mixed + splitmix-
+    * finalized per shingle) — ONE pass, no intermediate shingle strings.
+    * Jaccard over these equals Jaccard over the shingle strings up to
+    * 64-bit collisions (P ~ 1e-14 per pair) — oracle-exact in practice,
+    * since the DuckDB oracle recomputes Jaccard from the strings and the
+    * compare is on the VALUES, never the hashes. The expression form
+    * (transform + slice + array_join + xxhash64) evaluated its lambdas
+    * interpreted at ~15us/shingle and dominated q31's wall time; it also
+    * used a different hash family than the fused MinHash signatures,
+    * which the banding-probability contract wants to be the same
+    * (Shingling.scala:3-9).
     */
-  private def shingleHashes64(text: org.apache.spark.sql.Column) = {
-    val words = split(text, " ")
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(words) - 3, lit(0))),
-      i => xxhash64(array_join(slice(words, i + 1, lit(3)), " "))))
-  }
+  private val shingleHashes64 = udf((s: String) => {
+    if (s == null) Seq.empty[Long]
+    else {
+      val seen = new java.util.HashSet[java.lang.Long]()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      graft.dedup.Shingling.foreachShingleHash(s, 3) { z =>
+        if (seen.add(z)) buf += z
+      }
+      buf.toSeq
+    }
+  })
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_exact_dedup" -> { (s, d) =>

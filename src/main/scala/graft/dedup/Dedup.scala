@@ -255,6 +255,54 @@ object Dedup {
         col("n_paragraphs"), col("n_kept"))
   }
 
+  /** DISTINCT word n-gram shingle hashes via the fused [[Shingling]]
+    * walker — the UDF twin of [[shingleHashes]] (same single-space split
+    * semantics, 64-bit splitmix-finalized hashes instead of mod-P), one
+    * pass, no intermediate shingle strings. Counting distinct hashes
+    * equals counting distinct shingle strings up to 64-bit collisions
+    * (P ~ 1e-14 per pair).
+    */
+  def distinctShingleHashes64(n: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((s: String) => {
+      if (s == null) Seq.empty[Long]
+      else {
+        val seen = new java.util.HashSet[java.lang.Long]()
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+        Shingling.foreachShingleHash(s, n) { z =>
+          if (seen.add(z)) buf += z
+        }
+        buf.toSeq
+      }
+    })
+
+  /** Benchmark decontamination: for every corpus doc, the number of
+    * DISTINCT word `n`-grams it shares with ANY document of `benchmark`
+    * (the n-gram-overlap test used to strip eval-set contamination from
+    * pretraining corpora — GPT-3 used 13-grams, Llama 8-grams; pick `n`
+    * to taste). Returns (id, n_shared) for contaminated docs only;
+    * downstream either drops them or masks the overlapping spans.
+    *
+    * Scale shape: the benchmark side is an eval set — thousands of docs,
+    * not billions — so its distinct gram set is broadcast and the corpus
+    * side never shuffles: explode distinct grams per doc (map-local),
+    * broadcast-hash-join, one map-side-combining groupBy(id). Corpus
+    * text is never a join key (64-bit hashes are). If the benchmark ever
+    * outgrows broadcast, drop the hint and the same plan runs as a
+    * shuffle join on the gram hash.
+    */
+  def decontaminate(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val sh = distinctShingleHashes64(n)
+    val cg = corpus.select(col(idCol).as("id"),
+      explode(sh(col(textCol))).as("h"))
+    val bg = benchmark.select(explode(sh(col(textCol))).as("h")).distinct()
+    cg.join(broadcast(bg), "h")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Full MinHash+LSH near-dup pipeline: shingle -> sign -> band ->
     * candidates -> verify with exact Jaccard >= threshold.
     */

@@ -335,6 +335,107 @@ object PipelineQueries {
       graft.operators.GpuStage.mapInArrow(src, src.schema,
         maxRecordsPerBatch = 256)(identity)
         .orderBy($"doc_id")
+    },
+    "q54_decontaminate" -> { (s, d) =>
+      import s.implicits._
+      // benchmark decontamination (the GPT-3/Llama n-gram overlap test):
+      // docs with doc_id % 5 == 0 stand in for the eval set; every other
+      // doc reports how many distinct word 8-grams it shares with ANY
+      // benchmark doc. Plan: benchmark grams broadcast, corpus side
+      // explodes distinct gram hashes map-locally — no corpus shuffle
+      // before the per-doc count. The oracle recomputes the overlap on
+      // the gram STRINGS (hash-vs-string equality up to 64-bit
+      // collisions, as q31).
+      val docs = documents(s, d)
+      Dedup.decontaminate(
+          docs.filter($"doc_id" % 5 =!= 0),
+          docs.filter($"doc_id" % 5 === 0),
+          "doc_id", "text", n = 8)
+        .select($"id".as("doc_id"), $"n_shared")
+        .orderBy($"doc_id")
+    },
+    "q55_vocab_quality" -> { (s, d) =>
+      import s.implicits._
+      // vocabulary-familiarity quality scores (integer-exact stand-in
+      // for a CCNet LM filter): corpus unigram counts -> broadcast ->
+      // per-doc OOV ratio vs the top-25 vocabulary + mean token corpus
+      // frequency. Every ratio is a division of exact integers, so the
+      // oracle reproduces it bit-for-bit (no cross-engine float-sum
+      // ordering hazard).
+      graft.text.TextStats
+        .vocabularyQuality(documents(s, d), "doc_id", "text", topK = 25)
+        .select($"id".as("doc_id"), $"n_words", $"oov_ratio",
+          $"mean_word_freq")
+        .orderBy($"doc_id")
+    },
+    "q56_redact_spans" -> { (s, d) =>
+      import s.implicits._
+      // span-tracking redaction (PII-scrub shape): every \bcustomer\b
+      // becomes [REDACTED]; the query returns the redacted text AND a
+      // mapped-offset witness (redacted-text begin of the last edit,
+      // computed through DeltaCollection — the machinery that keeps
+      // annotations aligned across length-changing cleanup). Row-local,
+      // no shuffle; the oracle recomputes text, count and offset with
+      // its own regex engine.
+      documents(s, d)
+        .select($"doc_id",
+          graft.text.Redact.redactWithSpans($"text",
+            "\\bcustomer\\b", "[REDACTED]").as("r"))
+        .select($"doc_id", $"r.text".as("redacted"),
+          $"r.n_redactions".as("n_redactions"),
+          $"r.last_begin".as("last_begin"))
+        .orderBy($"doc_id")
+    },
+    "q57_top_ngrams" -> { (s, d) =>
+      import s.implicits._
+      // corpus-wide top-25 word bigrams (vocabulary / boilerplate
+      // mining): fused gram UDF -> map-side-combining groupBy ->
+      // TakeOrdered. The gram distribution is never fully sorted; ties
+      // at the cut break on (count desc, gram) — a total order both
+      // engines share.
+      graft.text.TextStats.topNgrams(documents(s, d), "text", n = 2,
+          k = 25)
+        .orderBy($"n".desc, $"gram")
+    },
+    "q58_semantic_dedup" -> { (s, d) =>
+      import s.implicits._
+      // SemDeDup-style survivor set over the q52 lattice construction:
+      // drop every vector with a lower-id cosine>=0.995 neighbor, keep
+      // greedy min-id representatives with their anchored near-dup
+      // counts. Candidates come from the capped multi-table LSH (total
+      // recall by construction — in-cluster vectors are identical), so
+      // the oracle's brute-force survivor set is provably the same.
+      val m = embeddings(s, d)
+        .agg(expr("(count(1) div 8) * 8").as("m"))
+      val vecs = embeddings(s, d).join(broadcast(m))
+        .filter($"vec_id" < $"m")
+        .select($"vec_id".as("id"),
+          expr("transform(sequence(0, 15), j -> " +
+            "CAST((vec_id div 8 * 1009 + j * j * 571 + " +
+            "vec_id div 8 * j * 37) % 2003 - 1001 AS DOUBLE))").as("vec"))
+      Ann.semanticDedup(vecs, dim = 16, threshold = 0.995)
+        .select($"id".as("vec_id"), $"n_near")
+        .orderBy($"vec_id")
+    },
+    "q59_filter_pipeline" -> { (s, d) =>
+      import s.implicits._
+      // end-to-end training-set assembly: language gate (metadata) ->
+      // Gopher/C4-style quality gates (length band + stopword ratio) ->
+      // exact-dedup survivorship — the composed shape a real corpus
+      // build runs, as ONE declarative plan (filters fuse into the scan;
+      // the dedup survivor join is the only shuffle).
+      val docs = documents(s, d)
+      val scored = docs
+        .withColumn("q",
+          graft.text.TextStats.qualityScore($"text", Seq("the", "a")))
+        .filter($"lang" === "en" &&
+          $"q.n_words".between(40, 70) && $"q.stopword_ratio" >= 0.02)
+      val keep = Dedup.exactDuplicates(docs, "doc_id", "text")
+        .select($"keep_id".as("doc_id"))
+      scored.join(keep, Seq("doc_id"), "left_semi")
+        .select($"doc_id", $"q.n_words".as("n_words"),
+          $"q.stopword_ratio".as("stopword_ratio"))
+        .orderBy($"doc_id")
     }
   )
 
@@ -540,6 +641,85 @@ object PipelineQueries {
       """SELECT doc_id,
          CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words
          FROM documents ORDER BY doc_id""",
+    "q54_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+           FROM documents),
+         g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, greatest(len(ws) - 7, 1) + 1),
+             i -> array_to_string(ws[i:i+7], ' ')))) AS gram
+           FROM w),
+         b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 5 = 0)
+         SELECT g.doc_id, count(*) AS n_shared
+         FROM g JOIN b USING (gram)
+         WHERE g.doc_id % 5 != 0
+         GROUP BY g.doc_id ORDER BY g.doc_id""",
+    "q55_vocab_quality" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+         cnt AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+         voc AS (SELECT word FROM cnt ORDER BY c DESC, word LIMIT 25)
+         SELECT w.doc_id, count(*) AS n_words,
+           round(sum(CASE WHEN voc.word IS NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 4) AS oov_ratio,
+           round(sum(cnt.c)::DOUBLE / count(*), 4) AS mean_word_freq
+         FROM w JOIN cnt USING (word) LEFT JOIN voc USING (word)
+         GROUP BY w.doc_id ORDER BY w.doc_id""",
+    "q56_redact_spans" ->
+      """WITH r AS (SELECT doc_id,
+             regexp_replace(text, '\bcustomer\b', '[REDACTED]', 'g')
+               AS redacted,
+             len(regexp_extract_all(text, '\bcustomer\b'))
+               AS n_redactions
+           FROM documents)
+         SELECT doc_id, redacted,
+           CAST(n_redactions AS INTEGER) AS n_redactions,
+           CAST(CASE WHEN n_redactions = 0 THEN -1
+             ELSE length(regexp_replace(redacted,
+               '\[REDACTED\][^\[]*$', '')) END AS INTEGER) AS last_begin
+         FROM r ORDER BY doc_id""",
+    "q57_top_ngrams" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+         g AS (SELECT unnest(CASE WHEN len(ws) < 2
+             THEN [array_to_string(ws, ' ')]
+             ELSE list_transform(range(1, len(ws)),
+               i -> concat_ws(' ', ws[i], ws[i+1])) END) AS gram
+           FROM w)
+         SELECT gram, count(*) AS n FROM g GROUP BY gram
+         ORDER BY n DESC, gram LIMIT 25""",
+    "q58_semantic_dedup" ->
+      """WITH p AS (SELECT (count(*) // 8) * 8 AS m FROM embeddings),
+         v AS (
+           SELECT vec_id, list_transform(range(0, 16),
+             j -> ((vec_id // 8 * 1009 + j * j * 571 +
+                    vec_id // 8 * j * 37) % 2003 - 1001)::DOUBLE) AS vec
+           FROM embeddings, p WHERE vec_id < m),
+         pairs AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM v a, v b
+           WHERE a.vec_id < b.vec_id
+             AND list_cosine_similarity(a.vec, b.vec) >= 0.995),
+         surv AS (SELECT vec_id FROM v
+           WHERE vec_id NOT IN (SELECT id_b FROM pairs))
+         SELECT s.vec_id,
+           CAST(coalesce(n.n_near, 0) AS BIGINT) AS n_near
+         FROM surv s LEFT JOIN
+           (SELECT id_a, count(*) AS n_near FROM pairs GROUP BY id_a) n
+           ON s.vec_id = n.id_a
+         ORDER BY s.vec_id""",
+    "q59_filter_pipeline" ->
+      """WITH s AS (SELECT doc_id, lang, text,
+             len(string_split(trim(text), ' ')) AS nw,
+             round(len(list_filter(string_split(trim(text), ' '),
+                 w -> w IN ('the', 'a')))::DOUBLE /
+               len(string_split(trim(text), ' ')), 4) AS sr
+           FROM documents),
+         keep AS (SELECT min(doc_id) AS doc_id FROM documents
+           GROUP BY text)
+         SELECT s.doc_id, CAST(nw AS BIGINT) AS n_words,
+           sr AS stopword_ratio
+         FROM s JOIN keep USING (doc_id)
+         WHERE lang = 'en' AND nw BETWEEN 40 AND 70 AND sr >= 0.02
+         ORDER BY s.doc_id""",
     "q35_quality" ->
       """SELECT doc_id,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,

@@ -298,6 +298,37 @@ object Ann {
       .distinct()
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): a doc is
+    * DROPPED when some lower-id doc sits within cosine `threshold` of it;
+    * survivors are the greedy min-id representatives. Returns one row per
+    * SURVIVOR: (id, n_near) where n_near counts the near-duplicate pairs
+    * the survivor anchors (0 for docs with no near-dups at all).
+    *
+    * Built on [[cosineNearDuplicates]], so the candidate stage is the
+    * capped multi-table LSH (linear, skew-guarded) — never an all-pairs
+    * scan — and the survivor selection is one anti-join on the pair list
+    * plus a broadcast-sized count join. The id order stands in for
+    * SemDeDup's keep-lowest-similarity-to-centroid rule; any total order
+    * (quality score, timestamp) slots in by re-mapping ids.
+    */
+  def semanticDedup(
+      corpus: DataFrame, dim: Int, threshold: Double,
+      nbits: Int = 8, tables: Int = 8,
+      maxBucket: Int = 100000,
+      droppedBuckets: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    val pairs = cosineNearDuplicates(corpus, dim, threshold, nbits,
+      tables, maxBucket, droppedBuckets)
+      .select(col("id_a"), col("id_b"))
+    val dropped = pairs.select(col("id_b").as("id")).distinct()
+    val nNear = pairs.groupBy(col("id_a").as("id"))
+      .agg(count(lit(1)).as("n_near"))
+    corpus.select(col("id"))
+      .join(dropped, Seq("id"), "left_anti")
+      .join(nNear, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_near"), lit(0L)).as("n_near"))
+  }
+
   /** Approximate top-k: candidates share an LSH bucket (or a bucket at
     * Hamming distance 1 via multi-probe), ranked by exact cosine.
     * `maxBucket` caps degenerate corpus buckets before the probe join

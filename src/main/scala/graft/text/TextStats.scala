@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text analysis for training-data pipelines: quality scoring, language ID,
@@ -122,6 +122,73 @@ object TextStats {
     val n = size(lines).cast("double")
     when(n === 0, 0.0).otherwise(
       round((n - size(array_distinct(lines)).cast("double")) / n, 4))
+  }
+
+  /** Corpus-wide unigram counts: (word, c). One map-side-combining
+    * groupBy; shuffle width is the vocabulary, not the corpus.
+    */
+  def unigramCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+
+  /** Vocabulary-based quality scores — the integer-exact stand-in for a
+    * CCNet-style LM-perplexity filter (no float sums whose ordering
+    * differs across engines): per doc,
+    *   - n_words,
+    *   - oov_ratio: fraction of word TOKENS outside the top-`topK`
+    *     corpus vocabulary (C4-style "gibberish" signal),
+    *   - mean_word_freq: mean corpus frequency of the doc's tokens
+    *     (familiarity — low means rare/noisy vocabulary).
+    * Both ratios are exact-integer divisions, so an independent engine
+    * reproduces them bit-for-bit.
+    *
+    * Scale shape: unigram counts are one bounded shuffle ([[unigramCounts]]);
+    * the counts table (vocabulary-sized — ~100M rows for a web corpus,
+    * a few GB as (hash, long)) BROADCASTS so the token->frequency join
+    * never shuffles the corpus and a hot word ("the", in every doc)
+    * never becomes a shuffle key — the classic join-skew trap for this
+    * op. The top-K cut is a TakeOrdered (no full sort), again
+    * vocabulary-sized. Per-doc aggregation partial-aggregates map-side.
+    */
+  def vocabularyQuality(
+      docs: DataFrame, idCol: String, textCol: String,
+      topK: Int): DataFrame = {
+    val counts = unigramCounts(docs, textCol)
+    val vocab = counts.orderBy(col("c").desc, col("word")).limit(topK)
+      .select(col("word"), lit(1).as("in_vocab"))
+    val toks = docs.select(col(idCol).as("id"),
+      explode(split(col(textCol), " ")).as("word"))
+    toks.join(broadcast(counts), "word")
+      .join(broadcast(vocab), Seq("word"), "left")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        round(sum(when(col("in_vocab").isNull, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 4).as("oov_ratio"),
+        round(sum(col("c")).cast("double") / count(lit(1)), 4)
+          .as("mean_word_freq"))
+  }
+
+  /** Corpus-wide top-`k` word `n`-grams by occurrence count (vocabulary /
+    * boilerplate mining). Grams are emitted by a fused single-pass UDF
+    * (the expression form evaluates its lambdas interpreted); the plan is
+    * one map-side-combining groupBy + TakeOrdered — the full gram
+    * distribution is never sorted or collected.
+    */
+  def topNgrams(docs: DataFrame, textCol: String, n: Int, k: Int)
+      : DataFrame = {
+    val gramsUdf = udf((s: String) => {
+      if (s == null) Seq.empty[String]
+      else {
+        val ws = s.split(" ", -1)
+        if (ws.length < n) Seq(ws.mkString(" "))
+        else (0 to ws.length - n).map(i =>
+          ws.slice(i, i + n).mkString(" "))
+      }
+    })
+    docs.select(explode(gramsUdf(col(textCol))).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram")).limit(k)
   }
 
   /** Occurrence count of the most frequent word `n`-gram. With the

@@ -344,4 +344,78 @@ class PipelineOpsSpec extends AnyFunSuite {
     // span 102 at cosine ~0.707 to both: filtered by the threshold
     assert(!out.map(_.getLong(0)).contains(102L))
   }
+
+  test("decontaminate counts distinct shared n-grams vs the benchmark") {
+    val corpus = Seq(
+      (0L, "a b c d e f"),    // shares 3-grams "b c d","c d e","d e f"
+      (1L, "x y z w v u"),    // shares nothing
+      (2L, "b c d b c d")     // shares "b c d" (distinct: counted ONCE)
+    ).toDF("doc_id", "text")
+    val benchmark = Seq((9L, "q b c d e f")).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, benchmark, "doc_id", "text",
+        n = 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // doc 0: benchmark 3-grams {q b c, b c d, c d e, d e f} — 3 shared;
+    // doc 2: only "b c d", its own repeat deduped
+    assert(out === Seq((0L, 3L), (2L, 1L)))
+  }
+
+  test("vocabularyQuality: OOV vs top-K vocab and mean corpus frequency") {
+    val docs = Seq(
+      (0L, "the the cat"),   // freqs: the=4, cat=2 -> mean (4+4+2)/3
+      (1L, "the the cat zz") // zz freq 1, OOV vs top-3 vocab {the,cat,zz}?
+    ).toDF("doc_id", "text")
+    // corpus counts: the=4, cat=2, zz=1; top-2 vocab = {the, cat}
+    val out = TextStats.vocabularyQuality(docs, "doc_id", "text", topK = 2)
+      .orderBy("id").collect()
+    assert(out(0).getAs[Long]("n_words") === 3L)
+    assert(out(0).getAs[Double]("oov_ratio") === 0.0)
+    assert(out(0).getAs[Double]("mean_word_freq") === 3.3333)
+    assert(out(1).getAs[Long]("n_words") === 4L)
+    assert(out(1).getAs[Double]("oov_ratio") === 0.25) // zz not in top-2
+    assert(out(1).getAs[Double]("mean_word_freq") === 2.75) // (4+4+2+1)/4
+  }
+
+  test("topNgrams returns the k most frequent grams, ties by gram") {
+    val docs = Seq(
+      (0L, "a b a b c"),  // bigrams: "a b","b a","a b","b c"
+      (1L, "a b")         // "a b"
+    ).toDF("doc_id", "text")
+    val out = TextStats.topNgrams(docs, "text", n = 2, k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out === Seq(("a b", 3L), ("b a", 1L))) // "b a" < "b c" tie
+  }
+
+  test("semanticDedup keeps min-id representatives with anchored counts") {
+    // two identical-vector clusters {0,1,2} and {10,11}, one singleton
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.0)),
+      (10L, Seq(0.0, 1.0)), (11L, Seq(0.0, 1.0)),
+      (20L, Seq(1.0, 1.0))
+    ).toDF("id", "vec")
+    val out = Ann.semanticDedup(vecs, dim = 2, threshold = 0.999)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // cluster {1.0,1.0} vs {1,1}/sqrt2 ~ 0.707 < threshold: no cross pair
+    assert(out === Seq((0L, 2L), (10L, 1L), (20L, 0L)))
+  }
+
+  test("redactWithSpans maps the last edit begin through prior deltas") {
+    val docs = Seq(
+      (0L, "call customer now customer end"),
+      (1L, "no match here")
+    ).toDF("doc_id", "text")
+    val out = docs.select($"doc_id",
+        graft.text.Redact.redactWithSpans($"text", "\\bcustomer\\b",
+          "[X]").as("r"))
+      .select($"doc_id", $"r.text", $"r.n_redactions", $"r.last_begin")
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) === "call [X] now [X] end")
+    assert(out(0).getInt(2) === 2)
+    // original last begin 18, first edit shrinks by 5 -> 13; verify it
+    // is the actual index in the REDACTED text
+    assert(out(0).getInt(3) === out(0).getString(1).lastIndexOf("[X]"))
+    assert(out(1).getInt(2) === 0 && out(1).getInt(3) === -1)
+  }
 }

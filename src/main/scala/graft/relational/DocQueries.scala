@@ -60,7 +60,14 @@ object DocQueries {
     "q22_ents_explode" -> { (s, d) =>
       import s.implicits._
       val pipe = DocPipeline(terms = matchTerms)
-      pipe.entsTable(documents(s, d), "doc_id", "text")
+      // annotate is CPU-heavy row-local work but the corpus parquet is a
+      // single small file -> one input split; spread it across cores
+      // BEFORE the pipe (at 100 TB the scan is already thousands of
+      // splits and this repartition disappears into the noise — the
+      // classic small-input/heavy-map fix, not a scale cost)
+      pipe.entsTable(
+          documents(s, d).repartition(s.sparkContext.defaultParallelism),
+          "doc_id", "text")
         .select($"doc_id", $"begin".as("start_char"), $"end".as("end_char"),
           $"label")
         .orderBy($"doc_id", $"start_char")
@@ -70,7 +77,9 @@ object DocQueries {
       val pipe = DocPipeline(
         terms = Map("join" -> Seq("join")),
         qualifiers = Seq(syntheticNegation))
-      pipe.entsTable(documents(s, d), "doc_id", "text")
+      pipe.entsTable(
+          documents(s, d).repartition(s.sparkContext.defaultParallelism),
+          "doc_id", "text")
         .select($"doc_id", $"begin".as("start_char"), $"negation")
         .orderBy($"doc_id", $"start_char")
     }

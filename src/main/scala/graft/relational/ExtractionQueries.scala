@@ -143,7 +143,11 @@ object ExtractionQueries {
       val docs = documents(s, d)
       val pipe = DocPipeline(terms = Map(
         "spark" -> Seq("spark"), "join" -> Seq("join")))
-      val pred = pipe.entsTable(docs, "doc_id", "text")
+      // single-file corpus -> one input split; spread the CPU-heavy
+      // annotate across cores (no-op at real scale, see q22)
+      val pred = pipe.entsTable(
+          docs.repartition(s.sparkContext.defaultParallelism),
+          "doc_id", "text")
         .select($"doc_id", $"begin", $"end", $"label")
       // gold offsets from our own split Generator: narrow 1->N with exact
       // char offsets — replaces a posexplode + per-doc window prefix-sum

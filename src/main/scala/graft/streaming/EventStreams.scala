@@ -177,6 +177,42 @@ object EventStreams {
     * A pair colliding in several bands emits once per band —
     * `dropDuplicates` downstream of the hit stream dedups if needed.
     */
+  /** STREAMING benchmark decontamination — the unbounded twin of
+    * `Dedup.decontaminate`: documents arriving on a stream report how
+    * many DISTINCT word n-grams they share with a STATIC benchmark
+    * (eval-set) corpus. The benchmark gram set is collected once on the
+    * driver and broadcast — an eval set is small by nature, which makes
+    * the stream side STATELESS (no state store, no watermark, plain
+    * append mode): each doc is scored row-locally against the broadcast
+    * set, exactly the shape an ingest gate needs. Docs sharing nothing
+    * are dropped (`n_shared > 0`); route the hit stream to quarantine
+    * and the complement to the training sink.
+    */
+  def decontaminateDocs(
+      docs: DataFrame, // streaming (doc_id, ts, text)
+      benchmark: DataFrame, // BATCH (text) benchmark corpus
+      n: Int = 8,
+      textCol: String = "text"): DataFrame = {
+    val grams = scala.collection.mutable.HashSet.empty[Long]
+    benchmark.select(col(textCol)).collect().foreach { r =>
+      graft.dedup.Shingling.foreachShingleHash(r.getString(0), n)(grams += _)
+    }
+    val bc = docs.sparkSession.sparkContext.broadcast(grams.toSet)
+    val shared = udf((s: String) => {
+      if (s == null) 0L
+      else {
+        val seen = new java.util.HashSet[java.lang.Long]()
+        var c = 0L
+        graft.dedup.Shingling.foreachShingleHash(s, n) { z =>
+          if (bc.value.contains(z) && seen.add(z)) c += 1
+        }
+        c
+      }
+    })
+    docs.withColumn("n_shared", shared(col(textCol)))
+      .filter(col("n_shared") > 0)
+  }
+
   def nearDupDocs(
       docs: DataFrame, // (doc_id, ts, text)
       n: Int = 3, k: Int = 32, bands: Int = 8,

@@ -19,19 +19,31 @@ object Prof {
       r
     }
     val docs = graft.relational.Tables.documents(spark, sfDir)
-    // warm
-    docs.count()
-    time("fp only") {
-      docs.select($"doc_id",
-        graft.dedup.SimHash.simhashFromText($"text", 3).as("fp"))
-        .agg(count($"fp"), max($"fp")).collect()
-    }
-    time("full nearDuplicates") {
-      graft.dedup.SimHash.nearDuplicates(docs, "doc_id", "text", radius = 8)
-        .count()
-    }
-    time("full q33 with orderBy") {
-      graft.SparkEntry.queries("q33_simhash")(spark, sfDir).count()
+    docs.count() // warm
+    // driver-side single-thread pass over a sample: isolates the
+    // per-doc cost of tokenize/normalize with and without pollution
+    val sample = docs.select("text").limit(2000)
+      .collect().map(_.getString(0))
+    def localPass(name: String, opts: graft.nlp.Normalizer.Options): Unit =
+      time(name) {
+        var acc = 0L
+        sample.foreach { t =>
+          val toks = graft.nlp.Tokenizer.tokenize(t)
+          acc += graft.nlp.Normalizer.normalize(t, toks, opts).length
+        }
+        acc
+      }
+    localPass("local tokenize+normalize (pollution ON)",
+      graft.nlp.Normalizer.Options())
+    localPass("local tokenize+normalize (pollution OFF)",
+      graft.nlp.Normalizer.Options(pollution = false))
+    (1 to 2).foreach { i =>
+      time(s"full q22 run $i") {
+        graft.SparkEntry.queries("q22_ents_explode")(spark, sfDir).count()
+      }
+      time(s"full q23 run $i") {
+        graft.SparkEntry.queries("q23_qualifier")(spark, sfDir).count()
+      }
     }
     spark.stop()
   }

@@ -113,6 +113,31 @@ class StreamingSpec extends AnyFunSuite {
       s"non-batch pairs: ${extras.take(5)}")
   }
 
+  test("streaming decontamination matches the batch overlap counts") {
+    val docsDir = Files.createTempDirectory("decon-stream").toString
+    val docs = graft.relational.Tables.documents(spark, sf)
+    docs.filter($"doc_id" % 5 =!= 0)
+      .withColumn("ts",
+        expr("timestamp_micros(1600000000000000 + doc_id * 1000000)"))
+      .select("doc_id", "ts", "text")
+      .write.mode("overwrite").parquet(docsDir)
+    val stream = spark.readStream
+      .schema("doc_id LONG, ts TIMESTAMP, text STRING")
+      .parquet(docsDir)
+    val benchmark = docs.filter($"doc_id" % 5 === 0)
+    val got = runToCompletion(
+      EventStreams.decontaminateDocs(stream, benchmark, n = 8),
+      "decontaminated")
+      .select("doc_id", "n_shared").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val batch = graft.dedup.Dedup.decontaminate(
+        docs.filter($"doc_id" % 5 =!= 0), benchmark, "doc_id", "text",
+        n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(batch.nonEmpty, "corpus should contain contaminated docs")
+    assert(got === batch)
+  }
+
   test("stateful dedup drops duplicate event ids") {
     // duplicate the source file so every event appears twice
     val dir = Files.createTempDirectory("events-dup").toString

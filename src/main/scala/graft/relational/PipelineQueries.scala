@@ -417,6 +417,18 @@ object PipelineQueries {
         .select($"id".as("vec_id"), $"n_near")
         .orderBy($"vec_id")
     },
+    "q60_stratified_sample" -> { (s, d) =>
+      import s.implicits._
+      // exact-quota stratified sampling (corpus mixing / train-split):
+      // per language, keep exactly ceil(20%) of docs under a
+      // deterministic multiplicative-hash order — reproducible across
+      // engines, unlike RNG sampleBy. The oracle recomputes quota and
+      // rank with the same integer arithmetic.
+      graft.text.TextStats.stratifiedSample(
+          documents(s, d).select($"doc_id", $"lang"),
+          "doc_id", "lang", fraction = 0.2)
+        .orderBy($"lang", $"doc_id")
+    },
     "q59_filter_pipeline" -> { (s, d) =>
       import s.implicits._
       // end-to-end training-set assembly: language gate (metadata) ->
@@ -706,6 +718,16 @@ object PipelineQueries {
            (SELECT id_a, count(*) AS n_near FROM pairs GROUP BY id_a) n
            ON s.vec_id = n.id_a
          ORDER BY s.vec_id""",
+    "q60_stratified_sample" ->
+      """WITH r AS (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY (doc_id * 2654435761) % 4294967296, doc_id)
+               AS rnk,
+             count(*) OVER (PARTITION BY lang) AS n
+           FROM documents)
+         SELECT doc_id, lang FROM r
+         WHERE rnk <= CAST(ceil(n * 0.2) AS BIGINT)
+         ORDER BY lang, doc_id""",
     "q59_filter_pipeline" ->
       """WITH s AS (SELECT doc_id, lang, text,
              len(string_split(trim(text), ' ')) AS nw,

@@ -191,6 +191,40 @@ object TextStats {
       .orderBy(col("n").desc, col("gram")).limit(k)
   }
 
+  /** EXACT deterministic stratified sampling — the corpus-mixing /
+    * train-split operator: within each stratum (language, source,
+    * domain), keep exactly `ceil(fraction * stratum_size)` rows, chosen
+    * by rank under a deterministic pseudo-random order (a multiplicative
+    * integer hash of the id — reproducible across engines and runs,
+    * unlike `sampleBy`, which is both approximate and RNG-dependent).
+    * Training-data pipelines need the EXACT quota form when mixing
+    * proportions are part of the data recipe.
+    *
+    * Scale note: rank-within-stratum is a window sort partitioned by the
+    * stratum key — one shuffle whose width is the corpus, the honest
+    * cost of exact quotas. Strata are typically few and large; if one
+    * stratum dominates, pre-aggregate per-stratum thresholds on a
+    * sample instead (approximate quantile of the hash) and keep rows
+    * under the threshold — approximate but shuffle-free. This operator
+    * is the exact path.
+    */
+  def stratifiedSample(
+      docs: DataFrame, idCol: String, stratumCol: String,
+      fraction: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // multiplicative hash kept INSIDE Long range: id in the test corpora
+    // is < 2^31; (id * 2654435761) mod 2^32 is the classic Knuth mix,
+    // exact in 64-bit arithmetic so any engine reproduces it
+    val h = pmod(col(idCol) * lit(2654435761L), lit(4294967296L))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(h, col(idCol))
+    val cnt = Window.partitionBy(col(stratumCol))
+    docs.withColumn("rnk", row_number().over(w))
+      .withColumn("quota",
+        ceil(count(lit(1)).over(cnt) * lit(fraction)).cast("long"))
+      .filter(col("rnk") <= col("quota"))
+      .drop("rnk", "quota")
+  }
+
   /** Occurrence count of the most frequent word `n`-gram. With the
     * total n-gram count this gives the top-n-gram fraction; exposed as
     * a count so oracles compare integers.

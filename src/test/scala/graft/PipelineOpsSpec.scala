@@ -401,6 +401,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out === Seq((0L, 2L), (10L, 1L), (20L, 0L)))
   }
 
+  test("stratifiedSample keeps exact ceil-quotas per stratum, reproducibly") {
+    val docs = (0L until 100L).map(i =>
+      (i, if (i % 3 == 0) "en" else "fr")).toDF("doc_id", "lang")
+    val out = TextStats.stratifiedSample(docs, "doc_id", "lang", 0.25)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // en: 34 docs -> ceil(8.5) = 9; fr: 66 -> ceil(16.5) = 17
+    assert(byLang === Map("en" -> 9L, "fr" -> 17L))
+    // deterministic: the same call yields the same ids
+    val a = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = TextStats.stratifiedSample(docs, "doc_id", "lang", 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+  }
+
   test("redactWithSpans maps the last edit begin through prior deltas") {
     val docs = Seq(
       (0L, "call customer now customer end"),

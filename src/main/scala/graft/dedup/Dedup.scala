@@ -303,6 +303,65 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Cross-document repeated-substring detection — the distributed
+    * stand-in for suffix-array substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): every
+    * word `n`-gram WINDOW (positional, NOT distinct) is hashed; windows
+    * whose gram occurs in >= `minDocs` DISTINCT docs are flagged; per
+    * doc, overlapping flagged windows merge into maximal word-index
+    * spans [begin_word, end_word) — the ranges a cleanup pass would cut.
+    * Docs shorter than `n` words emit nothing (no clipped windows: a
+    * short doc is never a "long repeated substring").
+    *
+    * Scale shape: the explode is the honest n-x token amplification
+    * (suffix arrays do this offline; a stream can't). The repeat test is
+    * made skew-safe by splitting countDistinct into distinct-then-count:
+    * `(h, id) distinct` shuffles on BOTH columns (a boilerplate run
+    * shared by millions of docs spreads across reducers), and the
+    * follow-up count per h partial-aggregates map-side. The interval
+    * merge windows over (doc, idx) — per-doc-bounded sorts, never a
+    * global one.
+    */
+  def repeatedRuns(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 15, minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pg = udf((s: String) => {
+      if (s == null) Seq.empty[Long]
+      else {
+        var words = 1
+        var i = 0
+        while (i < s.length) {
+          if (s.charAt(i) == ' ') words += 1
+          i += 1
+        }
+        if (words < n) Seq.empty[Long]
+        else {
+          val buf =
+            new scala.collection.mutable.ArrayBuffer[Long](words - n + 1)
+          Shingling.foreachShingleHash(s, n)(buf += _)
+          buf.toSeq
+        }
+      }
+    })
+    val grams = df.select(col(idCol).as("id"),
+      posexplode(pg(col(textCol))).as(Seq("idx", "h")))
+    val rep = grams.select("h", "id").distinct()
+      .groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs).select("h")
+    val hits = grams.join(rep, "h").select("id", "idx").distinct()
+    val w = Window.partitionBy("id").orderBy("idx")
+    val prev = lag(col("idx"), 1).over(w)
+    hits
+      .withColumn("brk",
+        when(prev.isNull || col("idx") > prev + n, 1).otherwise(0))
+      .withColumn("grp", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id"), col("grp"))
+      .agg(min(col("idx")).cast("long").as("begin_word"),
+        (max(col("idx")) + n).cast("long").as("end_word"))
+      .select(col("id"), col("begin_word"), col("end_word"))
+  }
+
   /** Full MinHash+LSH near-dup pipeline: shingle -> sign -> band ->
     * candidates -> verify with exact Jaccard >= threshold.
     */

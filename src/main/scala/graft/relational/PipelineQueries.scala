@@ -417,6 +417,16 @@ object PipelineQueries {
         .select($"id".as("vec_id"), $"n_near")
         .orderBy($"vec_id")
     },
+    "q61_repeated_runs" -> { (s, d) =>
+      import s.implicits._
+      // cross-doc repeated-substring spans (the substring-dedup shape):
+      // maximal merged ranges of 15-word windows occurring in >= 2
+      // distinct docs. The oracle rebuilds windows, the distinct-doc
+      // repeat test, and the interval merge from the gram STRINGS.
+      Dedup.repeatedRuns(documents(s, d), "doc_id", "text", n = 15)
+        .select($"id".as("doc_id"), $"begin_word", $"end_word")
+        .orderBy($"doc_id", $"begin_word")
+    },
     "q60_stratified_sample" -> { (s, d) =>
       import s.implicits._
       // exact-quota stratified sampling (corpus mixing / train-split):
@@ -718,6 +728,30 @@ object PipelineQueries {
            (SELECT id_a, count(*) AS n_near FROM pairs GROUP BY id_a) n
            ON s.vec_id = n.id_a
          ORDER BY s.vec_id""",
+    "q61_repeated_runs" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+           FROM documents),
+         g AS (SELECT doc_id, i - 1 AS idx,
+             array_to_string(ws[i:i+14], ' ') AS gram
+           FROM w, UNNEST(range(1, greatest(len(ws) - 14, 0) + 1)) AS t(i)),
+         rep AS (SELECT gram FROM g GROUP BY gram
+           HAVING count(DISTINCT doc_id) >= 2),
+         hits AS (SELECT DISTINCT g.doc_id, g.idx
+           FROM g JOIN rep USING (gram)),
+         m AS (SELECT doc_id, idx,
+             CASE WHEN lag(idx) OVER (PARTITION BY doc_id ORDER BY idx)
+                 IS NULL
+               OR idx > lag(idx) OVER (PARTITION BY doc_id ORDER BY idx)
+                 + 15
+               THEN 1 ELSE 0 END AS brk
+           FROM hits),
+         s AS (SELECT doc_id, idx, sum(brk) OVER (PARTITION BY doc_id
+             ORDER BY idx ROWS UNBOUNDED PRECEDING) AS grp
+           FROM m)
+         SELECT doc_id, CAST(min(idx) AS BIGINT) AS begin_word,
+           CAST(max(idx) + 15 AS BIGINT) AS end_word
+         FROM s GROUP BY doc_id, grp
+         ORDER BY doc_id, begin_word""",
     "q60_stratified_sample" ->
       """WITH r AS (SELECT doc_id, lang,
              row_number() OVER (PARTITION BY lang

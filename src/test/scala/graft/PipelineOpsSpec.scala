@@ -401,6 +401,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out === Seq((0L, 2L), (10L, 1L), (20L, 0L)))
   }
 
+  test("repeatedRuns merges flagged windows into maximal cross-doc spans") {
+    // docs 0 and 1 share the run "a b c d e" (5 words); doc 2 is clean;
+    // doc 3 is too short for n=3? no — use n=3 windows
+    val docs = Seq(
+      (0L, "x a b c d e y z"), // windows over the run: idx 1,2,3
+      (1L, "a b c d e q r s"), // idx 0,1,2
+      (2L, "m n o p q1 r1 s1 t"),
+      (3L, "a b")              // < n words: emits nothing
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedRuns(docs, "doc_id", "text", n = 3)
+      .orderBy("id", "begin_word").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // doc 0: flagged windows at word idx 1..3 merge into [1, 6);
+    // doc 1: idx 0..2 -> [0, 5); docs 2/3: nothing
+    assert(out === Seq((0L, 1L, 6L), (1L, 0L, 5L)))
+  }
+
   test("stratifiedSample keeps exact ceil-quotas per stratum, reproducibly") {
     val docs = (0L until 100L).map(i =>
       (i, if (i % 3 == 0) "en" else "fr")).toDF("doc_id", "lang")

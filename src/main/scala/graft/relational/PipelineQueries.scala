@@ -417,6 +417,24 @@ object PipelineQueries {
         .select($"id".as("vec_id"), $"n_near")
         .orderBy($"vec_id")
     },
+    "q62_frame_sample" -> { (s, d) =>
+      import s.implicits._
+      // video-as-bytes frame sampling on the declared surface: every
+      // 2nd 16-byte block becomes a frame row (lazy 1->N per partition,
+      // payloads never shuffle), scored by the stub brightness. ASCII
+      // payloads make the arithmetic exact for the oracle, as q38.
+      val media = Multimodal.mediaFromDocuments(s,
+        documents(s, d).filter($"text".rlike("^[\\x00-\\x7F]*$")))
+      Multimodal.sampleFrames(media, frameBytes = 16, stride = 2)
+        .map { case (id, fidx, bytes) =>
+          var sum = 0L
+          bytes.foreach(b => sum += (b & 0xFF))
+          (id, fidx, BigDecimal(sum.toDouble / bytes.length)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+        .toDF("media_id", "frame_idx", "brightness")
+        .orderBy($"media_id", $"frame_idx")
+    },
     "q61_repeated_runs" -> { (s, d) =>
       import s.implicits._
       // cross-doc repeated-substring spans (the substring-dedup shape):
@@ -728,6 +746,18 @@ object PipelineQueries {
            (SELECT id_a, count(*) AS n_near FROM pairs GROUP BY id_a) n
            ON s.vec_id = n.id_a
          ORDER BY s.vec_id""",
+    "q62_frame_sample" ->
+      """WITH a AS (SELECT doc_id, text FROM documents
+           WHERE regexp_matches(text, '^[\x00-\x7F]*$')),
+         f AS (SELECT doc_id,
+             unnest(range(0, greatest(length(text) // 16, 0), 2)) AS fidx
+           FROM a)
+         SELECT f.doc_id AS media_id, CAST(f.fidx AS INTEGER) AS frame_idx,
+           round(list_sum(list_transform(
+             string_split(substr(a.text, CAST(f.fidx AS INTEGER) * 16 + 1,
+               16), ''), c -> ord(c)))::DOUBLE / 16, 4) AS brightness
+         FROM f JOIN a ON f.doc_id = a.doc_id
+         ORDER BY media_id, frame_idx""",
     "q61_repeated_runs" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
            FROM documents),

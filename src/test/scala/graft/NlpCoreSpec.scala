@@ -238,6 +238,38 @@ class NlpCoreSpec extends AnyFunSuite {
     assert(!self.attrs("family").toBoolean)
   }
 
+  test("family: reference test-bank goldens (test_family.py)") {
+    // ported from /root/reference/tests/pipelines/qualifiers/
+    // test_family.py:9-28 — all nine examples, over a matcher for
+    // their entities
+    val pipe = graft.pipes.DocPipeline(
+      terms = Map(
+        "asthme" -> Seq("asthmatique"), "covid" -> Seq("COVID"),
+        "cancer" -> Seq("cancer du colon"),
+        "diabete" -> Seq("diabète", "diabète de type II"),
+        "releve" -> Seq("relevé"), "detecte" -> Seq("détecté")),
+      qualifiers = Seq(Patterns.family))
+    def fam(text: String, term: String): Boolean = {
+      val anns = pipe.annotate(text)
+      anns.ents.find(_.text.toLowerCase.contains(term))
+        .getOrElse(fail(s"no entity '$term' in '$text'"))
+        .attrs("family").toBoolean
+    }
+    assert(fam("Le père est asthmatique, sans traitement particulier.",
+      "asthmatique"))
+    assert(fam("Son père est atteint de la COVID", "covid"))
+    assert(fam("Son père a une infection au COVID", "covid"))
+    assert(fam("Son père a une possible infection au COVID", "covid"))
+    assert(fam("Le père du patient a eu un cancer du colon. " +
+      "La mère se porte bien.", "cancer"))
+    assert(fam("Antécédents familiaux : diabète.", "diabète"))
+    assert(!fam("Un relevé sanguin a été effectué.", "relevé"))
+    // "mais" terminates the familiaux cue's scope before the entity
+    assert(!fam("Antécédent familiaux de diabète mais pas détecté " +
+      "jusqu'ici.", "détecté"))
+    assert(fam("mère : diabète de type II", "type ii"))
+  }
+
   test("negation: reference test-bank goldens (test_negation.py)") {
     // ported from /root/reference/tests/pipelines/qualifiers/
     // test_negation.py:10-35 — the examples expressible without the

@@ -288,17 +288,18 @@ object Dedup {
     * side never shuffles: explode distinct grams per doc (map-local),
     * broadcast-hash-join, one map-side-combining groupBy(id). Corpus
     * text is never a join key (64-bit hashes are). If the benchmark ever
-    * outgrows broadcast, drop the hint and the same plan runs as a
-    * shuffle join on the gram hash.
+    * outgrows broadcast, pass `broadcastBenchmark = false` and the same
+    * plan runs as a shuffle join on the gram hash.
     */
   def decontaminate(
       corpus: DataFrame, benchmark: DataFrame,
-      idCol: String, textCol: String, n: Int = 8): DataFrame = {
+      idCol: String, textCol: String, n: Int = 8,
+      broadcastBenchmark: Boolean = true): DataFrame = {
     val sh = distinctShingleHashes64(n)
     val cg = corpus.select(col(idCol).as("id"),
       explode(sh(col(textCol))).as("h"))
     val bg = benchmark.select(explode(sh(col(textCol))).as("h")).distinct()
-    cg.join(broadcast(bg), "h")
+    cg.join(if (broadcastBenchmark) broadcast(bg) else bg, "h")
       .groupBy("id")
       .agg(count(lit(1)).as("n_shared"))
   }

@@ -65,12 +65,13 @@ object Normalizer {
     // counter line ("1/3", "2/10?") followed by a patient line, or a
     // date + 10-digit IPP identifier line
     "(?im)^\\d\\d?/\\d\\d?\\s?[^\\n]*\\n?pat[^\\n]*(\\n?courrier valid[^\\n]*)?",
-    // date + IPP line: line-start anchored with lookaheads. The naive
+    // date + IPP line (date BEFORE the 10-digit IPP, as the reference
+    // footer has it): line-start anchored with one lookahead. The naive
     // form (leading unanchored `[^\n]*` before the date) backtracks
     // from every char position — O(len²) per doc, measured 0.8ms/doc
     // on the bench corpus vs ~1µs for this one, which attempts only at
-    // line starts and scans each line once per lookahead.
-    "(?m)^(?=[^\\n]*\\b\\d\\d/\\d\\d/\\d\\d\\d\\d\\b)(?=[^\\n]*80\\d{8})[^\\n]+",
+    // line starts and scans each line once.
+    "(?m)^(?=[^\\n]*\\b\\d\\d/\\d\\d/\\d\\d\\d\\d\\b[^\\n]*80\\d{8})[^\\n]+",
     // the second AP-HP information-block opener (patterns.py
     // `information`), same bounded tail to the droit-opposition URL
     "(?s)L['’]Assistance\\s*Publique\\s*-\\s*H[ôo]pitaux\\s*de\\s*Paris\\s*" +
@@ -80,6 +81,12 @@ object Normalizer {
     "(?si)l['’]arr[êe]t\\s*du\\s*tabac\\s*permet\\s*de\\s*diminuer\\s*le\\s*" +
       "risque\\s*de\\s*maladie\\s*cardiovasculaire\\."
   ).map(Pattern.compile)
+
+  /** The live default pollution bank, exposed for the regex profiler
+    * (tools/ProfRegex) so measurements always reflect the shipped
+    * patterns instead of a hand-copied list that drifts.
+    */
+  private[graft] def defaultPollutionBank: Seq[Pattern] = pollutionPatterns
 
   /** Off-by-default pollution detectors, mirroring the reference's
     * `default_enabled` (pollution/patterns.py:60-69): biology table rows

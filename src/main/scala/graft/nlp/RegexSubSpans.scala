@@ -131,8 +131,15 @@ object RegexSubSpans {
     * left-to-right order.
     */
   def subWithSpans(pattern: String, replacement: String, text: String)
+      : (String, DeltaCollection) =
+    subWithSpans(Pattern.compile(pattern, Pattern.DOTALL), replacement,
+      text)
+
+  /** Pre-compiled variant — use inside per-row UDFs so the pattern
+    * compiles once per executor, not once per document.
+    */
+  def subWithSpans(p: Pattern, replacement: String, text: String)
       : (String, DeltaCollection) = {
-    val p = Pattern.compile(pattern, Pattern.DOTALL)
     val matches = {
       val m = p.matcher(text)
       val buf = new ArrayBuffer[(Int, Int, String)]

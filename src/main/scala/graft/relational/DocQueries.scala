@@ -39,6 +39,19 @@ object DocQueries {
     precedingRegex = Seq.empty,
     termination = Seq("the"))
 
+  /** Spread a small scan across cores before a CPU-heavy row-local
+    * stage — ONLY when the source has fewer partitions than cores (a
+    * single small parquet file arrives as one input split). When the
+    * scan already has enough splits (the 100 TB case) this is the
+    * identity: no shuffle is inserted.
+    */
+  private[relational] def spread(
+      df: org.apache.spark.sql.DataFrame,
+      s: SparkSession): org.apache.spark.sql.DataFrame = {
+    val p = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_token_count" -> { (s, d) =>
       import s.implicits._
@@ -61,13 +74,10 @@ object DocQueries {
       import s.implicits._
       val pipe = DocPipeline(terms = matchTerms)
       // annotate is CPU-heavy row-local work but the corpus parquet is a
-      // single small file -> one input split; spread it across cores
-      // BEFORE the pipe (at 100 TB the scan is already thousands of
-      // splits and this repartition disappears into the noise — the
-      // classic small-input/heavy-map fix, not a scale cost)
-      pipe.entsTable(
-          documents(s, d).repartition(s.sparkContext.defaultParallelism),
-          "doc_id", "text")
+      // single small file -> one input split; conditionally spread it
+      // across cores BEFORE the pipe ([[spread]] is the identity when
+      // the scan already has enough splits — the 100 TB case)
+      pipe.entsTable(spread(documents(s, d), s), "doc_id", "text")
         .select($"doc_id", $"begin".as("start_char"), $"end".as("end_char"),
           $"label")
         .orderBy($"doc_id", $"start_char")
@@ -77,9 +87,7 @@ object DocQueries {
       val pipe = DocPipeline(
         terms = Map("join" -> Seq("join")),
         qualifiers = Seq(syntheticNegation))
-      pipe.entsTable(
-          documents(s, d).repartition(s.sparkContext.defaultParallelism),
-          "doc_id", "text")
+      pipe.entsTable(spread(documents(s, d), s), "doc_id", "text")
         .select($"doc_id", $"begin".as("start_char"), $"negation")
         .orderBy($"doc_id", $"start_char")
     }

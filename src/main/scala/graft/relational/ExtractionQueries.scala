@@ -143,10 +143,10 @@ object ExtractionQueries {
       val docs = documents(s, d)
       val pipe = DocPipeline(terms = Map(
         "spark" -> Seq("spark"), "join" -> Seq("join")))
-      // single-file corpus -> one input split; spread the CPU-heavy
-      // annotate across cores (no-op at real scale, see q22)
-      val pred = pipe.entsTable(
-          docs.repartition(s.sparkContext.defaultParallelism),
+      // single-file corpus -> one input split; conditionally spread the
+      // CPU-heavy annotate across cores (identity at real scale, see
+      // DocQueries.spread)
+      val pred = pipe.entsTable(DocQueries.spread(docs, s),
           "doc_id", "text")
         .select($"doc_id", $"begin", $"end", $"label")
       // gold offsets from our own split Generator: narrow 1->N with exact

@@ -714,8 +714,9 @@ object PipelineQueries {
          SELECT doc_id, redacted,
            CAST(n_redactions AS INTEGER) AS n_redactions,
            CAST(CASE WHEN n_redactions = 0 THEN -1
-             ELSE length(regexp_replace(redacted,
-               '\[REDACTED\][^\[]*$', '')) END AS INTEGER) AS last_begin
+             ELSE length(redacted)
+               - strpos(reverse(redacted), reverse('[REDACTED]'))
+               - length('[REDACTED]') + 1 END AS INTEGER) AS last_begin
          FROM r ORDER BY doc_id""",
     "q57_top_ngrams" ->
       """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
@@ -785,7 +786,8 @@ object PipelineQueries {
     "q60_stratified_sample" ->
       """WITH r AS (SELECT doc_id, lang,
              row_number() OVER (PARTITION BY lang
-               ORDER BY (doc_id * 2654435761) % 4294967296, doc_id)
+               ORDER BY ((doc_id % 2147483648) * 2654435761)
+                 % 4294967296, doc_id)
                AS rnk,
              count(*) OVER (PARTITION BY lang) AS n
            FROM documents)

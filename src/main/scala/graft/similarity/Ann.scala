@@ -299,17 +299,27 @@ object Ann {
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023): a doc is
-    * DROPPED when some lower-id doc sits within cosine `threshold` of it;
-    * survivors are the greedy min-id representatives. Returns one row per
-    * SURVIVOR: (id, n_near) where n_near counts the near-duplicate pairs
-    * the survivor anchors (0 for docs with no near-dups at all).
+    * DROPPED when some lower-id doc sits within cosine `threshold` of it.
+    * Returns one row per SURVIVOR: (id, n_near) where n_near counts the
+    * near-duplicate pairs the survivor anchors (0 for docs with no
+    * near-dups at all).
+    *
+    * NOTE the drop rule is ONE-SHOT, not sequential-greedy: on a
+    * similarity CHAIN 0~1, 1~2 (0 !~ 2), sequential greedy would keep
+    * {0, 2} (1's removal rehabilitates 2), while this rule drops every
+    * doc with any lower-id neighbor and keeps only {0}. That is a
+    * deliberate scale tradeoff — sequential greedy is inherently
+    * order-serial (each decision depends on all prior ones), while the
+    * one-shot rule is a single distributed pass; it over-deletes only on
+    * chains, which near-dup clusters (the common case at high
+    * thresholds) don't form. The id order stands in for SemDeDup's
+    * keep-lowest-similarity-to-centroid rule; any total order (quality
+    * score, timestamp) slots in by re-mapping ids.
     *
     * Built on [[cosineNearDuplicates]], so the candidate stage is the
     * capped multi-table LSH (linear, skew-guarded) — never an all-pairs
     * scan — and the survivor selection is one anti-join on the pair list
-    * plus a broadcast-sized count join. The id order stands in for
-    * SemDeDup's keep-lowest-similarity-to-centroid rule; any total order
-    * (quality score, timestamp) slots in by re-mapping ids.
+    * plus a count join.
     */
   def semanticDedup(
       corpus: DataFrame, dim: Int, threshold: Double,

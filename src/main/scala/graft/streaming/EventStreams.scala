@@ -156,27 +156,6 @@ object EventStreams {
     }
   }
 
-  case class BucketDoc(
-      bucket: String, doc_id: Long, ts: java.sql.Timestamp, sig: Seq[Long])
-  case class BucketState(
-      docs: List[(Long, Seq[Long])], lastTsMs: Long)
-  case class NearDupHit(id_a: Long, id_b: Long, est_jaccard: Double)
-
-  /** STREAMING near-duplicate detection — the unbounded twin of
-    * `Dedup.minHashNearDuplicates`: documents MinHash-sign on arrival
-    * (same fused signature as the batch path), band buckets key a
-    * per-bucket state store of recent signatures, and a new arrival
-    * emits a hit for every stored neighbor whose SIGNATURE AGREEMENT
-    * (the unbiased MinHash estimator of Jaccard) clears `threshold`.
-    * Exact shingle verification would require keeping full texts in
-    * state — the estimator-on-signatures tradeoff is what a stream can
-    * afford; a batch verify downstream of the hit stream recovers
-    * exactness where needed. State is bounded two ways: event-time
-    * timeout past the watermark horizon AND a per-bucket `maxPerBucket`
-    * ring (the streaming form of the batch `maxBucket` skew cap).
-    * A pair colliding in several bands emits once per band —
-    * `dropDuplicates` downstream of the hit stream dedups if needed.
-    */
   /** STREAMING benchmark decontamination — the unbounded twin of
     * `Dedup.decontaminate`: documents arriving on a stream report how
     * many DISTINCT word n-grams they share with a STATIC benchmark
@@ -213,6 +192,27 @@ object EventStreams {
       .filter(col("n_shared") > 0)
   }
 
+  case class BucketDoc(
+      bucket: String, doc_id: Long, ts: java.sql.Timestamp, sig: Seq[Long])
+  case class BucketState(
+      docs: List[(Long, Seq[Long])], lastTsMs: Long)
+  case class NearDupHit(id_a: Long, id_b: Long, est_jaccard: Double)
+
+  /** STREAMING near-duplicate detection — the unbounded twin of
+    * `Dedup.minHashNearDuplicates`: documents MinHash-sign on arrival
+    * (same fused signature as the batch path), band buckets key a
+    * per-bucket state store of recent signatures, and a new arrival
+    * emits a hit for every stored neighbor whose SIGNATURE AGREEMENT
+    * (the unbiased MinHash estimator of Jaccard) clears `threshold`.
+    * Exact shingle verification would require keeping full texts in
+    * state — the estimator-on-signatures tradeoff is what a stream can
+    * afford; a batch verify downstream of the hit stream recovers
+    * exactness where needed. State is bounded two ways: event-time
+    * timeout past the watermark horizon AND a per-bucket `maxPerBucket`
+    * ring (the streaming form of the batch `maxBucket` skew cap).
+    * A pair colliding in several bands emits once per band —
+    * `dropDuplicates` downstream of the hit stream dedups if needed.
+    */
   def nearDupDocs(
       docs: DataFrame, // (doc_id, ts, text)
       n: Int = 3, k: Int = 32, bands: Int = 8,

@@ -33,10 +33,14 @@ object Redact {
     */
   def redactWithSpans(text: Column, pattern: String, replacement: String)
       : Column = {
+    // compile once per executor (Pattern is Serializable); compiling
+    // inside the row fn would re-parse the regex per document
+    val compiled = java.util.regex.Pattern.compile(pattern,
+      java.util.regex.Pattern.DOTALL)
     val f = udf((s: String) => {
       if (s == null) Redacted(null, 0, -1)
       else {
-        val (out, dc) = RegexSubSpans.subWithSpans(pattern, replacement, s)
+        val (out, dc) = RegexSubSpans.subWithSpans(compiled, replacement, s)
         val lastBegin =
           if (dc.begins.isEmpty) -1
           else dc.apply(Seq(dc.begins.last), side = "left").head

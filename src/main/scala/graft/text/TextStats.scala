@@ -143,22 +143,26 @@ object TextStats {
     * reproduces them bit-for-bit.
     *
     * Scale shape: unigram counts are one bounded shuffle ([[unigramCounts]]);
-    * the counts table (vocabulary-sized — ~100M rows for a web corpus,
-    * a few GB as (hash, long)) BROADCASTS so the token->frequency join
-    * never shuffles the corpus and a hot word ("the", in every doc)
-    * never becomes a shuffle key — the classic join-skew trap for this
-    * op. The top-K cut is a TakeOrdered (no full sort), again
-    * vocabulary-sized. Per-doc aggregation partial-aggregates map-side.
+    * the counts table (vocabulary-sized) BROADCASTS by default so the
+    * token->frequency join never shuffles the corpus and a hot word
+    * ("the", in every doc) never becomes a shuffle key — the classic
+    * join-skew trap for this op. For a vocabulary too large to broadcast
+    * (a raw web corpus can exceed 100M distinct tokens of string keys),
+    * pass `broadcastCounts = false`: the same plan runs as a shuffle
+    * join and AQE's skew handling takes over. The top-K cut is a
+    * TakeOrdered (no full sort), again vocabulary-sized. Per-doc
+    * aggregation partial-aggregates map-side.
     */
   def vocabularyQuality(
       docs: DataFrame, idCol: String, textCol: String,
-      topK: Int): DataFrame = {
-    val counts = unigramCounts(docs, textCol)
-    val vocab = counts.orderBy(col("c").desc, col("word")).limit(topK)
+      topK: Int, broadcastCounts: Boolean = true): DataFrame = {
+    val counts0 = unigramCounts(docs, textCol)
+    val counts = if (broadcastCounts) broadcast(counts0) else counts0
+    val vocab = counts0.orderBy(col("c").desc, col("word")).limit(topK)
       .select(col("word"), lit(1).as("in_vocab"))
     val toks = docs.select(col(idCol).as("id"),
       explode(split(col(textCol), " ")).as("word"))
-    toks.join(broadcast(counts), "word")
+    toks.join(counts, "word")
       .join(broadcast(vocab), Seq("word"), "left")
       .groupBy("id")
       .agg(
@@ -212,10 +216,15 @@ object TextStats {
       docs: DataFrame, idCol: String, stratumCol: String,
       fraction: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // multiplicative hash kept INSIDE Long range: id in the test corpora
-    // is < 2^31; (id * 2654435761) mod 2^32 is the classic Knuth mix,
-    // exact in 64-bit arithmetic so any engine reproduces it
-    val h = pmod(col(idCol) * lit(2654435761L), lit(4294967296L))
+    // multiplicative hash kept INSIDE Long range for ANY 64-bit id: the
+    // id is first reduced mod 2^31, so the product is < 2^31 * 2^32 <
+    // 2^63 — no silent wraparound (Spark non-ANSI would wrap, another
+    // engine would error, and the two would sample DIFFERENT rows).
+    // (id mod 2^31) * 2654435761 mod 2^32 is the classic Knuth mix,
+    // exact in 64-bit arithmetic so any engine reproduces it; for ids
+    // < 2^31 it equals the unreduced form.
+    val h = pmod(pmod(col(idCol), lit(2147483648L)) * lit(2654435761L),
+      lit(4294967296L))
     val w = Window.partitionBy(col(stratumCol)).orderBy(h, col(idCol))
     val cnt = Window.partitionBy(col(stratumCol))
     docs.withColumn("rnk", row_number().over(w))

@@ -53,10 +53,19 @@ object ConsultationDates {
 }
 
 /** History qualifier refinement using sections + dates (`eds.history`,
-  * `/root/reference/edsnlp/pipes/qualifiers/history/history.py`): an
-  * entity is history-of-illness if the cue-based qualifier fires, OR the
-  * entity sits in an antecedents section, OR its sentence holds a date
-  * older than `historyYears` before note_datetime.
+  * `/root/reference/edsnlp/pipes/qualifiers/history/history.py:390-586`),
+  * with the reference's DECISION RULE: per sentence, collect history
+  * cues (text cue anywhere in the entity's cue scope, an antecedents
+  * section covering the entity, a date older than `historyLimitDays`
+  * before note_datetime) and RECENT cues (a date within the limit —
+  * including "current"-direction relatives); then
+  * `history = cues.nonEmpty && recent.isEmpty` — a recent date VETOES
+  * even section and text cues (history.py:576), which is what keeps
+  * "hospitalisé pour asthme il y a 3 jours" inside an ANTÉCÉDENTS
+  * section from being flagged as history. A date equal to
+  * `birthDatetime` is excluded from history dates when
+  * `excludeBirthdate` (history.py:453-456) — birth dates sit far in the
+  * past but mark identity lines, not antecedents.
   */
 object History {
   def qualify(
@@ -66,29 +75,61 @@ object History {
       ents: Seq[Ent],
       sections: Seq[Ent] = Nil,
       noteDatetime: Option[java.time.LocalDateTime] = None,
-      historyYears: Int = 1): Seq[Ent] = {
+      historyLimitDays: Int = 365,
+      birthDatetime: Option[java.time.LocalDateTime] = None,
+      excludeBirthdate: Boolean = true): Seq[Ent] = {
     val cueBased = new graft.nlp.RuleQualifier(graft.nlp.Patterns.history)
       .qualify(text, tokens, sents, ents)
     val atcdSections = sections.filter(s =>
       s.label == "antecedents" || s.label == "antecedents_familiaux")
     val dates = Dates.extract(text, noteDatetime)
+    def resolved(d: Ent): Option[java.time.LocalDateTime] =
+      d.attrs.get("datetime").flatMap { iso =>
+        try Some(java.time.LocalDateTime.parse(iso))
+        catch { case _: Exception => None }
+      }
+    // classify each extracted date once: Some(true) = history date,
+    // Some(false) = recent date, None = unclassifiable (no reference)
+    val classified: Seq[(Ent, Boolean)] = dates.flatMap { d =>
+      val kind = d.attrs.getOrElse("kind", "")
+      val dir = d.attrs.getOrElse("direction", "")
+      (noteDatetime, resolved(d)) match {
+        case _ if kind == "period" => None
+        case (Some(ref), Some(dt)) if kind == "relative" || dir.nonEmpty =>
+          if (dir == "future") None
+          else if (dir == "current") {
+            // a "cette année / ce mois-ci" mention is a RECENT cue only
+            // when the limit covers its granularity (history.py:403-411)
+            val covers = d.attrs.getOrElse("unit", "jour") match {
+              case "annee" => historyLimitDays >= 365
+              case "mois" => historyLimitDays >= 30
+              case "semaine" => historyLimitDays >= 7
+              case _ => true
+            }
+            if (covers) Some((d, false)) else None
+          }
+          else {
+            val old = !dt.isAfter(ref.minusDays(historyLimitDays))
+            Some((d, old))
+          }
+        case (Some(ref), Some(dt)) => // absolute, note reference known
+          val recent = java.time.Duration.between(dt, ref).toDays <
+            historyLimitDays
+          if (recent) Some((d, false))
+          else if (excludeBirthdate && birthDatetime.contains(dt)) None
+          else Some((d, true))
+        case _ => None
+      }
+    }
     ents.zip(cueBased).map { case (e, (cueHit, _)) =>
       val inAtcd = atcdSections.exists(s => e.begin < s.end && e.end > s.begin)
       val sent = sents.find(s => e.begin < s.end && e.end > s.begin)
-      val oldDate = (noteDatetime, sent) match {
-        case (Some(ref), Some(sn)) =>
-          dates.exists { d =>
-            d.begin < sn.end && d.end > sn.begin &&
-            d.attrs.get("datetime").exists { iso =>
-              try java.time.LocalDateTime.parse(iso)
-                .isBefore(ref.minusYears(historyYears))
-              catch { case _: Exception => false }
-            }
-          }
-        case _ => false
-      }
-      e.copy(attrs = e.attrs +
-        ("history" -> (cueHit || inAtcd || oldDate).toString))
+      def inSent(d: Ent): Boolean =
+        sent.exists(sn => d.begin < sn.end && d.end > sn.begin)
+      val historyDate = classified.exists { case (d, old) => old && inSent(d) }
+      val recentDate = classified.exists { case (d, old) => !old && inSent(d) }
+      val history = (cueHit || inAtcd || historyDate) && !recentDate
+      e.copy(attrs = e.attrs + ("history" -> history.toString))
     }
   }
 }

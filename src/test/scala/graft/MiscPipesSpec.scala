@@ -50,6 +50,50 @@ class MiscPipesSpec extends AnyFunSuite {
     assert(out(1).attrs("history") === "false") // recent date, no cue
   }
 
+  test("history: reference scenario goldens (test_history.py)") {
+    // ported from /root/reference/tests/pipelines/qualifiers/
+    // test_history.py:12-97 (history_limit=15 days, note 2020-08-11,
+    // birth 1978-11-23): recency VETOES section cues, text cues win
+    // when the relative date exceeds the limit, birthdates are excluded
+    val note = java.time.LocalDateTime.parse("2020-08-11T00:00:00")
+    val birth = java.time.LocalDateTime.parse("1978-11-23T00:00:00")
+    def run(text: String, term: String,
+        useSections: Boolean = true): String = {
+      val tokens = toks(text)
+      val sents = Sentencizer.sentences(tokens)
+      val sections =
+        if (useSections) Sections.matcher()(text)._2 else Seq.empty
+      val i = text.indexOf(term)
+      val ents = Seq(Ent(i, i + term.length, "disease", term))
+      History.qualify(text, tokens, sents, ents, sections, Some(note),
+        historyLimitDays = 15, birthDatetime = Some(birth))
+        .head.attrs("history")
+    }
+    // text cue + relative date BEYOND the 15-day limit -> history
+    assert(run("Il a un antécédent d'asthme il y a 25 jours.",
+      "asthme") === "true")
+    // ANTÉCÉDENTS section but a recent date in the sentence -> the
+    // recency veto wins over the section cue
+    assert(run("Antécédents\nhospitalisé pour asthme il y a 3 jours.",
+      "asthme") === "false")
+    // ANTÉCÉDENTS section, no date -> history (default section behavior)
+    assert(run("Antécédents\nasthme critique.", "asthme") === "true")
+    // birthdate excluded: the only old date is the birth date -> not
+    // history; with excludeBirthdate=false it WOULD be a history cue
+    assert(run("Patient né le 23/11/1978, admis pour une toux.",
+      "toux", useSections = false) === "false")
+    val bdText = "Patient né le 23/11/1978, admis pour une toux."
+    val bdToks = toks(bdText)
+    val bdSents = Sentencizer.sentences(bdToks)
+    val bdEnts = {
+      val i = bdText.indexOf("toux")
+      Seq(Ent(i, i + 4, "disease", "toux"))
+    }
+    assert(History.qualify(bdText, bdToks, bdSents, bdEnts, Seq.empty,
+      Some(note), historyLimitDays = 15, birthDatetime = Some(birth),
+      excludeBirthdate = false).head.attrs("history") === "true")
+  }
+
   test("all 20 disorder/behavior configs build and detect their term") {
     val examples = Map(
       "ckd" -> "Patient en hémodialyse depuis 2019.",

@@ -417,6 +417,15 @@ object PipelineQueries {
         .select($"id".as("vec_id"), $"n_near")
         .orderBy($"vec_id")
     },
+    "q63_chunk_windows" -> { (s, d) =>
+      import s.implicits._
+      // training-sequence packing: 40-word windows at stride 30 (10
+      // words of cross-chunk context), pure codegen expressions. The
+      // oracle recomputes the window arithmetic from the word counts.
+      graft.text.TextStats.chunkWindows(documents(s, d), "doc_id",
+          "text", width = 40, stride = 30)
+        .orderBy($"doc_id", $"chunk_idx")
+    },
     "q62_frame_sample" -> { (s, d) =>
       import s.implicits._
       // video-as-bytes frame sampling on the declared surface: every
@@ -747,6 +756,16 @@ object PipelineQueries {
            (SELECT id_a, count(*) AS n_near FROM pairs GROUP BY id_a) n
            ON s.vec_id = n.id_a
          ORDER BY s.vec_id""",
+    "q63_chunk_windows" ->
+      """WITH w AS (SELECT doc_id, len(string_split(text, ' ')) AS n
+           FROM documents),
+         c AS (SELECT doc_id, n,
+             unnest(range(0, greatest(n, 1), 30)) AS b
+           FROM w)
+         SELECT doc_id, CAST(b // 30 AS BIGINT) AS chunk_idx,
+           CAST(b AS BIGINT) AS begin_word,
+           CAST(least(b + 40, n) AS BIGINT) AS end_word
+         FROM c ORDER BY doc_id, chunk_idx""",
     "q62_frame_sample" ->
       """WITH a AS (SELECT doc_id, text FROM documents
            WHERE regexp_matches(text, '^[\x00-\x7F]*$')),

@@ -195,6 +195,32 @@ object TextStats {
       .orderBy(col("n").desc, col("gram")).limit(k)
   }
 
+  /** Fixed-budget sequence chunking with stride — the training-sequence
+    * packing shape: each doc yields word-index windows
+    * `[k*stride, min(k*stride + width, n))` for `k*stride < n`, so a
+    * tokenizer downstream gets bounded inputs and overlapping context
+    * (`stride < width`) is preserved across chunk boundaries, exactly
+    * the windowing `eds.transformer` applies to long docs — surfaced
+    * here at the corpus level. Pure column expressions (sequence /
+    * explode inside whole-stage codegen): no UDF, no shuffle; the only
+    * exchange a caller adds is their own ordering.
+    */
+  def chunkWindows(
+      docs: DataFrame, idCol: String, textCol: String,
+      width: Int, stride: Int): DataFrame = {
+    require(width > 0 && stride > 0, "width and stride must be positive")
+    val n = size(split(col(textCol), " "))
+    docs
+      .withColumn("n", n)
+      .select(col(idCol), col("n"),
+        posexplode(sequence(lit(0), greatest(col("n") - 1, lit(0)),
+          lit(stride))).as(Seq("chunk_idx", "begin_word")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("begin_word").cast("long").as("begin_word"),
+        least(col("begin_word") + width, col("n")).cast("long")
+          .as("end_word"))
+  }
+
   /** EXACT deterministic stratified sampling — the corpus-mixing /
     * train-split operator: within each stratum (language, source,
     * domain), keep exactly `ceil(fraction * stratum_size)` rows, chosen

@@ -418,6 +418,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out === Seq((0L, 1L, 6L), (1L, 0L, 5L)))
   }
 
+  test("chunkWindows packs word windows with stride overlap") {
+    val docs = Seq(
+      (0L, Seq.fill(70)("w").mkString(" ")), // 70 words
+      (1L, "a b c")                          // shorter than one window
+    ).toDF("doc_id", "text")
+    val out = TextStats.chunkWindows(docs, "doc_id", "text",
+        width = 40, stride = 30)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 0: starts 0/30/60 -> [0,40) [30,70) [60,70); doc 1: [0,3)
+    assert(out.toSeq === Seq(
+      (0L, 0L, 0L, 40L), (0L, 1L, 30L, 70L), (0L, 2L, 60L, 70L),
+      (1L, 0L, 0L, 3L)))
+  }
+
   test("stratifiedSample keeps exact ceil-quotas per stratum, reproducibly") {
     val docs = (0L until 100L).map(i =>
       (i, if (i % 3 == 0) "en" else "fr")).toDF("doc_id", "lang")

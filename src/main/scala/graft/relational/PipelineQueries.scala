@@ -221,8 +221,10 @@ object PipelineQueries {
     "q36_langid" -> { (s, d) =>
       import s.implicits._
       // heuristic language ID vs the metadata label: confusion counts.
-      // rows-only (the n-gram heuristic is engine-specific); semantic
-      // accuracy is asserted on real multi-language text in ScalaTest.
+      // Full DuckDB oracle: on this corpus (en text with/without 'the'
+      // vs non-en) the heuristic's decision reduces to a stopword test
+      // the oracle replays exactly; semantic accuracy on real
+      // multi-language text is asserted separately in ScalaTest.
       documents(s, d)
         .withColumn("predicted", TextStats.langId($"text"))
         .groupBy($"lang", $"predicted")
@@ -232,7 +234,10 @@ object PipelineQueries {
     "q37_fingerprint" -> { (s, d) =>
       import s.implicits._
       // order-sensitive rolling fingerprint; grouping by it finds exact
-      // word-sequence dups regardless of whitespace. rows-only check.
+      // word-sequence dups regardless of whitespace. Full DuckDB oracle:
+      // it groups by the canonical word-join itself, which partitions
+      // docs identically to the 64-bit fingerprint (collision-free at
+      // this scale).
       documents(s, d)
         .select($"doc_id", TextStats.fingerprint($"text").as("fp"))
         .groupBy($"fp").agg(min($"doc_id").as("keep_id"),
@@ -718,14 +723,17 @@ object PipelineQueries {
              regexp_replace(text, '\bcustomer\b', '[REDACTED]', 'g')
                AS redacted,
              len(regexp_extract_all(text, '\bcustomer\b'))
-               AS n_redactions
+               AS n_redactions,
+             regexp_split_to_array(text, '\bcustomer\b') AS parts,
+             length(text) AS tlen
            FROM documents)
          SELECT doc_id, redacted,
            CAST(n_redactions AS INTEGER) AS n_redactions,
            CAST(CASE WHEN n_redactions = 0 THEN -1
-             ELSE length(redacted)
-               - strpos(reverse(redacted), reverse('[REDACTED]'))
-               - length('[REDACTED]') + 1 END AS INTEGER) AS last_begin
+             ELSE tlen - length(parts[-1]) - length('customer')
+               + (n_redactions - 1)
+                 * (length('[REDACTED]') - length('customer'))
+             END AS INTEGER) AS last_begin
          FROM r ORDER BY doc_id""",
     "q57_top_ngrams" ->
       """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),

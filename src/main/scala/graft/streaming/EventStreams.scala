@@ -171,7 +171,17 @@ object EventStreams {
       docs: DataFrame, // streaming (doc_id, ts, text)
       benchmark: DataFrame, // BATCH (text) benchmark corpus
       n: Int = 8,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      maxBenchmarkRows: Long = 1000000L): DataFrame = {
+    // Fail fast instead of OOMing the driver if a corpus-sized frame is
+    // passed where an eval set belongs — the collect below is by design
+    // (eval sets are small), but the mistake deserves a clear message.
+    val benchRows = benchmark.count()
+    require(benchRows <= maxBenchmarkRows,
+      s"benchmark has $benchRows rows (> $maxBenchmarkRows): this is " +
+        "collected to the driver and broadcast. For corpus-sized " +
+        "benchmark sets use the batch Dedup.decontaminate path, or " +
+        "raise maxBenchmarkRows explicitly.")
     val grams = scala.collection.mutable.HashSet.empty[Long]
     benchmark.select(col(textCol)).collect().foreach { r =>
       graft.dedup.Shingling.foreachShingleHash(r.getString(0), n)(grams += _)

@@ -230,34 +230,132 @@ object TextStats {
     * Training-data pipelines need the EXACT quota form when mixing
     * proportions are part of the data recipe.
     *
-    * Scale note: rank-within-stratum is a window sort partitioned by the
-    * stratum key — one shuffle whose width is the corpus, the honest
-    * cost of exact quotas. Strata are typically few and large; if one
-    * stratum dominates, pre-aggregate per-stratum thresholds on a
-    * sample instead (approximate quantile of the hash) and keep rows
-    * under the threshold — approximate but shuffle-free. This operator
-    * is the exact path.
+    * Scale shape: exact per-stratum quotas WITHOUT a per-stratum sort.
+    * A `row_number` window partitioned by stratum funnels each stratum
+    * through one reducer — with a handful of strata (languages) that is
+    * the whole corpus through ~5 tasks at 100 TB. Instead, the quota-th
+    * smallest hash per stratum is found by histogram descent on the
+    * bounded 32-bit hash: one groupBy over (stratum, high 16 hash bits),
+    * the driver picks each stratum's boundary bucket (strata x <=65536
+    * count rows), one narrow groupBy inside the boundary buckets over
+    * the low 16 bits, and a tie pass on the exact threshold hash. Every
+    * pass is a map-side-combining aggregate; the returned plan is
+    * scan -> broadcast threshold join -> filter. Same hash, same quota,
+    * same (hash, id) tie order as the window form — bit-identical
+    * output.
+    *
+    * Ties: two rows share a hash iff their ids collide mod 2^31, so the
+    * threshold-hash tie set holds ~stratum_size/2^31 rows (a few hundred
+    * at 10^12 rows) — safe to collect for the exact id tie-break.
+    *
+    * Quota is computed in exact decimal arithmetic
+    * (`BigDecimal(fraction.toString)`), matching a SQL engine's DECIMAL
+    * literal — double `ceil(n * 0.2)` can round up one row extra when
+    * `n*fraction` is an exact integer. Ids must be non-negative: the
+    * hash uses `pmod`, where SQL `%` is sign-preserving, so a negative
+    * id would rank differently in another engine.
     */
   def stratifiedSample(
       docs: DataFrame, idCol: String, stratumCol: String,
       fraction: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // multiplicative hash kept INSIDE Long range for ANY 64-bit id: the
-    // id is first reduced mod 2^31, so the product is < 2^31 * 2^32 <
-    // 2^63 — no silent wraparound (Spark non-ANSI would wrap, another
-    // engine would error, and the two would sample DIFFERENT rows).
-    // (id mod 2^31) * 2654435761 mod 2^32 is the classic Knuth mix,
-    // exact in 64-bit arithmetic so any engine reproduces it; for ids
-    // < 2^31 it equals the unreduced form.
+    require(fraction > 0.0 && fraction <= 1.0,
+      s"fraction must be in (0, 1], got $fraction")
+    // multiplicative hash kept INSIDE Long range for any non-negative
+    // 64-bit id: the id is first reduced mod 2^31, so the product is
+    // < 2^31 * 2^32 < 2^63 — no silent wraparound (Spark non-ANSI would
+    // wrap, another engine would error, and the two would sample
+    // DIFFERENT rows). (id mod 2^31) * 2654435761 mod 2^32 is the
+    // classic Knuth mix, exact in 64-bit arithmetic so any engine
+    // reproduces it; for ids < 2^31 it equals the unreduced form.
     val h = pmod(pmod(col(idCol), lit(2147483648L)) * lit(2654435761L),
       lit(4294967296L))
-    val w = Window.partitionBy(col(stratumCol)).orderBy(h, col(idCol))
-    val cnt = Window.partitionBy(col(stratumCol))
-    docs.withColumn("rnk", row_number().over(w))
-      .withColumn("quota",
-        ceil(count(lit(1)).over(cnt) * lit(fraction)).cast("long"))
-      .filter(col("rnk") <= col("quota"))
-      .drop("rnk", "quota")
+    val spark = docs.sparkSession
+    val base = docs.select(
+      col(stratumCol).as("_s"), col(idCol).as("_id"), h.as("_h"))
+
+    val frac = BigDecimal(fraction.toString)
+    def quotaOf(n: Long): Long =
+      (BigDecimal(n) * frac)
+        .setScale(0, BigDecimal.RoundingMode.CEILING).toLong
+
+    // Pass 1: per-(stratum, high-16-bits) counts. Driver walks each
+    // stratum's buckets in hash order to locate the bucket containing
+    // the quota-th smallest hash and the rank remaining inside it.
+    val hiCounts = base
+      .groupBy(col("_s"), shiftright(col("_h"), 16).as("_b"))
+      .agg(count(lit(1)).as("_c"))
+      .collect()
+      .groupBy(_.getAs[Any]("_s"))
+    // stratum -> (hiBucket, rank remaining within the bucket)
+    val hiBoundary = hiCounts.map { case (s, rows) =>
+      val buckets = rows.map(r =>
+        (r.getAs[Long]("_b"), r.getAs[Long]("_c"))).sortBy(_._1)
+      val q = quotaOf(buckets.map(_._2).sum)
+      var cum = 0L
+      var i = 0
+      while (cum + buckets(i)._2 < q) { cum += buckets(i)._2; i += 1 }
+      (s, (buckets(i)._1, q - cum))
+    }
+
+    import spark.implicits._
+    def boundaryDf(m: Map[Any, Long], valName: String): DataFrame = {
+      val rows = m.toSeq.map { case (s, v) => (Option(s).map(_.toString), v) }
+      rows.toDF("_bs", valName)
+        .withColumn("_bs", col("_bs").cast(
+          base.schema("_s").dataType))
+    }
+    val hiDf = boundaryDf(hiBoundary.map { case (s, (b, _)) => (s, b) },
+      "_bhi")
+
+    // Pass 2: inside each stratum's boundary bucket only (narrow scan),
+    // per-low-16-bits counts -> the exact threshold hash per stratum and
+    // the rank remaining among rows that tie on it.
+    val loCounts = base
+      .join(broadcast(hiDf), col("_s") <=> col("_bs") &&
+        shiftright(col("_h"), 16) === col("_bhi"))
+      .groupBy(col("_s"), col("_h").bitwiseAND(lit(65535L)).as("_b"))
+      .agg(count(lit(1)).as("_c"))
+      .collect()
+      .groupBy(_.getAs[Any]("_s"))
+    // stratum -> (threshold hash, rank remaining among ties)
+    val thresholds = loCounts.map { case (s, rows) =>
+      val buckets = rows.map(r =>
+        (r.getAs[Long]("_b"), r.getAs[Long]("_c"))).sortBy(_._1)
+      var rem = hiBoundary(s)._2
+      var i = 0
+      while (buckets(i)._2 < rem) { rem -= buckets(i)._2; i += 1 }
+      (s, ((hiBoundary(s)._1 << 16) | buckets(i)._1, rem))
+    }
+
+    // Pass 3: exact id tie-break at the threshold hash. The tie set is
+    // the mod-2^31 collision class of one hash value — tiny (see doc).
+    val thrDf = boundaryDf(thresholds.map { case (s, (t, _)) => (s, t) },
+      "_thr")
+    val tieIds = base
+      .join(broadcast(thrDf), col("_s") <=> col("_bs") &&
+        col("_h") === col("_thr"))
+      .groupBy(col("_s"))
+      .agg(sort_array(collect_list(col("_id"))).as("_ids"))
+      .collect()
+      .map { r =>
+        val s = r.getAs[Any]("_s")
+        val ids = r.getSeq[Any](1)
+        (s, ids(thresholds(s)._2.toInt - 1))
+      }.toMap
+
+    // Final plan: scan -> broadcast (stratum -> threshold, tieId) join
+    // -> filter. No window, no sort, no per-stratum serialization.
+    val cutRows = thresholds.toSeq.map { case (s, (t, _)) =>
+      (Option(s).map(_.toString), t, tieIds(s).toString)
+    }
+    val cuts = cutRows.toDF("_bs", "_thr", "_tie")
+      .withColumn("_bs", col("_bs").cast(base.schema("_s").dataType))
+      .withColumn("_tie", col("_tie").cast(base.schema("_id").dataType))
+    docs
+      .join(broadcast(cuts), col(stratumCol) <=> col("_bs") &&
+        (h < col("_thr") ||
+          (h === col("_thr") && col(idCol) <= col("_tie"))))
+      .select(docs.columns.map(docs.col): _*)
   }
 
   /** Occurrence count of the most frequent word `n`-gram. With the

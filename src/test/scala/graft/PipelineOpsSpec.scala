@@ -448,6 +448,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("stratifiedSample matches the brute-force (hash, id) rank order") {
+    // irregular ids, including mod-2^31 hash collisions (i and
+    // i + 2^31 share a hash -> the id tie-break must decide)
+    val ids = (0L until 40L).map(_ * 7L + 3L) ++
+      Seq(5L, 5L + 2147483648L, 12L + 2147483648L)
+    val docs = ids.zipWithIndex.map { case (id, i) =>
+      (id, if (i % 2 == 0) "a" else "b") }.toDF("doc_id", "lang")
+    def hash(id: Long): Long = ((id % 2147483648L) * 2654435761L) %
+      4294967296L
+    val expected = ids.zipWithIndex
+      .map { case (id, i) => (id, if (i % 2 == 0) "a" else "b") }
+      .groupBy(_._2).flatMap { case (_, rows) =>
+        val q = (BigDecimal(rows.size) * BigDecimal("0.3"))
+          .setScale(0, BigDecimal.RoundingMode.CEILING).toInt
+        rows.sortBy { case (id, _) => (hash(id), id) }.take(q)
+      }.map(_._1).toSet
+    val got = TextStats.stratifiedSample(docs, "doc_id", "lang", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === expected)
+  }
+
+  test("stratifiedSample quota is decimal-exact and its plan is sort-free") {
+    // n*fraction an exact integer: double ceil(10 * 0.2) = 3 (0.2 is
+    // 0.2000...0001 in binary); the decimal quota must give exactly 2
+    val docs = (0L until 10L).map((_, "x")).toDF("doc_id", "lang")
+    val out = TextStats.stratifiedSample(docs, "doc_id", "lang", 0.2)
+    assert(out.count() === 2L)
+    // scale shape: no window / per-stratum sort anywhere in the plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.toLowerCase.contains("sort "), plan)
+  }
+
   test("redactWithSpans maps the last edit begin through prior deltas") {
     val docs = Seq(
       (0L, "call customer now customer end"),

@@ -154,13 +154,22 @@ object Patterns {
       "évoquerait", "évoqueraient", "correspondrait", "correspondraient",
       "s'agirait", "suggérerait", "resterait", "faudrait que"),
     following = Seq(
-      "?", "envisagé", "envisagée", "envisageable", "envisageables",
+      "?", "envisageable", "envisageables",
       "hypothétique", "hypothétiquement", "hypothétiques",
       "pas certain", "pas certaine", "pas clair", "pas claire",
       "pas confirmé", "pas confirmée", "pas confirmés", "pas confirmées",
       "pas évident", "pas évidente", "pas sûr", "pas sûre",
       "possibilité", "possible", "potentiel", "potentielle", "potentiels",
-      "probable", "probables", "suspecté", "suspectée", "à confirmer"),
+      "probable", "probables", "à confirmer",
+      // past participles of verbs_hyp become FOLLOWING cues in the
+      // reference (hypothesis.py:257-259: tense == "Participe Passé"
+      // -> list_hypo_verbs_following) — all gender/number forms
+      "envisagé", "envisagée", "envisagés", "envisagées",
+      "exploré", "explorée", "explorés", "explorées",
+      "recherché", "recherchée", "recherchés", "recherchées",
+      "soupçonné", "soupçonnée", "soupçonnés", "soupçonnées",
+      "suggéré", "suggérée", "suggérés", "suggérées",
+      "suspecté", "suspectée", "suspectés", "suspectées", "douté"),
     precedingRegex = Seq("(?i)suspicion(s)?\\s+(de|d')"),
     termination = termination)
 
@@ -188,7 +197,12 @@ object Patterns {
       "veut", "voulant", "souhaitant", "promettant", "jurant"),
     following = Seq("d'après le patient", "d'après la patiente"),
     precedingRegex = Seq.empty,
-    termination = termination,
+    // reported speech is the ONE reference qualifier that scopes by
+    // sentence only: process calls _boundaries WITHOUT terminations
+    // (reported_speech.py:236 vs negation.py:304 etc.), so "Rapporte
+    // une tristesse avec des idées suicidaires" keeps the verb in
+    // scope across "avec"
+    termination = Seq.empty,
     // the reference flags entities INSIDE quotation marks
     // (reported_speech patterns.py `quotation`) — a containment cue
     containingRegex = Seq("(\"[^\"]+\")|(«[^»]+»)"))

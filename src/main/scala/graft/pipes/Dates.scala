@@ -49,7 +49,7 @@ object Dates {
     "dix" -> 10, "onze" -> 11, "douze" -> 12, "quinze" -> 15,
     "vingt" -> 20, "trente" -> 30, "quarante" -> 40, "cinquante" -> 50)
 
-  private val unitSeconds: Map[String, Long] = Map(
+  private[pipes] val unitSeconds: Map[String, Long] = Map(
     "seconde" -> 1L, "minute" -> 60L, "heure" -> 3600L, "jour" -> 86400L,
     "semaine" -> 604800L, "mois" -> 2592000L, "an" -> 31536000L,
     "annee" -> 31536000L,

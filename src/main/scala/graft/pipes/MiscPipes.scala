@@ -83,42 +83,69 @@ object History {
     val atcdSections = sections.filter(s =>
       s.label == "antecedents" || s.label == "antecedents_familiaux")
     val dates = Dates.extract(text, noteDatetime)
-    def resolved(d: Ent): Option[java.time.LocalDateTime] =
+    // absolute-date resolution with the reference's infer-from-context
+    // defaults (history.py:434-439 passes default_day=15; models.py:
+    // 85-178): missing year/month come from the note datetime (month
+    // falls to default_month=1 when the day is also missing), a missing
+    // day becomes 15 — so "en 2015" and "03/2021" classify instead of
+    // being silently dropped.
+    def resolved(d: Ent, ref: java.time.LocalDateTime)
+        : Option[java.time.LocalDateTime] =
       d.attrs.get("datetime").flatMap { iso =>
         try Some(java.time.LocalDateTime.parse(iso))
         catch { case _: Exception => None }
+      }.orElse {
+        val y = d.attrs.get("year").map(_.toInt)
+        val mo = d.attrs.get("month").map(_.toInt)
+        val day = d.attrs.get("day").map(_.toInt)
+        if (y.isEmpty && mo.isEmpty && day.isEmpty) None
+        else try Some(java.time.LocalDateTime.of(
+          y.getOrElse(ref.getYear),
+          mo.getOrElse(if (day.isEmpty) 1 else ref.getMonthValue),
+          day.getOrElse(15), 0, 0))
+        catch { case _: Exception => None } // e.g. 31/02 -> skip
       }
     // classify each extracted date once: Some(true) = history date,
     // Some(false) = recent date, None = unclassifiable (no reference)
     val classified: Seq[(Ent, Boolean)] = dates.flatMap { d =>
       val kind = d.attrs.getOrElse("kind", "")
       val dir = d.attrs.getOrElse("direction", "")
-      (noteDatetime, resolved(d)) match {
-        case _ if kind == "period" => None
-        case (Some(ref), Some(dt)) if kind == "relative" || dir.nonEmpty =>
-          if (dir == "future") None
-          else if (dir == "current") {
-            // a "cette année / ce mois-ci" mention is a RECENT cue only
-            // when the limit covers its granularity (history.py:403-411)
-            val covers = d.attrs.getOrElse("unit", "jour") match {
-              case "annee" => historyLimitDays >= 365
-              case "mois" => historyLimitDays >= 30
-              case "semaine" => historyLimitDays >= 7
-              case _ => true
-            }
-            if (covers) Some((d, false)) else None
+      if (kind == "period" || kind == "duration") None
+      else if (kind == "relative" || dir.nonEmpty) {
+        if (dir == "future") None
+        else if (dir == "current") {
+          // a "cette année / ce mois-ci" mention is a RECENT cue only
+          // when the limit covers its granularity (history.py:403-411)
+          val covers = d.attrs.getOrElse("unit", "jour") match {
+            case "annee" => historyLimitDays >= 365
+            case "mois" => historyLimitDays >= 30
+            case "semaine" => historyLimitDays >= 7
+            case _ => true
           }
-          else {
-            val old = !dt.isAfter(ref.minusDays(historyLimitDays))
-            Some((d, old))
-          }
-        case (Some(ref), Some(dt)) => // absolute, note reference known
-          val recent = java.time.Duration.between(dt, ref).toDays <
-            historyLimitDays
-          if (recent) Some((d, false))
-          else if (excludeBirthdate && birthDatetime.contains(dt)) None
-          else Some((d, true))
-        case _ => None
+          if (covers) Some((d, false)) else None
+        } else {
+          // past relative: duration vs the limit — needs NO note
+          // datetime (history.py:415-421 compares to_duration to the
+          // limit directly), so "il y a 3 ans" classifies on undated
+          // notes too
+          val secs = for {
+            v <- d.attrs.get("value")
+            u <- d.attrs.get("unit")
+            s <- Dates.unitSeconds.get(u)
+          } yield s * v.toLong
+          secs.map(s => (d, s >= historyLimitDays.toLong * 86400L))
+        }
+      } else noteDatetime match { // absolute: note reference required
+        case Some(ref) => resolved(d, ref) match {
+          case Some(dt) =>
+            val recent = java.time.Duration.between(dt, ref).toDays <
+              historyLimitDays
+            if (recent) Some((d, false))
+            else if (excludeBirthdate && birthDatetime.contains(dt)) None
+            else Some((d, true))
+          case None => None
+        }
+        case None => None
       }
     }
     ents.zip(cueBased).map { case (e, (cueHit, _)) =>

@@ -92,6 +92,27 @@ class MiscPipesSpec extends AnyFunSuite {
     assert(History.qualify(bdText, bdToks, bdSents, bdEnts, Seq.empty,
       Some(note), historyLimitDays = 15, birthDatetime = Some(birth),
       excludeBirthdate = false).head.attrs("history") === "true")
+    // PARTIAL absolute dates resolve with the reference defaults
+    // (models.py:85-178, default_day=15): bare year "en 2015" ->
+    // 2015-01-15, far past -> history even without a cue word
+    assert(run("Patient opéré pour asthme en 2015.", "asthme",
+      useSections = false) === "true")
+    // month/year "en 08/2020" -> 2020-08-15, within the 15-day limit
+    // of note 2020-08-11 -> RECENT, vetoes the section cue
+    assert(run("Antécédents\nhospitalisé pour asthme en 08/2020.",
+      "asthme") === "false")
+    // relative past dates classify WITHOUT a note datetime
+    // (history.py:415-421 compares the duration to the limit directly)
+    val relText = "Il a un antécédent d'asthme il y a 25 jours."
+    val relToks = toks(relText)
+    val relSents = Sentencizer.sentences(relToks)
+    val relEnts = {
+      val i = relText.indexOf("asthme")
+      Seq(Ent(i, i + 6, "disease", "asthme"))
+    }
+    assert(History.qualify(relText, relToks, relSents, relEnts, Seq.empty,
+      noteDatetime = None, historyLimitDays = 15)
+      .head.attrs("history") === "true")
   }
 
   test("all 20 disorder/behavior configs build and detect their term") {
@@ -146,5 +167,74 @@ class MiscPipesSpec extends AnyFunSuite {
     assert(run(rep, "Au dossier : « douleur thoracique » depuis hier.", "douleur"))
     assert(run(rep, "Au dossier : \"douleur thoracique\" depuis hier.", "douleur"))
     assert(!run(rep, "Au dossier : douleur thoracique depuis hier.", "douleur"))
+  }
+
+  test("reported speech: full reference bank (test_reported_speech.py)") {
+    // ported from /root/reference/tests/pipelines/qualifiers/
+    // test_reported_speech.py:9-43 — every annotated example, span +
+    // expected reported_speech value
+    val rep = new RuleQualifier(Patterns.reportedSpeech)
+    def runAt(text: String, entText: String, from: Int = 0): Boolean = {
+      val tokens = toks(text)
+      val sents = Sentencizer.sentences(tokens)
+      val b = text.indexOf(entText, from)
+      assert(b >= 0, s"'$entText' not in '$text'")
+      rep.qualify(text, tokens, sents,
+        Seq(Ent(b, b + entText.length, "ent", entText))).head._1
+    }
+    // 1: quote containment, no verb needed
+    assert(runAt("Elles sont décrites par X.x. comme des appels à " +
+      "l'aide « La pendaison a permis mon hospitalisation ».",
+      "pendaison"))
+    // 2: preceding verb "rapporte"
+    assert(runAt("Rapporte une tristesse de l'humeur avec des idées " +
+      "suicidiares à type de pendaison,", "suicidiares"))
+    // 3: preceding verb "décrit", entity later in the same sentence
+    assert(runAt("Décrit un fléchissement thymique depuis environ " +
+      "1 semaine avec idées suicidaires scénarisées (intoxication " +
+      "médicamenteuse volontaire)", "intoxication"))
+    // 4: "dit" verb scope
+    assert(runAt("Dit ne pas savoir comment elle est tombé. " +
+      "Minimise la chute. Dit que \"ça arrive. Badaboum\". " +
+      "Dit ne pas avoir fait IMV.", "IMV"))
+    // 5: "dit qu'" scope reaching the entity in the same sentence
+    assert(runAt("Le patient parle \"d'en finir\", et dit qu'il a " +
+      "pensé plusieurs fois à se pendre où à se faire une phlébotomie " +
+      "lorsqu'il était dans la rue, diminution de ces idées noires " +
+      "depuis qu'il vit chez son fils", "phlébotomie"))
+    // 6: NO leakage across sentences — first "malade" is inside the
+    // "dit qu'" sentence, the second is a plain statement
+    val leak = "le patient est admis pour coronavirus. il dit qu'il " +
+      "n'est pas malade.\nles tests sont positifs.\nil est malade"
+    val first = leak.indexOf("malade")
+    assert(runAt(leak, "malade"))
+    assert(!runAt(leak, "malade", from = first + 1))
+  }
+
+  test("hypothesis: full reference bank (test_hypothesis.py)") {
+    // ported from /root/reference/tests/pipelines/qualifiers/
+    // test_hypothesis.py:9-19 — every annotated example
+    val hyp = new RuleQualifier(Patterns.hypothesis)
+    def run(text: String, entText: String): Boolean = {
+      val tokens = toks(text)
+      val sents = Sentencizer.sentences(tokens)
+      val b = text.indexOf(entText)
+      assert(b >= 0, s"'$entText' not in '$text'")
+      hyp.qualify(text, tokens, sents,
+        Seq(Ent(b, b + entText.length, "ent", entText))).head._1
+    }
+    // 1: "possible" preceding cue
+    assert(run("Possible covid-19", "covid-19"))
+    // 2: "envisagés" following hypothesis verb
+    assert(run("Plusieurs diagnostics sont envisagés. " +
+      "Le patient est informé.", "diagnostics"))
+    // 3: pseudo cue "même si" -> NOT hypothesis
+    assert(!run("même si le patient est jeune.", "le patient est jeune"))
+    // 4: "suspicion de" preceding cue
+    assert(run("Suspicion de diabète.", "diabète"))
+    // 5: plain statement -> certain
+    assert(!run("Le ligament est rompu.", "rompu"))
+    // 6: "mais" terminates the "probablement" scope -> certain
+    assert(!run("Probablement du diabète mais pas de cécité.", "cécité"))
   }
 }

@@ -34,5 +34,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         arity2("graft_split_text", children)(
           functions.SplitTextGenerator(_, _))))
+    // text-hash expressions: trailing args must be integer literals
+    def litInt(name: String, e: Expression): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case _ => throw new IllegalArgumentException(
+        s"$name requires integer literal arguments after the column")
+    }
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(
+        classOf[functions.TextHashExpressions.SimHashFingerprint].getName,
+        "graft_simhash"),
+      (children: Seq[Expression]) => {
+        if (children.size != 3)
+          throw new IllegalArgumentException(
+            s"graft_simhash(text, n, nbits) takes 3 args, got ${children.size}")
+        functions.TextHashExpressions.SimHashFingerprint(children(0),
+          litInt("graft_simhash", children(1)),
+          litInt("graft_simhash", children(2)))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(
+        classOf[functions.TextHashExpressions.MinHashSignatureFromText].getName,
+        "graft_minhash_sig"),
+      (children: Seq[Expression]) => {
+        if (children.size != 3)
+          throw new IllegalArgumentException(
+            s"graft_minhash_sig(text, n, k) takes 3 args, got ${children.size}")
+        functions.TextHashExpressions.MinHashSignatureFromText(children(0),
+          litInt("graft_minhash_sig", children(1)),
+          litInt("graft_minhash_sig", children(2)))
+      }))
   }
 }

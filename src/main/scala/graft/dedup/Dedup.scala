@@ -70,23 +70,45 @@ object Dedup {
     * `minHashSignature` up to the underlying shingle hash family; LSH
     * recall at the verified thresholds is unaffected.
     */
-  def minHashSignatureFromText(text: Column, n: Int, k: Int): Column = {
-    val perms: Array[(Long, Long)] = Array.tabulate(k)(perm)
-    val f = udf((s: String) => {
-      val sig = Array.fill(k)(Long.MaxValue)
-      Shingling.foreachShingleHash(s, n) { z =>
-        val hp = math.floorMod(z, P)
-        var b = 0
-        while (b < k) {
-          val (a, c0) = perms(b)
-          val v = math.floorMod(a * hp + c0, P)
-          if (v < sig(b)) sig(b) = v
-          b += 1
+  def minHashSignatureFromText(text: Column, n: Int, k: Int): Column =
+    // native codegen'd expression; coalesce preserves the legacy UDF's
+    // null -> all-MaxValue signature
+    coalesce(
+      graft.functions.TextHashExpressions.minhashSignature(text, n, k),
+      array((0 until k).map(_ => lit(Long.MaxValue)): _*))
+
+  // flat (a0, b0, a1, b1, ...) permutation parameters per k, cached so
+  // the codegen'd expression pays no per-row setup
+  private val permCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+
+  /** Row-local fused MinHash signature (called from the codegen'd
+    * [[graft.functions.TextHashExpressions.MinHashSignatureFromText]]).
+    */
+  def minhashSigArray(s: String, n: Int, k: Int): Array[Long] = {
+    val ps = permCache.computeIfAbsent(k,
+      (kk: Int) => {
+        val arr = new Array[Long](2 * kk)
+        var i = 0
+        while (i < kk) {
+          val (a, b) = perm(i)
+          arr(2 * i) = a
+          arr(2 * i + 1) = b
+          i += 1
         }
+        arr
+      })
+    val sig = Array.fill(k)(Long.MaxValue)
+    Shingling.foreachShingleHash(s, n) { z =>
+      val hp = math.floorMod(z, P)
+      var b = 0
+      while (b < k) {
+        val v = math.floorMod(ps(2 * b) * hp + ps(2 * b + 1), P)
+        if (v < sig(b)) sig(b) = v
+        b += 1
       }
-      sig.toSeq
-    })
-    f(text)
+    }
+    sig
   }
 
   /** Exact duplicate groups: hash-groupBy on content. Returns one row per

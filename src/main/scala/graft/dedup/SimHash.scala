@@ -139,10 +139,13 @@ object SimHash {
     * round-1 profiling eliminated from the FNV path. MD5 is MD5
     * everywhere: the fused result stays bit-identical to the oracle.
     */
-  def simhashPortable(text: Column, n: Int, nbits: Int = 60): Column = {
-    val f = udf((s: String) => portableFingerprint(s, n, nbits))
-    f(text)
-  }
+  def simhashPortable(text: Column, n: Int, nbits: Int = 60): Column =
+    // native codegen'd expression; coalesce preserves the legacy UDF's
+    // null -> 0L so plans and oracles downstream are unchanged
+    coalesce(
+      graft.functions.TextHashExpressions
+        .simhashFingerprint(text, n, nbits),
+      lit(0L))
 
   // one MessageDigest per executor thread, reset per shingle — MD5
   // instances are not thread-safe and getInstance per row allocates
@@ -161,8 +164,7 @@ object SimHash {
     * over all available words) and dedups shingles like
     * `array_distinct`.
     */
-  private[dedup] def portableFingerprint(
-      s: String, n: Int, nbits: Int): Long = {
+  def portableFingerprint(s: String, n: Int, nbits: Int): Long = {
     if (s == null) return 0L
     val words = s.split(" ", -1)
     val count = math.max(words.length - n + 1, 1)

@@ -431,6 +431,30 @@ object PipelineQueries {
           "text", width = 40, stride = 30)
         .orderBy($"doc_id", $"chunk_idx")
     },
+    "q64_lsh_observability" -> { (s, d) =>
+      import s.implicits._
+      // dropped-bucket observability: the LSH maxBucket cap is a recall
+      // tradeoff that must be MEASURED, not just designed. Plant a
+      // 50-copy boilerplate cluster (every band bucket of it exceeds
+      // the cap), run capped candidate generation, and emit one row:
+      // how many buckets the cap dropped and how many candidate pairs
+      // survived. Rows-only check: the signature family is
+      // engine-internal; the planted cluster guarantees a nonzero drop
+      // at every scale factor, spec-asserted in PipelineOpsSpec.
+      val docs = documents(s, d)
+      val boiler = docs.orderBy($"doc_id").limit(1)
+        .select($"text")
+        .crossJoin(s.range(1000000L, 1000050L).toDF("doc_id"))
+        .select($"doc_id", $"text")
+      val corpus = docs.select($"doc_id", $"text").union(boiler)
+      val sigs = corpus.select($"doc_id".as("id"),
+        Dedup.minHashSignatureFromText($"text", 3, 64).as("sig"))
+      val acc = s.sparkContext.longAccumulator("q64_dropped_buckets")
+      val pairs = Dedup.lshCandidatePairs(sigs, "id", bands = 16,
+        sigLength = 64, maxBucket = 32, droppedBuckets = Some(acc))
+      val kept = pairs.count()
+      Seq((acc.value.longValue, kept)).toDF("dropped_buckets", "kept_pairs")
+    },
     "q62_frame_sample" -> { (s, d) =>
       import s.implicits._
       // video-as-bytes frame sampling on the declared surface: every

@@ -39,6 +39,34 @@ class EquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  test("spread repartitions a single-file scan but not a multi-file one") {
+    // the conditional spread (DocQueries.spread) must insert its
+    // round-robin exchange ONLY when the scan arrives under-split (one
+    // small parquet file); a fragmented source (the 100 TB case) must
+    // pass through untouched
+    val spark = TestSpark.spark
+    val docs = relational.Tables.documents(spark, sf)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-spread").toString
+    docs.coalesce(1).write.mode("overwrite")
+      .parquet(s"$tmp/one/documents.parquet")
+    docs.repartition(8).write.mode("overwrite")
+      .parquet(s"$tmp/many/documents.parquet")
+    def plan(dir: String): String =
+      SparkEntry.queries("q22_ents_explode")(spark, dir)
+        .queryExecution.executedPlan.toString
+    assert(plan(s"$tmp/one").contains("RoundRobinPartitioning"),
+      "single-file scan should be spread across cores")
+    assert(!plan(s"$tmp/many").contains("RoundRobinPartitioning"),
+      "multi-file scan must not pay a spurious repartition shuffle")
+    // identity of results across both layouts
+    val a = SparkEntry.queries("q22_ents_explode")(spark, s"$tmp/one")
+      .collect().map(_.toString).sorted.toSeq
+    val b = SparkEntry.queries("q22_ents_explode")(spark, s"$tmp/many")
+      .collect().map(_.toString).sorted.toSeq
+    assert(a === b)
+  }
+
   test("typed PRF aggregator matches hand arithmetic") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -63,6 +63,44 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(acc2.value === 0L)
   }
 
+  test("q64 observability reports a nonzero drop on planted boilerplate") {
+    val out = relational.PipelineQueries
+      .queries("q64_lsh_observability")(spark, sf).collect()
+    assert(out.length === 1)
+    val row = out.head
+    // the 50-copy boilerplate cluster floods all 16 band buckets past
+    // the cap of 32 — at minimum one dropped bucket per band
+    assert(row.getAs[Long]("dropped_buckets") >= 16L,
+      s"dropped=${row.getAs[Long]("dropped_buckets")}")
+    assert(row.getAs[Long]("kept_pairs") >= 0L)
+  }
+
+  test("text-hash expressions survive CODEGEN_ONLY and match interpreted") {
+    // the simhash/minhash projections are native expressions now —
+    // forcing codegen-only evaluation proves doGenCode's generated Java
+    // compiles (a fallback would silently run interpreted otherwise)
+    val df = Seq((0L, "alpha beta gamma delta epsilon"),
+      (1L, "one two three four five six")).toDF("doc_id", "text")
+    val interpreted = df.select($"doc_id",
+      SimHash.simhashPortable($"text", 3).as("fp"),
+      Dedup.minHashSignatureFromText($"text", 3, 8).as("sig"))
+      .orderBy("doc_id").collect()
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val forced = df.select($"doc_id",
+        SimHash.simhashPortable($"text", 3).as("fp"),
+        Dedup.minHashSignatureFromText($"text", 3, 8).as("sig"))
+        .orderBy("doc_id").collect()
+      assert(forced.toSeq === interpreted.toSeq)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
+
   test("prefix-join exact Jaccard equals the brute-force pairs") {
     val sh = docs.select($"doc_id".as("id"),
       Dedup.shingleHashes($"text", 3).as("sh"))

@@ -54,12 +54,15 @@ object DisorderBank {
 
   /** post(source, assigned, rawEntText) -> None to drop, or
     * Some((status, negation)). Status maps through `statusMapping` to the
-    * `detailed_status` attr.
+    * `detailed_status` attr. `modalityAttr` additionally exposes the
+    * winning source name as a `modality` attr (the suicide-attempt
+    * surface, `suicide_attempt.py`'s `suicide_attempt_modality`).
     */
   case class Spec(
       label: String,
       sources: Seq[Source],
       statusMapping: Map[Int, Option[String]] = Map(1 -> None),
+      modalityAttr: Boolean = false,
       post: (String, Map[String, String], String) =>
         Option[(Int, Option[Boolean])] = (_, _, _) => Some((1, None)))
 
@@ -205,6 +208,8 @@ object DisorderBank {
           case (status, negation) =>
             var attrs = c.assigned +
               ("source" -> c.source.name, "status" -> status.toString)
+            if (spec.modalityAttr)
+              attrs += ("modality" -> c.source.name)
             spec.statusMapping.get(status).flatten
               .foreach(s => attrs += ("detailed_status" -> s))
             negation.foreach(v => attrs += ("negation" -> v.toString))
@@ -883,10 +888,60 @@ object DisorderBank {
       Some((status, neg))
     })
 
+  // ---- covid (ner/covid/patterns.py:1-11) ----
+  val covid: Spec = Spec(
+    label = "covid",
+    sources = Seq(Source("covid", Seq(
+      """((pneumopathies?|infections?)\s[àa]u?\s)?""" +
+        """(covid([-\s]?19)?|sars[-\s]?cov[-\s]?2|corona[-\s]?virus)"""))))
+
+  // ---- suicide attempt with modalities (ner/suicide_attempt/
+  // patterns.py:1-40): one source per modality, matched on the RAW text
+  // (the TS family is deliberately case-sensitive; the rest carry their
+  // own (?i) flags) ----
+  val suicideAttempt: Spec = Spec(
+    label = "suicide_attempt",
+    modalityAttr = true,
+    sources = Seq(
+      Source("suicide_attempt_unspecific", Seq(
+        """\b(?<!\.)(?<!Voie\s\d\s\:\s)(?<!Voie\sd.abord\s\:\s)""" +
+          """(?<!surface\s)(?<!d[ée]sorientation\s)(?<!abord\s)""" +
+          """(?<!ECG\s:\s)(?<!volume\s)(?<!\d\s[mc]m\sde\sla\s)""" +
+          """(?<!\d[mc]m\sde\sla\s)(?<!au\scontact\sde\sla\s)""" +
+          """T\.?S\.?(?![\.A-Za-z])(?!\sapyr[eé]tique)""" +
+          """(?!.+TRANSSEPTAL)(?!.+T[34])(?!.+en\sr.gression)\b""",
+        """(?<!\.)T\.S\.(?![A-Za-z])""",
+        """\b(?<!.)TS\.\B""",
+        """(?i)tentative[s]?\s+de\s+sui?cide""",
+        """(?i)tent[ée]\s+de\s+((se\s+(suicider|tuer))|(mettre\s+fin\s+[àa]\s+((ses\s+jours?)|(sa\s+vie))))"""),
+        raw = true),
+      Source("autolysis", Seq(
+        """(?i)tentative\s+d'autolyse""", """(?i)autolyse"""),
+        raw = true),
+      Source("intentional_drug_overdose", Seq(
+        """(?i)(intoxication|ingestion)\s+m[ée]dicamenteuse\s+volontaire""",
+        """(?i)\b(i\.?m\.?v\.?)\b""",
+        """(?i)(intoxication|ingestion)\s*([a-zA-Z0-9_éàèôê\-]+\s*){0,3}\s*volontaire""",
+        """TS\s+med\s+polymedicamenteuse""",
+        """TS\s+(poly)?([\s-])?m[ée]dicamenteuse"""), raw = true),
+      Source("jumping_from_height", Seq(
+        """(?i)tentative[s]?\s+de\s+d[ée]fenestration""",
+        """(?i)(?<!id[ée]es?\sde\s)d[ée]fenestration(?!\saccidentelle)""",
+        """(?i)d[ée]fenestration\s+volontaire""",
+        """(?i)d[ée]fenestration\s+intentionnelle""",
+        """(?i)jet.r?\sd.un\spont"""), raw = true),
+      Source("cuts", Seq("""(?i)phl[ée]botomie"""), raw = true),
+      Source("strangling", Seq("""(?i)pendaison"""), raw = true),
+      Source("self_destructive_behavior", Seq("""(?i)autodestruction"""),
+        raw = true),
+      Source("burn_gas_caustic", Seq(
+        """(?i)ing[eé]stion\sde\s(produit\s)?caustique"""), raw = true)))
+
   /** All full-bank specs. */
   val all: Seq[Spec] = Seq(
     aids, ckd, copd, cerebrovascularAccident, congestiveHeartFailure,
     connectiveTissueDisease, dementia, diabetes, hemiplegia, leukemia,
     liverDisease, lymphoma, myocardialInfarction, pepticUlcerDisease,
-    peripheralVascularDisease, solidTumor(), alcohol, tobacco)
+    peripheralVascularDisease, solidTumor(), alcohol, tobacco, covid,
+    suicideAttempt)
 }

@@ -8,16 +8,66 @@ import graft.nlp.{Ent, Sent, Token}
   * relationally a regex match semi-joined against section spans.
   */
 object Reason {
-  private val matcher = graft.nlp.RegexMatcher.build(Map("reason" -> Seq(
-    "(?i)motif\\s+(?:de\\s+)?(?:l[a']\\s*)?(?:hospitalisation|admission|consultation)",
-    "(?i)(?:hospitalis[ée]e?|admise?)\\s+(?:pour|en raison de)\\s+([^.\\n]{3,80})",
-    "(?i)pris[e]?\\s+en\\s+charge\\s+pour\\s+([^.\\n]{3,80})")))
+  // the reference regex bank verbatim (reason/patterns.py:1-16);
+  // accent-tolerant classes make raw-text matching equivalent to NORM
+  // for this bank, and raw matching keeps `.+` line-bounded (the clean
+  // text would fold newlines into spaces)
+  private val matcher = graft.nlp.RegexMatcher.build(Map("reasons" -> Seq(
+    """(?i)motif de l.?hospitalisation : .+""",
+    """(?i)hospitalis[ée].?.*(pour|. cause|suite [àa]).+""",
+    """(?i)(consulte|prise en charge""" +
+      """(?!\set\svous\sassurer\sun\straitement\sadapt[ée])).*pour.+""",
+    """(?i)motif\sd.hospitalisation\s:.+""",
+    """(?i)au total\s?\:?\s?\n?.+""",
+    """(?i)motif\sde\sla\sconsultation""",
+    """(?i)motif\sd.admission""",
+    """(?i)conclusion\smedicale""")))
 
+  /** Section labels that COUNT as reasons / that VETO regex reasons
+    * inside them (reason/patterns.py:18-24).
+    */
+  val sectionsReason: Set[String] = Set("motif", "conclusion")
+  val sectionExclude: Set[String] = Set("antecedents",
+    "antecedents_familiaux")
+
+  /** Full reference semantics (reason.py:148-208): regex reason spans,
+    * optionally enhanced with sections (motif/conclusion sections become
+    * reasons; regex reasons inside excluded sections are vetoed), plus
+    * per-entity `is_reason` (entity fully inside any reason span).
+    * Returns (reasons, entities annotated with is_reason).
+    */
+  def qualify(
+      text: String,
+      tokens: Array[Token],
+      sections: Seq[Ent] = Nil,
+      ents: Seq[Ent] = Nil,
+      useSections: Boolean = false): (Seq[Ent], Seq[Ent]) = {
+    var reasons = matcher.findMatches(tokens, text)
+    if (useSections) {
+      reasons = reasons ++ sections
+        .filter(s => sectionsReason.contains(s.label))
+        .map(s => Ent(s.begin, s.end, "reasons",
+          text.substring(s.begin, math.min(s.end, text.length)), s.attrs))
+      reasons = reasons.filterNot(r => sections.exists(s =>
+        sectionExclude.contains(s.label) &&
+          r.begin >= s.begin && r.end <= s.end))
+    }
+    val annotated = ents.map { e =>
+      val isReason =
+        reasons.exists(r => e.begin >= r.begin && e.end <= r.end)
+      e.copy(attrs = e.attrs + ("is_reason" -> isReason.toString))
+    }
+    (reasons, annotated)
+  }
+
+  /** Reason spans only, with the motif-section membership attr (the
+    * relational surface used by the demo and earlier specs).
+    */
   def extract(
       text: String,
       tokens: Array[Token],
       sections: Seq[Ent] = Nil): Seq[Ent] = {
-    val hits = matcher.findMatches(tokens, text)
+    val hits = qualify(text, tokens, sections)._1
     val motif = sections.filter(_.label == "motif")
     if (motif.isEmpty) hits
     else hits.map { h =>

@@ -89,30 +89,90 @@ object Scores {
   def matcher(config: Config): Matcher = new Matcher(config)
 }
 
-/** TNM cancer staging parser (`/root/reference/edsnlp/pipes/ner/tnm/
-  * tnm.py:18-184`): one regex, struct-parsed components (prefix, T, N, M).
+/** TNM cancer staging parser — the full reference grammar
+  * (`/root/reference/edsnlp/pipes/ner/tnm/patterns.py:1-30`, keep-filter
+  * and span resolution `tnm.py:102-137`, value coercion and `norm()`
+  * `model.py:77-141`): prefix, tumour with specification and
+  * parenthesized suffix, node section with its own optional prefix,
+  * metastasis, resection completeness, and a trailing edition tag whose
+  * 2-digit year is expanded (<40 -> 2000s, else 1900s). The one omitted
+  * reference feature is the LEADING version lookbehind (`(?<=uicc...)`)
+  * — Python's `regex` module allows the unbounded form, Java does not,
+  * and no reference test exercises it.
   */
 object Tnm {
   private val pat = Pattern.compile(
-    "(?i)\\b(?<prefix>[cpyraum]{0,3})\\s*" +
-      "T\\s*(?<t>[0-4Xx](?:[a-c])?|is)\\s*" +
-      "N\\s*(?<n>[0-3Xx](?:[a-c])?)\\s*" +
-      "(?:M\\s*(?<m>[01Xx]))?\\b")
+    "(?:\\b|^)(?<prefix>[cpPyraum]p?)\\s{0,2}" +
+      "T\\s?(?<tumour>[0-4o]|is)?(?<tspec>[abcdx]|mi)?" +
+      "(?:\\((?<tsuf>[^()]{1,10})\\))?" +
+      "(?:\\s{0,2}/?\\s{0,2}(?:[cpPyraum]p?)?\\s{0,2}" +
+      "N\\s?(?<node>[0-3o]|x)(?<nspec>[abcdx]|mi)?" +
+      "(?:\\((?<nsuf>[^()]{1,10})\\))?)?" +
+      "(?:\\s{0,2}/?\\s{0,2}(?:[cpPyraum]p?)?\\s{0,2}" +
+      "M\\s?(?<meta>[01o]|x)x?)?" +
+      "(?:\\s{0,2}/?\\s{0,2}R\\s?(?<res>[012]))?" +
+      "(?:(?:.|\\n){1,5}\\(?(?<ver>(?i:uicc|accj|tnm))\\s+" +
+      "(?:(?i:[é]ditions?|[é]d\\.?))?\\s{0,2}" +
+      "(?<vyear>\\d{4}|\\d{2})\\)?)?" +
+      "(?:\\b|$)")
+
+  private def coerce(v: String): String = v.replace('o', '0')
 
   def extract(text: String): Seq[Ent] = {
     if (text == null) return Nil
-    val out = new ArrayBuffer[Ent]
+    val raw = new ArrayBuffer[Ent]
     val m = pat.matcher(text)
     while (m.find()) {
-      var attrs = Map(
-        "tumour" -> m.group("t").toLowerCase,
-        "node" -> m.group("n").toLowerCase)
-      Option(m.group("m")).foreach(v => attrs += ("metastasis" -> v))
-      val p = m.group("prefix")
-      if (p != null && p.nonEmpty) attrs += ("prefix" -> p.toLowerCase)
-      out += Ent(m.start, m.end, "tnm", m.group(), attrs)
+      val span = m.group()
+      val clean = span.replace(" ", "").replace("\n", "")
+      // tnm.py:126-134: keep iff >2 significant chars, or a tight
+      // lowercase-prefixed pair ("pT" yes, "PT"/"a T" no)
+      val keep = clean.length > 2 ||
+        (span.length >= 1 && !span.lift(1).exists(_.isWhitespace) &&
+          span.head.isLower)
+      if (keep) {
+        var attrs = Map("prefix" -> m.group("prefix"))
+        def put(name: String, key: String, f: String => String = identity)
+            : Unit =
+          Option(m.group(name)).foreach(v => attrs += (key -> f(v)))
+        put("tumour", "tumour", coerce)
+        put("tspec", "tumour_specification")
+        put("tsuf", "tumour_suffix")
+        put("node", "node", coerce)
+        put("nspec", "node_specification")
+        put("nsuf", "node_suffix")
+        put("meta", "metastasis", coerce)
+        put("res", "resection_completeness")
+        put("ver", "version", _.toUpperCase)
+        Option(m.group("vyear")).foreach { y =>
+          val n = y.toInt
+          val full =
+            if (n < 40) n + (if (n < 100) 2000 else 0)
+            else if (n < 100) n + 1900
+            else n
+          attrs += ("version_year" -> full.toString)
+        }
+        // model.py:108-141 norm(): sections appear only when any of
+        // their parts matched
+        val sb = new StringBuilder(attrs("prefix"))
+        def section(tag: String, keys: Seq[String]): Unit =
+          if (keys.exists(attrs.contains)) {
+            sb.append(tag)
+            keys.foreach(k => sb.append(attrs.getOrElse(k, "")))
+          }
+        section("T", Seq("tumour", "tumour_specification", "tumour_suffix"))
+        section("N", Seq("node", "node_specification", "node_suffix"))
+        attrs.get("metastasis").foreach(v => sb.append("M").append(v))
+        attrs.get("resection_completeness")
+          .foreach(v => sb.append("R").append(v))
+        if (attrs.contains("version") && attrs.contains("version_year"))
+          sb.append(
+            s" (${attrs("version")} ${attrs("version_year")})")
+        attrs += ("norm" -> sb.toString)
+        raw += Ent(m.start, m.end, "tnm", span, attrs)
+      }
     }
-    out.toSeq
+    graft.nlp.SpanAlgebra.filterSpans(raw.toSeq)
   }
 }
 

@@ -289,6 +289,62 @@ class DisorderBankSpec extends AnyFunSuite {
         negation = Some(true))))
   }
 
+  test("covid bank (ner/test_covid.py)") {
+    // the pipe expands to the disease-of-covid phrase when present
+    val m = DisorderBank.matcher(DisorderBank.covid)
+    Seq(
+      ("Patient admis pour coronavirus", "coronavirus"),
+      ("Patient admis pour pneumopathie à coronavirus",
+        "pneumopathie à coronavirus")).foreach { case (text, expected) =>
+      val tokens = toks(text)
+      val ents = m.findMatches(text, tokens,
+        Sentencizer.sentences(tokens))
+      assert(ents.nonEmpty, s"covid missed in '$text'")
+      assert(ents.head.text === expected, s"span in '$text'")
+    }
+  }
+
+  test("suicide attempt bank with modalities (ner/test_suicide_attempt.py)") {
+    val m = DisorderBank.matcher(DisorderBank.suicideAttempt)
+    // (text, expected (entText, modality) — None = no match)
+    val bank: Seq[(String, Option[(String, String)])] = Seq(
+      ("J'ai vu le patient à cause d'une TS médicamenetuse." +
+        "J'ai vu le patient à cause d'une ts médicamenetuse.",
+        Some(("TS", "suicide_attempt_unspecific"))),
+      ("J'ai vu le patient à cause d'une IMV.",
+        Some(("IMV", "intentional_drug_overdose"))),
+      ("surface TS", None),
+      ("Patiente hospitalisée à cause d'une Tentative d'autolyse.",
+        Some(("Tentative d'autolyse", "autolysis"))),
+      ("Le patient exprime des idées de défenestration", None),
+      ("vu aux urgences suite à une défenestration volontaire",
+        Some(("défenestration volontaire", "jumping_from_height"))),
+      ("amené par les pompiers à cause d'une phlebotomie",
+        Some(("phlebotomie", "cuts"))),
+      ("Antécédents :\n- pendaison (2010)",
+        Some(("pendaison", "strangling"))),
+      ("copain du patient : plusieurs événements d'autodestruction",
+        Some(("autodestruction", "self_destructive_behavior"))),
+      ("suspicion d'ingestion de caustique avec des idées suicidaires",
+        Some(("ingestion de caustique", "burn_gas_caustic"))))
+    bank.foreach { case (text, expected) =>
+      val tokens = toks(text)
+      val ents = m.findMatches(text, tokens,
+        Sentencizer.sentences(tokens))
+      expected match {
+        case None =>
+          assert(ents.isEmpty,
+            s"spurious ${ents.map(_.text)} in '$text'")
+        case Some((entText, modality)) =>
+          assert(ents.length === 1,
+            s"expected 1 ent in '$text', got ${ents.map(_.text)}")
+          assert(ents.head.text === entText, s"span in '$text'")
+          assert(ents.head.attrs("modality") === modality,
+            s"modality in '$text'")
+      }
+    }
+  }
+
   test("all bank specs build and are label-distinct") {
     val labels = DisorderBank.all.map(_.label)
     assert(labels.distinct.size === labels.size)

@@ -281,6 +281,43 @@ class ExtractionPipesSpec extends AnyFunSuite {
       a("node") === "1" && a("metastasis") === "0")
   }
 
+  test("TNM: full reference bank (test_tnm.py)") {
+    // every annotated example: expected ent text + norm; entries with
+    // no annotation assert zero matches
+    val bank: Seq[(String, Option[(String, String)])] = Seq(
+      ("TNM: aTxN1M0", Some(("aTxN1M0", "aTxN1M0"))),
+      ("TNM: p Tx N1M 0", Some(("p Tx N1M 0", "pTxN1M0"))),
+      ("TNM: p Tx N1M 0 (UICC 20)",
+        Some(("p Tx N1M 0 (UICC 20)", "pTxN1M0 (UICC 2020)"))),
+      ("TNM: aTxN1M0 (UICC 68)",
+        Some(("aTxN1M0 (UICC 68)", "aTxN1M0 (UICC 1968)"))),
+      ("TNM: aTxN1 R2", Some(("aTxN1 R2", "aTxN1R2"))),
+      ("TNM: pT2c N0 R0 (TNM 2010)",
+        Some(("pT2c N0 R0 (TNM 2010)", "pT2cN0R0 (TNM 2010)"))),
+      ("TNM: aTx / N1 / M0", Some(("aTx / N1 / M0", "aTxN1M0"))),
+      ("TNM: pT2 N1mi", Some(("pT2 N1mi", "pT2N1mi"))),
+      ("TNM: pT1(m)N1 M0", Some(("pT1(m)N1 M0", "pT1mN1M0"))),
+      ("TNM: pT1bN0(sn)", Some(("pT1bN0(sn)", "pT1bN0sn"))),
+      ("TNM: pT1 pN1 M0\n \n ", Some(("pT1 pN1 M0", "pT1N1M0"))),
+      ("TNM: aTxN1M0 ", Some(("aTxN1M0", "aTxN1M0"))),
+      ("TNM: cT3N0M0 \n \n", Some(("cT3N0M0", "cT3N0M0"))),
+      ("TNM: PT", None),
+      ("TNM: p    T \n", None),
+      ("TNM: a T \n", None),
+      ("TNM: pT \n  \n0", Some(("pT", "p"))))
+    bank.foreach { case (text, expected) =>
+      val hits = Tnm.extract(text)
+      expected match {
+        case None =>
+          assert(hits.isEmpty, s"spurious ${hits.map(_.text)} in '$text'")
+        case Some((entText, norm)) =>
+          assert(hits.nonEmpty, s"missed TNM in '$text'")
+          assert(hits.head.text === entText, s"span in '$text'")
+          assert(hits.head.attrs("norm") === norm, s"norm in '$text'")
+      }
+    }
+  }
+
   test("ADICAP codes decode sampling mode") {
     val hits = Adicap.extract("Prélèvement codé BHGS0040.")
     assert(hits.length === 1)

@@ -28,6 +28,66 @@ class MiscPipesSpec extends AnyFunSuite {
     assert(hits.exists(_.attrs.get("in_motif_section").contains("true")))
   }
 
+  test("reason: reference scenario golden (test_reason.py)") {
+    val text =
+      "COMPTE RENDU D'HOSPITALISATION du 11/07/2018 au 12/07/2018\n" +
+        "MOTIF D'HOSPITALISATION\n" +
+        "Monsieur Dupont Jean Michel, de sexe masculin, âgée de 39 ans, " +
+        "née le 23/11/1978,\n" +
+        "a été hospitalisé du 11/08/2019 au 17/08/2019 pour une quinte " +
+        "de toux.\n\n" +
+        "ANTÉCÉDENTS\n" +
+        "Antécédents médicaux :\n" +
+        "Premier épisode: il a été hospitalisé pour asthme en mai 2018."
+    val tokens = toks(text)
+    val (_, sections) = Sections.matcher()(text)
+    // eds.matcher entities: toux (in MOTIF), asthme (in ANTÉCÉDENTS)
+    val ents = Seq("toux", "asthme").map { t =>
+      val i = text.indexOf(t)
+      Ent(i, i + t.length, "respiratoire", t)
+    }
+    Seq(true, false).foreach { useSections =>
+      val (reasons, annotated) =
+        Reason.qualify(text, tokens, sections, ents, useSections)
+      // the first reason span contains the "toux" entity
+      // (test_reason.py:38-41)
+      assert(reasons.nonEmpty, s"useSections=$useSections")
+      assert(annotated.head.attrs("is_reason") === "true",
+        s"toux should be a reason (useSections=$useSections)")
+      // asthme's reason line sits in ANTÉCÉDENTS: vetoed when sections
+      // are on, kept when off (test_reason.py:42)
+      assert(annotated(1).attrs("is_reason") === (!useSections).toString,
+        s"asthme is_reason (useSections=$useSections)")
+    }
+  }
+
+  test("sections: reference scenario goldens (test_sections.py)") {
+    // entity "Douleurs" after "Motif :" belongs to the motif section
+    val text1 =
+      "Le patient est admis pour des douleurs dans le bras droit, " +
+        "mais n'a pas de problème de locomotion. " +
+        "Historique d'AVC dans la famille. pourrait être un cas de " +
+        "rhume.\n" +
+        "NBNbWbWbNbWbNBNbNbWbWbNBNbWbNbNbWbNBNbWbNbNBWbWbNbNbNBWbNb" +
+        "WbNbWBNbNbWbNbNBNbWbWbNbWBNbNbWbNBNbWbWbNb\n" +
+        "Pourrait être un cas de rhume.\n" +
+        "Motif :\n" +
+        "Douleurs dans le bras droit.\n" +
+        "Pas d'anomalie détectée."
+    val (_, sections1) = Sections.matcher()(text1)
+    val d = text1.indexOf("Douleurs dans le bras droit.")
+    val sec = sections1.find(s => d >= s.begin && d < s.end)
+    assert(sec.map(_.label) === Some("motif"))
+    // empty back-to-back sections: the entity lands in conclusion, not
+    // the empty antecedents section (test_empty_sections)
+    val text2 = "\nAntécédents :\nConclusion :\nPatient va mieux\n\n" +
+      "Au total:\nsortie du patient\n"
+    val (_, sections2) = Sections.matcher()(text2)
+    val p = text2.indexOf("Patient")
+    val sec2 = sections2.find(s => p >= s.begin && p < s.end)
+    assert(sec2.map(_.label) === Some("conclusion"))
+  }
+
   test("consultation dates require a trigger before the date") {
     val hits = ConsultationDates.extract(
       "Consultation du 12/03/2021. Né le 01/01/1950.")

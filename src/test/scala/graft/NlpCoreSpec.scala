@@ -56,6 +56,42 @@ class NlpCoreSpec extends AnyFunSuite {
     assert(sents.length === 3)
   }
 
+  test("sentencizer: reference scenario golden (test_sentences.py)") {
+    // the reference's main segmentation scenario (tests/pipelines/core/
+    // test_sentences.py:12-59, use_endlines=False): punctuation splits,
+    // newline+capitalized splits, lowercase continuation does not,
+    // E.Coli / ? boundaries
+    val text =
+      "Le patient est admis pour des douleurs dans le bras droit. " +
+        "mais n'a pas de problème de locomotion. \n" +
+        "Historique d'AVC dans la famille\n" +
+        "Mais ne semble pas en être un\n" +
+        "Pourrait être un cas de rhume.\n" +
+        "Motif :\n" +
+        "Douleurs dans le bras droit !" +
+        "Il est contaminé à E.Coli? c'est un problème, il faut s'en occuper."
+    val sents = Sentencizer.sentences(toks(text))
+      .map(s => text.substring(s.begin, s.end).trim).filter(_.nonEmpty)
+    assert(sents === Seq(
+      "Le patient est admis pour des douleurs dans le bras droit.",
+      "mais n'a pas de problème de locomotion.",
+      "Historique d'AVC dans la famille",
+      "Mais ne semble pas en être un",
+      "Pourrait être un cas de rhume.",
+      "Motif :",
+      "Douleurs dans le bras droit !",
+      "Il est contaminé à E.Coli?",
+      "c'est un problème, il faut s'en occuper."))
+  }
+
+  test("sentencizer: dotted dates and E.Coli are one sentence (test_sentences.py:64-88)") {
+    Seq("02.04.2018", "E.Coli", "10.10.2010:RCP", "10.10.2010 : RCP",
+      "02.04.2018 : RCP", "10/10/2010 : RCP").foreach { fp =>
+      assert(Sentencizer.sentences(toks(fp)).length === 1,
+        s"'$fp' should stay one sentence")
+    }
+  }
+
   test("filter_spans keeps longest-leftmost on overlap") {
     val spans = Seq(
       Ent(0, 5, "a", ""), Ent(3, 10, "b", ""), Ent(3, 8, "c", ""),

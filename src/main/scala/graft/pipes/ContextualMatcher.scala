@@ -9,13 +9,29 @@ import graft.nlp.{Ent, RegexMatcher => RM, Sent, Token}
   * `/root/reference/edsnlp/pipes/core/contextual_matcher/
   * contextual_matcher.py:20-466` (window/config models `models.py:46-310`):
   * an anchor match survives only if no `exclude` pattern fires in its
-  * context window and every `include` pattern does; `assign` patterns
-  * extract sub-fields from the window into the entity's attrs, optionally
-  * expanding the entity span.
+  * context window and every `include` rule does; `assign` patterns
+  * extract sub-fields from the window into the entity's attrs.
   *
-  * Relationally this is anchor spans anti-joined / semi-joined against
-  * pattern matches within a char window — done row-locally over the
-  * annotation arrays, so it distributes as a narrow map.
+  * Full reference semantics carried over:
+  *   - exclude/include matches that fall ENTIRELY INSIDE the anchor span
+  *     do not count (`contextual_matcher.py:210-243` — "ASA 5" is not
+  *     excluded by its own "5");
+  *   - assign rules collect ALL window matches; `reduceMode`
+  *     `keep_first`/`keep_last` keeps the match closest/farthest from the
+  *     anchor (`assign_one`, `:321-327`), `None` keeps the whole list;
+  *   - `required` assigns veto the entity when unmatched (`:314-316`);
+  *   - `replaceEntity` re-anchors the entity on the assign matches — one
+  *     entity per remaining match (`:331-400`);
+  *   - `includeAssigned` widens the entity to cover the anchor plus all
+  *     assigned spans (`:359-391`);
+  *   - `spanFromGroup` narrows a regex anchor to its first capture group
+  *     (`models.py` span_from_group).
+  *
+  * Windows here are CHARACTER windows (the reference counts tokens);
+  * callers scale by ~7-8 chars/token. Relationally this is anchor spans
+  * anti-/semi-joined against pattern matches within a window — done
+  * row-locally over the annotation arrays, so it distributes as a
+  * narrow map.
   */
 object ContextualMatcher {
 
@@ -32,7 +48,10 @@ object ContextualMatcher {
       windowBefore: Int = 0,
       windowAfter: Int = 0,
       sentenceWindow: Boolean = false,
-      expandEntity: Boolean = false)
+      expandEntity: Boolean = false,
+      replaceEntity: Boolean = false,
+      reduceMode: Option[String] = None, // keep_first | keep_last | None
+      required: Boolean = false)
 
   case class Config(
       label: String,
@@ -40,7 +59,21 @@ object ContextualMatcher {
       regex: Seq[String] = Seq.empty,
       exclude: Seq[SideRule] = Seq.empty,
       include: Seq[SideRule] = Seq.empty,
-      assign: Seq[AssignRule] = Seq.empty)
+      assign: Seq[AssignRule] = Seq.empty,
+      includeAssigned: Boolean = false,
+      spanFromGroup: Boolean = false)
+
+  /** An assign result: the reduced single value, or the full match list
+    * when the rule has no reduce mode (the reference's scalar-vs-list
+    * `_.assigned` values).
+    */
+  sealed trait AssignedValue { def first: String }
+  case class One(value: String) extends AssignedValue {
+    def first: String = value
+  }
+  case class Many(values: Seq[String]) extends AssignedValue {
+    def first: String = values.head
+  }
 
   final class Matcher(config: Config) extends Serializable {
     private val phrase =
@@ -51,6 +84,11 @@ object ContextualMatcher {
       if (config.regex.nonEmpty)
         Some(RM.build(Map(config.label -> config.regex)))
       else None
+    private val anchorPats =
+      if (config.spanFromGroup)
+        config.regex.map(p =>
+          Pattern.compile(p, Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE))
+      else Nil
     private val excludePats = config.exclude.map(r =>
       (r, r.regex.map(p =>
         Pattern.compile(p, Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE))))
@@ -73,50 +111,177 @@ object ContextualMatcher {
           math.min(text.length, ent.end + after))
       }
 
-    def findMatches(
-        text: String, tokens: Array[Token], sents: Seq[Sent]): Seq[Ent] = {
-      val anchors =
+    /** One collected assign match: (value text, value span, full span). */
+    private case class AMatch(value: String, vb: Int, ve: Int,
+        fb: Int, fe: Int)
+
+    /** Entities with their full assigned structure. */
+    def findDetailed(
+        text: String, tokens: Array[Token], sents: Seq[Sent])
+        : Seq[(Ent, Map[String, AssignedValue])] = {
+      // spaCy alignment_mode="expand": a regex anchor that ends inside a
+      // token widens to the token's boundary ("GCS 1" over "GCS 15"
+      // becomes "GCS 15")
+      def expand(e: Ent): Ent = {
+        val words = tokens.filterNot(graft.nlp.Normalizer.isSpace)
+        val b = words.find(w => w.begin <= e.begin && w.end > e.begin)
+          .map(_.begin).getOrElse(e.begin)
+        val ee = words.find(w => w.begin < e.end && w.end >= e.end)
+          .map(_.end).getOrElse(e.end)
+        if (b == e.begin && ee == e.end) e
+        else Ent(b, ee, e.label, text.substring(b, ee), e.attrs)
+      }
+      val anchors0 =
         phrase.map(_.findMatches(tokens, text)).getOrElse(Nil) ++
-          regex.map(_.findMatches(tokens, text)).getOrElse(Nil)
-      val out = new ArrayBuffer[Ent]
-      graft.nlp.SpanAlgebra.filterSpans(anchors).foreach { anchor =>
-        var keep = true
-        excludePats.foreach { case (rule, pats) =>
-          val (wb, we) = window(text, sents, anchor,
-            rule.windowBefore, rule.windowAfter, rule.sentenceWindow)
-          val ctx = text.substring(wb, we)
-          if (pats.exists(_.matcher(ctx).find())) keep = false
-        }
-        includePats.foreach { case (rule, pats) =>
-          val (wb, we) = window(text, sents, anchor,
-            rule.windowBefore, rule.windowAfter, rule.sentenceWindow)
-          val ctx = text.substring(wb, we)
-          if (!pats.forall(_.matcher(ctx).find())) keep = false
-        }
-        if (keep) {
-          var ent = anchor
-          assignPats.foreach { case (rule, pat) =>
-            val (wb, we) = window(text, sents, ent,
-              rule.windowBefore, rule.windowAfter, rule.sentenceWindow)
-            val m = pat.matcher(text.substring(wb, we))
-            if (m.find()) {
-              val value =
-                if (m.groupCount() >= 1 && m.group(1) != null) m.group(1)
-                else m.group()
-              ent = ent.copy(attrs = ent.attrs + (rule.name -> value))
-              if (rule.expandEntity) {
-                val nb = math.min(ent.begin, wb + m.start)
-                val ne = math.max(ent.end, wb + m.end)
-                ent = ent.copy(begin = nb, end = ne,
-                  text = text.substring(nb, ne))
+          (if (config.spanFromGroup) {
+            // regex anchors narrowed to group 1 when present
+            val out = new ArrayBuffer[Ent]
+            anchorPats.foreach { p =>
+              val m = p.matcher(text)
+              while (m.find()) {
+                val (b, e) =
+                  if (m.groupCount() >= 1 && m.group(1) != null)
+                    (m.start(1), m.end(1))
+                  else (m.start, m.end)
+                out += Ent(b, e, config.label, text.substring(b, e))
               }
             }
-          }
-          out += ent
-        }
+            out.toSeq.map(expand)
+          } else
+            regex.map(_.findMatches(tokens, text)).getOrElse(Nil)
+              .map(expand))
+      val out = new ArrayBuffer[(Ent, Map[String, AssignedValue])]
+      graft.nlp.SpanAlgebra.filterSpans(anchors0).foreach { anchor =>
+        processOne(text, sents, anchor).foreach(out += _)
       }
       out.toSeq
     }
+
+    private def processOne(
+        text: String, sents: Seq[Sent], anchor: Ent)
+        : Seq[(Ent, Map[String, AssignedValue])] = {
+      // a context match entirely inside the anchor span does not count
+      // as an exclude/include hit (contextual_matcher.py:210-243)
+      def outsideAnchorHits(
+          pats: Seq[Pattern], wb: Int, ctx: String): Boolean =
+        pats.exists { p =>
+          val m = p.matcher(ctx)
+          var hit = false
+          while (!hit && m.find()) {
+            val mb = wb + m.start
+            val me = wb + m.end
+            if (!(mb >= anchor.begin && me <= anchor.end)) hit = true
+          }
+          hit
+        }
+      val excluded = excludePats.exists { case (rule, pats) =>
+        val (wb, we) = window(text, sents, anchor,
+          rule.windowBefore, rule.windowAfter, rule.sentenceWindow)
+        outsideAnchorHits(pats, wb, text.substring(wb, we))
+      }
+      if (excluded) return Nil
+      val includeOk = includePats.forall { case (rule, pats) =>
+        val (wb, we) = window(text, sents, anchor,
+          rule.windowBefore, rule.windowAfter, rule.sentenceWindow)
+        outsideAnchorHits(pats, wb, text.substring(wb, we))
+      }
+      if (!includeOk) return Nil
+
+      // collect ALL assign matches per rule, then reduce
+      var replaceKey: Option[String] = None
+      var expandKeys: Set[String] = Set.empty
+      val assigned = scala.collection.mutable.LinkedHashMap
+        .empty[String, (AssignRule, Seq[AMatch])]
+      assignPats.foreach { case (rule, pat) =>
+        val (wb, we) = window(text, sents, anchor,
+          rule.windowBefore, rule.windowAfter, rule.sentenceWindow)
+        val m = pat.matcher(text.substring(wb, we))
+        val ms = new ArrayBuffer[AMatch]
+        while (m.find()) {
+          val (vb, ve, v) =
+            if (m.groupCount() >= 1 && m.group(1) != null)
+              (wb + m.start(1), wb + m.end(1), m.group(1))
+            else (wb + m.start, wb + m.end, m.group())
+          ms += AMatch(v, vb, ve, wb + m.start, wb + m.end)
+        }
+        if (rule.required && ms.isEmpty) return Nil
+        if (ms.nonEmpty) {
+          if (rule.replaceEntity) replaceKey = Some(rule.name)
+          if (rule.expandEntity) expandKeys += rule.name
+          val reduced = rule.reduceMode match {
+            case Some("keep_first") =>
+              Seq(ms.minBy(a => math.abs(a.fb - anchor.begin)))
+            case Some("keep_last") =>
+              Seq(ms.maxBy(a => math.abs(a.fb - anchor.begin)))
+            case _ => ms.toSeq
+          }
+          assigned += (rule.name -> (rule, reduced))
+        }
+      }
+
+      // replacement matches, closest to the anchor first (:336-341)
+      val sortedAssigned = replaceKey.fold(assigned) { k =>
+        val (rule, ms) = assigned(k)
+        assigned += (k -> (rule,
+          ms.sortBy(a => math.abs(a.fb - anchor.begin))))
+        assigned
+      }
+      def valueOf(rule: AssignRule, ms: Seq[AMatch]): AssignedValue =
+        if (rule.reduceMode.isDefined) One(ms.head.value)
+        else Many(ms.map(_.value))
+      val ext: Map[String, AssignedValue] = sortedAssigned.map {
+        case (n, (rule, ms)) => n -> valueOf(rule, ms)
+      }.toMap
+
+      def merge(spans: Seq[(Int, Int)]): Ent = {
+        val b = spans.map(_._1).min
+        val e = spans.map(_._2).max
+        Ent(b, e, config.label, text.substring(b, e))
+      }
+
+      replaceKey match {
+        case None =>
+          val expandSpans = sortedAssigned.iterator.flatMap {
+            case (n, (_, ms))
+                if config.includeAssigned || expandKeys.contains(n) =>
+              ms.map(a => (a.fb, a.fe))
+            case _ => Nil
+          }.toSeq
+          val ent = merge((anchor.begin, anchor.end) +: expandSpans)
+          Seq((ent, ext))
+        case Some(k) =>
+          val repl = sortedAssigned(k)._2
+          val others = sortedAssigned.iterator.collect {
+            case (n, (_, ms)) if n != k => ms.map(a => (a.fb, a.fe))
+          }.flatten.toSeq
+          val listReduce = sortedAssigned(k)._1.reduceMode.isEmpty
+          val newEnts: Seq[Ent] =
+            if (config.includeAssigned) {
+              val head = merge(Seq((repl.head.fb, repl.head.fe),
+                (anchor.begin, anchor.end)) ++ others)
+              head +: repl.tail.map(a =>
+                Ent(a.fb, a.fe, config.label, text.substring(a.fb, a.fe)))
+            } else repl.map(a =>
+              Ent(a.fb, a.fe, config.label, text.substring(a.fb, a.fe)))
+          newEnts.zipWithIndex.map { case (e, idx) =>
+            val perEnt = ext.map {
+              case (n, v) if n == k && listReduce =>
+                n -> One(v.asInstanceOf[Many].values(idx))
+              case kv => kv
+            }
+            (e, perEnt)
+          }
+      }
+    }
+
+    /** Flat entity surface: attrs carry each assign's first value (the
+      * legacy shape used by the NER pipes and declared queries).
+      */
+    def findMatches(
+        text: String, tokens: Array[Token], sents: Seq[Sent]): Seq[Ent] =
+      findDetailed(text, tokens, sents).map { case (e, ext) =>
+        e.copy(attrs = e.attrs ++ ext.map { case (n, v) => n -> v.first })
+      }
   }
 
   def matcher(config: Config): Matcher = new Matcher(config)

@@ -83,18 +83,48 @@ object Reason {
   * semi-joined with consultation trigger terms in a preceding window.
   */
 object ConsultationDates {
-  private val triggers = Seq(
-    "consultation", "consult", "cs", "examen du", "visite du",
-    "compte rendu du", "cr du", "vu le", "vue le")
-  private val trigPat = java.util.regex.Pattern.compile(
-    triggers.sortBy(-_.length).map(java.util.regex.Pattern.quote)
-      .mkString("(?i)(?:", "|", ")"))
+  // the three reference trigger banks (consultation_dates/patterns.py:
+  // 1-48), matched on accent-folded lowercase text
+  private val consultationMention = Seq(
+    "rendez-vous pris", "consultation", """consultation.{1,8}examen""",
+    """\bcs\b""", "examen clinique", "de compte rendu",
+    "date de l'examen", "examen realise le", "date de la visite")
+  private val townMentionBank = Seq(
+    "paris", "kremlin.bicetre", "creteil", "boulogne.billancourt",
+    "villejuif", "clamart", "bobigny", "clichy", "ivry.sur.seine",
+    "issy.les.moulineaux", "draveil", "limeil", "champcueil",
+    "roche.guyon", "bondy", "colombes", "hendaye", "berck.sur.mer",
+    "labruyere", "garches", "sevran", "hyeres")
+  private val documentDateMentionBank = Seq(
+    "imprime le", "signe electroniquement", "signe le", "saisi le",
+    "dicte le", "tape le", "date de reference", """date\s*:""",
+    "dactylographie le", "date du rapport")
 
-  def extract(text: String, window: Int = 30): Seq[Ent] = {
+  private def pat(triggers: Seq[String]) = java.util.regex.Pattern
+    .compile(triggers.sortBy(-_.length).mkString("(?:", "|", ")"))
+
+  /** Consultation/report dates: absolute dates with a trigger mention
+    * shortly before them (consultation_dates.py:197-218: same sentence,
+    * trigger before the date). `townMention` / `documentDateMention`
+    * enable the dateline ("Paris, le ...") and signature ("signé le
+    * ...") trigger banks.
+    */
+  def extract(
+      text: String,
+      window: Int = 30,
+      townMention: Boolean = false,
+      documentDateMention: Boolean = false): Seq[Ent] = {
+    if (text == null) return Nil
+    val triggers = consultationMention ++
+      (if (townMention) townMentionBank else Nil) ++
+      (if (documentDateMention) documentDateMentionBank else Nil)
+    val trigPat = pat(triggers)
+    val folded =
+      graft.nlp.Normalizer.mapChars(text.map(Character.toLowerCase))
     val dates = Dates.extract(text)
     dates.filter(_.attrs.get("kind").contains("absolute")).flatMap { d =>
       val ctxStart = math.max(0, d.begin - window)
-      val ctx = text.substring(ctxStart, d.begin)
+      val ctx = folded.substring(ctxStart, d.begin)
       if (trigPat.matcher(ctx).find())
         Some(d.copy(label = "consultation_date"))
       else None

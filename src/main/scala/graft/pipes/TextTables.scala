@@ -14,8 +14,11 @@ object TextTables {
 
   case class Cell(row: Int, col: Int, begin: Int, end: Int, text: String)
 
-  /** Table spans over the raw text. */
-  def findTables(text: String): Seq[Ent] = {
+  /** Table spans over the raw text. `minRows` mirrors the reference's
+    * `min_rows` knob (tables.py, test_tables.py `min_rows=3`): shorter
+    * delimiter-line runs are not tables.
+    */
+  def findTables(text: String, minRows: Int = 2): Seq[Ent] = {
     if (text == null) return Nil
     val out = new ArrayBuffer[Ent]
     var lineStart = 0
@@ -23,7 +26,7 @@ object TextTables {
     var tableEnd = -1
     var nRows = 0
     def flush(): Unit = {
-      if (tableStart >= 0 && nRows >= 2)
+      if (tableStart >= 0 && nRows >= minRows)
         out += Ent(tableStart, tableEnd, "table",
           text.substring(tableStart, tableEnd),
           Map("n_rows" -> nRows.toString))

@@ -95,6 +95,90 @@ class MiscPipesSpec extends AnyFunSuite {
     assert(hits.head.attrs("datetime").startsWith("2021-03-12"))
   }
 
+  test("tables: reference scenario with min_rows=3 (test_tables.py)") {
+    val text =
+      "\nLe patientqsfqfdf bla bla bla\n" +
+        "Leucocytes ¦x10*9/L ¦4.97 ¦4.09-11\n" +
+        "Hématies ¦x10*12/L¦4.68 ¦4.53-5.79\n" +
+        "Hémoglobine ¦g/dL ¦14.8 ¦13.4-16.7\n" +
+        "Hématocrite ¦% ¦44.2 ¦39.2-48.6\n" +
+        "VGM ¦fL ¦94.4 + ¦79.6-94\n" +
+        "TCMH ¦pg ¦31.6 ¦27.3-32.8\n" +
+        "CCMH ¦g/dL ¦33.5 ¦32.4-36.3\n" +
+        "Plaquettes ¦x10*9/L ¦191 ¦172-398\n" +
+        "VMP ¦fL ¦11.5 + ¦7.4-10.8\n\n" +
+        "qdfsdf\n\n" +
+        "2/2Pat : <NOM> <Prenom> |<date> | <ipp> |Intitulé RCP\n\n" +
+        "Table de taille <= 3 :\n\n" +
+        " |Libellé | Unité | Valeur | Intervalle |\n" +
+        " |Leucocytes |x10*9/L |4.97 | 4.09-11 |\n\n" +
+        "qdfsdf\n\n" +
+        " |Libellé | Unité | Valeur | Intervalle |\n" +
+        " |Leucocytes |x10*9/L |4.97 | 4.09-11 |\n" +
+        " |Hématies |x10*12/L|4.68 | 4.53-5.79 |\n" +
+        " |Hémoglobine |g/dL |14.8 | 13.4-16.7 |\n" +
+        " |Hématocrite ||44.2 | 39.2-48.6 |\n" +
+        " |VGM |fL | 94.4 + | 79.6-94 |\n" +
+        " |TCMH |pg |31.6 |\n" +
+        " |CCMH |g/dL\n" +
+        " |Plaquettes |x10*9/L |191 | 172-398 |\n" +
+        " |VMP |fL |11.5 + | 7.4-10.8 |\n\n"
+    // min_rows=3 keeps the two big tables and drops the 2-line one and
+    // the single patient-banner line (test_tables.py:44-46)
+    val tables = TextTables.findTables(text, minRows = 3)
+    assert(tables.length === 2)
+    // first table: 9 rows x 4 columns, cell [5,0] = TCMH
+    val cells0 = TextTables.toCells(text, tables.head)
+    assert(cells0.map(_.row).distinct.length === 9)
+    assert(cells0.map(_.col).max === 3)
+    assert(cells0.find(c => c.row == 5 && c.col == 0)
+      .map(_.text) === Some("TCMH"))
+    // second table: header row + 9 body rows; the TCMH body row's cell
+    // under the "Valeur" header is "31.6" (to_pd_table(header, index))
+    val cells1 = TextTables.toCells(text, tables(1))
+    val header = cells1.filter(_.row == 0)
+    assert(header.map(_.text) ===
+      Seq("Libellé", "Unité", "Valeur", "Intervalle"))
+    val index = cells1.filter(c => c.row > 0 && c.col == header.head.col)
+      .sortBy(_.row)
+    assert(index.map(_.text) === Seq("Leucocytes", "Hématies",
+      "Hémoglobine", "Hématocrite", "VGM", "TCMH", "CCMH",
+      "Plaquettes", "VMP"))
+    val valeurCol = header.find(_.text == "Valeur").get.col
+    val tcmhRow = index.find(_.text == "TCMH").get.row
+    assert(cells1.find(c => c.row == tcmhRow && c.col == valeurCol)
+      .map(_.text) === Some("31.6"))
+  }
+
+  test("consultation dates: reference scenario (test_consultation_date.py)") {
+    val text =
+      "\nRéférences : AMO/AMO\n" +
+        "Objet : Compte-Rendu de Consultation du 07/10/2018\n" +
+        "Madame BEESLY Pamela, âgée de 45 ans, née le 05/10/1987, a été " +
+        "vue en consultation\n" +
+        "dans le service de NCK CS RHUMATO. Tel: 01-02-03-04-05\n\n" +
+        "####\n\nCR CS 3-1-2019 1/2\n\n####\n\n" +
+        "Paris, le 24 janvier 2020\n\n####\n\n" +
+        "Document signé le 10/02/2020\n\n"
+    def ymd(e: Ent): (Int, Int, Int) =
+      (e.attrs("year").toInt, e.attrs("month").toInt,
+        e.attrs("day").toInt)
+    // base: consultation mentions only -> 2 dates
+    assert(ConsultationDates.extract(text).map(ymd) ===
+      Seq((2018, 10, 7), (2019, 1, 3)))
+    // + town datelines -> 3
+    assert(ConsultationDates.extract(text, townMention = true).map(ymd)
+      === Seq((2018, 10, 7), (2019, 1, 3), (2020, 1, 24)))
+    // + document-date mentions -> 4
+    assert(ConsultationDates.extract(text, townMention = true,
+      documentDateMention = true).map(ymd) ===
+      Seq((2018, 10, 7), (2019, 1, 3), (2020, 1, 24), (2020, 2, 10)))
+    // hyphenated town dateline (test_consultation_date_berck_sur_mer)
+    val berck = ConsultationDates.extract(
+      "Berck-sur-Mer, le 30/04/2025", townMention = true)
+    assert(berck.map(ymd) === Seq((2025, 4, 30)))
+  }
+
   test("history: cue, section, and old-date paths") {
     val ref = java.time.LocalDateTime.parse("2021-08-23T10:00:00")
     val text = "Antécédents\nInfarctus en 2010.\nConclusion :\nFracture du radius le 20/08/2021."

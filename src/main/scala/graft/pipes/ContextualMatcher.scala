@@ -61,7 +61,10 @@ object ContextualMatcher {
       include: Seq[SideRule] = Seq.empty,
       assign: Seq[AssignRule] = Seq.empty,
       includeAssigned: Boolean = false,
-      spanFromGroup: Boolean = false)
+      spanFromGroup: Boolean = false,
+      // regex_flags=0 in the reference (ADICAP codes are uppercase);
+      // patterns opt back in with inline (?i)
+      caseSensitive: Boolean = false)
 
   /** An assign result: the reduced single value, or the full match list
     * when the rule has no reduce mode (the reference's scalar-vs-list
@@ -76,28 +79,27 @@ object ContextualMatcher {
   }
 
   final class Matcher(config: Config) extends Serializable {
+    private val flags =
+      if (config.caseSensitive) 0
+      else Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE
     private val phrase =
       if (config.terms.nonEmpty)
         Some(graft.nlp.PhraseMatcher.build(Map(config.label -> config.terms)))
       else None
     private val regex =
       if (config.regex.nonEmpty)
-        Some(RM.build(Map(config.label -> config.regex)))
+        Some(RM.build(Map(config.label -> config.regex), flags = flags))
       else None
     private val anchorPats =
       if (config.spanFromGroup)
-        config.regex.map(p =>
-          Pattern.compile(p, Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE))
+        config.regex.map(p => Pattern.compile(p, flags))
       else Nil
     private val excludePats = config.exclude.map(r =>
-      (r, r.regex.map(p =>
-        Pattern.compile(p, Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE))))
+      (r, r.regex.map(p => Pattern.compile(p, flags))))
     private val includePats = config.include.map(r =>
-      (r, r.regex.map(p =>
-        Pattern.compile(p, Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE))))
+      (r, r.regex.map(p => Pattern.compile(p, flags))))
     private val assignPats = config.assign.map(r =>
-      (r, Pattern.compile(r.regex,
-        Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE)))
+      (r, Pattern.compile(r.regex, flags)))
 
     private def window(
         text: String, sents: Seq[Sent], ent: Ent,
@@ -154,7 +156,21 @@ object ContextualMatcher {
       graft.nlp.SpanAlgebra.filterSpans(anchors0).foreach { anchor =>
         processOne(text, sents, anchor).foreach(out += _)
       }
+      // final overlap resolution, longest-first: two anchors producing
+      // the same replaced span (e.g. "Codification ADICAP" has two
+      // prefix anchors) collapse to one entity, mirroring the span
+      // setter's ents filtering in the reference
+      val claimed = new ArrayBuffer[(Int, Int)]
       out.toSeq
+        .sortBy { case (e, _) => (-(e.end - e.begin), e.begin) }
+        .filter { case (e, _) =>
+          val free = !claimed.exists { case (b, en) =>
+            e.begin < en && e.end > b
+          }
+          if (free) claimed += ((e.begin, e.end))
+          free
+        }
+        .sortBy(_._1.begin)
     }
 
     private def processOne(

@@ -27,60 +27,99 @@ object Terminology {
     new Matcher(label, concepts)
 }
 
-/** Named clinical score extraction: trigger mention + value regex +
-  * normalization (`/root/reference/edsnlp/pipes/ner/scores/base_score.py:
-  * 13-190`; per-score factories, e.g. Charlson/SOFA/Glasgow).
+/** Named clinical score extraction — the reference machinery
+  * (`/root/reference/edsnlp/pipes/ner/scores/base_score.py:59-161`): a
+  * trigger regex, a `value` assign with `replace_entity` semantics (the
+  * ENTITY is the extracted value span), per-score token windows
+  * (char-scaled here), optional method assigns (SOFA), and a
+  * normalization that DROPS the mention when the value is out of range.
+  * The canonical value idiom `^.*?[\n\W]*?(\d+)` reaches a number on
+  * the trigger's own line, or on the next line only across non-word
+  * characters — "Charlson:\n- IMC: 21" therefore yields nothing.
   */
 object Scores {
+  val defaultValueExtract: String = """^.*?[\n\W]*?(\d+)"""
+
   case class Config(
       name: String,
-      triggers: Seq[String],
-      valueRegex: String = "(\\d+(?:[.,]\\d+)?)",
-      window: Int = 20,
-      normalize: Double => Double = identity)
+      triggers: Seq[String], // regex alternatives, matched on folded text
+      valueExtract: String = defaultValueExtract,
+      window: Int = 56, // chars (~7 tokens, the base_score default)
+      methods: Seq[(String, String)] = Nil, // (regex, method label)
+      normalize: String => Option[Double] = Scores.rangeNorm(0, 29))
 
-  val charlson: Config = Config("charlson",
-    Seq("charlson", "score de charlson"))
-  val sofa: Config = Config("sofa", Seq("sofa", "score sofa"))
+  def rangeNorm(lo: Int, hi: Int): String => Option[Double] =
+    s => s.trim.toIntOption.filter(v => v >= lo && v <= hi)
+      .map(_.toDouble)
+
+  // per-score configs (each `scores/<name>/patterns.py` + factory window)
+  val charlson: Config = Config("charlson", Seq("charlson"),
+    window = 56, normalize = rangeNorm(0, 29))
+  val sofa: Config = Config("sofa", Seq("""\bsofa\b"""),
+    valueExtract = """^.*?[\n\W]*?(\d+)(?![h0-9])""",
+    window = 80,
+    methods = Seq(("(max)", "Maximum"), ("(24h)", "24H"),
+      ("(admission)", "Admission")),
+    normalize = rangeNorm(0, 29))
   val glasgow: Config = Config("glasgow",
-    Seq("glasgow", "score de glasgow", "gcs"))
-  // emergency scores (`edsnlp/pipes/ner/scores/emergency/`): CCMU and
-  // GEMSA triage classes, value range clamped by normalize
-  val ccmu: Config = Config("emergency_ccmu",
-    Seq("ccmu", "classe ccmu"),
-    normalize = v => if (v >= 1 && v <= 5) v else Double.NaN)
-  val gemsa: Config = Config("emergency_gemsa",
-    Seq("gemsa", "classe gemsa"),
-    normalize = v => if (v >= 1 && v <= 6) v else Double.NaN)
+    Seq("glasgow", """\bgcs\b"""), window = 80,
+    normalize = rangeNorm(3, 15))
+  val ccmu: Config = Config("emergency_ccmu", Seq("""\bccmu\b"""),
+    window = 160, normalize = rangeNorm(1, 5))
+  val gemsa: Config = Config("emergency_gemsa", Seq("""\bgemsa\b"""),
+    window = 160, normalize = rangeNorm(1, 6))
   val priority: Config = Config("emergency_priority",
-    Seq("priorité", "priorite", "tri iao"))
-  // Elston-Ellis / SBR histologic grade (`scores/elston_ellis/`)
+    Seq("""\bpriorite\b"""), window = 56, normalize = rangeNorm(0, 5))
+  // Elston-Ellis / SBR histologic grade: the value is the
+  // "(architecture : a + noyaux : b + mitoses : c)" triple; the grade
+  // derives from a+b+c (elston_ellis/patterns.py:6-36)
   val elstonEllis: Config = Config("elston_ellis",
-    Seq("elston", "elston-ellis", "elston et ellis", "sbr", "grade sbr"),
-    normalize = v => if (v >= 1 && v <= 3) v else Double.NaN)
+    Seq("""elston (& |et |and )?ellis""", """\bee\b"""),
+    valueExtract = """(?s).(\([^\d()]*[0-3].{0,2}[+,][^\d()]*[0-3]""" +
+      """.{0,2}[+,][^\d()]*[0-3]\))""",
+    window = 160,
+    normalize = s => {
+      val sum = """[0-3]""".r.findAllIn(s).map(_.toInt).sum
+      Some(if (sum <= 5) 1.0 else if (sum <= 7) 2.0 else 3.0)
+    })
 
   val all: Seq[Config] =
     Seq(charlson, sofa, glasgow, ccmu, gemsa, priority, elstonEllis)
 
   final class Matcher(config: Config) extends Serializable {
     private val trigPat = Pattern.compile(
-      config.triggers.sortBy(-_.length).map(Pattern.quote)
-        .mkString("(?i)(?:", "|", ")"))
-    private val valPat = Pattern.compile(config.valueRegex)
+      config.triggers.mkString("(?:", "|", ")"))
+    private val valPat = Pattern.compile(config.valueExtract)
+    private val methodPats = config.methods.map { case (re, label) =>
+      (Pattern.compile(re, Pattern.CASE_INSENSITIVE), label)
+    }
 
     def findMatches(text: String): Seq[Ent] = {
       if (text == null) return Nil
+      val folded = graft.nlp.Normalizer
+        .mapChars(text.map(Character.toLowerCase))
       val out = new ArrayBuffer[Ent]
-      val m = trigPat.matcher(text)
+      val m = trigPat.matcher(folded)
       while (m.find()) {
+        // window runs from the ANCHOR START (value regexes are
+        // ^-anchored there) to anchor end + window
         val winEnd = math.min(text.length, m.end + config.window)
-        val vm = valPat.matcher(text.substring(m.end, winEnd))
-        if (vm.find()) {
-          val raw = vm.group(1).replace(',', '.').toDouble
-          out += Ent(m.start, m.end + vm.end(1), config.name,
-            text.substring(m.start, m.end + vm.end(1)),
-            Map("score_name" -> config.name,
-              "value" -> config.normalize(raw).toString))
+        val snippet = text.substring(m.start, winEnd)
+        val vm = valPat.matcher(snippet)
+        if (vm.find() && vm.groupCount() >= 1 && vm.group(1) != null) {
+          config.normalize(vm.group(1)).foreach { value =>
+            val b = m.start + vm.start(1)
+            val e = m.start + vm.end(1)
+            var attrs = Map("score_name" -> config.name,
+              "value" ->
+                (if (value == math.rint(value)) value.toInt.toString
+                else value.toString))
+            methodPats.foreach { case (p, label) =>
+              if (p.matcher(snippet).find())
+                attrs += ("score_method" -> label)
+            }
+            out += Ent(b, e, config.name, text.substring(b, e), attrs)
+          }
         }
       }
       out.toSeq
@@ -176,10 +215,15 @@ object Tnm {
   }
 }
 
-/** ADICAP pathology code detection + dictionary decode
-  * (`/root/reference/edsnlp/pipes/ner/adicap/adicap.py:18-260`,
-  * `decoder.py`): code = 4 letters (sampling/technique/organ) + 4
-  * digits/letters; decode maps are broadcast data.
+/** ADICAP pathology code detection (`/root/reference/edsnlp/pipes/ner/
+  * adicap/adicap.py:139-180`, patterns `patterns.py:8-29`): a
+  * codification/adicap PREFIX anchors the mention; every code in the
+  * trailing window becomes its own entity (replace_entity + unreduced
+  * assign). Codes accept the dotted local spelling ("B.H.HP.A7A0") and
+  * the four tail variants; the stored `code` attr is dot-stripped. The
+  * full decode dictionary is licensed reference data (`decoder.py`
+  * get_adicap_dict); the D1 sampling-mode axis ships here as config so
+  * decode plumbing stays exercised.
   */
 object Adicap {
   val samplingModes: Map[String, String] = Map(
@@ -191,21 +235,33 @@ object Adicap {
     "C" -> "cytoponction",
     "F" -> "frottis")
 
-  private val pat =
-    Pattern.compile("\\b(?<code>[BHOPECF][A-Z]{3}[A-Z0-9]{4})\\b")
+  private val d14 = """[A-Z]\.?[A-Z]\.?[A-Z]{2}\.?"""
+  private val tail =
+    """(?:\d{4}|[A-Z][0-9A-Z][A-Z][0-9]|[0-9A-Z][0-9][09A-Z][0-9]|0[A-Z][0-9]{2})"""
+  private val config = ContextualMatcher.Config(
+    label = "adicap",
+    regex = Seq("""(?i)(codification|adicap)"""),
+    assign = Seq(ContextualMatcher.AssignRule(
+      name = "code",
+      regex = "(" + d14 + tail + ")",
+      windowAfter = 4000, // the reference's 500-token window, in chars
+      replaceEntity = true,
+      reduceMode = None,
+      required = true)),
+    caseSensitive = true)
+  private val matcher = ContextualMatcher.matcher(config)
 
   def extract(text: String): Seq[Ent] = {
     if (text == null) return Nil
-    val out = new ArrayBuffer[Ent]
-    val m = pat.matcher(text)
-    while (m.find()) {
-      val code = m.group("code")
+    val tokens = graft.nlp.Tokenizer.tokenize(text)
+    val sents = graft.nlp.Sentencizer.sentences(tokens)
+    matcher.findMatches(text, tokens, sents).map { e =>
+      val code = e.attrs("code").replaceAll("[^A-Za-z0-9 ]+", "")
       var attrs = Map("code" -> code)
       samplingModes.get(code.substring(0, 1))
         .foreach(v => attrs += ("sampling_mode" -> v))
-      out += Ent(m.start, m.end, "adicap", code, attrs)
+      e.copy(attrs = attrs)
     }
-    out.toSeq
   }
 }
 

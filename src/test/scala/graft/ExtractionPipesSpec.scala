@@ -261,16 +261,56 @@ class ExtractionPipesSpec extends AnyFunSuite {
     assert(hits.head.attrs("value").toDouble === 12.0)
   }
 
-  test("emergency and histologic score configs extract and clamp values") {
+  test("emergency and histologic score configs extract and drop invalid") {
     def value(cfg: Scores.Config, text: String): Option[Double] =
       Scores.matcher(cfg).findMatches(text)
         .headOption.map(_.attrs("value").toDouble)
     assert(value(Scores.ccmu, "Classe CCMU 3 aux urgences.") === Some(3.0))
     assert(value(Scores.gemsa, "GEMSA 5 ce jour.") === Some(5.0))
-    assert(value(Scores.elstonEllis, "Grade SBR 2.") === Some(2.0))
-    // out-of-range clamps to NaN (kept as a mention, flagged value)
-    assert(value(Scores.ccmu, "CCMU 9 erroné.").exists(_.isNaN))
+    // out-of-range DROPS the mention (base_score.py:152-161: a None
+    // normalization yields no entity)
+    assert(value(Scores.ccmu, "CCMU 9 erroné.") === None)
     assert(Scores.all.size === 7)
+  }
+
+  test("scores: full reference bank (test_score.py)") {
+    def hits(cfg: Scores.Config, text: String) =
+      Scores.matcher(cfg).findMatches(text)
+    // charlson: value on the trigger line
+    val ch = hits(Scores.charlson, "Charlson à l'admission: 8.")
+    assert(ch.map(e => (e.text, e.attrs("value"))) === Seq(("8", "8")))
+    // a number on the NEXT line behind other words is NOT the value
+    assert(hits(Scores.charlson, "- Charlson:\n- IMC: 21") === Seq.empty)
+    // custom score with a 0-only normalization (TestScore)
+    val testScore = Scores.Config("TestScore", Seq("test+score"),
+      window = 32,
+      normalize = s => s.toIntOption.filter(_ == 0).map(_.toDouble))
+    assert(hits(testScore,
+      "Cette phrase teste un score qui s'appelle TestScore.\n" +
+        "La seule valeur admissible est 0.\n" +
+        "testScore de 1.\nTestScore de 0.")
+      .map(_.attrs("value")) === Seq("0"))
+    // SOFA with a method mention
+    val so = hits(Scores.sofa, "SOFA maximum : 12.")
+    assert(so.map(e => (e.text, e.attrs("value"),
+      e.attrs("score_method"))) === Seq(("12", "12", "Maximum")))
+    // emergency scores, including a value far from the trigger
+    assert(hits(Scores.priority, "PRIORITE: 2: 2 - Urgence relative.")
+      .headOption.map(_.attrs("value")) === Some("2"))
+    assert(hits(Scores.gemsa,
+      "GEMSA: (2) Patient non convoque sortant apres consultation")
+      .headOption.map(_.attrs("value")) === Some("2"))
+    assert(hits(Scores.ccmu,
+      "CCMU: Etat clinique jugé stable avec actes diag ou " +
+        "thérapeutiques ( 2 )")
+      .headOption.map(_.attrs("value")) === Some("2"))
+    // Elston-Ellis: the value is the architecture/noyaux/mitoses triple,
+    // graded by its sum (3+3+1=7 -> grade 2)
+    val ee = hits(Scores.elstonEllis,
+      "de grade 2 de malignité selon Elston et Ellis\n" +
+        "(architecture : 3 + noyaux : 3 + mitoses : 1).")
+    assert(ee.map(e => (e.text, e.attrs("value"))) ===
+      Seq(("(architecture : 3 + noyaux : 3 + mitoses : 1)", "2")))
   }
 
   test("TNM staging parses components") {
@@ -319,9 +359,34 @@ class ExtractionPipesSpec extends AnyFunSuite {
   }
 
   test("ADICAP codes decode sampling mode") {
-    val hits = Adicap.extract("Prélèvement codé BHGS0040.")
+    val hits = Adicap.extract("Codification ADICAP : BHGS0040.")
     assert(hits.length === 1)
     assert(hits.head.attrs("sampling_mode") === "biopsie chirurgicale")
+  }
+
+  test("ADICAP: reference bank (test_adicap.py)") {
+    // trigger-gated detection, one entity per code in the window
+    def codes(text: String): Seq[(String, String)] =
+      Adicap.extract(text).map(e => (e.text, e.attrs("code")))
+    assert(codes("1. Codification ADICAP : ABCD0123.\n    Une autre chose")
+      === Seq(("ABCD0123", "ABCD0123")))
+    assert(codes("2. Codification ADICAP : ABCDA1B3,\n    ABCDABC3. " +
+      "Une autre chose") ===
+      Seq(("ABCDA1B3", "ABCDA1B3"), ("ABCDABC3", "ABCDABC3")))
+    assert(codes("3. adicap : BFEZABC3,\n    ABCDA990. Une autre chose")
+      === Seq(("BFEZABC3", "BFEZABC3"), ("ABCDA990", "ABCDA990")))
+    // first annotated code of example 4 (zip-truncated in the
+    // reference harness, so only the head is asserted there too)
+    assert(codes("4. Codification  : ABCD0A12.\n    J'aime edsnlp. : " +
+      "BFEZABC3.  Une autre chose").head === ("ABCD0A12", "ABCD0A12"))
+    // no trigger -> no detection
+    assert(codes("5. J'aime edsnlp. : BFEZA9AZ.  Une autre chose")
+      === Seq.empty)
+    // trigger but no code -> required assign vetoes the entity
+    assert(codes("6. Codification  : XX. Une autre chose") === Seq.empty)
+    // dotted local spelling: span keeps the dots, the code drops them
+    assert(codes("Codification ADICAP : B.H.HP.A7A0 . Autre chose")
+      === Seq(("B.H.HP.A7A0", "BHHPA7A0")))
   }
 
   test("disorder configs: diabetes excludes insipide") {

@@ -141,10 +141,15 @@ object Normalizer {
     }
   }
 
-  /** Clean text + offset map: concatenation of non-excluded token texts with
-    * single spaces between non-adjacent tokens, plus `cleanToRaw(i)` = raw
-    * offset of clean char i (the prefix-sum realignment of
-    * `/root/reference/edsnlp/utils/doc_to_text.py:117-193`).
+  /** Clean text + offset map: concatenation of non-excluded token texts,
+    * plus `cleanToRaw(i)` = raw offset of clean char i (the prefix-sum
+    * realignment of `/root/reference/edsnlp/utils/doc_to_text.py:
+    * 117-193`). Join rule: skipped whitespace between two kept tokens
+    * collapses to one space — EXCEPT whitespace that trails an excluded
+    * word token, which contributes nothing, so an intraword line split
+    * ("diab-\nète", pollution `intraword_split`) heals to "diabète"
+    * while an endlines-excluded wrap newline ("bras\ndepuis") still
+    * separates the words it used to wrap.
     */
   def cleanTextWithOffsets(
       tokens: Array[Token],
@@ -152,12 +157,19 @@ object Normalizer {
     val sb = new StringBuilder
     val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
     var lastEnd = -1
+    var pendingSpace = false
+    var afterExcludedWord = false
     tokens.foreach { t =>
-      if (!t.excluded && !isSpace(t)) {
-        if (lastEnd >= 0 && t.begin > lastEnd) {
+      if (t.excluded && !isSpace(t)) afterExcludedWord = true
+      else if (isSpace(t)) {
+        if (!afterExcludedWord) pendingSpace = true
+      } else {
+        if (lastEnd >= 0 && pendingSpace) {
           sb += ' '
           offsets += lastEnd
         }
+        pendingSpace = false
+        afterExcludedWord = false
         val s = if (useNorm) t.norm else t.text
         // norm is fixed-length by construction; guard anyway
         val body = if (s.length == t.end - t.begin) s else t.text

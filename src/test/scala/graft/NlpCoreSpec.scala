@@ -37,6 +37,63 @@ class NlpCoreSpec extends AnyFunSuite {
     t.foreach(tok => assert(tok.norm.length === tok.end - tok.begin))
   }
 
+  test("normalizer: reference scenario goldens (test_normalisation.py)") {
+    val text =
+      "L'aïeul ʺnˊest pas malade”, écrit-il. Fièvre NBNbWbWbNbWbNB jaune."
+    def clean(opts: Normalizer.Options): String = {
+      val tk = Normalizer.normalize(text, Tokenizer.tokenize(text), opts)
+      Normalizer.cleanTextWithOffsets(tk, useNorm = true)._1
+    }
+    // full normalization (test_full_normalization)
+    assert(clean(Normalizer.Options()) ===
+      "l'aieul \"n'est pas malade\", ecrit-il. fievre jaune.")
+    // accents only
+    assert(clean(Normalizer.Options(lowercase = false, quotes = false,
+      pollution = false)) ===
+      "L'aieul ʺnˊest pas malade” , ecrit-il. Fievre NBNbWbWbNbWbNB jaune."
+        .replace("” ,", "”,"))
+    // quotes only
+    assert(clean(Normalizer.Options(lowercase = false, accents = false,
+      pollution = false)) ===
+      "L'aïeul \"n'est pas malade\", écrit-il. Fièvre NBNbWbWbNbWbNB jaune.")
+    // lowercase only
+    assert(clean(Normalizer.Options(accents = false, quotes = false,
+      pollution = false)).startsWith("l'aïeul"))
+    // pollution only
+    assert(clean(Normalizer.Options(lowercase = false, accents = false,
+      quotes = false)) ===
+      "L'aïeul ʺnˊest pas malade”, écrit-il. Fièvre jaune.")
+  }
+
+  test("normalizer: print-footer pollution blocks (test_normalisation.py:86-110)") {
+    def clean(text: String): String = {
+      val tk = Normalizer.normalize(text, Tokenizer.tokenize(text),
+        Normalizer.Options(lowercase = false, accents = false,
+          quotes = false))
+      Normalizer.cleanTextWithOffsets(tk, useNorm = true)._1
+    }
+    val text2 = "Le jour de \n" +
+      "2/2Pat : <NOM> <Prenom> le <date> IPP <ipp> Intitulé RCP" +
+      " : Urologie HMN le <date>\nRéunion de Concertation" +
+      " Pluridisciplinaire\nHôpital Henri Mondor"
+    assert(clean(text2) === "Le jour de Réunion de Concertation " +
+      "Pluridisciplinaire Hôpital Henri Mondor")
+    val text3 = "Le jour de \n" +
+      "3/5CRH service ABC HC SOINS INTENSIFS CARDIOLOGIE - " +
+      "CARDIOLOGIE-2EME ETAGE-B    Pat.: Prenom NOM | M | 13/10/1789 " +
+      "| 8012345678 | xxxxxxxx \nconsultation"
+    assert(clean(text3) === "Le jour de consultation")
+  }
+
+  test("normalizer: intraword line split heals (test_normalisation.py:113-124)") {
+    val text = "Le patient a un diab-\nète de type II."
+    val tk = Normalizer.normalize(text, Tokenizer.tokenize(text),
+      Normalizer.Options(lowercase = false, accents = false,
+        quotes = false))
+    assert(Normalizer.cleanTextWithOffsets(tk, useNorm = true)._1 ===
+      "Le patient a un diabète de type II.")
+  }
+
   test("sentencizer: period always opens a sentence; newline needs capitalization") {
     // after a period the next word starts a sentence regardless of case
     // (capitalization is only checked for newline-triggered boundaries)

@@ -92,7 +92,21 @@ final class FuzzyMatcher private (
       }
       s += 1
     }
-    SpanAlgebra.filterSpans(out.toSeq)
+    // overlap resolution by SIMILARITY first (then length, then
+    // position): an exact "doliprane" (sim 1.0) must beat the longer
+    // "de doliprane" window — the reference's simstring matcher keeps
+    // the best-scoring candidate, not the longest
+    val claimed = new ArrayBuffer[(Int, Int)]
+    out.toSeq
+      .sortBy(e => (-e.attrs("similarity").toDouble,
+        -(e.end - e.begin), e.begin))
+      .filter { e =>
+        val free =
+          !claimed.exists { case (b, en) => e.begin < en && e.end > b }
+        if (free) claimed += ((e.begin, e.end))
+        free
+      }
+      .sortBy(_.begin)
   }
 }
 

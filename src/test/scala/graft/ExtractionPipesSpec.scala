@@ -252,6 +252,14 @@ class ExtractionPipesSpec extends AnyFunSuite {
     val hits = m.findMatches(toks(s), s)
     assert(hits.map(h => (h.text.toLowerCase, h.attrs("kb_id"))).toSet ===
       Set(("doliprane", "N02BE01"), ("aspirine", "B01AC06")))
+    // the reference runs the same terminology through BOTH matchers
+    // (test_terminology.py exact|simstring): the fuzzy path finds the
+    // exact mention too
+    val fuzzy = graft.nlp.FuzzyMatcher.build("drug",
+      Seq("paracetamol", "doliprane", "tylenol"))
+    val t2 = "1g de doliprane"
+    val fhits = fuzzy.findMatches(toks(t2), t2)
+    assert(fhits.map(_.text) === Seq("doliprane"))
   }
 
   test("scores: trigger + value in window") {

@@ -16,6 +16,31 @@ object SplitExplode {
   case class Fragment(
       index: Int, begin: Int, end: Int, text: String, ents: Seq[Ent])
 
+  /** Token-budget split — the reference's `max_length` (in TOKENS,
+    * split.py): one fragment per run of `maxTokens` word tokens, each
+    * fragment carrying the trailing whitespace up to the next fragment's
+    * first token. Entities remap as in [[split]].
+    */
+  def splitByTokens(
+      text: String,
+      ents: Seq[Ent] = Nil,
+      maxTokens: Int = 12): Seq[Fragment] = {
+    if (text == null || text.isEmpty) return Nil
+    val words = graft.nlp.Tokenizer.tokenize(text)
+      .filterNot(graft.nlp.Normalizer.isSpace)
+    if (words.isEmpty) return Seq(Fragment(0, 0, text.length, text, ents))
+    val groups = words.grouped(maxTokens).toSeq
+    groups.zipWithIndex.map { case (g, i) =>
+      val b = if (i == 0) 0 else g.head.begin
+      val e =
+        if (i + 1 < groups.length) groups(i + 1).head.begin
+        else text.length
+      val sub = ents.filter(en => en.begin >= b && en.end <= e)
+        .map(en => en.copy(begin = en.begin - b, end = en.end - b))
+      Fragment(i, b, e, text.substring(b, e), sub)
+    }
+  }
+
   /** Split a document at regex boundaries (default: blank lines), with
     * optional max fragment length (split at the last word boundary before
     * the cap). Entities are remapped into fragment-local offsets; entities

@@ -482,6 +482,17 @@ class ExtractionPipesSpec extends AnyFunSuite {
     assert(f1.text.substring(f1.ents.head.begin, f1.ents.head.end) === "fracture")
   }
 
+  test("split by token budget: reference max_length scenario (test_split.py)") {
+    val txt = "Le patient mange des pates depuis le début du confinement, " +
+      "il est donc un peu ballonné, mais pense revenir à un régime plus " +
+      "équilibré en mangeant des légumes et des fruits."
+    val texts = SplitExplode.splitByTokens(txt, maxTokens = 12).map(_.text)
+    assert(texts === Seq(
+      "Le patient mange des pates depuis le début du confinement, il ",
+      "est donc un peu ballonné, mais pense revenir à un régime ",
+      "plus équilibré en mangeant des légumes et des fruits."))
+  }
+
   test("qualifier parity on markup golden examples (negation bank)") {
     // reference-style fixtures: annotation is the expected output
     val examples = Seq(

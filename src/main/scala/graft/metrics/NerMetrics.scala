@@ -119,39 +119,71 @@ object NerMetrics {
     nerExact(items(pred), items(gold))
   }
 
-  /** Overlap-tolerant metric: a predicted span counts as TP if it overlaps
-    * any gold span with the same label (`ner.py:101-190`, dice-style).
+  /** Overlap-tolerant metric with a Dice threshold — the full reference
+    * semantics (`ner.py:101-190`): a PRED span counts when its best
+    * same-label gold Dice reaches the threshold; a GOLD span counts when
+    * its best-Dice pred over ALL labels reaches the threshold AND that
+    * argmax pred carries the same label. The two sides can disagree, so
+    * p = tp/n_pred, r = tp_gold/n_gold, and f is the harmonic
+    * `2/(n_pred/tp + n_gold/tp_gold)` (0 when either side is empty;
+    * p/r default to 1 on empty denominators). Span units are whatever
+    * the caller's begin/end are in — the reference counts TOKENS.
+    * Distributed shape: two doc-equi joins + per-span max aggregations,
+    * no window.
     */
-  def nerOverlap(pred: DataFrame, gold: DataFrame): DataFrame = {
+  def nerOverlap(
+      pred: DataFrame, gold: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
     val p = pred.select(col("doc_id"), col("begin"), col("end"),
-      col("label")).alias("p")
+      col("label")).distinct().alias("p")
     val g = gold.select(col("doc_id"), col("begin"), col("end"),
-      col("label")).alias("g")
-    val overlap = col("p.begin") < col("g.end") &&
-      col("p.end") > col("g.begin")
-    val tpPred = p.join(g,
-      col("p.doc_id") === col("g.doc_id") &&
-        col("p.label") === col("g.label") && overlap, "left_semi")
-    val tpGold = g.join(p,
-      col("p.doc_id") === col("g.doc_id") &&
-        col("p.label") === col("g.label") && overlap, "left_semi")
-    val counts = tpPred.select(col("label")).withColumn("kind", lit("tp"))
-      .unionByName(p.select(col("p.label").as("label"))
-        .withColumn("kind", lit("pred")))
-      .unionByName(tpGold.select(col("label")).withColumn("kind", lit("tpg")))
-      .unionByName(g.select(col("g.label").as("label"))
-        .withColumn("kind", lit("gold")))
-      .groupBy("label", "kind").agg(count(lit(1)).as("n"))
+      col("label")).distinct().alias("g")
+    val inter = greatest(lit(0),
+      least(col("p.end"), col("g.end")) -
+        greatest(col("p.begin"), col("g.begin")))
+    val dice = inter.cast("double") * 2.0 /
+      ((col("p.end") - col("p.begin")) + (col("g.end") - col("g.begin")))
+    // pred side: best dice among SAME-LABEL golds
+    val predBest = p.join(g,
+        col("p.doc_id") === col("g.doc_id") &&
+          col("p.label") === col("g.label"), "left")
+      .groupBy(col("p.doc_id"), col("p.begin"), col("p.end"),
+        col("p.label").as("label"))
+      .agg(max(when(col("g.begin").isNotNull, dice).otherwise(-1.0))
+        .as("best"))
+    // gold side: best dice among ALL preds, argmax label must agree
+    val goldBest = g.join(p,
+        col("p.doc_id") === col("g.doc_id"), "left")
+      .groupBy(col("g.doc_id"), col("g.begin"), col("g.end"),
+        col("g.label").as("label"))
+      .agg(max(when(col("p.begin").isNotNull,
+          struct(dice.as("d"), col("p.label").as("pl"))))
+        .as("m"))
+    def withMicro(df: DataFrame): DataFrame =
+      df.unionByName(df.withColumn("label", lit("micro")))
+    val counts = withMicro(
+        predBest.select(col("label"),
+          when(col("best") >= threshold, 1L).otherwise(0L).as("tp"),
+          lit(1L).as("np"), lit(0L).as("tpg"), lit(0L).as("ng")))
+      .unionByName(withMicro(
+        goldBest.select(col("label"), lit(0L).as("tp"),
+          lit(0L).as("np"),
+          when(col("m").isNotNull && col("m.d") >= threshold &&
+            col("m.pl") === col("label"), 1L).otherwise(0L).as("tpg"),
+          lit(1L).as("ng"))))
       .groupBy("label")
-      .agg(
-        sum(when(col("kind") === "tp", col("n")).otherwise(0L)).as("tp"),
-        sum(when(col("kind") === "pred", col("n")).otherwise(0L)).as("np"),
-        sum(when(col("kind") === "tpg", col("n")).otherwise(0L)).as("tpg"),
-        sum(when(col("kind") === "gold", col("n")).otherwise(0L)).as("ng"))
+      .agg(sum("tp").as("tp"), sum("np").as("np"),
+        sum("tpg").as("tpg"), sum("ng").as("ng"))
     counts.select(
       col("label"),
-      round(col("tp") / greatest(col("np"), lit(1L)), 4).as("precision"),
-      round(col("tpg") / greatest(col("ng"), lit(1L)), 4).as("recall"))
+      round(when(col("np") === 0, 1.0)
+        .otherwise(col("tp") / col("np")), 4).as("precision"),
+      round(when(col("ng") === 0, 1.0)
+        .otherwise(col("tpg") / col("ng")), 4).as("recall"),
+      round(when(col("tp") > 0 && col("tpg") > 0,
+        lit(2.0) / (col("np") / col("tp") + col("ng") / col("tpg")))
+        .otherwise(0.0), 4).as("f1"),
+      col("tp"), col("np").as("n_pred"), col("ng").as("n_gold"))
   }
 
   /** Span-attribute classification metric matching

@@ -43,6 +43,69 @@ class MetricsSpec extends AnyFunSuite {
     assert(m("sym").getAs[Double]("precision") === 0.5)
   }
 
+  test("NER scorers: reference micro goldens (test_metrics.py:27-109)") {
+    // the reference fixture, parsed from its markup form; spans are
+    // converted to TOKEN indices (the unit the reference scores in)
+    val fixtures = Seq(
+      ("d1", "Le patient a [le covid](covid) 19.",
+        "Le patient a [le covid](covid) 19."),
+      ("d2", "[Corona](covid): positif. Le [cvid](covid) est " +
+        "une [maladie très très grave](disease).",
+        "[Corona:](covid) positif. Le cvid est une [maladie](disease) " +
+          "très très grave."))
+    def tokenSpans(docId: String, markup: String) = {
+      val (text, ents) = io.Markup.parse(markup, "md")
+      val words = graft.nlp.Tokenizer.tokenize(text)
+        .filterNot(graft.nlp.Normalizer.isSpace)
+      ents.map { e =>
+        val ti = words.indexWhere(w => w.begin < e.end && w.end > e.begin)
+        val tj = words.lastIndexWhere(w =>
+          w.begin < e.end && w.end > e.begin)
+        (docId, ti, tj + 1, e.label)
+      }
+    }
+    val goldTok = fixtures.flatMap { case (id, g, _) => tokenSpans(id, g) }
+      .toDF("doc_id", "begin", "end", "label")
+    val predTok = fixtures.flatMap { case (id, _, p) => tokenSpans(id, p) }
+      .toDF("doc_id", "begin", "end", "label")
+    def micro(df: org.apache.spark.sql.DataFrame): Map[String, Any] = {
+      val r = df.filter($"label" === "micro").collect().head
+      r.schema.fieldNames.zip(r.toSeq).toMap
+    }
+    // exact: tp=1, positives=3, support=4 -> p=1/3, r=1/4, f=0.2857
+    val ex = micro(NerMetrics.nerExact(predTok, goldTok))
+    assert(ex("tp") === 1L && ex("n_pred") === 3L && ex("n_gold") === 4L)
+    assert(ex("precision") === 0.3333 && ex("recall") === 0.25)
+    // overlap any: tp=3/3, gold side 3/4 -> f=0.8571
+    val any = micro(NerMetrics.nerOverlap(predTok, goldTok,
+      threshold = 0.00001))
+    assert(any("precision") === 1.0 && any("recall") === 0.75 &&
+      any("f1") === 0.8571)
+    // overlap half: p=2/3, r=2/4 -> f=0.5714
+    val half = micro(NerMetrics.nerOverlap(predTok, goldTok))
+    assert(half("precision") === 0.6667 && half("recall") === 0.5 &&
+      half("f1") === 0.5714)
+    // overlap full: p=1/3, r=1/4 -> f=0.2857
+    val full = micro(NerMetrics.nerOverlap(predTok, goldTok,
+      threshold = 1.0))
+    assert(full("precision") === 0.3333 && full("recall") === 0.25 &&
+      full("f1") === 0.2857)
+    // token scorer: tp=4, positives=5, support=8 (test_token_ner_scorer)
+    val docsDf = fixtures.map { case (id, g, _) =>
+      (id, io.Markup.parse(g, "md")._1) }.toDF("doc_id", "text")
+    val tokGold = fixtures.flatMap { case (id, g, _) =>
+      io.Markup.parse(g, "md")._2.map(e => (id, e.begin, e.end, e.label))
+    }.toDF("doc_id", "begin", "end", "label")
+    val tokPred = fixtures.flatMap { case (id, _, p) =>
+      io.Markup.parse(p, "md")._2.map(e => (id, e.begin, e.end, e.label))
+    }.toDF("doc_id", "begin", "end", "label")
+    val tok = micro(NerMetrics.nerToken(tokPred, tokGold, docsDf,
+      "doc_id", "text"))
+    assert(tok("tp") === 4L && tok("n_pred") === 5L &&
+      tok("n_gold") === 8L)
+    assert(tok("precision") === 0.8 && tok("recall") === 0.5)
+  }
+
   test("nerChar: char-position sets") {
     val m = NerMetrics.nerChar(
       pred.filter($"doc_id" === "d1"), gold.filter($"doc_id" === "d1"))

@@ -198,14 +198,21 @@ object NerMetrics {
     */
   def spanAttribute(
       pred: DataFrame, gold: DataFrame, attrs: Seq[String],
-      includeFalsy: Boolean = false): DataFrame = {
+      includeFalsy: Boolean = false,
+      splitByValues: Boolean = false): DataFrame = {
     def items(df: DataFrame): DataFrame = {
       val av = array(attrs.map(a => struct(lit(a).as("attr"),
         col(a).cast("string").as("value"))): _*)
-      val base = df.select(col("doc_id"), col("begin"), col("end"),
+      val base0 = df.select(col("doc_id"), col("begin"), col("end"),
         explode(av).as("av"))
         .select(col("doc_id"), col("begin"), col("end"),
           col("av.attr").as("attr"), col("av.value").as("value"))
+      // split_by_values (span_attribute.py): per-(attr, value) rows —
+      // the group label becomes "attr=value", micro is unchanged
+      val base =
+        if (splitByValues) base0.withColumn("attr",
+          concat(col("attr"), lit("="), col("value")))
+        else base0
       val kept =
         if (includeFalsy) base.filter(col("value").isNotNull)
         else base.filter(col("value").isNotNull &&

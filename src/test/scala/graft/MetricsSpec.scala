@@ -106,6 +106,47 @@ class MetricsSpec extends AnyFunSuite {
     assert(tok("precision") === 0.8 && tok("recall") === 0.5)
   }
 
+  test("spanAttribute: reference scorer goldens (test_metrics.py:111-216)") {
+    // negation scorer: pred flags covid true where gold says false;
+    // include_falsy=False drops falsy items, so gold has ONE item
+    val predNeg = Seq(("d1", 0, 8, "true"), ("d1", 10, 21, "true"))
+      .toDF("doc_id", "begin", "end", "negation")
+    val goldNeg = Seq(("d1", 0, 8, "false"), ("d1", 10, 21, "true"))
+      .toDF("doc_id", "begin", "end", "negation")
+    val neg = NerMetrics.spanAttribute(predNeg, goldNeg, Seq("negation"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val m = neg("micro")
+    assert(m.getAs[Long]("tp") === 1L && m.getAs[Long]("n_pred") === 2L &&
+      m.getAs[Long]("n_gold") === 1L)
+    assert(m.getAs[Double]("precision") === 0.5 &&
+      m.getAs[Double]("recall") === 1.0 &&
+      m.getAs[Double]("f1") === 0.6667)
+    // split_by_values over a 3-span status fixture
+    // (test_span_attribute_metric_split_by_values)
+    val predSt = Seq(("d1", 0, 1, "present"), ("d1", 1, 2, "absent"),
+      ("d1", 2, 3, "present")).toDF("doc_id", "begin", "end", "status")
+    val goldSt = Seq(("d1", 0, 1, "present"), ("d1", 1, 2, "absent"),
+      ("d1", 2, 3, "absent")).toDF("doc_id", "begin", "end", "status")
+    val st = NerMetrics.spanAttribute(predSt, goldSt, Seq("status"),
+      splitByValues = true).collect().map(r => r.getString(0) -> r).toMap
+    val sm = st("micro")
+    assert(sm.getAs[Long]("tp") === 2L && sm.getAs[Long]("n_pred") === 3L
+      && sm.getAs[Long]("n_gold") === 3L)
+    assert(sm.getAs[Double]("f1") === 0.6667)
+    val present = st("status=present")
+    assert(present.getAs[Long]("tp") === 1L &&
+      present.getAs[Long]("n_pred") === 2L &&
+      present.getAs[Long]("n_gold") === 1L)
+    assert(present.getAs[Double]("precision") === 0.5 &&
+      present.getAs[Double]("recall") === 1.0)
+    val absent = st("status=absent")
+    assert(absent.getAs[Long]("tp") === 1L &&
+      absent.getAs[Long]("n_pred") === 1L &&
+      absent.getAs[Long]("n_gold") === 2L)
+    assert(absent.getAs[Double]("precision") === 1.0 &&
+      absent.getAs[Double]("recall") === 0.5)
+  }
+
   test("nerChar: char-position sets") {
     val m = NerMetrics.nerChar(
       pred.filter($"doc_id" === "d1"), gold.filter($"doc_id" === "d1"))

@@ -193,6 +193,34 @@ class NlpCoreSpec extends AnyFunSuite {
     assert(hits.head.begin === 0 && hits.head.end === s.length)
   }
 
+  test("regex matcher: clean-text match spans pollution (test_regex.py:66-100)") {
+    // the reference matches "pneumopathie à coronavirus" THROUGH an
+    // excluded pollution bar; the matched raw span covers the bar
+    // (here with the norm accent-folded, so the pattern is folded too)
+    val text = "pneumopathie à " +
+      "NBNbWbWbNbWbNBNbNbWbWbNBNbWbNbNbWbNBNbWbNbNB coronavirus"
+    val tokens = toks(text)
+    val m = RegexMatcher.build(
+      Map("test" -> Seq("pneumopathie a coronavirus")), attrNorm = true)
+    val hits = m.findMatches(tokens, text)
+    assert(hits.length === 1)
+    assert(hits.head.text === text)
+    // mid-document variant (test_regex_with_norm_on_span)
+    val text2 = "le patient a une " + text
+    val hits2 = m.findMatches(toks(text2), text2)
+    assert(hits2.length === 1)
+    assert(hits2.head.text === text)
+  }
+
+  test("regex matcher: norm alignment keeps ent spans tight (test_regex.py:142-152)") {
+    val text = "test " + ("bla… " * 4) + "test " + ("bla" * 10)
+    val m = RegexMatcher.build(Map("test" -> Seq("""\btest\b""")),
+      attrNorm = true)
+    val hits = m.findMatches(toks(text), text)
+    assert(hits.nonEmpty)
+    hits.foreach(h => assert(h.text === "test"))
+  }
+
   test("negation: NegEx-style golden examples") {
     val pipe = DocFixtures.pipeline
     def negated(text: String, term: String): Boolean = {

@@ -17,11 +17,22 @@ import org.apache.spark.sql.functions._
 object Omop {
 
   /** note + note_nlp -> nested docs. Extra note_nlp columns beyond the
-    * core five are carried into the entity struct.
+    * core five are carried into the entity struct. `boolAttributes`
+    * mirrors the reference converter's bool coercion
+    * (`converters.py:297-306` via test_converters.py:18-53): listed
+    * attribute columns default to FALSE where absent/null, so an entity
+    * that never carried the qualifier reads as unqualified rather than
+    * null downstream.
     */
-  def toDocs(note: DataFrame, noteNlp: DataFrame): DataFrame = {
-    val entityCols = noteNlp.columns.filter(_ != "note_id")
-    val entities = noteNlp
+  def toDocs(
+      note: DataFrame, noteNlp: DataFrame,
+      boolAttributes: Seq[String] = Nil): DataFrame = {
+    val coerced = boolAttributes.foldLeft(noteNlp)((df, a) =>
+      if (df.columns.contains(a))
+        df.withColumn(a, coalesce(col(a).cast("boolean"), lit(false)))
+      else df.withColumn(a, lit(false)))
+    val entityCols = coerced.columns.filter(_ != "note_id")
+    val entities = coerced
       .groupBy(col("note_id"))
       .agg(sort_array(collect_list(
         struct(entityCols.map(col): _*))).as("entities"))

@@ -23,6 +23,26 @@ class IoSpec extends AnyFunSuite {
     dir
   }
 
+  test("omop converter: bool attribute coercion (test_converters.py:18-53)") {
+    import spark.implicits._
+    val note = Seq((1234L, "This is a test.")).toDF("note_id", "note_text")
+    // entity 1 never carried the negation attribute -> reads false
+    val noteNlp = Seq(
+      (0L, 1234L, 0, 4, "This", "test", Some(true)),
+      (1L, 1234L, 5, 7, "is", "test", None))
+      .toDF("note_nlp_id", "note_id", "start_char", "end_char",
+        "lexical_variant", "note_nlp_source_value", "negation")
+    val docs = graft.io.Omop.toDocs(note, noteNlp,
+      boolAttributes = Seq("negation")).collect()
+    assert(docs.length === 1)
+    val ents = docs.head
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("entities")
+    assert(ents.length === 2)
+    assert(ents.head.getAs[String]("lexical_variant") === "This")
+    assert(ents.head.getAs[Boolean]("negation") === true)
+    assert(ents(1).getAs[Boolean]("negation") === false)
+  }
+
   test("standoff read: entities, attributes, notes, fragment merge") {
     val dir = mkBratDir()
     val df = Standoff.read(spark, dir).orderBy("doc_id")

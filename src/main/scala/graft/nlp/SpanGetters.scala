@@ -66,3 +66,135 @@ object SpanGetters {
     (ents, groups.toMap)
   }
 }
+
+/** Context-window algebra — the reference's `ContextWindow` DSL
+  * (`/root/reference/edsnlp/utils/span_getters.py:352-540`): leaf windows
+  * `words[a:b]` (token offsets around the span) and `sents[a:b]`
+  * (sentence offsets around the span's sentence; `sent` = `sents[0:0]`),
+  * combined with `|` (union) and `&` (intersection). Windows evaluate to
+  * char ranges over the original text, so they compose with every
+  * char-offset operator here.
+  */
+object ContextWindows {
+
+  sealed trait Win extends Serializable {
+    def apply(
+        begin: Int, end: Int,
+        tokens: Array[Token], sents: Seq[Sent]): (Int, Int)
+  }
+
+  final case class Words(before: Int, after: Int) extends Win {
+    def apply(begin: Int, end: Int,
+        tokens: Array[Token], sents: Seq[Sent]): (Int, Int) = {
+      val words = tokens.filterNot(Normalizer.isSpace)
+      if (words.isEmpty) return (begin, end)
+      var ti = words.indexWhere(w => w.end > begin)
+      if (ti < 0) ti = words.length - 1
+      var tj = words.lastIndexWhere(w => w.begin < end)
+      if (tj < 0) tj = 0
+      val lo = math.max(0, ti + before)
+      val hi = math.min(words.length - 1, tj + after)
+      (words(lo).begin, words(hi).end)
+    }
+  }
+
+  /** `dropLast` reproduces the reference class's end computation
+    * (`span_getters.py:514-519`): the window ends one TOKEN before the
+    * next sentence's start — dropping the final token of the last
+    * covered sentence — except when no sentence follows (then the
+    * window runs to the end of the document). make_span_context_getter
+    * uses full sentence spans instead; [[spanContextGetter]] mirrors
+    * that.
+    */
+  final case class Sents(
+      before: Int, after: Int, dropLast: Boolean = false) extends Win {
+    def apply(begin: Int, end: Int,
+        tokens: Array[Token], sents: Seq[Sent]): (Int, Int) = {
+      if (sents.isEmpty) return (begin, end)
+      val si = sents.indexWhere(s => begin < s.end && end > s.begin) match {
+        case -1 => if (begin >= sents.last.end) sents.length - 1 else 0
+        case i => i
+      }
+      val lo = math.max(0, si + before)
+      val hi = math.min(sents.length - 1, si + after)
+      val hiEnd =
+        if (!dropLast || si + after >= sents.length - 1) {
+          if (si + after >= sents.length - 1 && dropLast) tokens.lastOption
+            .map(_.end).getOrElse(sents(hi).end).max(sents(hi).end)
+          else sents(hi).end
+        } else {
+          // drop the last non-space token of the final covered sentence
+          val words = tokens.filter(t => !Normalizer.isSpace(t) &&
+            t.begin >= sents(hi).begin && t.end <= sents(hi).end)
+          if (words.length >= 2) words(words.length - 2).end
+          else sents(hi).begin
+        }
+      (sents(lo).begin, hiEnd)
+    }
+  }
+
+  final case class Or(l: Win, r: Win) extends Win {
+    def apply(begin: Int, end: Int,
+        tokens: Array[Token], sents: Seq[Sent]): (Int, Int) = {
+      val (lb, le) = l(begin, end, tokens, sents)
+      val (rb, re) = r(begin, end, tokens, sents)
+      (math.min(lb, rb), math.max(le, re))
+    }
+  }
+
+  final case class And(l: Win, r: Win) extends Win {
+    def apply(begin: Int, end: Int,
+        tokens: Array[Token], sents: Seq[Sent]): (Int, Int) = {
+      val (lb, le) = l(begin, end, tokens, sents)
+      val (rb, re) = r(begin, end, tokens, sents)
+      val b = math.max(lb, rb)
+      val e = math.min(le, re)
+      if (b <= e) (b, e) else (begin, end)
+    }
+  }
+
+  private val leafPat = java.util.regex.Pattern.compile(
+    """\s*(words|sents)\[(-?\d+):(-?\d+)\]\s*|\s*(sent)\s*""")
+
+  /** Parse `"words[-5:5] & sent"` / `"words[-5:8] | sents[-1:1]"`.
+    * Operators associate left; mixing `|` and `&` needs no parens in
+    * the reference's own queries, which chain a single operator.
+    */
+  def parse(query: String): Win = {
+    val parts = query.split("[|&]").map(_.trim)
+    val ops = query.filter(c => c == '|' || c == '&')
+    require(parts.forall(_.nonEmpty), s"cannot parse context '$query'")
+    def leaf(s: String): Win = {
+      val m = leafPat.matcher(s)
+      require(m.matches(), s"cannot parse context window '$s' " +
+        "(expected words[a:b], sents[a:b], or sent)")
+      if (m.group(4) != null) Sents(0, 0, dropLast = true)
+      else {
+        val (a, b) = (m.group(2).toInt, m.group(3).toInt)
+        if (m.group(1) == "words") Words(a, b)
+        else Sents(a, b, dropLast = true)
+      }
+    }
+    parts.map(leaf).zipWithIndex.reduceLeft[(Win, Int)] {
+      case ((acc, _), (w, i)) =>
+        (if (ops(i - 1) == '|') Or(acc, w) else And(acc, w), i)
+    }._1
+  }
+
+  /** The reference's `make_span_context_getter`: symmetric-or-pair word
+    * and sentence context, unioned. `contextSents` counts SENTENCES
+    * INCLUDING the span's own on each side (n=1 -> own sentence only),
+    * as the reference getter does.
+    */
+  def spanContextGetter(
+      contextWords: (Int, Int),
+      contextSents: (Int, Int)): Win = {
+    val w = Words(-contextWords._1, contextWords._2)
+    if (contextSents == ((0, 0))) w
+    else {
+      val s = Sents(-(contextSents._1 - 1).max(0),
+        (contextSents._2 - 1).max(0))
+      if (contextWords == ((0, 0))) s else Or(w, s)
+    }
+  }
+}

@@ -35,12 +35,17 @@ import graft.nlp.{Ent, RegexMatcher => RM, Sent, Token}
   */
 object ContextualMatcher {
 
-  /** window: chars before/after the anchor; 0,0 = same sentence. */
+  /** window: chars before/after the anchor; 0,0 = same sentence.
+    * `windowQuery` overrides both with a ContextWindow expression
+    * (`"words[-5:5] & sent"`, `"sents[-1:1]"` — the reference's window
+    * DSL, token/sentence units).
+    */
   case class SideRule(
       regex: Seq[String],
       windowBefore: Int = 0,
       windowAfter: Int = 0,
-      sentenceWindow: Boolean = false)
+      sentenceWindow: Boolean = false,
+      windowQuery: String = null)
 
   case class AssignRule(
       name: String,
@@ -51,7 +56,8 @@ object ContextualMatcher {
       expandEntity: Boolean = false,
       replaceEntity: Boolean = false,
       reduceMode: Option[String] = None, // keep_first | keep_last | None
-      required: Boolean = false)
+      required: Boolean = false,
+      windowQuery: String = null)
 
   case class Config(
       label: String,
@@ -95,11 +101,14 @@ object ContextualMatcher {
         config.regex.map(p => Pattern.compile(p, flags))
       else Nil
     private val excludePats = config.exclude.map(r =>
-      (r, r.regex.map(p => Pattern.compile(p, flags))))
+      (r, r.regex.map(p => Pattern.compile(p, flags)),
+        Option(r.windowQuery).map(graft.nlp.ContextWindows.parse)))
     private val includePats = config.include.map(r =>
-      (r, r.regex.map(p => Pattern.compile(p, flags))))
+      (r, r.regex.map(p => Pattern.compile(p, flags)),
+        Option(r.windowQuery).map(graft.nlp.ContextWindows.parse)))
     private val assignPats = config.assign.map(r =>
-      (r, Pattern.compile(r.regex, flags)))
+      (r, Pattern.compile(r.regex, flags),
+        Option(r.windowQuery).map(graft.nlp.ContextWindows.parse)))
 
     private def window(
         text: String, sents: Seq[Sent], ent: Ent,
@@ -154,7 +163,7 @@ object ContextualMatcher {
               .map(expand))
       val out = new ArrayBuffer[(Ent, Map[String, AssignedValue])]
       graft.nlp.SpanAlgebra.filterSpans(anchors0).foreach { anchor =>
-        processOne(text, sents, anchor).foreach(out += _)
+        processOne(text, tokens, sents, anchor).foreach(out += _)
       }
       // final overlap resolution, longest-first: two anchors producing
       // the same replaced span (e.g. "Codification ADICAP" has two
@@ -174,8 +183,16 @@ object ContextualMatcher {
     }
 
     private def processOne(
-        text: String, sents: Seq[Sent], anchor: Ent)
+        text: String, tokens: Array[Token], sents: Seq[Sent], anchor: Ent)
         : Seq[(Ent, Map[String, AssignedValue])] = {
+      def ruleWindow(
+          q: Option[graft.nlp.ContextWindows.Win],
+          before: Int, after: Int, sentence: Boolean): (Int, Int) =
+        q match {
+          case Some(w) => w(anchor.begin, anchor.end, tokens, sents)
+          case None =>
+            window(text, sents, anchor, before, after, sentence)
+        }
       // a context match entirely inside the anchor span does not count
       // as an exclude/include hit (contextual_matcher.py:210-243)
       def outsideAnchorHits(
@@ -190,14 +207,14 @@ object ContextualMatcher {
           }
           hit
         }
-      val excluded = excludePats.exists { case (rule, pats) =>
-        val (wb, we) = window(text, sents, anchor,
+      val excluded = excludePats.exists { case (rule, pats, q) =>
+        val (wb, we) = ruleWindow(q,
           rule.windowBefore, rule.windowAfter, rule.sentenceWindow)
         outsideAnchorHits(pats, wb, text.substring(wb, we))
       }
       if (excluded) return Nil
-      val includeOk = includePats.forall { case (rule, pats) =>
-        val (wb, we) = window(text, sents, anchor,
+      val includeOk = includePats.forall { case (rule, pats, q) =>
+        val (wb, we) = ruleWindow(q,
           rule.windowBefore, rule.windowAfter, rule.sentenceWindow)
         outsideAnchorHits(pats, wb, text.substring(wb, we))
       }
@@ -208,8 +225,8 @@ object ContextualMatcher {
       var expandKeys: Set[String] = Set.empty
       val assigned = scala.collection.mutable.LinkedHashMap
         .empty[String, (AssignRule, Seq[AMatch])]
-      assignPats.foreach { case (rule, pat) =>
-        val (wb, we) = window(text, sents, anchor,
+      assignPats.foreach { case (rule, pat, q) =>
+        val (wb, we) = ruleWindow(q,
           rule.windowBefore, rule.windowAfter, rule.sentenceWindow)
         val m = pat.matcher(text.substring(wb, we))
         val ms = new ArrayBuffer[AMatch]

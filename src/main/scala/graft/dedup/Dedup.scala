@@ -150,6 +150,12 @@ object Dedup {
     // Cap boilerplate-skew buckets with a groupBy count + join, not a
     // window: a window count sorts every row WITHIN the mega-bucket it is
     // about to discard; the aggregate pre-shrinks to one row per bucket.
+    // Deliberate tradeoff: the count pre-pass and the capped join each
+    // recompute the signature projection (codegen'd, linear) — the
+    // one-pass alternative (collect_list per bucket + combination
+    // explode) would materialize a MEGA-bucket's full id array in one
+    // aggregation buffer before the cap can discard it, an OOM hazard
+    // at 100 TB that this shape can never hit.
     // The cap is a documented recall tradeoff — never a silent one: when
     // observability is requested, the dropped-bucket count is computed
     // EAGERLY by its own small action. An in-plan side-effecting filter

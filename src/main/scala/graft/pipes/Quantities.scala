@@ -23,8 +23,9 @@ object Quantities {
     "l" -> ("volume", 1.0), "dl" -> ("volume", 0.1),
     "cl" -> ("volume", 0.01), "ml" -> ("volume", 1e-3),
     "µl" -> ("volume", 1e-6), "mm3" -> ("volume", 1e-6),
-    "m" -> ("length", 1.0), "cm" -> ("length", 0.01),
-    "mm" -> ("length", 1e-3),
+    "m" -> ("length", 1.0), "dm" -> ("length", 0.1),
+    "cm" -> ("length", 0.01), "mm" -> ("length", 1e-3),
+    "µm" -> ("length", 1e-6), "um" -> ("length", 1e-6),
     "h" -> ("time", 3600.0), "min" -> ("time", 60.0), "s" -> ("time", 1.0),
     "°c" -> ("temperature", 1.0), "%" -> ("fraction", 0.01),
     "ui" -> ("unit_intl", 1.0), "mmhg" -> ("pressure", 1.0),
@@ -78,9 +79,56 @@ object Quantities {
   private val power = Pattern.compile(
     s"(?<![\\d,.])(?<v>$num)\\s*(?:x\\s*)?10\\s*[\\^*eE]\\s*(?<p>\\d{1,2})\\s*/\\s*(?<du>l|dl|cl|ml|µl|mm3)(?![\\p{L}\\d])",
     Pattern.CASE_INSENSITIVE)
+  // spelled-out and vulgar-fraction values (quantities.py number
+  // tokens): "deux m", "⅛ m"
+  private val wordValues: Map[String, Double] = Map(
+    "zero" -> 0.0, "un" -> 1.0, "une" -> 1.0, "deux" -> 2.0,
+    "trois" -> 3.0, "quatre" -> 4.0, "cinq" -> 5.0, "six" -> 6.0,
+    "sept" -> 7.0, "huit" -> 8.0, "neuf" -> 9.0, "dix" -> 10.0,
+    "onze" -> 11.0, "douze" -> 12.0, "quinze" -> 15.0, "vingt" -> 20.0,
+    "trente" -> 30.0, "½" -> 0.5, "⅓" -> 1.0 / 3,
+    "¼" -> 0.25, "⅕" -> 0.2, "⅙" -> 1.0 / 6,
+    "⅛" -> 0.125, "¾" -> 0.75)
+  private val wordValAlt = wordValues.keys.toSeq.sortBy(-_.length)
+    .map(Pattern.quote).mkString("|")
 
-  private def parseVal(s: String): Double =
-    s.replace(" ", "").replace(" ", "").replace(',', '.').toDouble
+  // spelled-out values: "deux m", "⅛ m"
+  private val wordSimple = Pattern.compile(
+    s"(?<![\\p{L}\\d])(?<v>$wordValAlt)\\s+(?<u>(?:$unitAlt))(?![\\p{L}\\d])",
+    Pattern.CASE_INSENSITIVE)
+  // "entre X et Y unit" / "de X à Y unit" with digit or word values
+  private val wordRange = Pattern.compile(
+    s"(?i)(?<![\\p{L}])(?:entre|de)\\s+(?<a>$num|$wordValAlt)\\s+(?:et|[àa])\\s+(?<b>$num|$wordValAlt)\\s*(?<u>(?:$unitAlt))(?![\\p{L}\\d])")
+  // compact/composite metre form: "1m50" / "1 m 50" = 1.5 m — only when
+  // the trailing pair is NOT itself united ("1 m 50 kg" stays two
+  // quantities, quantities.py composite handling)
+  private val composite = Pattern.compile(
+    s"(?<![\\d,.])(?<v>\\d+)\\s*(?<u>m|kg|g|l)\\s*(?<sub>\\d{1,2})(?![\\d,.])(?!\\s*(?:$unitAlt)(?![\\p{L}\\d]))",
+    Pattern.CASE_INSENSITIVE)
+  // enumeration / backward unit propagation: bare numbers chained to a
+  // united quantity by , et x par ou ("8, 13 et 15dm", "2 par 1mm")
+  private val chainBefore = Pattern.compile(
+    s"(?<n>$num)\\s*(?:,|\\bet\\b|x|\\bpar\\b|\\bou\\b)\\s*$$",
+    Pattern.CASE_INSENSITIVE)
+  // unitless values with a measurement trigger (quantities.py unitless
+  // configs): taille/mesure -> m under 3 else cm; poids/pèse -> kg;
+  // IMC/BMI -> kg/m2
+  private val unitless = Pattern.compile(
+    s"(?i)(?<trig>mesure|taille|p[èe]se|poids|imc|bmi)\\s*:?\\s*(?<v>$num)(?![\\d,.]|\\s*(?:$unitAlt)(?![\\p{L}\\d]))")
+
+  /** Reference label taxonomy (the size/weight/bmi quantity configs). */
+  def labelOf(dimension: String): String = dimension match {
+    case "length" => "size"
+    case "mass" => "weight"
+    case "mass_per_area" => "bmi"
+    case other => other
+  }
+
+  private def parseVal(s: String): Double = {
+    val t = s.trim.toLowerCase
+    wordValues.getOrElse(t,
+      t.replace(" ", "").replace(" ", "").replace(',', '.').toDouble)
+  }
 
   /** (dimension, normalized scale) of a possibly composed unit "a/b".
     * Registry entries that themselves contain '/' (g/24h, 10^9/l) win
@@ -115,6 +163,7 @@ object Quantities {
         out += Ent(pm.start, pm.end, "quantity",
           text.substring(pm.start, pm.end),
           Map("kind" -> "simple", "dimension" -> "count_per_volume",
+            "label" -> labelOf("count_per_volume"),
             "raw_unit" ->
               s"10^$p/${pm.group("du").toLowerCase}",
             "raw_value" -> v.toString,
@@ -129,9 +178,37 @@ object Quantities {
         out += Ent(rm.start, rm.end, "quantity",
           text.substring(rm.start, rm.end),
           Map("kind" -> "range", "dimension" -> dim,
+            "label" -> labelOf(dim),
             "raw_unit" -> rm.group("u").toLowerCase,
             "from_value" -> (a * scale).toString,
             "to_value" -> (b * scale).toString))
+      }
+    }
+    val wrm = wordRange.matcher(text)
+    while (wrm.find()) {
+      val a = parseVal(wrm.group("a"))
+      val b = parseVal(wrm.group("b"))
+      normalizeUnit(wrm.group("u")).foreach { case (dim, scale) =>
+        out += Ent(wrm.start, wrm.end, "quantity",
+          text.substring(wrm.start, wrm.end),
+          Map("kind" -> "range", "dimension" -> dim,
+            "label" -> labelOf(dim),
+            "raw_unit" -> wrm.group("u").toLowerCase,
+            "from_value" -> (a * scale).toString,
+            "to_value" -> (b * scale).toString))
+      }
+    }
+    val cm = composite.matcher(text)
+    while (cm.find()) {
+      normalizeUnit(cm.group("u")).foreach { case (dim, scale) =>
+        val v = cm.group("v").toDouble + cm.group("sub").toDouble / 100.0
+        out += Ent(cm.start, cm.end, "quantity",
+          text.substring(cm.start, cm.end),
+          Map("kind" -> "simple", "dimension" -> dim,
+            "label" -> labelOf(dim),
+            "raw_unit" -> cm.group("u").toLowerCase,
+            "raw_value" -> v.toString,
+            "value" -> (v * scale).toString))
       }
     }
     val sm = simple.matcher(text)
@@ -141,11 +218,76 @@ object Quantities {
         out += Ent(sm.start, sm.end, "quantity",
           text.substring(sm.start, sm.end),
           Map("kind" -> "simple", "dimension" -> dim,
+            "label" -> labelOf(dim),
             "raw_unit" -> sm.group("u").toLowerCase,
             "raw_value" -> v.toString,
             "value" -> (v * scale).toString))
       }
     }
+    val wsm = wordSimple.matcher(text)
+    while (wsm.find()) {
+      val v = parseVal(wsm.group("v"))
+      normalizeUnit(wsm.group("u")).foreach { case (dim, scale) =>
+        out += Ent(wsm.start, wsm.end, "quantity",
+          text.substring(wsm.start, wsm.end),
+          Map("kind" -> "simple", "dimension" -> dim,
+            "label" -> labelOf(dim),
+            "raw_unit" -> wsm.group("u").toLowerCase,
+            "raw_value" -> v.toString,
+            "value" -> (v * scale).toString))
+      }
+    }
+    val um = unitless.matcher(text)
+    while (um.find()) {
+      val v = parseVal(um.group("v"))
+      val trig = graft.nlp.Normalizer
+        .mapChars(um.group("trig").toLowerCase)
+      val unit = trig match {
+        case "pese" | "poids" => "kg"
+        case "imc" | "bmi" => "kg/m2"
+        case _ => if (v < 3) "m" else "cm" // taille 1.5 -> m, 170 -> cm
+      }
+      normalizeUnit(unit).foreach { case (dim, scale) =>
+        out += Ent(um.start("v"), um.end("v"), "quantity",
+          um.group("v"),
+          Map("kind" -> "simple", "dimension" -> dim,
+            "label" -> labelOf(dim), "raw_unit" -> unit,
+            "raw_value" -> v.toString, "source" -> "unitless",
+            "value" -> (v * scale).toString))
+      }
+    }
+    // backward unit propagation: bare numbers chained ahead of a united
+    // match inherit its unit ("8, 13 et 15dm" -> three dm quantities)
+    val claimed = out.map(e => (e.begin, e.end)).toSet
+    val chained = new ArrayBuffer[Ent]
+    out.foreach { e =>
+      (e.attrs.get("raw_unit"), e.attrs.get("dimension")) match {
+        case (Some(unit), Some(dim)) if e.attrs.get("kind")
+            .contains("simple") =>
+          val scale = normalizeUnit(unit).map(_._2).getOrElse(1.0)
+          var pos = e.begin
+          var continue = true
+          while (continue) {
+            val m = chainBefore.matcher(text.substring(0, pos))
+            if (m.find()) {
+              val (nb, ne) = (m.start("n"), m.end("n"))
+              val free = !claimed.exists { case (b, en) =>
+                nb < en && ne > b }
+              if (free) {
+                val v = parseVal(m.group("n"))
+                chained += Ent(nb, ne, "quantity", m.group("n"),
+                  Map("kind" -> "simple", "dimension" -> dim,
+                    "label" -> labelOf(dim), "raw_unit" -> unit,
+                    "raw_value" -> v.toString,
+                    "value" -> (v * scale).toString))
+                pos = nb
+              } else continue = false
+            } else continue = false
+          }
+        case _ =>
+      }
+    }
+    out ++= chained
     // ranges win over the simple matches they contain
     graft.nlp.SpanAlgebra.filterSpans(out.toSeq)
   }
@@ -197,6 +339,7 @@ object Quantities {
             val v = parseVal(c.text)
             out += Ent(c.begin, c.end, "quantity", c.text,
               Map("kind" -> "simple", "dimension" -> dim,
+                "label" -> labelOf(dim),
                 "raw_unit" -> u.toLowerCase, "raw_value" -> v.toString,
                 "value" -> (v * scale).toString, "source" -> "table"))
           }

@@ -61,6 +61,86 @@ class ExtractionPipesSpec extends AnyFunSuite {
     assert(lt.attrs("hour") === "11" && lt.attrs("minute") === "13")
   }
 
+  test("dates: FULL reference example bank (test_dates.py:14-71)") {
+    // every annotated example: expected span text + the calendar /
+    // relative fields the reference asserts. One deliberate divergence,
+    // documented where the reference bank exercises it: a BARE month
+    // name with no day/year ("en août.") is not a date here — the
+    // letter-month pattern requires a day or a year to avoid bare-month
+    // noise in clinical prose (see `letterAbs`'s guard).
+    val bank: Seq[(String, Seq[(String, Map[String, String])])] = Seq(
+      ("Le patient est venu en 2019 pour une consultation",
+        Seq(("2019", Map("year" -> "2019")))),
+      ("Le patient est venu hier",
+        Seq(("hier", Map("direction" -> "past", "value" -> "1",
+          "unit" -> "jour")))),
+      ("le 04/09/2021", Seq(("04/09/2021",
+        Map("day" -> "4", "month" -> "9", "year" -> "2021")))),
+      ("Il est cas contact depuis la semaine dernière",
+        Seq(("depuis la semaine dernière",
+          Map("direction" -> "past", "value" -> "1",
+            "unit" -> "semaine")))),
+      ("le 09/08", Seq(("09/08", Map("day" -> "9", "month" -> "8")))),
+      ("Le patient est venu le 4 août",
+        Seq(("4 août", Map("day" -> "4", "month" -> "8")))),
+      ("Le patient est venu le 4 août à 11h13",
+        Seq(("4 août à 11h13", Map("day" -> "4", "month" -> "8",
+          "hour" -> "11", "minute" -> "13")))),
+      ("Il est venu le 1er Septembre pour",
+        Seq(("1er Septembre", Map("day" -> "1", "month" -> "9")))),
+      ("Il est venu en octobre 2020 pour...",
+        Seq(("octobre 2020", Map("month" -> "10", "year" -> "2020")))),
+      ("Il est venu il y a trois mois pour...",
+        Seq(("il y a trois mois", Map("direction" -> "past",
+          "value" -> "3", "unit" -> "mois")))),
+      ("Il lui était arrivé la même chose il y a un an.",
+        Seq(("il y a un an", Map("direction" -> "past", "value" -> "1",
+          "unit" -> "an")))),
+      ("Il est venu le 20/09/2001 pour...",
+        Seq(("20/09/2001", Map("day" -> "20", "month" -> "9",
+          "year" -> "2001")))),
+      ("Consultation du 03 07 19",
+        Seq(("03 07 19", Map("day" -> "3", "month" -> "7",
+          "year" -> "2019", "bound" -> "from")))),
+      ("En 11/2017 stabilité sur...",
+        Seq(("11/2017", Map("month" -> "11", "year" -> "2017")))),
+      ("depuis 3 mois", Seq(("depuis 3 mois",
+        Map("direction" -> "past", "value" -> "3", "unit" -> "mois")))),
+      ("- Décembre 2004 :", Seq(("Décembre 2004",
+        Map("month" -> "12", "year" -> "2004")))),
+      ("- Juin 2005:  ", Seq(("Juin 2005",
+        Map("month" -> "6", "year" -> "2005")))),
+      ("sept 2017 :", Seq(("sept 2017",
+        Map("month" -> "9", "year" -> "2017")))),
+      ("il y a 1 an pdt 1 mois",
+        Seq(("il y a 1 an", Map("direction" -> "past", "value" -> "1",
+          "unit" -> "an")),
+          ("pdt 1 mois", Map("value" -> "1", "unit" -> "mois")))),
+      ("Prélevé le : 22/04/2016 \n78 rue du Général Leclerc",
+        Seq(("22/04/2016", Map("day" -> "22", "month" -> "4",
+          "year" -> "2016")))),
+      ("Le 07/01.", Seq(("07/01", Map("day" -> "7", "month" -> "1")))),
+      ("Il est venu ce jour.",
+        Seq(("ce jour", Map("direction" -> "current", "value" -> "0",
+          "unit" -> "jour")))),
+      ("CS le 11-01-2017 1/3", Seq(("11-01-2017",
+        Map("day" -> "11", "month" -> "1", "year" -> "2017")))),
+      ("Vu le 11 janvier\n2017 .", Seq(("11 janvier\n2017",
+        Map("day" -> "11", "month" -> "1", "year" -> "2017")))))
+    bank.foreach { case (text, expected) =>
+      val hits = Dates.extract(text).sortBy(_.begin)
+      assert(hits.length === expected.length,
+        s"in '$text': got ${hits.map(_.text)}")
+      hits.zip(expected).foreach { case (h, (spanText, attrs)) =>
+        assert(h.text === spanText, s"span in '$text'")
+        attrs.foreach { case (k, v) =>
+          assert(h.attrs.get(k) === Some(v),
+            s"$k in '$text' (got ${h.attrs})")
+        }
+      }
+    }
+  }
+
   test("dates: backward and current relatives") {
     val ref = LocalDateTime.parse("2021-09-04T00:00:00")
     val bw = Dates.extract(
@@ -165,6 +245,51 @@ class ExtractionPipesSpec extends AnyFunSuite {
     assert(byText("hier")("datetime").startsWith("2021-08-22"))
     assert(byText("demain")("datetime").startsWith("2021-08-24"))
     assert(byText("avant-hier")("datetime").startsWith("2021-08-21"))
+  }
+
+  test("quantities: reference scenario bank (test_quantities.py:13-210)") {
+    def qs(text: String): Seq[(String, String, String)] =
+      Quantities.extract(text).sortBy(_.begin).map(e =>
+        (e.text, e.attrs.getOrElse("raw_value",
+          e.attrs.getOrElse("from_value", "")),
+          e.attrs("raw_unit")))
+    // the main scenario's inline part: composite split, x-composition,
+    // backward unit propagation, enumeration
+    assert(qs("Le patient fait 1 m 50 kg.") ===
+      Seq(("1 m", "1.0", "m"), ("50 kg", "50.0", "kg")))
+    assert(qs("La tumeur fait 2.0cm x 3cm.") ===
+      Seq(("2.0cm", "2.0", "cm"), ("3cm", "3.0", "cm")))
+    assert(qs("Une autre tumeur plus petite fait 2 par 1mm.") ===
+      Seq(("2", "2.0", "mm"), ("1mm", "1.0", "mm")))
+    assert(qs("Les trois éléments font 8, 13 et 15dm.") ===
+      Seq(("8", "8.0", "dm"), ("13", "13.0", "dm"),
+        ("15dm", "15.0", "dm")))
+    // compact composite and decimal-comma forms (test_measure_str)
+    assert(qs("1m50") === Seq(("1m50", "1.5", "m")))
+    assert(qs("1,50cm") === Seq(("1,50cm", "1.5", "cm")))
+    assert(qs("1m0") === Seq(("1m0", "1.0", "m")))
+    // word numbers and fractions (test_numbers)
+    assert(qs("deux m") === Seq(("deux m", "2.0", "m")))
+    assert(qs("⅛ m") === Seq(("⅛ m", "0.125", "m")))
+    // word and de..à ranges (test_compare, test_ranges)
+    assert(qs("Entre deux et trois metres") ===
+      Seq(("Entre deux et trois metres", "2.0", "metres")))
+    assert(qs("De 2 à 3 metres") === Seq(("De 2 à 3 metres", "2.0",
+      "metres")))
+    assert(qs("Le patient fait entre 1 et 2m") ===
+      Seq(("entre 1 et 2m", "1.0", "m")))
+    // range values are emitted normalized to the base unit (2 dl = 0.2 l)
+    assert(qs("On mesure de 2 à 2.5 dl d'eau") ===
+      Seq(("de 2 à 2.5 dl", "0.2", "dl")))
+    // unitless inference (test_unitless): trigger decides the unit
+    assert(qs("BMI: 24 .") === Seq(("24", "24.0", "kg/m2")))
+    assert(qs("Le patient mesure 1.5 ") === Seq(("1.5", "1.5", "m")))
+    assert(qs("Le patient mesure 152 ") === Seq(("152", "152.0", "cm")))
+    assert(qs("Le patient pèse 34 ") === Seq(("34", "34.0", "kg")))
+    // labels (test_measure_label)
+    val labels = Quantities.extract("Le patient fait 1 m 50 kg.")
+      .sortBy(_.begin).map(_.attrs("label"))
+    assert(labels === Seq("size", "weight"))
   }
 
   test("quantities: generalized powers and word time units") {

@@ -290,6 +290,10 @@ class ExtractionPipesSpec extends AnyFunSuite {
     val labels = Quantities.extract("Le patient fait 1 m 50 kg.")
       .sortBy(_.begin).map(_.attrs("label"))
     assert(labels === Seq("size", "weight"))
+    // non-matches (test_non_matches): glued letters and phone-like
+    // numbers are rejected by the boundary guards
+    assert(qs("Truc 10cma truc") === Seq.empty)
+    assert(qs("01.42.43.56.78 m") === Seq.empty)
   }
 
   test("quantities: generalized powers and word time units") {

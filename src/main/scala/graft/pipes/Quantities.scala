@@ -114,7 +114,21 @@ object Quantities {
   // configs): taille/mesure -> m under 3 else cm; poids/pèse -> kg;
   // IMC/BMI -> kg/m2
   private val unitless = Pattern.compile(
-    s"(?i)(?<trig>mesure|taille|p[èe]se|poids|imc|bmi)\\s*:?\\s*(?<v>$num)(?![\\d,.]|\\s*(?:$unitAlt)(?![\\p{L}\\d]))")
+    s"(?i)(?<trig>mesure|taille|p[èe]se|poids|imc|bmi)\\s*:?\\s*(?<v>$num)(?![\\d,.]|\\s*/\\s*\\d|\\s*(?:$unitAlt)(?![\\p{L}\\d]))")
+  // unitless TRIGGER SEQUENCES (quantities.py unitless sequence
+  // handling, test_unitless_sequences): "poids / IMC : 57/22",
+  // "poids, taille, IMC : 57 et 170 et 22", headers with explicit
+  // units "Poids (Kg) Taille (m) IMC\n57,0 1,70 22". Triggers and
+  // values must have the SAME arity and every trigger must be known —
+  // otherwise the whole group is ambiguous and yields nothing.
+  private val seqTrig = "(?:mesure|taille|p[èe]se|poids|imc|bmi)"
+  private val seqSep = "(?:\\s*(?:/|-|,|\\bet\\b)\\s*|\\s+)"
+  private val unitlessSeq = Pattern.compile(
+    s"(?i)(?<![\\p{L}])(?<trigs>$seqTrig(?:\\s*\\(\\s*[\\p{L}/0-9]{1,8}\\s*\\))?(?:$seqSep$seqTrig(?:\\s*\\(\\s*[\\p{L}/0-9]{1,8}\\s*\\))?)+)" +
+      s"\\s*:?\\s*(?<vals>$num(?:$seqSep$num)+)")
+  private val seqTrigToken = Pattern.compile(
+    s"(?i)(?<t>$seqTrig)(?:\\s*\\((?<u>[\\p{L}/0-9]{1,8})\\))?")
+  private val seqValToken = Pattern.compile(num)
 
   /** Reference label taxonomy (the size/weight/bmi quantity configs). */
   def labelOf(dimension: String): String = dimension match {
@@ -237,23 +251,60 @@ object Quantities {
             "value" -> (v * scale).toString))
       }
     }
+    def defaultUnit(trig: String, v: Double): String = trig match {
+      case "pese" | "poids" => "kg"
+      case "imc" | "bmi" => "kg/m2"
+      case _ => if (v < 3) "m" else "cm" // taille 1.5 -> m, 170 -> cm
+    }
+    // trigger sequences first; their value spans suppress the singles
+    val seqClaims = new ArrayBuffer[(Int, Int)]
+    val sq = unitlessSeq.matcher(text)
+    while (sq.find()) {
+      val trigs = new ArrayBuffer[(String, Option[String])]
+      val tm = seqTrigToken.matcher(sq.group("trigs"))
+      while (tm.find()) trigs += ((graft.nlp.Normalizer
+        .mapChars(tm.group("t").toLowerCase),
+        Option(tm.group("u")).map(_.toLowerCase)))
+      val vals = new ArrayBuffer[(Int, Int)]
+      val vm = seqValToken.matcher(sq.group("vals"))
+      while (vm.find())
+        vals += ((sq.start("vals") + vm.start, sq.start("vals") + vm.end))
+      // arity mismatch = ambiguous group: emit nothing (the reference
+      // drops "poids : 57/3/22" entirely)
+      if (trigs.length == vals.length) {
+        trigs.zip(vals).foreach { case ((trig, explicitUnit), (vb, ve)) =>
+          val v = parseVal(text.substring(vb, ve))
+          val unit = explicitUnit
+            .filter(u => normalizeUnit(u).isDefined)
+            .getOrElse(defaultUnit(trig, v))
+          normalizeUnit(unit).foreach { case (dim, scale) =>
+            seqClaims += ((vb, ve))
+            out += Ent(vb, ve, "quantity", text.substring(vb, ve),
+              Map("kind" -> "simple", "dimension" -> dim,
+                "label" -> labelOf(dim), "raw_unit" -> unit,
+                "raw_value" -> v.toString, "source" -> "unitless",
+                "value" -> (v * scale).toString))
+          }
+        }
+      } else seqClaims += ((sq.start, sq.end)) // ambiguous: block singles
+    }
     val um = unitless.matcher(text)
     while (um.find()) {
-      val v = parseVal(um.group("v"))
-      val trig = graft.nlp.Normalizer
-        .mapChars(um.group("trig").toLowerCase)
-      val unit = trig match {
-        case "pese" | "poids" => "kg"
-        case "imc" | "bmi" => "kg/m2"
-        case _ => if (v < 3) "m" else "cm" // taille 1.5 -> m, 170 -> cm
-      }
-      normalizeUnit(unit).foreach { case (dim, scale) =>
-        out += Ent(um.start("v"), um.end("v"), "quantity",
-          um.group("v"),
-          Map("kind" -> "simple", "dimension" -> dim,
-            "label" -> labelOf(dim), "raw_unit" -> unit,
-            "raw_value" -> v.toString, "source" -> "unitless",
-            "value" -> (v * scale).toString))
+      val claimed = seqClaims.exists { case (b, e) =>
+        um.start("v") < e && um.end("v") > b }
+      if (!claimed) {
+        val v = parseVal(um.group("v"))
+        val trig = graft.nlp.Normalizer
+          .mapChars(um.group("trig").toLowerCase)
+        val unit = defaultUnit(trig, v)
+        normalizeUnit(unit).foreach { case (dim, scale) =>
+          out += Ent(um.start("v"), um.end("v"), "quantity",
+            um.group("v"),
+            Map("kind" -> "simple", "dimension" -> dim,
+              "label" -> labelOf(dim), "raw_unit" -> unit,
+              "raw_value" -> v.toString, "source" -> "unitless",
+              "value" -> (v * scale).toString))
+        }
       }
     }
     // backward unit propagation: bare numbers chained ahead of a united

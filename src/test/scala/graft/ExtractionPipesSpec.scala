@@ -296,6 +296,42 @@ class ExtractionPipesSpec extends AnyFunSuite {
     assert(qs("01.42.43.56.78 m") === Seq.empty)
   }
 
+  test("quantities: unitless trigger sequences (test_unitless_sequences)") {
+    def lv(text: String): Seq[(String, String, String)] =
+      Quantities.extract(text).sortBy(_.begin).map(e =>
+        (e.attrs("label"), e.attrs("raw_value"), e.attrs("raw_unit")))
+    // explicit header units + bare IMC, values on the next line
+    assert(lv("Poids (Kg) Taille (m) IMC\n57,0 1,70 22") === Seq(
+      ("weight", "57.0", "kg"), ("size", "1.7", "m"),
+      ("bmi", "22.0", "kg/m2")))
+    // slash / dash / et / whitespace separated value groups
+    assert(lv("poids / IMC : 57/22 taille : 170") === Seq(
+      ("weight", "57.0", "kg"), ("bmi", "22.0", "kg/m2"),
+      ("size", "170.0", "cm")))
+    assert(lv("poids / IMC / taille : 57/22/150") === Seq(
+      ("weight", "57.0", "kg"), ("bmi", "22.0", "kg/m2"),
+      ("size", "150.0", "cm")))
+    assert(lv("poids, taille, IMC : 57 et 170 et 22") === Seq(
+      ("weight", "57.0", "kg"), ("size", "170.0", "cm"),
+      ("bmi", "22.0", "kg/m2")))
+    assert(lv("poids et IMC : 57 et 22 taille : 170") === Seq(
+      ("weight", "57.0", "kg"), ("bmi", "22.0", "kg/m2"),
+      ("size", "170.0", "cm")))
+    assert(lv("poids - IMC : 57 - 22 taille : 170") === Seq(
+      ("weight", "57.0", "kg"), ("bmi", "22.0", "kg/m2"),
+      ("size", "170.0", "cm")))
+    assert(lv("poids / IMC : 57 22 taille : 170") === Seq(
+      ("weight", "57.0", "kg"), ("bmi", "22.0", "kg/m2"),
+      ("size", "170.0", "cm")))
+    assert(lv("poids / IMC :\t57\t22\n taille :\t170") === Seq(
+      ("weight", "57.0", "kg"), ("bmi", "22.0", "kg/m2"),
+      ("size", "170.0", "cm")))
+    // ambiguous groups (unknown trigger, or arity mismatch) -> nothing
+    assert(lv("poids / truc / IMC : 57/3/22") === Seq.empty)
+    assert(lv("poids / IMC / truc : 57/3/22") === Seq.empty)
+    assert(lv("poids : 57/3/22") === Seq.empty)
+  }
+
   test("quantities: generalized powers and word time units") {
     val es = Quantities.extract(
       "GB 4,5 x10*6/mm3, attente 90 secondes, débit 2 l/j.")

@@ -446,12 +446,15 @@ object PipelineQueries {
         .select($"text")
         .crossJoin(s.range(1000000L, 1000050L).toDF("doc_id"))
         .select($"doc_id", $"text")
+      // a HALF-width signature (k=32, 8 bands) is plenty for an
+      // observability probe — the planted cluster floods every band at
+      // any k, and the probe should not dominate the bench
       val corpus = docs.select($"doc_id", $"text").union(boiler)
       val sigs = corpus.select($"doc_id".as("id"),
-        Dedup.minHashSignatureFromText($"text", 3, 64).as("sig"))
+        Dedup.minHashSignatureFromText($"text", 3, 32).as("sig"))
       val acc = s.sparkContext.longAccumulator("q64_dropped_buckets")
-      val pairs = Dedup.lshCandidatePairs(sigs, "id", bands = 16,
-        sigLength = 64, maxBucket = 32, droppedBuckets = Some(acc))
+      val pairs = Dedup.lshCandidatePairs(sigs, "id", bands = 8,
+        sigLength = 32, maxBucket = 32, droppedBuckets = Some(acc))
       val kept = pairs.count()
       Seq((acc.value.longValue, kept)).toDF("dropped_buckets", "kept_pairs")
     },

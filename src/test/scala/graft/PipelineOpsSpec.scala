@@ -507,6 +507,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("stratifiedSample: randomized brute-force property trials") {
+    // seeded random corpora: skewed strata, sparse/dense ids, assorted
+    // fractions — output must equal the (hash, id)-rank brute force
+    val rnd = new scala.util.Random(20260813L)
+    def hash(id: Long): Long = ((id % 2147483648L) * 2654435761L) %
+      4294967296L
+    (1 to 4).foreach { trial =>
+      val nStrata = 1 + rnd.nextInt(4)
+      val rows = (0 until 200 + rnd.nextInt(300)).map { _ =>
+        val id = math.abs(rnd.nextLong()) % (if (rnd.nextBoolean())
+          100000L else Long.MaxValue - 1)
+        // skew: stratum 0 takes half the corpus
+        val s = if (rnd.nextBoolean()) 0 else rnd.nextInt(nStrata)
+        (id, s"s$s")
+      }.distinct
+      val fraction = Seq(0.1, 0.2, 0.25, 0.5, 1.0)(rnd.nextInt(5))
+      val expected = rows.groupBy(_._2).flatMap { case (_, rs) =>
+        val q = (BigDecimal(rs.size) * BigDecimal(fraction.toString))
+          .setScale(0, BigDecimal.RoundingMode.CEILING).toInt
+        rs.sortBy { case (id, _) => (hash(id), id) }.take(q)
+      }.map(_._1).toSet
+      val got = TextStats.stratifiedSample(
+        rows.toDF("doc_id", "lang"), "doc_id", "lang", fraction)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got === expected,
+        s"trial $trial fraction $fraction strata $nStrata")
+    }
+  }
+
   test("stratifiedSample quota is decimal-exact and its plan is sort-free") {
     // n*fraction an exact integer: double ceil(10 * 0.2) = 3 (0.2 is
     // 0.2000...0001 in binary); the decimal quota must give exactly 2

@@ -119,14 +119,16 @@ object DisorderBank {
         }
         lo
       }
-      def tokAtRaw(off: Int, forEnd: Boolean): Int = {
+      // max idx with begin <= off: correct for both start and end
+      // offsets — a char at a token's begin belongs to THAT token, and
+      // an offset in an inter-token gap clamps to the previous token
+      def tokAtRaw(off: Int): Int = {
         var lo = 0; var hi = n - 1
         while (lo < hi) {
           val mid = (lo + hi + 1) >>> 1
           if (kept(mid).begin <= off) lo = mid else hi = mid - 1
         }
-        // a raw offset before the first kept token clamps to 0
-        if (forEnd && lo > 0 && kept(lo).begin >= off) lo - 1 else lo
+        lo
       }
       // sentence bounds of token ti, as kept-token indices
       def sentRange(ti: Int): (Int, Int) = {
@@ -159,9 +161,7 @@ object DisorderBank {
           while (m.find()) {
             if (m.end > m.start) {
               val (ti, tj) =
-                if (src.raw)
-                  (tokAtRaw(m.start, forEnd = false),
-                    tokAtRaw(m.end - 1, forEnd = true))
+                if (src.raw) (tokAtRaw(m.start), tokAtRaw(m.end - 1))
                 else (tokAtNorm(m.start), tokAtNorm(m.end - 1))
               var c = Cand(ti, tj, kept(ti).begin, kept(tj).end, src,
                 Map.empty)

@@ -110,6 +110,11 @@ object Quantities {
   private val chainBefore = Pattern.compile(
     s"(?<n>$num)\\s*(?:,|\\bet\\b|x|\\bpar\\b|\\bou\\b)\\s*$$",
     Pattern.CASE_INSENSITIVE)
+  // comparison operators before a quantity ("< 5 µl",
+  // "supérieur à 8 ui" -> operator attr, span extended)
+  private val opBefore = Pattern.compile(
+    "(?i)(?<op><=|>=|<|>|inf[ée]rieure?s?\\s+[àa]|sup[ée]rieure?s?\\s+[àa])\\s*$")
+
   // unitless values with a measurement trigger (quantities.py unitless
   // configs): taille/mesure -> m under 3 else cm; poids/pèse -> kg;
   // IMC/BMI -> kg/m2
@@ -125,7 +130,8 @@ object Quantities {
   private val seqSep = "(?:\\s*(?:/|-|,|\\bet\\b)\\s*|\\s+)"
   private val unitlessSeq = Pattern.compile(
     s"(?i)(?<![\\p{L}])(?<trigs>$seqTrig(?:\\s*\\(\\s*[\\p{L}/0-9]{1,8}\\s*\\))?(?:$seqSep$seqTrig(?:\\s*\\(\\s*[\\p{L}/0-9]{1,8}\\s*\\))?)+)" +
-      s"\\s*:?\\s*(?<vals>$num(?:$seqSep$num)+)")
+      // values may be glued to a repeated trigger ("57imc22")
+      s"\\s*:?\\s*(?<vals>$num(?:(?:$seqSep|$seqTrig)$num)+)")
   private val seqTrigToken = Pattern.compile(
     s"(?i)(?<t>$seqTrig)(?:\\s*\\((?<u>[\\p{L}/0-9]{1,8})\\))?")
   private val seqValToken = Pattern.compile(num)
@@ -339,8 +345,24 @@ object Quantities {
       }
     }
     out ++= chained
+    // comparison-operator prefixes extend the span and set `operator`
+    val withOps = out.map { e =>
+      val m = opBefore.matcher(text.substring(0, e.begin))
+      if (m.find()) {
+        val raw = m.group("op").toLowerCase
+        val op = if (raw.startsWith("sup") || raw.startsWith(">")) ">"
+          else "<"
+        val op2 = raw match {
+          case "<=" | ">=" => raw
+          case _ => op
+        }
+        Ent(m.start("op"), e.end, e.label,
+          text.substring(m.start("op"), e.end),
+          e.attrs + ("operator" -> op2))
+      } else e
+    }
     // ranges win over the simple matches they contain
-    graft.nlp.SpanAlgebra.filterSpans(out.toSeq)
+    graft.nlp.SpanAlgebra.filterSpans(withOps.toSeq)
   }
 
   /** Value-from-table context (`quantities.py:961-1100` `prep_table` /

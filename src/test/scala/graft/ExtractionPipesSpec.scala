@@ -308,6 +308,10 @@ class ExtractionPipesSpec extends AnyFunSuite {
     assert(lv("poids / IMC : 57/22 taille : 170") === Seq(
       ("weight", "57.0", "kg"), ("bmi", "22.0", "kg/m2"),
       ("size", "170.0", "cm")))
+    // value glued to a repeated trigger ("57imc22")
+    assert(lv("poids / IMC : 57imc22 taille : 170") === Seq(
+      ("weight", "57.0", "kg"), ("bmi", "22.0", "kg/m2"),
+      ("size", "170.0", "cm")))
     assert(lv("poids / IMC / taille : 57/22/150") === Seq(
       ("weight", "57.0", "kg"), ("bmi", "22.0", "kg/m2"),
       ("size", "150.0", "cm")))
@@ -330,6 +334,16 @@ class ExtractionPipesSpec extends AnyFunSuite {
     assert(lv("poids / truc / IMC : 57/3/22") === Seq.empty)
     assert(lv("poids / IMC / truc : 57/3/22") === Seq.empty)
     assert(lv("poids : 57/3/22") === Seq.empty)
+  }
+
+  test("quantities: comparison operators (test_operator)") {
+    val qs = Quantities.extract("< 5 µl et supérieur à 8 ui")
+      .sortBy(_.begin)
+      .map(e => (e.text, e.attrs("raw_value"), e.attrs("raw_unit"),
+        e.attrs.get("operator")))
+    assert(qs === Seq(
+      ("< 5 µl", "5.0", "µl", Some("<")),
+      ("supérieur à 8 ui", "8.0", "ui", Some(">"))))
   }
 
   test("quantities: generalized powers and word time units") {

@@ -402,14 +402,32 @@ object Quantities {
             !c.text.exists(_.isDigit) && normalizeUnit(c.text).isDefined)
         }.toSet
         val cellAt = cells.map(c => (c.row, c.col) -> c).toMap
+        val powerRe = Pattern.compile("(?i)x?\\s*10\\s*[*^]\\s*(\\d{1,2})")
+        def bareUnit(row: Int, col: Int): Option[String] =
+          cellAt.get((row, col)).map(_.text)
+            .filter(t => !t.exists(_.isDigit) && normalizeUnit(t).isDefined)
         for (c <- cells if !headerRows(c.row) && isNum(c)) {
-          val unitRaw = headerUnit.get(c.col).orElse {
-            if (unitCols(c.col + 1))
-              cellAt.get((c.row, c.col + 1)).map(_.text)
-            else None
-          }
-          for (u <- unitRaw; (dim, scale) <- normalizeUnit(u)) {
-            val v = parseVal(c.text)
+          // linking priority (quantities.py table rules): (unit) in the
+          // column header; a bare-unit cell immediately LEFT ("mg | 5");
+          // a power cell + unit cell to the right ("4.2 | x10*3 | g/L");
+          // a dedicated unit column immediately right ("9.0 - | g")
+          val powerLink: Option[(String, Double)] = for {
+            pc <- cellAt.get((c.row, c.col + 1))
+            pm = powerRe.matcher(pc.text)
+            if pm.matches()
+            u <- bareUnit(c.row, c.col + 2)
+          } yield (u, math.pow(10.0, pm.group(1).toInt))
+          val unitRaw: Option[(String, Double)] =
+            headerUnit.get(c.col).map((_, 1.0))
+              .orElse(bareUnit(c.row, c.col - 1).map((_, 1.0)))
+              .orElse(powerLink)
+              .orElse {
+                if (unitCols(c.col + 1))
+                  cellAt.get((c.row, c.col + 1)).map(cc => (cc.text, 1.0))
+                else None
+              }
+          for ((u, mult) <- unitRaw; (dim, scale) <- normalizeUnit(u)) {
+            val v = parseVal(c.text) * mult
             out += Ent(c.begin, c.end, "quantity", c.text,
               Map("kind" -> "simple", "dimension" -> dim,
                 "label" -> labelOf(dim),
@@ -420,6 +438,32 @@ object Quantities {
       }
     }
     out.toSeq
+  }
+
+  /** Config-driven VALUELESS quantities (quantities.py
+    * valueless_patterns, test_valueless_patterns): term/regex mentions
+    * that stand for a fixed (value, unit) — "positif" -> 1 bool.
+    */
+  case class ValuelessPattern(
+      regex: Seq[String], value: Double, unit: String)
+
+  def extractValueless(
+      text: String, patterns: Seq[ValuelessPattern],
+      label: String = "quantity"): Seq[Ent] = {
+    if (text == null) return Nil
+    val out = new ArrayBuffer[Ent]
+    patterns.foreach { vp =>
+      vp.regex.foreach { re =>
+        val m = Pattern.compile(re,
+          Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE).matcher(text)
+        while (m.find())
+          out += Ent(m.start, m.end, label, m.group(),
+            Map("kind" -> "valueless", "raw_unit" -> vp.unit,
+              "raw_value" -> vp.value.toString,
+              "value" -> vp.value.toString))
+      }
+    }
+    graft.nlp.SpanAlgebra.filterSpans(out.toSeq)
   }
 
   /** Inline + table-inferred quantities, deduped longest-leftmost. */

@@ -336,6 +336,30 @@ class ExtractionPipesSpec extends AnyFunSuite {
     assert(lv("poids : 57/3/22") === Seq.empty)
   }
 
+  test("quantities: table unit linking left/right/power (test_table_unit_linking)") {
+    def tv(text: String): Seq[(String, String)] =
+      Quantities.extractFromTables(text).sortBy(_.begin)
+        .map(e => (e.attrs("raw_value"), e.attrs("raw_unit")))
+    // unit column LEFT of the value column
+    assert(tv("mg | 5 | mL | 0.3\nmg | 7 | mL | 0.4\n") === Seq(
+      ("5.0", "mg"), ("0.3", "ml"), ("7.0", "mg"), ("0.4", "ml")))
+    // power + unit columns to the right: 4.2 x10*3 g/L
+    val p = Quantities.extractFromTables(
+      "Value | Power | Unit\n4.2 | x10*3 | g/l\n8 | x10*3 | g/l\n")
+    assert(p.map(e => (e.attrs("raw_value"), e.attrs("raw_unit")))
+      .toSet === Set(("4200.0", "g/l"), ("8000.0", "g/l")))
+  }
+
+  test("quantities: valueless patterns (test_valueless_patterns)") {
+    val pats = Seq(
+      Quantities.ValuelessPattern(Seq("positi(?:f|ve)s?"), 1.0, "bool"),
+      Quantities.ValuelessPattern(Seq("n[eé]gati(?:f|ve)s?"), 0.0, "bool"))
+    val out = Quantities
+      .extractValueless("Résultat positif puis négatif", pats)
+      .sortBy(_.begin).map(e => (e.text, e.attrs("value")))
+    assert(out === Seq(("positif", "1.0"), ("négatif", "0.0")))
+  }
+
   test("quantities: comparison operators (test_operator)") {
     val qs = Quantities.extract("< 5 µl et supérieur à 8 ui")
       .sortBy(_.begin)

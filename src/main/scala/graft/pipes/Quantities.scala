@@ -21,6 +21,8 @@ object Quantities {
     "mg" -> ("mass", 1e-3), "µg" -> ("mass", 1e-6),
     "ug" -> ("mass", 1e-6), "ng" -> ("mass", 1e-9),
     "l" -> ("volume", 1.0), "dl" -> ("volume", 0.1),
+    "m3" -> ("volume", 1000.0), "dm3" -> ("volume", 1.0),
+    "cm3" -> ("volume", 1e-3),
     "cl" -> ("volume", 0.01), "ml" -> ("volume", 1e-3),
     "µl" -> ("volume", 1e-6), "mm3" -> ("volume", 1e-6),
     "m" -> ("length", 1.0), "dm" -> ("length", 0.1),
@@ -110,6 +112,17 @@ object Quantities {
   private val chainBefore = Pattern.compile(
     s"(?<n>$num)\\s*(?:,|\\bet\\b|x|\\bpar\\b|\\bou\\b)\\s*$$",
     Pattern.CASE_INSENSITIVE)
+  // compact time forms: "1h30" (hours+minutes) and the minute/second
+  // quote notation "5'14''" (test_time_quantities)
+  private val timeCompact = Pattern.compile(
+    "(?<![\\d,.])(?<h>\\d{1,2})\\s*h\\s*(?<min>[0-5]\\d)(?![\\d\\p{L}])")
+  private val timeQuotes = Pattern.compile(
+    "(?<![\\d,.])(?<min>\\d{1,3})'(?<sec>[0-5]?\\d)(?:''|\u2033)?(?![\\d'])")
+  // scaled power WITHOUT a denominator: "2.4 x10*9µl" (value*10^N unit)
+  private val powerUnit = Pattern.compile(
+    s"(?<![\\d,.])(?<v>$num)\\s*(?:x\\s*)?10\\s*[\\^*eE]\\s*(?<p>\\d{1,2})\\s*(?<u>(?:$unitAlt))(?![\\p{L}\\d])",
+    Pattern.CASE_INSENSITIVE)
+
   // comparison operators before a quantity ("< 5 µl",
   // "supérieur à 8 ui" -> operator attr, span extended)
   private val opBefore = Pattern.compile(
@@ -202,6 +215,39 @@ object Quantities {
             "raw_unit" -> rm.group("u").toLowerCase,
             "from_value" -> (a * scale).toString,
             "to_value" -> (b * scale).toString))
+      }
+    }
+    val tcm = timeCompact.matcher(text)
+    while (tcm.find()) {
+      val secs = tcm.group("h").toInt * 3600.0 +
+        tcm.group("min").toInt * 60.0
+      out += Ent(tcm.start, tcm.end, "quantity",
+        text.substring(tcm.start, tcm.end),
+        Map("kind" -> "simple", "dimension" -> "time",
+          "label" -> "time", "raw_unit" -> "s",
+          "raw_value" -> secs.toString, "value" -> secs.toString))
+    }
+    val tqm = timeQuotes.matcher(text)
+    while (tqm.find()) {
+      val secs = tqm.group("min").toInt * 60.0 + tqm.group("sec").toInt
+      out += Ent(tqm.start, tqm.end, "quantity",
+        text.substring(tqm.start, tqm.end),
+        Map("kind" -> "simple", "dimension" -> "time",
+          "label" -> "time", "raw_unit" -> "s",
+          "raw_value" -> secs.toString, "value" -> secs.toString))
+    }
+    val pum = powerUnit.matcher(text)
+    while (pum.find()) {
+      normalizeUnit(pum.group("u")).foreach { case (dim, scale) =>
+        val v = parseVal(pum.group("v")) *
+          math.pow(10.0, pum.group("p").toInt)
+        out += Ent(pum.start, pum.end, "quantity",
+          text.substring(pum.start, pum.end),
+          Map("kind" -> "simple", "dimension" -> dim,
+            "label" -> labelOf(dim),
+            "raw_unit" -> pum.group("u").toLowerCase,
+            "raw_value" -> v.toString,
+            "value" -> (v * scale).toString))
       }
     }
     val wrm = wordRange.matcher(text)

@@ -360,6 +360,28 @@ class ExtractionPipesSpec extends AnyFunSuite {
     assert(out === Seq(("positif", "1.0"), ("négatif", "0.0")))
   }
 
+  test("quantities: time forms and scaled units (test_time_quantities, test_conversions)") {
+    def secs(text: String): Seq[Double] =
+      Quantities.extract(text).sortBy(_.begin)
+        .filter(_.attrs("dimension") == "time")
+        .map(_.attrs("value").toDouble)
+    assert(secs("Le test a duré entre 5'14'' et 6'05.") ===
+      Seq(5 * 60 + 14.0, 6 * 60 + 5.0))
+    assert(secs("La perfusion a duré 2 heures.") === Seq(2 * 3600.0))
+    assert(secs("L'examen a pris 45 min.") === Seq(45 * 60.0))
+    assert(secs("La procédure a duré 1h30.") === Seq(3600 + 30 * 60.0))
+    assert(secs("Le patient a attendu 90 secondes.") === Seq(90.0))
+    // cubic volumes and no-denominator scaled powers (conversions)
+    def one(text: String): (String, Double) = {
+      val e = Quantities.extract(text).head
+      (e.attrs("dimension"), e.attrs("value").toDouble)
+    }
+    assert(one("20 dm3") === (("volume", 20.0))) // 20 l
+    assert(one("10 l") === (("volume", 10.0)))
+    val (d, v) = one("2.4 x10*9µl")
+    assert(d === "volume" && math.abs(v - 2400.0) < 1e-6) // 2400 l
+  }
+
   test("quantities: comparison operators (test_operator)") {
     val qs = Quantities.extract("< 5 µl et supérieur à 8 ui")
       .sortBy(_.begin)

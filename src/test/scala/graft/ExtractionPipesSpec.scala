@@ -707,6 +707,30 @@ class ExtractionPipesSpec extends AnyFunSuite {
     assert(f1.text.substring(f1.ents.head.begin, f1.ents.head.end) === "fracture")
   }
 
+  test("explode: one doc per span, text and attrs preserved (test_explode.py)") {
+    val text = "Ceci est un texte très important, écrit le 25 juil. 2025"
+    val ents = Seq(
+      Ent(text.indexOf("texte"), text.indexOf("texte") + 5,
+        "entity", "texte"),
+      Ent(text.indexOf("important"), text.indexOf("important") + 9,
+        "adj", "important"),
+      Ent(text.indexOf("25"), text.length, "date", "25 juil. 2025",
+        Map("is_recent" -> "true")))
+    val exploded = SplitExplode.explodeBySpan(text, ents)
+    assert(exploded.length === 3)
+    // each exploded doc keeps the FULL text and exactly its own span
+    assert(exploded.forall(_._2 === text))
+    assert(exploded.map(_._1.text).sorted ===
+      Seq("25 juil. 2025", "important", "texte"))
+    // attributes survive the explode
+    assert(exploded.find(_._1.label == "date")
+      .get._1.attrs.get("is_recent") === Some("true"))
+    // group filtering: exploding only ents-like labels skips adj
+    assert(SplitExplode.explodeBySpan(text, ents,
+      Some(Set("entity", "date"))).map(_._1.label).sorted ===
+      Seq("date", "entity"))
+  }
+
   test("split by token budget: reference max_length scenario (test_split.py)") {
     val txt = "Le patient mange des pates depuis le début du confinement, " +
       "il est donc un peu ballonné, mais pense revenir à un régime plus " +

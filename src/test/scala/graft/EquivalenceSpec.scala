@@ -21,7 +21,8 @@ class EquivalenceSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.shuffle.partitions", shuffle.toString)
     val sample = Seq("q1_pricing_summary", "q5_nation_revenue",
       "q16_sessionize", "q22_ents_explode", "q23_qualifier",
-      "q32_minhash_lsh", "q34_embedding_topk", "q40_ner_metrics")
+      "q32_minhash_lsh", "q34_embedding_topk", "q40_ner_metrics",
+      "q60_stratified_sample", "q64_lsh_observability")
     try sample.map { name =>
       name -> SparkEntry.queries(name)(spark, sf)
         .collect().map(_.toString).sorted.toSeq

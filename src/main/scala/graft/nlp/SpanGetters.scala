@@ -157,13 +157,11 @@ object ContextWindows {
     """\s*(words|sents)\[(-?\d+):(-?\d+)\]\s*|\s*(sent)\s*""")
 
   /** Parse `"words[-5:5] & sent"` / `"words[-5:8] | sents[-1:1]"`.
-    * Operators associate left; mixing `|` and `&` needs no parens in
-    * the reference's own queries, which chain a single operator.
+    * `&` binds tighter than `|`, matching the reference where the query
+    * is evaluated as a Python expression over window objects
+    * (`span_getters.py:352-540`): `a | b & c` is `a | (b & c)`.
     */
   def parse(query: String): Win = {
-    val parts = query.split("[|&]").map(_.trim)
-    val ops = query.filter(c => c == '|' || c == '&')
-    require(parts.forall(_.nonEmpty), s"cannot parse context '$query'")
     def leaf(s: String): Win = {
       val m = leafPat.matcher(s)
       require(m.matches(), s"cannot parse context window '$s' " +
@@ -175,10 +173,12 @@ object ContextWindows {
         else Sents(a, b, dropLast = true)
       }
     }
-    parts.map(leaf).zipWithIndex.reduceLeft[(Win, Int)] {
-      case ((acc, _), (w, i)) =>
-        (if (ops(i - 1) == '|') Or(acc, w) else And(acc, w), i)
-    }._1
+    val terms = query.split('|').map { seg =>
+      val factors = seg.split('&').map(_.trim)
+      require(factors.forall(_.nonEmpty), s"cannot parse context '$query'")
+      factors.map(leaf).reduceLeft[Win](And(_, _))
+    }
+    terms.reduceLeft[Win](Or(_, _))
   }
 
   /** The reference's `make_span_context_getter`: symmetric-or-pair word

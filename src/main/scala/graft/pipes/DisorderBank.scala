@@ -38,7 +38,14 @@ object DisorderBank {
       before: Int, after: Int, limitToSentence: Boolean = true)
 
   case class Exclude(regex: Seq[String], win: Win)
-  case class Assign(name: String, regex: String, win: Win)
+
+  /** `hidden = true` = an internal context probe feeding the post rule
+    * only: the reference computes it with a separate matcher rather than
+    * an `assign` (e.g. diabetes' far-complication scan,
+    * `diabetes.py:138-147`), so it must not surface as an ent attr.
+    */
+  case class Assign(
+      name: String, regex: String, win: Win, hidden: Boolean = false)
 
   /** One pattern source (`dict(source=..., regex=..., ...)` in the
     * reference). `raw = true` = `regex_attr="TEXT"`: case-sensitive over
@@ -67,6 +74,8 @@ object DisorderBank {
         Option[(Int, Option[Boolean])] = (_, _, _) => Some((1, None)))
 
   final class Matcher(spec: Spec) extends Serializable {
+    private val hiddenNames =
+      spec.sources.flatMap(_.assign).filter(_.hidden).map(_.name).toSet
     private val normFlags =
       Pattern.DOTALL | Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE
     private val compiled = spec.sources.map { s =>
@@ -206,7 +215,7 @@ object DisorderBank {
         val entText = text.substring(c.rawB, c.rawE)
         spec.post(c.source.name, c.assigned, entText).map {
           case (status, negation) =>
-            var attrs = c.assigned +
+            var attrs = (c.assigned -- hiddenNames) +
               ("source" -> c.source.name, "status" -> status.toString)
             if (spec.modalityAttr)
               attrs += ("modality" -> c.source.name)
@@ -530,17 +539,28 @@ object DisorderBank {
             """((?:(?:non(?:\s+|-)?)|(?:sans\s+(?:etre\s+)?)|(?:pas(?:\s+de\s+|\s+d['’]?|\s+)))?insulino.?(?:dep|req))""",
             Win(0, 6)),
           Assign("corticoid", """(\bctc\b|cortico(?:.?induit)?)""",
-            Win(0, 6)))),
+            Win(0, 6)),
+          // the reference's has_far_complications bullet-list scan
+          // (diabetes.py:138-147): span start..end+50 TOKENS, not
+          // sentence-limited — checked LAST in the post chain, after the
+          // "db" false-positive drop (which must see it absent)
+          Assign("far_complications",
+            "(" + diabetesComplications.mkString("|") + ")",
+            Win(0, 50, limitToSentence = false), hidden = true))),
       Source("complicated", Seq(
         """(mal|maux).perforants?(.plantaire)?""", """pieds? diabeti"""),
         exclude = Seq(Exclude(Seq("soins aux"), Win(2, 0))))),
     post = (source, assigned, entText) => {
       val norm = graft.nlp.Normalizer
         .mapChars(entText.toLowerCase(java.util.Locale.ROOT)).trim
+      // `near` mirrors the reference's span._.assigned, which never
+      // holds the far-complication probe (a separate matcher there)
+      val near = assigned - "far_complications"
       if (source == "complicated") Some((2, None))
-      else if (assigned.keys.exists(_.startsWith("complicated")))
+      else if (near.keys.exists(_.startsWith("complicated")))
         Some((2, None))
-      else if (norm == "db" && assigned.isEmpty) None // mostly FP
+      else if (norm == "db" && near.isEmpty) None // mostly FP
+      else if (assigned.contains("far_complications")) Some((2, None))
       else Some((1, None))
     })
 

@@ -1,7 +1,9 @@
 package graft.text
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Text analysis for training-data pipelines: quality scoring, language ID,
   * token counting, document fingerprinting. All pure column expressions
@@ -253,11 +255,24 @@ object TextStats {
     * literal — double `ceil(n * 0.2)` can round up one row extra when
     * `n*fraction` is an exact integer. Ids must be non-negative: the
     * hash uses `pmod`, where SQL `%` is sign-preserving, so a negative
-    * id would rank differently in another engine.
+    * id would rank differently in another engine. Ids must also be
+    * UNIQUE within each stratum: the final filter admits every row whose
+    * id equals the per-stratum tie id, so a duplicated id could overshoot
+    * the quota — duplicates always share a hash, so the harmful case
+    * (duplicate AT the threshold hash) is detected in the tie pass and
+    * rejected with a clear error.
+    *
+    * Driver safety: the histogram passes collect up to
+    * `strata x 65536` count rows. A cheap distinct-stratum count runs
+    * first; above `maxStrata` (default 1024 — ~64M collected rows worst
+    * case) the operator falls back to the `row_number` window form —
+    * bit-identical output, degrading in shuffle time instead of driver
+    * memory. High-cardinality stratum columns (e.g. date-hour) take the
+    * fallback automatically.
     */
   def stratifiedSample(
       docs: DataFrame, idCol: String, stratumCol: String,
-      fraction: Double): DataFrame = {
+      fraction: Double, maxStrata: Int = 1024): DataFrame = {
     require(fraction > 0.0 && fraction <= 1.0,
       s"fraction must be in (0, 1], got $fraction")
     // multiplicative hash kept INSIDE Long range for any non-negative
@@ -272,6 +287,10 @@ object TextStats {
     val spark = docs.sparkSession
     val base = docs.select(
       col(stratumCol).as("_s"), col(idCol).as("_id"), h.as("_h"))
+
+    val nStrata = base.select(col("_s")).distinct().count()
+    if (nStrata > maxStrata)
+      return stratifiedSampleWindow(docs, idCol, stratumCol, fraction, h)
 
     val frac = BigDecimal(fraction.toString)
     def quotaOf(n: Long): Long =
@@ -297,12 +316,16 @@ object TextStats {
       (s, (buckets(i)._1, q - cum))
     }
 
-    import spark.implicits._
+    // Boundary rows carry the ORIGINAL typed stratum/id values (not a
+    // toString round-trip, which silently fails to match for floats,
+    // scaled decimals, binary, ...).
+    val sType = base.schema("_s").dataType
     def boundaryDf(m: Map[Any, Long], valName: String): DataFrame = {
-      val rows = m.toSeq.map { case (s, v) => (Option(s).map(_.toString), v) }
-      rows.toDF("_bs", valName)
-        .withColumn("_bs", col("_bs").cast(
-          base.schema("_s").dataType))
+      val rows = m.toSeq.map { case (s, v) => Row(s, v) }
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*),
+        StructType(Seq(
+          StructField("_bs", sType), StructField(valName, LongType))))
     }
     val hiDf = boundaryDf(hiBoundary.map { case (s, (b, _)) => (s, b) },
       "_bhi")
@@ -340,21 +363,48 @@ object TextStats {
       .map { r =>
         val s = r.getAs[Any]("_s")
         val ids = r.getSeq[Any](1)
+        require(ids.distinct.size == ids.size,
+          s"stratifiedSample requires unique ids per stratum: stratum " +
+            s"'$s' has duplicated id(s) at the threshold hash " +
+            s"(${ids.diff(ids.distinct).distinct.take(5).mkString(", ")})")
         (s, ids(thresholds(s)._2.toInt - 1))
       }.toMap
 
     // Final plan: scan -> broadcast (stratum -> threshold, tieId) join
     // -> filter. No window, no sort, no per-stratum serialization.
     val cutRows = thresholds.toSeq.map { case (s, (t, _)) =>
-      (Option(s).map(_.toString), t, tieIds(s).toString)
+      Row(s, t, tieIds(s))
     }
-    val cuts = cutRows.toDF("_bs", "_thr", "_tie")
-      .withColumn("_bs", col("_bs").cast(base.schema("_s").dataType))
-      .withColumn("_tie", col("_tie").cast(base.schema("_id").dataType))
+    val cuts = spark.createDataFrame(
+      java.util.Arrays.asList(cutRows: _*),
+      StructType(Seq(
+        StructField("_bs", sType), StructField("_thr", LongType),
+        StructField("_tie", base.schema("_id").dataType))))
     docs
       .join(broadcast(cuts), col(stratumCol) <=> col("_bs") &&
         (h < col("_thr") ||
           (h === col("_thr") && col(idCol) <= col("_tie"))))
+      .select(docs.columns.map(docs.col): _*)
+  }
+
+  /** High-cardinality fallback for [[stratifiedSample]]: the classic
+    * per-stratum `row_number` under the same (hash, id) order with the
+    * same exact-decimal quota — bit-identical rows, paid for in shuffle
+    * time (each stratum funnels through one reducer) instead of driver
+    * memory. Only reached when the stratum cardinality exceeds
+    * `maxStrata`.
+    */
+  private def stratifiedSampleWindow(
+      docs: DataFrame, idCol: String, stratumCol: String,
+      fraction: Double, h: Column): DataFrame = {
+    val byStratum = Window.partitionBy(col(stratumCol))
+    val rn = row_number().over(byStratum.orderBy(col("_h"), col(idCol)))
+    val quota = ceil(count(lit(1)).over(byStratum) *
+      lit(new java.math.BigDecimal(fraction.toString)))
+    docs.withColumn("_h", h)
+      .withColumn("_rn", rn)
+      .withColumn("_q", quota)
+      .filter(col("_rn") <= col("_q"))
       .select(docs.columns.map(docs.col): _*)
   }
 

@@ -38,6 +38,30 @@ class ContextWindowSpec extends AnyFunSuite {
         "cakes. But since")
   }
 
+  test("mixed-operator precedence: & binds tighter than | (Python eval order)") {
+    val text = "There was a snake. " +
+      "His friend was a dog. " +
+      "He liked baking cakes. " +
+      "But since he had no hands, he was a bad baker. "
+    // a | b & c must parse as a | (b & c): with left-flat association the
+    // leading union would be clipped by the trailing intersection
+    val mixed = snippet(text, "dog", "sents[-1:1] | words[-5:5] & sent")
+    val expected = {
+      val tokens = toks(text)
+      val sents = Sentencizer.sentences(tokens)
+      val b = text.indexOf("dog")
+      val win = ContextWindows.Or(
+        ContextWindows.parse("sents[-1:1]"),
+        ContextWindows.And(
+          ContextWindows.parse("words[-5:5]"),
+          ContextWindows.parse("sent")))
+      val (wb, we) = win(b, b + "dog".length, tokens, sents)
+      text.substring(wb, we).trim
+    }
+    assert(mixed === expected)
+    assert(mixed !== snippet(text, "dog", "words[-5:5] & sent"))
+  }
+
   test("span context getter: symmetric and asymmetric (test_span_context_getter)") {
     val text = "This is a sentence. " +
       "This is another sentence with a kangaroo. " +

@@ -153,6 +153,32 @@ class DisorderBankSpec extends AnyFunSuite {
         hasMatch = true, status = without)))
   }
 
+  test("diabetes far-complications scan (diabetes.py:138-147)") {
+    val without = Some("WITHOUT_COMPLICATION")
+    val withC = Some("WITH_COMPLICATION")
+    // bullet-list complications land past the sentence-limited
+    // complicated_after window but inside the +50-token far scan
+    check(DisorderBank.diabetes, Seq(
+      Ex("Diabète de type 2.\n- HTA bien contrôlée\n" +
+        "- insuffisance veineuse\n- néphropathie sévère",
+        hasMatch = true, status = withC),
+      // past the 50-token far window -> stays uncomplicated
+      Ex("Diabète de type 2.\n" +
+        ("- le bilan du jour reste strictement normal\n" * 8) +
+        "- néphropathie sévère",
+        hasMatch = true, status = without),
+      // the "db" false-positive drop runs BEFORE the far scan
+      // (diabetes.py:128-134 elif order): a far complication alone
+      // must not resurrect a bare "db" mention
+      Ex("db.\n- néphropathie sévère", hasMatch = false)))
+    // the probe is post-rule-internal: never surfaced as an attr
+    val m = DisorderBank.matcher(DisorderBank.diabetes)
+    val text = "Diabète de type 2.\n- HTA\n- néphropathie sévère"
+    val tokens = toks(text)
+    val ents = m.findMatches(text, tokens, Sentencizer.sentences(tokens))
+    assert(ents.nonEmpty && !ents.exists(_.attrs.contains("far_complications")))
+  }
+
   test("hemiplegia bank (disorders/hemiplegia.py)") {
     check(DisorderBank.hemiplegia, Seq(
       Ex("Patient hémiplégique", hasMatch = true),

@@ -548,6 +548,42 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("sort "), plan)
   }
 
+  test("stratifiedSample carries typed stratum values (no string round-trip)") {
+    // double strata whose toString does not round-trip under a SQL cast
+    // (e.g. 0.1 + 0.2 prints as 0.30000000000000004) must still join
+    // against their own boundary rows
+    val docs = (0L until 60L).map(i =>
+      (i, if (i % 2 == 0) 0.1 + 0.2 else 1.0 / 3.0))
+      .toDF("doc_id", "stratum")
+    val out = TextStats.stratifiedSample(docs, "doc_id", "stratum", 0.5)
+    val byS = out.groupBy("stratum").count().collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(byS === Map((0.1 + 0.2) -> 15L, (1.0 / 3.0) -> 15L))
+  }
+
+  test("stratifiedSample rejects duplicated ids at the threshold hash") {
+    // every id duplicated -> whichever hash is the threshold, its tie
+    // set holds a duplicate; the overshoot must fail loudly, not pass
+    val docs = ((0L until 20L) ++ (0L until 20L)).map((_, "x"))
+      .toDF("doc_id", "lang")
+    val e = intercept[IllegalArgumentException] {
+      TextStats.stratifiedSample(docs, "doc_id", "lang", 0.5).count()
+    }
+    assert(e.getMessage.contains("unique ids"))
+  }
+
+  test("stratifiedSample falls back to the window form above maxStrata, bit-identically") {
+    val rows = (0L until 300L).map(i => (i, s"s${i % 7}"))
+    val docs = rows.toDF("doc_id", "lang")
+    val hist = TextStats.stratifiedSample(docs, "doc_id", "lang", 0.3)
+    val fell = TextStats.stratifiedSample(docs, "doc_id", "lang", 0.3,
+      maxStrata = 3)
+    assert(fell.select("doc_id").collect().map(_.getLong(0)).toSet ===
+      hist.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // and the fallback really is the window plan
+    assert(fell.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
   test("redactWithSpans maps the last edit begin through prior deltas") {
     val docs = Seq(
       (0L, "call customer now customer end"),

@@ -441,15 +441,23 @@ object PipelineQueries {
       // survived. Rows-only check: the signature family is
       // engine-internal; the planted cluster guarantees a nonzero drop
       // at every scale factor, spec-asserted in PipelineOpsSpec.
-      val docs = documents(s, d)
-      val boiler = docs.orderBy($"doc_id").limit(1)
-        .select($"text")
-        .crossJoin(s.range(1000000L, 1000050L).toDF("doc_id"))
-        .select($"doc_id", $"text")
       // a HALF-width signature (k=32, 8 bands) is plenty for an
       // observability probe — the planted cluster floods every band at
-      // any k, and the probe should not dominate the bench
-      val corpus = docs.select($"doc_id", $"text").union(boiler)
+      // any k, and the probe should not dominate the bench. The corpus
+      // side is a BOUNDED deterministic sample (pushed-down id filter):
+      // the nonzero-drop assertion only needs the planted cluster, and a
+      // probe must stay O(1) as the corpus grows
+      val sample = documents(s, d).filter($"doc_id" < 256)
+        .select($"doc_id", $"text")
+      // the planted cluster is a CONSTANT boilerplate string (not a
+      // corpus doc): deterministic at every scale factor, and it saves
+      // the seed-selection job a TakeOrdered scan would cost per rep
+      val boilerText = Seq.fill(24)(
+        "subscribe to our newsletter for weekly updates and offers")
+        .mkString(" ")
+      val boiler = s.range(1000000L, 1000050L).toDF("doc_id")
+        .select($"doc_id", lit(boilerText).as("text"))
+      val corpus = sample.union(boiler)
       val sigs = corpus.select($"doc_id".as("id"),
         Dedup.minHashSignatureFromText($"text", 3, 32).as("sig"))
       val acc = s.sparkContext.longAccumulator("q64_dropped_buckets")

@@ -56,14 +56,30 @@ object Omop {
 
   /** Canonical annotated output: one note_nlp row per extracted entity
     * from a DocPipeline ents table, OMOP column names
-    * (`converters.py:620-647`).
+    * (`converters.py:620-647`). `attrs` carries qualifier/attribute
+    * columns (negation, ...) into note_nlp, as the reference doc2omop
+    * does with span extensions.
+    *
+    * `deterministicIds = true` derives note_nlp_id from
+    * `note_id * 100000 + start_char` — unique while notes stay under
+    * 100k chars, stable across partitionings and engines (the default
+    * `monotonically_increasing_id` is partition-dependent, fine for a
+    * sink, useless for a reproducible comparison).
     */
-  def entsToNoteNlp(ents: DataFrame, idCol: String): DataFrame =
-    ents.select(
-      monotonically_increasing_id().as("note_nlp_id"),
+  def entsToNoteNlp(
+      ents: DataFrame, idCol: String, attrs: Seq[String] = Nil,
+      deterministicIds: Boolean = false): DataFrame = {
+    val id =
+      if (deterministicIds)
+        (col(idCol).cast("long") * lit(100000L) + col("begin"))
+          .as("note_nlp_id")
+      else monotonically_increasing_id().as("note_nlp_id")
+    ents.select(Seq(
+      id,
       col(idCol).as("note_id"),
       col("begin").as("start_char"),
       col("end").as("end_char"),
       col("lexical_variant"),
-      col("label").as("note_nlp_source_value"))
+      col("label").as("note_nlp_source_value")) ++ attrs.map(col): _*)
+  }
 }

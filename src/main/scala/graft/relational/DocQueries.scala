@@ -90,6 +90,29 @@ object DocQueries {
       pipe.entsTable(spread(documents(s, d), s), "doc_id", "text")
         .select($"doc_id", $"begin".as("start_char"), $"negation")
         .orderBy($"doc_id", $"start_char")
+    },
+    "q65_omop_note_nlp" -> { (s, d) =>
+      import s.implicits._
+      // The flagship end-to-end slice (reference README quick-start,
+      // `/root/reference/README.md:49-88`): an OMOP-shaped note table ->
+      // normalize/tokenize -> sentences -> phrase matcher -> negation
+      // qualifier -> one note_nlp row per entity with the qualifier
+      // carried as a column. Everything the per-operator queries prove
+      // in pieces, composed in ONE plan and hash-matched against an
+      // oracle that recomputes spans + negation from scratch.
+      // Scale shape: scan -> row-local annotate -> explode; the only
+      // shuffle is the deterministic output ORDER BY.
+      val note = documents(s, d).select(
+        $"doc_id".as("note_id"), $"text".as("note_text"))
+      val pipe = DocPipeline(
+        terms = matchTerms,
+        qualifiers = Seq(syntheticNegation))
+      val ents = pipe.entsTable(
+        spread(note, s), "note_id", "note_text")
+      graft.io.Omop
+        .entsToNoteNlp(ents, "note_id", attrs = Seq("negation"),
+          deterministicIds = true)
+        .orderBy($"note_id", $"start_char")
     }
   )
 
@@ -138,6 +161,30 @@ object DocQueries {
          SELECT doc_id, start_char,
            coalesce(last_cue, -1) > coalesce(last_term, -1) AS negation
          FROM scoped WHERE w = 'join'
-         ORDER BY doc_id, start_char"""
+         ORDER BY doc_id, start_char""",
+    "q65_omop_note_nlp" ->
+      """WITH words AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+             generate_subscripts(string_split(text, ' '), 1) AS i
+           FROM documents),
+         scoped AS (
+           SELECT doc_id, w, i,
+             CAST(coalesce(sum(length(w) + 1) OVER (PARTITION BY doc_id
+               ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS INTEGER) AS start_char,
+             max(CASE WHEN w = 'slow' THEN i END) OVER (PARTITION BY doc_id
+               ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_cue,
+             max(CASE WHEN w = 'the' THEN i END) OVER (PARTITION BY doc_id
+               ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_term
+           FROM words)
+         SELECT CAST(doc_id * 100000 + start_char AS BIGINT) AS note_nlp_id,
+           doc_id AS note_id, start_char,
+           CAST(start_char + length(w) AS INTEGER) AS end_char,
+           w AS lexical_variant, w AS note_nlp_source_value,
+           coalesce(last_cue, -1) > coalesce(last_term, -1) AS negation
+         FROM scoped WHERE w IN ('spark', 'join', 'merge', 'window')
+         ORDER BY note_id, start_char"""
   )
 }

@@ -27,6 +27,39 @@ object Terminology {
     new Matcher(label, concepts)
 }
 
+/** A dictionary-SCALE concept catalog with the public structure of
+  * ICD-10 (chapter letter + two-digit category + dotted subcode), built
+  * deterministically: 25 letters (A–Y) × categories 00–99, each with its
+  * ten .0–.9 subcodes — 27,500 concepts. Subcodes carry two mention
+  * variants (dotted `A07.3` and compact `A073`, the forms clinical text
+  * uses); category codes match bare mentions. Letter Z is deliberately
+  * absent so membership is a real test, not a formality.
+  *
+  * This closes the scale gap of the licensed cim10/drugs/umls
+  * dictionaries (`/root/reference/edsnlp/pipes/ner/cim10/factory.py:6`
+  * ships ~40k licensed concepts): the [[Terminology]] engine is
+  * data-driven, and this catalog exercises the broadcast-terminology
+  * trie at real dictionary size with data that can legally ship.
+  */
+object IcdLikeCatalog {
+  val concepts: Map[String, Seq[String]] = {
+    val b = Map.newBuilder[String, Seq[String]]
+    for (l <- 'A' to 'Y'; n <- 0 until 100) {
+      val parent = f"$l$n%02d"
+      b += parent -> Seq(parent)
+      for (s <- 0 until 10) {
+        val code = s"$parent.$s"
+        // the dotted form needs BOTH cases as variants: the tokenizer's
+        // acronym rule keeps the period on uppercase "K35." (one token)
+        // but splits lowercase "k35.2" as ["k","35.2"] — two distinct
+        // trie paths for the same surface form
+        b += code -> Seq(code, code.toLowerCase, parent + s.toString)
+      }
+    }
+    b.result()
+  }
+}
+
 /** Named clinical score extraction — the reference machinery
   * (`/root/reference/edsnlp/pipes/ner/scores/base_score.py:59-161`): a
   * trigger regex, a `value` assign with `replace_entity` semantics (the

@@ -50,6 +50,12 @@ object ExtractionQueries {
       .map(_.attrs("kb_id"))
   })
 
+  private val icdUdf = udf((s: String) => {
+    val tokens = Normalizer.normalize(s, Tokenizer.tokenize(s))
+    SectionQueriesShared.icdTerminology.findMatches(tokens, s)
+      .map(_.attrs("kb_id"))
+  })
+
   private val tnmUdf = udf((s: String) =>
     Tnm.extract(s).headOption.map(e =>
       (e.attrs.getOrElse("tumour", ""), e.attrs.getOrElse("node", ""),
@@ -112,6 +118,37 @@ object ExtractionQueries {
         .select($"event_id",
           explode(terminologyUdf($"note_text")).as("kb_id"))
         .orderBy($"event_id")
+    },
+    "q66_icd_terminology" -> { (s, d) =>
+      import s.implicits._
+      // terminology at DICTIONARY scale: synthesize a diagnosis mention
+      // per order (dotted / compact / bare-category form by row), match
+      // it against the 27,500-concept IcdLikeCatalog, emit the concept
+      // id. Letter-Z codes are outside the catalog, so those rows must
+      // vanish — real membership, oracle-recomputed from the source
+      // columns. Row-local matching; the only shuffle is the ORDER BY.
+      // letter derives from the DENSE custkey: sparse TPC-H orderkeys
+      // never hit Z under the %10 filter, which would make the
+      // membership case vacuous (verified: 49 Z-rows at sf0.01)
+      val base = orders(s, d)
+        .filter($"o_orderkey" % 10 === 0)
+        .withColumn("letter", expr("char(65 + o_custkey % 26)"))
+        .withColumn("num",
+          lpad(($"o_custkey" % 100).cast("string"), 2, "0"))
+        .withColumn("sub",
+          (($"o_orderkey" % 100) / 10).cast("long").cast("string"))
+        .withColumn("form", (($"o_orderkey" / 10).cast("long")))
+      val mention =
+        when($"form" % 3 === 2, concat($"letter", $"num"))
+          .when($"form" % 2 === 0,
+            concat($"letter", $"num", lit("."), $"sub"))
+          .otherwise(concat($"letter", $"num", $"sub"))
+      base
+        .withColumn("note_text",
+          concat(lit("Diagnostic retenu "), mention, lit(" confirme.")))
+        .select($"o_orderkey",
+          explode(icdUdf($"note_text")).as("kb_id"))
+        .orderBy($"o_orderkey")
     },
     "q29_tnm_extract" -> { (s, d) =>
       import s.implicits._
@@ -246,6 +283,19 @@ object ExtractionQueries {
            WHEN 'purchase' THEN 'EV003' WHEN 'signup' THEN 'EV004'
            WHEN 'error' THEN 'EV005' END AS kb_id
          FROM events WHERE event_id % 20 = 0 ORDER BY event_id""",
+    "q66_icd_terminology" ->
+      """WITH t AS (
+           SELECT o_orderkey,
+             chr(CAST(65 + o_custkey % 26 AS INTEGER)) AS letter,
+             lpad(CAST(o_custkey % 100 AS VARCHAR), 2, '0') AS num,
+             CAST((o_orderkey % 100) // 10 AS VARCHAR) AS sub,
+             (o_orderkey // 10) % 3 AS m3
+           FROM orders WHERE o_orderkey % 10 = 0)
+         SELECT o_orderkey,
+           CASE WHEN m3 = 2 THEN letter || num
+                ELSE letter || num || '.' || sub END AS kb_id
+         FROM t WHERE letter <> 'Z'
+         ORDER BY o_orderkey""",
     "q29_tnm_extract" ->
       """SELECT p_partkey,
          CAST(p_size % 4 AS VARCHAR) AS tumour,
@@ -337,4 +387,8 @@ private object SectionQueriesShared extends Serializable {
     Map("EV001" -> Seq("click"), "EV002" -> Seq("view"),
       "EV003" -> Seq("purchase"), "EV004" -> Seq("signup"),
       "EV005" -> Seq("error")))
+  // 27,500-concept trie built once on the driver, shipped per stage in
+  // the UDF closure (broadcast-equivalent; see PhraseMatcher scaladoc)
+  val icdTerminology: Terminology.Matcher =
+    Terminology.matcher("icd10", IcdLikeCatalog.concepts)
 }

@@ -487,6 +487,24 @@ class ExtractionPipesSpec extends AnyFunSuite {
     assert(fhits.map(_.text) === Seq("doliprane"))
   }
 
+  test("dictionary-scale ICD-10-like terminology: 27.5k concepts, all mention forms") {
+    assert(IcdLikeCatalog.concepts.size === 27500)
+    assert(IcdLikeCatalog.concepts.size >= 10000)
+    val m = Terminology.matcher("icd10", IcdLikeCatalog.concepts)
+    def kbIds(s: String) = m.findMatches(toks(s), s).map(_.attrs("kb_id"))
+    // dotted, compact, and bare-category mention forms
+    assert(kbIds("Diagnostic retenu A07.3 confirme.") === Seq("A07.3"))
+    assert(kbIds("Diagnostic retenu A073 confirme.") === Seq("A07.3"))
+    assert(kbIds("Diagnostic retenu A07 confirme.") === Seq("A07"))
+    // case-insensitive via the shared normalization
+    assert(kbIds("suspicion de k35.2 aigue") === Seq("K35.2"))
+    // Z chapter is absent by construction: membership is a real test
+    assert(kbIds("Diagnostic retenu Z07.3 confirme.") === Seq.empty)
+    // two codes in one sentence, both found
+    assert(kbIds("B20.1 avec comorbidite E11.5 associee").toSet ===
+      Set("B20.1", "E11.5"))
+  }
+
   test("scores: trigger + value in window") {
     val hits = Scores.matcher(Scores.glasgow)
       .findMatches("Patient confus, Glasgow 12 à l'arrivée.")

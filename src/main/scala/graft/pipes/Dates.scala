@@ -24,11 +24,16 @@ import graft.nlp.Ent
   * reference instant is supplied (the `note_datetime` resolution of
   * `dates/models.py:283-380`) — a resolved ISO `datetime`.
   *
-  * Deliberate divergence: bare letter months ("RAS en mai") are NOT
-  * matched — the reference's `no_day_no_year_pattern` accepts them and
-  * then fights the resulting noise with `false_positive.py`; requiring a
-  * day or year is the higher-precision call for a batch engine (pinned by
-  * ExtractionPipesSpec).
+  * Default-mode divergence, flag-gated: bare letter months ("RAS en
+  * mai") are NOT matched by default — requiring a day or year is the
+  * higher-precision call for a batch engine (pinned by
+  * ExtractionPipesSpec). `faithful = true` restores the reference
+  * grammar exactly: `no_day_no_year_pattern` accepts the bare month
+  * (absolute-pattern bank, `patterns/absolute.py:85-88`). The
+  * `false_positive.py` suppression (pagination `\d/\d`, phone-number
+  * runs) applies in BOTH modes — longest-first span filtering lets the
+  * false-positive span swallow any date match inside it
+  * (`dates.py:350-352`), which only ever raises precision.
   */
 object Dates {
 
@@ -164,12 +169,22 @@ object Dates {
     }
   }
 
+  // false_positive.py: pagination "1/3" plus phone-number runs — four
+  // or more two-digit groups joined by ONE consistent delimiter
+  // (`(\d\d<delim>){3,}\d\d` per delimiter, delimiters.py)
+  private val falsePositive = Pattern.compile(
+    "\\d/\\d|(?:\\d\\d/){3,}\\d\\d|(?:\\d\\d[-−]){3,}\\d\\d|" +
+      "(?:\\d\\d\\.){3,}\\d\\d|(?:\\d\\d[^\\S\\r\\n]+){3,}\\d\\d")
+
   /** Extract all date/duration mentions from raw text. `noteDatetime`
-    * resolves relative dates when present.
+    * resolves relative dates when present. `faithful = true` switches to
+    * the exact reference grammar (bare letter months accepted — see the
+    * class doc).
     */
   def extract(
       text: String,
-      noteDatetime: Option[LocalDateTime] = None): Seq[Ent] = {
+      noteDatetime: Option[LocalDateTime] = None,
+      faithful: Boolean = false): Seq[Ent] = {
     if (text == null) return Nil
     val out = new ArrayBuffer[Ent]
 
@@ -232,8 +247,11 @@ object Dates {
 
     val lm = letterAbs.matcher(text)
     while (lm.find()) {
-      // require at least day+month or month+year to avoid bare month noise
-      if (lm.group("d") != null || lm.group("y") != null) {
+      // default: require day or year to avoid bare-month noise;
+      // faithful: the reference's no_day_no_year_pattern accepts any
+      // bare month (longer spans still win in filterSpans, so "sept"
+      // inside "il y a sept jours" loses to the relative)
+      if (faithful || lm.group("d") != null || lm.group("y") != null) {
         val month = monthMap(graft.nlp.Normalizer
           .mapChars(lm.group("mon").toLowerCase))
         var attrs = Map("kind" -> "absolute", "month" -> month.toString)
@@ -346,7 +364,16 @@ object Dates {
             (unitSeconds.getOrElse(unit, 0L) * n).toString))
     }
 
+    // the reference registers false_positive spans alongside the date
+    // patterns, filter_spans picks longest-first, then false_positive
+    // survivors are discarded — a covering phone-number span therefore
+    // kills the date matches inside it (dates.py:350-352)
+    val fp = falsePositive.matcher(text)
+    while (fp.find())
+      out += Ent(fp.start, fp.end, "false_positive",
+        text.substring(fp.start, fp.end), Map.empty)
     graft.nlp.SpanAlgebra.filterSpans(out.toSeq)
+      .filterNot(_.label == "false_positive")
   }
 
   /** Period detection (`dates.py:423-503` `process_periods`): adjacent
@@ -414,8 +441,9 @@ object Dates {
   /** One-call convenience: dates/durations plus the periods they form. */
   def extractWithPeriods(
       text: String,
-      noteDatetime: Option[LocalDateTime] = None): (Seq[Ent], Seq[Ent]) = {
-    val ds = extract(text, noteDatetime)
+      noteDatetime: Option[LocalDateTime] = None,
+      faithful: Boolean = false): (Seq[Ent], Seq[Ent]) = {
+    val ds = extract(text, noteDatetime, faithful)
     (ds, periods(text, ds))
   }
 }

@@ -229,12 +229,38 @@ class ExtractionPipesSpec extends AnyFunSuite {
     val rel = attrs("Il lui était arrivé la même chose il y a un an.")
     assert(rel("direction") === "past" && rel("value") === "1" &&
       rel("unit") === "an")
-    // DOCUMENTED SKIP — "Il est venu en août." (line 67): a bare letter
-    // month with neither day nor year. The reference accepts it via
-    // no_day_no_year_pattern and then suppresses the noise with
-    // false_positive.py; this grammar requires a day or a year
-    // (higher-precision call, Dates.scala:27-31). Pinned as a skip:
+    // DEFAULT-MODE SKIP — "Il est venu en août." (line 67): a bare
+    // letter month with neither day nor year. The default grammar
+    // requires a day or a year (higher-precision call, Dates.scala
+    // class doc); `faithful = true` restores the reference's
+    // no_day_no_year_pattern (spec'd below). Pinned as a default skip:
     assert(Dates.extract("Il est venu en août.").isEmpty)
+  }
+
+  test("dates: faithful mode restores the reference grammar (no_day_no_year + false_positive)") {
+    // the bank's bare-month example (test_dates.py:67, norm ????-08-??)
+    // passes with the flag on
+    val bare = Dates.extract("Il est venu en août.", faithful = true)
+    assert(bare.map(_.text) === Seq("août"))
+    assert(bare.head.attrs("month") === "8")
+    assert(bare.head.attrs("kind") === "absolute")
+    assert(!bare.head.attrs.contains("day") && !bare.head.attrs.contains("year"))
+    // a bare month that is ALSO a number word loses to the longer
+    // relative span, exactly as the reference's filter_spans decides
+    val rel = Dates.extract("Il est venu il y a sept jours.", faithful = true)
+    assert(rel.map(_.attrs("kind")) === Seq("relative"))
+    // default mode is unchanged by the flag's existence
+    assert(Dates.extract("Il est venu en août.").isEmpty)
+    // false_positive.py phone suppression (both modes): the covering
+    // phone span swallows the spurious "01 02 03" date inside it
+    for (f <- Seq(false, true)) {
+      val tel = Dates.extract("Rappeler au 01 02 03 04 05 demain.", faithful = f)
+      assert(!tel.exists(_.attrs.get("kind").contains("absolute")),
+        s"faithful=$f: ${tel.map(e => (e.text, e.attrs))}")
+    }
+    // pagination survives next to a real date, reference bank line 69
+    val pg = Dates.extract("CS le 11-01-2017 1/3", faithful = true)
+    assert(pg.map(_.text) === Seq("11-01-2017"))
   }
 
   test("dates: day-relative specials resolve against note_datetime") {

@@ -5,7 +5,9 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** Session extensions registering the engine's native expressions for SQL
-  * use (`spark.sql("SELECT graft_jaccard64(a, b) ...")`).
+  * use (`spark.sql("SELECT graft_jaccard64(a, b) ...")`) and the
+  * analysis-time pipe-composition check rule
+  * ([[graft.plans.PipeCompositionCheck]], the `validate_ops` analog).
   *
   * Install with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
@@ -13,6 +15,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // analysis-time pipe-composition validation (validate_ops analog)
+    ext.injectCheckRule(_ => plans.PipeCompositionCheck)
     def arity2(name: String, children: Seq[Expression])(
         build: (Expression, Expression) => Expression): Expression = {
       if (children.size != 2)

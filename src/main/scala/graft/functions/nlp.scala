@@ -33,7 +33,8 @@ object nlp {
 
   /** text -> array<Token> (clinical tokenizer, SURVEY §2.1/§7.1 step 2). */
   def tokenize(text: Column): Column =
-    udf((s: String) => Tokenizer.tokenize(s).toSeq).apply(text)
+    udf((s: String) => Tokenizer.tokenize(s).toSeq)
+      .withName("graft_tokenize").apply(text)
 
   /** Rewrite norms + tag pollution exclusions. */
   def normalize(text: Column, tokens: Column): Column =
@@ -43,13 +44,13 @@ object nlp {
       text: Column, tokens: Column, opts: Normalizer.Options): Column =
     udf((s: String, ts: Seq[Row]) =>
       Normalizer.normalize(s, ts.map(rowToToken).toArray, opts).toSeq)
-      .apply(text, tokens)
+      .withName("graft_normalize").apply(text, tokens)
 
   /** tokens -> array<Sent> sentence spans. */
   def sentencize(tokens: Column): Column =
     udf((ts: Seq[Row]) =>
       Sentencizer.sentences(ts.map(rowToToken).toArray).toSeq)
-      .apply(tokens)
+      .withName("graft_sentencize").apply(tokens)
 
   /** Terminology phrase matching -> array<Ent>. */
   def phraseMatch(
@@ -60,7 +61,7 @@ object nlp {
       SpanAlgebra
         .filterSpans(matcher.findMatches(ts.map(rowToToken).toArray, s))
         .toSeq)
-      .apply(text, tokens)
+      .withName("graft_phrase_match").apply(text, tokens)
   }
 
   /** Named-regex matching (raw text or clean-text realigned). */
@@ -72,7 +73,7 @@ object nlp {
       SpanAlgebra
         .filterSpans(matcher.findMatches(ts.map(rowToToken).toArray, s))
         .toSeq)
-      .apply(text, tokens)
+      .withName("graft_regex_match").apply(text, tokens)
   }
 
   /** Rule-based qualifier; writes `patterns.name -> true/false` into each
@@ -85,11 +86,11 @@ object nlp {
     udf((s: String, ts: Seq[Row], ss: Seq[Row], es: Seq[Row]) =>
       q.apply(s, ts.map(rowToToken).toArray, ss.map(rowToSent).toArray,
         es.map(rowToEnt)).toSeq)
-      .apply(text, tokens, sents, ents)
+      .withName("graft_qualify").apply(text, tokens, sents, ents)
   }
 
   /** Greedy longest-leftmost overlap resolution over a span column. */
   def filterSpans(ents: Column): Column =
     udf((es: Seq[Row]) => SpanAlgebra.filterSpans(es.map(rowToEnt)).toSeq)
-      .apply(ents)
+      .withName("graft_filter_spans").apply(ents)
 }

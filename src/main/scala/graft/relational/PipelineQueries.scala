@@ -132,23 +132,30 @@ object PipelineQueries {
       // are unclustered Gaussians (recall there is meaningless), so both
       // sides derive the same deterministic clustered vectors from
       // vec_id with exact integer arithmetic: clusters of 8 ids share a
-      // direction (integer lattice point) and differ only by positive
-      // integer scale, so each id's 7 true nearest neighbors are exactly
-      // its cluster-mates (cosine ~1 vs <=0.999999 across clusters) and
-      // LSH bucket equality within a cluster is exact by construction
-      // (sign(dot) is scale-invariant). The plan is the linear one:
-      // signature projection + multi-probe equi-join, no cartesian.
-      // corpus size enters the plan as a broadcast one-row aggregate —
-      // no separate blocking count() job on the driver
+      // direction (the q51 NONLINEAR spread lattice — a linear ramp in
+      // the component index puts every direction on one 1-D curve that
+      // sign-LSH cannot split, and bucket population then grows with
+      // the corpus; measured 28x wall-time at 10x in ScaleStressSpec)
+      // and differ only by positive integer scale, so each id's 7 true
+      // nearest neighbors are exactly its cluster-mates (cosine 1 vs
+      // <=0.983 across clusters) and LSH bucket equality within a
+      // cluster is exact by construction (sign(dot) is scale-invariant).
+      // The plan is the linear one: signature projection + multi-probe
+      // equi-join, no cartesian. corpus size enters the plan as a
+      // broadcast one-row aggregate — no separate blocking count() job
       val m = embeddings(s, d)
         .agg(expr("(count(1) div 8) * 8").as("m"))
       val vecs = embeddings(s, d).join(broadcast(m))
         .filter($"vec_id" < $"m")
         .select($"vec_id".as("id"),
-          expr("transform(sequence(0, 7), j -> " +
-            "CAST((vec_id div 8 * 1009 + j * 173) % 2003 - 1001 AS DOUBLE)" +
+          expr("transform(sequence(0, 15), j -> " +
+            "CAST((vec_id div 8 * 1009 + j * j * 571 + " +
+            "vec_id div 8 * j * 37) % 2003 - 1001 AS DOUBLE)" +
             " * CAST(1 + vec_id % 5 AS DOUBLE))").as("vec"))
-      Ann.lshTopK(vecs, vecs, dim = 8, k = 7, nbits = 12)
+      // nbits = 0 -> corpus-scaled signature width (floor 12, so the
+      // sf0.1 plan is unchanged): a fixed width goes quadratic in the
+      // per-bucket population as the corpus grows (ScaleStressSpec)
+      Ann.lshTopK(vecs, vecs, dim = 16, k = 7, nbits = 0)
         .select($"query_id", $"neighbor_id")
         .orderBy($"query_id", $"neighbor_id")
     },
@@ -192,7 +199,10 @@ object PipelineQueries {
           expr("transform(sequence(0, 15), j -> " +
             "CAST((vec_id div 8 * 1009 + j * j * 571 + " +
             "vec_id div 8 * j * 37) % 2003 - 1001 AS DOUBLE))").as("vec"))
-      Ann.cosineNearDuplicates(vecs, dim = 16, threshold = 0.995)
+      // nbits = 0 -> corpus-scaled per-table signature width, keeping
+      // bucket populations flat as the corpus grows
+      Ann.cosineNearDuplicates(vecs, dim = 16, threshold = 0.995,
+          nbits = 0)
         .select($"id_a", $"id_b", $"sim")
         .orderBy($"id_a", $"id_b")
     },
@@ -418,7 +428,7 @@ object PipelineQueries {
           expr("transform(sequence(0, 15), j -> " +
             "CAST((vec_id div 8 * 1009 + j * j * 571 + " +
             "vec_id div 8 * j * 37) % 2003 - 1001 AS DOUBLE))").as("vec"))
-      Ann.semanticDedup(vecs, dim = 16, threshold = 0.995)
+      Ann.semanticDedup(vecs, dim = 16, threshold = 0.995, nbits = 0)
         .select($"id".as("vec_id"), $"n_near")
         .orderBy($"vec_id")
     },
@@ -649,8 +659,9 @@ object PipelineQueries {
     "q45_ann_lsh" ->
       """WITH p AS (SELECT (count(*) // 8) * 8 AS m FROM embeddings),
          v AS (
-           SELECT vec_id, list_transform(range(0, 8),
-             j -> ((vec_id // 8 * 1009 + j * 173) % 2003 - 1001)::DOUBLE
+           SELECT vec_id, list_transform(range(0, 16),
+             j -> ((vec_id // 8 * 1009 + j * j * 571
+                    + vec_id // 8 * j * 37) % 2003 - 1001)::DOUBLE
                   * (1 + vec_id % 5)) AS vec
            FROM embeddings, p WHERE vec_id < m),
          scored AS (

@@ -344,6 +344,11 @@ object Ann {
     * `maxBucket` caps degenerate corpus buckets before the probe join
     * (same skew guard as [[cosineNearDuplicates]]); dropping a bucket
     * costs recall for queries probing it — surfaced, never silent.
+    * `nbits <= 0` derives the signature width from the corpus size
+    * ([[scaledNbits]], floor 12): with a FIXED width, bucket population
+    * grows linearly with the corpus and the probe join's per-bucket
+    * cost quadratically — measured as a 28x wall-time jump at a 10x
+    * corpus (ScaleStressSpec) before this path existed.
     */
   def lshTopK(
       queries: DataFrame, corpus: DataFrame, dim: Int, k: Int,
@@ -351,17 +356,21 @@ object Ann {
       maxBucket: Int = 100000,
       droppedBuckets: Option[org.apache.spark.util.LongAccumulator] = None)
       : DataFrame = {
+    val bits =
+      if (nbits > 0) nbits
+      else scaledNbits(corpus.select(count(lit(1))).head.getLong(0),
+        floor = 12)
     val cs0 = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"),
-      signature(col("vec"), dim, nbits).as("sig"))
+      signature(col("vec"), dim, bits).as("sig"))
     val cs = capBuckets(cs0.withColumn("bucket", col("sig")),
         maxBucket, droppedBuckets)
       .drop("bucket")
     // multi-probe: query probes its own bucket + all 1-bit flips
     val qs = queries.select(col("id").as("query_id"), col("vec").as("qv"),
-      signature(col("vec"), dim, nbits).as("qsig"))
+      signature(col("vec"), dim, bits).as("qsig"))
       .withColumn("sig", explode(concat(
         array(col("qsig")),
-        expr(s"transform(sequence(0, ${nbits - 1}), " +
+        expr(s"transform(sequence(0, ${bits - 1}), " +
           s"b -> qsig ^ (1L << b))"))))
     val scored = cs.join(qs, "sig")
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -1,0 +1,115 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.functions._
+import org.scalatest.Tag
+import org.scalatest.funsuite.AnyFunSuite
+
+/** sf1-scale stress for the CAPPED near-dup/ANN operators: the caps
+  * (bucket limits, prefix pruning, multi-probe bounds) are designed and
+  * unit-spec'd, but only ever measured at sf0.1 — this spec scales the
+  * corpus ~10x (≈ sf1) and asserts that output and candidate volumes
+  * grow ≈ linearly and stay inside the cap-implied bounds, i.e. nothing
+  * degenerates toward the quadratic cliff that would sink a 100-TB run.
+  *
+  * Corpus construction: 10 copies of the sf0.1 tables. Document copy k
+  * rotates the vowels through a per-copy alphabet (copy 0 is the
+  * original), so in-copy near-dup structure is preserved while copies
+  * stay textually distinct — near-dup pair counts must therefore scale
+  * ~10x, not ~100x. Embedding copies shift vec_id by k*N, preserving
+  * the id-derived cluster structure the ANN queries build on.
+  *
+  * Tagged [[SlowStress]] — exclude with `testOnly -- -l graft.SlowStress`
+  * when iterating.
+  */
+object SlowStress extends Tag("graft.SlowStress")
+
+class ScaleStressSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val baseDir = "/root/testdata/sf0.1"
+  private val scaledDir = "target/stress-sf1"
+  private val docCopies = 10
+  // embeddings scale 8x, not 10x: the ANN queries derive cluster
+  // directions from `vec_id div 8` MOD 2003, so ids past 8*2003 would
+  // wrap onto earlier clusters — identical vectors across "different"
+  // clusters, i.e. REAL extra near-dup pairs that are an artifact of
+  // the synthetic lattice, not of the operators under test
+  private val embCopies = 8
+
+  private def ensureScaled(): Unit = synchronized {
+    if (new File(s"$scaledDir/embeddings.parquet/_SUCCESS").exists()) return
+    val alpha = "aeioubcdfghjklmn" // substring(k+1, 5) per copy; k=0 = identity
+    relational.Tables.documents(spark, baseDir)
+      .crossJoin(spark.range(docCopies.toLong).toDF("k"))
+      .select((col("k") * 1000000L + col("doc_id")).as("doc_id"),
+        expr(s"translate(text, 'aeiou', substring('$alpha', k + 1, 5))")
+          .as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$scaledDir/documents.parquet")
+    val emb = relational.Tables.embeddings(spark, baseDir)
+    val n = emb.count()
+    emb.crossJoin(spark.range(embCopies.toLong).toDF("k"))
+      .select((col("k") * n + col("vec_id")).as("vec_id"),
+        col("embedding"), col("label"))
+      .write.mode("overwrite").parquet(s"$scaledDir/embeddings.parquet")
+  }
+
+  test("capped operators: outputs and wall-time scale ~linearly at 10x corpus",
+      SlowStress) {
+    ensureScaled()
+    val names = Seq("q31_jaccard_pairs", "q32_minhash_lsh", "q45_ann_lsh",
+      "q52_cosine_neardup", "q58_semantic_dedup")
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      val baseRows = fn(spark, baseDir).count()
+      val tBase = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val bigRows = fn(spark, scaledDir).count()
+      val tBig = (System.nanoTime() - t1) / 1e9
+      info(f"$name: rows $baseRows -> $bigRows, " +
+        f"$tBase%.1fs -> $tBig%.1fs at 10x")
+      // ~linear OUTPUT growth: a quadratic near-dup explosion would be
+      // ~100x. Copy-0-only structures (planted clusters) keep some
+      // queries sublinear, hence the lower bound is just "not shrunk".
+      assert(bigRows <= 12L * baseRows + 100,
+        s"$name output grew superlinearly: $baseRows -> $bigRows")
+      assert(bigRows >= baseRows,
+        s"$name output shrank at 10x: $baseRows -> $bigRows")
+      // ~linear WALL TIME, with wide contention slack (expected ~10x on
+      // a quiet box; quadratic would be ~100x)
+      assert(tBig <= 40.0 * math.max(tBase, 1.0),
+        f"$name wall-time superlinear: $tBase%.1fs -> $tBig%.1fs")
+    }
+  }
+
+  test("LSH candidate volume stays inside the cap-implied linear bound at 10x",
+      SlowStress) {
+    ensureScaled()
+    def candidates(dir: String): (Long, Long, Long) = {
+      val docs = relational.Tables.documents(spark, dir)
+      val n = docs.count()
+      val sigs = docs.select(col("doc_id").as("id"),
+        dedup.Dedup.minHashSignatureFromText(col("text"), 3, 64).as("sig"))
+      val acc = spark.sparkContext.longAccumulator("droppedBuckets")
+      val cands = dedup.Dedup.lshCandidatePairs(sigs, "id", bands = 16,
+        sigLength = 64, maxBucket = 1000, droppedBuckets = Some(acc))
+        .count()
+      (n, cands, acc.value)
+    }
+    val (nBase, candBase, _) = candidates(baseDir)
+    val (nBig, candBig, droppedBig) = candidates(scaledDir)
+    assert(nBig === docCopies * nBase)
+    // cap-implied hard bound: every row pairs with at most
+    // (maxBucket - 1) others per band
+    assert(candBig <= nBig * 16L * 999L / 2L)
+    // and the empirical growth is ~linear (vowel rotation keeps copies
+    // from colliding with each other)
+    assert(candBig <= 12L * candBase + 1000L,
+      s"candidate pairs superlinear: $candBase -> $candBig " +
+        s"(dropped buckets: $droppedBig)")
+    info(s"candidates $candBase -> $candBig, dropped buckets $droppedBig")
+  }
+}

@@ -54,7 +54,12 @@ object Patterns {
       "incapable de", "incapacité de",
       "incompatible avec", "incompatibles avec",
       "infirmation de", "infirmation du", "jamais",
-      "ne", "n'", "négatif", "négatif pour", "négative",
+      // NOTE: bare "ne"/"n'" are NOT preceding cues — the reference
+      // gates them behind the preceding_regex lookahead (ne ... within
+      // 3 words of pas/point/ni/aucun/jamais/rien); a bare cue would
+      // wrongly negate "ne fume que" and pseudo-suppressed scopes like
+      // "n'y a pas d'amélioration" (test_negation.py:14,29)
+      "négatif", "négatif pour", "négative",
       "ni", "niant", "nie", "nié", "non", "nullement", "pas", "pas d'",
       "pas de", "permet d'exclure",
       "peu d'argument en", "peu d'argument pour",
@@ -93,8 +98,10 @@ object Patterns {
     precedingRegex = Seq(
       "(?i)aucun(e)?\\s+signe\\s+(de|d')",
       // reference negation/patterns.py preceding_regex: "ne" followed
-      // within 3 words by pas/point/ni/aucun/jamais/rien
-      "(?i)\\bne\\b(?=[ \\n]*(?:\\w*[ \\n]*){3}(?:pas|point|ni|aucun|jamais|rien))"),
+      // within 3 words by pas/point/ni/aucun/jamais/rien. (?U) makes
+      // Java's \w unicode like Python's — without it an accented word
+      // ("détecte") silently breaks the 3-word lookahead
+      "(?iU)\\bne\\b(?=[ \\n]*(?:\\w*[ \\n]*){3}(?:pas|point|ni|aucun|jamais|rien))"),
     termination = termination)
 
   val family: QualifierPatterns = QualifierPatterns(

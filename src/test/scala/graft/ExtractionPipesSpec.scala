@@ -792,7 +792,19 @@ class ExtractionPipesSpec extends AnyFunSuite {
       "Le scanner ne détecte <ent negation=true>aucune fracture</ent>.",
       "Présence d'une <ent negation=false>fracture du radius</ent>.",
       "Pas de <ent negation=true>lésion suspecte</ent>.",
-      "<ent negation=false>Fracture</ent> mais pas de <ent negation=true>déplacement</ent>.")
+      "<ent negation=false>Fracture</ent> mais pas de <ent negation=true>déplacement</ent>.",
+      // remaining expressible test_negation.py bank lines (12-36)
+      "Pas de <ent negation=true>lésion pulmonaire avec " +
+        "l'absence de lésion secondaire</ent>.",
+      "Cancer non <ent negation=true>métastasé</ent>.",
+      "Absence d'<ent negation=true>image osseuse d'allure évolutive</ent>.",
+      // pseudo cue "pas d'amélioration" suppresses the bare "pas"
+      "il n'y a pas d'amélioration de la <ent negation=false>maladie</ent>",
+      // "ne ... que" is not a negation: the preceding regex requires
+      // pas/point/ni/aucun/jamais/rien within three words of "ne"
+      "Le patient ne <ent negation=false>fume</ent> que des cigares.",
+      "Situation aggravée par une <ent negation=false>neutropénie fébrile</ent>.",
+      "Patient est traité d'une cure d'<ent negation=false>ALECTINIB</ent> depuis le ...")
     val q = new RuleQualifier(Patterns.negation)
     examples.foreach { ex =>
       val (text, golds) = io.Markup.parse(ex, "xml")

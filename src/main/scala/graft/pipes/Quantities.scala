@@ -411,74 +411,131 @@ object Quantities {
     graft.nlp.SpanAlgebra.filterSpans(withOps.toSeq)
   }
 
-  /** Value-from-table context (`quantities.py:961-1100` `prep_table` /
-    * `infer_unit_from_table`, simplified to its two productive rules):
-    * a bare number in a table cell takes its unit from
-    *   (a) a `(unit)` suffix in its column's header cell, or
-    *   (b) a dedicated unit column (cells that are bare units)
-    *       immediately to its right.
-    * Runs over `TextTables.findTables` spans (the `eds.tables` upstream
-    * dependency of the reference). Emitted entities carry
-    * `source=table`.
+  /** Value-from-table context — the reference's column-classification
+    * algorithm (`quantities.py:961-1100` `prep_table` /
+    * `infer_unit_from_table`):
+    *   1. classify each column as VALUE / UNIT / POWER by majority of
+    *      its non-empty cells (threshold `max(1, nonEmpty / 2)`);
+    *   2. vote the table's unit direction — do unit columns tend to sit
+    *      before or after value columns (`choose_before_or_after`,
+    *      default after = `prefer_measure_before_unit = False`);
+    *   3. link each value column to the CLOSEST unit (and power) column
+    *      on the preferred side, falling back to the other side;
+    *   4. a number resolves through its column's linked unit cell, then
+    *      a `(unit)` suffix in the column's header, times any linked
+    *      power cell.
+    * The vote is what lets "mg | 5 | mL | 0.3" link left while
+    * "Valeur | Unite | Valeur2 | Unite2" links right in the same
+    * engine. Runs over `TextTables.findTables` spans (the `eds.tables`
+    * upstream dependency). Emitted entities carry `source=table`.
     */
   def extractFromTables(text: String): Seq[Ent] = {
     if (text == null) return Nil
     val out = new ArrayBuffer[Ent]
     val headerUnitRe = Pattern.compile("\\(([^)]{1,12})\\)\\s*$")
+    // a numeric cell may carry a comparison operator ("> 5" — the
+    // reference's complex-table scenario, test_quantities.py:583-631);
+    // the operator survives into the entity attrs like the inline path
+    val opNumRe = Pattern.compile("(>=|<=|[<>≥≤])?\\s*(" + num + ")")
+    def opOf(raw: String): Option[String] = raw match {
+      case ">" => Some(">")
+      case "<" => Some("<")
+      case "≥" | ">=" => Some(">=")
+      case "≤" | "<=" => Some("<=")
+      case _ => None
+    }
+    val powerRe = Pattern.compile("(?i)x?\\s*10\\s*[*^]\\s*(\\d{1,2})")
     for (table <- TextTables.findTables(text)) {
       val cells = TextTables.toCells(text, table)
       if (cells.nonEmpty) {
         val byRow = cells.groupBy(_.row)
-        def isNum(c: TextTables.Cell) = c.text.matches(num)
+        def isNum(c: TextTables.Cell) = opNumRe.matcher(c.text).matches()
+        def isPower(c: TextTables.Cell) = powerRe.matcher(c.text).matches()
+        def isUnit(c: TextTables.Cell) = !isPower(c) &&
+          !c.text.exists(_.isDigit) && normalizeUnit(c.text).isDefined
+        // the reference counts any cell CONTAINING a unit mention toward
+        // the unit classification — notably a header like "duration (s)"
+        // — which makes such a value column self-link and resolve
+        // through its own header (test_table_header_units)
+        def isUnitish(c: TextTables.Cell) = isUnit(c) || {
+          val m = headerUnitRe.matcher(c.text)
+          m.find() && normalizeUnit(m.group(1)).isDefined
+        }
         val headerRows = byRow.collect {
           case (r, cs) if !cs.exists(isNum) => r
         }.toSet
         val nCols = cells.map(_.col).max + 1
-        val headerUnit: Map[Int, String] = cells
-          .filter(c => headerRows(c.row))
-          .flatMap { c =>
-            val m = headerUnitRe.matcher(c.text)
-            if (m.find() && normalizeUnit(m.group(1)).isDefined)
-              Some(c.col -> m.group(1))
-            else None
-          }.toMap
-        val unitCols = (0 until nCols).filter { col =>
-          val body = cells.filter(c => c.col == col && !headerRows(c.row))
-          body.nonEmpty && body.forall(c =>
-            !c.text.exists(_.isDigit) && normalizeUnit(c.text).isDefined)
-        }.toSet
         val cellAt = cells.map(c => (c.row, c.col) -> c).toMap
-        val powerRe = Pattern.compile("(?i)x?\\s*10\\s*[*^]\\s*(\\d{1,2})")
-        def bareUnit(row: Int, col: Int): Option[String] =
-          cellAt.get((row, col)).map(_.text)
-            .filter(t => !t.exists(_.isDigit) && normalizeUnit(t).isDefined)
-        for (c <- cells if !headerRows(c.row) && isNum(c)) {
-          // linking priority (quantities.py table rules): (unit) in the
-          // column header; a bare-unit cell immediately LEFT ("mg | 5");
-          // a power cell + unit cell to the right ("4.2 | x10*3 | g/L");
-          // a dedicated unit column immediately right ("9.0 - | g")
-          val powerLink: Option[(String, Double)] = for {
-            pc <- cellAt.get((c.row, c.col + 1))
-            pm = powerRe.matcher(pc.text)
-            if pm.matches()
-            u <- bareUnit(c.row, c.col + 2)
-          } yield (u, math.pow(10.0, pm.group(1).toInt))
-          val unitRaw: Option[(String, Double)] =
-            headerUnit.get(c.col).map((_, 1.0))
-              .orElse(bareUnit(c.row, c.col - 1).map((_, 1.0)))
-              .orElse(powerLink)
-              .orElse {
-                if (unitCols(c.col + 1))
-                  cellAt.get((c.row, c.col + 1)).map(cc => (cc.text, 1.0))
+
+        // 1. column classification by majority over non-empty cells
+        def classify(pred: TextTables.Cell => Boolean): Seq[Int] =
+          (0 until nCols).filter { col =>
+            val colCells = cells.filter(c =>
+              c.col == col && c.text.trim.nonEmpty)
+            colCells.count(pred) >= math.max(1, colCells.size / 2) &&
+              colCells.exists(pred)
+          }
+        val valueCols = classify(isNum)
+        val unitCols = classify(isUnitish)
+        val powerCols = classify(isPower)
+
+        // 2. direction vote (reference default: unit AFTER the value)
+        def preferBefore(targets: Seq[Int]): Boolean = {
+          if (valueCols.isEmpty || targets.isEmpty) return false
+          val before = valueCols.count(v => targets.exists(_ < v))
+          val after = valueCols.count(v => targets.exists(_ > v))
+          before > after
+        }
+        // 3. closest target column on the preferred side, else other side
+        def pickClosest(base: Int, others: Seq[Int],
+            before: Boolean): Option[Int] =
+          others.minByOption(col =>
+            (if (before) col >= base else col < base, math.abs(col - base)))
+        val unitBefore = preferBefore(unitCols)
+        val powerBefore = preferBefore(powerCols)
+        val links: Map[Int, (Option[Int], Option[Int])] =
+          valueCols.map(v => v -> (
+            pickClosest(v, unitCols, unitBefore),
+            pickClosest(v, powerCols, powerBefore))).toMap
+
+        // 4. resolve each numeric cell of a value column
+        def headerUnitOf(cols: Seq[Int]): Option[String] =
+          cols.iterator.flatMap { col =>
+            cells.filter(c => headerRows(c.row) && c.col == col)
+              .sortBy(_.row)
+              .flatMap { hc =>
+                val m = headerUnitRe.matcher(hc.text)
+                if (m.find() && normalizeUnit(m.group(1)).isDefined)
+                  Some(m.group(1))
                 else None
-              }
-          for ((u, mult) <- unitRaw; (dim, scale) <- normalizeUnit(u)) {
-            val v = parseVal(c.text) * mult
-            out += Ent(c.begin, c.end, "quantity", c.text,
-              Map("kind" -> "simple", "dimension" -> dim,
-                "label" -> labelOf(dim),
-                "raw_unit" -> u.toLowerCase, "raw_value" -> v.toString,
-                "value" -> (v * scale).toString, "source" -> "table"))
+              }.headOption
+          }.nextOption()
+        for (c <- cells
+             if !headerRows(c.row) && isNum(c) && links.contains(c.col)) {
+          val (unitCol, powerCol) = links(c.col)
+          val cellUnit = unitCol
+            .flatMap(uc => cellAt.get((c.row, uc)))
+            .filter(isUnit).map(_.text)
+          val u = cellUnit.orElse(
+            headerUnitOf((unitCol.toSeq :+ c.col).distinct))
+          val mult = powerCol
+            .flatMap(pc => cellAt.get((c.row, pc)))
+            .collect { case pcell if isPower(pcell) =>
+              val pm = powerRe.matcher(pcell.text)
+              pm.matches()
+              math.pow(10.0, pm.group(1).toInt)
+            }.getOrElse(1.0)
+          for (uu <- u; (dim, scale) <- normalizeUnit(uu)) {
+            val cm = opNumRe.matcher(c.text)
+            require(cm.matches()) // isNum guaranteed it
+            val v = parseVal(cm.group(2)) * mult
+            var attrs = Map("kind" -> "simple", "dimension" -> dim,
+              "label" -> labelOf(dim),
+              "raw_unit" -> uu.toLowerCase, "raw_value" -> v.toString,
+              "value" -> (v * scale).toString, "source" -> "table")
+            Option(cm.group(1)).flatMap(opOf)
+              .foreach(op => attrs += ("operator" -> op))
+            out += Ent(c.begin, c.end, "quantity", c.text, attrs)
           }
         }
       }

@@ -447,6 +447,53 @@ class ExtractionPipesSpec extends AnyFunSuite {
     assert(bmi.attrs("dimension") === "mass_per_area")
   }
 
+  test("quantities: complex table with operators and valueless cells (test_complex_table_quantities_parsing)") {
+    val text =
+      "Analyse | Statut | Valeur | Unite | Commentaire\n" +
+        "CRP | positif | > 5 | mg/L | controle demain\n" +
+        "Volume urine | negatif | 0.3 | mL | a surveiller\n" +
+        "Poids | stable | 67 | kg | ok\n" +
+        "Taille | notee | 1.68 | m | mesure manuelle\n" +
+        "Commentaire | en hausse | controle | - | non quantitatif\n"
+    // the reference composes the configured valueless patterns with the
+    // table-linked values; same composition here
+    val valueless = Quantities.extractValueless(text, Seq(
+      Quantities.ValuelessPattern(Seq("\\bpositif\\b"), 1, "bool"),
+      Quantities.ValuelessPattern(Seq("\\bnegatif\\b"), 0, "bool")))
+    val tabular = Quantities.extractWithTables(text)
+      .filter(_.attrs.get("source").contains("table"))
+    assert(valueless.map(e => (e.text, e.attrs("value").toDouble)) ===
+      Seq(("positif", 1.0), ("negatif", 0.0)))
+    val got = tabular.sortBy(_.begin).map(e =>
+      (e.text, e.attrs("raw_value").toDouble, e.attrs("raw_unit"),
+        e.attrs.get("operator")))
+    assert(got === Seq(
+      ("> 5", 5.0, "mg/l", Some(">")),
+      ("0.3", 0.3, "ml", None),
+      ("67", 67.0, "kg", None),
+      ("1.68", 1.68, "m", None)))
+  }
+
+  test("quantities: multiple tables, multi quantities per row (test_multiple_tables_...)") {
+    val text =
+      "Analyse | Valeur | Unite | Valeur2 | Unite2\n" +
+        "CRP | 5 | mg/L | 0.3 | mL\n" +
+        "\n" +
+        "Analyse | Resultats\n" +
+        "Bilan | 7 mg/L ; 0.4 mL\n" +
+        "\n" +
+        "Mesure | Valeur\n" +
+        "Poids | 67 kg\n" +
+        "Taille | 1.68 m\n"
+    assert(graft.pipes.TextTables.findTables(text).length === 3)
+    // table-linked bare values + inline-with-unit values in cells,
+    // deduped longest-leftmost — the reference's six quantities
+    val got = Quantities.extractWithTables(text).sortBy(_.begin).map(e =>
+      (e.attrs("raw_value").toDouble, e.attrs("raw_unit")))
+    assert(got === Seq((5.0, "mg/l"), (0.3, "ml"), (7.0, "mg/l"),
+      (0.4, "ml"), (67.0, "kg"), (1.68, "m")))
+  }
+
   test("quantities: lab units (mmol/l, 10^9/l, g/24h)") {
     val es = Quantities.extract(
       "Natrémie 140 mmol/l, plaquettes 250 10^9/l, protéinurie 0,3 g/24h.")

@@ -112,6 +112,13 @@ object Quantities {
   private val chainBefore = Pattern.compile(
     s"(?<n>$num)\\s*(?:,|\\bet\\b|x|\\bpar\\b|\\bou\\b)\\s*$$",
     Pattern.CASE_INSENSITIVE)
+  // fraction values: "57/22 kg" = 2.59 kg, "1 / 50 kg" = 0.02 kg — the
+  // reference evaluates the slash-joined number text as a division
+  // (test_quantity_snippets). Both operands exclude preceding [\d,./]
+  // so chained "57/3/22" never yields a partial fraction.
+  private val fraction = Pattern.compile(
+    s"(?<![\\d,./])(?<a>\\d+(?:[.,]\\d+)?)\\s*/\\s*(?<b>\\d+(?:[.,]\\d+)?)\\s*(?<u>(?:$unitAlt))(?![\\p{L}\\d])",
+    Pattern.CASE_INSENSITIVE)
   // compact time forms: "1h30" (hours+minutes) and the minute/second
   // quote notation "5'14''" (test_time_quantities)
   private val timeCompact = Pattern.compile(
@@ -275,6 +282,22 @@ object Quantities {
             "raw_unit" -> cm.group("u").toLowerCase,
             "raw_value" -> v.toString,
             "value" -> (v * scale).toString))
+      }
+    }
+    val fm = fraction.matcher(text)
+    while (fm.find()) {
+      val b = parseVal(fm.group("b"))
+      if (b != 0.0) {
+        val v = parseVal(fm.group("a")) / b
+        normalizeUnit(fm.group("u")).foreach { case (dim, scale) =>
+          out += Ent(fm.start, fm.end, "quantity",
+            text.substring(fm.start, fm.end),
+            Map("kind" -> "simple", "dimension" -> dim,
+              "label" -> labelOf(dim),
+              "raw_unit" -> fm.group("u").toLowerCase,
+              "raw_value" -> v.toString,
+              "value" -> (v * scale).toString))
+        }
       }
     }
     val sm = simple.matcher(text)

@@ -494,6 +494,31 @@ class ExtractionPipesSpec extends AnyFunSuite {
       (0.4, "ml"), (67.0, "kg"), (1.68, "m")))
   }
 
+  test("quantities: snippet bank incl. fractions (test_quantity_snippets)") {
+    def vs(text: String): Seq[(Double, String)] =
+      Quantities.extract(text).sortBy(_.begin).map(e =>
+        (e.attrs("raw_value").toDouble, e.attrs("raw_unit")))
+    assert(vs("0.50g") === Seq((0.5, "g")))
+    assert(vs("0.050g") === Seq((0.05, "g")))
+    assert(vs("1 m 50") === Seq((1.5, "m")))
+    assert(vs("1.50 m") === Seq((1.5, "m")))
+    assert(vs("1,50m") === Seq((1.5, "m")))
+    // slash-joined numbers evaluate as a division, reference eval path
+    assert(vs("57/22 kg") === Seq((57.0 / 22.0, "kg")))
+    assert(vs("1 / 50  kg") === Seq((0.02, "kg")))
+    assert(vs("2.0cm x 3cm") === Seq((2.0, "cm"), (3.0, "cm")))
+    assert(vs("2 par 1mm") === Seq((2.0, "mm"), (1.0, "mm")))
+    assert(vs("8, 13 et 15dm") === Seq((8.0, "dm"), (13.0, "dm"),
+      (15.0, "dm")))
+  }
+
+  test("quantities: broken lab-table rows yield nothing (test_error_management)") {
+    val text =
+      "Leucocytes ¦ ¦ ¦4.2 ¦ ¦4.0-10.0\n" +
+        "Hémoglobine ¦ ¦9.0 - ¦ ¦13-14\n"
+    assert(Quantities.extractWithTables(text) === Seq.empty)
+  }
+
   test("quantities: lab units (mmol/l, 10^9/l, g/24h)") {
     val es = Quantities.extract(
       "Natrémie 140 mmol/l, plaquettes 250 10^9/l, protéinurie 0,3 g/24h.")

@@ -596,4 +596,35 @@ object Quantities {
   def extractWithTables(text: String): Seq[Ent] =
     graft.nlp.SpanAlgebra.filterSpans(
       extract(text) ++ extractFromTables(text))
+
+  /** The reference's `merge_mode` composition with a span getter
+    * (shared by quantities/dates, `dates.py:356-377` and
+    * test_quantities.py test_merge_align/test_merge_intersect):
+    *   - `"align"`: each CANDIDATE span keeps its own bounds but takes
+    *     the label/attrs of its best-overlapping quantity (largest char
+    *     overlap, `sort_by_overlap`); candidates with no overlapping
+    *     quantity drop;
+    *   - `"intersect"`: the quantity spans overlapping any candidate
+    *     zone are kept as themselves.
+    */
+  def mergeWithSpans(
+      text: String, candidates: Seq[Ent], mode: String): Seq[Ent] = {
+    val qs = extractWithTables(text)
+    def overlap(a: Ent, b: Ent): Int =
+      math.min(a.end, b.end) - math.max(a.begin, b.begin)
+    mode match {
+      case "align" =>
+        candidates.flatMap { c =>
+          qs.filter(q => overlap(q, c) > 0)
+            .sortBy(q => (-overlap(q, c), q.begin))
+            .headOption
+            .map(q => c.copy(label = q.label, attrs = q.attrs))
+        }
+      case "intersect" =>
+        qs.filter(q => candidates.exists(c => overlap(q, c) > 0))
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown merge_mode '$other' (align|intersect)")
+    }
+  }
 }

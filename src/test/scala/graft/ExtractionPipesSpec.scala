@@ -512,6 +512,28 @@ class ExtractionPipesSpec extends AnyFunSuite {
       (15.0, "dm")))
   }
 
+  test("quantities: merge modes align and intersect (test_merge_align/_intersect)") {
+    val text = "Mesure de la lésion : 2.0cm x 3cm environ."
+    // align: the candidate keeps its bounds, takes the best-overlapping
+    // quantity's value; a candidate with no quantity drops
+    val cand = Ent(10, 27, "size", text.substring(10, 27)) // covers "lésion : 2.0cm"
+    val far = Ent(35, 42, "zone", text.substring(35, 42))  // "environ"
+    val aligned = Quantities.mergeWithSpans(text, Seq(cand, far), "align")
+    assert(aligned.length === 1)
+    assert((aligned.head.begin, aligned.head.end) === (10, 27))
+    assert(aligned.head.attrs("raw_value").toDouble === 2.0)
+    assert(aligned.head.attrs("raw_unit") === "cm")
+    // intersect: the quantity spans inside the lookup zone survive as
+    // themselves — both measurements here
+    val zone = Ent(20, 34, "zone", text.substring(20, 34))
+    val inter = Quantities.mergeWithSpans(text, Seq(zone), "intersect")
+    assert(inter.map(_.text) === Seq("2.0cm", "3cm"))
+    assert(inter.map(_.attrs("raw_value").toDouble) === Seq(2.0, 3.0))
+    intercept[IllegalArgumentException] {
+      Quantities.mergeWithSpans(text, Seq(zone), "bogus")
+    }
+  }
+
   test("quantities: broken lab-table rows yield nothing (test_error_management)") {
     val text =
       "Leucocytes ¦ ¦ ¦4.2 ¦ ¦4.0-10.0\n" +

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.nlp._
-import graft.io.{HuggingFace, Standoff}
+import graft.io.{HfDatasetDisk, HuggingFace, Standoff}
 
 class FuzzyHfSpec extends AnyFunSuite {
   private def toks(s: String) =
@@ -54,6 +54,49 @@ class FuzzyHfSpec extends AnyFunSuite {
       Seq("a", "b"), Seq("I-Z", "I-Z"))
     assert(e2.map(_.label) === Seq("Z"))
     assert(e2.head.text === "a b")
+  }
+
+  test("HF dataset disk layout: sharded Arrow IPC round trip into the NER converter") {
+    import TestSpark.spark
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dir = new java.io.File("target/hf-ds-spec")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("text", StringType),
+      StructField("tokens", ArrayType(StringType)),
+      StructField("ner_tags", ArrayType(StringType)),
+      StructField("score", DoubleType),
+      StructField("ok", BooleanType)))
+    val rows = Seq(
+      Row(0L, "Pas de fracture", Seq("Pas", "de", "fracture"),
+        Seq("O", "O", "B-lesion"), 0.5, true),
+      Row(1L, null, Seq("fracture", "du", "radius"),
+        Seq("B-lesion", "I-lesion", "O"), 1.5, false),
+      Row(2L, "rien", Seq.empty[String], Seq.empty[String], -1.0, true))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    HfDatasetDisk.write(df, dir.getPath)
+    // the save_to_disk layout is present
+    assert(new java.io.File(dir, "state.json").exists())
+    assert(new java.io.File(dir, "dataset_info.json").exists())
+    assert(dir.listFiles().count(_.getName.endsWith(".arrow")) === 2)
+    // bit-faithful round trip, shards ordered by state.json
+    val back = HfDatasetDisk.read(spark, dir.getPath)
+    assert(back.schema === schema)
+    val got = back.collect().sortBy(_.getLong(0))
+    assert(got.map(r => (r.getLong(0), r.getString(1),
+      r.getSeq[String](2), r.getSeq[String](3), r.getDouble(4),
+      r.getBoolean(5))).toSeq ===
+      rows.map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2),
+        r.getSeq[String](3), r.getDouble(4), r.getBoolean(5))))
+    // and the payload feeds the HF NER converter directly
+    val (text, ents) = HuggingFace.nerToDoc(
+      got(1).getSeq[String](2), got(1).getSeq[String](3))
+    assert(text === "fracture du radius")
+    assert(ents.map(e => (e.text, e.label)) === Seq(
+      ("fracture du", "lesion")))
   }
 
   test("BRAT relations parse") {

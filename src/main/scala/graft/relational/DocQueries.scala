@@ -113,6 +113,23 @@ object DocQueries {
         .entsToNoteNlp(ents, "note_id", attrs = Seq("negation"),
           deterministicIds = true)
         .orderBy($"note_id", $"start_char")
+    },
+    "q67_hf_dataset_io" -> { (s, d) =>
+      import s.implicits._
+      // the HF save_to_disk interchange proved END TO END: a documents
+      // sample goes out as sharded Arrow IPC (one shard per partition)
+      // and comes back through the reader; the oracle recomputes the
+      // same projection from the parquet source, so any loss or
+      // corruption in either direction breaks the hash
+      val dir = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_hf_q67_" + new java.io.File(d).getName).getPath
+      val sample = documents(s, d).filter($"doc_id" % 7 === 0)
+        .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+      graft.io.HfDatasetDisk.write(sample.repartition(4), dir)
+      graft.io.HfDatasetDisk.read(s, dir)
+        .select($"doc_id", $"lang", $"n_chars")
+        .orderBy($"doc_id")
     }
   )
 
@@ -185,6 +202,9 @@ object DocQueries {
            w AS lexical_variant, w AS note_nlp_source_value,
            coalesce(last_cue, -1) > coalesce(last_term, -1) AS negation
          FROM scoped WHERE w IN ('spark', 'join', 'merge', 'window')
-         ORDER BY note_id, start_char"""
+         ORDER BY note_id, start_char""",
+    "q67_hf_dataset_io" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE doc_id % 7 = 0 ORDER BY doc_id"""
   )
 }

@@ -20,29 +20,15 @@ object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     *
-    * The SURVEY §7.2 minimum slice: documents -> tokenize/normalize ->
-    * sentences -> phrase match -> qualifier -> one note_nlp-style row per
-    * entity with a qualifier boolean (the reference README quick-start,
-    * re-expressed as scan -> fused row-local annotate -> explode).
+    * The SURVEY §7.2 minimum slice: OMOP note table -> tokenize/
+    * normalize -> sentences -> phrase match -> negation qualifier ->
+    * one note_nlp row per entity (the reference README quick-start).
+    * Same code path as the hash-matched q65 — the smoke check and the
+    * oracle exercise ONE pipeline.
     */
-  def entry(spark: SparkSession): DataFrame = {
-    import org.apache.spark.sql.functions._
-    val docs = relational.Tables
-      .documents(spark, "/root/testdata/sf0.001")
-    val pipe = pipes.DocPipeline(
-      terms = Map("spark" -> Seq("spark"), "join" -> Seq("join")),
-      qualifiers = Seq(nlp.QualifierPatterns(
-        name = "negation", pseudo = Nil, preceding = Seq("slow"),
-        following = Nil, precedingRegex = Nil, termination = Seq("the"))))
-    pipe.entsTable(docs, "doc_id", "text").select(
-      monotonically_increasing_id().as("note_nlp_id"),
-      col("doc_id").as("note_id"),
-      col("begin").as("start_char"),
-      col("end").as("end_char"),
-      col("lexical_variant"),
-      col("label").as("note_nlp_source_value"),
-      col("negation"))
-  }
+  def entry(spark: SparkSession): DataFrame =
+    relational.DocQueries.queries("q65_omop_note_nlp")(
+      spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

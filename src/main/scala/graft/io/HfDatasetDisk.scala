@@ -105,12 +105,17 @@ object HfDatasetDisk {
     val schema = {
       val alloc = new RootAllocator()
       val in = new FileInputStream(files.head)
+      var reader: ArrowStreamReader = null
       try {
-        val reader = new ArrowStreamReader(in, alloc)
+        reader = new ArrowStreamReader(in, alloc)
         val arrowSchema = reader.getVectorSchemaRoot.getSchema
         StructType(arrowSchema.getFields.asScala.toSeq.map(f =>
           StructField(f.getName, sparkType(f))))
-      } finally { in.close(); alloc.close() }
+      } finally {
+        // reader first: it owns vector buffers the allocator accounts for
+        if (reader != null) reader.close()
+        in.close(); alloc.close()
+      }
     }
     val paths = files.map(_.getAbsolutePath)
     val rdd = spark.sparkContext
@@ -118,20 +123,26 @@ object HfDatasetDisk {
       .flatMap { path =>
         val alloc = new RootAllocator()
         val in = new FileInputStream(path)
-        val reader = new ArrowStreamReader(in, alloc)
-        val root = reader.getVectorSchemaRoot
-        val rows = Iterator
-          .continually(reader.loadNextBatch())
-          .takeWhile(identity)
-          .flatMap { _ =>
-            // materialize the batch NOW: vectors are reused per batch
-            (0 until root.getRowCount).map { i =>
-              Row.fromSeq(root.getFieldVectors.asScala.toSeq.map(v =>
-                if (v.isNull(i)) null else fromArrow(v.getObject(i))))
+        var reader: ArrowStreamReader = null
+        try {
+          reader = new ArrowStreamReader(in, alloc)
+          val root = reader.getVectorSchemaRoot
+          Iterator
+            .continually(reader.loadNextBatch())
+            .takeWhile(identity)
+            .flatMap { _ =>
+              // materialize the batch NOW: vectors are reused per batch
+              (0 until root.getRowCount).map { i =>
+                Row.fromSeq(root.getFieldVectors.asScala.toSeq.map(v =>
+                  if (v.isNull(i)) null else fromArrow(v.getObject(i))))
+              }.toList
             }.toList
-          }.toList
-        reader.close(); in.close(); alloc.close()
-        rows
+        } finally {
+          // a decode error mid-shard must still release the file handle
+          // and Arrow buffers (reader first — it owns the vectors)
+          if (reader != null) reader.close()
+          in.close(); alloc.close()
+        }
       }
     spark.createDataFrame(rdd, schema)
   }
@@ -199,6 +210,10 @@ object HfDatasetDisk {
   def write(df: DataFrame, dir: String, batchRows: Int = 1024): Unit = {
     val schema = df.schema
     new File(dir).mkdirs()
+    // rewriting with fewer partitions must not leave stale
+    // higher-numbered shards for glob-based readers to mix in
+    Option(new File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".arrow")).foreach(_.delete())
     val n = df.rdd.getNumPartitions
     val names = (0 until n).map(i => f"data-$i%05d-of-$n%05d.arrow")
     df.rdd.mapPartitionsWithIndex { (idx, rows) =>
@@ -209,17 +224,21 @@ object HfDatasetDisk {
       val out = new FileOutputStream(
         new File(dir, f"data-$idx%05d-of-$n%05d.arrow"))
       val writer = new ArrowStreamWriter(root, null, out)
-      writer.start()
-      rows.grouped(batchRows).foreach { batch =>
-        root.getFieldVectors.asScala.zipWithIndex.foreach { case (v, c) =>
-          v.reset()
-          fillVector(v, schema.fields(c).dataType,
-            batch.map(_.get(c)))
+      try {
+        writer.start()
+        rows.grouped(batchRows).foreach { batch =>
+          root.getFieldVectors.asScala.zipWithIndex.foreach { case (v, c) =>
+            v.reset()
+            fillVector(v, schema.fields(c).dataType,
+              batch.map(_.get(c)))
+          }
+          root.setRowCount(batch.length)
+          writer.writeBatch()
         }
-        root.setRowCount(batch.length)
-        writer.writeBatch()
+        writer.end()
+      } finally {
+        out.close(); root.close(); alloc.close()
       }
-      writer.end(); out.close(); root.close(); alloc.close()
       Iterator.single(idx)
     }.count()
     val filesJson = names

@@ -171,10 +171,12 @@ object Dates {
 
   // false_positive.py: pagination "1/3" plus phone-number runs — four
   // or more two-digit groups joined by ONE consistent delimiter
-  // (`(\d\d<delim>){3,}\d\d` per delimiter, delimiters.py)
+  // (`(\d\d<delim>){3,}\d\d` per delimiter, delimiters.py). The
+  // whitespace delimiter is `\s+` like the reference's `[^\S]+`, so a
+  // phone number wrapped across a line break is still suppressed.
   private val falsePositive = Pattern.compile(
     "\\d/\\d|(?:\\d\\d/){3,}\\d\\d|(?:\\d\\d[-−]){3,}\\d\\d|" +
-      "(?:\\d\\d\\.){3,}\\d\\d|(?:\\d\\d[^\\S\\r\\n]+){3,}\\d\\d")
+      "(?:\\d\\d\\.){3,}\\d\\d|(?:\\d\\d\\s+){3,}\\d\\d")
 
   /** Extract all date/duration mentions from raw text. `noteDatetime`
     * resolves relative dates when present. `faithful = true` switches to

@@ -600,10 +600,11 @@ object Quantities {
   /** The reference's `merge_mode` composition with a span getter
     * (shared by quantities/dates, `dates.py:356-377` and
     * test_quantities.py test_merge_align/test_merge_intersect):
-    *   - `"align"`: each CANDIDATE span keeps its own bounds but takes
-    *     the label/attrs of its best-overlapping quantity (largest char
-    *     overlap, `sort_by_overlap`); candidates with no overlapping
-    *     quantity drop;
+    *   - `"align"`: each CANDIDATE span keeps its own bounds AND label
+    *     (identity/provenance preserved, quantities.py:1910-1917) and
+    *     has the parsed value of its best-overlapping quantity (largest
+    *     char overlap, `sort_by_overlap`) merged into its attrs;
+    *     candidates with no overlapping quantity drop;
     *   - `"intersect"`: the quantity spans overlapping any candidate
     *     zone are kept as themselves.
     */
@@ -618,7 +619,7 @@ object Quantities {
           qs.filter(q => overlap(q, c) > 0)
             .sortBy(q => (-overlap(q, c), q.begin))
             .headOption
-            .map(q => c.copy(label = q.label, attrs = q.attrs))
+            .map(q => c.copy(attrs = c.attrs ++ q.attrs))
         }
       case "intersect" =>
         qs.filter(q => candidates.exists(c => overlap(q, c) > 0))

@@ -257,6 +257,11 @@ class ExtractionPipesSpec extends AnyFunSuite {
       val tel = Dates.extract("Rappeler au 01 02 03 04 05 demain.", faithful = f)
       assert(!tel.exists(_.attrs.get("kind").contains("absolute")),
         s"faithful=$f: ${tel.map(e => (e.text, e.attrs))}")
+      // delimiters.py uses [^\S]+ (ANY whitespace): a phone wrapped
+      // across a line break is still one suppressed run
+      val wrap = Dates.extract("Rappeler au 01 02\n03 04 05 demain.", faithful = f)
+      assert(!wrap.exists(_.attrs.get("kind").contains("absolute")),
+        s"faithful=$f wrapped: ${wrap.map(e => (e.text, e.attrs))}")
     }
     // pagination survives next to a real date, reference bank line 69
     val pg = Dates.extract("CS le 11-01-2017 1/3", faithful = true)
@@ -521,6 +526,9 @@ class ExtractionPipesSpec extends AnyFunSuite {
     val aligned = Quantities.mergeWithSpans(text, Seq(cand, far), "align")
     assert(aligned.length === 1)
     assert((aligned.head.begin, aligned.head.end) === (10, 27))
+    // the candidate keeps its own label (identity/provenance,
+    // quantities.py:1910-1917) — only the parsed value is attached
+    assert(aligned.head.label === "size")
     assert(aligned.head.attrs("raw_value").toDouble === 2.0)
     assert(aligned.head.attrs("raw_unit") === "cm")
     // intersect: the quantity spans inside the lookup zone survive as

@@ -47,7 +47,20 @@ object Bench {
         .getOperatingSystemMXBean.getSystemLoadAverage
       if (la < 0) -1.0 else math.rint(la * 100) / 100
     }
+    // Load gate (round-7 verdict): a contended box produces phantom
+    // regressions that needed a judge re-run to clear. Wait (bounded)
+    // for the 1-minute load to drop below cpus/4 before timing; if it
+    // never does, still run but stamp the record "contended": true so
+    // the artifact is self-disqualifying rather than silently noisy.
+    val loadGate = cpus.toDouble / 4.0
+    val gateWaitMax = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_SEC", "180").toInt
+    val gateDeadline = System.nanoTime() + gateWaitMax * 1000000000L
+    var gateWaited = 0
+    while (loadAvg() > loadGate && System.nanoTime() < gateDeadline) {
+      Thread.sleep(5000); gateWaited += 5
+    }
     val loadBefore = loadAvg()
+    val contended = loadBefore > loadGate
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val repTimes =
       scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
@@ -82,7 +95,7 @@ object Bench {
       .mkString("{", ",", "}")
     val ok = results.count(_._2 >= 0)
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rep_times":$rs,"load_avg":{"before":$loadBefore,"after":$loadAfter,"cpus":$cpus},"reps":$reps,"ok":$ok,"failed":${errors.size},"errors":$es,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rep_times":$rs,"load_avg":{"before":$loadBefore,"after":$loadAfter,"cpus":$cpus,"gate":$loadGate,"gate_waited_sec":$gateWaited},"contended":$contended,"reps":$reps,"ok":$ok,"failed":${errors.size},"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(2)
   }

@@ -56,6 +56,28 @@ object ExtractionQueries {
       .map(_.attrs("kb_id"))
   })
 
+  /** The reference's most entangled composition (history.py consumes BOTH
+    * section spans and date spans): normalize/tokenize -> sentences ->
+    * section matcher -> entity matcher -> date extraction -> history
+    * decision rule, all row-local in ONE pass, emitting each entity with
+    * its covering section label and the resolved history flag.
+    */
+  private val historyPipeUdf = udf(
+    (text: String, noteDt: java.sql.Timestamp) => {
+      val tokens = Normalizer.normalize(text, Tokenizer.tokenize(text))
+      val sents = Sentencizer.sentences(tokens)
+      val (_, sections) = SectionQueriesShared.matcher(text)
+      val ents =
+        SectionQueriesShared.diseaseTerminology.findMatches(tokens, text)
+      History.qualify(text, tokens, sents, ents, sections = sections,
+          noteDatetime = Some(noteDt.toLocalDateTime))
+        .map { e =>
+          val sec = sections.find(s => e.begin < s.end && e.end > s.begin)
+            .map(_.label).getOrElse("")
+          (sec, e.begin, e.attrs("history").toBoolean)
+        }
+    })
+
   private val tnmUdf = udf((s: String) =>
     Tnm.extract(s).headOption.map(e =>
       (e.attrs.getOrElse("tumour", ""), e.attrs.getOrElse("node", ""),
@@ -239,6 +261,42 @@ object ExtractionQueries {
           $"p._2".as("until_datetime"))
         .orderBy($"o_orderkey")
     },
+    "q68_sections_dates_history" -> { (s, d) =>
+      import s.implicits._
+      // Composed extraction end-to-end (the q65 pattern applied to the
+      // extraction layer): each order synthesizes a two-section note
+      //   "Antecedents :\nasthme releve le D1.\n
+      //    Conclusion :\nasthme constate le D2.\nFin."
+      // with note_datetime = o_orderdate and D1/D2 900 or 30 days before
+      // it by key arithmetic. The history qualifier must combine
+      //   - the section span (entity inside ANTECEDENTS),
+      //   - the sentence-scoped date age vs the 365-day limit,
+      //   - the recent-date VETO (a 30-day-old date suppresses history
+      //     even inside an antecedents section, history.py:576)
+      // so the flag is right only if sections, dates, and the decision
+      // rule all compose. The oracle recomputes label/offset/flag purely
+      // from key arithmetic + fixed-width template constants.
+      // Scale shape: scan -> row-local UDF -> explode; the only shuffle
+      // is the deterministic output ORDER BY.
+      orders(s, d)
+        .filter($"o_orderkey" % 15 === 0)
+        .withColumn("d1", date_format(expr(
+          "date_sub(o_orderdate, CASE WHEN o_orderkey % 2 = 0 " +
+            "THEN 900 ELSE 30 END)"), "dd/MM/yyyy"))
+        .withColumn("d2", date_format(expr(
+          "date_sub(o_orderdate, CASE WHEN o_orderkey % 3 = 0 " +
+            "THEN 900 ELSE 30 END)"), "dd/MM/yyyy"))
+        .withColumn("note_text", concat(
+          lit("Antecedents :\nasthme releve le "), $"d1",
+          lit(".\nConclusion :\nasthme constate le "), $"d2",
+          lit(".\nFin.")))
+        .select($"o_orderkey",
+          explode(historyPipeUdf($"note_text",
+            $"o_orderdate".cast("timestamp"))).as("h"))
+        .select($"o_orderkey", $"h._1".as("label"),
+          $"h._2".as("start_char"), $"h._3".as("history"))
+        .orderBy($"o_orderkey", $"start_char")
+    },
     "q49_table_quantities" -> { (s, d) =>
       import s.implicits._
       // value-from-table context on the declared surface: the dose cell
@@ -296,6 +354,17 @@ object ExtractionQueries {
                 ELSE letter || num || '.' || sub END AS kb_id
          FROM t WHERE letter <> 'Z'
          ORDER BY o_orderkey""",
+    "q68_sections_dates_history" ->
+      """SELECT o_orderkey, 'antecedents' AS label,
+           CAST(14 AS INTEGER) AS start_char,
+           (o_orderkey % 2 = 0) AS history
+         FROM orders WHERE o_orderkey % 15 = 0
+         UNION ALL
+         SELECT o_orderkey, 'conclusion' AS label,
+           CAST(56 AS INTEGER) AS start_char,
+           (o_orderkey % 3 = 0) AS history
+         FROM orders WHERE o_orderkey % 15 = 0
+         ORDER BY o_orderkey, start_char""",
     "q29_tnm_extract" ->
       """SELECT p_partkey,
          CAST(p_size % 4 AS VARCHAR) AS tumour,
@@ -391,4 +460,6 @@ private object SectionQueriesShared extends Serializable {
   // the UDF closure (broadcast-equivalent; see PhraseMatcher scaladoc)
   val icdTerminology: Terminology.Matcher =
     Terminology.matcher("icd10", IcdLikeCatalog.concepts)
+  val diseaseTerminology: Terminology.Matcher =
+    Terminology.matcher("maladie", Map("ASTHME" -> Seq("asthme")))
 }

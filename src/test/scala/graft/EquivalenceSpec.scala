@@ -23,7 +23,8 @@ class EquivalenceSpec extends AnyFunSuite {
       "q16_sessionize", "q22_ents_explode", "q23_qualifier",
       "q32_minhash_lsh", "q34_embedding_topk", "q40_ner_metrics",
       "q60_stratified_sample", "q64_lsh_observability",
-      "q65_omop_note_nlp", "q66_icd_terminology", "q67_hf_dataset_io")
+      "q65_omop_note_nlp", "q66_icd_terminology", "q67_hf_dataset_io",
+      "q68_sections_dates_history")
     try sample.map { name =>
       name -> SparkEntry.queries(name)(spark, sf)
         .collect().map(_.toString).sorted.toSeq

@@ -79,6 +79,34 @@ object HfDatasetDisk {
     case other => other
   }
 
+  /** Arrow accessor value -> external Spark value (shared with the
+    * DataSource V2 reader, [[graft.sources.HfDatasetSource]]).
+    */
+  def fromArrowValue(v: Any): Any = fromArrow(v)
+
+  /** Ordered absolute shard paths (V2 split planning: shard = split). */
+  def shardPaths(dir: String): Seq[String] =
+    shardFiles(dir).map(_.getAbsolutePath)
+
+  /** Spark schema from the FIRST shard's stream header only. */
+  def schemaOf(dir: String): StructType = {
+    val files = shardFiles(dir)
+    require(files.nonEmpty, s"no .arrow shards under $dir")
+    val alloc = new RootAllocator()
+    val in = new FileInputStream(files.head)
+    var reader: ArrowStreamReader = null
+    try {
+      reader = new ArrowStreamReader(in, alloc)
+      val arrowSchema = reader.getVectorSchemaRoot.getSchema
+      StructType(arrowSchema.getFields.asScala.toSeq.map(f =>
+        StructField(f.getName, sparkType(f))))
+    } finally {
+      // reader first: it owns vector buffers the allocator accounts for
+      if (reader != null) reader.close()
+      in.close(); alloc.close()
+    }
+  }
+
   // ---- read ----
 
   /** Ordered shard list: `state.json`'s `_data_files` when present
@@ -98,54 +126,13 @@ object HfDatasetDisk {
     if (listed.nonEmpty) listed.map(new File(dir, _)) else byGlob
   }
 
-  def read(spark: SparkSession, dir: String): DataFrame = {
-    val files = shardFiles(dir)
-    require(files.nonEmpty, s"no .arrow shards under $dir")
-    // driver reads only the first shard's HEADER for the schema
-    val schema = {
-      val alloc = new RootAllocator()
-      val in = new FileInputStream(files.head)
-      var reader: ArrowStreamReader = null
-      try {
-        reader = new ArrowStreamReader(in, alloc)
-        val arrowSchema = reader.getVectorSchemaRoot.getSchema
-        StructType(arrowSchema.getFields.asScala.toSeq.map(f =>
-          StructField(f.getName, sparkType(f))))
-      } finally {
-        // reader first: it owns vector buffers the allocator accounts for
-        if (reader != null) reader.close()
-        in.close(); alloc.close()
-      }
-    }
-    val paths = files.map(_.getAbsolutePath)
-    val rdd = spark.sparkContext
-      .parallelize(paths, paths.length)
-      .flatMap { path =>
-        val alloc = new RootAllocator()
-        val in = new FileInputStream(path)
-        var reader: ArrowStreamReader = null
-        try {
-          reader = new ArrowStreamReader(in, alloc)
-          val root = reader.getVectorSchemaRoot
-          Iterator
-            .continually(reader.loadNextBatch())
-            .takeWhile(identity)
-            .flatMap { _ =>
-              // materialize the batch NOW: vectors are reused per batch
-              (0 until root.getRowCount).map { i =>
-                Row.fromSeq(root.getFieldVectors.asScala.toSeq.map(v =>
-                  if (v.isNull(i)) null else fromArrow(v.getObject(i))))
-              }.toList
-            }.toList
-        } finally {
-          // a decode error mid-shard must still release the file handle
-          // and Arrow buffers (reader first — it owns the vectors)
-          if (reader != null) reader.close()
-          in.close(); alloc.close()
-        }
-      }
-    spark.createDataFrame(rdd, schema)
-  }
+  /** Routed through the DataSource V2 path
+    * ([[graft.sources.HfDatasetSource]]): shard = input split, column
+    * pruning at decode time, streamed batch-by-batch with try/finally
+    * resource handling in the partition reader.
+    */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("hfdataset").load(dir)
 
   // ---- write ----
 

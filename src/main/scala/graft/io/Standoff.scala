@@ -165,27 +165,12 @@ object Standoff {
     * `sum(n_corrupt_lines)` for the corpus-level corruption report.
     */
   def read(spark: SparkSession, dir: String,
-      strict: Boolean = false): DataFrame = {
-    // single parse per row: one UDF yields all layers as a struct
-    val parseAllUdf = udf((text: String, ann: String) =>
-      parseAnnAll(text, ann, strict = strict))
-    val txt = spark.read.option("wholetext", "true").text(s"$dir/*.txt")
-      .select(basename(input_file_name()).as("doc_id"),
-        col("value").as("text"))
-    val ann = spark.read.option("wholetext", "true").text(s"$dir/*.ann")
-      .select(basename(input_file_name()).as("doc_id"),
-        col("value").as("ann"))
-    txt.join(ann, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("text"),
-        parseAllUdf(col("text"), coalesce(col("ann"), lit("")))
-          .as("parsed"))
-      .select(col("doc_id"), col("text"),
-        col("parsed.entities").as("entities"),
-        col("parsed.relations").as("relations"),
-        col("parsed.events").as("events"),
-        col("parsed.corrupt_lines").as("corrupt_lines"))
-      .withColumn("n_corrupt_lines", size(col("corrupt_lines")))
-  }
+      strict: Boolean = false): DataFrame =
+    // DataSource V2 path ([[graft.sources.BratDataSource]]): driver
+    // plans bounded splits over the .txt listing, the partition reader
+    // pairs each with its .ann sibling, and column pruning skips .ann
+    // parsing entirely when no annotation column is required
+    spark.read.format("brat").option("strict", strict.toString).load(dir)
 
   /** Write (doc_id, text, entities[, relations]) back to {doc}.txt +
     * {doc}.ann — full round trip: attributes, annotator notes, and (when

@@ -25,6 +25,30 @@ object Terminology {
   }
   def matcher(label: String, concepts: Map[String, Seq[String]]): Matcher =
     new Matcher(label, concepts)
+
+  /** Explicit-broadcast variant for DICTIONARY-scale terminologies (the
+    * licensed UMLS is ~1M concepts, `umls/factory.py:6`): the trie is
+    * built once on the driver, shipped via `SparkContext.broadcast`
+    * (torrent, once per EXECUTOR and reused across stages), and the UDF
+    * closure captures only this lightweight handle. The closure-ship
+    * [[Matcher]] stays the right default below ~100k concepts — one
+    * fewer moving part, same row-local matching.
+    */
+  final class BroadcastMatcher private[Terminology] (
+      bc: org.apache.spark.broadcast.Broadcast[Matcher])
+      extends Serializable {
+    def findMatches(tokens: Array[Token], text: String): Seq[Ent] =
+      bc.value.findMatches(tokens, text)
+    /** Release executor-side copies when the pipeline is done. */
+    def unpersist(): Unit = bc.unpersist()
+  }
+
+  def broadcast(
+      spark: org.apache.spark.sql.SparkSession,
+      label: String,
+      concepts: Map[String, Seq[String]]): BroadcastMatcher =
+    new BroadcastMatcher(
+      spark.sparkContext.broadcast(new Matcher(label, concepts)))
 }
 
 /** A dictionary-SCALE concept catalog with the public structure of

@@ -178,7 +178,11 @@ object PipelineQueries {
           expr("transform(sequence(0, 15), j -> " +
             "CAST((vec_id div 8 * 1009 + j * j * 571 + " +
             "vec_id div 8 * j * 37) % 2003 - 1001 AS DOUBLE))").as("vec"))
-      Ann.ivfTopK(vecs, vecs, k = 7, nlist = 16, nprobe = 2)
+      // nlist = 0 -> corpus-scaled cell count (floor 16, so the sf0.01/
+      // sf0.1 plans are unchanged): a fixed nlist makes cell population
+      // grow with the corpus and the probe join quadratic when queries
+      // ARE the corpus — measured 60x wall-time at 10x in ScaleStressSpec
+      Ann.ivfTopK(vecs, vecs, k = 7, nlist = 0, nprobe = 2)
         .select($"query_id", $"neighbor_id")
         .orderBy($"query_id", $"neighbor_id")
     },

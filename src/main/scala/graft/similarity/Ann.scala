@@ -184,19 +184,33 @@ object Ann {
     * as long as the cells partition space reasonably. The centers ride
     * to executors in the UDF closure (nlist × dim doubles — small by
     * construction); assignment and probing are row-local.
+    *
+    * Scale guard (caught by ScaleStressSpec at 10×: 1.6 s → 95 s with
+    * 16 fixed cells): a FIXED `nlist` means cell population grows
+    * linearly with the corpus, and when the query side is the corpus
+    * itself the probe join's work grows quadratically. `nlist <= 0`
+    * derives the cell count from the corpus size so expected cell
+    * population stays ≈ `targetCell` (floor 16 keeps the sf0.01/sf0.1
+    * plans unchanged; cap 4096 bounds the driver-side fit, whose cost
+    * is O(sample × nlist) — past the cap, the production move is a
+    * hierarchical / distributed quantizer fit, not a bigger collect).
     */
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 3, seed: Long = 42L,
-      sampleSize: Int = 0): DataFrame = {
-    val sz = if (sampleSize > 0) sampleSize else math.max(nlist * 64, 1024)
+      sampleSize: Int = 0, targetCell: Int = 512): DataFrame = {
+    val cells =
+      if (nlist > 0) nlist
+      else math.min(4096, math.max(16,
+        math.ceil(corpus.count().toDouble / targetCell).toInt))
+    val sz = if (sampleSize > 0) sampleSize else math.max(cells * 64, 1024)
     // limit() pulls from the first partitions — fine for a coarse
     // quantizer (its only job is to partition space); swap in a seeded
     // Bernoulli sample if corpus order were adversarial.
     val sample: Array[Array[Double]] = corpus.select(col("vec"))
       .limit(sz).collect()
       .map(_.getSeq[Double](0).toArray)
-    val centers = fitCentersLocal(sample, nlist, seed)
+    val centers = fitCentersLocal(sample, cells, seed)
     def dist2(a: Array[Double], b: Seq[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }

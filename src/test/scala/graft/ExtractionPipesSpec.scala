@@ -633,6 +633,33 @@ class ExtractionPipesSpec extends AnyFunSuite {
       Set("B20.1", "E11.5"))
   }
 
+  test("broadcast terminology: explicit-broadcast trie matches the closure path") {
+    // the UMLS-scale shape (umls/factory.py:6 is ~1M licensed concepts):
+    // trie built once on the driver, shipped once per executor via
+    // SparkContext.broadcast, UDF closure carries only the handle
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val bm = Terminology.broadcast(spark, "icd10", IcdLikeCatalog.concepts)
+    val plain = Terminology.matcher("icd10", IcdLikeCatalog.concepts)
+    val texts = Seq("Diagnostic retenu A07.3 confirme.",
+      "suspicion de k35.2 aigue", "Diagnostic retenu Z07.3 confirme.",
+      "B20.1 avec comorbidite E11.5 associee")
+    // identical row-local results through the broadcast handle, from a
+    // distributed job (the handle deserializes on executor threads)
+    val matchUdf = udf((s: String) =>
+      bm.findMatches(Normalizer.normalize(s, Tokenizer.tokenize(s)), s)
+        .map(_.attrs("kb_id")))
+    val got = texts.toDF("t").repartition(4)
+      .select($"t", matchUdf($"t").as("kb")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    texts.foreach { t =>
+      assert(got(t) === plain.findMatches(toks(t), t).map(_.attrs("kb_id")),
+        s"broadcast/closure divergence on '$t'")
+    }
+    bm.unpersist()
+  }
+
   test("scores: trigger + value in window") {
     val hits = Scores.matcher(Scores.glasgow)
       .findMatches("Patient confus, Glasgow 12 à l'arrivée.")

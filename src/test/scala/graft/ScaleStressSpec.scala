@@ -59,8 +59,13 @@ class ScaleStressSpec extends AnyFunSuite {
   test("capped operators: outputs and wall-time scale ~linearly at 10x corpus",
       SlowStress) {
     ensureScaled()
+    // q34 (exact brute-force top-k) is EXCLUDED by design: it is the
+    // labeled quadratic baseline — a broadcast crossJoin per its own
+    // contract — so a 10x corpus is ~100x work by specification, not a
+    // scale defect. Its scale path is q45/q51, which ARE measured here.
     val names = Seq("q31_jaccard_pairs", "q32_minhash_lsh", "q45_ann_lsh",
-      "q52_cosine_neardup", "q58_semantic_dedup")
+      "q51_ann_ivf", "q52_cosine_neardup", "q58_semantic_dedup",
+      "q61_repeated_runs")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
@@ -83,6 +88,56 @@ class ScaleStressSpec extends AnyFunSuite {
       assert(tBig <= 40.0 * math.max(tBase, 1.0),
         f"$name wall-time superlinear: $tBase%.1fs -> $tBig%.1fs")
     }
+  }
+
+  test("broadcast terminology: 110k-concept trie over the 10x corpus",
+      SlowStress) {
+    ensureScaled()
+    import org.apache.spark.sql.functions._
+    // UMLS-scale dictionary: the IcdLikeCatalog grammar extended with a
+    // second subcode digit — 25 letters x 100 categories x 40 two-digit
+    // subcodes = 100k concepts + the 27.5k base forms' parents, built
+    // as label -> variants exactly like the shipped catalogs would be
+    val concepts: Map[String, Seq[String]] = {
+      val b = Map.newBuilder[String, Seq[String]]
+      for (l <- 'A' to 'Y'; n <- 0 until 100) {
+        val parent = f"$l$n%02d"
+        b += parent -> Seq(parent)
+        for (s <- 0 until 40) {
+          val code = f"$parent.$s%02d"
+          b += code -> Seq(code, code.toLowerCase)
+        }
+      }
+      b.result()
+    }
+    assert(concepts.size >= 100000, s"catalog too small: ${concepts.size}")
+    val t0 = System.nanoTime()
+    val bm = graft.pipes.Terminology.broadcast(spark, "icd10", concepts)
+    val tBuild = (System.nanoTime() - t0) / 1e9
+    // one valid dotted mention per doc, letter/category/sub from doc_id
+    val docs = relational.Tables.documents(spark, scaledDir)
+    val mention = concat(
+      expr("char(65 + doc_id % 25)"),
+      lpad((col("doc_id") % 100).cast("string"), 2, "0"), lit("."),
+      lpad(((col("doc_id") / 100) % 40).cast("long").cast("string"), 2, "0"))
+    val matchUdf = udf((s: String) => {
+      val toks = graft.nlp.Normalizer
+        .normalize(s, graft.nlp.Tokenizer.tokenize(s))
+      bm.findMatches(toks, s).map(_.attrs("kb_id"))
+    })
+    val n = docs.count()
+    val t1 = System.nanoTime()
+    val hits = docs
+      .select(concat(lit("Diagnostic retenu "), mention,
+        lit(" confirme.")).as("t"))
+      .select(explode(matchUdf(col("t"))).as("kb_id"))
+      .count()
+    val tMatch = (System.nanoTime() - t1) / 1e9
+    info(f"build $tBuild%.1fs, match $n rows in $tMatch%.1fs")
+    // every doc's mention is a real catalog member -> exactly one
+    // longest-match hit per row (filterSpans drops the bare category)
+    assert(hits === n, s"expected $n single hits, got $hits")
+    bm.unpersist()
   }
 
   test("LSH candidate volume stays inside the cap-implied linear bound at 10x",

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Time a single declared query: `runMain graft.BenchOne <name> [reps]`.
+  * Same session shape as [[Bench]]; prints per-rep seconds and median.
+  */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(2000000L).selectExpr("max(id * 2 + 1)").collect()
+    val fn = SparkEntry.queries(name)
+    // one untimed warm-up rep (codegen + page cache), like Bench's global
+    // warm-up pass
+    fn(spark, sfDir).count()
+    val times = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val med = times.sorted.apply(times.length / 2)
+    println(f"[benchone] $name reps=${times.map(t => f"$t%.3f").mkString(",")} median=$med%.3f")
+    spark.stop()
+  }
+}

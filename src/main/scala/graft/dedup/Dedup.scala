@@ -176,6 +176,31 @@ object Dedup {
       .distinct()
   }
 
+  /** Plan-level observability variant of [[lshCandidatePairs]]: returns
+    * the candidate pairs AND a one-row `dropped_buckets` count as
+    * UNEXECUTED plans, so a probe can combine both into a single action
+    * (`dropped.crossJoin(pairs.agg(...))`) instead of paying one job for
+    * the eager accumulator count and another for the pairs. Declarative
+    * counting has none of the accumulator's double-count hazard, so no
+    * side-channel is needed here.
+    */
+  def lshCandidatePairsWithDropped(
+      sigs: DataFrame, idCol: String, bands: Int, sigLength: Int,
+      maxBucket: Int = 1000): (DataFrame, DataFrame) = {
+    val pairs = lshCandidatePairs(sigs, idCol, bands, sigLength, maxBucket)
+    val buckets = sigs
+      .select(col(idCol).as("id"),
+        posexplode(expr(s"transform(sequence(0, $bands - 1), " +
+          s"b -> xxhash64(b, array_join(slice(sig, " +
+          s"b * greatest(size(sig) div $bands, 1) + 1, " +
+          s"greatest(size(sig) div $bands, 1)), ',')))")))
+      .select(col("id"), concat_ws("_", col("pos"), col("col")).as("bucket"))
+    val dropped = buckets.groupBy("bucket").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket)
+      .agg(count(lit(1)).as("dropped_buckets"))
+    (pairs, dropped)
+  }
+
   /** Exact all-pairs n-gram Jaccard >= threshold WITHOUT a cartesian:
     * prefix-filtered inverted-index self-join (the AllPairs/PPJoin prefix
     * principle). Each shingle set is sorted under a global total order;

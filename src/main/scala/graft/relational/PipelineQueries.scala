@@ -472,13 +472,49 @@ object PipelineQueries {
       val boiler = s.range(1000000L, 1000050L).toDF("doc_id")
         .select($"doc_id", lit(boilerText).as("text"))
       val corpus = sample.union(boiler)
+      // the probe is O(1) rows by construction (<=256 sample + 50
+      // planted), so: one partition (every downstream shuffle becomes
+      // trivial instead of 32-way) and persist (the signature subtree
+      // appears four times across the pairs/dropped branches — without
+      // the persist each occurrence re-scans the parquet sample and
+      // recomputes signatures)
+      // COST FLOOR, measured (BenchOne, quiet local[32], sf0.1): the
+      // r6 0.5 s target is not reachable for this plan shape — with
+      // one action, one shuffle partition, AQE off, and the cache, the
+      // median is ~0.7 s and is all FIXED per-rep overhead (driver
+      // analysis/optimization of the 5-operator plan + 3 stage rounds
+      // + codegen cache lookups), independent of corpus size. It was
+      // 1.12 s before this round's one-action rewrite; the remaining
+      // floor would shrink only by abandoning the real capped-banding
+      // operator, which would defeat the probe. O(1) in corpus size is
+      // the contract, spec-asserted in PipelineOpsSpec.
       val sigs = corpus.select($"doc_id".as("id"),
-        Dedup.minHashSignatureFromText($"text", 3, 32).as("sig"))
-      val acc = s.sparkContext.longAccumulator("q64_dropped_buckets")
-      val pairs = Dedup.lshCandidatePairs(sigs, "id", bands = 8,
-        sigLength = 32, maxBucket = 32, droppedBuckets = Some(acc))
-      val kept = pairs.count()
-      Seq((acc.value.longValue, kept)).toDF("dropped_buckets", "kept_pairs")
+          Dedup.minHashSignatureFromText($"text", 3, 32).as("sig"))
+        .coalesce(1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      // the probe is O(1) rows by construction, so size the shuffle to
+      // it: 1 shuffle partition and no AQE re-planning rounds — a
+      // 32-way (or adaptively re-planned) exchange over ~300 rows is
+      // pure scheduling overhead. Session conf is restored in finally;
+      // the declared queries run sequentially.
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "1")
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        // declarative dropped-bucket count + kept-pairs count combined
+        // into ONE action (one job instead of two)
+        val (pairs, dropped) = Dedup.lshCandidatePairsWithDropped(
+          sigs, "id", bands = 8, sigLength = 32, maxBucket = 32)
+        val row = dropped
+          .crossJoin(pairs.agg(count(lit(1)).as("kept_pairs"))).head()
+        Seq((row.getLong(0), row.getLong(1)))
+          .toDF("dropped_buckets", "kept_pairs")
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+        sigs.unpersist(false)
+      }
     },
     "q62_frame_sample" -> { (s, d) =>
       import s.implicits._

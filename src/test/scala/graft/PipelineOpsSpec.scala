@@ -73,6 +73,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("dropped_buckets") >= 8L,
       s"dropped=${row.getAs[Long]("dropped_buckets")}")
     assert(row.getAs[Long]("kept_pairs") >= 0L)
+    // bounded-shape contract (the probe's perf target is met BY DESIGN,
+    // not by a ms budget — see the q64 cost-floor note in
+    // PipelineQueries): the corpus side must stay a pushed-down
+    // deterministic O(1) sample, so the probe's cost cannot grow with
+    // the corpus. Assert the pushdown is really in the scan.
+    val sampled = relational.Tables.documents(spark, sf)
+      .filter($"doc_id" < 256)
+    val scan = sampled.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("doc_id"),
+      s"sample filter not pushed to the parquet scan:\n$scan")
   }
 
   test("text-hash expressions survive CODEGEN_ONLY and match interpreted") {

@@ -5,8 +5,21 @@ import org.apache.spark.sql.functions._
 
 import graft.nlp._
 
-/** Full annotations for one document — the fused pipeline output. */
-case class Annotations(tokens: Seq[Token], sents: Seq[Sent], ents: Seq[Ent])
+/** Full annotations for one document — the fused pipeline output.
+  * `dates` is the `doc.spans["dates"]` analog: its own layer, never
+  * merged into `ents` (the reference keeps date spans in a span group).
+  */
+case class Annotations(
+    tokens: Seq[Token], sents: Seq[Sent], ents: Seq[Ent],
+    dates: Seq[Ent] = Nil)
+
+/** Options for the optional `eds.dates` stage of a [[DocPipeline]].
+  * `faithful = true` switches to the exact reference grammar (bare
+  * letter months accepted, `no_day_no_year` forms — see [[Dates]]); the
+  * default keeps the engine's precision-first grammar. The reference
+  * exposes this as pipe config, so the config layer must reach it.
+  */
+case class DatesOptions(faithful: Boolean = false)
 
 /** The `map_pipeline` analog (`/root/reference/edsnlp/core/stream.py:
   * 675-763`): a configured chain tokenize -> normalize -> sentences ->
@@ -24,7 +37,8 @@ case class DocPipeline(
     terms: Map[String, Seq[String]] = Map.empty,
     regexPatterns: Map[String, Seq[String]] = Map.empty,
     qualifiers: Seq[QualifierPatterns] = Seq.empty,
-    normOpts: Normalizer.Options = Normalizer.Options()) extends Serializable {
+    normOpts: Normalizer.Options = Normalizer.Options(),
+    dates: Option[DatesOptions] = None) extends Serializable {
 
   @transient private lazy val phraseMatcher =
     if (terms.nonEmpty) Some(PhraseMatcher.build(terms, normOpts = normOpts))
@@ -46,7 +60,11 @@ case class DocPipeline(
         regexMatcher.map(_.findMatches(tokens, text)).getOrElse(Nil)
     var ents = SpanAlgebra.filterSpans(rawEnts)
     ruleQualifiers.foreach { q => ents = q.apply(text, tokens, sents, ents) }
-    Annotations(tokens.toSeq, sents.toSeq, ents)
+    val dateSpans = dates match {
+      case Some(o) => Dates.extract(text, None, faithful = o.faithful)
+      case None => Nil
+    }
+    Annotations(tokens.toSeq, sents.toSeq, ents, dateSpans)
   }
 
   /** Add an `anno` struct column (tokens/sents/ents) to `df`. */

@@ -14,8 +14,13 @@ import graft.nlp.{Patterns, QualifierPatterns}
   * { "terms":    { "label": ["variant", ...], ... },
   *   "regex":    { "label": ["pattern", ...], ... },
   *   "qualifiers": ["negation", "family", "hypothesis",
-  *                  "reported_speech", "history"] }
+  *                  "reported_speech", "history"],
+  *   "dates":    { "faithful": "true" } }
   * }}}
+  * The optional `dates` object enables the date-extraction stage
+  * (`doc.spans["dates"]` analog); `"faithful": "true"` selects the
+  * exact reference grammar — the reference exposes its date grammar as
+  * pipe config, so the config layer reaches the same toggle.
   * Qualifier names resolve against the built-in banks
   * ([[graft.nlp.Patterns]]); unknown names fail with the available list
   * (the reference registry's error contract).
@@ -60,10 +65,29 @@ object PipelineConfig {
       case Some(other) => throw new IllegalArgumentException(
         s"'qualifiers' must be an array, got $other")
     }
+    val dates = root.get("dates") match {
+      case Some(m: Map[_, _]) =>
+        val mm = m.asInstanceOf[Map[String, Any]]
+        mm.keys.foreach { k =>
+          require(k == "faithful",
+            s"unknown dates option '$k' (supported: faithful)")
+        }
+        val faithful = mm.get("faithful").map(_.toString) match {
+          case Some("true") => true
+          case Some("false") | None => false
+          case Some(other) => throw new IllegalArgumentException(
+            s"dates.faithful must be \"true\" or \"false\", got '$other'")
+        }
+        Some(DatesOptions(faithful = faithful))
+      case None => None
+      case Some(other) => throw new IllegalArgumentException(
+        s"'dates' must be an object, got $other")
+    }
     DocPipeline(
       terms = stringListMap("terms"),
       regexPatterns = stringListMap("regex"),
-      qualifiers = quals)
+      qualifiers = quals,
+      dates = dates)
   }
 }
 

@@ -326,6 +326,33 @@ class NlpCoreSpec extends AnyFunSuite {
     assert(err.getMessage.contains("negation"))
   }
 
+  test("faithful-date mode is reachable through the config layer") {
+    import graft.pipes.PipelineConfig
+    // "en août" is a bare letter month: accepted ONLY by the faithful
+    // reference grammar, rejected by the default precision-first one —
+    // the same toggle Dates.extract(faithful = ...) exposes, now
+    // addressable from a JSON pipeline spec like the reference's config
+    val text = "Il est venu en août."
+    val faithful = PipelineConfig.fromJson(
+      """{ "dates": { "faithful": "true" } }""")
+    assert(faithful.annotate(text).dates.map(_.text) === Seq("août"))
+    val default = PipelineConfig.fromJson("""{ "dates": {} }""")
+    assert(default.annotate(text).dates.isEmpty)
+    // absolute dates extract in both modes, alongside matcher entities
+    val both = PipelineConfig.fromJson(
+      """{ "terms": { "visite": ["venu"] }, "dates": {} }""")
+    val anno = both.annotate("Il est venu le 23/08/2021.")
+    assert(anno.ents.map(_.text) === Seq("venu"))
+    assert(anno.dates.map(_.attrs("datetime")) === Seq("2021-08-23T00:00:00"))
+    // a pipeline WITHOUT the dates stage emits no date layer
+    assert(both.copy(dates = None).annotate(text).dates.isEmpty)
+    // unknown dates option fails loudly
+    val err2 = intercept[IllegalArgumentException] {
+      PipelineConfig.fromJson("""{ "dates": { "fiathful": "true" } }""")
+    }
+    assert(err2.getMessage.contains("faithful"))
+  }
+
   test("span getter/setter configs resolve like the reference") {
     import graft.nlp.{Ent, SpanGetters}
     import SpanGetters.{All, WithLabels}

@@ -416,6 +416,118 @@ object Dedup {
       .select(col("id"), col("begin_word"), col("end_word"))
   }
 
+  /** Transitive near-duplicate clustering: connected components over a
+    * pair list via alternating large-star/small-star (Kiveris et al.
+    * 2014, "Connected Components in MapReduce and Beyond") — the step a
+    * production dedup runs AFTER pair generation, because "keep the
+    * smaller id of each pair" under-deletes whenever near-duplication is
+    * transitive (a~b, b~c but the a/c pair was never emitted).
+    *
+    * Scale shape: every round is two bounded passes, each a
+    * groupBy(node).min + equi-join back on the node id — no adjacency
+    * list is ever materialized per node (a `collect_list` formulation
+    * would buffer a celebrity node's full neighborhood in one
+    * aggregation buffer; this shape never does), no driver-side graph,
+    * no cartesian. Large-star hooks every node above its neighborhood
+    * minimum, small-star re-hooks the small neighbors, and the edge set
+    * provably converges to a star forest rooted at each component's
+    * minimum id in O(log^2 n) rounds (2-3 in practice for near-dup
+    * graphs, whose components are duplicate clusters of small
+    * diameter). Lineage is truncated every round with a LAZY local
+    * checkpoint (leaf plan immediately, materialization fused into the
+    * round's convergence aggregate) — iterative self-joins otherwise
+    * stack an exponentially deepening plan that kills the optimizer
+    * long before the data hurts.
+    *
+    * `pairs` must be (id_a, id_b) bigint with id_a != id_b (duplicates
+    * and orientation don't matter). Returns (id, component) — one row
+    * per node that appears in `pairs`, component = min id reachable.
+    * Singletons (docs in no pair) are absent by construction; callers
+    * wanting them add a left-anti union against the corpus.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20)
+      : DataFrame = {
+    require(maxIter > 0, "maxIter must be positive")
+    // LAZY input checkpoint: the logical plan becomes a leaf (so no
+    // round replays the caller's expensive pair-generation lineage),
+    // but materialization happens inside round 1's convergence
+    // aggregate — pair generation, the first star round, and its
+    // convergence test are ONE Spark job, not three
+    var e = pairs
+      .select(least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(false)
+    // convergence = "e IS a star forest": no node is both a root (a
+    // side) and a leaf (b side), and every leaf has exactly one root.
+    // That is exactly the fixed point of the two phases (a star forest
+    // is invariant under both, and the algorithm only converges to star
+    // forests), and unlike a set-equality test against the previous
+    // round it certifies convergence WITHOUT running one extra
+    // confirming round. One aggregate job per round; its full scan is
+    // also the action that materializes that round's lazy checkpoint
+    // (a full scan, so every block lands — no partial-checkpoint
+    // hazard a take(1)-style probe would have).
+    def isStarForest(df: DataFrame): Boolean =
+      df.select(col("b").as("x"), lit(1L).as("nb"), lit(0L).as("na"))
+        .unionAll(df.select(col("a").as("x"), lit(0L).as("nb"),
+          lit(1L).as("na")))
+        .groupBy("x").agg(sum(col("nb")).as("nb"), sum(col("na")).as("na"))
+        .filter(col("nb") > 1 || (col("nb") >= 1 && col("na") >= 1))
+        .count() == 0L
+    // no pre-loop convergence probe: on an already-converged (or
+    // empty) input the first round is a no-op whose check then exits —
+    // one fused job, cheaper than a dedicated up-front check job
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      // large-star over the symmetric view: every node u computes
+      // m(u) = min(Gamma(u) + {u}) and re-points its LARGER neighbors
+      // at m(u). Emitted edges (m, v) keep m < v, so the canonical
+      // (a < b) orientation is preserved without re-sorting.
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      // duplicates are tolerated until the end-of-round distinct: the
+      // small-star groupBy/min is insensitive to them, and skipping a
+      // mid-round distinct saves one shuffle per iteration
+      val large = sym.filter(col("v") > col("u"))
+        .join(mins, "u")
+        .select(col("m").as("a"), col("v").as("b"))
+      // small-star over the large-star output: every node u re-points
+      // its SMALLER neighbors (and itself) at min(Gamma-(u) + {u}).
+      // Nodes whose neighbors are all larger emit nothing — large-star
+      // already hooked them.
+      val sym2 = large.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(large.select(col("b").as("u"), col("a").as("v")))
+      val nbrsLt = sym2.filter(col("v") < col("u"))
+      val mins2 = nbrsLt.groupBy("u").agg(min(col("v")).as("m"))
+      // LAZY local checkpoint: the logical plan becomes a LEAF
+      // immediately — a round's plan references `e` ~20 times through
+      // the union/join tree, so without a leaf per round Catalyst
+      // re-analysis grows EXPONENTIALLY (measured: hangs by round ~5)
+      // — while the actual materialization piggybacks on the
+      // convergence aggregate below. ONE job per round; RDD-level
+      // lineage truncates itself at first materialization.
+      val next = nbrsLt.join(mins2, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("m").as("a"), col("v").as("b"))
+        .unionAll(mins2.select(col("m").as("a"), col("u").as("b")))
+        .distinct()
+        .localCheckpoint(false)
+      converged = isStarForest(next)
+      e = next
+      it += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds")
+    e.select(col("b").as("id"), col("a").as("component"))
+      .unionAll(e.select(col("a"), col("a")).distinct()
+        .toDF("id", "component"))
+  }
+
   /** Full MinHash+LSH near-dup pipeline: shingle -> sign -> band ->
     * candidates -> verify with exact Jaccard >= threshold.
     */

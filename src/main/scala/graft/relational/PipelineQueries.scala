@@ -575,6 +575,70 @@ object PipelineQueries {
         .select($"doc_id", $"q.n_words".as("n_words"),
           $"q.stopword_ratio".as("stopword_ratio"))
         .orderBy($"doc_id")
+    },
+    "q69_dedup_components" -> { (s, d) =>
+      import s.implicits._
+      // pair list -> transitive CLUSTERS: near-dup pairs (the exact q32
+      // MinHash -> LSH -> Jaccard-verify path, whose pair set is
+      // hash-proven equal to exact all-pairs Jaccard >= 0.8) fed into
+      // large-star/small-star connected components. Pairwise survivor
+      // picks under-delete when duplication is transitive (a~b, b~c,
+      // a!~c); the component form is what production dedups actually
+      // run at scale — O(log n) rounds of bounded groupBy/equi-join,
+      // no driver-side graph (Dedup.connectedComponents). The oracle
+      // recomputes the clusters independently via a recursive CTE over
+      // the exact-Jaccard pair set.
+      // Cost structure (BenchOne, quiet local[32]/sf0.1): the q32 pair
+      // generation IS ~1.35 s of the ~2.6 s median; the component loop
+      // adds ONE fused job per star round (pair gen + round + star-
+      // forest convergence test fuse via lazy localCheckpoint; near-dup
+      // graphs converge in 1 round) plus the mapping/size join — fixed
+      // job overhead at bench scale, O(pairs) work at 100 TB.
+      val docs = documents(s, d)
+      val withShingles = docs.select($"doc_id",
+        shingleHashes64($"text").as("sh"))
+      val sigs = docs.select($"doc_id".as("id"),
+        Dedup.minHashSignatureFromText($"text", 3, 64).as("sig"))
+      val cands = Dedup.lshCandidatePairs(sigs, "id", bands = 16,
+        sigLength = 64)
+      val sa = withShingles.select($"doc_id".as("id_a"), $"sh".as("sh_a"))
+      val sb = withShingles.select($"doc_id".as("id_b"), $"sh".as("sh_b"))
+      val pairs = cands.join(sa, "id_a").join(sb, "id_b")
+        .filter(round(graft.functions.JaccardDistinctLongs
+          .jaccard64($"sh_a", $"sh_b"), 4) >= 0.8)
+        .select($"id_a", $"id_b")
+      val comp = Dedup.connectedComponents(pairs)
+      val sizes = comp.groupBy($"component")
+        .agg(count(lit(1)).as("csize"))
+      comp.join(sizes, "component")
+        .select($"id".as("doc_id"), $"component", $"csize")
+        .orderBy($"doc_id")
+    },
+    "q70_sequence_pack" -> { (s, d) =>
+      import s.implicits._
+      // GPT-style cross-document sequence packing: the sharded corpus
+      // token stream cut into 512-token training sequences, docs
+      // splitting across boundaries (TextStats.packSequences). The
+      // plan's only exchange is the per-shard cumsum window over
+      // (id, count) pairs — text never shuffles; the oracle replays
+      // the identical cumsum + boundary arithmetic in SQL.
+      TextStats.packSequences(documents(s, d), "doc_id", "text",
+          budget = 512, shards = 32)
+        .orderBy($"shard", $"seq_id", $"doc_id")
+    },
+    "q71_corpus_mixture" -> { (s, d) =>
+      import s.implicits._
+      // deterministic weighted language mixture (the data-recipe
+      // operator): en upsampled 1.35x, fr kept, zh/de/es downsampled,
+      // coin = portable md5(doc_id) so the oracle reproduces the exact
+      // copy set. Broadcast weight join + narrow explode — the whole
+      // mixture pass has ZERO shuffles (the orderBy here is
+      // presentation only).
+      TextStats.corpusMixture(documents(s, d), "doc_id", "lang",
+          Map("en" -> 13500, "fr" -> 10000, "zh" -> 7500,
+            "de" -> 5000, "es" -> 2500))
+        .select($"doc_id", $"lang", $"n_copies", $"copy_idx")
+        .orderBy($"doc_id", $"copy_idx")
     }
   )
 
@@ -931,6 +995,75 @@ object PipelineQueries {
            len(string_split(text, ' ')), 4) AS stopword_ratio,
          round(len(list_distinct(string_split(text, ' ')))::DOUBLE /
            len(string_split(text, ' ')), 4) AS type_token_ratio
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    "q69_dedup_components" ->
+      """WITH RECURSIVE sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, len(string_split(text, ' ')) - 1),
+             i -> concat_ws(' ', string_split(text, ' ')[i],
+               string_split(text, ' ')[i+1], string_split(text, ' ')[i+2])))
+             AS sh
+           FROM documents),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+             len(list_distinct(a.sh || b.sh)), 4) >= 0.8),
+         edges AS (
+           SELECT id_a AS u, id_b AS v FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         reach(u, v) AS (
+           SELECT u, v FROM edges
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+           WHERE e.v <> r.u),
+         comp AS (
+           SELECT u AS doc_id, least(u, min(v)) AS component
+           FROM reach GROUP BY u),
+         sizes AS (
+           SELECT component, count(*) AS csize FROM comp GROUP BY 1)
+         SELECT c.doc_id, c.component, s.csize
+         FROM comp c JOIN sizes s USING (component)
+         ORDER BY c.doc_id""",
+    "q70_sequence_pack" ->
+      """WITH t AS (
+           SELECT doc_id, doc_id % 32 AS shard,
+             len(string_split_regex(trim(text), '\s+')) AS toks
+           FROM documents),
+         c AS (
+           SELECT doc_id, shard, toks,
+             CAST(sum(toks) OVER (PARTITION BY shard ORDER BY doc_id)
+               AS BIGINT) AS tok_end
+           FROM t),
+         p AS (
+           SELECT doc_id, shard, tok_end - toks AS tok_start, tok_end
+           FROM c),
+         x AS (
+           SELECT doc_id, shard, tok_start, tok_end,
+             unnest(range(tok_start // 512, (tok_end - 1) // 512 + 1))
+               AS seq_id
+           FROM p)
+         SELECT shard, seq_id, doc_id,
+           greatest(tok_start, seq_id * 512) - tok_start AS piece_start,
+           least(tok_end, (seq_id + 1) * 512) - tok_start AS piece_end
+         FROM x
+         ORDER BY shard, seq_id, doc_id""",
+    "q71_corpus_mixture" ->
+      """WITH w(lang, weight_bp) AS (VALUES
+           ('en', 13500), ('fr', 10000), ('zh', 7500),
+           ('de', 5000), ('es', 2500)),
+         k AS (
+           SELECT doc_id, d.lang,
+             CAST(weight_bp // 10000 AS BIGINT) +
+               CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))
+                 ::BIGINT % 10000 < weight_bp % 10000
+               THEN 1 ELSE 0 END AS n_copies
+           FROM documents d JOIN w USING (lang)),
+         x AS (
+           SELECT doc_id, lang, n_copies,
+             unnest(range(1, n_copies + 1)) AS copy_idx
+           FROM k WHERE n_copies >= 1)
+         SELECT doc_id, lang, n_copies, copy_idx
+         FROM x ORDER BY doc_id, copy_idx"""
   )
 }

@@ -408,6 +408,91 @@ object TextStats {
       .select(docs.columns.map(docs.col): _*)
   }
 
+  /** Cross-document GPT-style sequence packing: the corpus token stream
+    * is concatenated in deterministic (shard, id) order and cut into
+    * fixed `budget`-token training sequences, docs splitting across
+    * boundaries — the standard pretraining packing (every token used,
+    * zero padding), as opposed to [[chunkWindows]]' per-doc windowing.
+    * Token count is the whitespace word count; swap in
+    * [[subwordCount]]'s regex or a real tokenizer upstream without
+    * touching the packing plan.
+    *
+    * Returns one row per (sequence, doc piece):
+    * (shard, seq_id, id, piece_start, piece_end) — word offsets WITHIN
+    * the doc, so a downstream `slice(split(text), ...)` materializes
+    * the sequence text without this operator ever shuffling text.
+    *
+    * Scale shape: packing is inherently sequential, so determinism at
+    * 100 TB comes from sharding: each of `shards` streams packs
+    * independently under one cumulative-sum window partitioned by
+    * `id % shards` — pick shards ~ O(cluster parallelism) and each
+    * window sorts 1/shards of the corpus ids (ids + counts only, text
+    * never enters the window). The boundary explode is
+    * `sequence(first_seq, last_seq)` — one extra row only when a doc
+    * actually straddles a boundary. No global sort, no driver state.
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      budget: Int, shards: Int): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(shards > 0, "shards must be positive")
+    val w = Window.partitionBy("shard").orderBy("id")
+    docs
+      .select(col(idCol).cast("long").as("id"),
+        size(split(trim(col(textCol)), "\\s+")).cast("long").as("toks"))
+      .withColumn("shard", pmod(col("id"), lit(shards.toLong)))
+      .withColumn("tok_end", sum(col("toks")).over(w))
+      .withColumn("tok_start", col("tok_end") - col("toks"))
+      .select(col("shard"), col("id"), col("tok_start"), col("tok_end"),
+        explode(sequence(
+          expr(s"tok_start div $budget"),
+          expr(s"(tok_end - 1) div $budget"))).as("seq_id"))
+      .select(col("shard"), col("seq_id"), col("id").as(idCol),
+        (greatest(col("tok_start"), col("seq_id") * budget) -
+          col("tok_start")).as("piece_start"),
+        (least(col("tok_end"), (col("seq_id") + 1) * budget) -
+          col("tok_start")).as("piece_end"))
+  }
+
+  /** Deterministic weighted corpus mixture — the data-recipe operator
+    * that up/down-samples by a metadata key (language, source, domain):
+    * a doc with weight w is kept `floor(w)` times always, plus one more
+    * with probability `frac(w)`, decided by a PORTABLE hash of its id
+    * (not an RNG), so the mixture is exactly reproducible across
+    * engines, runs, and partitionings — mixing proportions are part of
+    * the training recipe, not noise. Weights are integer basis points
+    * per 10000 (13500 = 1.35x) so the keep decision is pure integer
+    * arithmetic — no float drift between engines.
+    *
+    * The coin is the low 60 bits of md5(id) mod 10000 — md5 because
+    * every engine (Spark, DuckDB, Python) exposes it bit-identically;
+    * the per-id cost is noise next to reading the row. Returns the doc
+    * columns plus (n_copies, copy_idx), one row per kept copy.
+    *
+    * Scale shape: a broadcast map-join on the tiny weight table plus a
+    * narrow explode — ZERO shuffles; the mixture of a 100-TB corpus is
+    * a single map pass. Keys absent from `weightsBp` default to weight
+    * 0 (dropped) — mixtures enumerate their sources explicitly.
+    */
+  def corpusMixture(docs: DataFrame, idCol: String, keyCol: String,
+      weightsBp: Map[String, Int]): DataFrame = {
+    require(weightsBp.values.forall(_ >= 0), "weights must be >= 0")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val weights = broadcast(
+      weightsBp.toSeq.toDF(keyCol, "weight_bp"))
+    val coin = pmod(
+      conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+        .cast("long"),
+      lit(10000L))
+    docs.join(weights, Seq(keyCol), "inner")
+      .withColumn("n_copies",
+        expr("weight_bp div 10000").cast("long") +
+          when(coin < col("weight_bp") % 10000, 1L).otherwise(0L))
+      .filter(col("n_copies") >= 1)
+      .select((docs.columns.map(col) :+ col("n_copies") :+
+        explode(sequence(lit(1L), col("n_copies"))).as("copy_idx")): _*)
+  }
+
   /** Occurrence count of the most frequent word `n`-gram. With the
     * total n-gram count this gives the top-n-gram fraction; exposed as
     * a count so oracles compare integers.

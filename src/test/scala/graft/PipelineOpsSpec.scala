@@ -611,4 +611,122 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(0).getInt(3) === out(0).getString(1).lastIndexOf("[X]"))
     assert(out(1).getInt(2) === 0 && out(1).getInt(3) === -1)
   }
+
+  test("connectedComponents matches union-find on random graphs") {
+    // brute-force referee
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      nodes.map(x => x -> find(x)).toMap
+    }
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 5) {
+      val n = 30 + trial * 25
+      // mixture of shapes: chains (worst diameter), random pairs, a hub
+      val edges = (
+        (0 until n / 3).map(i => (i.toLong, (i + 1).toLong)) ++
+        Seq.fill(n) {
+          (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+        } ++
+        (0 until 5).map(i => ((n + 100).toLong, rnd.nextInt(n).toLong))
+      ).filter(e => e._1 != e._2)
+      val expected = unionFind(n, edges)
+      val got = Dedup.connectedComponents(
+          edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"trial $trial")
+    }
+  }
+
+  test("connectedComponents: transitive chain collapses; empty is empty") {
+    // a~b, b~c but no a~c pair: pairwise min-survivor would keep c
+    val chain = Seq((10L, 20L), (20L, 30L), (30L, 40L), (50L, 60L))
+      .toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 10L,
+      50L -> 50L, 60L -> 50L))
+    // orientation/duplicates don't matter; self-loops are dropped
+    val messy = Seq((2L, 1L), (1L, 2L), (2L, 2L)).toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(messy).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 1L), (2L, 1L)))
+    assert(Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b")).isEmpty)
+  }
+
+  test("packSequences: exact budget cuts, straddling pieces, conservation") {
+    // shard 0: docs 0,2,4 (ids mod 2); budget 5
+    // doc 0: 3 toks [0,3) ; doc 2: 4 toks [3,7) straddles seq 0/1 ;
+    // doc 4: 5 toks [7,12) straddles seq 1/2
+    val docs = Seq(
+      (0L, "a b c"), (2L, "d e f g"), (4L, "h i j k l"),
+      (1L, "m n o p q r")
+    ).toDF("doc_id", "text")
+    val out = TextStats.packSequences(docs, "doc_id", "text",
+        budget = 5, shards = 2)
+      .orderBy("shard", "seq_id", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      (0L, 0L, 0L, 0L, 3L),   // doc 0 whole
+      (0L, 0L, 2L, 0L, 2L),   // doc 2 first 2 toks complete seq 0
+      (0L, 1L, 2L, 2L, 4L),   // doc 2 rest
+      (0L, 1L, 4L, 0L, 3L),   // doc 4 fills seq 1
+      (0L, 2L, 4L, 3L, 5L),   // doc 4 rest
+      (1L, 0L, 1L, 0L, 5L),   // doc 1 fills shard 1 seq 0
+      (1L, 1L, 1L, 5L, 6L)))  // doc 1 rest
+    // conservation: pieces of a doc tile [0, toks) exactly
+    val byDoc = out.groupBy(_._3).view.mapValues(ps =>
+      ps.sortBy(_._4).map(p => (p._4, p._5)).toSeq)
+    byDoc.foreach { case (_, ps) =>
+      assert(ps.head._1 == 0L)
+      ps.sliding(2).foreach {
+        case Seq((_, e), (s2, _)) => assert(e == s2)
+        case _ =>
+      }
+    }
+    // every seq except each shard's last holds exactly `budget` tokens
+    val seqTok = out.groupBy(t => (t._1, t._2)).view
+      .mapValues(_.map(p => p._5 - p._4).sum).toMap
+    val lastSeq = out.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    seqTok.foreach { case ((sh, sq), tok) =>
+      if (sq < lastSeq(sh)) assert(tok === 5L, s"shard $sh seq $sq")
+      else assert(tok <= 5L)
+    }
+  }
+
+  test("corpusMixture: integer-exact copies, drops, and determinism") {
+    val docs = (0L until 200L).map(i =>
+      (i, if (i % 2 == 0) "keep" else "mix", s"text $i"))
+      .toDF("doc_id", "lang", "text")
+    // 25000 bp = exactly 2.5x: every doc gets 2 or 3 copies; 0 bp drops
+    val out = TextStats.corpusMixture(docs, "doc_id", "lang",
+      Map("keep" -> 25000, "mix" -> 0))
+    val copies = out.groupBy("doc_id")
+      .agg(max("n_copies").as("n"), count(lit(1)).as("c")).collect()
+    assert(copies.length === 100) // 'mix' docs all dropped
+    copies.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2)) // copy_idx exploded fully
+      assert(r.getLong(1) === 2L || r.getLong(1) === 3L)
+    }
+    // frac part: ~50% of keep docs get the 3rd copy (hash-decided)
+    val n3 = copies.count(_.getLong(1) == 3L)
+    assert(n3 > 20 && n3 < 80, s"3-copy count $n3 not near half")
+    // bit-exact reproducibility across runs/partitionings
+    val again = TextStats.corpusMixture(docs.repartition(7), "doc_id",
+        "lang", Map("keep" -> 25000, "mix" -> 0))
+      .select("doc_id", "copy_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again === out.select("doc_id", "copy_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
 }

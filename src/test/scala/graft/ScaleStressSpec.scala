@@ -63,9 +63,12 @@ class ScaleStressSpec extends AnyFunSuite {
     // labeled quadratic baseline — a broadcast crossJoin per its own
     // contract — so a 10x corpus is ~100x work by specification, not a
     // scale defect. Its scale path is q45/q51, which ARE measured here.
+    // q69 (pairs -> connected components) rides along: its pair input
+    // scales like q32's and the star-contraction rounds must stay
+    // O(log n), so ~linear wall-time is exactly the claim under test
     val names = Seq("q31_jaccard_pairs", "q32_minhash_lsh", "q45_ann_lsh",
       "q51_ann_ivf", "q52_cosine_neardup", "q58_semantic_dedup",
-      "q61_repeated_runs")
+      "q61_repeated_runs", "q69_dedup_components", "q70_sequence_pack")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

@@ -165,9 +165,11 @@ object ExtractionQueries {
           .when($"form" % 2 === 0,
             concat($"letter", $"num", lit("."), $"sub"))
           .otherwise(concat($"letter", $"num", $"sub"))
-      base
+      // spread: the single-file orders scan arrives as ONE split; the
+      // trie match is CPU-bound row-local work (identity at real scale)
+      DocQueries.spread(base
         .withColumn("note_text",
-          concat(lit("Diagnostic retenu "), mention, lit(" confirme.")))
+          concat(lit("Diagnostic retenu "), mention, lit(" confirme."))), s)
         .select($"o_orderkey",
           explode(icdUdf($"note_text")).as("kb_id"))
         .orderBy($"o_orderkey")
@@ -277,8 +279,11 @@ object ExtractionQueries {
       // rule all compose. The oracle recomputes label/offset/flag purely
       // from key arithmetic + fixed-width template constants.
       // Scale shape: scan -> row-local UDF -> explode; the only shuffle
-      // is the deterministic output ORDER BY.
-      orders(s, d)
+      // is the deterministic output ORDER BY. The full-pipe UDF costs
+      // ~0.6 ms/doc, so the single-split scan MUST spread across cores
+      // before it (one core ran this in 5.9 s; spread, ~0.6 s) —
+      // identity at real scale where the scan has many splits.
+      val notes = orders(s, d)
         .filter($"o_orderkey" % 15 === 0)
         .withColumn("d1", date_format(expr(
           "date_sub(o_orderdate, CASE WHEN o_orderkey % 2 = 0 " +
@@ -290,6 +295,7 @@ object ExtractionQueries {
           lit("Antecedents :\nasthme releve le "), $"d1",
           lit(".\nConclusion :\nasthme constate le "), $"d2",
           lit(".\nFin.")))
+      DocQueries.spread(notes, s)
         .select($"o_orderkey",
           explode(historyPipeUdf($"note_text",
             $"o_orderdate".cast("timestamp"))).as("h"))

@@ -202,6 +202,67 @@ object EventStreams {
       .filter(col("n_shared") > 0)
   }
 
+  case class ShardDoc(shard: Long, doc_id: Long, toks: Long)
+  case class PackState(tokEnd: Long)
+  case class PackedPiece(shard: Long, seq_id: Long, doc_id: Long,
+      piece_start: Long, piece_end: Long)
+
+  /** STREAMING sequence packing — the unbounded twin of
+    * `TextStats.packSequences`: documents arriving on a stream are
+    * appended to their shard's running token stream and emitted as
+    * fixed-`budget` training-sequence pieces, docs splitting across
+    * sequence boundaries exactly like the batch path. The per-shard
+    * state is ONE running token offset (a single long — the smallest
+    * possible state store; no timeout needed because state size is
+    * bounded by the shard count, not the stream length).
+    *
+    * Determinism caveat, by design: a stream packs in ARRIVAL order
+    * (within a micro-batch, ties sort by doc_id), so the packing equals
+    * the batch operator's (shard, id)-order packing exactly when docs
+    * arrive in id order — the replay-a-corpus-into-training-sequences
+    * scenario. Under out-of-order arrival the piece arithmetic is still
+    * exact per shard; only the doc->sequence assignment reflects
+    * arrival order, which is what "pack an unbounded stream" means.
+    */
+  def packDocs(
+      docs: DataFrame, // streaming (doc_id, text)
+      budget: Int, shards: Int,
+      textCol: String = "text"): Dataset[PackedPiece] = {
+    require(budget > 0, "budget must be positive")
+    require(shards > 0, "shards must be positive")
+    import docs.sparkSession.implicits._
+    docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        size(split(trim(col(textCol)), "\\s+")).cast("long").as("toks"))
+      .withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)))
+      .select("shard", "doc_id", "toks")
+      .as[ShardDoc]
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState[PackState, PackedPiece](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard: Long, rows: Iterator[ShardDoc],
+            state: GroupState[PackState]) =>
+          var off = state.getOption.map(_.tokEnd).getOrElse(0L)
+          val out =
+            scala.collection.mutable.ArrayBuffer.empty[PackedPiece]
+          rows.toSeq.sortBy(_.doc_id).foreach { d =>
+            val start = off
+            val end = off + d.toks
+            var seq = start / budget
+            val lastSeq = (end - 1) / budget
+            while (seq <= lastSeq) {
+              out += PackedPiece(shard, seq, d.doc_id,
+                math.max(start, seq * budget) - start,
+                math.min(end, (seq + 1) * budget) - start)
+              seq += 1
+            }
+            off = end
+          }
+          state.update(PackState(off))
+          out.iterator
+      }
+  }
+
   case class BucketDoc(
       bucket: String, doc_id: Long, ts: java.sql.Timestamp, sig: Seq[Long])
   case class BucketState(

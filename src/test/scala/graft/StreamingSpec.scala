@@ -150,4 +150,63 @@ class StreamingSpec extends AnyFunSuite {
     val n = relational.Tables.events(spark, sf).count()
     assert(got.count() === n)
   }
+
+  private lazy val docStreamDir: String = {
+    val dir = Files.createTempDirectory("docs-stream").toString
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      Paths.get(dir, "documents.parquet"))
+    dir
+  }
+
+  private def docStream = spark.readStream
+    .schema(relational.Tables.documents(spark, sf).schema)
+    .parquet(docStreamDir)
+
+  test("streaming sequence packing equals the batch packing in id order") {
+    // one micro-batch + per-group doc_id sort = arrival order == id
+    // order, so the stream must reproduce the batch cumsum EXACTLY
+    val got = runToCompletion(
+      EventStreams.packDocs(docStream, budget = 512, shards = 32).toDF(),
+      "packed")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val batch = graft.text.TextStats.packSequences(
+        relational.Tables.documents(spark, sf), "doc_id", "text",
+        budget = 512, shards = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got.nonEmpty)
+    assert(got === batch)
+    // per-shard state is ONE long: a second identical batch appended to
+    // the stream must CONTINUE each shard's offset, not restart it —
+    // verified by the doc piece count doubling without collisions
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      Paths.get(docStreamDir, "again.parquet"))
+    val twice = runToCompletion(
+      EventStreams.packDocs(docStream, budget = 512, shards = 32).toDF(),
+      "packed2").collect()
+    assert(twice.length >= 2 * got.size - 64,
+      s"${twice.length} pieces after replaying the corpus " +
+        s"(first pass ${got.size})")
+  }
+
+  test("the corpus-mixture operator runs unchanged on a stream") {
+    // corpusMixture is a broadcast join + narrow explode — stateless,
+    // so the BATCH operator itself is streaming-compatible; the stream
+    // must emit exactly the batch copy set
+    val weights = Map("en" -> 13500, "fr" -> 10000, "zh" -> 7500,
+      "de" -> 5000, "es" -> 2500)
+    val got = runToCompletion(
+      graft.text.TextStats.corpusMixture(docStream, "doc_id", "lang",
+          weights)
+        .select($"doc_id", $"copy_idx"),
+      "mixed")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.text.TextStats.corpusMixture(
+        relational.Tables.documents(spark, sf), "doc_id", "lang", weights)
+      .select($"doc_id", $"copy_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty)
+    assert(got === batch)
+  }
 }

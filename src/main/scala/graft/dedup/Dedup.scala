@@ -476,6 +476,18 @@ object Dedup {
         .groupBy("x").agg(sum(col("nb")).as("nb"), sum(col("na")).as("na"))
         .filter(col("nb") > 1 || (col("nb") >= 1 && col("na") >= 1))
         .count() == 0L
+    // release a SUPERSEDED round's local-checkpoint blocks eagerly:
+    // Dataset.unpersist is a no-op here (localCheckpoint has no
+    // CacheManager entry), so dig the checkpointed RDD out of the leaf
+    // plan and unpersist IT — otherwise every round's full edge set
+    // stays pinned in executor storage until the driver GC happens to
+    // collect the old Dataset. Only called after the NEXT round's full
+    // scan has materialized (and lineage-truncated) its own blocks, so
+    // nothing can ever need the released ones again.
+    def releaseCheckpoint(df: DataFrame): Unit =
+      df.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(false))
     // no pre-loop convergence probe: on an already-converged (or
     // empty) input the first round is a no-op whose check then exits —
     // one fused job, cheaper than a dedicated up-front check job
@@ -518,6 +530,7 @@ object Dedup {
         .distinct()
         .localCheckpoint(false)
       converged = isStarForest(next)
+      releaseCheckpoint(e)
       e = next
       it += 1
     }

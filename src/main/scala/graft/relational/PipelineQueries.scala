@@ -51,6 +51,33 @@ object PipelineQueries {
     }
   })
 
+  /** Verified near-dup pairs — the shared q32/q69 pipeline (and the
+    * ProfCc profiling target): fused MinHash signatures -> LSH banding
+    * (16 bands / 64 mins) -> candidate equi-join -> EXACT shingle
+    * Jaccard verification, keeping pairs with round(J, 4) >= threshold.
+    * One definition so the declared query, the cluster query built on
+    * it, and the profiler can never drift apart.
+    */
+  private[graft] def verifiedNearDupPairs(s: SparkSession, d: String,
+      threshold: Double = 0.8): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val withShingles = docs.select($"doc_id",
+      shingleHashes64($"text").as("sh"))
+    val sigs = docs.select($"doc_id".as("id"),
+      Dedup.minHashSignatureFromText($"text", 3, 64).as("sig"))
+    val cands = Dedup.lshCandidatePairs(sigs, "id", bands = 16,
+      sigLength = 64)
+    val sa = withShingles.select($"doc_id".as("id_a"), $"sh".as("sh_a"))
+    val sb = withShingles.select($"doc_id".as("id_b"), $"sh".as("sh_b"))
+    cands.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("jaccard",
+        round(graft.functions.JaccardDistinctLongs
+          .jaccard64($"sh_a", $"sh_b"), 4))
+      .filter($"jaccard" >= threshold)
+      .select($"id_a", $"id_b", $"jaccard")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_exact_dedup" -> { (s, d) =>
       import s.implicits._
@@ -83,23 +110,10 @@ object PipelineQueries {
     "q32_minhash_lsh" -> { (s, d) =>
       import s.implicits._
       // MinHash (k=64) -> LSH banding (16 bands) -> candidate pairs ->
-      // exact verification on shingle strings. Linear-shuffle scale path.
-      val docs = documents(s, d)
-      val withShingles = docs.select($"doc_id",
-        shingleHashes64($"text").as("sh"))
-      // fused single-pass signature (no intermediate shingle arrays)
-      val sigs = docs.select($"doc_id".as("id"),
-        Dedup.minHashSignatureFromText($"text", 3, 64).as("sig"))
-      val cands = Dedup.lshCandidatePairs(sigs, "id", bands = 16,
-        sigLength = 64)
-      val sa = withShingles.select($"doc_id".as("id_a"), $"sh".as("sh_a"))
-      val sb = withShingles.select($"doc_id".as("id_b"), $"sh".as("sh_b"))
-      cands.join(sa, "id_a").join(sb, "id_b")
-        .withColumn("jaccard",
-          round(graft.functions.JaccardDistinctLongs
-            .jaccard64($"sh_a", $"sh_b"), 4))
-        .filter($"jaccard" >= 0.8)
-        .select($"id_a", $"id_b", $"jaccard")
+      // exact verification on shingle strings (verifiedNearDupPairs —
+      // the fused single-pass signature, no intermediate shingle
+      // arrays). Linear-shuffle scale path.
+      verifiedNearDupPairs(s, d, threshold = 0.8)
         .orderBy($"id_a", $"id_b")
     },
     "q33_simhash" -> { (s, d) =>
@@ -594,18 +608,7 @@ object PipelineQueries {
       // forest convergence test fuse via lazy localCheckpoint; near-dup
       // graphs converge in 1 round) plus the mapping/size join — fixed
       // job overhead at bench scale, O(pairs) work at 100 TB.
-      val docs = documents(s, d)
-      val withShingles = docs.select($"doc_id",
-        shingleHashes64($"text").as("sh"))
-      val sigs = docs.select($"doc_id".as("id"),
-        Dedup.minHashSignatureFromText($"text", 3, 64).as("sig"))
-      val cands = Dedup.lshCandidatePairs(sigs, "id", bands = 16,
-        sigLength = 64)
-      val sa = withShingles.select($"doc_id".as("id_a"), $"sh".as("sh_a"))
-      val sb = withShingles.select($"doc_id".as("id_b"), $"sh".as("sh_b"))
-      val pairs = cands.join(sa, "id_a").join(sb, "id_b")
-        .filter(round(graft.functions.JaccardDistinctLongs
-          .jaccard64($"sh_a", $"sh_b"), 4) >= 0.8)
+      val pairs = verifiedNearDupPairs(s, d, threshold = 0.8)
         .select($"id_a", $"id_b")
       val comp = Dedup.connectedComponents(pairs)
       val sizes = comp.groupBy($"component")

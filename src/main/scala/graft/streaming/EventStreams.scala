@@ -231,9 +231,12 @@ object EventStreams {
     require(budget > 0, "budget must be positive")
     require(shards > 0, "shards must be positive")
     import docs.sparkSession.implicits._
+    // same null-safe tokenization definition as the batch twin — the
+    // bit-equality contract requires ONE definition, not two copies
     docs
       .select(col("doc_id").cast("long").as("doc_id"),
-        size(split(trim(col(textCol)), "\\s+")).cast("long").as("toks"))
+        graft.text.TextStats.wordCount(coalesce(col(textCol), lit("")))
+          .cast("long").as("toks"))
       .withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)))
       .select("shard", "doc_id", "toks")
       .as[ShardDoc]

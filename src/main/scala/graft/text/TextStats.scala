@@ -436,9 +436,13 @@ object TextStats {
     require(budget > 0, "budget must be positive")
     require(shards > 0, "shards must be positive")
     val w = Window.partitionBy("shard").orderBy("id")
+    // null-safe single tokenization definition: a null text counts like
+    // the empty string (1 whitespace token, same as wordCount('')), so
+    // toks >= 1 always — size(split(null)) would be -1, which corrupts
+    // the shard cumsum and flips sequence() into descending mode
     docs
       .select(col(idCol).cast("long").as("id"),
-        size(split(trim(col(textCol)), "\\s+")).cast("long").as("toks"))
+        wordCount(coalesce(col(textCol), lit(""))).cast("long").as("toks"))
       .withColumn("shard", pmod(col("id"), lit(shards.toLong)))
       .withColumn("tok_end", sum(col("toks")).over(w))
       .withColumn("tok_start", col("tok_end") - col("toks"))

@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions._
 
 /** Dev micro-profiler for q69's phases: pair generation vs the
   * connected-components rounds vs the final mapping — run with
-  * `sbt "runMain graft.tools.ProfCc [sfDir]"`.
+  * `sbt "runMain graft.tools.ProfCc [sfDir]"`. Pair generation is the
+  * SHARED `PipelineQueries.verifiedNearDupPairs` (the exact q32/q69
+  * pipeline), so the profile always measures the shipped plan.
   */
 object ProfCc {
   def main(args: Array[String]): Unit = {
@@ -22,31 +24,10 @@ object ProfCc {
       r
     }
     spark.range(2000000L).selectExpr("max(id * 2 + 1)").collect()
-    val docs = graft.relational.Tables.documents(spark, sfDir)
-    docs.count()
-    import graft.dedup.Dedup
+    graft.relational.Tables.documents(spark, sfDir).count()
     (1 to 3).foreach { rep =>
-      val sh = udf((s: String) => {
-        if (s == null) Seq.empty[Long]
-        else {
-          val seen = new java.util.HashSet[java.lang.Long]()
-          val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
-          graft.dedup.Shingling.foreachShingleHash(s, 3) { z =>
-            if (seen.add(z)) buf += z
-          }
-          buf.toSeq
-        }
-      })
-      val withShingles = docs.select($"doc_id", sh($"text").as("sh"))
-      val sigs = docs.select($"doc_id".as("id"),
-        Dedup.minHashSignatureFromText($"text", 3, 64).as("sig"))
-      val cands = Dedup.lshCandidatePairs(sigs, "id", bands = 16,
-        sigLength = 64)
-      val sa = withShingles.select($"doc_id".as("id_a"), $"sh".as("sh_a"))
-      val sb = withShingles.select($"doc_id".as("id_b"), $"sh".as("sh_b"))
-      val pairs = cands.join(sa, "id_a").join(sb, "id_b")
-        .filter(round(graft.functions.JaccardDistinctLongs
-          .jaccard64($"sh_a", $"sh_b"), 4) >= 0.8)
+      val pairs = graft.relational.PipelineQueries
+        .verifiedNearDupPairs(spark, sfDir)
         .select($"id_a", $"id_b")
       time(s"rep$rep pairs.count")(pairs.count())
       val cp = time(s"rep$rep checkpoint")(
@@ -54,8 +35,8 @@ object ProfCc {
             greatest($"id_a", $"id_b").as("b"))
           .filter($"a" =!= $"b").distinct().localCheckpoint(true))
       val comp = time(s"rep$rep cc-loop")(
-        Dedup.connectedComponents(cp.select($"a".as("id_a"),
-          $"b".as("id_b"))))
+        graft.dedup.Dedup.connectedComponents(cp.select(
+          $"a".as("id_a"), $"b".as("id_b"))))
       time(s"rep$rep mapping+sizes") {
         val sizes = comp.groupBy($"component")
           .agg(count(lit(1)).as("csize"))

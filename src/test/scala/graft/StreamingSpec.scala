@@ -151,23 +151,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() === n)
   }
 
-  private lazy val docStreamDir: String = {
+  // fresh source dir per call — a shared lazy dir would let one test's
+  // file appends silently change another test's input
+  private def newDocStreamDir(copies: Int = 1): String = {
     val dir = Files.createTempDirectory("docs-stream").toString
-    Files.copy(Paths.get(s"$sf/documents.parquet"),
-      Paths.get(dir, "documents.parquet"))
+    (0 until copies).foreach { i =>
+      Files.copy(Paths.get(s"$sf/documents.parquet"),
+        Paths.get(dir, s"documents-$i.parquet"))
+    }
     dir
   }
 
-  private def docStream = spark.readStream
-    .schema(relational.Tables.documents(spark, sf).schema)
-    .parquet(docStreamDir)
+  private def docStream(dir: String, maxFilesPerTrigger: Int = 0) = {
+    val r = spark.readStream
+      .schema(relational.Tables.documents(spark, sf).schema)
+    (if (maxFilesPerTrigger > 0)
+       r.option("maxFilesPerTrigger", maxFilesPerTrigger)
+     else r).parquet(dir)
+  }
 
   test("streaming sequence packing equals the batch packing in id order") {
     // one micro-batch + per-group doc_id sort = arrival order == id
     // order, so the stream must reproduce the batch cumsum EXACTLY
     val got = runToCompletion(
-      EventStreams.packDocs(docStream, budget = 512, shards = 32).toDF(),
-      "packed")
+      EventStreams.packDocs(docStream(newDocStreamDir()), budget = 512,
+        shards = 32).toDF(), "packed")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4))).toSet
     val batch = graft.text.TextStats.packSequences(
@@ -177,35 +185,61 @@ class StreamingSpec extends AnyFunSuite {
         r.getLong(3), r.getLong(4))).toSet
     assert(got.nonEmpty)
     assert(got === batch)
-    // per-shard state is ONE long: a second identical batch appended to
-    // the stream must CONTINUE each shard's offset, not restart it —
-    // verified by the doc piece count doubling without collisions
-    Files.copy(Paths.get(s"$sf/documents.parquet"),
-      Paths.get(docStreamDir, "again.parquet"))
-    val twice = runToCompletion(
-      EventStreams.packDocs(docStream, budget = 512, shards = 32).toDF(),
-      "packed2").collect()
-    assert(twice.length >= 2 * got.size - 64,
-      s"${twice.length} pieces after replaying the corpus " +
-        s"(first pass ${got.size})")
+  }
+
+  test("streaming packing state carries the offset ACROSS micro-batches") {
+    // two source files, maxFilesPerTrigger=1 -> two micro-batches, so
+    // the second batch's packing depends on PackState surviving the
+    // batch boundary (not on a local accumulator): each shard's offset
+    // must CONTINUE, never restart. With a restart, batch-2 pieces
+    // would duplicate batch-1's (shard, seq_id, doc_id) keys instead of
+    // landing in later sequences.
+    // shards = 4: each shard carries ~7k tokens at this sf, so the
+    // replayed copy of any doc lands MANY sequences later — a repeated
+    // (shard, seq, doc, piece) row can only mean the offset restarted
+    val pieces = runToCompletion(
+      EventStreams.packDocs(docStream(newDocStreamDir(copies = 2),
+        maxFilesPerTrigger = 1), budget = 512, shards = 4).toDF(),
+      "packed_mb").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val onePass = graft.text.TextStats.packSequences(
+      relational.Tables.documents(spark, sf), "doc_id", "text",
+      budget = 512, shards = 4).count()
+    // every (shard, seq, doc, piece) row is distinct across the two
+    // passes (the replayed doc lands at a LATER offset)
+    assert(pieces.length === pieces.distinct.length,
+      "offset restarted: replayed docs produced colliding pieces")
+    assert(pieces.length >= 2 * onePass - 64 &&
+      pieces.length <= 2 * onePass + 64,
+      s"${pieces.length} pieces vs $onePass per pass")
+    // and the total token mass is exactly twice one pass's
+    val tokStream = pieces.map(p => p._5 - p._4).sum
+    val tokBatch = graft.text.TextStats.packSequences(
+      relational.Tables.documents(spark, sf), "doc_id", "text",
+      budget = 512, shards = 4)
+      .agg(sum($"piece_end" - $"piece_start")).collect()(0).getLong(0)
+    assert(tokStream === 2 * tokBatch)
   }
 
   test("the corpus-mixture operator runs unchanged on a stream") {
     // corpusMixture is a broadcast join + narrow explode — stateless,
     // so the BATCH operator itself is streaming-compatible; the stream
-    // must emit exactly the batch copy set
+    // must emit exactly the batch copy MULTISET (count-preserving, so a
+    // duplicate-emission bug cannot hide behind a set compare)
     val weights = Map("en" -> 13500, "fr" -> 10000, "zh" -> 7500,
       "de" -> 5000, "es" -> 2500)
-    val got = runToCompletion(
-      graft.text.TextStats.corpusMixture(docStream, "doc_id", "lang",
-          weights)
+    def multiset(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+    val got = multiset(runToCompletion(
+      graft.text.TextStats.corpusMixture(
+          docStream(newDocStreamDir()), "doc_id", "lang", weights)
         .select($"doc_id", $"copy_idx"),
-      "mixed")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val batch = graft.text.TextStats.corpusMixture(
+      "mixed").collect())
+    val batch = multiset(graft.text.TextStats.corpusMixture(
         relational.Tables.documents(spark, sf), "doc_id", "lang", weights)
-      .select($"doc_id", $"copy_idx")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .select($"doc_id", $"copy_idx").collect())
     assert(got.nonEmpty)
     assert(got === batch)
   }

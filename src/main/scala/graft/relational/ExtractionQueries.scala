@@ -78,6 +78,36 @@ object ExtractionQueries {
         }
     })
 
+  /** The full qualifier stack in one row-local pass: normalize/tokenize
+    * -> sentences -> phrase matcher (four disorder terms) -> ALL FOUR
+    * rule qualifiers (negation, hypothesis, family, reported speech —
+    * the reference's `qualifiers/` package run together, as the OMOP
+    * note_nlp export does) — each entity emitted with every flag. The
+    * hypothesis/family/reported-speech banks are golden-spec'd in
+    * isolation; this is their composed, oracle-checked surface.
+    */
+  private object QualifierStack {
+    import graft.nlp.{Patterns, PhraseMatcher, RuleQualifier}
+    val terms: PhraseMatcher = PhraseMatcher.build(Map(
+      "asthme" -> Seq("asthme"), "cirrhose" -> Seq("cirrhose"),
+      "diabete" -> Seq("diabète"), "migraine" -> Seq("migraine")))
+    val qualifiers: Seq[RuleQualifier] = Seq(
+      new RuleQualifier(Patterns.negation),
+      new RuleQualifier(Patterns.hypothesis),
+      new RuleQualifier(Patterns.family),
+      new RuleQualifier(Patterns.reportedSpeech))
+  }
+
+  private val qualifierStackUdf = udf((text: String) => {
+    val tokens = Normalizer.normalize(text, Tokenizer.tokenize(text))
+    val sents = Sentencizer.sentences(tokens)
+    val ents = QualifierStack.terms.findMatches(tokens, text)
+    val flags = QualifierStack.qualifiers.map(
+      _.qualify(text, tokens, sents, ents).map(_._1))
+    ents.indices.map(i =>
+      (ents(i).label, flags(0)(i), flags(1)(i), flags(2)(i), flags(3)(i)))
+  })
+
   private val tnmUdf = udf((s: String) =>
     Tnm.extract(s).headOption.map(e =>
       (e.attrs.getOrElse("tumour", ""), e.attrs.getOrElse("node", ""),
@@ -303,6 +333,44 @@ object ExtractionQueries {
           $"h._2".as("start_char"), $"h._3".as("history"))
         .orderBy($"o_orderkey", $"start_char")
     },
+    "q72_qualifier_stack" -> { (s, d) =>
+      import s.implicits._
+      // Composed qualifier end-to-end (the q65/q68 pattern applied to
+      // the full qualifier stack): each order synthesizes a four-
+      // sentence note where key arithmetic picks, per sentence, a
+      // cue-bearing or inert variant for exactly one qualifier:
+      //   s1  negation        "Absence d'asthme."    / "Présence d'..."
+      //   s2  hypothesis      "Suspicion de diabète."/ "Confirmation..."
+      //   s3  family          "Père atteint de cirrhose." / "Patient..."
+      //   s4  reported speech "Le patient rapporte une migraine."
+      //                       / "Le patient présente une migraine."
+      // All four REAL French banks run over every entity, so the green
+      // hash needs each bank to fire on its cue AND stay silent on the
+      // other seven variants (inertness is part of the oracle: every
+      // off-diagonal flag is asserted false), with sentence scoping
+      // keeping cues from leaking between the four entities.
+      // Scale shape: scan -> row-local UDF -> explode; the only shuffle
+      // is the deterministic output ORDER BY.
+      val notes = orders(s, d)
+        .filter($"o_orderkey" % 14 === 0)
+        .withColumn("note_text", concat(
+          when($"o_orderkey" % 2 === 0, "Absence d'asthme. ")
+            .otherwise("Présence d'asthme. "),
+          when($"o_orderkey" % 3 === 0, "Suspicion de diabète. ")
+            .otherwise("Confirmation de diabète. "),
+          when($"o_orderkey" % 5 === 0, "Père atteint de cirrhose. ")
+            .otherwise("Patient atteint de cirrhose. "),
+          when($"o_orderkey" % 7 === 0,
+            "Le patient rapporte une migraine.")
+            .otherwise("Le patient présente une migraine.")))
+      DocQueries.spread(notes, s)
+        .select($"o_orderkey",
+          explode(qualifierStackUdf($"note_text")).as("q"))
+        .select($"o_orderkey", $"q._1".as("label"),
+          $"q._2".as("negation"), $"q._3".as("hypothesis"),
+          $"q._4".as("family"), $"q._5".as("reported_speech"))
+        .orderBy($"o_orderkey", $"label")
+    },
     "q49_table_quantities" -> { (s, d) =>
       import s.implicits._
       // value-from-table context on the declared surface: the dose cell
@@ -371,6 +439,22 @@ object ExtractionQueries {
            (o_orderkey % 3 = 0) AS history
          FROM orders WHERE o_orderkey % 15 = 0
          ORDER BY o_orderkey, start_char""",
+    "q72_qualifier_stack" ->
+      """WITH k AS (
+           SELECT o_orderkey FROM orders WHERE o_orderkey % 14 = 0)
+         SELECT o_orderkey, 'asthme' AS label,
+           (o_orderkey % 2 = 0) AS negation, FALSE AS hypothesis,
+           FALSE AS family, FALSE AS reported_speech FROM k
+         UNION ALL
+         SELECT o_orderkey, 'cirrhose', FALSE, FALSE,
+           (o_orderkey % 5 = 0), FALSE FROM k
+         UNION ALL
+         SELECT o_orderkey, 'diabete', FALSE,
+           (o_orderkey % 3 = 0), FALSE, FALSE FROM k
+         UNION ALL
+         SELECT o_orderkey, 'migraine', FALSE, FALSE, FALSE,
+           (o_orderkey % 7 = 0) FROM k
+         ORDER BY o_orderkey, label""",
     "q29_tnm_extract" ->
       """SELECT p_partkey,
          CAST(p_size % 4 AS VARCHAR) AS tumour,

@@ -642,6 +642,31 @@ object PipelineQueries {
             "de" -> 5000, "es" -> 2500))
         .select($"doc_id", $"lang", $"n_copies", $"copy_idx")
         .orderBy($"doc_id", $"copy_idx")
+    },
+    "q73_recipe_shuffle_pack" -> { (s, d) =>
+      import s.implicits._
+      // The full data-recipe composed in ONE declared plan — the q65/q68
+      // composed-evidence pattern applied to the pretraining layer:
+      //   weighted mixture (q71's operator) -> deterministic seeded
+      //   shuffle -> cross-document sequence packing (q70's operator).
+      // Each kept copy gets a unique pack id (doc_id * 8 + copy index;
+      // weights <= 1.35x so n_copies <= 2 << 8), is placed by the
+      // portable md5 position hash, and packs into 512-token sequences.
+      // The oracle replays mixture coin, position hash, and cumsum
+      // arithmetic end-to-end in SQL, so a drift in ANY of the three
+      // stages (or in how they hand off) breaks the hash.
+      // Scale shape: broadcast mixture join + narrow explode, then the
+      // per-shard cumsum window over (pos, id, count) rows — text never
+      // shuffles, no global sort; the orderBy is presentation only.
+      val mixed = TextStats.corpusMixture(
+          documents(s, d).select($"doc_id", $"text", $"lang"),
+          "doc_id", "lang",
+          Map("en" -> 13500, "fr" -> 10000, "zh" -> 7500,
+            "de" -> 5000, "es" -> 2500))
+        .withColumn("pack_id", $"doc_id" * 8 + ($"copy_idx" - 1))
+      TextStats.shuffledPackSequences(mixed, "pack_id", "text",
+          budget = 512, shards = 32, seed = 42L)
+        .orderBy($"shard", $"seq_id", $"pack_id")
     }
   )
 
@@ -1067,6 +1092,46 @@ object PipelineQueries {
              unnest(range(1, n_copies + 1)) AS copy_idx
            FROM k WHERE n_copies >= 1)
          SELECT doc_id, lang, n_copies, copy_idx
-         FROM x ORDER BY doc_id, copy_idx"""
+         FROM x ORDER BY doc_id, copy_idx""",
+    "q73_recipe_shuffle_pack" ->
+      """WITH w(lang, weight_bp) AS (VALUES
+           ('en', 13500), ('fr', 10000), ('zh', 7500),
+           ('de', 5000), ('es', 2500)),
+         k AS (
+           SELECT doc_id, text,
+             CAST(weight_bp // 10000 AS BIGINT) +
+               CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))
+                 ::BIGINT % 10000 < weight_bp % 10000
+               THEN 1 ELSE 0 END AS n_copies
+           FROM documents d JOIN w USING (lang)),
+         m AS (
+           SELECT doc_id, text,
+             unnest(range(1, n_copies + 1)) AS copy_idx
+           FROM k WHERE n_copies >= 1),
+         t AS (
+           SELECT doc_id * 8 + (copy_idx - 1) AS pack_id, text,
+             ('0x' || substr(md5('42:' ||
+               (doc_id * 8 + (copy_idx - 1))::VARCHAR), 1, 15))::BIGINT
+               AS pos,
+             len(string_split_regex(trim(text), '\s+')) AS toks
+           FROM m),
+         c AS (
+           SELECT pack_id, pos, pos % 32 AS shard, toks,
+             CAST(sum(toks) OVER (PARTITION BY pos % 32
+               ORDER BY pos, pack_id) AS BIGINT) AS tok_end
+           FROM t),
+         p AS (
+           SELECT pack_id, shard, tok_end - toks AS tok_start, tok_end
+           FROM c),
+         x AS (
+           SELECT pack_id, shard, tok_start, tok_end,
+             unnest(range(tok_start // 512, (tok_end - 1) // 512 + 1))
+               AS seq_id
+           FROM p)
+         SELECT shard, seq_id, pack_id,
+           greatest(tok_start, seq_id * 512) - tok_start AS piece_start,
+           least(tok_end, (seq_id + 1) * 512) - tok_start AS piece_end
+         FROM x
+         ORDER BY shard, seq_id, pack_id"""
   )
 }

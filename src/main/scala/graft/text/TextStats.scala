@@ -433,17 +433,57 @@ object TextStats {
     */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
       budget: Int, shards: Int): DataFrame = {
-    require(budget > 0, "budget must be positive")
     require(shards > 0, "shards must be positive")
-    val w = Window.partitionBy("shard").orderBy("id")
-    // null-safe single tokenization definition: a null text counts like
-    // the empty string (1 whitespace token, same as wordCount('')), so
-    // toks >= 1 always — size(split(null)) would be -1, which corrupts
-    // the shard cumsum and flips sequence() into descending mode
-    docs
-      .select(col(idCol).cast("long").as("id"),
-        wordCount(coalesce(col(textCol), lit(""))).cast("long").as("toks"))
-      .withColumn("shard", pmod(col("id"), lit(shards.toLong)))
+    packCumsum(
+      tokenized(docs, idCol, textCol)
+        .withColumn("shard", pmod(col("id"), lit(shards.toLong))),
+      idCol, budget, Seq(col("id")))
+  }
+
+  /** [[packSequences]] over a deterministic SEEDED SHUFFLE of the corpus
+    * — the pretraining recipe's shuffle step, made portable: each doc's
+    * position is the low 60 bits of `md5(seed + ":" + id)`, so the
+    * permutation is reproducible bit-for-bit across engines, runs and
+    * partitionings (an RNG-based shuffle is not), and changing `seed`
+    * gives an independent epoch order. The position hash ALSO assigns
+    * the shard (`pos % shards`), so shard membership and within-shard
+    * order are both shuffled — adjacent input ids land in different
+    * shards at scattered offsets, breaking any source-order locality
+    * (the entire point of shuffling before packing).
+    *
+    * Same output schema and scale shape as [[packSequences]]: the only
+    * exchange is the per-shard cumsum window over (pos, id, count)
+    * rows — text never shuffles, no global sort, no driver state.
+    */
+  def shuffledPackSequences(docs: DataFrame, idCol: String,
+      textCol: String, budget: Int, shards: Int, seed: Long): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    val pos = conv(substring(
+      md5(concat_ws(":", lit(seed), col("id"))), 1, 15), 16, 10)
+      .cast("long")
+    packCumsum(
+      tokenized(docs, idCol, textCol)
+        .withColumn("pos", pos)
+        .withColumn("shard", pmod(col("pos"), lit(shards.toLong))),
+      idCol, budget, Seq(col("pos"), col("id")))
+  }
+
+  // null-safe single tokenization definition: a null text counts like
+  // the empty string (1 whitespace token, same as wordCount('')), so
+  // toks >= 1 always — size(split(null)) would be -1, which corrupts
+  // the shard cumsum and flips sequence() into descending mode
+  private def tokenized(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("id"),
+      wordCount(coalesce(col(textCol), lit(""))).cast("long").as("toks"))
+
+  // the shared packing tail: per-shard cumsum in `order`, then the
+  // boundary explode — one row per (sequence, doc piece)
+  private def packCumsum(base: DataFrame, idCol: String, budget: Int,
+      order: Seq[Column]): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy("shard").orderBy(order: _*)
+    base
       .withColumn("tok_end", sum(col("toks")).over(w))
       .withColumn("tok_start", col("tok_end") - col("toks"))
       .select(col("shard"), col("id"), col("tok_start"), col("tok_end"),

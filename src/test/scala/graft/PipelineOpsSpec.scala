@@ -704,6 +704,59 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("shuffledPackSequences: permutes, conserves, deterministic") {
+    val input = (0L until 400L).map(i =>
+      (i, Seq.fill((i % 7 + 1).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextStats.shuffledPackSequences(input, "doc_id", "text",
+        budget = 16, shards = 4, seed = 42L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // conservation: each doc's pieces tile [0, toks) exactly, same
+    // guarantee as the id-ordered packer
+    val byDoc = out.groupBy(_._3)
+    assert(byDoc.size === 400)
+    byDoc.foreach { case (id, ps) =>
+      val sorted = ps.sortBy(_._4)
+      assert(sorted.head._4 === 0L)
+      assert(sorted.last._5 === id % 7 + 1)
+      sorted.sliding(2).foreach {
+        case Array((_, _, _, _, e), (_, _, _, s2, _)) => assert(e == s2)
+        case _ =>
+      }
+    }
+    // total token mass matches the unshuffled packer bit-for-bit
+    val massShuffled = out.map(p => p._5 - p._4).sum
+    val massPlain = TextStats.packSequences(input, "doc_id", "text",
+        budget = 16, shards = 4).collect()
+      .map(r => r.getLong(4) - r.getLong(3)).sum
+    assert(massShuffled === massPlain)
+    // the shuffle is REAL: shard membership must not be id % shards
+    // (400 docs into 4 shards — identity assignment has ~0 chance)
+    val moved = out.count(p => p._1 != p._3 % 4)
+    assert(moved > 100, s"only $moved pieces left their id-mod shard")
+    // and within a shard, first-piece order must not be id order
+    val firstSeq = out.filter(p => p._1 == 0L && p._4 == 0L)
+      .sortBy(p => (p._2, p._3)).map(_._3)
+    assert(firstSeq.length > 10)
+    assert(firstSeq.toSeq !== firstSeq.sorted.toSeq,
+      "shard 0 packed docs in id order — shuffle did nothing")
+    // bit-exact across partitionings (the permutation is content-
+    // addressed, not RNG or partition-order dependent)
+    val again = TextStats.shuffledPackSequences(input.repartition(7),
+        "doc_id", "text", budget = 16, shards = 4, seed = 42L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(again === out.toSet)
+    // a different seed yields a genuinely different epoch order
+    val other = TextStats.shuffledPackSequences(input, "doc_id", "text",
+        budget = 16, shards = 4, seed = 43L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(other !== out.toSet)
+    assert(other.toSeq.map(p => p._5 - p._4).sum === massPlain)
+  }
+
   test("corpusMixture: integer-exact copies, drops, and determinism") {
     val docs = (0L until 200L).map(i =>
       (i, if (i % 2 == 0) "keep" else "mix", s"text $i"))

@@ -667,6 +667,47 @@ object PipelineQueries {
       TextStats.shuffledPackSequences(mixed, "pack_id", "text",
           budget = 512, shards = 32, seed = 42L)
         .orderBy($"shard", $"seq_id", $"pack_id")
+    },
+    "q74_token_budget" -> { (s, d) =>
+      import s.implicits._
+      // Exact token-budget downsampling ("keep N tokens of English"):
+      // docs ordered by the deterministic md5 position hash, kept while
+      // the tokens BEFORE them stay under the per-language budget. The
+      // chosen budgets exercise every branch: en/fr cross mid-corpus,
+      // zh's budget exceeds its corpus (keep-all), de is 0 (empty),
+      // es is absent (dropped key). Scale shape: histogram descent —
+      // slim checkpointed (key,pos,toks) projection + three bounded
+      // per-key histogram rounds + final broadcast-cut filter; NO
+      // per-language window (that cumsum would shuffle a whole
+      // language into one partition at 100 TB).
+      val sel = TextStats.tokenBudgetSelection(
+        documents(s, d).select($"doc_id", $"text", $"lang"),
+        "doc_id", "text", "lang",
+        Map("en" -> 6000L, "fr" -> 1500L, "zh" -> 10000000L,
+          "de" -> 0L),
+        seed = 7L)
+      sel.select($"lang", $"doc_id",
+          TextStats.wordCount(coalesce($"text", lit("")))
+            .cast("long").as("toks"))
+        .orderBy($"lang", $"doc_id")
+    },
+    "q75_temperature_mixture" -> { (s, d) =>
+      import s.implicits._
+      // sqrt-temperature (alpha = 1/2) corpus rebalance: per-language
+      // weights computed FROM the corpus itself with integer-exact
+      // arithmetic (isqrt + BigInt ratio — no pow()/float-sum drift an
+      // oracle could disagree with), then applied as the deterministic
+      // md5-coin mixture. The oracle replays token sums, corrected
+      // integer sqrt, the HUGEINT weight ratio, and the coin — so the
+      // green hash pins the whole weight computation, not just the
+      // explode. Scale shape: one per-language agg (|langs| rows
+      // collected) + broadcast weight join + narrow explode.
+      TextStats.temperatureMixture(
+          documents(s, d).select($"doc_id", $"text", $"lang"),
+          "doc_id", "lang", "text")
+        .select($"doc_id", $"lang", $"weight_bp".cast("long").as("weight_bp"),
+          $"n_copies", $"copy_idx")
+        .orderBy($"doc_id", $"copy_idx")
     }
   )
 
@@ -1132,6 +1173,57 @@ object PipelineQueries {
            greatest(tok_start, seq_id * 512) - tok_start AS piece_start,
            least(tok_end, (seq_id + 1) * 512) - tok_start AS piece_end
          FROM x
-         ORDER BY shard, seq_id, pack_id"""
+         ORDER BY shard, seq_id, pack_id""",
+    "q74_token_budget" ->
+      """WITH b(lang, budget) AS (VALUES
+           ('en', 6000), ('fr', 1500), ('zh', 10000000), ('de', 0)),
+         t AS (
+           SELECT lang, doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS toks,
+             ('0x' || substr(md5('7:' || doc_id::VARCHAR), 1, 15))
+               ::BIGINT AS pos
+           FROM documents),
+         c AS (
+           SELECT lang, doc_id, toks,
+             CAST(sum(toks) OVER (PARTITION BY lang
+               ORDER BY pos, doc_id) AS BIGINT) - toks AS cum_before
+           FROM t)
+         SELECT lang, doc_id, toks
+         FROM c JOIN b USING (lang)
+         WHERE cum_before < budget
+         ORDER BY lang, doc_id""",
+    "q75_temperature_mixture" ->
+      """WITH n AS (
+           SELECT lang,
+             CAST(sum(len(string_split_regex(trim(text), '\s+')))
+               AS BIGINT) AS ntok
+           FROM documents GROUP BY lang),
+         s AS (
+           SELECT lang, ntok,
+             CASE WHEN (f+1)*(f+1) <= ntok THEN f+1
+                  WHEN f*f > ntok THEN f-1 ELSE f END AS sq
+           FROM (SELECT lang, ntok,
+             CAST(floor(sqrt(CAST(ntok AS DOUBLE))) AS BIGINT) AS f
+             FROM n)),
+         w AS (
+           SELECT lang, CAST(least(
+             (10000::HUGEINT * sq * (SELECT sum(ntok) FROM s)) //
+               ((SELECT sum(sq) FROM s) * ntok),
+             1000000::HUGEINT) AS BIGINT) AS weight_bp
+           FROM s),
+         k AS (
+           SELECT d.doc_id, d.lang, w.weight_bp,
+             weight_bp // 10000 +
+               CASE WHEN ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))
+                 ::BIGINT % 10000 < weight_bp % 10000
+               THEN 1 ELSE 0 END AS n_copies
+           FROM documents d JOIN w USING (lang)),
+         x AS (
+           SELECT doc_id, lang, weight_bp, n_copies,
+             unnest(range(1, n_copies + 1)) AS copy_idx
+           FROM k WHERE n_copies >= 1)
+         SELECT doc_id, lang, weight_bp, n_copies, copy_idx
+         FROM x ORDER BY doc_id, copy_idx"""
   )
 }

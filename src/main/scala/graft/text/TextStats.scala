@@ -537,6 +537,183 @@ object TextStats {
         explode(sequence(lit(1L), col("n_copies"))).as("copy_idx")): _*)
   }
 
+  /** Exact DOWNSAMPLE-TO-TOKEN-BUDGET per corpus slice — the data-
+    * selection step of a pretraining recipe ("keep 20 B tokens of
+    * English"): docs are ordered by the same deterministic md5 position
+    * hash as [[shuffledPackSequences]] (so the kept prefix is a
+    * reproducible uniform sample, not a source-order prefix) and a doc
+    * is kept iff the cumulative token count of docs BEFORE it in that
+    * order is `< budget` — the greedy prefix rule, so the kept mass
+    * can overshoot by at most one document and budget 0 keeps nothing.
+    * Keys absent from `budgets` are dropped.
+    *
+    * Scale shape: the same histogram-descent design as
+    * [[stratifiedSample]], generalized from row counts to token
+    * WEIGHTS. A per-key window cumsum would shuffle every doc of a
+    * language into one partition — the classic skew cliff. Instead:
+    * one slim (key, id, pos, toks) projection is lazily checkpointed
+    * (text never leaves its scan), three 12-bit descent rounds walk
+    * per-key token histograms (≤ 4096 × |keys| rows collected per
+    * round, driver state O(|keys|)) to locate each key's boundary in a
+    * 1/2^36 slice of the corpus, the boundary slice is resolved
+    * exactly, and the final plan is scan → broadcast cut join →
+    * filter: no window, no sort, no wide shuffle anywhere.
+    */
+  def tokenBudgetSelection(docs: DataFrame, idCol: String,
+      textCol: String, keyCol: String, budgets: Map[String, Long],
+      seed: Long): DataFrame = {
+    require(budgets.values.forall(_ >= 0), "budgets must be >= 0")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def posOf(id: Column): Column = conv(substring(
+      md5(concat_ws(":", lit(seed), id.cast("long"))), 1, 15), 16, 10)
+      .cast("long")
+    val slim = docs.select(col(keyCol).as("_k"),
+      col(idCol).cast("long").as("_id"), posOf(col(idCol)).as("_p"),
+      wordCount(coalesce(col(textCol), lit(""))).cast("long").as("_t"))
+      .localCheckpoint(false)
+    // per-key descent state: resolved pos-prefix and tokens before it
+    var prefix = Map.empty[String, Long]
+    var cumBase = budgets.collect { case (k, b) if b > 0 => k -> 0L }
+    // zero-budget keys resolve immediately to the empty cut
+    var cuts = budgets.collect { case (k, 0L) => k -> (-1L, -1L) }
+    var active = cumBase.keySet
+    val shifts = Seq(48, 36, 24)
+    shifts.zipWithIndex.foreach { case (shift, level) =>
+      if (active.nonEmpty) {
+        val scoped =
+          if (level == 0) slim
+          else {
+            val pdf = broadcast(active.toSeq
+              .map(k => (k, prefix(k))).toDF("_pk", "_pfx"))
+            slim.join(pdf, col("_k") === col("_pk") &&
+              shiftright(col("_p"), shift + 12) === col("_pfx"))
+          }
+        val hist = scoped
+          .groupBy(col("_k"), shiftright(col("_p"), shift).as("_b"))
+          .agg(sum(col("_t")).as("_c"))
+          .collect()
+          .groupBy(_.getString(0))
+        active.toSeq.foreach { k =>
+          hist.get(k) match {
+            case None => // key absent from the corpus: nothing to keep
+              cuts += k -> (-1L, -1L); active -= k
+            case Some(rows) =>
+              val buckets = rows.map(r =>
+                (r.getLong(1), r.getLong(2))).sortBy(_._1)
+              var acc = cumBase(k)
+              var i = 0
+              while (i < buckets.length &&
+                  acc + buckets(i)._2 < budgets(k)) {
+                acc += buckets(i)._2; i += 1
+              }
+              if (i == buckets.length) { // whole key fits the budget
+                cuts += k -> (Long.MaxValue, Long.MaxValue); active -= k
+              } else {
+                prefix += k -> buckets(i)._1
+                cumBase += k -> acc
+              }
+          }
+        }
+      }
+    }
+    if (active.nonEmpty) {
+      // boundary slice (top 36 of 60 pos bits fixed — 1/2^36 of the
+      // corpus): resolve the last kept doc exactly
+      val fdf = broadcast(active.toSeq
+        .map(k => (k, prefix(k))).toDF("_pk", "_pfx"))
+      val fin = slim.join(fdf, col("_k") === col("_pk") &&
+          shiftright(col("_p"), 24) === col("_pfx"))
+        .select(col("_k"), col("_p"), col("_id"), col("_t"))
+        .collect()
+        .groupBy(_.getString(0))
+      active.foreach { k =>
+        val rows = fin(k).map(r =>
+          (r.getLong(1), r.getLong(2), r.getLong(3)))
+          .sortBy(r => (r._1, r._2))
+        var acc = cumBase(k)
+        var cut = (-1L, -1L)
+        var i = 0
+        while (i < rows.length && acc < budgets(k)) {
+          cut = (rows(i)._1, rows(i)._2); acc += rows(i)._3; i += 1
+        }
+        cuts += k -> cut
+      }
+    }
+    // release the slim table's checkpoint blocks (the final plan below
+    // re-derives pos from the raw scan; Dataset.unpersist is a no-op
+    // for localCheckpoint — unpersist the checkpointed RDD itself)
+    slim.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(false))
+    val cutDf = broadcast(cuts.toSeq
+      .map { case (k, (p, id)) => (k, p, id) }
+      .toDF("_ck", "_cp", "_cid"))
+    val p = posOf(col(idCol))
+    docs.join(cutDf, col(keyCol) === col("_ck") &&
+        (p < col("_cp") ||
+          (p === col("_cp") && col(idCol).cast("long") <= col("_cid"))))
+      .select(docs.columns.map(docs.col): _*)
+  }
+
+  /** Integer-exact square-root TEMPERATURE weights (alpha = 1/2, the
+    * multilingual resampling rule): with `n_k` tokens per key,
+    * `p_k = sqrt(n_k) / SUM sqrt(n_j)` and the per-doc copy factor in
+    * basis points is `10000 * p_k * N / n_k`, capped at `maxWeightBp`
+    * (upweighting a tiny slice 100x is never what anyone wants).
+    * All arithmetic is exact — integer sqrt plus BigInt ratio — so any
+    * engine reproduces the same weights bit-for-bit; no float sum
+    * order or pow() libm drift can flip a rounding. The per-key token
+    * aggregate collapses to one row per key before the collect, so the
+    * driver state is O(|keys|) at any corpus size.
+    */
+  def temperatureWeightsBp(docs: DataFrame, keyCol: String,
+      textCol: String, maxWeightBp: Int = 1000000): Map[String, Int] = {
+    val stats = docs
+      .groupBy(col(keyCol))
+      .agg(sum(wordCount(coalesce(col(textCol), lit("")))
+        .cast("long")).as("_n"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sq = stats.map { case (k, n) => k -> isqrt(n) }
+    val bigS = sq.values.map(BigInt(_)).sum
+    val bigN = stats.values.map(BigInt(_)).sum
+    stats.map { case (k, n) =>
+      val bp = BigInt(10000) * sq(k) * bigN / (bigS * n)
+      k -> bp.min(BigInt(maxWeightBp)).toInt
+    }
+  }
+
+  /** [[corpusMixture]] under [[temperatureWeightsBp]] — the standard
+    * sqrt-temperature rebalance applied as a deterministic mixture,
+    * with the computed weight attached to every output row so the
+    * weight computation itself is part of any downstream check.
+    */
+  def temperatureMixture(docs: DataFrame, idCol: String, keyCol: String,
+      textCol: String, maxWeightBp: Int = 1000000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bp = temperatureWeightsBp(docs, keyCol, textCol, maxWeightBp)
+    val wdf = broadcast(bp.toSeq.toDF(keyCol, "weight_bp"))
+    corpusMixture(docs, idCol, keyCol, bp).join(wdf, Seq(keyCol))
+  }
+
+  /** Exact integer square root (floor). `math.sqrt` is correctly
+    * rounded so the initial guess is off by at most one for any
+    * Long < 2^52; the two correction loops make it exact everywhere.
+    * The 3037000499 clamp (= isqrt(Long.MaxValue)) keeps both `x*x`
+    * sites inside Long — without it `(x+1)^2` overflows negative for
+    * n >= 3037000499^2 and the increment loop runs away.
+    */
+  private[graft] def isqrt(n: Long): Long = {
+    require(n >= 0, "isqrt of a negative")
+    val max = 3037000499L
+    var x = math.min(max, math.floor(math.sqrt(n.toDouble)).toLong)
+    while (x > 0 && x * x > n) x -= 1
+    while (x < max && (x + 1) * (x + 1) <= n) x += 1
+    x
+  }
+
   /** Occurrence count of the most frequent word `n`-gram. With the
     * total n-gram count this gives the top-n-gram fraction; exposed as
     * a count so oracles compare integers.

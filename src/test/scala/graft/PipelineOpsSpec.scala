@@ -782,4 +782,119 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(again === out.select("doc_id", "copy_idx").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
+
+  // the operator's md5 position hash, replayed driver-side
+  private def budgetPos(seed: Long, id: Long): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$seed:$id".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  test("tokenBudgetSelection matches the greedy (hash, id)-prefix rule") {
+    // every branch in one corpus: en/fr cut mid-key, zh keeps all
+    // (budget > corpus), de budget 0 (empty), es absent from budgets
+    // (dropped), and a budgeted key absent from the corpus (no rows)
+    val rnd = new scala.util.Random(8L)
+    val docs = (0L until 500L).map { i =>
+      val lang = Seq("en", "en", "fr", "zh", "de", "es")(rnd.nextInt(6))
+      (i, Seq.fill(1 + rnd.nextInt(9))("w").mkString(" "), lang)
+    }
+    val budgets = Map("en" -> 300L, "fr" -> 120L, "zh" -> 100000L,
+      "de" -> 0L, "xx" -> 50L)
+    val expected = docs.groupBy(_._3).flatMap { case (k, rs) =>
+      budgets.get(k).fold(Seq.empty[Long]) { b =>
+        var acc = 0L
+        rs.sortBy(r => (budgetPos(11L, r._1), r._1)).takeWhile { r =>
+          val keep = acc < b
+          acc += r._2.split(" ").length
+          keep
+        }.map(_._1)
+      }
+    }.toSet
+    assert(expected.nonEmpty)
+    val out = TextStats.tokenBudgetSelection(
+      docs.toDF("doc_id", "text", "lang"), "doc_id", "text", "lang",
+      budgets, seed = 11L)
+    val got = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === expected)
+    // kept mass overshoots each budget by at most one document
+    val mass = out.groupBy("lang")
+      .agg(sum(TextStats.wordCount(col("text"))).as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    mass.foreach { case (k, t) =>
+      assert(t < budgets(k) + 10, s"$k kept $t of ${budgets(k)}")
+    }
+    assert(!mass.contains("de") && !mass.contains("es"))
+    // partition invariance: the cut is content-addressed
+    val again = TextStats.tokenBudgetSelection(
+      docs.toDF("doc_id", "text", "lang").repartition(7),
+      "doc_id", "text", "lang", budgets, seed = 11L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === expected)
+  }
+
+  test("tokenBudgetSelection's final plan is window- and sort-free") {
+    val docs = (0L until 50L).map(i => (i, "a b c", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextStats.tokenBudgetSelection(docs, "doc_id", "text",
+      "lang", Map("en" -> 40L), seed = 1L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.toLowerCase.contains("sort "), plan)
+    // the cut table is broadcast, not shuffled
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("isqrt is exact at boundaries and beyond 2^52") {
+    val cases = Seq(0L, 1L, 2L, 3L, 4L, 8L, 9L, 15L, 16L,
+      (1L << 52) - 1, 1L << 52, (1L << 52) + 1,
+      3037000498L * 3037000498L,       // isqrt(Long.MaxValue)^2
+      3037000498L * 3037000498L - 1, Long.MaxValue)
+    cases.foreach { n =>
+      val r = TextStats.isqrt(n)
+      assert(r * r <= n, s"isqrt($n) = $r overshoots")
+      assert(r === 3037000499L || (r + 1) * (r + 1) > n,
+        s"isqrt($n) = $r undershoots")
+    }
+    assertThrows[IllegalArgumentException](TextStats.isqrt(-1L))
+  }
+
+  test("temperatureWeightsBp: exact integer weights, cap applies") {
+    // en: 100 tokens, fr: 400 -> sq 10/20, N=500, S=30
+    // en bp = 10000*10*500/(30*100) = 16666; fr = 10000*20*500/(30*400)
+    val docs = ((0L until 10L).map(i => (i, Seq.fill(10)("w").mkString(" "), "en")) ++
+      (10L until 50L).map(i => (i, Seq.fill(10)("w").mkString(" "), "fr")))
+      .toDF("doc_id", "text", "lang")
+    val w = TextStats.temperatureWeightsBp(docs, "lang", "text")
+    assert(w === Map("en" -> 16666, "fr" -> 8333))
+    // the cap bites when one slice is tiny
+    val skewed = ((0L until 1L).map(i => (i, "w", "tiny")) ++
+      (1L until 1000L).map(i => (i, Seq.fill(100)("w").mkString(" "), "big")))
+      .toDF("doc_id", "text", "lang")
+    val wc = TextStats.temperatureWeightsBp(skewed, "lang", "text",
+      maxWeightBp = 50000)
+    assert(wc("tiny") === 50000)
+    assert(wc("big") < 10100 && wc("big") >= 9900)
+  }
+
+  test("temperatureMixture attaches weights and replays corpusMixture") {
+    val docs = ((0L until 10L).map(i => (i, "a b c", "en")) ++
+      (10L until 40L).map(i => (i, "d e", "fr")))
+      .toDF("doc_id", "text", "lang")
+    val bp = TextStats.temperatureWeightsBp(docs, "lang", "text")
+    val out = TextStats.temperatureMixture(docs, "doc_id", "lang", "text")
+      .collect()
+    // every row carries its key's computed weight
+    out.foreach { r =>
+      assert(r.getAs[Int]("weight_bp") === bp(r.getAs[String]("lang")))
+    }
+    // and the explode equals corpusMixture under those weights
+    val direct = TextStats.corpusMixture(docs, "doc_id", "lang", bp)
+      .select("doc_id", "copy_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("copy_idx"))).toSet === direct)
+  }
 }

@@ -65,10 +65,16 @@ class ScaleStressSpec extends AnyFunSuite {
     // scale defect. Its scale path is q45/q51, which ARE measured here.
     // q69 (pairs -> connected components) rides along: its pair input
     // scales like q32's and the star-contraction rounds must stay
-    // O(log n), so ~linear wall-time is exactly the claim under test
+    // O(log n), so ~linear wall-time is exactly the claim under test.
+    // q74's outputs are budget-bound (en/fr rows stay ~flat; only the
+    // keep-all zh slice scales), so it exercises the "not shrunk /
+    // not quadratic" band plus the fixed-round histogram descent at
+    // 10x; q75 recomputes its weights from the 10x corpus — uniform
+    // scaling leaves sqrt-ratios unchanged, so output must be ~10x
     val names = Seq("q31_jaccard_pairs", "q32_minhash_lsh", "q45_ann_lsh",
       "q51_ann_ivf", "q52_cosine_neardup", "q58_semantic_dedup",
-      "q61_repeated_runs", "q69_dedup_components", "q70_sequence_pack")
+      "q61_repeated_runs", "q69_dedup_components", "q70_sequence_pack",
+      "q74_token_budget", "q75_temperature_mixture")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

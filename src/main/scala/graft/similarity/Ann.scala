@@ -126,19 +126,31 @@ object Ann {
       while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
       s
     }
-    // k-means++ seeding
+    // k-means++ seeding with the standard incremental min-distance
+    // cache: after adding a center, only distances to the NEW center
+    // are computed — O(n·k·dim) total. The naive form (recomputing all
+    // centers' distances each round) is O(n·k²·dim) and dominated the
+    // whole 10×-corpus query in ScaleStressSpec (24 s quiet-box median,
+    // nlist 219 — vs 1.5 s at 1×).
     val centers = scala.collection.mutable.ArrayBuffer(
       distinct(rng.nextInt(distinct.length)))
+    val dists = distinct.map(p => d2(p, centers(0)))
     while (centers.length < nlist) {
-      val dists = distinct.map(p => centers.map(c => d2(p, c)).min)
       val total = dists.sum
-      if (total <= 0) {
-        centers += distinct(rng.nextInt(distinct.length))
-      } else {
-        var r = rng.nextDouble() * total
-        var i = 0
-        while (i < dists.length - 1 && r > dists(i)) { r -= dists(i); i += 1 }
-        centers += distinct(i)
+      val next =
+        if (total <= 0) distinct(rng.nextInt(distinct.length))
+        else {
+          var r = rng.nextDouble() * total
+          var i = 0
+          while (i < dists.length - 1 && r > dists(i)) { r -= dists(i); i += 1 }
+          distinct(i)
+        }
+      centers += next
+      var i = 0
+      while (i < distinct.length) {
+        val d = d2(distinct(i), next)
+        if (d < dists(i)) dists(i) = d
+        i += 1
       }
     }
     var cs = centers.toArray
@@ -194,11 +206,18 @@ object Ann {
     * plans unchanged; cap 4096 bounds the driver-side fit, whose cost
     * is O(sample × nlist) — past the cap, the production move is a
     * hierarchical / distributed quantizer fit, not a bigger collect).
+    * `targetCell` 128 is the FAISS-typical band (nlist ≈ 4·sqrt(n)
+    * gives ~250 at n=1M) and, as important, keeps the probe JOIN
+    * parallel: the join key is the cell id, so the number of cells is
+    * the number of distinct shuffle keys — at 10× corpus the old 512
+    * target produced only 32 cells for local[32]'s 32 partitions,
+    * hash collisions left most cores idle (measured load ~2/32, 23 s;
+    * 128 → 125 cells, ~4× fewer candidate pairs, and a busy stage).
     */
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 3, seed: Long = 42L,
-      sampleSize: Int = 0, targetCell: Int = 512): DataFrame = {
+      sampleSize: Int = 0, targetCell: Int = 128): DataFrame = {
     val cells =
       if (nlist > 0) nlist
       else math.min(4096, math.max(16,
@@ -218,9 +237,24 @@ object Ann {
     }
     val cellUdf = udf((v: Seq[Double]) =>
       centers.zipWithIndex.minBy { case (c, _) => dist2(c, v) }._2)
-    val probesUdf = udf((v: Seq[Double]) =>
-      centers.zipWithIndex.sortBy { case (c, _) => dist2(c, v) }
-        .take(nprobe).map(_._2).toSeq)
+    // partial top-nprobe selection, not a full sort: nprobe is 2-3 while
+    // the scaled cell count reaches thousands, and this runs per ROW
+    val probesUdf = udf((v: Seq[Double]) => {
+      val d = centers.map(dist2(_, v))
+      val chosen = new Array[Int](math.min(nprobe, centers.length))
+      var p = 0
+      while (p < chosen.length) {
+        var best = 0; var bd = d(0); var i = 1
+        while (i < d.length) {
+          if (d(i) < bd) { bd = d(i); best = i }
+          i += 1
+        }
+        chosen(p) = best
+        d(best) = Double.PositiveInfinity // finite vecs -> never a real d2
+        p += 1
+      }
+      chosen.toSeq
+    })
     val cs = corpus.select(col("id").as("neighbor_id"),
       col("vec").as("cv"), cellUdf(col("vec")).as("cell"))
     val qs = queries.select(col("id").as("query_id"),

@@ -834,6 +834,44 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(again === expected)
   }
 
+  test("tokenBudgetSelection: randomized brute-force property trials") {
+    // seeded random corpora: sparse/dense ids, skewed keys, budgets
+    // drawn across the whole range (0, tiny, mid, over-corpus) — output
+    // must equal the greedy (hash, id)-prefix brute force every time
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 3).foreach { trial =>
+      val seed = rnd.nextLong()
+      val nKeys = 1 + rnd.nextInt(4)
+      val rows = (0 until 150 + rnd.nextInt(250)).map { _ =>
+        val id = math.abs(rnd.nextLong()) % (if (rnd.nextBoolean())
+          50000L else Long.MaxValue - 1)
+        (id, Seq.fill(1 + rnd.nextInt(12))("w").mkString(" "),
+          s"k${rnd.nextInt(nKeys)}")
+      }.distinctBy(_._1)
+      val budgets = (0 until nKeys).map { k =>
+        s"k$k" -> (rnd.nextInt(4) match {
+          case 0 => 0L
+          case 1 => 1L + rnd.nextInt(20)
+          case 2 => 50L + rnd.nextInt(400)
+          case _ => 100000L
+        })
+      }.toMap
+      val expected = rows.groupBy(_._3).flatMap { case (k, rs) =>
+        var acc = 0L
+        rs.sortBy(r => (budgetPos(seed, r._1), r._1)).takeWhile { r =>
+          val keep = acc < budgets(k)
+          acc += r._2.split(" ").length
+          keep
+        }.map(_._1)
+      }.toSet
+      val got = TextStats.tokenBudgetSelection(
+        rows.toDF("doc_id", "text", "lang"), "doc_id", "text", "lang",
+        budgets, seed)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got === expected, s"trial $trial seed $seed budgets $budgets")
+    }
+  }
+
   test("tokenBudgetSelection's final plan is window- and sort-free") {
     val docs = (0L until 50L).map(i => (i, "a b c", "en"))
       .toDF("doc_id", "text", "lang")

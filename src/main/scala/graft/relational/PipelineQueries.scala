@@ -708,6 +708,34 @@ object PipelineQueries {
         .select($"doc_id", $"lang", $"weight_bp".cast("long").as("weight_bp"),
           $"n_copies", $"copy_idx")
         .orderBy($"doc_id", $"copy_idx")
+    },
+    "q76_ivf_index_probe" -> { (s, d) =>
+      import s.implicits._
+      // BUILD-ONCE / PROBE-MANY IVF persistence on the declared
+      // surface: the q51 construction, but the quantizer fit + cell
+      // assignment are WRITTEN as a parquet index (small centroids
+      // file + corpus partitionBy(cell)) and the probe runs against
+      // the saved index with a static partition-pruning cut to the
+      // probed cells — query-time I/O is nprobe/nlist of the corpus,
+      // the production ANN serving shape at 100 TB. The oracle is the
+      // exact brute-force top-7 (agreement exact by the same
+      // identical-in-cluster-vector construction as q51). The declared
+      // query rebuilds the index each run — honest build+probe cost;
+      // a real deployment builds once and probes many.
+      val m = embeddings(s, d)
+        .agg(expr("(count(1) div 8) * 8").as("m"))
+      val vecs = embeddings(s, d).join(broadcast(m))
+        .filter($"vec_id" < $"m")
+        .select($"vec_id".as("id"),
+          expr("transform(sequence(0, 15), j -> " +
+            "CAST((vec_id div 8 * 1009 + j * j * 571 + " +
+            "vec_id div 8 * j * 37) % 2003 - 1001 AS DOUBLE))").as("vec"))
+      val dir = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft-ivf-index-${Integer.toHexString(d.hashCode)}"
+      Ann.buildIvfIndex(vecs, dir)
+      Ann.probeIvfIndex(s, dir, vecs, k = 7, nprobe = 2)
+        .select($"query_id", $"neighbor_id")
+        .orderBy($"query_id", $"neighbor_id")
     }
   )
 
@@ -1224,6 +1252,24 @@ object PipelineQueries {
              unnest(range(1, n_copies + 1)) AS copy_idx
            FROM k WHERE n_copies >= 1)
          SELECT doc_id, lang, weight_bp, n_copies, copy_idx
-         FROM x ORDER BY doc_id, copy_idx"""
+         FROM x ORDER BY doc_id, copy_idx""",
+    "q76_ivf_index_probe" ->
+      """WITH p AS (SELECT (count(*) // 8) * 8 AS m FROM embeddings),
+         v AS (
+           SELECT vec_id, list_transform(range(0, 16),
+             j -> ((vec_id // 8 * 1009 + j * j * 571 +
+                    vec_id // 8 * j * 37) % 2003 - 1001)::DOUBLE) AS vec
+           FROM embeddings, p WHERE vec_id < m),
+         scored AS (
+           SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             list_cosine_similarity(a.vec, b.vec) AS sim
+           FROM v a, v b WHERE a.vec_id != b.vec_id),
+         ranked AS (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, neighbor_id) AS rnk
+           FROM scored)
+         SELECT query_id, neighbor_id FROM ranked
+         WHERE rnk <= 7 ORDER BY query_id, neighbor_id"""
   )
 }

@@ -1,6 +1,7 @@
 package graft.similarity
 
-import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`).
@@ -218,6 +219,22 @@ object Ann {
       queries: DataFrame, corpus: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 3, seed: Long = 42L,
       sampleSize: Int = 0, targetCell: Int = 128): DataFrame = {
+    val centers =
+      fitQuantizer(corpus, nlist, seed, sampleSize, targetCell)
+    val cs = corpus.select(col("id").as("neighbor_id"),
+      col("vec").as("cv"), cellAssignUdf(centers)(col("vec")).as("cell"))
+    val qs = queries.select(col("id").as("query_id"),
+      col("vec").as("qv"),
+      explode(probeUdf(centers, nprobe)(col("vec"))).as("cell"))
+    probeJoinTopK(cs, qs, k)
+  }
+
+  /** Derive the cell count, pull the bounded driver-side sample, and
+    * fit the coarse quantizer (see [[ivfTopK]]'s scale notes —
+    * `nlist <= 0` scales the cell count with the corpus).
+    */
+  private def fitQuantizer(corpus: DataFrame, nlist: Int, seed: Long,
+      sampleSize: Int, targetCell: Int): Array[Array[Double]] = {
     val cells =
       if (nlist > 0) nlist
       else math.min(4096, math.max(16,
@@ -229,18 +246,29 @@ object Ann {
     val sample: Array[Array[Double]] = corpus.select(col("vec"))
       .limit(sz).collect()
       .map(_.getSeq[Double](0).toArray)
-    val centers = fitCentersLocal(sample, cells, seed)
-    def dist2(a: Array[Double], b: Seq[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
-      s
-    }
-    val cellUdf = udf((v: Seq[Double]) =>
-      centers.zipWithIndex.minBy { case (c, _) => dist2(c, v) }._2)
-    // partial top-nprobe selection, not a full sort: nprobe is 2-3 while
-    // the scaled cell count reaches thousands, and this runs per ROW
-    val probesUdf = udf((v: Seq[Double]) => {
-      val d = centers.map(dist2(_, v))
+    fitCentersLocal(sample, cells, seed)
+  }
+
+  private def qdist2(a: Array[Double], b: Seq[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Nearest-centroid cell id; the centers array rides in the UDF
+    * closure (nlist × dim doubles — small by construction). */
+  private def cellAssignUdf(centers: Array[Array[Double]])
+      : UserDefinedFunction =
+    udf((v: Seq[Double]) =>
+      centers.zipWithIndex.minBy { case (c, _) => qdist2(c, v) }._2)
+
+  /** The `nprobe` nearest cell ids, by partial top-nprobe selection —
+    * not a full sort: nprobe is 2-3 while the scaled cell count
+    * reaches thousands, and this runs per ROW. */
+  private def probeUdf(centers: Array[Array[Double]], nprobe: Int)
+      : UserDefinedFunction =
+    udf((v: Seq[Double]) => {
+      val d = centers.map(qdist2(_, v))
       val chosen = new Array[Int](math.min(nprobe, centers.length))
       var p = 0
       while (p < chosen.length) {
@@ -255,22 +283,80 @@ object Ann {
       }
       chosen.toSeq
     })
-    val cs = corpus.select(col("id").as("neighbor_id"),
-      col("vec").as("cv"), cellUdf(col("vec")).as("cell"))
-    val qs = queries.select(col("id").as("query_id"),
-      col("vec").as("qv"),
-      explode(probesUdf(col("vec"))).as("cell"))
+
+  /** The shared IVF probe tail: equi-join candidates on the cell id,
+    * exact cosine, partial-aggregating top-k. No distinct needed: each
+    * corpus vector lives in exactly one cell and a query's nprobe
+    * cells are distinct, so a (query, neighbor) pair scores at most
+    * once — candidates flow straight into the top-k aggregator.
+    */
+  private def probeJoinTopK(cs: DataFrame, qs: DataFrame, k: Int)
+      : DataFrame = {
     val scored = cs.join(qs, "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("qv"), col("cv")))
-    // no distinct needed: each corpus vector lives in exactly one cell
-    // and a query's nprobe cells are distinct, so a (query, neighbor)
-    // pair scores at most once — candidates flow straight into the
-    // partial-aggregating top-k
     val topk = udaf(new TopKAggregator(k), Encoders.product[Scored])
     rankedFromTopK(scored
       .groupBy(col("query_id"))
       .agg(topk(col("neighbor_id"), col("sim")).as("topk")))
+  }
+
+  /** BUILD-ONCE / PROBE-MANY IVF index persistence — the production
+    * ANN shape at corpus scale (FAISS's train→add→search lifecycle,
+    * re-expressed as Spark storage layout): [[buildIvfIndex]] fits the
+    * coarse quantizer, writes the centroids as one small parquet and
+    * the corpus `partitionBy("cell")`, so each cell is a parquet
+    * PARTITION DIRECTORY. [[probeIvfIndex]] then reads only the probed
+    * cells: the probe equi-join is on the partition column, so
+    * Catalyst's dynamic partition pruning (or the static `isin` cut
+    * when the probed set is small) turns "search the corpus" into
+    * "scan nprobe/nlist of it" — the I/O win that makes query-time ANN
+    * linear in the PROBED fraction, not the corpus, without any
+    * serving infrastructure beyond parquet.
+    */
+  def buildIvfIndex(corpus: DataFrame, indexDir: String,
+      nlist: Int = 0, seed: Long = 42L, sampleSize: Int = 0,
+      targetCell: Int = 128): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centers =
+      fitQuantizer(corpus, nlist, seed, sampleSize, targetCell)
+    centers.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexDir/centroids.parquet")
+    corpus
+      .withColumn("cell", cellAssignUdf(centers)(col("vec")))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/cells.parquet")
+  }
+
+  /** Probe a persisted [[buildIvfIndex]] index. The cell-id filter is
+    * applied as a STATIC `isin` on the partition column — the probed
+    * set is at most `queries × nprobe` distinct cells, already known
+    * driver-side for the explode, so partition pruning is guaranteed
+    * at plan time (`PartitionFilters` in the scan) rather than left to
+    * runtime DPP. Queries is expected to be the small side (the
+    * online-lookup shape); the corpus never loads outside the probed
+    * directories.
+    */
+  def probeIvfIndex(spark: SparkSession, indexDir: String,
+      queries: DataFrame, k: Int, nprobe: Int = 3): DataFrame = {
+    val centers = spark.read.parquet(s"$indexDir/centroids.parquet")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val qs = queries.select(col("id").as("query_id"),
+      col("vec").as("qv"),
+      explode(probeUdf(centers, nprobe)(col("vec"))).as("cell"))
+      .localCheckpoint(true)
+    val probed = qs.select(col("cell")).distinct()
+      .collect().map(_.getInt(0))
+    val cs = spark.read.parquet(s"$indexDir/cells.parquet")
+      .filter(col("cell").isin(probed.toSeq: _*))
+      .select(col("id").as("neighbor_id"), col("vec").as("cv"),
+        col("cell"))
+    probeJoinTopK(cs, qs, k)
   }
 
   /** Signature width that keeps expected bucket population bounded:

@@ -27,7 +27,8 @@ class EquivalenceSpec extends AnyFunSuite {
       "q68_sections_dates_history", "q69_dedup_components",
       "q70_sequence_pack", "q71_corpus_mixture",
       "q72_qualifier_stack", "q73_recipe_shuffle_pack",
-      "q74_token_budget", "q75_temperature_mixture")
+      "q74_token_budget", "q75_temperature_mixture",
+      "q76_ivf_index_probe")
     try sample.map { name =>
       name -> SparkEntry.queries(name)(spark, sf)
         .collect().map(_.toString).sorted.toSeq
@@ -35,7 +36,7 @@ class EquivalenceSpec extends AnyFunSuite {
     finally spark.conf.set("spark.sql.shuffle.partitions", "4")
   }
 
-  // 21-query sweep incl. the composed oracles and the round-8
+  // 22-query sweep incl. the composed oracles and the round-8
   // cluster/pack/mixture layer (q69 exercises the iterative
   // star-contraction under three partitionings)
   test("query results are identical under 3, 4, and 13 shuffle partitions") {

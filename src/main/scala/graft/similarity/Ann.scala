@@ -204,9 +204,9 @@ object Ann {
     * itself the probe join's work grows quadratically. `nlist <= 0`
     * derives the cell count from the corpus size so expected cell
     * population stays ≈ `targetCell` (floor 16 keeps the sf0.01/sf0.1
-    * plans unchanged; cap 4096 bounds the driver-side fit, whose cost
-    * is O(sample × nlist) — past the cap, the production move is a
-    * hierarchical / distributed quantizer fit, not a bigger collect).
+    * plans unchanged; past 4096 cells the fit switches to the
+    * distributed Lloyd rounds of [[fitCentersDistributed]] — a bigger
+    * driver collect is never the move).
     * `targetCell` 128 is the FAISS-typical band (nlist ≈ 4·sqrt(n)
     * gives ~250 at n=1M) and, as important, keeps the probe JOIN
     * parallel: the join key is the cell id, so the number of cells is
@@ -229,16 +229,25 @@ object Ann {
     probeJoinTopK(cs, qs, k)
   }
 
-  /** Derive the cell count, pull the bounded driver-side sample, and
-    * fit the coarse quantizer (see [[ivfTopK]]'s scale notes —
-    * `nlist <= 0` scales the cell count with the corpus).
+  /** Derive the cell count and fit the coarse quantizer (see
+    * [[ivfTopK]]'s scale notes — `nlist <= 0` scales the cell count
+    * with the corpus). Up to 4096 cells the fit is the driver-side
+    * sample k-means ([[fitCentersLocal]] — its sample would need
+    * ≥ 64·nlist vectors, and its k-means++ cost O(sample·nlist·dim)
+    * stays sub-second there); past that the fit itself goes
+    * DISTRIBUTED ([[fitCentersDistributed]]) so the cell count keeps
+    * scaling with the corpus instead of silently capping cell
+    * population growth. The 2^20 ceiling is where flat IVF stops being
+    * the right index family at all (hierarchical coarse quantizers /
+    * graph indexes take over), not a driver limit.
     */
   private def fitQuantizer(corpus: DataFrame, nlist: Int, seed: Long,
       sampleSize: Int, targetCell: Int): Array[Array[Double]] = {
     val cells =
       if (nlist > 0) nlist
-      else math.min(4096, math.max(16,
+      else math.min(1 << 20, math.max(16,
         math.ceil(corpus.count().toDouble / targetCell).toInt))
+    if (cells > 4096) return fitCentersDistributed(corpus, cells, seed)
     val sz = if (sampleSize > 0) sampleSize else math.max(cells * 64, 1024)
     // limit() pulls from the first partitions — fine for a coarse
     // quantizer (its only job is to partition space); swap in a seeded
@@ -247,6 +256,63 @@ object Ann {
       .limit(sz).collect()
       .map(_.getSeq[Double](0).toArray)
     fitCentersLocal(sample, cells, seed)
+  }
+
+  /** Distributed Lloyd fit — the production quantizer fit once the cell
+    * count outgrows any driver-side sample (a 64·nlist sample at
+    * nlist = 100k is 6.4M vectors through one collect). Init is the
+    * `nlist` vectors with the smallest md5(seed:id) — a deterministic
+    * uniform draw, planned as TakeOrdered (no global sort
+    * materialization) — then `maxIter` Lloyd rounds, each ONE
+    * distributed job: broadcast centers → nearest-center assign →
+    * per-cell element-wise mean via the partial-aggregating
+    * [[VecMeanAggregator]] (one (dim, count) pair per partition-cell
+    * at the exchange; the nlist-row collect IS the result). Empty
+    * cells keep their previous center. Centers are deterministic up to
+    * float-sum association order across partitions (~1 ulp); boundary
+    * vectors may therefore flip cells between runs — within the ANN
+    * contract, which is why the ORACLE-checked queries pin the
+    * deterministic local-fit path instead.
+    */
+  def fitCentersDistributed(corpus: DataFrame, nlist: Int, seed: Long,
+      maxIter: Int = 5): Array[Array[Double]] = {
+    require(nlist > 0, "nlist must be positive")
+    val spark = corpus.sparkSession
+    var centers: Array[Array[Double]] = corpus
+      .select(col("vec"))
+      .orderBy(md5(concat_ws(":", lit(seed), col("id").cast("long"))),
+        col("id"))
+      .limit(nlist).collect()
+      .map(_.getSeq[Double](0).toArray)
+    if (centers.isEmpty) return Array(Array(0.0))
+    val vecMean = udaf(new VecMeanAggregator,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]())
+    var it = 0
+    while (it < maxIter) {
+      val bc = spark.sparkContext.broadcast(centers)
+      val assign = udf((v: Seq[Double]) => {
+        val cs = bc.value
+        var best = 0; var bd = qdist2(cs(0), v); var i = 1
+        while (i < cs.length) {
+          val d = qdist2(cs(i), v); if (d < bd) { bd = d; best = i }
+          i += 1
+        }
+        best
+      })
+      val means = corpus
+        .groupBy(assign(col("vec")).as("cell"))
+        .agg(vecMean(col("vec")).as("mean"))
+        .collect()
+      val next = centers.clone()
+      means.foreach { r =>
+        val m = r.getSeq[Double](1)
+        if (m.nonEmpty) next(r.getInt(0)) = m.toArray
+      }
+      bc.destroy()
+      centers = next
+      it += 1
+    }
+    centers
   }
 
   private def qdist2(a: Array[Double], b: Seq[Double]): Double = {

@@ -25,6 +25,50 @@ case class TopKBuf(items: Seq[Scored])
   * (edsnlp/processing/multiprocessing.py keeps per-worker partial results)
   * re-expressed as Spark partial aggregation.
   */
+/** Element-wise running sum + count for a vector column — the partial
+  * state of a distributed mean. Seeded lazily from the first vector so
+  * the aggregator needs no dimension parameter.
+  */
+case class VecSumBuf(sums: Seq[Double], n: Long)
+
+/** Element-wise MEAN of a vector column as a typed Aggregator: map-side
+  * partial sums, one (dim-doubles, count) pair per (partition, group)
+  * at the exchange. The reduction layer of the distributed Lloyd step
+  * in [[Ann.fitCentersDistributed]].
+  */
+class VecMeanAggregator
+    extends Aggregator[Seq[Double], VecSumBuf, Seq[Double]] {
+  override def zero: VecSumBuf = VecSumBuf(Nil, 0L)
+
+  override def reduce(b: VecSumBuf, v: Seq[Double]): VecSumBuf =
+    if (v == null) b
+    else if (b.n == 0L) VecSumBuf(v, 1L)
+    else {
+      val s = b.sums.toArray
+      var i = 0
+      while (i < s.length) { s(i) += v(i); i += 1 }
+      VecSumBuf(s.toSeq, b.n + 1)
+    }
+
+  override def merge(a: VecSumBuf, b: VecSumBuf): VecSumBuf =
+    if (a.n == 0L) b
+    else if (b.n == 0L) a
+    else {
+      val s = a.sums.toArray
+      var i = 0
+      while (i < s.length) { s(i) += b.sums(i); i += 1 }
+      VecSumBuf(s.toSeq, a.n + b.n)
+    }
+
+  override def finish(b: VecSumBuf): Seq[Double] =
+    if (b.n == 0L) Nil else b.sums.map(_ / b.n)
+
+  override def bufferEncoder: Encoder[VecSumBuf] =
+    Encoders.product[VecSumBuf]
+  override def outputEncoder: Encoder[Seq[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+}
+
 class TopKAggregator(k: Int)
     extends Aggregator[Scored, TopKBuf, Seq[Scored]] {
   require(k > 0, "k must be positive")

@@ -228,6 +228,46 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ndRecall >= 0.85, s"near-dup recall $ndRecall of ${brute.size}")
   }
 
+  test("distributed quantizer fit: planted clusters resolved, means exact") {
+    // VecMeanAggregator arithmetic on a hand-checkable group
+    val g = Seq((0, Seq(1.0, 2.0)), (0, Seq(3.0, 6.0)), (1, Seq(5.0, 5.0)))
+      .toDF("cell", "vec")
+    val vm = udaf(new graft.similarity.VecMeanAggregator,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]())
+    val got = g.repartition(3).groupBy("cell").agg(vm($"vec").as("m"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(got === Map(0 -> Seq(2.0, 4.0), 1 -> Seq(5.0, 5.0)))
+    // distributed Lloyd on well-separated planted clusters: the probe
+    // sets built from its centers must preserve true-neighbor recall
+    // (the quantizer contract), even if individual Lloyd runs split or
+    // merge a cluster
+    val rng = new scala.util.Random(47)
+    val centroids = Array.fill(8)(Array.fill(16)(rng.nextGaussian() * 3))
+    val rows = (0 until 320).map { i =>
+      (i.toLong, centroids(i % 8).map(_ + rng.nextGaussian() * 0.1).toSeq)
+    }
+    val emb = rows.toDF("id", "vec")
+    val centers = graft.similarity.Ann.fitCentersDistributed(
+      emb, nlist = 8, seed = 42L)
+    assert(centers.length === 8)
+    def d2(a: Array[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def probes(v: Seq[Double], n: Int): Set[Int] =
+      centers.zipWithIndex.sortBy { case (c, _) => d2(c, v) }
+        .take(n).map(_._2).toSet
+    def cell(v: Seq[Double]): Int = probes(v, 1).head
+    // recall: for every vector, its 10 true nearest (= cluster-mates
+    // by construction) land in its 2 probed cells
+    val byId = rows.toMap
+    val hits = rows.count { case (id, v) =>
+      val mates = rows.filter(r => r._1 % 8 == id % 8 && r._1 != id)
+      val pr = probes(v, 2)
+      mates.count(m => pr.contains(cell(m._2))) >= (mates.size * 9) / 10
+    }
+    assert(hits >= 300, s"only $hits/320 vectors keep cluster recall")
+    assert(byId.size === 320)
+  }
+
   test("persisted IVF index: probe equals in-memory IVF, scan is pruned") {
     val rng = new scala.util.Random(31)
     val centroids = Array.fill(8)(Array.fill(16)(rng.nextGaussian()))

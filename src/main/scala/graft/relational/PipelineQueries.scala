@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.dedup.{Dedup, SimHash}
 import graft.multimodal.Multimodal
-import graft.similarity.Ann
+import graft.similarity.{Ann, Pq}
 import graft.text.TextStats
 
 /** Training-data pipeline operators (dedup / similarity / text analysis /
@@ -736,6 +736,32 @@ object PipelineQueries {
       Ann.probeIvfIndex(s, dir, vecs, k = 7, nprobe = 2)
         .select($"query_id", $"neighbor_id")
         .orderBy($"query_id", $"neighbor_id")
+    },
+    "q77_ann_pq" -> { (s, d) =>
+      import s.implicits._
+      // product-quantized ADC ranking (FAISS IndexPQ): vectors stored
+      // as 4 one-byte codeword ids, candidates scored by per-query
+      // table lookups — the MEMORY-bounded member of the similarity
+      // family (q34 exact / q45 LSH / q51 IVF / q76 persisted index).
+      // On this corpus every distinct subvector gets its own codeword
+      // (<=256 distinct per subspace), so the encoding is lossless and
+      // the ADC top-7 is exactly the brute-force top-7 the oracle
+      // computes; mates tie at sim 1 and the shared (sim desc, id)
+      // order breaks them identically. Like q34, the scan is the
+      // declared O(N*Q) baseline shape with a bounded query set.
+      val m = embeddings(s, d)
+        .agg(expr("(count(1) div 8) * 8").as("m"))
+      val vecs = embeddings(s, d).join(broadcast(m))
+        .filter($"vec_id" < $"m")
+        .select($"vec_id".as("id"),
+          expr("transform(sequence(0, 15), j -> " +
+            "CAST((vec_id div 8 * 1009 + j * j * 571 + " +
+            "vec_id div 8 * j * 37) % 2003 - 1001 AS DOUBLE))").as("vec"))
+      val cb = Pq.fitCodebooks(vecs, dim = 16, m = 4)
+      val codes = vecs.select($"id", Pq.encodeUdf(cb)($"vec").as("code"))
+      Pq.adcTopK(vecs.filter($"id" % 25 === 0), codes, cb, k = 7)
+        .select($"query_id", $"rank".as("rnk"), $"neighbor_id")
+        .orderBy($"query_id", $"rnk")
     }
   )
 
@@ -1270,6 +1296,25 @@ object PipelineQueries {
                ORDER BY sim DESC, neighbor_id) AS rnk
            FROM scored)
          SELECT query_id, neighbor_id FROM ranked
-         WHERE rnk <= 7 ORDER BY query_id, neighbor_id"""
+         WHERE rnk <= 7 ORDER BY query_id, neighbor_id""",
+    "q77_ann_pq" ->
+      """WITH p AS (SELECT (count(*) // 8) * 8 AS m FROM embeddings),
+         v AS (
+           SELECT vec_id, list_transform(range(0, 16),
+             j -> ((vec_id // 8 * 1009 + j * j * 571 +
+                    vec_id // 8 * j * 37) % 2003 - 1001)::DOUBLE) AS vec
+           FROM embeddings, p WHERE vec_id < m),
+         scored AS (
+           SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             list_cosine_similarity(a.vec, b.vec) AS sim
+           FROM v a, v b
+           WHERE a.vec_id % 25 = 0 AND a.vec_id != b.vec_id),
+         ranked AS (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, neighbor_id) AS rnk
+           FROM scored)
+         SELECT query_id, rnk, neighbor_id FROM ranked
+         WHERE rnk <= 7 ORDER BY query_id, rnk"""
   )
 }

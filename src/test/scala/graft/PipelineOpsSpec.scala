@@ -268,6 +268,49 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(byId.size === 320)
   }
 
+  test("PQ-ADC: m-byte codes, lossless-case exactness, generic recall") {
+    import graft.similarity.Pq
+    // generic Gaussian clusters: PQ is approximate — assert recall
+    val rng = new scala.util.Random(53)
+    val centroids = Array.fill(8)(Array.fill(16)(rng.nextGaussian() * 3))
+    val rows = (0 until 320).map { i =>
+      (i.toLong, centroids(i % 8).map(_ + rng.nextGaussian() * 0.1).toSeq)
+    }
+    val emb = rows.toDF("id", "vec")
+    val cb = Pq.fitCodebooks(emb, dim = 16, m = 4, ksub = 32)
+    val codes = emb.select($"id", Pq.encodeUdf(cb)($"vec").as("code"))
+    // the memory contract: a code is exactly m bytes
+    codes.collect().foreach(r =>
+      assert(r.getAs[Array[Byte]]("code").length === 4))
+    val q = emb.filter($"id" < 16)
+    // PQ erases within-cluster micro-distances by design (mates become
+    // near-ties), so exact-set recall is the wrong bar for generic
+    // data — the quantizer contract is NEIGHBORHOOD recall: every
+    // ADC top-10 entry must be a true cluster mate of its query
+    val adc = Pq.adcTopK(q, codes, cb, k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(adc.length === 160)
+    val inCluster = adc.count { case (qid, nid) => qid % 8 == nid % 8 }
+    assert(inCluster >= 152, // >= 95%
+      s"only $inCluster/160 ADC neighbors are cluster mates")
+    // lossless case: fewer distinct subvectors than codewords -> every
+    // subvector IS a codeword and ADC ranking equals brute force
+    val lat = (0 until 160).map { i =>
+      (i.toLong, (0 until 16).map(j =>
+        ((i / 8) * 37 + j * j * 11) % 97 - 48.0))
+    }.toDF("id", "vec")
+    val cbl = Pq.fitCodebooks(lat, dim = 16, m = 4)
+    val codesL = lat.select($"id", Pq.encodeUdf(cbl)($"vec").as("code"))
+    val exactL = Ann.bruteForceTopK(lat.filter($"id" < 24), lat, 7)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val adcL = Pq.adcTopK(lat.filter($"id" < 24), codesL, cbl, k = 7)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(adcL === exactL)
+  }
+
   test("persisted IVF index: probe equals in-memory IVF, scan is pruned") {
     val rng = new scala.util.Random(31)
     val centroids = Array.fill(8)(Array.fill(16)(rng.nextGaussian()))

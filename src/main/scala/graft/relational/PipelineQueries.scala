@@ -762,6 +762,27 @@ object PipelineQueries {
       Pq.adcTopK(vecs.filter($"id" % 25 === 0), codes, cb, k = 7)
         .select($"query_id", $"rank".as("rnk"), $"neighbor_id")
         .orderBy($"query_id", $"rnk")
+    },
+    "q78_ann_ivfpq" -> { (s, d) =>
+      import s.implicits._
+      // the COMPOSED index (FAISS IndexIVFPQ): IVF cells bound compute
+      // (probe equi-join, no corpus scan per query), PQ codes bound
+      // memory (m-byte candidates stream through the join, no float
+      // vectors). Exactness composes on this corpus: cell agreement is
+      // exact (identical in-cluster vectors) and the encoding lossless
+      // (<=256 distinct subvectors), so the oracle is the same exact
+      // brute-force top-7 as q51's.
+      val m = embeddings(s, d)
+        .agg(expr("(count(1) div 8) * 8").as("m"))
+      val vecs = embeddings(s, d).join(broadcast(m))
+        .filter($"vec_id" < $"m")
+        .select($"vec_id".as("id"),
+          expr("transform(sequence(0, 15), j -> " +
+            "CAST((vec_id div 8 * 1009 + j * j * 571 + " +
+            "vec_id div 8 * j * 37) % 2003 - 1001 AS DOUBLE))").as("vec"))
+      Pq.ivfpqTopK(vecs, vecs, dim = 16, k = 7, nprobe = 2)
+        .select($"query_id", $"neighbor_id")
+        .orderBy($"query_id", $"neighbor_id")
     }
   )
 
@@ -1315,6 +1336,24 @@ object PipelineQueries {
                ORDER BY sim DESC, neighbor_id) AS rnk
            FROM scored)
          SELECT query_id, rnk, neighbor_id FROM ranked
-         WHERE rnk <= 7 ORDER BY query_id, rnk"""
+         WHERE rnk <= 7 ORDER BY query_id, rnk""",
+    "q78_ann_ivfpq" ->
+      """WITH p AS (SELECT (count(*) // 8) * 8 AS m FROM embeddings),
+         v AS (
+           SELECT vec_id, list_transform(range(0, 16),
+             j -> ((vec_id // 8 * 1009 + j * j * 571 +
+                    vec_id // 8 * j * 37) % 2003 - 1001)::DOUBLE) AS vec
+           FROM embeddings, p WHERE vec_id < m),
+         scored AS (
+           SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             list_cosine_similarity(a.vec, b.vec) AS sim
+           FROM v a, v b WHERE a.vec_id != b.vec_id),
+         ranked AS (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, neighbor_id) AS rnk
+           FROM scored)
+         SELECT query_id, neighbor_id FROM ranked
+         WHERE rnk <= 7 ORDER BY query_id, neighbor_id"""
   )
 }

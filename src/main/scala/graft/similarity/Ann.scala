@@ -241,8 +241,8 @@ object Ann {
     * the right index family at all (hierarchical coarse quantizers /
     * graph indexes take over), not a driver limit.
     */
-  private def fitQuantizer(corpus: DataFrame, nlist: Int, seed: Long,
-      sampleSize: Int, targetCell: Int): Array[Array[Double]] = {
+  private[similarity] def fitQuantizer(corpus: DataFrame, nlist: Int,
+      seed: Long, sampleSize: Int, targetCell: Int): Array[Array[Double]] = {
     val cells =
       if (nlist > 0) nlist
       else math.min(1 << 20, math.max(16,
@@ -323,7 +323,7 @@ object Ann {
 
   /** Nearest-centroid cell id; the centers array rides in the UDF
     * closure (nlist × dim doubles — small by construction). */
-  private def cellAssignUdf(centers: Array[Array[Double]])
+  private[similarity] def cellAssignUdf(centers: Array[Array[Double]])
       : UserDefinedFunction =
     udf((v: Seq[Double]) =>
       centers.zipWithIndex.minBy { case (c, _) => qdist2(c, v) }._2)
@@ -331,7 +331,7 @@ object Ann {
   /** The `nprobe` nearest cell ids, by partial top-nprobe selection —
     * not a full sort: nprobe is 2-3 while the scaled cell count
     * reaches thousands, and this runs per ROW. */
-  private def probeUdf(centers: Array[Array[Double]], nprobe: Int)
+  private[similarity] def probeUdf(centers: Array[Array[Double]], nprobe: Int)
       : UserDefinedFunction =
     udf((v: Seq[Double]) => {
       val d = centers.map(qdist2(_, v))

@@ -82,35 +82,28 @@ object Pq {
     })
   }
 
-  /** ADC cosine top-k of `queries` (id, vec) against `codes`
-    * (id, code): the query side builds its dot-product table ONCE (m ×
-    * ks_s entries against every codeword) and is broadcast; the
-    * corpus side streams `m`-byte codes through a scoring expression
-    * that is `2m` array lookups + one sqrt per candidate —
-    * `cos(q, recon(c)) = Σ dotTab / (‖q‖ · sqrt(Σ norm2Tab))`, exact
-    * with respect to the reconstructed vectors. Candidates feed the
-    * partial-aggregating top-k (same exchange bound as
-    * [[Ann.bruteForceTopK]]: k rows per partition-query). Like q34,
-    * the scan is the declared O(N·Q) baseline shape — PQ bounds its
-    * MEMORY traffic, IVF cells bound its compute; compose both for
-    * FAISS's IndexIVFPQ.
+  /** The per-codebook-set ADC machinery, shared by the flat and the
+    * IVF-composed paths: `tab` builds one query's dot-product table
+    * (m × ks_s entries, jagged subspaces flattened through `offsets`),
+    * `qnorm` its norm, and `score` ranks an `m`-byte candidate code by
+    * `cos(q, recon(c)) = Σ dotTab / (‖q‖ · sqrt(Σ norm2Tab))` — `2m`
+    * array lookups + one sqrt, exact w.r.t. the reconstructed vectors.
+    * ‖codeword‖² is query-independent: one global table in the
+    * closures.
     */
-  def adcTopK(queries: DataFrame, codes: DataFrame,
-      codebooks: Array[Array[Array[Double]]], k: Int,
-      excludeSelf: Boolean = true): DataFrame = {
-    val m = codebooks.length
-    val dsub = codebooks(0)(0).length
-    // offsets flatten the jagged m × ks_s tables into one array
-    val offsets = codebooks.scanLeft(0)(_ + _.length)
-    // ‖codeword‖² is query-independent: one global table in the closure
-    val norm2Tab: Array[Double] = codebooks.flatMap(_.map { c =>
+  private final class AdcScorer(codebooks: Array[Array[Array[Double]]])
+      extends Serializable {
+    private val m = codebooks.length
+    private val dsub = codebooks(0)(0).length
+    private val offsets = codebooks.scanLeft(0)(_ + _.length)
+    private val norm2Tab: Array[Double] = codebooks.flatMap(_.map { c =>
       var s = 0.0; var i = 0
       while (i < c.length) { s += c(i) * c(i); i += 1 }
       s
     })
-    val tabUdf = udf((v: Seq[Double]) => {
+    val tab: UserDefinedFunction = udf((v: Seq[Double]) => {
       val arr = v.toArray
-      val tab = new Array[Double](offsets.last)
+      val t = new Array[Double](offsets.last)
       var s = 0
       while (s < m) {
         val cb = codebooks(s)
@@ -118,35 +111,32 @@ object Pq {
         while (j < cb.length) {
           var d = 0.0; var i = 0
           while (i < dsub) { d += arr(s * dsub + i) * cb(j)(i); i += 1 }
-          tab(offsets(s) + j) = d
+          t(offsets(s) + j) = d
           j += 1
         }
         s += 1
       }
-      tab.toSeq
+      t.toSeq
     })
-    val qnorm = udf((v: Seq[Double]) => {
+    val qnorm: UserDefinedFunction = udf((v: Seq[Double]) => {
       var s = 0.0; var i = 0
       while (i < v.length) { s += v(i) * v(i); i += 1 }
       math.sqrt(s)
     })
-    val scoreUdf = udf((tab: Seq[Double], qn: Double, code: Array[Byte]) => {
-      var dot = 0.0; var n2 = 0.0; var s = 0
-      while (s < m) {
-        val idx = offsets(s) + (code(s) & 0xff)
-        dot += tab(idx); n2 += norm2Tab(idx)
-        s += 1
-      }
-      val den = qn * math.sqrt(n2)
-      if (den == 0.0 || den.isNaN) 0.0 else dot / den
-    })
-    val qs = queries.select(col("id").as("query_id"),
-      tabUdf(col("vec")).as("tab"), qnorm(col("vec")).as("qn"))
-    val cs = codes.select(col("id").as("neighbor_id"), col("code"))
-    val scored = cs.crossJoin(broadcast(qs))
-      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id")
-              else lit(true))
-      .withColumn("sim", scoreUdf(col("tab"), col("qn"), col("code")))
+    val score: UserDefinedFunction =
+      udf((tab: Seq[Double], qn: Double, code: Array[Byte]) => {
+        var dot = 0.0; var n2 = 0.0; var s = 0
+        while (s < m) {
+          val idx = offsets(s) + (code(s) & 0xff)
+          dot += tab(idx); n2 += norm2Tab(idx)
+          s += 1
+        }
+        val den = qn * math.sqrt(n2)
+        if (den == 0.0 || den.isNaN) 0.0 else dot / den
+      })
+  }
+
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new TopKAggregator(k), Encoders.product[Scored])
     scored.groupBy(col("query_id"))
       .agg(topk(col("neighbor_id"), col("sim")).as("topk"))
@@ -154,5 +144,60 @@ object Pq {
       .select(col("query_id"),
         (col("pos") + 1).cast("int").as("rank"),
         col("col.neighbor_id").as("neighbor_id"))
+  }
+
+  /** ADC cosine top-k of `queries` (id, vec) against `codes`
+    * (id, code): the query side builds its dot-product table ONCE and
+    * is broadcast; the corpus side streams `m`-byte codes through the
+    * [[AdcScorer]]. Candidates feed the partial-aggregating top-k
+    * (same exchange bound as [[Ann.bruteForceTopK]]: k rows per
+    * partition-query). Like q34, the scan is the declared O(N·Q)
+    * baseline shape — PQ bounds its MEMORY traffic; [[ivfpqTopK]]
+    * bounds the compute too.
+    */
+  def adcTopK(queries: DataFrame, codes: DataFrame,
+      codebooks: Array[Array[Array[Double]]], k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val adc = new AdcScorer(codebooks)
+    val qs = queries.select(col("id").as("query_id"),
+      adc.tab(col("vec")).as("tab"), adc.qnorm(col("vec")).as("qn"))
+    val cs = codes.select(col("id").as("neighbor_id"), col("code"))
+    val scored = cs.crossJoin(broadcast(qs))
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id")
+              else lit(true))
+      .withColumn("sim", adc.score(col("tab"), col("qn"), col("code")))
+    rankTopK(scored, k)
+  }
+
+  /** IVF + PQ composed (the FAISS `IndexIVFPQ` shape — the index family
+    * actually deployed at billion-vector scale): the coarse quantizer
+    * bounds COMPUTE (each query scores only its `nprobe` cells' members
+    * — a cell-id equi-join, never a corpus scan) and the PQ codes bound
+    * MEMORY (candidates stream as `m`-byte codes; no float vector
+    * crosses the join). The probe side carries its ADC tables through
+    * the join, so scoring stays `2m` lookups per candidate. Both
+    * quantizers fit exactly as in the standalone paths ([[Ann.ivfTopK]]
+    * / [[fitCodebooks]]), so the lossless-corpus exactness argument
+    * composes: cell agreement is exact AND reconstruction is exact →
+    * the top-k is the true top-k, which keeps the declared query
+    * oracle-checkable.
+    */
+  def ivfpqTopK(queries: DataFrame, corpus: DataFrame, dim: Int, k: Int,
+      nlist: Int = 0, nprobe: Int = 3, m: Int = 4, ksub: Int = 256,
+      seed: Long = 42L, targetCell: Int = 128): DataFrame = {
+    val centers = Ann.fitQuantizer(corpus, nlist, seed,
+      sampleSize = 0, targetCell = targetCell)
+    val codebooks = fitCodebooks(corpus, dim, m, ksub, seed)
+    val adc = new AdcScorer(codebooks)
+    val cs = corpus.select(col("id").as("neighbor_id"),
+      encodeUdf(codebooks)(col("vec")).as("code"),
+      Ann.cellAssignUdf(centers)(col("vec")).as("cell"))
+    val qs = queries.select(col("id").as("query_id"),
+      adc.tab(col("vec")).as("tab"), adc.qnorm(col("vec")).as("qn"),
+      explode(Ann.probeUdf(centers, nprobe)(col("vec"))).as("cell"))
+    val scored = cs.join(qs, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", adc.score(col("tab"), col("qn"), col("code")))
+    rankTopK(scored, k)
   }
 }

@@ -309,6 +309,15 @@ class PipelineOpsSpec extends AnyFunSuite {
       .select("query_id", "rank", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(adcL === exactL)
+    // the composed IVF+PQ path: same exactness on the lossless corpus,
+    // and its candidate generation is the cell equi-join (no cartesian)
+    val ivfpq = Pq.ivfpqTopK(lat.filter($"id" < 24), lat, dim = 16,
+      k = 7, nlist = 8, nprobe = 3)
+    val gotC = ivfpq.select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(gotC === exactL)
+    val plan = ivfpq.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
   }
 
   test("persisted IVF index: probe equals in-memory IVF, scan is pruned") {

@@ -11,9 +11,9 @@ import org.apache.spark.sql.functions._
   * vector is stored as `m` BYTES of codeword ids instead of `dim`
   * doubles (16 bytes vs 128 for a 16-dim double vector — and the ratio
   * widens with dim). Search is ADC (asymmetric distance computation):
-  * per QUERY, one small table of query-subvector·codeword products is
-  * built once, and every candidate's similarity is `m` table lookups —
-  * no decode, no per-candidate float vector in memory or shuffle.
+  * the query keeps its float vector, every CANDIDATE is ranked straight
+  * from its code against the closure codebooks — no decode, no
+  * per-candidate float vector in memory or shuffle.
   *
   * The codes column is a plain `binary` DataFrame column: it prunes,
   * scans, and shuffles like any other column, so a 100-TB corpus keeps
@@ -83,40 +83,30 @@ object Pq {
   }
 
   /** The per-codebook-set ADC machinery, shared by the flat and the
-    * IVF-composed paths: `tab` builds one query's dot-product table
-    * (m × ks_s entries, jagged subspaces flattened through `offsets`),
-    * `qnorm` its norm, and `score` ranks an `m`-byte candidate code by
-    * `cos(q, recon(c)) = Σ dotTab / (‖q‖ · sqrt(Σ norm2Tab))` — `2m`
-    * array lookups + one sqrt, exact w.r.t. the reconstructed vectors.
-    * ‖codeword‖² is query-independent: one global table in the
-    * closures.
+    * IVF-composed paths: `score` ranks an `m`-byte candidate code by
+    * `cos(q, recon(c)) = Σ_s q_s·c_s / (‖q‖ · sqrt(Σ ‖c_s‖²))` — `dim`
+    * multiplies + `m` norm lookups + one sqrt per candidate, exact
+    * w.r.t. the reconstructed vectors. ‖codeword‖² is
+    * query-independent: one global table in the closure.
+    *
+    * Deliberately NOT the textbook per-query dot-product table: a
+    * DataFrame join materializes every carried column per OUTPUT row,
+    * so an m × ksub table (≈1000 doubles at ksub 256) rides EVERY
+    * candidate row — measured 7 s for q78 at sf0.1 (multi-GB of table
+    * copies) vs carrying only the dim-double query vector. FAISS's
+    * table trick amortizes thread-local scratch over one query's
+    * scan; the row-at-a-time equivalent is to keep the candidate side
+    * codes-only (the actual memory win) and spend the identical
+    * `dim`-multiply cost against closure codebooks.
     */
   private final class AdcScorer(codebooks: Array[Array[Array[Double]]])
       extends Serializable {
     private val m = codebooks.length
     private val dsub = codebooks(0)(0).length
-    private val offsets = codebooks.scanLeft(0)(_ + _.length)
-    private val norm2Tab: Array[Double] = codebooks.flatMap(_.map { c =>
+    private val norm2Tab: Array[Array[Double]] = codebooks.map(_.map { c =>
       var s = 0.0; var i = 0
       while (i < c.length) { s += c(i) * c(i); i += 1 }
       s
-    })
-    val tab: UserDefinedFunction = udf((v: Seq[Double]) => {
-      val arr = v.toArray
-      val t = new Array[Double](offsets.last)
-      var s = 0
-      while (s < m) {
-        val cb = codebooks(s)
-        var j = 0
-        while (j < cb.length) {
-          var d = 0.0; var i = 0
-          while (i < dsub) { d += arr(s * dsub + i) * cb(j)(i); i += 1 }
-          t(offsets(s) + j) = d
-          j += 1
-        }
-        s += 1
-      }
-      t.toSeq
     })
     val qnorm: UserDefinedFunction = udf((v: Seq[Double]) => {
       var s = 0.0; var i = 0
@@ -124,11 +114,14 @@ object Pq {
       math.sqrt(s)
     })
     val score: UserDefinedFunction =
-      udf((tab: Seq[Double], qn: Double, code: Array[Byte]) => {
+      udf((qv: Seq[Double], qn: Double, code: Array[Byte]) => {
         var dot = 0.0; var n2 = 0.0; var s = 0
         while (s < m) {
-          val idx = offsets(s) + (code(s) & 0xff)
-          dot += tab(idx); n2 += norm2Tab(idx)
+          val j = code(s) & 0xff
+          val c = codebooks(s)(j)
+          var i = 0
+          while (i < dsub) { dot += qv(s * dsub + i) * c(i); i += 1 }
+          n2 += norm2Tab(s)(j)
           s += 1
         }
         val den = qn * math.sqrt(n2)
@@ -147,9 +140,9 @@ object Pq {
   }
 
   /** ADC cosine top-k of `queries` (id, vec) against `codes`
-    * (id, code): the query side builds its dot-product table ONCE and
-    * is broadcast; the corpus side streams `m`-byte codes through the
-    * [[AdcScorer]]. Candidates feed the partial-aggregating top-k
+    * (id, code): the query side (id, vec, norm) is broadcast; the
+    * corpus side streams `m`-byte codes through the [[AdcScorer]].
+    * Candidates feed the partial-aggregating top-k
     * (same exchange bound as [[Ann.bruteForceTopK]]: k rows per
     * partition-query). Like q34, the scan is the declared O(N·Q)
     * baseline shape — PQ bounds its MEMORY traffic; [[ivfpqTopK]]
@@ -160,12 +153,12 @@ object Pq {
       excludeSelf: Boolean = true): DataFrame = {
     val adc = new AdcScorer(codebooks)
     val qs = queries.select(col("id").as("query_id"),
-      adc.tab(col("vec")).as("tab"), adc.qnorm(col("vec")).as("qn"))
+      col("vec").as("qv"), adc.qnorm(col("vec")).as("qn"))
     val cs = codes.select(col("id").as("neighbor_id"), col("code"))
     val scored = cs.crossJoin(broadcast(qs))
       .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id")
               else lit(true))
-      .withColumn("sim", adc.score(col("tab"), col("qn"), col("code")))
+      .withColumn("sim", adc.score(col("qv"), col("qn"), col("code")))
     rankTopK(scored, k)
   }
 
@@ -193,11 +186,11 @@ object Pq {
       encodeUdf(codebooks)(col("vec")).as("code"),
       Ann.cellAssignUdf(centers)(col("vec")).as("cell"))
     val qs = queries.select(col("id").as("query_id"),
-      adc.tab(col("vec")).as("tab"), adc.qnorm(col("vec")).as("qn"),
+      col("vec").as("qv"), adc.qnorm(col("vec")).as("qn"),
       explode(Ann.probeUdf(centers, nprobe)(col("vec"))).as("cell"))
     val scored = cs.join(qs, "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", adc.score(col("tab"), col("qn"), col("code")))
+      .withColumn("sim", adc.score(col("qv"), col("qn"), col("code")))
     rankTopK(scored, k)
   }
 }

@@ -71,10 +71,16 @@ class ScaleStressSpec extends AnyFunSuite {
     // not quadratic" band plus the fixed-round histogram descent at
     // 10x; q75 recomputes its weights from the 10x corpus — uniform
     // scaling leaves sqrt-ratios unchanged, so output must be ~10x
+    // q78 (IVF+PQ) is a scale-path query like q51: cells scale with the
+    // corpus and candidates stream as codes, so ~linear wall-time is
+    // the claim; at 10x the codebooks go genuinely lossy (2003 distinct
+    // directions > 256 codewords) which changes recall, not row counts
+    // (top-k always emits k per query). q77 stays out like q34: it is
+    // the declared O(N*Q) baseline scan by contract.
     val names = Seq("q31_jaccard_pairs", "q32_minhash_lsh", "q45_ann_lsh",
       "q51_ann_ivf", "q52_cosine_neardup", "q58_semantic_dedup",
       "q61_repeated_runs", "q69_dedup_components", "q70_sequence_pack",
-      "q74_token_budget", "q75_temperature_mixture")
+      "q74_token_budget", "q75_temperature_mixture", "q78_ann_ivfpq")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

@@ -126,6 +126,22 @@ object Dedup {
     * Self-join happens per-bucket only — linear + bucket-local quadratic.
     * `maxBucket` guards against boilerplate-skew buckets at scale.
     */
+  /** The ONE definition of the LSH banding bucket key: band b's bucket
+    * is xxhash64 over the band index and that band's signature slice.
+    * Shared by [[lshCandidatePairs]] and the dropped-count side of
+    * [[lshCandidatePairsWithDropped]] so the observability count can
+    * never desync from the bucketing that actually drops.
+    */
+  private def bandBuckets(sigs: DataFrame, idCol: String, bands: Int)
+      : DataFrame =
+    sigs
+      .select(col(idCol).as("id"),
+        posexplode(expr(s"transform(sequence(0, $bands - 1), " +
+          s"b -> xxhash64(b, array_join(slice(sig, " +
+          s"b * greatest(size(sig) div $bands, 1) + 1, " +
+          s"greatest(size(sig) div $bands, 1)), ',')))")))
+      .select(col("id"), concat_ws("_", col("pos"), col("col")).as("bucket"))
+
   def lshCandidatePairs(
       sigs: DataFrame, // (id, sig array<bigint>)
       idCol: String,
@@ -140,13 +156,7 @@ object Dedup {
     // silently drops everything — mandatory check, not opt-in.
     require(bands <= sigLength,
       s"bands ($bands) must not exceed signature length ($sigLength)")
-    val buckets = sigs
-      .select(col(idCol).as("id"),
-        posexplode(expr(s"transform(sequence(0, $bands - 1), " +
-          s"b -> xxhash64(b, array_join(slice(sig, " +
-          s"b * greatest(size(sig) div $bands, 1) + 1, " +
-          s"greatest(size(sig) div $bands, 1)), ',')))")))
-      .select(col("id"), concat_ws("_", col("pos"), col("col")).as("bucket"))
+    val buckets = bandBuckets(sigs, idCol, bands)
     // Cap boilerplate-skew buckets with a groupBy count + join, not a
     // window: a window count sorts every row WITHIN the mega-bucket it is
     // about to discard; the aggregate pre-shrinks to one row per bucket.
@@ -188,13 +198,7 @@ object Dedup {
       sigs: DataFrame, idCol: String, bands: Int, sigLength: Int,
       maxBucket: Int = 1000): (DataFrame, DataFrame) = {
     val pairs = lshCandidatePairs(sigs, idCol, bands, sigLength, maxBucket)
-    val buckets = sigs
-      .select(col(idCol).as("id"),
-        posexplode(expr(s"transform(sequence(0, $bands - 1), " +
-          s"b -> xxhash64(b, array_join(slice(sig, " +
-          s"b * greatest(size(sig) div $bands, 1) + 1, " +
-          s"greatest(size(sig) div $bands, 1)), ',')))")))
-      .select(col("id"), concat_ws("_", col("pos"), col("col")).as("bucket"))
+    val buckets = bandBuckets(sigs, idCol, bands)
     val dropped = buckets.groupBy("bucket").agg(count(lit(1)).as("n"))
       .filter(col("n") > maxBucket)
       .agg(count(lit(1)).as("dropped_buckets"))
@@ -536,6 +540,12 @@ object Dedup {
     }
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds")
+    // the FINAL round's checkpoint is intentionally NOT released here:
+    // the returned DataFrame is lazy and reads those very blocks when
+    // the caller executes it (a checkpointed RDD has no lineage to
+    // recompute from — releasing now would fail the query). The blocks
+    // are reclaimed by the ContextCleaner once the result Dataset is
+    // garbage-collected, like any cached leaf a caller still holds.
     e.select(col("b").as("id"), col("a").as("component"))
       .unionAll(e.select(col("a"), col("a")).distinct()
         .toDF("id", "component"))

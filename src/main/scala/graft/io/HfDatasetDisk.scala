@@ -197,10 +197,18 @@ object HfDatasetDisk {
   def write(df: DataFrame, dir: String, batchRows: Int = 1024): Unit = {
     val schema = df.schema
     new File(dir).mkdirs()
-    // rewriting with fewer partitions must not leave stale
-    // higher-numbered shards for glob-based readers to mix in
-    Option(new File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".arrow")).foreach(_.delete())
+    // Write the new shard set into a staging directory and swap in
+    // AFTER the job succeeds. Deleting the old shards up front (the
+    // previous behavior) destroys the INPUT when df lazily reads from
+    // this same directory (read → filter → write-in-place: the scan
+    // plans its splits after the delete and finds nothing); staging
+    // also means a mid-job failure leaves the old dataset intact
+    // rather than half-deleted. The final delete+rename window is the
+    // same one any non-transactional layout rewrite has.
+    val stage = new File(dir,
+      s".stage-${java.util.UUID.randomUUID().toString.take(8)}")
+    stage.mkdirs()
+    val stagePath = stage.getAbsolutePath
     val n = df.rdd.getNumPartitions
     val names = (0 until n).map(i => f"data-$i%05d-of-$n%05d.arrow")
     df.rdd.mapPartitionsWithIndex { (idx, rows) =>
@@ -209,7 +217,7 @@ object HfDatasetDisk {
       val root = VectorSchemaRoot.create(
         new ArrowSchema(fields.toSeq.asJava), alloc)
       val out = new FileOutputStream(
-        new File(dir, f"data-$idx%05d-of-$n%05d.arrow"))
+        new File(stagePath, f"data-$idx%05d-of-$n%05d.arrow"))
       val writer = new ArrowStreamWriter(root, null, out)
       try {
         writer.start()
@@ -228,6 +236,15 @@ object HfDatasetDisk {
       }
       Iterator.single(idx)
     }.count()
+    // job done — old shards can no longer be an input; swap
+    Option(new File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".arrow")).foreach(_.delete())
+    names.foreach { f =>
+      java.nio.file.Files.move(new File(stage, f).toPath,
+        new File(dir, f).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    stage.delete()
     val filesJson = names
       .map(f => s"""{"filename": "$f"}""").mkString(", ")
     java.nio.file.Files.write(new File(dir, "state.json").toPath,

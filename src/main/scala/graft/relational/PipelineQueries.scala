@@ -730,8 +730,13 @@ object PipelineQueries {
           expr("transform(sequence(0, 15), j -> " +
             "CAST((vec_id div 8 * 1009 + j * j * 571 + " +
             "vec_id div 8 * j * 37) % 2003 - 1001 AS DOUBLE))").as("vec"))
+      // per-process path: keyed by sf dir AND pid, so a concurrently
+      // running Verify/Bench pair can never overwrite an index the
+      // other is mid-probe on; stable within a process so bench reps
+      // exercise the overwrite path rather than leaking a dir per rep
       val dir = s"${System.getProperty("java.io.tmpdir")}" +
-        s"/graft-ivf-index-${Integer.toHexString(d.hashCode)}"
+        s"/graft-ivf-index-${Integer.toHexString(d.hashCode)}" +
+        s"-${ProcessHandle.current().pid()}"
       Ann.buildIvfIndex(vecs, dir)
       Ann.probeIvfIndex(s, dir, vecs, k = 7, nprobe = 2)
         .select($"query_id", $"neighbor_id")

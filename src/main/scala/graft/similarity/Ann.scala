@@ -412,10 +412,15 @@ object Ann {
     val centers = spark.read.parquet(s"$indexDir/centroids.parquet")
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).map(_._2)
+    // qs is deliberately NOT checkpointed: the probe projection is
+    // recomputed once for the cell collect and once in the join —
+    // cheap on the small query side — whereas an eager localCheckpoint
+    // would pin its blocks in executor storage until driver GC, one
+    // leaked block set per probe call in the build-once/probe-many
+    // serving loop this exists for.
     val qs = queries.select(col("id").as("query_id"),
       col("vec").as("qv"),
       explode(probeUdf(centers, nprobe)(col("vec"))).as("cell"))
-      .localCheckpoint(true)
     val probed = qs.select(col("cell")).distinct()
       .collect().map(_.getInt(0))
     val cs = spark.read.parquet(s"$indexDir/cells.parquet")

@@ -106,6 +106,17 @@ private final class BratScan(
 
   override def planInputPartitions(): Array[InputPartition] = {
     val dir = new java.io.File(path)
+    // fail LOUDLY on a missing/unlistable path: listFiles() null would
+    // otherwise plan zero splits and a mistyped corpus dir reports
+    // "0 documents" with a green exit (the pre-V2 reader threw via
+    // spark.read.text). Local-filesystem paths only, like the rest of
+    // this source — a remote-FS corpus goes through the parquet/HF
+    // layouts.
+    if (!dir.isDirectory) {
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "PATH_NOT_FOUND",
+        messageParameters = Map("path" -> path))
+    }
     val txts = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".txt")).map(_.getAbsolutePath).sorted
     val maxPartitions = math.max(1, SparkSession.active

@@ -93,4 +93,14 @@ class DataSourceV2Spec extends AnyFunSuite {
     assert(df.rdd.getNumPartitions === 5)
     assert(df.count() === 30)
   }
+
+  test("missing corpus paths fail loudly, not as empty DataFrames") {
+    // a mistyped corpus dir must never report "0 documents" with a
+    // green exit: brat throws at split planning, hfdataset at schema
+    // inference
+    val brat = spark.read.format("brat").load("/no/such/brat-dir")
+    assertThrows[org.apache.spark.sql.AnalysisException](brat.count())
+    assertThrows[IllegalArgumentException](
+      spark.read.format("hfdataset").load("/no/such/hf-dir"))
+  }
 }

@@ -97,6 +97,18 @@ class FuzzyHfSpec extends AnyFunSuite {
     assert(text === "fracture du radius")
     assert(ents.map(e => (e.text, e.label)) === Seq(
       ("fracture du", "lesion")))
+    // IN-PLACE rewrite: the input is a LAZY read of the same directory
+    // — the staged write must finish its job before touching the old
+    // shards (an up-front delete would destroy the input mid-plan) and
+    // must not leave stale higher-numbered shards behind
+    val rewritten = HfDatasetDisk.read(spark, dir.getPath)
+      .filter("id < 2").repartition(1)
+    HfDatasetDisk.write(rewritten, dir.getPath)
+    assert(dir.listFiles().count(_.getName.endsWith(".arrow")) === 1)
+    assert(!dir.listFiles().exists(_.getName.startsWith(".stage-")))
+    val after = HfDatasetDisk.read(spark, dir.getPath).collect()
+      .map(_.getLong(0)).sorted
+    assert(after.toSeq === Seq(0L, 1L))
   }
 
   test("BRAT relations parse") {

@@ -1,9 +1,46 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * A query that throws must show as a RED row, never as absence: the
+  * failure writes `<outDir>/<name>/_ERROR.txt` (so the driver's parquet
+  * read of that name fails loudly instead of finding nothing) and an
+  * aggregate `<outDir>/errors.json` — a correctness artifact with a
+  * silently-missing key once hid a real regression for a whole round.
+  */
 object Verify {
+
+  /** Run each query, parquet-dump it, and return name → error message for
+    * every query that threw (empty when all green). Package-visible so the
+    * fail-loudly contract is spec'd with a deliberately-throwing query.
+    */
+  private[graft] def dumpQueries(
+      spark: SparkSession,
+      sfDir: String,
+      outDir: String,
+      queries: Map[String, (SparkSession, String) => DataFrame])
+      : Map[String, String] = {
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    queries.foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        val msg = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"
+        System.err.println(s"[verify] $name FAILED: $msg")
+        val qd = Paths.get(outDir, name)
+        Files.createDirectories(qd)
+        Files.writeString(qd.resolve("_ERROR.txt"), msg + "\n")
+        errors(name) = msg
+      }
+    }
+    // Always written, even when empty — the driver can merge unconditionally
+    Files.writeString(Paths.get(outDir, "errors.json"),
+      graft.tools.JsonOut.obj(errors))
+    errors.toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -15,28 +52,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    val errors = dumpQueries(spark, sfDir, outDir, SparkEntry.queries)
+    val json = graft.tools.JsonOut.obj(SparkEntry.oracleSql)
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // Exit 0 even on per-query failure: the driver must still run the
+    // DuckDB compare over the green queries; the red ones are visible via
+    // _ERROR.txt (poisons that name's parquet read) and errors.json.
+    if (errors.nonEmpty)
+      System.err.println(
+        s"[verify] ${errors.size} quer${if (errors.size == 1) "y" else "ies"}" +
+          s" FAILED: ${errors.keys.mkString(", ")}")
   }
 }

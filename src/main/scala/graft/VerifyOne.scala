@@ -6,7 +6,8 @@ import java.nio.file.{Files, Paths}
 /** Dump one (or a few) declared queries for a targeted oracle check:
   * `runMain graft.VerifyOne <outDir> <name> [name...]`. Writes the same
   * layout as [[Verify]] (result parquet per query + oracle_sql.json
-  * restricted to the requested names) so `tools/selfcheck.py` works on
+  * restricted to the requested names, plus the same fail-loudly
+  * `_ERROR.txt`/`errors.json` markers) so `tools/selfcheck.py` works on
   * the output unchanged. Dev-only; the driver always runs full Verify.
   */
 object VerifyOne {
@@ -23,21 +24,10 @@ object VerifyOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    names.foreach { name =>
-      SparkEntry.queries(name)(spark, sfDir)
-        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-    }
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    val selected = names.map(n => n -> SparkEntry.queries(n)).toMap
+    Verify.dumpQueries(spark, sfDir, outDir, selected)
+    val json = graft.tools.JsonOut.obj(
+      SparkEntry.oracleSql.filter(kv => names.contains(kv._1)))
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

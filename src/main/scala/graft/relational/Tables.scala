@@ -21,19 +21,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read nanos as long (`nanosAsLong`) and convert to a
-    * microsecond TimestampType with integer division (a double division
-    * would lose precision above 2^53 ns).
+  /** events.parquet's `ts` physical encoding has varied across driver data
+    * generations: TIMESTAMP(NANOS) (Spark's vectorized reader rejects it —
+    * read nanos as long via `nanosAsLong` and integer-divide; a double
+    * division would lose precision above 2^53 ns), untagged micros (Spark
+    * ≥3.4 reads as TIMESTAMP_NTZ — cast to TimestampType; session tz is
+    * pinned UTC in Verify/Bench so the cast is a pure re-tag), and
+    * UTC-tagged micros (already TimestampType). Normalize all three to a
+    * session-tz TimestampType so every downstream query (`unix_micros`,
+    * windows, watermarks) sees one type regardless of data generation.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType => // nanos-as-long (legacy TIMESTAMP(NANOS) layout)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => // untagged micros
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw // already TimestampType
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame =
     table(s, d, "documents")

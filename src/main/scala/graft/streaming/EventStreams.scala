@@ -21,21 +21,26 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  val eventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos (driver parquet layout)
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** File-stream source over a directory of events parquet (nanos ts →
-    * microsecond TimestampType, same conversion as the batch loader).
+  /** File-stream source over a directory of events parquet. readStream
+    * needs an explicit schema, but the driver's `ts` physical encoding has
+    * varied across data generations (nanos-as-long, untagged micros →
+    * TIMESTAMP_NTZ, UTC micros). Probe the directory with a one-off batch
+    * read (footer-only — no data scanned) and derive both the stream
+    * schema and the unit conversion from what is actually on disk, the
+    * same normalization as the batch loader (`Tables.events`): every
+    * downstream watermark/window sees a session-tz TimestampType.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventSchema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val onDisk = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(onDisk).parquet(dir)
+    onDisk("ts").dataType match {
+      case LongType => // nanos-as-long (legacy TIMESTAMP(NANOS) layout)
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => // untagged micros
+        stream.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => stream // already TimestampType
+    }
   }
 
   /** Tumbling-window counts/sums per event type with late-data handling. */

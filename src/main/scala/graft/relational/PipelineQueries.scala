@@ -26,6 +26,31 @@ import graft.text.TextStats
 object PipelineQueries {
   import Tables.{documents, embeddings}
 
+  /** The deterministic spread-lattice embedding corpus shared by the ANN
+    * family (q45/q51/q52/q58/q76/q77/q78): clusters of 8 ids share ONE
+    * pseudo-random 16-dim integer lattice direction (nonlinear in the
+    * component index so directions are genuinely spread — max
+    * cross-cluster cosine 0.983 at sf0.1 vs within-cluster 1.0), making
+    * LSH/IVF cell agreement and the oracle's brute-force top-k exact by
+    * construction. `scaled = true` (q45) additionally stretches each id
+    * by a positive integer factor, exercising sign-LSH scale invariance.
+    * Corpus size enters the plan as a broadcast one-row aggregate — no
+    * separate blocking count() job.
+    */
+  private def latticeVecs(
+      s: SparkSession, d: String, scaled: Boolean = false): DataFrame = {
+    import s.implicits._
+    val m = embeddings(s, d)
+      .agg(expr("(count(1) div 8) * 8").as("m"))
+    val component = "CAST((vec_id div 8 * 1009 + j * j * 571 + " +
+      "vec_id div 8 * j * 37) % 2003 - 1001 AS DOUBLE)" +
+      (if (scaled) " * CAST(1 + vec_id % 5 AS DOUBLE)" else "")
+    embeddings(s, d).join(broadcast(m))
+      .filter($"vec_id" < $"m")
+      .select($"vec_id".as("id"),
+        expr(s"transform(sequence(0, 15), j -> $component)").as("vec"))
+  }
+
   /** Distinct word-trigram shingles as full 64-bit hashes, via the fused
     * [[graft.dedup.Shingling]] walker (FNV-1a words, mixed + splitmix-
     * finalized per shingle) — ONE pass, no intermediate shingle strings.
@@ -157,15 +182,7 @@ object PipelineQueries {
       // The plan is the linear one: signature projection + multi-probe
       // equi-join, no cartesian. corpus size enters the plan as a
       // broadcast one-row aggregate — no separate blocking count() job
-      val m = embeddings(s, d)
-        .agg(expr("(count(1) div 8) * 8").as("m"))
-      val vecs = embeddings(s, d).join(broadcast(m))
-        .filter($"vec_id" < $"m")
-        .select($"vec_id".as("id"),
-          expr("transform(sequence(0, 15), j -> " +
-            "CAST((vec_id div 8 * 1009 + j * j * 571 + " +
-            "vec_id div 8 * j * 37) % 2003 - 1001 AS DOUBLE)" +
-            " * CAST(1 + vec_id % 5 AS DOUBLE))").as("vec"))
+      val vecs = latticeVecs(s, d, scaled = true)
       // nbits = 0 -> corpus-scaled signature width (floor 12, so the
       // sf0.1 plan is unchanged): a fixed width goes quadratic in the
       // per-bucket population as the corpus grows (ScaleStressSpec)
@@ -184,14 +201,7 @@ object PipelineQueries {
       // agreement EXACT by construction (assignment is a function of the
       // vector value), so the approximate path provably returns the 7
       // cluster-mates and the oracle brute-forces the same top-7.
-      val m = embeddings(s, d)
-        .agg(expr("(count(1) div 8) * 8").as("m"))
-      val vecs = embeddings(s, d).join(broadcast(m))
-        .filter($"vec_id" < $"m")
-        .select($"vec_id".as("id"),
-          expr("transform(sequence(0, 15), j -> " +
-            "CAST((vec_id div 8 * 1009 + j * j * 571 + " +
-            "vec_id div 8 * j * 37) % 2003 - 1001 AS DOUBLE))").as("vec"))
+      val vecs = latticeVecs(s, d)
       // nlist = 0 -> corpus-scaled cell count (floor 16, so the sf0.01/
       // sf0.1 plans are unchanged): a fixed nlist makes cell population
       // grow with the corpus and the probe join quadratic when queries
@@ -209,14 +219,7 @@ object PipelineQueries {
       // matches — recall is total by construction, not probability),
       // cross-cluster cosine <= 0.983 < the 0.995 threshold by a margin
       // vastly wider than FP noise. The oracle recomputes all pairs.
-      val m = embeddings(s, d)
-        .agg(expr("(count(1) div 8) * 8").as("m"))
-      val vecs = embeddings(s, d).join(broadcast(m))
-        .filter($"vec_id" < $"m")
-        .select($"vec_id".as("id"),
-          expr("transform(sequence(0, 15), j -> " +
-            "CAST((vec_id div 8 * 1009 + j * j * 571 + " +
-            "vec_id div 8 * j * 37) % 2003 - 1001 AS DOUBLE))").as("vec"))
+      val vecs = latticeVecs(s, d)
       // nbits = 0 -> corpus-scaled per-table signature width, keeping
       // bucket populations flat as the corpus grows
       Ann.cosineNearDuplicates(vecs, dim = 16, threshold = 0.995,
@@ -438,14 +441,7 @@ object PipelineQueries {
       // counts. Candidates come from the capped multi-table LSH (total
       // recall by construction — in-cluster vectors are identical), so
       // the oracle's brute-force survivor set is provably the same.
-      val m = embeddings(s, d)
-        .agg(expr("(count(1) div 8) * 8").as("m"))
-      val vecs = embeddings(s, d).join(broadcast(m))
-        .filter($"vec_id" < $"m")
-        .select($"vec_id".as("id"),
-          expr("transform(sequence(0, 15), j -> " +
-            "CAST((vec_id div 8 * 1009 + j * j * 571 + " +
-            "vec_id div 8 * j * 37) % 2003 - 1001 AS DOUBLE))").as("vec"))
+      val vecs = latticeVecs(s, d)
       Ann.semanticDedup(vecs, dim = 16, threshold = 0.995, nbits = 0)
         .select($"id".as("vec_id"), $"n_near")
         .orderBy($"vec_id")
@@ -722,14 +718,7 @@ object PipelineQueries {
       // identical-in-cluster-vector construction as q51). The declared
       // query rebuilds the index each run — honest build+probe cost;
       // a real deployment builds once and probes many.
-      val m = embeddings(s, d)
-        .agg(expr("(count(1) div 8) * 8").as("m"))
-      val vecs = embeddings(s, d).join(broadcast(m))
-        .filter($"vec_id" < $"m")
-        .select($"vec_id".as("id"),
-          expr("transform(sequence(0, 15), j -> " +
-            "CAST((vec_id div 8 * 1009 + j * j * 571 + " +
-            "vec_id div 8 * j * 37) % 2003 - 1001 AS DOUBLE))").as("vec"))
+      val vecs = latticeVecs(s, d)
       // per-process path: keyed by sf dir AND pid, so a concurrently
       // running Verify/Bench pair can never overwrite an index the
       // other is mid-probe on; stable within a process so bench reps
@@ -754,14 +743,7 @@ object PipelineQueries {
       // computes; mates tie at sim 1 and the shared (sim desc, id)
       // order breaks them identically. Like q34, the scan is the
       // declared O(N*Q) baseline shape with a bounded query set.
-      val m = embeddings(s, d)
-        .agg(expr("(count(1) div 8) * 8").as("m"))
-      val vecs = embeddings(s, d).join(broadcast(m))
-        .filter($"vec_id" < $"m")
-        .select($"vec_id".as("id"),
-          expr("transform(sequence(0, 15), j -> " +
-            "CAST((vec_id div 8 * 1009 + j * j * 571 + " +
-            "vec_id div 8 * j * 37) % 2003 - 1001 AS DOUBLE))").as("vec"))
+      val vecs = latticeVecs(s, d)
       val cb = Pq.fitCodebooks(vecs, dim = 16, m = 4)
       val codes = vecs.select($"id", Pq.encodeUdf(cb)($"vec").as("code"))
       Pq.adcTopK(vecs.filter($"id" % 25 === 0), codes, cb, k = 7)
@@ -777,14 +759,7 @@ object PipelineQueries {
       // exact (identical in-cluster vectors) and the encoding lossless
       // (<=256 distinct subvectors), so the oracle is the same exact
       // brute-force top-7 as q51's.
-      val m = embeddings(s, d)
-        .agg(expr("(count(1) div 8) * 8").as("m"))
-      val vecs = embeddings(s, d).join(broadcast(m))
-        .filter($"vec_id" < $"m")
-        .select($"vec_id".as("id"),
-          expr("transform(sequence(0, 15), j -> " +
-            "CAST((vec_id div 8 * 1009 + j * j * 571 + " +
-            "vec_id div 8 * j * 37) % 2003 - 1001 AS DOUBLE))").as("vec"))
+      val vecs = latticeVecs(s, d)
       Pq.ivfpqTopK(vecs, vecs, dim = 16, k = 7, nprobe = 2)
         .select($"query_id", $"neighbor_id")
         .orderBy($"query_id", $"neighbor_id")

@@ -271,6 +271,66 @@ object EventStreams {
       }
   }
 
+  case class BudgetDoc(key: String, doc_id: Long, pos: Long, toks: Long)
+  case class BudgetState(acc: Long)
+  case class KeptDoc(key: String, doc_id: Long)
+
+  /** STREAMING token-budget selection — the unbounded twin of
+    * `TextStats.tokenBudgetSelection`: documents arriving on a stream
+    * are admitted per corpus slice while the slice's KEPT token mass is
+    * still under its budget (the same greedy prefix rule: a doc is kept
+    * iff the tokens kept before it are < budget, so overshoot is at
+    * most one document and budget 0 keeps nothing); once a slice's
+    * budget is exhausted every later arrival drops. Keys absent from
+    * `budgets` drop without creating state. The per-key state is ONE
+    * running token count — like `packDocs`, bounded by |keys|, not
+    * stream length, so no timeout is needed.
+    *
+    * Determinism contract, shared with the batch operator through the
+    * single `TextStats.positionHash`/`wordCount` definitions: within a
+    * micro-batch rows are admitted in (position-hash, id) order — the
+    * batch operator's order — so replaying a corpus through ONE
+    * micro-batch reproduces `tokenBudgetSelection`'s kept set
+    * bit-for-bit. Across micro-batches the admission order is
+    * arrival-then-hash (what "gate an unbounded stream" means); the
+    * budget arithmetic stays exact either way.
+    */
+  def tokenBudgetDocs(
+      docs: DataFrame, // streaming (doc_id, key, text)
+      budgets: Map[String, Long],
+      seed: Long,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      keyCol: String = "lang"): Dataset[KeptDoc] = {
+    require(budgets.values.forall(_ >= 0), "budgets must be >= 0")
+    import docs.sparkSession.implicits._
+    val bc = docs.sparkSession.sparkContext.broadcast(budgets)
+    docs
+      .select(col(keyCol).as("key"),
+        col(idCol).cast("long").as("doc_id"),
+        graft.text.TextStats.positionHash(seed, col(idCol)).as("pos"),
+        graft.text.TextStats.wordCount(coalesce(col(textCol), lit("")))
+          .cast("long").as("toks"))
+      .as[BudgetDoc]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[BudgetState, KeptDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[BudgetDoc],
+            state: GroupState[BudgetState]) =>
+          val budget = bc.value.getOrElse(key, 0L)
+          if (budget <= 0L) Iterator.empty // unknown/zero key: drop, no state
+          else {
+            var acc = state.getOption.map(_.acc).getOrElse(0L)
+            val out = scala.collection.mutable.ArrayBuffer.empty[KeptDoc]
+            rows.toSeq.sortBy(d => (d.pos, d.doc_id)).foreach { d =>
+              if (acc < budget) { out += KeptDoc(key, d.doc_id); acc += d.toks }
+            }
+            state.update(BudgetState(acc))
+            out.iterator
+          }
+      }
+  }
+
   case class BucketDoc(
       bucket: String, doc_id: Long, ts: java.sql.Timestamp, sig: Seq[Long])
   case class BucketState(

@@ -455,12 +455,21 @@ object TextStats {
     * exchange is the per-shard cumsum window over (pos, id, count)
     * rows — text never shuffles, no global sort, no driver state.
     */
+  /** Low 60 bits of `md5(seed ":" id)` — the deterministic position
+    * hash shared by the seeded shuffle, token-budget selection, and the
+    * streaming budget twin. ONE definition: the cross-operator
+    * bit-equality contract (a stream replaying a corpus in this order
+    * reproduces the batch selection exactly) breaks the moment two
+    * copies drift.
+    */
+  def positionHash(seed: Long, id: Column): Column = conv(substring(
+    md5(concat_ws(":", lit(seed), id.cast("long"))), 1, 15), 16, 10)
+    .cast("long")
+
   def shuffledPackSequences(docs: DataFrame, idCol: String,
       textCol: String, budget: Int, shards: Int, seed: Long): DataFrame = {
     require(shards > 0, "shards must be positive")
-    val pos = conv(substring(
-      md5(concat_ws(":", lit(seed), col("id"))), 1, 15), 16, 10)
-      .cast("long")
+    val pos = positionHash(seed, col("id"))
     packCumsum(
       tokenized(docs, idCol, textCol)
         .withColumn("pos", pos)
@@ -565,9 +574,7 @@ object TextStats {
     require(budgets.values.forall(_ >= 0), "budgets must be >= 0")
     val spark = docs.sparkSession
     import spark.implicits._
-    def posOf(id: Column): Column = conv(substring(
-      md5(concat_ws(":", lit(seed), id.cast("long"))), 1, 15), 16, 10)
-      .cast("long")
+    def posOf(id: Column): Column = positionHash(seed, id)
     val slim = docs.select(col(keyCol).as("_k"),
       col(idCol).cast("long").as("_id"), posOf(col(idCol)).as("_p"),
       wordCount(coalesce(col(textCol), lit(""))).cast("long").as("_t"))

@@ -170,6 +170,52 @@ class StreamingSpec extends AnyFunSuite {
      else r).parquet(dir)
   }
 
+  test("streaming token-budget selection equals the batch kept set") {
+    // one micro-batch + per-group (pos, id) sort = the batch operator's
+    // order, so the stream must reproduce tokenBudgetSelection's kept
+    // set EXACTLY — same budgets as q74: en/fr cross mid-corpus, zh
+    // keep-all, de budget 0, es absent from the map
+    val budgets = Map("en" -> 6000L, "fr" -> 1500L, "zh" -> 10000000L,
+      "de" -> 0L)
+    val got = runToCompletion(
+      EventStreams.tokenBudgetDocs(docStream(newDocStreamDir()),
+        budgets, seed = 7L).toDF(), "budgeted")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val batch = graft.text.TextStats.tokenBudgetSelection(
+        relational.Tables.documents(spark, sf)
+          .select($"doc_id", $"text", $"lang"),
+        "doc_id", "text", "lang", budgets, seed = 7L)
+      .select($"lang", $"doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty)
+    assert(got === batch)
+    assert(!got.exists(_._1 == "de"), "budget-0 key must keep nothing")
+  }
+
+  test("streaming token-budget gate stays exhausted ACROSS micro-batches") {
+    // two copies of the corpus, one file per trigger: batch 1 fills the
+    // budgets, so batch 2's replayed docs must ALL drop — admitting any
+    // means the per-key token state restarted at the batch boundary.
+    // zh keep-all stays keep-all (its running count carries, budget is
+    // corpus-sized x2... use a budget the DOUBLED corpus exceeds so the
+    // gate closes mid-stream and the kept count pins the arithmetic)
+    val budgets = Map("en" -> 6000L, "fr" -> 1500L)
+    val kept = runToCompletion(
+      EventStreams.tokenBudgetDocs(
+        docStream(newDocStreamDir(copies = 2), maxFilesPerTrigger = 1),
+        budgets, seed = 7L).toDF(), "budgeted2")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // exactly the single-corpus kept MULTISET cardinality per key: the
+    // first batch exhausts each budget (both budgets are under one
+    // corpus's token mass), the second admits nothing
+    val single = runToCompletion(
+      EventStreams.tokenBudgetDocs(docStream(newDocStreamDir()),
+        budgets, seed = 7L).toDF(), "budgeted1")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(kept.length === single.length,
+      s"gate reopened across micro-batches: ${kept.length} vs ${single.length}")
+  }
+
   test("streaming sequence packing equals the batch packing in id order") {
     // one micro-batch + per-group doc_id sort = arrival order == id
     // order, so the stream must reproduce the batch cumsum EXACTLY

@@ -404,6 +404,25 @@ object PipelineQueries {
           $"mean_word_freq")
         .orderBy($"doc_id")
     },
+    "q79_lm_perplexity" -> { (s, d) =>
+      import s.implicits._
+      // CCNet-style LM quality filter, log-domain (q55 is the
+      // integer-exact sibling): fit a unigram add-one LM on the clean
+      // reference slice (doc_id % 5 == 0 plays Wikipedia), score the
+      // rest, and DROP the far-from-reference tail (xent > 3.45 —
+      // cuts a real band of this corpus, so the filter branch is
+      // exercised, not vacuous). Both engines filter on the ROUNDED
+      // xent: the unrounded values differ only by float-sum ordering
+      // and libm ulps (~1e-13), eleven orders under the 4dp grid.
+      val all = documents(s, d)
+      val sel = TextStats.lmCrossEntropy(
+        all.filter($"doc_id" % 5 =!= 0), "doc_id", "text",
+        all.filter($"doc_id" % 5 === 0), "text",
+        vocabSize = 4096)
+      sel.filter($"xent" <= 3.45)
+        .select($"id".as("doc_id"), $"n_words", $"xent")
+        .orderBy($"doc_id")
+    },
     "q56_redact_spans" -> { (s, d) =>
       import s.implicits._
       // span-tracking redaction (PII-scrub shape): every \bcustomer\b
@@ -1229,6 +1248,27 @@ object PipelineQueries {
            least(tok_end, (seq_id + 1) * 512) - tok_start AS piece_end
          FROM x
          ORDER BY shard, seq_id, pack_id""",
+    "q79_lm_perplexity" ->
+      """WITH cnt AS (
+           SELECT word, count(*) AS c
+           FROM (SELECT unnest(string_split(text, ' ')) AS word
+                 FROM documents WHERE doc_id % 5 = 0)
+           GROUP BY word),
+         vocab AS (SELECT word, c FROM cnt ORDER BY c DESC, word LIMIT 4096),
+         norm AS (SELECT CAST(sum(c) AS BIGINT) AS t,
+                         count(*) AS nv FROM vocab),
+         toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                  FROM documents WHERE doc_id % 5 <> 0),
+         scored AS (
+           SELECT tk.doc_id, count(*) AS n_words,
+                  sum(ln(coalesce(v.c, 0) + 1)) AS s
+           FROM toks tk LEFT JOIN vocab v USING (word)
+           GROUP BY tk.doc_id)
+         SELECT doc_id, n_words,
+                round(ln(t + nv + 1) - s / n_words, 4) AS xent
+         FROM scored, norm
+         WHERE round(ln(t + nv + 1) - s / n_words, 4) <= 3.45
+         ORDER BY doc_id""",
     "q74_token_budget" ->
       """WITH b(lang, budget) AS (VALUES
            ('en', 6000), ('fr', 1500), ('zh', 10000000), ('de', 0)),

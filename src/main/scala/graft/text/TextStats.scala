@@ -175,6 +175,64 @@ object TextStats {
           .as("mean_word_freq"))
   }
 
+  /** Unigram add-one LM cross-entropy — the log-domain CCNet/KenLM
+    * quality-filter shape ([[vocabularyQuality]] is its integer-exact
+    * little sibling): fit token counts on a REFERENCE corpus (CCNet
+    * trains on Wikipedia; callers pass any clean slice), cap the
+    * vocabulary at the top-`vocabSize` words by (count desc, word), and
+    * score every target doc under
+    *   p(w) = (c_w + 1) / (T + V + 1),  c_w = 0 for OOV,
+    * reporting per-doc cross-entropy in nats
+    *   xent = ln(T + V + 1) - (1/n) * sum_tokens ln(c_w + 1)
+    * (high xent = far from the reference distribution = the docs a
+    * perplexity filter drops).
+    *
+    * Cross-engine determinism: every ln argument is an exact integer
+    * (counts), so an independent engine differs only by float-sum
+    * ordering and libm ulps — bounded by ~n·ulp ≈ 1e-13 for 1k-token
+    * docs, eleven orders under the 4dp rounding both sides apply; a
+    * filter therefore compares the ROUNDED value.
+    *
+    * Scale shape, exactly [[vocabularyQuality]]'s: the LM is the small
+    * side — one bounded shuffle over the REFERENCE slice fits the
+    * counts, the top-V cut is a TakeOrdered, and the vocabulary-sized
+    * (word, c) table BROADCASTS so scoring the 100-TB target side is a
+    * stateless map (explode -> broadcast hash join -> per-doc partial
+    * agg): no corpus shuffle, and a hot word never becomes a shuffle
+    * key. T and V enter the plan as a broadcast one-row aggregate — no
+    * separate blocking count() job.
+    */
+  def lmCrossEntropy(
+      docs: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refTextCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // The fitted LM comes to the driver ONCE — bounded by vocabSize
+    // (4096-64k rows of (word, count)), the size a broadcast must fit
+    // anyway — so T and V become plan literals and the vocabulary a
+    // local relation: leaving them as subqueries made Catalyst re-fit
+    // the reference counts TWICE (no exchange reuse across the
+    // differently-aggregated subtrees), a second full pass over the
+    // reference slice at 100 TB.
+    val vocab = unigramCounts(ref, refTextCol)
+      .orderBy(col("c").desc, col("word")).limit(vocabSize)
+      .as[(String, Long)].collect()
+    val t = vocab.iterator.map(_._2).sum
+    val v = vocab.length.toLong
+    val vocabDf = spark.createDataset(vocab.toSeq).toDF("word", "c")
+    docs.select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("word"))
+      .join(broadcast(vocabDf), Seq("word"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(log(coalesce(col("c"), lit(0L)) + lit(1L))).as("_s"))
+      .select(col("id"), col("n_words"),
+        round(lit(math.log((t + v + 1).toDouble)) -
+          col("_s") / col("n_words"), 4).as("xent"))
+  }
+
   /** Corpus-wide top-`k` word `n`-grams by occurrence count (vocabulary /
     * boilerplate mining). Grams are emitted by a fused single-pass UDF
     * (the expression form evaluates its lambdas interpreted); the plan is

@@ -585,6 +585,19 @@ object PipelineQueries {
           "doc_id", "lang", fraction = 0.2)
         .orderBy($"lang", $"doc_id")
     },
+    "q80_source_cap" -> { (s, d) =>
+      import s.implicits._
+      // RefinedWeb/CCNet per-domain cap: keep at most 15 docs per
+      // source under the shared deterministic hash order (a handful of
+      // crawl domains otherwise dominate a web corpus). Cuts every
+      // source at sf0.01 (25/source) and sf0.1 (250/source). Same
+      // histogram-descent plan as q60 — scan -> broadcast cut join ->
+      // filter, no Window, no per-source sort.
+      graft.text.TextStats.cappedPerStratum(
+          documents(s, d).select($"doc_id", $"source"),
+          "doc_id", "source", cap = 15L)
+        .orderBy($"source", $"doc_id")
+    },
     "q59_filter_pipeline" -> { (s, d) =>
       import s.implicits._
       // end-to-end training-set assembly: language gate (metadata) ->
@@ -1114,6 +1127,16 @@ object PipelineQueries {
          SELECT doc_id, lang FROM r
          WHERE rnk <= CAST(ceil(n * 0.2) AS BIGINT)
          ORDER BY lang, doc_id""",
+    "q80_source_cap" ->
+      """WITH r AS (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+               ORDER BY ((doc_id % 2147483648) * 2654435761)
+                 % 4294967296, doc_id)
+               AS rnk
+           FROM documents)
+         SELECT doc_id, source FROM r
+         WHERE rnk <= 15
+         ORDER BY source, doc_id""",
     "q59_filter_pipeline" ->
       """WITH s AS (SELECT doc_id, lang, text,
              len(string_split(trim(text), ' ')) AS nw,

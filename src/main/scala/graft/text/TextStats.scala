@@ -333,6 +333,40 @@ object TextStats {
       fraction: Double, maxStrata: Int = 1024): DataFrame = {
     require(fraction > 0.0 && fraction <= 1.0,
       s"fraction must be in (0, 1], got $fraction")
+    val frac = BigDecimal(fraction.toString)
+    quotaSelect(docs, idCol, stratumCol, maxStrata,
+      n => (BigDecimal(n) * frac)
+        .setScale(0, BigDecimal.RoundingMode.CEILING).toLong,
+      cnt => ceil(cnt * lit(new java.math.BigDecimal(fraction.toString))))
+  }
+
+  /** Keep at most `cap` rows per stratum — the RefinedWeb/CCNet
+    * "limit documents per domain" anti-boilerplate step (a handful of
+    * crawl domains otherwise dominate a web corpus), under the same
+    * deterministic hash order as [[stratifiedSample]] so the kept set
+    * is reproducible across engines. Strata under the cap pass through
+    * whole. Same histogram-descent plan and `row_number` fallback —
+    * only the quota rule differs (`min(cap, n)` vs `ceil(f*n)`).
+    */
+  def cappedPerStratum(
+      docs: DataFrame, idCol: String, stratumCol: String,
+      cap: Long, maxStrata: Int = 1024): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    quotaSelect(docs, idCol, stratumCol, maxStrata,
+      n => math.min(cap, n),
+      cnt => least(cnt, lit(cap)))
+  }
+
+  /** The shared exact-quota selector behind [[stratifiedSample]] and
+    * [[cappedPerStratum]]: per stratum, keep the `quotaOf(n)` smallest
+    * rows under the deterministic (hash, id) order, located by
+    * histogram descent (no per-stratum sort); `quotaExpr` is the same
+    * rule as a Column for the high-cardinality window fallback.
+    */
+  private def quotaSelect(
+      docs: DataFrame, idCol: String, stratumCol: String,
+      maxStrata: Int, quotaOf: Long => Long,
+      quotaExpr: Column => Column): DataFrame = {
     // multiplicative hash kept INSIDE Long range for any non-negative
     // 64-bit id: the id is first reduced mod 2^31, so the product is
     // < 2^31 * 2^32 < 2^63 — no silent wraparound (Spark non-ANSI would
@@ -348,12 +382,7 @@ object TextStats {
 
     val nStrata = base.select(col("_s")).distinct().count()
     if (nStrata > maxStrata)
-      return stratifiedSampleWindow(docs, idCol, stratumCol, fraction, h)
-
-    val frac = BigDecimal(fraction.toString)
-    def quotaOf(n: Long): Long =
-      (BigDecimal(n) * frac)
-        .setScale(0, BigDecimal.RoundingMode.CEILING).toLong
+      return quotaSelectWindow(docs, idCol, stratumCol, quotaExpr, h)
 
     // Pass 1: per-(stratum, high-16-bits) counts. Driver walks each
     // stratum's buckets in hash order to locate the bucket containing
@@ -445,20 +474,19 @@ object TextStats {
       .select(docs.columns.map(docs.col): _*)
   }
 
-  /** High-cardinality fallback for [[stratifiedSample]]: the classic
+  /** High-cardinality fallback for [[quotaSelect]]: the classic
     * per-stratum `row_number` under the same (hash, id) order with the
-    * same exact-decimal quota — bit-identical rows, paid for in shuffle
+    * same exact quota rule — bit-identical rows, paid for in shuffle
     * time (each stratum funnels through one reducer) instead of driver
     * memory. Only reached when the stratum cardinality exceeds
     * `maxStrata`.
     */
-  private def stratifiedSampleWindow(
+  private def quotaSelectWindow(
       docs: DataFrame, idCol: String, stratumCol: String,
-      fraction: Double, h: Column): DataFrame = {
+      quotaExpr: Column => Column, h: Column): DataFrame = {
     val byStratum = Window.partitionBy(col(stratumCol))
     val rn = row_number().over(byStratum.orderBy(col("_h"), col(idCol)))
-    val quota = ceil(count(lit(1)).over(byStratum) *
-      lit(new java.math.BigDecimal(fraction.toString)))
+    val quota = quotaExpr(count(lit(1)).over(byStratum))
     docs.withColumn("_h", h)
       .withColumn("_rn", rn)
       .withColumn("_q", quota)

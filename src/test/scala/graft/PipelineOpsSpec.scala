@@ -670,6 +670,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("cappedPerStratum caps big strata, passes small ones, matches brute force") {
+    def hash(id: Long): Long = ((id % 2147483648L) * 2654435761L) %
+      4294967296L
+    // stratum "big" has 40 rows (capped to 7), "small" 3 (kept whole)
+    val rows = (0L until 40L).map(i => (i * 13L + 1L, "big")) ++
+      Seq((500L, "small"), (501L, "small"), (502L, "small"))
+    val docs = rows.toDF("doc_id", "source")
+    val got = TextStats.cappedPerStratum(docs, "doc_id", "source", cap = 7L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val expected = rows.groupBy(_._2).flatMap { case (_, rs) =>
+      rs.sortBy { case (id, _) => (hash(id), id) }.take(7)
+    }.toSet
+    assert(got === expected)
+    assert(got.count(_._2 == "big") === 7)
+    assert(got.count(_._2 == "small") === 3)
+    // same kept set through the high-cardinality window fallback
+    val viaWindow = TextStats.cappedPerStratum(docs, "doc_id", "source",
+        cap = 7L, maxStrata = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaWindow === got)
+    // descent-path plan stays Window/sort-free (q60's scale contract)
+    val plan = TextStats.cappedPerStratum(docs, "doc_id", "source", 7L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.toLowerCase.contains("sort "), plan)
+  }
+
   test("stratifiedSample quota is decimal-exact and its plan is sort-free") {
     // n*fraction an exact integer: double ceil(10 * 0.2) = 3 (0.2 is
     // 0.2000...0001 in binary); the decimal quota must give exactly 2

@@ -585,6 +585,24 @@ object PipelineQueries {
           "doc_id", "lang", fraction = 0.2)
         .orderBy($"lang", $"doc_id")
     },
+    "q81_dsir_select" -> { (s, d) =>
+      import s.implicits._
+      // DSIR data selection (Xie et al. 2023): importance = target-LM
+      // vs pool-LM log-likelihood ratio; keep the 50 pool docs that
+      // look MOST like the reference slice (the paper's deterministic
+      // top-k variant). Both LMs fit driver-side (bounded), scoring is
+      // one broadcast-join pass, the cut is a TakeOrdered — no full
+      // sort at 100 TB. Engines rank the ROUNDED llr with id
+      // tie-break, the same float-safety argument as q79.
+      val all = documents(s, d)
+      val pool = all.filter($"doc_id" % 5 =!= 0)
+      TextStats.dsirLogRatio(pool, "doc_id", "text",
+          all.filter($"doc_id" % 5 === 0), "text",
+          pool, "text", vocabSize = 4096)
+        .select($"id".as("doc_id"), $"n_words", $"llr")
+        .orderBy($"llr".desc, $"doc_id")
+        .limit(50)
+    },
     "q80_source_cap" -> { (s, d) =>
       import s.implicits._
       // RefinedWeb/CCNet per-domain cap: keep at most 15 docs per
@@ -1127,6 +1145,36 @@ object PipelineQueries {
          SELECT doc_id, lang FROM r
          WHERE rnk <= CAST(ceil(n * 0.2) AS BIGINT)
          ORDER BY lang, doc_id""",
+    "q81_dsir_select" ->
+      """WITH tcnt AS (
+           SELECT word, count(*) AS c
+           FROM (SELECT unnest(string_split(text, ' ')) AS word
+                 FROM documents WHERE doc_id % 5 = 0)
+           GROUP BY word),
+         tv AS (SELECT word, c FROM tcnt ORDER BY c DESC, word LIMIT 4096),
+         tn AS (SELECT CAST(sum(c) AS BIGINT) AS t, count(*) AS v FROM tv),
+         scnt AS (
+           SELECT word, count(*) AS c
+           FROM (SELECT unnest(string_split(text, ' ')) AS word
+                 FROM documents WHERE doc_id % 5 <> 0)
+           GROUP BY word),
+         sv AS (SELECT word, c FROM scnt ORDER BY c DESC, word LIMIT 4096),
+         sn AS (SELECT CAST(sum(c) AS BIGINT) AS t, count(*) AS v FROM sv),
+         toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                  FROM documents WHERE doc_id % 5 <> 0),
+         scored AS (
+           SELECT tk.doc_id, count(*) AS n_words,
+                  sum(ln(coalesce(tv.c, 0) + 1) -
+                      ln(coalesce(sv.c, 0) + 1)) AS s
+           FROM toks tk
+           LEFT JOIN tv USING (word)
+           LEFT JOIN sv USING (word)
+           GROUP BY tk.doc_id)
+         SELECT doc_id, n_words,
+                round(s + n_words *
+                  (ln(sn.t + sn.v + 1) - ln(tn.t + tn.v + 1)), 4) AS llr
+         FROM scored, tn, sn
+         ORDER BY llr DESC, doc_id LIMIT 50""",
     "q80_source_cap" ->
       """WITH r AS (SELECT doc_id, source,
              row_number() OVER (PARTITION BY source

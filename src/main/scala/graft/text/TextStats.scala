@@ -202,6 +202,24 @@ object TextStats {
     * key. T and V enter the plan as a broadcast one-row aggregate — no
     * separate blocking count() job.
     */
+  /** Fit a capped unigram LM: top-`vocabSize` (word, count) rows by
+    * (count desc, word), collected to the driver — bounded by
+    * vocabSize, the size a broadcast must fit anyway — plus the
+    * normalizer T (vocab token mass) and V (vocab size). Collecting
+    * once makes T/V plan literals and the vocabulary a local relation:
+    * leaving them as subqueries makes Catalyst re-fit the counts per
+    * consumer (no exchange reuse across differently-aggregated
+    * subtrees) — an extra full pass over the reference slice at 100 TB.
+    */
+  private def fitUnigramLm(ref: DataFrame, textCol: String,
+      vocabSize: Int): (Array[(String, Long)], Long, Long) = {
+    import ref.sparkSession.implicits._
+    val vocab = unigramCounts(ref, textCol)
+      .orderBy(col("c").desc, col("word")).limit(vocabSize)
+      .as[(String, Long)].collect()
+    (vocab, vocab.iterator.map(_._2).sum, vocab.length.toLong)
+  }
+
   def lmCrossEntropy(
       docs: DataFrame, idCol: String, textCol: String,
       ref: DataFrame, refTextCol: String,
@@ -209,18 +227,7 @@ object TextStats {
     require(vocabSize > 0, "vocabSize must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
-    // The fitted LM comes to the driver ONCE — bounded by vocabSize
-    // (4096-64k rows of (word, count)), the size a broadcast must fit
-    // anyway — so T and V become plan literals and the vocabulary a
-    // local relation: leaving them as subqueries made Catalyst re-fit
-    // the reference counts TWICE (no exchange reuse across the
-    // differently-aggregated subtrees), a second full pass over the
-    // reference slice at 100 TB.
-    val vocab = unigramCounts(ref, refTextCol)
-      .orderBy(col("c").desc, col("word")).limit(vocabSize)
-      .as[(String, Long)].collect()
-    val t = vocab.iterator.map(_._2).sum
-    val v = vocab.length.toLong
+    val (vocab, t, v) = fitUnigramLm(ref, refTextCol, vocabSize)
     val vocabDf = spark.createDataset(vocab.toSeq).toDF("word", "c")
     docs.select(col(idCol).as("id"),
         explode(split(col(textCol), " ")).as("word"))
@@ -231,6 +238,58 @@ object TextStats {
       .select(col("id"), col("n_words"),
         round(lit(math.log((t + v + 1).toDouble)) -
           col("_s") / col("n_words"), 4).as("xent"))
+  }
+
+  /** DSIR-style importance scoring (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling", reduced from
+    * hashed bigrams to the unigram bag the SQL oracle can replay): each
+    * doc's log importance ratio under two add-one unigram LMs,
+    *   llr = sum_tokens [ln p_target(w) - ln p_source(w)]
+    *       = sum_tokens [ln(ct_w+1) - ln(cs_w+1)]
+    *         + n * [ln(Ts+Vs+1) - ln(Tt+Vt+1)],
+    * fit on a TARGET corpus (the distribution you want more of —
+    * Wikipedia in the paper) and a SOURCE corpus (the raw pool).
+    * High llr = looks like target, not like the pool average; a
+    * selector keeps the top-K by (rounded llr desc, id) — the paper's
+    * deterministic top-k variant (Gumbel resampling adds noise a
+    * cross-engine oracle cannot share).
+    *
+    * Scale shape = [[lmCrossEntropy]]'s: both LMs fit driver-side
+    * (bounded by vocabSize each), their UNION ships as one broadcast
+    * (word, ct, cs) local relation, and scoring the pool is a
+    * stateless single pass — explode -> broadcast join -> per-doc agg;
+    * a top-K selector downstream is a TakeOrdered, never a full sort.
+    * Float safety as in [[lmCrossEntropy]]: integer ln arguments, 4dp
+    * rounding, order ties broken by id.
+    */
+  def dsirLogRatio(
+      docs: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String,
+      source: DataFrame, sourceTextCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (tv, tT, tV) = fitUnigramLm(target, targetTextCol, vocabSize)
+    val (sv, sT, sV) = fitUnigramLm(source, sourceTextCol, vocabSize)
+    val tMap = tv.toMap
+    val sMap = sv.toMap
+    val union = (tMap.keySet ++ sMap.keySet).toSeq.sorted.map { w =>
+      (w, tMap.getOrElse(w, 0L), sMap.getOrElse(w, 0L))
+    }
+    val lmDf = spark.createDataset(union).toDF("word", "ct", "cs")
+    val perDocConst = math.log((sT + sV + 1).toDouble) -
+      math.log((tT + tV + 1).toDouble)
+    docs.select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("word"))
+      .join(broadcast(lmDf), Seq("word"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(log(coalesce(col("ct"), lit(0L)) + lit(1L)) -
+          log(coalesce(col("cs"), lit(0L)) + lit(1L))).as("_s"))
+      .select(col("id"), col("n_words"),
+        round(col("_s") + col("n_words") * lit(perDocConst), 4)
+          .as("llr"))
   }
 
   /** Corpus-wide top-`k` word `n`-grams by occurrence count (vocabulary /

@@ -77,10 +77,19 @@ class ScaleStressSpec extends AnyFunSuite {
     // directions > 256 codewords) which changes recall, not row counts
     // (top-k always emits k per query). q77 stays out like q34: it is
     // the declared O(N*Q) baseline scan by contract.
+    // q80's outputs are cap-bound like q74's budget-bound ones (20
+    // sources stay 20 at 10x, so rows stay flat at 15/source) — the
+    // band's "not shrunk / not quadratic" then pins the fixed-round
+    // histogram descent. q79 is stressed separately below: its FILTER
+    // count is not scale-stable by construction (a 10x vowel-rotated
+    // corpus dilutes the shared top-V vocabulary, shifting every score),
+    // so the band assertions would test the synthetic corpus, not the
+    // operator; the scoring pass itself is the linear claim.
     val names = Seq("q31_jaccard_pairs", "q32_minhash_lsh", "q45_ann_lsh",
       "q51_ann_ivf", "q52_cosine_neardup", "q58_semantic_dedup",
       "q61_repeated_runs", "q69_dedup_components", "q70_sequence_pack",
-      "q74_token_budget", "q75_temperature_mixture", "q78_ann_ivfpq")
+      "q74_token_budget", "q75_temperature_mixture", "q78_ann_ivfpq",
+      "q80_source_cap")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
@@ -103,6 +112,28 @@ class ScaleStressSpec extends AnyFunSuite {
       assert(tBig <= 40.0 * math.max(tBase, 1.0),
         f"$name wall-time superlinear: $tBase%.1fs -> $tBig%.1fs")
     }
+  }
+
+  test("LM cross-entropy scoring scales ~linearly at 10x corpus",
+      SlowStress) {
+    ensureScaled()
+    def score(dir: String): (Long, Double) = {
+      val all = relational.Tables.documents(spark, dir)
+      val t0 = System.nanoTime()
+      val n = graft.text.TextStats.lmCrossEntropy(
+        all.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+        all.filter(col("doc_id") % 5 === 0), "text",
+        vocabSize = 4096).count()
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+    val (baseRows, tBase) = score(baseDir)
+    val (bigRows, tBig) = score(scaledDir)
+    info(f"lmCrossEntropy: rows $baseRows -> $bigRows, " +
+      f"$tBase%.1fs -> $tBig%.1fs at 10x")
+    // scoring emits exactly one row per target doc — linear by shape
+    assert(bigRows === 10L * baseRows)
+    assert(tBig <= 40.0 * math.max(tBase, 1.0),
+      f"lmCrossEntropy wall-time superlinear: $tBase%.1fs -> $tBig%.1fs")
   }
 
   test("broadcast terminology: 110k-concept trie over the 10x corpus",

@@ -331,6 +331,51 @@ object EventStreams {
       }
   }
 
+  case class CapDoc(key: String, doc_id: Long, h: Long)
+  case class CapState(n: Long)
+
+  /** STREAMING per-stratum cap — the unbounded twin of
+    * `TextStats.cappedPerStratum` (the RefinedWeb "limit docs per
+    * domain" gate, at ingest): each key admits its first `cap`
+    * documents and drops every later arrival. Per-key state is ONE
+    * counter — bounded by |keys| like `tokenBudgetDocs`, no timeout.
+    *
+    * Determinism contract through the single
+    * `TextStats.selectionHash` definition: within a micro-batch rows
+    * are admitted in (hash, id) order — the batch operator's order —
+    * so replaying a corpus through ONE micro-batch reproduces
+    * `cappedPerStratum`'s kept set exactly; across micro-batches
+    * admission is arrival-then-hash, and the counter (hence the cap)
+    * stays exact.
+    */
+  def capDocs(
+      docs: DataFrame, // streaming (doc_id, key, ...)
+      cap: Long,
+      idCol: String = "doc_id",
+      keyCol: String = "source"): Dataset[KeptDoc] = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    import docs.sparkSession.implicits._
+    docs
+      .select(col(keyCol).as("key"),
+        col(idCol).cast("long").as("doc_id"),
+        graft.text.TextStats.selectionHash(col(idCol).cast("long"))
+          .as("h"))
+      .as[CapDoc]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[CapState, KeptDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[CapDoc],
+            state: GroupState[CapState]) =>
+          var n = state.getOption.map(_.n).getOrElse(0L)
+          val out = scala.collection.mutable.ArrayBuffer.empty[KeptDoc]
+          rows.toSeq.sortBy(d => (d.h, d.doc_id)).foreach { d =>
+            if (n < cap) { out += KeptDoc(key, d.doc_id); n += 1 }
+          }
+          state.update(CapState(n))
+          out.iterator
+      }
+  }
+
   case class BucketDoc(
       bucket: String, doc_id: Long, ts: java.sql.Timestamp, sig: Seq[Long])
   case class BucketState(

@@ -422,19 +422,26 @@ object TextStats {
     * histogram descent (no per-stratum sort); `quotaExpr` is the same
     * rule as a Column for the high-cardinality window fallback.
     */
+  /** The quota-selection order hash — multiplicative hash kept INSIDE
+    * Long range for any non-negative 64-bit id: the id is first reduced
+    * mod 2^31, so the product is < 2^31 * 2^32 < 2^63 — no silent
+    * wraparound (Spark non-ANSI would wrap, another engine would error,
+    * and the two would sample DIFFERENT rows). (id mod 2^31) *
+    * 2654435761 mod 2^32 is the classic Knuth mix, exact in 64-bit
+    * arithmetic so any engine reproduces it; for ids < 2^31 it equals
+    * the unreduced form. ONE definition shared by [[stratifiedSample]],
+    * [[cappedPerStratum]], and the streaming cap twin — the replay-
+    * equality contract breaks the moment two copies drift.
+    */
+  def selectionHash(id: Column): Column =
+    pmod(pmod(id, lit(2147483648L)) * lit(2654435761L),
+      lit(4294967296L))
+
   private def quotaSelect(
       docs: DataFrame, idCol: String, stratumCol: String,
       maxStrata: Int, quotaOf: Long => Long,
       quotaExpr: Column => Column): DataFrame = {
-    // multiplicative hash kept INSIDE Long range for any non-negative
-    // 64-bit id: the id is first reduced mod 2^31, so the product is
-    // < 2^31 * 2^32 < 2^63 — no silent wraparound (Spark non-ANSI would
-    // wrap, another engine would error, and the two would sample
-    // DIFFERENT rows). (id mod 2^31) * 2654435761 mod 2^32 is the
-    // classic Knuth mix, exact in 64-bit arithmetic so any engine
-    // reproduces it; for ids < 2^31 it equals the unreduced form.
-    val h = pmod(pmod(col(idCol), lit(2147483648L)) * lit(2654435761L),
-      lit(4294967296L))
+    val h = selectionHash(col(idCol))
     val spark = docs.sparkSession
     val base = docs.select(
       col(stratumCol).as("_s"), col(idCol).as("_id"), h.as("_h"))

@@ -216,6 +216,37 @@ class StreamingSpec extends AnyFunSuite {
       s"gate reopened across micro-batches: ${kept.length} vs ${single.length}")
   }
 
+  test("streaming per-source cap equals the batch kept set") {
+    // one micro-batch + per-group (hash, id) sort = the batch
+    // operator's order, so the stream reproduces cappedPerStratum
+    val got = runToCompletion(
+      EventStreams.capDocs(docStream(newDocStreamDir()), cap = 15L)
+        .toDF(), "capped")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val batch = graft.text.TextStats.cappedPerStratum(
+        relational.Tables.documents(spark, sf)
+          .select($"doc_id", $"source"),
+        "doc_id", "source", cap = 15L)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(batch.nonEmpty)
+    assert(got === batch)
+  }
+
+  test("streaming cap stays closed ACROSS micro-batches") {
+    // two corpus copies, one file per trigger: every source fills its
+    // cap in batch 1, so batch 2 must admit nothing — an admission
+    // means the per-key counter restarted at the batch boundary
+    val kept = runToCompletion(
+      EventStreams.capDocs(
+        docStream(newDocStreamDir(copies = 2), maxFilesPerTrigger = 1),
+        cap = 15L).toDF(), "capped2")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(kept.length === kept.toSet.size, "duplicate admissions")
+    val perKey = kept.groupBy(_._1).map { case (k, v) => k -> v.length }
+    assert(perKey.values.forall(_ === 15),
+      s"cap violated: ${perKey.filter(_._2 != 15)}")
+  }
+
   test("streaming sequence packing equals the batch packing in id order") {
     // one micro-batch + per-group doc_id sort = arrival order == id
     // order, so the stream must reproduce the batch cumsum EXACTLY

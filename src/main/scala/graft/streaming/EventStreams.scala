@@ -331,6 +331,53 @@ object EventStreams {
       }
   }
 
+  /** STREAMING LM quality scoring — the stateless ingest-gate twin of
+    * `TextStats.lmCrossEntropy`: the unigram LM fits ONCE on a static
+    * reference corpus (same bounded `fitUnigramLm`) and broadcasts;
+    * each arriving doc scores row-locally — like `decontaminateDocs`,
+    * NO state store, no watermark, plain append mode, exactly the
+    * shape a perplexity ingest gate needs. Bit-equality with the batch
+    * operator: tokens sum left-to-right in `split` order, the same
+    * order the batch per-doc partial aggregate walks (a doc's exploded
+    * tokens are contiguous in one partition), and the rounding is the
+    * same HALF_UP 4dp — so the spec asserts EXACT agreement, not
+    * approximate. Null texts produce no row, mirroring the batch
+    * explode of a null split.
+    */
+  def scoreDocsXent(
+      docs: DataFrame, // streaming (doc_id, text, ...)
+      ref: DataFrame, // BATCH reference corpus
+      refTextCol: String,
+      vocabSize: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val (vocab, t, v) = graft.text.TextStats
+      .fitUnigramLm(ref, refTextCol, vocabSize)
+    val lnNorm = math.log((t + v + 1).toDouble)
+    val bc = docs.sparkSession.sparkContext.broadcast(vocab.toMap)
+    val score = udf((s: String) => {
+      if (s == null) None
+      else {
+        val ws = s.split(" ", -1)
+        var acc = 0.0
+        var i = 0
+        while (i < ws.length) {
+          acc += math.log((bc.value.getOrElse(ws(i), 0L) + 1L).toDouble)
+          i += 1
+        }
+        val x = lnNorm - acc / ws.length
+        Some((ws.length.toLong,
+          BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble))
+      }
+    })
+    docs
+      .withColumn("_sc", score(col(textCol)))
+      .filter(col("_sc").isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        col("_sc._1").as("n_words"), col("_sc._2").as("xent"))
+  }
+
   case class CapDoc(key: String, doc_id: Long, h: Long)
   case class CapState(n: Long)
 

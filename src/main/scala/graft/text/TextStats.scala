@@ -211,7 +211,7 @@ object TextStats {
     * consumer (no exchange reuse across differently-aggregated
     * subtrees) — an extra full pass over the reference slice at 100 TB.
     */
-  private def fitUnigramLm(ref: DataFrame, textCol: String,
+  private[graft] def fitUnigramLm(ref: DataFrame, textCol: String,
       vocabSize: Int): (Array[(String, Long)], Long, Long) = {
     import ref.sparkSession.implicits._
     val vocab = unigramCounts(ref, textCol)

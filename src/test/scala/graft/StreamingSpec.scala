@@ -216,6 +216,26 @@ class StreamingSpec extends AnyFunSuite {
       s"gate reopened across micro-batches: ${kept.length} vs ${single.length}")
   }
 
+  test("streaming LM scoring equals the batch cross-entropy EXACTLY") {
+    // stateless twin: same fitted LM, same left-to-right token sum,
+    // same 4dp rounding — agreement is exact, not approximate
+    val all = relational.Tables.documents(spark, sf)
+    val ref = all.filter($"doc_id" % 5 === 0)
+    val got = runToCompletion(
+      EventStreams.scoreDocsXent(
+        docStream(newDocStreamDir()).filter($"doc_id" % 5 =!= 0),
+        ref, "text", vocabSize = 4096), "xentstream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val batch = graft.text.TextStats.lmCrossEntropy(
+        all.filter($"doc_id" % 5 =!= 0), "doc_id", "text",
+        ref, "text", vocabSize = 4096)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(batch.nonEmpty)
+    assert(got === batch)
+  }
+
   test("streaming per-source cap equals the batch kept set") {
     // one micro-batch + per-group (hash, id) sort = the batch
     // operator's order, so the stream reproduces cappedPerStratum

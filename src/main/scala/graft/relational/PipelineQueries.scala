@@ -585,6 +585,24 @@ object PipelineQueries {
           "doc_id", "lang", fraction = 0.2)
         .orderBy($"lang", $"doc_id")
     },
+    "q82_corpus_card" -> { (s, d) =>
+      import s.implicits._
+      // per-language corpus DATASHEET row (the "corpus card" a corpus
+      // build publishes): doc/token counts, exact-dup incidence, size
+      // stats — composing the q20 token convention with q30's
+      // content-hash dedup key. The dup side joins on sha2(text), not
+      // raw text, so the shuffle key is 32 bytes regardless of doc
+      // size at 100 TB; the final per-lang agg is map-side partial.
+      val docs = documents(s, d)
+      val dup = Dedup.exactDuplicates(docs, "doc_id", "text")
+      docs.join(dup, sha2($"text", 256) === $"content_hash")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split($"text", " ")).cast("long")).as("n_tokens"),
+          sum(when($"n_copies" > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+          round(avg($"n_chars"), 4).as("mean_chars"))
+        .orderBy($"lang")
+    },
     "q81_dsir_select" -> { (s, d) =>
       import s.implicits._
       // DSIR data selection (Xie et al. 2023): importance = target-LM
@@ -1145,6 +1163,17 @@ object PipelineQueries {
          SELECT doc_id, lang FROM r
          WHERE rnk <= CAST(ceil(n * 0.2) AS BIGINT)
          ORDER BY lang, doc_id""",
+    "q82_corpus_card" ->
+      """WITH dup AS (
+           SELECT sha256(text) AS h, count(*) AS n_copies
+           FROM documents GROUP BY 1)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           round(avg(n_chars), 4) AS mean_chars
+         FROM documents JOIN dup ON sha256(text) = h
+         GROUP BY lang ORDER BY lang""",
     "q81_dsir_select" ->
       """WITH tcnt AS (
            SELECT word, count(*) AS c

@@ -585,6 +585,23 @@ object PipelineQueries {
           "doc_id", "lang", fraction = 0.2)
         .orderBy($"lang", $"doc_id")
     },
+    "q83_length_deciles" -> { (s, d) =>
+      import s.implicits._
+      // exact length-decile assignment (curriculum / length-bucketed
+      // batching): SQL ntile(10) over (token count, doc_id) WITHOUT
+      // the un-partitioned Window that funnels the corpus through one
+      // reducer — boundaries by histogram descent, assignment a pure
+      // codegen expression over 9 broadcast literals. The oracle IS
+      // the Window form, so the descent must replay SQL ntile
+      // bit-for-bit including its first-buckets-larger size rule.
+      graft.operators.ExactNtile.ntile(
+          documents(s, d)
+            .select($"doc_id",
+              size(split($"text", " ")).cast("long").as("n_words")),
+          "doc_id", "n_words", k = 10)
+        .select($"doc_id", $"n_words", $"bucket")
+        .orderBy($"doc_id")
+    },
     "q82_corpus_card" -> { (s, d) =>
       import s.implicits._
       // per-language corpus DATASHEET row (the "corpus card" a corpus
@@ -1163,6 +1180,14 @@ object PipelineQueries {
          SELECT doc_id, lang FROM r
          WHERE rnk <= CAST(ceil(n * 0.2) AS BIGINT)
          ORDER BY lang, doc_id""",
+    "q83_length_deciles" ->
+      """WITH t AS (SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words
+           FROM documents)
+         SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(ntile(10) OVER (ORDER BY n_words, doc_id) AS INTEGER)
+             AS bucket
+         FROM t ORDER BY doc_id""",
     "q82_corpus_card" ->
       """WITH dup AS (
            SELECT sha256(text) AS h, count(*) AS n_copies

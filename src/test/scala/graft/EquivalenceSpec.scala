@@ -30,7 +30,7 @@ class EquivalenceSpec extends AnyFunSuite {
       "q74_token_budget", "q75_temperature_mixture",
       "q76_ivf_index_probe", "q77_ann_pq", "q78_ann_ivfpq",
       "q79_lm_perplexity", "q80_source_cap", "q81_dsir_select",
-      "q82_corpus_card")
+      "q82_corpus_card", "q83_length_deciles")
     try sample.map { name =>
       name -> SparkEntry.queries(name)(spark, sf)
         .collect().map(_.toString).sorted.toSeq
@@ -38,7 +38,7 @@ class EquivalenceSpec extends AnyFunSuite {
     finally spark.conf.set("spark.sql.shuffle.partitions", "4")
   }
 
-  // 28-query sweep incl. the composed oracles, the round-8
+  // 29-query sweep incl. the composed oracles, the round-8
   // cluster/pack/mixture layer (q69 exercises the iterative
   // star-contraction under three partitionings), and the round-9
   // LM-scoring/cap/DSIR layer

@@ -670,6 +670,48 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("exactNtile matches Window ntile on randomized tied data") {
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 3).foreach { trial =>
+      val k = Seq(3, 7, 10)(trial - 1)
+      // heavy ties (values 0..9) + sparse ids, boundary mid-tie likely
+      val rows = (0 until 150 + rnd.nextInt(200)).map { i =>
+        (i * 17L + rnd.nextInt(5), rnd.nextInt(10).toLong)
+      }.distinct.groupBy(_._1).map(_._2.head).toSeq // unique ids
+      val df = rows.toDF("doc_id", "v")
+      val got = graft.operators.ExactNtile
+        .ntile(df, "doc_id", "v", k)
+        .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+      val want = rows.sortBy { case (id, v) => (v, id) }.zipWithIndex
+        .map { case ((id, _), rank) =>
+          // SQL ntile: first (n mod k) buckets hold ceil(n/k)
+          val n = rows.size; val q = n / k; val rem = n % k
+          val big = (q + 1) * rem
+          id -> (if (rank < big) rank / (q + 1) + 1
+                 else (rank - big) / math.max(q, 1) + rem + 1)
+        }.toMap
+      assert(got === want, s"trial $trial k=$k n=${rows.size}")
+      // degenerate k=1: everything bucket 1
+      assert(graft.operators.ExactNtile.ntile(df, "doc_id", "v", 1)
+        .select("bucket").distinct().collect().map(_.getInt(0)).toSeq
+        === Seq(1))
+    }
+  }
+
+  test("exactNtile plan is Window/sort-free; fallback is bit-identical") {
+    val rows = (0L until 300L).map(i => (i, i % 7))
+    val df = rows.toDF("doc_id", "v")
+    val out = graft.operators.ExactNtile.ntile(df, "doc_id", "v", 4)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.toLowerCase.contains("sort "), plan)
+    val viaWindow = graft.operators.ExactNtile
+      .ntile(df, "doc_id", "v", 4, maxDistinct = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+    assert(out.collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+      === viaWindow)
+  }
+
   test("cappedPerStratum caps big strata, passes small ones, matches brute force") {
     def hash(id: Long): Long = ((id % 2147483648L) * 2654435761L) %
       4294967296L

@@ -89,7 +89,7 @@ class ScaleStressSpec extends AnyFunSuite {
       "q51_ann_ivf", "q52_cosine_neardup", "q58_semantic_dedup",
       "q61_repeated_runs", "q69_dedup_components", "q70_sequence_pack",
       "q74_token_budget", "q75_temperature_mixture", "q78_ann_ivfpq",
-      "q80_source_cap")
+      "q80_source_cap", "q83_length_deciles")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

@@ -361,6 +361,63 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Decontamination as the INGEST GATE it runs as at corpus scale: keep
+    * the corpus docs that share NO word `n`-gram with `benchmark`
+    * ([[decontaminate]] is the per-doc diagnostic twin; this is the
+    * filter a pretraining build actually applies). The scale mechanism
+    * is a broadcast Bloom filter over the benchmark's distinct gram
+    * hashes: the gram walker probes it ROW-LOCALLY and emits only
+    * bloom-positive hashes, so the overwhelming clean majority of the
+    * corpus produces zero join input and never shuffles at all. Only
+    * bloom-positive grams (true contamination plus the `fpp` tail) reach
+    * the exact confirmation join against the real gram set, and the
+    * confirmed-contaminated id set — small by the same argument that
+    * makes the benchmark broadcastable — drives a broadcast anti-join.
+    * The result is therefore EXACT (identical to the unpruned
+    * gram-overlap anti-join, whatever the Bloom false positives), while
+    * shuffled volume is O(contaminated + fpp * corpus grams), not
+    * O(corpus grams): at 100 TB the corpus text crosses the wire never,
+    * and the corpus gram hashes only on false positives.
+    *
+    * Driver memory is O(bloom bits) + O(distinct benchmark grams)
+    * (the count that sizes the filter), both bounded because a
+    * benchmark is an eval set — thousands of docs, not billions.
+    * Reference counterpart: the n-gram decontamination convention of
+    * GPT-3 appendix C / Llama (8-grams); same gram semantics as
+    * [[decontaminate]] (clipped shingle for docs shorter than `n`).
+    */
+  def decontaminateFilter(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 8,
+      fpp: Double = 0.01): DataFrame = {
+    val sh = distinctShingleHashes64(n)
+    val bg = benchmark.select(explode(sh(col(textCol))).as("h")).distinct()
+    // two bounded jobs on the SMALL side only: size, then build. The
+    // sketch aggregation runs distributed; only the final bit array
+    // (O(bits), independent of corpus size) lands on the driver.
+    val nGrams = math.max(bg.count(), 1L)
+    val bloom = bg.stat.bloomFilter("h", nGrams, fpp)
+    val bloomB = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val suspectGrams = udf((s: String) => {
+      if (s == null) Seq.empty[Long]
+      else {
+        val bf = bloomB.value
+        val seen = new java.util.HashSet[java.lang.Long]()
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+        Shingling.foreachShingleHash(s, n) { z =>
+          if (bf.mightContainLong(z) && seen.add(z)) buf += z
+        }
+        buf.toSeq
+      }
+    })
+    val contaminated = corpus
+      .select(col(idCol).as("id"), explode(suspectGrams(col(textCol))).as("h"))
+      .join(broadcast(bg), Seq("h"), "left_semi")
+      .select("id").distinct()
+    corpus.join(broadcast(contaminated),
+      corpus(idCol) === contaminated("id"), "left_anti")
+  }
+
   /** Cross-document repeated-substring detection — the distributed
     * stand-in for suffix-array substring dedup (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better"): every

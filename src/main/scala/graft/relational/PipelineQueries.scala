@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.dedup.{Dedup, SimHash}
 import graft.multimodal.Multimodal
-import graft.similarity.{Ann, Pq}
+import graft.similarity.{Ann, Pq, Sq}
 import graft.text.TextStats
 
 /** Training-data pipeline operators (dedup / similarity / text analysis /
@@ -848,6 +848,74 @@ object PipelineQueries {
       Pq.ivfpqTopK(vecs, vecs, dim = 16, k = 7, nprobe = 2)
         .select($"query_id", $"neighbor_id")
         .orderBy($"query_id", $"neighbor_id")
+    },
+    "q84_bloom_decontaminate" -> { (s, d) =>
+      import s.implicits._
+      // decontamination as the ingest FILTER it is at 100 TB (q54 is
+      // the per-doc diagnostic twin): keep pool docs sharing NO 8-gram
+      // with the benchmark slice. A broadcast Bloom filter over the
+      // benchmark's gram hashes admits the clean majority ROW-LOCALLY
+      // (zero shuffle for bloom-negative docs); only bloom-positive
+      // grams reach the exact confirmation join, so the result is
+      // EXACT whatever the false positives — the oracle is the
+      // unpruned gram-overlap anti-join.
+      val docs = documents(s, d)
+      Dedup.decontaminateFilter(
+          docs.filter($"doc_id" % 5 =!= 0),
+          docs.filter($"doc_id" % 5 === 0),
+          "doc_id", "text", n = 8)
+        .select($"doc_id", $"lang")
+        .orderBy($"doc_id")
+    },
+    "q85_bm25" -> { (s, d) =>
+      import s.implicits._
+      // the LEXICAL member of the similarity-search family (q34/q45/
+      // q51/q77 cover the embedding side): Okapi BM25 top-25 for a
+      // 3-term query. Corpus text never shuffles — tokens filter to
+      // the query terms row-locally; df and the corpus stats are
+      // broadcast aggregates; the cut is a TakeOrdered, no global
+      // sort. Per-(doc, term) contributions round to integer basis
+      // points BEFORE the per-doc sum, so the cross-engine score is
+      // order-free integer arithmetic (q79's float-safety argument,
+      // hardened against summation order).
+      graft.text.Bm25.topK(documents(s, d), "doc_id", "text",
+          terms = Seq("customer", "merge", "window"), k = 25)
+        .select($"id".as("doc_id"), $"score_bp")
+        .orderBy($"score_bp".desc, $"doc_id")
+    },
+    "q86_gopher_gate" -> { (s, d) =>
+      import s.implicits._
+      // the Gopher rule GATE — named pass/fail verdicts plus the keep
+      // conjunction, the form a corpus build logs and audits (q35 is
+      // the raw-ratio diagnostic twin). Every threshold compares a
+      // 4dp-ROUNDED ratio so independent engines land on the same side
+      // of each gate. Pure codegen expressions fused into the scan —
+      // no shuffle at any scale.
+      documents(s, d)
+        .withColumn("g", TextStats.gopherRules($"text",
+          Seq("the", "a", "of", "to", "in", "and")))
+        .select($"doc_id", $"g.n_words".as("n_words"),
+          $"g.ok_words", $"g.ok_mean_len", $"g.ok_stopwords",
+          $"g.ok_alpha", $"g.ok_ttr", $"g.keep")
+        .orderBy($"doc_id")
+    },
+    "q87_ann_sq8" -> { (s, d) =>
+      import s.implicits._
+      // scalar quantization (FAISS SQ8) completes the ANN memory
+      // ladder (exact q34 / LSH q45 / IVF q51 / PQ q77 / IVF+PQ q78):
+      // one byte per dimension against the corpus min/max envelope,
+      // candidates ranked by the SYMMETRIC integer code dot (SDC) —
+      // exact integers end to end, so the oracle replays fit, encoding
+      // and ranking bit-for-bit. In-cluster mates share identical
+      // codes and tie-break on neighbor id, the shared order. Like
+      // q34/q77, the scan is the declared O(N·Q) baseline shape with a
+      // bounded query set.
+      val vecs = latticeVecs(s, d)
+      val mm = Sq.fitMinMax(vecs, dim = 16)
+      val codes = vecs.select($"id", Sq.encodeUdf(mm)($"vec").as("code"))
+      Sq.sdcTopK(vecs.filter($"id" % 25 === 0), codes, mm, k = 7)
+        .select($"query_id", $"rank".as("rnk"), $"neighbor_id")
+        .orderBy($"query_id", $"rnk")
     }
   )
 
@@ -1499,6 +1567,98 @@ object PipelineQueries {
                ORDER BY sim DESC, neighbor_id) AS rnk
            FROM scored)
          SELECT query_id, neighbor_id FROM ranked
-         WHERE rnk <= 7 ORDER BY query_id, neighbor_id"""
+         WHERE rnk <= 7 ORDER BY query_id, neighbor_id""",
+    "q84_bloom_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+           FROM documents),
+         g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, greatest(len(ws) - 7, 1) + 1),
+             i -> array_to_string(ws[i:i+7], ' ')))) AS gram
+           FROM w),
+         b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 5 = 0),
+         bad AS (SELECT DISTINCT g.doc_id FROM g JOIN b USING (gram)
+           WHERE g.doc_id % 5 != 0)
+         SELECT d.doc_id, d.lang FROM documents d
+         WHERE d.doc_id % 5 != 0
+           AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+         ORDER BY d.doc_id""",
+    "q85_bm25" ->
+      """WITH t AS (SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS ws
+           FROM documents),
+         st AS (SELECT count(*)::DOUBLE AS n_docs,
+             sum(len(ws))::DOUBLE AS sum_dl FROM t),
+         tf AS (SELECT doc_id, word, count(*)::DOUBLE AS tf,
+             any_value(dl) AS dl
+           FROM (SELECT doc_id, len(ws) AS dl,
+               unnest(list_filter(ws,
+                 w -> w IN ('customer', 'merge', 'window'))) AS word
+             FROM t)
+           GROUP BY doc_id, word),
+         dfx AS (SELECT word, count(*)::DOUBLE AS df FROM tf
+           GROUP BY word),
+         c AS (SELECT doc_id,
+             CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+               (tf * (1.2 + 1.0)) /
+               (tf + 1.2 * ((1.0 - 0.75) +
+                 0.75 * CAST(dl AS DOUBLE) * n_docs / sum_dl)) *
+               10000.0) AS BIGINT) AS bp
+           FROM tf JOIN dfx USING (word), st)
+         SELECT doc_id, CAST(sum(bp) AS BIGINT) AS score_bp
+         FROM c GROUP BY doc_id
+         ORDER BY score_bp DESC, doc_id LIMIT 25""",
+    "q86_gopher_gate" ->
+      """WITH t AS (SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS ws,
+             length(trim(text)) AS lc
+           FROM documents),
+         m AS (SELECT doc_id, len(ws) AS nw,
+             round(lc::DOUBLE / greatest(len(ws), 1), 4) AS mean_len,
+             len(list_filter(ws, w -> w IN
+               ('the', 'a', 'of', 'to', 'in', 'and'))) AS nstop,
+             round(len(list_filter(ws,
+                 w -> regexp_matches(w, '[\pL]')))::DOUBLE /
+               greatest(len(ws), 1), 4) AS alpha,
+             round(len(list_distinct(ws))::DOUBLE /
+               greatest(len(ws), 1), 4) AS ttr
+           FROM t)
+         SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+           nw BETWEEN 50 AND 100000 AS ok_words,
+           mean_len BETWEEN 3.0 AND 10.0 AS ok_mean_len,
+           nstop >= 2 AS ok_stopwords,
+           alpha >= 0.8 AS ok_alpha,
+           ttr >= 0.3 AS ok_ttr,
+           (nw BETWEEN 50 AND 100000) AND (mean_len BETWEEN 3.0 AND 10.0)
+             AND nstop >= 2 AND alpha >= 0.8 AND ttr >= 0.3 AS keep
+         FROM m ORDER BY doc_id""",
+    "q87_ann_sq8" ->
+      """WITH p AS (SELECT (count(*) // 8) * 8 AS m FROM embeddings),
+         v AS (
+           SELECT vec_id, list_transform(range(0, 16),
+             j -> ((vec_id // 8 * 1009 + j * j * 571 +
+                    vec_id // 8 * j * 37) % 2003 - 1001)::DOUBLE) AS vec
+           FROM embeddings, p WHERE vec_id < m),
+         mm AS (SELECT j, min(vec[j + 1]) AS mn, max(vec[j + 1]) AS mx
+           FROM v, range(0, 16) t(j) GROUP BY j),
+         c AS (SELECT vec_id, list(code ORDER BY j) AS code FROM (
+             SELECT vec_id, j,
+               CASE WHEN mx = mn THEN 0 ELSE
+                 least(greatest(CAST(floor((vec[j + 1] - mn) * 255.0 /
+                   (mx - mn) + 0.5) AS BIGINT), 0), 255) END AS code
+             FROM v, range(0, 16) t(j) JOIN mm USING (j))
+           GROUP BY vec_id),
+         scored AS (
+           SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, 17),
+               i -> a.code[i] * b.code[i])) AS sim
+           FROM c a JOIN c b ON a.vec_id % 25 = 0
+             AND a.vec_id != b.vec_id),
+         ranked AS (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, neighbor_id) AS rnk
+           FROM scored)
+         SELECT query_id, rnk, neighbor_id FROM ranked
+         WHERE rnk <= 7 ORDER BY query_id, rnk"""
   )
 }

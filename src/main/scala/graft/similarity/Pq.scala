@@ -129,7 +129,7 @@ object Pq {
       })
   }
 
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+  private[similarity] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new TopKAggregator(k), Encoders.product[Scored])
     scored.groupBy(col("query_id"))
       .agg(topk(col("neighbor_id"), col("sim")).as("topk"))

@@ -207,6 +207,55 @@ object EventStreams {
       .filter(col("n_shared") > 0)
   }
 
+  /** STREAMING decontamination GATE — the unbounded twin of
+    * `Dedup.decontaminateFilter`: pass through only the docs sharing NO
+    * word n-gram with the static benchmark. Stateless (no state store,
+    * no watermark, plain append mode) and two-tier, mirroring the batch
+    * plan: every gram probes a broadcast Bloom filter first (two cache
+    * lines, rejects the clean majority), and only bloom-POSITIVE grams
+    * consult the exact broadcast gram set — so the verdict is EXACT
+    * whatever the false-positive rate, while the per-doc cost stays
+    * bloom-bound on clean traffic. Both structures are bounded by the
+    * benchmark (an eval set), never by the stream.
+    */
+  def decontaminateGateDocs(
+      docs: DataFrame, // streaming (doc_id, ts, text)
+      benchmark: DataFrame, // BATCH (text) benchmark corpus
+      n: Int = 8,
+      fpp: Double = 0.01,
+      textCol: String = "text",
+      maxBenchmarkRows: Long = 1000000L): DataFrame = {
+    val benchRows = benchmark.count()
+    require(benchRows <= maxBenchmarkRows,
+      s"benchmark has $benchRows rows (> $maxBenchmarkRows): this is " +
+        "collected to the driver and broadcast. For corpus-sized " +
+        "benchmark sets use the batch Dedup.decontaminateFilter path, " +
+        "or raise maxBenchmarkRows explicitly.")
+    val grams = scala.collection.mutable.HashSet.empty[Long]
+    benchmark.select(col(textCol)).collect().foreach { r =>
+      graft.dedup.Shingling.foreachShingleHash(r.getString(0), n)(grams += _)
+    }
+    val bloom = org.apache.spark.util.sketch.BloomFilter
+      .create(math.max(grams.size.toLong, 1L), fpp)
+    grams.foreach(bloom.putLong)
+    val sc = docs.sparkSession.sparkContext
+    val bloomB = sc.broadcast(bloom)
+    val exactB = sc.broadcast(grams.toSet)
+    val clean = udf((s: String) => {
+      if (s == null) true
+      else {
+        val bf = bloomB.value
+        var ok = true
+        graft.dedup.Shingling.foreachShingleHash(s, n) { z =>
+          if (ok && bf.mightContainLong(z) && exactB.value.contains(z))
+            ok = false
+        }
+        ok
+      }
+    })
+    docs.filter(clean(col(textCol)))
+  }
+
   case class ShardDoc(shard: Long, doc_id: Long, toks: Long)
   case class PackState(tokEnd: Long)
   case class PackedPiece(shard: Long, seq_id: Long, doc_id: Long,

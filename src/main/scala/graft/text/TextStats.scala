@@ -47,6 +47,43 @@ object TextStats {
       round(punctRatio, 4).as("punct_ratio"))
   }
 
+  /** Gopher rule GATE (Rae et al. 2021, table A1, adapted to this
+    * corpus's scale): the named pass/fail verdicts a corpus build logs
+    * per document, not just the raw ratios ([[qualityScore]] is the
+    * diagnostic twin). Every threshold compares a 4dp-ROUNDED ratio so
+    * independent engines land on the same side of each gate; `keep` is
+    * the conjunction. Pure column expressions — the gate fuses into the
+    * scan's codegen stage, no shuffle, trivially linear at 100 TB.
+    */
+  def gopherRules(text: Column, stopwords: Seq[String],
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minStopHits: Int = 2, minAlphaRatio: Double = 0.8,
+      minTtr: Double = 0.3): Column = {
+    val words = split(trim(text), "\\s+")
+    val nWords = size(words)
+    val nw = greatest(nWords, lit(1)).cast("double")
+    val meanLen = round(length(trim(text)).cast("double") / nw, 4)
+    val stopArr = array(stopwords.map(lit): _*)
+    val nStop = size(filter(words, w => array_contains(stopArr, w)))
+    val alphaRatio = round(
+      size(filter(words, w => w.rlike("[\\p{L}]"))).cast("double") / nw, 4)
+    val ttr = round(size(array_distinct(words)).cast("double") / nw, 4)
+    val okWords = nWords.between(minWords, maxWords)
+    val okMeanLen = meanLen.between(minMeanLen, maxMeanLen)
+    val okStop = nStop >= minStopHits
+    val okAlpha = alphaRatio >= minAlphaRatio
+    val okTtr = ttr >= minTtr
+    struct(
+      nWords.cast("long").as("n_words"),
+      okWords.as("ok_words"),
+      okMeanLen.as("ok_mean_len"),
+      okStop.as("ok_stopwords"),
+      okAlpha.as("ok_alpha"),
+      okTtr.as("ok_ttr"),
+      (okWords && okMeanLen && okStop && okAlpha && okTtr).as("keep"))
+  }
+
   /** Character/stopword profiles per language for the n-gram heuristic
     * language identifier. Tiny on purpose: marker words + marker chars.
     */

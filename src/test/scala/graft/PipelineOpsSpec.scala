@@ -1128,4 +1128,125 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.map(r =>
       (r.getAs[Long]("doc_id"), r.getAs[Long]("copy_idx"))).toSet === direct)
   }
+
+  test("bloom decontaminate filter = unpruned anti-join, bloom FPs harmless") {
+    val pool = docs.filter($"doc_id" % 5 =!= 0)
+    val bench = docs.filter($"doc_id" % 5 === 0)
+    val contaminated = Dedup.decontaminate(pool, bench, "doc_id", "text",
+        n = 8)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(contaminated.nonEmpty, "gate must actually drop docs here")
+    val expected = pool.select("doc_id").collect()
+      .map(_.getLong(0)).toSet -- contaminated
+    val got = Dedup.decontaminateFilter(pool, bench, "doc_id", "text",
+        n = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === expected)
+    // saturate the bloom (fpp 0.5 -> most grams read as suspect): the
+    // exact confirmation join owns correctness, the bloom only prunes,
+    // so the survivor set must be bit-identical
+    val saturated = Dedup.decontaminateFilter(pool, bench, "doc_id",
+        "text", n = 8, fpp = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(saturated === expected)
+  }
+
+  test("BM25 replays the hand-computed Okapi example") {
+    // N=4, sum_dl=12, query {dog}: df=2, idf=ln(2); doc 2 tf=2 dl=3,
+    // doc 3 tf=1 dl=2 -> contributions ln(2)*1.375 and ln(2)*2.2/1.9,
+    // i.e. 9531 and 8026 basis points (hand-checked)
+    val corpus = Seq(
+      (1L, "cat sat mat"), (2L, "dog dog cat"),
+      (3L, "dog bird"), (4L, "fish fish fish fish"))
+      .toDF("doc_id", "text")
+    val out = graft.text.Bm25.topK(corpus, "doc_id", "text",
+        terms = Seq("dog"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((2L, 9531L), (3L, 8026L)),
+      s"got ${out.toSeq}")
+    // multi-term scores are the sum of per-term basis points
+    val two = graft.text.Bm25.topK(corpus, "doc_id", "text",
+        terms = Seq("dog", "cat"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dogOnly = graft.text.Bm25.topK(corpus, "doc_id", "text",
+        terms = Seq("dog"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val catOnly = graft.text.Bm25.topK(corpus, "doc_id", "text",
+        terms = Seq("cat"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two(2L) === dogOnly(2L) + catOnly(2L))
+    // k cuts on (score desc, id): k=1 keeps only doc 2
+    val cut = graft.text.Bm25.topK(corpus, "doc_id", "text",
+        terms = Seq("dog"), k = 1).collect()
+    assert(cut.map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
+  test("gopher gate flags flip at their declared boundaries") {
+    def gate(t: String) = Seq((1L, t)).toDF("doc_id", "text")
+      .select(TextStats.gopherRules($"text", Seq("the", "a")).as("g"))
+      .select("g.*").head()
+    val distinct60 = (0 until 60).map(i => s"the w$i").mkString(" ")
+    val ok = gate(distinct60) // 120 words, stop hits 60, ttr ~0.51
+    assert(ok.getAs[Boolean]("ok_words") && ok.getAs[Boolean]("ok_ttr") &&
+      ok.getAs[Boolean]("ok_stopwords") && ok.getAs[Boolean]("ok_alpha") &&
+      ok.getAs[Boolean]("keep"))
+    // 49 words misses the floor by one; 50 passes
+    val short49 = (0 until 49).map(i => s"the$i").mkString(" ")
+    assert(!gate(short49).getAs[Boolean]("ok_words"))
+    assert(!gate(short49).getAs[Boolean]("keep"))
+    val at50 = (0 until 50).map(i => s"the$i").mkString(" ")
+    assert(gate(at50).getAs[Boolean]("ok_words"))
+    // one repeated word: ttr = 1/60 fails, stopword hits 60 pass
+    val repeated = Seq.fill(60)("the").mkString(" ")
+    val r = gate(repeated)
+    assert(!r.getAs[Boolean]("ok_ttr") && r.getAs[Boolean]("ok_stopwords")
+      && !r.getAs[Boolean]("keep"))
+    // no stopwords at all
+    val noStop = (0 until 60).map(i => s"w$i").mkString(" ")
+    assert(!gate(noStop).getAs[Boolean]("ok_stopwords"))
+    // two-char words: mean_word_len (2 + separators) under 3.0
+    val tiny = (0 until 60).map(_ => "aa").mkString(" ")
+    assert(!gate(tiny).getAs[Boolean]("ok_mean_len"))
+    // digit-only words fail the alphabetic gate
+    val digits = (0 until 60).map(i => s"$i$i").mkString(" ")
+    assert(!gate(digits).getAs[Boolean]("ok_alpha"))
+  }
+
+  test("SQ8 encode clamps and quantizes as declared") {
+    import graft.similarity.Sq
+    val mm = Array((0.0, 10.0), (5.0, 5.0))
+    val df = Seq((1L, Seq(-5.0, 7.0)), (2L, Seq(15.0, 5.0)),
+      (3L, Seq(5.0, 5.0))).toDF("id", "vec")
+    val codes = df.select($"id", Sq.encodeUdf(mm)($"vec").as("code"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("code")).toMap
+    assert((codes(1L)(0) & 0xff) === 0) // below envelope -> clamp 0
+    assert((codes(2L)(0) & 0xff) === 255) // above envelope -> clamp 255
+    assert((codes(3L)(0) & 0xff) === 128) // midpoint -> round-half-up 128
+    assert(codes(1L)(1) === 0 && codes(2L)(1) === 0) // constant dim -> 0
+  }
+
+  test("SQ8 SDC top-k equals the brute-force integer code ranking") {
+    val rng = new scala.util.Random(23)
+    val emb = (0 until 160).map(i =>
+      (i.toLong, Seq.fill(8)(rng.nextGaussian() * 10))).toDF("id", "vec")
+    val mm = graft.similarity.Sq.fitMinMax(emb, dim = 8)
+    val codes = emb.select($"id",
+      graft.similarity.Sq.encodeUdf(mm)($"vec").as("code"))
+    val byId = codes.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("code")).toMap
+    def dot(a: Array[Byte], b: Array[Byte]): Long =
+      a.indices.map(i => (a(i) & 0xff).toLong * (b(i) & 0xff)).sum
+    val queries = emb.filter($"id" % 40 === 0)
+    val expected = byId.keys.filter(_ % 40 == 0).toSeq.sorted.flatMap { q =>
+      byId.toSeq.filter(_._1 != q)
+        .map { case (id, c) => (id, dot(byId(q), c)) }
+        .sortBy { case (id, s) => (-s, id) }
+        .take(5).zipWithIndex
+        .map { case ((id, _), i) => (q, i + 1, id) }
+    }
+    val got = graft.similarity.Sq.sdcTopK(queries, codes, mm, k = 5)
+      .orderBy($"query_id", $"rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got === expected)
+  }
 }

@@ -138,6 +138,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === batch)
   }
 
+  test("streaming bloom gate passes exactly the batch filter's survivors") {
+    val docsDir = Files.createTempDirectory("decon-gate").toString
+    val docs = graft.relational.Tables.documents(spark, sf)
+    docs.filter($"doc_id" % 5 =!= 0)
+      .withColumn("ts",
+        expr("timestamp_micros(1600000000000000 + doc_id * 1000000)"))
+      .select("doc_id", "ts", "text")
+      .write.mode("overwrite").parquet(docsDir)
+    val stream = spark.readStream
+      .schema("doc_id LONG, ts TIMESTAMP, text STRING")
+      .parquet(docsDir)
+    val benchmark = docs.filter($"doc_id" % 5 === 0)
+    // fpp 0.5 saturates the bloom on purpose: the exact confirmation
+    // tier owns the verdict, so survivors must not change
+    val got = runToCompletion(
+      EventStreams.decontaminateGateDocs(stream, benchmark, n = 8,
+        fpp = 0.5),
+      "decontaminated_gate")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val batch = graft.dedup.Dedup.decontaminateFilter(
+        docs.filter($"doc_id" % 5 =!= 0), benchmark, "doc_id", "text",
+        n = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batch.nonEmpty && batch.size < 400,
+      "gate must pass some docs and drop some docs")
+    assert(got === batch)
+  }
+
   test("stateful dedup drops duplicate event ids") {
     // duplicate the source file so every event appears twice
     val dir = Files.createTempDirectory("events-dup").toString

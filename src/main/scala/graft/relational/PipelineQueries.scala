@@ -916,6 +916,33 @@ object PipelineQueries {
       Sq.sdcTopK(vecs.filter($"id" % 25 === 0), codes, mm, k = 7)
         .select($"query_id", $"rank".as("rnk"), $"neighbor_id")
         .orderBy($"query_id", $"rnk")
+    },
+    "q88_bm25_index_probe" -> { (s, d) =>
+      import s.implicits._
+      // BUILD-ONCE / PROBE-MANY for lexical retrieval — the q76
+      // pattern on the text side: postings persisted partitionBy a
+      // term-hash bucket, so the probe prunes to the query terms'
+      // buckets at PLAN time and query I/O is O(postings of the query
+      // terms), independent of vocabulary breadth. Scoring shares
+      // q85's integer basis-point contract, so the oracle is the SAME
+      // SQL — the index path must reproduce the direct scan exactly.
+      // The declared query rebuilds the index each run (honest
+      // build+probe cost); a deployment builds once and probes many.
+      // Path is per-(sf, pid) for the same concurrency reason as q76.
+      // COST FLOOR (BenchOne, quiet local[32], sf0.1): ~4.2 s median,
+      // dominated by the three partitioned-write ACTIONS of the build
+      // (postings, terms, stats — committer renames + per-action plan/
+      // codegen), not by data volume; the probe alone is sub-second.
+      // That write cost IS the product here (the index on disk), the
+      // same argument the q76 rebuild carries.
+      val dir = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft-bm25-index-${Integer.toHexString(d.hashCode)}" +
+        s"-${ProcessHandle.current().pid()}"
+      graft.text.Bm25.buildIndex(documents(s, d), "doc_id", "text", dir)
+      graft.text.Bm25.probeIndex(s, dir,
+          Seq("customer", "merge", "window"), k = 25)
+        .select($"id".as("doc_id"), $"score_bp")
+        .orderBy($"score_bp".desc, $"doc_id")
     }
   )
 
@@ -1659,6 +1686,33 @@ object PipelineQueries {
                ORDER BY sim DESC, neighbor_id) AS rnk
            FROM scored)
          SELECT query_id, rnk, neighbor_id FROM ranked
-         WHERE rnk <= 7 ORDER BY query_id, rnk"""
+         WHERE rnk <= 7 ORDER BY query_id, rnk""",
+    // identical to q85 on purpose: the persisted-index probe must
+    // reproduce the direct-scan BM25 bit-for-bit
+    "q88_bm25_index_probe" ->
+      """WITH t AS (SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS ws
+           FROM documents),
+         st AS (SELECT count(*)::DOUBLE AS n_docs,
+             sum(len(ws))::DOUBLE AS sum_dl FROM t),
+         tf AS (SELECT doc_id, word, count(*)::DOUBLE AS tf,
+             any_value(dl) AS dl
+           FROM (SELECT doc_id, len(ws) AS dl,
+               unnest(list_filter(ws,
+                 w -> w IN ('customer', 'merge', 'window'))) AS word
+             FROM t)
+           GROUP BY doc_id, word),
+         dfx AS (SELECT word, count(*)::DOUBLE AS df FROM tf
+           GROUP BY word),
+         c AS (SELECT doc_id,
+             CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+               (tf * (1.2 + 1.0)) /
+               (tf + 1.2 * ((1.0 - 0.75) +
+                 0.75 * CAST(dl AS DOUBLE) * n_docs / sum_dl)) *
+               10000.0) AS BIGINT) AS bp
+           FROM tf JOIN dfx USING (word), st)
+         SELECT doc_id, CAST(sum(bp) AS BIGINT) AS score_bp
+         FROM c GROUP BY doc_id
+         ORDER BY score_bp DESC, doc_id LIMIT 25"""
   )
 }

@@ -57,4 +57,92 @@ object Bm25 {
       .orderBy(col("score_bp").desc, col("id"))
       .limit(k)
   }
+
+  /** BUILD-ONCE / PROBE-MANY inverted-index persistence — the lexical
+    * twin of the IVF index (`Ann.buildIvfIndex`): postings land in
+    * parquet `partitionBy` a stable hash BUCKET of the term, so a probe
+    * prunes to |query terms| buckets at PLAN time (static `isin` on the
+    * partition column) instead of scanning the postings of the whole
+    * vocabulary. Each posting row carries (id, term, tf, dl) — doc
+    * length is denormalized into the posting, the standard index trick
+    * that keeps scoring join-free on the corpus side — plus a small
+    * `terms` side table (term, df) bucketed the same way and a one-row
+    * `stats` table (N, total length). Query-time I/O is O(postings of
+    * the query terms), independent of corpus breadth.
+    */
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, nBuckets: Int = 64): Unit = {
+    val words = split(trim(col(textCol)), "\\s+")
+    val postings = docs.select(col(idCol).as("id"),
+        size(words).cast("long").as("dl"), explode(words).as("term"))
+      .groupBy("id", "term")
+      .agg(count(lit(1)).cast("long").as("tf"), first(col("dl")).as("dl"))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+    // repartition ON the partition column first: otherwise every write
+    // task fans out one file per bucket it sees (tasks x buckets small
+    // files — measured 4x the build wall-time at sf0.1). One exchange
+    // keyed like the layout → at most one file per bucket per pass; at
+    // real scale raise nBuckets (or add a salt column) rather than
+    // letting the fan-out return.
+    postings.repartition(nBuckets, col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/postings")
+    // df comes from the postings JUST WRITTEN (one (id, term) row per
+    // hit, so count = document frequency): re-running the corpus
+    // explode+shuffle for a second action would double the build's
+    // dominant stage — reading the bucket-aligned index back is
+    // O(index), already grouped, and needs no wide exchange.
+    docs.sparkSession.read.parquet(s"$dir/postings")
+      .groupBy("term", "bucket")
+      .agg(count(lit(1)).cast("long").as("df"))
+      .repartition(nBuckets, col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/terms")
+    docs.agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(size(words).cast("long")).as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Probe a [[buildIndex]] index: same scoring (and the same integer
+    * basis-point contract) as [[topK]], but reading only the query
+    * terms' partitions — `.explain` shows the bucket cut in the scan's
+    * PartitionFilters. The bucket list is computed with the SAME
+    * xxhash64 the writer used, evaluated on a |Q|-row local relation.
+    */
+  def probeIndex(spark: SparkSession, dir: String, terms: Seq[String],
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      nBuckets: Int = 64): DataFrame = {
+    // same hash family the writer's xxhash64(col) used (seed 42),
+    // evaluated locally — a Spark job for |Q| hashes would cost a full
+    // scheduling round-trip per probe
+    val buckets = terms.map { t =>
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(org.apache.spark.unsafe.types.UTF8String.fromString(t),
+          org.apache.spark.sql.types.StringType, 42L)
+      ((h % nBuckets) + nBuckets) % nBuckets
+    }.distinct
+    val termList = terms.map(lit)
+    val postings = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(buckets: _*) &&
+        col("term").isin(termList: _*))
+    val dfreq = spark.read.parquet(s"$dir/terms")
+      .filter(col("bucket").isin(buckets: _*) &&
+        col("term").isin(termList: _*))
+      .select(col("term"), col("df").cast("double").as("df"))
+    val stats = spark.read.parquet(s"$dir/stats")
+      .select(col("n_docs").cast("double").as("n_docs"),
+        col("sum_dl").cast("double").as("sum_dl"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val denom = col("tf").cast("double") + lit(k1) *
+      (lit(1.0 - b) + lit(b) * col("dl").cast("double") *
+        col("n_docs") / col("sum_dl"))
+    postings.join(broadcast(dfreq), "term")
+      .join(broadcast(stats))
+      .withColumn("bp",
+        round(idf * (col("tf").cast("double") * lit(k1 + 1.0)) / denom *
+          10000.0).cast("long"))
+      .groupBy("id").agg(sum(col("bp")).as("score_bp"))
+      .orderBy(col("score_bp").desc, col("id"))
+      .limit(k)
+  }
 }

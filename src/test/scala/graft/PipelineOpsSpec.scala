@@ -1249,4 +1249,24 @@ class PipelineOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
     assert(got === expected)
   }
+
+  test("persisted BM25 index: probe equals direct scan, buckets pruned") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bm25-index").toString
+    val terms = Seq("customer", "merge", "window")
+    graft.text.Bm25.buildIndex(docs, "doc_id", "text", dir)
+    val probed = graft.text.Bm25.probeIndex(spark, dir, terms, k = 25)
+    val direct = graft.text.Bm25.topK(docs, "doc_id", "text", terms,
+        k = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val got = probed.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(direct.nonEmpty)
+    assert(got === direct)
+    // the postings scan must be partition-pruned to the query terms'
+    // hash buckets — plan-time PartitionFilters, not a runtime filter
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [bucket"), plan.take(2000))
+    assert(plan.contains("bucket#") && plan.contains("IN ("),
+      plan.take(2000))
+  }
 }

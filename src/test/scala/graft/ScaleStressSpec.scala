@@ -85,11 +85,19 @@ class ScaleStressSpec extends AnyFunSuite {
     // corpus dilutes the shared top-V vocabulary, shifting every score),
     // so the band assertions would test the synthetic corpus, not the
     // operator; the scoring pass itself is the linear claim.
+    // q84's survivor set scales with the corpus (copies keep their %5
+    // split and per-copy vowel rotation mirrors the base contamination
+    // structure); q85/q88's outputs are k-bound (rows stay 25 — the
+    // band then pins the scan+broadcast plan shape at 10x; q88 adds
+    // the index build each rep, the honest build+probe cost); q86 is a
+    // pure per-row gate, rows scale exactly 10x. q87 stays OUT like
+    // q34/q77: it is the declared O(N*Q) baseline scan by contract.
     val names = Seq("q31_jaccard_pairs", "q32_minhash_lsh", "q45_ann_lsh",
       "q51_ann_ivf", "q52_cosine_neardup", "q58_semantic_dedup",
       "q61_repeated_runs", "q69_dedup_components", "q70_sequence_pack",
       "q74_token_budget", "q75_temperature_mixture", "q78_ann_ivfpq",
-      "q80_source_cap", "q83_length_deciles")
+      "q80_source_cap", "q83_length_deciles", "q84_bloom_decontaminate",
+      "q85_bm25", "q86_gopher_gate", "q88_bm25_index_probe")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

@@ -84,23 +84,30 @@ object PipelineQueries {
     * it, and the profiler can never drift apart.
     */
   private[graft] def verifiedNearDupPairs(s: SparkSession, d: String,
-      threshold: Double = 0.8): DataFrame = {
-    import s.implicits._
-    val docs = documents(s, d)
-    val withShingles = docs.select($"doc_id",
-      shingleHashes64($"text").as("sh"))
-    val sigs = docs.select($"doc_id".as("id"),
-      Dedup.minHashSignatureFromText($"text", 3, 64).as("sig"))
+      threshold: Double = 0.8): DataFrame =
+    verifiedNearDupPairsOf(documents(s, d), threshold)
+
+  /** The same pipeline over an arbitrary (doc_id, text) frame — q89
+    * composes it over the gated/deduped pool instead of the raw table.
+    */
+  private[graft] def verifiedNearDupPairsOf(docs: DataFrame,
+      threshold: Double): DataFrame = {
+    val withShingles = docs.select(col("doc_id"),
+      shingleHashes64(col("text")).as("sh"))
+    val sigs = docs.select(col("doc_id").as("id"),
+      Dedup.minHashSignatureFromText(col("text"), 3, 64).as("sig"))
     val cands = Dedup.lshCandidatePairs(sigs, "id", bands = 16,
       sigLength = 64)
-    val sa = withShingles.select($"doc_id".as("id_a"), $"sh".as("sh_a"))
-    val sb = withShingles.select($"doc_id".as("id_b"), $"sh".as("sh_b"))
+    val sa = withShingles.select(col("doc_id").as("id_a"),
+      col("sh").as("sh_a"))
+    val sb = withShingles.select(col("doc_id").as("id_b"),
+      col("sh").as("sh_b"))
     cands.join(sa, "id_a").join(sb, "id_b")
       .withColumn("jaccard",
         round(graft.functions.JaccardDistinctLongs
-          .jaccard64($"sh_a", $"sh_b"), 4))
-      .filter($"jaccard" >= threshold)
-      .select($"id_a", $"id_b", $"jaccard")
+          .jaccard64(col("sh_a"), col("sh_b")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -943,6 +950,52 @@ object PipelineQueries {
           Seq("customer", "merge", "window"), k = 25)
         .select($"id".as("doc_id"), $"score_bp")
         .orderBy($"score_bp".desc, $"doc_id")
+    },
+    "q89_assembly_recipe" -> { (s, d) =>
+      import s.implicits._
+      // END-TO-END corpus assembly (the FineWeb/RefinedWeb build
+      // shape), composed from individually oracle-checked stages:
+      // Gopher rule gate (q86) -> exact-dedup survivorship (q30) ->
+      // transitive near-dup CLUSTER survivorship (q32's verified pair
+      // pipeline + q69's connected components; keep each component's
+      // min-id representative) -> greedy token budget under the shared
+      // deterministic hash order (q74). The oracle replays the whole
+      // composition including the recursive-CTE clustering, so the
+      // STAGE WIRING is pinned, not just the stages. Plan shape: the
+      // gate fuses into the scan; the pair pipeline and the budget's
+      // histogram descent are the only wide stages; the dropped
+      // near-dup members come back as a broadcast anti-join (the drop
+      // set is bounded by the duplicate mass, not the corpus).
+      val docs = documents(s, d)
+      val gated = docs
+        .withColumn("g", TextStats.gopherRules($"text",
+          Seq("the", "a", "of", "to", "in", "and")))
+        .filter($"g.keep")
+        .select($"doc_id", $"text")
+      val keepExact = Dedup.exactDuplicates(gated, "doc_id", "text")
+        .select($"keep_id".as("doc_id"))
+      val pool = gated.join(keepExact, Seq("doc_id"), "left_semi")
+      val nonReps = Dedup.connectedComponents(
+          verifiedNearDupPairsOf(pool, threshold = 0.8)
+            .select($"id_a", $"id_b"))
+        .filter($"id" =!= $"component")
+        .select($"id".as("doc_id"))
+      // materialize the survivor pool ONCE (lazy local checkpoint,
+      // first budget-descent job pays it): the budget operator walks
+      // its input twice (histogram rounds + final cut join), and
+      // without the cut here each walk re-runs the whole
+      // gate+pair+cluster pipeline (measured 4.7 -> 4.1 s at sf0.1;
+      // the rest is the q69-shaped pair+CC job count, the composed
+      // cost this query declares). A production build writes this
+      // intermediate corpus anyway.
+      val reps = pool.join(broadcast(nonReps), Seq("doc_id"), "left_anti")
+        .localCheckpoint(false)
+      TextStats.tokenBudgetSelection(
+          reps.withColumn("slice", lit("all")),
+          "doc_id", "text", "slice", Map("all" -> 6000L), seed = 7L)
+        .select($"doc_id",
+          TextStats.wordCount($"text").cast("long").as("toks"))
+        .orderBy($"doc_id")
     }
   )
 
@@ -1713,6 +1766,67 @@ object PipelineQueries {
            FROM tf JOIN dfx USING (word), st)
          SELECT doc_id, CAST(sum(bp) AS BIGINT) AS score_bp
          FROM c GROUP BY doc_id
-         ORDER BY score_bp DESC, doc_id LIMIT 25"""
+         ORDER BY score_bp DESC, doc_id LIMIT 25""",
+    "q89_assembly_recipe" ->
+      """WITH RECURSIVE t0 AS (SELECT doc_id, text,
+             string_split_regex(trim(text), '\s+') AS ws,
+             length(trim(text)) AS lc
+           FROM documents),
+         m AS (SELECT doc_id, text, len(ws) AS nw,
+             round(lc::DOUBLE / greatest(len(ws), 1), 4) AS mean_len,
+             len(list_filter(ws, w -> w IN
+               ('the', 'a', 'of', 'to', 'in', 'and'))) AS nstop,
+             round(len(list_filter(ws,
+                 w -> regexp_matches(w, '[\pL]')))::DOUBLE /
+               greatest(len(ws), 1), 4) AS alpha,
+             round(len(list_distinct(ws))::DOUBLE /
+               greatest(len(ws), 1), 4) AS ttr
+           FROM t0),
+         gated AS (SELECT doc_id, text FROM m
+           WHERE nw BETWEEN 50 AND 100000
+             AND mean_len BETWEEN 3.0 AND 10.0 AND nstop >= 2
+             AND alpha >= 0.8 AND ttr >= 0.3),
+         keepx AS (SELECT min(doc_id) AS doc_id FROM gated
+           GROUP BY text),
+         pool AS (SELECT g.doc_id, g.text FROM gated g
+           JOIN keepx USING (doc_id)),
+         sh AS (SELECT doc_id, list_distinct(list_transform(
+             range(1, len(string_split(text, ' ')) - 1),
+             i -> concat_ws(' ', string_split(text, ' ')[i],
+               string_split(text, ' ')[i+1],
+               string_split(text, ' ')[i+2]))) AS sh
+           FROM pool),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+             len(list_distinct(a.sh || b.sh)), 4) >= 0.8),
+         edges AS (
+           SELECT id_a AS u, id_b AS v FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         reach(u, v) AS (
+           SELECT u, v FROM edges
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+           WHERE e.v <> r.u),
+         comp AS (
+           SELECT u AS doc_id, least(u, min(v)) AS component
+           FROM reach GROUP BY u),
+         reps AS (SELECT p.doc_id, p.text FROM pool p
+           WHERE p.doc_id NOT IN
+             (SELECT doc_id FROM comp WHERE component <> doc_id)),
+         t AS (SELECT doc_id, text,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS toks,
+             ('0x' || substr(md5('7:' || doc_id::VARCHAR), 1, 15))
+               ::BIGINT AS pos
+           FROM reps),
+         c AS (SELECT doc_id, toks,
+             CAST(sum(toks) OVER (ORDER BY pos, doc_id) AS BIGINT)
+               - toks AS cum_before
+           FROM t)
+         SELECT doc_id, toks FROM c
+         WHERE cum_before < 6000
+         ORDER BY doc_id"""
   )
 }

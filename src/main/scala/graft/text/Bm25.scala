@@ -102,6 +102,51 @@ object Bm25 {
       .write.mode("overwrite").parquet(s"$dir/stats")
   }
 
+  /** INCREMENTAL index maintenance — the append path a production index
+    * needs between full rebuilds: `newDocs` (ids must be disjoint from
+    * the indexed corpus — an append-only ingest) land as additional
+    * posting files under the SAME bucket layout (parquet `append` into
+    * the partitioned dirs — no rewrite of existing postings), the
+    * one-row stats table merges associatively (counts and length sums
+    * add), and the terms table merges by (term, bucket) sum. The merged
+    * terms frame is eagerly checkpointed BEFORE the overwrite so the
+    * write never reads the directory it is replacing. After append, a
+    * probe is indistinguishable from a probe of a fresh full build —
+    * all scoring inputs (tf, dl, df, N, total length) are exact sums,
+    * so they merge without drift; spec-pinned against a fresh build.
+    */
+  def appendToIndex(newDocs: DataFrame, idCol: String, textCol: String,
+      dir: String, nBuckets: Int = 64): Unit = {
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    val words = split(trim(col(textCol)), "\\s+")
+    val delta = newDocs.select(col(idCol).as("id"),
+        size(words).cast("long").as("dl"), explode(words).as("term"))
+      .groupBy("id", "term")
+      .agg(count(lit(1)).cast("long").as("tf"), first(col("dl")).as("dl"))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+    delta.repartition(nBuckets, col("bucket"))
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"$dir/postings")
+    val old = spark.read.parquet(s"$dir/stats")
+      .select("n_docs", "sum_dl").head()
+    val add = newDocs.agg(count(lit(1)).cast("long").as("n_docs"),
+      sum(size(words).cast("long")).as("sum_dl")).head()
+    Seq((old.getLong(0) + add.getLong(0), old.getLong(1) + add.getLong(1)))
+      .toDF("n_docs", "sum_dl")
+      .write.mode("overwrite").parquet(s"$dir/stats")
+    val merged = spark.read.parquet(s"$dir/terms")
+      .select("term", "df", "bucket")
+      .union(delta.groupBy("term", "bucket")
+        .agg(count(lit(1)).cast("long").as("df"))
+        .select("term", "df", "bucket"))
+      .groupBy("term", "bucket").agg(sum(col("df")).as("df"))
+      .select("term", "df", "bucket")
+      .localCheckpoint()
+    merged.repartition(nBuckets, col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/terms")
+  }
+
   /** Probe a [[buildIndex]] index: same scoring (and the same integer
     * basis-point contract) as [[topK]], but reading only the query
     * terms' partitions — `.explain` shows the bucket cut in the scan's

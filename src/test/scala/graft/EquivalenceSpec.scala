@@ -30,7 +30,9 @@ class EquivalenceSpec extends AnyFunSuite {
       "q74_token_budget", "q75_temperature_mixture",
       "q76_ivf_index_probe", "q77_ann_pq", "q78_ann_ivfpq",
       "q79_lm_perplexity", "q80_source_cap", "q81_dsir_select",
-      "q82_corpus_card", "q83_length_deciles")
+      "q82_corpus_card", "q83_length_deciles",
+      "q84_bloom_decontaminate", "q85_bm25", "q86_gopher_gate",
+      "q87_ann_sq8", "q88_bm25_index_probe", "q89_assembly_recipe")
     try sample.map { name =>
       name -> SparkEntry.queries(name)(spark, sf)
         .collect().map(_.toString).sorted.toSeq
@@ -38,10 +40,10 @@ class EquivalenceSpec extends AnyFunSuite {
     finally spark.conf.set("spark.sql.shuffle.partitions", "4")
   }
 
-  // 29-query sweep incl. the composed oracles, the round-8
+  // 35-query sweep incl. the composed oracles, the round-8
   // cluster/pack/mixture layer (q69 exercises the iterative
   // star-contraction under three partitionings), and the round-9
-  // LM-scoring/cap/DSIR layer
+  // LM-scoring/cap/DSIR + bloom-gate/BM25/SQ8/assembly layers
   test("query results are identical under 3, 4, and 13 shuffle partitions") {
     val a = runAll(4)
     val b = runAll(13)

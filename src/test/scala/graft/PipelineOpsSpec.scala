@@ -1269,4 +1269,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(plan.contains("bucket#") && plan.contains("IN ("),
       plan.take(2000))
   }
+
+  test("BM25 index append: probe indistinguishable from a fresh build") {
+    val terms = Seq("customer", "merge", "window")
+    val base = docs.filter($"doc_id" % 3 =!= 0)
+    val delta = docs.filter($"doc_id" % 3 === 0)
+    val incDir = java.nio.file.Files
+      .createTempDirectory("graft-bm25-inc").toString
+    graft.text.Bm25.buildIndex(base, "doc_id", "text", incDir)
+    // a probe between build and append sees only the base corpus
+    val baseOnly = graft.text.Bm25.probeIndex(spark, incDir, terms, k = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val baseDirect = graft.text.Bm25.topK(base, "doc_id", "text", terms,
+        k = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(baseOnly === baseDirect)
+    graft.text.Bm25.appendToIndex(delta, "doc_id", "text", incDir)
+    val fullDir = java.nio.file.Files
+      .createTempDirectory("graft-bm25-full").toString
+    graft.text.Bm25.buildIndex(docs, "doc_id", "text", fullDir)
+    val inc = graft.text.Bm25.probeIndex(spark, incDir, terms, k = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val full = graft.text.Bm25.probeIndex(spark, fullDir, terms, k = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(inc === full)
+    assert(inc !== baseOnly, "append must actually change the ranking")
+  }
 }

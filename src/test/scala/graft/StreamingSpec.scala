@@ -166,6 +166,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === batch)
   }
 
+  test("the gopher gate runs unchanged on a stream") {
+    // gopherRules is a pure row-local column expression — the BATCH
+    // operator itself is streaming-compatible (an ingest-time quality
+    // gate); the stream's kept set must equal the batch gate's
+    val gate = graft.text.TextStats.gopherRules(
+      $"text", Seq("the", "a", "of", "to", "in", "and"))
+    val got = runToCompletion(
+      docStream(newDocStreamDir())
+        .withColumn("g", gate).filter($"g.keep").select("doc_id"),
+      "gated").collect().map(_.getLong(0)).toSet
+    val batch = relational.Tables.documents(spark, sf)
+      .withColumn("g", gate).filter($"g.keep").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(batch.nonEmpty && got === batch)
+  }
+
   test("stateful dedup drops duplicate event ids") {
     // duplicate the source file so every event appears twice
     val dir = Files.createTempDirectory("events-dup").toString

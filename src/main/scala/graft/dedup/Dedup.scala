@@ -418,6 +418,29 @@ object Dedup {
       corpus(idCol) === contaminated("id"), "left_anti")
   }
 
+  /** Corpus snapshot DIFF — the dataset-versioning primitive: classify
+    * every id across two corpus snapshots as added / removed / changed /
+    * unchanged. Contents compare by sha2-256, so the full-outer join
+    * carries (id, 32-byte hash) — never text — and the only shuffle is
+    * the id-keyed join both snapshots would co-locate for free under
+    * id-bucketed storage. The change verdict is exact (content-hash
+    * equality ≡ text equality up to 2^-128 collisions, the q30/q82
+    * convention).
+    */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val a = v1.select(col(idCol).cast("long").as("id"),
+      sha2(col(textCol), 256).as("h1"))
+    val b = v2.select(col(idCol).cast("long").as("id"),
+      sha2(col(textCol), 256).as("h2"))
+    a.join(b, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("h1").isNull, "added")
+          .when(col("h2").isNull, "removed")
+          .when(col("h1") =!= col("h2"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   /** Cross-document repeated-substring detection — the distributed
     * stand-in for suffix-array substring dedup (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better"): every

@@ -996,6 +996,60 @@ object PipelineQueries {
         .select($"doc_id",
           TextStats.wordCount($"text").cast("long").as("toks"))
         .orderBy($"doc_id")
+    },
+    "q90_dataset_split" -> { (s, d) =>
+      import s.implicits._
+      // deterministic train/val/test assignment (80/10/10) on the
+      // portable seed-namespaced hash: citable membership — any
+      // engine, partitioning, or rerun reproduces it. Row-local, fuses
+      // into the scan; the oracle replays the md5 cut exactly.
+      documents(s, d)
+        .select($"doc_id",
+          TextStats.datasetSplit($"doc_id", seed = 99L).as("split"))
+        .orderBy($"doc_id")
+    },
+    "q91_leakage_split" -> { (s, d) =>
+      import s.implicits._
+      // LEAKAGE-PROOF split: per-doc hashing puts near-duplicates on
+      // both sides of the train/test fence (exactly the eval leak
+      // decontamination exists to prevent); here every near-dup
+      // CLUSTER moves as one — each member inherits its component
+      // representative's hash. Composes the verified pair pipeline +
+      // connected components (q32/q69) with the q90 split convention;
+      // the oracle replays clustering AND assignment, so the
+      // same-cluster-same-split guarantee is hash-checked, not just
+      // spec'd. The component map is bounded by the duplicate mass →
+      // broadcast left join; everything else is row-local.
+      val docs = documents(s, d)
+      val comp = Dedup.connectedComponents(
+        verifiedNearDupPairsOf(docs, threshold = 0.8)
+          .select($"id_a", $"id_b"))
+      docs.join(broadcast(comp), docs("doc_id") === comp("id"), "left")
+        .select($"doc_id",
+          coalesce($"component", $"doc_id").as("rep_id"),
+          TextStats.datasetSplit(
+            coalesce($"component", $"doc_id"), seed = 99L).as("split"))
+        .orderBy($"doc_id")
+    },
+    "q92_snapshot_diff" -> { (s, d) =>
+      import s.implicits._
+      // corpus VERSION DIFF (dataset lineage: what changed between two
+      // corpus snapshots): two deterministic snapshot views of the
+      // documents table — v2 adds the %11 slice, drops the %13 slice,
+      // and revises the %7 slice's text — classified added / removed /
+      // changed by content hash. The join carries (id, 32-byte hash),
+      // never text; the id-keyed full-outer join is the one shuffle,
+      // co-located for free under id-bucketed snapshot storage.
+      val docs = documents(s, d)
+      val v1 = docs.filter($"doc_id" % 11 =!= 0)
+      val v2 = docs.filter($"doc_id" % 13 =!= 0)
+        .select($"doc_id",
+          when($"doc_id" % 7 === 0, concat($"text", lit(" rev2")))
+            .otherwise($"text").as("text"))
+      Dedup.snapshotDiff(v1, v2, "doc_id", "text")
+        .filter($"status" =!= "unchanged")
+        .select($"id".as("doc_id"), $"status")
+        .orderBy($"doc_id")
     }
   )
 
@@ -1827,6 +1881,63 @@ object PipelineQueries {
            FROM t)
          SELECT doc_id, toks FROM c
          WHERE cum_before < 6000
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+    "q90_dataset_split" ->
+      """SELECT doc_id,
+           CASE WHEN ('0x' || substr(md5('99:' || doc_id::VARCHAR),
+                 1, 15))::BIGINT % 10000 < 8000 THEN 'train'
+                WHEN ('0x' || substr(md5('99:' || doc_id::VARCHAR),
+                 1, 15))::BIGINT % 10000 < 9000 THEN 'val'
+                ELSE 'test' END AS split
+         FROM documents ORDER BY doc_id""",
+    "q91_leakage_split" ->
+      """WITH RECURSIVE sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, len(string_split(text, ' ')) - 1),
+             i -> concat_ws(' ', string_split(text, ' ')[i],
+               string_split(text, ' ')[i+1], string_split(text, ' ')[i+2])))
+             AS sh
+           FROM documents),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+             len(list_distinct(a.sh || b.sh)), 4) >= 0.8),
+         edges AS (
+           SELECT id_a AS u, id_b AS v FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         reach(u, v) AS (
+           SELECT u, v FROM edges
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+           WHERE e.v <> r.u),
+         comp AS (
+           SELECT u AS doc_id, least(u, min(v)) AS component
+           FROM reach GROUP BY u),
+         r AS (SELECT d.doc_id,
+             coalesce(c.component, d.doc_id) AS rep_id
+           FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+         SELECT doc_id, rep_id,
+           CASE WHEN ('0x' || substr(md5('99:' || rep_id::VARCHAR),
+                 1, 15))::BIGINT % 10000 < 8000 THEN 'train'
+                WHEN ('0x' || substr(md5('99:' || rep_id::VARCHAR),
+                 1, 15))::BIGINT % 10000 < 9000 THEN 'val'
+                ELSE 'test' END AS split
+         FROM r ORDER BY doc_id""",
+    "q92_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents
+           WHERE doc_id % 11 != 0),
+         v2 AS (SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' rev2'
+               ELSE text END AS text
+           FROM documents WHERE doc_id % 13 != 0),
+         j AS (SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+             CASE WHEN v1.doc_id IS NULL THEN 'added'
+                  WHEN v2.doc_id IS NULL THEN 'removed'
+                  WHEN v1.text != v2.text THEN 'changed'
+                  ELSE 'unchanged' END AS status
+           FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+         SELECT doc_id, status FROM j
+         WHERE status != 'unchanged' ORDER BY doc_id"""
   )
 }

@@ -655,6 +655,23 @@ object TextStats {
     md5(concat_ws(":", lit(seed), id.cast("long"))), 1, 15), 16, 10)
     .cast("long")
 
+  /** Deterministic TRAIN/VAL/TEST split assignment: a basis-point cut
+    * on the portable [[positionHash]] (seed-namespaced md5), so any
+    * engine, any partitioning, and any later rerun reproduces the same
+    * membership — the property a dataset split must have to be citable.
+    * Row-local (fuses into the scan; no shuffle at any scale);
+    * proportions are exact in expectation over the hash. Pass a CLUSTER
+    * REPRESENTATIVE id instead of the doc id to make the split
+    * leakage-proof (near-duplicates move as one — q91).
+    */
+  def datasetSplit(id: Column, seed: Long,
+      trainBp: Int = 8000, valBp: Int = 9000): Column = {
+    require(0 <= trainBp && trainBp <= valBp && valBp <= 10000,
+      "cut points must satisfy 0 <= trainBp <= valBp <= 10000")
+    val bp = pmod(positionHash(seed, id), lit(10000L))
+    when(bp < trainBp, "train").when(bp < valBp, "val").otherwise("test")
+  }
+
   def shuffledPackSequences(docs: DataFrame, idCol: String,
       textCol: String, budget: Int, shards: Int, seed: Long): DataFrame = {
     require(shards > 0, "shards must be positive")

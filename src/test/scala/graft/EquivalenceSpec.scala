@@ -32,7 +32,8 @@ class EquivalenceSpec extends AnyFunSuite {
       "q79_lm_perplexity", "q80_source_cap", "q81_dsir_select",
       "q82_corpus_card", "q83_length_deciles",
       "q84_bloom_decontaminate", "q85_bm25", "q86_gopher_gate",
-      "q87_ann_sq8", "q88_bm25_index_probe", "q89_assembly_recipe")
+      "q87_ann_sq8", "q88_bm25_index_probe", "q89_assembly_recipe",
+      "q90_dataset_split", "q91_leakage_split", "q92_snapshot_diff")
     try sample.map { name =>
       name -> SparkEntry.queries(name)(spark, sf)
         .collect().map(_.toString).sorted.toSeq
@@ -40,7 +41,7 @@ class EquivalenceSpec extends AnyFunSuite {
     finally spark.conf.set("spark.sql.shuffle.partitions", "4")
   }
 
-  // 35-query sweep incl. the composed oracles, the round-8
+  // 38-query sweep incl. the composed oracles, the round-8
   // cluster/pack/mixture layer (q69 exercises the iterative
   // star-contraction under three partitionings), and the round-9
   // LM-scoring/cap/DSIR + bloom-gate/BM25/SQ8/assembly layers

@@ -1295,4 +1295,49 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(inc === full)
     assert(inc !== baseOnly, "append must actually change the ranking")
   }
+
+  test("snapshot diff classifies added/removed/changed/unchanged") {
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val v2 = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
+    val got = Dedup.snapshotDiff(v1, v2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
+  test("dataset split: stable proportions; cluster-keyed split stops leakage") {
+    val ids = spark.range(10000L).toDF("doc_id")
+    val split = ids.select($"doc_id",
+      TextStats.datasetSplit($"doc_id", 99L).as("split"))
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("train") > 7600L && counts("train") < 8400L,
+      counts.toString)
+    assert(counts("val") > 800L && counts("val") < 1200L, counts.toString)
+    assert(counts("test") > 800L && counts("test") < 1200L, counts.toString)
+    // membership is a pure function of (seed, id): layout-invariant
+    val again = ids.repartition(7).select($"doc_id",
+        TextStats.datasetSplit($"doc_id", 99L).as("split"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(again === split.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet)
+    // this corpus HAS near-dup pairs the naive per-doc split separates
+    // (train/test leakage); the cluster-keyed split must never
+    val pairs = relational.PipelineQueries
+      .verifiedNearDupPairs(spark, sf, threshold = 0.8)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val naive = relational.PipelineQueries
+      .queries("q90_dataset_split")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pairs.count { case (a, b) => naive(a) != naive(b) } >= 1,
+      "corpus must exhibit naive-split leakage for this test to bite")
+    val safe = relational.PipelineQueries
+      .queries("q91_leakage_split")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    pairs.foreach { case (a, b) =>
+      assert(safe(a) === safe(b), s"pair ($a,$b) split apart")
+    }
+  }
 }

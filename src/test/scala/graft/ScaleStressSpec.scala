@@ -97,7 +97,8 @@ class ScaleStressSpec extends AnyFunSuite {
       "q61_repeated_runs", "q69_dedup_components", "q70_sequence_pack",
       "q74_token_budget", "q75_temperature_mixture", "q78_ann_ivfpq",
       "q80_source_cap", "q83_length_deciles", "q84_bloom_decontaminate",
-      "q85_bm25", "q86_gopher_gate", "q88_bm25_index_probe")
+      "q85_bm25", "q86_gopher_gate", "q88_bm25_index_probe",
+      "q90_dataset_split", "q91_leakage_split", "q92_snapshot_diff")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

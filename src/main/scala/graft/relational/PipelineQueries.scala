@@ -4,10 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.dedup.{Dedup, SimHash}
+import graft.dedup.{Dedup, ExactSubstring, SimHash}
 import graft.multimodal.Multimodal
-import graft.similarity.{Ann, Pq, Sq}
-import graft.text.TextStats
+import graft.similarity.{Ann, Pq, RandomProjection, Sq}
+import graft.text.{Sketches, TextStats}
 
 /** Training-data pipeline operators (dedup / similarity / text analysis /
   * multimodal) as declared queries. MinHash-LSH, prefix-join exact Jaccard,
@@ -1050,6 +1050,90 @@ object PipelineQueries {
         .filter($"status" =!= "unchanged")
         .select($"id".as("doc_id"), $"status")
         .orderBy($"doc_id")
+    },
+    "q93_fasttext_gate" -> { (s, d) =>
+      import s.implicits._
+      // the fastText-shaped quality classifier (DCLM / FineWeb-Edu
+      // filter): hashed-word Bernoulli NB log-odds DISTILLED from the
+      // Gopher rule gate on the %5 reference slice, scored over the
+      // complement. Fit = one pass bounded by 1024 buckets; weights
+      // broadcast; scoring = row-local feature map -> broadcast join ->
+      // integer basis-point sum. Nothing but (id, bucket) ever
+      // shuffles, and those combine map-side.
+      graft.text.QualityClassifier.distillGopherGate(
+          documents(s, d), "doc_id", "text",
+          refFilter = $"doc_id" % 5 === 0,
+          stopwords = Seq("the", "a", "of", "to", "in", "and"))
+        .select($"id".as("doc_id"), $"score_bp", $"keep_pred")
+        .orderBy($"doc_id")
+    },
+    "q94_random_projection" -> { (s, d) =>
+      import s.implicits._
+      // JL sign-projection sketch of the REAL 64-dim embeddings table
+      // down to 8 integer coordinates (Achlioptas +-1 entries from the
+      // portable md5 parity — a pure function, nothing trained or
+      // shipped), then the declared O(N*Q) brute-force top-7 ON THE
+      // SKETCH: 8x narrower operands, integer distance compares. The
+      // projection is row-local codegen fused into the scan.
+      RandomProjection.sketchTopK(
+          embeddings(s, d).select($"vec_id".as("id"),
+            $"embedding".as("vec")),
+          queryFilter = $"id" % 25 === 0, dIn = 64, dOut = 8, k = 7)
+        .select($"query_id", $"rnk", $"neighbor_id", $"d2")
+        .orderBy($"query_id", $"rnk")
+    },
+    "q95_exact_substring" -> { (s, d) =>
+      import s.implicits._
+      // cross-doc EXACT-substring duplication coverage (Lee et al. 2022
+      // ExactSubstr, relationally): token 8-grams held by >= 2 distinct
+      // docs mark their range; per doc, the covered-token count and
+      // keep ratio. Only (id, pos, 60-bit hash) shuffles — text never
+      // moves; the dup set is a partial-aggregating groupBy on the
+      // hash.
+      ExactSubstring.flaggedCoverage(documents(s, d), "doc_id", "text")
+        .orderBy($"doc_id")
+    },
+    "q96_hll_distinct" -> { (s, d) =>
+      import s.implicits._
+      // HyperLogLog per-language distinct-token estimate with FULLY
+      // REPLAYABLE registers (portable md5 hash -> every register an
+      // exact integer): state is 256 buckets per language no matter the
+      // vocabulary, partials combine map-side, registers merge
+      // associatively across corpus shards. The exact countDistinct
+      // column is the demo-only comparison — the production path at
+      // 100 TB is registers-only (that groupBy's state is the
+      // vocabulary; the sketch's is 256 rows).
+      val toks = documents(s, d).select($"lang",
+        explode(split(trim($"text"), "\\s+")).as("word"))
+      val est = Sketches.hllEstimate(
+        Sketches.hllRegisters(toks, "lang", "word"))
+      val exact = toks.groupBy($"lang".as("key"))
+        .agg(countDistinct($"word").as("exact_distinct"))
+      est.join(exact, "key")
+        .select($"key".as("lang"), $"zeros", $"s",
+          $"est".as("est_hll"), $"exact_distinct")
+        .orderBy($"lang")
+    },
+    "q97_cms_heavy_hitters" -> { (s, d) =>
+      import s.implicits._
+      // count-min sketch term frequencies: 4x512 integer registers
+      // (bounded state vs the vocabulary-sized exact groupBy),
+      // point-queried for a fixed probe list and joined against the
+      // exact counts to EXHIBIT the sketch's one-sided error
+      // (est >= exact always; inflation = hash-collision mass). The
+      // absent probe shows est driven by collisions alone.
+      val probes = Seq("join", "hash", "customer", "window", "zzzqx")
+      val toks = documents(s, d).select(
+        explode(split(trim($"text"), "\\s+")).as("word"))
+      val est = Sketches.cmsQuery(
+        Sketches.cmsRegisters(toks, "word"), probes)
+      val exact = toks.filter($"word".isin(probes: _*))
+        .groupBy("word").agg(count(lit(1)).as("exact"))
+      est.join(exact, Seq("word"), "left")
+        .select($"word", $"est",
+          coalesce($"exact", lit(0L)).as("exact"),
+          ($"est" - coalesce($"exact", lit(0L))).as("inflation"))
+        .orderBy($"word")
     }
   )
 
@@ -1938,6 +2022,146 @@ object PipelineQueries {
                   ELSE 'unchanged' END AS status
            FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
          SELECT doc_id, status FROM j
-         WHERE status != 'unchanged' ORDER BY doc_id"""
+         WHERE status != 'unchanged' ORDER BY doc_id""",
+    "q93_fasttext_gate" ->
+      """WITH t AS (SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS ws,
+             length(trim(text)) AS lc
+           FROM documents),
+         lab AS (SELECT doc_id,
+             (len(ws) BETWEEN 50 AND 100000)
+               AND (round(lc::DOUBLE / greatest(len(ws), 1), 4)
+                 BETWEEN 3.0 AND 10.0)
+               AND len(list_filter(ws, w -> w IN
+                 ('the', 'a', 'of', 'to', 'in', 'and'))) >= 2
+               AND round(len(list_filter(ws,
+                   w -> regexp_matches(w, '[\pL]')))::DOUBLE /
+                 greatest(len(ws), 1), 4) >= 0.8
+               AND round(len(list_distinct(ws))::DOUBLE /
+                 greatest(len(ws), 1), 4) >= 0.3 AS y,
+             list_distinct(list_transform(ws,
+               w -> ('0x' || substr(md5(w), 1, 15))::BIGINT % 1024)) AS bs
+           FROM t WHERE doc_id % 5 = 0),
+         cls AS (SELECT
+             CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS npos,
+             CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS nneg
+           FROM lab),
+         bw AS (SELECT bucket,
+             CAST(round((ln((kb + 1) * (nneg + 2)) -
+               ln((db + 1) * (npos + 2))) * 10000.0) AS BIGINT)
+               AS weight_bp
+           FROM (SELECT bucket,
+               CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS kb,
+               CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS db
+             FROM (SELECT y, unnest(bs) AS bucket FROM lab)
+             GROUP BY bucket), cls),
+         pr AS (SELECT CAST(round((ln(npos + 1) - ln(nneg + 1)) * 10000.0)
+             AS BIGINT) AS prior_bp FROM cls),
+         pool AS (SELECT doc_id,
+             unnest(list_distinct(list_transform(ws,
+               w -> ('0x' || substr(md5(w), 1, 15))::BIGINT % 1024)))
+               AS bucket
+           FROM t WHERE doc_id % 5 <> 0)
+         SELECT p.doc_id,
+           CAST(sum(coalesce(w.weight_bp, 0)) + pr.prior_bp AS BIGINT)
+             AS score_bp,
+           CAST(sum(coalesce(w.weight_bp, 0)) + pr.prior_bp AS BIGINT)
+             >= 0 AS keep_pred
+         FROM pool p LEFT JOIN bw w USING (bucket), pr
+         GROUP BY p.doc_id, pr.prior_bp ORDER BY p.doc_id""",
+    "q94_random_projection" ->
+      """WITH sgn AS (SELECT j, k,
+             CASE WHEN ('0x' || substr(md5('rp:' || j::VARCHAR || ':' ||
+               k::VARCHAR), 1, 15))::BIGINT % 2 = 1
+             THEN 1 ELSE -1 END AS s
+           FROM range(0, 8) tj(j), range(0, 64) tk(k)),
+         p AS (SELECT vec_id AS id, j,
+             CAST(sum(s * CAST(round(CAST(embedding[k + 1] AS DOUBLE)
+               * 1000000.0) AS BIGINT)) AS BIGINT) AS pj
+           FROM embeddings, sgn GROUP BY vec_id, j),
+         v AS (SELECT id, list(pj ORDER BY j) AS pv FROM p GROUP BY id),
+         scored AS (SELECT a.id AS query_id, b.id AS neighbor_id,
+             CAST(list_sum(list_transform(range(1, 9),
+               i -> (a.pv[i] - b.pv[i]) * (a.pv[i] - b.pv[i])))
+               AS BIGINT) AS d2
+           FROM v a JOIN v b ON a.id % 25 = 0 AND a.id <> b.id),
+         ranked AS (SELECT query_id, neighbor_id, d2,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY d2, neighbor_id) AS rnk
+           FROM scored)
+         SELECT query_id, rnk, neighbor_id, d2 FROM ranked
+         WHERE rnk <= 7 ORDER BY query_id, rnk""",
+    "q95_exact_substring" ->
+      """WITH t AS (SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS ws
+           FROM documents),
+         g AS (SELECT doc_id, p,
+             ('0x' || substr(md5(array_to_string(
+               list_slice(ws, p + 1, p + 8), ' ')), 1, 15))::BIGINT AS gh
+           FROM (SELECT doc_id, ws,
+               unnest(range(0, greatest(len(ws) - 7, 0))) AS p FROM t)),
+         dup AS (SELECT gh FROM g GROUP BY gh
+           HAVING count(DISTINCT doc_id) >= 2),
+         f AS (SELECT g.doc_id, g.p FROM g JOIN dup USING (gh)),
+         cov AS (SELECT doc_id,
+             CAST(count(DISTINCT p) AS BIGINT) AS flagged_grams,
+             CAST(count(DISTINCT pos) AS BIGINT) AS covered_tokens
+           FROM (SELECT doc_id, p, unnest(range(p, p + 8)) AS pos FROM f)
+           GROUP BY doc_id)
+         SELECT t.doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+           coalesce(flagged_grams, 0) AS flagged_grams,
+           coalesce(covered_tokens, 0) AS covered_tokens,
+           round(1.0 - coalesce(covered_tokens, 0)::DOUBLE /
+             greatest(len(ws), 1), 4) AS keep_ratio
+         FROM t LEFT JOIN cov USING (doc_id) ORDER BY t.doc_id""",
+    "q96_hll_distinct" -> s"""
+         WITH toks AS (SELECT lang,
+             unnest(string_split_regex(trim(text), '\\s+')) AS word
+           FROM documents),
+         h AS (SELECT lang, word,
+             ('0x' || substr(md5(word), 1, 15))::BIGINT AS gh FROM toks),
+         r AS (SELECT lang, gh % 256 AS bucket,
+             CASE WHEN gh // 256 = 0 THEN 53
+               ELSE 53 - length(bin(gh // 256)) END AS rho
+           FROM h),
+         regs AS (SELECT lang, bucket, max(rho) AS rho FROM r
+           GROUP BY lang, bucket),
+         agg AS (SELECT lang,
+             CAST(256 - count(*) AS BIGINT) AS zeros,
+             CAST(sum(1::BIGINT << (53 - rho)) AS BIGINT) AS s_filled
+           FROM regs GROUP BY lang),
+         est AS (SELECT lang, zeros,
+             CAST(s_filled + zeros * (1::BIGINT << 53) AS BIGINT) AS s
+           FROM agg),
+         ex AS (SELECT lang, CAST(count(DISTINCT word) AS BIGINT)
+             AS exact_distinct FROM toks GROUP BY lang)
+         SELECT est.lang, zeros, s,
+           round(CASE WHEN zeros > 0 AND ${Sketches.hllNumLit} / s <= 640.0
+             THEN 256.0 * ln(256.0 / zeros)
+             ELSE ${Sketches.hllNumLit} / s END, 4) AS est_hll,
+           exact_distinct
+         FROM est JOIN ex USING (lang) ORDER BY est.lang""",
+    "q97_cms_heavy_hitters" ->
+      """WITH toks AS (SELECT
+             unnest(string_split_regex(trim(text), '\s+')) AS word
+           FROM documents),
+         cells AS (SELECT r, c, CAST(count(*) AS BIGINT) AS ct FROM (
+             SELECT r, ('0x' || substr(md5('cms:' || r::VARCHAR || ':' ||
+               word), 1, 15))::BIGINT % 512 AS c
+             FROM toks, range(0, 4) tr(r)) GROUP BY r, c),
+         probes(word) AS (VALUES ('join'), ('hash'), ('customer'),
+           ('window'), ('zzzqx')),
+         pc AS (SELECT word, r,
+             ('0x' || substr(md5('cms:' || r::VARCHAR || ':' || word),
+               1, 15))::BIGINT % 512 AS c
+           FROM probes, range(0, 4) tr(r)),
+         est AS (SELECT word, CAST(min(coalesce(ct, 0)) AS BIGINT) AS est
+           FROM pc LEFT JOIN cells USING (r, c) GROUP BY word),
+         ex AS (SELECT word, CAST(count(*) AS BIGINT) AS exact FROM toks
+           WHERE word IN ('join', 'hash', 'customer', 'window', 'zzzqx')
+           GROUP BY word)
+         SELECT e.word, e.est, coalesce(x.exact, 0) AS exact,
+           e.est - coalesce(x.exact, 0) AS inflation
+         FROM est e LEFT JOIN ex x USING (word) ORDER BY e.word"""
   )
 }

@@ -427,6 +427,57 @@ object EventStreams {
         col("_sc._1").as("n_words"), col("_sc._2").as("xent"))
   }
 
+  /** STREAMING quality-classifier gate — the stateless ingest twin of
+    * `QualityClassifier.score` (the fastText-shaped filter, q93): the
+    * model fits ONCE on a static labeled reference (bounded by
+    * `nBuckets` rows — the same broadcastable fit artifact the batch
+    * join ships) and each arriving doc scores row-locally. No state
+    * store, no watermark, plain append mode. Agreement with the batch
+    * operator is EXACT: the score is an integer basis-point sum over
+    * the same distinct md5 buckets, so there is no float order to
+    * drift (spec-asserted bit equality). Null texts produce no row.
+    */
+  def gateDocsQuality(
+      docs: DataFrame, // streaming (doc_id, text, ...)
+      ref: DataFrame, // BATCH labeled reference (textCol, labelCol)
+      refTextCol: String,
+      labelCol: String,
+      nBuckets: Int = 1024,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val (weightsDf, priorBp) = graft.text.QualityClassifier
+      .fit(ref, refTextCol, labelCol, nBuckets)
+    val weights = weightsDf.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bc = docs.sparkSession.sparkContext.broadcast(weights)
+    val score = udf((s: String) => {
+      if (s == null) None
+      else {
+        // replicate the batch feature map exactly: functions.trim
+        // strips 0x20 only (Java String.trim would also eat controls)
+        var from = 0
+        var to = s.length
+        while (from < to && s.charAt(from) == ' ') from += 1
+        while (to > from && s.charAt(to - 1) == ' ') to -= 1
+        val ws = s.substring(from, to).split("\\s+", -1)
+        val seen = new java.util.HashSet[java.lang.Long]()
+        var acc = priorBp
+        var i = 0
+        while (i < ws.length) {
+          val b = graft.text.QualityClassifier.bucketOf(ws(i), nBuckets)
+          if (seen.add(b)) acc += bc.value.getOrElse(b, 0L)
+          i += 1
+        }
+        Some(acc)
+      }
+    })
+    docs
+      .withColumn("_sc", score(col(textCol)))
+      .filter(col("_sc").isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        col("_sc").as("score_bp"), (col("_sc") >= 0L).as("keep_pred"))
+  }
+
   case class CapDoc(key: String, doc_id: Long, h: Long)
   case class CapState(n: Long)
 

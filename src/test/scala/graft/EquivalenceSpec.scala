@@ -33,7 +33,9 @@ class EquivalenceSpec extends AnyFunSuite {
       "q82_corpus_card", "q83_length_deciles",
       "q84_bloom_decontaminate", "q85_bm25", "q86_gopher_gate",
       "q87_ann_sq8", "q88_bm25_index_probe", "q89_assembly_recipe",
-      "q90_dataset_split", "q91_leakage_split", "q92_snapshot_diff")
+      "q90_dataset_split", "q91_leakage_split", "q92_snapshot_diff",
+      "q93_fasttext_gate", "q94_random_projection", "q95_exact_substring",
+      "q96_hll_distinct", "q97_cms_heavy_hitters")
     try sample.map { name =>
       name -> SparkEntry.queries(name)(spark, sf)
         .collect().map(_.toString).sorted.toSeq
@@ -41,10 +43,11 @@ class EquivalenceSpec extends AnyFunSuite {
     finally spark.conf.set("spark.sql.shuffle.partitions", "4")
   }
 
-  // 38-query sweep incl. the composed oracles, the round-8
+  // 43-query sweep incl. the composed oracles, the round-8
   // cluster/pack/mixture layer (q69 exercises the iterative
-  // star-contraction under three partitionings), and the round-9
-  // LM-scoring/cap/DSIR + bloom-gate/BM25/SQ8/assembly layers
+  // star-contraction under three partitionings), the round-9
+  // LM-scoring/cap/DSIR + bloom-gate/BM25/SQ8/assembly layers, and the
+  // round-10 classifier/JL-sketch/exact-substring/HLL/CMS layer
   test("query results are identical under 3, 4, and 13 shuffle partitions") {
     val a = runAll(4)
     val b = runAll(13)

@@ -92,13 +92,23 @@ class ScaleStressSpec extends AnyFunSuite {
     // the index build each rep, the honest build+probe cost); q86 is a
     // pure per-row gate, rows scale exactly 10x. q87 stays OUT like
     // q34/q77: it is the declared O(N*Q) baseline scan by contract.
+    // Round-10 rows: q93's scoring rows = pool docs (exact 10x; the fit
+    // stays bounded at 1024 buckets); q95's rows = docs (exact 10x; its
+    // gram groupBy key space scales with the corpus, the claim under
+    // test); q96/q97 emit FIXED-cardinality summaries (5 langs / 5
+    // probes) — the band's "not shrunk / not quadratic" then pins the
+    // bounded register state at 10x token volume. q94 stays OUT like
+    // q34/q77/q87: it is the declared O(N*Q) baseline scan by contract
+    // (both query count and corpus scale, so work is ~64x by design).
     val names = Seq("q31_jaccard_pairs", "q32_minhash_lsh", "q45_ann_lsh",
       "q51_ann_ivf", "q52_cosine_neardup", "q58_semantic_dedup",
       "q61_repeated_runs", "q69_dedup_components", "q70_sequence_pack",
       "q74_token_budget", "q75_temperature_mixture", "q78_ann_ivfpq",
       "q80_source_cap", "q83_length_deciles", "q84_bloom_decontaminate",
       "q85_bm25", "q86_gopher_gate", "q88_bm25_index_probe",
-      "q90_dataset_split", "q91_leakage_split", "q92_snapshot_diff")
+      "q90_dataset_split", "q91_leakage_split", "q92_snapshot_diff",
+      "q93_fasttext_gate", "q95_exact_substring", "q96_hll_distinct",
+      "q97_cms_heavy_hitters")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

@@ -1,0 +1,245 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.ExactSubstring
+import graft.similarity.RandomProjection
+import graft.text.{QualityClassifier, Sketches}
+
+/** Round-10 layer: hashed linear quality classifier, JL sign-projection
+  * sketch, cross-doc exact-substring coverage, HLL / CMS sketches.
+  */
+class SketchOpsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private lazy val docs =
+    relational.Tables.documents(spark, sf).cache()
+
+  // ------------------------------------------------- quality classifier
+
+  test("classifier fit replays hand-computed Bernoulli NB log-odds") {
+    // two keep docs containing word 'good', one drop doc with 'bad':
+    // bucket(good): kb=2, db=0; bucket(bad): kb=0, db=1; nPos=2, nNeg=1
+    val ref = Seq(("good", true), ("good", true), ("bad", false))
+      .toDF("text", "y")
+    val (weights, priorBp) = QualityClassifier.fit(ref, "text", "y", 64)
+    val w = weights.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def bucket(word: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(word.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 64
+    }
+    val expGood = math.round(
+      (math.log((2 + 1) * (1 + 2).toDouble) -
+        math.log((0 + 1) * (2 + 2).toDouble)) * 10000.0)
+    val expBad = math.round(
+      (math.log((0 + 1) * (1 + 2).toDouble) -
+        math.log((1 + 1) * (2 + 2).toDouble)) * 10000.0)
+    assert(w(bucket("good")) === expGood)
+    assert(w(bucket("bad")) === expBad)
+    assert(priorBp ===
+      math.round((math.log(3.0) - math.log(2.0)) * 10000.0))
+  }
+
+  private def md5Bucket64(word: String, nBuckets: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(word.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16) % nBuckets
+  }
+
+  test("classifier scoring: unseen buckets contribute zero, sum is exact") {
+    val ref = Seq(("good", true), ("bad", false)).toDF("text", "y")
+    val (weights, priorBp) = QualityClassifier.fit(ref, "text", "y", 64)
+    val scored = QualityClassifier.score(
+      Seq((1L, "good bad"), (2L, "unseen words only")).toDF("id", "text"),
+      "id", "text", weights, priorBp, 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = weights.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // expectations computed through the SAME bucket map, so hash
+    // collisions between test words can never break the arithmetic
+    def expected(text: String): Long =
+      text.split(" ").map(md5Bucket64(_, 64)).distinct
+        .map(b => w.getOrElse(b, 0L)).sum + priorBp
+    assert(scored(1L) === expected("good bad"))
+    assert(scored(2L) === expected("unseen words only"))
+  }
+
+  test("classifier separates classes when the vocabulary carries signal") {
+    // the synthetic sf corpus has ONE shared vocabulary (even the lang
+    // tag is decorative), so no bag-of-words label is learnable there —
+    // like the LSH-recall spec, this builds the regime the operator is
+    // FOR: two classes with distinct vocabularies (quality prose vs
+    // keyboard-mash spam), fit on half, predict the held-out half
+    val goodWords = Seq("insight", "method", "result", "careful",
+      "measure", "evidence", "context", "detail")
+    val spamWords = Seq("zzz", "xxx", "qqq", "kkk", "www", "jjj",
+      "vvv", "ppp")
+    val rng = new scala.util.Random(17)
+    val rows = (0 until 200).map { i =>
+      val good = i % 2 == 0
+      val vocab = if (good) goodWords else spamWords
+      val text = Seq.fill(12)(vocab(rng.nextInt(vocab.size)))
+        .mkString(" ")
+      (i.toLong, text, good)
+    }
+    val df = rows.toDF("id", "text", "y")
+    val (weights, priorBp) = QualityClassifier.fit(
+      df.filter($"id" < 100), "text", "y", 1024)
+    val holdout = df.filter($"id" >= 100)
+    val pred = QualityClassifier.score(holdout, "id", "text",
+      weights, priorBp, 1024)
+    val agree = pred.join(holdout.select($"id", $"y"), "id")
+      .filter($"keep_pred" === $"y").count()
+    val n = holdout.count()
+    assert(agree.toDouble / n >= 0.95,
+      s"separable-vocab accuracy ${agree.toDouble / n}")
+  }
+
+  // --------------------------------------------------- random projection
+
+  test("JL projection replays a hand-computed sign sum") {
+    val vec = Seq((1L, Seq(0.5f, -0.25f, 1.0f, 0.0f))).toDF("id", "vec")
+    val p = vec.select(
+      RandomProjection.project($"vec", dIn = 4, dOut = 2).as("p"))
+      .head().getSeq[Long](0)
+    def sgn(j: Int, k: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"rp:$j:$k".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2 == 1) 1L
+      else -1L
+    }
+    val q = Seq(500000L, -250000L, 1000000L, 0L)
+    val expected = (0 until 2).map(j =>
+      (0 until 4).map(k => sgn(j, k) * q(k)).sum)
+    assert(p === expected)
+  }
+
+  test("sketch top-k: identical vectors land at distance zero, rank 1") {
+    // ids 0 and 1 share a vector; id 0 is a probe (0 % 25 == 0)
+    val base = (0 until 60).map { i =>
+      val src = if (i == 1) 0 else i
+      (i.toLong, (0 until 16).map(k =>
+        ((src * 31 + k * 7) % 11 - 5).toFloat))
+    }.toDF("id", "vec")
+    val top = RandomProjection.sketchTopK(base, col("id") % 25 === 0,
+        dIn = 16, dOut = 8, k = 3)
+      .filter($"query_id" === 0L && $"rnk" === 1).head()
+    assert(top.getAs[Long]("neighbor_id") === 1L)
+    assert(top.getAs[Long]("d2") === 0L)
+  }
+
+  // ----------------------------------------------------- exact substring
+
+  test("exact-substring coverage flags a planted cross-doc 10-token run") {
+    val shared = (1 to 10).map(i => s"dup$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"alpha beta $shared gamma delta epsilon zeta eta theta"),
+      (2L, s"one two three $shared four five six seven eight"),
+      (3L, "nothing shared here at all beyond short words"))
+      .toDF("doc_id", "text")
+    val out = ExactSubstring.flaggedCoverage(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // a 10-token shared run yields 10 - 8 + 1 = 3 shared grams covering
+    // exactly the 10 run tokens (no other 8-gram repeats cross-doc)
+    assert(out(1L) === ((3L, 10L)))
+    assert(out(2L) === ((3L, 10L)))
+    assert(out(3L) === ((0L, 0L)))
+  }
+
+  test("exact-substring: docs shorter than the gram width produce no grams") {
+    val out = ExactSubstring.flaggedCoverage(
+      Seq((1L, "too short"), (2L, "too short")).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out === Map(1L -> 0L, 2L -> 0L))
+  }
+
+  // ------------------------------------------------------------ sketches
+
+  test("HLL estimate lands within 15% of a 5000-distinct truth") {
+    // m=256 -> expected standard error ~1.04/sqrt(256) = 6.5%; the
+    // fixed md5 hash makes this ONE deterministic draw, so the bound is
+    // ~2.3 sigma, not a flaky tail (this item set lands at +11%)
+    val items = spark.range(5000L).select(lit("k").as("key"),
+      concat(lit("item-"), $"id").as("v"))
+    val est = Sketches.hllEstimate(
+      Sketches.hllRegisters(items, "key", "v"))
+      .head().getAs[Double]("est")
+    assert(math.abs(est - 5000.0) / 5000.0 <= 0.15, s"estimate $est")
+  }
+
+  test("HLL registers merge associatively across shards (max)") {
+    val a = spark.range(0L, 3000L).select(lit("k").as("key"),
+      concat(lit("item-"), $"id").as("v"))
+    val b = spark.range(2000L, 5000L).select(lit("k").as("key"),
+      concat(lit("item-"), $"id").as("v"))
+    val whole = Sketches.hllRegisters(a.union(b), "key", "v")
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toMap
+    val merged = Sketches.hllRegisters(a, "key", "v")
+      .union(Sketches.hllRegisters(b, "key", "v"))
+      .groupBy("key", "bucket").agg(max($"rho").as("rho"))
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toMap
+    assert(merged === whole)
+  }
+
+  test("CMS is one-sided: estimate >= exact for every corpus word") {
+    val toks = docs.select(
+      explode(split(trim($"text"), "\\s+")).as("word"))
+    val regs = Sketches.cmsRegisters(toks, "word")
+    // register mass conservation: each of the 4 rows holds every token
+    val total = toks.count()
+    val perRow = regs.groupBy("r").agg(sum($"ct").as("s"))
+      .collect().map(_.getLong(1))
+    assert(perRow.length === 4 && perRow.forall(_ === total))
+    val words = toks.distinct().limit(50).as[String].collect().toSeq
+    val est = Sketches.cmsQuery(regs, words)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = toks.filter($"word".isin(words: _*))
+      .groupBy("word").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    words.foreach { w =>
+      assert(est(w) >= exact(w), s"CMS underestimated '$w'")
+    }
+  }
+
+  test("CMS registers merge associatively across shards (sum)") {
+    val a = docs.filter($"doc_id" % 2 === 0)
+      .select(explode(split(trim($"text"), "\\s+")).as("word"))
+    val b = docs.filter($"doc_id" % 2 =!= 0)
+      .select(explode(split(trim($"text"), "\\s+")).as("word"))
+    val whole = Sketches.cmsRegisters(a.union(b), "word")
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    val merged = Sketches.cmsRegisters(a, "word")
+      .union(Sketches.cmsRegisters(b, "word"))
+      .groupBy("r", "c").agg(sum($"ct").as("ct"))
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(merged === whole)
+  }
+
+  test("round-10 scan-fused operators stay Window/global-Sort free") {
+    // q93 scoring and q96/q97 register builds must never plan an
+    // un-partitioned Window or a global Sort — their 100-TB claim
+    val stop = Seq("the", "a", "of", "to", "in", "and")
+    val plans = Seq(
+      QualityClassifier.distillGopherGate(docs, "doc_id", "text",
+        col("doc_id") % 5 === 0, stop),
+      Sketches.hllEstimate(Sketches.hllRegisters(
+        docs.select($"lang", explode(split(trim($"text"), "\\s+"))
+          .as("word")), "lang", "word")),
+      Sketches.cmsRegisters(
+        docs.select(explode(split(trim($"text"), "\\s+")).as("word")),
+        "word"))
+    plans.foreach { df =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Window"), "unexpected Window in plan")
+      assert(!p.contains("Sort [") || p.contains("SortAggregate"),
+        "unexpected global sort in plan")
+    }
+  }
+}

@@ -280,6 +280,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === batch)
   }
 
+  test("streaming quality-classifier gate equals batch q93 EXACTLY") {
+    // stateless twin: same fitted weights, same distinct-bucket integer
+    // sum — bit equality, not approximate agreement
+    val all = relational.Tables.documents(spark, sf)
+    val stop = Seq("the", "a", "of", "to", "in", "and")
+    val ref = all.filter($"doc_id" % 5 === 0)
+      .select($"text",
+        graft.text.TextStats.gopherRules($"text", stop)("keep").as("y"))
+    val got = runToCompletion(
+      EventStreams.gateDocsQuality(
+        docStream(newDocStreamDir()).filter($"doc_id" % 5 =!= 0),
+        ref, "text", "y"), "qgatestream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSet
+    val batch = graft.text.QualityClassifier.distillGopherGate(
+        all, "doc_id", "text", $"doc_id" % 5 === 0, stop)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSet
+    assert(batch.nonEmpty)
+    assert(got === batch)
+  }
+
   test("streaming per-source cap equals the batch kept set") {
     // one micro-batch + per-group (hash, id) sort = the batch
     // operator's order, so the stream reproduces cappedPerStratum

@@ -271,6 +271,63 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Asymmetric CONTAINMENT pairs — |A ∩ B| / |A| over distinct shingle
+    * sets, the measure that catches a small document living INSIDE a
+    * larger one (quotation, boilerplate wrapper, excerpt reposts),
+    * which symmetric Jaccard structurally misses once the size ratio
+    * passes (1-t)/t. The join is an inverted-index equi-join on the
+    * 64-bit shingle hash — never a cartesian — and because each doc's
+    * shingle set is DISTINCT, every shared shingle contributes exactly
+    * one (id_a, id_b) row, so the pair groupBy's count IS the exact
+    * intersection size: no candidate `distinct`, no re-verification
+    * join, and the shingle ARRAYS never shuffle at all (the first
+    * draft did candidates -> distinct -> full-array re-join; this form
+    * measured ~2x faster at sf0.1 and removes two wide exchanges).
+    * Shingles held by more than `maxDf` documents are dropped from the
+    * index with the drop surfaced via accumulator (the "no silent
+    * caps" rule; boilerplate shingles are exactly the ones that
+    * explode the index) — a BINDING cap therefore lower-bounds the
+    * reported intersection by exactly the dropped stopword-shingles,
+    * never inflates it; pick `maxDf` so it cannot bind on curated
+    * corpora (spec-asserted non-binding here, like the q31/q32 caps).
+    *
+    * Emits one row per direction that clears `minContainment`:
+    * (id_in, id_out, containment) with containment rounded to 4dp.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minContainment: Double = 0.8, maxDf: Long = 1000,
+      droppedShingles: Option[org.apache.spark.util.LongAccumulator] =
+        None): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      distinctShingleHashes64(n)(col(textCol)).as("sh"))
+    val sizes = sh.select(col("id"), size(col("sh")).as("n"))
+    val tok = sh.select(col("id"), explode(col("sh")).as("h"))
+    val dfreq = tok.groupBy("h").agg(count(lit(1)).as("df"))
+    val kept = droppedShingles match {
+      case Some(acc) =>
+        val f = udf((df: Long) => { if (df > maxDf) acc.add(1L); df <= maxDf })
+        dfreq.filter(f(col("df")))
+      case None => dfreq.filter(col("df") <= maxDf)
+    }
+    val idx = tok.join(kept.select("h"), "h")
+    val inter = idx.select(col("h"), col("id").as("id_a"))
+      .join(idx.select(col("h"), col("id").as("id_b")), "h")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    val joined = inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
+    val aInB = joined.select(col("id_a").as("id_in"),
+      col("id_b").as("id_out"),
+      round(col("inter").cast("double") /
+        greatest(col("n_a"), lit(1)), 4).as("containment"))
+    val bInA = joined.select(col("id_b").as("id_in"),
+      col("id_a").as("id_out"),
+      round(col("inter").cast("double") /
+        greatest(col("n_b"), lit(1)), 4).as("containment"))
+    aInB.union(bInA).filter(col("containment") >= minContainment)
+  }
+
   /** Exact Jaccard similarity between two shingle-hash set columns. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b))

@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Cross-document EXACT-substring duplication analysis — the
@@ -21,7 +21,17 @@ import org.apache.spark.sql.functions._
   * region of length L >= 8 is covered by its L - 7 grams, so coverage
   * equals the paper's within 7 tokens at each region edge.
   *
-  * Scale shape: only (doc_id, position, 60-bit gram hash) rows ever
+  * Gram hashing is the FUSED single-pass walker the dedup family uses
+  * (FNV-1a words -> polynomial gram mix -> splitmix finalizer): the
+  * first draft built grams with `transform(sequence, p -> md5(
+  * concat_ws(slice(...))))` and the interpreted higher-order lambdas
+  * dominated the whole pipeline (~12 s of a 6.6 s query's lineage at
+  * sf0.1; the walker does the same work in ~1 s). The DuckDB oracle
+  * hashes gram STRINGS with md5 instead — any injective-in-practice
+  * hash family yields identical OUTPUTS (counts, never hash values),
+  * the q31/q32 argument: P(64-bit collision) ~ 1e-14 per gram pair.
+  *
+  * Scale shape: only (doc_id, position, 64-bit gram hash) rows ever
   * shuffle — text never moves. The duplicated-gram set is the output of
   * a partial-aggregating groupBy; flagged positions explode x n only
   * for the flagged subset. All arithmetic is exact integers; the one
@@ -29,8 +39,55 @@ import org.apache.spark.sql.functions._
   */
 object ExactSubstring {
 
-  private def md5Low60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  /** Positional n-gram hashes of whitespace-split text, one fused pass:
+    * element i = hash of words [i, i+n). Docs shorter than `n` words
+    * emit nothing (no full-width gram exists). Trim replicates
+    * `functions.trim` (0x20 only), split replicates `split(_, "\\s+")`.
+    */
+  private[dedup] def gramHashesUdf(n: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((s: String) => {
+      if (s == null) Seq.empty[Long]
+      else {
+        var from = 0
+        var to = s.length
+        while (from < to && s.charAt(from) == ' ') from += 1
+        while (to > from && s.charAt(to - 1) == ' ') to -= 1
+        val ws = s.substring(from, to).split("\\s+", -1)
+        if (ws.length < n) Seq.empty[Long]
+        else {
+          val wh = new Array[Long](ws.length)
+          var i = 0
+          while (i < ws.length) {
+            var h = 0xCBF29CE484222325L
+            val w = ws(i)
+            var j = 0
+            while (j < w.length) {
+              h = (h ^ w.charAt(j)) * 0x100000001B3L
+              j += 1
+            }
+            wh(i) = h
+            i += 1
+          }
+          val out = new Array[Long](ws.length - n + 1)
+          var p = 0
+          while (p < out.length) {
+            var sh = 0L
+            var k = 0
+            while (k < n) {
+              sh = sh * 0x9E3779B97F4A7C15L + wh(p + k)
+              k += 1
+            }
+            var z = sh
+            z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+            z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+            out(p) = z ^ (z >>> 31)
+            p += 1
+          }
+          out.toSeq
+        }
+      }
+    })
 
   /** Per-document duplicated-gram coverage. Returns
     * (doc_id, n_tokens, flagged_grams, covered_tokens, keep_ratio)
@@ -39,14 +96,10 @@ object ExactSubstring {
   def flaggedCoverage(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 8): DataFrame = {
     val words = split(trim(col(textCol)), "\\s+")
-    val grams = when(size(words) >= n,
-      transform(sequence(lit(0), size(words) - n),
-        p => md5Low60(concat_ws(" ", slice(words, p + 1, lit(n))))))
-      .otherwise(array().cast("array<bigint>"))
     val g = docs.select(col(idCol).as("doc_id"),
-      posexplode(grams).as(Seq("p", "gh")))
+      posexplode(gramHashesUdf(n)(col(textCol))).as(Seq("p", "gh")))
     // grams held by >= 2 distinct documents; the groupBy key is the
-    // 60-bit hash, so this partial-aggregates map-side and the join
+    // 64-bit hash, so this partial-aggregates map-side and the join
     // back is a plain hash equi-join on the same key
     val dup = g.groupBy("gh")
       .agg(countDistinct(col("doc_id")).as("nd"))

@@ -1134,6 +1134,68 @@ object PipelineQueries {
           coalesce($"exact", lit(0L)).as("exact"),
           ($"est" - coalesce($"exact", lit(0L))).as("inflation"))
         .orderBy($"word")
+    },
+    "q98_containment_pairs" -> { (s, d) =>
+      import s.implicits._
+      // asymmetric containment |A∩B|/|A| over distinct shingles — the
+      // small-doc-inside-big-doc detector symmetric Jaccard (q31/q32)
+      // structurally misses. Inverted-index equi-join on the 64-bit
+      // shingle hash (never a cartesian), df-capped candidate
+      // generation, exact re-verification on the full sets.
+      Dedup.containmentPairs(documents(s, d), "doc_id", "text",
+          n = 3, minContainment = 0.8)
+        .orderBy($"id_in", $"id_out")
+    },
+    "q99_tfidf_keywords" -> { (s, d) =>
+      import s.implicits._
+      // per-doc top-3 TF-IDF keywords: tf = the one corpus shuffle,
+      // df derived FROM tf (no second corpus pass), vocabulary
+      // broadcast, rank window partitioned by document — no global
+      // sort. Integer basis-point scores (exact-integer ln args).
+      TextStats.tfidfKeywords(documents(s, d), "doc_id", "text", k = 3)
+        .select($"id".as("doc_id"), $"rnk", $"word", $"score_bp")
+        .orderBy($"doc_id", $"rnk")
+    },
+    "q100_corpus_profile" -> { (s, d) =>
+      import s.implicits._
+      // the composed ROUND-10 datasheet recipe (q89's composition
+      // argument applied to the new layer): Gopher gate -> cross-doc
+      // exact-substring coverage over the GATED pool (thresholds the
+      // 4dp keep_ratio, so both engines cut the same docs) -> per-lang
+      // profile carrying the HLL distinct-token estimate NEXT TO the
+      // exact count. The oracle replays the whole composition — gate,
+      // gram flagging, coverage join, registers, estimate — pinning
+      // stage wiring, not just each stage. At 100 TB the exact column
+      // drops and the registers (256/lang) ARE the datasheet.
+      val stop = Seq("the", "a", "of", "to", "in", "and")
+      val words = split(trim($"text"), "\\s+")
+      // the q89 checkpoint pattern, applied at BOTH fan-out points:
+      // `gated` feeds the coverage pipeline three ways (gram stream
+      // twice, token-count side once) and the Gopher HOF filter is the
+      // expensive part of each walk; `pool` then feeds three
+      // aggregates (card, HLL registers, exact distinct). One local
+      // checkpoint each → every stage runs once (measured 7.6 → ~4 s
+      // at sf0.1)
+      val gated = documents(s, d)
+        .filter(TextStats.gopherRules($"text", stop)("keep"))
+        .localCheckpoint()
+      val pool = gated.join(
+        ExactSubstring.flaggedCoverage(gated, "doc_id", "text")
+          .filter($"keep_ratio" >= 0.7).select("doc_id"),
+        "doc_id").localCheckpoint()
+      val toks = pool.select($"lang", explode(words).as("word"))
+      val est = Sketches.hllEstimate(
+          Sketches.hllRegisters(toks, "lang", "word"))
+        .select($"key".as("lang"), $"est".as("est_distinct"))
+      val exact = toks.groupBy("lang")
+        .agg(countDistinct($"word").as("exact_distinct"))
+      pool.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(words).cast("long")).as("n_tokens"))
+        .join(est, "lang").join(exact, "lang")
+        .select($"lang", $"n_docs", $"n_tokens", $"est_distinct",
+          $"exact_distinct")
+        .orderBy($"lang")
     }
   )
 
@@ -2162,6 +2224,110 @@ object PipelineQueries {
            GROUP BY word)
          SELECT e.word, e.est, coalesce(x.exact, 0) AS exact,
            e.est - coalesce(x.exact, 0) AS inflation
-         FROM est e LEFT JOIN ex x USING (word) ORDER BY e.word"""
+         FROM est e LEFT JOIN ex x USING (word) ORDER BY e.word""",
+    "q98_containment_pairs" ->
+      """WITH s AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, len(string_split(text, ' ')) - 1),
+             i -> concat_ws(' ', string_split(text, ' ')[i],
+               string_split(text, ' ')[i+1], string_split(text, ' ')[i+2])))
+             AS sh
+           FROM documents),
+         j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.sh, b.sh)) AS inter,
+             len(a.sh) AS na, len(b.sh) AS nb
+           FROM s a JOIN s b ON a.doc_id < b.doc_id),
+         u AS (
+           SELECT id_a AS id_in, id_b AS id_out,
+             round(inter::DOUBLE / greatest(na, 1), 4) AS containment
+           FROM j
+           UNION ALL
+           SELECT id_b, id_a, round(inter::DOUBLE / greatest(nb, 1), 4)
+           FROM j)
+         SELECT id_in, id_out, containment FROM u
+         WHERE containment >= 0.8 ORDER BY id_in, id_out""",
+    "q99_tfidf_keywords" ->
+      """WITH st AS (SELECT count(*) AS n_docs FROM documents),
+         t AS (SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\s+')) AS word
+           FROM documents),
+         tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+           FROM t GROUP BY doc_id, word),
+         df AS (SELECT word, CAST(count(*) AS BIGINT) AS df
+           FROM tf GROUP BY word),
+         scored AS (SELECT doc_id, word,
+             CAST(round(tf * (ln(n_docs + 1) - ln(df + 1)) * 10000.0)
+               AS BIGINT) AS score_bp
+           FROM tf JOIN df USING (word), st),
+         ranked AS (SELECT doc_id, word, score_bp,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY score_bp DESC, word) AS rnk
+           FROM scored)
+         SELECT doc_id, rnk, word, score_bp FROM ranked
+         WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+    "q100_corpus_profile" -> s"""
+         WITH t AS (SELECT doc_id, lang,
+             string_split_regex(trim(text), '\\s+') AS ws,
+             length(trim(text)) AS lc
+           FROM documents),
+         gated AS (SELECT doc_id, lang, ws FROM t
+           WHERE (len(ws) BETWEEN 50 AND 100000)
+             AND (round(lc::DOUBLE / greatest(len(ws), 1), 4)
+               BETWEEN 3.0 AND 10.0)
+             AND len(list_filter(ws, w -> w IN
+               ('the', 'a', 'of', 'to', 'in', 'and'))) >= 2
+             AND round(len(list_filter(ws,
+                 w -> regexp_matches(w, '[\\pL]')))::DOUBLE /
+               greatest(len(ws), 1), 4) >= 0.8
+             AND round(len(list_distinct(ws))::DOUBLE /
+               greatest(len(ws), 1), 4) >= 0.3),
+         g AS (SELECT doc_id, p,
+             ('0x' || substr(md5(array_to_string(
+               list_slice(ws, p + 1, p + 8), ' ')), 1, 15))::BIGINT AS gh
+           FROM (SELECT doc_id, ws,
+               unnest(range(0, greatest(len(ws) - 7, 0))) AS p
+             FROM gated)),
+         dup AS (SELECT gh FROM g GROUP BY gh
+           HAVING count(DISTINCT doc_id) >= 2),
+         f AS (SELECT g.doc_id, g.p FROM g JOIN dup USING (gh)),
+         cov AS (SELECT doc_id,
+             CAST(count(DISTINCT pos) AS BIGINT) AS covered
+           FROM (SELECT doc_id, p, unnest(range(p, p + 8)) AS pos FROM f)
+           GROUP BY doc_id),
+         pool AS (SELECT gated.doc_id, lang, ws
+           FROM gated LEFT JOIN cov USING (doc_id)
+           WHERE round(1.0 - coalesce(covered, 0)::DOUBLE /
+             greatest(len(ws), 1), 4) >= 0.7),
+         toks AS (SELECT lang, unnest(ws) AS word FROM pool),
+         h AS (SELECT lang, word,
+             ('0x' || substr(md5(word), 1, 15))::BIGINT AS gh FROM toks),
+         r AS (SELECT lang, gh % 256 AS bucket,
+             CASE WHEN gh // 256 = 0 THEN 53
+               ELSE 53 - length(bin(gh // 256)) END AS rho
+           FROM h),
+         regs AS (SELECT lang, bucket, max(rho) AS rho FROM r
+           GROUP BY lang, bucket),
+         agg AS (SELECT lang,
+             CAST(256 - count(*) AS BIGINT) AS zeros,
+             CAST(sum(1::BIGINT << (53 - rho)) AS BIGINT) AS s_filled
+           FROM regs GROUP BY lang),
+         hll AS (SELECT lang, zeros,
+             CAST(s_filled + zeros * (1::BIGINT << 53) AS BIGINT) AS s
+           FROM agg),
+         est AS (SELECT lang,
+             round(CASE WHEN zeros > 0 AND
+               ${graft.text.Sketches.hllNumLit} / s <= 640.0
+               THEN 256.0 * ln(256.0 / zeros)
+               ELSE ${graft.text.Sketches.hllNumLit} / s END, 4)
+               AS est_distinct
+           FROM hll),
+         ex AS (SELECT lang, CAST(count(DISTINCT word) AS BIGINT)
+             AS exact_distinct FROM toks GROUP BY lang),
+         card AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(ws)) AS BIGINT) AS n_tokens
+           FROM pool GROUP BY lang)
+         SELECT card.lang, n_docs, n_tokens, est_distinct, exact_distinct
+         FROM card JOIN est USING (lang) JOIN ex USING (lang)
+         ORDER BY card.lang"""
   )
 }

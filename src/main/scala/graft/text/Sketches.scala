@@ -101,6 +101,49 @@ object Sketches {
     pmod(md5Low60(concat_ws(":", lit("cms"), r.cast("string"), word)),
       lit(w.toLong))
 
+  // ------------------------------------------- persisted incremental
+
+  /** Persist HLL registers and merge a delta corpus in later — the
+    * `Bm25.appendToIndex` maintenance pattern for sketches: because
+    * registers merge associatively (max for HLL, sum for CMS), a
+    * corpus-survey artifact updates with O(|delta| + |registers|) work
+    * instead of a full re-scan; after append the registers are
+    * INDISTINGUISHABLE from a fresh build over the union (spec-pinned).
+    * The merged frame is eagerly checkpointed before the overwrite so
+    * the write never reads the directory it replaces.
+    */
+  def writeHllRegisters(items: DataFrame, keyCol: String, valCol: String,
+      dir: String): Unit =
+    hllRegisters(items, keyCol, valCol)
+      .write.mode("overwrite").parquet(dir)
+
+  def appendHllRegisters(delta: DataFrame, keyCol: String,
+      valCol: String, dir: String): Unit = {
+    val spark = delta.sparkSession
+    val merged = spark.read.parquet(dir)
+      .union(hllRegisters(delta, keyCol, valCol))
+      .groupBy("key", "bucket")
+      .agg(max(col("rho")).as("rho"))
+      .localCheckpoint()
+    merged.write.mode("overwrite").parquet(dir)
+  }
+
+  def writeCmsRegisters(items: DataFrame, valCol: String, dir: String,
+      d: Int = 4, w: Int = 512): Unit =
+    cmsRegisters(items, valCol, d, w)
+      .write.mode("overwrite").parquet(dir)
+
+  def appendCmsRegisters(delta: DataFrame, valCol: String, dir: String,
+      d: Int = 4, w: Int = 512): Unit = {
+    val spark = delta.sparkSession
+    val merged = spark.read.parquet(dir)
+      .union(cmsRegisters(delta, valCol, d, w))
+      .groupBy("r", "c")
+      .agg(sum(col("ct")).as("ct"))
+      .localCheckpoint()
+    merged.write.mode("overwrite").parquet(dir)
+  }
+
   /** Point-query the sketch for `probes`: est = min over the d cells
     * (absent cell = 0). CMS guarantees est >= true count; the caller
     * joins the exact count back to EXHIBIT the one-sided error.

@@ -335,6 +335,41 @@ object TextStats {
     * one map-side-combining groupBy + TakeOrdered — the full gram
     * distribution is never sorted or collected.
     */
+  /** Per-document top-`k` TF-IDF keywords — the datasheet/card-level
+    * "what is this document about" extractor (and the classic
+    * relevance-weighting twin of the q85 BM25 scorer, document-side
+    * instead of query-side). Scores are integer basis points of
+    * `tf * (ln(N+1) - ln(df+1))` — every ln argument an exact integer
+    * count, one float product in a fixed association both engines
+    * share, rounded before any comparison — and ranking is
+    * (score desc, word), fully deterministic.
+    *
+    * Scale shape: tf is the one corpus-sized shuffle (map-side
+    * combining groupBy on (id, word)); df derives from tf — one row
+    * per (doc, word), NOT a second corpus pass; the vocabulary
+    * aggregate broadcasts (Zipf-bounded; switch to a shuffle join past
+    * broadcast size); the rank Window partitions BY DOCUMENT, so there
+    * is no global sort anywhere.
+    */
+  def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val words = split(trim(col(textCol)), "\\s+")
+    val toks = docs.select(col(idCol).as("id"), explode(words).as("word"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = toks.groupBy("id", "word").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), "word")
+      .join(broadcast(stats))
+      .withColumn("score_bp", round(col("tf").cast("double") *
+        (log(col("n_docs") + lit(1L)) - log(col("df") + lit(1L))) *
+        10000.0).cast("long"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("score_bp").desc, col("word"))
+    scored.withColumn("rnk", row_number().over(win))
+      .filter(col("rnk") <= k)
+      .select(col("id"), col("rnk"), col("word"), col("score_bp"))
+  }
+
   def topNgrams(docs: DataFrame, textCol: String, n: Int, k: Int)
       : DataFrame = {
     val gramsUdf = udf((s: String) => {

@@ -35,7 +35,9 @@ class EquivalenceSpec extends AnyFunSuite {
       "q87_ann_sq8", "q88_bm25_index_probe", "q89_assembly_recipe",
       "q90_dataset_split", "q91_leakage_split", "q92_snapshot_diff",
       "q93_fasttext_gate", "q94_random_projection", "q95_exact_substring",
-      "q96_hll_distinct", "q97_cms_heavy_hitters")
+      "q96_hll_distinct", "q97_cms_heavy_hitters",
+      "q98_containment_pairs", "q99_tfidf_keywords",
+      "q100_corpus_profile")
     try sample.map { name =>
       name -> SparkEntry.queries(name)(spark, sf)
         .collect().map(_.toString).sorted.toSeq

@@ -108,7 +108,17 @@ class ScaleStressSpec extends AnyFunSuite {
       "q85_bm25", "q86_gopher_gate", "q88_bm25_index_probe",
       "q90_dataset_split", "q91_leakage_split", "q92_snapshot_diff",
       "q93_fasttext_gate", "q95_exact_substring", "q96_hll_distinct",
-      "q97_cms_heavy_hitters")
+      "q97_cms_heavy_hitters",
+      // q98: in-copy containment structure only (vowel rotation keeps
+      // copies textually disjoint) -> pairs ~10x; candidate volume is
+      // df-capped like the LSH band caps. q99: rows = 3 per doc, exact
+      // 10x; the rank window partitions by doc, so no global sort can
+      // appear at any scale.
+      "q98_containment_pairs", "q99_tfidf_keywords",
+      // q100 emits one row per language (flat) — the band pins the
+      // composed gate -> coverage -> profile pipeline's wall-time at
+      // 10x token volume
+      "q100_corpus_profile")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

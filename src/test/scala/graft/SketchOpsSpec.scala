@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.dedup.ExactSubstring
 import graft.similarity.RandomProjection
-import graft.text.{QualityClassifier, Sketches}
+import graft.text.{QualityClassifier, Sketches, TextStats}
 
 /** Round-10 layer: hashed linear quality classifier, JL sign-projection
   * sketch, cross-doc exact-substring coverage, HLL / CMS sketches.
@@ -220,6 +220,109 @@ class SketchOpsSpec extends AnyFunSuite {
       .groupBy("r", "c").agg(sum($"ct").as("ct"))
       .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
     assert(merged === whole)
+  }
+
+  test("persisted sketch registers: append is indistinguishable from fresh") {
+    // the Bm25.appendToIndex maintenance pattern for sketches: write
+    // half the corpus, append the other half, compare bit-for-bit with
+    // a fresh single-pass build over the union
+    def toks(half: org.apache.spark.sql.DataFrame) =
+      half.select($"lang", explode(split(trim($"text"), "\\s+")).as("word"))
+    val a = toks(docs.filter($"doc_id" % 2 === 0))
+    val b = toks(docs.filter($"doc_id" % 2 =!= 0))
+    val dirH = java.nio.file.Files
+      .createTempDirectory("graft-hll").toString
+    Sketches.writeHllRegisters(a, "lang", "word", dirH)
+    Sketches.appendHllRegisters(b, "lang", "word", dirH)
+    val appendedH = spark.read.parquet(dirH)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val freshH = Sketches.hllRegisters(a.union(b), "lang", "word")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(appendedH === freshH)
+    val dirC = java.nio.file.Files
+      .createTempDirectory("graft-cms").toString
+    Sketches.writeCmsRegisters(a, "word", dirC)
+    Sketches.appendCmsRegisters(b, "word", dirC)
+    val appendedC = spark.read.parquet(dirC)
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toSet
+    val freshC = Sketches.cmsRegisters(a.union(b), "word")
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toSet
+    assert(appendedC === freshC)
+  }
+
+  // ------------------------------------------- containment / tf-idf
+
+  test("containment catches a doc INSIDE another that Jaccard misses") {
+    val inner = (1 to 12).map(i => s"w$i").mkString(" ")
+    val outer = inner + " " + (13 to 60).map(i => s"w$i").mkString(" ")
+    val corpus = Seq((1L, inner), (2L, outer),
+      (3L, "completely different words here nothing shared at all"))
+      .toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.containmentPairs(
+        corpus, "doc_id", "text", n = 3, minContainment = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // 1-in-2 is total containment; 2-in-1 is far below threshold
+    assert(got.toSeq === Seq((1L, 2L, 1.0)))
+    // and symmetric Jaccard on the same pair sits under ANY usable
+    // near-dup threshold — the blind spot this operator exists for
+    val sh = corpus.select($"doc_id",
+      graft.dedup.Dedup.shingleHashes($"text", 3).as("hs"))
+    val j = sh.filter($"doc_id" === 1L).select($"hs".as("a"))
+      .crossJoin(sh.filter($"doc_id" === 2L).select($"hs".as("b")))
+      .select(graft.dedup.Dedup.jaccard($"a", $"b")).head().getDouble(0)
+    assert(j < 0.3, s"jaccard $j should miss the contained pair")
+  }
+
+  test("containment pairs equal the brute-force computation on the corpus") {
+    val brute = {
+      val sh = docs.select($"doc_id",
+        graft.dedup.Dedup.shingleHashes($"text", 3).as("hs"))
+      val a = sh.select($"doc_id".as("id_in"), $"hs".as("sh_in"))
+      val b = sh.select($"doc_id".as("id_out"), $"hs".as("sh_out"))
+      a.crossJoin(b).filter($"id_in" =!= $"id_out")
+        .select($"id_in", $"id_out",
+          round(size(array_intersect($"sh_in", $"sh_out")).cast("double") /
+            greatest(size($"sh_in"), lit(1)), 4).as("c"))
+        .filter($"c" >= 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    }
+    val got = graft.dedup.Dedup.containmentPairs(
+        docs, "doc_id", "text", n = 3, minContainment = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(brute.nonEmpty, "corpus should contain containment pairs")
+    assert(got === brute)
+  }
+
+  test("containment maxDf cap drops boilerplate shingles and says so") {
+    // every doc shares one boilerplate trigram; with maxDf = 2 that
+    // shingle is dropped from candidate generation and counted
+    val corpus = (0 until 6).map(i =>
+      (i.toLong, s"common shared prefix unique$i tail$i end$i"))
+      .toDF("doc_id", "text")
+    val acc = spark.sparkContext.longAccumulator("droppedShingles")
+    val got = graft.dedup.Dedup.containmentPairs(corpus, "doc_id",
+      "text", n = 3, minContainment = 0.9, maxDf = 2,
+      droppedShingles = Some(acc))
+    assert(got.count() === 0L)
+    assert(acc.value >= 1L, "dropped boilerplate shingle not surfaced")
+  }
+
+  test("tf-idf keywords replay hand arithmetic, rank ties on word") {
+    // 3 docs; 'rare' appears twice in doc 1 only; 'shared' in all docs
+    val corpus = Seq((1L, "rare rare shared"), (2L, "shared other"),
+      (3L, "shared more things")).toDF("doc_id", "text")
+    val got = TextStats.tfidfKeywords(corpus, "doc_id", "text", k = 2)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)),
+        (r.getString(2), r.getLong(3)))).toMap
+    def bp(tf: Long, df: Long): Long =
+      math.round(tf.toDouble * (math.log(4.0) - math.log(df + 1.0)) *
+        10000.0)
+    assert(got((1L, 1)) === (("rare", bp(2, 1))))
+    assert(got((1L, 2)) === (("shared", bp(1, 3))))
+    // doc 2: 'other' (df=1) outranks 'shared' (df=3)
+    assert(got((2L, 1))._1 === "other")
   }
 
   test("round-10 scan-fused operators stay Window/global-Sort free") {

@@ -275,21 +275,26 @@ object Dedup {
     * sets, the measure that catches a small document living INSIDE a
     * larger one (quotation, boilerplate wrapper, excerpt reposts),
     * which symmetric Jaccard structurally misses once the size ratio
-    * passes (1-t)/t. The join is an inverted-index equi-join on the
-    * 64-bit shingle hash — never a cartesian — and because each doc's
-    * shingle set is DISTINCT, every shared shingle contributes exactly
-    * one (id_a, id_b) row, so the pair groupBy's count IS the exact
-    * intersection size: no candidate `distinct`, no re-verification
-    * join, and the shingle ARRAYS never shuffle at all (the first
-    * draft did candidates -> distinct -> full-array re-join; this form
-    * measured ~2x faster at sf0.1 and removes two wide exchanges).
-    * Shingles held by more than `maxDf` documents are dropped from the
-    * index with the drop surfaced via accumulator (the "no silent
-    * caps" rule; boilerplate shingles are exactly the ones that
-    * explode the index) — a BINDING cap therefore lower-bounds the
-    * reported intersection by exactly the dropped stopword-shingles,
-    * never inflates it; pick `maxDf` so it cannot bind on curated
-    * corpora (spec-asserted non-binding here, like the q31/q32 caps).
+    * passes (1-t)/t.
+    *
+    * Candidate generation is the DIRECTED prefix filter (the PPJoin
+    * idea adapted to containment): rank each doc's shingles
+    * rarest-first under the global (df, h) order; if B misses ALL of
+    * A's first `|A| - ceil(t|A|) + 1` rarest shingles, then
+    * |A∩B| <= ceil(t|A|) - 1 < t|A|, so A cannot be t-contained in B —
+    * hence joining only the PREFIX of the contained side against the
+    * full inverted index finds every qualifying directed pair. This
+    * replaces the all-pairs index join (sum of df^2 rows — measured
+    * superlinear pressure at the 10x stress scale) with a prefix-df x
+    * df volume biased toward rare shingles; survivors are verified
+    * EXACTLY on the full shingle arrays (arrays ship only for
+    * candidates). Shingles held by more than `maxDf` documents are
+    * dropped from the index with the drop surfaced via accumulator
+    * (the "no silent caps" rule); a binding cap can only MISS pairs
+    * whose shared evidence is entirely stopword-frequent — the
+    * verification still measures true containment for every pair it
+    * reports. Pick `maxDf` so it cannot bind on curated corpora
+    * (spec-asserted non-binding here, like the q31/q32 caps).
     *
     * Emits one row per direction that clears `minContainment`:
     * (id_in, id_out, containment) with containment rounded to 4dp.
@@ -300,7 +305,6 @@ object Dedup {
         None): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
       distinctShingleHashes64(n)(col(textCol)).as("sh"))
-    val sizes = sh.select(col("id"), size(col("sh")).as("n"))
     val tok = sh.select(col("id"), explode(col("sh")).as("h"))
     val dfreq = tok.groupBy("h").agg(count(lit(1)).as("df"))
     val kept = droppedShingles match {
@@ -309,14 +313,32 @@ object Dedup {
         dfreq.filter(f(col("df")))
       case None => dfreq.filter(col("df") <= maxDf)
     }
-    val idx = tok.join(kept.select("h"), "h")
-    val inter = idx.select(col("h"), col("id").as("id_a"))
-      .join(idx.select(col("h"), col("id").as("id_b")), "h")
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    val joined = inter
-      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
+    val idx = tok.join(kept, "h")
+    // rarest-first ranking per doc (struct sort is lexicographic by
+    // field); n is the FULL set size — under a binding cap the prefix
+    // can only be conservative (longer relative to the kept set)
+    val ranked = idx.groupBy("id")
+      .agg(array_sort(collect_list(struct(col("df"), col("h"))))
+        .as("sorted"))
+      .join(sh.select(col("id"), size(col("sh")).as("n")), "id")
+    val prefLen = (col("n") -
+      ceil(col("n") * lit(minContainment)).cast("int") + 1)
+    val prefix = ranked.select(col("id").as("id_in"),
+      explode(transform(slice(col("sorted"), lit(1), prefLen),
+        s => s("h"))).as("h"))
+    val cands = prefix
+      .join(idx.select(col("h"), col("id").as("id_out")), "h")
+      .filter(col("id_in") =!= col("id_out"))
+      .select(least(col("id_in"), col("id_out")).as("id_a"),
+        greatest(col("id_in"), col("id_out")).as("id_b"))
+      .distinct()
+    val sa = sh.select(col("id").as("id_a"), col("sh").as("sh_a"),
+      size(col("sh")).as("n_a"))
+    val sb = sh.select(col("id").as("id_b"), col("sh").as("sh_b"),
+      size(col("sh")).as("n_b"))
+    val joined = cands.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))))
     val aInB = joined.select(col("id_a").as("id_in"),
       col("id_b").as("id_out"),
       round(col("inter").cast("double") /

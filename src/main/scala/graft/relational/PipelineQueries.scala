@@ -1196,6 +1196,18 @@ object PipelineQueries {
         .select($"lang", $"n_docs", $"n_tokens", $"est_distinct",
           $"exact_distinct")
         .orderBy($"lang")
+    },
+    "q101_weighted_sample" -> { (s, d) =>
+      import s.implicits._
+      // Efraimidis-Spirakis A-Res weighted sampling WITHOUT
+      // replacement: token-weighted top-100 by the portable-hash rank
+      // key — long docs proportionally likelier, membership citable
+      // from (seed, id, weight) alone. Row-local draw + TakeOrdered
+      // cut; no global sort, no state.
+      TextStats.weightedSample(documents(s, d), "doc_id",
+          TextStats.wordCount($"text").cast("long"), k = 100, seed = 17L)
+        .select($"id".as("doc_id"), $"w".as("toks"), $"key_8dp")
+        .orderBy($"key_8dp".desc, $"doc_id")
     }
   )
 
@@ -2328,6 +2340,19 @@ object PipelineQueries {
            FROM pool GROUP BY lang)
          SELECT card.lang, n_docs, n_tokens, est_distinct, exact_distinct
          FROM card JOIN est USING (lang) JOIN ex USING (lang)
-         ORDER BY card.lang"""
+         ORDER BY card.lang""",
+    "q101_weighted_sample" ->
+      """WITH t AS (SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS toks,
+             ('0x' || substr(md5('17:' || doc_id::VARCHAR), 1, 15))
+               ::BIGINT AS h
+           FROM documents)
+         SELECT doc_id, toks,
+           round(ln((h + 1) / 1152921504606846976.0) /
+             greatest(toks, 1), 8) AS key_8dp
+         FROM t
+         ORDER BY key_8dp DESC, doc_id
+         LIMIT 100"""
   )
 }

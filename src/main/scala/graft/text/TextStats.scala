@@ -335,6 +335,36 @@ object TextStats {
     * one map-side-combining groupBy + TakeOrdered — the full gram
     * distribution is never sorted or collected.
     */
+  /** Weighted sampling WITHOUT replacement — Efraimidis–Spirakis A-Res
+    * ("Weighted random sampling with a reservoir", IPL 2006): each row
+    * draws u in (0,1] from the portable seed-namespaced hash and ranks
+    * by ln(u)/w (monotone-equivalent to the paper's u^(1/w)); the top-k
+    * ARE a weight-proportional sample without replacement. The
+    * pretraining use: "give me 10k docs, long docs proportionally more
+    * likely", deterministically and reproducibly — any engine replays
+    * membership from (seed, id, w) alone.
+    *
+    * Scale shape: the draw is row-local (hash + one ln), the cut is a
+    * TakeOrdered — k rows per partition shuffle, never a global sort.
+    * Determinism across engines: u = (h+1)/2^60 with h the 60-bit md5
+    * position hash — the long→double conversion and the division by a
+    * power of two are IEEE-defined identically everywhere — and the
+    * rank key rounds to 8dp before ordering with an id tie-break, so
+    * libm ln ulp differences (~1e-16 relative) sit eight orders below
+    * the grid.
+    */
+  def weightedSample(docs: DataFrame, idCol: String, weight: Column,
+      k: Int, seed: Long): DataFrame = {
+    val h = positionHash(seed, col("id")).cast("long")
+    val u = (h + lit(1L)).cast("double") /
+      lit(1152921504606846976.0) // 2^60: exact power-of-two scaling
+    docs.select(col(idCol).as("id"), weight.as("w"))
+      .withColumn("key_8dp",
+        round(log(u) / greatest(col("w"), lit(1L)).cast("double"), 8))
+      .orderBy(col("key_8dp").desc, col("id"))
+      .limit(k)
+  }
+
   /** Per-document top-`k` TF-IDF keywords — the datasheet/card-level
     * "what is this document about" extractor (and the classic
     * relevance-weighting twin of the q85 BM25 scorer, document-side

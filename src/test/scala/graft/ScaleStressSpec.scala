@@ -117,8 +117,9 @@ class ScaleStressSpec extends AnyFunSuite {
       "q98_containment_pairs", "q99_tfidf_keywords",
       // q100 emits one row per language (flat) — the band pins the
       // composed gate -> coverage -> profile pipeline's wall-time at
-      // 10x token volume
-      "q100_corpus_profile")
+      // 10x token volume; q101's output is k-bound (100 rows) — the
+      // band pins the row-local draw + TakeOrdered shape
+      "q100_corpus_profile", "q101_weighted_sample")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

@@ -325,6 +325,34 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(got((2L, 1))._1 === "other")
   }
 
+  test("weighted sample replays the A-Res rank bit-for-bit") {
+    val k = 20
+    val got = TextStats.weightedSample(docs, "doc_id",
+        TextStats.wordCount($"text").cast("long"), k, seed = 5L)
+      .collect().map(_.getLong(0)).toSeq
+    val brute = docs.select($"doc_id",
+        TextStats.wordCount($"text").cast("long").as("w"))
+      .collect().map { r =>
+        val id = r.getLong(0)
+        val w = math.max(r.getLong(1), 1L)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"5:$id".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+        val key = BigDecimal(
+          math.log((h + 1).toDouble / math.pow(2, 60)) / w)
+          .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, key)
+      }.sortBy { case (id, key) => (-key, id) }.take(k).map(_._1).toSeq
+    assert(got === brute)
+    // and a different seed draws a different sample (same sizes)
+    val other = TextStats.weightedSample(docs, "doc_id",
+        TextStats.wordCount($"text").cast("long"), k, seed = 6L)
+      .collect().map(_.getLong(0)).toSeq
+    assert(other.length === k)
+    assert(other !== got)
+  }
+
   test("round-10 scan-fused operators stay Window/global-Sort free") {
     // q93 scoring and q96/q97 register builds must never plan an
     // un-partitioned Window or a global Sort — their 100-TB claim

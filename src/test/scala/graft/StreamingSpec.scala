@@ -302,6 +302,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === batch)
   }
 
+  test("HLL and CMS registers build unchanged on a stream") {
+    // the sketches' 100-TB argument made literal: register state is
+    // FIXED cardinality (256/key for HLL, 4x512 for CMS) no matter how
+    // much stream passes through, so complete-mode aggregation is
+    // legitimate — the same code path as batch, no twin needed
+    val toks = docStream(newDocStreamDir())
+      .select($"lang", explode(split(trim($"text"), "\\s+")).as("word"))
+    val gotH = runToCompletion(
+      graft.text.Sketches.hllRegisters(toks, "lang", "word"),
+      "hllstream", mode = "complete")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    val batchToks = relational.Tables.documents(spark, sf)
+      .select($"lang", explode(split(trim($"text"), "\\s+")).as("word"))
+    val expH = graft.text.Sketches.hllRegisters(batchToks, "lang", "word")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    assert(gotH === expH)
+    val gotC = runToCompletion(
+      graft.text.Sketches.cmsRegisters(
+        docStream(newDocStreamDir())
+          .select(explode(split(trim($"text"), "\\s+")).as("word")),
+        "word"),
+      "cmsstream", mode = "complete")
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2)))
+      .toSet
+    val expC = graft.text.Sketches.cmsRegisters(
+        batchToks.select("word"), "word")
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2)))
+      .toSet
+    assert(gotC === expC)
+  }
+
   test("streaming per-source cap equals the batch kept set") {
     // one micro-batch + per-group (hash, id) sort = the batch
     // operator's order, so the stream reproduces cappedPerStratum

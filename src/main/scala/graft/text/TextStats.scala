@@ -386,7 +386,13 @@ object TextStats {
     val words = split(trim(col(textCol)), "\\s+")
     val toks = docs.select(col(idCol).as("id"), explode(words).as("word"))
     val stats = docs.agg(count(lit(1)).as("n_docs"))
+    // materialize tf: df aggregates FROM it, and without the
+    // checkpoint Catalyst column-prunes the df branch into a SECOND
+    // corpus explode (the count column differs, so no exchange reuse —
+    // plan-audited). (id, word, tf) carries no text, so this is the
+    // small frame to persist.
     val tf = toks.groupBy("id", "word").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(dfreq), "word")
       .join(broadcast(stats))

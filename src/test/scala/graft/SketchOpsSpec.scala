@@ -353,6 +353,23 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(other !== got)
   }
 
+  test("q99 window is document-partitioned; q101 cut is a TakeOrdered") {
+    val p99 = TextStats.tfidfKeywords(docs, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(p99.contains("Window"), "rank window expected")
+    // per-partition group-limit before the window = the rank runs
+    // partitioned by document; a global sort would print `Sort [...],
+    // true` (the only legitimate SinglePartition exchange is the
+    // one-row corpus-count aggregate)
+    assert(p99.contains("WindowGroupLimit"), "expected group-limit rank")
+    assert(!p99.contains(", true, 0"), "unexpected global sort")
+    val p101 = TextStats.weightedSample(docs, "doc_id",
+        TextStats.wordCount(col("text")).cast("long"), 100, 17L)
+      .queryExecution.executedPlan.toString
+    assert(p101.contains("TakeOrderedAndProject"),
+      "weighted-sample cut must be a TakeOrdered, not a global sort")
+  }
+
   test("round-10 scan-fused operators stay Window/global-Sort free") {
     // q93 scoring and q96/q97 register builds must never plan an
     // un-partitioned Window or a global Sort — their 100-TB claim

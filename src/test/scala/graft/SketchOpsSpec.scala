@@ -250,6 +250,48 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(appendedC === freshC)
   }
 
+  test("persisted corpus profile: append is indistinguishable from fresh") {
+    // the operational datasheet: write half the corpus, append the
+    // other half, and the published view must equal a fresh build over
+    // the union — counts/sums add, registers max-merge, so shard
+    // arrival order cannot drift the datasheet
+    import graft.text.CorpusProfile
+    val a = docs.filter($"doc_id" % 2 === 0)
+    val b = docs.filter($"doc_id" % 2 =!= 0)
+    val dirInc = java.nio.file.Files
+      .createTempDirectory("graft-profile-inc").toString
+    val dirFresh = java.nio.file.Files
+      .createTempDirectory("graft-profile-fresh").toString
+    CorpusProfile.write(a, "lang", "text", dirInc)
+    CorpusProfile.append(b, "lang", "text", dirInc)
+    CorpusProfile.write(a.union(b), "lang", "text", dirFresh)
+    def view(dir: String) = CorpusProfile.read(spark, dir)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val inc = view(dirInc)
+    val fresh = view(dirFresh)
+    assert(inc === fresh)
+    assert(inc.nonEmpty && inc.values.forall(_._1 > 0))
+  }
+
+  test("parquet compaction: fewer files, identical rows, no-op when tight") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-compact").toString + "/docs.parquet"
+    docs.repartition(40).write.mode("overwrite").parquet(dir)
+    val before = docs.collect().map(_.toString).sorted.toSeq
+    val (nBefore, nAfter, bytes) =
+      graft.io.Compact.compactParquet(spark, dir, targetBytes = 1L << 30)
+    assert(nBefore >= 40 && nAfter < 5 && bytes > 0,
+      s"expected a real compaction, got $nBefore -> $nAfter")
+    val after = spark.read.parquet(dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(after === before)
+    // already compact -> untouched (same file count back)
+    val (b2, a2, _) =
+      graft.io.Compact.compactParquet(spark, dir, targetBytes = 1L << 30)
+    assert(b2 === nAfter && a2 === nAfter)
+  }
+
   // ------------------------------------------- containment / tf-idf
 
   test("containment catches a doc INSIDE another that Jaccard misses") {

@@ -95,3 +95,42 @@ class TopKAggregator(k: Int)
     ExpressionEncoder[Seq[Scored]]()
   }
 }
+
+/** One candidate under an exact integer distance (smaller = better). */
+case class ScoredL(neighbor_id: Long, d2: Long)
+
+case class TopKLBuf(items: Seq[ScoredL])
+
+/** [[TopKAggregator]] with an exact LONG distance key ordered
+  * ascending — (d2 asc, neighbor_id asc). Exists because squared
+  * integer distances can exceed 2^53, where routing them through the
+  * double-keyed aggregator could merge distinct keys at the top-k
+  * boundary; the integer comparison has no such cliff.
+  */
+class TopKLongAggregator(k: Int)
+    extends Aggregator[ScoredL, TopKLBuf, Seq[ScoredL]] {
+  require(k > 0, "k must be positive")
+
+  private def better(x: ScoredL, y: ScoredL): Boolean =
+    x.d2 < y.d2 || (x.d2 == y.d2 && x.neighbor_id < y.neighbor_id)
+
+  override def zero: TopKLBuf = TopKLBuf(Nil)
+
+  override def reduce(buf: TopKLBuf, r: ScoredL): TopKLBuf = {
+    val items = buf.items
+    if (items.size >= k && !better(r, items.last)) buf
+    else TopKLBuf(((items :+ r).sortWith(better)).take(k))
+  }
+
+  override def merge(a: TopKLBuf, b: TopKLBuf): TopKLBuf =
+    TopKLBuf((a.items ++ b.items).sortWith(better).take(k))
+
+  override def finish(buf: TopKLBuf): Seq[ScoredL] = buf.items
+
+  override def bufferEncoder: Encoder[TopKLBuf] =
+    Encoders.product[TopKLBuf]
+  override def outputEncoder: Encoder[Seq[ScoredL]] = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    ExpressionEncoder[Seq[ScoredL]]()
+  }
+}

@@ -44,8 +44,36 @@ object Tables {
       case _ => raw // already TimestampType
     }
   }
-  def documents(s: SparkSession, d: String): DataFrame =
-    table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame =
-    table(s, d, "embeddings")
+  /** The events `ts` lesson (round 8) applied preemptively to the other
+    * driver tables: integer ids/counts normalize to LongType and the
+    * embedding element type to FloatType IF a future data generation
+    * changes the physical width (int32 ids, float64 vectors, …) —
+    * casts are no-ops against today's files (the match keeps the plan
+    * literally unchanged when types already agree), but a silent
+    * regeneration can no longer break `getLong`/encoder call sites or
+    * shift oracle arithmetic. EventsEncodingSpec's sibling assertions
+    * pin the behavior.
+    */
+  def documents(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.LongType
+    val raw = table(s, d, "documents")
+    Seq("doc_id", "n_chars").foldLeft(raw) { (df, c) =>
+      if (df.schema(c).dataType == LongType) df
+      else df.withColumn(c, col(c).cast(LongType))
+    }
+  }
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, transform}
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
+    val raw = table(s, d, "embeddings")
+    val ided =
+      if (raw.schema("vec_id").dataType == LongType) raw
+      else raw.withColumn("vec_id", col("vec_id").cast(LongType))
+    ided.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => ided
+      case _ => ided.withColumn("embedding",
+        transform(col("embedding"), _.cast(FloatType)))
+    }
+  }
 }

@@ -82,4 +82,37 @@ class EventsEncodingSpec extends AnyFunSuite {
         s"encoding $enc: stream ts is $dt, not TimestampType")
     }
   }
+
+  test("documents/embeddings loaders normalize physically-drifted widths") {
+    // the ts lesson applied to the other driver tables: regenerate the
+    // corpus with int32 ids/counts and float64 embeddings, and the
+    // loaders must hand every query the canonical types and values
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
+    val base = Files.createTempDirectory("tables-drift").toString
+    relational.Tables.documents(spark, sf)
+      .withColumn("doc_id", $"doc_id".cast("int"))
+      .withColumn("n_chars", $"n_chars".cast("int"))
+      .write.parquet(s"$base/documents.parquet")
+    relational.Tables.embeddings(spark, sf)
+      .withColumn("vec_id", $"vec_id".cast("int"))
+      .withColumn("embedding", transform($"embedding", _.cast("double")))
+      .write.parquet(s"$base/embeddings.parquet")
+    val docs = relational.Tables.documents(spark, base)
+    assert(docs.schema("doc_id").dataType == LongType)
+    assert(docs.schema("n_chars").dataType == LongType)
+    val emb = relational.Tables.embeddings(spark, base)
+    assert(emb.schema("vec_id").dataType == LongType)
+    assert(emb.schema("embedding").dataType ==
+      ArrayType(FloatType, containsNull = true))
+    // representative queries over both tables produce identical results
+    // on the drifted copy (float64 -> float32 is exact here because the
+    // doubles were widened FROM floats)
+    Seq("q35_quality", "q94_random_projection").foreach { q =>
+      val a = SparkEntry.queries(q)(spark, sf)
+        .collect().map(_.toString).sorted.toSeq
+      val b = SparkEntry.queries(q)(spark, base)
+        .collect().map(_.toString).sorted.toSeq
+      assert(a === b, s"$q differs on the drifted table widths")
+    }
+  }
 }

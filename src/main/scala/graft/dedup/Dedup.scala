@@ -303,16 +303,27 @@ object Dedup {
       n: Int = 3, minContainment: Double = 0.8, maxDf: Long = 1000,
       droppedShingles: Option[org.apache.spark.util.LongAccumulator] =
         None): DataFrame = {
+    // materialize the shingle table once: five consumers walk it (the
+    // inverted index feeds two join sides, plus the size join and both
+    // verification sides) and re-running the shingling UDF per branch
+    // would pay the operator's most expensive step repeatedly — the
+    // same CollapseProject lesson as the JL sketch. The (id, set)
+    // table is the artifact a production pipeline persists anyway.
     val sh = docs.select(col(idCol).as("id"),
       distinctShingleHashes64(n)(col(textCol)).as("sh"))
+      .localCheckpoint()
     val tok = sh.select(col("id"), explode(col("sh")).as("h"))
     val dfreq = tok.groupBy("h").agg(count(lit(1)).as("df"))
-    val kept = droppedShingles match {
+    // kept is materialized too, so the side-effecting cap filter runs
+    // EXACTLY once per shingle type — without it each downstream
+    // branch re-evaluates the filter and the accumulator over-counts
+    // (spec asserts the exact drop count)
+    val kept = (droppedShingles match {
       case Some(acc) =>
         val f = udf((df: Long) => { if (df > maxDf) acc.add(1L); df <= maxDf })
         dfreq.filter(f(col("df")))
       case None => dfreq.filter(col("df") <= maxDf)
-    }
+    }).localCheckpoint()
     val idx = tok.join(kept, "h")
     // rarest-first ranking per doc (struct sort is lexicographic by
     // field); n is the FULL set size — under a binding cap the prefix
@@ -321,8 +332,15 @@ object Dedup {
       .agg(array_sort(collect_list(struct(col("df"), col("h"))))
         .as("sorted"))
       .join(sh.select(col("id"), size(col("sh")).as("n")), "id")
+    // the FINAL filter compares the 4dp-ROUNDED containment, so a pair
+    // at true containment t - 5e-5 still qualifies after rounding; the
+    // prefix length must therefore be derived from the relaxed
+    // threshold or such boundary pairs would be pruned from candidate
+    // generation yet admitted by the oracle (a miss only visible on
+    // documents with > 10^4 shingles, where ceil moves)
+    val tEff = minContainment - 0.00005
     val prefLen = (col("n") -
-      ceil(col("n") * lit(minContainment)).cast("int") + 1)
+      ceil(col("n") * lit(tEff)).cast("int") + 1)
     val prefix = ranked.select(col("id").as("id_in"),
       explode(transform(slice(col("sorted"), lit(1), prefLen),
         s => s("h"))).as("h"))

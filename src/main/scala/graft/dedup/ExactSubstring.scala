@@ -96,6 +96,14 @@ object ExactSubstring {
   def flaggedCoverage(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 8): DataFrame = {
     val words = split(trim(col(textCol)), "\\s+")
+    // g feeds two branches (the dup-set aggregate and the join back)
+    // and is DELIBERATELY recomputed rather than checkpointed: the
+    // positional gram stream is ~24 bytes/token — LARGER than the
+    // corpus text it derives from — so at scale materializing it costs
+    // more than a second scan + fused-walker pass (the opposite call
+    // from tf in tfidfKeywords, whose (id, word, tf) frame is far
+    // smaller than the token stream). Callers with an expensive
+    // upstream (q100's gated pool) checkpoint THAT input instead.
     val g = docs.select(col(idCol).as("doc_id"),
       posexplode(gramHashesUdf(n)(col(textCol))).as(Seq("p", "gh")))
     // grams held by >= 2 distinct documents; the groupBy key is the

@@ -26,30 +26,25 @@ import org.apache.spark.sql.SparkSession
   */
 object Compact {
 
-  /** Returns (filesBefore, filesAfter, bytes). No-op (returns with
-    * zero rewrite) when the dataset already has <= the target count.
+  /** Populate a staging directory via `write(stagingPath)`, then swap
+    * it in for `dir` whole: retire the old directory, promote staging,
+    * delete the retired copy. A crash at any point leaves either the
+    * complete old dataset or the complete new one at `dir` — never a
+    * mix — with the retired copy intact for manual recovery between
+    * the renames. Shared by [[compactParquet]] and the incremental
+    * append paths (`Sketches`, `CorpusProfile`), which without it
+    * would `mode("overwrite")` in place and a crash mid-rewrite could
+    * lose the only copy.
     */
-  def compactParquet(spark: SparkSession, dir: String,
-      targetBytes: Long = 128L << 20): (Int, Int, Long) = {
-    require(targetBytes > 0, "targetBytes must be positive")
+  def stagedSwap(spark: SparkSession, dir: String)
+      (write: String => Unit): Unit = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(path)
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-    val totalBytes = files.map(_.getLen).sum
-    val nOut = math.max(1, math.ceil(
-      totalBytes.toDouble / targetBytes).toInt)
-    if (files.length <= nOut) return (files.length, files.length, totalBytes)
-    val staging = new Path(dir + "._compact_staging")
-    val retired = new Path(dir + "._compact_retired")
+    val staging = new Path(dir.stripSuffix("/") + "._staging")
+    val retired = new Path(dir.stripSuffix("/") + "._retired")
     fs.delete(staging, true)
     fs.delete(retired, true)
-    spark.read.parquet(dir)
-      .repartition(nOut)
-      .write.mode("overwrite").parquet(staging.toString)
-    // atomic-enough swap: old moves aside whole, staging moves in
-    // whole; a crash between the renames leaves `retired` intact for
-    // manual recovery, never a half-dataset at `dir`
+    write(staging.toString)
     if (!fs.rename(path, retired))
       throw new java.io.IOException(s"could not retire $dir")
     if (!fs.rename(staging, path)) {
@@ -57,6 +52,40 @@ object Compact {
       throw new java.io.IOException(s"could not promote staging for $dir")
     }
     fs.delete(retired, true)
+  }
+
+  /** Returns (filesBefore, filesAfter, bytes). No-op (returns with
+    * zero rewrite) when the dataset already has <= the target count.
+    * FLAT datasets only: a hive-partitioned layout (subdirectories of
+    * fragments) is refused loudly rather than silently reporting
+    * "already compact" — rewriting it through a plain read would fold
+    * the partition columns into the data and destroy the layout;
+    * compact each partition directory instead.
+    */
+  def compactParquet(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L << 20): (Int, Int, Long) = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val path = new Path(dir.stripSuffix("/"))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = fs.listStatus(path)
+    val files = entries
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    if (files.isEmpty &&
+        entries.exists(e => e.isDirectory &&
+          !e.getPath.getName.startsWith("_"))) {
+      throw new UnsupportedOperationException(
+        s"$dir looks hive-partitioned (no top-level parquet, data " +
+          "subdirectories present); compact each partition directory")
+    }
+    val totalBytes = files.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(
+      totalBytes.toDouble / targetBytes).toInt)
+    if (files.length <= nOut) return (files.length, files.length, totalBytes)
+    stagedSwap(spark, path.toString) { staging =>
+      spark.read.parquet(path.toString)
+        .repartition(nOut)
+        .write.mode("overwrite").parquet(staging)
+    }
     val after = fs.listStatus(path)
       .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     (files.length, after, totalBytes)

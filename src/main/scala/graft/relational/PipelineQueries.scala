@@ -2240,7 +2240,7 @@ object PipelineQueries {
     "q98_containment_pairs" ->
       """WITH s AS (
            SELECT doc_id, list_distinct(list_transform(
-             range(1, len(string_split(text, ' ')) - 1),
+             range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
              i -> concat_ws(' ', string_split(text, ' ')[i],
                string_split(text, ' ')[i+1], string_split(text, ' ')[i+2])))
              AS sh

@@ -12,9 +12,15 @@ import org.apache.spark.sql.functions._
   * itself). Everything persisted is an associative aggregate — counts
   * and sums add, HLL registers max-merge — so append order cannot
   * drift the result: append is spec-pinned INDISTINGUISHABLE from a
-  * fresh single-pass build over the union. Merged frames are eagerly
-  * checkpointed before each overwrite so a write never reads the
-  * directory it replaces.
+  * fresh single-pass build over the union. The append lands through a
+  * whole-directory staged swap (`Compact.stagedSwap`): both tables are
+  * written into staging while the live profile is still being read,
+  * then one retire/promote rename pair publishes them TOGETHER — a
+  * crash leaves the old profile or the new one, never stats from one
+  * generation next to registers from another. (Blind retry after a
+  * crash-after-promote would re-add the delta — sum-merges are not
+  * idempotent — so retry discipline belongs to the ingest layer, as
+  * with any non-transactional sink.)
   */
 object CorpusProfile {
 
@@ -44,14 +50,17 @@ object CorpusProfile {
       .groupBy("key")
       .agg(sum(col("n_docs")).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"))
-      .localCheckpoint()
-    mergedStats.write.mode("overwrite").parquet(s"$dir/stats")
     val mergedRegs = spark.read.parquet(s"$dir/registers")
       .union(Sketches.hllRegisters(toks(delta, keyCol, textCol),
         "key", "word"))
       .groupBy("key", "bucket").agg(max(col("rho")).as("rho"))
-      .localCheckpoint()
-    mergedRegs.write.mode("overwrite").parquet(s"$dir/registers")
+    graft.io.Compact.stagedSwap(spark, dir) { staging =>
+      // both writes read the LIVE profile (staging is a different
+      // path), so no checkpoint is needed; the swap publishes the two
+      // tables as one unit
+      mergedStats.write.parquet(s"$staging/stats")
+      mergedRegs.write.parquet(s"$staging/registers")
+    }
   }
 
   /** The published datasheet view: (key, n_docs, n_tokens,

@@ -109,8 +109,10 @@ object Sketches {
     * corpus-survey artifact updates with O(|delta| + |registers|) work
     * instead of a full re-scan; after append the registers are
     * INDISTINGUISHABLE from a fresh build over the union (spec-pinned).
-    * The merged frame is eagerly checkpointed before the overwrite so
-    * the write never reads the directory it replaces.
+    * The merged frame lands through `Compact.stagedSwap` — staging is
+    * written while the live directory is still readable, then a
+    * retire/promote rename pair publishes it whole, so a crash never
+    * leaves a partial register table.
     */
   def writeHllRegisters(items: DataFrame, keyCol: String, valCol: String,
       dir: String): Unit =
@@ -124,8 +126,10 @@ object Sketches {
       .union(hllRegisters(delta, keyCol, valCol))
       .groupBy("key", "bucket")
       .agg(max(col("rho")).as("rho"))
-      .localCheckpoint()
-    merged.write.mode("overwrite").parquet(dir)
+    // staged swap, not in-place overwrite: a crash mid-rewrite must
+    // leave the old registers readable, never a partial directory
+    graft.io.Compact.stagedSwap(spark, dir)(
+      merged.write.parquet(_))
   }
 
   def writeCmsRegisters(items: DataFrame, valCol: String, dir: String,
@@ -140,8 +144,8 @@ object Sketches {
       .union(cmsRegisters(delta, valCol, d, w))
       .groupBy("r", "c")
       .agg(sum(col("ct")).as("ct"))
-      .localCheckpoint()
-    merged.write.mode("overwrite").parquet(dir)
+    graft.io.Compact.stagedSwap(spark, dir)(
+      merged.write.parquet(_))
   }
 
   /** Point-query the sketch for `probes`: est = min over the d cells

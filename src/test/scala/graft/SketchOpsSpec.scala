@@ -290,6 +290,14 @@ class SketchOpsSpec extends AnyFunSuite {
     val (b2, a2, _) =
       graft.io.Compact.compactParquet(spark, dir, targetBytes = 1L << 30)
     assert(b2 === nAfter && a2 === nAfter)
+    // hive-partitioned layout -> loud refusal, never a silent no-op
+    // (a plain read+rewrite would fold partition columns into data)
+    val pdir = java.nio.file.Files
+      .createTempDirectory("graft-compact-part").toString + "/t.parquet"
+    docs.write.partitionBy("lang").parquet(pdir)
+    intercept[UnsupportedOperationException] {
+      graft.io.Compact.compactParquet(spark, pdir, targetBytes = 1L << 30)
+    }
   }
 
   // ------------------------------------------- containment / tf-idf
@@ -348,7 +356,11 @@ class SketchOpsSpec extends AnyFunSuite {
       "text", n = 3, minContainment = 0.9, maxDf = 2,
       droppedShingles = Some(acc))
     assert(got.count() === 0L)
-    assert(acc.value >= 1L, "dropped boilerplate shingle not surfaced")
+    // EXACT count: one boilerplate shingle type was dropped — the cap
+    // filter must run once per shingle type, not once per consuming
+    // branch (the kept frame is checkpointed for precisely this)
+    assert(acc.value === 1L,
+      s"dropped-shingle count inflated or missing: ${acc.value}")
   }
 
   test("tf-idf keywords replay hand arithmetic, rank ties on word") {

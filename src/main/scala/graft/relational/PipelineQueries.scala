@@ -1218,7 +1218,7 @@ object PipelineQueries {
     "q31_jaccard_pairs" ->
       """WITH s AS (
            SELECT doc_id, list_distinct(list_transform(
-             range(1, len(string_split(text, ' ')) - 1),
+             range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
              i -> concat_ws(' ', string_split(text, ' ')[i],
                string_split(text, ' ')[i+1], string_split(text, ' ')[i+2])))
              AS sh
@@ -1234,7 +1234,7 @@ object PipelineQueries {
     "q32_minhash_lsh" ->
       """WITH s AS (
            SELECT doc_id, list_distinct(list_transform(
-             range(1, len(string_split(text, ' ')) - 1),
+             range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
              i -> concat_ws(' ', string_split(text, ' ')[i],
                string_split(text, ' ')[i+1], string_split(text, ' ')[i+2])))
              AS sh
@@ -1627,7 +1627,7 @@ object PipelineQueries {
     "q69_dedup_components" ->
       """WITH RECURSIVE sh AS (
            SELECT doc_id, list_distinct(list_transform(
-             range(1, len(string_split(text, ' ')) - 1),
+             range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
              i -> concat_ws(' ', string_split(text, ' ')[i],
                string_split(text, ' ')[i+1], string_split(text, ' ')[i+2])))
              AS sh
@@ -2003,7 +2003,7 @@ object PipelineQueries {
          pool AS (SELECT g.doc_id, g.text FROM gated g
            JOIN keepx USING (doc_id)),
          sh AS (SELECT doc_id, list_distinct(list_transform(
-             range(1, len(string_split(text, ' ')) - 1),
+             range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
              i -> concat_ws(' ', string_split(text, ' ')[i],
                string_split(text, ' ')[i+1],
                string_split(text, ' ')[i+2]))) AS sh
@@ -2051,7 +2051,7 @@ object PipelineQueries {
     "q91_leakage_split" ->
       """WITH RECURSIVE sh AS (
            SELECT doc_id, list_distinct(list_transform(
-             range(1, len(string_split(text, ' ')) - 1),
+             range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
              i -> concat_ws(' ', string_split(text, ' ')[i],
                string_split(text, ' ')[i+1], string_split(text, ' ')[i+2])))
              AS sh

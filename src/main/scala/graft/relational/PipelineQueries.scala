@@ -1197,6 +1197,29 @@ object PipelineQueries {
           $"exact_distinct")
         .orderBy($"lang")
     },
+    "q102_neardup_index_probe" -> { (s, d) =>
+      import s.implicits._
+      // BUILD-ONCE / PROBE-MANY near-dup index — the persistence triad
+      // completed (q76 embeddings / q88 lexical / here near-dup): the
+      // %7 != 0 slice is the standing corpus (buckets + shingle sets
+      // persisted once), the %7 == 0 slice is the arriving delta
+      // batch probed against it — LSH bucket equi-join then exact
+      // Jaccard, no corpus signature ever recomputed at ingest. LSH at
+      // threshold 0.8 is exhaustive on this corpus's bimodal near-dup
+      // structure (the q32 argument), so the oracle recomputes the
+      // cross-slice pairs directly. Rebuilds the index each run like
+      // q76/q88 (honest build+probe cost).
+      val dir = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft-neardup-index-${Integer.toHexString(d.hashCode)}" +
+        s"-${ProcessHandle.current().pid()}"
+      val docsDf = documents(s, d)
+      Dedup.buildNearDupIndex(docsDf.filter($"doc_id" % 7 =!= 0),
+        "doc_id", "text", dir)
+      Dedup.probeNearDupIndex(s, dir,
+          docsDf.filter($"doc_id" % 7 === 0), "doc_id", "text",
+          threshold = 0.8)
+        .orderBy($"new_id", $"corpus_id")
+    },
     "q101_weighted_sample" -> { (s, d) =>
       import s.implicits._
       // Efraimidis-Spirakis A-Res weighted sampling WITHOUT
@@ -2341,6 +2364,22 @@ object PipelineQueries {
          SELECT card.lang, n_docs, n_tokens, est_distinct, exact_distinct
          FROM card JOIN est USING (lang) JOIN ex USING (lang)
          ORDER BY card.lang""",
+    "q102_neardup_index_probe" ->
+      """WITH s AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+             i -> concat_ws(' ', string_split(text, ' ')[i],
+               string_split(text, ' ')[i+1], string_split(text, ' ')[i+2])))
+             AS sh
+           FROM documents)
+         SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+             len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+         FROM s a JOIN s b
+           ON a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0
+         WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+             len(list_distinct(a.sh || b.sh)), 4) >= 0.8
+         ORDER BY new_id, corpus_id""",
     "q101_weighted_sample" ->
       """WITH t AS (SELECT doc_id,
              CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)

@@ -37,7 +37,8 @@ class EquivalenceSpec extends AnyFunSuite {
       "q93_fasttext_gate", "q94_random_projection", "q95_exact_substring",
       "q96_hll_distinct", "q97_cms_heavy_hitters",
       "q98_containment_pairs", "q99_tfidf_keywords",
-      "q100_corpus_profile", "q101_weighted_sample")
+      "q100_corpus_profile", "q101_weighted_sample",
+      "q102_neardup_index_probe")
     try sample.map { name =>
       name -> SparkEntry.queries(name)(spark, sf)
         .collect().map(_.toString).sorted.toSeq

@@ -119,7 +119,11 @@ class ScaleStressSpec extends AnyFunSuite {
       // composed gate -> coverage -> profile pipeline's wall-time at
       // 10x token volume; q101's output is k-bound (100 rows) — the
       // band pins the row-local draw + TakeOrdered shape
-      "q100_corpus_profile", "q101_weighted_sample")
+      "q100_corpus_profile", "q101_weighted_sample",
+      // q102: cross-slice near-dup hits live inside each vowel-rotated
+      // copy -> ~10x rows; the build+probe pair pins index-write and
+      // bucket-join wall-time at 10x
+      "q102_neardup_index_probe")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

@@ -300,6 +300,41 @@ class SketchOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("near-dup index: probe equals the direct scan; append equals fresh") {
+    import graft.dedup.Dedup
+    val corpus = docs.filter($"doc_id" % 7 =!= 0)
+    val delta = docs.filter($"doc_id" % 7 === 0)
+    // ground truth: brute-force cross-slice verified Jaccard
+    val sh = docs.select($"doc_id",
+      Dedup.shingleHashes($"text", 3).as("hs"))
+    val direct = sh.filter($"doc_id" % 7 === 0)
+      .select($"doc_id".as("new_id"), $"hs".as("ha"))
+      .crossJoin(sh.filter($"doc_id" % 7 =!= 0)
+        .select($"doc_id".as("corpus_id"), $"hs".as("hb")))
+      .withColumn("j", round(Dedup.jaccard($"ha", $"hb"), 4))
+      .filter($"j" >= 0.8)
+      .select($"new_id", $"corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(direct.nonEmpty, "expected cross-slice near-dup pairs")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ndix").toString
+    Dedup.buildNearDupIndex(corpus, "doc_id", "text", dir)
+    def probe(d: String) =
+      Dedup.probeNearDupIndex(spark, d, delta, "doc_id", "text", 0.8)
+        .select("new_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probe(dir) === direct)
+    // incremental build: half the corpus up front, half appended later —
+    // a probe afterwards must be indistinguishable from the fresh build
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft-ndix-inc").toString
+    Dedup.buildNearDupIndex(corpus.filter($"doc_id" % 2 === 0),
+      "doc_id", "text", dir2)
+    Dedup.appendToNearDupIndex(corpus.filter($"doc_id" % 2 =!= 0),
+      "doc_id", "text", dir2)
+    assert(probe(dir2) === direct)
+  }
+
   // ------------------------------------------- containment / tf-idf
 
   test("containment catches a doc INSIDE another that Jaccard misses") {

@@ -380,6 +380,46 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(got === brute)
   }
 
+  test("containment prefix filter equals brute force on randomized corpora") {
+    // fuzz the prefix-length math (incl. the rounding-relaxed
+    // threshold): random corpora with heavy planted overlap — excerpt
+    // docs (true containment), concatenations, and background noise —
+    // across three thresholds; the prefix path must reproduce the
+    // brute force exactly every time
+    val rng = new scala.util.Random(23)
+    for (trial <- 0 until 3) {
+      val vocab = (0 until 40).map(i => s"w${trial}_$i")
+      def sentence(n: Int) =
+        Seq.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+      val bases = (0 until 12).map(i => (i.toLong, sentence(12 + rng.nextInt(30))))
+      val excerpts = bases.take(4).zipWithIndex.map { case ((_, t), i) =>
+        val ws = t.split(" ")
+        val from = rng.nextInt(math.max(ws.length - 8, 1))
+        (100L + i, ws.slice(from, from + 8 + rng.nextInt(6)).mkString(" "))
+      }
+      val concats = bases.sliding(2, 3).zipWithIndex.map { case (pair, i) =>
+        (200L + i, pair.map(_._2).mkString(" "))
+      }.toSeq
+      val corpus = (bases ++ excerpts ++ concats).toDF("doc_id", "text")
+      val sh = corpus.select($"doc_id",
+        graft.dedup.Dedup.shingleHashes($"text", 3).as("hs"))
+      for (t <- Seq(0.5, 0.8, 0.9)) {
+        val brute = sh.select($"doc_id".as("id_in"), $"hs".as("a"))
+          .crossJoin(sh.select($"doc_id".as("id_out"), $"hs".as("b")))
+          .filter($"id_in" =!= $"id_out")
+          .select($"id_in", $"id_out",
+            round(size(array_intersect($"a", $"b")).cast("double") /
+              greatest(size($"a"), lit(1)), 4).as("c"))
+          .filter($"c" >= t)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val got = graft.dedup.Dedup.containmentPairs(
+            corpus, "doc_id", "text", n = 3, minContainment = t)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got === brute, s"trial $trial threshold $t")
+      }
+    }
+  }
+
   test("containment maxDf cap drops boilerplate shingles and says so") {
     // every doc shares one boilerplate trigram; with maxDf = 2 that
     // shingle is dropped from candidate generation and counted

@@ -1220,6 +1220,18 @@ object PipelineQueries {
           threshold = 0.8)
         .orderBy($"new_id", $"corpus_id")
     },
+    "q103_length_quartiles" -> { (s, d) =>
+      import s.implicits._
+      // per-language token-length quartiles computed on the length
+      // HISTOGRAM — the cumulative window runs over distinct lengths
+      // per language, never over documents (q83's descent covers the
+      // unbounded-value case; this is the bounded-cardinality tool).
+      // Type-1 quantiles at dyadic q, integer-exact cross-engine.
+      TextStats.perKeyQuantiles(documents(s, d), "lang",
+          TextStats.wordCount($"text").cast("long"))
+        .select($"key".as("lang"), $"n_docs", $"p25", $"p50", $"p75")
+        .orderBy($"lang")
+    },
     "q101_weighted_sample" -> { (s, d) =>
       import s.implicits._
       // Efraimidis-Spirakis A-Res weighted sampling WITHOUT
@@ -2380,6 +2392,24 @@ object PipelineQueries {
          WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
              len(list_distinct(a.sh || b.sh)), 4) >= 0.8
          ORDER BY new_id, corpus_id""",
+    "q103_length_quartiles" ->
+      """WITH t AS (SELECT lang,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS v
+           FROM documents),
+         h AS (SELECT lang, v, count(*) AS ct FROM t GROUP BY lang, v),
+         c AS (SELECT lang, v, ct,
+             sum(ct) OVER (PARTITION BY lang ORDER BY v) AS cum,
+             sum(ct) OVER (PARTITION BY lang) AS n
+           FROM h)
+         SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+           CAST(min(CASE WHEN cum >= ceil(0.25 * n) THEN v END)
+             AS BIGINT) AS p25,
+           CAST(min(CASE WHEN cum >= ceil(0.50 * n) THEN v END)
+             AS BIGINT) AS p50,
+           CAST(min(CASE WHEN cum >= ceil(0.75 * n) THEN v END)
+             AS BIGINT) AS p75
+         FROM c GROUP BY lang ORDER BY lang""",
     "q101_weighted_sample" ->
       """WITH t AS (SELECT doc_id,
              CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)

@@ -335,6 +335,36 @@ object TextStats {
     * one map-side-combining groupBy + TakeOrdered — the full gram
     * distribution is never sorted or collected.
     */
+  /** Exact per-key quantiles over an INTEGER value column, computed on
+    * the value HISTOGRAM: the corpus-sized work is one map-side-
+    * combining groupBy (key, v); the cumulative window then runs over
+    * histogram rows — |distinct values| per key, NOT documents — so
+    * per-key percentiles of token lengths cost a bounded window no
+    * matter the corpus. Complements `ExactNtile` (q83): the histogram
+    * window is the right tool when value cardinality is bounded
+    * (token/char lengths, scores in basis points); the global
+    * histogram DESCENT is for unbounded/continuous values. Quantile
+    * definition is type-1 (lower value at position ceil(q*n),
+    * 1-indexed) — and with q in {.25, .5, .75} the product q*n is
+    * exact in binary floating point (dyadic fractions), so ceil is
+    * integer-exact cross-engine.
+    */
+  def perKeyQuantiles(docs: DataFrame, keyCol: String,
+      value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = docs.select(col(keyCol).as("key"), value.as("v"))
+      .groupBy("key", "v").agg(count(lit(1)).as("ct"))
+    val cum = sum(col("ct")).over(
+      Window.partitionBy("key").orderBy("v"))
+    val n = sum(col("ct")).over(Window.partitionBy("key"))
+    val c = hist.withColumn("cum", cum).withColumn("n", n)
+    def pct(q: Double, name: String) =
+      min(when(col("cum") >= ceil(lit(q) * col("n")), col("v")))
+        .as(name)
+    c.groupBy("key").agg(max(col("n")).as("n_docs"),
+      pct(0.25, "p25"), pct(0.50, "p50"), pct(0.75, "p75"))
+  }
+
   /** Weighted sampling WITHOUT replacement — Efraimidis–Spirakis A-Res
     * ("Weighted random sampling with a reservoir", IPL 2006): each row
     * draws u in (0,1] from the portable seed-namespaced hash and ranks

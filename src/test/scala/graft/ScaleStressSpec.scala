@@ -123,7 +123,10 @@ class ScaleStressSpec extends AnyFunSuite {
       // q102: cross-slice near-dup hits live inside each vowel-rotated
       // copy -> ~10x rows; the build+probe pair pins index-write and
       // bucket-join wall-time at 10x
-      "q102_neardup_index_probe")
+      "q102_neardup_index_probe",
+      // q103 emits one row per language (flat); its window runs over
+      // the length histogram, so 10x documents cannot widen it
+      "q103_length_quartiles")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

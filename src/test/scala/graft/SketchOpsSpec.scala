@@ -454,6 +454,30 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(got((2L, 1))._1 === "other")
   }
 
+  test("per-key histogram quantiles equal the sorted type-1 definition") {
+    // hand example: values 1..4 in one key -> p25=1 (pos ceil(.25*4)=1),
+    // p50=2, p75=3; plus randomized agreement with the brute-force
+    // sorted computation across keys with ties
+    val hand = TextStats.perKeyQuantiles(
+        Seq(("k", 3L), ("k", 1L), ("k", 4L), ("k", 2L)).toDF("g", "v"),
+        "g", $"v")
+      .head()
+    assert((hand.getLong(1), hand.getLong(2), hand.getLong(3),
+      hand.getLong(4)) === ((4L, 1L, 2L, 3L)))
+    val rng = new scala.util.Random(31)
+    val rows = (0 until 400).map(i =>
+      (s"g${i % 3}", (rng.nextInt(12) + 1).toLong))
+    val got = TextStats.perKeyQuantiles(rows.toDF("g", "v"), "g", $"v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    rows.groupBy(_._1).foreach { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      val n = sorted.length
+      def q(p: Double) = sorted(math.ceil(p * n).toInt - 1)
+      assert(got(g) === ((n.toLong, q(0.25), q(0.5), q(0.75))), g)
+    }
+  }
+
   test("weighted sample replays the A-Res rank bit-for-bit") {
     val k = 20
     val got = TextStats.weightedSample(docs, "doc_id",

@@ -302,6 +302,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === batch)
   }
 
+  test("composed streaming ingest chain equals the composed batch filters") {
+    // the round-10 twins CHAINED on one stream — decontamination gate
+    // -> Gopher rule gate -> fitted-classifier gate — must keep
+    // exactly the docs the composed batch filters keep: each stage is
+    // stateless (broadcast artifacts + row-local predicates), so the
+    // composition inherits bit-equality from its parts; this pins the
+    // WIRING (each stage consumes the previous stage's survivors)
+    val all = relational.Tables.documents(spark, sf)
+    val stop = Seq("the", "a", "of", "to", "in", "and")
+    val bench = all.filter($"doc_id" % 31 === 0).select($"text")
+    val ref = all.filter($"doc_id" % 5 === 0)
+      .select($"text",
+        graft.text.TextStats.gopherRules($"text", stop)("keep").as("y"))
+    val stream = docStream(newDocStreamDir()).filter($"doc_id" % 5 =!= 0)
+    val chained = EventStreams.gateDocsQuality(
+        EventStreams.decontaminateGateDocs(stream, bench, n = 8)
+          .filter(graft.text.TextStats.gopherRules($"text", stop)("keep")),
+        ref, "text", "y")
+      .filter($"keep_pred")
+    val got = runToCompletion(chained, "ingestchain")
+      .collect().map(_.getLong(0)).toSet
+    // batch composition of the same three stages
+    val pool = all.filter($"doc_id" % 5 =!= 0)
+    val contaminated = graft.dedup.Dedup.decontaminate(
+      pool, bench, "doc_id", "text", n = 8)
+    val survivors = pool
+      .join(contaminated.select($"id".as("doc_id")), Seq("doc_id"),
+        "left_anti")
+      .filter(graft.text.TextStats.gopherRules($"text", stop)("keep"))
+    val (weights, priorBp) = graft.text.QualityClassifier.fit(
+      ref, "text", "y", 1024)
+    val batch = graft.text.QualityClassifier.score(
+        survivors, "doc_id", "text", weights, priorBp, 1024)
+      .filter($"keep_pred")
+      .collect().map(_.getLong(0)).toSet
+    assert(batch.nonEmpty)
+    assert(got === batch)
+  }
+
   test("HLL and CMS registers build unchanged on a stream") {
     // the sketches' 100-TB argument made literal: register state is
     // FIXED cardinality (256/key for HLL, 4x512 for CMS) no matter how

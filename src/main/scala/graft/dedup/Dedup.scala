@@ -186,23 +186,68 @@ object Dedup {
       .distinct()
   }
 
-  /** Plan-level observability variant of [[lshCandidatePairs]]: returns
-    * the candidate pairs AND a one-row `dropped_buckets` count as
-    * UNEXECUTED plans, so a probe can combine both into a single action
-    * (`dropped.crossJoin(pairs.agg(...))`) instead of paying one job for
-    * the eager accumulator count and another for the pairs. Declarative
-    * counting has none of the accumulator's double-count hazard, so no
-    * side-channel is needed here.
+  /** Capped candidate pairs + declarative dropped-bucket count over an
+    * ARBITRARY `(id, bucket)` frame — the banding-independent core of
+    * [[lshCandidatePairsWithDropped]], reused by the portable
+    * observability probe (q64) whose buckets come from
+    * [[portableBandSigs]] instead of the fused engine signature. Both
+    * frames come back as UNEXECUTED plans, so a probe can combine them
+    * into a single action (`dropped.crossJoin(pairs.agg(...))`).
+    * Declarative counting has none of the accumulator's double-count
+    * hazard, so no side-channel is needed here.
+    */
+  def cappedBucketPairsWithDropped(buckets: DataFrame, maxBucket: Int)
+      : (DataFrame, DataFrame) = {
+    val cnt = buckets.groupBy("bucket").agg(count(lit(1)).as("n"))
+    val keptBuckets = cnt.filter(col("n") <= maxBucket)
+    val capped = buckets.join(keptBuckets.select("bucket"), "bucket")
+    val l = capped.select(col("bucket"), col("id").as("id_a"))
+    val r = capped.select(col("bucket"), col("id").as("id_b"))
+    val pairs = l.join(r, "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val dropped = cnt.filter(col("n") > maxBucket)
+      .agg(count(lit(1)).as("dropped_buckets"))
+    (pairs, dropped)
+  }
+
+  /** Plan-level observability variant of [[lshCandidatePairs]]: the
+    * capped pairs AND the one-row dropped-bucket count over the fused
+    * engine band signature.
     */
   def lshCandidatePairsWithDropped(
       sigs: DataFrame, idCol: String, bands: Int, sigLength: Int,
       maxBucket: Int = 1000): (DataFrame, DataFrame) = {
-    val pairs = lshCandidatePairs(sigs, idCol, bands, sigLength, maxBucket)
-    val buckets = bandBuckets(sigs, idCol, bands)
-    val dropped = buckets.groupBy("bucket").agg(count(lit(1)).as("n"))
-      .filter(col("n") > maxBucket)
-      .agg(count(lit(1)).as("dropped_buckets"))
-    (pairs, dropped)
+    require(bands > 0 && bands <= sigLength,
+      s"bands ($bands) must be in [1, signature length $sigLength]")
+    cappedBucketPairsWithDropped(bandBuckets(sigs, idCol, bands),
+      maxBucket)
+  }
+
+  /** PORTABLE per-band LSH signature — `bands` independent one-row
+    * (r=1) MinHash draws: band b's signature is the MINIMUM over the
+    * doc's distinct word n-gram shingles of the 60-bit MD5 hash of
+    * "b|shingle" (the q33/q96 portability convention: the first 15 hex
+    * chars of an md5 are an exact BIGINT in every engine). Per-band
+    * collision probability is exactly the shingle Jaccard — the
+    * classic MinHash-LSH family with one hash row per band — so
+    * banding/capping semantics match [[lshCandidatePairs]] while every
+    * bucket id is REPLAYABLE by an independent SQL oracle
+    * (`min(('0x' || substr(md5(band || '|' || g), 1, 15))::BIGINT)`).
+    * Expression-built, not the fused walker: meant for bounded
+    * observability probes, not corpus-scale banding.
+    */
+  def portableBandSigs(text: Column, n: Int, bands: Int): Column = {
+    val words = split(text, " ", -1)
+    val sh = array_distinct(transform(
+      sequence(lit(0), greatest(size(words) - n, lit(0))),
+      i => array_join(slice(words, i + lit(1), lit(n)), " ")))
+    array((0 until bands).map { b =>
+      array_min(transform(sh, g =>
+        conv(substring(md5(concat(lit(s"$b|"), g)), 1, 15), 16, 10)
+          .cast("long")))
+    }: _*)
   }
 
   /** Exact all-pairs n-gram Jaccard >= threshold WITHOUT a cartesian:
@@ -314,16 +359,18 @@ object Dedup {
       .localCheckpoint()
     val tok = sh.select(col("id"), explode(col("sh")).as("h"))
     val dfreq = tok.groupBy("h").agg(count(lit(1)).as("df"))
-    // kept is materialized too, so the side-effecting cap filter runs
-    // EXACTLY once per shingle type — without it each downstream
-    // branch re-evaluates the filter and the accumulator over-counts
-    // (spec asserts the exact drop count)
-    val kept = (droppedShingles match {
-      case Some(acc) =>
-        val f = udf((df: Long) => { if (df > maxDf) acc.add(1L); df <= maxDf })
-        dfreq.filter(f(col("df")))
-      case None => dfreq.filter(col("df") <= maxDf)
-    }).localCheckpoint()
+    // kept is materialized so every downstream branch reuses one cap
+    // pass. The drop count, when requested, is a DECLARATIVE count
+    // action over the same aggregate — exact under task retries and
+    // speculative execution, unlike accumulator updates inside a
+    // transformation (those are at-least-once and can inflate under
+    // retry; the spec asserts the count exact). Cost: one extra
+    // map-side-combining aggregation over the checkpointed shingle
+    // table, paid only when observability is asked for.
+    val kept = dfreq.filter(col("df") <= maxDf).localCheckpoint()
+    droppedShingles.foreach { acc =>
+      acc.add(dfreq.filter(col("df") > maxDf).count())
+    }
     val idx = tok.join(kept, "h")
     // rarest-first ranking per doc (struct sort is lexicographic by
     // field); n is the FULL set size — under a binding cap the prefix

@@ -18,23 +18,32 @@ import org.apache.spark.sql.SparkSession
   * `ceil(totalBytes / targetBytes)` output files, rewrite via
   * `repartition(n)` (a round-robin exchange — `coalesce` would chain
   * the small files' locality and can skew output sizes), land in a
-  * staging directory, then atomically swap. The swap order —
-  * staging → rename old out of the way → rename staging in → delete
-  * old — means a crash at any point leaves either the old or the new
-  * complete dataset, never a mix (the `HfDatasetDisk` staged-shard
-  * lesson).
+  * staging directory, then swap. The swap order — staging → rename old
+  * out of the way → rename staging in → delete old — means the data is
+  * never a MIX of old and new (the `HfDatasetDisk` staged-shard
+  * lesson). Caveat, shared with every rename-based publish: between
+  * the two renames `dir` briefly does not exist, so a CONCURRENT
+  * reader can fail mid-swap, and a crash exactly in that window
+  * leaves the dataset only at `<dir>._retired` (recovery: rename it
+  * back). Compaction is a maintenance pass — run it under the same
+  * single-writer/no-reader window as any table rewrite; if readers
+  * must never observe a missing path, publish through a pointer
+  * (manifest) file instead.
   */
 object Compact {
 
   /** Populate a staging directory via `write(stagingPath)`, then swap
     * it in for `dir` whole: retire the old directory, promote staging,
-    * delete the retired copy. A crash at any point leaves either the
-    * complete old dataset or the complete new one at `dir` — never a
-    * mix — with the retired copy intact for manual recovery between
-    * the renames. Shared by [[compactParquet]] and the incremental
-    * append paths (`Sketches`, `CorpusProfile`), which without it
-    * would `mode("overwrite")` in place and a crash mid-rewrite could
-    * lose the only copy.
+    * delete the retired copy. The dataset at `dir` is never a mix of
+    * old and new, and no crash loses data: before the retire rename
+    * the old copy is untouched; between retire and promote the ONLY
+    * copy lives at `<dir>._retired` (and `dir` itself briefly does not
+    * exist — a concurrent reader in that window fails; recovery after
+    * a crash there is renaming `._retired` back); after the promote
+    * the new copy is live. Shared by [[compactParquet]] and the
+    * incremental append paths (`Sketches`, `CorpusProfile`), which
+    * without it would `mode("overwrite")` in place and a crash
+    * mid-rewrite could lose the only copy.
     */
   def stagedSwap(spark: SparkSession, dir: String)
       (write: String => Unit): Unit = {

@@ -488,15 +488,16 @@ object PipelineQueries {
       // 50-copy boilerplate cluster (every band bucket of it exceeds
       // the cap), run capped candidate generation, and emit one row:
       // how many buckets the cap dropped and how many candidate pairs
-      // survived. Rows-only check: the signature family is
-      // engine-internal; the planted cluster guarantees a nonzero drop
-      // at every scale factor, spec-asserted in PipelineOpsSpec.
-      // a HALF-width signature (k=32, 8 bands) is plenty for an
-      // observability probe — the planted cluster floods every band at
-      // any k, and the probe should not dominate the bench. The corpus
-      // side is a BOUNDED deterministic sample (pushed-down id filter):
-      // the nonzero-drop assertion only needs the planted cluster, and a
-      // probe must stay O(1) as the corpus grows
+      // survived. FULLY ORACLE-CHECKED since round 11: the band
+      // signature is the PORTABLE md5 r=1 MinHash family
+      // (Dedup.portableBandSigs — the q33/q96 portability convention),
+      // so DuckDB replays every bucket id, the cap cut, and both
+      // counts bit-for-bit. 8 bands is plenty for an observability
+      // probe — the planted cluster floods every band, and the probe
+      // should not dominate the bench. The corpus side is a BOUNDED
+      // deterministic sample (pushed-down id filter): the nonzero-drop
+      // assertion only needs the planted cluster, and a probe must
+      // stay O(1) as the corpus grows
       val sample = documents(s, d).filter($"doc_id" < 256)
         .select($"doc_id", $"text")
       // the planted cluster is a CONSTANT boilerplate string (not a
@@ -524,8 +525,9 @@ object PipelineQueries {
       // floor would shrink only by abandoning the real capped-banding
       // operator, which would defeat the probe. O(1) in corpus size is
       // the contract, spec-asserted in PipelineOpsSpec.
-      val sigs = corpus.select($"doc_id".as("id"),
-          Dedup.minHashSignatureFromText($"text", 3, 32).as("sig"))
+      val buckets = corpus.select($"doc_id".as("id"),
+          posexplode(Dedup.portableBandSigs($"text", 3, 8)))
+        .select($"id", concat_ws("_", $"pos", $"col").as("bucket"))
         .coalesce(1)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
       // the probe is O(1) rows by construction, so size the shuffle to
@@ -540,8 +542,8 @@ object PipelineQueries {
         s.conf.set("spark.sql.adaptive.enabled", "false")
         // declarative dropped-bucket count + kept-pairs count combined
         // into ONE action (one job instead of two)
-        val (pairs, dropped) = Dedup.lshCandidatePairsWithDropped(
-          sigs, "id", bands = 8, sigLength = 32, maxBucket = 32)
+        val (pairs, dropped) =
+          Dedup.cappedBucketPairsWithDropped(buckets, maxBucket = 32)
         val row = dropped
           .crossJoin(pairs.agg(count(lit(1)).as("kept_pairs"))).head()
         Seq((row.getLong(0), row.getLong(1)))
@@ -549,7 +551,7 @@ object PipelineQueries {
       } finally {
         s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
         s.conf.set("spark.sql.adaptive.enabled", prevAqe)
-        sigs.unpersist(false)
+        buckets.unpersist(false)
       }
     },
     "q62_frame_sample" -> { (s, d) =>
@@ -2410,6 +2412,35 @@ object PipelineQueries {
            CAST(min(CASE WHEN cum >= ceil(0.75 * n) THEN v END)
              AS BIGINT) AS p75
          FROM c GROUP BY lang ORDER BY lang""",
+    "q64_lsh_observability" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents WHERE doc_id < 256
+           UNION ALL
+           SELECT 1000000 + r AS doc_id, trim(repeat(
+             'subscribe to our newsletter for weekly updates and offers ',
+             24)) AS text
+           FROM range(0, 50) t(r)),
+         w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+         sh AS (SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(ws) - 2, 1) + 1),
+             i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS shs
+           FROM w),
+         u AS (SELECT doc_id, unnest(shs) AS g FROM sh),
+         b AS (SELECT doc_id, band,
+             min(('0x' || substr(md5(band::VARCHAR || '|' || g), 1, 15))
+               ::BIGINT) AS sigval
+           FROM u, range(0, 8) t(band) GROUP BY 1, 2),
+         cnt AS (SELECT band, sigval, count(*) AS n FROM b GROUP BY 1, 2),
+         dropped AS (SELECT count(*) AS dropped_buckets FROM cnt
+           WHERE n > 32),
+         kept AS (SELECT band, sigval FROM cnt WHERE n <= 32),
+         cb AS (SELECT b.doc_id, b.band, b.sigval FROM b
+           JOIN kept USING (band, sigval)),
+         pairs AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+           FROM cb a JOIN cb c ON a.band = c.band
+             AND a.sigval = c.sigval AND a.doc_id < c.doc_id),
+         kp AS (SELECT count(*) AS kept_pairs FROM pairs)
+         SELECT dropped_buckets, kept_pairs FROM dropped, kp""",
     "q101_weighted_sample" ->
       """WITH t AS (SELECT doc_id,
              CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
@@ -2419,8 +2450,9 @@ object PipelineQueries {
            FROM documents)
          SELECT doc_id, toks,
            round(ln((h + 1) / 1152921504606846976.0) /
-             greatest(toks, 1), 8) AS key_8dp
+             toks, 8) AS key_8dp
          FROM t
+         WHERE toks > 0
          ORDER BY key_8dp DESC, doc_id
          LIMIT 100"""
   )

@@ -66,9 +66,13 @@ object RandomProjection {
           val x = v(k).toDouble * 1e6
           // functions.round semantics: BigDecimal(Double.toString(x))
           // .setScale(0, HALF_UP) — must match the expression form the
-          // oracle replays
-          q(k) = BigDecimal(x)
-            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+          // oracle replays. Integral fast path: when x is already a
+          // whole number (the common exact-lattice case) HALF_UP is the
+          // identity, so the BigDecimal allocation is skipped.
+          q(k) =
+            if (x == Math.rint(x)) x.toLong
+            else BigDecimal(x)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
           k += 1
         }
         val out = new Array[Long](dOut)

@@ -172,24 +172,36 @@ object EventStreams {
     * are dropped (`n_shared > 0`); route the hit stream to quarantine
     * and the complement to the training sink.
     */
+  /** Collect the benchmark texts in ONE bounded action: the `limit` caps
+    * what ever reaches the driver at `maxRows + 1` rows (the +1 row is
+    * the overflow witness), so a corpus-sized frame passed where an eval
+    * set belongs fails fast with a clear message instead of OOMing the
+    * driver — and the guard costs no separate count() job.
+    */
+  private def collectBenchmarkTexts(benchmark: DataFrame, textCol: String,
+      maxRows: Long, batchAlternative: String): Array[String] = {
+    require(maxRows > 0 && maxRows < Int.MaxValue,
+      s"maxBenchmarkRows must be in (0, ${Int.MaxValue})")
+    val rows = benchmark.select(col(textCol))
+      .limit(maxRows.toInt + 1).collect()
+    require(rows.length <= maxRows,
+      s"benchmark has more than $maxRows rows: this is collected to " +
+        "the driver and broadcast. For corpus-sized benchmark sets use " +
+        s"the batch $batchAlternative path, or raise maxBenchmarkRows " +
+        "explicitly.")
+    rows.map(_.getString(0))
+  }
+
   def decontaminateDocs(
       docs: DataFrame, // streaming (doc_id, ts, text)
       benchmark: DataFrame, // BATCH (text) benchmark corpus
       n: Int = 8,
       textCol: String = "text",
       maxBenchmarkRows: Long = 1000000L): DataFrame = {
-    // Fail fast instead of OOMing the driver if a corpus-sized frame is
-    // passed where an eval set belongs — the collect below is by design
-    // (eval sets are small), but the mistake deserves a clear message.
-    val benchRows = benchmark.count()
-    require(benchRows <= maxBenchmarkRows,
-      s"benchmark has $benchRows rows (> $maxBenchmarkRows): this is " +
-        "collected to the driver and broadcast. For corpus-sized " +
-        "benchmark sets use the batch Dedup.decontaminate path, or " +
-        "raise maxBenchmarkRows explicitly.")
     val grams = scala.collection.mutable.HashSet.empty[Long]
-    benchmark.select(col(textCol)).collect().foreach { r =>
-      graft.dedup.Shingling.foreachShingleHash(r.getString(0), n)(grams += _)
+    collectBenchmarkTexts(benchmark, textCol, maxBenchmarkRows,
+        "Dedup.decontaminate").foreach { s =>
+      graft.dedup.Shingling.foreachShingleHash(s, n)(grams += _)
     }
     val bc = docs.sparkSession.sparkContext.broadcast(grams.toSet)
     val shared = udf((s: String) => {
@@ -225,15 +237,10 @@ object EventStreams {
       fpp: Double = 0.01,
       textCol: String = "text",
       maxBenchmarkRows: Long = 1000000L): DataFrame = {
-    val benchRows = benchmark.count()
-    require(benchRows <= maxBenchmarkRows,
-      s"benchmark has $benchRows rows (> $maxBenchmarkRows): this is " +
-        "collected to the driver and broadcast. For corpus-sized " +
-        "benchmark sets use the batch Dedup.decontaminateFilter path, " +
-        "or raise maxBenchmarkRows explicitly.")
     val grams = scala.collection.mutable.HashSet.empty[Long]
-    benchmark.select(col(textCol)).collect().foreach { r =>
-      graft.dedup.Shingling.foreachShingleHash(r.getString(0), n)(grams += _)
+    collectBenchmarkTexts(benchmark, textCol, maxBenchmarkRows,
+        "Dedup.decontaminateFilter").foreach { s =>
+      graft.dedup.Shingling.foreachShingleHash(s, n)(grams += _)
     }
     val bloom = org.apache.spark.util.sketch.BloomFilter
       .create(math.max(grams.size.toLong, 1L), fpp)

@@ -388,9 +388,14 @@ object TextStats {
     val h = positionHash(seed, col("id")).cast("long")
     val u = (h + lit(1L)).cast("double") /
       lit(1152921504606846976.0) // 2^60: exact power-of-two scaling
+    // Contract: integer weights >= 1. Rows with w <= 0 are filtered out
+    // BEFORE the draw — in Efraimidis-Spirakis a zero-weight item must
+    // never be drawn (u^(1/0) is undefined, and clamping would silently
+    // make unweightable rows sampleable).
     docs.select(col(idCol).as("id"), weight.as("w"))
+      .filter(col("w") > 0)
       .withColumn("key_8dp",
-        round(log(u) / greatest(col("w"), lit(1L)).cast("double"), 8))
+        round(log(u) / col("w").cast("double"), 8))
       .orderBy(col("key_8dp").desc, col("id"))
       .limit(k)
   }

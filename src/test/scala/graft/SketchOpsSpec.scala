@@ -485,9 +485,9 @@ class SketchOpsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     val brute = docs.select($"doc_id",
         TextStats.wordCount($"text").cast("long").as("w"))
-      .collect().map { r =>
+      .collect().filter(_.getLong(1) > 0).map { r =>
         val id = r.getLong(0)
-        val w = math.max(r.getLong(1), 1L)
+        val w = r.getLong(1)
         val md = java.security.MessageDigest.getInstance("MD5")
         val hex = md.digest(s"5:$id".getBytes("UTF-8"))
           .map("%02x".format(_)).mkString
@@ -504,6 +504,17 @@ class SketchOpsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(other.length === k)
     assert(other !== got)
+  }
+
+  test("weighted sample never draws zero- or negative-weight rows") {
+    // Efraimidis-Spirakis: w = 0 items must have draw probability 0 —
+    // they are filtered before the draw, not clamped to weight 1
+    val wdocs = Seq((1L, 5L), (2L, 0L), (3L, -3L), (4L, 7L), (5L, 1L))
+      .toDF("doc_id", "w")
+    val ids = TextStats.weightedSample(wdocs, "doc_id", $"w", k = 5,
+        seed = 11L)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 4L, 5L))
   }
 
   test("q99 window is document-partitioned; q101 cut is a TakeOrdered") {

@@ -98,7 +98,18 @@ object Bench {
       .mkString("{", ",", "}")
     val ok = results.count(_._2 >= 0)
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rep_times":$rs,"load_avg":{"before":$loadBefore,"after":$loadAfter,"cpus":$cpus,"gate":$loadGate,"gate_waited_sec":$gateWaited},"contended":$contended,"reps":$reps,"ok":$ok,"failed":${errors.size},"errors":$es,"sf":"$sfDir"}""")
+    val record = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rep_times":$rs,"load_avg":{"before":$loadBefore,"after":$loadAfter,"cpus":$cpus,"gate":$loadGate,"gate_waited_sec":$gateWaited},"contended":$contended,"reps":$reps,"ok":$ok,"failed":${errors.size},"errors":$es,"sf":"$sfDir"}"""
+    println(record)
+    // Also land the record WHOLE in a file (round-10 verdict: the
+    // driver's stdout capture truncated the JSON head, leaving
+    // BENCH_r10.json unparseable) — the canonical artifact should never
+    // depend on a pipe's buffering.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        "/root/repo/BENCH_LAST.json")), record + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench file: $e")
+    }
     spark.stop()
     if (errors.nonEmpty) sys.exit(2)
   }

@@ -110,6 +110,23 @@ object PipelineQueries {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Build-once gate for the probe-only bench twins (q76p/q88p/q102p):
+    * run `build` only when the completion marker is absent, so within a
+    * process the FIRST invocation pays the build and every later rep
+    * times the probe alone. The marker lands AFTER the build completes,
+    * so a crash mid-build never leaves a half-index for later reps to
+    * probe. Local-FS File API on purpose — the twins' per-(sf, pid)
+    * directories live in java.io.tmpdir by construction.
+    */
+  private def buildOnce(dir: String)(build: => Unit): Unit = {
+    val marker = new java.io.File(dir, "_graft_built")
+    if (!marker.exists()) {
+      build
+      marker.getParentFile.mkdirs()
+      marker.createNewFile()
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_exact_dedup" -> { (s, d) =>
       import s.implicits._
@@ -1222,6 +1239,57 @@ object PipelineQueries {
           threshold = 0.8)
         .orderBy($"new_id", $"corpus_id")
     },
+    // ---- PROBE-ONLY twins of the persistence triad (round-10 verdict
+    // item 2): q76/q88/q102 honestly charge build+probe in one number,
+    // which is dominated by the build's partitioned-write actions. The
+    // twins time the SERVING path alone — the per-query latency a
+    // build-once/probe-many deployment at 100 TB actually pays: the
+    // index builds once per process (first rep, behind a completion
+    // marker) and every later rep runs only the probe, so the bench
+    // median over 3+ reps is the probe latency. Same oracles as the
+    // build+probe forms — the probe must reproduce the same result
+    // whichever rep built the index.
+    "q76p_ivf_probe" -> { (s, d) =>
+      import s.implicits._
+      // queries are a %25 SAMPLE (the online-lookup shape probeIvfIndex
+      // documents — "queries is expected to be the small side"), unlike
+      // q76 which probes with the whole corpus; own oracle below.
+      val vecs = latticeVecs(s, d)
+      val dir = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft-ivf-ponly-${Integer.toHexString(d.hashCode)}" +
+        s"-${ProcessHandle.current().pid()}"
+      buildOnce(dir)(Ann.buildIvfIndex(vecs, dir))
+      Ann.probeIvfIndex(s, dir, vecs.filter($"id" % 25 === 0), k = 7,
+          nprobe = 2)
+        .select($"query_id", $"neighbor_id")
+        .orderBy($"query_id", $"neighbor_id")
+    },
+    "q88p_bm25_probe" -> { (s, d) =>
+      import s.implicits._
+      val dir = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft-bm25-ponly-${Integer.toHexString(d.hashCode)}" +
+        s"-${ProcessHandle.current().pid()}"
+      buildOnce(dir)(
+        graft.text.Bm25.buildIndex(documents(s, d), "doc_id", "text", dir))
+      graft.text.Bm25.probeIndex(s, dir,
+          Seq("customer", "merge", "window"), k = 25)
+        .select($"id".as("doc_id"), $"score_bp")
+        .orderBy($"score_bp".desc, $"doc_id")
+    },
+    "q102p_neardup_probe" -> { (s, d) =>
+      import s.implicits._
+      val docsDf = documents(s, d)
+      val dir = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft-neardup-ponly-${Integer.toHexString(d.hashCode)}" +
+        s"-${ProcessHandle.current().pid()}"
+      buildOnce(dir)(
+        Dedup.buildNearDupIndex(docsDf.filter($"doc_id" % 7 =!= 0),
+          "doc_id", "text", dir))
+      Dedup.probeNearDupIndex(s, dir,
+          docsDf.filter($"doc_id" % 7 === 0), "doc_id", "text",
+          threshold = 0.8)
+        .orderBy($"new_id", $"corpus_id")
+    },
     "q103_length_quartiles" -> { (s, d) =>
       import s.implicits._
       // per-language token-length quartiles computed on the length
@@ -1248,7 +1316,7 @@ object PipelineQueries {
     }
   )
 
-  val oracleSql: Map[String, String] = Map(
+  private val baseOracleSql: Map[String, String] = Map(
     "q30_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY text ORDER BY keep_id""",
@@ -2456,4 +2524,32 @@ object PipelineQueries {
          ORDER BY key_8dp DESC, doc_id
          LIMIT 100"""
   )
+
+  /** The probe-only twins share their build+probe forms' oracles: the
+    * served result must be identical whichever rep built the index.
+    */
+  val oracleSql: Map[String, String] = baseOracleSql ++ Map(
+    // q76p: the q51/q76 exact-brute-force oracle restricted to the %25
+    // query sample the serving probe uses
+    "q76p_ivf_probe" ->
+      """WITH p AS (SELECT (count(*) // 8) * 8 AS m FROM embeddings),
+         v AS (
+           SELECT vec_id, list_transform(range(0, 16),
+             j -> ((vec_id // 8 * 1009 + j * j * 571 +
+                    vec_id // 8 * j * 37) % 2003 - 1001)::DOUBLE) AS vec
+           FROM embeddings, p WHERE vec_id < m),
+         scored AS (
+           SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             list_cosine_similarity(a.vec, b.vec) AS sim
+           FROM v a, v b
+           WHERE a.vec_id % 25 = 0 AND a.vec_id != b.vec_id),
+         ranked AS (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, neighbor_id) AS rnk
+           FROM scored)
+         SELECT query_id, neighbor_id FROM ranked
+         WHERE rnk <= 7 ORDER BY query_id, neighbor_id""",
+    "q88p_bm25_probe" -> baseOracleSql("q88_bm25_index_probe"),
+    "q102p_neardup_probe" -> baseOracleSql("q102_neardup_index_probe"))
 }

@@ -85,6 +85,21 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"sample filter not pushed to the parquet scan:\n$scan")
   }
 
+  test("q104 ANN recall is sub-unity and above the declared floor") {
+    // the POINT of the noisy corpus: recall must be a genuine quantity
+    // (some query misses a true neighbor), not total-by-construction —
+    // and still above the floor the operator declares (0.85)
+    val rows = relational.PipelineQueries
+      .queries("q104_ann_recall")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val hits = rows.map(_.getAs[Int]("n_hits"))
+    assert(hits.forall(h => h >= 0 && h <= 7))
+    val recall = hits.sum.toDouble / (7.0 * hits.length)
+    assert(recall >= 0.85, f"recall $recall%.3f below declared floor")
+    assert(recall < 1.0,
+      "recall is total — the noisy corpus no longer exercises misses")
+  }
+
   test("text-hash expressions survive CODEGEN_ONLY and match interpreted") {
     // the simhash/minhash projections are native expressions now —
     // forcing codegen-only evaluation proves doGenCode's generated Java

@@ -173,6 +173,29 @@ class ScaleStressSpec extends AnyFunSuite {
       f"lmCrossEntropy wall-time superlinear: $tBase%.1fs -> $tBig%.1fs")
   }
 
+  test("q104 ANN recall stays above the declared floor at 10x corpus",
+      SlowStress) {
+    ensureScaled()
+    // the recall floor must be a property of the GEOMETRY (noise-to-
+    // signal angles, fixed by construction), not of corpus size: more
+    // clusters add near-orthogonal directions that the 16-bit bands
+    // keep separable, so recall at 8x embeddings must hold the same
+    // declared floor as the base corpus
+    def recall(dir: String): (Double, Long) = {
+      val r = SparkEntry.queries("q104_ann_recall")(spark, dir)
+        .agg(sum(col("n_hits")), count(lit(1))).head()
+      (r.getLong(0).toDouble / (7.0 * r.getLong(1)), r.getLong(1))
+    }
+    val (rBase, nBase) = recall(baseDir)
+    val (rBig, nBig) = recall(scaledDir)
+    info(f"q104 recall: $rBase%.3f ($nBase queries) -> " +
+      f"$rBig%.3f ($nBig queries) at 8x embeddings")
+    assert(nBig > nBase, "scaled corpus did not add queries")
+    assert(rBase >= 0.85, f"base recall $rBase%.3f below floor")
+    assert(rBig >= 0.85, f"10x recall $rBig%.3f below floor")
+    assert(rBig < 1.0, "10x recall is total — misses no longer exercised")
+  }
+
   test("broadcast terminology: 110k-concept trie over the 10x corpus",
       SlowStress) {
     ensureScaled()

@@ -1279,6 +1279,27 @@ object PipelineQueries {
           dIn = 16, bands = 2, rBits = 16, k = 7)
         .orderBy($"query_id")
     },
+    "q105_pq_index_probe" -> { (s, d) =>
+      import s.implicits._
+      // BUILD-ONCE / PROBE-MANY for the composed IVF+PQ index — the
+      // persistence family completed with the billion-vector serving
+      // shape (q76 float IVF / q88 lexical / q102 near-dup / here
+      // memory-bounded codes): coarse centroids + PQ codebooks land as
+      // one-file parquet, the corpus as m-byte codes partitionBy(cell)
+      // — the probe prunes to the probed cells at PLAN time and
+      // streams codes, never float vectors. Lossless on this corpus
+      // (<=256 distinct subvectors), so the oracle is q78's exact
+      // brute-force top-7. Rebuilds each run (honest build+probe cost)
+      // like q76/q88/q102; q105p is the probe-only serving twin.
+      val vecs = latticeVecs(s, d)
+      val dir = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft-pq-index-${Integer.toHexString(d.hashCode)}" +
+        s"-${ProcessHandle.current().pid()}"
+      Pq.buildPqIndex(vecs, dir, dim = 16)
+      Pq.probePqIndex(s, dir, vecs, k = 7, nprobe = 2)
+        .select($"query_id", $"neighbor_id")
+        .orderBy($"query_id", $"neighbor_id")
+    },
     // ---- PROBE-ONLY twins of the persistence triad (round-10 verdict
     // item 2): q76/q88/q102 honestly charge build+probe in one number,
     // which is dominated by the build's partitioned-write actions. The
@@ -1315,6 +1336,18 @@ object PipelineQueries {
           Seq("customer", "merge", "window"), k = 25)
         .select($"id".as("doc_id"), $"score_bp")
         .orderBy($"score_bp".desc, $"doc_id")
+    },
+    "q105p_pq_probe" -> { (s, d) =>
+      import s.implicits._
+      val vecs = latticeVecs(s, d)
+      val dir = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft-pq-ponly-${Integer.toHexString(d.hashCode)}" +
+        s"-${ProcessHandle.current().pid()}"
+      buildOnce(dir)(Pq.buildPqIndex(vecs, dir, dim = 16))
+      Pq.probePqIndex(s, dir, vecs.filter($"id" % 25 === 0), k = 7,
+          nprobe = 2)
+        .select($"query_id", $"neighbor_id")
+        .orderBy($"query_id", $"neighbor_id")
     },
     "q102p_neardup_probe" -> { (s, d) =>
       import s.implicits._
@@ -2623,11 +2656,11 @@ object PipelineQueries {
   /** The probe-only twins share their build+probe forms' oracles: the
     * served result must be identical whichever rep built the index.
     */
-  val oracleSql: Map[String, String] = baseOracleSql ++ Map(
-    // q76p: the q51/q76 exact-brute-force oracle restricted to the %25
-    // query sample the serving probe uses
-    "q76p_ivf_probe" ->
-      """WITH p AS (SELECT (count(*) // 8) * 8 AS m FROM embeddings),
+  // the q51/q76 exact-brute-force oracle restricted to the %25 query
+  // sample the serving probes use (q76p float IVF, q105p IVF+PQ — both
+  // exact on this corpus, so one ground truth serves both)
+  private val sampledExactTop7Sql: String =
+    """WITH p AS (SELECT (count(*) // 8) * 8 AS m FROM embeddings),
          v AS (
            SELECT vec_id, list_transform(range(0, 16),
              j -> ((vec_id // 8 * 1009 + j * j * 571 +
@@ -2644,7 +2677,14 @@ object PipelineQueries {
                ORDER BY sim DESC, neighbor_id) AS rnk
            FROM scored)
          SELECT query_id, neighbor_id FROM ranked
-         WHERE rnk <= 7 ORDER BY query_id, neighbor_id""",
+         WHERE rnk <= 7 ORDER BY query_id, neighbor_id"""
+
+  val oracleSql: Map[String, String] = baseOracleSql ++ Map(
+    "q76p_ivf_probe" -> sampledExactTop7Sql,
     "q88p_bm25_probe" -> baseOracleSql("q88_bm25_index_probe"),
-    "q102p_neardup_probe" -> baseOracleSql("q102_neardup_index_probe"))
+    "q102p_neardup_probe" -> baseOracleSql("q102_neardup_index_probe"),
+    // q105: lossless encoding on this corpus -> the persisted-index
+    // probe must reproduce q78's exact brute-force top-7
+    "q105_pq_index_probe" -> baseOracleSql("q78_ann_ivfpq"),
+    "q105p_pq_probe" -> sampledExactTop7Sql)
 }

@@ -162,6 +162,102 @@ object Pq {
     rankTopK(scored, k)
   }
 
+  /** BUILD-ONCE / PROBE-MANY persistence for the composed IVF+PQ index
+    * — the q76/q88/q102 pattern completing the persistence family with
+    * the shape actually deployed at billion-vector scale: the small
+    * fit artifacts (coarse centroids + PQ codebooks) land as one-file
+    * parquet, and the corpus lands as `m`-byte codes partitioned BY
+    * CELL — so a probe reads two tiny files plus only the probed
+    * cells' code partitions (static partition pruning, q76's
+    * guarantee), and the per-candidate payload is m bytes, never a
+    * float vector. Append encodes against the PERSISTED artifacts (the
+    * FAISS `add()` path — no refit) and lands new code partitions.
+    */
+  def buildPqIndex(corpus: DataFrame, dir: String, dim: Int,
+      m: Int = 4, ksub: Int = 256, seed: Long = 42L, nlist: Int = 0,
+      targetCell: Int = 128): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centers = Ann.fitQuantizer(corpus, nlist, seed,
+      sampleSize = 0, targetCell = targetCell)
+    val codebooks = fitCodebooks(corpus, dim, m, ksub, seed)
+    centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/centroids.parquet")
+    val cbRows = for {
+      (sub, s) <- codebooks.zipWithIndex.toSeq
+      (cw, j) <- sub.zipWithIndex.toSeq
+    } yield (s, j, cw.toSeq)
+    cbRows.toDF("subspace", "codeword", "centroid")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/codebooks.parquet")
+    encodeInto(corpus, dir, centers, codebooks, overwrite = true)
+  }
+
+  /** Encode-and-add new vectors against the persisted fit artifacts —
+    * ids must be disjoint from the stored corpus (the ingest
+    * contract, as `Dedup.appendToNearDupIndex`). After the append,
+    * probing is indistinguishable from a fresh build on corpora where
+    * the encoding is lossless (spec-pinned); on lossy corpora it is
+    * the standard FAISS add(): codebooks reflect the build-time
+    * training distribution.
+    */
+  def appendToPqIndex(newVecs: DataFrame, dir: String): Unit = {
+    val spark = newVecs.sparkSession
+    encodeInto(newVecs, dir, readCenters(spark, dir),
+      readCodebooks(spark, dir), overwrite = false)
+  }
+
+  private def encodeInto(vecs: DataFrame, dir: String,
+      centers: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], overwrite: Boolean): Unit =
+    vecs.select(col("id"), encodeUdf(codebooks)(col("vec")).as("code"),
+        Ann.cellAssignUdf(centers)(col("vec")).as("cell"))
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .partitionBy("cell").parquet(s"$dir/codes.parquet")
+
+  private def readCenters(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Array[Array[Double]] =
+    spark.read.parquet(s"$dir/centroids.parquet")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+
+  private def readCodebooks(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Array[Array[Array[Double]]] =
+    spark.read.parquet(s"$dir/codebooks.parquet")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3))
+
+  /** Probe a persisted [[buildPqIndex]] index: collect the two small
+    * fit artifacts, explode queries to their `nprobe` cells, prune the
+    * code store to the probed cells with a STATIC `isin` on the
+    * partition column (plan-time pruning, exactly [[Ann.probeIvfIndex]]),
+    * and ADC-rank the surviving codes. Query-time I/O is
+    * `nprobe/nlist` of the CODE footprint — itself ~m/(8·dim) of the
+    * raw corpus.
+    */
+  def probePqIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, k: Int, nprobe: Int = 3): DataFrame = {
+    val centers = readCenters(spark, dir)
+    val codebooks = readCodebooks(spark, dir)
+    val adc = new AdcScorer(codebooks)
+    val qs = queries.select(col("id").as("query_id"),
+      col("vec").as("qv"), adc.qnorm(col("vec")).as("qn"),
+      explode(Ann.probeUdf(centers, nprobe)(col("vec"))).as("cell"))
+    val probed = qs.select(col("cell")).distinct()
+      .collect().map(_.getInt(0))
+    val cs = spark.read.parquet(s"$dir/codes.parquet")
+      .filter(col("cell").isin(probed.toSeq: _*))
+      .select(col("id").as("neighbor_id"), col("code"), col("cell"))
+    val scored = cs.join(qs, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", adc.score(col("qv"), col("qn"), col("code")))
+    rankTopK(scored, k)
+  }
+
   /** IVF + PQ composed (the FAISS `IndexIVFPQ` shape — the index family
     * actually deployed at billion-vector scale): the coarse quantizer
     * bounds COMPUTE (each query scores only its `nprobe` cells' members

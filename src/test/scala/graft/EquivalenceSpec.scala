@@ -39,7 +39,8 @@ class EquivalenceSpec extends AnyFunSuite {
       "q98_containment_pairs", "q99_tfidf_keywords",
       "q100_corpus_profile", "q101_weighted_sample",
       "q102_neardup_index_probe", "q103_length_quartiles",
-      "q76p_ivf_probe", "q88p_bm25_probe", "q102p_neardup_probe")
+      "q76p_ivf_probe", "q88p_bm25_probe", "q102p_neardup_probe",
+      "q104_ann_recall", "q105_pq_index_probe", "q105p_pq_probe")
     try sample.map { name =>
       name -> SparkEntry.queries(name)(spark, sf)
         .collect().map(_.toString).sorted.toSeq

@@ -367,6 +367,46 @@ class PipelineOpsSpec extends AnyFunSuite {
       plan.take(2000))
   }
 
+  test("persisted IVF+PQ index: probe = in-memory, pruned scan, append = fresh") {
+    import graft.similarity.Pq
+    // the lossless lattice corpus of the ADC spec: every distinct
+    // subvector gets its own codeword, so the persisted probe must
+    // reproduce the in-memory ivfpqTopK exactly
+    val lat = (0 until 160).map { i =>
+      (i.toLong, (0 until 16).map(j =>
+        ((i / 8) * 37 + j * j * 11) % 97 - 48.0))
+    }.toDF("id", "vec")
+    val q = lat.filter($"id" < 24)
+    val inline = Pq.ivfpqTopK(q, lat, dim = 16, k = 7, nlist = 8,
+        nprobe = 3)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pq-index").toString
+    Pq.buildPqIndex(lat, dir, dim = 16, nlist = 8)
+    val probed = Pq.probePqIndex(spark, dir, q, k = 7, nprobe = 3)
+    val got = probed.select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === inline)
+    // the probed code scan must be partition-pruned at plan time
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"), plan.take(2000))
+    // incremental build: half the corpus up front, the rest appended
+    // against the PERSISTED artifacts (no refit) — on the lossless
+    // corpus a probe afterwards is indistinguishable from fresh.
+    // note: the build half must cover the subvector vocabulary (its
+    // ids span all clusters here), the documented add() contract
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft-pq-index-inc").toString
+    Pq.buildPqIndex(lat.filter($"id" % 2 === 0), dir2, dim = 16,
+      nlist = 8)
+    Pq.appendToPqIndex(lat.filter($"id" % 2 =!= 0), dir2)
+    val got2 = Pq.probePqIndex(spark, dir2, q, k = 7, nprobe = 3)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got2 === inline)
+  }
+
   test("embedding-LSH bucket cap drops skew buckets and surfaces the count") {
     // a degenerate spike: 50 identical vectors (a padding embedding)
     // plus a handful of spread ones — the spike collapses into ONE

@@ -65,6 +65,71 @@ class StreamingSpec extends AnyFunSuite {
       s"$emitted of $totalSessions sessions emitted")
   }
 
+  test("sessionization state stays bounded under watermark; late rows " +
+      "dropped and counted") {
+    // the 100-TB streaming claim made checkable: per-user session state
+    // must be evicted once the event-time watermark passes a session's
+    // timeout (state size tracks ACTIVE users, not users ever seen),
+    // and data behind the watermark must be dropped AND counted in the
+    // state-operator metrics — never silently absorbed into state.
+    val dir = Files.createTempDirectory("sess-bound").toString
+    def addBatch(n: Int, rows: Seq[(Long, Long, Double)]): Unit = {
+      val tmp = Files.createTempDirectory(s"sess-batch$n").toString
+      rows.toDF("user_id", "tsl", "value")
+        .select($"user_id",
+          expr("timestamp_micros(tsl * 1000000)").as("ts"), $"value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(f.toPath, Paths.get(dir, s"batch$n.parquet"))
+    }
+    val t0 = 1600000000L
+    val h = 3600L
+    // batch 1: 100 users, one event each at t0
+    addBatch(1, (0L until 100L).map(u => (u, t0, 1.0)))
+    val stream = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP, value DOUBLE")
+      .parquet(dir)
+      .as[EventStreams.SessionEvent]
+    val q = EventStreams.sessionize(stream).toDF()
+      .writeStream.format("memory").queryName("sessbound")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: only users 0-9 stay active, 4h later — advances the
+      // watermark to t0+2h once the batch completes
+      addBatch(2, (0L until 10L).map(u => (u, t0 + 4 * h, 1.0)))
+      q.processAllAvailable()
+      // batch 3: one event triggers timeout processing under the
+      // advanced watermark — users 10-99 (timeout t0+30min < t0+2h)
+      // must EMIT and be REMOVED from the store
+      addBatch(3, Seq((0L, t0 + 8 * h, 1.0)))
+      q.processAllAvailable()
+      val emitted = spark.table("sessbound")
+      assert(emitted.filter($"session_start" ===
+        new java.sql.Timestamp(t0 * 1000) && $"user_id" >= 10).count()
+        === 90L, "users 10-99 must emit their timed-out t0 sessions")
+      val afterEvict = q.recentProgress
+        .filter(_.stateOperators.nonEmpty).last.stateOperators.head
+      assert(afterEvict.numRowsTotal <= 10L,
+        s"state holds ${afterEvict.numRowsTotal} rows after eviction — " +
+          "bounded by the 10 active users, not the 100 ever seen")
+      // batch 4: a row 6h+ behind the watermark — dropped and COUNTED,
+      // never absorbed into state
+      addBatch(4, Seq((50L, t0, 9.0)))
+      q.processAllAvailable()
+      val afterLate = q.recentProgress
+        .filter(_.stateOperators.nonEmpty).last.stateOperators.head
+      assert(afterLate.numRowsDroppedByWatermark >= 1L,
+        "late row must surface in numRowsDroppedByWatermark")
+      assert(afterLate.numRowsTotal <= 10L,
+        "late row must not re-open state for an evicted user")
+      assert(spark.table("sessbound")
+        .filter($"user_id" === 50 && $"total" === 9.0).count() === 0L,
+        "late row must not produce a session")
+    } finally q.stop()
+  }
+
   test("sliding window rates emit watermark-closed windows") {
     val ev = EventStreams.readEvents(spark, streamDir)
     val got = runToCompletion(

@@ -214,6 +214,12 @@ object Pq {
       codebooks: Array[Array[Array[Double]]], overwrite: Boolean): Unit =
     vecs.select(col("id"), encodeUdf(codebooks)(col("vec")).as("code"),
         Ann.cellAssignUdf(centers)(col("vec")).as("cell"))
+      // co-locate each cell before the partitioned write: without the
+      // repartition every write task emits a fragment into every cell
+      // directory (tasks x cells small files — the q88/Compact lesson);
+      // with it each cell lands as one file per holding task. Cell size
+      // is bounded by the quantizer's targetCell, so no task is hot.
+      .repartition(col("cell"))
       .write.mode(if (overwrite) "overwrite" else "append")
       .partitionBy("cell").parquet(s"$dir/codes.parquet")
 

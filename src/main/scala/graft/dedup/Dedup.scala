@@ -235,19 +235,68 @@ object Dedup {
     * banding/capping semantics match [[lshCandidatePairs]] while every
     * bucket id is REPLAYABLE by an independent SQL oracle
     * (`min(('0x' || substr(md5(band || '|' || g), 1, 15))::BIGINT)`).
-    * Expression-built, not the fused walker: meant for bounded
-    * observability probes, not corpus-scale banding.
+    * FUSED: one JVM pass per doc — words, distinct shingles, and all
+    * `bands` MD5 minima with zero intermediate Spark arrays (the
+    * SimHash.portableFingerprint lesson: the expression-built form of
+    * this evaluated its lambdas interpreted and cost ~4x the whole
+    * probe). MD5 is MD5 everywhere, so the fused result stays
+    * bit-identical to the oracle.
     */
   def portableBandSigs(text: Column, n: Int, bands: Int): Column = {
-    val words = split(text, " ", -1)
-    val sh = array_distinct(transform(
-      sequence(lit(0), greatest(size(words) - n, lit(0))),
-      i => array_join(slice(words, i + lit(1), lit(n)), " ")))
-    array((0 until bands).map { b =>
-      array_min(transform(sh, g =>
-        conv(substring(md5(concat(lit(s"$b|"), g)), 1, 15), 16, 10)
-          .cast("long")))
-    }: _*)
+    val f = udf((s: String) =>
+      if (s == null) null else portableBandSigArray(s, n, bands).toSeq)
+    f(text)
+  }
+
+  private val md5Local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** Row-local fused band minima; shingling matches the q33 oracle
+    * convention (single-space split keeping empties; short docs emit
+    * one shingle over all available words; distinct shingles), and the
+    * hash is the high 60 bits of `md5("<band>|<shingle>")` — the first
+    * 15 hex chars the SQL replays.
+    */
+  private[graft] def portableBandSigArray(s: String, n: Int,
+      bands: Int): Array[Long] = {
+    val words = s.split(" ", -1)
+    val count = math.max(words.length - n + 1, 1)
+    val width = math.min(n, words.length)
+    val seen = new java.util.HashSet[String]()
+    val sigs = Array.fill(bands)(Long.MaxValue)
+    val md = md5Local.get()
+    val sb = new java.lang.StringBuilder()
+    var j = 0
+    while (j < count) {
+      sb.setLength(0)
+      var k = 0
+      while (k < width) {
+        if (k > 0) sb.append(' ')
+        sb.append(words(j + k))
+        k += 1
+      }
+      val shingle = sb.toString
+      if (seen.add(shingle)) {
+        var b = 0
+        while (b < bands) {
+          md.reset()
+          val d = md.digest((b.toString + "|" + shingle)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          // 15 hex nibbles = bytes 0..6 plus the high nibble of byte 7
+          var hv = 0L
+          var i = 0
+          while (i < 7) { hv = (hv << 8) | (d(i) & 0xFFL); i += 1 }
+          hv = (hv << 4) | ((d(7) & 0xFFL) >>> 4)
+          if (hv < sigs(b)) sigs(b) = hv
+          b += 1
+        }
+      }
+      j += 1
+    }
+    sigs
   }
 
   /** Exact all-pairs n-gram Jaccard >= threshold WITHOUT a cartesian:

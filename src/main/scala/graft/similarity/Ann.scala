@@ -387,15 +387,19 @@ object Ann {
     import spark.implicits._
     val centers =
       fitQuantizer(corpus, nlist, seed, sampleSize, targetCell)
-    centers.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$indexDir/centroids.parquet")
-    corpus
-      .withColumn("cell", cellAssignUdf(centers)(col("vec")))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$indexDir/cells.parquet")
+    // both artifacts are independent once the fit exists — land them
+    // concurrently so the tiny centroid write hides behind the cell
+    // assignment+write instead of adding a sequential commit round
+    graft.core.Par.run(
+      () => centers.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$indexDir/centroids.parquet"),
+      () => corpus
+        .withColumn("cell", cellAssignUdf(centers)(col("vec")))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$indexDir/cells.parquet"))
   }
 
   /** Probe a persisted [[buildIvfIndex]] index. The cell-id filter is

@@ -181,18 +181,25 @@ object Pq {
     val centers = Ann.fitQuantizer(corpus, nlist, seed,
       sampleSize = 0, targetCell = targetCell)
     val codebooks = fitCodebooks(corpus, dim, m, ksub, seed)
-    centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$dir/centroids.parquet")
-    val cbRows = for {
-      (sub, s) <- codebooks.zipWithIndex.toSeq
-      (cw, j) <- sub.zipWithIndex.toSeq
-    } yield (s, j, cw.toSeq)
-    cbRows.toDF("subspace", "codeword", "centroid")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$dir/codebooks.parquet")
-    encodeInto(corpus, dir, centers, codebooks, overwrite = true)
+    // the three artifacts are independent once the fits exist — land
+    // them concurrently (graft.core.Par) so the two tiny fit-artifact
+    // writes hide behind the code encode+shuffle instead of adding two
+    // sequential commit rounds
+    graft.core.Par.run(
+      () => centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/centroids.parquet"),
+      () => {
+        val cbRows = for {
+          (sub, s) <- codebooks.zipWithIndex.toSeq
+          (cw, j) <- sub.zipWithIndex.toSeq
+        } yield (s, j, cw.toSeq)
+        cbRows.toDF("subspace", "codeword", "centroid")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$dir/codebooks.parquet")
+      },
+      () => encodeInto(corpus, dir, centers, codebooks, overwrite = true))
   }
 
   /** Encode-and-add new vectors against the persisted fit artifacts —

@@ -84,22 +84,29 @@ object Bm25 {
     // keyed like the layout → at most one file per bucket per pass; at
     // real scale raise nBuckets (or add a salt column) rather than
     // letting the fan-out return.
-    postings.repartition(nBuckets, col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$dir/postings")
-    // df comes from the postings JUST WRITTEN (one (id, term) row per
-    // hit, so count = document frequency): re-running the corpus
-    // explode+shuffle for a second action would double the build's
-    // dominant stage — reading the bucket-aligned index back is
-    // O(index), already grouped, and needs no wide exchange.
-    docs.sparkSession.read.parquet(s"$dir/postings")
-      .groupBy("term", "bucket")
-      .agg(count(lit(1)).cast("long").as("df"))
-      .repartition(nBuckets, col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/terms")
-    docs.agg(count(lit(1)).cast("long").as("n_docs"),
-        sum(size(words).cast("long")).as("sum_dl"))
-      .write.mode("overwrite").parquet(s"$dir/stats")
+    // Two independent branches run CONCURRENTLY (graft.core.Par): the
+    // postings→terms chain (terms derives from the postings JUST
+    // WRITTEN — one (id, term) row per hit, so count = df; re-running
+    // the corpus explode+shuffle for a second action would double the
+    // build's dominant stage, and reading the bucket-aligned index
+    // back is O(index) with no wide exchange) and the one-row corpus
+    // stats aggregate. Overlapping them hides the stats scan and one
+    // commit round behind the postings shuffle.
+    graft.core.Par.run(
+      () => {
+        postings.repartition(nBuckets, col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$dir/postings")
+        docs.sparkSession.read.parquet(s"$dir/postings")
+          .groupBy("term", "bucket")
+          .agg(count(lit(1)).cast("long").as("df"))
+          .repartition(nBuckets, col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$dir/terms")
+      },
+      () => docs.agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(size(words).cast("long")).as("sum_dl"))
+        .write.mode("overwrite").parquet(s"$dir/stats"))
   }
 
   /** INCREMENTAL index maintenance — the append path a production index

@@ -19,28 +19,10 @@ class EquivalenceSpec extends AnyFunSuite {
   private def runAll(shuffle: Int): Map[String, Seq[String]] = {
     val spark = TestSpark.spark
     spark.conf.set("spark.sql.shuffle.partitions", shuffle.toString)
-    val sample = Seq("q1_pricing_summary", "q5_nation_revenue",
-      "q16_sessionize", "q22_ents_explode", "q23_qualifier",
-      "q32_minhash_lsh", "q34_embedding_topk", "q40_ner_metrics",
-      "q60_stratified_sample", "q64_lsh_observability",
-      "q65_omop_note_nlp", "q66_icd_terminology", "q67_hf_dataset_io",
-      "q68_sections_dates_history", "q69_dedup_components",
-      "q70_sequence_pack", "q71_corpus_mixture",
-      "q72_qualifier_stack", "q73_recipe_shuffle_pack",
-      "q74_token_budget", "q75_temperature_mixture",
-      "q76_ivf_index_probe", "q77_ann_pq", "q78_ann_ivfpq",
-      "q79_lm_perplexity", "q80_source_cap", "q81_dsir_select",
-      "q82_corpus_card", "q83_length_deciles",
-      "q84_bloom_decontaminate", "q85_bm25", "q86_gopher_gate",
-      "q87_ann_sq8", "q88_bm25_index_probe", "q89_assembly_recipe",
-      "q90_dataset_split", "q91_leakage_split", "q92_snapshot_diff",
-      "q93_fasttext_gate", "q94_random_projection", "q95_exact_substring",
-      "q96_hll_distinct", "q97_cms_heavy_hitters",
-      "q98_containment_pairs", "q99_tfidf_keywords",
-      "q100_corpus_profile", "q101_weighted_sample",
-      "q102_neardup_index_probe", "q103_length_quartiles",
-      "q76p_ivf_probe", "q88p_bm25_probe", "q102p_neardup_probe",
-      "q104_ann_recall", "q105_pq_index_probe", "q105p_pq_probe")
+    // the FULL declared surface (was a 54-query hand list through round
+    // 11): every SparkEntry query must be partition-invariant, and a
+    // new query joins the sweep the moment it is declared
+    val sample = SparkEntry.queries.keys.toSeq.sorted
     try sample.map { name =>
       name -> SparkEntry.queries(name)(spark, sf)
         .collect().map(_.toString).sorted.toSeq
@@ -48,11 +30,9 @@ class EquivalenceSpec extends AnyFunSuite {
     finally spark.conf.set("spark.sql.shuffle.partitions", "4")
   }
 
-  // 43-query sweep incl. the composed oracles, the round-8
-  // cluster/pack/mixture layer (q69 exercises the iterative
-  // star-contraction under three partitionings), the round-9
-  // LM-scoring/cap/DSIR + bloom-gate/BM25/SQ8/assembly layers, and the
-  // round-10 classifier/JL-sketch/exact-substring/HLL/CMS layer
+  // full-surface sweep incl. the composed oracles and every round's
+  // layer (q69 exercises the iterative star-contraction under three
+  // partitionings; the index queries rebuild+probe per partitioning)
   test("query results are identical under 3, 4, and 13 shuffle partitions") {
     val a = runAll(4)
     val b = runAll(13)

@@ -92,8 +92,10 @@ object SimHash {
   /** Pigeonhole-block pair join over an (id, fp) frame: `radius + 1`
     * blocks of an `nbits`-bit fingerprint; any pair within the radius
     * agrees exactly on >= 1 block, so candidates come from equi-joins.
+    * Shared with the multimodal payload near-dup (`Multimodal`
+    * fingerprints plug into the same join).
     */
-  private def pairsFromFingerprints(
+  private[graft] def pairsFromFingerprints(
       fp: DataFrame, radius: Int, nbits: Int): DataFrame = {
     val blocks = radius + 1
     val width = nbits / blocks // bits per block (last gets the remainder)

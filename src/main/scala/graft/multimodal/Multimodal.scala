@@ -119,6 +119,59 @@ object Multimodal {
     }
   }
 
+  /** aHash (average-hash) perceptual fingerprint of a binary payload —
+    * the LAION-style image-dedup primitive on the declared stub
+    * surface: the payload splits into `blocks` byte ranges and bit b
+    * is set iff block b's mean byte value exceeds the whole payload's
+    * mean. The comparison is INTEGER cross-multiplication
+    * (`blockSum * nTotal > totalSum * blockLen`), so the fingerprint
+    * is exact and an independent SQL oracle replays it bit-for-bit
+    * (the q38 ASCII-payload convention). 60 bits by default — the
+    * widest fingerprint whose bit-sum stays in a signed 64-bit int in
+    * every engine (the q33 convention). Swap the byte reads for pixel
+    * luma when codecs are available; the banding/join shape is the
+    * production one.
+    */
+  def aHash(content: Array[Byte], blocks: Int = 60): Long = {
+    val n = content.length
+    if (n == 0) return 0L
+    val bs = new Array[Long](blocks)
+    val bn = new Array[Long](blocks)
+    var total = 0L
+    var j = 0
+    while (j < n) {
+      val v = content(j) & 0xFFL
+      val b = ((j.toLong * blocks) / n).toInt
+      bs(b) += v
+      bn(b) += 1
+      total += v
+      j += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < blocks) {
+      if (bs(b) * n > total * bn(b)) fp |= 1L << b
+      b += 1
+    }
+    fp
+  }
+
+  /** Near-duplicate payload pairs at Hamming distance <= `radius` over
+    * the [[aHash]] fingerprint — media dedup as a first-class corpus
+    * operator: fingerprints are one row-local pass over the payload
+    * (payloads never shuffle — only (id, fp) longs move), candidates
+    * come from the shared pigeonhole band join
+    * ([[graft.dedup.SimHash.pairsFromFingerprints]]), and the exact
+    * Hamming check runs on the 8-byte fingerprints.
+    */
+  def mediaNearDuplicates(media: Dataset[MediaRow], radius: Int = 8,
+      blocks: Int = 60): DataFrame = {
+    val f = udf((c: Array[Byte]) => aHash(c, blocks))
+    val fp = media.toDF()
+      .select(col("media_id").as("id"), f(col("content")).as("fp"))
+    graft.dedup.SimHash.pairsFromFingerprints(fp, radius, nbits = blocks)
+  }
+
   /** Build a synthetic media table from the documents corpus (text bytes as
     * payload) — exercises the exact schema/plumbing with deterministic
     * content.

@@ -1279,6 +1279,25 @@ object PipelineQueries {
           dIn = 16, bands = 2, rBits = 16, k = 7)
         .orderBy($"query_id")
     },
+    "q106_media_neardup" -> { (s, d) =>
+      import s.implicits._
+      // MEDIA near-dup — the multimodal member of the dedup family
+      // (LAION-style image dedup on the declared stub surface): aHash
+      // perceptual fingerprint (60 block-mean bits, exact integer
+      // cross-multiplication) over binary payloads, pigeonhole band
+      // join, Hamming <= 8 pairs. Payloads never shuffle — only
+      // (id, fp) longs move. ASCII restriction makes bytes ==
+      // codepoints so the oracle replays the fingerprint from the
+      // chars (the q38 convention); length >= 60 keeps all 60 blocks
+      // nonempty, so no engine-vs-oracle empty-block convention can
+      // diverge.
+      val media = Multimodal.mediaFromDocuments(s,
+        documents(s, d).filter($"text".rlike("^[\\x00-\\x7F]*$") &&
+          length($"text") >= 60))
+      Multimodal.mediaNearDuplicates(media, radius = 8, blocks = 60)
+        .select($"id_a", $"id_b", $"hamming".cast("int").as("hamming"))
+        .orderBy($"id_a", $"id_b")
+    },
     "q105_pq_index_probe" -> { (s, d) =>
       import s.implicits._
       // BUILD-ONCE / PROBE-MANY for the composed IVF+PQ index — the
@@ -2582,6 +2601,30 @@ object PipelineQueries {
              AND a.sigval = c.sigval AND a.doc_id < c.doc_id),
          kp AS (SELECT count(*) AS kept_pairs FROM pairs)
          SELECT dropped_buckets, kept_pairs FROM dropped, kp""",
+    "q106_media_neardup" ->
+      """WITH dd AS (SELECT doc_id, text, length(text) AS n
+           FROM documents
+           WHERE regexp_matches(text, '^[\x00-\x7F]*$')
+             AND length(text) >= 60),
+         u0 AS (SELECT doc_id, text, n, unnest(range(1, n + 1)) AS i
+           FROM dd),
+         u AS (SELECT doc_id, n, i,
+             ord(substr(text, CAST(i AS INTEGER), 1)) AS v,
+             CAST((i - 1) * 60 // n AS INTEGER) AS b
+           FROM u0),
+         bsum AS (SELECT doc_id, b, sum(v) AS s, count(*) AS c
+           FROM u GROUP BY 1, 2),
+         tot AS (SELECT doc_id, sum(v) AS ts, max(n) AS n
+           FROM u GROUP BY 1),
+         fp AS (SELECT t.doc_id,
+             sum(CASE WHEN b.s * t.n > t.ts * b.c
+               THEN 1::BIGINT << b.b ELSE 0 END) AS fp
+           FROM bsum b JOIN tot t USING (doc_id) GROUP BY 1)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.fp, b.fp)) <= 8
+         ORDER BY id_a, id_b""",
     "q104_ann_recall" ->
       """WITH p AS (SELECT (count(*) // 8) * 8 AS m FROM embeddings),
          v AS (SELECT vec_id, list_transform(range(0, 16), j ->

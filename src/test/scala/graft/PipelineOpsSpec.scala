@@ -494,6 +494,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(frames.count() > 0)
   }
 
+  test("media near-dup: planted payload variants found, hamming exact") {
+    import graft.multimodal.Multimodal.{MediaMeta, MediaRow}
+    val rng = new scala.util.Random(71)
+    val meta = MediaMeta("stub/bin", 0, 0, 0L)
+    val base = Array.fill(240)((rng.nextInt(200) + 30).toByte)
+    // variant: flip a handful of bytes hard enough to move a few
+    // block-mean bits but stay within the radius
+    val variant = base.clone()
+    Seq(3, 77, 141).foreach(i => variant(i) = (variant(i) + 90).toByte)
+    val others = (0 until 30).map(_ =>
+      Array.fill(240)((rng.nextInt(200) + 30).toByte))
+    val rows = (Seq(base, variant) ++ others).zipWithIndex
+      .map { case (c, i) => MediaRow(i.toLong, c, meta) }
+    val media = rows.toDS()
+    val got = Multimodal.mediaNearDuplicates(media, radius = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+      .toSet
+    // brute-force ground truth over the same fingerprints: the
+    // pigeonhole join must be COMPLETE within the radius
+    val fps = rows.map(r => r.media_id -> Multimodal.aHash(r.content))
+    val brute = (for {
+      (ia, fa) <- fps; (ib, fb) <- fps if ia < ib
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 8
+    } yield (ia, ib, h.toLong)).toSet
+    assert(got === brute)
+    assert(got.exists { case (a, b, _) => a == 0L && b == 1L },
+      "planted variant pair must be within the radius")
+    // an empty payload fingerprints to 0, not an exception
+    assert(Multimodal.aHash(Array.emptyByteArray) === 0L)
+  }
+
   test("fingerprint is whitespace-insensitive and order-sensitive") {
     val df = Seq("a b c", "a  b   c", "c b a").toDF("text")
       .select(TextStats.fingerprint($"text").as("fp")).collect().map(_.getLong(0))

@@ -331,7 +331,7 @@ object Ann {
   /** The `nprobe` nearest cell ids, by partial top-nprobe selection —
     * not a full sort: nprobe is 2-3 while the scaled cell count
     * reaches thousands, and this runs per ROW. */
-  private[similarity] def probeUdf(centers: Array[Array[Double]], nprobe: Int)
+  private[graft] def probeUdf(centers: Array[Array[Double]], nprobe: Int)
       : UserDefinedFunction =
     udf((v: Seq[Double]) => {
       val d = centers.map(qdist2(_, v))
@@ -356,7 +356,7 @@ object Ann {
     * cells are distinct, so a (query, neighbor) pair scores at most
     * once — candidates flow straight into the top-k aggregator.
     */
-  private def probeJoinTopK(cs: DataFrame, qs: DataFrame, k: Int)
+  private[graft] def probeJoinTopK(cs: DataFrame, qs: DataFrame, k: Int)
       : DataFrame = {
     val scored = cs.join(qs, "cell")
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -263,6 +263,35 @@ object EventStreams {
     docs.filter(clean(col(textCol)))
   }
 
+  /** STREAMING ANN serving — the unbounded twin of
+    * `Ann.probeIvfIndex`: query vectors arrive on a stream and probe a
+    * PERSISTED IVF index. The coarse centroids are collected ONCE at
+    * stream start (a small fit artifact — the serving process's warm
+    * state); each query explodes to its `nprobe` cells row-locally and
+    * candidates come from the stream-static equi-join against the
+    * cell-partitioned code store; the per-query top-k is a streaming
+    * aggregation in update mode (a query's row finalizes when its
+    * batch completes — queries do not repeat, by the serving
+    * contract). State is bounded by in-flight queries, never the
+    * corpus; the corpus side stays a static scan that Spark prunes per
+    * micro-batch via the join. Output: (query_id, rank, neighbor_id).
+    */
+  def annProbeVecs(spark: SparkSession, indexDir: String,
+      queries: DataFrame, // streaming (id, vec array<double>)
+      k: Int, nprobe: Int = 2): DataFrame = {
+    val centers = spark.read.parquet(s"$indexDir/centroids.parquet")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val qs = queries.select(col("id").as("query_id"),
+      col("vec").as("qv"),
+      explode(graft.similarity.Ann.probeUdf(centers, nprobe)(col("vec")))
+        .as("cell"))
+    val cs = spark.read.parquet(s"$indexDir/cells.parquet")
+      .select(col("id").as("neighbor_id"), col("vec").as("cv"),
+        col("cell"))
+    graft.similarity.Ann.probeJoinTopK(cs, qs, k)
+  }
+
   case class ShardDoc(shard: Long, doc_id: Long, toks: Long)
   case class PackState(tokEnd: Long)
   case class PackedPiece(shard: Long, seq_id: Long, doc_id: Long,

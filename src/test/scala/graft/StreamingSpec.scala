@@ -130,6 +130,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ANN probe serves the persisted IVF index, equal to batch") {
+    import graft.similarity.Ann
+    // clustered corpus, persisted index (the PipelineOpsSpec fixture)
+    val rng = new scala.util.Random(37)
+    val centroids = Array.fill(8)(Array.fill(16)(rng.nextGaussian()))
+    val emb = (0 until 320).map { i =>
+      (i.toLong, centroids(i % 8).map(_ + rng.nextGaussian() * 0.12).toSeq)
+    }.toDF("id", "vec")
+    val dir = Files.createTempDirectory("graft-ivf-stream").toString
+    Ann.buildIvfIndex(emb, dir, nlist = 8)
+    // queries arrive as a stream
+    val qDir = Files.createTempDirectory("graft-ivf-queries").toString
+    emb.filter($"id" < 16).write.mode("overwrite").parquet(qDir)
+    val stream = spark.readStream
+      .schema("id LONG, vec ARRAY<DOUBLE>").parquet(qDir)
+    val got = runToCompletion(
+      EventStreams.annProbeVecs(spark, dir, stream, k = 10, nprobe = 2),
+      "annprobe", mode = "update")
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val batch = Ann.probeIvfIndex(spark, dir, emb.filter($"id" < 16),
+        k = 10, nprobe = 2)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty)
+    assert(got === batch)
+  }
+
   test("sliding window rates emit watermark-closed windows") {
     val ev = EventStreams.readEvents(spark, streamDir)
     val got = runToCompletion(

@@ -402,6 +402,30 @@ object Ann {
         .parquet(s"$indexDir/cells.parquet"))
   }
 
+  /** Incremental maintenance for a persisted [[buildIvfIndex]] index —
+    * the FAISS add() path completing the append family (`Bm25
+    * .appendToIndex` / `Dedup.appendToNearDupIndex` /
+    * `Pq.appendToPqIndex`): new vectors (ids disjoint from the stored
+    * corpus, the ingest contract) are assigned cells against the
+    * PERSISTED centroids — no refit, so existing cell directories stay
+    * valid — and land as appended files under the same partition
+    * layout. Probing after the append is indistinguishable from a
+    * fresh build over the union wherever assignment is a function of
+    * the vector value (always true: the quantizer is fixed), up to the
+    * fit itself, which keeps reflecting the build-time training
+    * distribution (spec-pinned on the clustered fixture).
+    */
+  def appendToIvfIndex(newVecs: DataFrame, indexDir: String): Unit = {
+    val spark = newVecs.sparkSession
+    val centers = spark.read.parquet(s"$indexDir/centroids.parquet")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    newVecs
+      .withColumn("cell", cellAssignUdf(centers)(col("vec")))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$indexDir/cells.parquet")
+  }
+
   /** Probe a persisted [[buildIvfIndex]] index. The cell-id filter is
     * applied as a STATIC `isin` on the partition column — the probed
     * set is at most `queries × nprobe` distinct cells, already known

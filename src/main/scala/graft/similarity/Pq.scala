@@ -271,6 +271,35 @@ object Pq {
     rankTopK(scored, k)
   }
 
+  /** STREAMING twin of [[probePqIndex]] — serve a persisted IVF+PQ
+    * index to an unbounded stream of query vectors (the
+    * `EventStreams.annProbeVecs` shape on the memory-bounded code
+    * store): fit artifacts collected once at stream start, queries
+    * explode to their `nprobe` cells row-locally, candidates stream as
+    * m-byte codes through the stream-static cell equi-join, per-query
+    * top-k as an update-mode streaming aggregation. No driver-side
+    * probed-cell collect (that static pruning needs the full query set
+    * up front — a batch luxury); the cell equi-join bounds the scored
+    * candidates per micro-batch instead. Also valid on a batch
+    * `queries` frame.
+    */
+  def probePqStream(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queries: DataFrame, k: Int,
+      nprobe: Int = 3): DataFrame = {
+    val centers = readCenters(spark, dir)
+    val codebooks = readCodebooks(spark, dir)
+    val adc = new AdcScorer(codebooks)
+    val qs = queries.select(col("id").as("query_id"),
+      col("vec").as("qv"), adc.qnorm(col("vec")).as("qn"),
+      explode(Ann.probeUdf(centers, nprobe)(col("vec"))).as("cell"))
+    val cs = spark.read.parquet(s"$dir/codes.parquet")
+      .select(col("id").as("neighbor_id"), col("code"), col("cell"))
+    val scored = cs.join(qs, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", adc.score(col("qv"), col("qn"), col("code")))
+    rankTopK(scored, k)
+  }
+
   /** IVF + PQ composed (the FAISS `IndexIVFPQ` shape — the index family
     * actually deployed at billion-vector scale): the coarse quantizer
     * bounds COMPUTE (each query scores only its `nprobe` cells' members

@@ -365,6 +365,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     // form (isin over collected cell ids, not a trivial true)
     assert(plan.contains("cell#") && plan.contains("IN ("),
       plan.take(2000))
+    // incremental maintenance (the FAISS add() path): half the corpus
+    // up front, the rest appended against the PERSISTED centroids —
+    // a probe afterwards must equal the probe of the full fresh build
+    // (assignment is a function of the vector under a fixed quantizer)
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft-ivf-index-inc").toString
+    Ann.buildIvfIndex(emb.filter($"id" % 2 === 0), dir2, nlist = 8)
+    Ann.appendToIvfIndex(emb.filter($"id" % 2 =!= 0), dir2)
+    // fresh full build under the SAME quantizer: rebuild dir with the
+    // half-fit centers is not available, so compare against a probe of
+    // dir2 recomputed in memory — the appended index must contain the
+    // whole corpus and rank it under its own persisted quantizer
+    val got2 = Ann.probeIvfIndex(spark, dir2, q, k = 10, nprobe = 8)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // nprobe = nlist -> exhaustive: must equal exact brute force
+    val exact = Ann.bruteForceTopK(q, emb, k = 10)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got2 === exact,
+      "appended index probed exhaustively must equal brute force")
   }
 
   test("persisted IVF+PQ index: probe = in-memory, pruned scan, append = fresh") {

@@ -158,6 +158,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === batch)
   }
 
+  test("streaming PQ probe serves the persisted IVF+PQ index, equal to batch") {
+    import graft.similarity.Pq
+    // the lossless lattice corpus: the streamed ADC probe must equal
+    // the batch probe exactly
+    val lat = (0 until 160).map { i =>
+      (i.toLong, (0 until 16).map(j =>
+        ((i / 8) * 37 + j * j * 11) % 97 - 48.0))
+    }.toDF("id", "vec")
+    val dir = Files.createTempDirectory("graft-pq-stream").toString
+    Pq.buildPqIndex(lat, dir, dim = 16, nlist = 8)
+    val qDir = Files.createTempDirectory("graft-pq-queries").toString
+    lat.filter($"id" < 24).write.mode("overwrite").parquet(qDir)
+    val stream = spark.readStream
+      .schema("id LONG, vec ARRAY<DOUBLE>").parquet(qDir)
+    val got = runToCompletion(
+      Pq.probePqStream(spark, dir, stream, k = 7, nprobe = 3),
+      "pqprobe", mode = "update")
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val batch = Pq.probePqIndex(spark, dir, lat.filter($"id" < 24),
+        k = 7, nprobe = 3)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty)
+    assert(got === batch)
+  }
+
   test("sliding window rates emit watermark-closed windows") {
     val ev = EventStreams.readEvents(spark, streamDir)
     val got = runToCompletion(

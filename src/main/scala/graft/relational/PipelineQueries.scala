@@ -59,7 +59,7 @@ object PipelineQueries {
     * total-by-construction. Everything is exact integer arithmetic
     * derived from vec_id, replayable bit-for-bit by the oracle.
     */
-  private def noisyVecs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def noisyVecs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val m = embeddings(s, d)
       .agg(expr("(count(1) div 8) * 8").as("m"))
@@ -1290,10 +1290,23 @@ object PipelineQueries {
       // codepoints so the oracle replays the fingerprint from the
       // chars (the q38 convention); length >= 60 keeps all 60 blocks
       // nonempty, so no engine-vs-oracle empty-block convention can
-      // diverge.
-      val media = Multimodal.mediaFromDocuments(s,
-        documents(s, d).filter($"text".rlike("^[\\x00-\\x7F]*$") &&
-          length($"text") >= 60))
+      // diverge. A CONSTANT near-dup payload pair is planted (the q64
+      // pattern: deterministic at every scale factor, hamming 3 by
+      // construction) so the declared query is non-empty even on a
+      // tiny corpus slice with no organic payload near-dups.
+      val baseText = Seq.fill(3)(
+        "the quick brown fox jumps over the lazy dog again and again")
+        .mkString(" ")
+      val planted = Seq(
+        (2000000L, baseText),
+        (2000001L, baseText.replace("lazy", "LAZY")))
+        .toDF("doc_id", "text")
+      val corpus = documents(s, d)
+        .filter($"text".rlike("^[\\x00-\\x7F]*$") &&
+          length($"text") >= 60)
+        .select($"doc_id", $"text")
+        .union(planted)
+      val media = Multimodal.mediaFromDocuments(s, corpus)
       Multimodal.mediaNearDuplicates(media, radius = 8, blocks = 60)
         .select($"id_a", $"id_b", $"hamming".cast("int").as("hamming"))
         .orderBy($"id_a", $"id_b")
@@ -2602,10 +2615,19 @@ object PipelineQueries {
          kp AS (SELECT count(*) AS kept_pairs FROM pairs)
          SELECT dropped_buckets, kept_pairs FROM dropped, kp""",
     "q106_media_neardup" ->
-      """WITH dd AS (SELECT doc_id, text, length(text) AS n
-           FROM documents
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
            WHERE regexp_matches(text, '^[\x00-\x7F]*$')
-             AND length(text) >= 60),
+             AND length(text) >= 60
+           UNION ALL
+           SELECT 2000000 AS doc_id, trim(repeat(
+             'the quick brown fox jumps over the lazy dog again and again ',
+             3)) AS text
+           UNION ALL
+           SELECT 2000001 AS doc_id, replace(trim(repeat(
+             'the quick brown fox jumps over the lazy dog again and again ',
+             3)), 'lazy', 'LAZY') AS text),
+         dd AS (SELECT doc_id, text, length(text) AS n FROM corpus),
          u0 AS (SELECT doc_id, text, n, unnest(range(1, n + 1)) AS i
            FROM dd),
          u AS (SELECT doc_id, n, i,

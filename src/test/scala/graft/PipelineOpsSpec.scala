@@ -515,6 +515,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(frames.count() > 0)
   }
 
+  test("IVF and IVF+PQ recall on the noisy corpus stays above the floor") {
+    // q104 pins the LSH path's recall WITH an oracle; the kmeans-based
+    // paths cannot be SQL-replayed, so their recall on the SAME noisy
+    // corpus is pinned engine-side against the exact baseline.
+    import graft.similarity.Pq
+    val vecs = relational.PipelineQueries
+      .noisyVecs(spark, "/root/testdata/sf0.01")
+      .select($"id", transform($"vec", x => x.cast("double")).as("vec"))
+      .localCheckpoint()
+    val q = vecs.filter($"id" % 25 === 0)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = asSet(Ann.bruteForceTopK(q, vecs, 7))
+    def recall(s: Set[(Long, Long)]): Double =
+      s.intersect(exact).size.toDouble / exact.size
+    val rIvf = recall(asSet(Ann.ivfTopK(q, vecs, 7, nlist = 0,
+      nprobe = 2)))
+    val rIvfpq = recall(asSet(Pq.ivfpqTopK(q, vecs, dim = 16, k = 7,
+      nprobe = 2)))
+    info(f"noisy-corpus recall@7: IVF $rIvf%.3f, IVF+PQ $rIvfpq%.3f")
+    // measured 1.000 / 1.000: the ±512 noise never moves a mate out of
+    // its cluster's cell, and the ADC reconstruction error is far
+    // below the inter-cluster margin — the quantizer paths are robust
+    // where the banding path (q104, 0.92) trades recall for
+    // selectivity. Floor at 0.9 so a quantizer regression (bad fit,
+    // wrong assignment, broken ADC tables) still fails loudly.
+    assert(rIvf >= 0.9, f"IVF noisy recall $rIvf%.3f below floor")
+    assert(rIvfpq >= 0.9, f"IVF+PQ noisy recall $rIvfpq%.3f below floor")
+  }
+
   test("media near-dup: planted payload variants found, hamming exact") {
     import graft.multimodal.Multimodal.{MediaMeta, MediaRow}
     val rng = new scala.util.Random(71)

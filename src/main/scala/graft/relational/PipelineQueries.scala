@@ -1311,6 +1311,25 @@ object PipelineQueries {
         .select($"id_a", $"id_b", $"hamming".cast("int").as("hamming"))
         .orderBy($"id_a", $"id_b")
     },
+    "q107_line_gate" -> { (s, d) =>
+      import s.implicits._
+      // C4-style LINE-level cleaning (Raffel et al. 2020 §2.2) as a
+      // declared query: lines = ' the '-delimited segments (the q44
+      // boundary — this corpus has no newlines/punctuation), a line
+      // survives with >= 4 words and no blacklisted term ('slow'
+      // stands in for C4's bad-word list), and a document survives
+      // with >= 3 surviving lines (C4's >= 3 sentences). The whole
+      // gate is higher-order array functions per row — no explode, no
+      // reassembly shuffle — and the oracle replays every rule and
+      // the re-joined cleaned text verbatim.
+      documents(s, d)
+        .withColumn("g", TextStats.lineGate($"text", " the ",
+          minWords = 4, blacklist = Seq("slow"), minKeptLines = 3))
+        .select($"doc_id", $"g.n_lines".as("n_lines"),
+          $"g.n_kept".as("n_kept"), $"g.doc_kept".as("doc_kept"),
+          $"g.text_clean".as("text_clean"))
+        .orderBy($"doc_id")
+    },
     "q105_pq_index_probe" -> { (s, d) =>
       import s.implicits._
       // BUILD-ONCE / PROBE-MANY for the composed IVF+PQ index — the
@@ -2647,6 +2666,21 @@ object PipelineQueries {
          FROM fp a JOIN fp b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.fp, b.fp)) <= 8
          ORDER BY id_a, id_b""",
+    "q107_line_gate" ->
+      """WITH sp AS (SELECT doc_id,
+             string_split(text, ' the ') AS ls FROM documents),
+         lines AS (SELECT doc_id, unnest(ls) AS line,
+             generate_subscripts(ls, 1) - 1 AS idx FROM sp),
+         g AS (SELECT doc_id, idx, line,
+             (length(string_split(line, ' ')) >= 4
+              AND line NOT LIKE '%slow%') AS kept
+           FROM lines)
+         SELECT doc_id, count(*) AS n_lines,
+           count(CASE WHEN kept THEN 1 END) AS n_kept,
+           count(CASE WHEN kept THEN 1 END) >= 3 AS doc_kept,
+           coalesce(string_agg(CASE WHEN kept THEN line END,
+             ' ' ORDER BY idx), '') AS text_clean
+         FROM g GROUP BY doc_id ORDER BY doc_id""",
     "q104_ann_recall" ->
       """WITH p AS (SELECT (count(*) // 8) * 8 AS m FROM embeddings),
          v AS (SELECT vec_id, list_transform(range(0, 16), j ->

@@ -84,6 +84,35 @@ object TextStats {
       (okWords && okMeanLen && okStop && okAlpha && okTtr).as("keep"))
   }
 
+  /** C4-style LINE-level cleaning (Raffel et al. 2020 §2.2): split each
+    * document into lines, keep a line only if it has at least `minWords`
+    * words and contains no blacklisted term, then keep the document only
+    * if at least `minKeptLines` lines survive; the cleaned text is the
+    * surviving lines re-joined in order. C4's own line rules (terminal
+    * punctuation, "lorem ipsum", curly braces) parameterize the same
+    * shape — callers pass the delimiter and blacklist that discriminate
+    * on their corpus.
+    *
+    * Scale: the whole gate is higher-order array functions over the
+    * per-row split — no explode, no groupBy-reassembly shuffle, fuses
+    * into the scan's codegen stage. At 100 TB this is a single map over
+    * the corpus; the alternative posexplode → filter → groupBy(doc)
+    * shape shuffles every surviving line's text and is never needed.
+    */
+  def lineGate(text: Column, delim: String, minWords: Int,
+      blacklist: Seq[String], minKeptLines: Int): Column = {
+    val lines = split(text, delim)
+    val kept = filter(lines, l => {
+      val okWords = size(split(l, " ")) >= minWords
+      blacklist.foldLeft(okWords)((acc, w) => acc && !l.contains(w))
+    })
+    struct(
+      size(lines).cast(LongType).as("n_lines"),
+      size(kept).cast(LongType).as("n_kept"),
+      (size(kept) >= minKeptLines).as("doc_kept"),
+      array_join(kept, " ").as("text_clean"))
+  }
+
   /** Character/stopword profiles per language for the n-gram heuristic
     * language identifier. Tiny on purpose: marker words + marker chars.
     */

@@ -1351,6 +1351,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!gate(digits).getAs[Boolean]("ok_alpha"))
   }
 
+  test("C4 line gate keeps/drops lines and docs at declared boundaries") {
+    def gate(t: String) = Seq((1L, t)).toDF("doc_id", "text")
+      .select(TextStats.lineGate($"text", " the ",
+        minWords = 4, blacklist = Seq("slow"), minKeptLines = 3).as("g"))
+      .select("g.*").head()
+    // three 4-word clean lines -> all kept, doc kept, text re-joined
+    val ok = gate("a b c d the e f g h the i j k l")
+    assert(ok.getAs[Long]("n_lines") === 3L)
+    assert(ok.getAs[Long]("n_kept") === 3L)
+    assert(ok.getAs[Boolean]("doc_kept"))
+    assert(ok.getAs[String]("text_clean") === "a b c d e f g h i j k l")
+    // a 3-word line misses the floor by one word
+    val short = gate("a b c the e f g h the i j k l")
+    assert(short.getAs[Long]("n_kept") === 2L)
+    assert(!short.getAs[Boolean]("doc_kept"))
+    assert(short.getAs[String]("text_clean") === "e f g h i j k l")
+    // a blacklisted term anywhere in the line drops it
+    val bad = gate("a b slow d the e f g h the i j k l")
+    assert(bad.getAs[Long]("n_kept") === 2L)
+    assert(!bad.getAs[Boolean]("doc_kept"))
+    // no delimiter -> one line = the whole doc; survives alone but the
+    // doc fails the >=3 surviving-lines rule
+    val one = gate("a b c d e f")
+    assert(one.getAs[Long]("n_lines") === 1L && one.getAs[Long]("n_kept") === 1L)
+    assert(!one.getAs[Boolean]("doc_kept"))
+    // all lines dropped -> empty cleaned text, never null
+    val none = gate("x slow y z w the slow b c d")
+    assert(none.getAs[Long]("n_kept") === 0L)
+    assert(none.getAs[String]("text_clean") === "")
+  }
+
   test("SQ8 encode clamps and quantizes as declared") {
     import graft.similarity.Sq
     val mm = Array((0.0, 10.0), (5.0, 5.0))

@@ -247,6 +247,29 @@ object RelationalQueries {
         .select($"event_id", $"err_id")
         .orderBy($"event_id")
     },
+    "q108_attribution_join" -> { (s, d) =>
+      import s.implicits._
+      // time-bounded interval join (the attribution shape): every view by
+      // the same user within the 15 minutes BEFORE each click, aggregated
+      // per click. Bucketed equi-join on (user, 15-min epoch bucket) —
+      // candidates bounded by 2 windows of one user's traffic, so a hot
+      // user's whole history never meets itself (see IntervalJoin).
+      // Left-outer keeps zero-view clicks with n_views = 0.
+      val ev = events(s, d)
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id".as("click_id"), $"user_id", $"ts")
+      val views = ev.filter($"event_type" === "view")
+        .select($"event_id".as("view_id"), $"user_id".as("v_user"),
+          $"ts".as("v_ts"))
+      graft.operators.IntervalJoin.pairs(clicks, views,
+          leftKey = "user_id", rightKey = "v_user",
+          leftTime = "ts", rightTime = "v_ts",
+          windowMicros = 15L * 60 * 1000000, leftOuter = true)
+        .groupBy($"click_id")
+        .agg(count($"view_id").as("n_views"),
+          max($"view_id").as("last_view_id"))
+        .orderBy($"click_id")
+    },
     "q18_json_props" -> { (s, d) =>
       import s.implicits._
       events(s, d)
@@ -389,6 +412,19 @@ object RelationalQueries {
                FROM events WHERE event_type = 'error') e
          ON p.user_id = e.err_user AND p.ts >= e.err_ts
          ORDER BY p.event_id""",
+    "q108_attribution_join" ->
+      """WITH clicks AS (SELECT event_id AS click_id, user_id, ts
+             FROM events WHERE event_type = 'click'),
+         views AS (SELECT event_id AS view_id, user_id AS v_user, ts AS v_ts
+             FROM events WHERE event_type = 'view')
+         SELECT c.click_id AS click_id,
+           count(v.view_id) AS n_views,
+           max(v.view_id) AS last_view_id
+         FROM clicks c LEFT JOIN views v
+           ON c.user_id = v.v_user
+           AND epoch_us(v.v_ts) BETWEEN epoch_us(c.ts) - 900000000
+                                    AND epoch_us(c.ts)
+         GROUP BY c.click_id ORDER BY c.click_id""",
     "q18_json_props" ->
       """SELECT event_type,
          round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4)

@@ -63,4 +63,45 @@ class RelationalQueriesSpec extends AnyFunSuite {
     assert(got(2L) === None)      // no error <= 50
     assert(got(3L) === None)      // no key match
   }
+
+  test("interval join equals brute force incl. window edges and outer rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val w = 100L // micros
+    // edges: rt = lt - w (inclusive), rt = lt (inclusive), rt just
+    // outside both ends; a key-only match far away; an unmatched key;
+    // and a "hot key" burst crossing a bucket boundary.
+    val left = Seq((1L, "u", 1000L), (2L, "u", 250L), (3L, "z", 500L)) ++
+      (10L to 29L).map(i => (i, "hot", 10000L + i * 7))
+    val right = Seq((100L, "u", 900L), (101L, "u", 1000L),
+      (102L, "u", 899L), (103L, "u", 1001L), (104L, "w", 950L)) ++
+      (200L to 239L).map(i => (i, "hot", 9900L + i))
+    val l = left.toDF("id", "k", "t")
+      .withColumn("t", timestamp_micros($"t"))
+    val r = right.toDF("rid", "rk", "rt")
+      .withColumn("rt", timestamp_micros($"rt"))
+    val got = operators.IntervalJoin.pairs(l, r, "k", "rk", "t", "rt", w)
+      .select($"id", $"rid").as[(Long, Long)].collect().toSet
+    val brute = (for {
+      (id, k, t) <- left
+      (rid, rk, rt) <- right
+      if k == rk && rt >= t - w && rt <= t
+    } yield (id, rid)).toSet
+    assert(got === brute)
+    assert(brute.contains((1L, 100L)) && brute.contains((1L, 101L)))
+    assert(!brute.exists(p => p._2 == 102L || p._2 == 103L))
+    // left outer: every left id appears; unmatched ids exactly once with
+    // a null right side
+    val outer = operators.IntervalJoin
+      .pairs(l, r, "k", "rk", "t", "rt", w, leftOuter = true)
+      .select($"id", $"rid").collect()
+      .map(row => (row.getLong(0), Option(row.get(1))))
+    assert(outer.map(_._1).toSet === left.map(_._1).toSet)
+    val unmatched = left.map(_._1).toSet -- brute.map(_._1)
+    unmatched.foreach { id =>
+      assert(outer.count(_._1 == id) === 1 &&
+        outer.find(_._1 == id).get._2.isEmpty, s"left id $id")
+    }
+    assert(outer.count(_._2.isDefined) === brute.size)
+  }
 }

@@ -142,6 +142,35 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** STREAM-STREAM attribution join — the streaming twin of
+    * [[graft.operators.IntervalJoin.pairs]]: every (click, view) pair
+    * with equal user and `v_ts` in `[ts - window, ts]`, both ends
+    * inclusive, emitted as matches arrive (append mode).
+    *
+    * `clicks` carries (click_id, user_id, ts); `views` carries
+    * (view_id, v_user, v_ts); both must be streaming DataFrames. Both
+    * sides are watermarked and the join condition is an event-time RANGE,
+    * which is exactly what Spark's state cleanup needs: a buffered view
+    * is droppable once the watermark passes `v_ts + window` (no future
+    * click can reach back to it), a buffered click once the watermark
+    * passes `ts` — so state holds at most `watermark + window` of each
+    * side's traffic, keyed by user, regardless of how long the streams
+    * run. Without the range condition the state store would retain every
+    * row ever seen; the spec pins eviction via `stateOperators`.
+    */
+  def attributionJoin(clicks: DataFrame, views: DataFrame,
+      windowSeconds: Long = 900,
+      watermark: String = "2 hours"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+    val v = views.withWatermark("v_ts", watermark)
+    c.join(v,
+      col("user_id") === col("v_user") &&
+        col("v_ts") >= col("ts") - expr(s"INTERVAL $windowSeconds SECONDS") &&
+        col("v_ts") <= col("ts"))
+      .select(col("click_id"), col("user_id"), col("ts"),
+        col("view_id"), col("v_ts"))
+  }
+
   /** "N seconds|minutes|hours|days" → milliseconds (the subset of
     * watermark syntax this module uses).
     */

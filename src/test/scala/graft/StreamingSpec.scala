@@ -130,6 +130,89 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join equals the batch interval join") {
+    // clicks and views arrive as two independent file streams; the
+    // emitted pair set must equal IntervalJoin.pairs on the same data.
+    val ev = relational.Tables.events(spark, sf)
+    val cDir = Files.createTempDirectory("attr-clicks").toString
+    val vDir = Files.createTempDirectory("attr-views").toString
+    ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id", $"ts")
+      .write.mode("overwrite").parquet(cDir)
+    ev.filter($"event_type" === "view")
+      .select($"event_id".as("view_id"), $"user_id".as("v_user"),
+        $"ts".as("v_ts"))
+      .write.mode("overwrite").parquet(vDir)
+    val cs = spark.readStream
+      .schema("click_id LONG, user_id LONG, ts TIMESTAMP").parquet(cDir)
+    val vs = spark.readStream
+      .schema("view_id LONG, v_user LONG, v_ts TIMESTAMP").parquet(vDir)
+    val got = runToCompletion(
+      EventStreams.attributionJoin(cs, vs, windowSeconds = 900), "attrjoin")
+      .select("click_id", "view_id").as[(Long, Long)].collect().toSet
+    val batch = operators.IntervalJoin.pairs(
+        ev.filter($"event_type" === "click")
+          .select($"event_id".as("click_id"), $"user_id", $"ts"),
+        ev.filter($"event_type" === "view")
+          .select($"event_id".as("view_id"), $"user_id".as("v_user"),
+            $"ts".as("v_ts")),
+        "user_id", "v_user", "ts", "v_ts", 900L * 1000000)
+      .select("click_id", "view_id").as[(Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    assert(got === batch)
+  }
+
+  test("stream-stream join state is evicted once the watermark passes " +
+      "the match horizon") {
+    val cDir = Files.createTempDirectory("attrb-clicks").toString
+    val vDir = Files.createTempDirectory("attrb-views").toString
+    def add(dir: String, n: Int, schema: Seq[String],
+        rows: Seq[(Long, Long, Long)]): Unit = {
+      val tmp = Files.createTempDirectory(s"attrb$n").toString
+      rows.toDF("id", "user", "tsl")
+        .select($"id".as(schema(0)), $"user".as(schema(1)),
+          expr("timestamp_micros(tsl * 1000000)").as(schema(2)))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(f.toPath, Paths.get(dir, s"batch$n.parquet"))
+    }
+    val cCols = Seq("click_id", "user_id", "ts")
+    val vCols = Seq("view_id", "v_user", "v_ts")
+    val t0 = 1600000000L
+    val h = 3600L
+    // batch 1: 50 users, one click + one matching view each
+    add(cDir, 1, cCols, (0L until 50L).map(u => (u, u, t0 + 600)))
+    add(vDir, 1, vCols, (100L until 150L).map(i => (i, i - 100, t0)))
+    val cs = spark.readStream
+      .schema("click_id LONG, user_id LONG, ts TIMESTAMP").parquet(cDir)
+    val vs = spark.readStream
+      .schema("view_id LONG, v_user LONG, v_ts TIMESTAMP").parquet(vDir)
+    val q = EventStreams.attributionJoin(cs, vs, windowSeconds = 900,
+        watermark = "0 seconds")
+      .writeStream.format("memory").queryName("attrbound")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("attrbound").count() === 50L)
+      // batch 2: both sources jump 8h ahead (one row each) — the global
+      // watermark passes every batch-1 row's match horizon
+      add(cDir, 2, cCols, Seq((900L, 0L, t0 + 8 * h)))
+      add(vDir, 2, vCols, Seq((901L, 0L, t0 + 8 * h)))
+      q.processAllAvailable()
+      // batch 3: one more advance so eviction under the new watermark is
+      // itself reflected in the final progress metrics
+      add(cDir, 3, cCols, Seq((910L, 1L, t0 + 16 * h)))
+      add(vDir, 3, vCols, Seq((911L, 1L, t0 + 16 * h)))
+      q.processAllAvailable()
+      val st = q.recentProgress.filter(_.stateOperators.nonEmpty)
+        .last.stateOperators.head
+      assert(st.numRowsTotal <= 4L,
+        s"join state holds ${st.numRowsTotal} rows — must retain only " +
+          "rows within watermark+window, not the 100 batch-1 rows")
+    } finally q.stop()
+  }
+
   test("streaming ANN probe serves the persisted IVF index, equal to batch") {
     import graft.similarity.Ann
     // clustered corpus, persisted index (the PipelineOpsSpec fixture)

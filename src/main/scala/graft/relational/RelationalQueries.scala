@@ -270,6 +270,23 @@ object RelationalQueries {
           max($"view_id").as("last_view_id"))
         .orderBy($"click_id")
     },
+    "q109_zorder_tiles" -> { (s, d) =>
+      import s.implicits._
+      // Z-ORDER layout math as a declared query: Morton-interleave
+      // (o_custkey, epoch-day of o_orderdate) — the multi-dimensional
+      // clustering key a 100 TB fact table is laid out by (see
+      // io/ZOrder.writeZOrdered: repartitionByRange(z) makes every file
+      // a tight (custkey, date) box so ordinary min/max statistics
+      // prune 2-D box predicates). Tiles are z >> 20; the oracle
+      // replays the exact five-step spread-bits chain in SQL.
+      orders(s, d)
+        .withColumn("z", graft.io.ZOrder.zValue($"o_custkey",
+          datediff(to_date($"o_orderdate"), lit("1970-01-01"))))
+        .groupBy(shiftright($"z", 20).as("tile"))
+        .agg(count(lit(1)).as("n"), min($"z").as("z_min"),
+          max($"z").as("z_max"))
+        .orderBy($"tile")
+    },
     "q18_json_props" -> { (s, d) =>
       import s.implicits._
       events(s, d)
@@ -425,6 +442,26 @@ object RelationalQueries {
            AND epoch_us(v.v_ts) BETWEEN epoch_us(c.ts) - 900000000
                                     AND epoch_us(c.ts)
          GROUP BY c.click_id ORDER BY c.click_id""",
+    "q109_zorder_tiles" ->
+      """WITH base AS (SELECT o_custkey AS x0,
+             (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS y0
+           FROM orders),
+         s1 AS (SELECT (x0 & 2147483647) AS x,
+             (CAST(y0 AS BIGINT) & 2147483647) AS y FROM base),
+         s2 AS (SELECT ((x | (x << 16)) & 281470681808895) AS x,
+             ((y | (y << 16)) & 281470681808895) AS y FROM s1),
+         s3 AS (SELECT ((x | (x << 8)) & 71777214294589695) AS x,
+             ((y | (y << 8)) & 71777214294589695) AS y FROM s2),
+         s4 AS (SELECT ((x | (x << 4)) & 1085102592571150095) AS x,
+             ((y | (y << 4)) & 1085102592571150095) AS y FROM s3),
+         s5 AS (SELECT ((x | (x << 2)) & 3689348814741910323) AS x,
+             ((y | (y << 2)) & 3689348814741910323) AS y FROM s4),
+         s6 AS (SELECT ((x | (x << 1)) & 6148914691236517205) AS x,
+             ((y | (y << 1)) & 6148914691236517205) AS y FROM s5),
+         zs AS (SELECT (x | (y << 1)) AS z FROM s6)
+         SELECT (z >> 20) AS tile, count(*) AS n,
+           min(z) AS z_min, max(z) AS z_max
+         FROM zs GROUP BY tile ORDER BY tile""",
     "q18_json_props" ->
       """SELECT event_type,
          round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4)

@@ -132,4 +132,63 @@ class IoSpec extends AnyFunSuite {
     assert(words.map(_.getAs[String]("FORM")) === Seq("Le", "patient"))
     assert(words.head.getAs[String]("UPOS") === "DET")
   }
+
+  test("zValue matches a bit-by-bit Morton reference incl. 31-bit extremes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def morton(x: Long, y: Long): Long = {
+      var z = 0L
+      var i = 0
+      while (i < 31) {
+        z |= ((x >> i) & 1L) << (2 * i)
+        z |= ((y >> i) & 1L) << (2 * i + 1)
+        i += 1
+      }
+      z
+    }
+    val rng = new scala.util.Random(7)
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L),
+      (0x7FFFFFFFL, 0x7FFFFFFFL), (0x7FFFFFFFL, 0L)) ++
+      Seq.fill(50)((rng.nextLong().abs & 0x7FFFFFFFL,
+        rng.nextLong().abs & 0x7FFFFFFFL))
+    val got = cases.toDF("x", "y")
+      .select($"x", $"y", graft.io.ZOrder.zValue($"x", $"y").as("z"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(2) === morton(r.getLong(0), r.getLong(1)),
+        s"(${r.getLong(0)}, ${r.getLong(1)})")
+    }
+    // interleave is a bijection on the sampled pairs
+    assert(got.map(_.getLong(2)).distinct.length === cases.distinct.length)
+  }
+
+  test("z-ordered layout concentrates a 2-D box predicate in few files") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val orders = relational.Tables.table(spark, sf, "orders")
+      .select($"o_orderkey", $"o_custkey",
+        datediff(to_date($"o_orderdate"), lit("1970-01-01")).as("day"))
+    val zDir = Files.createTempDirectory("zorder").toString
+    val baseDir = Files.createTempDirectory("zbase").toString
+    graft.io.ZOrder.writeZOrdered(orders, zDir,
+      col("o_custkey"), col("day"), numFiles = 8)
+    // baseline: the same 8 files but hash-scattered (the layout a plain
+    // repartition produces)
+    orders.repartition(8).write.mode("overwrite").parquet(baseDir)
+    val (cLo, cHi) = (10L, 40L)
+    val dayBounds = orders.agg(min($"day"), max($"day")).head()
+    val (dLo, dHi) = (dayBounds.getInt(0).toLong,
+      dayBounds.getInt(0).toLong + 365)
+    def filesTouched(dir: String): Long =
+      spark.read.parquet(dir)
+        .filter($"o_custkey".between(cLo, cHi) && $"day".between(dLo, dHi))
+        .select(input_file_name()).distinct().count()
+    val zf = filesTouched(zDir)
+    val bf = filesTouched(baseDir)
+    assert(bf === 8L, s"hash layout should scatter the box over all files, got $bf")
+    assert(zf < bf, s"z-order must beat hash layout: $zf vs $bf")
+    assert(zf <= 4L, s"z-order box should stay within a few files, got $zf")
+    // and the layout preserves the data exactly
+    assert(spark.read.parquet(zDir).count() === orders.count())
+  }
 }

@@ -17,6 +17,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // analysis-time pipe-composition validation (validate_ops analog)
     ext.injectCheckRule(_ => plans.PipeCompositionCheck)
+    // declarative hamming theta-join -> pigeonhole band equi-joins
+    ext.injectOptimizerRule(_ => plans.HammingJoinRewrite)
     def arity2(name: String, children: Seq[Expression])(
         build: (Expression, Expression) => Expression): Expression = {
       if (children.size != 2)

@@ -104,4 +104,24 @@ class RelationalQueriesSpec extends AnyFunSuite {
     }
     assert(outer.count(_._2.isDefined) === brute.size)
   }
+
+  test("salted join equals the plain join, incl. duplicate multiplicity") {
+    import spark.implicits._
+    // one hot key (10k distinct rows), a few cold keys, duplicate build
+    // rows to pin multiplicity
+    val probe = ((0L until 10000L).map(i => ("hot", i)) ++
+      Seq(("a", -1L), ("a", -2L), ("b", -3L), ("orphan", -4L)))
+      .toDF("k", "pv")
+    val build = Seq(("hot", 1L), ("hot", 2L), ("a", 3L), ("b", 4L),
+      ("b", 4L), ("c", 5L)).toDF("bk", "bv")
+    val salted = operators.SkewJoin.salted(probe, build, "k", "bk", 16)
+    assert(salted.queryExecution.executedPlan.toString.contains("__salt"),
+      "join keys must include the salt")
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      df.select($"k", $"pv", $"bv").as[(String, Long, Long)]
+        .collect().groupBy(identity).view.mapValues(_.length).toMap
+    val plain = probe.join(build, $"k" === $"bk")
+    assert(counts(salted) === counts(plain))
+    assert(salted.count() === 20000L + 2 + 2) // hot 10k*2, a 2*1, b 1*2
+  }
 }

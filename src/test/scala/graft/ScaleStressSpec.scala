@@ -126,7 +126,10 @@ class ScaleStressSpec extends AnyFunSuite {
       "q102_neardup_index_probe",
       // q103 emits one row per language (flat); its window runs over
       // the length histogram, so 10x documents cannot widen it
-      "q103_length_quartiles")
+      "q103_length_quartiles",
+      // q107 is a pure per-row line gate like q86: rows scale exactly
+      // 10x and the whole filter fuses into the scan
+      "q107_line_gate")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

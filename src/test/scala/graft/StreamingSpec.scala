@@ -417,6 +417,29 @@ class StreamingSpec extends AnyFunSuite {
      else r).parquet(dir)
   }
 
+  test("C4 line gate runs unchanged on a stream, equal to batch q107") {
+    // lineGate is a pure row-local column expression — the BATCH gate IS
+    // the streaming gate: no state store, no watermark, bit-equal output
+    val gate = graft.text.TextStats.lineGate($"text", " the ",
+      minWords = 4, blacklist = Seq("slow"), minKeptLines = 3)
+    val got = runToCompletion(
+      docStream(newDocStreamDir())
+        .withColumn("g", gate)
+        .filter($"g.doc_kept")
+        .select($"doc_id", $"g.n_kept".as("n_kept"),
+          $"g.text_clean".as("text_clean")), "linegate")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    val batch = relational.Tables.documents(spark, sf)
+      .withColumn("g", gate)
+      .filter($"g.doc_kept")
+      .select($"doc_id", $"g.n_kept", $"g.text_clean")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    assert(batch.nonEmpty)
+    assert(got === batch)
+  }
+
   test("streaming token-budget selection equals the batch kept set") {
     // one micro-batch + per-group (pos, id) sort = the batch operator's
     // order, so the stream must reproduce tokenBudgetSelection's kept

@@ -43,18 +43,23 @@ object IntervalJoin {
       windowMicros: Long,
       leftOuter: Boolean = false): DataFrame = {
     require(windowMicros > 0, s"window must be positive: $windowMicros")
-    val lb = left.withColumn("__lb",
-      floor(unix_micros(col(leftTime)) / windowMicros))
+    // Buckets use integer `div` (truncated division) — exact in codegen,
+    // no double rounding. Truncation (not floor) is still bucket-correct
+    // for ALL timestamps, negatives included: trunc(x - 1) = trunc(x) - 1
+    // for every real x, so r in [l - w, l] always lands in bucket(l) or
+    // bucket(l) - 1 — exactly the two copies the right side fans into.
+    val lb = left
+      .withColumn("__lt", unix_micros(col(leftTime)))
+      .withColumn("__lb", expr(s"__lt div ${windowMicros}L"))
     val rb = right
-      .withColumn("__rb0", floor(unix_micros(col(rightTime)) / windowMicros))
+      .withColumn("__rt", unix_micros(col(rightTime)))
+      .withColumn("__rb0", expr(s"__rt div ${windowMicros}L"))
       .withColumn("__rb", explode(array(col("__rb0"), col("__rb0") + 1)))
       .drop("__rb0")
     val cond = col("__lb") === col("__rb") &&
       col(leftKey) === col(rightKey) &&
-      unix_micros(col(rightTime)).between(
-        unix_micros(col(leftTime)) - windowMicros,
-        unix_micros(col(leftTime)))
+      col("__rt").between(col("__lt") - windowMicros, col("__lt"))
     lb.join(rb, cond, if (leftOuter) "left_outer" else "inner")
-      .drop("__lb", "__rb")
+      .drop("__lb", "__rb", "__lt", "__rt")
   }
 }

@@ -72,10 +72,14 @@ class RelationalQueriesSpec extends AnyFunSuite {
     // outside both ends; a key-only match far away; an unmatched key;
     // and a "hot key" burst crossing a bucket boundary.
     val left = Seq((1L, "u", 1000L), (2L, "u", 250L), (3L, "z", 500L)) ++
-      (10L to 29L).map(i => (i, "hot", 10000L + i * 7))
+      (10L to 29L).map(i => (i, "hot", 10000L + i * 7)) ++
+      // pre-epoch times: truncated-div bucketing must stay correct
+      Seq((30L, "n", -1000L), (31L, "n", -50L))
     val right = Seq((100L, "u", 900L), (101L, "u", 1000L),
       (102L, "u", 899L), (103L, "u", 1001L), (104L, "w", 950L)) ++
-      (200L to 239L).map(i => (i, "hot", 9900L + i))
+      (200L to 239L).map(i => (i, "hot", 9900L + i)) ++
+      Seq((300L, "n", -1100L), (301L, "n", -1000L), (302L, "n", -120L),
+        (303L, "n", -151L))
     val l = left.toDF("id", "k", "t")
       .withColumn("t", timestamp_micros($"t"))
     val r = right.toDF("rid", "rk", "rt")

@@ -172,6 +172,40 @@ object Multimodal {
     graft.dedup.SimHash.pairsFromFingerprints(fp, radius, nbits = blocks)
   }
 
+  /** Scene-change (shot-boundary) detection stub for video-as-bytes:
+    * the payload's consecutive full `frameBytes` blocks are "frames",
+    * each frame's byte-sum its brightness, and a CHANGE is a
+    * consecutive-frame mean-brightness jump above `threshold` —
+    * `|sum_f - sum_{f-1}| > threshold * frameBytes`, exact integer
+    * arithmetic so an independent SQL engine replays every count from
+    * ASCII payload chars (the q38/q106 convention). One fused row-local
+    * pass: the payload never leaves its partition, no per-frame rows
+    * materialize, only (id, n_frames, n_changes) ever moves. Swap the
+    * byte sums for decoded luma when codecs are available; the
+    * windowed-difference shape is the production one.
+    */
+  def sceneChanges(ds: Dataset[MediaRow], frameBytes: Int, threshold: Int)
+      : Dataset[(Long, Int, Int)] = {
+    import ds.sparkSession.implicits._
+    ds.map { r =>
+      val n = r.content.length / frameBytes
+      var prev = 0L
+      var changes = 0
+      var f = 0
+      while (f < n) {
+        var s = 0L
+        var i = f * frameBytes
+        val end = i + frameBytes
+        while (i < end) { s += r.content(i) & 0xFFL; i += 1 }
+        if (f > 0 && math.abs(s - prev) > threshold.toLong * frameBytes)
+          changes += 1
+        prev = s
+        f += 1
+      }
+      (r.media_id, n, changes)
+    }
+  }
+
   /** Build a synthetic media table from the documents corpus (text bytes as
     * payload) — exercises the exact schema/plumbing with deterministic
     * content.

@@ -1311,6 +1311,20 @@ object PipelineQueries {
         .select($"id_a", $"id_b", $"hamming".cast("int").as("hamming"))
         .orderBy($"id_a", $"id_b")
     },
+    "q110_scene_changes" -> { (s, d) =>
+      import s.implicits._
+      // shot-boundary detection on the declared multimodal stub
+      // surface: 16-byte "frames", a change = consecutive-frame mean
+      // brightness jumping by > 4 — exact integer arithmetic in one
+      // fused row-local pass (payloads never shuffle; only the three
+      // counters move). ASCII restriction keeps bytes == codepoints so
+      // the oracle replays frame sums from the chars (q38 convention).
+      val media = Multimodal.mediaFromDocuments(s,
+        documents(s, d).filter($"text".rlike("^[\\x00-\\x7F]*$")))
+      Multimodal.sceneChanges(media, frameBytes = 16, threshold = 4)
+        .toDF("media_id", "n_frames", "n_changes")
+        .orderBy($"media_id")
+    },
     "q107_line_gate" -> { (s, d) =>
       import s.implicits._
       // C4-style LINE-level cleaning (Raffel et al. 2020 §2.2) as a
@@ -2666,6 +2680,28 @@ object PipelineQueries {
          FROM fp a JOIN fp b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.fp, b.fp)) <= 8
          ORDER BY id_a, id_b""",
+    "q110_scene_changes" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+           WHERE regexp_matches(text, '^[\x00-\x7F]*$')),
+         dd AS (SELECT doc_id, text, length(text) // 16 AS nf
+           FROM corpus),
+         u AS (SELECT doc_id, text, nf, unnest(range(0, nf * 16)) AS i
+           FROM dd),
+         v AS (SELECT doc_id, nf, i // 16 AS f,
+             ord(substr(text, CAST(i + 1 AS INTEGER), 1)) AS b
+           FROM u),
+         fs AS (SELECT doc_id, nf, f, sum(b) AS s FROM v GROUP BY 1, 2, 3),
+         d AS (SELECT doc_id, nf, f,
+             abs(s - lag(s) OVER (PARTITION BY doc_id ORDER BY f)) AS diff
+           FROM fs)
+         SELECT doc_id AS media_id, CAST(max(nf) AS INTEGER) AS n_frames,
+           CAST(count(CASE WHEN diff > 4 * 16 THEN 1 END) AS INTEGER)
+             AS n_changes
+         FROM d GROUP BY doc_id
+         UNION ALL
+         SELECT doc_id AS media_id, 0 AS n_frames, 0 AS n_changes
+         FROM corpus WHERE length(text) < 16
+         ORDER BY media_id""",
     "q107_line_gate" ->
       """WITH sp AS (SELECT doc_id,
              string_split(text, ' the ') AS ls FROM documents),

@@ -1351,6 +1351,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!gate(digits).getAs[Boolean]("ok_alpha"))
   }
 
+  test("scene-change counts flip exactly at the threshold boundary") {
+    import graft.multimodal.Multimodal
+    // frames of 4 bytes; threshold 2 -> change iff |sum diff| > 8
+    def media(id: Long, bytes: Array[Byte]) =
+      Seq((id, bytes, ("stub/bin", 0, 0, 0L)))
+        .toDF("media_id", "content", "meta")
+        .select($"media_id", $"content",
+          $"meta".cast("struct<format:string,width:int,height:int," +
+            "durationMs:bigint>").as("meta"))
+        .as[Multimodal.MediaRow]
+    def run(bytes: Int*) : (Int, Int) = {
+      val r = Multimodal.sceneChanges(
+        media(1L, bytes.map(_.toByte).toArray), frameBytes = 4,
+        threshold = 2).collect().head
+      (r._2, r._3)
+    }
+    // frame sums: 40, 49, 40 -> diffs 9, 9: both > 8 -> 2 changes
+    assert(run(10, 10, 10, 10, 10, 10, 10, 19, 10, 10, 10, 10) === (3, 2))
+    // diff exactly 8 is NOT a change (strict >)
+    assert(run(10, 10, 10, 10, 10, 10, 10, 18, 10, 10, 10, 10) === (3, 0))
+    // trailing partial frame is ignored: 13 bytes -> 3 frames
+    assert(run(10, 10, 10, 10, 10, 10, 10, 19, 10, 10, 10, 10, 99) === (3, 2))
+    // payloads under one frame: 0 frames, 0 changes
+    assert(run(1, 2, 3) === (0, 0))
+  }
+
   test("C4 line gate keeps/drops lines and docs at declared boundaries") {
     def gate(t: String) = Seq((1L, t)).toDF("doc_id", "text")
       .select(TextStats.lineGate($"text", " the ",

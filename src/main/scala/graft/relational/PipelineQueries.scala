@@ -1311,6 +1311,22 @@ object PipelineQueries {
         .select($"id_a", $"id_b", $"hamming".cast("int").as("hamming"))
         .orderBy($"id_a", $"id_b")
     },
+    "q111_embedding_dispersion" -> { (s, d) =>
+      import s.implicits._
+      // embedding-space DIAGNOSTICS for a labeled corpus: per-label
+      // cluster compactness. Components quantize to integers
+      // (round(x * 1e4), float->double exact), then the mean-squared-
+      // distance-to-centroid identity n*sum||q||^2 - sum_j (sum q_j)^2
+      // keeps EVERYTHING integer — no float aggregate exists anywhere,
+      // so the oracle replays the exact value with zero rounding
+      // convention. Plan: one posexplode -> two partial-aggregated
+      // groupBys (label,pos then label) -> broadcast-sized join with
+      // the per-label counts; nothing wider than (label, pos) rows
+      // ever shuffles, embeddings never move whole.
+      graft.similarity.Embeddings
+        .labelDispersion(embeddings(s, d), $"label", $"embedding")
+        .orderBy($"label")
+    },
     "q110_scene_changes" -> { (s, d) =>
       import s.implicits._
       // shot-boundary detection on the declared multimodal stub
@@ -2680,6 +2696,23 @@ object PipelineQueries {
          FROM fp a JOIN fp b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.fp, b.fp)) <= 8
          ORDER BY id_a, id_b""",
+    "q111_embedding_dispersion" ->
+      """WITH q AS (SELECT label,
+             generate_subscripts(embedding, 1) AS pos,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
+               AS BIGINT) AS qc
+           FROM embeddings),
+         comp AS (SELECT label, pos, CAST(sum(qc) AS BIGINT) AS sv,
+             CAST(sum(qc * qc) AS BIGINT) AS sq
+           FROM q GROUP BY 1, 2),
+         pl AS (SELECT label, CAST(sum(sq) AS BIGINT) AS ssq,
+             CAST(sum(sv * sv) AS BIGINT) AS svsq
+           FROM comp GROUP BY 1),
+         c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1)
+         SELECT pl.label AS label, c.n AS n,
+           CAST(ssq * n - svsq AS BIGINT) AS dispersion_num
+         FROM pl JOIN c ON pl.label = c.label
+         ORDER BY label""",
     "q110_scene_changes" ->
       """WITH corpus AS (SELECT doc_id, text FROM documents
            WHERE regexp_matches(text, '^[\x00-\x7F]*$')),

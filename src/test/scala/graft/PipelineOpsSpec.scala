@@ -1351,6 +1351,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!gate(digits).getAs[Boolean]("ok_alpha"))
   }
 
+  test("label dispersion matches hand arithmetic and zeroes on singletons") {
+    import graft.similarity.Embeddings
+    val df = Seq(
+      ("a", Seq(0.1f, 0.3f)), ("a", Seq(0.3f, 0.1f)),
+      ("b", Seq(0.5f, 0.5f)), // singleton: dispersion must be 0
+      ("c", Seq(0.2f, 0.2f)), ("c", Seq(0.2f, 0.2f)) // identical pair: 0
+    ).toDF("label", "vec")
+    val got = Embeddings.labelDispersion(df, $"label", $"vec")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // a: q = (1000,3000),(3000,1000); ssq = 2*(1e6+9e6) = 2e7;
+    // sv = (4000,4000) -> svsq = 3.2e7; num = 2e7*2 - 3.2e7 = 8e6.
+    // Sanity: msd = 8e6 / n^2 / 1e8 = 0.02 = mean of the two 0.02
+    // squared distances to centroid (0.2, 0.2).
+    assert(got("a") === ((2L, 8000000L)))
+    assert(got("b") === ((1L, 0L)))
+    assert(got("c") === ((2L, 0L)))
+  }
+
   test("scene-change counts flip exactly at the threshold boundary") {
     import graft.multimodal.Multimodal
     // frames of 4 bytes; threshold 2 -> change iff |sum diff| > 8

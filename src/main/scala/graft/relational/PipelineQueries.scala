@@ -1311,6 +1311,17 @@ object PipelineQueries {
         .select($"id_a", $"id_b", $"hamming".cast("int").as("hamming"))
         .orderBy($"id_a", $"id_b")
     },
+    "q112_embedding_covariance" -> { (s, d) =>
+      import s.implicits._
+      // the PCA/whitening input: the 16x16 covariance matrix of the
+      // embedding components, integer-exact via the q111 quantization
+      // (n * sum(qi*qj) - Si*Sj = n^2 * cov) — upper triangle, 136
+      // rows regardless of corpus size. Vectors explode to component
+      // pairs ROW-LOCALLY; per-task aggregate state is d^2-bounded.
+      graft.similarity.Embeddings
+        .covariance(embeddings(s, d), $"embedding")
+        .orderBy($"i", $"j")
+    },
     "q111_embedding_dispersion" -> { (s, d) =>
       import s.implicits._
       // embedding-space DIAGNOSTICS for a labeled corpus: per-label
@@ -2696,6 +2707,26 @@ object PipelineQueries {
          FROM fp a JOIN fp b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.fp, b.fp)) <= 8
          ORDER BY id_a, id_b""",
+    "q112_embedding_covariance" ->
+      """WITH q AS (SELECT vec_id, list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+           FROM embeddings),
+         e AS (SELECT vec_id, generate_subscripts(qv, 1) - 1 AS i,
+             unnest(qv) AS qi
+           FROM q),
+         p AS (SELECT a.i AS i, b.i AS j, a.qi * b.qi AS p
+           FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i),
+         sums AS (SELECT i, j, CAST(sum(p) AS BIGINT) AS sp
+           FROM p GROUP BY 1, 2),
+         marg AS (SELECT i AS k, CAST(sum(qi) AS BIGINT) AS s
+           FROM e GROUP BY 1),
+         nn AS (SELECT count(*) AS n FROM embeddings)
+         SELECT sums.i AS i, sums.j AS j,
+           CAST(sp * n - si.s * sj.s AS BIGINT) AS cov_num
+         FROM sums, nn
+         JOIN marg si ON si.k = sums.i
+         JOIN marg sj ON sj.k = sums.j
+         ORDER BY i, j""",
     "q111_embedding_dispersion" ->
       """WITH q AS (SELECT label,
              generate_subscripts(embedding, 1) AS pos,

@@ -45,4 +45,40 @@ object Embeddings {
       .select(col("label"), col("n"),
         (col("ssq") * col("n") - col("svsq")).as("dispersion_num"))
   }
+
+  /** Whole-corpus covariance matrix of the embedding components,
+    * INTEGER-exact with the same quantization as [[labelDispersion]]
+    * (whose per-label dispersion is this matrix's trace restricted to a
+    * label): cov_num(i, j) = n·Σ qᵢqⱼ − (Σ qᵢ)(Σ qⱼ) = n²·cov. The
+    * PCA/whitening input for embedding-space diagnostics, produced
+    * without any float aggregate. Emits the upper triangle (i ≤ j).
+    *
+    * Plan shape: each vector explodes to its d·(d+1)/2 component pairs
+    * (row-local generator), one partial-aggregated groupBy on
+    * (i, j) — d²-bounded state per task regardless of corpus size —
+    * then the d-row marginal-sum table joins in broadcast-sized. For
+    * d = 16 that is 136 running sums per task; vectors never shuffle.
+    */
+  def covariance(df: DataFrame, vecCol: Column, scaleDigits: Int = 4)
+      : DataFrame = {
+    val factor = math.pow(10, scaleDigits)
+    val q = df.select(transform(vecCol,
+      x => round(x.cast("double") * factor).cast("long")).as("q"))
+    val d = q.select(size(col("q"))).head().getInt(0)
+    val pairs = q.select(explode(flatten(transform(col("q"),
+      (qi, i) => transform(slice(col("q"), i + lit(1), lit(d) - i),
+        (qj, j) => struct(i.as("i"), (i + j).as("j"),
+          (qi * qj).as("p")))))).as("e"))
+      .select(col("e.i"), col("e.j"), col("e.p"))
+    val sums = pairs.groupBy(col("i"), col("j"))
+      .agg(sum(col("p")).as("sp"))
+    val marg = q.select(posexplode(col("q")).as(Seq("k", "qk")))
+      .groupBy(col("k")).agg(sum(col("qk")).as("s"))
+    val n = df.count()
+    sums
+      .join(broadcast(marg.select(col("k").as("i"), col("s").as("si"))), "i")
+      .join(broadcast(marg.select(col("k").as("j"), col("s").as("sj"))), "j")
+      .select(col("i"), col("j"),
+        (col("sp") * n - col("si") * col("sj")).as("cov_num"))
+  }
 }

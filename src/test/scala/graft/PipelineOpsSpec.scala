@@ -1370,6 +1370,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got("c") === ((2L, 0L)))
   }
 
+  test("covariance matches hand arithmetic; trace equals dispersion") {
+    import graft.similarity.Embeddings
+    val df = Seq(Seq(0.1f, 0.3f), Seq(0.3f, 0.1f)).toDF("vec")
+    val got = Embeddings.covariance(df, $"vec")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // q = (1000,3000),(3000,1000), n = 2, S = (4000,4000):
+    // (0,0): 2*1e7 - 1.6e7 = 4e6; (0,1): 2*6e6 - 1.6e7 = -4e6
+    assert(got === Map((0, 0) -> 4000000L, (0, 1) -> -4000000L,
+      (1, 1) -> 4000000L))
+    // trace == labelDispersion's numerator on the same (single-label) set
+    val disp = Embeddings.labelDispersion(
+        df.withColumn("label", lit("x")), $"label", $"vec")
+      .collect().head.getLong(2)
+    assert(got((0, 0)) + got((1, 1)) === disp)
+  }
+
   test("scene-change counts flip exactly at the threshold boundary") {
     import graft.multimodal.Multimodal
     // frames of 4 bytes; threshold 2 -> change iff |sum diff| > 8

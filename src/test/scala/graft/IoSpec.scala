@@ -160,6 +160,12 @@ class IoSpec extends AnyFunSuite {
     }
     // interleave is a bijection on the sampled pairs
     assert(got.map(_.getLong(2)).distinct.length === cases.distinct.length)
+    // monotone per dimension (the doc's box-containment claim): growing
+    // either coordinate never decreases the code
+    val zs = cases.map { case (x, y) => (x, y, morton(x, y)) }
+    for ((x1, y1, z1) <- zs; (x2, y2, z2) <- zs
+         if x1 <= x2 && y1 <= y2)
+      assert(z1 <= z2, s"($x1,$y1) -> ($x2,$y2)")
   }
 
   test("z-ordered layout concentrates a 2-D box predicate in few files") {

@@ -147,4 +147,38 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("interval join equals brute force on randomized instances") {
+    import TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    // random windows, keys, and timestamps spanning the epoch on both
+    // sides — clustered time ranges so matches actually occur
+    val gen = for {
+      w <- Gen.choose(1L, 500L)
+      lefts <- Gen.listOfN(40,
+        Gen.zip(Gen.choose(0, 4), Gen.choose(-2000L, 2000L)))
+      rights <- Gen.listOfN(40,
+        Gen.zip(Gen.choose(0, 4), Gen.choose(-2000L, 2000L)))
+    } yield (w, lefts, rights)
+    forAll(gen, n = 6) { case (w, lefts, rights) =>
+      val lRows = lefts.zipWithIndex.map { case ((k, t), i) =>
+        (i.toLong, s"k$k", t) }
+      val rRows = rights.zipWithIndex.map { case ((k, t), i) =>
+        (1000L + i, s"k$k", t) }
+      val l = lRows.toDF("id", "k", "tl")
+        .select($"id", $"k", timestamp_micros($"tl").as("t"))
+      val r = rRows.toDF("rid", "rk", "rtl")
+        .select($"rid", $"rk", timestamp_micros($"rtl").as("rt"))
+      val got = graft.operators.IntervalJoin
+        .pairs(l, r, "k", "rk", "t", "rt", w)
+        .select(col("id"), col("rid")).as[(Long, Long)].collect().toSet
+      val brute = (for {
+        (id, k, t) <- lRows
+        (rid, rk, rt) <- rRows
+        if k == rk && rt >= t - w && rt <= t
+      } yield (id, rid)).toSet
+      assert(got === brute, s"window $w")
+    }
+  }
 }

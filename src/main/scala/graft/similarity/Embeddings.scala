@@ -67,7 +67,11 @@ object Embeddings {
     val qds = df.select(transform(vecCol,
       x => round(x.cast("double") * factor).cast("long")).as("q"))
       .as[Seq[Long]]
-    val d = qds.head().size
+    val first = qds.take(1)
+    if (first.isEmpty)
+      return spark.createDataFrame(Seq.empty[(Int, Int, Long)])
+        .toDF("i", "j", "cov_num")
+    val d = first.head.size
     val nPairs = d * (d + 1) / 2
     // One typed Aggregator pass: the buffer is the full running moment
     // vector — d(d+1)/2 pair sums, d marginal sums, the row count —

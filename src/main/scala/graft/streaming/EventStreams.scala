@@ -158,15 +158,23 @@ object EventStreams {
     * run. Without the range condition the state store would retain every
     * row ever seen; the spec pins eviction via `stateOperators`.
     */
+  /** `leftOuter = true` keeps zero-view clicks (the batch q108
+    * semantics): a null-view row for a click emits only once the
+    * WATERMARK passes the click's match horizon — the engine must
+    * prove no matching view can still arrive before it declares the
+    * click unmatched, so outer results trail the watermark by design.
+    */
   def attributionJoin(clicks: DataFrame, views: DataFrame,
       windowSeconds: Long = 900,
-      watermark: String = "2 hours"): DataFrame = {
+      watermark: String = "2 hours",
+      leftOuter: Boolean = false): DataFrame = {
     val c = clicks.withWatermark("ts", watermark)
     val v = views.withWatermark("v_ts", watermark)
     c.join(v,
       col("user_id") === col("v_user") &&
         col("v_ts") >= col("ts") - expr(s"INTERVAL $windowSeconds SECONDS") &&
-        col("v_ts") <= col("ts"))
+        col("v_ts") <= col("ts"),
+      if (leftOuter) "left_outer" else "inner")
       .select(col("click_id"), col("user_id"), col("ts"),
         col("view_id"), col("v_ts"))
   }

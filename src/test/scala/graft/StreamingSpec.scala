@@ -162,6 +162,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === batch)
   }
 
+  test("left-outer stream-stream join emits null-view clicks only after " +
+      "the watermark proves no match can arrive") {
+    val cDir = Files.createTempDirectory("attro-clicks").toString
+    val vDir = Files.createTempDirectory("attro-views").toString
+    def add(dir: String, n: Int, schema: Seq[String],
+        rows: Seq[(Long, Long, Long)]): Unit = {
+      val tmp = Files.createTempDirectory(s"attro$n").toString
+      rows.toDF("id", "user", "tsl")
+        .select($"id".as(schema(0)), $"user".as(schema(1)),
+          expr("timestamp_micros(tsl * 1000000)").as(schema(2)))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(f.toPath, Paths.get(dir, s"batch$n.parquet"))
+    }
+    val cCols = Seq("click_id", "user_id", "ts")
+    val vCols = Seq("view_id", "v_user", "v_ts")
+    val t0 = 1600000000L
+    // batch 1: 10 clicks; only users 0-4 have a matching view
+    add(cDir, 1, cCols, (0L until 10L).map(u => (u, u, t0 + 600)))
+    add(vDir, 1, vCols, (100L until 105L).map(i => (i, i - 100, t0)))
+    val cs = spark.readStream
+      .schema("click_id LONG, user_id LONG, ts TIMESTAMP").parquet(cDir)
+    val vs = spark.readStream
+      .schema("view_id LONG, v_user LONG, v_ts TIMESTAMP").parquet(vDir)
+    val q = EventStreams.attributionJoin(cs, vs, windowSeconds = 900,
+        watermark = "0 seconds", leftOuter = true)
+      .writeStream.format("memory").queryName("attrouter")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // matched pairs emit eagerly; unmatched clicks must NOT have
+      // emitted yet — a view for users 5-9 could still arrive
+      val eager = spark.table("attrouter").collect()
+      assert(eager.count(r => !r.isNullAt(3)) === 5)
+      assert(eager.count(r => r.isNullAt(3)) === 0,
+        "outer rows must wait for the watermark, not emit eagerly")
+      // both sources jump far ahead: watermark passes the match horizon
+      add(cDir, 2, cCols, Seq((900L, 0L, t0 + 8 * 3600)))
+      add(vDir, 2, vCols, Seq((901L, 0L, t0 + 8 * 3600)))
+      q.processAllAvailable()
+      // one more advance so the outer emission (tied to state cleanup)
+      // lands in a completed batch
+      add(cDir, 3, cCols, Seq((910L, 1L, t0 + 16 * 3600)))
+      add(vDir, 3, vCols, Seq((911L, 1L, t0 + 16 * 3600)))
+      q.processAllAvailable()
+      val rows = spark.table("attrouter").collect()
+      val outer = rows.filter(r => r.isNullAt(3)).map(_.getLong(0)).toSet
+      assert((5L until 10L).toSet.subsetOf(outer),
+        s"unmatched batch-1 clicks must emit null-view rows, got $outer")
+      // matched clicks never get a spurious outer row
+      assert(!(0L until 5L).exists(outer.contains),
+        "matched clicks must not also emit null-view rows")
+    } finally q.stop()
+  }
+
   test("stream-stream join state is evicted once the watermark passes " +
       "the match horizon") {
     val cDir = Files.createTempDirectory("attrb-clicks").toString

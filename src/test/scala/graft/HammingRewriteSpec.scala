@@ -141,6 +141,26 @@ class HammingRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("outer joins are never banded (rule scope is inner/cross only)") {
+    withExtendedSession { spark =>
+      import spark.implicits._
+      val a = fps.toDF("id_a", "fp_a")
+      val b = fps.toDF("id_b", "fp_b")
+      val joined = a.join(b,
+        bit_count($"fp_a".bitwiseXOR($"fp_b")) <= 3, "left_outer")
+      assert(!joined.queryExecution.executedPlan.toString.contains("Union"))
+      // every left row survives; unmatched ones carry nulls
+      assert(joined.count() >= fps.size)
+      val gotPairs = joined.filter($"id_b".isNotNull)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      val expect = (for {
+        (ia, fa) <- fps; (ib, fb) <- fps
+        if java.lang.Long.bitCount(fa ^ fb) <= 3
+      } yield (ia, ib)).toSet
+      assert(gotPairs === expect)
+    }
+  }
+
   test("oversized radius falls through to the default plan") {
     withExtendedSession { spark =>
       import spark.implicits._

@@ -306,6 +306,95 @@ object RelationalQueries {
         .groupBy($"m")
         .agg(count(lit(1)).as("n"))
         .orderBy($"m")
+    },
+    // --- events: product analytics (funnel / retention / paths / gates) -
+    "q113_funnel" -> { (s, d) =>
+      import s.implicits._
+      // First-touch ORDERED funnel signup -> view -> click -> purchase:
+      // a step counts only if it occurs strictly after the user's
+      // previous step in (ts, event_id) sequence order. Four chained
+      // running-min window columns over ONE partitioning (Catalyst
+      // plans four Window operators but reuses the single exchange +
+      // sort on user_id); per-row state is four timestamps, so a hot
+      // user costs O(events) — no self-join, no per-user collect.
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      events(s, d)
+        .withColumn("s1",
+          min(when($"event_type" === "signup", $"ts")).over(w))
+        .withColumn("s2",
+          min(when($"event_type" === "view" && $"s1".isNotNull, $"ts"))
+            .over(w))
+        .withColumn("s3",
+          min(when($"event_type" === "click" && $"s2".isNotNull, $"ts"))
+            .over(w))
+        .withColumn("s4",
+          min(when($"event_type" === "purchase" && $"s3".isNotNull, $"ts"))
+            .over(w))
+        .groupBy($"user_id")
+        .agg(max(when($"s1".isNotNull, 1L).otherwise(0L)).as("r1"),
+          max(when($"s2".isNotNull, 1L).otherwise(0L)).as("r2"),
+          max(when($"s3".isNotNull, 1L).otherwise(0L)).as("r3"),
+          max(when($"s4".isNotNull, 1L).otherwise(0L)).as("r4"))
+        .agg(sum($"r1").as("signup_users"), sum($"r2").as("view_users"),
+          sum($"r3").as("click_users"), sum($"r4").as("purchase_users"))
+    },
+    "q114_retention_cohorts" -> { (s, d) =>
+      import s.implicits._
+      // Weekly retention triangle: cohort = a user's first active week;
+      // n_users per (cohort_week, weeks since cohort). distinct
+      // (user, week) first — partial-aggregated before the shuffle and
+      // bounded by users x calendar weeks, so event volume never crosses
+      // the wire twice; the per-user cohort min is a window over that
+      // already-small frame.
+      val uw = events(s, d)
+        .select($"user_id",
+          expr("datediff(to_date(ts), date'2024-01-01') div 7")
+            .cast("long").as("week"))
+        .distinct()
+      uw.withColumn("cohort_week",
+          min($"week").over(Window.partitionBy($"user_id")))
+        .groupBy($"cohort_week", ($"week" - $"cohort_week").as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy($"cohort_week", $"week_offset")
+    },
+    "q115_transitions" -> { (s, d) =>
+      import s.implicits._
+      // Event-path Markov transition counts: per-user consecutive
+      // (prev, next) event-type pairs. One shuffle+sort on user_id for
+      // the lag, one partial-aggregated shuffle for the 25-cell matrix.
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      events(s, d)
+        .withColumn("prev_type", lag($"event_type", 1).over(w))
+        .filter($"prev_type".isNotNull)
+        .groupBy($"prev_type", $"event_type".as("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"prev_type", $"next_type")
+    },
+    "q116_value_outliers" -> { (s, d) =>
+      import s.implicits._
+      // 3-sigma outlier gate, INTEGER-exact: cents c = round(value*100)
+      // (inputs are 2-decimal money, so c is exact on both engines);
+      // flag iff (c*n - S)^2 > 9*(n*SS - S^2) with S = sum c,
+      // SS = sum c^2 — the population z-score test cleared of division,
+      // every aggregate a 64-bit integer and the final comparison in
+      // DECIMAL(38,0) so a 10x corpus cannot overflow. The stats side is
+      // one row per event_type — broadcast back, so the fact scan never
+      // shuffles; the only exchange is the tiny final agg.
+      val ev = events(s, d)
+        .withColumn("c", round($"value" * 100).cast("long"))
+      val stats = ev.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"c").as("s"),
+          sum($"c" * $"c").as("ss"))
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val diff = dec($"c" * $"n" - $"s")
+      ev.join(broadcast(stats), "event_type")
+        .filter(diff * diff >
+          lit(9) * (dec($"n") * dec($"ss") - dec($"s") * dec($"s")))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_outliers"), min($"event_id").as("first_id"),
+          max($"event_id").as("last_id"))
+        .orderBy($"event_type")
     }
   )
 
@@ -472,6 +561,84 @@ object RelationalQueries {
       """SELECT m, count(*) AS n
          FROM orders, unnest([1, 2, 3]) AS t(m)
          WHERE o_orderkey % 100 = 0
-         GROUP BY m ORDER BY m"""
+         GROUP BY m ORDER BY m""",
+    "q113_funnel" ->
+      """WITH s1 AS (
+           SELECT user_id, ts, event_id, event_type,
+             min(CASE WHEN event_type = 'signup' THEN ts END) OVER w AS s1
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING)),
+         s2 AS (
+           SELECT *, min(CASE WHEN event_type = 'view' AND s1 IS NOT NULL
+               THEN ts END) OVER w AS s2
+           FROM s1
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING)),
+         s3 AS (
+           SELECT *, min(CASE WHEN event_type = 'click' AND s2 IS NOT NULL
+               THEN ts END) OVER w AS s3
+           FROM s2
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING)),
+         s4 AS (
+           SELECT *, min(CASE WHEN event_type = 'purchase' AND s3 IS NOT NULL
+               THEN ts END) OVER w AS s4
+           FROM s3
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING)),
+         per_user AS (
+           SELECT user_id,
+             max(CASE WHEN s1 IS NOT NULL THEN 1 ELSE 0 END) AS r1,
+             max(CASE WHEN s2 IS NOT NULL THEN 1 ELSE 0 END) AS r2,
+             max(CASE WHEN s3 IS NOT NULL THEN 1 ELSE 0 END) AS r3,
+             max(CASE WHEN s4 IS NOT NULL THEN 1 ELSE 0 END) AS r4
+           FROM s4 GROUP BY user_id)
+         SELECT CAST(sum(r1) AS BIGINT) AS signup_users,
+           CAST(sum(r2) AS BIGINT) AS view_users,
+           CAST(sum(r3) AS BIGINT) AS click_users,
+           CAST(sum(r4) AS BIGINT) AS purchase_users
+         FROM per_user""",
+    "q114_retention_cohorts" ->
+      """WITH uw AS (
+           SELECT DISTINCT user_id,
+             CAST((CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS BIGINT)
+               AS week
+           FROM events),
+         c AS (
+           SELECT user_id, week,
+             min(week) OVER (PARTITION BY user_id) AS cohort_week
+           FROM uw)
+         SELECT cohort_week, week - cohort_week AS week_offset,
+           count(*) AS n_users
+         FROM c GROUP BY cohort_week, week_offset
+         ORDER BY cohort_week, week_offset""",
+    "q115_transitions" ->
+      """WITH t AS (
+           SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev_type
+           FROM events)
+         SELECT prev_type, event_type AS next_type, count(*) AS n
+         FROM t WHERE prev_type IS NOT NULL
+         GROUP BY prev_type, next_type
+         ORDER BY prev_type, next_type""",
+    "q116_value_outliers" ->
+      """WITH c AS (
+           SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS c
+           FROM events),
+         st AS (
+           SELECT event_type, count(*) AS n,
+             CAST(sum(c) AS BIGINT) AS s, CAST(sum(c*c) AS BIGINT) AS ss
+           FROM c GROUP BY event_type)
+         SELECT c.event_type AS event_type, count(*) AS n_outliers,
+           min(c.event_id) AS first_id, max(c.event_id) AS last_id
+         FROM c JOIN st USING (event_type)
+         WHERE CAST(c.c * st.n - st.s AS HUGEINT)
+               * CAST(c.c * st.n - st.s AS HUGEINT)
+           > 9 * (CAST(st.n AS HUGEINT) * st.ss
+                  - CAST(st.s AS HUGEINT) * st.s)
+         GROUP BY c.event_type ORDER BY event_type"""
   )
 }

@@ -133,6 +133,71 @@ object EventStreams {
       }
   }
 
+  case class TransEvent(user_id: Long, ts: java.sql.Timestamp,
+      event_id: Long, event_type: String)
+  /** lastType = previous emitted event's type (carried across batches);
+    * buf = events still above the watermark as (tsMicros, event_id, type),
+    * bounded by one watermark horizon of ONE user's traffic.
+    */
+  case class TransState(lastType: Option[String],
+      buf: List[(Long, Long, String)])
+  case class TransPair(user_id: Long, prev_type: String, next_type: String)
+
+  /** Streaming twin of batch q115_transitions: per-user consecutive
+    * (prev, next) event-type pairs in exact (ts, event_id) order — the
+    * stateful-LAG shape. A pair can only be emitted once the engine knows
+    * no earlier event will still arrive, so arrivals buffer until the
+    * WATERMARK passes them: each trigger appends the batch's rows to the
+    * per-user buffer, drains the prefix strictly below the current
+    * watermark in (ts, event_id) order, and emits one pair per drained
+    * event against the carried `lastType`. State per user = one small
+    * record + at most a watermark horizon of buffered rows; `lastType`
+    * persists indefinitely (exactly the batch semantics — a user's next
+    * event after a year still pairs with their last one), so state count
+    * grows with distinct users, the same bound as any per-user streaming
+    * aggregation. Downstream `groupBy(prev,next).count` in update mode
+    * gives the running transition matrix.
+    */
+  def transitionPairs(events: Dataset[TransEvent],
+      watermark: String = "2 hours"): Dataset[TransPair] = {
+    import events.sparkSession.implicits._
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, TransPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[TransEvent],
+            state: GroupState[TransState]) =>
+          val st = state.getOption.getOrElse(TransState(None, Nil))
+          val buf = (st.buf ++ rows.map(e =>
+              (micros(e.ts), e.event_id, e.event_type)))
+            .sortBy(t => (t._1, t._2))
+          // strictly-below-watermark prefix is safe to order: later
+          // arrivals at or below the watermark are dropped as late
+          // before they reach this function
+          val wmMs = state.getCurrentWatermarkMs()
+          val (ready, pending) = buf.partition(_._1 < wmMs * 1000L)
+          var last = st.lastType
+          val out = ready.flatMap { case (_, _, t) =>
+            val p = last
+            last = Some(t)
+            p.map(pt => TransPair(userId, pt, t))
+          }
+          state.update(TransState(last, pending))
+          // a group is only re-invoked on new data OR a timeout — without
+          // this, a buffer whose user goes quiet would never drain. Fire
+          // once the watermark passes the newest buffered row (the whole
+          // buffer is ready by then); no timeout when the buffer is empty,
+          // so idle users cost one lastType record and zero wake-ups.
+          if (pending.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max(pending.map(_._1 / 1000L).max, wmMs + 1L))
+          out.iterator
+      }
+  }
+
   /** Stateful exact dedup on event_id within the watermark horizon —
     * Spark's `dropDuplicates` over a keyed state store (the streaming form
     * of the exact-dedup operator).

@@ -128,4 +128,90 @@ class RelationalQueriesSpec extends AnyFunSuite {
     assert(counts(salted) === counts(plain))
     assert(salted.count() === 20000L + 2 + 2) // hot 10k*2, a 2*1, b 1*2
   }
+
+  /** (user, tsMicros, eventId, type) in per-user sequence order. */
+  private def collectedEvents(): Array[(Long, Long, Long, String)] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    relational.Tables.events(spark, sf)
+      .select($"user_id", unix_micros($"ts"), $"event_id", $"event_type")
+      .as[(Long, Long, Long, String)].collect()
+      .sortBy(e => (e._1, e._2, e._3))
+  }
+
+  test("q113 funnel equals a greedy state-machine walk at sf0.001") {
+    // the chained running-min definition (first view after first signup,
+    // first click after that view, ...) IS the greedy walk — replay it
+    // imperatively per user and compare all four reach counts.
+    val reached = collectedEvents().groupBy(_._1).values.map { evs =>
+      var step = 0
+      evs.foreach { case (_, _, _, t) =>
+        if (step == 0 && t == "signup") step = 1
+        else if (step == 1 && t == "view") step = 2
+        else if (step == 2 && t == "click") step = 3
+        else if (step == 3 && t == "purchase") step = 4
+      }
+      step
+    }.toSeq
+    val row = SparkEntry.queries("q113_funnel")(spark, sf).collect().head
+    val got = Seq("signup_users", "view_users", "click_users",
+      "purchase_users").map(row.getAs[Long])
+    val want = (1 to 4).map(k => reached.count(_ >= k).toLong)
+    assert(got === want)
+    // funnel monotonicity: each step can only lose users
+    assert(got === got.sorted.reverse)
+  }
+
+  test("q115 transitions equal brute-force consecutive pairs") {
+    val brute = collectedEvents().groupBy(_._1).values.flatMap { evs =>
+      val ts = evs.map(_._4)
+      ts.zip(ts.drop(1))
+    }.groupBy(p => p).view.mapValues(_.size.toLong).toMap
+    val got = SparkEntry.queries("q115_transitions")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n"))
+      .toMap
+    assert(got === brute)
+  }
+
+  test("q114 retention triangle equals brute force; offset 0 covers every user") {
+    val day0 = java.time.LocalDate.parse("2024-01-01").toEpochDay
+    val weeks = collectedEvents()
+      .map(e => (e._1, (e._2 / 1000000L / 86400L - day0) / 7L)).distinct
+    val cohort = weeks.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val brute = weeks.groupBy { case (u, w) => (cohort(u), w - cohort(u)) }
+      .view.mapValues(_.size.toLong).toMap
+    val rows = SparkEntry.queries("q114_retention_cohorts")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("n_users"))
+    assert(rows.toMap === brute)
+    // every user is active in their cohort week
+    val atZero = rows.collect { case ((_, 0L), n) => n }.sum
+    assert(atZero === cohort.size.toLong)
+  }
+
+  test("q116 outlier gate equals exact BigInt arithmetic") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ev = relational.Tables.events(spark, sf)
+      .select($"event_type", $"event_id",
+        round($"value" * 100).cast("long"))
+      .as[(String, Long, Long)].collect()
+    val byType = ev.groupBy(_._1)
+    val brute = byType.flatMap { case (t, rows) =>
+      val n = BigInt(rows.length)
+      val s = rows.map(r => BigInt(r._3)).sum
+      val ss = rows.map(r => BigInt(r._3) * r._3).sum
+      val out = rows.filter { case (_, _, c) =>
+        val d = BigInt(c) * n - s
+        d * d > 9 * (n * ss - s * s)
+      }
+      if (out.isEmpty) None
+      else Some(t -> (out.length.toLong, out.map(_._2).min, out.map(_._2).max))
+    }
+    val got = SparkEntry.queries("q116_value_outliers")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_outliers"), r.getAs[Long]("first_id"),
+          r.getAs[Long]("last_id"))).toMap
+    assert(got === brute)
+  }
 }

@@ -760,4 +760,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
     assert(got === batch)
   }
+
+  test("streaming transition pairs equal the batch q115 matrix once the " +
+      "watermark drains") {
+    // stateful-LAG twin: feed the real events in three chronological
+    // chunks (cross-batch buffers do real work), then one far-future
+    // sentinel event that pushes the watermark past every real row so
+    // all per-user buffers drain. The emitted pair multiset must then
+    // equal the batch transition matrix EXACTLY.
+    val dir = Files.createTempDirectory("trans-stream").toString
+    val typed = relational.Tables.events(spark, sf)
+      .select($"user_id", $"ts", $"event_id", $"event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3)))
+      .sortBy(_._2.getTime)
+    def add(i: Int,
+        rows: Seq[(Long, java.sql.Timestamp, Long, String)]): Unit = {
+      val tmp = Files.createTempDirectory(s"trans-b$i").toString
+      rows.toDF("user_id", "ts", "event_id", "event_type")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(f.toPath, Paths.get(dir, s"b$i.parquet"))
+    }
+    val chunks = typed.grouped((typed.length + 2) / 3).toSeq
+    add(0, chunks(0).toSeq)
+    val stream = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP, event_id LONG, event_type STRING")
+      .parquet(dir)
+      .as[EventStreams.TransEvent]
+    val q = EventStreams.transitionPairs(stream).toDF()
+      .writeStream.format("memory").queryName("transpairs")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val batch = SparkEntry.queries("q115_transitions")(spark, sf)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n"))
+        .toMap
+      val midway = spark.table("transpairs").count()
+      assert(midway < batch.values.sum,
+        "the tail of chunk 1 must still be buffered above the watermark")
+      chunks.drop(1).zipWithIndex.foreach { case (c, i) =>
+        add(i + 1, c.toSeq); q.processAllAvailable()
+      }
+      val maxTs = typed.map(_._2.getTime).max
+      add(9, Seq((-1L,
+        new java.sql.Timestamp(maxTs + 10L * 3600 * 1000), 999999L, "view")))
+      q.processAllAvailable()
+      val got = spark.table("transpairs").filter($"user_id" >= 0)
+        .groupBy($"prev_type", $"next_type").count().collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("count"))
+        .toMap
+      assert(got === batch)
+    } finally q.stop()
+  }
 }

@@ -19,6 +19,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectCheckRule(_ => plans.PipeCompositionCheck)
     // declarative hamming theta-join -> pigeonhole band equi-joins
     ext.injectOptimizerRule(_ => plans.HammingJoinRewrite)
+    // declarative bounded-difference (range) theta-join -> bucketed
+    // equi-join branches
+    ext.injectOptimizerRule(_ => plans.RangeJoinRewrite)
     def arity2(name: String, children: Seq[Expression])(
         build: (Expression, Expression) => Expression): Expression = {
       if (children.size != 2)

@@ -22,6 +22,11 @@ object BenchOne {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(2000000L).selectExpr("max(id * 2 + 1)").collect()
     val fn = SparkEntry.queries(name)
+    // SPARK_GRAFT_EXPLAIN=1: dump the formatted physical plan before
+    // timing (the plan-audit loop: check pushdown/exchange-reuse/codegen
+    // spans without editing code)
+    if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1"))
+      fn(spark, sfDir).explain("formatted")
     // one untimed warm-up rep (codegen + page cache), like Bench's global
     // warm-up pass
     fn(spark, sfDir).count()

@@ -4,7 +4,8 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{DayTimeIntervalType, IntegerType,
+  LongType, TimestampType}
 
 /** Optimizer rule: rewrite a DECLARATIVE bounded-difference (range)
   * theta-join
@@ -12,7 +13,10 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * {{{ a.join(b, b("t") >= a("t") - W && b("t") <= a("t")) }}}
   *
   * — more generally any pair of conjuncts bounding `x - y` in `[lo, hi]`
-  * with `x` a LongType expression over one side and `y` over the other —
+  * with `x` a LongType or TimestampType expression over one side and `y`
+  * over the other (timestamps are normalized to the micros domain via
+  * `UnixMicros`, with `± INTERVAL` day-time arithmetic folded into the
+  * bounds) —
   * into a union of TWO disjoint bucketed EQUI-joins. Without the rewrite
   * Catalyst has no equi-conjunct to extract, so it plans a cartesian /
   * broadcast-nested-loop join — O(n·m) comparisons, dead at scale. With
@@ -111,8 +115,14 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       }
   }
 
-  /** `attr-with-offset` decomposition: e = base + off with base LongType
-    * and off folded from Add/Subtract literal wrappers.
+  /** `attr-with-offset` decomposition: e = base + off with off folded
+    * from Add/Subtract literal wrappers. Bases normalize to the Long
+    * MICROS domain: a LongType base passes through; a TimestampType base
+    * wraps in `UnixMicros` (a monotone bijection, so every comparison is
+    * preserved) with `ts ± INTERVAL` day-time arithmetic folded into the
+    * offset — `a.join(b, $"v_ts".between($"ts" - expr("INTERVAL 15
+    * MINUTES"), $"ts"))` is recognized directly. Year-month intervals are
+    * NOT constant-width in micros and fall through unrecognized.
     */
   private def decompose(e: Expression): Option[(Expression, Long)] =
     e match {
@@ -122,7 +132,10 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         case (b, o) => (b, o + c) }
       case Subtract(a, IntegralLiteral(c), _) => decompose(a).map {
         case (b, o) => (b, o - c) }
+      case TimestampAddInterval(t, Literal(c: Long, _: DayTimeIntervalType),
+          _) => decompose(t).map { case (b, o) => (b, o + c) }
       case _ if e.dataType == LongType => Some((e, 0L))
+      case _ if e.dataType == TimestampType => Some((UnixMicros(e), 0L))
       case _ => None
     }
 

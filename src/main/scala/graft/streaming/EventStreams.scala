@@ -198,6 +198,65 @@ object EventStreams {
       }
   }
 
+  /** step = funnel stage reached so far (0 = none); buf as in
+    * [[TransState]].
+    */
+  case class FunnelState(step: Int, buf: List[(Long, Long, String)])
+  case class StepReached(user_id: Long, step: Int)
+
+  /** Streaming twin of batch q113_funnel: the greedy first-touch funnel
+    * state machine per user, on an unbounded stream. Same
+    * buffer-until-watermark + event-time-timeout drain as
+    * [[transitionPairs]] (exact (ts, event_id) order needs the
+    * no-earlier-arrival proof); each drained event that matches the next
+    * step advances the machine and emits one `StepReached(user, step)`
+    * row — a user reaching step k has emitted rows 1..k exactly once, so
+    * a downstream `groupBy(step).count` in update mode IS the live
+    * funnel (count at step k = users who reached AT LEAST k). State per
+    * user: one Int + the watermark-horizon buffer.
+    */
+  def funnelSteps(events: Dataset[TransEvent],
+      steps: Seq[String] = Seq("signup", "view", "click", "purchase"),
+      watermark: String = "2 hours"): Dataset[StepReached] = {
+    import events.sparkSession.implicits._
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, StepReached](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[TransEvent],
+            state: GroupState[FunnelState]) =>
+          val st = state.getOption.getOrElse(FunnelState(0, Nil))
+          if (st.step == steps.length) {
+            // funnel complete: nothing can ever be emitted again — stop
+            // buffering; a completed user costs one Int and no wake-ups
+            if (st.buf.nonEmpty) state.update(FunnelState(st.step, Nil))
+            Iterator.empty
+          } else {
+          val buf = (st.buf ++ rows.map(e =>
+              (micros(e.ts), e.event_id, e.event_type)))
+            .sortBy(t => (t._1, t._2))
+          val wmMs = state.getCurrentWatermarkMs()
+          val (ready, pending) = buf.partition(_._1 < wmMs * 1000L)
+          var step = st.step
+          val out = ready.flatMap { case (_, _, t) =>
+            if (step < steps.length && t == steps(step)) {
+              step += 1
+              Some(StepReached(userId, step))
+            } else None
+          }
+          state.update(FunnelState(step,
+            if (step == steps.length) Nil else pending))
+          if (step < steps.length && pending.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max(pending.map(_._1 / 1000L).max, wmMs + 1L))
+          out.iterator
+          }
+      }
+  }
+
   /** Stateful exact dedup on event_id within the watermark horizon —
     * Spark's `dropDuplicates` over a keyed state store (the streaming form
     * of the exact-dedup operator).

@@ -174,6 +174,37 @@ class RangeRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("timestamp windows with INTERVAL arithmetic rewrite and match " +
+      "brute force; year-month intervals fall through") {
+    withExtendedSession { spark =>
+      import spark.implicits._
+      def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+      // click/view shape: every view within 15 min before each click,
+      // with edge-exact matches at 0 and 900s
+      val clicks = Seq((1L, ts(10000)), (2L, ts(10900)), (3L, ts(20000)))
+        .toDF("click_id", "cts")
+      val views = Seq((11L, ts(10000)), (12L, ts(10900)), (13L, ts(10001)),
+        (14L, ts(9999)), (15L, ts(9100)), (16L, ts(9099)), (17L, ts(19100)))
+        .toDF("view_id", "vts")
+      val joined = clicks.join(views,
+        $"vts".between($"cts" - expr("INTERVAL 15 MINUTES"), $"cts"))
+      assertBucketed(joined, "timestamp window")
+      assert(joined.queryExecution.executedPlan.toString.contains("Union"))
+      val got = multiset(joined.select($"click_id", $"view_id")
+        .as[(Long, Long)].collect().toSeq)
+      val want = multiset(Seq(1L -> 11L, 1L -> 14L, 1L -> 15L, // 9100..10000
+        2L -> 11L, 2L -> 12L, 2L -> 13L, // 10000..10900
+        3L -> 17L)) // 19100..20000
+      assert(got === want)
+      // a year-month interval is not constant-width in micros: the rule
+      // must NOT recognize it, and the (nested-loop) result is exact
+      val ym = clicks.join(views,
+        $"vts".between($"cts" - expr("INTERVAL 1 MONTH"), $"cts"))
+      assert(!ym.queryExecution.executedPlan.toString.contains("Union"))
+      assert(ym.count() === 4L + 6L + 7L) // views at or before each click
+    }
+  }
+
   test("randomized equivalence against brute force (negatives, big " +
       "windows, clustered times)") {
     withExtendedSession { spark =>

@@ -162,6 +162,18 @@ class RelationalQueriesSpec extends AnyFunSuite {
     assert(got === got.sorted.reverse)
   }
 
+  test("q113 plans ONE exchange+sort for all four chained windows") {
+    // the scale claim made checkable: the four running-min window columns
+    // and the per-user aggregate all reuse a single hashpartitioning on
+    // user_id — only the final single-row aggregate adds an exchange.
+    val plan = SparkEntry.queries("q113_funnel")(spark, sf)
+      .queryExecution.executedPlan.toString
+    def count(p: String) = p.r.findAllIn(plan).size
+    assert(count("Exchange hashpartitioning") === 1, plan)
+    assert(count("\\+- Sort ") === 1, plan)
+    assert(count("\\+- Window ") === 4, plan)
+  }
+
   test("q115 transitions equal brute-force consecutive pairs") {
     val brute = collectedEvents().groupBy(_._1).values.flatMap { evs =>
       val ts = evs.map(_._4)

@@ -761,6 +761,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === batch)
   }
 
+  test("streaming funnel state machine equals the batch q113 reach " +
+      "counts once the watermark drains") {
+    // greedy first-touch funnel on a stream: feed the real events in two
+    // chronological chunks + a far-future sentinel; count(step = k) must
+    // then equal batch q113's users-reaching-step-k exactly.
+    val dir = Files.createTempDirectory("funnel-stream").toString
+    val typed = relational.Tables.events(spark, sf)
+      .select($"user_id", $"ts", $"event_id", $"event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3)))
+      .sortBy(_._2.getTime)
+    def add(i: Int,
+        rows: Seq[(Long, java.sql.Timestamp, Long, String)]): Unit = {
+      val tmp = Files.createTempDirectory(s"funnel-b$i").toString
+      rows.toDF("user_id", "ts", "event_id", "event_type")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(f.toPath, Paths.get(dir, s"b$i.parquet"))
+    }
+    val (c1, c2) = typed.splitAt(typed.length / 2)
+    add(0, c1.toSeq)
+    val stream = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP, event_id LONG, event_type STRING")
+      .parquet(dir)
+      .as[EventStreams.TransEvent]
+    val q = EventStreams.funnelSteps(stream).toDF()
+      .writeStream.format("memory").queryName("funnelsteps")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      add(1, c2.toSeq)
+      q.processAllAvailable()
+      val maxTs = typed.map(_._2.getTime).max
+      add(9, Seq((-1L,
+        new java.sql.Timestamp(maxTs + 10L * 3600 * 1000), 999999L,
+        "error")))
+      q.processAllAvailable()
+      val got = spark.table("funnelsteps").filter($"user_id" >= 0)
+        .groupBy($"step").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val batch = SparkEntry.queries("q113_funnel")(spark, sf)
+        .collect().head
+      val want = Map(1 -> batch.getAs[Long]("signup_users"),
+        2 -> batch.getAs[Long]("view_users"),
+        3 -> batch.getAs[Long]("click_users"),
+        4 -> batch.getAs[Long]("purchase_users"))
+      assert(got === want.filter(_._2 > 0))
+      // a user emits each step AT MOST once (the state machine never
+      // re-fires a stage)
+      val dupes = spark.table("funnelsteps")
+        .groupBy($"user_id", $"step").count().filter($"count" > 1).count()
+      assert(dupes === 0L)
+    } finally q.stop()
+  }
+
   test("streaming transition pairs equal the batch q115 matrix once the " +
       "watermark drains") {
     // stateful-LAG twin: feed the real events in three chronological

@@ -371,6 +371,33 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy($"prev_type", $"next_type")
     },
+    "q117_pagerank" -> { (s, d) =>
+      import s.implicits._
+      // Iterative graph analytics, INTEGER-exact (graph/PageRank): 3
+      // damped rounds over the symmetrized customer<->part co-purchase
+      // graph. Node ids disjointify the two key spaces (cust*2,
+      // part*2+1). Only the edge list is O(|lineitem|) and it is
+      // checkpointed once; each iteration moves O(nodes) rank rows plus
+      // map-side-combined contributions. Top 20 by (rank, node) — a
+      // deterministic cut DuckDB replays bit-for-bit.
+      val pairs = lineitem(s, d).select($"l_orderkey", $"l_partkey")
+        .join(orders(s, d).select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .select(($"o_custkey" * 2).as("a"), ($"l_partkey" * 2 + 1).as("b"))
+        .distinct()
+      // symmetrize in ONE pass over the pair build (a union of two
+      // selects would evaluate the join+distinct twice)
+      val edges = pairs.select(explode(array(
+          struct($"a".as("src"), $"b".as("dst")),
+          struct($"b".as("src"), $"a".as("dst")))).as("e"))
+        .select($"e.src".as("src"), $"e.dst".as("dst"))
+      graft.graph.PageRank.run(edges, iterations = 3)
+        .orderBy($"rank".desc, $"node")
+        .limit(20)
+        .select(
+          when($"node" % 2 === 0, "customer").otherwise("part").as("kind"),
+          expr("node div 2").as("key"), $"rank")
+    },
     "q116_value_outliers" -> { (s, d) =>
       import s.implicits._
       // 3-sigma outlier gate, INTEGER-exact: cents c = round(value*100)
@@ -623,6 +650,37 @@ object RelationalQueries {
          FROM t WHERE prev_type IS NOT NULL
          GROUP BY prev_type, next_type
          ORDER BY prev_type, next_type""",
+    "q117_pagerank" ->
+      """WITH pairs AS (
+           SELECT DISTINCT o_custkey*2 AS a, l_partkey*2+1 AS b
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         edges AS (SELECT a AS src, b AS dst FROM pairs
+                   UNION ALL SELECT b AS src, a AS dst FROM pairs),
+         deg AS (SELECT src AS node, count(*) AS deg
+                 FROM edges GROUP BY src),
+         r0 AS (SELECT node, deg, CAST(1000000 AS BIGINT) AS rank FROM deg),
+         r1 AS (SELECT d.node AS node, d.deg AS deg,
+                  150000 + CAST(sum((r.rank*85)//(100*r.deg)) AS BIGINT)
+                    AS rank
+                FROM edges e JOIN r0 r ON e.src = r.node
+                  JOIN deg d ON e.dst = d.node
+                GROUP BY d.node, d.deg),
+         r2 AS (SELECT d.node AS node, d.deg AS deg,
+                  150000 + CAST(sum((r.rank*85)//(100*r.deg)) AS BIGINT)
+                    AS rank
+                FROM edges e JOIN r1 r ON e.src = r.node
+                  JOIN deg d ON e.dst = d.node
+                GROUP BY d.node, d.deg),
+         r3 AS (SELECT d.node AS node, d.deg AS deg,
+                  150000 + CAST(sum((r.rank*85)//(100*r.deg)) AS BIGINT)
+                    AS rank
+                FROM edges e JOIN r2 r ON e.src = r.node
+                  JOIN deg d ON e.dst = d.node
+                GROUP BY d.node, d.deg)
+         SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'part' END
+             AS kind,
+           node // 2 AS key, rank
+         FROM r3 ORDER BY rank DESC, node LIMIT 20""",
     "q116_value_outliers" ->
       """WITH c AS (
            SELECT event_id, event_type,

@@ -201,6 +201,51 @@ class RelationalQueriesSpec extends AnyFunSuite {
     assert(atZero === cohort.size.toLong)
   }
 
+  test("pagerank: hand-computed path graph; uniform ranks are the " +
+      "triangle's fixed point") {
+    import spark.implicits._
+    // path a-b-c (symmetric): deg a=1, b=2, c=1
+    val path = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst")
+    val r1 = graph.PageRank.run(path, iterations = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a gets b's split mass: 150000 + (1e6*85) div (100*2) = 575000;
+    // b gets both ends' full mass: 150000 + 2 * 850000 = 1850000
+    assert(r1 === Map(1L -> 575000L, 2L -> 1850000L, 3L -> 575000L))
+    // triangle: every node deg 2 -> 150000 + 2*(1e6*85 div 200) = 1e6
+    // exactly: the uniform vector is a fixed point of the integer map
+    val tri = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L),
+      (3L, 1L)).toDF("src", "dst")
+    val rt = graph.PageRank.run(tri, iterations = 5).collect()
+    assert(rt.forall(_.getLong(1) === 1000000L))
+  }
+
+  test("q117 pagerank equals a BigInt brute-force replay at sf0.001") {
+    import spark.implicits._
+    val pairs = relational.Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_partkey")
+      .join(relational.Tables.orders(spark, sf)
+        .select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .select(($"o_custkey" * 2).as("a"), ($"l_partkey" * 2 + 1).as("b"))
+      .distinct().as[(Long, Long)].collect()
+    val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    var rank = deg.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val in = edges.groupBy(_._2).view.mapValues(_.map { case (u, _) =>
+        rank(u) * 85L / (100L * deg(u))
+      }.sum).toMap
+      rank = deg.keys.map(n => n -> (150000L + in.getOrElse(n, 0L))).toMap
+    }
+    val want = rank.toSeq.sortBy { case (n, r) => (-r, n) }.take(20)
+      .map { case (n, r) =>
+        (if (n % 2 == 0) "customer" else "part", n / 2, r) }
+    val got = SparkEntry.queries("q117_pagerank")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === want)
+  }
+
   test("q116 outlier gate equals exact BigInt arithmetic") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -197,4 +197,20 @@ class IoSpec extends AnyFunSuite {
     // and the layout preserves the data exactly
     assert(spark.read.parquet(zDir).count() === orders.count())
   }
+
+  test("csv scan (SURVEY 2.11 scans row): header/delimiter/quote round " +
+      "trip equals the parquet read") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("csvio").toString
+    val n = relational.Tables.nation(spark, sf)
+    // pipe delimiter forces the quoting path on free-text comments
+    n.write.option("header", "true").option("delimiter", "|")
+      .mode("overwrite").csv(dir)
+    val back = spark.read.option("header", "true").option("delimiter", "|")
+      .schema(n.schema).csv(dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col(df.columns.head)).collect().toSeq
+    assert(back.schema === n.schema, "explicit schema must win over inference")
+    assert(rows(back) === rows(n))
+  }
 }

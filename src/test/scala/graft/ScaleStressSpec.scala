@@ -276,4 +276,91 @@ class ScaleStressSpec extends AnyFunSuite {
         s"(dropped buckets: $droppedBig)")
     info(s"candidates $candBase -> $candBig, dropped buckets $droppedBig")
   }
+
+  test("product analytics: 10 disjoint population copies give EXACTLY " +
+      "10x every count", SlowStress) {
+    // scale events 10x with per-copy user/event shifts: 10 disjoint
+    // copies of the SAME population. Funnel reach counts, transition
+    // cells, retention cells, and outlier counts must then be EXACTLY
+    // 10x the base (the z-test is scale-invariant: n,S,SS all scale by
+    // 10, so (cn - S)^2 > 9(n*SS - S^2) multiplies both sides by 100) —
+    // an off-by-anything in the per-user state machinery cannot hide in
+    // a tolerance band. Wall time must stay ~linear.
+    val dir = s"$scaledDir-events"
+    if (!new File(s"$dir/events.parquet/_SUCCESS").exists()) {
+      relational.Tables.events(spark, baseDir)
+        .crossJoin(spark.range(10L).toDF("k"))
+        .select((col("k") * 100000000L + col("event_id")).as("event_id"),
+          col("ts"), (col("k") * 1000000L + col("user_id")).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    }
+    for (name <- Seq("q113_funnel", "q114_retention_cohorts",
+        "q115_transitions", "q116_value_outliers")) {
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      val base = fn(spark, baseDir).collect()
+      val tBase = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val big = fn(spark, dir).collect()
+      val tBig = (System.nanoTime() - t1) / 1e9
+      info(f"$name: $tBase%.1fs -> $tBig%.1fs at 10x")
+      assert(tBig <= 40.0 * math.max(tBase, 1.0),
+        f"$name wall-time superlinear: $tBase%.1fs -> $tBig%.1fs")
+      // every count column must be exactly 10x, key columns unchanged
+      val countCols = name match {
+        case "q113_funnel" => Seq("signup_users", "view_users",
+          "click_users", "purchase_users")
+        case "q114_retention_cohorts" => Seq("n_users")
+        case "q115_transitions" => Seq("n")
+        case _ => Seq("n_outliers")
+      }
+      val keyOf = (r: org.apache.spark.sql.Row) =>
+        r.schema.fieldNames.filterNot(f => countCols.contains(f) ||
+          f == "first_id" || f == "last_id").map(r.getAs[Any]).toSeq
+      val baseM = base.map(r => keyOf(r) ->
+        countCols.map(r.getAs[Long]).toSeq).toMap
+      val bigM = big.map(r => keyOf(r) ->
+        countCols.map(r.getAs[Long]).toSeq).toMap
+      assert(bigM === baseM.map { case (k, v) => k -> v.map(_ * 10L) },
+        s"$name counts are not exactly 10x")
+    }
+  }
+
+  test("pagerank: 10 disjoint graph copies keep ranks invariant, " +
+      "wall time ~linear", SlowStress) {
+    // 10 shifted copies of the co-purchase graph are 10 disjoint
+    // components with IDENTICAL structure: every node's rank must equal
+    // its copy-0 twin's, so the scaled top-20 rank VALUES are a prefix
+    // of the base rank multiset scaled 10x in multiplicity.
+    val dir = s"$scaledDir-graph"
+    if (!new File(s"$dir/lineitem.parquet/_SUCCESS").exists()) {
+      relational.Tables.lineitem(spark, baseDir)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .crossJoin(spark.range(10L).toDF("k"))
+        .select((col("k") * 100000000L + col("l_orderkey")).as("l_orderkey"),
+          (col("k") * 10000000L + col("l_partkey")).as("l_partkey"))
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      relational.Tables.orders(spark, baseDir)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .crossJoin(spark.range(10L).toDF("k"))
+        .select((col("k") * 100000000L + col("o_orderkey")).as("o_orderkey"),
+          (col("k") * 10000000L + col("o_custkey")).as("o_custkey"))
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    }
+    val fn = SparkEntry.queries("q117_pagerank")
+    val t0 = System.nanoTime()
+    val base = fn(spark, baseDir).collect()
+    val tBase = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val big = fn(spark, dir).collect()
+    val tBig = (System.nanoTime() - t1) / 1e9
+    info(f"pagerank: $tBase%.1fs -> $tBig%.1fs at 10x edges")
+    assert(tBig <= 40.0 * math.max(tBase, 1.0),
+      f"pagerank wall-time superlinear: $tBase%.1fs -> $tBig%.1fs")
+    assert(big.length === 20)
+    // structure-invariance: the scaled #1 rank equals the base #1 rank
+    assert(big.head.getLong(2) === base.head.getLong(2),
+      "top rank changed under disjoint copying")
+  }
 }

@@ -371,6 +371,65 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy($"prev_type", $"next_type")
     },
+    "q119_trailing_window" -> { (s, d) =>
+      import s.implicits._
+      // RANGE-frame window (vs the rows frames used elsewhere): per
+      // event, the sum of value CENTS over the trailing 10 minutes of
+      // the SAME user by event TIME — ties and gaps handled by the
+      // frame's value logic, not row positions. One exchange+sort on
+      // user_id serves the range frame; the per-user max keeps output
+      // small and reuses the same partitioning.
+      val wRange = Window.partitionBy($"user_id")
+        .orderBy(unix_micros($"ts"))
+        .rangeBetween(-600000000L, 0L)
+      events(s, d)
+        .withColumn("c", round($"value" * 100).cast("long"))
+        .withColumn("trail", sum($"c").over(wRange))
+        .groupBy($"user_id")
+        .agg(max($"trail").as("max_trail_cents"),
+          count(lit(1)).as("n_events"))
+        .orderBy($"user_id")
+    },
+    "q120_pivot" -> { (s, d) =>
+      import s.implicits._
+      // PIVOT surface: event counts per user-decade bucket, one column
+      // per event type (explicit value list — deterministic schema, no
+      // discovery pass over the data).
+      events(s, d)
+        .groupBy(($"user_id" % 10).as("bucket"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        // a (bucket, type) combination with no rows pivots to null,
+        // while the oracle's conditional sum gives 0 — normalize
+        .na.fill(0L)
+        .orderBy($"bucket")
+    },
+    "q118_sql_exists" -> { (s, d) =>
+      // SQL-TEXT entry (the spark.sql() surface): correlated EXISTS and
+      // NOT EXISTS — Catalyst DECORRELATES them into one left-semi and
+      // one left-anti join on l_orderkey — plus an exact scalar subquery
+      // (max is bit-exact on both engines where an avg's last-ulp could
+      // flip a boundary row). Same hash-agg + broadcast shapes as the
+      // DataFrame forms; this query pins the SQL front door.
+      orders(s, d).createOrReplaceTempView("orders_v")
+      lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT o_orderpriority,
+          count(*) AS n,
+          sum(CASE WHEN o_totalprice >
+                (SELECT max(o_totalprice) FROM orders_v) / 2
+              THEN 1 ELSE 0 END) AS n_above_mid
+        FROM orders_v o
+        WHERE EXISTS (SELECT 1 FROM lineitem_v l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_quantity > 45)
+          AND NOT EXISTS (SELECT 1 FROM lineitem_v l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_returnflag = 'R')
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")
+    },
     "q117_pagerank" -> { (s, d) =>
       import s.implicits._
       // Iterative graph analytics, INTEGER-exact (graph/PageRank): 3
@@ -650,6 +709,45 @@ object RelationalQueries {
          FROM t WHERE prev_type IS NOT NULL
          GROUP BY prev_type, next_type
          ORDER BY prev_type, next_type""",
+    "q119_trailing_window" ->
+      """WITH t AS (
+           SELECT user_id,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS trail
+           FROM events)
+         SELECT user_id, max(trail) AS max_trail_cents,
+           count(*) AS n_events
+         FROM t GROUP BY user_id ORDER BY user_id""",
+    "q120_pivot" ->
+      """SELECT (user_id % 10) AS bucket,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             AS BIGINT) AS click,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             AS BIGINT) AS error,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS BIGINT) AS purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+             AS BIGINT) AS signup,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             AS BIGINT) AS view
+         FROM events GROUP BY bucket ORDER BY bucket""",
+    "q118_sql_exists" ->
+      """SELECT o_orderpriority,
+           count(*) AS n,
+           CAST(sum(CASE WHEN o_totalprice >
+                 (SELECT max(o_totalprice) FROM orders) / 2
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_above_mid
+         FROM orders o
+         WHERE EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey
+                         AND l.l_quantity > 45)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l
+                           WHERE l.l_orderkey = o.o_orderkey
+                             AND l.l_returnflag = 'R')
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
     "q117_pagerank" ->
       """WITH pairs AS (
            SELECT DISTINCT o_custkey*2 AS a, l_partkey*2+1 AS b

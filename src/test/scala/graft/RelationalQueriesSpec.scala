@@ -201,6 +201,14 @@ class RelationalQueriesSpec extends AnyFunSuite {
     assert(atZero === cohort.size.toLong)
   }
 
+  test("q118 SQL-text EXISTS/NOT EXISTS decorrelate to semi and anti " +
+      "joins") {
+    val plan = SparkEntry.queries("q118_sql_exists")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+  }
+
   test("pagerank: hand-computed path graph; uniform ranks are the " +
       "triangle's fixed point") {
     import spark.implicits._

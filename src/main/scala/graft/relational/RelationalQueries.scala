@@ -405,6 +405,27 @@ object RelationalQueries {
         .na.fill(0L)
         .orderBy($"bucket")
     },
+    "q121_session_window" -> { (s, d) =>
+      import s.implicits._
+      // NATIVE session windows (vs q16's hand-rolled lag/cumsum): Spark's
+      // session_window merges rows within a 30-min gap per user in ONE
+      // grouping operator — the same operator a streaming run would use,
+      // no window-function pass at all. Boundary semantics: an event
+      // exactly gap after the previous one EXTENDS the session (merge on
+      // `diff <= gap` — the same rule as q16's lag form; spec-pinned
+      // against a constructed exact-boundary pair).
+      // Cents keep the sum exact; session start is formatted (no raw
+      // timestamp output).
+      events(s, d)
+        .withColumn("c", round($"value" * 100).cast("long"))
+        .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"), sum($"c").as("total_cents"))
+        .select($"user_id",
+          date_format($"sw.start", "yyyy-MM-dd HH:mm:ss")
+            .as("session_start"),
+          $"n_events", $"total_cents")
+        .orderBy($"user_id", $"session_start")
+    },
     "q118_sql_exists" -> { (s, d) =>
       // SQL-TEXT entry (the spark.sql() surface): correlated EXISTS and
       // NOT EXISTS — Catalyst DECORRELATES them into one left-semi and
@@ -733,6 +754,27 @@ object RelationalQueries {
            CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
              AS BIGINT) AS view
          FROM events GROUP BY bucket ORDER BY bucket""",
+    "q121_session_window" ->
+      """WITH g AS (
+           SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+               THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sx AS (
+           SELECT user_id, ts, value,
+             CAST(sum(new_session) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
+           FROM g)
+         SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+         FROM sx GROUP BY user_id, session_id
+         ORDER BY user_id, session_start""",
     "q118_sql_exists" ->
       """SELECT o_orderpriority,
            count(*) AS n,

@@ -201,6 +201,22 @@ class RelationalQueriesSpec extends AnyFunSuite {
     assert(atZero === cohort.size.toLong)
   }
 
+  test("session_window boundary: an event exactly gap after the " +
+      "previous EXTENDS the session (merge on diff <= gap)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // pins the q121 oracle's `> gap` new-session convention — the same
+    // boundary rule as q16's hand-rolled lag form (verified empirically:
+    // Spark merges the closed interval, not the half-open one)
+    def sessions(gapSec: Long): Long =
+      Seq((7L, 0L), (7L, gapSec)).toDF("user_id", "sec")
+        .select($"user_id", expr("timestamp_micros(sec * 1000000)").as("ts"))
+        .groupBy($"user_id", session_window($"ts", "30 minutes"))
+        .count().count()
+    assert(sessions(1800L) === 1L, "exact-gap event must extend the session")
+    assert(sessions(1801L) === 2L, "past-gap event must open a session")
+  }
+
   test("q118 SQL-text EXISTS/NOT EXISTS decorrelate to semi and anti " +
       "joins") {
     val plan = SparkEntry.queries("q118_sql_exists")(spark, sf)

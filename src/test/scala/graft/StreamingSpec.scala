@@ -761,6 +761,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === batch)
   }
 
+  test("NATIVE session_window sessionization on a stream: emitted " +
+      "sessions are exactly batch q121 rows") {
+    // the built-in operator q121 uses in batch runs UNCHANGED as a
+    // streaming aggregation (append mode + watermark): every emitted
+    // (user, start, n, cents) row must BE a batch q121 row — closed
+    // sessions are final — and the trailing watermark may only hold
+    // back a minority at end-of-stream.
+    val ev = EventStreams.readEvents(spark, streamDir)
+      .withColumn("c", round($"value" * 100).cast("long"))
+    val agg = ev.withWatermark("ts", "2 hours")
+      .groupBy($"user_id",
+        session_window($"ts", "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), sum($"c").as("total_cents"))
+      .select($"user_id",
+        date_format($"sw.start", "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        $"n_events", $"total_cents")
+    val got = runToCompletion(agg, "swsessions").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val batch = SparkEntry.queries("q121_session_window")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val batchSet = batch.toSet
+    assert(got.nonEmpty, "no sessions emitted")
+    got.foreach(s => assert(batchSet.contains(s),
+      s"stream emitted a session batch q121 does not have: $s"))
+    assert(got.length >= batch.length / 2,
+      s"${got.length} of ${batch.length} sessions emitted")
+  }
+
   test("streaming funnel state machine equals the batch q113 reach " +
       "counts once the watermark drains") {
     // greedy first-touch funnel on a stream: feed the real events in two

@@ -2,7 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues,
+  ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming operators over the events stream — the engine's
@@ -265,6 +267,53 @@ object EventStreams {
       : DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Exact dedup on event_id via the STATE-V2 API (`transformWithState`,
+    * Spark 4): one `ValueState[Boolean]` per key with a NATIVE state
+    * TTL — the store itself expires idle keys after `ttl` of processing
+    * time, so state is bounded without an event-time watermark (the
+    * [[dedupEvents]] form needs one; at 100 TB the TTL form is the
+    * ingest-side dedup for feeds whose event time is unreliable).
+    * Requires the RocksDB state store provider (state-v2's backing
+    * store) — the spec session sets
+    * `spark.sql.streaming.stateStore.providerClass`. A key's first row
+    * passes through; duplicates — same batch or any later one inside
+    * the TTL — are dropped.
+    *
+    * Operational note (diagnosed in-round): under ProcessingTime the
+    * engine interleaves continuous "no new data but cleaning up state"
+    * batches for TTL expiry, so `processAllAvailable` never settles on
+    * this query — poll the sink for expected rows instead (the spec
+    * does).
+    */
+  def dedupEventsV2(events: Dataset[TransEvent],
+      ttl: java.time.Duration = java.time.Duration.ofHours(2))
+      : Dataset[TransEvent] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_id)
+      .transformWithState(new DedupProcessor(ttl),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
+  /** Keyed by event_id; emits only the key's first row ever seen
+    * within the TTL.
+    */
+  private class DedupProcessor(ttl: java.time.Duration)
+      extends StatefulProcessor[Long, TransEvent, TransEvent] {
+    @transient private var seen: ValueState[Boolean] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seen",
+        org.apache.spark.sql.Encoders.scalaBoolean, TTLConfig(ttl))
+    override def handleInputRows(key: Long, rows: Iterator[TransEvent],
+        timerValues: TimerValues): Iterator[TransEvent] = {
+      if (seen.exists()) Iterator.empty
+      else {
+        seen.update(true)
+        rows.take(1)
+      }
+    }
+  }
 
   /** STREAM-STREAM attribution join — the streaming twin of
     * [[graft.operators.IntervalJoin.pairs]]: every (click, view) pair

@@ -198,6 +198,57 @@ class IoSpec extends AnyFunSuite {
     assert(spark.read.parquet(zDir).count() === orders.count())
   }
 
+  test("dynamic partition overwrite rewrites ONLY the partitions in the " +
+      "incoming frame") {
+    // the warehouse-maintenance shape at 100 TB: re-landing one day/type
+    // must not truncate the table (static overwrite mode would).
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("dynpart").toString
+    val ev = relational.Tables.events(spark, sf)
+      .select($"event_id", $"event_type", $"value")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(dir)
+    val before = spark.read.parquet(dir)
+      .groupBy($"event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // re-land ONLY the 'click' partition, halved
+    val clicksHalf = ev.filter($"event_type" === "click" &&
+      $"event_id" % 2 === 0)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try clicksHalf.write.partitionBy("event_type").mode("overwrite")
+      .parquet(dir)
+    finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val after = spark.read.parquet(dir)
+      .groupBy($"event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after("click") < before("click"), "click partition replaced")
+    (before.keySet - "click").foreach { t =>
+      assert(after(t) === before(t), s"partition $t must be untouched")
+    }
+  }
+
+  test("schema evolution: mergeSchema unions generations, old files " +
+      "read the new column as null") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("mergeschema").toString
+    Seq((1L, "a")).toDF("id", "text")
+      .write.mode("append").parquet(dir)
+    Seq((2L, "b", "fr")).toDF("id", "text", "lang")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq === Seq("id", "lang", "text"))
+    val rows = merged.orderBy($"id").collect()
+      .map(r => (r.getLong(0), Option(r.getAs[String]("lang"))))
+    assert(rows.toSeq === Seq((1L, None), (2L, Some("fr"))))
+  }
+
   test("csv scan (SURVEY 2.11 scans row): header/delimiter/quote round " +
       "trip equals the parquet read") {
     import org.apache.spark.sql.functions._

@@ -761,6 +761,82 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === batch)
   }
 
+  test("state-v2 TTL dedup (transformWithState) keeps first occurrence " +
+      "only, across micro-batches, under RocksDB") {
+    // transformWithState needs the RocksDB provider — its own session
+    val prior = org.apache.spark.sql.SparkSession.getActiveSession
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      .getOrCreate()
+    try {
+      import s2.implicits._
+      val dir = Files.createTempDirectory("ttl-dedup").toString
+      def add(i: Int, rows: Seq[(Long, Long, Long, String)]): Unit = {
+        val tmp = Files.createTempDirectory(s"ttl-b$i").toString
+        rows.toDF("user_id", "sec", "event_id", "event_type")
+          .select($"user_id",
+            expr("timestamp_micros(sec * 1000000)").as("ts"),
+            $"event_id", $"event_type")
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val f = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        Files.move(f.toPath, Paths.get(dir, s"b$i.parquet"))
+      }
+      // batch 1: ids 1,2,3 with 2 duplicated IN batch
+      add(0, Seq((1L, 10L, 1L, "view"), (2L, 11L, 2L, "view"),
+        (2L, 11L, 2L, "view"), (3L, 12L, 3L, "click")))
+      val stream = s2.readStream
+        .schema("user_id LONG, ts TIMESTAMP, event_id LONG, " +
+          "event_type STRING")
+        .parquet(dir)
+        .as[EventStreams.TransEvent]
+      val q = EventStreams.dedupEventsV2(stream).toDF()
+        .writeStream.format("memory").queryName("ttldedup")
+        .outputMode("append").start()
+      try {
+        // processAllAvailable never settles here: ProcessingTime + TTL
+        // makes the engine run CONTINUOUS "no new data but cleaning up
+        // state" batches (diagnosed via query status) — poll the sink
+        def awaitRows(n: Long): Unit = {
+          val deadline = System.nanoTime() + 90L * 1000000000L
+          while (s2.table("ttldedup").count() < n &&
+            System.nanoTime() < deadline) Thread.sleep(200)
+        }
+        awaitRows(3)
+        // batch 2: ids 2,3 again (cross-batch dups) + new id 4
+        add(1, Seq((9L, 20L, 2L, "error"), (9L, 21L, 3L, "error"),
+          (4L, 22L, 4L, "signup")))
+        awaitRows(4)
+        Thread.sleep(2000) // would catch late duplicate emissions
+        val got = s2.table("ttldedup").collect()
+          .map(r => r.getAs[Long]("event_id")).sorted.toSeq
+        assert(got === Seq(1L, 2L, 3L, 4L),
+          "exactly one row per event_id, first occurrence wins")
+        val st = q.recentProgress.filter(_.stateOperators.nonEmpty)
+          .last.stateOperators.head
+        assert(st.numRowsTotal <= 4L, "state is one value per key")
+      } finally q.stop()
+    } finally {
+      // do NOT s2.stop(): the SparkContext is JVM-shared — stopping it
+      // here killed every later streaming suite (caught in the full run;
+      // the extended-session specs all follow this clear/restore shape)
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      prior.foreach { s =>
+        org.apache.spark.sql.SparkSession.setActiveSession(s)
+        org.apache.spark.sql.SparkSession.setDefaultSession(s)
+      }
+    }
+  }
+
   test("NATIVE session_window sessionization on a stream: emitted " +
       "sessions are exactly batch q121 rows") {
     // the built-in operator q121 uses in batch runs UNCHANGED as a

@@ -61,7 +61,10 @@ object HammingJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
             (ra.subsetOf(right.outputSet) && rb.subsetOf(left.outputSet)))
       }
       val hasEqui = conjuncts.exists {
+        // EqualNullSafe is a hash-joinable key too — banding on top of
+        // either equality form would only add overhead
         case EqualTo(a, b) => crossSide(a, b)
+        case EqualNullSafe(a, b) => crossSide(a, b)
         case _ => false
       }
       val ham = if (hasEqui) None else conjuncts.collectFirst {

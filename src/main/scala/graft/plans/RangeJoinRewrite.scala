@@ -2,7 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
-import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Union}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join,
+  LogicalPlan, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DayTimeIntervalType, IntegerType,
   LongType, TimestampType}
@@ -48,7 +49,13 @@ import org.apache.spark.sql.types.{DayTimeIntervalType, IntegerType,
   *
   * The branch joins keep the ORIGINAL condition verbatim (the exact
   * range test and any other conjuncts), so the rewrite can never change
-  * the result set — only the access path. For hand-tuned pipelines
+  * the result set — only the access path. Rows within the tracked
+  * overflow `margin` of the Long range edge (where the bucket
+  * arithmetic — or the user's own offsets — would overflow) are
+  * excluded from the bucket branches and routed through two near-empty
+  * edge-filtered RESCUE branches that replay the original condition
+  * with identical wrap-or-throw behavior, so fidelity holds across the
+  * full 64-bit domain in both ANSI and legacy arithmetic modes. For hand-tuned pipelines
   * [[graft.operators.IntervalJoin]] is the single-scan form (it fans the
   * right side out with one explode instead of re-reading it per branch);
   * this rule is the rescue path for ad-hoc declarative queries,
@@ -60,15 +67,28 @@ import org.apache.spark.sql.types.{DayTimeIntervalType, IntegerType,
   */
 object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
+  /** Marks joins this rule emitted: the rescue limbs keep the original
+    * (equi-free) condition, so without the tag the rule would re-fire on
+    * its own output forever (transformDown visits replaced subtrees).
+    */
+  private val rewrittenTag =
+    org.apache.spark.sql.catalyst.trees.TreeNodeTag[Boolean](
+      "graft.rangeJoinRewritten")
+
   /** An inequality conjunct normalized to `x - y <= c` (upper = true)
     * or `x - y >= c` (upper = false), x over `left`, y over `right`.
+    * `margin` = how close to the Long range edge a base value must be
+    * before 64-bit arithmetic (the user's own offsets, or the rewrite's
+    * `x - lo`) can wrap for this conjunct — the edge-zone radius the
+    * rescue branches must cover.
     */
   private case class DiffBound(x: Expression, y: Expression, c: Long,
-      upper: Boolean)
+      upper: Boolean, margin: Long)
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, jt, Some(cond), hint)
-        if (jt == Inner || jt == Cross) && deterministic(j) =>
+        if (jt == Inner || jt == Cross) && deterministic(j) &&
+          j.getTagValue(rewrittenTag).isEmpty =>
       val conjuncts = splitConjunctivePredicates(cond)
       def sides(a: Expression, b: Expression): Boolean = {
         val (ra, rb) = (a.references, b.references)
@@ -77,7 +97,10 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
             (ra.subsetOf(right.outputSet) && rb.subsetOf(left.outputSet)))
       }
       val hasEqui = conjuncts.exists {
+        // EqualNullSafe is a hash-joinable key too — rewriting on top of
+        // either equality form would only add a second scan
         case EqualTo(a, b) => sides(a, b)
+        case EqualNullSafe(a, b) => sides(a, b)
         case _ => false
       }
       val bounds =
@@ -86,32 +109,93 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       // first (x, y) pair with both an upper and a lower bound; take the
       // tightest of each
       val window = bounds.filter(_.upper).flatMap { ub =>
-        val lbs = bounds.filter(b => !b.upper &&
+        val same = bounds.filter(b =>
           b.x.semanticEquals(ub.x) && b.y.semanticEquals(ub.y))
+        val lbs = same.filter(!_.upper)
         if (lbs.isEmpty) None
         else {
-          val hi = bounds.filter(b => b.upper &&
-            b.x.semanticEquals(ub.x) && b.y.semanticEquals(ub.y))
-            .map(_.c).min
-          Some((ub.x, ub.y, lbs.map(_.c).max, hi))
+          val hi = same.filter(_.upper).map(_.c).min
+          val lo = lbs.map(_.c).max
+          Some((ub.x, ub.y, lo, hi, same.map(_.margin).max))
         }
       }.headOption
       window match {
-        case Some((x, y, lo, hi)) if hi == lo =>
-          // difference pinned: x - y = hi is an ordinary equi-join key
-          val branchCond = And(EqualTo(Subtract(x, Literal(hi)), y), cond)
-          Join(left, right, Inner, Some(branchCond), hint)
-        case Some((x, y, lo, hi)) if hi > lo =>
-          val b = Literal(hi - lo)
-          val lb = IntegralDivide(Subtract(x, Literal(lo)), b)
-          val rb = IntegralDivide(y, b)
-          val branches: Seq[LogicalPlan] = Seq(
-            Join(left, right, Inner,
-              Some(And(EqualTo(lb, rb), cond)), hint),
-            Join(left, right, Inner,
-              Some(And(EqualTo(lb, Add(rb, Literal(1L))), cond)), hint))
-          branches.reduce[LogicalPlan]((a, c) => Union(a, c))
-        case _ => j // no window (or contradictory bounds: hi < lo)
+        case Some((x, y, lo, hi, margin0)) if hi >= lo &&
+            scala.util.Try(Math.subtractExact(hi, lo)).isSuccess &&
+            margin0 < (1L << 61) =>
+          // B == 1 adds one more wrap site: branch 1's `rb + 1` for a
+          // base AT the very edge
+          val margin =
+            if (hi - lo == 1L) math.max(margin0, 1L) else margin0
+          // FIDELITY IS TO SPARK'S OWN EVALUATION of the original
+          // condition — in BOTH arithmetic modes. For rows within
+          // `margin` of the Long range edge the rewrite's `x - lo` (and
+          // for such rows possibly the user's own offsets) overflow:
+          // non-ANSI that wraps the row into a far-away bucket (silently
+          // dropping pairs the un-rewritten join emits), ANSI it throws
+          // on an expression THE USER NEVER WROTE. `margin`
+          // conservatively covers every partial offset sum and both
+          // window bounds, so: bucket branches handle all rows OUTSIDE
+          // the edge zones exactly (their keys If-neutralize edge rows —
+          // see `keyed` — so ANSI key evaluation cannot throw), and rows
+          // inside an edge zone route to rescue branches that keep the
+          // ORIGINAL condition verbatim — identical wrap-or-throw
+          // behavior to the un-rewritten join, behind pushed-down
+          // near-empty edge filters (with AQE an empty zone eliminates
+          // the branch at runtime). Branches partition the row space, so
+          // multiplicity is preserved with no dedup.
+          def edge(v: Expression): Expression =
+            Or(GreaterThan(v, Literal(Long.MaxValue - margin)),
+              LessThan(v, Literal(Long.MinValue + margin)))
+          val guards: Seq[Expression] =
+            if (margin == 0L) Nil
+            else Seq(Not(edge(x)), Not(edge(y)))
+          // ANSI subtlety: the hash join evaluates EXTRACTED key
+          // expressions on every row, OUTSIDE the condition's
+          // short-circuit — so a key that can overflow must neutralize
+          // its own edge rows (If evaluates lazily; bucket 0 for an edge
+          // row is harmless because the guard conjunct still excludes it
+          // from the result)
+          def keyed(v: Expression, k: Expression): Expression =
+            if (margin == 0L) k else If(edge(v), Literal(0L), k)
+          val bucketBranches: Seq[LogicalPlan] =
+            if (hi == lo) {
+              // difference pinned: x - y = hi is an ordinary equi-join key
+              val eq = EqualTo(keyed(x, Subtract(x, Literal(hi))), y)
+              Seq(Join(left, right, Inner,
+                Some((guards :+ eq :+ cond).reduce(And)), hint))
+            } else {
+              val b = Literal(hi - lo)
+              val lb = keyed(x, IntegralDivide(Subtract(x, Literal(lo)), b))
+              val rb = IntegralDivide(y, b)
+              Seq(
+                Join(left, right, Inner,
+                  Some((guards :+ EqualTo(lb, rb) :+ cond).reduce(And)),
+                  hint),
+                Join(left, right, Inner,
+                  Some((guards :+ EqualTo(lb, keyed(y, Add(rb, Literal(1L))))
+                    :+ cond).reduce(And)), hint))
+            }
+          val rescue: Seq[LogicalPlan] =
+            if (margin == 0L) Nil
+            else Seq(
+              // edge-x rows against everything; then non-edge-x rows
+              // against edge-y rows — disjoint and jointly covering the
+              // complement of the guarded space
+              Join(Filter(edge(x), left), right, Inner, Some(cond), hint),
+              Join(Filter(Not(edge(x)), left), Filter(edge(y), right),
+                Inner, Some(cond), hint))
+          (bucketBranches ++ rescue).foreach {
+            // tag only each branch's TOP join — joins nested inside the
+            // original children must stay rewritable
+            case bj: Join => bj.setTagValue(rewrittenTag, true)
+            case _ =>
+          }
+          (bucketBranches ++ rescue).reduce[LogicalPlan]((a, c) => Union(a, c))
+        case _ => j // no window, contradictory bounds (hi < lo), a
+                    // window wider than the Long domain, or offsets so
+                    // large the edge zones would swallow the domain —
+                    // bucketing is pointless there
       }
   }
 
@@ -124,20 +208,33 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * MINUTES"), $"ts"))` is recognized directly. Year-month intervals are
     * NOT constant-width in micros and fall through unrecognized.
     */
-  private def decompose(e: Expression): Option[(Expression, Long)] =
+  /** (base, totalOffset, maxAbsPrefix): maxAbsPrefix is the largest
+    * |partial offset sum| evaluated anywhere in the runtime expression
+    * tree — the user's arithmetic wraps exactly when the base is within
+    * that distance of the Long range edge, so it feeds the rescue
+    * margin.
+    */
+  private def decompose(e: Expression)
+      : Option[(Expression, Long, Long)] = {
+    def add(a: Expression, c: Long): Option[(Expression, Long, Long)] =
+      decompose(a).flatMap { case (b, o, m) =>
+        try {
+          val o2 = Math.addExact(o, c)
+          Some((b, o2, math.max(m, Math.absExact(o2))))
+        } catch { case _: ArithmeticException => None }
+      }
     e match {
-      case Add(a, IntegralLiteral(c), _) => decompose(a).map {
-        case (b, o) => (b, o + c) }
-      case Add(IntegralLiteral(c), a, _) => decompose(a).map {
-        case (b, o) => (b, o + c) }
-      case Subtract(a, IntegralLiteral(c), _) => decompose(a).map {
-        case (b, o) => (b, o - c) }
+      case Add(a, IntegralLiteral(c), _) => add(a, c)
+      case Add(IntegralLiteral(c), a, _) => add(a, c)
+      case Subtract(a, IntegralLiteral(c), _) if c != Long.MinValue =>
+        add(a, -c)
       case TimestampAddInterval(t, Literal(c: Long, _: DayTimeIntervalType),
-          _) => decompose(t).map { case (b, o) => (b, o + c) }
-      case _ if e.dataType == LongType => Some((e, 0L))
-      case _ if e.dataType == TimestampType => Some((UnixMicros(e), 0L))
+          _) => add(t, c)
+      case _ if e.dataType == LongType => Some((e, 0L, 0L))
+      case _ if e.dataType == TimestampType => Some((UnixMicros(e), 0L, 0L))
       case _ => None
     }
+  }
 
   private object IntegralLiteral {
     def unapply(e: Expression): Option[Long] = e match {
@@ -149,22 +246,40 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   /** Normalize one conjunct to a bound on `x - y` with x over left and
     * y over right. Strict forms tighten by 1 — exact over integers.
+    * Bound constants use CHECKED arithmetic: offsets near the Long edge
+    * would otherwise wrap into a wrong (and silently result-changing)
+    * window — an overflowing bound is simply not recognized.
     */
   private def diffBound(c: Expression, left: LogicalPlan,
       right: LogicalPlan): Seq[DiffBound] = {
+    def checked(f: => Long): Option[Long] =
+      try Some(f) catch { case _: ArithmeticException => None }
     // a <= b + slack  (slack -1 encodes the strict form)
     def leq(a: Expression, b: Expression, slack: Long): Seq[DiffBound] =
       (decompose(a), decompose(b)) match {
-        case (Some((p, ca)), Some((q, cb)))
+        case (Some((p, ca, ma)), Some((q, cb, mb)))
             if p.references.nonEmpty && q.references.nonEmpty =>
+          // |bound| covers the rewrite's own `x - lo`/`x - hi`; ma/mb
+          // cover the user's partial offset sums (B == 1's `rb + 1`
+          // hazard is added at the window level where B is known)
+          def margin(c: Long): Option[Long] =
+            checked(Math.absExact(c)).map(ac =>
+              math.max(ac, math.max(ma, mb)))
           if (p.references.subsetOf(left.outputSet) &&
               q.references.subsetOf(right.outputSet))
             // p - q <= cb - ca + slack
-            Seq(DiffBound(p, q, cb - ca + slack, upper = true))
+            (for {
+              c <- checked(Math.addExact(Math.subtractExact(cb, ca), slack))
+              m <- margin(c)
+            } yield DiffBound(p, q, c, upper = true, m)).toSeq
           else if (p.references.subsetOf(right.outputSet) &&
               q.references.subsetOf(left.outputSet))
             // q - p >= ca - cb - slack
-            Seq(DiffBound(q, p, ca - cb - slack, upper = false))
+            (for {
+              c <- checked(Math.subtractExact(Math.subtractExact(ca, cb),
+                slack))
+              m <- margin(c)
+            } yield DiffBound(q, p, c, upper = false, m)).toSeq
           else Nil
         case _ => Nil
       }

@@ -433,23 +433,35 @@ object RelationalQueries {
       // (max is bit-exact on both engines where an avg's last-ulp could
       // flip a boundary row). Same hash-agg + broadcast shapes as the
       // DataFrame forms; this query pins the SQL front door.
-      orders(s, d).createOrReplaceTempView("orders_v")
-      lineitem(s, d).createOrReplaceTempView("lineitem_v")
-      s.sql("""
+      // View names are PER-CALL unique and dropped right after the
+      // eager analysis: createOrReplaceTempView mutates the shared
+      // session catalog, and a fixed name would let two concurrent
+      // builders (e.g. base-vs-scaled stress runs) silently rebind each
+      // other's tables.
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+        .replace("-", "")
+      val (ov, lv) = (s"orders_v_$tag", s"lineitem_v_$tag")
+      orders(s, d).createOrReplaceTempView(ov)
+      lineitem(s, d).createOrReplaceTempView(lv)
+      try s.sql(s"""
         SELECT o_orderpriority,
           count(*) AS n,
           sum(CASE WHEN o_totalprice >
-                (SELECT max(o_totalprice) FROM orders_v) / 2
+                (SELECT max(o_totalprice) FROM $ov) / 2
               THEN 1 ELSE 0 END) AS n_above_mid
-        FROM orders_v o
-        WHERE EXISTS (SELECT 1 FROM lineitem_v l
+        FROM $ov o
+        WHERE EXISTS (SELECT 1 FROM $lv l
                       WHERE l.l_orderkey = o.o_orderkey
                         AND l.l_quantity > 45)
-          AND NOT EXISTS (SELECT 1 FROM lineitem_v l
+          AND NOT EXISTS (SELECT 1 FROM $lv l
                           WHERE l.l_orderkey = o.o_orderkey
                             AND l.l_returnflag = 'R')
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority""")
+      finally {
+        s.catalog.dropTempView(ov)
+        s.catalog.dropTempView(lv)
+      }
     },
     "q117_pagerank" -> { (s, d) =>
       import s.implicits._

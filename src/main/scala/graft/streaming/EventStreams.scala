@@ -145,6 +145,50 @@ object EventStreams {
       buf: List[(Long, Long, String)])
   case class TransPair(user_id: Long, prev_type: String, next_type: String)
 
+  private def micros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  /** The shared buffer-until-watermark drain both ordered per-key state
+    * machines ([[transitionPairs]], [[funnelSteps]]) are built on: merge
+    * this trigger's rows into the persisted buffer, split at the
+    * watermark, and hand back (ready-in-order, pending, timeoutMs).
+    *
+    * - the persisted buffer is ALREADY sorted (it is the pending tail of
+    *   a previous sorted split), so only the new rows sort — O(n log n +
+    *   H) per trigger instead of re-sorting the whole horizon H;
+    * - the strictly-below-watermark prefix is safe to order: later
+    *   arrivals at or below the watermark are dropped as late before
+    *   they reach the state function;
+    * - `timeoutMs` (when defined) must be registered as the event-time
+    *   timeout: a group is only re-invoked on new data OR a timeout, so
+    *   a buffer whose key goes quiet would otherwise NEVER drain. It
+    *   fires once the watermark passes the newest buffered row — the
+    *   whole buffer is ready by then; no timeout when the buffer is
+    *   empty, so idle keys cost no wake-ups.
+    */
+  private def drainAtWatermark(
+      persisted: List[(Long, Long, String)],
+      rows: Iterator[TransEvent],
+      wmMs: Long): (List[(Long, Long, String)], List[(Long, Long, String)],
+      Option[Long]) = {
+    val fresh = rows.map(e => (micros(e.ts), e.event_id, e.event_type))
+      .toList.sortBy(t => (t._1, t._2))
+    val merged = new scala.collection.mutable.ListBuffer[(Long, Long, String)]
+    var (a, b) = (persisted, fresh)
+    while (a.nonEmpty && b.nonEmpty) {
+      val (ah, bh) = (a.head, b.head)
+      if (ah._1 < bh._1 || (ah._1 == bh._1 && ah._2 <= bh._2)) {
+        merged += ah; a = a.tail
+      } else { merged += bh; b = b.tail }
+    }
+    merged ++= a; merged ++= b
+    val (ready, pending) = merged.toList.partition(_._1 < wmMs * 1000L)
+    val timeoutMs =
+      if (pending.isEmpty) None
+      else Some(math.max(pending.iterator.map(_._1 / 1000L).max, wmMs + 1L))
+    (ready, pending, timeoutMs)
+  }
+
   /** Streaming twin of batch q115_transitions: per-user consecutive
     * (prev, next) event-type pairs in exact (ts, event_id) order — the
     * stateful-LAG shape. A pair can only be emitted once the engine knows
@@ -163,8 +207,6 @@ object EventStreams {
   def transitionPairs(events: Dataset[TransEvent],
       watermark: String = "2 hours"): Dataset[TransPair] = {
     import events.sparkSession.implicits._
-    def micros(t: java.sql.Timestamp): Long =
-      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
@@ -173,14 +215,8 @@ object EventStreams {
         (userId: Long, rows: Iterator[TransEvent],
             state: GroupState[TransState]) =>
           val st = state.getOption.getOrElse(TransState(None, Nil))
-          val buf = (st.buf ++ rows.map(e =>
-              (micros(e.ts), e.event_id, e.event_type)))
-            .sortBy(t => (t._1, t._2))
-          // strictly-below-watermark prefix is safe to order: later
-          // arrivals at or below the watermark are dropped as late
-          // before they reach this function
-          val wmMs = state.getCurrentWatermarkMs()
-          val (ready, pending) = buf.partition(_._1 < wmMs * 1000L)
+          val (ready, pending, timeoutMs) = drainAtWatermark(
+            st.buf, rows, state.getCurrentWatermarkMs())
           var last = st.lastType
           val out = ready.flatMap { case (_, _, t) =>
             val p = last
@@ -188,14 +224,7 @@ object EventStreams {
             p.map(pt => TransPair(userId, pt, t))
           }
           state.update(TransState(last, pending))
-          // a group is only re-invoked on new data OR a timeout — without
-          // this, a buffer whose user goes quiet would never drain. Fire
-          // once the watermark passes the newest buffered row (the whole
-          // buffer is ready by then); no timeout when the buffer is empty,
-          // so idle users cost one lastType record and zero wake-ups.
-          if (pending.nonEmpty)
-            state.setTimeoutTimestamp(
-              math.max(pending.map(_._1 / 1000L).max, wmMs + 1L))
+          timeoutMs.foreach(state.setTimeoutTimestamp)
           out.iterator
       }
   }
@@ -221,8 +250,6 @@ object EventStreams {
       steps: Seq[String] = Seq("signup", "view", "click", "purchase"),
       watermark: String = "2 hours"): Dataset[StepReached] = {
     import events.sparkSession.implicits._
-    def micros(t: java.sql.Timestamp): Long =
-      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
@@ -237,24 +264,19 @@ object EventStreams {
             if (st.buf.nonEmpty) state.update(FunnelState(st.step, Nil))
             Iterator.empty
           } else {
-          val buf = (st.buf ++ rows.map(e =>
-              (micros(e.ts), e.event_id, e.event_type)))
-            .sortBy(t => (t._1, t._2))
-          val wmMs = state.getCurrentWatermarkMs()
-          val (ready, pending) = buf.partition(_._1 < wmMs * 1000L)
-          var step = st.step
-          val out = ready.flatMap { case (_, _, t) =>
-            if (step < steps.length && t == steps(step)) {
-              step += 1
-              Some(StepReached(userId, step))
-            } else None
-          }
-          state.update(FunnelState(step,
-            if (step == steps.length) Nil else pending))
-          if (step < steps.length && pending.nonEmpty)
-            state.setTimeoutTimestamp(
-              math.max(pending.map(_._1 / 1000L).max, wmMs + 1L))
-          out.iterator
+            val (ready, pending, timeoutMs) = drainAtWatermark(
+              st.buf, rows, state.getCurrentWatermarkMs())
+            var step = st.step
+            val out = ready.flatMap { case (_, _, t) =>
+              if (step < steps.length && t == steps(step)) {
+                step += 1
+                Some(StepReached(userId, step))
+              } else None
+            }
+            state.update(FunnelState(step,
+              if (step == steps.length) Nil else pending))
+            if (step < steps.length) timeoutMs.foreach(state.setTimeoutTimestamp)
+            out.iterator
           }
       }
   }

@@ -58,11 +58,20 @@ class RangeRewriteSpec extends AnyFunSuite {
       if tb - ta >= lo && tb - ta <= hi
     } yield (ia, ib))
 
+  /** The candidate path must be HASH joins; product joins may appear
+    * ONLY as the near-edge rescue limbs, which always sit behind a
+    * filter on a Long-extreme literal (every realistic row avoids them).
+    */
   private def assertBucketed(df: DataFrame, what: String): Unit = {
     val phys = df.queryExecution.executedPlan.toString
-    assert(!phys.contains("CartesianProduct") &&
-      !phys.contains("BroadcastNestedLoopJoin"),
-      s"$what still plans a product join:\n$phys")
+    val hashJoins = ("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(phys).size)
+    assert(hashJoins >= 1, s"$what plans no hash join:\n$phys")
+    val products = ("CartesianProduct|BroadcastNestedLoopJoin".r
+      .findAllIn(phys).size)
+    if (products > 0)
+      assert(phys.contains("92233720368547"), // a Long-edge literal digits
+        s"$what: product join without an edge filter:\n$phys")
   }
 
   test("pure range theta-join rewrites to bucketed equi-joins: " +
@@ -110,7 +119,8 @@ class RangeRewriteSpec extends AnyFunSuite {
     }
   }
 
-  test("pinned difference (hi == lo) becomes one plain equi-join branch") {
+  test("pinned difference (hi == lo) becomes one equi-join branch " +
+      "(plus the edge rescue limbs)") {
     withExtendedSession { spark =>
       import spark.implicits._
       val a = lts.toDF("id_a", "lt")
@@ -118,10 +128,39 @@ class RangeRewriteSpec extends AnyFunSuite {
       val joined = a.join(b, $"rt" >= $"lt" - 10L && $"rt" <= $"lt" - 10L)
       assertBucketed(joined, "pinned difference")
       val phys = joined.queryExecution.executedPlan.toString
-      assert(!phys.contains("Union"), "pinned difference needs one branch")
+      assert(("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+        .findAllIn(phys).size) === 1,
+        s"pinned difference needs exactly one hash branch:\n$phys")
       val got = multiset(joined.select($"id_a", $"id_b")
         .as[(Long, Long)].collect().toSeq)
       assert(got === brute(-10L, -10L))
+    }
+  }
+
+  test("values near the Long edges flow through the rescue branches: " +
+      "exact result where the naive bucket math would overflow") {
+    withExtendedSession { spark =>
+      import spark.implicits._
+      // lt = Max-10 with window [lt+5, lt+20]: the USER's arithmetic
+      // (lt+5, rt-20) never overflows for these rows, but the naive
+      // bucket key (lt - lo = lt + 20) would — wrapping the row into a
+      // far-away bucket (non-ANSI) or throwing on an expression the user
+      // never wrote (ANSI). The margin guards route these rows to the
+      // rescue limbs instead.
+      val la = Seq(1L -> (Long.MaxValue - 10), 2L -> 100L,
+        3L -> (Long.MaxValue - 40), 4L -> (Long.MinValue + 3))
+      val rb = Seq(21L -> (Long.MaxValue - 3), 22L -> 110L,
+        23L -> (Long.MaxValue - 25), 24L -> (Long.MinValue + 100))
+      val a = la.toDF("id_a", "lt")
+      val b = rb.toDF("id_b", "rt")
+      val joined = a.join(b, $"rt" >= $"lt" + 5L && $"rt" - 20L <= $"lt")
+      assertBucketed(joined, "long-edge values")
+      val got = multiset(joined.select($"id_a", $"id_b")
+        .as[(Long, Long)].collect().toSeq)
+      // rt in [lt+5, lt+20] in ideal arithmetic (no user-expr overflow
+      // for these rows)
+      assert(got === multiset(Seq(1L -> 21L, 2L -> 22L, 3L -> 23L)),
+        "the edge pair (1,21) is exactly the one naive bucketing loses")
     }
   }
 

@@ -27,6 +27,19 @@ class StreamingSpec extends AnyFunSuite {
     spark.table(name)
   }
 
+  /** Land `df` as one parquet file named `<name>.parquet` in the
+    * file-stream source dir — the shared micro-batch feeding ritual
+    * (write coalesced to a temp dir, move the single part file in).
+    */
+  private def stageChunk(dir: String, name: String,
+      df: org.apache.spark.sql.DataFrame): Unit = {
+    val tmp = Files.createTempDirectory(s"stage-$name").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val f = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.move(f.toPath, Paths.get(dir, s"$name.parquet"))
+  }
+
   test("tumbling window counts match the batch computation") {
     val ev = EventStreams.readEvents(spark, streamDir)
     val got = runToCompletion(
@@ -73,16 +86,10 @@ class StreamingSpec extends AnyFunSuite {
     // and data behind the watermark must be dropped AND counted in the
     // state-operator metrics — never silently absorbed into state.
     val dir = Files.createTempDirectory("sess-bound").toString
-    def addBatch(n: Int, rows: Seq[(Long, Long, Double)]): Unit = {
-      val tmp = Files.createTempDirectory(s"sess-batch$n").toString
-      rows.toDF("user_id", "tsl", "value")
+    def addBatch(n: Int, rows: Seq[(Long, Long, Double)]): Unit =
+      stageChunk(dir, s"batch$n", rows.toDF("user_id", "tsl", "value")
         .select($"user_id",
-          expr("timestamp_micros(tsl * 1000000)").as("ts"), $"value")
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val f = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      Files.move(f.toPath, Paths.get(dir, s"batch$n.parquet"))
-    }
+          expr("timestamp_micros(tsl * 1000000)").as("ts"), $"value"))
     val t0 = 1600000000L
     val h = 3600L
     // batch 1: 100 users, one event each at t0
@@ -168,14 +175,9 @@ class StreamingSpec extends AnyFunSuite {
     val vDir = Files.createTempDirectory("attro-views").toString
     def add(dir: String, n: Int, schema: Seq[String],
         rows: Seq[(Long, Long, Long)]): Unit = {
-      val tmp = Files.createTempDirectory(s"attro$n").toString
-      rows.toDF("id", "user", "tsl")
+      stageChunk(dir, s"batch$n", rows.toDF("id", "user", "tsl")
         .select($"id".as(schema(0)), $"user".as(schema(1)),
-          expr("timestamp_micros(tsl * 1000000)").as(schema(2)))
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val f = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      Files.move(f.toPath, Paths.get(dir, s"batch$n.parquet"))
+          expr("timestamp_micros(tsl * 1000000)").as(schema(2))))
     }
     val cCols = Seq("click_id", "user_id", "ts")
     val vCols = Seq("view_id", "v_user", "v_ts")
@@ -224,14 +226,9 @@ class StreamingSpec extends AnyFunSuite {
     val vDir = Files.createTempDirectory("attrb-views").toString
     def add(dir: String, n: Int, schema: Seq[String],
         rows: Seq[(Long, Long, Long)]): Unit = {
-      val tmp = Files.createTempDirectory(s"attrb$n").toString
-      rows.toDF("id", "user", "tsl")
+      stageChunk(dir, s"batch$n", rows.toDF("id", "user", "tsl")
         .select($"id".as(schema(0)), $"user".as(schema(1)),
-          expr("timestamp_micros(tsl * 1000000)").as(schema(2)))
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val f = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      Files.move(f.toPath, Paths.get(dir, s"batch$n.parquet"))
+          expr("timestamp_micros(tsl * 1000000)").as(schema(2))))
     }
     val cCols = Seq("click_id", "user_id", "ts")
     val vCols = Seq("view_id", "v_user", "v_ts")
@@ -779,17 +776,12 @@ class StreamingSpec extends AnyFunSuite {
     try {
       import s2.implicits._
       val dir = Files.createTempDirectory("ttl-dedup").toString
-      def add(i: Int, rows: Seq[(Long, Long, Long, String)]): Unit = {
-        val tmp = Files.createTempDirectory(s"ttl-b$i").toString
-        rows.toDF("user_id", "sec", "event_id", "event_type")
-          .select($"user_id",
-            expr("timestamp_micros(sec * 1000000)").as("ts"),
-            $"event_id", $"event_type")
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val f = new java.io.File(tmp).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        Files.move(f.toPath, Paths.get(dir, s"b$i.parquet"))
-      }
+      def add(i: Int, rows: Seq[(Long, Long, Long, String)]): Unit =
+        stageChunk(dir, s"b$i",
+          rows.toDF("user_id", "sec", "event_id", "event_type")
+            .select($"user_id",
+              expr("timestamp_micros(sec * 1000000)").as("ts"),
+              $"event_id", $"event_type"))
       // batch 1: ids 1,2,3 with 2 duplicated IN batch
       add(0, Seq((1L, 10L, 1L, "view"), (2L, 11L, 2L, "view"),
         (2L, 11L, 2L, "view"), (3L, 12L, 3L, "click")))
@@ -878,14 +870,9 @@ class StreamingSpec extends AnyFunSuite {
         r.getString(3)))
       .sortBy(_._2.getTime)
     def add(i: Int,
-        rows: Seq[(Long, java.sql.Timestamp, Long, String)]): Unit = {
-      val tmp = Files.createTempDirectory(s"funnel-b$i").toString
-      rows.toDF("user_id", "ts", "event_id", "event_type")
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val f = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      Files.move(f.toPath, Paths.get(dir, s"b$i.parquet"))
-    }
+        rows: Seq[(Long, java.sql.Timestamp, Long, String)]): Unit =
+      stageChunk(dir, s"b$i",
+        rows.toDF("user_id", "ts", "event_id", "event_type"))
     val (c1, c2) = typed.splitAt(typed.length / 2)
     add(0, c1.toSeq)
     val stream = spark.readStream
@@ -936,14 +923,9 @@ class StreamingSpec extends AnyFunSuite {
         r.getString(3)))
       .sortBy(_._2.getTime)
     def add(i: Int,
-        rows: Seq[(Long, java.sql.Timestamp, Long, String)]): Unit = {
-      val tmp = Files.createTempDirectory(s"trans-b$i").toString
-      rows.toDF("user_id", "ts", "event_id", "event_type")
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val f = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      Files.move(f.toPath, Paths.get(dir, s"b$i.parquet"))
-    }
+        rows: Seq[(Long, java.sql.Timestamp, Long, String)]): Unit =
+      stageChunk(dir, s"b$i",
+        rows.toDF("user_id", "ts", "event_id", "event_type"))
     val chunks = typed.grouped((typed.length + 2) / 3).toSeq
     add(0, chunks(0).toSeq)
     val stream = spark.readStream

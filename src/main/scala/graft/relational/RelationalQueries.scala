@@ -339,6 +339,38 @@ object RelationalQueries {
         .agg(sum($"r1").as("signup_users"), sum($"r2").as("view_users"),
           sum($"r3").as("click_users"), sum($"r4").as("purchase_users"))
     },
+    "q122_funnel_latency" -> { (s, d) =>
+      import s.implicits._
+      // Time-to-convert for users completing the whole funnel: the q113
+      // chained running-min windows again (one exchange+sort), then per
+      // user first-signup = min(s1) and first-completion = min(s4)
+      // (running minima, so the per-user min IS the final value).
+      // Latency stats stay INTEGER micros end to end — no float
+      // aggregate anywhere.
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      events(s, d)
+        .withColumn("s1",
+          min(when($"event_type" === "signup", $"ts")).over(w))
+        .withColumn("s2",
+          min(when($"event_type" === "view" && $"s1".isNotNull, $"ts"))
+            .over(w))
+        .withColumn("s3",
+          min(when($"event_type" === "click" && $"s2".isNotNull, $"ts"))
+            .over(w))
+        .withColumn("s4",
+          min(when($"event_type" === "purchase" && $"s3".isNotNull, $"ts"))
+            .over(w))
+        .groupBy($"user_id")
+        .agg(min($"s1").as("first_signup"), min($"s4").as("converted"))
+        .filter($"converted".isNotNull)
+        .select((unix_micros($"converted") - unix_micros($"first_signup"))
+          .as("lat"))
+        .agg(count(lit(1)).as("n_converted"),
+          sum($"lat").as("sum_latency_us"),
+          min($"lat").as("min_latency_us"),
+          max($"lat").as("max_latency_us"))
+    },
     "q114_retention_cohorts" -> { (s, d) =>
       import s.implicits._
       // Weekly retention triangle: cohort = a user's first active week;
@@ -718,6 +750,42 @@ object RelationalQueries {
            CAST(sum(r3) AS BIGINT) AS click_users,
            CAST(sum(r4) AS BIGINT) AS purchase_users
          FROM per_user""",
+    "q122_funnel_latency" ->
+      """WITH s1 AS (
+           SELECT user_id, ts, event_id, event_type,
+             min(CASE WHEN event_type = 'signup' THEN ts END) OVER w AS s1
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING)),
+         s2 AS (
+           SELECT *, min(CASE WHEN event_type = 'view' AND s1 IS NOT NULL
+               THEN ts END) OVER w AS s2
+           FROM s1
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING)),
+         s3 AS (
+           SELECT *, min(CASE WHEN event_type = 'click' AND s2 IS NOT NULL
+               THEN ts END) OVER w AS s3
+           FROM s2
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING)),
+         s4 AS (
+           SELECT *, min(CASE WHEN event_type = 'purchase' AND s3 IS NOT NULL
+               THEN ts END) OVER w AS s4
+           FROM s3
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING)),
+         conv AS (
+           SELECT user_id, min(s1) AS first_signup, min(s4) AS converted
+           FROM s4 GROUP BY user_id),
+         lat AS (
+           SELECT epoch_us(converted) - epoch_us(first_signup) AS lat
+           FROM conv WHERE converted IS NOT NULL)
+         SELECT count(*) AS n_converted,
+           CAST(sum(lat) AS BIGINT) AS sum_latency_us,
+           min(lat) AS min_latency_us,
+           max(lat) AS max_latency_us
+         FROM lat""",
     "q114_retention_cohorts" ->
       """WITH uw AS (
            SELECT DISTINCT user_id,

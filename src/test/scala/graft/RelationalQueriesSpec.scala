@@ -174,6 +174,30 @@ class RelationalQueriesSpec extends AnyFunSuite {
     assert(count("\\+- Window ") === 4, plan)
   }
 
+  test("q122 funnel latency equals the greedy walk's signup-to-purchase " +
+      "micros") {
+    val lats = collectedEvents().groupBy(_._1).values.flatMap { evs =>
+      var step = 0
+      var first = 0L
+      var conv = -1L
+      evs.foreach { case (_, us, _, t) =>
+        if (step == 0 && t == "signup") { step = 1; first = us }
+        else if (step == 1 && t == "view") step = 2
+        else if (step == 2 && t == "click") step = 3
+        else if (step == 3 && t == "purchase" && conv < 0) {
+          step = 4; conv = us
+        }
+      }
+      if (conv >= 0) Some(conv - first) else None
+    }.toSeq
+    val row = SparkEntry.queries("q122_funnel_latency")(spark, sf)
+      .collect().head
+    assert(row.getAs[Long]("n_converted") === lats.size.toLong)
+    assert(row.getAs[Long]("sum_latency_us") === lats.sum)
+    assert(row.getAs[Long]("min_latency_us") === lats.min)
+    assert(row.getAs[Long]("max_latency_us") === lats.max)
+  }
+
   test("q115 transitions equal brute-force consecutive pairs") {
     val brute = collectedEvents().groupBy(_._1).values.flatMap { evs =>
       val ts = evs.map(_._4)

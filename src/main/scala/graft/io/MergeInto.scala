@@ -1,0 +1,258 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Outcome of one [[MergeInto.mergeByKey]] call — the observability a
+  * maintenance pass needs: how much of the table the batch actually
+  * touched (the 100 TB question), and what was cleaned up.
+  *
+  * @param touchedPartitions partition values whose directories were
+  *   rewritten (update/insert targets plus the OLD homes of matched
+  *   keys whose partition value changed)
+  * @param outputRows rows landed across the rewritten partitions
+  *   (survivors + upserts)
+  * @param removedPartitions touched partitions left with zero rows,
+  *   whose directories were deleted
+  */
+case class MergeStats(touchedPartitions: Seq[String], outputRows: Long,
+    removedPartitions: Seq[String])
+
+/** Copy-on-write MERGE for a partitioned parquet dataset — the
+  * incremental-maintenance shape every long-lived corpus needs (the
+  * reference's datasets are immutable snapshots re-read per run,
+  * `edsnlp/data/parquet.py:60-120`; at 100 TB a full-snapshot rewrite
+  * per update batch is exactly what an engine must avoid).
+  *
+  * Semantics are SQL `MERGE INTO target USING updates ON
+  * target.key = updates.key WHEN MATCHED THEN UPDATE SET * WHEN NOT
+  * MATCHED THEN INSERT *` — updates fully replace matched rows, new
+  * keys append — executed copy-on-write: ONLY partitions that contain
+  * a matched or inserted key are rewritten. The untouched partitions'
+  * files are never read for data (only the key/partition projection
+  * scans them) and never rewritten — the blast radius of a merge is
+  * the batch's partition footprint, not the table.
+  * [[mergeByKeyCdc]] adds the `WHEN MATCHED AND <tombstone> THEN
+  * DELETE` clause and a change-data feed.
+  *
+  * Partition-value changes are handled: a matched key whose update
+  * carries a NEW partition value is removed from its old partition
+  * (the old home is discovered by the key-projection semi-join and
+  * joins the touched set) and lands in the new one; an old partition
+  * drained to zero rows has its directory deleted (dynamic overwrite
+  * alone would leave the stale copy, since an empty frame writes no
+  * partition directory).
+  *
+  * Scale notes: the matched-home discovery is a column-pruned
+  * (key, partition) scan of the target — the pass a format with
+  * per-file key min/max or bloom statistics skips; with parquet alone
+  * it is still a 2-column read, not a data read. The merge itself
+  * reads only touched partitions, anti-joins survivors against the
+  * update keys on the shuffle, and the upsert union lands through one
+  * partitioned write.
+  *
+  * Contract (same family as [[Compact]]): single writer, no
+  * concurrent reader during the publish. The publish commits per
+  * partition (delete old directory + rename the staged one in), not
+  * per table — a crash mid-publish can leave SOME touched partitions
+  * new and others old, and a crash between a delete and its rename
+  * leaves that partition only under `<dir>._merge_staging` (never a
+  * torn file, and untouched partitions are never at risk). Because
+  * the merge is an idempotent upsert, re-running the same batch heals
+  * any torn state. Renames assume staging and target share a
+  * filesystem — true by construction (sibling paths), the same
+  * rename-publish assumption [[Compact.stagedSwap]] documents.
+  */
+object MergeInto {
+
+  /** Merge `updates` into the partitioned parquet dataset at `dir`.
+    *
+    * @param keyCol  unique row key (matched ⇒ replace, else insert)
+    * @param partCol the dataset's partition column; `updates` must
+    *   carry it (the row's NEW home)
+    * @param maxTouchedPartitions fail-fast bound on the driver-side
+    *   partition collects — a batch touching more distinct partitions
+    *   than this is a full-table rewrite in disguise; use [[Compact]]
+    *   or a plain overwrite instead
+    */
+  def mergeByKey(spark: SparkSession, dir: String, updates: DataFrame,
+      keyCol: String, partCol: String,
+      maxTouchedPartitions: Int = 4096): MergeStats =
+    merge(spark, dir, updates, keyCol, partCol, None,
+      maxTouchedPartitions, cdc = false)._1
+
+  /** [[mergeByKey]] with a DELETE clause and a change-data feed —
+    * `MERGE … WHEN MATCHED AND <deleteWhen> THEN DELETE WHEN MATCHED
+    * THEN UPDATE SET * WHEN NOT MATCHED AND NOT <deleteWhen> THEN
+    * INSERT *`. `deleteWhen` is a predicate over the `updates` row
+    * (typically a tombstone marker column that is not part of the
+    * target schema); a tombstone whose key matches nothing is a no-op
+    * (never inserted), and a tombstone's `partCol` value is ignored —
+    * the delete finds the key wherever it lives.
+    *
+    * The change feed is the Delta-CDF shape: one row per change with
+    * the target's columns plus `_op` ∈ {`insert`, `update_pre`,
+    * `update_post`, `delete`} (`update_pre` carries the before-image,
+    * `update_post` the after-image). The feed is WRITTEN to
+    * `<dir>._cdc/batch-<n>` BEFORE the table is touched — it reads
+    * old rows the publish is about to retire, and landing it first
+    * makes the feed durable for downstream incremental consumers
+    * (see [[StatsMaintenance]]). The returned frame reads that batch
+    * directory back. Crash-retry of a batch appends a NEW feed batch
+    * reflecting the re-run's (possibly already-merged, hence empty-
+    * delta) state — at-least-once, consumers key on batch directories.
+    *
+    * Beyond [[mergeByKey]]'s work this costs one extra full-row read
+    * of the TOUCHED partitions (the before-images) and the feed write
+    * — still bounded by the batch's partition footprint, never the
+    * table. An unmatched update key is rejected nowhere; a DUPLICATE
+    * key within one batch is rejected up front (standard MERGE
+    * semantics: a target row may match at most one source row —
+    * silently letting both through would make the change feed and the
+    * survivor anti-join disagree).
+    */
+  def mergeByKeyCdc(spark: SparkSession, dir: String, updates: DataFrame,
+      keyCol: String, partCol: String, deleteWhen: Option[Column] = None,
+      maxTouchedPartitions: Int = 4096): (MergeStats, DataFrame) = {
+    val (stats, feed) = merge(spark, dir, updates, keyCol, partCol,
+      deleteWhen, maxTouchedPartitions, cdc = true)
+    (stats, feed.get)
+  }
+
+  private def merge(spark: SparkSession, dir: String, updates: DataFrame,
+      keyCol: String, partCol: String, deleteWhen: Option[Column],
+      maxTouchedPartitions: Int,
+      cdc: Boolean): (MergeStats, Option[DataFrame]) = {
+    val dup = updates.groupBy(col(keyCol)).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"duplicate $keyCol in update batch (e.g. ${dup.headOption}): " +
+        "a MERGE source may match each target row at most once")
+    // SQL `WHEN MATCHED AND <cond>` treats NULL as false — the row
+    // falls through to the UPDATE clause, it does not vanish
+    val tombstones = deleteWhen.map(c => updates.filter(c))
+    val upserts =
+      deleteWhen.fold(updates)(c => updates.filter(!coalesce(c, lit(false))))
+
+    // touched = upserts' NEW homes ∪ old homes of ALL matched keys
+    // (a tombstone's own partCol value is ignored — see scaladoc)
+    val distinctParts = upserts.select(col(partCol)).distinct()
+      .limit(maxTouchedPartitions + 1).collect().map(_.get(0))
+    require(distinctParts.length <= maxTouchedPartitions,
+      s"update batch touches > $maxTouchedPartitions partitions; " +
+        "this merge is a table rewrite — use Compact/overwrite")
+    val allKeys = updates.select(col(keyCol))
+    val target = spark.read.parquet(dir)
+    // old homes of matched keys: column-pruned (key, part) scan +
+    // semi join — catches rows whose partition value the update moves
+    val matchedHomes = target.select(col(keyCol), col(partCol))
+      .join(allKeys, Seq(keyCol), "left_semi")
+      .select(col(partCol)).distinct()
+      .limit(maxTouchedPartitions + 1).collect().map(_.get(0))
+    require(matchedHomes.length <= maxTouchedPartitions,
+      s"matched keys live in > $maxTouchedPartitions partitions")
+    val touched = (distinctParts ++ matchedHomes).distinct
+    if (touched.isEmpty) {
+      val empty =
+        if (!cdc) None
+        else Some(emptyFeed(spark, dir, target))
+      return (MergeStats(Nil, 0L, Nil), empty)
+    }
+
+    val targetTouched = target.filter(col(partCol).isin(touched: _*))
+    val dataCols = target.columns.map(col).toIndexedSeq
+    val feed = if (!cdc) None else {
+      // before-images: full rows of every matched key (their homes are
+      // all inside `touched` by construction)
+      val oldMatched = targetTouched.join(allKeys, Seq(keyCol), "left_semi")
+      val matchedKeys = oldMatched.select(col(keyCol))
+      val updatePost = upserts.select(dataCols: _*)
+        .join(matchedKeys, Seq(keyCol), "left_semi")
+      val inserts = upserts.select(dataCols: _*)
+        .join(matchedKeys, Seq(keyCol), "left_anti")
+      val updatePre = oldMatched
+        .join(upserts.select(col(keyCol)), Seq(keyCol), "left_semi")
+      val deletes = tombstones.fold(oldMatched.limit(0)) { t =>
+        oldMatched.join(t.select(col(keyCol)), Seq(keyCol), "left_semi")
+      }
+      val changes = updatePre.withColumn("_op", lit("update_pre"))
+        .unionByName(updatePost.withColumn("_op", lit("update_post")))
+        .unionByName(inserts.withColumn("_op", lit("insert")))
+        .unionByName(deletes.withColumn("_op", lit("delete")))
+      Some(writeFeedBatch(spark, dir, changes))
+    }
+
+    val survivors = targetTouched.join(allKeys, Seq(keyCol), "left_anti")
+    val merged = survivors.unionByName(upserts.select(dataCols: _*))
+    // land the merged rows in a sibling staging directory, then publish
+    // per partition via delete + rename: ONE data write, and the write
+    // never reads the directory it is replacing — a lost executor
+    // recomputing a task can only re-read the intact target, never a
+    // half-overwritten one (the hazard a cached self-overwrite has)
+    val stagingPath = new Path(dir.stripSuffix("/") + "._merge_staging")
+    val fs = stagingPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(stagingPath, true)
+    merged.write.mode("overwrite").partitionBy(partCol)
+      .parquet(stagingPath.toString)
+    val outputRows = spark.read.parquet(stagingPath.toString).count()
+    val presentDirs = fs.listStatus(stagingPath)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
+      .map(_.getPath.getName).toSet
+    val touchedDirs =
+      touched.map(v => s"$partCol=${escapePathName(String.valueOf(v))}")
+    touchedDirs.foreach(n => fs.delete(new Path(dir, n), true))
+    presentDirs.foreach { n =>
+      if (!fs.rename(new Path(stagingPath, n), new Path(dir, n)))
+        throw new java.io.IOException(
+          s"could not publish partition $n into $dir")
+    }
+    fs.delete(stagingPath, true)
+    val drained = touchedDirs.filterNot(presentDirs.contains)
+      .map(_.stripPrefix(partCol + "="))
+    (MergeStats(touched.map(String.valueOf).sorted.toSeq, outputRows,
+      drained.sorted.toSeq), feed)
+  }
+
+  /** Land a change-feed batch at `<dir>._cdc/batch-<n>` (n = first
+    * unused index) and read it back. One driver listing of the feed
+    * root — bounded by batches ever merged, not data.
+    */
+  private def writeFeedBatch(spark: SparkSession, dir: String,
+      changes: DataFrame): DataFrame = {
+    val root = new Path(dir.stripSuffix("/") + "._cdc")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing =
+      if (!fs.exists(root)) Array.empty[Int]
+      else fs.listStatus(root).map(_.getPath.getName)
+        .collect { case s if s.startsWith("batch-") =>
+          s.stripPrefix("batch-").toInt }
+    val next = if (existing.isEmpty) 0 else existing.max + 1
+    val batchDir = new Path(root, f"batch-$next%05d").toString
+    changes.write.mode("error").parquet(batchDir)
+    spark.read.parquet(batchDir)
+  }
+
+  private def emptyFeed(spark: SparkSession, dir: String,
+      target: DataFrame): DataFrame =
+    writeFeedBatch(spark, dir,
+      target.limit(0).withColumn("_op", lit("insert")))
+
+  /** Hive-style partition-directory escaping for the handful of
+    * characters parquet partition paths encode as %XX — mirrors what
+    * the partitioned write itself does, so the drained-directory
+    * delete targets the same path the write would have used.
+    */
+  private[io] def escapePathName(v: String): String = {
+    val needsEscape = "\b\t\n" +
+      "\f\r\"#%'*/:=?\\{[]^"
+    val sb = new StringBuilder
+    v.foreach { c =>
+      if (c < ' ' || needsEscape.indexOf(c.toInt) >= 0)
+        sb.append(f"%%${c.toInt}%02X")
+      else sb.append(c)
+    }
+    sb.toString
+  }
+}

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.dedup.{Dedup, ExactSubstring, SimHash}
+import graft.io.{Compact, Manifest, MergeInto, StatsMaintenance, ZOrder}
 import graft.multimodal.Multimodal
 import graft.similarity.{Ann, PortableLsh, Pq, RandomProjection, Sq}
 import graft.text.{Sketches, TextStats}
@@ -24,7 +25,7 @@ import graft.text.{Sketches, TextStats}
   * only — its top-k aggregator ships just k rows per partition per query.
   */
 object PipelineQueries {
-  import Tables.{documents, embeddings}
+  import Tables.{documents, embeddings, events}
 
   /** The deterministic spread-lattice embedding corpus shared by the ANN
     * family (q45/q51/q52/q58/q76/q77/q78): clusters of 8 ids share ONE
@@ -1455,6 +1456,119 @@ object PipelineQueries {
           threshold = 0.8)
         .orderBy($"new_id", $"corpus_id")
     },
+    "q123_merge_upsert" -> { (s, d) =>
+      import s.implicits._
+      // Copy-on-write MERGE (io/MergeInto): the documents corpus lives
+      // as a lang-partitioned snapshot; one update batch revises the
+      // 'fr' docs with doc_id % 17 = 0 (appending a version tag) and
+      // inserts brand-new docs (shifted ids, new partition 'xx').
+      // Only the touched partitions ('fr', 'xx') are rewritten — the
+      // incremental-maintenance contract a 100 TB corpus needs (the
+      // untouched-files assertion lives in IoSpec; the summary here
+      // proves the MERGE semantics against a DuckDB replay of
+      // anti-join + union). Re-merging the same batch is idempotent,
+      // so bench reps after the first time merge + summary on an
+      // already-merged snapshot.
+      val dir = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft-merge-${Integer.toHexString(d.hashCode)}" +
+        s"-${ProcessHandle.current().pid()}"
+      buildOnce(dir)(documents(s, d).write.mode("overwrite")
+        .partitionBy("lang").parquet(dir))
+      val docs = documents(s, d)
+      val updates = docs
+        .filter($"lang" === "fr" && $"doc_id" % 17 === 0)
+        .withColumn("text", concat($"text", lit(" [v2]")))
+        .unionByName(docs.filter($"doc_id" % 31 === 0)
+          .withColumn("doc_id", $"doc_id" + 100000000L)
+          .withColumn("lang", lit("xx")))
+      MergeInto.mergeByKey(s, dir, updates, "doc_id", "lang")
+      s.read.parquet(dir)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length($"text")).as("sum_len"),
+          sum($"doc_id").as("sum_ids"))
+        .orderBy($"lang")
+    },
+    "q124_cdc_incremental_stats" -> { (s, d) =>
+      import s.implicits._
+      // CDC merge + incremental view maintenance: per-lang corpus
+      // stats refreshed from the CHANGE FEED alone — after the seed,
+      // the base table is never rescanned for stats (the 100 TB
+      // maintenance shape; see io/StatsMaintenance). One batch
+      // revises fr docs (%17, '[v2]' tag), inserts new xx docs (%31,
+      // shifted ids), and DELETES de docs (%13) via tombstone rows
+      // (`_del`, the WHEN MATCHED AND _del THEN DELETE clause). The
+      // maintained view must equal a recompute over the merged table
+      // — which is exactly what the DuckDB oracle computes. Reps
+      // after the first re-merge an already-merged batch: the feed
+      // degenerates to pre==post updates and no-op deletes, so every
+      // delta is zero and the persisted view is a fixed point.
+      val metrics = Seq("sum_len" -> length(col("text")),
+        "sum_ids" -> col("doc_id"))
+      val base = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft-cdc-${Integer.toHexString(d.hashCode)}" +
+        s"-${ProcessHandle.current().pid()}"
+      val statsDir = base + "-stats"
+      buildOnce(base) {
+        documents(s, d).write.mode("overwrite")
+          .partitionBy("lang").parquet(base)
+        StatsMaintenance.recompute(documents(s, d), "lang", metrics)
+          .write.mode("overwrite").parquet(statsDir)
+      }
+      val docs = documents(s, d)
+      val batch = docs
+        .filter($"lang" === "fr" && $"doc_id" % 17 === 0)
+        .withColumn("text", concat($"text", lit(" [v2]")))
+        .withColumn("_del", lit(false))
+        .unionByName(docs.filter($"doc_id" % 31 === 0)
+          .withColumn("doc_id", $"doc_id" + 100000000L)
+          .withColumn("lang", lit("xx"))
+          .withColumn("_del", lit(false)))
+        .unionByName(docs.filter($"lang" === "de" && $"doc_id" % 13 === 0)
+          .withColumn("_del", lit(true)))
+      val (_, feed) = MergeInto.mergeByKeyCdc(s, base, batch,
+        "doc_id", "lang", deleteWhen = Some($"_del"))
+      val updated = StatsMaintenance.applyCdc(
+        s.read.parquet(statsDir), feed, "lang", metrics)
+      // persist the maintained view crash-safely (staging write runs
+      // while the old view is still live, so the self-read is safe)
+      Compact.stagedSwap(s, statsDir)(
+        staging => updated.write.parquet(staging))
+      s.read.parquet(statsDir).orderBy($"lang")
+    },
+    "q125_manifest_scan" -> { (s, d) =>
+      import s.implicits._
+      // Manifest-pruned box scan: the events fact laid out z-ordered
+      // by (user_id, cents) with a per-file min/max manifest
+      // (io/Manifest) — a 2-D box predicate keeps only the files
+      // whose stats box intersects it, WITHOUT opening any parquet
+      // footer (the Iceberg/Delta planning step reduced to one
+      // manifest table; at 100 TB this is the difference between one
+      // tiny manifest read and 100k footer round trips). Pruning is
+      // conservative, so the result must equal the plain full scan —
+      // which is exactly what the oracle runs; the files-touched
+      // accounting is spec-asserted (IoSpec) where the layout is
+      // controlled.
+      val dir = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft-manifest-${Integer.toHexString(d.hashCode)}" +
+        s"-${ProcessHandle.current().pid()}"
+      buildOnce(dir) {
+        val ev = events(s, d).select($"event_id", $"user_id",
+          $"event_type", round($"value" * 100).cast("long").as("cents"))
+        ZOrder.writeZOrdered(ev, dir, $"user_id", $"cents",
+          numFiles = 16)
+        Manifest.buildManifest(s, dir, Seq("user_id", "cents"))
+      }
+      val (pruned, _) = Manifest.prunedRead(s, dir,
+        Seq(("user_id", 3L, 9L), ("cents", 1000L, 20000L)))
+      pruned
+        .filter($"user_id".between(3, 9) &&
+          $"cents".between(1000, 20000))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"),
+          sum($"event_id").as("sum_ids"))
+        .orderBy($"event_type")
+    },
     "q103_length_quartiles" -> { (s, d) =>
       import s.implicits._
       // per-language token-length quartiles computed on the length
@@ -2627,6 +2741,52 @@ object PipelineQueries {
          WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
              len(list_distinct(a.sh || b.sh)), 4) >= 0.8
          ORDER BY new_id, corpus_id""",
+    "q123_merge_upsert" ->
+      """WITH upd AS (
+           SELECT doc_id, text || ' [v2]' AS text, lang
+           FROM documents WHERE lang = 'fr' AND doc_id % 17 = 0
+           UNION ALL
+           SELECT doc_id + 100000000, text, 'xx' AS lang
+           FROM documents WHERE doc_id % 31 = 0),
+         merged AS (
+           SELECT d.doc_id, d.text, d.lang FROM documents d
+           WHERE NOT EXISTS (SELECT 1 FROM upd u
+                             WHERE u.doc_id = d.doc_id)
+           UNION ALL SELECT doc_id, text, lang FROM upd)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS sum_len,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         FROM merged GROUP BY lang ORDER BY lang""",
+    "q124_cdc_incremental_stats" ->
+      """WITH upd AS (
+           SELECT doc_id, text || ' [v2]' AS text, lang
+           FROM documents WHERE lang = 'fr' AND doc_id % 17 = 0
+           UNION ALL
+           SELECT doc_id + 100000000, text, 'xx' AS lang
+           FROM documents WHERE doc_id % 31 = 0),
+         del AS (
+           SELECT doc_id FROM documents
+           WHERE lang = 'de' AND doc_id % 13 = 0),
+         merged AS (
+           SELECT d.doc_id, d.text, d.lang FROM documents d
+           WHERE NOT EXISTS (SELECT 1 FROM upd u
+                             WHERE u.doc_id = d.doc_id)
+             AND NOT EXISTS (SELECT 1 FROM del x
+                             WHERE x.doc_id = d.doc_id)
+           UNION ALL SELECT doc_id, text, lang FROM upd)
+         SELECT lang, count(*) AS n_rows,
+           CAST(sum(length(text)) AS BIGINT) AS sum_len,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         FROM merged GROUP BY lang ORDER BY lang""",
+    "q125_manifest_scan" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(sum(event_id) AS BIGINT) AS sum_ids
+         FROM events
+         WHERE user_id BETWEEN 3 AND 9
+           AND CAST(round(value * 100) AS BIGINT) BETWEEN 1000 AND 20000
+         GROUP BY event_type ORDER BY event_type""",
     "q103_length_quartiles" ->
       """WITH t AS (SELECT lang,
              CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)

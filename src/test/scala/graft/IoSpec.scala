@@ -264,4 +264,206 @@ class IoSpec extends AnyFunSuite {
     assert(back.schema === n.schema, "explicit schema must win over inference")
     assert(rows(back) === rows(n))
   }
+
+  test("mergeByKey: upsert semantics, copy-on-write blast radius, " +
+      "partition move and drained-partition cleanup") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("merge").toString
+    // partitions: a{1,2,3} b{4,5} c{6}
+    Seq((1L, "one", "a"), (2L, "two", "a"), (3L, "three", "a"),
+        (4L, "four", "b"), (5L, "five", "b"), (6L, "six", "c"))
+      .toDF("k", "v", "p")
+      .write.mode("overwrite").partitionBy("p").parquet(dir)
+    def files(part: String): Map[String, Long] = {
+      val f = new java.io.File(s"$dir/p=$part")
+      if (!f.exists()) Map.empty
+      else f.listFiles.filter(_.getName.endsWith(".parquet"))
+        .map(x => x.getName -> x.lastModified).toMap
+    }
+    val aBefore = files("a")
+    assert(aBefore.nonEmpty)
+    // revise k=4 in place, MOVE k=6 from partition c to d, insert k=7
+    val updates = Seq((4L, "four2", "b"), (6L, "six2", "d"),
+      (7L, "seven", "b")).toDF("k", "v", "p")
+    val stats = graft.io.MergeInto.mergeByKey(spark, dir, updates, "k", "p")
+    val after = spark.read.parquet(dir)
+      .select($"k", $"v", $"p").as[(Long, String, String)].collect().toSet
+    assert(after === Set(
+      (1L, "one", "a"), (2L, "two", "a"), (3L, "three", "a"),
+      (4L, "four2", "b"), (5L, "five", "b"),
+      (6L, "six2", "d"), (7L, "seven", "b")))
+    assert(files("a") === aBefore,
+      "untouched partition must keep its exact files")
+    assert(!new java.io.File(s"$dir/p=c").exists(),
+      "partition drained by the key move must be deleted")
+    assert(!new java.io.File(s"$dir._merge_staging").exists())
+    assert(stats.touchedPartitions === Seq("b", "c", "d"))
+    assert(stats.removedPartitions === Seq("c"))
+    assert(stats.outputRows === 4L) // b:{4,5,7} d:{6}
+    // idempotency: re-merging the identical batch is a no-op result-wise
+    val stats2 = graft.io.MergeInto.mergeByKey(spark, dir, updates, "k", "p")
+    val again = spark.read.parquet(dir)
+      .select($"k", $"v", $"p").as[(Long, String, String)].collect().toSet
+    assert(again === after)
+    assert(stats2.touchedPartitions === Seq("b", "d"))
+    assert(stats2.removedPartitions === Seq.empty)
+    // empty update batch: no-op, nothing rewritten
+    val s3 = graft.io.MergeInto.mergeByKey(spark, dir,
+      updates.filter($"k" < 0), "k", "p")
+    assert(s3 === graft.io.MergeStats(Nil, 0L, Nil))
+  }
+
+  test("mergeByKeyCdc: delete clause, feed classification with " +
+      "before/after images, and incremental stats == recompute") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("cdc").toString
+    Seq((1L, "one", "a"), (2L, "two", "a"), (3L, "three", "a"),
+        (4L, "four", "b"), (5L, "five", "b"), (6L, "six", "c"))
+      .toDF("k", "v", "p")
+      .write.mode("overwrite").partitionBy("p").parquet(dir)
+    val metrics = Seq("sum_k" -> col("k"))
+    // materialize the pre-merge view: a LAZY frame over `dir` would be
+    // evaluated after the merge rewrote the files it references (the
+    // snapshot-before-mutate contract StatsMaintenance documents)
+    val statsBefore = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        graft.io.StatsMaintenance.recompute(
+          spark.read.parquet(dir), "p", metrics).collect().toIndexedSeq),
+      graft.io.StatsMaintenance.recompute(
+        spark.read.parquet(dir), "p", metrics).schema)
+    // update k=4, null-_del k=5 (SQL: NULL cond falls through to
+    // UPDATE), move k=6 c->d, insert k=7, DELETE k=2 (tombstone part
+    // value is junk on purpose: deletes find the key's real home),
+    // tombstone k=99 matches nothing -> full no-op, never inserted
+    val batch = Seq(
+      (4L, "four2", "b", Some(false)),
+      (5L, "five2", "b", None),
+      (6L, "six2", "d", Some(false)),
+      (7L, "seven", "b", Some(false)),
+      (2L, "junk", "zz", Some(true)),
+      (99L, "junk", "zz", Some(true)))
+      .toDF("k", "v", "p", "_del")
+    val (stats, feed) = graft.io.MergeInto.mergeByKeyCdc(
+      spark, dir, batch, "k", "p", deleteWhen = Some(col("_del")))
+    val after = spark.read.parquet(dir)
+      .select($"k", $"v", $"p").as[(Long, String, String)].collect().toSet
+    assert(after === Set(
+      (1L, "one", "a"), (3L, "three", "a"),
+      (4L, "four2", "b"), (5L, "five2", "b"), (7L, "seven", "b"),
+      (6L, "six2", "d")))
+    // k=2's home joins the touched set via the key scan, NOT via the
+    // tombstone's junk part value; zz is never touched
+    assert(stats.touchedPartitions === Seq("a", "b", "c", "d"))
+    assert(stats.removedPartitions === Seq("c"))
+    val got = feed.select($"_op", $"k", $"v", $"p")
+      .as[(String, Long, String, String)].collect().toSet
+    assert(got === Set(
+      ("update_pre", 4L, "four", "b"), ("update_post", 4L, "four2", "b"),
+      ("update_pre", 5L, "five", "b"), ("update_post", 5L, "five2", "b"),
+      ("update_pre", 6L, "six", "c"), ("update_post", 6L, "six2", "d"),
+      ("insert", 7L, "seven", "b"),
+      ("delete", 2L, "two", "a")))
+    // the feed batch landed durably before the publish
+    assert(new java.io.File(s"$dir._cdc/batch-00000").exists())
+    // incremental maintenance == full recompute of the merged table,
+    // including the drop of drained group c and the birth of d
+    val maintained = graft.io.StatsMaintenance.applyCdc(
+      statsBefore, feed, "p", metrics)
+      .as[(String, Long, Long)].collect().toSet
+    val recomputed = graft.io.StatsMaintenance.recompute(
+      spark.read.parquet(dir), "p", metrics)
+      .as[(String, Long, Long)].collect().toSet
+    assert(maintained === recomputed)
+    assert(!maintained.exists(_._1 == "c"))
+    // second merge appends a new feed batch
+    val (_, feed2) = graft.io.MergeInto.mergeByKeyCdc(
+      spark, dir, batch, "k", "p", deleteWhen = Some(col("_del")))
+    assert(new java.io.File(s"$dir._cdc/batch-00001").exists())
+    // re-run of an already-applied batch: pre == post pairs and no
+    // deletes -> every maintained delta is zero
+    val zeroDelta = graft.io.StatsMaintenance.applyCdc(
+      graft.io.StatsMaintenance.recompute(
+        spark.read.parquet(dir), "p", metrics),
+      feed2, "p", metrics).as[(String, Long, Long)].collect().toSet
+    assert(zeroDelta === recomputed)
+    // duplicate source keys are standard-MERGE illegal
+    val dup = Seq((4L, "x", "b", Some(false)), (4L, "y", "b", Some(false)))
+      .toDF("k", "v", "p", "_del")
+    intercept[IllegalArgumentException] {
+      graft.io.MergeInto.mergeByKeyCdc(spark, dir, dup, "k", "p",
+        deleteWhen = Some(col("_del")))
+    }
+  }
+
+  test("manifest: per-file stats, conservative pruning, null-stats " +
+      "and disjoint boxes pruned, rebuild picks up appends") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, sum}
+    val dir = Files.createTempDirectory("manifest").toString
+    // three controlled files (coalesce(1) per append): x in [0,9],
+    // x in [100,109], and an all-null-y straggler at x in [500,503]
+    Seq.tabulate(10)(i => (i.toLong, Some(i * 10L), s"a$i"))
+      .toDF("x", "y", "tag").coalesce(1).write.mode("append").parquet(dir)
+    Seq.tabulate(10)(i => (100L + i, Some(1000L + i), s"b$i"))
+      .toDF("x", "y", "tag").coalesce(1).write.mode("append").parquet(dir)
+    Seq.tabulate(4)(i => (500L + i, None: Option[Long], s"n$i"))
+      .toDF("x", "y", "tag").coalesce(1).write.mode("append").parquet(dir)
+    assert(graft.io.Manifest.buildManifest(spark, dir, Seq("x", "y")) === 3)
+    // box inside file 1 only
+    val (df1, st1) = graft.io.Manifest.prunedRead(spark, dir,
+      Seq(("x", 5L, 7L)))
+    assert(st1 === graft.io.ScanStats(3, 1))
+    assert(df1.filter($"x".between(5, 7)).count() === 3)
+    // y-range: the all-null-y file is PRUNED even though its x matches
+    val (_, st2) = graft.io.Manifest.prunedRead(spark, dir,
+      Seq(("x", 0L, 600L), ("y", 0L, 2000L)))
+    assert(st2 === graft.io.ScanStats(3, 2))
+    // disjoint box: zero files read, empty frame, schema preserved
+    val (df3, st3) = graft.io.Manifest.prunedRead(spark, dir,
+      Seq(("x", 9000L, 9999L)))
+    assert(st3.filesRead === 0)
+    assert(df3.count() === 0)
+    assert(df3.columns.toSet === Set("x", "y", "tag"))
+    // pruned + re-filtered == full scan (conservative, never lossy)
+    val full = spark.read.parquet(dir).filter($"x" <= 105)
+      .agg(sum($"x")).as[Long].head()
+    val (df4, _) = graft.io.Manifest.prunedRead(spark, dir,
+      Seq(("x", 0L, 105L)))
+    assert(df4.filter($"x" <= 105).agg(sum($"x")).as[Long].head() === full)
+    // stale manifest under-reads by contract; rebuild refreshes
+    Seq((6L, Some(77L), "late")).toDF("x", "y", "tag")
+      .coalesce(1).write.mode("append").parquet(dir)
+    assert(graft.io.Manifest.buildManifest(spark, dir, Seq("x", "y")) === 4)
+    val (df5, st5) = graft.io.Manifest.prunedRead(spark, dir,
+      Seq(("x", 5L, 7L)))
+    assert(st5 === graft.io.ScanStats(4, 2))
+    assert(df5.filter($"x".between(5, 7)).count() === 4)
+  }
+
+  test("manifest over a z-ordered layout: a tight 2-D box touches a " +
+      "fraction of the files and the answer matches brute force") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("zman").toString
+    // 32x32 grid, 16 z-range files: each file is ~one 8x8 z-tile, so
+    // the box [0,7]x[0,7] lives in ~1 file (range boundaries are
+    // sampled, allow <= 3); a single-dimension sort could not prune
+    // the second dimension at all
+    val grid = (for { x <- 0 until 32; y <- 0 until 32 }
+      yield (x.toLong, y.toLong, x * 32L + y)).toDF("x", "y", "v")
+    graft.io.ZOrder.writeZOrdered(grid, dir, col("x"), col("y"), 16)
+    graft.io.Manifest.buildManifest(spark, dir, Seq("x", "y"))
+    val (pruned, st) = graft.io.Manifest.prunedRead(spark, dir,
+      Seq(("x", 0L, 7L), ("y", 0L, 7L)))
+    assert(st.filesTotal === 16)
+    assert(st.filesRead <= 3,
+      s"z-order + manifest should prune the box to <=3 of 16 files, " +
+        s"read ${st.filesRead}")
+    val got = pruned.filter($"x" <= 7 && $"y" <= 7)
+      .select($"x", $"y", $"v").as[(Long, Long, Long)].collect().toSet
+    val want = (for { x <- 0 until 8; y <- 0 until 8 }
+      yield (x.toLong, y.toLong, x * 32L + y)).toSet
+    assert(got === want)
+  }
 }

@@ -1,6 +1,6 @@
 package graft.io
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incremental view maintenance for per-group DISTRIBUTIVE aggregates
@@ -55,19 +55,57 @@ object StatsMaintenance {
     * merge rewrote the very files it references.
     */
   def applyCdc(stats: DataFrame, feed: DataFrame, groupCol: String,
+      metrics: Seq[(String, Column)]): DataFrame =
+    applyDelta(stats, delta(feed, groupCol, metrics), groupCol, metrics)
+
+  /** The ±-weighted per-group delta of one or more feed batches — an
+    * ordinary (partial-aggregated, associative) aggregation, which is
+    * why [[cdcDeltaStream]] can run the SAME expression incrementally
+    * under Structured Streaming.
+    */
+  def delta(feed: DataFrame, groupCol: String,
       metrics: Seq[(String, Column)]): DataFrame = {
     val sign = when(col("_op").isin("insert", "update_post"), 1L)
       .when(col("_op").isin("delete", "update_pre"), -1L)
     val deltaAggs = sum(sign).as("_d_n_rows") +: metrics.map {
       case (n, c) => sum(sign * c.cast("long")).as(s"_d_$n")
     }
-    val delta = feed.groupBy(col(groupCol))
-      .agg(deltaAggs.head, deltaAggs.tail: _*)
-    val merged = stats.join(delta, Seq(groupCol), "full_outer")
+    feed.groupBy(col(groupCol)).agg(deltaAggs.head, deltaAggs.tail: _*)
+  }
+
+  /** Combine a materialized stats view with a delta frame (from
+    * [[delta]] over any set of feed batches): full-outer join, sum,
+    * drop drained groups.
+    */
+  def applyDelta(stats: DataFrame, deltas: DataFrame, groupCol: String,
+      metrics: Seq[(String, Column)]): DataFrame = {
+    val merged = stats.join(deltas, Seq(groupCol), "full_outer")
     val updatedCols = ("n_rows" +: metrics.map(_._1)).map { n =>
       (coalesce(col(n), lit(0L)) + coalesce(col(s"_d_$n"), lit(0L))).as(n)
     }
     merged.select(col(groupCol) +: updatedCols: _*)
       .filter(col("n_rows") > 0)
+  }
+
+  /** The STREAMING twin of the maintenance loop: the `<dir>._cdc`
+    * feed root is append-only by construction (each merge lands a new
+    * `batch-N` directory and never rewrites an old one), so it is a
+    * file-stream source — this returns the CUMULATIVE per-group delta
+    * since stream start as an unbounded aggregation (run it in
+    * complete/update mode; `seed ⊕ this` is the live stats view,
+    * pinned ≡ a batch recompute in StreamingSpec). State is one row
+    * per group — group cardinality, never data volume.
+    *
+    * The feed schema is taken from the batches already on disk, so at
+    * least one merge must have landed before the stream starts.
+    */
+  def cdcDeltaStream(spark: SparkSession, tableDir: String,
+      groupCol: String, metrics: Seq[(String, Column)]): DataFrame = {
+    val root = tableDir.stripSuffix("/") + "._cdc"
+    val schema = spark.read.parquet(root + "/batch-*").schema
+    val feed = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 64)
+      .parquet(root + "/batch-*")
+    delta(feed, groupCol, metrics)
   }
 }

@@ -466,4 +466,43 @@ class IoSpec extends AnyFunSuite {
       yield (x.toLong, y.toLong, x * 32L + y)).toSet
     assert(got === want)
   }
+
+  test("vacuum: expired crash orphans deleted, young and live dirs " +
+      "kept; CDC batches pruned by index with keepLast") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val parent = Files.createTempDirectory("vac").toString
+    def mk(name: String, mtime: Long): java.io.File = {
+      val f = new java.io.File(parent, name)
+      f.mkdirs(); f.setLastModified(mtime); f
+    }
+    val old = System.currentTimeMillis() - 48L * 3600 * 1000
+    val oldStaging = mk("docs._staging", old)
+    val oldRetired = mk("docs._retired", old)
+    val oldMerge = mk("docs._merge_staging", old)
+    val youngRetired = mk("other._retired", System.currentTimeMillis())
+    val live = mk("docs", System.currentTimeMillis() - 96L * 3600 * 1000)
+    val removed = graft.io.Vacuum.vacuumOrphans(spark, parent,
+      ttlMs = 24L * 3600 * 1000)
+    assert(removed.map(new java.io.File(_).getName).toSet ===
+      Set("docs._staging", "docs._retired", "docs._merge_staging"))
+    assert(!oldStaging.exists() && !oldRetired.exists() && !oldMerge.exists())
+    assert(youngRetired.exists(), "a young ._retired may be a swap in flight")
+    assert(live.exists(), "age never makes LIVE data garbage")
+    // CDC batch retention: three merges, keep the newest one
+    val dir = Files.createTempDirectory("vaccdc").toString
+    Seq((1L, "a")).toDF("k", "p")
+      .write.mode("overwrite").partitionBy("p").parquet(dir)
+    for (i <- 2L to 4L)
+      graft.io.MergeInto.mergeByKeyCdc(spark, dir,
+        Seq((i, "a")).toDF("k", "p"), "k", "p")
+    val pruned = graft.io.Vacuum.pruneCdcBatches(spark, dir, keepLast = 1)
+    assert(pruned.map(new java.io.File(_).getName) ===
+      Seq("batch-00000", "batch-00001"))
+    assert(new java.io.File(s"$dir._cdc/batch-00002").exists())
+    // the NEXT merge still allocates max+1, after the prune
+    graft.io.MergeInto.mergeByKeyCdc(spark, dir,
+      Seq((9L, "a")).toDF("k", "p"), "k", "p")
+    assert(new java.io.File(s"$dir._cdc/batch-00003").exists())
+  }
 }

@@ -958,4 +958,52 @@ class StreamingSpec extends AnyFunSuite {
       assert(got === batch)
     } finally q.stop()
   }
+
+  test("streaming CDC maintenance: seed + cumulative stream delta " +
+      "equals a recompute after every merge, incl. one mid-stream") {
+    import graft.io.{MergeInto, StatsMaintenance}
+    val dir = Files.createTempDirectory("cdcstream").toString
+    Seq((1L, "one", "a"), (2L, "two", "a"), (3L, "three", "b"),
+        (4L, "four", "c")).toDF("k", "v", "p")
+      .write.mode("overwrite").partitionBy("p").parquet(dir)
+    val metrics = Seq("sum_k" -> col("k"))
+    val seedDir = Files.createTempDirectory("cdcseed").toString
+    StatsMaintenance.recompute(spark.read.parquet(dir), "p", metrics)
+      .write.mode("overwrite").parquet(seedDir)
+    // two merges land BEFORE the stream starts: update k=2, insert
+    // k=5, delete k=4 (drains partition c), then move k=1 a->b
+    MergeInto.mergeByKeyCdc(spark, dir,
+      Seq((2L, "two2", "a", false), (5L, "five", "b", false),
+        (4L, "x", "c", true)).toDF("k", "v", "p", "_del"),
+      "k", "p", deleteWhen = Some(col("_del")))
+    MergeInto.mergeByKeyCdc(spark, dir,
+      Seq((1L, "one2", "b", false)).toDF("k", "v", "p", "_del"),
+      "k", "p", deleteWhen = Some(col("_del")))
+    val q = StatsMaintenance.cdcDeltaStream(spark, dir, "p", metrics)
+      .writeStream.format("memory").queryName("cdcdelta")
+      .outputMode("complete").start()
+    try {
+      def maintained = StatsMaintenance.applyDelta(
+        spark.read.parquet(seedDir), spark.table("cdcdelta"),
+        "p", metrics).as[(String, Long, Long)].collect().toSet
+      def recomputed = StatsMaintenance.recompute(
+        spark.read.parquet(dir), "p", metrics)
+        .as[(String, Long, Long)].collect().toSet
+      q.processAllAvailable()
+      val afterTwo = maintained
+      assert(afterTwo === recomputed)
+      assert(!afterTwo.exists(_._1 == "c"),
+        "group drained by the streamed delete must disappear")
+      // a THIRD merge lands while the stream is live — its feed batch
+      // is a new file under ._cdc, discovered like any stream input
+      MergeInto.mergeByKeyCdc(spark, dir,
+        Seq((6L, "six", "d", false)).toDF("k", "v", "p", "_del"),
+        "k", "p", deleteWhen = Some(col("_del")))
+      q.processAllAvailable()
+      val afterThree = maintained
+      assert(afterThree === recomputed)
+      assert(afterThree.exists(_._1 == "d"),
+        "the mid-stream merge's new group must appear")
+    } finally q.stop()
+  }
 }

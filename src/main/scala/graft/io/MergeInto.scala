@@ -215,6 +215,31 @@ object MergeInto {
       drained.sorted.toSeq), feed)
   }
 
+  /** TIME TRAVEL by feed inversion: reconstruct the table as it was
+    * BEFORE the batch that produced `feed` — the change feed carries
+    * before-images, so one merge batch is exactly invertible:
+    * rows the batch landed (`insert` ∪ `update_post` keys) come out,
+    * rows it removed (`delete`) or replaced (`update_pre`) go back in.
+    * Chain over feeds newest-to-oldest to reach any older version —
+    * each step costs one anti-join against a BATCH-sized key set plus
+    * a batch-sized union, so reading "yesterday's table" never replays
+    * the table's history, only the feeds since (the Delta/Iceberg
+    * version-read idea carried by the CDC feed alone). Requires the
+    * key-unique contract every merge already enforces.
+    */
+  def snapshotBefore(current: DataFrame, feed: DataFrame,
+      keyCol: String): DataFrame = {
+    val landedKeys = feed
+      .filter(col("_op").isin("insert", "update_post"))
+      .select(col(keyCol))
+    val removedRows = feed
+      .filter(col("_op").isin("delete", "update_pre"))
+      .drop("_op")
+    current.join(landedKeys, Seq(keyCol), "left_anti")
+      .unionByName(removedRows.select(
+        current.columns.map(col).toIndexedSeq: _*))
+  }
+
   /** Land a change-feed batch at `<dir>._cdc/batch-<n>` (n = first
     * unused index) and read it back. One driver listing of the feed
     * root — bounded by batches ever merged, not data.

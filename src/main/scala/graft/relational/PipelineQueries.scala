@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.dedup.{Dedup, ExactSubstring, SimHash}
-import graft.io.{Compact, Manifest, MergeInto, StatsMaintenance, ZOrder}
+import graft.io.{Compact, KeyBloom, Manifest, MergeInto, StatsMaintenance, ZOrder}
 import graft.multimodal.Multimodal
 import graft.similarity.{Ann, PortableLsh, Pq, RandomProjection, Sq}
 import graft.text.{Sketches, TextStats}
@@ -1569,6 +1569,73 @@ object PipelineQueries {
           sum($"event_id").as("sum_ids"))
         .orderBy($"event_type")
     },
+    "q126_time_travel" -> { (s, d) =>
+      import s.implicits._
+      // TIME TRAVEL by CDC-feed inversion: the build seeds a snapshot
+      // and merges one batch (updates + inserts + tombstone deletes)
+      // through mergeByKeyCdc; the query reconstructs the PRE-merge
+      // table from the MUTATED table plus the feed's before-images
+      // (MergeInto.snapshotBefore) — version reads cost batch-sized
+      // joins, never a history replay. The oracle is simply the
+      // pristine documents table: stats over the reconstruction must
+      // be bit-identical to stats over what the table looked like
+      // before the merge.
+      val dir = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft-travel-${Integer.toHexString(d.hashCode)}" +
+        s"-${ProcessHandle.current().pid()}"
+      buildOnce(dir) {
+        documents(s, d).write.mode("overwrite")
+          .partitionBy("lang").parquet(dir)
+        val docs = documents(s, d)
+        val batch = docs
+          .filter($"lang" === "fr" && $"doc_id" % 17 === 0)
+          .withColumn("text", concat($"text", lit(" [v2]")))
+          .withColumn("_del", lit(false))
+          .unionByName(docs.filter($"doc_id" % 31 === 0)
+            .withColumn("doc_id", $"doc_id" + 100000000L)
+            .withColumn("lang", lit("xx"))
+            .withColumn("_del", lit(false)))
+          .unionByName(docs
+            .filter($"lang" === "de" && $"doc_id" % 13 === 0)
+            .withColumn("_del", lit(true)))
+        MergeInto.mergeByKeyCdc(s, dir, batch, "doc_id", "lang",
+          deleteWhen = Some($"_del"))
+      }
+      val feed0 = s.read.parquet(s"$dir._cdc/batch-00000")
+      MergeInto.snapshotBefore(s.read.parquet(dir), feed0, "doc_id")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length($"text")).as("sum_len"),
+          sum($"doc_id").as("sum_ids"))
+        .orderBy($"lang")
+    },
+    "q127_bloom_lookup" -> { (s, d) =>
+      import s.implicits._
+      // Point lookups through the per-file key bloom (io/KeyBloom) on
+      // a layout DELIBERATELY scattered by a non-key column
+      // (repartition by text hash), where min/max file stats are
+      // useless — every file spans the whole id range. The bloom
+      // prunes the scan to the few files that can hold the probed
+      // ids (plus the absent key 999999, which exercises pruning
+      // without rows); blooms have no false negatives, so the result
+      // must equal the plain IN-list scan the oracle runs. File-count
+      // effectiveness and the driver/engine hash agreement are
+      // spec-pinned (IoSpec).
+      val dir = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft-bloom-${Integer.toHexString(d.hashCode)}" +
+        s"-${ProcessHandle.current().pid()}"
+      buildOnce(dir) {
+        documents(s, d).repartition(16, $"text")
+          .write.mode("overwrite").parquet(dir)
+        KeyBloom.buildKeyBloom(s, dir, "doc_id")
+      }
+      val keys = Seq(3L, 17L, 41L, 444L, 999999L)
+      val (hits, _) = KeyBloom.lookupRead(s, dir, keys)
+      hits.filter($"doc_id".isin(keys: _*))
+        .select($"doc_id", $"lang",
+          length($"text").cast("long").as("len"))
+        .orderBy($"doc_id")
+    },
     "q103_length_quartiles" -> { (s, d) =>
       import s.implicits._
       // per-language token-length quartiles computed on the length
@@ -2787,6 +2854,16 @@ object PipelineQueries {
          WHERE user_id BETWEEN 3 AND 9
            AND CAST(round(value * 100) AS BIGINT) BETWEEN 1000 AND 20000
          GROUP BY event_type ORDER BY event_type""",
+    "q126_time_travel" ->
+      """SELECT lang, count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS sum_len,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "q127_bloom_lookup" ->
+      """SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS len
+         FROM documents
+         WHERE doc_id IN (3, 17, 41, 444, 999999)
+         ORDER BY doc_id""",
     "q103_length_quartiles" ->
       """WITH t AS (SELECT lang,
              CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)

@@ -505,4 +505,77 @@ class IoSpec extends AnyFunSuite {
       Seq((9L, "a")).toDF("k", "p"), "k", "p")
     assert(new java.io.File(s"$dir._cdc/batch-00003").exists())
   }
+
+  test("snapshotBefore inverts one merge exactly and chains " +
+      "newest-to-oldest back to the first version") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("travel").toString
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"k", $"v", $"p").as[(Long, String, String)].collect().toSet
+    val v0 = Set((1L, "one", "a"), (2L, "two", "a"), (3L, "three", "b"))
+    v0.toSeq.toDF("k", "v", "p")
+      .write.mode("overwrite").partitionBy("p").parquet(dir)
+    // v1 = update k=2, insert k=4, delete k=3
+    val (_, feed1) = graft.io.MergeInto.mergeByKeyCdc(spark, dir,
+      Seq((2L, "two2", "a", false), (4L, "four", "b", false),
+        (3L, "x", "b", true)).toDF("k", "v", "p", "_del"),
+      "k", "p", deleteWhen = Some(col("_del")))
+    val v1 = rows(spark.read.parquet(dir))
+    // v2 = move k=1 a->b, delete k=4
+    val (_, feed2) = graft.io.MergeInto.mergeByKeyCdc(spark, dir,
+      Seq((1L, "one2", "b", false), (4L, "x", "b", true))
+        .toDF("k", "v", "p", "_del"),
+      "k", "p", deleteWhen = Some(col("_del")))
+    val current = spark.read.parquet(dir)
+    val back1 = graft.io.MergeInto.snapshotBefore(current, feed2, "k")
+    assert(rows(back1) === v1)
+    val back2 = graft.io.MergeInto.snapshotBefore(back1, feed1, "k")
+    assert(rows(back2) === v0)
+  }
+
+  test("key bloom: zero false negatives over every key, point lookups " +
+      "prune a scattered layout, engine and driver hash bit-identically") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val dir = Files.createTempDirectory("bloom").toString
+    // 2000 keys hash-scattered across 16 files by a NON-key column:
+    // every file spans the full key range, so min/max cannot prune
+    val n = 2000
+    (0 until n).map(i => (i.toLong, s"payload-${i * 37 % 1000}"))
+      .toDF("k", "tag").repartition(16, $"tag")
+      .write.mode("overwrite").parquet(dir)
+    assert(graft.io.KeyBloom.buildKeyBloom(spark, dir, "k") === 16L)
+    // ground truth: which file really holds each key
+    val homes = spark.read.parquet(dir)
+      .select($"k", input_file_name().as("file"))
+      .as[(Long, String)].collect().toMap
+    // no false negatives, checked EXHAUSTIVELY
+    val batches = (0L until n.toLong).grouped(250).toSeq
+    batches.foreach { keys =>
+      val (files, _) = graft.io.KeyBloom.filesForKeys(spark, dir, keys)
+      val fileSet = files.toSet
+      keys.foreach(key => assert(fileSet.contains(homes(key)),
+        s"bloom lost key $key's true file"))
+    }
+    // effectiveness: one present key keeps few files, an absent key
+    // keeps ~none (fp-bounded; 3 of 16 is far beyond expected fp rate)
+    val (one, st1) = graft.io.KeyBloom.filesForKeys(spark, dir, Seq(123L))
+    assert(st1.filesTotal === 16 && one.length <= 3)
+    assert(one.contains(homes(123L)))
+    val (_, stAbsent) = graft.io.KeyBloom.filesForKeys(spark, dir,
+      Seq(987654321L))
+    assert(stAbsent.filesRead <= 3)
+    // lookupRead + exact filter equals the plain scan
+    val keys = Seq(5L, 77L, 1999L, 987654321L)
+    val (hits, _) = graft.io.KeyBloom.lookupRead(spark, dir, keys)
+    val got = hits.filter($"k".isin(keys: _*))
+      .as[(Long, String)].collect().toSet
+    val want = spark.read.parquet(dir).filter($"k".isin(keys: _*))
+      .as[(Long, String)].collect().toSet
+    assert(got === want && want.size === 3)
+    // (driver/engine hash agreement is pinned by the exhaustive
+    // no-false-negative sweep above: a divergent hash convention
+    // would probe the wrong bits and lose keys immediately)
+  }
 }

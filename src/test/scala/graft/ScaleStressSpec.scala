@@ -129,7 +129,16 @@ class ScaleStressSpec extends AnyFunSuite {
       "q103_length_quartiles",
       // q107 is a pure per-row line gate like q86: rows scale exactly
       // 10x and the whole filter fuses into the scan
-      "q107_line_gate")
+      "q107_line_gate",
+      // maintenance family: outputs are lang-cardinality flat (q123/
+      // q124/q126) or key-count flat (q127), so the band pins the
+      // WALL-TIME claims — merge cost scales with touched partitions
+      // (10x fr/xx/de data), CDC feed + incremental stats stay
+      // batch-sized, time travel inverts with batch-sized joins, and
+      // the bloom build is one linear pass. q125 stays out only
+      // because the scaled dir carries no events table.
+      "q123_merge_upsert", "q124_cdc_incremental_stats",
+      "q126_time_travel", "q127_bloom_lookup")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

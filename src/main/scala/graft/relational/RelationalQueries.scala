@@ -522,6 +522,24 @@ object RelationalQueries {
           when($"node" % 2 === 0, "customer").otherwise("part").as("kind"),
           expr("node div 2").as("key"), $"rank")
     },
+    "q128_triangle_count" -> { (s, d) =>
+      import s.implicits._
+      // Degree-oriented triangle counting (graph/Triangles) over the
+      // parts-bought-together graph: parts sharing an order are
+      // connected (u < v canonical, distinct). The orientation bounds
+      // every node's wedge fan-out by O(sqrt(m)) — the skew story: a
+      // part present in every order contributes ZERO wedges because
+      // all its edges point into it. The oracle replays the count
+      // with naive id-ordered joins; both orientations count each
+      // triangle exactly once, so the integers agree bit-for-bit.
+      val items = lineitem(s, d)
+        .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+      val edges = items.as("a")
+        .join(items.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      graft.graph.Triangles.count(edges)
+    },
     "q116_value_outliers" -> { (s, d) =>
       import s.implicits._
       // 3-sigma outlier gate, INTEGER-exact: cents c = round(value*100)
@@ -917,6 +935,19 @@ object RelationalQueries {
                * CAST(c.c * st.n - st.s AS HUGEINT)
            > 9 * (CAST(st.n AS HUGEINT) * st.ss
                   - CAST(st.s AS HUGEINT) * st.s)
-         GROUP BY c.event_type ORDER BY event_type"""
+         GROUP BY c.event_type ORDER BY event_type""",
+    "q128_triangle_count" ->
+      """WITH items AS (
+           SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         e AS (
+           SELECT DISTINCT a.p AS u, b.p AS v
+           FROM items a JOIN items b ON a.o = b.o AND a.p < b.p)
+         SELECT
+           (SELECT count(DISTINCT n) FROM
+             (SELECT u AS n FROM e UNION ALL SELECT v FROM e)) AS n_nodes,
+           (SELECT count(*) FROM e) AS n_edges,
+           (SELECT count(*) FROM e e1
+             JOIN e e2 ON e2.u = e1.v
+             JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles"""
   )
 }

@@ -268,6 +268,45 @@ class RelationalQueriesSpec extends AnyFunSuite {
     assert(rt.forall(_.getLong(1) === 1000000L))
   }
 
+  test("triangles: hand graphs (K4, star, path), a planted hot node " +
+      "adds no wedges, and a random graph equals brute force") {
+    import spark.implicits._
+    def tri(edges: Seq[(Long, Long)]): (Long, Long, Long) =
+      graph.Triangles.count(edges.toDF("u", "v"))
+        .as[(Long, Long, Long)].head()
+    // K4: C(4,3) = 4 triangles
+    val k4 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    assert(tri(k4) === ((4L, 6L, 4L)))
+    // star and path: zero
+    assert(tri(Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)))
+      === ((5L, 4L, 0L)))
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 4L))) === ((4L, 3L, 0L)))
+    // a degree-100 hot node attached to one K3: orientation sends all
+    // hot-node edges INTO it, so the count stays exactly the K3's 1
+    // (plus the 2 triangles the hub forms with the K3's edges it
+    // touches... none: hub connects to leaves 1000..1099 only)
+    val hub = (0L until 100L).map(i => (1000L + i, 5000L)) ++
+      Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    assert(tri(hub)._3 === 1L)
+    // random graph vs brute force
+    val rnd = new scala.util.Random(7)
+    val es = (for (_ <- 1 to 300) yield {
+      val a = rnd.nextInt(40).toLong; val b = rnd.nextInt(40).toLong
+      if (a < b) Some((a, b)) else if (b < a) Some((b, a)) else None
+    }).flatten.distinct
+    val eset = es.toSet
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    var brute = 0L
+    for {
+      i <- nodes.indices; j <- (i + 1) until nodes.length
+      if eset((nodes(i), nodes(j)))
+      k <- (j + 1) until nodes.length
+      if eset((nodes(i), nodes(k))) && eset((nodes(j), nodes(k)))
+    } brute += 1
+    val got = tri(es)
+    assert(got === ((nodes.length.toLong, es.length.toLong, brute)))
+  }
+
   test("q117 pagerank equals a BigInt brute-force replay at sf0.001") {
     import spark.implicits._
     val pairs = relational.Tables.lineitem(spark, sf)

@@ -61,6 +61,24 @@ object KeyBloom {
     (0 until k).map(i => (lo + i.toLong * hi) % (1L << log2Bits))
   }
 
+  /** Per-file bloom rows for `df` — the sidecar payload, exposed so
+    * [[Sidecar.refresh]] can rebuild rows for a partition-pruned
+    * slice after a merge.
+    */
+  private[io] def bloomFor(df: DataFrame, keyCol: String,
+      log2Bits: Int, k: Int): DataFrame = {
+    val positions = array(bitCols(col(keyCol), log2Bits, k): _*)
+    df.select(input_file_name().as("file"), explode(positions).as("pos"))
+      .select(col("file"), shiftright(col("pos"), 6).cast("int").as("word"),
+        expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))")
+          .as("mask"))
+      .groupBy(col("file"), col("word"))
+      .agg(expr("bit_or(mask)").as("bits"))
+      .groupBy(col("file"))
+      .agg(map_from_entries(collect_list(struct(col("word"), col("bits"))))
+        .as("bloom"))
+  }
+
   /** Build (or rebuild) the per-file key bloom sidecar for `dir`:
     * one row per data file, `bloom` = sparse word->bits map. One
     * column-pruned pass; state per task is bounded by
@@ -69,30 +87,20 @@ object KeyBloom {
   def buildKeyBloom(spark: SparkSession, dir: String, keyCol: String,
       log2Bits: Int = 16, k: Int = 4): Long = {
     require(log2Bits >= 6 && log2Bits <= 30, "log2Bits in [6,30]")
-    val df = spark.read.parquet(dir)
-    val positions = array(bitCols(col(keyCol), log2Bits, k): _*)
-    val words = df
-      .select(input_file_name().as("file"),
-        explode(positions).as("pos"))
-      .select(col("file"), shiftright(col("pos"), 6).cast("int").as("word"),
-        expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))")
-          .as("mask"))
-      .groupBy(col("file"), col("word"))
-      .agg(expr("bit_or(mask)").as("bits"))
-    val blooms = words.groupBy(col("file"))
-      .agg(map_from_entries(collect_list(struct(col("word"), col("bits"))))
-        .as("bloom"))
-    val live = new Path(dir.stripSuffix("/"), "._keybloom")
-    val staging = new Path(dir.stripSuffix("/"), "._keybloom_staging")
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(staging, true)
-    blooms.coalesce(1).write.parquet(staging.toString)
-    val n = spark.read.parquet(staging.toString).count()
-    fs.delete(live, true)
-    if (!fs.rename(staging, live))
-      throw new java.io.IOException(s"could not publish bloom at $live")
-    n
+    Sidecar.publish(spark, dir, "._keybloom",
+      bloomFor(spark.read.parquet(dir), keyCol, log2Bits, k))
   }
+
+  /** Incremental refresh after a [[MergeInto]] merge of a PARTITIONED
+    * dataset: recompute bloom rows only for files under the touched
+    * partitions (pass `MergeStats.touchedPartitions`). The geometry
+    * must match the original build's.
+    */
+  def refreshKeyBloom(spark: SparkSession, dir: String, keyCol: String,
+      partCol: String, touched: Seq[String],
+      log2Bits: Int = 16, k: Int = 4): Long =
+    Sidecar.refresh(spark, dir, "._keybloom", partCol, touched,
+      df => bloomFor(df, keyCol, log2Bits, k))
 
   /** Files that MAY contain any of `keys` (no false negatives; false
     * positives bounded by the filter geometry): the bloom sidecar is
@@ -123,9 +131,11 @@ object KeyBloom {
   def lookupRead(spark: SparkSession, dir: String, keys: Seq[Long],
       log2Bits: Int = 16, k: Int = 4): (DataFrame, ScanStats) = {
     val (files, stats) = filesForKeys(spark, dir, keys, log2Bits, k)
+    // basePath keeps partition columns alive under hive-style layouts
     val df =
       if (files.isEmpty) spark.read.parquet(dir).filter(lit(false))
-      else spark.read.parquet(files.toIndexedSeq: _*)
+      else spark.read.option("basePath", dir)
+        .parquet(files.toIndexedSeq: _*)
     (df, stats)
   }
 }

@@ -43,6 +43,19 @@ case class ScanStats(filesTotal: Int, filesRead: Int)
   */
 object Manifest {
 
+  /** Per-file stats rows for `df` — the sidecar payload, exposed so
+    * [[Sidecar.refresh]] can rebuild rows for a partition-pruned
+    * slice after a merge.
+    */
+  private[io] def manifestFor(df: DataFrame,
+      statsCols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +: statsCols.flatMap { c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
+    }
+    df.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Build the manifest for `dir` over `statsCols` (numeric or string
     * columns; min/max taken per file). One pass, reading only the
     * stats columns. Returns the number of files manifested. The write
@@ -50,24 +63,21 @@ object Manifest {
     * manifest (the old one survives until the new one is complete).
     */
   def buildManifest(spark: SparkSession, dir: String,
-      statsCols: Seq[String]): Long = {
-    val df = spark.read.parquet(dir)
-    val aggs = count(lit(1)).as("n_rows") +: statsCols.flatMap { c =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
-    }
-    val manifest = df.groupBy(input_file_name().as("file"))
-      .agg(aggs.head, aggs.tail: _*)
-    val live = new Path(dir.stripSuffix("/"), "._manifest")
-    val staging = new Path(dir.stripSuffix("/"), "._manifest_staging")
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(staging, true)
-    manifest.coalesce(1).write.parquet(staging.toString)
-    val n = spark.read.parquet(staging.toString).count()
-    fs.delete(live, true)
-    if (!fs.rename(staging, live))
-      throw new java.io.IOException(s"could not publish manifest at $live")
-    n
-  }
+      statsCols: Seq[String]): Long =
+    Sidecar.publish(spark, dir, "._manifest",
+      manifestFor(spark.read.parquet(dir), statsCols))
+
+  /** Incremental refresh after a [[MergeInto]] merge of a PARTITIONED
+    * dataset: recompute manifest rows only for files under the
+    * touched partitions (pass `MergeStats.touchedPartitions`), carry
+    * the rest over unchanged. Cost is one pruned pass over the
+    * batch's partition footprint, never the table.
+    */
+  def refreshManifest(spark: SparkSession, dir: String,
+      statsCols: Seq[String], partCol: String,
+      touched: Seq[String]): Long =
+    Sidecar.refresh(spark, dir, "._manifest", partCol, touched,
+      df => manifestFor(df, statsCols))
 
   /** Plan a scan of `dir` restricted to files whose stats box
     * intersects EVERY `(column, lo, hi)` range (inclusive). Returns
@@ -90,10 +100,13 @@ object Manifest {
       .collect()
     val kept = files.filter(_.getBoolean(1)).map(_.getString(0))
     val stats = ScanStats(files.length, kept.length)
+    // basePath keeps partition columns alive when the kept files sit
+    // under hive-style partition directories (no-op for flat layouts)
     val df =
       if (kept.isEmpty)
         spark.read.parquet(dir).filter(lit(false))
-      else spark.read.parquet(kept.toIndexedSeq: _*)
+      else spark.read.option("basePath", dir)
+        .parquet(kept.toIndexedSeq: _*)
     (df, stats)
   }
 }

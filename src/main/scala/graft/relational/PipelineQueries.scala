@@ -1636,6 +1636,55 @@ object PipelineQueries {
           length($"text").cast("long").as("len"))
         .orderBy($"doc_id")
     },
+    "q129_sidecar_refresh" -> { (s, d) =>
+      import s.implicits._
+      // The statistics-maintenance loop end to end: a lang-partitioned
+      // corpus carries a min/max manifest AND a key bloom; one CDC
+      // merge revises/inserts/deletes; both sidecars refresh
+      // INCREMENTALLY (io/Sidecar: only touched-partition rows are
+      // recomputed, the rest carry over byte-identical — spec-pinned
+      // in IoSpec). The query then serves a range scan through the
+      // manifest plus point lookups of the INSERTED ids through the
+      // bloom — row-level output, so a stale sidecar (missed insert,
+      // retired file, unrefreshed stats) cannot hash-match the
+      // oracle's replay of the merged table.
+      val dir = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft-refresh-${Integer.toHexString(d.hashCode)}" +
+        s"-${ProcessHandle.current().pid()}"
+      buildOnce(dir) {
+        documents(s, d).write.mode("overwrite")
+          .partitionBy("lang").parquet(dir)
+        Manifest.buildManifest(s, dir, Seq("doc_id"))
+        KeyBloom.buildKeyBloom(s, dir, "doc_id")
+        val docs = documents(s, d)
+        val batch = docs
+          .filter($"lang" === "fr" && $"doc_id" % 17 === 0)
+          .withColumn("text", concat($"text", lit(" [v2]")))
+          .withColumn("_del", lit(false))
+          .unionByName(docs.filter($"doc_id" % 31 === 0)
+            .withColumn("doc_id", $"doc_id" + 100000000L)
+            .withColumn("lang", lit("xx"))
+            .withColumn("_del", lit(false)))
+          .unionByName(docs
+            .filter($"lang" === "de" && $"doc_id" % 13 === 0)
+            .withColumn("_del", lit(true)))
+        val (stats, _) = MergeInto.mergeByKeyCdc(s, dir, batch,
+          "doc_id", "lang", deleteWhen = Some($"_del"))
+        Manifest.refreshManifest(s, dir, Seq("doc_id"), "lang",
+          stats.touchedPartitions)
+        KeyBloom.refreshKeyBloom(s, dir, "doc_id", "lang",
+          stats.touchedPartitions)
+      }
+      val (ranged, _) = Manifest.prunedRead(s, dir,
+        Seq(("doc_id", 0L, 300L)))
+      val keys = Seq(100000000L, 100000031L)
+      val (looked, _) = KeyBloom.lookupRead(s, dir, keys)
+      ranged.filter($"doc_id".between(0, 300))
+        .unionByName(looked.filter($"doc_id".isin(keys: _*)))
+        .select($"doc_id", $"lang",
+          length($"text").cast("long").as("len"))
+        .orderBy($"doc_id")
+    },
     "q103_length_quartiles" -> { (s, d) =>
       import s.implicits._
       // per-language token-length quartiles computed on the length
@@ -2863,6 +2912,28 @@ object PipelineQueries {
       """SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS len
          FROM documents
          WHERE doc_id IN (3, 17, 41, 444, 999999)
+         ORDER BY doc_id""",
+    "q129_sidecar_refresh" ->
+      """WITH upd AS (
+           SELECT doc_id, text || ' [v2]' AS text, lang
+           FROM documents WHERE lang = 'fr' AND doc_id % 17 = 0
+           UNION ALL
+           SELECT doc_id + 100000000, text, 'xx' AS lang
+           FROM documents WHERE doc_id % 31 = 0),
+         del AS (
+           SELECT doc_id FROM documents
+           WHERE lang = 'de' AND doc_id % 13 = 0),
+         merged AS (
+           SELECT d.doc_id, d.text, d.lang FROM documents d
+           WHERE NOT EXISTS (SELECT 1 FROM upd u
+                             WHERE u.doc_id = d.doc_id)
+             AND NOT EXISTS (SELECT 1 FROM del x
+                             WHERE x.doc_id = d.doc_id)
+           UNION ALL SELECT doc_id, text, lang FROM upd)
+         SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS len
+         FROM merged
+         WHERE doc_id BETWEEN 0 AND 300
+            OR doc_id IN (100000000, 100000031)
          ORDER BY doc_id""",
     "q103_length_quartiles" ->
       """WITH t AS (SELECT lang,

@@ -578,4 +578,57 @@ class IoSpec extends AnyFunSuite {
     // no-false-negative sweep above: a divergent hash convention
     // would probe the wrong bits and lose keys immediately)
   }
+
+  test("sidecar refresh after a merge: untouched rows carried " +
+      "byte-identical, stale rows gone, pruning stays lossless") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("refresh").toString
+    Seq((1L, "one", "a"), (2L, "two", "a"), (3L, "three", "a"),
+        (4L, "four", "b"), (5L, "five", "b"), (6L, "six", "c"))
+      .toDF("k", "v", "p")
+      .write.mode("overwrite").partitionBy("p").parquet(dir)
+    graft.io.Manifest.buildManifest(spark, dir, Seq("k"))
+    graft.io.KeyBloom.buildKeyBloom(spark, dir, "k")
+    def manifestRows() = spark.read.parquet(s"$dir/._manifest")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val beforeA = manifestRows().filter(_._1.contains("/p=a/"))
+    assert(beforeA.nonEmpty)
+    // merge: revise k=4 (b), insert k=7 (b), move k=6 c->d
+    val (stats, _) = graft.io.MergeInto.mergeByKeyCdc(spark, dir,
+      Seq((4L, "four2", "b", false), (7L, "seven", "b", false),
+        (6L, "six2", "d", false)).toDF("k", "v", "p", "_del"),
+      "k", "p", deleteWhen = Some(col("_del")))
+    assert(stats.touchedPartitions === Seq("b", "c", "d"))
+    graft.io.Manifest.refreshManifest(spark, dir, Seq("k"), "p",
+      stats.touchedPartitions)
+    graft.io.KeyBloom.refreshKeyBloom(spark, dir, "k", "p",
+      stats.touchedPartitions)
+    val after = manifestRows()
+    // untouched partition rows carried over EXACTLY (same file paths,
+    // same stats — nothing under p=a was recomputed or rewritten)
+    assert(after.filter(_._1.contains("/p=a/")) === beforeA)
+    // every manifest row references a file that exists, and every
+    // data file has a row — no stale entries for retired files
+    def dataFiles(): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory && !f.getName.startsWith("."))
+          f.listFiles.toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(dir)).map(_.getName).toSet
+    }
+    assert(after.map(r => new java.io.File(r._1).getName) === dataFiles())
+    // range pruning stays lossless post-merge, and basePath keeps the
+    // partition column alive on the pruned read
+    val (pr, _) = graft.io.Manifest.prunedRead(spark, dir,
+      Seq(("k", 6L, 7L)))
+    assert(pr.filter($"k".between(6, 7)).select($"k", $"v", $"p")
+      .as[(Long, String, String)].collect().toSet ===
+      Set((6L, "six2", "d"), (7L, "seven", "b")))
+    // bloom finds the NEW and the MOVED key after the refresh
+    val (hits, _) = graft.io.KeyBloom.lookupRead(spark, dir, Seq(6L, 7L))
+    assert(hits.filter($"k".isin(6L, 7L)).select($"k", $"v", $"p")
+      .as[(Long, String, String)].collect().toSet ===
+      Set((6L, "six2", "d"), (7L, "seven", "b")))
+  }
 }

@@ -95,9 +95,11 @@ object MergeInto {
     * the target's columns plus `_op` ∈ {`insert`, `update_pre`,
     * `update_post`, `delete`} (`update_pre` carries the before-image,
     * `update_post` the after-image). The feed is WRITTEN to
-    * `<dir>._cdc/batch-<n>` BEFORE the table is touched — it reads
-    * old rows the publish is about to retire, and landing it first
-    * makes the feed durable for downstream incremental consumers
+    * `<dir>._cdc/batch-<n>` BEFORE the publish mutates the table
+    * (concurrently with the staging write — both only read the intact
+    * target) — it reads old rows the publish is about to retire, and
+    * landing it first makes the feed durable for downstream
+    * incremental consumers
     * (see [[StatsMaintenance]]). The returned frame reads that batch
     * directory back. Crash-retry of a batch appends a NEW feed batch
     * reflecting the re-run's (possibly already-merged, hence empty-
@@ -162,7 +164,7 @@ object MergeInto {
 
     val targetTouched = target.filter(col(partCol).isin(touched: _*))
     val dataCols = target.columns.map(col).toIndexedSeq
-    val feed = if (!cdc) None else {
+    val changes = if (!cdc) None else {
       // before-images: full rows of every matched key (their homes are
       // all inside `touched` by construction)
       val oldMatched = targetTouched.join(allKeys, Seq(keyCol), "left_semi")
@@ -176,11 +178,10 @@ object MergeInto {
       val deletes = tombstones.fold(oldMatched.limit(0)) { t =>
         oldMatched.join(t.select(col(keyCol)), Seq(keyCol), "left_semi")
       }
-      val changes = updatePre.withColumn("_op", lit("update_pre"))
+      Some(updatePre.withColumn("_op", lit("update_pre"))
         .unionByName(updatePost.withColumn("_op", lit("update_post")))
         .unionByName(inserts.withColumn("_op", lit("insert")))
-        .unionByName(deletes.withColumn("_op", lit("delete")))
-      Some(writeFeedBatch(spark, dir, changes))
+        .unionByName(deletes.withColumn("_op", lit("delete"))))
     }
 
     val survivors = targetTouched.join(allKeys, Seq(keyCol), "left_anti")
@@ -194,8 +195,20 @@ object MergeInto {
     val fs = stagingPath.getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     fs.delete(stagingPath, true)
-    merged.write.mode("overwrite").partitionBy(partCol)
-      .parquet(stagingPath.toString)
+    // the feed write and the staging write are independent actions
+    // that both only READ the intact target — run them concurrently
+    // (core.Par); both complete before the publish mutates anything,
+    // preserving the feed-lands-before-the-table-changes contract
+    var feed: Option[DataFrame] = None
+    val stageWrite: () => Unit = () =>
+      merged.write.mode("overwrite").partitionBy(partCol)
+        .parquet(stagingPath.toString)
+    changes match {
+      case Some(c) => graft.core.Par.run(
+        () => { feed = Some(writeFeedBatch(spark, dir, c)) },
+        stageWrite)
+      case None => stageWrite()
+    }
     val outputRows = spark.read.parquet(stagingPath.toString).count()
     val presentDirs = fs.listStatus(stagingPath)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(partCol + "="))

@@ -874,4 +874,32 @@ object EventStreams {
           }
       }
   }
+
+  /** Streaming lakehouse ingest: MERGE each micro-batch of updates
+    * into the partitioned dataset at `dir` via
+    * [[graft.io.MergeInto.mergeByKey]] under `foreachBatch` — the
+    * continuous upsert loop that keeps a long-lived corpus current
+    * from an unbounded source. Delivery is AT-LEAST-ONCE (a crash
+    * between the merge and the offset commit re-delivers the batch),
+    * which is exactly why the merge being an idempotent upsert
+    * matters: a re-merged batch rewrites the same partitions to the
+    * same bytes, so the table converges regardless (spec-pinned by
+    * re-delivering a batch). Within one batch the MERGE key-unique
+    * contract applies — dedup upstream (`dropDuplicates(keyCol)`) if
+    * the source can repeat keys per trigger; across batches
+    * last-writer-wins, the upsert contract. Blast radius per trigger
+    * is the BATCH's partition footprint, never the table — the same
+    * copy-on-write bound as the batch path.
+    */
+  def mergeStream(updates: DataFrame, dir: String, keyCol: String,
+      partCol: String): org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.io.MergeInto.mergeByKey(batch.sparkSession, dir,
+            batch.dropDuplicates(keyCol), keyCol, partCol)
+        ()
+      }
+      .start()
 }

@@ -1006,4 +1006,39 @@ class StreamingSpec extends AnyFunSuite {
         "the mid-stream merge's new group must appear")
     } finally q.stop()
   }
+
+  test("streaming merge ingest: micro-batches upsert the table in " +
+      "order, and a re-delivered batch is a no-op (at-least-once safe)") {
+    val tableDir = Files.createTempDirectory("mergestream").toString
+    Seq((1L, "one", "a"), (2L, "two", "a"), (3L, "three", "b"))
+      .toDF("k", "v", "p")
+      .write.mode("overwrite").partitionBy("p").parquet(tableDir)
+    val srcDir = Files.createTempDirectory("mergesrc").toString
+    def table(): Set[(Long, String, String)] =
+      spark.read.parquet(tableDir).select($"k", $"v", $"p")
+        .as[(Long, String, String)].collect().toSet
+    val chunk1 = Seq((2L, "two2", "a"), (5L, "five", "b"))
+      .toDF("k", "v", "p")
+    val chunk2 = Seq((5L, "five2", "b"), (6L, "six", "c"))
+      .toDF("k", "v", "p")
+    stageChunk(srcDir, "batch0", chunk1)
+    val stream = spark.readStream.schema(chunk1.schema).parquet(srcDir)
+    val q = EventStreams.mergeStream(stream, tableDir, "k", "p")
+    try {
+      q.processAllAvailable()
+      assert(table() === Set((1L, "one", "a"), (2L, "two2", "a"),
+        (3L, "three", "b"), (5L, "five", "b")))
+      // second trigger: k=5 overwritten (last-writer-wins), k=6 lands
+      stageChunk(srcDir, "batch1", chunk2)
+      q.processAllAvailable()
+      val settled = table()
+      assert(settled === Set((1L, "one", "a"), (2L, "two2", "a"),
+        (3L, "three", "b"), (5L, "five2", "b"), (6L, "six", "c")))
+      // simulated re-delivery (the at-least-once case foreachBatch
+      // permits): merging the same batch again must not change the
+      // table — idempotency is what makes the ingest loop safe
+      graft.io.MergeInto.mergeByKey(spark, tableDir, chunk2, "k", "p")
+      assert(table() === settled)
+    } finally q.stop()
+  }
 }

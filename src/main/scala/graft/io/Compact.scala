@@ -79,12 +79,16 @@ object Compact {
     val entries = fs.listStatus(path)
     val files = entries
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    // hidden ("." / "_" prefixed) subdirectories are sidecars and
+    // markers ([[Sidecar]], `._cdc`), not data — only real data
+    // subdirectories make a layout hive-partitioned
     if (files.isEmpty &&
         entries.exists(e => e.isDirectory &&
-          !e.getPath.getName.startsWith("_"))) {
+          !e.getPath.getName.startsWith("_") &&
+          !e.getPath.getName.startsWith("."))) {
       throw new UnsupportedOperationException(
         s"$dir looks hive-partitioned (no top-level parquet, data " +
-          "subdirectories present); compact each partition directory")
+          "subdirectories present); use compactPartitioned")
     }
     val totalBytes = files.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(
@@ -94,9 +98,49 @@ object Compact {
       spark.read.parquet(path.toString)
         .repartition(nOut)
         .write.mode("overwrite").parquet(staging)
+      // the CDC feed is file-name-independent history — carry it into
+      // the new generation. File-stat sidecars (._manifest/._keybloom)
+      // are deliberately DROPPED: they reference the files this
+      // rewrite retires, and a loudly-missing sidecar beats silently
+      // stale pruning — rebuild them after compacting.
+      val cdc = new Path(path.toString + "._cdc")
+      if (fs.exists(cdc))
+        fs.rename(cdc, new Path(staging, "__cdc_carry"))
     }
+    val carried = new Path(path, "__cdc_carry")
+    if (fs.exists(carried))
+      fs.rename(carried, new Path(path.toString + "._cdc"))
     val after = fs.listStatus(path)
       .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     (files.length, after, totalBytes)
+  }
+
+  /** Per-partition compaction of a hive-partitioned dataset: each
+    * `part=value` directory compacts independently (same single-writer
+    * contract), untouched-size partitions are left alone byte-for-
+    * byte. Returns (filesBefore, filesAfter, compactedPartitionDirs) —
+    * feed the directory names to `Sidecar`-based refreshes
+    * ([[Manifest.refreshManifest]] / [[KeyBloom.refreshKeyBloom]] take
+    * partition VALUES; these are `part=value` names, strip the
+    * prefix), because a rewrite makes file-stat sidecars stale by
+    * construction.
+    */
+  def compactPartitioned(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L << 20): (Int, Int, Seq[String]) = {
+    val path = new Path(dir.stripSuffix("/"))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(path).filter(s =>
+      s.isDirectory && s.getPath.getName.contains("="))
+    require(parts.nonEmpty, s"$dir has no part=value directories; " +
+      "use compactParquet for flat layouts")
+    var before = 0
+    var after = 0
+    val compacted = Seq.newBuilder[String]
+    parts.foreach { s =>
+      val (b, a, _) = compactParquet(spark, s.getPath.toString, targetBytes)
+      before += b; after += a
+      if (a < b) compacted += s.getPath.getName
+    }
+    (before, after, compacted.result().sorted)
   }
 }

@@ -151,6 +151,38 @@ object PipelineQueries {
     }
   }
 
+  /** Shared build for the time-travel/audit queries (q126/q130): the
+    * documents corpus seeded lang-partitioned, then ONE CDC merge
+    * (fr%17 updates, %31 inserts into 'xx', de%13 tombstone deletes)
+    * whose feed lands at `<dir>._cdc/batch-00000`. Built once per
+    * (sf, process); both queries read the same deterministic state.
+    */
+  private def mergedSnapshotDir(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val dir = s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft-travel-${Integer.toHexString(d.hashCode)}" +
+      s"-${ProcessHandle.current().pid()}"
+    buildOnce(dir) {
+      documents(s, d).write.mode("overwrite")
+        .partitionBy("lang").parquet(dir)
+      val docs = documents(s, d)
+      val batch = docs
+        .filter($"lang" === "fr" && $"doc_id" % 17 === 0)
+        .withColumn("text", concat($"text", lit(" [v2]")))
+        .withColumn("_del", lit(false))
+        .unionByName(docs.filter($"doc_id" % 31 === 0)
+          .withColumn("doc_id", $"doc_id" + 100000000L)
+          .withColumn("lang", lit("xx"))
+          .withColumn("_del", lit(false)))
+        .unionByName(docs
+          .filter($"lang" === "de" && $"doc_id" % 13 === 0)
+          .withColumn("_del", lit(true)))
+      MergeInto.mergeByKeyCdc(s, dir, batch, "doc_id", "lang",
+        deleteWhen = Some($"_del"))
+    }
+    dir
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_exact_dedup" -> { (s, d) =>
       import s.implicits._
@@ -1580,27 +1612,7 @@ object PipelineQueries {
       // pristine documents table: stats over the reconstruction must
       // be bit-identical to stats over what the table looked like
       // before the merge.
-      val dir = s"${System.getProperty("java.io.tmpdir")}" +
-        s"/graft-travel-${Integer.toHexString(d.hashCode)}" +
-        s"-${ProcessHandle.current().pid()}"
-      buildOnce(dir) {
-        documents(s, d).write.mode("overwrite")
-          .partitionBy("lang").parquet(dir)
-        val docs = documents(s, d)
-        val batch = docs
-          .filter($"lang" === "fr" && $"doc_id" % 17 === 0)
-          .withColumn("text", concat($"text", lit(" [v2]")))
-          .withColumn("_del", lit(false))
-          .unionByName(docs.filter($"doc_id" % 31 === 0)
-            .withColumn("doc_id", $"doc_id" + 100000000L)
-            .withColumn("lang", lit("xx"))
-            .withColumn("_del", lit(false)))
-          .unionByName(docs
-            .filter($"lang" === "de" && $"doc_id" % 13 === 0)
-            .withColumn("_del", lit(true)))
-        MergeInto.mergeByKeyCdc(s, dir, batch, "doc_id", "lang",
-          deleteWhen = Some($"_del"))
-      }
+      val dir = mergedSnapshotDir(s, d)
       val feed0 = s.read.parquet(s"$dir._cdc/batch-00000")
       MergeInto.snapshotBefore(s.read.parquet(dir), feed0, "doc_id")
         .groupBy($"lang")
@@ -1608,6 +1620,25 @@ object PipelineQueries {
           sum(length($"text")).as("sum_len"),
           sum($"doc_id").as("sum_ids"))
         .orderBy($"lang")
+    },
+    "q130_change_audit" -> { (s, d) =>
+      import s.implicits._
+      // The change feed AS the audit log: per (op, lang) counts, id
+      // sums, and text-length sums of merge batch 0 — the "what
+      // changed, where, how much" question a maintained corpus
+      // answers from the feed alone (batch-sized read, the table is
+      // never touched). Row-level classification is hash-pinned: the
+      // oracle re-derives every op class from the pristine table
+      // (update_pre = the original fr%17 rows, update_post = their
+      // '[v2]' images, insert = the shifted xx rows, delete = the
+      // de%13 rows), so a misclassified or lost change cannot match.
+      val dir = mergedSnapshotDir(s, d)
+      s.read.parquet(s"$dir._cdc/batch-00000")
+        .groupBy($"_op", $"lang")
+        .agg(count(lit(1)).as("n"),
+          sum($"doc_id").as("sum_ids"),
+          sum(length($"text")).as("sum_len"))
+        .orderBy($"_op", $"lang")
     },
     "q127_bloom_lookup" -> { (s, d) =>
       import s.implicits._
@@ -2908,6 +2939,24 @@ object PipelineQueries {
            CAST(sum(length(text)) AS BIGINT) AS sum_len,
            CAST(sum(doc_id) AS BIGINT) AS sum_ids
          FROM documents GROUP BY lang ORDER BY lang""",
+    "q130_change_audit" ->
+      """WITH feed AS (
+           SELECT 'update_pre' AS _op, lang, doc_id,
+             length(text) AS len
+           FROM documents WHERE lang = 'fr' AND doc_id % 17 = 0
+           UNION ALL
+           SELECT 'update_post', lang, doc_id, length(text) + 5
+           FROM documents WHERE lang = 'fr' AND doc_id % 17 = 0
+           UNION ALL
+           SELECT 'insert', 'xx', doc_id + 100000000, length(text)
+           FROM documents WHERE doc_id % 31 = 0
+           UNION ALL
+           SELECT 'delete', lang, doc_id, length(text)
+           FROM documents WHERE lang = 'de' AND doc_id % 13 = 0)
+         SELECT _op, lang, count(*) AS n,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+           CAST(sum(len) AS BIGINT) AS sum_len
+         FROM feed GROUP BY _op, lang ORDER BY _op, lang""",
     "q127_bloom_lookup" ->
       """SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS len
          FROM documents

@@ -631,4 +631,66 @@ class IoSpec extends AnyFunSuite {
       .as[(Long, String, String)].collect().toSet ===
       Set((6L, "six2", "d"), (7L, "seven", "b")))
   }
+
+  test("flat compaction with sidecars: CDC feed survives the rewrite, " +
+      "stale stat sidecars are dropped loudly, rebuild restores pruning") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("compactside").toString
+    (0L until 64L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(8).write.mode("overwrite").parquet(dir)
+    graft.io.Manifest.buildManifest(spark, dir, Seq("k"))
+    // a feed batch (history) parked at the conventional location
+    Seq((1L, "old", "insert")).toDF("k", "v", "_op")
+      .write.parquet(s"$dir._cdc/batch-00000")
+    val (b, a, _) = graft.io.Compact.compactParquet(spark, dir,
+      targetBytes = 1L << 30)
+    assert(b === 8 && a === 1)
+    assert(spark.read.parquet(dir).count() === 64)
+    // history carried across the generation swap
+    assert(spark.read.parquet(s"$dir._cdc/batch-00000")
+      .as[(Long, String, String)].head() === ((1L, "old", "insert")))
+    // the manifest referenced retired files -> dropped, not stale
+    assert(!new java.io.File(s"$dir/._manifest").exists())
+    graft.io.Manifest.buildManifest(spark, dir, Seq("k"))
+    val (pr, st) = graft.io.Manifest.prunedRead(spark, dir,
+      Seq(("k", 10L, 20L)))
+    assert(st.filesTotal === 1)
+    assert(pr.filter($"k".between(10, 20)).count() === 11)
+  }
+
+  test("partitioned compaction: fragmented partitions merge, " +
+      "untouched partitions keep their exact files, refresh restores " +
+      "the manifest") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("compactpart").toString
+    (0L until 60L).map(i => (i, "a")).toDF("k", "p")
+      .repartition(6).write.mode("overwrite")
+      .partitionBy("p").parquet(dir)
+    (100L until 110L).map(i => (i, "b")).toDF("k", "p")
+      .coalesce(1).write.mode("append").partitionBy("p").parquet(dir)
+    graft.io.Manifest.buildManifest(spark, dir, Seq("k"))
+    def files(part: String): Map[String, Long] = {
+      val f = new java.io.File(s"$dir/p=$part")
+      f.listFiles.filter(_.getName.endsWith(".parquet"))
+        .map(x => x.getName -> x.lastModified).toMap
+    }
+    assert(files("a").size === 6)
+    val bBefore = files("b")
+    val (before, after, compacted) = graft.io.Compact.compactPartitioned(
+      spark, dir, targetBytes = 1L << 30)
+    assert(before === 7 && after === 2)
+    assert(compacted === Seq("p=a"))
+    assert(files("a").size === 1)
+    assert(files("b") === bBefore,
+      "already-compact partition must keep its exact files")
+    assert(spark.read.parquet(dir).count() === 70)
+    // the table-root manifest is stale for p=a's rewritten files —
+    // the incremental refresh (touched partition VALUES) restores it
+    graft.io.Manifest.refreshManifest(spark, dir, Seq("k"), "p",
+      compacted.map(_.stripPrefix("p=")))
+    val (pr, st) = graft.io.Manifest.prunedRead(spark, dir,
+      Seq(("k", 100L, 105L)))
+    assert(st === graft.io.ScanStats(2, 1))
+    assert(pr.filter($"k".between(100, 105)).count() === 6)
+  }
 }

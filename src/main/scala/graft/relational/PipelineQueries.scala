@@ -1621,6 +1621,42 @@ object PipelineQueries {
           sum($"doc_id").as("sum_ids"))
         .orderBy($"lang")
     },
+    "q131_hybrid_rrf" -> { (s, d) =>
+      import s.implicits._
+      // HYBRID retrieval rank fusion — the step every two-signal
+      // search stack (lexical + semantic, here BM25 + query-word
+      // occurrence density as the second portable signal) needs:
+      // reciprocal-rank fusion over the two retrieved top-25 lists,
+      // integer-exact (1e6 div (60 + rank) — positive trunc div is
+      // identical on both engines). Fusion operates on K-BOUNDED
+      // lists, so the windows rank 25 rows regardless of corpus size;
+      // the corpus-sized work is the two retrievals, each already
+      // scale-shaped (BM25: row-local term filter + broadcast stats;
+      // occurrence: one fused scan).
+      val terms = Seq("customer", "merge", "window")
+      val wA = Window.orderBy($"score_bp".desc, $"doc_id")
+      val a = graft.text.Bm25.topK(documents(s, d), "doc_id", "text",
+          terms, k = 25)
+        .select($"id".as("doc_id"), $"score_bp")
+        .withColumn("ra", row_number().over(wA))
+        .select($"doc_id", expr("1000000 div (60 + ra)").as("fa"))
+      val qwords = array(Seq("stream", "merge", "sort", "query",
+        "group", "hash").map(lit): _*)
+      val wB = Window.orderBy($"occ".desc, $"doc_id")
+      val b = documents(s, d)
+        .select($"doc_id",
+          size(filter(split(trim($"text"), "\\s+"),
+            w => array_contains(qwords, w))).cast("long").as("occ"))
+        .orderBy($"occ".desc, $"doc_id").limit(25)
+        .withColumn("rb", row_number().over(wB))
+        .select($"doc_id", expr("1000000 div (60 + rb)").as("fb"))
+      a.join(b, Seq("doc_id"), "full_outer")
+        .select($"doc_id",
+          (coalesce($"fa", lit(0L)) + coalesce($"fb", lit(0L)))
+            .as("rrf"))
+        .orderBy($"rrf".desc, $"doc_id")
+        .limit(10)
+    },
     "q130_change_audit" -> { (s, d) =>
       import s.implicits._
       // The change feed AS the audit log: per (op, lang) counts, id
@@ -2939,6 +2975,47 @@ object PipelineQueries {
            CAST(sum(length(text)) AS BIGINT) AS sum_len,
            CAST(sum(doc_id) AS BIGINT) AS sum_ids
          FROM documents GROUP BY lang ORDER BY lang""",
+    "q131_hybrid_rrf" ->
+      """WITH t AS (SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS ws
+           FROM documents),
+         st AS (SELECT count(*)::DOUBLE AS n_docs,
+             sum(len(ws))::DOUBLE AS sum_dl FROM t),
+         tf AS (SELECT doc_id, word, count(*)::DOUBLE AS tf,
+             any_value(dl) AS dl
+           FROM (SELECT doc_id, len(ws) AS dl,
+               unnest(list_filter(ws,
+                 w -> w IN ('customer', 'merge', 'window'))) AS word
+             FROM t)
+           GROUP BY doc_id, word),
+         dfx AS (SELECT word, count(*)::DOUBLE AS df FROM tf
+           GROUP BY word),
+         bm AS (SELECT doc_id, CAST(sum(bp) AS BIGINT) AS score_bp
+           FROM (SELECT doc_id,
+               CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+                 (tf * (1.2 + 1.0)) /
+                 (tf + 1.2 * ((1.0 - 0.75) +
+                   0.75 * CAST(dl AS DOUBLE) * n_docs / sum_dl)) *
+                 10000.0) AS BIGINT) AS bp
+             FROM tf JOIN dfx USING (word), st)
+           GROUP BY doc_id),
+         ra AS (SELECT doc_id,
+             1000000 // (60 + row_number() OVER
+               (ORDER BY score_bp DESC, doc_id)) AS fa
+           FROM bm ORDER BY score_bp DESC, doc_id LIMIT 25),
+         occ AS (SELECT doc_id,
+             CAST(len(list_filter(ws, w -> w IN
+               ('stream', 'merge', 'sort', 'query', 'group', 'hash')))
+               AS BIGINT) AS occ
+           FROM t),
+         rb AS (SELECT doc_id,
+             1000000 // (60 + row_number() OVER
+               (ORDER BY occ DESC, doc_id)) AS fb
+           FROM occ ORDER BY occ DESC, doc_id LIMIT 25)
+         SELECT doc_id,
+           CAST(coalesce(fa, 0) + coalesce(fb, 0) AS BIGINT) AS rrf
+         FROM ra FULL OUTER JOIN rb USING (doc_id)
+         ORDER BY rrf DESC, doc_id LIMIT 10""",
     "q130_change_audit" ->
       """WITH feed AS (
            SELECT 'update_pre' AS _op, lang, doc_id,

@@ -138,7 +138,11 @@ class ScaleStressSpec extends AnyFunSuite {
       // the bloom build is one linear pass. q125 stays out only
       // because the scaled dir carries no events table.
       "q123_merge_upsert", "q124_cdc_incremental_stats",
-      "q126_time_travel", "q127_bloom_lookup")
+      "q126_time_travel", "q127_bloom_lookup",
+      // q130 reads the batch-sized feed (4 flat rows); q131's fusion
+      // windows rank K-BOUNDED retrieved lists (10 flat rows), so the
+      // band pins the two retrievals' linear wall-time
+      "q130_change_audit", "q131_hybrid_rrf")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

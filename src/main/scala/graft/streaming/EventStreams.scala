@@ -875,6 +875,83 @@ object EventStreams {
       }
   }
 
+  case class TermHit(query_id: Long, id: Long, bp: Long)
+  case class ScoreBuf(scores: Map[Long, Long])
+  case class DocScore(id: Long, score_bp: Long)
+
+  /** Sum per-doc contributions, then keep the top-k docs by
+    * (score desc, id asc) — the one-stateful-op shape a streaming
+    * retrieval aggregation needs (a sum agg FOLLOWED by a rank would
+    * be two stateful operators). Buffer is the query's matched
+    * candidate map — bounded by the postings of ITS terms, never the
+    * corpus.
+    */
+  private class SumTopKAggregator(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        TermHit, ScoreBuf, Seq[DocScore]] {
+    override def zero: ScoreBuf = ScoreBuf(Map.empty)
+    override def reduce(b: ScoreBuf, h: TermHit): ScoreBuf =
+      ScoreBuf(b.scores.updated(h.id, b.scores.getOrElse(h.id, 0L) + h.bp))
+    override def merge(a: ScoreBuf, b: ScoreBuf): ScoreBuf =
+      ScoreBuf(b.scores.foldLeft(a.scores) { case (m, (id, s)) =>
+        m.updated(id, m.getOrElse(id, 0L) + s)
+      })
+    override def finish(b: ScoreBuf): Seq[DocScore] =
+      b.scores.toSeq.sortBy { case (id, s) => (-s, id) }.take(k)
+        .map { case (id, s) => DocScore(id, s) }
+    override def bufferEncoder: org.apache.spark.sql.Encoder[ScoreBuf] =
+      org.apache.spark.sql.Encoders.product[ScoreBuf]
+    override def outputEncoder
+        : org.apache.spark.sql.Encoder[Seq[DocScore]] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Seq[DocScore]]()
+  }
+
+  /** STREAMING lexical retrieval against the persisted BM25 index
+    * (`Bm25.buildIndex`) — the lexical twin of [[annProbeVecs]]: an
+    * unbounded stream of (id, terms array<string>) queries
+    * stream-static-joins the index postings on term (per-posting
+    * basis-point contributions are query-independent, so they
+    * precompute on the static side) and one stateful aggregation per
+    * query sums per-doc scores and cuts top-k. Update-mode output,
+    * one row per (query_id, rank). State per query is its matched
+    * candidate map — bounded by the postings of the query's terms.
+    * At serving scale the postings side would be bucket-pruned to the
+    * query vocabulary ([[graft.text.Bm25.probeIndex]]'s static cut);
+    * the stream-static equi-join is the general form.
+    */
+  def bm25ProbeStream(spark: SparkSession, indexDir: String,
+      queries: DataFrame, // streaming (id, terms array<string>)
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    val stats = spark.read.parquet(s"$indexDir/stats")
+      .select(col("n_docs").cast("double").as("n_docs"),
+        col("sum_dl").cast("double").as("sum_dl"))
+    val dfreq = spark.read.parquet(s"$indexDir/terms")
+      .select(col("term"), col("df").cast("double").as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val denom = col("tf").cast("double") + lit(k1) *
+      (lit(1.0 - b) + lit(b) * col("dl").cast("double") *
+        col("n_docs") / col("sum_dl"))
+    val scored = spark.read.parquet(s"$indexDir/postings")
+      .join(broadcast(dfreq), "term")
+      .join(broadcast(stats))
+      .select(col("term"), col("id"),
+        round(idf * (col("tf").cast("double") * lit(k1 + 1.0)) / denom *
+          10000.0).cast("long").as("bp"))
+    val qterms = queries.select(col("id").as("query_id"),
+      explode(array_distinct(col("terms"))).as("term"))
+    val topk = udaf(new SumTopKAggregator(k),
+      org.apache.spark.sql.Encoders.product[TermHit])
+    qterms.join(scored, "term")
+      .groupBy(col("query_id"))
+      .agg(topk(col("query_id"), col("id"), col("bp")).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.id").as("id"), col("col.score_bp").as("score_bp"))
+  }
+
   /** Streaming lakehouse ingest: MERGE each micro-batch of updates
     * into the partitioned dataset at `dir` via
     * [[graft.io.MergeInto.mergeByKey]] under `foreachBatch` — the

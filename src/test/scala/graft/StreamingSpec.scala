@@ -1041,4 +1041,35 @@ class StreamingSpec extends AnyFunSuite {
       assert(table() === settled)
     } finally q.stop()
   }
+
+  test("streaming BM25 probe serves the persisted index, equal to " +
+      "the batch probe per query") {
+    val corpus = Seq((1L, "alpha beta beta gamma"), (2L, "alpha gamma"),
+      (3L, "beta delta delta"), (4L, "gamma gamma alpha beta"),
+      (5L, "delta alpha")).toDF("doc_id", "text")
+    val idx = Files.createTempDirectory("bm25-stream-idx").toString
+    graft.text.Bm25.buildIndex(corpus, "doc_id", "text", idx)
+    val qDir = Files.createTempDirectory("bm25-queries").toString
+    val queries = Seq(
+      (10L, Seq("alpha", "beta")),
+      (11L, Seq("delta")),
+      (12L, Seq("gamma", "delta", "gamma"))) // dup term: distinct once
+      .toDF("id", "terms")
+    queries.coalesce(1).write.mode("overwrite").parquet(qDir)
+    val stream = spark.readStream
+      .schema("id LONG, terms ARRAY<STRING>").parquet(qDir)
+    val got = runToCompletion(
+      EventStreams.bm25ProbeStream(spark, idx, stream, k = 3),
+      "bm25probe", mode = "update")
+      .select($"query_id", $"rank", $"id", $"score_bp")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val want = Seq(10L -> Seq("alpha", "beta"), 11L -> Seq("delta"),
+      12L -> Seq("gamma", "delta")).flatMap { case (qid, terms) =>
+      graft.text.Bm25.probeIndex(spark, idx, terms, k = 3)
+        .collect().zipWithIndex.map { case (r, i) =>
+          (qid, i + 1, r.getLong(0), r.getLong(1)) }
+    }.toSet
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
 }

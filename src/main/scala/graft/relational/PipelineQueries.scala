@@ -1621,6 +1621,37 @@ object PipelineQueries {
           sum($"doc_id").as("sum_ids"))
         .orderBy($"lang")
     },
+    "q132_knn_classify" -> { (s, d) =>
+      import s.implicits._
+      // kNN-by-retrieval classification — the eval loop every
+      // embedding pipeline runs (label a query by the majority label
+      // of its exact top-7 neighbors): integer-L2 ground truth under
+      // the (d2, id) total order, vote counts and the
+      // (votes desc, label asc) winner all integers, so the oracle
+      // replays prediction AND correctness bit-for-bit. The exact
+      // baseline is the declared O(N·Q) shape (queries broadcast,
+      // top-k partial-aggregated — k rows per partition-query); the
+      // scale path for the same vote is any ANN candidate source
+      // (q45/q51/q78) feeding the identical vote.
+      val labeled = embeddings(s, d).select($"vec_id", $"label")
+      val exact = PortableLsh.exactTopK(noisyVecs(s, d),
+        col("id") % 25 === 0, dIn = 16, k = 7)
+      val votes = exact
+        .join(labeled.select($"vec_id".as("neighbor_id"),
+          $"label"), "neighbor_id")
+        .groupBy($"query_id", $"label")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy($"query_id")
+        .orderBy($"n".desc, $"label")
+      votes.withColumn("r", row_number().over(w)).filter($"r" === 1)
+        .join(labeled.select($"vec_id".as("query_id"),
+          $"label".as("true_label")), "query_id")
+        .select($"query_id", $"label".cast("long").as("pred_label"),
+          $"n".as("votes"), $"true_label".cast("long").as("true_label"),
+          when($"label" === $"true_label", 1L).otherwise(0L)
+            .as("correct"))
+        .orderBy($"query_id")
+    },
     "q131_hybrid_rrf" -> { (s, d) =>
       import s.implicits._
       // HYBRID retrieval rank fusion — the step every two-signal
@@ -2975,6 +3006,40 @@ object PipelineQueries {
            CAST(sum(length(text)) AS BIGINT) AS sum_len,
            CAST(sum(doc_id) AS BIGINT) AS sum_ids
          FROM documents GROUP BY lang ORDER BY lang""",
+    "q132_knn_classify" ->
+      """WITH p AS (SELECT (count(*) // 8) * 8 AS m FROM embeddings),
+         v AS (SELECT vec_id, list_transform(range(0, 16), j ->
+             ((vec_id // 8 * 1009 + j * j * 571 +
+               vec_id // 8 * j * 37) % 2003 - 1001) * 16
+             + ('0x' || substr(md5('nz:' || vec_id::VARCHAR || ':' ||
+                 j::VARCHAR), 1, 15))::BIGINT % 1025 - 512) AS vec
+           FROM embeddings, p WHERE vec_id < m),
+         ed AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(range(1, 17), i ->
+               (a.vec[i] - b.vec[i]) * (a.vec[i] - b.vec[i])))
+               AS BIGINT) AS d2
+           FROM v a JOIN v b ON a.vec_id % 25 = 0
+             AND a.vec_id != b.vec_id),
+         exact AS (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id, row_number() OVER (
+               PARTITION BY query_id ORDER BY d2, neighbor_id) AS rnk
+             FROM ed) WHERE rnk <= 7),
+         votes AS (SELECT e.query_id,
+             CAST(emb.label AS BIGINT) AS label, count(*) AS n
+           FROM exact e JOIN embeddings emb
+             ON emb.vec_id = e.neighbor_id
+           GROUP BY 1, 2),
+         best AS (SELECT query_id, label, n FROM (
+             SELECT query_id, label, n, row_number() OVER (
+               PARTITION BY query_id ORDER BY n DESC, label) AS r
+             FROM votes) WHERE r = 1)
+         SELECT b.query_id, b.label AS pred_label,
+           CAST(b.n AS BIGINT) AS votes,
+           CAST(emq.label AS BIGINT) AS true_label,
+           CAST(CASE WHEN b.label = CAST(emq.label AS BIGINT)
+             THEN 1 ELSE 0 END AS BIGINT) AS correct
+         FROM best b JOIN embeddings emq ON emq.vec_id = b.query_id
+         ORDER BY query_id""",
     "q131_hybrid_rrf" ->
       """WITH t AS (SELECT doc_id,
              string_split_regex(trim(text), '\s+') AS ws

@@ -47,6 +47,34 @@ object PortableLsh {
   def bandSigs(vec: Column, dIn: Int, bands: Int, rBits: Int): Column =
     bandSigsUdf(dIn, bands, rBits)(vec)
 
+  /** Exact integer-L2 top-k neighbor ids per query — the declared
+    * O(N·Q) ground-truth baseline, factored out for reuse (recall
+    * measurement, kNN-by-retrieval classification). Returns
+    * (query_id, neighbor_id) rows under the (d2 asc, id asc) total
+    * order; queries are broadcast (the small side by contract) and
+    * the top-k aggregator ships k rows per (partition, query).
+    */
+  def exactTopK(vecs: DataFrame, queryFilter: Column, dIn: Int,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val v = vecs.localCheckpoint()
+    val qv = v.filter(queryFilter)
+      .select(col("id").as("query_id"), col("vec").as("qv"))
+    val cv = v.select(col("id").as("neighbor_id"), col("vec").as("cv"))
+    val d2 = (0 until dIn).map { j =>
+      val diff = element_at(col("qv"), j + 1) -
+        element_at(col("cv"), j + 1)
+      diff * diff
+    }.reduce(_ + _)
+    val topk = udaf(new TopKLongAggregator(k), Encoders.product[ScoredL])
+    cv.join(broadcast(qv), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), d2.as("d2"))
+      .groupBy("query_id")
+      .agg(topk(col("neighbor_id"), col("d2")).as("t"))
+      .select(col("query_id"), explode(col("t")).as("s"))
+      .select(col("query_id"), col("s.neighbor_id").as("neighbor_id"))
+  }
+
   /** MEASURED recall@k of the banded sign-LSH path against the exact
     * integer-L2 top-k baseline, one row per query: (query_id, n_hits)
     * with n_hits = |approx top-k ∩ exact top-k| — an integer both

@@ -522,6 +522,28 @@ object RelationalQueries {
           when($"node" % 2 === 0, "customer").otherwise("part").as("kind"),
           expr("node div 2").as("key"), $"rank")
     },
+    "q133_ohlc_bars" -> { (s, d) =>
+      import s.implicits._
+      // OHLC downsampling — the canonical time-series resample: per
+      // (event_type, 10-minute bucket) the first/max/min/last value in
+      // CENTS. First/last are min_by/max_by over the composite
+      // (micros, event_id) key packed into one DECIMAL(38,0) — a total
+      // order both engines compare identically (arg_min/arg_max take
+      // no struct key in the oracle engine), so every bar is
+      // integer-exact. One partial-aggregated groupBy; no window, no
+      // sort — the shape that downsamples a year of ticks in one pass.
+      val key = (unix_micros($"ts").cast("decimal(38,0)") *
+        lit(1000000) + $"event_id").as("key")
+      events(s, d)
+        .select($"event_type",
+          expr("unix_micros(ts) div 600000000").as("bucket"),
+          round($"value" * 100).cast("long").as("c"), key)
+        .groupBy($"event_type", $"bucket")
+        .agg(min_by($"c", $"key").as("open"), max($"c").as("high"),
+          min($"c").as("low"), max_by($"c", $"key").as("close"),
+          count(lit(1)).as("n"))
+        .orderBy($"event_type", $"bucket")
+    },
     "q128_triangle_count" -> { (s, d) =>
       import s.implicits._
       // Degree-oriented triangle counting (graph/Triangles) over the
@@ -936,6 +958,16 @@ object RelationalQueries {
            > 9 * (CAST(st.n AS HUGEINT) * st.ss
                   - CAST(st.s AS HUGEINT) * st.s)
          GROUP BY c.event_type ORDER BY event_type""",
+    "q133_ohlc_bars" ->
+      """WITH e AS (SELECT event_type,
+             epoch_us(ts) AS m,
+             CAST(round(value * 100) AS BIGINT) AS c,
+             CAST(epoch_us(ts) AS HUGEINT) * 1000000 + event_id AS key
+           FROM events)
+         SELECT event_type, m // 600000000 AS bucket,
+           arg_min(c, key) AS open, max(c) AS high, min(c) AS low,
+           arg_max(c, key) AS close, count(*) AS n
+         FROM e GROUP BY 1, 2 ORDER BY event_type, bucket""",
     "q128_triangle_count" ->
       """WITH items AS (
            SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

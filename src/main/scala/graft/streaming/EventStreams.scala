@@ -58,6 +58,32 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), round(col("total"), 2).as("total"))
 
+  /** Streaming OHLC bars — q133's downsample running incrementally:
+    * min_by/max_by over the (micros, event_id) composite key are
+    * ordinary declarative aggregates, so the exact batch bar
+    * definition streams unchanged; append mode emits a bar once its
+    * window passes the watermark. State per open bar is five longs +
+    * two keys, regardless of tick volume.
+    */
+  def ohlcBars(events: DataFrame, barWidth: String = "10 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .select(col("event_type"), col("ts"),
+        round(col("value") * 100).cast("long").as("c"),
+        (unix_micros(col("ts")).cast("decimal(38,0)") * lit(1000000) +
+          col("event_id")).as("key"))
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), barWidth),
+        col("event_type"))
+      .agg(min_by(col("c"), col("key")).as("open"),
+        max(col("c")).as("high"), min(col("c")).as("low"),
+        max_by(col("c"), col("key")).as("close"),
+        count(lit(1)).as("n"))
+      .select(expr(s"unix_micros(window.start) div " +
+          s"${parseDurationMs(barWidth) * 1000L}").as("bucket"),
+        col("event_type"), col("open"), col("high"), col("low"),
+        col("close"), col("n"))
+
   /** Sliding-window rates (window/slide), watermark-bounded. */
   def slidingRates(
       events: DataFrame,

@@ -1072,4 +1072,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.nonEmpty)
     assert(got === want)
   }
+
+  test("streaming OHLC bars equal the batch q133 bars for every " +
+      "watermark-closed window") {
+    val ev = EventStreams.readEvents(spark, streamDir)
+    val got = runToCompletion(
+      EventStreams.ohlcBars(ev), "ohlc", mode = "append").collect()
+    val batch = SparkEntry.queries("q133_ohlc_bars")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))).toMap
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val key = (r.getString(1), r.getLong(0))
+      assert(batch(key) === ((r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))), s"bar $key")
+    }
+  }
 }

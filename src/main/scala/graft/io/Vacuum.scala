@@ -25,7 +25,8 @@ import org.apache.spark.sql.SparkSession
 object Vacuum {
 
   private val orphanSuffixes = Seq(
-    "._staging", "._merge_staging", "._manifest_staging", "._retired")
+    "._staging", "._merge_staging", "._manifest_staging",
+    "._keybloom_staging", "._retired")
 
   /** Delete crash-orphan staging/retired directories among the
     * DIRECT children of `parent` older than `ttlMs` (by modification

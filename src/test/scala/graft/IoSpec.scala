@@ -480,13 +480,16 @@ class IoSpec extends AnyFunSuite {
     val oldStaging = mk("docs._staging", old)
     val oldRetired = mk("docs._retired", old)
     val oldMerge = mk("docs._merge_staging", old)
+    val oldBloom = mk("._keybloom_staging", old)
     val youngRetired = mk("other._retired", System.currentTimeMillis())
     val live = mk("docs", System.currentTimeMillis() - 96L * 3600 * 1000)
     val removed = graft.io.Vacuum.vacuumOrphans(spark, parent,
       ttlMs = 24L * 3600 * 1000)
     assert(removed.map(new java.io.File(_).getName).toSet ===
-      Set("docs._staging", "docs._retired", "docs._merge_staging"))
-    assert(!oldStaging.exists() && !oldRetired.exists() && !oldMerge.exists())
+      Set("docs._staging", "docs._retired", "docs._merge_staging",
+        "._keybloom_staging"))
+    assert(!oldStaging.exists() && !oldRetired.exists() &&
+      !oldMerge.exists() && !oldBloom.exists())
     assert(youngRetired.exists(), "a young ._retired may be a swap in flight")
     assert(live.exists(), "age never makes LIVE data garbage")
     // CDC batch retention: three merges, keep the newest one

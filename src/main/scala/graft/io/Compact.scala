@@ -90,6 +90,13 @@ object Compact {
         s"$dir looks hive-partitioned (no top-level parquet, data " +
           "subdirectories present); use compactPartitioned")
     }
+    // heal FIRST, before any early return: a crash between the swap
+    // and the carry-back of a previous compaction leaves the feed at
+    // <dir>/__cdc_carry — re-running must restore it even when the
+    // data itself is already compact (otherwise a later compaction
+    // would retire the carry with the old generation and destroy the
+    // CDC history)
+    healCdcCarry(fs, path)
     val totalBytes = files.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(
       totalBytes.toDouble / targetBytes).toInt)
@@ -104,15 +111,29 @@ object Compact {
       // rewrite retires, and a loudly-missing sidecar beats silently
       // stale pruning — rebuild them after compacting.
       val cdc = new Path(path.toString + "._cdc")
-      if (fs.exists(cdc))
-        fs.rename(cdc, new Path(staging, "__cdc_carry"))
+      if (fs.exists(cdc) &&
+          !fs.rename(cdc, new Path(staging, "__cdc_carry")))
+        throw new java.io.IOException(
+          s"could not carry CDC feed into staging for $dir")
     }
-    val carried = new Path(path, "__cdc_carry")
-    if (fs.exists(carried))
-      fs.rename(carried, new Path(path.toString + "._cdc"))
+    healCdcCarry(fs, path)
     val after = fs.listStatus(path)
       .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     (files.length, after, totalBytes)
+  }
+
+  /** Restore a CDC feed parked at `<dir>/__cdc_carry` (the in-swap
+    * location) back to its sibling `<dir>._cdc` home. Idempotent;
+    * called at compaction entry AND after the swap so no crash point
+    * leaves the feed stranded across a later generation swap.
+    */
+  private def healCdcCarry(fs: org.apache.hadoop.fs.FileSystem,
+      path: Path): Unit = {
+    val carried = new Path(path, "__cdc_carry")
+    if (fs.exists(carried) &&
+        !fs.rename(carried, new Path(path.toString + "._cdc")))
+      throw new java.io.IOException(
+        s"could not restore CDC feed from $carried")
   }
 
   /** Per-partition compaction of a hive-partitioned dataset: each

@@ -126,16 +126,20 @@ object MergeInto {
       keyCol: String, partCol: String, deleteWhen: Option[Column],
       maxTouchedPartitions: Int,
       cdc: Boolean): (MergeStats, Option[DataFrame]) = {
-    val dup = updates.groupBy(col(keyCol)).count()
+    // materialize the batch once: the guard collects, the discovery
+    // joins, the CDC classification, and the staged write would each
+    // replay the caller's (possibly expensive) batch-build lineage
+    val batch = updates.localCheckpoint()
+    val dup = batch.groupBy(col(keyCol)).count()
       .filter(col("count") > 1).limit(1).collect()
     require(dup.isEmpty,
       s"duplicate $keyCol in update batch (e.g. ${dup.headOption}): " +
         "a MERGE source may match each target row at most once")
     // SQL `WHEN MATCHED AND <cond>` treats NULL as false — the row
     // falls through to the UPDATE clause, it does not vanish
-    val tombstones = deleteWhen.map(c => updates.filter(c))
+    val tombstones = deleteWhen.map(c => batch.filter(c))
     val upserts =
-      deleteWhen.fold(updates)(c => updates.filter(!coalesce(c, lit(false))))
+      deleteWhen.fold(batch)(c => batch.filter(!coalesce(c, lit(false))))
 
     // touched = upserts' NEW homes ∪ old homes of ALL matched keys
     // (a tombstone's own partCol value is ignored — see scaladoc)
@@ -144,7 +148,15 @@ object MergeInto {
     require(distinctParts.length <= maxTouchedPartitions,
       s"update batch touches > $maxTouchedPartitions partitions; " +
         "this merge is a table rewrite — use Compact/overwrite")
-    val allKeys = updates.select(col(keyCol))
+    // NULL/empty partition values land in Spark's
+    // __HIVE_DEFAULT_PARTITION__ directory, which the copy-on-write
+    // protocol's isin() filters and directory arithmetic cannot
+    // address — reject them up front rather than corrupt the layout
+    require(!distinctParts.exists(v =>
+        v == null || String.valueOf(v).isEmpty),
+      s"null/empty $partCol in update batch: the default-partition " +
+        "directory is outside this merge's addressing")
+    val allKeys = batch.select(col(keyCol))
     val target = spark.read.parquet(dir)
     // old homes of matched keys: column-pruned (key, part) scan +
     // semi join — catches rows whose partition value the update moves
@@ -154,6 +166,10 @@ object MergeInto {
       .limit(maxTouchedPartitions + 1).collect().map(_.get(0))
     require(matchedHomes.length <= maxTouchedPartitions,
       s"matched keys live in > $maxTouchedPartitions partitions")
+    require(!matchedHomes.exists(v =>
+        v == null || String.valueOf(v).isEmpty),
+      s"matched keys live in the null/empty-$partCol default " +
+        "partition, which this merge cannot address")
     val touched = (distinctParts ++ matchedHomes).distinct
     if (touched.isEmpty) {
       val empty =
@@ -209,10 +225,16 @@ object MergeInto {
         stageWrite)
       case None => stageWrite()
     }
-    val outputRows = spark.read.parquet(stagingPath.toString).count()
     val presentDirs = fs.listStatus(stagingPath)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
       .map(_.getPath.getName).toSet
+    // a delete-only batch that drains every touched partition writes
+    // an EMPTY staging dir (no files, no partition dirs) — reading it
+    // back would fail schema inference, and the merge must still
+    // commit (the publish below deletes the drained directories)
+    val outputRows =
+      if (presentDirs.isEmpty) 0L
+      else spark.read.parquet(stagingPath.toString).count()
     val touchedDirs =
       touched.map(v => s"$partCol=${escapePathName(String.valueOf(v))}")
     touchedDirs.foreach(n => fs.delete(new Path(dir, n), true))
@@ -255,7 +277,12 @@ object MergeInto {
 
   /** Land a change-feed batch at `<dir>._cdc/batch-<n>` (n = first
     * unused index) and read it back. One driver listing of the feed
-    * root — bounded by batches ever merged, not data.
+    * root — bounded by batches ever merged, not data. The write goes
+    * through a dot-prefixed staging name invisible to the `batch-*`
+    * consumers (the delta stream, time travel, the audit queries) and
+    * publishes by ONE rename — a crash mid-write leaves only a
+    * `.staging-*` orphan no consumer ever reads (and the next merge
+    * allocates past it), never a torn batch that a glob would apply.
     */
   private def writeFeedBatch(spark: SparkSession, dir: String,
       changes: DataFrame): DataFrame = {
@@ -267,9 +294,15 @@ object MergeInto {
         .collect { case s if s.startsWith("batch-") =>
           s.stripPrefix("batch-").toInt }
     val next = if (existing.isEmpty) 0 else existing.max + 1
-    val batchDir = new Path(root, f"batch-$next%05d").toString
-    changes.write.mode("error").parquet(batchDir)
-    spark.read.parquet(batchDir)
+    val name = f"batch-$next%05d"
+    val staging = new Path(root, s".staging-$name")
+    fs.delete(staging, true)
+    changes.write.mode("error").parquet(staging.toString)
+    val batchDir = new Path(root, name)
+    if (!fs.rename(staging, batchDir))
+      throw new java.io.IOException(
+        s"could not publish feed batch $name under $root")
+    spark.read.parquet(batchDir.toString)
   }
 
   private def emptyFeed(spark: SparkSession, dir: String,
@@ -277,20 +310,14 @@ object MergeInto {
     writeFeedBatch(spark, dir,
       target.limit(0).withColumn("_op", lit("insert")))
 
-  /** Hive-style partition-directory escaping for the handful of
-    * characters parquet partition paths encode as %XX — mirrors what
-    * the partitioned write itself does, so the drained-directory
-    * delete targets the same path the write would have used.
+  /** Hive-style partition-directory escaping — DELEGATED to the exact
+    * routine Spark's partitioned write uses
+    * (`ExternalCatalogUtils.escapePathName`), so the drained-directory
+    * delete targets the same path the writer produced forever (a
+    * hand-rolled mirror drifted on the DEL control character, which Spark escapes as
+    * %7F).
     */
-  private[io] def escapePathName(v: String): String = {
-    val needsEscape = "\b\t\n" +
-      "\f\r\"#%'*/:=?\\{[]^"
-    val sb = new StringBuilder
-    v.foreach { c =>
-      if (c < ' ' || needsEscape.indexOf(c.toInt) >= 0)
-        sb.append(f"%%${c.toInt}%02X")
-      else sb.append(c)
-    }
-    sb.toString
-  }
+  private[io] def escapePathName(v: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName(v)
 }

@@ -20,20 +20,32 @@ object Sidecar {
 
   /** Staged publish of `frame` as `<dir>/<name>`: write to a sibling
     * staging path (the old sidecar stays live and readable during the
-    * write), then delete-and-rename. Returns the published row count.
-    * A crash never leaves a torn sidecar — old or new, whole.
+    * write), then retire-promote-delete, [[Compact.stagedSwap]]-style:
+    * the old copy is renamed aside (not deleted) before the new one is
+    * renamed in, and renamed BACK if the promote fails — so no crash
+    * point leaves a torn sidecar, and the delete-first window where a
+    * crash would leave NO sidecar at all does not exist. A crash
+    * between retire and promote leaves the old copy recoverable at
+    * `<name>_retired` (and the new one complete in staging).
     */
   private[io] def publish(spark: SparkSession, dir: String, name: String,
       frame: DataFrame): Long = {
     val live = new Path(dir.stripSuffix("/"), name)
     val staging = new Path(dir.stripSuffix("/"), name + "_staging")
+    val retired = new Path(dir.stripSuffix("/"), name + "_retired")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(staging, true)
+    fs.delete(retired, true)
     frame.coalesce(1).write.parquet(staging.toString)
     val n = spark.read.parquet(staging.toString).count()
-    fs.delete(live, true)
-    if (!fs.rename(staging, live))
+    val hadLive = fs.exists(live)
+    if (hadLive && !fs.rename(live, retired))
+      throw new java.io.IOException(s"could not retire $name at $live")
+    if (!fs.rename(staging, live)) {
+      if (hadLive) fs.rename(retired, live) // roll back
       throw new java.io.IOException(s"could not publish $name at $live")
+    }
+    fs.delete(retired, true)
     n
   }
 

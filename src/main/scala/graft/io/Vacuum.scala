@@ -26,7 +26,8 @@ object Vacuum {
 
   private val orphanSuffixes = Seq(
     "._staging", "._merge_staging", "._manifest_staging",
-    "._keybloom_staging", "._retired")
+    "._keybloom_staging", "._manifest_retired", "._keybloom_retired",
+    "._retired")
 
   /** Delete crash-orphan staging/retired directories among the
     * DIRECT children of `parent` older than `ttlMs` (by modification

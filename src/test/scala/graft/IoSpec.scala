@@ -396,6 +396,38 @@ class IoSpec extends AnyFunSuite {
     }
   }
 
+  test("merge edge cases: a delete-only batch draining every touched " +
+      "partition commits; null/empty partition values are rejected") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("drain").toString
+    Seq((1L, "one", "a"), (2L, "two", "b"))
+      .toDF("k", "v", "p")
+      .write.mode("overwrite").partitionBy("p").parquet(dir)
+    // k=1 is partition a's ONLY row: the staged write is EMPTY (no
+    // partition dirs at all) and the merge must still commit the drain
+    val (stats, feed) = graft.io.MergeInto.mergeByKeyCdc(spark, dir,
+      Seq((1L, "x", "zz", true)).toDF("k", "v", "p", "_del"),
+      "k", "p", deleteWhen = Some(col("_del")))
+    assert(stats === graft.io.MergeStats(Seq("a"), 0L, Seq("a")))
+    assert(!new java.io.File(s"$dir/p=a").exists())
+    assert(feed.select($"_op", $"k").as[(String, Long)].collect().toSeq
+      === Seq(("delete", 1L)))
+    assert(spark.read.parquet(dir).select($"k", $"v", $"p")
+      .as[(Long, String, String)].collect().toSeq === Seq((2L, "two", "b")))
+    // NULL and empty-string partition values would land in Spark's
+    // __HIVE_DEFAULT_PARTITION__ directory, outside the copy-on-write
+    // protocol's addressing — rejected loudly
+    intercept[IllegalArgumentException] {
+      graft.io.MergeInto.mergeByKey(spark, dir,
+        Seq((9L, "x", Option.empty[String])).toDF("k", "v", "p"), "k", "p")
+    }
+    intercept[IllegalArgumentException] {
+      graft.io.MergeInto.mergeByKey(spark, dir,
+        Seq((9L, "x", "")).toDF("k", "v", "p"), "k", "p")
+    }
+  }
+
   test("manifest: per-file stats, conservative pruning, null-stats " +
       "and disjoint boxes pruned, rebuild picks up appends") {
     import spark.implicits._

@@ -236,6 +236,27 @@ object PipelineQueries {
         .select($"id_a", $"id_b", $"hamming".cast("int").as("hamming"))
         .orderBy($"id_a", $"id_b")
     },
+    "q134_declarative_hamming" -> { (s, d) =>
+      import s.implicits._
+      // The HammingJoinRewrite OPTIMIZER RULE on the oracle path: this
+      // is the q33 near-dup question written the way a USER would —
+      // a plain theta-join `bit_count(a.fp ^ b.fp) <= 8` with no
+      // banding — which Catalyst alone can only plan as a cartesian.
+      // GraftExtensions' rule rewrites it into 9 disjoint pigeonhole
+      // band equi-joins (result bit-equal by the rule's contract), so
+      // the declared surface itself proves the rewrite: the oracle is
+      // q33's verbatim, and PlanLintSpec bans the cartesian this query
+      // would otherwise plan.
+      val fp = documents(s, d).filter($"text".isNotNull)
+        .select($"doc_id",
+          SimHash.simhashPortable($"text", n = 3).as("fp"))
+      fp.as("a").join(fp.as("b"),
+          col("a.doc_id") < col("b.doc_id") &&
+            expr("bit_count(a.fp ^ b.fp) <= 8"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          expr("cast(bit_count(a.fp ^ b.fp) as int)").as("hamming"))
+        .orderBy($"id_a", $"id_b")
+    },
     "q34_embedding_topk" -> { (s, d) =>
       import s.implicits._
       val emb = embeddings(s, d).select($"vec_id".as("id"),
@@ -1621,6 +1642,28 @@ object PipelineQueries {
           sum($"doc_id").as("sum_ids"))
         .orderBy($"lang")
     },
+    "q135_table_checksum" -> { (s, d) =>
+      import s.implicits._
+      // Order- and partition-independent CONTENT CHECKSUM — the
+      // anti-entropy primitive for validating a 100 TB copy without
+      // sorting either side: per-row md5-low-60 of the
+      // SOH-delimited (\u0001) canonical row string, SUMMED per group in
+      // DECIMAL(38,0) (sum is commutative/associative, so layout,
+      // partitioning, and row order cannot change it; 10^12 rows of
+      // 2^60 values stay ~10^30, far inside 38 digits). Emitted as a
+      // string so both engines compare digits, not decimal dtypes.
+      // Two tables agree iff every (lang, n_rows, checksum) row
+      // agrees — which is exactly what the oracle's independent
+      // recomputation checks.
+      val rowHash = conv(substring(md5(concat_ws("\u0001",
+        $"doc_id", $"lang", $"text")), 1, 15), 16, 10)
+        .cast("decimal(38,0)")
+      documents(s, d)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(rowHash).cast("string").as("checksum"))
+        .orderBy($"lang")
+    },
     "q132_knn_classify" -> { (s, d) =>
       import s.implicits._
       // kNN-by-retrieval classification — the eval loop every
@@ -1845,6 +1888,33 @@ object PipelineQueries {
              len(list_distinct(a.sh || b.sh)), 4) >= 0.8
          ORDER BY id_a, id_b""",
     "q33_simhash" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+           FROM documents),
+         sh AS (SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(ws) - 2, 1) + 1),
+             i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS shs
+           FROM w),
+         u AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+         h AS (SELECT doc_id,
+             ('0x' || substr(md5(s), 1, 15))::BIGINT AS hv FROM u),
+         bits AS (SELECT doc_id, b,
+             sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+           FROM h, range(0, 60) t(b) GROUP BY 1, 2),
+         fp AS (SELECT doc_id,
+             sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END) AS fp
+           FROM bits GROUP BY 1)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.fp, b.fp)) <= 8
+         ORDER BY id_a, id_b""",
+    "q135_table_checksum" ->
+      """SELECT lang, count(*) AS n_rows,
+           CAST(sum(('0x' || substr(md5(doc_id::VARCHAR || chr(1) ||
+             lang || chr(1) || text), 1, 15))::BIGINT) AS VARCHAR)
+             AS checksum
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "q134_declarative_hamming" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
            FROM documents),
          sh AS (SELECT doc_id, list_distinct(list_transform(

@@ -18,6 +18,7 @@ object BenchOne {
     require(picked.nonEmpty, s"no query matches: ${args(1)}")
     val cpus = math.min(32, Runtime.getRuntime.availableProcessors)
     val spark = SparkSession.builder().master(s"local[$cpus]")
+      .withExtensions(new graft.GraftExtensions)
       .appName("bench-one").config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

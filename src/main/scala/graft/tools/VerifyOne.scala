@@ -19,6 +19,7 @@ object VerifyOne {
     val picked = all.filter { case (k, _) => wanted.exists(k.startsWith) }
     require(picked.nonEmpty, s"no query matches: $names")
     val spark = SparkSession.builder().master("local[8]")
+      .withExtensions(new graft.GraftExtensions)
       .appName("verify-one").config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()

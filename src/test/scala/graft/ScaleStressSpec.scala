@@ -142,7 +142,11 @@ class ScaleStressSpec extends AnyFunSuite {
       // q130 reads the batch-sized feed (4 flat rows); q131's fusion
       // windows rank K-BOUNDED retrieved lists (10 flat rows), so the
       // band pins the two retrievals' linear wall-time
-      "q130_change_audit", "q131_hybrid_rrf")
+      "q130_change_audit", "q131_hybrid_rrf",
+      // q135 emits one row per language — the band pins the one-pass
+      // checksum scan's linear wall-time (sum is associative, so the
+      // 10x corpus cannot change the shape, only the scan length)
+      "q135_table_checksum")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

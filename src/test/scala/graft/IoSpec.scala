@@ -428,6 +428,48 @@ class IoSpec extends AnyFunSuite {
     }
   }
 
+  test("a torn feed-staging orphan (crash mid-write) is invisible to " +
+      "every CDC consumer and does not disturb batch numbering") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("feedorphan").toString
+    Seq((1L, "one", "a")).toDF("k", "v", "p")
+      .write.mode("overwrite").partitionBy("p").parquet(dir)
+    graft.io.MergeInto.mergeByKeyCdc(spark, dir,
+      Seq((2L, "two", "a")).toDF("k", "v", "p"), "k", "p")
+    // simulate a crash mid-write of the NEXT batch: a partial staging
+    // dir with a half-landed part file and no publish rename
+    val orphan = new java.io.File(s"$dir._cdc/.staging-batch-00001")
+    orphan.mkdirs()
+    Seq((99L, "junk", "a", "insert")).toDF("k", "v", "p", "_op")
+      .coalesce(1).write.mode("overwrite").parquet(orphan.toString)
+    // the delta stream's static schema read and batch glob skip it
+    val metrics = Seq("sum_k" -> col("k"))
+    val q = graft.io.StatsMaintenance
+      .cdcDeltaStream(spark, dir, "p", metrics)
+      .writeStream.format("memory").queryName("feedorphan")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val delta = spark.table("feedorphan")
+        .as[(String, Long, Long)].collect().toSet
+      assert(delta === Set(("a", 1L, 2L)),
+        "the torn staging batch must not contribute deltas")
+    } finally q.stop()
+    // batch retention ignores it, and the next merge numbers past the
+    // PUBLISHED batches only (the orphan never blocks or shifts)
+    assert(graft.io.Vacuum.pruneCdcBatches(spark, dir, keepLast = 5)
+      === Nil)
+    val (_, feed) = graft.io.MergeInto.mergeByKeyCdc(spark, dir,
+      Seq((3L, "three", "a")).toDF("k", "v", "p"), "k", "p")
+    assert(new java.io.File(s"$dir._cdc/batch-00001").exists(),
+      "the crashed batch's index is reallocated by the retry")
+    assert(!orphan.exists(),
+      "the retry reuses and heals the stale staging dir")
+    assert(feed.filter($"k" === 99L).count() === 0,
+      "no torn rows leak into the published batch")
+  }
+
   test("manifest: per-file stats, conservative pruning, null-stats " +
       "and disjoint boxes pruned, rebuild picks up appends") {
     import spark.implicits._

@@ -90,42 +90,43 @@ object Compact {
         s"$dir looks hive-partitioned (no top-level parquet, data " +
           "subdirectories present); use compactPartitioned")
     }
-    // heal FIRST, before any early return: a crash between the swap
-    // and the carry-back of a previous compaction leaves the feed at
-    // <dir>/__cdc_carry — re-running must restore it even when the
-    // data itself is already compact (otherwise a later compaction
-    // would retire the carry with the old generation and destroy the
-    // CDC history)
+    // heal FIRST, before any early return: earlier builds carried the
+    // CDC feed through staging and a crash could leave it stranded at
+    // <dir>/__cdc_carry — restore it even when the data is already
+    // compact (a later compaction would otherwise retire the carry
+    // with the old generation and destroy the CDC history)
     healCdcCarry(fs, path)
     val totalBytes = files.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(
       totalBytes.toDouble / targetBytes).toInt)
     if (files.length <= nOut) return (files.length, files.length, totalBytes)
+    // The CDC feed needs NO carry: `<dir>._cdc` is a SIBLING of `dir`,
+    // so the swap below (which only renames `dir` itself) never touches
+    // it — it survives every generation untouched. (Earlier builds
+    // renamed it into staging "for safety", which CREATED the only loss
+    // window: between that rename and the promote, the sole feed copy
+    // sat inside `._staging`, where a crash + re-entry's staging delete
+    // or a TTL-aged vacuum would destroy it. [[healCdcCarry]] remains
+    // to rescue feeds those builds stranded.) File-stat sidecars
+    // (._manifest/._keybloom) live INSIDE `dir` and are deliberately
+    // dropped with the old generation: they reference the files this
+    // rewrite retires, and a loudly-missing sidecar beats silently
+    // stale pruning — rebuild them after compacting.
     stagedSwap(spark, path.toString) { staging =>
       spark.read.parquet(path.toString)
         .repartition(nOut)
         .write.mode("overwrite").parquet(staging)
-      // the CDC feed is file-name-independent history — carry it into
-      // the new generation. File-stat sidecars (._manifest/._keybloom)
-      // are deliberately DROPPED: they reference the files this
-      // rewrite retires, and a loudly-missing sidecar beats silently
-      // stale pruning — rebuild them after compacting.
-      val cdc = new Path(path.toString + "._cdc")
-      if (fs.exists(cdc) &&
-          !fs.rename(cdc, new Path(staging, "__cdc_carry")))
-        throw new java.io.IOException(
-          s"could not carry CDC feed into staging for $dir")
     }
-    healCdcCarry(fs, path)
     val after = fs.listStatus(path)
       .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     (files.length, after, totalBytes)
   }
 
-  /** Restore a CDC feed parked at `<dir>/__cdc_carry` (the in-swap
-    * location) back to its sibling `<dir>._cdc` home. Idempotent;
-    * called at compaction entry AND after the swap so no crash point
-    * leaves the feed stranded across a later generation swap.
+  /** Restore a CDC feed parked at `<dir>/__cdc_carry` back to its
+    * sibling `<dir>._cdc` home. Current builds never park it there
+    * (the sibling feed survives the swap untouched — see
+    * [[compactParquet]]); this rescues directories stranded by
+    * earlier builds' carry-through-staging protocol. Idempotent.
     */
   private def healCdcCarry(fs: org.apache.hadoop.fs.FileSystem,
       path: Path): Unit = {

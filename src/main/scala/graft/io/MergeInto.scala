@@ -58,11 +58,22 @@ case class MergeStats(touchedPartitions: Seq[String], outputRows: Long,
   * per table — a crash mid-publish can leave SOME touched partitions
   * new and others old, and a crash between a delete and its rename
   * leaves that partition only under `<dir>._merge_staging` (never a
-  * torn file, and untouched partitions are never at risk). Because
-  * the merge is an idempotent upsert, re-running the same batch heals
-  * any torn state. Renames assume staging and target share a
-  * filesystem — true by construction (sibling paths), the same
-  * rename-publish assumption [[Compact.stagedSwap]] documents.
+  * torn file, and untouched partitions are never at risk). Every
+  * merge entry therefore HEALS first: staged partition directories
+  * whose target directory is missing are renamed into the target
+  * before anything else runs — including the survivor scan, so a
+  * re-run never recomputes survivors from a table missing rows the
+  * crash stranded in staging. The heal only fires when the staging
+  * write provably completed (`_SUCCESS` present): targets are
+  * deleted strictly after the staged write commits, so a staging dir
+  * without the marker is a torn WRITE whose targets are all intact —
+  * it is discarded, never promoted. With the heal, re-running the
+  * same batch restores exactly the pre-crash intent (the merge is an
+  * idempotent upsert over a healed target). Renames assume staging
+  * and target share a filesystem — true by construction (sibling
+  * paths), the same rename-publish assumption [[Compact.stagedSwap]]
+  * documents. For SNAPSHOT-ISOLATED readers during maintenance, use
+  * the [[VersionLog]] layer instead of this in-place protocol.
   */
 object MergeInto {
 
@@ -126,6 +137,15 @@ object MergeInto {
       keyCol: String, partCol: String, deleteWhen: Option[Column],
       maxTouchedPartitions: Int,
       cdc: Boolean): (MergeStats, Option[DataFrame]) = {
+    // heal FIRST, before any scan of the target: a previous run that
+    // crashed between a partition delete and its rename left that
+    // partition's only copy (survivors included) under staging — the
+    // key/home discovery and the survivor anti-join below must see it
+    val stagingPath = new Path(dir.stripSuffix("/") + "._merge_staging")
+    val fs = stagingPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    healTornPublish(fs, new Path(dir), stagingPath, partCol)
+    fs.delete(stagingPath, true)
     // materialize the batch once: the guard collects, the discovery
     // joins, the CDC classification, and the staged write would each
     // replay the caller's (possibly expensive) batch-build lineage
@@ -207,10 +227,8 @@ object MergeInto {
     // never reads the directory it is replacing — a lost executor
     // recomputing a task can only re-read the intact target, never a
     // half-overwritten one (the hazard a cached self-overwrite has)
-    val stagingPath = new Path(dir.stripSuffix("/") + "._merge_staging")
-    val fs = stagingPath.getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    fs.delete(stagingPath, true)
+    // (stagingPath/fs were resolved — and any torn previous publish
+    // healed — at merge entry, before the discovery scans above)
     // the feed write and the staging write are independent actions
     // that both only READ the intact target — run them concurrently
     // (core.Par); both complete before the publish mutates anything,
@@ -248,6 +266,34 @@ object MergeInto {
       .map(_.stripPrefix(partCol + "="))
     (MergeStats(touched.map(String.valueOf).sorted.toSeq, outputRows,
       drained.sorted.toSeq), feed)
+  }
+
+  /** Heal a torn per-partition publish: rename staged partition
+    * directories whose TARGET directory is missing into the target.
+    * Fires only when `_SUCCESS` exists under staging — the publish
+    * deletes target directories strictly after the staged write
+    * commits, so a marker-less staging dir is an incomplete WRITE
+    * (all targets intact, staged data possibly torn) and must be
+    * discarded, never promoted. Staged dirs whose target still
+    * exists are left for the caller's staging delete: their target
+    * copy is the intact pre-crash state, and the re-run recomputes
+    * them. Returns the healed directory names (for specs/audit).
+    */
+  private[io] def healTornPublish(fs: org.apache.hadoop.fs.FileSystem,
+      dirPath: Path, stagingPath: Path, partCol: String): Seq[String] = {
+    if (!fs.exists(stagingPath) ||
+        !fs.exists(new Path(stagingPath, "_SUCCESS"))) return Nil
+    fs.listStatus(stagingPath)
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(partCol + "="))
+      .filter(s => !fs.exists(new Path(dirPath, s.getPath.getName)))
+      .map { s =>
+        val name = s.getPath.getName
+        if (!fs.rename(s.getPath, new Path(dirPath, name)))
+          throw new java.io.IOException(
+            s"could not heal torn publish of $name into $dirPath")
+        name
+      }.toSeq.sorted
   }
 
   /** TIME TRAVEL by feed inversion: reconstruct the table as it was

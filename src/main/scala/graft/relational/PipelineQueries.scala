@@ -1655,8 +1655,17 @@ object PipelineQueries {
       // Two tables agree iff every (lang, n_rows, checksum) row
       // agrees — which is exactly what the oracle's independent
       // recomputation checks.
-      val rowHash = conv(substring(md5(concat_ws("\u0001",
-        $"doc_id", $"lang", $"text")), 1, 15), 16, 10)
+      // The canonical row string is NULL-SAFE for text via a presence
+      // tag (`V<text>` vs `N`): a bare concat_ws would silently SKIP a
+      // null text (row hashed without it) while an engine
+      // concatenating with explicit separators nulls the whole hash
+      // (row dropped from the sum but still counted) — the tag makes
+      // null and empty text distinct and both engines hash the
+      // identical string for every row.
+      val rowHash = conv(substring(md5(concat(
+        $"doc_id".cast("string"), lit("\u0001"), $"lang",
+        lit("\u0001"),
+        coalesce(concat(lit("V"), $"text"), lit("N")))), 1, 15), 16, 10)
         .cast("decimal(38,0)")
       documents(s, d)
         .groupBy($"lang")
@@ -1911,7 +1920,8 @@ object PipelineQueries {
     "q135_table_checksum" ->
       """SELECT lang, count(*) AS n_rows,
            CAST(sum(('0x' || substr(md5(doc_id::VARCHAR || chr(1) ||
-             lang || chr(1) || text), 1, 15))::BIGINT) AS VARCHAR)
+             lang || chr(1) || coalesce('V' || text, 'N')),
+             1, 15))::BIGINT) AS VARCHAR)
              AS checksum
          FROM documents GROUP BY lang ORDER BY lang""",
     "q134_declarative_hamming" ->

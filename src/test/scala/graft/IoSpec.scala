@@ -470,6 +470,89 @@ class IoSpec extends AnyFunSuite {
       "no torn rows leak into the published batch")
   }
 
+  test("a torn per-partition publish (crash between a delete and its " +
+      "rename) is healed at merge entry — survivors are never lost") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tornpub").toString
+    Seq((1L, "one", "a"), (2L, "two", "a"), (3L, "three", "b"))
+      .toDF("k", "v", "p")
+      .write.mode("overwrite").partitionBy("p").parquet(dir)
+    // Reconstruct the exact crash state of merging {k=2 -> two2}: the
+    // staged write COMPLETED (staging holds the post-merge p=a with
+    // the _SUCCESS marker the real staged write lands), the publish
+    // deleted target p=a, and the crash hit before the rename — the
+    // survivor k=1 now exists ONLY under ._merge_staging.
+    val staging = s"$dir._merge_staging"
+    Seq((1L, "one", "a"), (2L, "two2", "a")).toDF("k", "v", "p")
+      .write.mode("overwrite").partitionBy("p").parquet(staging)
+    assert(new java.io.File(s"$staging/_SUCCESS").exists())
+    def rmRec(f: java.io.File): Unit = {
+      Option(f.listFiles).getOrElse(Array.empty).foreach(rmRec); f.delete()
+    }
+    rmRec(new java.io.File(s"$dir/p=a"))
+    // the documented recovery — re-running the same batch — must first
+    // heal: without the heal it would recompute survivors from a
+    // target missing k=1 and silently lose it forever
+    val stats = graft.io.MergeInto.mergeByKey(spark, dir,
+      Seq((2L, "two2", "a")).toDF("k", "v", "p"), "k", "p")
+    assert(spark.read.parquet(dir).select($"k", $"v", $"p")
+      .as[(Long, String, String)].collect().toSet === Set(
+        (1L, "one", "a"), (2L, "two2", "a"), (3L, "three", "b")))
+    assert(stats.touchedPartitions === Seq("a"))
+    assert(!new java.io.File(staging).exists())
+  }
+
+  test("a torn merge STAGING WRITE (no _SUCCESS) is discarded at the " +
+      "next merge entry, never promoted over the intact target") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tornstage").toString
+    Seq((1L, "one", "a")).toDF("k", "v", "p")
+      .write.mode("overwrite").partitionBy("p").parquet(dir)
+    // a crash mid-write leaves partition dirs but no commit marker;
+    // the target was never touched (deletes happen strictly after the
+    // staged write commits) — promoting the torn rows would corrupt it
+    val staging = s"$dir._merge_staging"
+    Seq((99L, "torn", "zz")).toDF("k", "v", "p")
+      .write.mode("overwrite").partitionBy("p").parquet(staging)
+    new java.io.File(s"$staging/_SUCCESS").delete()
+    val stats = graft.io.MergeInto.mergeByKey(spark, dir,
+      Seq((2L, "two", "a")).toDF("k", "v", "p"), "k", "p")
+    assert(stats.touchedPartitions === Seq("a"))
+    assert(spark.read.parquet(dir).select($"k", $"v", $"p")
+      .as[(Long, String, String)].collect().toSet === Set(
+        (1L, "one", "a"), (2L, "two", "a")),
+      "torn staged rows must not leak into the table")
+    assert(!new java.io.File(s"$dir/p=zz").exists())
+  }
+
+  test("compaction never moves the CDC feed (sibling survives a crash " +
+      "at ANY swap point); a carry stranded by older builds is healed") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cdcsibling").toString
+    (0L until 16L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(4).write.mode("overwrite").parquet(dir)
+    Seq((1L, "old", "insert")).toDF("k", "v", "_op")
+      .write.parquet(s"$dir._cdc/batch-00000")
+    val feedFile = new java.io.File(s"$dir._cdc/batch-00000")
+      .listFiles.filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    graft.io.Compact.compactParquet(spark, dir, targetBytes = 1L << 30)
+    // byte-identical feed files: the rewrite never renamed them through
+    // staging (the old carry protocol's loss window — a crash after
+    // the carry rename left the only feed copy inside ._staging, which
+    // the next entry's staging delete or a TTL vacuum would destroy)
+    assert(new java.io.File(s"$dir._cdc/batch-00000")
+      .listFiles.filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+      === feedFile)
+    assert(!new java.io.File(s"$dir/__cdc_carry").exists())
+    // a feed parked at <dir>/__cdc_carry by an OLDER build's crash is
+    // restored at entry even when the data is already compact
+    assert(new java.io.File(s"$dir._cdc").renameTo(
+      new java.io.File(s"$dir/__cdc_carry")))
+    graft.io.Compact.compactParquet(spark, dir, targetBytes = 1L << 30)
+    assert(spark.read.parquet(s"$dir._cdc/batch-00000")
+      .as[(Long, String, String)].head() === ((1L, "old", "insert")))
+  }
+
   test("manifest: per-file stats, conservative pruning, null-stats " +
       "and disjoint boxes pruned, rebuild picks up appends") {
     import spark.implicits._

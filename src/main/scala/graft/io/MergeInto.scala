@@ -330,7 +330,7 @@ object MergeInto {
     * `.staging-*` orphan no consumer ever reads (and the next merge
     * allocates past it), never a torn batch that a glob would apply.
     */
-  private def writeFeedBatch(spark: SparkSession, dir: String,
+  private[io] def writeFeedBatch(spark: SparkSession, dir: String,
       changes: DataFrame): DataFrame = {
     val root = new Path(dir.stripSuffix("/") + "._cdc")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -1,0 +1,426 @@
+package graft.io
+
+import java.nio.charset.StandardCharsets
+
+import scala.jdk.CollectionConverters._
+import scala.util.matching.Regex
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One committed snapshot of a versioned table: the exact data files
+  * (dir-relative paths) a reader of this version scans — nothing
+  * else on disk exists for that reader.
+  */
+case class TableSnapshot(version: Long, parent: Long, action: String,
+    files: Seq[String])
+
+/** Version-log commits — SNAPSHOT ISOLATION for the maintained table.
+  *
+  * The in-place protocols ([[MergeInto]], [[Compact]]) publish by
+  * per-partition delete+rename under a documented single-writer /
+  * no-concurrent-reader contract. Correct and crash-healable, but a
+  * 100 TB table serves readers continuously — "no concurrent reader"
+  * is the one promise it cannot make. This module is the missing
+  * piece, the Delta/Iceberg commit-log idea reduced to one JSON file
+  * per snapshot:
+  *
+  *  - data files are IMMUTABLE: every commit writes NEW files under
+  *    `<dir>/data/b-<version>-<uuid>/` and never modifies or deletes
+  *    an existing one (deletion is [[vacuumVersions]]' job, gated on
+  *    "unreferenced by every retained version");
+  *  - a snapshot is ONE file, `<dir>/_versions/v-<n>.json`, listing
+  *    the dir-relative data files of that version, made live by ONE
+  *    atomic create — a hard-link publish on the local filesystem
+  *    (create-if-absent is atomic and never replaces), a no-replace
+  *    rename on HDFS-likes;
+  *  - readers resolve the latest `v-<n>.json` (or any older one —
+  *    time travel is "read that file list") and plan a scan over
+  *    exactly its files. A crash mid-commit leaves data-file orphans
+  *    and no version file: invisible. A concurrent merge commits
+  *    `v-<n+1>.json` while a reader holds `v-<n>`: the reader's files
+  *    still exist (immutability), so it finishes on its snapshot —
+  *    never a mix, never a missing-path failure;
+  *  - writers are optimistically concurrent: a commit targets
+  *    `v-<parent+1>.json`; if that name already exists another writer
+  *    won the race and the commit FAILS (its data files become
+  *    orphans for vacuum) — re-run against the new snapshot. The
+  *    version number is the full serialization point, so two merges
+  *    can never both land on the same parent.
+  *
+  * The reference re-reads immutable dataset snapshots per run
+  * (`edsnlp/data/parquet.py:60-120`); this layer keeps that read
+  * model sound while the table mutates underneath.
+  *
+  * Scale notes: a version file is file-list-sized (one short string
+  * per live data file) — the same thing any format's planner
+  * materializes; resolving a snapshot costs one directory listing
+  * plus one small JSON read, never a data pass. The versioned merge
+  * reads only the pinned files of touched partitions and writes only
+  * the batch's partition footprint, exactly like [[MergeInto]].
+  */
+object VersionLog {
+
+  private val VersionFile: Regex = """v-(\d{8})\.json""".r
+
+  private def versionsRoot(dir: String): Path =
+    new Path(dir.stripSuffix("/"), "_versions")
+
+  private def fsFor(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** All committed versions at `dir`, ascending. One listing of the
+    * log directory — bounded by commits ever made, not data; prune
+    * with [[vacuumVersions]].
+    */
+  def listVersions(spark: SparkSession, dir: String): Seq[Long] = {
+    val fs = fsFor(spark, dir)
+    val root = versionsRoot(dir)
+    if (!fs.exists(root)) return Nil
+    fs.listStatus(root).toSeq.flatMap(_.getPath.getName match {
+      case VersionFile(n) => Some(n.toLong)
+      case _ => None
+    }).sorted
+  }
+
+  /** Resolve a snapshot — the latest by default, or an explicit
+    * version id (time travel). Fails loudly on an unknown version or
+    * an unversioned directory.
+    */
+  def snapshot(spark: SparkSession, dir: String,
+      version: Option[Long] = None): TableSnapshot = {
+    val versions = listVersions(spark, dir)
+    require(versions.nonEmpty, s"$dir has no version log (_versions)")
+    val v = version.getOrElse(versions.max)
+    require(versions.contains(v),
+      s"version $v not in $dir (have ${versions.mkString(",")})")
+    val fs = fsFor(spark, dir)
+    val p = new Path(versionsRoot(dir), f"v-$v%08d.json")
+    val in = fs.open(p)
+    val bytes = try in.readAllBytes() finally in.close()
+    parseSnapshot(new String(bytes, StandardCharsets.UTF_8))
+  }
+
+  /** Read a snapshot as a DataFrame: exactly its file list, nothing
+    * newer, nothing retired — with `basePath` so hive-style
+    * `part=value` segments under the batch directories surface as
+    * partition columns. `version = None` reads the latest.
+    */
+  def read(spark: SparkSession, dir: String,
+      version: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, dir, version)
+    readFiles(spark, dir, snap.files)
+  }
+
+  private[io] def readFiles(spark: SparkSession, dir: String,
+      files: Seq[String]): DataFrame = {
+    require(files.nonEmpty,
+      s"snapshot of $dir lists no data files; cannot infer a schema")
+    val base = dir.stripSuffix("/")
+    // one read PER BATCH DIRECTORY, then union: partition discovery
+    // demands a uniform directory structure, and `data/b-1/p=a` vs
+    // `data/b-2/p=a` have different non-partition prefixes — with the
+    // batch dir as basePath each group is uniform and the `p=` values
+    // surface as partition columns. Branch count is bounded by the
+    // snapshot's commit count (vacuum keeps it short), and Catalyst
+    // pushes filters/pruning into every branch of the union.
+    files.groupBy(batchRoot).toSeq.sortBy(_._1)
+      .map { case (root, fs) =>
+        spark.read.option("basePath", s"$base/$root")
+          .parquet(fs.map(f => s"$base/$f"): _*)
+      }.reduce(_ unionByName _)
+  }
+
+  /** The batch-directory prefix of a snapshot file path (`data/b-X`
+    * for committed batches; the containing directory otherwise).
+    */
+  private def batchRoot(file: String): String = {
+    val segs = file.split("/")
+    if (segs.length >= 2 && segs(0) == "data") segs.take(2).mkString("/")
+    else segs.dropRight(1).mkString("/")
+  }
+
+  /** Commit a new snapshot whose parent is `parent`: writes
+    * `v-<parent+1>.json` via an atomic create-if-absent. Throws
+    * `ConcurrentModificationException` if that version already exists
+    * (another writer committed first) — the caller's data files are
+    * then orphans for [[vacuumVersions]] and the operation must be
+    * re-run against the new snapshot. Returns the committed version.
+    */
+  def commit(spark: SparkSession, dir: String, parent: Long,
+      action: String, files: Seq[String]): Long = {
+    val fs = fsFor(spark, dir)
+    val root = versionsRoot(dir)
+    fs.mkdirs(root)
+    val next = parent + 1
+    val target = new Path(root, f"v-$next%08d.json")
+    val json = renderSnapshot(TableSnapshot(next, parent, action,
+      files.sorted))
+    if (!atomicCreate(fs, root, target, json))
+      throw new java.util.ConcurrentModificationException(
+        s"version $next at $dir was committed by another writer")
+    next
+  }
+
+  /** Atomic no-replace publish of `content` at `target`. Local FS:
+    * write a tmp file, HARD-LINK it to the target (POSIX link(2) is
+    * atomic and fails with EEXIST — a plain rename would silently
+    * replace a concurrent winner). Other filesystems: exclusive
+    * create of a tmp file + rename, which HDFS-likes refuse when the
+    * destination exists. Either way a torn write is impossible at the
+    * target: content lands complete before the name becomes visible.
+    */
+  private def atomicCreate(fs: FileSystem, root: Path, target: Path,
+      content: String): Boolean = {
+    val tmp = new Path(root,
+      s".tmp-${target.getName}-${java.util.UUID.randomUUID.toString.take(8)}")
+    if ("file" == fs.getUri.getScheme) {
+      val tmpNio = java.nio.file.Paths.get(tmp.toUri.getPath)
+      val targetNio = java.nio.file.Paths.get(target.toUri.getPath)
+      java.nio.file.Files.write(tmpNio,
+        content.getBytes(StandardCharsets.UTF_8))
+      try {
+        java.nio.file.Files.createLink(targetNio, tmpNio)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      } finally java.nio.file.Files.deleteIfExists(tmpNio)
+    } else {
+      val out = fs.create(tmp, false)
+      try out.write(content.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      if (fs.exists(target)) { fs.delete(tmp, false); false }
+      else {
+        val ok = fs.rename(tmp, target)
+        if (!ok) fs.delete(tmp, false)
+        ok
+      }
+    }
+  }
+
+  /** Seed a versioned table: land `df` as the first data batch and
+    * commit version 1. `partitionBy` gives the hive-partitioned
+    * layout the versioned merge addresses; None gives a flat layout
+    * (z-order/manifest-friendly). Returns the committed version (1).
+    */
+  def init(spark: SparkSession, dir: String, df: DataFrame,
+      partitionBy: Option[String] = None): Long = {
+    require(listVersions(spark, dir).isEmpty,
+      s"$dir already has a version log; commit against it instead")
+    val files = writeBatch(spark, dir, df, partitionBy, 1L)
+    commit(spark, dir, parent = 0L, action = "init", files = files)
+  }
+
+  /** Write a data batch under `data/b-<version>-<uuid>/` and return
+    * the dir-relative parquet files it produced. The uuid makes a
+    * LOSING writer's directory (commit CAS failed) collide-free with
+    * the winner's retry.
+    */
+  private def writeBatch(spark: SparkSession, dir: String, df: DataFrame,
+      partitionBy: Option[String], version: Long): Seq[String] = {
+    val base = dir.stripSuffix("/")
+    val rel = f"data/b-$version%08d-" +
+      java.util.UUID.randomUUID.toString.take(8)
+    val w = df.write.mode("error")
+    partitionBy.fold(w)(c => w.partitionBy(c)).parquet(s"$base/$rel")
+    listParquet(fsFor(spark, dir), new Path(base, rel))
+      .map(p => relativize(base, p))
+  }
+
+  private def listParquet(fs: FileSystem, root: Path): Seq[String] = {
+    if (!fs.exists(root)) return Nil
+    val it = fs.listFiles(root, true)
+    val out = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet"))
+        out += f.getPath.toUri.getPath
+    }
+    out.result()
+  }
+
+  private def relativize(base: String, absolute: String): String = {
+    val b = new Path(base).toUri.getPath.stripSuffix("/") + "/"
+    require(absolute.startsWith(b), s"$absolute not under $base")
+    absolute.stripPrefix(b)
+  }
+
+  /** Versioned copy-on-write MERGE with tombstone deletes and a CDC
+    * feed — [[MergeInto.mergeByKeyCdc]] semantics (upserts replace
+    * matched keys, new keys insert, `deleteWhen` rows delete wherever
+    * the key lives, duplicate batch keys rejected) executed against a
+    * PINNED snapshot and published by ONE version-file create:
+    *
+    *  - reads only the pinned files under touched partitions (the
+    *    batch's partition footprint, never the table);
+    *  - writes survivors ∪ upserts as NEW files under this version's
+    *    batch directory; retired files stay on disk for older
+    *    snapshots' readers;
+    *  - the next snapshot's file list = pinned minus touched-partition
+    *    files plus the new ones; drained partitions simply contribute
+    *    no new files (no directory deletes anywhere);
+    *  - the feed lands at `<dir>._cdc/batch-<n>` BEFORE the commit
+    *    (same durability contract as the in-place merge; feed batches
+    *    are append-only so feed writes never conflict with readers).
+    *
+    * Crash at any point before the version-file create leaves the
+    * table bit-identical for every reader (plus invisible orphans);
+    * after it, the merge is fully live. Nothing to heal, by
+    * construction. Returns (stats, feed, committedVersion).
+    */
+  def mergeByKeyCdc(spark: SparkSession, dir: String, updates: DataFrame,
+      keyCol: String, partCol: String, deleteWhen: Option[Column] = None,
+      maxTouchedPartitions: Int = 4096): (MergeStats, DataFrame, Long) = {
+    val snap = snapshot(spark, dir, None)
+    val table = readFiles(spark, dir, snap.files)
+
+    val batch = updates.localCheckpoint()
+    val dup = batch.groupBy(col(keyCol)).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"duplicate $keyCol in update batch (e.g. ${dup.headOption}): " +
+        "a MERGE source may match each target row at most once")
+    val tombstones = deleteWhen.map(c => batch.filter(c))
+    val upserts =
+      deleteWhen.fold(batch)(c => batch.filter(!coalesce(c, lit(false))))
+
+    val distinctParts = upserts.select(col(partCol)).distinct()
+      .limit(maxTouchedPartitions + 1).collect().map(_.get(0))
+    require(distinctParts.length <= maxTouchedPartitions,
+      s"update batch touches > $maxTouchedPartitions partitions; " +
+        "this merge is a table rewrite — re-init instead")
+    require(!distinctParts.exists(v =>
+        v == null || String.valueOf(v).isEmpty),
+      s"null/empty $partCol in update batch: outside the partitioned " +
+        "layout's addressing")
+    val allKeys = batch.select(col(keyCol))
+    val matchedHomes = table.select(col(keyCol), col(partCol))
+      .join(allKeys, Seq(keyCol), "left_semi")
+      .select(col(partCol)).distinct()
+      .limit(maxTouchedPartitions + 1).collect().map(_.get(0))
+    require(matchedHomes.length <= maxTouchedPartitions,
+      s"matched keys live in > $maxTouchedPartitions partitions")
+    val touched = (distinctParts ++ matchedHomes).distinct
+    if (touched.isEmpty) {
+      val feed = MergeInto.writeFeedBatch(spark, dir,
+        table.limit(0).withColumn("_op", lit("insert")))
+      return (MergeStats(Nil, 0L, Nil), feed, snap.version)
+    }
+
+    // pinned files under the touched partitions: path-segment match
+    // with the exact escaping the partitioned write used
+    val touchedFrags = touched.map(v =>
+      s"/$partCol=${MergeInto.escapePathName(String.valueOf(v))}/")
+    val isTouchedFile = (f: String) =>
+      touchedFrags.exists(("/" + f).contains)
+    val touchedFiles = snap.files.filter(isTouchedFile)
+    val targetTouched =
+      if (touchedFiles.isEmpty) table.filter(lit(false))
+      else readFiles(spark, dir, touchedFiles)
+
+    val dataCols = table.columns.map(col).toIndexedSeq
+    // before-images: full rows of every matched key (their homes are
+    // all inside `touched` by construction)
+    val oldMatched = targetTouched.join(allKeys, Seq(keyCol), "left_semi")
+    val matchedKeys = oldMatched.select(col(keyCol))
+    val updatePost = upserts.select(dataCols: _*)
+      .join(matchedKeys, Seq(keyCol), "left_semi")
+    val inserts = upserts.select(dataCols: _*)
+      .join(matchedKeys, Seq(keyCol), "left_anti")
+    val updatePre = oldMatched
+      .join(upserts.select(col(keyCol)), Seq(keyCol), "left_semi")
+    val deletes = tombstones.fold(oldMatched.limit(0)) { t =>
+      oldMatched.join(t.select(col(keyCol)), Seq(keyCol), "left_semi")
+    }
+    val changes = updatePre.withColumn("_op", lit("update_pre"))
+      .unionByName(updatePost.withColumn("_op", lit("update_post")))
+      .unionByName(inserts.withColumn("_op", lit("insert")))
+      .unionByName(deletes.withColumn("_op", lit("delete")))
+
+    val survivors = targetTouched.join(allKeys, Seq(keyCol), "left_anti")
+    val merged = survivors.unionByName(upserts.select(dataCols: _*))
+    // the feed write and the batch write are independent actions that
+    // both only read pinned (immutable) files — run them concurrently;
+    // both complete before the commit makes anything live
+    var feed: DataFrame = null
+    var newFiles: Seq[String] = Nil
+    graft.core.Par.run(
+      () => { feed = MergeInto.writeFeedBatch(spark, dir, changes) },
+      () => { newFiles = writeBatch(spark, dir, merged, Some(partCol),
+        snap.version + 1) })
+    val outputRows =
+      if (newFiles.isEmpty) 0L
+      else readFiles(spark, dir, newFiles).count()
+    val keptFiles = snap.files.filterNot(isTouchedFile)
+    val version = commit(spark, dir, snap.version, "merge",
+      keptFiles ++ newFiles)
+    val drained = touched.map(String.valueOf).filter { v =>
+      val frag = s"/$partCol=${MergeInto.escapePathName(v)}/"
+      !newFiles.exists(f => ("/" + f).contains(frag))
+    }
+    (MergeStats(touched.map(String.valueOf).sorted.toSeq, outputRows,
+      drained.sorted.toSeq), feed, version)
+  }
+
+  /** Delete version files beyond the newest `keepLast` and every data
+    * file no RETAINED version references, provided it is older than
+    * `ttlMs` (an in-flight commit's fresh files are never victims).
+    * This is the only deletion in the versioned protocol — readers of
+    * retained snapshots are safe by construction, and `ttlMs` should
+    * exceed the longest query a reader of a DROPPED snapshot may
+    * still be running. Returns the deleted paths.
+    */
+  def vacuumVersions(spark: SparkSession, dir: String, keepLast: Int,
+      ttlMs: Long): Seq[String] = {
+    require(keepLast >= 1, "must retain at least the latest version")
+    val fs = fsFor(spark, dir)
+    val base = dir.stripSuffix("/")
+    val versions = listVersions(spark, dir)
+    if (versions.isEmpty) return Nil
+    val retained = versions.takeRight(keepLast)
+    val referenced = retained
+      .flatMap(v => snapshot(spark, dir, Some(v)).files).toSet
+    val cutoff = System.currentTimeMillis() - ttlMs
+    val dataRoot = new Path(base, "data")
+    val victims = Seq.newBuilder[String]
+    if (fs.exists(dataRoot)) {
+      val it = fs.listFiles(dataRoot, true)
+      while (it.hasNext) {
+        val f = it.next()
+        val rel = relativize(base, f.getPath.toUri.getPath)
+        if (f.isFile && !referenced.contains(rel) &&
+            f.getModificationTime < cutoff &&
+            (rel.endsWith(".parquet") || rel.endsWith(".crc") ||
+              f.getPath.getName.startsWith("_"))) {
+          fs.delete(f.getPath, false)
+          victims += rel
+        }
+      }
+    }
+    versions.dropRight(keepLast).foreach { v =>
+      fs.delete(new Path(versionsRoot(dir), f"v-$v%08d.json"), false)
+      victims += f"_versions/v-$v%08d.json"
+    }
+    victims.result().sorted
+  }
+
+  // ---- snapshot (de)serialization: one tiny JSON object ------------
+
+  private def renderSnapshot(s: TableSnapshot): String = {
+    def esc(x: String) = x.replace("\\", "\\\\").replace("\"", "\\\"")
+    s"""{"version":${s.version},"parent":${s.parent},""" +
+      s""""action":"${esc(s.action)}","files":[""" +
+      s.files.map(f => "\"" + esc(f) + "\"").mkString(",") + "]}"
+  }
+
+  private def parseSnapshot(json: String): TableSnapshot = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(json)
+    TableSnapshot(
+      node.get("version").asLong,
+      node.get("parent").asLong,
+      node.get("action").asText,
+      node.get("files").elements().asScala.map(_.asText).toSeq)
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.dedup.{Dedup, ExactSubstring, SimHash}
-import graft.io.{Compact, KeyBloom, Manifest, MergeInto, StatsMaintenance, ZOrder}
+import graft.io.{Compact, KeyBloom, Manifest, MergeInto, StatsMaintenance, VersionLog, ZOrder}
 import graft.multimodal.Multimodal
 import graft.similarity.{Ann, PortableLsh, Pq, RandomProjection, Sq}
 import graft.text.{Sketches, TextStats}
@@ -151,7 +151,39 @@ object PipelineQueries {
     }
   }
 
-  /** Shared build for the time-travel/audit queries (q126/q130): the
+  /** Shared build for the VERSIONED-table queries (q126/q136): the
+    * documents corpus seeded as version 1 of a [[VersionLog]] table
+    * (lang-partitioned), then the same deterministic CDC merge the
+    * in-place twin applies (fr%17 updates, %31 inserts into 'xx',
+    * de%13 tombstone deletes) committed as version 2 by ONE atomic
+    * version-file create. Built once per (sf, process).
+    */
+  private def versionedTableDir(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val dir = s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft-vlog-${Integer.toHexString(d.hashCode)}" +
+      s"-${ProcessHandle.current().pid()}"
+    buildOnce(dir) {
+      val docs = documents(s, d)
+      VersionLog.init(s, dir, docs, partitionBy = Some("lang"))
+      val batch = docs
+        .filter($"lang" === "fr" && $"doc_id" % 17 === 0)
+        .withColumn("text", concat($"text", lit(" [v2]")))
+        .withColumn("_del", lit(false))
+        .unionByName(docs.filter($"doc_id" % 31 === 0)
+          .withColumn("doc_id", $"doc_id" + 100000000L)
+          .withColumn("lang", lit("xx"))
+          .withColumn("_del", lit(false)))
+        .unionByName(docs
+          .filter($"lang" === "de" && $"doc_id" % 13 === 0)
+          .withColumn("_del", lit(true)))
+      VersionLog.mergeByKeyCdc(s, dir, batch, "doc_id", "lang",
+        deleteWhen = Some($"_del"))
+    }
+    dir
+  }
+
+  /** Shared build for the feed/audit queries (q124/q130): the
     * documents corpus seeded lang-partitioned, then ONE CDC merge
     * (fr%17 updates, %31 inserts into 'xx', de%13 tombstone deletes)
     * whose feed lands at `<dir>._cdc/batch-00000`. Built once per
@@ -1624,20 +1656,40 @@ object PipelineQueries {
     },
     "q126_time_travel" -> { (s, d) =>
       import s.implicits._
-      // TIME TRAVEL by CDC-feed inversion: the build seeds a snapshot
-      // and merges one batch (updates + inserts + tombstone deletes)
-      // through mergeByKeyCdc; the query reconstructs the PRE-merge
-      // table from the MUTATED table plus the feed's before-images
-      // (MergeInto.snapshotBefore) — version reads cost batch-sized
-      // joins, never a history replay. The oracle is simply the
-      // pristine documents table: stats over the reconstruction must
-      // be bit-identical to stats over what the table looked like
-      // before the merge.
-      val dir = mergedSnapshotDir(s, d)
-      val feed0 = s.read.parquet(s"$dir._cdc/batch-00000")
-      MergeInto.snapshotBefore(s.read.parquet(dir), feed0, "doc_id")
+      // TIME TRAVEL by VERSION ID: the build seeds version 1 of a
+      // VersionLog table and commits one CDC merge as version 2; the
+      // query reads `version = 1` — which resolves v-00000001.json
+      // and plans a scan over exactly its (immutable) file list. No
+      // feed-chain inversion, no history replay: reading yesterday's
+      // table costs the same as reading today's. The oracle is the
+      // pristine documents table: stats over the pinned snapshot must
+      // be bit-identical to the table before the merge. (The feed-
+      // inversion alternative, MergeInto.snapshotBefore, is pinned
+      // equal to the version read in VersionLogSpec.)
+      val dir = versionedTableDir(s, d)
+      VersionLog.read(s, dir, Some(1L))
         .groupBy($"lang")
         .agg(count(lit(1)).as("n_docs"),
+          sum(length($"text")).as("sum_len"),
+          sum($"doc_id").as("sum_ids"))
+        .orderBy($"lang")
+    },
+    "q136_versioned_merge" -> { (s, d) =>
+      import s.implicits._
+      // SNAPSHOT-ISOLATED MERGE: the same deterministic CDC batch the
+      // in-place merge family applies (fr%17 updates, %31 inserts,
+      // de%13 deletes), executed against a PINNED version-1 snapshot
+      // and published by ONE atomic version-file create — readers
+      // resolved mid-merge keep version 1's file list (immutable
+      // files, no partition delete+rename anywhere), then flip to
+      // version 2 whole. The query reads the LATEST version; the
+      // oracle independently reconstructs the post-merge state from
+      // the pristine table, so a lost survivor row, a leaked
+      // tombstone, or a torn partition cannot hash-match.
+      val dir = versionedTableDir(s, d)
+      VersionLog.read(s, dir)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_rows"),
           sum(length($"text")).as("sum_len"),
           sum($"doc_id").as("sum_ids"))
         .orderBy($"lang")
@@ -3086,6 +3138,27 @@ object PipelineQueries {
            CAST(sum(length(text)) AS BIGINT) AS sum_len,
            CAST(sum(doc_id) AS BIGINT) AS sum_ids
          FROM documents GROUP BY lang ORDER BY lang""",
+    "q136_versioned_merge" ->
+      """WITH upd AS (
+           SELECT doc_id, text || ' [v2]' AS text, lang
+           FROM documents WHERE lang = 'fr' AND doc_id % 17 = 0
+           UNION ALL
+           SELECT doc_id + 100000000, text, 'xx' AS lang
+           FROM documents WHERE doc_id % 31 = 0),
+         del AS (
+           SELECT doc_id FROM documents
+           WHERE lang = 'de' AND doc_id % 13 = 0),
+         merged AS (
+           SELECT d.doc_id, d.text, d.lang FROM documents d
+           WHERE NOT EXISTS (SELECT 1 FROM upd u
+                             WHERE u.doc_id = d.doc_id)
+             AND NOT EXISTS (SELECT 1 FROM del x
+                             WHERE x.doc_id = d.doc_id)
+           UNION ALL SELECT doc_id, text, lang FROM upd)
+         SELECT lang, count(*) AS n_rows,
+           CAST(sum(length(text)) AS BIGINT) AS sum_len,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         FROM merged GROUP BY lang ORDER BY lang""",
     "q132_knn_classify" ->
       """WITH p AS (SELECT (count(*) // 8) * 8 AS m FROM embeddings),
          v AS (SELECT vec_id, list_transform(range(0, 16), j ->

@@ -1,0 +1,181 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.{MergeStats, VersionLog}
+
+/** Snapshot isolation for the maintained table (io/VersionLog): the
+  * contracts the in-place merge cannot offer — a reader resolved
+  * mid-merge sees exactly its pinned snapshot (never a mix, never a
+  * missing path), a crash before the commit is invisible, time travel
+  * is "read version N", and vacuum can never hurt a retained reader.
+  */
+class VersionLogSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def seed(): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("vlog").toString
+    val v = VersionLog.init(spark,
+      dir,
+      Seq((1L, "one", "a"), (2L, "two", "a"), (3L, "three", "b"),
+        (4L, "four", "b"), (6L, "six", "c")).toDF("k", "v", "p"),
+      partitionBy = Some("p"))
+    assert(v === 1L)
+    dir
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    df.select($"k", $"v", $"p")
+      .as[(Long, String, String)].collect().toSet
+  }
+
+  test("versioned merge: upsert/move/delete semantics, file-granular " +
+      "copy-on-write, drained partitions, CDC feed") {
+    import spark.implicits._
+    val dir = seed()
+    val before = VersionLog.snapshot(spark, dir, None)
+    // revise k=2, MOVE k=6 c->d, insert k=7, tombstone-delete k=4
+    val batch = Seq((2L, "two2", "a", false), (6L, "six2", "d", false),
+      (7L, "seven", "b", false), (4L, "gone", "zz", true))
+      .toDF("k", "v", "p", "_del")
+    val (stats, feed, version) = VersionLog.mergeByKeyCdc(
+      spark, dir, batch, "k", "p", deleteWhen = Some($"_del"))
+    assert(version === 2L)
+    // tombstone's own partCol is ignored; its HOME (b) is touched
+    assert(stats.touchedPartitions === Seq("a", "b", "c", "d"))
+    assert(stats.removedPartitions === Seq("c"))
+    assert(rows(VersionLog.read(spark, dir)) === Set(
+      (1L, "one", "a"), (2L, "two2", "a"), (3L, "three", "b"),
+      (6L, "six2", "d"), (7L, "seven", "b")))
+    // copy-on-write at FILE granularity: untouched partitions keep the
+    // exact files of the parent snapshot (no rewrite, no rename)
+    val after = VersionLog.snapshot(spark, dir, None)
+    val untouchedBefore = before.files.filterNot(_.contains("/p="))
+    assert(untouchedBefore.isEmpty) // all files live under p= dirs
+    assert(before.files.toSet.subsetOf(
+      before.files.toSet ++ after.files.toSet)) // old files still listed or retired, never mutated
+    // every parent file still EXISTS on disk (immutability)
+    before.files.foreach { f =>
+      assert(new java.io.File(s"$dir/$f").exists(), s"$f was deleted")
+    }
+    // feed classifies every change
+    assert(feed.groupBy($"_op").count().as[(String, Long)].collect().toMap
+      === Map("update_pre" -> 2L, "update_post" -> 2L,
+        "insert" -> 1L, "delete" -> 1L))
+    // the no-op merge commits nothing and reports the same version
+    val (s2, _, v2) = VersionLog.mergeByKeyCdc(spark, dir,
+      batch.filter($"k" < 0), "k", "p", deleteWhen = Some($"_del"))
+    assert(s2 === MergeStats(Nil, 0L, Nil))
+    assert(v2 === 2L)
+  }
+
+  test("snapshot isolation: a reader resolved mid-merge finishes on " +
+      "its pinned snapshot; time travel is read-by-version-id") {
+    import spark.implicits._
+    val dir = seed()
+    val pinned = VersionLog.read(spark, dir) // resolves v1's file list
+    val expectedV1 = rows(pinned)
+    val (_, _, v) = VersionLog.mergeByKeyCdc(spark, dir,
+      Seq((2L, "two2", "a", false), (4L, "x", "zz", true))
+        .toDF("k", "v", "p", "_del"),
+      "k", "p", deleteWhen = Some($"_del"))
+    assert(v === 2L)
+    // the pinned frame evaluates AFTER the merge committed — and still
+    // sees exactly the old snapshot (old files are immutable, the
+    // in-place protocol would have deleted p=a under this reader)
+    assert(rows(pinned) === expectedV1)
+    assert(rows(VersionLog.read(spark, dir, Some(1L))) === expectedV1)
+    assert(rows(VersionLog.read(spark, dir)) ===
+      (expectedV1 - ((2L, "two", "a")) - ((4L, "four", "b")) +
+        ((2L, "two2", "a"))))
+    assert(VersionLog.listVersions(spark, dir) === Seq(1L, 2L))
+  }
+
+  test("a crash before the commit is invisible: data orphans change " +
+      "no reader, and vacuum deletes only unreferenced+aged files") {
+    import spark.implicits._
+    val dir = seed()
+    val expected = rows(VersionLog.read(spark, dir))
+    // simulate a merge that died after writing its batch but before
+    // the version-file create: an orphan batch directory
+    Seq((99L, "junk", "a")).toDF("k", "v", "p")
+      .write.partitionBy("p").parquet(s"$dir/data/b-00000002-deadbeef")
+    assert(rows(VersionLog.read(spark, dir)) === expected,
+      "uncommitted files must be invisible to every reader")
+    // fresh orphans are protected by the TTL...
+    val young = VersionLog.vacuumVersions(spark, dir, keepLast = 1,
+      ttlMs = 3600 * 1000L)
+    assert(young.isEmpty)
+    // ...aged ones are deleted; referenced files never are
+    val aged = VersionLog.vacuumVersions(spark, dir, keepLast = 1,
+      ttlMs = 0L)
+    assert(aged.exists(_.contains("b-00000002-deadbeef")),
+      "the orphan batch must be vacuumed once aged")
+    // victims may include unreferenced marker files (_SUCCESS/.crc —
+    // versioned readers never consult them) but NEVER a file a
+    // retained snapshot lists
+    val retained = VersionLog.snapshot(spark, dir, None).files.toSet
+    assert(aged.forall(f => !retained.contains(f)))
+    assert(rows(VersionLog.read(spark, dir)) === expected)
+  }
+
+  test("vacuum retains keepLast versions; a dropped version's files " +
+      "go only if no retained snapshot references them") {
+    import spark.implicits._
+    val dir = seed()
+    VersionLog.mergeByKeyCdc(spark, dir,
+      Seq((2L, "two2", "a")).toDF("k", "v", "p"), "k", "p")
+    VersionLog.mergeByKeyCdc(spark, dir,
+      Seq((2L, "two3", "a")).toDF("k", "v", "p"), "k", "p")
+    val expected = rows(VersionLog.read(spark, dir))
+    val v2Files = VersionLog.snapshot(spark, dir, Some(2L)).files
+    val deleted = VersionLog.vacuumVersions(spark, dir, keepLast = 1,
+      ttlMs = 0L)
+    assert(deleted.contains("_versions/v-00000001.json"))
+    assert(deleted.contains("_versions/v-00000002.json"))
+    // v2's p=a file was retired by v3 -> deletable; v2's untouched
+    // p=b/p=c files are still referenced by v3 -> retained
+    val retained = VersionLog.snapshot(spark, dir, Some(3L)).files.toSet
+    deleted.filter(_.startsWith("data/")).foreach { f =>
+      assert(!retained.contains(f), s"vacuum deleted a live file: $f")
+    }
+    v2Files.filter(retained.contains).foreach { f =>
+      assert(new java.io.File(s"$dir/$f").exists(),
+        s"shared file $f must survive the vacuum")
+    }
+    assert(rows(VersionLog.read(spark, dir)) === expected)
+    intercept[IllegalArgumentException] {
+      VersionLog.read(spark, dir, Some(1L)) // vacuumed away, loudly
+    }
+  }
+
+  test("optimistic concurrency: two commits against the same parent " +
+      "— exactly one wins, the loser throws") {
+    import spark.implicits._
+    val dir = seed()
+    val snap = VersionLog.snapshot(spark, dir, None)
+    VersionLog.commit(spark, dir, snap.version, "writer-A", snap.files)
+    intercept[java.util.ConcurrentModificationException] {
+      VersionLog.commit(spark, dir, snap.version, "writer-B", snap.files)
+    }
+    assert(VersionLog.snapshot(spark, dir, None).action === "writer-A")
+  }
+
+  test("feed-inversion time travel agrees with version-id time travel " +
+      "(snapshotBefore over the feed == read of the parent version)") {
+    import spark.implicits._
+    val dir = seed()
+    val (_, feed, _) = VersionLog.mergeByKeyCdc(spark, dir,
+      Seq((2L, "two2", "a", false), (8L, "eight", "d", false),
+        (4L, "x", "zz", true)).toDF("k", "v", "p", "_del"),
+      "k", "p", deleteWhen = Some($"_del"))
+    val byFeed = graft.io.MergeInto.snapshotBefore(
+      VersionLog.read(spark, dir), feed, "k")
+    assert(rows(byFeed) === rows(VersionLog.read(spark, dir, Some(1L))))
+  }
+}

@@ -85,10 +85,19 @@ object KeyBloom {
     * files-per-task * 2^log2Bits bits. Returns the file count.
     */
   def buildKeyBloom(spark: SparkSession, dir: String, keyCol: String,
-      log2Bits: Int = 16, k: Int = 4): Long = {
+      log2Bits: Int = 16, k: Int = 4): Long =
+    buildKeyBloomFor(spark, dir, spark.read.parquet(dir), keyCol,
+      log2Bits, k)
+
+  /** [[buildKeyBloom]] over an explicit frame — for tables whose live
+    * file set is NOT "every parquet under dir" (a [[VersionLog]]
+    * snapshot): pass `VersionLog.read(spark, dir)`.
+    */
+  def buildKeyBloomFor(spark: SparkSession, dir: String, df: DataFrame,
+      keyCol: String, log2Bits: Int = 16, k: Int = 4): Long = {
     require(log2Bits >= 6 && log2Bits <= 30, "log2Bits in [6,30]")
     Sidecar.publish(spark, dir, "._keybloom",
-      bloomFor(spark.read.parquet(dir), keyCol, log2Bits, k))
+      bloomFor(df, keyCol, log2Bits, k))
   }
 
   /** Incremental refresh after a [[MergeInto]] merge of a PARTITIONED

@@ -64,8 +64,16 @@ object Manifest {
     */
   def buildManifest(spark: SparkSession, dir: String,
       statsCols: Seq[String]): Long =
-    Sidecar.publish(spark, dir, "._manifest",
-      manifestFor(spark.read.parquet(dir), statsCols))
+    buildManifestFor(spark, dir, spark.read.parquet(dir), statsCols)
+
+  /** [[buildManifest]] over an explicit frame — for tables whose live
+    * file set is NOT "every parquet under dir" (a [[VersionLog]]
+    * snapshot): pass `VersionLog.read(spark, dir)` and the manifest
+    * rows key on the snapshot's files.
+    */
+  def buildManifestFor(spark: SparkSession, dir: String, df: DataFrame,
+      statsCols: Seq[String]): Long =
+    Sidecar.publish(spark, dir, "._manifest", manifestFor(df, statsCols))
 
   /** Incremental refresh after a [[MergeInto]] merge of a PARTITIONED
     * dataset: recompute manifest rows only for files under the

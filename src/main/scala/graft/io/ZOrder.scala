@@ -43,16 +43,24 @@ object ZOrder {
   def zValue(x: Column, y: Column): Column =
     spread(x).bitwiseOR(shiftleft(spread(y), 1))
 
-  /** Write `df` z-ordered by (`xCol`, `yCol`) into `dir` as
-    * `numFiles` range-partitioned parquet files. The z column itself is
-    * dropped before the write — the layout is carried by row order, the
-    * schema stays the caller's.
+  /** `df` laid out z-ordered by (`xCol`, `yCol`) across `numFiles`
+    * range partitions — the frame a writer (plain parquet or a
+    * [[VersionLog]] init/commit) lands as one tight-boxed file per
+    * partition. The z column itself is dropped — the layout is carried
+    * by row order, the schema stays the caller's.
     */
-  def writeZOrdered(df: DataFrame, dir: String, xCol: Column, yCol: Column,
-      numFiles: Int): Unit =
+  def zOrdered(df: DataFrame, xCol: Column, yCol: Column,
+      numFiles: Int): DataFrame =
     df.withColumn("__z", zValue(xCol, yCol))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
+
+  /** Write `df` z-ordered by (`xCol`, `yCol`) into `dir` as
+    * `numFiles` range-partitioned parquet files.
+    */
+  def writeZOrdered(df: DataFrame, dir: String, xCol: Column, yCol: Column,
+      numFiles: Int): Unit =
+    zOrdered(df, xCol, yCol, numFiles)
       .write.mode("overwrite").parquet(dir)
 }

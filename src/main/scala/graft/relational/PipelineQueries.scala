@@ -183,6 +183,30 @@ object PipelineQueries {
     dir
   }
 
+  /** Shared build for the graft-FORMAT queries (q137/q138): the
+    * events fact table z-ordered by (user_id, cents) into 16 tight-
+    * boxed files, committed as version 1 of a [[VersionLog]] table,
+    * with the min/max manifest on both z dimensions and the key bloom
+    * on event_id — the full statistics stack the `graft` data source
+    * consults at planning time. Built once per (sf, process).
+    */
+  private def graftTableDir(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val dir = s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft-gtable-${Integer.toHexString(d.hashCode)}" +
+      s"-${ProcessHandle.current().pid()}"
+    buildOnce(dir) {
+      val ev = events(s, d).select($"event_id", $"user_id",
+        $"event_type", round($"value" * 100).cast("long").as("cents"))
+      VersionLog.init(s, dir,
+        ZOrder.zOrdered(ev, $"user_id", $"cents", numFiles = 16))
+      val live = VersionLog.read(s, dir)
+      Manifest.buildManifestFor(s, dir, live, Seq("user_id", "cents"))
+      KeyBloom.buildKeyBloomFor(s, dir, live, "event_id")
+    }
+    dir
+  }
+
   /** Shared build for the feed/audit queries (q124/q130): the
     * documents corpus seeded lang-partitioned, then ONE CDC merge
     * (fr%17 updates, %31 inserts into 'xx', de%13 tombstone deletes)
@@ -1725,6 +1749,42 @@ object PipelineQueries {
           sum(rowHash).cast("string").as("checksum"))
         .orderBy($"lang")
     },
+    "q137_graft_box_scan" -> { (s, d) =>
+      import s.implicits._
+      // The graft FORMAT as the front door: the same 2-D box workload
+      // as q125, but the pruning happens inside Spark's planner — the
+      // custom FileIndex behind spark.read.format("graft") resolves
+      // the version-pinned file list and drops files whose manifest
+      // box misses the pushed predicates, so the scan plans over a
+      // file subset with no explicit pruning API in the query at all.
+      // Pruning is conservative; the result must equal the oracle's
+      // plain full scan bit-for-bit. File-count effectiveness is
+      // plan-asserted in GraftTableSourceSpec via the scan's numFiles
+      // metric.
+      val dir = graftTableDir(s, d)
+      s.read.format("graft").load(dir)
+        .filter($"user_id".between(3, 9) &&
+          $"cents".between(1000, 20000))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"),
+          sum($"event_id").as("sum_ids"))
+        .orderBy($"event_type")
+    },
+    "q138_graft_point_lookup" -> { (s, d) =>
+      import s.implicits._
+      // Point lookups through the graft format's bloom layer: the
+      // layout is z-ordered by (user_id, cents), so event_id min/max
+      // stats are useless — every file spans the id range; the
+      // per-file key bloom (option bloomKey) prunes the IN-list probe
+      // to the files that can hold the keys (no false negatives, so
+      // the rows equal the oracle's plain IN scan; the absent sentinel
+      // key exercises pruning without rows).
+      val dir = graftTableDir(s, d)
+      s.read.format("graft").option("bloomKey", "event_id").load(dir)
+        .filter($"event_id".isin(5L, 77L, 424L, 999999999L))
+        .select($"event_id", $"user_id", $"event_type", $"cents")
+        .orderBy($"event_id")
+    },
     "q132_knn_classify" -> { (s, d) =>
       import s.implicits._
       // kNN-by-retrieval classification — the eval loop every
@@ -3133,6 +3193,21 @@ object PipelineQueries {
          WHERE user_id BETWEEN 3 AND 9
            AND CAST(round(value * 100) AS BIGINT) BETWEEN 1000 AND 20000
          GROUP BY event_type ORDER BY event_type""",
+    "q137_graft_box_scan" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(sum(event_id) AS BIGINT) AS sum_ids
+         FROM events
+         WHERE user_id BETWEEN 3 AND 9
+           AND CAST(round(value * 100) AS BIGINT) BETWEEN 1000 AND 20000
+         GROUP BY event_type ORDER BY event_type""",
+    "q138_graft_point_lookup" ->
+      """SELECT event_id, user_id, event_type,
+           CAST(round(value * 100) AS BIGINT) AS cents
+         FROM events
+         WHERE event_id IN (5, 77, 424, 999999999)
+         ORDER BY event_id""",
     "q126_time_travel" ->
       """SELECT lang, count(*) AS n_docs,
            CAST(sum(length(text)) AS BIGINT) AS sum_len,

@@ -1,0 +1,347 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, BasePredicate, BoundReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Predicate}
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.{SparkSession, SQLContext}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.io.{KeyBloom, VersionLog}
+
+/** `spark.read.format("graft").load(dir)` — the maintained table as a
+  * first-class Spark data source, with ALL of this engine's metadata
+  * consulted at PLANNING time:
+  *
+  *  - the [[graft.io.VersionLog]] pins the snapshot's exact file list
+  *    at relation-creation time (`.option("versionAsOf", n)` time-
+  *    travels), so a query planned mid-merge runs entirely on one
+  *    version — the snapshot-isolation read path;
+  *  - the per-file min/max manifest (`._manifest`) prunes files whose
+  *    stats box misses the query's pushed range/equality predicates —
+  *    on a z-ordered layout a 2-D box opens a handful of files without
+  *    one footer round trip to the rest;
+  *  - the per-file key bloom (`._keybloom`, `.option("bloomKey", c)`)
+  *    prunes point lookups on a column the layout is NOT sorted by;
+  *  - hive-style `part=value` directories surface as string partition
+  *    columns, pruned by partition predicates.
+  *
+  * The integration shape is the Delta/Iceberg one, not a bespoke
+  * reader: a custom [[FileIndex]] behind a [[HadoopFsRelation]]. The
+  * planner hands `listFiles` the pushed partition AND data filters
+  * (exactly how Delta does file skipping), and everything downstream —
+  * vectorized parquet decode, row-group statistics, whole-stage
+  * codegen, AQE — is Spark's own scan machinery. Pruning here is
+  * file-LIST work on the driver (short strings, bounded by file
+  * count), never a data pass; it is conservative (a kept file may
+  * hold no matching row — the scan's own pushed filters finish the
+  * job), and a missing sidecar just means that layer skips.
+  *
+  * Reference analog: the immutable-snapshot parquet reads of
+  * `/root/reference/edsnlp/data/parquet.py:60-120`, kept sound under
+  * mutation and given format-level statistics.
+  */
+final class GraftTableSource extends RelationProvider
+    with DataSourceRegister {
+  override def shortName(): String = "graft"
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val dir = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft source requires a path: spark.read.format(\"graft\").load(dir)"))
+    val index = new GraftFileIndex(spark, dir,
+      parameters.get("versionAsOf").map(_.toLong),
+      parameters.get("bloomKey"),
+      parameters.get("bloomLog2Bits").map(_.toInt).getOrElse(16),
+      parameters.get("bloomK").map(_.toInt).getOrElse(4))
+    HadoopFsRelation(
+      location = index,
+      partitionSchema = index.partitionSchema,
+      dataSchema = index.dataSchema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = parameters)(spark)
+  }
+}
+
+/** One live data file of the pinned snapshot, with its parsed
+  * partition values (outermost first) ready for planning.
+  */
+private final case class GraftFile(status: FileStatus,
+    partValues: Seq[String])
+
+/** [[FileIndex]] over a graft table: resolves the version-pinned file
+  * list once at construction, serves `listFiles` by evaluating the
+  * pushed partition filters against parsed `part=value` path segments
+  * and the pushed data filters against the manifest/bloom sidecars.
+  */
+private final class GraftFileIndex(spark: SparkSession, dir: String,
+    versionAsOf: Option[Long], bloomKey: Option[String],
+    bloomLog2Bits: Int, bloomK: Int) extends FileIndex {
+
+  private val base = dir.stripSuffix("/")
+  private val basePath = new Path(base)
+  private val fs =
+    basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Pinned file list: the version log's snapshot when present, the
+    * flat top-level parquet listing otherwise (a z-ordered unversioned
+    * layout gets the same statistics-consulting scan). Resolved once;
+    * [[refresh]] re-resolves.
+    */
+  private var filesPinned: Seq[GraftFile] = resolve()
+
+  private def resolve(): Seq[GraftFile] = {
+    val statuses: Seq[FileStatus] =
+      if (VersionLog.listVersions(spark, base).nonEmpty) {
+        val snap = VersionLog.snapshot(spark, base, versionAsOf)
+        // one listStatus per parent directory instead of one
+        // getFileStatus RPC per file
+        val byParent = snap.files.groupBy(f =>
+          f.split("/").dropRight(1).mkString("/"))
+        byParent.toSeq.flatMap { case (parent, rels) =>
+          val wanted = rels.map(_.split("/").last).toSet
+          fs.listStatus(new Path(base, parent))
+            .filter(s => s.isFile && wanted.contains(s.getPath.getName))
+        }
+      } else {
+        require(versionAsOf.isEmpty,
+          s"versionAsOf given but $base has no version log")
+        fs.listStatus(basePath)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .toSeq
+      }
+    statuses.map(s => GraftFile(s, parsePartValues(s.getPath)))
+  }
+
+  /** `part=value` segments directly above the file, outermost first,
+    * values unescaped with the exact routine the partitioned write
+    * used.
+    */
+  private def parsePartValues(file: Path): Seq[String] = {
+    val segs = Seq.newBuilder[(String, String)]
+    var p = file.getParent
+    val stop = basePath.toUri.getPath
+    while (p != null && p.toUri.getPath != stop &&
+        p.getName.contains("=")) {
+      val Array(k, v) = p.getName.split("=", 2)
+      segs += ((k, ExternalCatalogUtils.unescapePathName(v)))
+      p = p.getParent
+    }
+    segs.result().reverse.map(_._2)
+  }
+
+  private def partColNames: Seq[String] = {
+    filesPinned.headOption.map { f =>
+      var p = f.status.getPath.getParent
+      val names = Seq.newBuilder[String]
+      val stop = basePath.toUri.getPath
+      while (p != null && p.toUri.getPath != stop &&
+          p.getName.contains("=")) {
+        names += p.getName.split("=", 2)(0)
+        p = p.getParent
+      }
+      names.result().reverse
+    }.getOrElse(Nil)
+  }
+
+  override val partitionSchema: StructType =
+    StructType(partColNames.map(StructField(_, StringType)))
+
+  /** Data schema from one live file's footer (partition columns live
+    * in directory names, not in the files).
+    */
+  val dataSchema: StructType = {
+    require(filesPinned.nonEmpty, s"graft table at $base has no data files")
+    spark.read.parquet(filesPinned.head.status.getPath.toString).schema
+  }
+
+  override def rootPaths: Seq[Path] = Seq(basePath)
+
+  override def inputFiles: Array[String] =
+    filesPinned.map(_.status.getPath.toString).toArray
+
+  override def sizeInBytes: Long = filesPinned.map(_.status.getLen).sum
+
+  override def refresh(): Unit = { filesPinned = resolve() }
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val afterPart = prunePartitions(filesPinned, partitionFilters)
+    val afterStats = pruneByManifest(afterPart, dataFilters)
+    val kept = pruneByBloom(afterStats, dataFilters)
+    kept.groupBy(_.partValues).toSeq.map { case (values, fs) =>
+      PartitionDirectory(
+        InternalRow.fromSeq(values.map(UTF8String.fromString)),
+        fs.map(_.status).toArray)
+    }
+  }
+
+  /** Evaluate the pushed partition predicates against each file's
+    * parsed values (string-typed, name-bound) — the planner does NOT
+    * re-apply these above the scan, so applying them here is a
+    * correctness obligation, not just pruning.
+    */
+  private def prunePartitions(files: Seq[GraftFile],
+      filters: Seq[Expression]): Seq[GraftFile] = {
+    if (filters.isEmpty || partitionSchema.isEmpty) return files
+    val names = partitionSchema.fieldNames
+    val bound: Expression = filters.reduce(And).transform {
+      case a: AttributeReference =>
+        val i = names.indexWhere(spark.sessionState.conf.resolver(_, a.name))
+        if (i < 0) Literal(true) // not a partition column: no-op here
+        else BoundReference(i, StringType, nullable = true)
+    }
+    val pred: BasePredicate = Predicate.createInterpreted(bound)
+    files.filter { f =>
+      pred.eval(InternalRow.fromSeq(
+        f.partValues.map(UTF8String.fromString)))
+    }
+  }
+
+  // ---- manifest (min/max box) pruning -----------------------------
+
+  /** (column, keep-file test over its [min,max] stats; None stats =
+    * all-null column, which no range/equality predicate matches).
+    */
+  private type StatsTest = (String, Option[(Long, Long)] => Boolean)
+
+  private def longOf(l: Literal): Option[Long] = (l.dataType, l.value) match {
+    case (org.apache.spark.sql.types.LongType |
+          org.apache.spark.sql.types.IntegerType |
+          org.apache.spark.sql.types.ShortType |
+          org.apache.spark.sql.types.ByteType,
+          n: java.lang.Number) => Some(n.longValue)
+    case _ => None
+  }
+
+  private def statsTests(dataFilters: Seq[Expression]): Seq[StatsTest] =
+    dataFilters.flatMap {
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        longOf(l).map(v => (a.name,
+          (s: Option[(Long, Long)]) => s.exists(mm => mm._1 <= v && v <= mm._2)))
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        longOf(l).map(v => (a.name,
+          (s: Option[(Long, Long)]) => s.exists(mm => mm._1 <= v && v <= mm._2)))
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+        longOf(l).map(v => (a.name,
+          (s: Option[(Long, Long)]) => s.exists(_._2 >= v)))
+      case GreaterThan(a: AttributeReference, l: Literal) =>
+        longOf(l).map(v => (a.name,
+          (s: Option[(Long, Long)]) => s.exists(_._2 > v)))
+      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+        longOf(l).map(v => (a.name,
+          (s: Option[(Long, Long)]) => s.exists(_._1 <= v)))
+      case LessThan(a: AttributeReference, l: Literal) =>
+        longOf(l).map(v => (a.name,
+          (s: Option[(Long, Long)]) => s.exists(_._1 < v)))
+      // reversed literal-first comparisons arrive canonicalized by the
+      // optimizer; In on the bloom key is handled by pruneByBloom
+      case _ => None
+    }
+
+  /** Per-file (column -> [min,max]) from the manifest sidecar, keyed
+    * by normalized path. Loaded lazily once per index instance — a
+    * file-count-sized driver map, the planner's working set.
+    */
+  private lazy val manifestStats:
+      Option[Map[String, Map[String, Option[(Long, Long)]]]] = {
+    val p = new Path(base, "._manifest")
+    if (!fs.exists(p)) None
+    else {
+      val df = spark.read.parquet(p.toString)
+      val statCols = df.schema.fieldNames
+        .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
+        .filter(c => df.schema.fieldNames.contains(s"max_$c"))
+        .toSeq
+      Some(df.collect().map { row =>
+        val file = new Path(row.getAs[String]("file")).toUri.getPath
+        val stats = statCols.map { c =>
+          val mi = row.getAs[Any](s"min_$c")
+          val ma = row.getAs[Any](s"max_$c")
+          val mm = (mi, ma) match {
+            case (x: java.lang.Number, y: java.lang.Number) =>
+              Some((x.longValue, y.longValue))
+            case _ => None
+          }
+          c -> mm
+        }.toMap
+        file -> stats
+      }.toMap)
+    }
+  }
+
+  private def pruneByManifest(files: Seq[GraftFile],
+      dataFilters: Seq[Expression]): Seq[GraftFile] = {
+    val tests = statsTests(dataFilters)
+    if (tests.isEmpty) return files
+    manifestStats.fold(files) { stats =>
+      files.filter { f =>
+        stats.get(f.status.getPath.toUri.getPath) match {
+          case None => true // unmanifested file: keep, conservatively
+          case Some(byCol) => tests.forall { case (c, keep) =>
+            byCol.get(c).forall(keep) // un-stat'd column: keep
+          }
+        }
+      }
+    }
+  }
+
+  // ---- key-bloom (point lookup) pruning ----------------------------
+
+  /** Probe keys the pushed filters pin on the bloom column: `k = v`
+    * or `k IN (...)` with integral literals.
+    */
+  private def bloomProbeKeys(dataFilters: Seq[Expression]): Seq[Long] =
+    bloomKey.toSeq.flatMap { key =>
+      dataFilters.flatMap {
+        case EqualTo(a: AttributeReference, l: Literal)
+            if spark.sessionState.conf.resolver(a.name, key) =>
+          longOf(l).toSeq
+        case EqualTo(l: Literal, a: AttributeReference)
+            if spark.sessionState.conf.resolver(a.name, key) =>
+          longOf(l).toSeq
+        case In(a: AttributeReference, vs)
+            if spark.sessionState.conf.resolver(a.name, key) &&
+              vs.forall(_.isInstanceOf[Literal]) =>
+          val longs = vs.map(v => longOf(v.asInstanceOf[Literal]))
+          if (longs.forall(_.isDefined)) longs.flatten else Nil
+        case _ => Nil
+      }
+    }
+
+  /** Per-file sparse bloom words, keyed by normalized path. */
+  private lazy val bloomWords: Option[Map[String, Map[Int, Long]]] = {
+    val p = new Path(base, "._keybloom")
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(p.toString).collect().map { row =>
+      new Path(row.getAs[String]("file")).toUri.getPath ->
+        row.getAs[Map[Int, Long]]("bloom")
+    }.toMap)
+  }
+
+  private def pruneByBloom(files: Seq[GraftFile],
+      dataFilters: Seq[Expression]): Seq[GraftFile] = {
+    val keys = bloomProbeKeys(dataFilters)
+    if (keys.isEmpty) return files
+    bloomWords.fold(files) { blooms =>
+      val positions = keys.map(k =>
+        KeyBloom.bitPositions(k, bloomLog2Bits, bloomK))
+      files.filter { f =>
+        blooms.get(f.status.getPath.toUri.getPath) match {
+          case None => true // unbloomed file: keep, conservatively
+          case Some(words) => positions.exists(_.forall { pos =>
+            (words.getOrElse((pos / 64).toInt, 0L) &
+              (1L << (pos % 64).toInt)) != 0L
+          })
+        }
+      }
+    }
+  }
+}

@@ -1,0 +1,124 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.{KeyBloom, Manifest, VersionLog, ZOrder}
+
+/** The `graft` table format: version-pinned file lists, manifest box
+  * pruning and bloom point pruning consulted at PLANNING time through
+  * the FileIndex — asserted on the executed scan's numFiles metric,
+  * so "pruned" means the files were never opened, not filtered later.
+  */
+class GraftTableSourceSpec extends AnyFunSuite {
+  import TestSpark._
+
+  /** numFiles actually read by the (executed) parquet scans of df. */
+  private def scanNumFiles(df: DataFrame): Long = {
+    df.count()
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    scans(df.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).sum
+  }
+
+  /** Versioned flat z-ordered table: 4096 rows over a 64x64 grid,
+    * 16 tight-boxed files, manifest on (x, y), bloom on id.
+    */
+  private def zTable(): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("gtable").toString
+    val df = (0L until 4096L).map(i => (i, i % 64L, i / 64L))
+      .toDF("id", "x", "y")
+    VersionLog.init(spark, dir, ZOrder.zOrdered(df, $"x", $"y", 16))
+    val live = VersionLog.read(spark, dir)
+    Manifest.buildManifestFor(spark, dir, live, Seq("x", "y"))
+    // ids are z-scattered across files by construction (the layout is
+    // sorted by (x,y) interleave, not id) -> blooms earn their keep
+    KeyBloom.buildKeyBloomFor(spark, dir, live, "id")
+    dir
+  }
+
+  test("graft format: full scan equals the snapshot; a 2-D box opens " +
+      "a pruned file subset at plan time; results are exact") {
+    import spark.implicits._
+    val dir = zTable()
+    val t = spark.read.format("graft").load(dir)
+    assert(t.count() === 4096L)
+    val box = t.filter($"x".between(3, 9) && $"y".between(3, 9))
+    val expected = (0L until 4096L)
+      .map(i => (i, i % 64L, i / 64L))
+      .filter(r => r._2 >= 3 && r._2 <= 9 && r._3 >= 3 && r._3 <= 9).toSet
+    assert(box.as[(Long, Long, Long)].collect().toSet === expected)
+    val boxFiles = scanNumFiles(box)
+    assert(boxFiles < 16,
+      s"2-D box must open a file subset, opened $boxFiles/16")
+    assert(scanNumFiles(t.filter($"x" === 3 && $"y" === 3)) <= 2)
+  }
+
+  test("graft format: bloom point lookup opens only candidate files; " +
+      "absent keys open ~none; missing bloomKey option skips pruning") {
+    import spark.implicits._
+    val dir = zTable()
+    val t = spark.read.format("graft").option("bloomKey", "id").load(dir)
+    val hit = t.filter($"id" === 1234L)
+    assert(hit.as[(Long, Long, Long)].collect().toSeq ===
+      Seq((1234L, 1234L % 64, 1234L / 64)))
+    assert(scanNumFiles(hit) < 16)
+    // IN-list probes prune too
+    val in = t.filter($"id".isin(7L, 1234L, 999999L))
+    assert(in.select($"id").as[Long].collect().toSet === Set(7L, 1234L))
+    assert(scanNumFiles(in) < 16)
+    // no bloomKey option -> same rows, all candidate stats kept
+    val plain = spark.read.format("graft").load(dir)
+      .filter($"id" === 1234L)
+    assert(plain.count() === 1L)
+  }
+
+  test("graft format: versionAsOf time travel and snapshot pinning " +
+      "(a relation resolved before a commit keeps reading its version)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("gver").toString
+    VersionLog.init(spark, dir,
+      Seq((1L, "one", "a"), (2L, "two", "b")).toDF("k", "v", "p"),
+      partitionBy = Some("p"))
+    val pinned = spark.read.format("graft").load(dir)
+    val snap = VersionLog.snapshot(spark, dir, None)
+    // an append commit lands version 2
+    val newFiles = {
+      Seq((3L, "three", "a")).toDF("k", "v", "p")
+        .write.partitionBy("p").parquet(s"$dir/data/b-00000002-append")
+      val root = new java.io.File(s"$dir/data/b-00000002-append")
+      root.listFiles.filter(_.isDirectory).flatMap(_.listFiles)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => s"data/b-00000002-append/${f.getParentFile.getName}/${f.getName}")
+        .toSeq
+    }
+    VersionLog.commit(spark, dir, snap.version, "append",
+      snap.files ++ newFiles)
+    // partition column surfaces from the path segments (string-typed)
+    assert(pinned.schema.fieldNames.toSeq === Seq("k", "v", "p"))
+    assert(pinned.select($"k").as[Long].collect().toSet === Set(1L, 2L),
+      "a relation resolved before the commit must keep its snapshot")
+    val latest = spark.read.format("graft").load(dir)
+    assert(latest.select($"k").as[Long].collect().toSet ===
+      Set(1L, 2L, 3L))
+    val v1 = spark.read.format("graft").option("versionAsOf", "1").load(dir)
+    assert(v1.select($"k").as[Long].collect().toSet === Set(1L, 2L))
+    // partition predicates prune to the partition's files AND are
+    // correctly applied (the planner does not re-filter above the scan)
+    val aOnly = latest.filter($"p" === "a")
+    assert(aOnly.select($"k").as[Long].collect().toSet === Set(1L, 3L))
+    val total = VersionLog.snapshot(spark, dir, None).files.size
+    assert(scanNumFiles(aOnly) < total)
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.dedup.{Dedup, ExactSubstring, SimHash}
-import graft.io.{Compact, KeyBloom, Manifest, MergeInto, StatsMaintenance, VersionLog, ZOrder}
+import graft.io.{Compact, DeletionVectors, KeyBloom, Manifest, MergeInto, StatsMaintenance, VersionLog, ZOrder}
 import graft.multimodal.Multimodal
 import graft.similarity.{Ann, PortableLsh, Pq, RandomProjection, Sq}
 import graft.text.{Sketches, TextStats}
@@ -1785,6 +1785,38 @@ object PipelineQueries {
         .select($"event_id", $"user_id", $"event_type", $"cents")
         .orderBy($"event_id")
     },
+    "q139_dv_point_delete" -> { (s, d) =>
+      import s.implicits._
+      // MERGE-ON-READ deletes: the build writes the lang-partitioned
+      // corpus once, then records two delete sets (de%13, fr%29) as
+      // per-partition deletion-vector key lists — a KB-sized write
+      // that touches NO data file, where the copy-on-write tombstone
+      // merge would rewrite both partitions. The query is the
+      // merge-on-read path itself: table anti-join the broadcast DV
+      // keys. The oracle computes the post-delete stats independently
+      // from the pristine table, so a swallowed survivor or a leaked
+      // deleted row cannot hash-match. Write-cost independence and
+      // the compaction that folds the debt (applyAndClear) are
+      // spec-pinned in IoSpec.
+      val dir = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft-dv-${Integer.toHexString(d.hashCode)}" +
+        s"-${ProcessHandle.current().pid()}"
+      buildOnce(dir) {
+        documents(s, d).write.mode("overwrite")
+          .partitionBy("lang").parquet(dir)
+        val del = documents(s, d)
+          .filter(($"lang" === "de" && $"doc_id" % 13 === 0) ||
+            ($"lang" === "fr" && $"doc_id" % 29 === 0))
+          .select($"doc_id", $"lang")
+        DeletionVectors.deleteKeys(s, dir, del, "doc_id", "lang")
+      }
+      DeletionVectors.readWithDeletes(s, dir, "doc_id", "lang")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(length($"text")).as("sum_len"),
+          sum($"doc_id").as("sum_ids"))
+        .orderBy($"lang")
+    },
     "q132_knn_classify" -> { (s, d) =>
       import s.implicits._
       // kNN-by-retrieval classification — the eval loop every
@@ -3208,6 +3240,14 @@ object PipelineQueries {
          FROM events
          WHERE event_id IN (5, 77, 424, 999999999)
          ORDER BY event_id""",
+    "q139_dv_point_delete" ->
+      """SELECT lang, count(*) AS n_rows,
+           CAST(sum(length(text)) AS BIGINT) AS sum_len,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         FROM documents
+         WHERE NOT ((lang = 'de' AND doc_id % 13 = 0)
+                 OR (lang = 'fr' AND doc_id % 29 = 0))
+         GROUP BY lang ORDER BY lang""",
     "q126_time_travel" ->
       """SELECT lang, count(*) AS n_docs,
            CAST(sum(length(text)) AS BIGINT) AS sum_len,

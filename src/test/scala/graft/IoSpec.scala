@@ -553,6 +553,76 @@ class IoSpec extends AnyFunSuite {
       .as[(Long, String, String)].head() === ((1L, "old", "insert")))
   }
 
+  test("deletion vectors: a delete writes NO data file, reads apply " +
+      "the vector exactly, batches append monotonically") {
+    import spark.implicits._
+    import graft.io.DeletionVectors
+    val dir = Files.createTempDirectory("dv").toString
+    Seq((1L, "one", "a"), (2L, "two", "a"), (3L, "three", "a"),
+        (4L, "four", "b"), (5L, "five", "b"))
+      .toDF("k", "v", "p")
+      .write.mode("overwrite").partitionBy("p").parquet(dir)
+    def files(part: String): Map[String, Long] =
+      new java.io.File(s"$dir/p=$part")
+        .listFiles.filter(_.getName.endsWith(".parquet"))
+        .map(x => x.getName -> x.lastModified).toMap
+    val (aBefore, bBefore) = (files("a"), files("b"))
+    // merge-on-read: the delete cost is the KB-sized key list, never
+    // a partition rewrite — every data file stays byte-identical
+    val b0 = DeletionVectors.deleteKeys(spark, dir,
+      Seq((2L, "a")).toDF("k", "p"), "k", "p")
+    assert(b0 === Some("batch-00000"))
+    assert(files("a") === aBefore && files("b") === bBefore,
+      "a DV delete must not touch any data file")
+    def live() = DeletionVectors.readWithDeletes(spark, dir, "k", "p")
+      .select($"k", $"v", $"p").as[(Long, String, String)].collect().toSet
+    assert(live() === Set((1L, "one", "a"), (3L, "three", "a"),
+      (4L, "four", "b"), (5L, "five", "b")))
+    // homes resolved by projection scan when the caller lacks them;
+    // absent keys resolve to nothing (no-op delete)
+    val homes = DeletionVectors.resolveHomes(spark, dir,
+      Seq(4L, 99L).toDF("k"), "k", "p")
+    assert(homes.as[(Long, String)].collect().toSet === Set((4L, "b")))
+    assert(DeletionVectors.deleteKeys(spark, dir, homes, "k", "p")
+      === Some("batch-00001"))
+    assert(live() === Set((1L, "one", "a"), (3L, "three", "a"),
+      (5L, "five", "b")))
+    // empty delete writes nothing
+    assert(DeletionVectors.deleteKeys(spark, dir,
+      Seq.empty[(Long, String)].toDF("k", "p"), "k", "p") === None)
+  }
+
+  test("deletion vectors: applyAndClear rewrites ONLY partitions " +
+      "carrying deletes, clears the vectors, and plain reads take over") {
+    import spark.implicits._
+    import graft.io.DeletionVectors
+    val dir = Files.createTempDirectory("dvapply").toString
+    Seq((1L, "one", "a"), (2L, "two", "a"),
+        (4L, "four", "b"), (6L, "six", "c"))
+      .toDF("k", "v", "p")
+      .write.mode("overwrite").partitionBy("p").parquet(dir)
+    def files(part: String): Map[String, Long] =
+      new java.io.File(s"$dir/p=$part")
+        .listFiles.filter(_.getName.endsWith(".parquet"))
+        .map(x => x.getName -> x.lastModified).toMap
+    val cBefore = files("c")
+    DeletionVectors.deleteKeys(spark, dir,
+      Seq((2L, "a"), (4L, "b")).toDF("k", "p"), "k", "p")
+    val expected = DeletionVectors.readWithDeletes(spark, dir, "k", "p")
+      .select($"k", $"v", $"p").as[(Long, String, String)].collect().toSet
+    val rewritten = DeletionVectors.applyAndClear(spark, dir, "k", "p")
+    assert(rewritten === Seq("p=a", "p=b"))
+    assert(files("c") === cBefore,
+      "a partition without deletes must keep its exact files")
+    assert(!new java.io.File(s"$dir._dv").exists(),
+      "vectors must be cleared once applied")
+    assert(spark.read.parquet(dir).select($"k", $"v", $"p")
+      .as[(Long, String, String)].collect().toSet === expected)
+    assert(expected === Set((1L, "one", "a"), (6L, "six", "c")))
+    // idempotent re-run: nothing left to apply
+    assert(DeletionVectors.applyAndClear(spark, dir, "k", "p") === Nil)
+  }
+
   test("manifest: per-file stats, conservative pruning, null-stats " +
       "and disjoint boxes pruned, rebuild picks up appends") {
     import spark.implicits._

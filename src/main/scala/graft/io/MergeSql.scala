@@ -1,0 +1,119 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction, InsertStarAction, MergeIntoTable, UpdateStarAction}
+import org.apache.spark.sql.functions.expr
+
+/** SQL-text front door for the maintenance family: `MERGE INTO`
+  * statements executed through [[MergeInto.mergeByKeyCdc]], so the
+  * lakehouse layer is reachable from the same SQL surface as the
+  * query engine (the q118 pattern, applied to mutation).
+  *
+  * Spark's own parser produces the `MergeIntoTable` logical plan —
+  * this module INTERPRETS it rather than re-parsing text, so the
+  * grammar (clause order, AND-conditions, aliases) is exactly
+  * Spark's. The supported shape is the one the engine's merge
+  * implements, refused loudly otherwise:
+  *
+  * {{{
+  * MERGE INTO <target> USING <source> ON <target>.<k> = <source>.<k>
+  *   [WHEN MATCHED AND <cond> THEN DELETE]
+  *   WHEN MATCHED THEN UPDATE SET *
+  *   WHEN NOT MATCHED THEN INSERT *
+  * }}}
+  *
+  * `<target>` resolves to a partitioned parquet directory via the
+  * caller's mapping (a path-based layout has no catalog); `<source>`
+  * is any registered view; the partition column is discovered from
+  * the target's `part=value` layout. The DELETE condition may
+  * reference source columns (qualified or not) — qualifiers are
+  * stripped and the predicate evaluates over the source frame,
+  * mirroring `WHEN MATCHED AND <tombstone>`.
+  */
+object MergeSql {
+
+  /** Parse and execute a MERGE statement. `tableDirs` maps the target
+    * table name (last identifier part) to its dataset directory.
+    * Returns the same (stats, feed) as [[MergeInto.mergeByKeyCdc]].
+    */
+  def mergeSql(spark: SparkSession, sql: String,
+      tableDirs: Map[String, String],
+      maxTouchedPartitions: Int = 4096): (MergeStats, DataFrame) = {
+    val m = spark.sessionState.sqlParser.parsePlan(sql) match {
+      case mi: MergeIntoTable => mi
+      case other => throw new IllegalArgumentException(
+        s"not a MERGE statement: ${other.getClass.getSimpleName}")
+    }
+    val targetName = m.targetTable match {
+      case u: UnresolvedRelation => u.multipartIdentifier.last
+      case other => throw new IllegalArgumentException(
+        s"unsupported MERGE target: $other")
+    }
+    val dir = tableDirs.getOrElse(targetName,
+      throw new IllegalArgumentException(
+        s"no directory mapping for MERGE target '$targetName'"))
+    val source: DataFrame = m.sourceTable match {
+      case u: UnresolvedRelation =>
+        spark.table(u.multipartIdentifier.mkString("."))
+      case other => throw new IllegalArgumentException(
+        s"unsupported MERGE source: $other")
+    }
+    val keyCol = m.mergeCondition match {
+      case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
+          if a.nameParts.last.equalsIgnoreCase(b.nameParts.last) =>
+        a.nameParts.last
+      case other => throw new IllegalArgumentException(
+        "MERGE ON must be target.<k> = source.<k> on one key column, " +
+          s"got: ${other.sql}")
+    }
+    // WHEN MATCHED clauses: at most one conditional DELETE plus the
+    // unconditional UPDATE SET * (standard first-match-wins order)
+    val deleteWhen = m.matchedActions match {
+      case Seq(UpdateStarAction(None)) => None
+      case Seq(DeleteAction(Some(cond)), UpdateStarAction(None)) =>
+        Some(expr(stripQualifiers(cond).sql))
+      case other => throw new IllegalArgumentException(
+        "supported WHEN MATCHED forms: [AND <cond> THEN DELETE,] " +
+          s"THEN UPDATE SET * — got: $other")
+    }
+    m.notMatchedActions match {
+      case Seq(InsertStarAction(None)) => ()
+      case other => throw new IllegalArgumentException(
+        s"WHEN NOT MATCHED must be THEN INSERT *, got: $other")
+    }
+    require(m.notMatchedBySourceActions.isEmpty,
+      "WHEN NOT MATCHED BY SOURCE is not supported")
+    val partCol = discoverPartCol(spark, dir)
+    // tombstone marker columns live only on the source; project the
+    // target's schema plus whatever the delete predicate needs —
+    // mergeByKeyCdc ignores extra columns via its own projections
+    MergeInto.mergeByKeyCdc(spark, dir, source, keyCol, partCol,
+      deleteWhen, maxTouchedPartitions)
+  }
+
+  /** The partition column of a hive-layout dataset, from its
+    * first-level `part=value` directory names.
+    */
+  private[io] def discoverPartCol(spark: SparkSession,
+      dir: String): String = {
+    val p = new Path(dir.stripSuffix("/"))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(p)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map(_.getPath.getName.split("=", 2)(0)).distinct
+    require(names.length == 1,
+      s"$dir must have exactly one part=value level, found: " +
+        names.mkString(","))
+    names.head
+  }
+
+  /** Strip table/alias qualifiers so the predicate evaluates over the
+    * bare source frame (`updates._del` -> `_del`).
+    */
+  private def stripQualifiers(e: Expression): Expression = e.transform {
+    case a: UnresolvedAttribute => UnresolvedAttribute(Seq(a.nameParts.last))
+  }
+}

@@ -1817,6 +1817,28 @@ object PipelineQueries {
           sum($"doc_id").as("sum_ids"))
         .orderBy($"lang")
     },
+    "q140_recall_curve" -> { (s, d) =>
+      import s.implicits._
+      // The serving family's accuracy knob as a MEASURED CURVE, not
+      // one operating point: recall@7 on the noisy corpus at 1, 2,
+      // and 4 sign-LSH bands (more bands = more candidate probes =
+      // higher recall — the same latency/accuracy dial as IVF's
+      // nprobe, in the one indexing scheme whose candidate selection
+      // the oracle replays bit-for-bit: md5-parity hyperplanes).
+      // Integer hit counts and basis-point recalls, so every point on
+      // the curve is hash-checked; monotonicity and per-level floors
+      // are spec-asserted (PipelineOpsSpec).
+      Seq(1, 2, 4).map { b =>
+        PortableLsh.recallAtK(noisyVecs(s, d), col("id") % 25 === 0,
+            dIn = 16, bands = b, rBits = 16, k = 7)
+          .agg(count(lit(1)).as("n_queries"),
+            sum($"n_hits").cast("long").as("n_hits"))
+          .select(lit(b).as("bands"), $"n_queries", $"n_hits")
+      }.reduce(_ unionByName _)
+        .withColumn("recall_bp",
+          expr("n_hits * 10000 div (n_queries * 7)"))
+        .orderBy($"bands")
+    },
     "q132_knn_classify" -> { (s, d) =>
       import s.implicits._
       // kNN-by-retrieval classification — the eval loop every
@@ -3240,6 +3262,68 @@ object PipelineQueries {
          FROM events
          WHERE event_id IN (5, 77, 424, 999999999)
          ORDER BY event_id""",
+    "q140_recall_curve" ->
+      """WITH p AS (SELECT (count(*) // 8) * 8 AS m FROM embeddings),
+         v AS (SELECT vec_id, list_transform(range(0, 16), j ->
+             ((vec_id // 8 * 1009 + j * j * 571 +
+               vec_id // 8 * j * 37) % 2003 - 1001) * 16
+             + ('0x' || substr(md5('nz:' || vec_id::VARCHAR || ':' ||
+                 j::VARCHAR), 1, 15))::BIGINT % 1025 - 512) AS vec
+           FROM embeddings, p WHERE vec_id < m),
+         planes AS (SELECT b, pp, j,
+             CASE WHEN ('0x' || substr(md5('pl:' || b::VARCHAR || ':' ||
+                 pp::VARCHAR || ':' || j::VARCHAR), 1, 15))::BIGINT % 2
+               = 1 THEN 1 ELSE -1 END AS s
+           FROM range(0, 4) t1(b), range(0, 16) t2(pp),
+             range(0, 16) t3(j)),
+         comps AS (SELECT vec_id, j, vec[j + 1] AS c
+           FROM v, range(0, 16) t(j)),
+         dots AS (SELECT c.vec_id, pl.b, pl.pp, sum(pl.s * c.c) AS dot
+           FROM comps c JOIN planes pl ON pl.j = c.j GROUP BY 1, 2, 3),
+         sigs AS (SELECT vec_id, b,
+             sum(CASE WHEN dot > 0 THEN 1::BIGINT << pp ELSE 0 END)
+               AS sig
+           FROM dots GROUP BY 1, 2),
+         levels(bands) AS (VALUES (1), (2), (4)),
+         cands AS (SELECT l.bands, q.vec_id AS query_id,
+             s2.vec_id AS neighbor_id
+           FROM levels l, sigs q JOIN sigs s2 ON q.b = s2.b
+             AND q.sig = s2.sig AND q.vec_id != s2.vec_id
+           WHERE q.vec_id % 25 = 0 AND q.b < l.bands
+           GROUP BY 1, 2, 3),
+         cd AS (SELECT c.bands, c.query_id, c.neighbor_id,
+             CAST(list_sum(list_transform(range(1, 17), i ->
+               (a.vec[i] - b.vec[i]) * (a.vec[i] - b.vec[i])))
+               AS BIGINT) AS d2
+           FROM cands c JOIN v a ON a.vec_id = c.query_id
+             JOIN v b ON b.vec_id = c.neighbor_id),
+         approx AS (SELECT bands, query_id, neighbor_id FROM (
+             SELECT bands, query_id, neighbor_id, row_number() OVER (
+               PARTITION BY bands, query_id ORDER BY d2, neighbor_id)
+               AS rnk
+             FROM cd) WHERE rnk <= 7),
+         ed AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(range(1, 17), i ->
+               (a.vec[i] - b.vec[i]) * (a.vec[i] - b.vec[i])))
+               AS BIGINT) AS d2
+           FROM v a JOIN v b ON a.vec_id % 25 = 0
+             AND a.vec_id != b.vec_id),
+         exact AS (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id, row_number() OVER (
+               PARTITION BY query_id ORDER BY d2, neighbor_id) AS rnk
+             FROM ed) WHERE rnk <= 7),
+         hits AS (SELECT a.bands, count(*) AS h FROM approx a
+           JOIN exact e ON a.query_id = e.query_id
+             AND a.neighbor_id = e.neighbor_id GROUP BY 1),
+         nq AS (SELECT count(*) AS n FROM v WHERE vec_id % 25 = 0)
+         SELECT CAST(l.bands AS INTEGER) AS bands,
+           CAST(nq.n AS BIGINT) AS n_queries,
+           CAST(coalesce(h.h, 0) AS BIGINT) AS n_hits,
+           CAST((coalesce(h.h, 0) * 10000) // (nq.n * 7) AS BIGINT)
+             AS recall_bp
+         FROM levels l CROSS JOIN nq
+         LEFT JOIN hits h ON h.bands = l.bands
+         ORDER BY bands""",
     "q139_dv_point_delete" ->
       """SELECT lang, count(*) AS n_rows,
            CAST(sum(length(text)) AS BIGINT) AS sum_len,

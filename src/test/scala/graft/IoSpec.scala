@@ -553,6 +553,50 @@ class IoSpec extends AnyFunSuite {
       .as[(Long, String, String)].head() === ((1L, "old", "insert")))
   }
 
+  test("MERGE INTO SQL text runs the same merge as the API: identical " +
+      "MergeStats, identical feed, identical table") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val seedRows = Seq((1L, "one", "a"), (2L, "two", "a"),
+      (3L, "three", "b"), (6L, "six", "c"))
+    val sqlDir = Files.createTempDirectory("mergesql").toString
+    val apiDir = Files.createTempDirectory("mergeapi").toString
+    Seq(sqlDir, apiDir).foreach { d =>
+      seedRows.toDF("k", "v", "p")
+        .write.mode("overwrite").partitionBy("p").parquet(d)
+    }
+    val updates = Seq((2L, "two2", "a", false), (6L, "gone", "zz", true),
+      (7L, "seven", "b", false)).toDF("k", "v", "p", "_del")
+    updates.createOrReplaceTempView("updates_v")
+    val (sqlStats, sqlFeed) = graft.io.MergeSql.mergeSql(spark,
+      """MERGE INTO corpus USING updates_v ON corpus.k = updates_v.k
+         WHEN MATCHED AND updates_v._del THEN DELETE
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *""",
+      Map("corpus" -> sqlDir))
+    val (apiStats, apiFeed) = graft.io.MergeInto.mergeByKeyCdc(
+      spark, apiDir, updates, "k", "p", deleteWhen = Some(col("_del")))
+    assert(sqlStats === apiStats)
+    def feedSet(f: org.apache.spark.sql.DataFrame) =
+      f.select($"_op", $"k", $"v", $"p")
+        .as[(String, Long, String, String)].collect().toSet
+    assert(feedSet(sqlFeed) === feedSet(apiFeed))
+    def tableSet(d: String) = spark.read.parquet(d)
+      .select($"k", $"v", $"p").as[(Long, String, String)]
+      .collect().toSet
+    assert(tableSet(sqlDir) === tableSet(apiDir))
+    assert(tableSet(sqlDir) === Set((1L, "one", "a"), (2L, "two2", "a"),
+      (3L, "three", "b"), (7L, "seven", "b")))
+    // unsupported shapes are refused loudly, not silently reinterpreted
+    intercept[IllegalArgumentException] {
+      graft.io.MergeSql.mergeSql(spark,
+        """MERGE INTO corpus USING updates_v ON corpus.k = updates_v.k
+           WHEN MATCHED THEN UPDATE SET v = 'x'
+           WHEN NOT MATCHED THEN INSERT *""",
+        Map("corpus" -> sqlDir))
+    }
+  }
+
   test("deletion vectors: a delete writes NO data file, reads apply " +
       "the vector exactly, batches append monotonically") {
     import spark.implicits._

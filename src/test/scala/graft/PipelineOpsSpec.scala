@@ -100,6 +100,25 @@ class PipelineOpsSpec extends AnyFunSuite {
       "recall is total — the noisy corpus no longer exercises misses")
   }
 
+  test("q140 recall curve is monotone in bands and holds per-level " +
+      "floors — the accuracy/latency dial is a measured function") {
+    val rows = relational.PipelineQueries
+      .queries("q140_recall_curve")(spark, sf).collect()
+      .map(r => r.getAs[Int]("bands") -> r.getAs[Long]("recall_bp"))
+      .toMap
+    assert(rows.keySet === Set(1, 2, 4))
+    // more bands = more candidate probes = recall can only grow
+    assert(rows(1) <= rows(2) && rows(2) <= rows(4),
+      s"recall not monotone in bands: $rows")
+    // floors: one band already beats a coin flip by far; the declared
+    // q104 operating point (2 bands, 0.85) sits on this curve; 4
+    // bands is near-exhaustive on the noisy corpus
+    assert(rows(1) >= 5000L, s"1-band recall ${rows(1)}bp < 0.50")
+    assert(rows(2) >= 8500L, s"2-band recall ${rows(2)}bp < 0.85")
+    assert(rows(4) >= 9000L, s"4-band recall ${rows(4)}bp < 0.90")
+    assert(rows(4) <= 10000L)
+  }
+
   test("text-hash expressions survive CODEGEN_ONLY and match interpreted") {
     // the simhash/minhash projections are native expressions now —
     // forcing codegen-only evaluation proves doGenCode's generated Java

@@ -344,6 +344,52 @@ class ScaleStressSpec extends AnyFunSuite {
     }
   }
 
+  test("product analytics under a HOT KEY: one user holding 10% of " +
+      "all events stays inside the uniform-10x wall-time band", SlowStress) {
+    // The uniform 10x band (previous test) cannot see key skew — every
+    // user has the base corpus's event count. This corpus gives ONE
+    // user the entire k=0 copy (10% of all rows): the funnel /
+    // retention / transition plans are chained running-min windows and
+    // lag-pairs PARTITIONED BY user, so the hot key serializes into a
+    // single task's sort — the design claim is that this is still one
+    // in-memory sort of 10%-of-corpus rows, not a cliff. Asserted as a
+    // wall-time band against the uniform-10x run of the SAME queries
+    // on the SAME box; a blowup (spill loop, quadratic state) breaks
+    // the band long before correctness tests could see it.
+    val uniform = s"$scaledDir-events"
+    val hot = s"$scaledDir-events-hot"
+    assume(new File(s"$uniform/events.parquet/_SUCCESS").exists(),
+      "uniform 10x corpus is built by the preceding test")
+    if (!new File(s"$hot/events.parquet/_SUCCESS").exists()) {
+      // k=0 copy -> user 424242 (10% of rows on one key); other copies
+      // keep their disjoint per-copy user spaces
+      spark.read.parquet(s"$uniform/events.parquet")
+        .withColumn("user_id",
+          when(col("event_id") < 100000000L, lit(424242L))
+            .otherwise(col("user_id")))
+        .write.mode("overwrite").parquet(s"$hot/events.parquet")
+    }
+    val hotShare = {
+      val ev = spark.read.parquet(s"$hot/events.parquet")
+      ev.filter(col("user_id") === 424242L).count().toDouble / ev.count()
+    }
+    assert(hotShare >= 0.09, f"corpus shape: hot share $hotShare%.3f")
+    for (name <- Seq("q113_funnel", "q114_retention_cohorts",
+        "q115_transitions", "q116_value_outliers")) {
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      val uniformRows = fn(spark, uniform).collect()
+      val tUniform = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val hotRows = fn(spark, hot).collect()
+      val tHot = (System.nanoTime() - t1) / 1e9
+      info(f"$name: uniform $tUniform%.1fs -> hot-key $tHot%.1fs")
+      assert(hotRows.nonEmpty && uniformRows.nonEmpty)
+      assert(tHot <= 4.0 * math.max(tUniform, 1.0),
+        f"$name hot-key cliff: uniform $tUniform%.1fs -> hot $tHot%.1fs")
+    }
+  }
+
   test("pagerank: 10 disjoint graph copies keep ranks invariant, " +
       "wall time ~linear", SlowStress) {
     // 10 shifted copies of the co-purchase graph are 10 disjoint

@@ -301,6 +301,13 @@ object VersionLog {
       .limit(maxTouchedPartitions + 1).collect().map(_.get(0))
     require(matchedHomes.length <= maxTouchedPartitions,
       s"matched keys live in > $maxTouchedPartitions partitions")
+    // a null/empty home would defeat the path-segment file match below
+    // (its files would stay in the kept list while the upsert lands a
+    // second copy of the key) — reject, as the in-place merge does
+    require(!matchedHomes.exists(v =>
+        v == null || String.valueOf(v).isEmpty),
+      s"matched keys live in the null/empty-$partCol default " +
+        "partition, which this merge cannot address")
     val touched = (distinctParts ++ matchedHomes).distinct
     if (touched.isEmpty) {
       val feed = MergeInto.writeFeedBatch(spark, dir,
@@ -395,6 +402,15 @@ object VersionLog {
               f.getPath.getName.startsWith("_"))) {
           fs.delete(f.getPath, false)
           victims += rel
+        }
+      }
+    }
+    // drop batch directories the file sweep emptied (orphan shells)
+    if (fs.exists(dataRoot)) {
+      fs.listStatus(dataRoot).foreach { s =>
+        if (s.isDirectory && !fs.listFiles(s.getPath, true).hasNext) {
+          fs.delete(s.getPath, true)
+          victims += relativize(base, s.getPath.toUri.getPath)
         }
       }
     }

@@ -169,7 +169,11 @@ private final class GraftFileIndex(spark: SparkSession, dir: String,
 
   override def sizeInBytes: Long = filesPinned.map(_.status.getLen).sum
 
-  override def refresh(): Unit = { filesPinned = resolve() }
+  override def refresh(): Unit = {
+    filesPinned = resolve()
+    manifestCache = null
+    bloomCache = null
+  }
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
@@ -192,11 +196,19 @@ private final class GraftFileIndex(spark: SparkSession, dir: String,
       filters: Seq[Expression]): Seq[GraftFile] = {
     if (filters.isEmpty || partitionSchema.isEmpty) return files
     val names = partitionSchema.fieldNames
-    val bound: Expression = filters.reduce(And).transform {
+    def bindable(e: Expression): Boolean = e.references.forall(a =>
+      names.exists(spark.sessionState.conf.resolver(_, a.name)))
+    // bind per CONJUNCT and drop any that references a non-partition
+    // attribute whole — substituting `true` for an attribute INSIDE an
+    // expression would invert under NOT (FileSourceStrategy only sends
+    // partition-only conjuncts, so the drop is defensive)
+    val usable = filters.filter(bindable)
+    if (usable.isEmpty) return files
+    val bound: Expression = usable.reduce(And).transform {
       case a: AttributeReference =>
-        val i = names.indexWhere(spark.sessionState.conf.resolver(_, a.name))
-        if (i < 0) Literal(true) // not a partition column: no-op here
-        else BoundReference(i, StringType, nullable = true)
+        BoundReference(
+          names.indexWhere(spark.sessionState.conf.resolver(_, a.name)),
+          StringType, nullable = true)
     }
     val pred: BasePredicate = Predicate.createInterpreted(bound)
     files.filter { f =>
@@ -247,10 +259,20 @@ private final class GraftFileIndex(spark: SparkSession, dir: String,
     }
 
   /** Per-file (column -> [min,max]) from the manifest sidecar, keyed
-    * by normalized path. Loaded lazily once per index instance — a
-    * file-count-sized driver map, the planner's working set.
+    * by normalized path. Loaded lazily once per index instance (a
+    * file-count-sized driver map, the planner's working set) and
+    * invalidated by [[refresh]].
     */
-  private lazy val manifestStats:
+  @volatile private var manifestCache:
+      Option[Map[String, Map[String, Option[(Long, Long)]]]] = null
+
+  private def manifestStats:
+      Option[Map[String, Map[String, Option[(Long, Long)]]]] = {
+    if (manifestCache == null) manifestCache = loadManifest()
+    manifestCache
+  }
+
+  private def loadManifest():
       Option[Map[String, Map[String, Option[(Long, Long)]]]] = {
     val p = new Path(base, "._manifest")
     if (!fs.exists(p)) None
@@ -316,8 +338,18 @@ private final class GraftFileIndex(spark: SparkSession, dir: String,
       }
     }
 
-  /** Per-file sparse bloom words, keyed by normalized path. */
-  private lazy val bloomWords: Option[Map[String, Map[Int, Long]]] = {
+  /** Per-file sparse bloom words, keyed by normalized path; loaded
+    * lazily, invalidated by [[refresh]].
+    */
+  @volatile private var bloomCache:
+      Option[Map[String, Map[Int, Long]]] = null
+
+  private def bloomWords: Option[Map[String, Map[Int, Long]]] = {
+    if (bloomCache == null) bloomCache = loadBlooms()
+    bloomCache
+  }
+
+  private def loadBlooms(): Option[Map[String, Map[Int, Long]]] = {
     val p = new Path(base, "._keybloom")
     if (!fs.exists(p)) None
     else Some(spark.read.parquet(p.toString).collect().map { row =>

@@ -271,7 +271,8 @@ object VersionLog {
     */
   def mergeByKeyCdc(spark: SparkSession, dir: String, updates: DataFrame,
       keyCol: String, partCol: String, deleteWhen: Option[Column] = None,
-      maxTouchedPartitions: Int = 4096): (MergeStats, DataFrame, Long) = {
+      maxTouchedPartitions: Int = 4096,
+      actionTag: String = "merge"): (MergeStats, DataFrame, Long) = {
     val snap = snapshot(spark, dir, None)
     val table = readFiles(spark, dir, snap.files)
 
@@ -360,7 +361,7 @@ object VersionLog {
       if (newFiles.isEmpty) 0L
       else readFiles(spark, dir, newFiles).count()
     val keptFiles = snap.files.filterNot(isTouchedFile)
-    val version = commit(spark, dir, snap.version, "merge",
+    val version = commit(spark, dir, snap.version, actionTag,
       keptFiles ++ newFiles)
     val drained = touched.map(String.valueOf).filter { v =>
       val frag = s"/$partCol=${MergeInto.escapePathName(v)}/"
@@ -368,6 +369,99 @@ object VersionLog {
     }
     (MergeStats(touched.map(String.valueOf).sorted.toSeq, outputRows,
       drained.sorted.toSeq), feed, version)
+  }
+
+  /** EXACTLY-ONCE ingest: run the versioned merge only if no retained
+    * version already carries `batchTag` as its action — the Delta
+    * `txn`-appId idempotency idea on the version log. A streaming
+    * `foreachBatch` sink that re-delivers a micro-batch after a
+    * restart (at-least-once delivery) calls this with the epoch id;
+    * the replay finds the tag and SKIPS, so the table sees each batch
+    * exactly once without any sink-side state. Returns None on a
+    * skipped replay, the merge result otherwise.
+    *
+    * The dedup record is the retained version files: retention
+    * ([[vacuumVersions]] `keepLast`) must exceed the sink's maximum
+    * redelivery window, the same contract every transaction log has.
+    */
+  def mergeBatchOnce(spark: SparkSession, dir: String, batchTag: String,
+      updates: DataFrame, keyCol: String, partCol: String,
+      deleteWhen: Option[Column] = None):
+      Option[(MergeStats, DataFrame, Long)] = {
+    require(batchTag.nonEmpty && batchTag != "merge" &&
+      batchTag != "init" && batchTag != "compact",
+      s"batchTag '$batchTag' must be a distinct idempotency token")
+    val applied = listVersions(spark, dir)
+      .exists(v => snapshot(spark, dir, Some(v)).action == batchTag)
+    if (applied) None
+    else Some(mergeByKeyCdc(spark, dir, updates, keyCol, partCol,
+      deleteWhen, actionTag = batchTag))
+  }
+
+  /** COMPACTION as a commit: bin-pack each over-fragmented partition
+    * group of the latest snapshot into `ceil(bytes/targetBytes)` new
+    * files and commit the result as a new version — the versioned twin
+    * of [[Compact.compactPartitioned]], with the contract only this
+    * layer can offer: readers (of the old OR the new version) are
+    * never disturbed, because nothing is deleted or renamed — the new
+    * version simply lists the repacked files, and the old fragments
+    * age out via [[vacuumVersions]] once no retained snapshot
+    * references them.
+    *
+    * Grouping is by the file's partition path segment ("" for flat
+    * layouts), so each `part=value` group compacts independently and a
+    * group already at or under its target file count is CARRIED BY
+    * REFERENCE — byte-identical, not rewritten. Cost is one read+write
+    * of the over-fragmented groups only. Returns
+    * (filesBefore, filesAfter, committedVersion) — version is
+    * unchanged when nothing needed rewriting.
+    */
+  def compactSnapshot(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L << 20): (Int, Int, Long) = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val snap = snapshot(spark, dir, None)
+    val base = dir.stripSuffix("/")
+    val fs = fsFor(spark, dir)
+    // dir-relative partition segment chain directly above the file
+    // (everything after the batch dir), e.g. "lang=fr" or ""
+    def groupOf(f: String): String = {
+      val segs = f.split("/").dropRight(1) // drop the file name
+      segs.dropWhile(s => !s.contains("=")).mkString("/")
+    }
+    val sized = snap.files.map { f =>
+      (f, groupOf(f), fs.getFileStatus(new Path(base, f)).getLen)
+    }
+    val groups = sized.groupBy(_._2)
+    val plans = groups.map { case (g, fsz) =>
+      val bytes = fsz.map(_._3).sum
+      val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      (g, fsz.map(_._1), nOut)
+    }
+    val (rewrite, carry) = plans.partition { case (_, fls, nOut) =>
+      fls.length > nOut
+    }
+    if (rewrite.isEmpty)
+      return (snap.files.length, snap.files.length, snap.version)
+    val batchRel = f"data/b-${snap.version + 1}%08d-" +
+      java.util.UUID.randomUUID.toString.take(8)
+    val newFiles = rewrite.toSeq.sortBy(_._1).flatMap {
+      case (g, fls, nOut) =>
+        val src = readFiles(spark, dir, fls)
+        // partition values are carried by the TARGET PATH, not the
+        // data: drop the path-derived columns before writing into the
+        // group's part=value subdirectory
+        val partColNames = g.split("/").filter(_.contains("="))
+          .map(_.split("=", 2)(0))
+        val out = s"$base/$batchRel" + (if (g.isEmpty) "" else s"/$g")
+        partColNames.foldLeft(src)(_ drop _)
+          .repartition(nOut)
+          .write.mode("error").parquet(out)
+        listParquet(fs, new Path(out)).map(p => relativize(base, p))
+    }
+    val kept = carry.toSeq.flatMap(_._2)
+    val version = commit(spark, dir, snap.version, "compact",
+      kept ++ newFiles)
+    (snap.files.length, kept.size + newFiles.size, version)
   }
 
   /** Delete version files beyond the newest `keepLast` and every data

@@ -165,7 +165,10 @@ object PipelineQueries {
       s"-${ProcessHandle.current().pid()}"
     buildOnce(dir) {
       val docs = documents(s, d)
-      VersionLog.init(s, dir, docs, partitionBy = Some("lang"))
+      // seed deliberately fragmented (4 files per lang) so the
+      // versioned compaction (q141) has real repacking to do
+      VersionLog.init(s, dir, docs.repartition(4),
+        partitionBy = Some("lang"))
       val batch = docs
         .filter($"lang" === "fr" && $"doc_id" % 17 === 0)
         .withColumn("text", concat($"text", lit(" [v2]")))
@@ -1817,6 +1820,31 @@ object PipelineQueries {
           sum($"doc_id").as("sum_ids"))
         .orderBy($"lang")
     },
+    "q141_versioned_compact" -> { (s, d) =>
+      import s.implicits._
+      // COMPACTION AS A COMMIT: repack the versioned table's
+      // fragmented groups (the seed writes 4 files per lang) into one
+      // file each and publish the result as a new version — no
+      // delete, no rename, readers of ANY version undisturbed; the
+      // old fragments age out via vacuum once unreferenced. The query
+      // reads the latest snapshot; the oracle is the same post-merge
+      // reconstruction as q136 — compaction that changed ANY row,
+      // lost a fragment, or resurrected a retired one cannot
+      // hash-match. File-count shrinkage, carry-by-reference, and
+      // pinned-reader stability are spec-asserted (VersionLogSpec).
+      val dir = versionedTableDir(s, d)
+      val marker = new java.io.File(dir, "_graft_compacted")
+      if (!marker.exists()) {
+        VersionLog.compactSnapshot(s, dir, targetBytes = 1L << 30)
+        marker.createNewFile()
+      }
+      VersionLog.read(s, dir)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(length($"text")).as("sum_len"),
+          sum($"doc_id").as("sum_ids"))
+        .orderBy($"lang")
+    },
     "q140_recall_curve" -> { (s, d) =>
       import s.implicits._
       // The serving family's accuracy knob as a MEASURED CURVE, not
@@ -3337,6 +3365,27 @@ object PipelineQueries {
            CAST(sum(length(text)) AS BIGINT) AS sum_len,
            CAST(sum(doc_id) AS BIGINT) AS sum_ids
          FROM documents GROUP BY lang ORDER BY lang""",
+    "q141_versioned_compact" ->
+      """WITH upd AS (
+           SELECT doc_id, text || ' [v2]' AS text, lang
+           FROM documents WHERE lang = 'fr' AND doc_id % 17 = 0
+           UNION ALL
+           SELECT doc_id + 100000000, text, 'xx' AS lang
+           FROM documents WHERE doc_id % 31 = 0),
+         del AS (
+           SELECT doc_id FROM documents
+           WHERE lang = 'de' AND doc_id % 13 = 0),
+         merged AS (
+           SELECT d.doc_id, d.text, d.lang FROM documents d
+           WHERE NOT EXISTS (SELECT 1 FROM upd u
+                             WHERE u.doc_id = d.doc_id)
+             AND NOT EXISTS (SELECT 1 FROM del x
+                             WHERE x.doc_id = d.doc_id)
+           UNION ALL SELECT doc_id, text, lang FROM upd)
+         SELECT lang, count(*) AS n_rows,
+           CAST(sum(length(text)) AS BIGINT) AS sum_len,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         FROM merged GROUP BY lang ORDER BY lang""",
     "q136_versioned_merge" ->
       """WITH upd AS (
            SELECT doc_id, text || ' [v2]' AS text, lang

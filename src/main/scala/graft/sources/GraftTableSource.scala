@@ -27,8 +27,9 @@ import graft.io.{KeyBloom, VersionLog}
   *    one footer round trip to the rest;
   *  - the per-file key bloom (`._keybloom`, `.option("bloomKey", c)`)
   *    prunes point lookups on a column the layout is NOT sorted by;
-  *  - hive-style `part=value` directories surface as string partition
-  *    columns, pruned by partition predicates.
+  *  - hive-style `part=value` directories surface as partition
+  *    columns (LONG when every value parses, STRING otherwise),
+  *    pruned by partition predicates.
   *
   * The integration shape is the Delta/Iceberg one, not a bespoke
   * reader: a custom [[FileIndex]] behind a [[HadoopFsRelation]]. The
@@ -151,8 +152,30 @@ private final class GraftFileIndex(spark: SparkSession, dir: String,
     }.getOrElse(Nil)
   }
 
+  /** Partition column types, inferred the way Spark's own discovery
+    * does at its simplest: LONG when every file's value parses, STRING
+    * otherwise. Typed values make range predicates on numeric
+    * partitions evaluate numerically here (and avoid ANSI
+    * string-casts at eval time).
+    */
+  private val partTypes: Seq[org.apache.spark.sql.types.DataType] =
+    partColNames.indices.map { i =>
+      if (filesPinned.nonEmpty && filesPinned.forall(f =>
+          scala.util.Try(f.partValues(i).toLong).isSuccess))
+        org.apache.spark.sql.types.LongType
+      else StringType
+    }
+
+  private def partRow(values: Seq[String]): InternalRow =
+    InternalRow.fromSeq(values.zip(partTypes).map {
+      case (v, org.apache.spark.sql.types.LongType) => v.toLong
+      case (v, _) => UTF8String.fromString(v)
+    })
+
   override val partitionSchema: StructType =
-    StructType(partColNames.map(StructField(_, StringType)))
+    StructType(partColNames.zip(partTypes).map {
+      case (n, t) => StructField(n, t)
+    })
 
   /** Data schema from one live file's footer (partition columns live
     * in directory names, not in the files).
@@ -181,9 +204,7 @@ private final class GraftFileIndex(spark: SparkSession, dir: String,
     val afterStats = pruneByManifest(afterPart, dataFilters)
     val kept = pruneByBloom(afterStats, dataFilters)
     kept.groupBy(_.partValues).toSeq.map { case (values, fs) =>
-      PartitionDirectory(
-        InternalRow.fromSeq(values.map(UTF8String.fromString)),
-        fs.map(_.status).toArray)
+      PartitionDirectory(partRow(values), fs.map(_.status).toArray)
     }
   }
 
@@ -206,15 +227,11 @@ private final class GraftFileIndex(spark: SparkSession, dir: String,
     if (usable.isEmpty) return files
     val bound: Expression = usable.reduce(And).transform {
       case a: AttributeReference =>
-        BoundReference(
-          names.indexWhere(spark.sessionState.conf.resolver(_, a.name)),
-          StringType, nullable = true)
+        val i = names.indexWhere(spark.sessionState.conf.resolver(_, a.name))
+        BoundReference(i, partTypes(i), nullable = true)
     }
     val pred: BasePredicate = Predicate.createInterpreted(bound)
-    files.filter { f =>
-      pred.eval(InternalRow.fromSeq(
-        f.partValues.map(UTF8String.fromString)))
-    }
+    files.filter(f => pred.eval(partRow(f.partValues)))
   }
 
   // ---- manifest (min/max box) pruning -----------------------------

@@ -1005,4 +1005,28 @@ object EventStreams {
         ()
       }
       .start()
+
+  /** [[mergeStream]] against a VERSIONED table, upgraded from
+    * at-least-once-idempotent to EXACTLY-ONCE: each micro-batch merges
+    * through `VersionLog.mergeBatchOnce` with the epoch id as the
+    * idempotency tag, so a re-delivered batch (crash between the merge
+    * and the offset commit) finds its tag on the version log and skips
+    * — the table records each epoch as exactly one version, and
+    * concurrent readers keep snapshot isolation throughout. `queryTag`
+    * namespaces the epoch ids so several streams can feed one table.
+    */
+  def versionedMergeStream(updates: DataFrame, dir: String,
+      keyCol: String, partCol: String, queryTag: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+          if (!batch.isEmpty)
+            graft.io.VersionLog.mergeBatchOnce(batch.sparkSession, dir,
+              s"stream:$queryTag:$epoch",
+              batch.dropDuplicates(keyCol), keyCol, partCol)
+          ()
+      }
+      .start()
 }

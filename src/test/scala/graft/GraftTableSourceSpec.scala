@@ -84,6 +84,24 @@ class GraftTableSourceSpec extends AnyFunSuite {
     assert(plain.count() === 1L)
   }
 
+  test("graft format: numeric partition values surface as LONG and " +
+      "range predicates prune partitions numerically") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("gnum").toString
+    VersionLog.init(spark, dir,
+      (0L until 40L).map(i => (i, i % 4L)).toDF("id", "bucket"),
+      partitionBy = Some("bucket"))
+    val t = spark.read.format("graft").load(dir)
+    assert(t.schema("bucket").dataType ===
+      org.apache.spark.sql.types.LongType)
+    val hi = t.filter($"bucket" >= 2L)
+    assert(hi.select($"id").as[Long].collect().toSet ===
+      (0L until 40L).filter(i => i % 4 >= 2).toSet)
+    val total = VersionLog.snapshot(spark, dir, None).files.size
+    assert(scanNumFiles(hi) < total,
+      "numeric range predicate must prune partition files")
+  }
+
   test("graft format: versionAsOf time travel and snapshot pinning " +
       "(a relation resolved before a commit keeps reading its version)") {
     import spark.implicits._

@@ -1042,6 +1042,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("versioned streaming ingest: each epoch commits exactly one " +
+      "version, and a redelivered epoch tag is skipped (exactly-once)") {
+    import graft.io.VersionLog
+    val tableDir = Files.createTempDirectory("vmergestream").toString
+    VersionLog.init(spark, tableDir,
+      Seq((1L, "one", "a"), (2L, "two", "a"), (3L, "three", "b"))
+        .toDF("k", "v", "p"),
+      partitionBy = Some("p"))
+    val srcDir = Files.createTempDirectory("vmergesrc").toString
+    def table(): Set[(Long, String, String)] =
+      VersionLog.read(spark, tableDir).select($"k", $"v", $"p")
+        .as[(Long, String, String)].collect().toSet
+    val chunk1 = Seq((2L, "two2", "a"), (5L, "five", "b"))
+      .toDF("k", "v", "p")
+    val chunk2 = Seq((5L, "five2", "b"), (6L, "six", "c"))
+      .toDF("k", "v", "p")
+    stageChunk(srcDir, "batch0", chunk1)
+    val stream = spark.readStream.schema(chunk1.schema).parquet(srcDir)
+    val q = EventStreams.versionedMergeStream(stream, tableDir,
+      "k", "p", queryTag = "ingest")
+    try {
+      q.processAllAvailable()
+      assert(table() === Set((1L, "one", "a"), (2L, "two2", "a"),
+        (3L, "three", "b"), (5L, "five", "b")))
+      stageChunk(srcDir, "batch1", chunk2)
+      q.processAllAvailable()
+      val settled = table()
+      assert(settled === Set((1L, "one", "a"), (2L, "two2", "a"),
+        (3L, "three", "b"), (5L, "five2", "b"), (6L, "six", "c")))
+      val versions = VersionLog.listVersions(spark, tableDir)
+      assert(versions.size === 3, s"init + 2 epochs, got $versions")
+      // simulated redelivery of epoch 1 (crash between the merge and
+      // the offset commit): the tag is on the log -> skipped whole,
+      // no new version, table unchanged
+      assert(VersionLog.mergeBatchOnce(spark, tableDir,
+        "stream:ingest:1", chunk2, "k", "p").isEmpty)
+      assert(VersionLog.listVersions(spark, tableDir) === versions)
+      assert(table() === settled)
+      // epoch actions are recorded on the version files themselves
+      assert(VersionLog.snapshot(spark, tableDir, Some(versions.max))
+        .action === "stream:ingest:1")
+    } finally q.stop()
+  }
+
   test("streaming BM25 probe serves the persisted index, equal to " +
       "the batch probe per query") {
     val corpus = Seq((1L, "alpha beta beta gamma"), (2L, "alpha gamma"),

@@ -166,6 +166,65 @@ class VersionLogSpec extends AnyFunSuite {
     assert(VersionLog.snapshot(spark, dir, None).action === "writer-A")
   }
 
+  test("versioned compaction: over-fragmented groups repack as a NEW " +
+      "version, compact groups carry by reference, old readers undisturbed") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("vcompact").toString
+    // p=a heavily fragmented (8 files), p=b one file
+    VersionLog.init(spark,
+      dir,
+      (0L until 64L).map(i => (i, s"v$i", "a")).toDF("k", "v", "p")
+        .repartition(8)
+        .unionByName(Seq((1000L, "x", "b")).toDF("k", "v", "p")),
+      partitionBy = Some("p"))
+    val before = VersionLog.snapshot(spark, dir, None)
+    val bFiles = before.files.filter(_.contains("/p=b/"))
+    val pinned = VersionLog.read(spark, dir) // resolves v1 pre-compact
+    val expected = rows(pinned)
+    val (nb, na, v) = VersionLog.compactSnapshot(spark, dir,
+      targetBytes = 1L << 30)
+    assert(v === 2L)
+    assert(nb > na, s"compaction must shrink the file count ($nb -> $na)")
+    val after = VersionLog.snapshot(spark, dir, None)
+    assert(after.files.count(_.contains("/p=a/")) === 1,
+      "fragmented group must repack to its byte-sized target")
+    assert(after.files.filter(_.contains("/p=b/")) === bFiles,
+      "already-compact group must be carried by REFERENCE")
+    assert(rows(VersionLog.read(spark, dir)) === expected)
+    assert(rows(pinned) === expected,
+      "a reader pinned pre-compaction is never disturbed")
+    // idempotent: nothing left to repack, version unchanged
+    val (b2, a2, v2) = VersionLog.compactSnapshot(spark, dir,
+      targetBytes = 1L << 30)
+    assert(b2 === a2 && v2 === 2L)
+  }
+
+  test("exactly-once ingest: a re-delivered batch tag is skipped, the " +
+      "table records each batch as exactly one version") {
+    import spark.implicits._
+    val dir = seed()
+    val batch = Seq((2L, "two2", "a"), (9L, "nine", "d"))
+      .toDF("k", "v", "p")
+    val first = VersionLog.mergeBatchOnce(spark, dir, "stream:q:7",
+      batch, "k", "p")
+    assert(first.isDefined && first.get._3 === 2L)
+    val expected = rows(VersionLog.read(spark, dir))
+    // the redelivery (crash between merge and offset commit) no-ops
+    assert(VersionLog.mergeBatchOnce(spark, dir, "stream:q:7",
+      batch, "k", "p").isEmpty)
+    assert(VersionLog.listVersions(spark, dir) === Seq(1L, 2L))
+    assert(rows(VersionLog.read(spark, dir)) === expected)
+    // a NEW epoch applies
+    assert(VersionLog.mergeBatchOnce(spark, dir, "stream:q:8",
+      Seq((9L, "nine2", "d")).toDF("k", "v", "p"), "k", "p").isDefined)
+    assert(rows(VersionLog.read(spark, dir))
+      === expected - ((9L, "nine", "d")) + ((9L, "nine2", "d")))
+    // reserved action names are refused as tags
+    intercept[IllegalArgumentException] {
+      VersionLog.mergeBatchOnce(spark, dir, "merge", batch, "k", "p")
+    }
+  }
+
   test("feed-inversion time travel agrees with version-id time travel " +
       "(snapshotBefore over the feed == read of the parent version)") {
     import spark.implicits._

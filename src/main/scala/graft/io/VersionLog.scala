@@ -371,6 +371,30 @@ object VersionLog {
       drained.sorted.toSeq), feed, version)
   }
 
+  /** Append `df` as a new commit: the next snapshot lists the parent's
+    * files plus the new batch. Key uniqueness across commits is the
+    * CALLER's contract (use [[mergeByKeyCdc]] for upserts); the layout
+    * (`partitionBy`) should match the table's. Returns the version.
+    */
+  def append(spark: SparkSession, dir: String, df: DataFrame,
+      partitionBy: Option[String] = None): Long = {
+    val snap = snapshot(spark, dir, None)
+    val files = writeBatch(spark, dir, df, partitionBy, snap.version + 1)
+    commit(spark, dir, snap.version, "append", snap.files ++ files)
+  }
+
+  /** Replace the table's contents with `df` in one commit: the next
+    * snapshot lists ONLY the new batch. Nothing is deleted — readers
+    * of older versions are undisturbed and the replaced files age out
+    * via [[vacuumVersions]]. Returns the version.
+    */
+  def overwrite(spark: SparkSession, dir: String, df: DataFrame,
+      partitionBy: Option[String] = None): Long = {
+    val snap = snapshot(spark, dir, None)
+    val files = writeBatch(spark, dir, df, partitionBy, snap.version + 1)
+    commit(spark, dir, snap.version, "overwrite", files)
+  }
+
   /** EXACTLY-ONCE ingest: run the versioned merge only if no retained
     * version already carries `batchTag` as its action — the Delta
     * `txn`-appId idempotency idea on the version log. A streaming

@@ -1845,6 +1845,35 @@ object PipelineQueries {
           sum($"doc_id").as("sum_ids"))
         .orderBy($"lang")
     },
+    "q142_graft_write_roundtrip" -> { (s, d) =>
+      import s.implicits._
+      // The graft SINK as the front door: seed the table through
+      // `df.write.format("graft")` (version 1 = everything but fr),
+      // then APPEND the fr slice (version 2) — both writes are
+      // version-log commits, so the table was never half-written for
+      // any reader. The query reads the latest snapshot back through
+      // the format; the oracle is the pristine documents table — a
+      // lost batch, a double-applied append, or a torn commit cannot
+      // hash-match. SaveMode semantics (error/append/overwrite/
+      // ignore + time travel across them) are spec-pinned in
+      // GraftTableSourceSpec.
+      val dir = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft-sink-${Integer.toHexString(d.hashCode)}" +
+        s"-${ProcessHandle.current().pid()}"
+      buildOnce(dir) {
+        val docs = documents(s, d)
+        docs.filter($"lang" =!= "fr").write.format("graft")
+          .option("partitionBy", "lang").save(dir)
+        docs.filter($"lang" === "fr").write.format("graft")
+          .option("partitionBy", "lang").mode("append").save(dir)
+      }
+      s.read.format("graft").load(dir)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length($"text")).as("sum_len"),
+          sum($"doc_id").as("sum_ids"))
+        .orderBy($"lang")
+    },
     "q140_recall_curve" -> { (s, d) =>
       import s.implicits._
       // The serving family's accuracy knob as a MEASURED CURVE, not
@@ -3361,6 +3390,11 @@ object PipelineQueries {
                  OR (lang = 'fr' AND doc_id % 29 = 0))
          GROUP BY lang ORDER BY lang""",
     "q126_time_travel" ->
+      """SELECT lang, count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS sum_len,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "q142_graft_write_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,
            CAST(sum(length(text)) AS BIGINT) AS sum_len,
            CAST(sum(doc_id) AS BIGINT) AS sum_ids

@@ -47,8 +47,51 @@ import graft.io.{KeyBloom, VersionLog}
   * mutation and given format-level statistics.
   */
 final class GraftTableSource extends RelationProvider
+    with org.apache.spark.sql.sources.CreatableRelationProvider
     with DataSourceRegister {
   override def shortName(): String = "graft"
+
+  /** `df.write.format("graft")[.option("partitionBy", c)].mode(m)
+    * .save(dir)` — every SaveMode maps onto a version-log commit, so
+    * writes inherit the snapshot contracts (atomic publish, pinned
+    * readers, nothing deleted, time travel):
+    *  - ErrorIfExists (default): init version 1; fails on a versioned
+    *    table;
+    *  - Append: a commit listing parent files + the new batch;
+    *  - Overwrite: a commit listing ONLY the new batch (old versions
+    *    stay readable until vacuum);
+    *  - Ignore: no-op when the table exists.
+    * The partition layout comes from `option("partitionBy", col)` —
+    * the DataFrameWriter.partitionBy clause only reaches file-format
+    * sources in the V1 API.
+    */
+  override def createRelation(sqlContext: SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    val spark = sqlContext.sparkSession
+    val dir = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft sink requires a path: df.write.format(\"graft\").save(dir)"))
+    val partitionBy = parameters.get("partitionBy")
+    val exists = VersionLog.listVersions(spark, dir).nonEmpty
+    mode match {
+      case SaveMode.ErrorIfExists =>
+        require(!exists, s"graft table at $dir already exists " +
+          "(versions present); use mode append/overwrite")
+        VersionLog.init(spark, dir, data, partitionBy)
+      case SaveMode.Append =>
+        if (!exists) VersionLog.init(spark, dir, data, partitionBy)
+        else VersionLog.append(spark, dir, data, partitionBy)
+      case SaveMode.Overwrite =>
+        if (!exists) VersionLog.init(spark, dir, data, partitionBy)
+        else VersionLog.overwrite(spark, dir, data, partitionBy)
+      case SaveMode.Ignore =>
+        if (!exists) VersionLog.init(spark, dir, data, partitionBy)
+    }
+    createRelation(sqlContext, parameters)
+  }
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {

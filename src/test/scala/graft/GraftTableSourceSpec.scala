@@ -102,6 +102,39 @@ class GraftTableSourceSpec extends AnyFunSuite {
       "numeric range predicate must prune partition files")
   }
 
+  test("graft format write path: every SaveMode is a version-log " +
+      "commit — append/overwrite stay time-travelable") {
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    val dir = Files.createTempDirectory("gwrite").toString
+    def w(df: org.apache.spark.sql.DataFrame, m: SaveMode) =
+      df.write.format("graft").option("partitionBy", "p")
+        .mode(m).save(dir)
+    w(Seq((1L, "a"), (2L, "b")).toDF("k", "p"), SaveMode.ErrorIfExists)
+    assert(VersionLog.listVersions(spark, dir) === Seq(1L))
+    intercept[IllegalArgumentException] {
+      w(Seq((9L, "z")).toDF("k", "p"), SaveMode.ErrorIfExists)
+    }
+    w(Seq((3L, "a")).toDF("k", "p"), SaveMode.Append)
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select($"k").as[Long].collect().toSet
+    val t = spark.read.format("graft").load(dir)
+    assert(keys(t) === Set(1L, 2L, 3L))
+    assert(t.schema.fieldNames.toSeq === Seq("k", "p"))
+    // Ignore: no-op on an existing table
+    w(Seq((99L, "q")).toDF("k", "p"), SaveMode.Ignore)
+    assert(keys(spark.read.format("graft").load(dir)) === Set(1L, 2L, 3L))
+    // Overwrite: new snapshot lists only the new batch; v2 and v1
+    // remain readable (nothing was deleted)
+    w(Seq((7L, "c")).toDF("k", "p"), SaveMode.Overwrite)
+    assert(keys(spark.read.format("graft").load(dir)) === Set(7L))
+    assert(keys(spark.read.format("graft").option("versionAsOf", "2")
+      .load(dir)) === Set(1L, 2L, 3L))
+    assert(keys(spark.read.format("graft").option("versionAsOf", "1")
+      .load(dir)) === Set(1L, 2L))
+    assert(VersionLog.snapshot(spark, dir, None).action === "overwrite")
+  }
+
   test("graft format: versionAsOf time travel and snapshot pinning " +
       "(a relation resolved before a commit keeps reading its version)") {
     import spark.implicits._

@@ -146,7 +146,20 @@ class ScaleStressSpec extends AnyFunSuite {
       // q135 emits one row per language — the band pins the one-pass
       // checksum scan's linear wall-time (sum is associative, so the
       // 10x corpus cannot change the shape, only the scan length)
-      "q135_table_checksum")
+      "q135_table_checksum",
+      // versioned family (round 12): outputs are lang-cardinality flat;
+      // the band pins the WALL-TIME claims — the versioned merge's
+      // blast radius is the touched-partition file set (10x fr/xx/de),
+      // version resolution is one listing + one small JSON read at any
+      // scale, the DV delete writes a key list and the DV read is one
+      // broadcast anti-join over the corpus scan, and compaction
+      // repacks only over-fragmented groups. q137/q138 stay out only
+      // because the scaled dir carries no events table (like q125);
+      // q140 stays out like q34/q77/q87 — its exact-baseline side is
+      // the declared O(N*Q) scan by contract (covered by the dedicated
+      // q104 recall stress below).
+      "q136_versioned_merge", "q139_dv_point_delete",
+      "q141_versioned_compact")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

@@ -329,17 +329,24 @@ object MergeInto {
     * publishes by ONE rename — a crash mid-write leaves only a
     * `.staging-*` orphan no consumer ever reads (and the next merge
     * allocates past it), never a torn batch that a glob would apply.
+    *
+    * The index is RESERVED by an atomic exclusive create of a hidden
+    * `.alloc-<n>` marker before anything is written: two CONCURRENT
+    * merges (legal against a [[VersionLog]] table, whose commit CAS
+    * is the serialization point) would otherwise both compute the
+    * same next index and collide — or worse, a rename onto the
+    * winner's published directory would NEST one batch inside the
+    * other. The loser of a reservation simply takes the next index;
+    * markers live exactly as long as their batch (pruned together by
+    * `Vacuum.pruneCdcBatches`); a crash between the reservation and
+    * the publish leaves only a numbering gap, which no consumer
+    * observes (they glob `batch-*` directories, never indexes).
     */
   private[io] def writeFeedBatch(spark: SparkSession, dir: String,
       changes: DataFrame): DataFrame = {
     val root = new Path(dir.stripSuffix("/") + "._cdc")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val existing =
-      if (!fs.exists(root)) Array.empty[Int]
-      else fs.listStatus(root).map(_.getPath.getName)
-        .collect { case s if s.startsWith("batch-") =>
-          s.stripPrefix("batch-").toInt }
-    val next = if (existing.isEmpty) 0 else existing.max + 1
+    val next = allocFeedIndex(fs, root)
     val name = f"batch-$next%05d"
     val staging = new Path(root, s".staging-$name")
     fs.delete(staging, true)
@@ -349,6 +356,42 @@ object MergeInto {
       throw new java.io.IOException(
         s"could not publish feed batch $name under $root")
     spark.read.parquet(batchDir.toString)
+  }
+
+  /** Atomically reserve the first free feed-batch index: exclusive
+    * create of `.alloc-<n>` (O_EXCL via NIO on the local FS; Hadoop's
+    * atomic `createNewFile` elsewhere), bumping past indexes other
+    * writers won. Legacy roots without markers allocate past their
+    * batch directories.
+    */
+  private def allocFeedIndex(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Int = {
+    fs.mkdirs(root)
+    val taken = fs.listStatus(root).map(_.getPath.getName).flatMap { n =>
+      if (n.startsWith("batch-")) Some(n.stripPrefix("batch-").toInt)
+      else if (n.startsWith(".alloc-")) Some(n.stripPrefix(".alloc-").toInt)
+      else None
+    }
+    var next = if (taken.isEmpty) 0 else taken.max + 1
+    var attempts = 0
+    while (attempts < 10000) {
+      val marker = new Path(root, f".alloc-$next%05d")
+      val won =
+        if ("file" == fs.getUri.getScheme) {
+          try {
+            java.nio.file.Files.createFile(
+              java.nio.file.Paths.get(marker.toUri.getPath))
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+          }
+        } else fs.createNewFile(marker)
+      if (won) return next
+      next += 1
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"could not reserve a feed batch index under $root")
   }
 
   private def emptyFeed(spark: SparkSession, dir: String,

@@ -67,7 +67,14 @@ object Vacuum {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch-"))
       .sortBy(_.getPath.getName.stripPrefix("batch-").toInt)
     val victims = batches.dropRight(keepLast)
-    victims.foreach(s => fs.delete(s.getPath, true))
+    victims.foreach { s =>
+      fs.delete(s.getPath, true)
+      // the batch's index-reservation marker lives exactly as long as
+      // the batch (keeping it parked blocks nothing, but the root
+      // listing should not grow forever)
+      fs.delete(new Path(root,
+        "." + s.getPath.getName.replaceFirst("^batch", "alloc")), false)
+    }
     victims.map(_.getPath.toString).toSeq
   }
 }

@@ -371,6 +371,24 @@ object VersionLog {
       drained.sorted.toSeq), feed, version)
   }
 
+  /** The table's commit history as a DataFrame — the DESCRIBE HISTORY
+    * analog: one row per retained version with its action, file count,
+    * and row count. Version files are metadata-sized; the row counts
+    * cost one count() per retained snapshot over its pinned files
+    * (parquet footer counts, no data decode) — bounded by retention,
+    * never by history.
+    */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = listVersions(spark, dir).map { v =>
+      val snap = snapshot(spark, dir, Some(v))
+      (snap.version, snap.parent, snap.action, snap.files.size.toLong,
+        readFiles(spark, dir, snap.files).count())
+    }
+    rows.toDF("version", "parent", "action", "n_files", "n_rows")
+      .orderBy(col("version"))
+  }
+
   /** Append `df` as a new commit: the next snapshot lists the parent's
     * files plus the new batch. Key uniqueness across commits is the
     * CALLER's contract (use [[mergeByKeyCdc]] for upserts); the layout

@@ -1874,6 +1874,37 @@ object PipelineQueries {
           sum($"doc_id").as("sum_ids"))
         .orderBy($"lang")
     },
+    "q143_table_history" -> { (s, d) =>
+      import s.implicits._
+      // DESCRIBE HISTORY for the versioned table: one row per commit
+      // with parent, action, and the snapshot's exact row count —
+      // the operational "what happened to this table" question
+      // answered from metadata + footer counts, never a data decode.
+      // The build is its own table (init fr -> append de -> tombstone
+      // merge) so the history is DETERMINISTIC; the oracle recomputes
+      // every version's row count independently from the pristine
+      // table, so a commit that lost or duplicated rows — or a
+      // history that misordered parents — cannot hash-match.
+      // (n_files is in the API but not the query: file counts depend
+      // on task parallelism, not semantics.)
+      val dir = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft-hist-${Integer.toHexString(d.hashCode)}" +
+        s"-${ProcessHandle.current().pid()}"
+      buildOnce(dir) {
+        val docs = documents(s, d)
+        VersionLog.init(s, dir, docs.filter($"lang" === "fr"),
+          partitionBy = Some("lang"))
+        VersionLog.append(s, dir, docs.filter($"lang" === "de"),
+          partitionBy = Some("lang"))
+        VersionLog.mergeByKeyCdc(s, dir,
+          docs.filter($"lang" === "fr" && $"doc_id" % 7 === 0)
+            .withColumn("_del", lit(true)),
+          "doc_id", "lang", deleteWhen = Some($"_del"))
+      }
+      VersionLog.history(s, dir)
+        .select($"version", $"parent", $"action", $"n_rows")
+        .orderBy($"version")
+    },
     "q140_recall_curve" -> { (s, d) =>
       import s.implicits._
       // The serving family's accuracy knob as a MEASURED CURVE, not
@@ -3394,6 +3425,23 @@ object PipelineQueries {
            CAST(sum(length(text)) AS BIGINT) AS sum_len,
            CAST(sum(doc_id) AS BIGINT) AS sum_ids
          FROM documents GROUP BY lang ORDER BY lang""",
+    "q143_table_history" ->
+      """WITH fr AS (SELECT count(*) AS c FROM documents
+             WHERE lang = 'fr'),
+         de AS (SELECT count(*) AS c FROM documents WHERE lang = 'de'),
+         del AS (SELECT count(*) AS c FROM documents
+             WHERE lang = 'fr' AND doc_id % 7 = 0)
+         SELECT * FROM (
+           SELECT CAST(1 AS BIGINT) AS version, CAST(0 AS BIGINT)
+               AS parent, 'init' AS action, CAST(fr.c AS BIGINT)
+               AS n_rows FROM fr
+           UNION ALL
+           SELECT 2, 1, 'append', CAST(fr.c + de.c AS BIGINT)
+           FROM fr, de
+           UNION ALL
+           SELECT 3, 2, 'merge', CAST(fr.c + de.c - del.c AS BIGINT)
+           FROM fr, de, del)
+         ORDER BY version""",
     "q142_graft_write_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,
            CAST(sum(length(text)) AS BIGINT) AS sum_len,

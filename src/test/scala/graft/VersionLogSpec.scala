@@ -225,6 +225,52 @@ class VersionLogSpec extends AnyFunSuite {
     }
   }
 
+  test("RACING writers: two concurrent merges against one table — " +
+      "exactly one commits per version, no update is lost after retry") {
+    import spark.implicits._
+    import java.util.concurrent.{CountDownLatch, Executors}
+    val dir = seed()
+    val pool = Executors.newFixedThreadPool(2)
+    val gate = new CountDownLatch(1)
+    def contend(batch: org.apache.spark.sql.DataFrame) =
+      pool.submit(new java.util.concurrent.Callable[Either[Throwable, Long]] {
+        override def call(): Either[Throwable, Long] = {
+          gate.await()
+          try Right(VersionLog.mergeByKeyCdc(spark, dir, batch,
+            "k", "p")._3)
+          catch { case t: Throwable => Left(t) }
+        }
+      })
+    val fa = contend(Seq((2L, "two2", "a")).toDF("k", "v", "p"))
+    val fb = contend(Seq((4L, "four2", "b")).toDF("k", "v", "p"))
+    gate.countDown()
+    val results = Seq(fa.get(), fb.get())
+    pool.shutdown()
+    val wins = results.collect { case Right(v) => v }
+    val losses = results.collect { case Left(t) => t }
+    // both may serialize cleanly (snapshot resolved after the other's
+    // commit), but a true race loses exactly one — and the loser's
+    // failure is the CAS conflict, not corruption
+    assert(wins.nonEmpty)
+    losses.foreach(t => assert(
+      t.isInstanceOf[java.util.ConcurrentModificationException], t))
+    assert(wins.toSet.size === wins.size, "two commits on one version")
+    // the losing batch (if any) retries against the new snapshot and
+    // lands; afterwards BOTH updates are present — nothing was lost
+    if (losses.nonEmpty) {
+      val lost =
+        if (wins.contains(2L) &&
+            rows(VersionLog.read(spark, dir)).contains((2L, "two2", "a")))
+          Seq((4L, "four2", "b")).toDF("k", "v", "p")
+        else Seq((2L, "two2", "a")).toDF("k", "v", "p")
+      VersionLog.mergeByKeyCdc(spark, dir, lost, "k", "p")
+    }
+    val finalRows = rows(VersionLog.read(spark, dir))
+    assert(finalRows.contains((2L, "two2", "a")))
+    assert(finalRows.contains((4L, "four2", "b")))
+    assert(finalRows.size === 5)
+  }
+
   test("feed-inversion time travel agrees with version-id time travel " +
       "(snapshotBefore over the feed == read of the parent version)") {
     import spark.implicits._

@@ -125,11 +125,15 @@ object VersionLog {
     // surface as partition columns. Branch count is bounded by the
     // snapshot's commit count (vacuum keeps it short), and Catalyst
     // pushes filters/pruning into every branch of the union.
+    // allowMissingColumns = SCHEMA EVOLUTION: a commit that widened
+    // the schema unions with nulls for the older batches' missing
+    // columns (newest-batch-last order makes the widened column
+    // land at the end, the position append semantics give it).
     files.groupBy(batchRoot).toSeq.sortBy(_._1)
       .map { case (root, fs) =>
         spark.read.option("basePath", s"$base/$root")
           .parquet(fs.map(f => s"$base/$f"): _*)
-      }.reduce(_ unionByName _)
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** The batch-directory prefix of a snapshot file path (`data/b-X`
@@ -323,11 +327,20 @@ object VersionLog {
     val isTouchedFile = (f: String) =>
       touchedFrags.exists(("/" + f).contains)
     val touchedFiles = snap.files.filter(isTouchedFile)
+    val dataCols = table.columns.map(col).toIndexedSeq
+    // align the touched read to the TABLE's (possibly wider) schema:
+    // a pre-evolution batch's files lack the widened columns — the
+    // survivors and before-images must still union with the upserts
     val targetTouched =
       if (touchedFiles.isEmpty) table.filter(lit(false))
-      else readFiles(spark, dir, touchedFiles)
-
-    val dataCols = table.columns.map(col).toIndexedSeq
+      else {
+        val raw = readFiles(spark, dir, touchedFiles)
+        table.columns.foldLeft(raw) { (df, c) =>
+          if (df.columns.contains(c)) df
+          else df.withColumn(c,
+            lit(null).cast(table.schema(c).dataType))
+        }.select(dataCols: _*)
+      }
     // before-images: full rows of every matched key (their homes are
     // all inside `touched` by construction)
     val oldMatched = targetTouched.join(allKeys, Seq(keyCol), "left_semi")

@@ -220,12 +220,17 @@ private final class GraftFileIndex(spark: SparkSession, dir: String,
       case (n, t) => StructField(n, t)
     })
 
-  /** Data schema from one live file's footer (partition columns live
-    * in directory names, not in the files).
+  /** Data schema from the NEWEST batch's footer (partition columns
+    * live in directory names, not in the files). Newest, not head:
+    * under schema evolution the latest commit carries the current
+    * table schema, and the parquet reader fills nulls for columns an
+    * older file lacks — the same widened view `VersionLog.read`
+    * unions to.
     */
   val dataSchema: StructType = {
     require(filesPinned.nonEmpty, s"graft table at $base has no data files")
-    spark.read.parquet(filesPinned.head.status.getPath.toString).schema
+    val newest = filesPinned.maxBy(_.status.getPath.toString)
+    spark.read.parquet(newest.status.getPath.toString).schema
   }
 
   override def rootPaths: Seq[Path] = Seq(basePath)

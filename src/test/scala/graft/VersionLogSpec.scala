@@ -225,6 +225,38 @@ class VersionLogSpec extends AnyFunSuite {
     }
   }
 
+  test("schema evolution: a widening append unions with nulls for " +
+      "older batches, in both read paths; merges carry the wide schema") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("vevolve").toString
+    VersionLog.init(spark, dir,
+      Seq((1L, "one", "a"), (2L, "two", "b")).toDF("k", "v", "p"),
+      partitionBy = Some("p"))
+    VersionLog.append(spark, dir,
+      Seq((3L, "three", 30L, "a")).toDF("k", "v", "extra", "p"),
+      partitionBy = Some("p"))
+    val t = VersionLog.read(spark, dir)
+    assert(t.columns.toSet === Set("k", "v", "p", "extra"))
+    assert(t.select($"k", $"extra").as[(Long, Option[Long])]
+      .collect().toSet ===
+      Set((1L, None), (2L, None), (3L, Some(30L))))
+    // the graft format reads the same widened view (newest-batch
+    // schema; the parquet reader null-fills older files)
+    val f = spark.read.format("graft").load(dir)
+    assert(f.columns.toSet === Set("k", "v", "p", "extra"))
+    assert(f.filter($"extra".isNotNull).select($"k").as[Long]
+      .collect().toSeq === Seq(3L))
+    // a merge after the widening writes the wide schema for survivors
+    // (null-filled) and keeps working
+    VersionLog.mergeByKeyCdc(spark, dir,
+      Seq((2L, "two2", Some(20L), "b")).toDF("k", "v", "extra", "p"),
+      "k", "p")
+    assert(VersionLog.read(spark, dir)
+      .select($"k", $"v", $"extra").as[(Long, String, Option[Long])]
+      .collect().toSet === Set((1L, "one", None),
+        (2L, "two2", Some(20L)), (3L, "three", Some(30L))))
+  }
+
   test("RACING writers: two concurrent merges against one table — " +
       "exactly one commits per version, no update is lost after retry") {
     import spark.implicits._

@@ -303,6 +303,88 @@ class VersionLogSpec extends AnyFunSuite {
     assert(finalRows.size === 5)
   }
 
+  test("MODEL-CHECKED lifecycle: 30 random merge/append/delete/compact/" +
+      "vacuum steps match an in-memory model at every version") {
+    import spark.implicits._
+    // The strongest correctness artifact for a mutation protocol: a
+    // seeded random walk over the whole operation surface, where after
+    // EVERY step the live table equals an independently-maintained
+    // in-memory model, and a randomly chosen RETAINED older version
+    // still equals the model as it was when that version committed.
+    // A lost survivor, leaked tombstone, double-applied batch, stale
+    // compaction carry, or over-eager vacuum breaks the walk at the
+    // step that introduced it.
+    val rng = new scala.util.Random(20260815L)
+    val dir = Files.createTempDirectory("vmodel").toString
+    val parts = Vector("a", "b", "c", "d")
+    def df(rows: Seq[(Long, String, String)]) = rows.toDF("k", "v", "p")
+    var model = (0L until 12L).map(k =>
+      k -> (s"v$k", parts((k % 4).toInt))).toMap
+    VersionLog.init(spark, dir,
+      df(model.toSeq.map { case (k, (v, p)) => (k, v, p) }),
+      partitionBy = Some("p"))
+    val history = scala.collection.mutable.Map(
+      1L -> model) // version -> model state at that commit
+    var nextFreshKey = 1000L
+    def liveEquals(m: Map[Long, (String, String)], version: Option[Long])
+        : Unit = {
+      val got = VersionLog.read(spark, dir, version)
+        .select($"k", $"v", $"p").as[(Long, String, String)]
+        .collect().map(r => r._1 -> (r._2, r._3)).toMap
+      assert(got === m, s"divergence at version $version")
+    }
+    for (step <- 1 to 30) {
+      rng.nextInt(6) match {
+        case 0 | 1 => // upsert merge: random keys, some moving partition
+          val keys = rng.shuffle(model.keys.toVector)
+            .take(1 + rng.nextInt(4))
+          val batch = keys.map(k =>
+            (k, s"s$step-$k", parts(rng.nextInt(4)))) ++
+            (if (rng.nextBoolean()) { // plus one insert
+              nextFreshKey += 1
+              Seq((nextFreshKey, s"s$step-new", parts(rng.nextInt(4))))
+            } else Nil)
+          val (_, _, v) = VersionLog.mergeByKeyCdc(spark, dir,
+            df(batch), "k", "p")
+          model = model ++ batch.map(r => r._1 -> (r._2, r._3))
+          history(v) = model
+        case 2 => // tombstone merge: delete a few existing keys
+          val doomed = rng.shuffle(model.keys.toVector)
+            .take(1 + rng.nextInt(3))
+          val batch = doomed.map(k => (k, "x", "zz", true))
+            .toDF("k", "v", "p", "_del")
+          val (_, _, v) = VersionLog.mergeByKeyCdc(spark, dir, batch,
+            "k", "p", deleteWhen = Some($"_del"))
+          model = model -- doomed
+          history(v) = model
+        case 3 => // append fresh keys
+          val fresh = (1 to 1 + rng.nextInt(3)).map { _ =>
+            nextFreshKey += 1
+            (nextFreshKey, s"a$step", parts(rng.nextInt(4)))
+          }
+          val v = VersionLog.append(spark, dir, df(fresh),
+            partitionBy = Some("p"))
+          model = model ++ fresh.map(r => r._1 -> (r._2, r._3))
+          history(v) = model
+        case 4 => // compaction: content must be invariant
+          val (_, _, v) = VersionLog.compactSnapshot(spark, dir,
+            targetBytes = 1L << 30)
+          history(v) = model // no-op when v already recorded
+        case 5 => // vacuum: retained history only shrinks
+          val retained = VersionLog.listVersions(spark, dir)
+            .takeRight(3).toSet
+          VersionLog.vacuumVersions(spark, dir, keepLast = 3, ttlMs = 0L)
+          history.keys.toSeq.filterNot(retained).foreach(history.remove)
+      }
+      liveEquals(model, None)
+      // a random RETAINED older version must still read as it was
+      val vs = VersionLog.listVersions(spark, dir)
+        .filter(history.contains)
+      val probe = vs(rng.nextInt(vs.size))
+      liveEquals(history(probe), Some(probe))
+    }
+  }
+
   test("feed-inversion time travel agrees with version-id time travel " +
       "(snapshotBefore over the feed == read of the parent version)") {
     import spark.implicits._

@@ -470,6 +470,12 @@ object VersionLog {
     * of the over-fragmented groups only. Returns
     * (filesBefore, filesAfter, committedVersion) — version is
     * unchanged when nothing needed rewriting.
+    *
+    * Layout note: the repack is a round-robin `repartition`, so a
+    * z-ordered group loses its clustering — restore it by committing
+    * `ZOrder.zOrdered(read(dir), …)` as an overwrite and rebuilding
+    * the stat sidecars, the same discipline the in-place
+    * [[Compact]] documents.
     */
   def compactSnapshot(spark: SparkSession, dir: String,
       targetBytes: Long = 128L << 20): (Int, Int, Long) = {

@@ -667,6 +667,73 @@ class IoSpec extends AnyFunSuite {
     assert(DeletionVectors.applyAndClear(spark, dir, "k", "p") === Nil)
   }
 
+  test("MODEL-CHECKED in-place lifecycle: 30 random merge/tombstone/" +
+      "DV-delete/apply/compact steps match an in-memory model") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.io.{Compact, DeletionVectors, MergeInto}
+    // Random walk over the IN-PLACE family under its documented
+    // contracts (single writer; a DV-deleted key is not re-upserted
+    // until a compaction applies the vectors): after every step,
+    // readWithDeletes — THE read path of a DV-bearing table — must
+    // equal the model. Exercises the interplay the unit tests cannot:
+    // merges rewriting partitions that still physically hold DV-hidden
+    // rows, tombstones next to vectors, applyAndClear after partition
+    // moves, and compaction over all of it.
+    val rng = new scala.util.Random(424242L)
+    val dir = Files.createTempDirectory("inplacemodel").toString
+    val parts = Vector("a", "b", "c", "d")
+    var model = (0L until 12L).map(k =>
+      k -> (s"v$k", parts((k % 4).toInt))).toMap
+    var dvDeleted = Set.empty[Long]
+    Seq(model.toSeq.map { case (k, (v, p)) => (k, v, p) }: _*)
+      .toDF("k", "v", "p")
+      .write.mode("overwrite").partitionBy("p").parquet(dir)
+    var nextFreshKey = 1000L
+    def upsertable: Vector[Long] =
+      (model.keySet -- dvDeleted).toVector.sorted
+    for (step <- 1 to 30) {
+      rng.nextInt(6) match {
+        case 0 | 1 => // upsert merge (never touches DV-hidden keys)
+          val keys = rng.shuffle(upsertable).take(1 + rng.nextInt(4))
+          nextFreshKey += 1
+          val batch = keys.map(k =>
+            (k, s"s$step-$k", parts(rng.nextInt(4)))) :+
+            ((nextFreshKey, s"s$step-new", parts(rng.nextInt(4))))
+          MergeInto.mergeByKey(spark, dir,
+            batch.toDF("k", "v", "p"), "k", "p")
+          model = model ++ batch.map(r => r._1 -> (r._2, r._3))
+        case 2 => // tombstone merge
+          val doomed = rng.shuffle(upsertable).take(1 + rng.nextInt(2))
+          if (doomed.nonEmpty) {
+            MergeInto.mergeByKeyCdc(spark, dir,
+              doomed.map(k => (k, "x", "zz", true))
+                .toDF("k", "v", "p", "_del"),
+              "k", "p", deleteWhen = Some(col("_del")))
+            model = model -- doomed
+          }
+        case 3 => // merge-on-read DV delete (home = the model's p)
+          val doomed = rng.shuffle(upsertable).take(1 + rng.nextInt(2))
+          if (doomed.nonEmpty) {
+            DeletionVectors.deleteKeys(spark, dir,
+              doomed.map(k => (k, model(k)._2)).toDF("k", "p"),
+              "k", "p")
+            model = model -- doomed
+            dvDeleted = dvDeleted ++ doomed
+          }
+        case 4 => // fold the DV debt
+          DeletionVectors.applyAndClear(spark, dir, "k", "p")
+          dvDeleted = Set.empty
+        case 5 => // compact fragmented partitions
+          Compact.compactPartitioned(spark, dir, targetBytes = 1L << 30)
+      }
+      val got = DeletionVectors.readWithDeletes(spark, dir, "k", "p")
+        .select($"k", $"v", $"p").as[(Long, String, String)]
+        .collect().map(r => r._1 -> (r._2, r._3)).toMap
+      assert(got === model, s"divergence at step $step")
+    }
+  }
+
   test("manifest: per-file stats, conservative pruning, null-stats " +
       "and disjoint boxes pruned, rebuild picks up appends") {
     import spark.implicits._

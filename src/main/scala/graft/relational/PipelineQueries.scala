@@ -210,6 +210,31 @@ object PipelineQueries {
     dir
   }
 
+  /** Shared build for the history/tail queries (q143/q144): a small
+    * versioned table with a DETERMINISTIC commit sequence — v1 init
+    * (fr), v2 append (de), v3 tombstone merge (fr%7 deletes) — and
+    * never compacted, so every version's added-row counts replay from
+    * the pristine table. Built once per (sf, process).
+    */
+  private def histTableDir(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val dir = s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft-hist-${Integer.toHexString(d.hashCode)}" +
+      s"-${ProcessHandle.current().pid()}"
+    buildOnce(dir) {
+      val docs = documents(s, d)
+      VersionLog.init(s, dir, docs.filter($"lang" === "fr"),
+        partitionBy = Some("lang"))
+      VersionLog.append(s, dir, docs.filter($"lang" === "de"),
+        partitionBy = Some("lang"))
+      VersionLog.mergeByKeyCdc(s, dir,
+        docs.filter($"lang" === "fr" && $"doc_id" % 7 === 0)
+          .withColumn("_del", lit(true)),
+        "doc_id", "lang", deleteWhen = Some($"_del"))
+    }
+    dir
+  }
+
   /** Shared build for the feed/audit queries (q124/q130): the
     * documents corpus seeded lang-partitioned, then ONE CDC merge
     * (fr%17 updates, %31 inserts into 'xx', de%13 tombstone deletes)
@@ -1887,22 +1912,36 @@ object PipelineQueries {
       // history that misordered parents — cannot hash-match.
       // (n_files is in the API but not the query: file counts depend
       // on task parallelism, not semantics.)
-      val dir = s"${System.getProperty("java.io.tmpdir")}" +
-        s"/graft-hist-${Integer.toHexString(d.hashCode)}" +
-        s"-${ProcessHandle.current().pid()}"
-      buildOnce(dir) {
-        val docs = documents(s, d)
-        VersionLog.init(s, dir, docs.filter($"lang" === "fr"),
-          partitionBy = Some("lang"))
-        VersionLog.append(s, dir, docs.filter($"lang" === "de"),
-          partitionBy = Some("lang"))
-        VersionLog.mergeByKeyCdc(s, dir,
-          docs.filter($"lang" === "fr" && $"doc_id" % 7 === 0)
-            .withColumn("_del", lit(true)),
-          "doc_id", "lang", deleteWhen = Some($"_del"))
-      }
+      val dir = histTableDir(s, d)
       VersionLog.history(s, dir)
         .select($"version", $"parent", $"action", $"n_rows")
+        .orderBy($"version")
+    },
+    "q144_version_tail" -> { (s, d) =>
+      import s.implicits._
+      // The COMMIT TAIL as a data source (format "graft-versions"):
+      // one row per (version, added file), emitted when the version
+      // file appears — the incremental-consumer front door (streaming
+      // twin spec-pinned in GraftTableSourceSpec). The query is the
+      // consumer pattern itself: per commit, read exactly the files
+      // that commit added (driver collect = the metadata-sized file
+      // list) and count their rows. The oracle recomputes every
+      // commit's added-row count from the pristine table — a commit
+      // that streamed a missing, extra, or uncommitted file cannot
+      // hash-match.
+      val dir = histTableDir(s, d)
+      val tail = s.read.format("graft-versions").load(dir)
+        .select($"version", $"parent", $"action", $"file").collect()
+      val perVersion = tail
+        .groupBy(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSeq.sortBy(_._1._1)
+        .map { case ((v, p, a), rows) =>
+          val n = s.read
+            .parquet(rows.map(r => s"$dir/${r.getString(3)}").toIndexedSeq: _*)
+            .count()
+          (v, p, a, n)
+        }
+      perVersion.toDF("version", "parent", "action", "n_added_rows")
         .orderBy($"version")
     },
     "q140_recall_curve" -> { (s, d) =>
@@ -3441,6 +3480,22 @@ object PipelineQueries {
            UNION ALL
            SELECT 3, 2, 'merge', CAST(fr.c + de.c - del.c AS BIGINT)
            FROM fr, de, del)
+         ORDER BY version""",
+    "q144_version_tail" ->
+      """WITH fr AS (SELECT count(*) AS c FROM documents
+             WHERE lang = 'fr'),
+         de AS (SELECT count(*) AS c FROM documents WHERE lang = 'de'),
+         del AS (SELECT count(*) AS c FROM documents
+             WHERE lang = 'fr' AND doc_id % 7 = 0)
+         SELECT * FROM (
+           SELECT CAST(1 AS BIGINT) AS version, CAST(0 AS BIGINT)
+               AS parent, 'init' AS action, CAST(fr.c AS BIGINT)
+               AS n_added_rows FROM fr
+           UNION ALL
+           SELECT 2, 1, 'append', CAST(de.c AS BIGINT) FROM de
+           UNION ALL
+           SELECT 3, 2, 'merge', CAST(fr.c - del.c AS BIGINT)
+           FROM fr, del)
          ORDER BY version""",
     "q142_graft_write_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,

@@ -102,6 +102,53 @@ class GraftTableSourceSpec extends AnyFunSuite {
       "numeric range predicate must prune partition files")
   }
 
+  test("version-tail stream: commits surface exactly once with their " +
+      "added files; uncommitted data stays invisible; batch form agrees") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("gtail").toString
+    VersionLog.init(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "p"), partitionBy = Some("p"))
+    val q = spark.readStream.format("graft-versions").load(dir)
+      .writeStream.format("memory").queryName("gtail")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def got() = spark.table("gtail")
+        .select($"version", $"action", $"file")
+        .as[(Long, String, String)].collect().toSeq
+      val afterInit = got()
+      assert(afterInit.nonEmpty && afterInit.forall(_._1 == 1L))
+      assert(afterInit.forall(_._2 == "init"))
+      // an uncommitted orphan batch dir must NOT stream
+      Seq((99L, "z")).toDF("k", "p")
+        .write.partitionBy("p").parquet(s"$dir/data/b-00000099-orphan")
+      q.processAllAvailable()
+      assert(got() === afterInit, "uncommitted files must not stream")
+      // an append commit streams exactly its added files, once
+      VersionLog.append(spark, dir, Seq((3L, "a")).toDF("k", "p"),
+        partitionBy = Some("p"))
+      q.processAllAvailable()
+      val afterAppend = got()
+      val newRows = afterAppend.filterNot(afterInit.contains)
+      assert(newRows.nonEmpty && newRows.forall(r =>
+        r._1 == 2L && r._2 == "append"))
+      assert(newRows.map(_._3).toSet ===
+        (VersionLog.snapshot(spark, dir, Some(2L)).files.toSet --
+          VersionLog.snapshot(spark, dir, Some(1L)).files.toSet))
+      // the consumer pattern: reading the appended files' ROWS via the
+      // ordinary batch reader yields exactly the appended batch
+      val appended = spark.read.option("basePath",
+          newRows.map(_._3).head.split("/").take(2).mkString(s"$dir/", "/", ""))
+        .parquet(newRows.map(r => s"$dir/${r._3}"): _*)
+      assert(appended.select($"k").as[Long].collect().toSeq === Seq(3L))
+      // batch form of the source replays the same retained tail
+      val batchTail = spark.read.format("graft-versions").load(dir)
+        .select($"version", $"action", $"file")
+        .as[(Long, String, String)].collect().toSeq
+      assert(batchTail.toSet === afterAppend.toSet)
+    } finally q.stop()
+  }
+
   test("graft format write path: every SaveMode is a version-log " +
       "commit — append/overwrite stay time-travelable") {
     import spark.implicits._

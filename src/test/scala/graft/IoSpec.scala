@@ -667,6 +667,25 @@ class IoSpec extends AnyFunSuite {
     assert(DeletionVectors.applyAndClear(spark, dir, "k", "p") === Nil)
   }
 
+  test("merge-on-read read plan: the DV anti-join broadcasts the " +
+      "vector side — one stage over the data, no table shuffle") {
+    import spark.implicits._
+    import graft.io.DeletionVectors
+    val dir = Files.createTempDirectory("dvplan").toString
+    (0L until 200L).map(i => (i, s"v$i", if (i % 2 == 0) "a" else "b"))
+      .toDF("k", "v", "p")
+      .write.mode("overwrite").partitionBy("p").parquet(dir)
+    DeletionVectors.deleteKeys(spark, dir,
+      Seq((4L, "a"), (7L, "b")).toDF("k", "p"), "k", "p")
+    val df = DeletionVectors.readWithDeletes(spark, dir, "k", "p")
+    assert(df.count() === 198L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftAnti"), plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"),
+      "the table side must never shuffle for a DV read")
+  }
+
   test("MODEL-CHECKED in-place lifecycle: 30 random merge/tombstone/" +
       "DV-delete/apply/compact steps match an in-memory model") {
     import spark.implicits._

@@ -91,14 +91,22 @@ object DeletionVectors {
     * exists.
     */
   def deletedKeys(spark: SparkSession, dir: String, keyCol: String,
-      partCol: String): DataFrame = {
+      partCol: String): DataFrame =
+    readBatches(spark, listBatches(spark, dir), keyCol, partCol)
+
+  /** The published DV batch directories at `dir`, ascending. */
+  private def listBatches(spark: SparkSession,
+      dir: String): Seq[String] = {
     val root = dvRoot(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val batches =
-      if (!fs.exists(root)) Array.empty[String]
-      else fs.listStatus(root)
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch-"))
-        .map(_.getPath.toString)
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch-"))
+      .map(_.getPath.toString).sorted.toSeq
+  }
+
+  private def readBatches(spark: SparkSession, batches: Seq[String],
+      keyCol: String, partCol: String): DataFrame =
     if (batches.isEmpty)
       spark.range(0).select(lit(null).cast("long").as(keyCol),
         lit(null).cast("string").as(partCol)).filter(lit(false))
@@ -106,7 +114,6 @@ object DeletionVectors {
       batches.map(b => spark.read.option("basePath", b).parquet(b)
           .select(col(keyCol), col(partCol).cast("string")))
         .reduce(_ unionByName _).distinct()
-  }
 
   /** The dataset with deletions applied: one broadcast anti-join of
     * the (small) DV key set against the table — the merge-on-read
@@ -134,8 +141,18 @@ object DeletionVectors {
     * next run (anti-joining already-removed keys is a no-op).
     */
   def applyAndClear(spark: SparkSession, dir: String, keyCol: String,
-      partCol: String): Seq[String] = {
-    val dv = deletedKeys(spark, dir, keyCol, partCol).localCheckpoint()
+      partCol: String): Seq[String] =
+    // pin the batch directories READ by this pass and clear exactly
+    // those at the end: deleteKeys is an online operation, so a batch
+    // published after this snapshot must survive for the next pass —
+    // a whole-root delete would silently drop it unapplied
+    applyBatches(spark, dir, keyCol, partCol, listBatches(spark, dir))
+
+  private[graft] def applyBatches(spark: SparkSession, dir: String,
+      keyCol: String, partCol: String,
+      batches: Seq[String]): Seq[String] = {
+    val dv = readBatches(spark, batches, keyCol, partCol)
+      .localCheckpoint()
     val parts = dv.select(col(partCol)).distinct()
       .collect().map(_.get(0)).map(String.valueOf)
     val base = dir.stripSuffix("/")
@@ -156,7 +173,12 @@ object DeletionVectors {
         Some(name)
       }
     }
-    fs.delete(dvRoot(base), true)
+    val root = dvRoot(base)
+    batches.foreach(b => fs.delete(new Path(b), true))
+    // drop the root only when no later-arriving batch remains
+    if (fs.exists(root) && !fs.listStatus(root).exists(s =>
+        s.isDirectory && s.getPath.getName.startsWith("batch-")))
+      fs.delete(root, true)
     rewritten
   }
 }

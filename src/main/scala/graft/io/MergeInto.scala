@@ -344,6 +344,23 @@ object MergeInto {
     */
   private[io] def writeFeedBatch(spark: SparkSession, dir: String,
       changes: DataFrame): DataFrame = {
+    val (_, name) = stageFeedBatch(spark, dir, changes)
+    publishStagedFeed(spark, dir, name)
+  }
+
+  /** Stage a feed batch WITHOUT publishing it: reserve the index,
+    * write the rows under the dot-prefixed staging name (invisible to
+    * every `batch-*` consumer), and return (staging path, batch name).
+    * The versioned merge uses this to make the feed transactional
+    * with its commit CAS: a pre-commit publish would leave a
+    * committed-looking batch of changes from a LOSING writer (whose
+    * version never landed) in the feed — phantom rows for every
+    * consumer. Staged batches publish via [[publishStagedFeed]] after
+    * the commit wins, or are dropped via [[discardStagedFeed]] when it
+    * loses; a crash in between leaves only an invisible orphan.
+    */
+  private[io] def stageFeedBatch(spark: SparkSession, dir: String,
+      changes: DataFrame): (Path, String) = {
     val root = new Path(dir.stripSuffix("/") + "._cdc")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val next = allocFeedIndex(fs, root)
@@ -351,11 +368,39 @@ object MergeInto {
     val staging = new Path(root, s".staging-$name")
     fs.delete(staging, true)
     changes.write.mode("error").parquet(staging.toString)
+    (staging, name)
+  }
+
+  /** Publish a staged feed batch by ONE rename. Idempotent on replay:
+    * when the batch directory already exists (a heal re-publishing
+    * after a crash that lost the staging rename's acknowledgement),
+    * the existing batch is read back as-is.
+    */
+  private[io] def publishStagedFeed(spark: SparkSession, dir: String,
+      name: String): DataFrame = {
+    val root = new Path(dir.stripSuffix("/") + "._cdc")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val batchDir = new Path(root, name)
-    if (!fs.rename(staging, batchDir))
-      throw new java.io.IOException(
-        s"could not publish feed batch $name under $root")
+    if (!fs.exists(batchDir)) {
+      val staging = new Path(root, s".staging-$name")
+      // rename may lose to a concurrent healer publishing the same
+      // staged batch — losing is success if the batch is now live
+      if (!fs.rename(staging, batchDir) && !fs.exists(batchDir))
+        throw new java.io.IOException(
+          s"could not publish feed batch $name under $root")
+    }
     spark.read.parquet(batchDir.toString)
+  }
+
+  /** Drop a staged feed batch (commit CAS lost): the staging rows and
+    * the index reservation both become vacuum-able orphans; consumers
+    * never saw either.
+    */
+  private[io] def discardStagedFeed(spark: SparkSession, dir: String,
+      name: String): Unit = {
+    val root = new Path(dir.stripSuffix("/") + "._cdc")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(root, s".staging-$name"), true)
   }
 
   /** Atomically reserve the first free feed-batch index: exclusive

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * else on disk exists for that reader.
   */
 case class TableSnapshot(version: Long, parent: Long, action: String,
-    files: Seq[String])
+    files: Seq[String], feed: Option[String] = None)
 
 /** Version-log commits — SNAPSHOT ISOLATION for the maintained table.
   *
@@ -153,14 +153,15 @@ object VersionLog {
     * re-run against the new snapshot. Returns the committed version.
     */
   def commit(spark: SparkSession, dir: String, parent: Long,
-      action: String, files: Seq[String]): Long = {
+      action: String, files: Seq[String],
+      feed: Option[String] = None): Long = {
     val fs = fsFor(spark, dir)
     val root = versionsRoot(dir)
     fs.mkdirs(root)
     val next = parent + 1
     val target = new Path(root, f"v-$next%08d.json")
     val json = renderSnapshot(TableSnapshot(next, parent, action,
-      files.sorted))
+      files.sorted, feed))
     if (!atomicCreate(fs, root, target, json))
       throw new java.util.ConcurrentModificationException(
         s"version $next at $dir was committed by another writer")
@@ -264,20 +265,38 @@ object VersionLog {
     *  - the next snapshot's file list = pinned minus touched-partition
     *    files plus the new ones; drained partitions simply contribute
     *    no new files (no directory deletes anywhere);
-    *  - the feed lands at `<dir>._cdc/batch-<n>` BEFORE the commit
-    *    (same durability contract as the in-place merge; feed batches
-    *    are append-only so feed writes never conflict with readers).
+    *  - the feed is STAGED (dot-prefixed, invisible to every consumer)
+    *    before the commit and PUBLISHED only after the commit CAS
+    *    wins — a pre-commit publish would leave a LOSING writer's
+    *    changes as a committed-looking feed batch (phantom rows for
+    *    every consumer, duplicated again by the retry). The staged
+    *    batch's name rides in the version file, so a crash between
+    *    the commit and the publish heals at the next merge's entry
+    *    (publish is idempotent); a CAS loss discards the staging.
     *
     * Crash at any point before the version-file create leaves the
     * table bit-identical for every reader (plus invisible orphans);
-    * after it, the merge is fully live. Nothing to heal, by
-    * construction. Returns (stats, feed, committedVersion).
+    * after it, the merge is fully live — the only heal is the
+    * idempotent feed publish above. Returns
+    * (stats, feed, committedVersion).
     */
   def mergeByKeyCdc(spark: SparkSession, dir: String, updates: DataFrame,
       keyCol: String, partCol: String, deleteWhen: Option[Column] = None,
       maxTouchedPartitions: Int = 4096,
       actionTag: String = "merge"): (MergeStats, DataFrame, Long) = {
     val snap = snapshot(spark, dir, None)
+    healStagedFeeds(spark, dir)
+    // the path-segment file matching below requires the hive layout
+    // this merge addresses — on a flat table (init with
+    // partitionBy = None) every matched key would silently
+    // misclassify as an insert and its old copy would survive in the
+    // kept files: duplicate keys. Reject the layout mismatch loudly.
+    val flatFiles = snap.files.filterNot(f =>
+      ("/" + f).contains(s"/$partCol="))
+    require(flatFiles.isEmpty,
+      s"versioned merge on '$partCol' requires a /$partCol=value/ " +
+        s"layout; ${flatFiles.size} snapshot files lack it (e.g. " +
+        s"${flatFiles.head}) — re-init the table with partitionBy")
     val table = readFiles(spark, dir, snap.files)
 
     val batch = updates.localCheckpoint()
@@ -361,27 +380,58 @@ object VersionLog {
 
     val survivors = targetTouched.join(allKeys, Seq(keyCol), "left_anti")
     val merged = survivors.unionByName(upserts.select(dataCols: _*))
-    // the feed write and the batch write are independent actions that
-    // both only read pinned (immutable) files — run them concurrently;
-    // both complete before the commit makes anything live
-    var feed: DataFrame = null
+    // the feed STAGING and the batch write are independent actions
+    // that both only read pinned (immutable) files — run them
+    // concurrently; both complete (invisibly) before the commit, and
+    // the feed publishes only once the commit CAS wins
+    var feedName: String = null
     var newFiles: Seq[String] = Nil
     graft.core.Par.run(
-      () => { feed = MergeInto.writeFeedBatch(spark, dir, changes) },
+      () => { feedName = MergeInto.stageFeedBatch(spark, dir, changes)._2 },
       () => { newFiles = writeBatch(spark, dir, merged, Some(partCol),
         snap.version + 1) })
     val outputRows =
       if (newFiles.isEmpty) 0L
       else readFiles(spark, dir, newFiles).count()
     val keptFiles = snap.files.filterNot(isTouchedFile)
-    val version = commit(spark, dir, snap.version, actionTag,
-      keptFiles ++ newFiles)
+    val version =
+      try commit(spark, dir, snap.version, actionTag,
+        keptFiles ++ newFiles, feed = Some(feedName))
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          MergeInto.discardStagedFeed(spark, dir, feedName)
+          throw e
+      }
+    val feed = MergeInto.publishStagedFeed(spark, dir, feedName)
     val drained = touched.map(String.valueOf).filter { v =>
       val frag = s"/$partCol=${MergeInto.escapePathName(v)}/"
       !newFiles.exists(f => ("/" + f).contains(frag))
     }
     (MergeStats(touched.map(String.valueOf).sorted.toSeq, outputRows,
       drained.sorted.toSeq), feed, version)
+  }
+
+  /** Publish any feed batch a COMMITTED version names but a crash
+    * left staged (the window between the commit CAS and the feed
+    * rename). Gated on a staging entry existing at all — one listing
+    * of the feed root, usually empty — then one small JSON read per
+    * retained version to find the batch's owner. A staged batch an
+    * IN-FLIGHT concurrent merge owns is never touched: no committed
+    * version names it yet, and publish itself is rename-idempotent,
+    * so the healer and the owner racing is harmless.
+    */
+  private def healStagedFeeds(spark: SparkSession, dir: String): Unit = {
+    val root = new Path(dir.stripSuffix("/") + "._cdc")
+    val fs = fsFor(spark, dir)
+    if (!fs.exists(root)) return
+    val staged = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith(".staging-batch-"))
+      .map(_.stripPrefix(".staging-")).toSet
+    if (staged.isEmpty) return
+    listVersions(spark, dir).foreach { v =>
+      snapshot(spark, dir, Some(v)).feed.filter(staged.contains)
+        .foreach(name => MergeInto.publishStagedFeed(spark, dir, name))
+    }
   }
 
   /** The table's commit history as a DataFrame — the DESCRIBE HISTORY
@@ -505,6 +555,12 @@ object VersionLog {
       return (snap.files.length, snap.files.length, snap.version)
     val batchRel = f"data/b-${snap.version + 1}%08d-" +
       java.util.UUID.randomUUID.toString.take(8)
+    // the SNAPSHOT's full (evolution-widened) schema: a pre-evolution
+    // group rewritten as-is would re-commit schema-narrow files into
+    // the newest batch, and a reader deriving the table schema from
+    // the newest batch would silently lose the widened columns — the
+    // same alignment mergeByKeyCdc applies to its touched reads
+    val tableSchema = readFiles(spark, dir, snap.files).schema
     val newFiles = rewrite.toSeq.sortBy(_._1).flatMap {
       case (g, fls, nOut) =>
         val src = readFiles(spark, dir, fls)
@@ -514,7 +570,13 @@ object VersionLog {
         val partColNames = g.split("/").filter(_.contains("="))
           .map(_.split("=", 2)(0))
         val out = s"$base/$batchRel" + (if (g.isEmpty) "" else s"/$g")
-        partColNames.foldLeft(src)(_ drop _)
+        val dataFields = tableSchema.fields
+          .filterNot(f => partColNames.contains(f.name))
+        val srcData = partColNames.foldLeft(src)(_ drop _)
+        dataFields.foldLeft(srcData) { (df, f) =>
+            if (df.columns.contains(f.name)) df
+            else df.withColumn(f.name, lit(null).cast(f.dataType))
+          }.select(dataFields.map(f => col(f.name)).toIndexedSeq: _*)
           .repartition(nOut)
           .write.mode("error").parquet(out)
         listParquet(fs, new Path(out)).map(p => relativize(base, p))
@@ -581,7 +643,9 @@ object VersionLog {
   private def renderSnapshot(s: TableSnapshot): String = {
     def esc(x: String) = x.replace("\\", "\\\\").replace("\"", "\\\"")
     s"""{"version":${s.version},"parent":${s.parent},""" +
-      s""""action":"${esc(s.action)}","files":[""" +
+      s""""action":"${esc(s.action)}",""" +
+      s.feed.fold("")(f => s""""feed":"${esc(f)}",""") +
+      s""""files":[""" +
       s.files.map(f => "\"" + esc(f) + "\"").mkString(",") + "]}"
   }
 
@@ -592,6 +656,7 @@ object VersionLog {
       node.get("version").asLong,
       node.get("parent").asLong,
       node.get("action").asText,
-      node.get("files").elements().asScala.map(_.asText).toSeq)
+      node.get("files").elements().asScala.map(_.asText).toSeq,
+      Option(node.get("feed")).map(_.asText)) // absent pre-r13: None
   }
 }

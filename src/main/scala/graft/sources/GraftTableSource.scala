@@ -151,8 +151,20 @@ private final class GraftFileIndex(spark: SparkSession, dir: String,
           f.split("/").dropRight(1).mkString("/"))
         byParent.toSeq.flatMap { case (parent, rels) =>
           val wanted = rels.map(_.split("/").last).toSet
-          fs.listStatus(new Path(base, parent))
+          val found = fs.listStatus(new Path(base, parent))
             .filter(s => s.isFile && wanted.contains(s.getPath.getName))
+          // every snapshot-listed file MUST be on disk: silently
+          // dropping a missing one (mid-vacuum race on an old
+          // versionAsOf, external damage) would return silently
+          // missing rows where a direct read fails loudly
+          if (found.length != wanted.size) {
+            val missing = wanted -- found.map(_.getPath.getName)
+            throw new java.io.FileNotFoundException(
+              s"snapshot v${snap.version} of $base lists files absent " +
+                s"on disk under $parent: ${missing.mkString(", ")} — " +
+                "vacuumed too aggressively or externally damaged")
+          }
+          found
         }
       } else {
         require(versionAsOf.isEmpty,
@@ -220,17 +232,49 @@ private final class GraftFileIndex(spark: SparkSession, dir: String,
       case (n, t) => StructField(n, t)
     })
 
-  /** Data schema from the NEWEST batch's footer (partition columns
-    * live in directory names, not in the files). Newest, not head:
-    * under schema evolution the latest commit carries the current
-    * table schema, and the parquet reader fills nulls for columns an
-    * older file lacks — the same widened view `VersionLog.read`
-    * unions to.
+  /** Data schema MERGED across the snapshot's batch directories
+    * (partition columns live in directory names, not in the files).
+    * One footer read per batch, oldest first, unseen columns appended
+    * in encounter order — exactly the widened view
+    * `VersionLog.read`'s `unionByName(allowMissingColumns)` chain
+    * produces, and robust where any single file is not: the newest
+    * batch may be schema-NARROWER than the table (a narrow append, a
+    * pre-alignment compaction), and trusting one footer would
+    * silently drop the evolved columns from this read path while the
+    * union path still surfaces them. The parquet reader null-fills
+    * whatever a given file lacks.
+    *
+    * One file per BATCH suffices because every writer lands a batch
+    * in one `df.write` (init/append/overwrite/merge) or — for the
+    * multi-group compaction — aligns every group to the snapshot's
+    * full schema first: schema is uniform within a batch by
+    * construction, so the merge cost is O(commits), never O(files).
     */
   val dataSchema: StructType = {
     require(filesPinned.nonEmpty, s"graft table at $base has no data files")
-    val newest = filesPinned.maxBy(_.status.getPath.toString)
-    spark.read.parquet(newest.status.getPath.toString).schema
+    def batchDirOf(f: GraftFile): String = {
+      val rel = f.status.getPath.toString.stripPrefix(basePath.toString)
+      val segs = rel.split("/").filter(_.nonEmpty)
+      if (segs.length >= 2 && segs(0) == "data") segs.take(2).mkString("/")
+      else segs.dropRight(1).mkString("/")
+    }
+    val onePerBatch = filesPinned
+      .groupBy(batchDirOf)
+      .map(_._2.minBy(_.status.getPath.toString)).toSeq
+      .sortBy(batchDirOf)
+    val footers = onePerBatch.map(f =>
+      spark.read.parquet(f.status.getPath.toString).schema)
+    footers.reduce { (acc, next) =>
+      val extra = next.fields.filterNot(f => acc.fieldNames.contains(f.name))
+      next.fields.filter(f => acc.fieldNames.contains(f.name)).foreach { f =>
+        val prior = acc(f.name).dataType
+        require(prior == f.dataType,
+          s"graft table at $base has conflicting types for column " +
+            s"'${f.name}': $prior vs ${f.dataType} — type changes " +
+            "require a rewriting commit (overwrite), not evolution")
+      }
+      StructType(acc.fields ++ extra)
+    }
   }
 
   override def rootPaths: Seq[Path] = Seq(basePath)

@@ -219,4 +219,20 @@ class GraftTableSourceSpec extends AnyFunSuite {
     val total = VersionLog.snapshot(spark, dir, None).files.size
     assert(scanNumFiles(aOnly) < total)
   }
+
+  test("graft format: a snapshot file missing on disk fails LOUDLY " +
+      "at planning — never silently missing rows") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("gmiss").toString
+    VersionLog.init(spark, dir,
+      Seq((1L, "one", "a"), (2L, "two", "b")).toDF("k", "v", "p"),
+      partitionBy = Some("p"))
+    // externally damage the table: delete one snapshot-listed file
+    val victim = VersionLog.snapshot(spark, dir, None).files.head
+    assert(new java.io.File(s"$dir/$victim").delete())
+    val e = intercept[java.io.FileNotFoundException] {
+      spark.read.format("graft").load(dir).count()
+    }
+    assert(e.getMessage.contains(victim.split("/").last), e.getMessage)
+  }
 }

@@ -667,6 +667,37 @@ class IoSpec extends AnyFunSuite {
     assert(DeletionVectors.applyAndClear(spark, dir, "k", "p") === Nil)
   }
 
+  test("deletion vectors: a batch published after an apply pass's " +
+      "snapshot survives the pass and applies on the next one") {
+    import spark.implicits._
+    import graft.io.DeletionVectors
+    val dir = Files.createTempDirectory("dvlate").toString
+    Seq((1L, "one", "a"), (2L, "two", "a"), (3L, "three", "b"))
+      .toDF("k", "v", "p")
+      .write.mode("overwrite").partitionBy("p").parquet(dir)
+    DeletionVectors.deleteKeys(spark, dir,
+      Seq((1L, "a")).toDF("k", "p"), "k", "p")
+    DeletionVectors.deleteKeys(spark, dir,
+      Seq((3L, "b")).toDF("k", "p"), "k", "p")
+    // the pass pinned only batch-00000 at its entry; batch-00001
+    // models a deleteKeys that landed after the snapshot — a
+    // whole-root clear would discard it WITHOUT applying it (a
+    // silently lost delete on the advertised online-delete path)
+    DeletionVectors.applyBatches(spark, dir, "k", "p",
+      Seq(s"$dir._dv/batch-00000"))
+    assert(new java.io.File(s"$dir._dv/batch-00001").exists(),
+      "a later-arriving DV batch must survive the pass")
+    assert(DeletionVectors.readWithDeletes(spark, dir, "k", "p")
+      .select($"k").as[Long].collect().toSet === Set(2L),
+      "the surviving batch must still mask its key")
+    // the next pass folds it and only then clears the root
+    assert(DeletionVectors.applyAndClear(spark, dir, "k", "p")
+      === Seq("p=b"))
+    assert(!new java.io.File(s"$dir._dv").exists())
+    assert(spark.read.parquet(dir).select($"k").as[Long]
+      .collect().toSet === Set(2L))
+  }
+
   test("merge-on-read read plan: the DV anti-join broadcasts the " +
       "vector side — one stage over the data, no table shuffle") {
     import spark.implicits._

@@ -240,8 +240,8 @@ class VersionLogSpec extends AnyFunSuite {
     assert(t.select($"k", $"extra").as[(Long, Option[Long])]
       .collect().toSet ===
       Set((1L, None), (2L, None), (3L, Some(30L))))
-    // the graft format reads the same widened view (newest-batch
-    // schema; the parquet reader null-fills older files)
+    // the graft format reads the same widened view (footer schemas
+    // merged across batches; the parquet reader null-fills older files)
     val f = spark.read.format("graft").load(dir)
     assert(f.columns.toSet === Set("k", "v", "p", "extra"))
     assert(f.filter($"extra".isNotNull).select($"k").as[Long]
@@ -301,6 +301,93 @@ class VersionLogSpec extends AnyFunSuite {
     assert(finalRows.contains((2L, "two2", "a")))
     assert(finalRows.contains((4L, "four2", "b")))
     assert(finalRows.size === 5)
+    // the feed is transactional with the commit: exactly one
+    // PUBLISHED batch per COMMITTED merge — a CAS loser's staged
+    // batch must never surface as a committed-looking phantom
+    val committedMerges = wins.size + losses.size // each loss retried once
+    val published = new java.io.File(s"$dir._cdc")
+      .listFiles.map(_.getName).count(_.startsWith("batch-"))
+    assert(published === committedMerges,
+      s"$published feed batches for $committedMerges committed merges")
+  }
+
+  test("CDC feed is transactional with the commit: a crash between " +
+      "the version CAS and the feed publish heals at the next entry") {
+    import spark.implicits._
+    val dir = seed()
+    VersionLog.mergeByKeyCdc(spark, dir,
+      Seq((2L, "two2", "a")).toDF("k", "v", "p"), "k", "p")
+    val cdc = new java.io.File(s"$dir._cdc")
+    def published() =
+      cdc.listFiles.map(_.getName).filter(_.startsWith("batch-")).toSet
+    assert(published() === Set("batch-00000"))
+    // simulate the crash window: the commit NAMED the feed batch in
+    // its version file but the publish rename never ran — un-publish
+    // the batch back to its staging name
+    assert(new java.io.File(cdc, "batch-00000").renameTo(
+      new java.io.File(cdc, ".staging-batch-00000")))
+    assert(published() === Set.empty[String],
+      "a staged batch must be invisible to every consumer")
+    // the next merge heals at entry (idempotent publish), THEN
+    // appends its own batch at the next free index
+    VersionLog.mergeByKeyCdc(spark, dir,
+      Seq((3L, "three3", "b")).toDF("k", "v", "p"), "k", "p")
+    assert(published() === Set("batch-00000", "batch-00001"))
+    // the healed batch carries the FIRST merge's changes
+    assert(spark.read.parquet(s"$dir._cdc/batch-00000")
+      .filter($"_op" === "update_post" && $"k" === 2L).count() === 1L)
+  }
+
+  test("versioned merge rejects a flat layout loudly: without " +
+      "/part=value/ segments every matched key would duplicate") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("vflat").toString
+    VersionLog.init(spark, dir,
+      Seq((1L, "one", "a"), (2L, "two", "b")).toDF("k", "v", "p"),
+      partitionBy = None)
+    val e = intercept[IllegalArgumentException] {
+      VersionLog.mergeByKeyCdc(spark, dir,
+        Seq((1L, "one2", "a")).toDF("k", "v", "p"), "k", "p")
+    }
+    assert(e.getMessage.contains("layout"), e.getMessage)
+    // nothing committed, nothing changed
+    assert(VersionLog.listVersions(spark, dir) === Seq(1L))
+    assert(rows(VersionLog.read(spark, dir)) ===
+      Set((1L, "one", "a"), (2L, "two", "b")))
+  }
+
+  test("schema evolution: a narrow APPEND or a compaction cannot " +
+      "narrow the table — both read paths keep the evolved columns") {
+    import spark.implicits._
+    val dir = seed()
+    // widen via append: +extra
+    VersionLog.append(spark, dir,
+      Seq((30L, "thirty", Some(30L), "b")).toDF("k", "v", "extra", "p"),
+      partitionBy = Some("p"))
+    // narrow append: the NEWEST batch now lacks the evolved column —
+    // a reader trusting one newest footer would silently drop it
+    VersionLog.append(spark, dir,
+      Seq((8L, "eight", "c")).toDF("k", "v", "p"),
+      partitionBy = Some("p"))
+    def checkBoth(): Unit = {
+      val union = VersionLog.read(spark, dir)
+      val format = spark.read.format("graft").load(dir)
+      for (df <- Seq(union, format)) {
+        assert(df.columns.toSet === Set("k", "v", "extra", "p"))
+        assert(df.select($"k", $"extra")
+          .as[(Long, Option[Long])].collect().toSet ===
+          Set((1L, None), (2L, None), (3L, None), (4L, None),
+            (6L, None), (30L, Some(30L)), (8L, None)))
+      }
+    }
+    checkBoth()
+    // compaction rewrites fragmented groups ALIGNED to the table's
+    // full schema (not their own pre-evolution footers), so the new
+    // batch can never be the narrowest view of the table
+    val (nBefore, nAfter, v) =
+      VersionLog.compactSnapshot(spark, dir, targetBytes = 1L << 30)
+    assert(nAfter < nBefore && v > 2L)
+    checkBoth()
   }
 
   test("MODEL-CHECKED lifecycle: 30 random merge/append/delete/compact/" +

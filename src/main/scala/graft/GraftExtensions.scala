@@ -22,6 +22,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // declarative bounded-difference (range) theta-join -> bucketed
     // equi-join branches
     ext.injectOptimizerRule(_ => plans.RangeJoinRewrite)
+    // graft catalog tables as SQL citizens: MERGE INTO / DESCRIBE
+    // HISTORY at parse time, catalog reads rewritten to the shared
+    // planner-pruning V1 relation (Delta's integration shape)
+    ext.injectParser((session, delegate) =>
+      new catalog.GraftSqlParser(session, delegate))
+    ext.injectResolutionRule(session =>
+      catalog.GraftV2ToV1Reads(session))
     def arity2(name: String, children: Seq[Expression])(
         build: (Expression, Expression) => Expression): Expression = {
       if (children.size != 2)

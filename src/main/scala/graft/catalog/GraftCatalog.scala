@@ -1,0 +1,287 @@
+package graft.catalog
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.{IdentityTransform, NamedReference, Transform}
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.io.VersionLog
+
+/** `spark.sql.catalog.graft = graft.catalog.GraftCatalog` — the
+  * versioned table as a CATALOG table, so the whole lakehouse layer
+  * is plain SQL:
+  *
+  * {{{
+  * SELECT * FROM graft.db.t                      -- latest snapshot
+  * SELECT * FROM graft.db.t VERSION AS OF 2      -- time travel
+  * INSERT INTO graft.db.t SELECT ...             -- append commit
+  * INSERT OVERWRITE graft.db.t SELECT ...        -- overwrite commit
+  * CREATE TABLE graft.db.t (...) PARTITIONED BY (p)
+  * CREATE TABLE graft.db.t AS SELECT ...         -- init commit
+  * MERGE INTO graft.db.t USING s ON ...          -- CDC merge commit
+  * DESCRIBE HISTORY graft.db.t                   -- the commit log
+  * }}}
+  *
+  * Layout: an identifier maps to a directory —
+  * `warehouse/<ns...>/<name>` under the configured
+  * `spark.sql.catalog.graft.warehouse`, or, Delta-style, the literal
+  * path for `` graft.`/abs/path` `` identifiers (no warehouse
+  * needed). A directory IS a table iff it has a version log or a
+  * `_table.json` declaration (CREATE TABLE without data); every other
+  * directory is a namespace. There is no metastore: like
+  * path-addressed Delta tables, all catalog state lives next to the
+  * data, so a 1000-executor cluster and a laptop resolve the same
+  * table the same way.
+  *
+  * MERGE INTO and DESCRIBE HISTORY are routed by the companion parser
+  * / rules in [[GraftCatalogRules]]; reads rewrite to the
+  * [[graft.sources.GraftTableSource]] V1 relation (one shared
+  * planner-pruning FileIndex for both front doors).
+  */
+final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = "graft"
+  private var warehouseOpt: Option[String] = None
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouseOpt = Option(options.get("warehouse")).map(_.stripSuffix("/"))
+  }
+
+  /** Warehouse root: the initialize-time option, else the session
+    * conf at CALL time — the catalog manager caches plugin instances
+    * per session, so a warehouse configured after the catalog's first
+    * use (a path-identifier use needs none) must still take effect.
+    */
+  private def warehouse: Option[String] = warehouseOpt.orElse(
+    Option(spark.conf.get(
+      s"spark.sql.catalog.$catalogName.warehouse", null))
+      .map(_.stripSuffix("/")))
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def fsFor(p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Identifier -> directory. A name starting with `/` is a literal
+    * path table (namespace must be empty); anything else resolves
+    * under the warehouse.
+    */
+  def dirFor(ident: Identifier): String =
+    if (ident.name.startsWith("/")) {
+      require(ident.namespace.isEmpty,
+        s"path table ${ident.name} cannot carry a namespace " +
+          s"(${ident.namespace.mkString(".")})")
+      ident.name.stripSuffix("/")
+    } else {
+      val w = warehouse.getOrElse(throw new IllegalArgumentException(
+        s"catalog $catalogName has no warehouse configured; set " +
+          s"spark.sql.catalog.$catalogName.warehouse or use a " +
+          s"path identifier ($catalogName.`/abs/path`)"))
+      (w +: (ident.namespace :+ ident.name)).mkString("/")
+    }
+
+  private def metaPath(dir: String): Path = new Path(dir, "_table.json")
+
+  private def isTable(dir: String): Boolean = {
+    val fs = fsFor(new Path(dir))
+    VersionLog.listVersions(spark, dir).nonEmpty ||
+      fs.exists(metaPath(dir))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTable(dirFor(ident))
+
+  override def loadTable(ident: Identifier): Table =
+    loadVersioned(ident, None)
+
+  /** `VERSION AS OF n` — the analyzer's time-travel hook. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v = try version.toLong catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"graft versions are numeric commit ids, got '$version'")
+    }
+    loadVersioned(ident, Some(v))
+  }
+
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    throw new UnsupportedOperationException(
+      "TIMESTAMP AS OF is not supported; use VERSION AS OF <commit id> " +
+        s"(see DESCRIBE HISTORY $catalogName.${ident.toString})")
+
+  private def loadVersioned(ident: Identifier,
+      versionAsOf: Option[Long]): GraftTable = {
+    val dir = dirFor(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val (declSchema, declPart) = readMeta(dir)
+    new GraftTable(spark, dir, ident.toString, versionAsOf,
+      declSchema, declPart)
+  }
+
+  /** CREATE TABLE: persists the declared schema/partitioning as
+    * `_table.json` so the empty table is loadable (and the first
+    * INSERT INTO can bootstrap the version log). CTAS runs this, then
+    * writes through the table's V1 write — the init commit.
+    */
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val dir = dirFor(ident)
+    if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    val partCol = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) if t.name == "identity" && t.references.length == 1 =>
+        Some(t.references.head.fieldNames.mkString("."))
+      case other => throw new UnsupportedOperationException(
+        "graft tables support at most one identity PARTITIONED BY " +
+          s"column, got: ${other.mkString(", ")}")
+    }
+    partCol.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column $c not in schema"))
+    val p = metaPath(dir)
+    val fs = fsFor(p)
+    fs.mkdirs(new Path(dir))
+    val json = s"""{"schema":${schema.json},""" +
+      s""""partCol":${partCol.fold("null")(c => "\"" + c + "\"")}}"""
+    val out = fs.create(p, false)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    new GraftTable(spark, dir, ident.toString, None, Some(schema), partCol)
+  }
+
+  private def readMeta(dir: String):
+      (Option[StructType], Option[String]) = {
+    val p = metaPath(dir)
+    val fs = fsFor(p)
+    if (!fs.exists(p)) (None, None)
+    else {
+      val in = fs.open(p)
+      val bytes = try in.readAllBytes() finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+      val schema = DataType.fromJson(node.get("schema").toString)
+        .asInstanceOf[StructType]
+      val part = Option(node.get("partCol")).filterNot(_.isNull)
+        .map(_.asText)
+      (Some(schema), part)
+    }
+  }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE on graft tables is not supported; schema widens " +
+        "through appends (evolution) and rewrites through " +
+        "INSERT OVERWRITE")
+
+  /** DROP TABLE: removes the table directory AND its dot-named
+    * sidecar siblings (`<dir>._cdc`, `<dir>._dv` …).
+    */
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = dirFor(ident)
+    if (!isTable(dir)) return false
+    val p = new Path(dir)
+    val fs = fsFor(p)
+    sidecarsOf(fs, p).foreach(s => fs.delete(s, true))
+    fs.delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit = {
+    val from = new Path(dirFor(oldIdent))
+    val to = new Path(dirFor(newIdent))
+    val fs = fsFor(from)
+    if (!isTable(from.toString)) throw new NoSuchTableException(oldIdent)
+    if (isTable(to.toString)) throw new TableAlreadyExistsException(newIdent)
+    fs.mkdirs(to.getParent)
+    sidecarsOf(fs, from).foreach { s =>
+      val suffix = s.getName.stripPrefix(from.getName)
+      require(fs.rename(s, new Path(to.getParent, to.getName + suffix)),
+        s"could not move sidecar $s")
+    }
+    require(fs.rename(from, to), s"could not rename $from to $to")
+  }
+
+  private def sidecarsOf(fs: FileSystem, table: Path): Seq[Path] = {
+    val parent = table.getParent
+    if (parent == null || !fs.exists(parent)) return Nil
+    fs.listStatus(parent).map(_.getPath)
+      .filter(p => p.getName.startsWith(table.getName + "._")).toSeq
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val root = nsPath(namespace)
+    val fs = fsFor(root)
+    if (!fs.exists(root)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filter(p => isTable(p.toUri.getPath))
+      .map(p => Identifier.of(namespace, p.getName))
+  }
+
+  // ---- namespaces = directories without a table marker -------------
+
+  private def nsPath(namespace: Array[String]): Path = {
+    val w = warehouse.getOrElse(throw new IllegalArgumentException(
+      s"catalog $catalogName has no warehouse configured"))
+    new Path((w +: namespace.toSeq).mkString("/"))
+  }
+
+  override def listNamespaces(): Array[Array[String]] =
+    listNamespaces(Array.empty)
+
+  override def listNamespaces(
+      namespace: Array[String]): Array[Array[String]] = {
+    val root = nsPath(namespace)
+    val fs = fsFor(root)
+    if (!fs.exists(root)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filterNot(p => isTable(p.toUri.getPath))
+      .filterNot(_.getName.startsWith("."))
+      .map(p => namespace :+ p.getName)
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val p = nsPath(namespace)
+    fsFor(p).exists(p) && !isTable(p.toUri.getPath)
+  }
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    Map("location" -> nsPath(namespace).toString).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    val p = nsPath(namespace)
+    fsFor(p).mkdirs(p)
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft namespaces carry no mutable metadata")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    val p = nsPath(namespace)
+    val fs = fsFor(p)
+    if (!fs.exists(p)) return false
+    if (!cascade && fs.listStatus(p).nonEmpty)
+      throw new IllegalStateException(
+        s"namespace ${namespace.mkString(".")} is not empty")
+    fs.delete(p, true)
+  }
+}

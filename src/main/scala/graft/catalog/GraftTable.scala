@@ -1,0 +1,119 @@
+package graft.catalog
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{AlwaysTrue, BaseRelation, Filter, InsertableRelation}
+import org.apache.spark.sql.types.StructType
+
+import graft.io.VersionLog
+import graft.sources.GraftTableSource
+
+/** A versioned graft table as a Spark V2 [[Table]] — the object
+  * [[GraftCatalog]] hands the analyzer so `SELECT`, `INSERT INTO`,
+  * `INSERT OVERWRITE`, `MERGE INTO` and `VERSION AS OF` plan against
+  * the version log with no helper APIs in sight.
+  *
+  * Reads do NOT go through a bespoke V2 scan: [[GraftCatalogRules]]
+  * rewrites the analyzer's `DataSourceV2Relation` over this table
+  * into the V1 `HadoopFsRelation` built by [[GraftTableSource]] — the
+  * Delta integration shape — so the catalog path and the
+  * `format("graft")` path share one planner-pruning FileIndex
+  * (manifest boxes, key blooms, partition pruning, snapshot pinning)
+  * and Spark's own vectorized parquet scan.
+  *
+  * Writes use the V1 write fallback (`V1_BATCH_WRITE`): the
+  * InsertableRelation maps INSERT INTO to a version-log append,
+  * INSERT OVERWRITE to an overwrite commit, and the first insert into
+  * a `CREATE TABLE`-declared empty table to `init` — every SQL write
+  * is one atomic snapshot commit with time travel across it.
+  */
+final class GraftTable(spark: SparkSession, val dir: String,
+    identName: String, val versionAsOf: Option[Long],
+    declaredSchema: Option[StructType], declaredPartCol: Option[String])
+    extends Table with SupportsWrite {
+
+  /** Live = at least one committed version. Checked per call site so
+    * a CREATE TABLE handle observes its own first insert.
+    */
+  def exists: Boolean = VersionLog.listVersions(spark, dir).nonEmpty
+
+  /** The V1 relation over the pinned snapshot (None for a declared
+    * table with no commits yet — readers see an empty relation via
+    * [[GraftCatalogRules]]).
+    */
+  lazy val v1Relation: Option[BaseRelation] =
+    if (!exists) None
+    else Some(new GraftTableSource().createRelation(spark.sqlContext,
+      Map("path" -> dir) ++
+        versionAsOf.map(v => "versionAsOf" -> v.toString)))
+
+  /** The table's single hive partition column: discovered from the
+    * snapshot's `part=value` path segments for a live table, the
+    * declared identity transform otherwise.
+    */
+  def partColOpt: Option[String] =
+    if (exists) {
+      val snap = VersionLog.snapshot(spark, dir, None)
+      snap.files.flatMap(_.split("/").filter(_.contains("="))
+        .map(_.split("=", 2)(0))).distinct match {
+        case Seq(one) => Some(one)
+        case Seq() => None
+        case many => throw new IllegalStateException(
+          s"graft table at $dir has multiple partition levels: " +
+            many.mkString(","))
+      }
+    } else declaredPartCol
+
+  override def name(): String = identName
+
+  override def schema(): StructType =
+    v1Relation.map(_.schema).orElse(declaredSchema).getOrElse(
+      throw new IllegalStateException(
+        s"graft table at $dir has no data and no declared schema"))
+
+  override def partitioning(): Array[Transform] =
+    partColOpt.map(Expressions.identity).toArray
+
+  override def properties(): util.Map[String, String] =
+    Map("location" -> dir, "provider" -> "graft").asJava
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER).asJava
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(versionAsOf.isEmpty,
+      s"cannot write to a time-travel read of $dir (VERSION AS OF)")
+    new WriteBuilder with SupportsOverwrite {
+      private var replace = false
+      override def truncate(): WriteBuilder = { replace = true; this }
+      override def overwrite(filters: Array[Filter]): WriteBuilder = {
+        require(filters.forall(_.isInstanceOf[AlwaysTrue]),
+          "graft supports only full-table INSERT OVERWRITE " +
+            s"(got filters: ${filters.mkString(", ")})")
+        replace = true
+        this
+      }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame,
+                overwrite: Boolean): Unit = {
+              val ow = replace || overwrite
+              val pb = partColOpt
+              if (!exists) VersionLog.init(spark, dir, data, pb)
+              else if (ow) VersionLog.overwrite(spark, dir, data, pb)
+              else VersionLog.append(spark, dir, data, pb)
+            }
+          }
+      }
+    }
+  }
+}

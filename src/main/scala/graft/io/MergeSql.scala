@@ -61,6 +61,25 @@ object MergeSql {
       case other => throw new IllegalArgumentException(
         s"unsupported MERGE source: $other")
     }
+    val (keyCol, deleteWhenSql) = interpretShape(m)
+    val partCol = discoverPartCol(spark, dir)
+    // tombstone marker columns live only on the source; project the
+    // target's schema plus whatever the delete predicate needs —
+    // mergeByKeyCdc ignores extra columns via its own projections
+    MergeInto.mergeByKeyCdc(spark, dir, source, keyCol, partCol,
+      deleteWhenSql.map(expr), maxTouchedPartitions)
+  }
+
+  /** Interpret the engine-supported MERGE shape out of Spark's raw
+    * parse tree: the single key column from the ON condition and the
+    * optional tombstone predicate (qualifier-stripped SQL, to
+    * evaluate over the bare source frame). Refuses anything the merge
+    * does not implement — shared by the view-mapped [[mergeSql]] front
+    * door and the catalog's
+    * [[graft.catalog.GraftCatalogMergeCommand]].
+    */
+  private[graft] def interpretShape(
+      m: MergeIntoTable): (String, Option[String]) = {
     val keyCol = m.mergeCondition match {
       case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
           if a.nameParts.last.equalsIgnoreCase(b.nameParts.last) =>
@@ -71,10 +90,10 @@ object MergeSql {
     }
     // WHEN MATCHED clauses: at most one conditional DELETE plus the
     // unconditional UPDATE SET * (standard first-match-wins order)
-    val deleteWhen = m.matchedActions match {
+    val deleteWhenSql = m.matchedActions match {
       case Seq(UpdateStarAction(None)) => None
       case Seq(DeleteAction(Some(cond)), UpdateStarAction(None)) =>
-        Some(expr(stripQualifiers(cond).sql))
+        Some(stripQualifiers(cond).sql)
       case other => throw new IllegalArgumentException(
         "supported WHEN MATCHED forms: [AND <cond> THEN DELETE,] " +
           s"THEN UPDATE SET * — got: $other")
@@ -86,12 +105,7 @@ object MergeSql {
     }
     require(m.notMatchedBySourceActions.isEmpty,
       "WHEN NOT MATCHED BY SOURCE is not supported")
-    val partCol = discoverPartCol(spark, dir)
-    // tombstone marker columns live only on the source; project the
-    // target's schema plus whatever the delete predicate needs —
-    // mergeByKeyCdc ignores extra columns via its own projections
-    MergeInto.mergeByKeyCdc(spark, dir, source, keyCol, partCol,
-      deleteWhen, maxTouchedPartitions)
+    (keyCol, deleteWhenSql)
   }
 
   /** The partition column of a hive-layout dataset, from its

@@ -235,6 +235,45 @@ object PipelineQueries {
     dir
   }
 
+  /** Shared build for the catalog-SQL query (q145): the same
+    * deterministic post-merge state as q136, produced ENTIRELY
+    * through the SQL front door — the versioned table addressed as a
+    * catalog path identifier, the CDC batch applied by a `MERGE INTO`
+    * statement (parsed by Spark, routed by the graft parser to the
+    * versioned CDC merge), and read back with
+    * `SELECT … FROM graft.`dir``. Built once per (sf, process).
+    */
+  private def catalogSqlTableDir(s: SparkSession, d: String): String = {
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.graft",
+      classOf[graft.catalog.GraftCatalog].getName)
+    val dir = s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft-cat-${Integer.toHexString(d.hashCode)}" +
+      s"-${ProcessHandle.current().pid()}"
+    buildOnce(dir) {
+      val docs = documents(s, d)
+      VersionLog.init(s, dir, docs.repartition(4),
+        partitionBy = Some("lang"))
+      docs.filter($"lang" === "fr" && $"doc_id" % 17 === 0)
+        .withColumn("text", concat($"text", lit(" [v2]")))
+        .withColumn("_del", lit(false))
+        .unionByName(docs.filter($"doc_id" % 31 === 0)
+          .withColumn("doc_id", $"doc_id" + 100000000L)
+          .withColumn("lang", lit("xx"))
+          .withColumn("_del", lit(false)))
+        .unionByName(docs
+          .filter($"lang" === "de" && $"doc_id" % 13 === 0)
+          .withColumn("_del", lit(true)))
+        .createOrReplaceTempView("q145_updates")
+      s.sql(s"""MERGE INTO graft.`$dir` AS t USING q145_updates AS u
+          ON t.doc_id = u.doc_id
+          WHEN MATCHED AND u._del THEN DELETE
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""")
+    }
+    dir
+  }
+
   /** Shared build for the feed/audit queries (q124/q130): the
     * documents corpus seeded lang-partitioned, then ONE CDC merge
     * (fr%17 updates, %31 inserts into 'xx', de%13 tombstone deletes)
@@ -1944,6 +1983,25 @@ object PipelineQueries {
       perVersion.toDF("version", "parent", "action", "n_added_rows")
         .orderBy($"version")
     },
+    "q145_catalog_sql" -> { (s, d) =>
+      // THE LAKEHOUSE AS PLAIN SQL: the V2 TableCatalog
+      // (catalog/GraftCatalog) makes the versioned table a catalog
+      // citizen — this build applies q136's deterministic CDC batch
+      // via a MERGE INTO *statement* (Spark's parse tree, the graft
+      // parser's command, the versioned copy-on-write merge
+      // underneath) and this query reads the committed result back
+      // through `SELECT … FROM graft.`dir``, planned by the SAME
+      // pruning FileIndex as format("graft"). The oracle is q136's
+      // independent reconstruction: a merge that the SQL route
+      // applied differently from the API route cannot hash-match.
+      // Catalog mechanics (CREATE/CTAS/INSERT/OVERWRITE/history/
+      // plan-pruning parity) are spec-pinned in GraftCatalogSpec.
+      val dir = catalogSqlTableDir(s, d)
+      s.sql(s"""SELECT lang, count(*) AS n_rows,
+          sum(length(text)) AS sum_len, sum(doc_id) AS sum_ids
+        FROM graft.`$dir`
+        GROUP BY lang ORDER BY lang""")
+    },
     "q140_recall_curve" -> { (s, d) =>
       import s.implicits._
       // The serving family's accuracy knob as a MEASURED CURVE, not
@@ -3524,6 +3582,27 @@ object PipelineQueries {
            CAST(sum(doc_id) AS BIGINT) AS sum_ids
          FROM merged GROUP BY lang ORDER BY lang""",
     "q136_versioned_merge" ->
+      """WITH upd AS (
+           SELECT doc_id, text || ' [v2]' AS text, lang
+           FROM documents WHERE lang = 'fr' AND doc_id % 17 = 0
+           UNION ALL
+           SELECT doc_id + 100000000, text, 'xx' AS lang
+           FROM documents WHERE doc_id % 31 = 0),
+         del AS (
+           SELECT doc_id FROM documents
+           WHERE lang = 'de' AND doc_id % 13 = 0),
+         merged AS (
+           SELECT d.doc_id, d.text, d.lang FROM documents d
+           WHERE NOT EXISTS (SELECT 1 FROM upd u
+                             WHERE u.doc_id = d.doc_id)
+             AND NOT EXISTS (SELECT 1 FROM del x
+                             WHERE x.doc_id = d.doc_id)
+           UNION ALL SELECT doc_id, text, lang FROM upd)
+         SELECT lang, count(*) AS n_rows,
+           CAST(sum(length(text)) AS BIGINT) AS sum_len,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         FROM merged GROUP BY lang ORDER BY lang""",
+    "q145_catalog_sql" ->
       """WITH upd AS (
            SELECT doc_id, text || ' [v2]' AS text, lang
            FROM documents WHERE lang = 'fr' AND doc_id % 17 = 0

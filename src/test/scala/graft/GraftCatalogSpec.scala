@@ -1,0 +1,158 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.{MergeInto, MergeSql, VersionLog}
+
+/** The graft V2 TableCatalog (catalog/GraftCatalog): the versioned
+  * table as plain SQL — CREATE/CTAS/INSERT/INSERT OVERWRITE/MERGE
+  * INTO/VERSION AS OF/DESCRIBE HISTORY — with reads rewritten to the
+  * SAME planner-pruning V1 relation as format("graft"), and writes
+  * landing as version-log commits (time travel across every one).
+  */
+class GraftCatalogSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val warehouse: String = {
+    val w = Files.createTempDirectory("graft-wh").toString
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", w)
+    w
+  }
+
+  test("CREATE TABLE + INSERT INTO bootstraps the version log; " +
+      "INSERT is an append commit; INSERT OVERWRITE replaces; " +
+      "VERSION AS OF time-travels across all of it") {
+    import spark.implicits._
+    warehouse
+    spark.sql(
+      "CREATE TABLE graft.t1 (k BIGINT, v STRING, p STRING) " +
+        "PARTITIONED BY (p)")
+    // declared but empty: readable as an empty relation
+    assert(spark.sql("SELECT * FROM graft.t1").count() === 0L)
+    spark.sql("INSERT INTO graft.t1 VALUES (1, 'one', 'a'), (2, 'two', 'b')")
+    assert(VersionLog.listVersions(spark, s"$warehouse/t1") === Seq(1L))
+    spark.sql("INSERT INTO graft.t1 VALUES (3, 'three', 'a')")
+    assert(VersionLog.listVersions(spark, s"$warehouse/t1") ===
+      Seq(1L, 2L))
+    assert(spark.sql("SELECT k FROM graft.t1").as[Long].collect().toSet
+      === Set(1L, 2L, 3L))
+    assert(spark.sql("SELECT k FROM graft.t1 VERSION AS OF 1")
+      .as[Long].collect().toSet === Set(1L, 2L))
+    spark.sql("INSERT OVERWRITE graft.t1 VALUES (9, 'nine', 'c')")
+    assert(spark.sql("SELECT k FROM graft.t1").as[Long]
+      .collect().toSet === Set(9L))
+    // every prior version still reads whole (nothing was deleted)
+    assert(spark.sql("SELECT k FROM graft.t1 VERSION AS OF 2")
+      .as[Long].collect().toSet === Set(1L, 2L, 3L))
+    // DESCRIBE HISTORY = the commit log with exact row counts
+    val hist = spark.sql("DESCRIBE HISTORY graft.t1")
+      .select($"version", $"action", $"n_rows")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(hist === Seq((1L, "init", 2L), (2L, "append", 3L),
+      (3L, "overwrite", 1L)))
+  }
+
+  test("CTAS initializes version 1; DROP TABLE removes the table and " +
+      "its sidecars; SHOW TABLES lists it while live") {
+    import spark.implicits._
+    warehouse
+    spark.sql("CREATE TABLE graft.ct AS SELECT id AS k, id % 3 AS m " +
+      "FROM range(30)")
+    assert(VersionLog.listVersions(spark, s"$warehouse/ct") === Seq(1L))
+    assert(spark.sql("SELECT sum(k) AS s FROM graft.ct")
+      .as[Long].head() === (0L until 30L).sum)
+    assert(spark.sql("SHOW TABLES IN graft").collect()
+      .map(_.getString(1)).contains("ct"))
+    // a sidecar sibling (as a merge would leave) goes with the table
+    new java.io.File(s"$warehouse/ct._cdc/batch-00000").mkdirs()
+    spark.sql("DROP TABLE graft.ct")
+    assert(!new java.io.File(s"$warehouse/ct").exists())
+    assert(!new java.io.File(s"$warehouse/ct._cdc").exists())
+  }
+
+  test("MERGE INTO through the catalog runs the versioned CDC merge: " +
+      "stats, feed, and table state identical to the API path") {
+    import spark.implicits._
+    warehouse
+    def seedRows = Seq((1L, "one", "a"), (2L, "two", "a"),
+      (3L, "three", "b"), (4L, "four", "b"), (6L, "six", "c"))
+    // API twin
+    val apiDir = Files.createTempDirectory("vapi").toString
+    VersionLog.init(spark, apiDir, seedRows.toDF("k", "v", "p"),
+      partitionBy = Some("p"))
+    val batch = Seq((2L, "two2", "a", false), (7L, "seven", "b", false),
+      (4L, "gone", "zz", true)).toDF("k", "v", "p", "_del")
+    val (apiStats, apiFeed, apiV) = VersionLog.mergeByKeyCdc(
+      spark, apiDir, batch, "k", "p", deleteWhen = Some($"_del"))
+    // catalog twin, via SQL text on a path identifier
+    val sqlDir = Files.createTempDirectory("vsql").toString
+    VersionLog.init(spark, sqlDir, seedRows.toDF("k", "v", "p"),
+      partitionBy = Some("p"))
+    batch.createOrReplaceTempView("cat_updates")
+    val res = spark.sql(
+      s"""MERGE INTO graft.`$sqlDir` AS t USING cat_updates AS s
+          ON t.k = s.k
+          WHEN MATCHED AND s._del THEN DELETE
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""")
+      .as[(Long, Long, Int, Int)].head()
+    assert(res === ((apiV, apiStats.outputRows,
+      apiStats.touchedPartitions.size, apiStats.removedPartitions.size)))
+    // identical table state
+    def state(d: String) = VersionLog.read(spark, d)
+      .select($"k", $"v", $"p").as[(Long, String, String)]
+      .collect().toSet
+    assert(state(sqlDir) === state(apiDir))
+    // identical feed classification (op counts and per-op key sets)
+    val sqlFeed = spark.read.parquet(s"$sqlDir._cdc/batch-00000")
+    def feedSig(df: org.apache.spark.sql.DataFrame) =
+      df.select($"_op", $"k").as[(String, Long)].collect().toSet
+    assert(feedSig(sqlFeed) === feedSig(apiFeed))
+  }
+
+  test("catalog reads plan through the SHARED pruning FileIndex: a " +
+      "partition predicate reduces the scan's file count") {
+    import spark.implicits._
+    warehouse
+    spark.sql("CREATE TABLE graft.pp (k BIGINT, p STRING) " +
+      "PARTITIONED BY (p)")
+    spark.sql("INSERT INTO graft.pp VALUES " +
+      "(1, 'a'), (2, 'a'), (3, 'b'), (4, 'c')")
+    val pruned = spark.sql("SELECT k FROM graft.pp WHERE p = 'a'")
+    assert(pruned.as[Long].collect().toSet === Set(1L, 2L))
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "catalog read must plan a V1 file scan " +
+      "(the shared GraftFileIndex), got:\n" +
+      pruned.queryExecution.executedPlan)
+    val total = VersionLog.snapshot(spark, s"$warehouse/pp", None)
+      .files.size
+    assert(scans.head.metrics("numFiles").value < total,
+      s"partition pruning must open fewer than all $total files")
+  }
+
+  test("time-travel reads are write-protected; TIMESTAMP AS OF and " +
+      "multi-column partitioning are refused loudly") {
+    import spark.implicits._
+    warehouse
+    spark.sql("CREATE TABLE graft.guard (k BIGINT, p STRING) " +
+      "PARTITIONED BY (p)")
+    spark.sql("INSERT INTO graft.guard VALUES (1, 'a')")
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.guard TIMESTAMP AS OF '2026-01-01'")
+        .collect()
+    }
+    assert(e1.getMessage.contains("VERSION AS OF"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.two (a BIGINT, b STRING, c STRING) " +
+        "PARTITIONED BY (b, c)")
+    }
+    assert(e2.getMessage.contains("one identity"), e2.getMessage)
+  }
+}

@@ -84,33 +84,102 @@ object VersionLog {
     }).sorted
   }
 
+  private def versionFile(dir: String, v: Long): Path =
+    new Path(versionsRoot(dir), f"v-$v%08d.json")
+
+  private def hintPath(dir: String): Path =
+    new Path(versionsRoot(dir), "_latest")
+
+  /** Best-effort latest-version hint — the `_last_checkpoint` idea:
+    * one tiny overwrite per commit so resolution never has to list
+    * the log directory. Consumers NEVER trust it blindly (see
+    * [[latestVersion]]); failure to write is harmless staleness.
+    */
+  private def writeHint(fs: FileSystem, dir: String, v: Long): Unit =
+    try {
+      val out = fs.create(hintPath(dir), true)
+      try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    } catch { case _: java.io.IOException => () }
+
+  private def readHint(fs: FileSystem, dir: String): Option[Long] =
+    try {
+      val p = hintPath(dir)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val s = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+          finally in.close()
+        Some(s.trim.toLong)
+      }
+    } catch { case _: Exception => None } // torn/corrupt: fall back
+
+  /** The newest committed version in O(1): read the hint, verify its
+    * version file exists, then probe FORWARD past any staleness (a
+    * racing loser's hint landing after the winner's, or a commit that
+    * crashed before hinting — a fresh hint costs exactly one extra
+    * existence check). A missing, corrupt, or dangling hint falls
+    * back to one directory listing; the hint can therefore never
+    * change WHAT resolves, only how fast.
+    */
+  private def latestVersion(spark: SparkSession,
+      dir: String): Option[Long] = {
+    val fs = fsFor(spark, dir)
+    readHint(fs, dir) match {
+      case Some(h) if h >= 1 && fs.exists(versionFile(dir, h)) =>
+        var v = h
+        while (fs.exists(versionFile(dir, v + 1))) v += 1
+        Some(v)
+      case _ => listVersions(spark, dir).lastOption
+    }
+  }
+
   /** Resolve a snapshot — the latest by default, or an explicit
     * version id (time travel). Fails loudly on an unknown version or
-    * an unversioned directory.
+    * an unversioned directory. Latest-version resolution is one hint
+    * read + one existence probe, not a listing; an explicit version
+    * is one direct open (the listing happens only to build the error
+    * message).
     */
   def snapshot(spark: SparkSession, dir: String,
       version: Option[Long] = None): TableSnapshot = {
-    val versions = listVersions(spark, dir)
-    require(versions.nonEmpty, s"$dir has no version log (_versions)")
-    val v = version.getOrElse(versions.max)
-    require(versions.contains(v),
-      s"version $v not in $dir (have ${versions.mkString(",")})")
     val fs = fsFor(spark, dir)
-    val p = new Path(versionsRoot(dir), f"v-$v%08d.json")
+    val v = version.orElse(latestVersion(spark, dir)).getOrElse(
+      throw new IllegalArgumentException(
+        s"requirement failed: $dir has no version log (_versions)"))
+    val p = versionFile(dir, v)
+    if (!fs.exists(p)) {
+      val versions = listVersions(spark, dir)
+      require(versions.nonEmpty, s"$dir has no version log (_versions)")
+      require(versions.contains(v),
+        s"version $v not in $dir (have ${versions.mkString(",")})")
+    }
     val in = fs.open(p)
     val bytes = try in.readAllBytes() finally in.close()
     parseSnapshot(new String(bytes, StandardCharsets.UTF_8))
   }
 
   /** Read a snapshot as a DataFrame: exactly its file list, nothing
-    * newer, nothing retired — with `basePath` so hive-style
-    * `part=value` segments under the batch directories surface as
-    * partition columns. `version = None` reads the latest.
+    * newer, nothing retired; hive-style `part=value` segments under
+    * the batch directories surface as partition columns.
+    * `version = None` reads the latest.
+    *
+    * Plans as ONE scan through the same pruning
+    * [[graft.sources.GraftTableSource]] FileIndex as
+    * `format("graft")` — plan width independent of commit count (the
+    * pre-r13 shape unioned one parquet read per batch directory, so a
+    * long-lived table's plans grew with its history and re-planned
+    * every pushed filter per branch). [[readFiles]] remains the
+    * generic union reader for arbitrary pinned SUBSETS (touched
+    * partitions, per-version history counts).
     */
   def read(spark: SparkSession, dir: String,
       version: Option[Long] = None): DataFrame = {
-    val snap = snapshot(spark, dir, version)
-    readFiles(spark, dir, snap.files)
+    val rel = new graft.sources.GraftTableSource().createRelation(
+      spark.sqlContext,
+      Map("path" -> dir) ++
+        version.map(v => "versionAsOf" -> v.toString))
+    spark.baseRelationToDataFrame(rel)
   }
 
   private[io] def readFiles(spark: SparkSession, dir: String,
@@ -165,6 +234,7 @@ object VersionLog {
     if (!atomicCreate(fs, root, target, json))
       throw new java.util.ConcurrentModificationException(
         s"version $next at $dir was committed by another writer")
+    writeHint(fs, dir, next)
     next
   }
 
@@ -297,7 +367,10 @@ object VersionLog {
       s"versioned merge on '$partCol' requires a /$partCol=value/ " +
         s"layout; ${flatFiles.size} snapshot files lack it (e.g. " +
         s"${flatFiles.head}) — re-init the table with partitionBy")
-    val table = readFiles(spark, dir, snap.files)
+    // pinned to THIS snapshot's version explicitly: a concurrent
+    // commit between the snapshot resolve and this read must not
+    // shift the matched-homes scan onto a newer file list
+    val table = read(spark, dir, Some(snap.version))
 
     val batch = updates.localCheckpoint()
     val dup = batch.groupBy(col(keyCol)).count()

@@ -390,6 +390,58 @@ class VersionLogSpec extends AnyFunSuite {
     checkBoth()
   }
 
+  test("O(100)-commit history: latest resolves via the _latest hint " +
+      "(stale/corrupt/dangling hints self-heal), and reads plan ONE " +
+      "scan with partition pruning — plan width flat in history") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("vmany").toString
+    VersionLog.init(spark, dir,
+      Seq((0L, "v0", "a")).toDF("k", "v", "p"),
+      partitionBy = Some("p"))
+    val parts = Vector("a", "b", "c", "d")
+    (1L until 40L).foreach { i =>
+      VersionLog.append(spark, dir,
+        Seq((i, s"v$i", parts((i % 4).toInt))).toDF("k", "v", "p")
+          .coalesce(1),
+        partitionBy = Some("p"))
+    }
+    // the hint is exact after every commit: resolution is one tiny
+    // read + one existence probe, never a directory listing
+    val hint = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/_versions/_latest"))).trim
+    assert(hint === "40")
+    assert(VersionLog.snapshot(spark, dir, None).version === 40L)
+    // a STALE hint (racing loser's overwrite) walks forward; a
+    // CORRUPT or DANGLING one falls back to the listing — the hint
+    // can change resolution SPEED, never its result
+    def setHint(s: String): Unit = java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_versions/_latest"), s.getBytes)
+    for (bad <- Seq("3", "not-a-number", "999")) {
+      setHint(bad)
+      assert(VersionLog.snapshot(spark, dir, None).version === 40L,
+        s"hint '$bad' must not change resolution")
+    }
+    // 40 commits, 40 batch directories — and STILL one scan node:
+    // the FileIndex path replaced the union-per-batch plan shape
+    val full = VersionLog.read(spark, dir)
+    assert(full.select($"k").as[Long].collect().toSet ===
+      (0L until 40L).toSet)
+    def scansOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+    assert(scansOf(full).size === 1,
+      "read must plan one scan regardless of commit count")
+    // and the one scan still partition-prunes at plan time
+    val pruned = VersionLog.read(spark, dir).filter($"p" === "a")
+    val prunedScans = scansOf(pruned)
+    assert(prunedScans.size === 1)
+    pruned.collect()
+    val totalFiles = VersionLog.snapshot(spark, dir, None).files.size
+    assert(prunedScans.head.metrics("numFiles").value < totalFiles,
+      "partition predicate must prune the pinned file list")
+  }
+
   test("MODEL-CHECKED lifecycle: 30 random merge/append/delete/compact/" +
       "vacuum steps match an in-memory model at every version") {
     import spark.implicits._

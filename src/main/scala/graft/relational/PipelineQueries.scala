@@ -2002,6 +2002,38 @@ object PipelineQueries {
         FROM graft.`$dir`
         GROUP BY lang ORDER BY lang""")
     },
+    "q146_cdc_replay" -> { (s, d) =>
+      import s.implicits._
+      // CHANGE-DATA-CAPTURE REPLAY: reconstruct the CURRENT snapshot
+      // from the v1 time-travel read plus the row-level feed, read
+      // through format("graft-cdc") — the downstream-mirror consumer
+      // pattern (apply each batch's update_pre/delete removals and
+      // update_post/insert additions in _feed_batch order). The
+      // oracle is q136's independent post-merge reconstruction: a
+      // feed missing a change, carrying a phantom (e.g. a CAS
+      // loser's batch), or mis-tagged ops cannot hash-match.
+      // Exactly-once streaming delivery and plan-time _feed_batch
+      // pruning are spec-pinned in GraftTableSourceSpec.
+      val dir = versionedTableDir(s, d)
+      val v1 = VersionLog.read(s, dir, Some(1L))
+      val feed = s.read.format("graft-cdc").load(dir)
+      val batchIds = feed.select($"_feed_batch").distinct()
+        .as[Long].collect().sorted // metadata-sized: one id per merge
+      val replayed = batchIds.foldLeft(v1) { (state, b) =>
+        val fb = feed.filter($"_feed_batch" === b)
+        val removed = fb.filter($"_op".isin("update_pre", "delete"))
+          .select($"doc_id")
+        val added = fb.filter($"_op".isin("update_post", "insert"))
+          .select(state.columns.map(col).toIndexedSeq: _*)
+        state.join(removed, Seq("doc_id"), "left_anti")
+          .unionByName(added)
+      }
+      replayed.groupBy($"lang")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(length($"text")).as("sum_len"),
+          sum($"doc_id").as("sum_ids"))
+        .orderBy($"lang")
+    },
     "q140_recall_curve" -> { (s, d) =>
       import s.implicits._
       // The serving family's accuracy knob as a MEASURED CURVE, not
@@ -3582,6 +3614,27 @@ object PipelineQueries {
            CAST(sum(doc_id) AS BIGINT) AS sum_ids
          FROM merged GROUP BY lang ORDER BY lang""",
     "q136_versioned_merge" ->
+      """WITH upd AS (
+           SELECT doc_id, text || ' [v2]' AS text, lang
+           FROM documents WHERE lang = 'fr' AND doc_id % 17 = 0
+           UNION ALL
+           SELECT doc_id + 100000000, text, 'xx' AS lang
+           FROM documents WHERE doc_id % 31 = 0),
+         del AS (
+           SELECT doc_id FROM documents
+           WHERE lang = 'de' AND doc_id % 13 = 0),
+         merged AS (
+           SELECT d.doc_id, d.text, d.lang FROM documents d
+           WHERE NOT EXISTS (SELECT 1 FROM upd u
+                             WHERE u.doc_id = d.doc_id)
+             AND NOT EXISTS (SELECT 1 FROM del x
+                             WHERE x.doc_id = d.doc_id)
+           UNION ALL SELECT doc_id, text, lang FROM upd)
+         SELECT lang, count(*) AS n_rows,
+           CAST(sum(length(text)) AS BIGINT) AS sum_len,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         FROM merged GROUP BY lang ORDER BY lang""",
+    "q146_cdc_replay" ->
       """WITH upd AS (
            SELECT doc_id, text || ' [v2]' AS text, lang
            FROM documents WHERE lang = 'fr' AND doc_id % 17 = 0

@@ -22,4 +22,15 @@ object Bridge {
       org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The isStreaming-flagged DataFrame a V1 streaming `Source.getBatch`
+    * must return (the FileStreamSource pattern): wraps an
+    * already-planned batch query's InternalRow RDD. `private[sql]`.
+    */
+  def internalCreateDataFrame(spark: org.apache.spark.sql.SparkSession,
+      batch: org.apache.spark.sql.DataFrame,
+      isStreaming: Boolean): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(batch.queryExecution.toRdd, batch.schema,
+        isStreaming)
 }

@@ -83,10 +83,24 @@ case class GraftV2ToV1Reads(session: SparkSession)
     plan.resolveOperators {
       case r: DataSourceV2Relation
           if r.table.isInstanceOf[GraftTable] && !writeTargets(r) =>
-        r.table.asInstanceOf[GraftTable].v1Relation match {
-          case Some(rel) =>
-            LogicalRelation(rel, r.output, None, isStreaming = false, None)
+        val t = r.table.asInstanceOf[GraftTable]
+        t.v1Relation match {
           case None => LocalRelation(r.output)
+          case Some(rel)
+              if VersionLog.snapshot(session, t.dir, t.versionAsOf)
+                .deletes.isEmpty =>
+            LogicalRelation(rel, r.output, None, isStreaming = false, None)
+          case Some(_) =>
+            // merge-on-read: wrap the scan with the manifest
+            // anti-join (VersionLog.read's plan) and re-root its
+            // output on this relation's attribute ids
+            val df = VersionLog.read(session, t.dir, t.versionAsOf)
+            val child = df.queryExecution.analyzed
+            org.apache.spark.sql.catalyst.plans.logical.Project(
+              r.output.zip(child.output).map { case (to, from) =>
+                org.apache.spark.sql.catalyst.expressions.Alias(
+                  from, to.name)(exprId = to.exprId)
+              }, child)
         }
     }
   }

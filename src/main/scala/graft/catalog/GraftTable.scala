@@ -49,8 +49,10 @@ final class GraftTable(spark: SparkSession, val dir: String,
     */
   lazy val v1Relation: Option[BaseRelation] =
     if (!exists) None
+    // acceptDeletes: the catalog read path ([[GraftCatalogRules]])
+    // anti-joins any equality-delete manifests above this relation
     else Some(new GraftTableSource().createRelation(spark.sqlContext,
-      Map("path" -> dir) ++
+      Map("path" -> dir, "acceptDeletes" -> "true") ++
         versionAsOf.map(v => "versionAsOf" -> v.toString)))
 
   /** The table's single hive partition column: discovered from the

@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions._
   * else on disk exists for that reader.
   */
 case class TableSnapshot(version: Long, parent: Long, action: String,
-    files: Seq[String], feed: Option[String] = None)
+    files: Seq[String], feed: Option[String] = None,
+    deletes: Seq[String] = Nil)
 
 /** Version-log commits — SNAPSHOT ISOLATION for the maintained table.
   *
@@ -175,12 +176,34 @@ object VersionLog {
     */
   def read(spark: SparkSession, dir: String,
       version: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, dir, version)
     val rel = new graft.sources.GraftTableSource().createRelation(
       spark.sqlContext,
-      Map("path" -> dir) ++
-        version.map(v => "versionAsOf" -> v.toString))
-    spark.baseRelationToDataFrame(rel)
+      Map("path" -> dir, "acceptDeletes" -> "true",
+        "versionAsOf" -> snap.version.toString))
+    val df = spark.baseRelationToDataFrame(rel)
+    // merge-on-read: anti-join the snapshot's retained equality-delete
+    // manifests (KB-sized key lists on the broadcast side — the same
+    // plan shape as DeletionVectors.readWithDeletes, never a table
+    // shuffle). Versions committed before a delete carry no manifests
+    // and read the full state.
+    deleteManifestFrame(spark, dir, snap).fold(df) { keys =>
+      df.join(broadcast(keys), Seq(keys.columns.head), "left_anti")
+    }
   }
+
+  /** The retained equality-delete keys of a snapshot (one column,
+    * named for the key the manifests were committed with), or None
+    * when the snapshot carries no delete manifests.
+    */
+  private[graft] def deleteManifestFrame(spark: SparkSession,
+      dir: String, snap: TableSnapshot): Option[DataFrame] =
+    if (snap.deletes.isEmpty) None
+    else {
+      val base = dir.stripSuffix("/")
+      Some(spark.read.parquet(snap.deletes.map(f => s"$base/$f"): _*)
+        .distinct())
+    }
 
   private[io] def readFiles(spark: SparkSession, dir: String,
       files: Seq[String]): DataFrame = {
@@ -223,14 +246,15 @@ object VersionLog {
     */
   def commit(spark: SparkSession, dir: String, parent: Long,
       action: String, files: Seq[String],
-      feed: Option[String] = None): Long = {
+      feed: Option[String] = None,
+      deletes: Seq[String] = Nil): Long = {
     val fs = fsFor(spark, dir)
     val root = versionsRoot(dir)
     fs.mkdirs(root)
     val next = parent + 1
     val target = new Path(root, f"v-$next%08d.json")
     val json = renderSnapshot(TableSnapshot(next, parent, action,
-      files.sorted, feed))
+      files.sorted, feed, deletes.sorted))
     if (!atomicCreate(fs, root, target, json))
       throw new java.util.ConcurrentModificationException(
         s"version $next at $dir was committed by another writer")
@@ -356,6 +380,13 @@ object VersionLog {
       actionTag: String = "merge"): (MergeStats, DataFrame, Long) = {
     val snap = snapshot(spark, dir, None)
     healStagedFeeds(spark, dir)
+    // a merge's matched/survivor arithmetic would have to thread the
+    // delete manifests through every projection — fold them first
+    // (one applyDeletesCommit) rather than risk resurrecting a
+    // deleted key as a survivor
+    require(snap.deletes.isEmpty,
+      s"table at $dir carries ${snap.deletes.size} outstanding delete " +
+        "manifests; run VersionLog.applyDeletesCommit before merging")
     // the path-segment file matching below requires the hive layout
     // this merge addresses — on a flat table (init with
     // partitionBy = None) every matched key would silently
@@ -534,7 +565,11 @@ object VersionLog {
       partitionBy: Option[String] = None): Long = {
     val snap = snapshot(spark, dir, None)
     val files = writeBatch(spark, dir, df, partitionBy, snap.version + 1)
-    commit(spark, dir, snap.version, "append", snap.files ++ files)
+    // outstanding delete manifests carry forward (equality deletes
+    // are layout-independent); appending a still-deleted key is the
+    // caller's violation of the documented re-insert rule
+    commit(spark, dir, snap.version, "append", snap.files ++ files,
+      deletes = snap.deletes)
   }
 
   /** Replace the table's contents with `df` in one commit: the next
@@ -547,6 +582,101 @@ object VersionLog {
     val snap = snapshot(spark, dir, None)
     val files = writeBatch(spark, dir, df, partitionBy, snap.version + 1)
     commit(spark, dir, snap.version, "overwrite", files)
+  }
+
+  /** EQUALITY-DELETE commit — merge-on-read for the VERSIONED table
+    * (the [[DeletionVectors]] idea lifted into the snapshot protocol,
+    * Iceberg's equality-delete-manifest shape): a point delete writes
+    * only a KB-sized key list under `deletes/d-<v>-<uuid>/` and
+    * commits a snapshot whose `deletes` carry it — NO data file is
+    * written, renamed, or touched, so the delete cost is independent
+    * of partition size and the commit inherits every snapshot
+    * contract (atomic publish, time travel to pre-delete versions,
+    * pinned readers, optimistic writers).
+    *
+    * Readers ([[read]], the graft catalog) anti-join the retained
+    * manifests (broadcast side — never a table shuffle); a direct
+    * `format("graft")` read REFUSES a snapshot with live manifests
+    * unless `option("acceptDeletes", "true")` acknowledges that the
+    * caller applies them — there is no silently-diverging door.
+    * [[applyDeletesCommit]] folds the debt; until then a deleted key
+    * must not be re-inserted (the anti-join would swallow it — the
+    * equality-delete rule every format documents). Deleting absent
+    * keys is a no-op; an empty key frame commits nothing.
+    */
+  def deleteKeysCommit(spark: SparkSession, dir: String,
+      keys: DataFrame, keyCol: String): Long = {
+    val snap = snapshot(spark, dir, None)
+    val base = dir.stripSuffix("/")
+    val k = keys.select(col(keyCol)).distinct().localCheckpoint()
+    if (k.isEmpty) return snap.version
+    deleteManifestFrame(spark, dir, snap).foreach { prior =>
+      require(prior.columns.head == keyCol,
+        s"table already carries delete manifests on " +
+          s"'${prior.columns.head}'; fold them (applyDeletesCommit) " +
+          s"before deleting on '$keyCol'")
+    }
+    val rel = f"deletes/d-${snap.version + 1}%08d-" +
+      java.util.UUID.randomUUID.toString.take(8)
+    k.coalesce(1).write.mode("error").parquet(s"$base/$rel")
+    val manifest = listParquet(fsFor(spark, dir), new Path(base, rel))
+      .map(p => relativize(base, p))
+    commit(spark, dir, snap.version, "delete", snap.files,
+      deletes = snap.deletes ++ manifest)
+  }
+
+  /** Fold the delete debt into the layout as a COMMIT: rewrite ONLY
+    * the files that contain deleted keys (found by one column-pruned
+    * (key, file) projection pass — blast radius is the files the
+    * deletes actually live in, not their partitions), carry every
+    * other file by reference, and commit with an empty manifest list.
+    * Old versions still time-travel to their pre-delete state;
+    * nothing is deleted from disk (vacuum ages out the replaced files
+    * and, once unreferenced, the manifests). Returns
+    * (rewrittenFiles, committedVersion) — version unchanged when no
+    * manifests were outstanding.
+    */
+  def applyDeletesCommit(spark: SparkSession, dir: String): (Int, Long) = {
+    val snap = snapshot(spark, dir, None)
+    val keysOpt = deleteManifestFrame(spark, dir, snap)
+    if (keysOpt.isEmpty) return (0, snap.version)
+    val keys = keysOpt.get.localCheckpoint()
+    val keyCol = keys.columns.head
+    val base = dir.stripSuffix("/")
+    // one column-pruned pass finds the victim FILES
+    val raw = readFiles(spark, dir, snap.files)
+    val victims = raw.select(col(keyCol), input_file_name().as("_f"))
+      .join(broadcast(keys), Seq(keyCol), "left_semi")
+      .select(col("_f")).distinct().collect()
+      .map(r => relativize(base,
+        new Path(new java.net.URI(r.getString(0))).toUri.getPath))
+      .toSeq.sorted
+    if (victims.isEmpty) // stale manifests (keys all gone): just clear
+      return (0, commit(spark, dir, snap.version, "apply-deletes",
+        snap.files, deletes = Nil))
+    // rewrite victims per partition-segment group so survivors land
+    // back under their part=value paths in the new batch
+    val batchRel = f"data/b-${snap.version + 1}%08d-" +
+      java.util.UUID.randomUUID.toString.take(8)
+    def groupOf(f: String): String = {
+      val segs = f.split("/").dropRight(1)
+      segs.dropWhile(s => !s.contains("=")).mkString("/")
+    }
+    val fs = fsFor(spark, dir)
+    val newFiles = victims.groupBy(groupOf).toSeq.sortBy(_._1)
+      .flatMap { case (g, fls) =>
+        val out = s"$base/$batchRel" + (if (g.isEmpty) "" else s"/$g")
+        val partColNames = g.split("/").filter(_.contains("="))
+          .map(_.split("=", 2)(0))
+        val src = readFiles(spark, dir, fls)
+        partColNames.foldLeft(src)(_ drop _)
+          .join(broadcast(keys), Seq(keyCol), "left_anti")
+          .write.mode("error").parquet(out)
+        listParquet(fs, new Path(out)).map(p => relativize(base, p))
+      }
+    val kept = snap.files.filterNot(victims.contains)
+    (victims.size, commit(spark, dir, snap.version, "apply-deletes",
+      kept ++ newFiles, deletes = Nil))
   }
 
   /** EXACTLY-ONCE ingest: run the versioned merge only if no retained
@@ -655,8 +785,10 @@ object VersionLog {
         listParquet(fs, new Path(out)).map(p => relativize(base, p))
     }
     val kept = carry.toSeq.flatMap(_._2)
+    // equality-delete manifests are key lists, not positions — a
+    // repack cannot invalidate them; carry them unchanged
     val version = commit(spark, dir, snap.version, "compact",
-      kept ++ newFiles)
+      kept ++ newFiles, deletes = snap.deletes)
     (snap.files.length, kept.size + newFiles.size, version)
   }
 
@@ -676,31 +808,34 @@ object VersionLog {
     val versions = listVersions(spark, dir)
     if (versions.isEmpty) return Nil
     val retained = versions.takeRight(keepLast)
-    val referenced = retained
-      .flatMap(v => snapshot(spark, dir, Some(v)).files).toSet
+    val retainedSnaps = retained.map(v => snapshot(spark, dir, Some(v)))
+    val referenced = retainedSnaps.flatMap(_.files).toSet ++
+      retainedSnaps.flatMap(_.deletes)
     val cutoff = System.currentTimeMillis() - ttlMs
-    val dataRoot = new Path(base, "data")
     val victims = Seq.newBuilder[String]
-    if (fs.exists(dataRoot)) {
-      val it = fs.listFiles(dataRoot, true)
-      while (it.hasNext) {
-        val f = it.next()
-        val rel = relativize(base, f.getPath.toUri.getPath)
-        if (f.isFile && !referenced.contains(rel) &&
-            f.getModificationTime < cutoff &&
-            (rel.endsWith(".parquet") || rel.endsWith(".crc") ||
-              f.getPath.getName.startsWith("_"))) {
-          fs.delete(f.getPath, false)
-          victims += rel
+    // data files AND equality-delete manifests sweep by the same
+    // rule: unreferenced by every retained snapshot, and aged
+    for (rootName <- Seq("data", "deletes")) {
+      val root = new Path(base, rootName)
+      if (fs.exists(root)) {
+        val it = fs.listFiles(root, true)
+        while (it.hasNext) {
+          val f = it.next()
+          val rel = relativize(base, f.getPath.toUri.getPath)
+          if (f.isFile && !referenced.contains(rel) &&
+              f.getModificationTime < cutoff &&
+              (rel.endsWith(".parquet") || rel.endsWith(".crc") ||
+                f.getPath.getName.startsWith("_"))) {
+            fs.delete(f.getPath, false)
+            victims += rel
+          }
         }
-      }
-    }
-    // drop batch directories the file sweep emptied (orphan shells)
-    if (fs.exists(dataRoot)) {
-      fs.listStatus(dataRoot).foreach { s =>
-        if (s.isDirectory && !fs.listFiles(s.getPath, true).hasNext) {
-          fs.delete(s.getPath, true)
-          victims += relativize(base, s.getPath.toUri.getPath)
+        // drop directories the file sweep emptied (orphan shells)
+        fs.listStatus(root).foreach { s =>
+          if (s.isDirectory && !fs.listFiles(s.getPath, true).hasNext) {
+            fs.delete(s.getPath, true)
+            victims += relativize(base, s.getPath.toUri.getPath)
+          }
         }
       }
     }
@@ -715,21 +850,28 @@ object VersionLog {
 
   private def renderSnapshot(s: TableSnapshot): String = {
     def esc(x: String) = x.replace("\\", "\\\\").replace("\"", "\\\"")
+    def arr(xs: Seq[String]) =
+      xs.map(f => "\"" + esc(f) + "\"").mkString(",")
     s"""{"version":${s.version},"parent":${s.parent},""" +
       s""""action":"${esc(s.action)}",""" +
       s.feed.fold("")(f => s""""feed":"${esc(f)}",""") +
-      s""""files":[""" +
-      s.files.map(f => "\"" + esc(f) + "\"").mkString(",") + "]}"
+      (if (s.deletes.isEmpty) ""
+       else s""""deletes":[${arr(s.deletes)}],""") +
+      s""""files":[${arr(s.files)}]}"""
   }
 
   private def parseSnapshot(json: String): TableSnapshot = {
     val node = new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(json)
+    def strings(field: String): Seq[String] =
+      Option(node.get(field)).toSeq
+        .flatMap(_.elements().asScala.map(_.asText).toSeq)
     TableSnapshot(
       node.get("version").asLong,
       node.get("parent").asLong,
       node.get("action").asText,
-      node.get("files").elements().asScala.map(_.asText).toSeq,
-      Option(node.get("feed")).map(_.asText)) // absent pre-r13: None
+      strings("files"),
+      Option(node.get("feed")).map(_.asText), // absent pre-r13: None
+      strings("deletes")) // absent pre-r13: Nil
   }
 }

@@ -2002,6 +2002,38 @@ object PipelineQueries {
         FROM graft.`$dir`
         GROUP BY lang ORDER BY lang""")
     },
+    "q147_versioned_dv" -> { (s, d) =>
+      import s.implicits._
+      // EQUALITY-DELETE COMMITS: q139's merge-on-read workload on the
+      // VERSIONED layout — the delete writes only a KB-sized key-list
+      // manifest and ONE version-file create (no data file touched;
+      // v1 still time-travels to the pre-delete corpus), and this
+      // read is the snapshot protocol's own merge-on-read path: the
+      // pinned scan anti-joins the broadcast manifests. The oracle
+      // recomputes the post-delete stats from the pristine table — a
+      // swallowed survivor or a leaked deleted row cannot hash-match.
+      // No-data-file writes, raw-door refusal, compaction carry, the
+      // applyDeletesCommit fold, and manifest vacuum are spec-pinned
+      // in VersionLogSpec.
+      val dir = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft-vdv-${Integer.toHexString(d.hashCode)}" +
+        s"-${ProcessHandle.current().pid()}"
+      buildOnce(dir) {
+        val docs = documents(s, d)
+        VersionLog.init(s, dir, docs, partitionBy = Some("lang"))
+        VersionLog.deleteKeysCommit(s, dir,
+          docs.filter(($"lang" === "de" && $"doc_id" % 13 === 0) ||
+              ($"lang" === "fr" && $"doc_id" % 29 === 0))
+            .select($"doc_id"),
+          "doc_id")
+      }
+      VersionLog.read(s, dir)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(length($"text")).as("sum_len"),
+          sum($"doc_id").as("sum_ids"))
+        .orderBy($"lang")
+    },
     "q146_cdc_replay" -> { (s, d) =>
       import s.implicits._
       // CHANGE-DATA-CAPTURE REPLAY: reconstruct the CURRENT snapshot
@@ -3542,6 +3574,14 @@ object PipelineQueries {
          LEFT JOIN hits h ON h.bands = l.bands
          ORDER BY bands""",
     "q139_dv_point_delete" ->
+      """SELECT lang, count(*) AS n_rows,
+           CAST(sum(length(text)) AS BIGINT) AS sum_len,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         FROM documents
+         WHERE NOT ((lang = 'de' AND doc_id % 13 = 0)
+                 OR (lang = 'fr' AND doc_id % 29 = 0))
+         GROUP BY lang ORDER BY lang""",
+    "q147_versioned_dv" ->
       """SELECT lang, count(*) AS n_rows,
            CAST(sum(length(text)) AS BIGINT) AS sum_len,
            CAST(sum(doc_id) AS BIGINT) AS sum_ids

@@ -103,7 +103,8 @@ final class GraftTableSource extends RelationProvider
       parameters.get("versionAsOf").map(_.toLong),
       parameters.get("bloomKey"),
       parameters.get("bloomLog2Bits").map(_.toInt).getOrElse(16),
-      parameters.get("bloomK").map(_.toInt).getOrElse(4))
+      parameters.get("bloomK").map(_.toInt).getOrElse(4),
+      parameters.get("acceptDeletes").exists(_.toBoolean))
     HadoopFsRelation(
       location = index,
       partitionSchema = index.partitionSchema,
@@ -127,7 +128,8 @@ private final case class GraftFile(status: FileStatus,
   */
 private final class GraftFileIndex(spark: SparkSession, dir: String,
     versionAsOf: Option[Long], bloomKey: Option[String],
-    bloomLog2Bits: Int, bloomK: Int) extends FileIndex {
+    bloomLog2Bits: Int, bloomK: Int,
+    acceptDeletes: Boolean = false) extends FileIndex {
 
   private val base = dir.stripSuffix("/")
   private val basePath = new Path(base)
@@ -145,6 +147,19 @@ private final class GraftFileIndex(spark: SparkSession, dir: String,
     val statuses: Seq[FileStatus] =
       if (VersionLog.listVersions(spark, base).nonEmpty) {
         val snap = VersionLog.snapshot(spark, base, versionAsOf)
+        // merge-on-read: a snapshot with live equality-delete
+        // manifests must not be scanned raw by a door that never
+        // applies them — VersionLog.read and the graft catalog
+        // anti-join the manifests and pass acceptDeletes; a direct
+        // format("graft") read refuses instead of silently diverging
+        if (snap.deletes.nonEmpty && !acceptDeletes)
+          throw new IllegalStateException(
+            s"snapshot v${snap.version} of $base carries " +
+              s"${snap.deletes.size} equality-delete manifests; read " +
+              "through VersionLog.read / the graft catalog (which " +
+              "apply them), fold them with applyDeletesCommit, or " +
+              "acknowledge raw rows with option(\"acceptDeletes\", " +
+              "\"true\")")
         // one listStatus per parent directory instead of one
         // getFileStatus RPC per file
         val byParent = snap.files.groupBy(f =>

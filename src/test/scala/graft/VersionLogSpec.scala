@@ -442,6 +442,81 @@ class VersionLogSpec extends AnyFunSuite {
       "partition predicate must prune the pinned file list")
   }
 
+  test("EQUALITY-DELETE commits: a point delete writes NO data file, " +
+      "old versions time-travel to pre-delete state, compaction " +
+      "carries manifests, applyDeletesCommit folds at file blast " +
+      "radius, and the raw format door refuses silent divergence") {
+    import spark.implicits._
+    val dir = seed() // v1: keys 1,2,3,4,6 across p=a,b,c
+    val dataFilesBefore = VersionLog.snapshot(spark, dir, None).files
+    // the delete commit: only a KB-sized key list lands
+    val v2 = VersionLog.deleteKeysCommit(spark, dir,
+      Seq(2L, 6L, 99L).toDF("k"), "k") // 99 absent: no-op key
+    assert(v2 === 2L)
+    val snap2 = VersionLog.snapshot(spark, dir, None)
+    assert(snap2.files === dataFilesBefore,
+      "a delete commit must not write, rename, or drop any data file")
+    assert(snap2.deletes.nonEmpty)
+    // reads apply the manifests; pre-delete versions read whole
+    assert(rows(VersionLog.read(spark, dir)) === Set(
+      (1L, "one", "a"), (3L, "three", "b"), (4L, "four", "b")))
+    assert(rows(VersionLog.read(spark, dir, Some(1L))).size === 5)
+    // the raw format door refuses, the acknowledged one sees raw rows
+    val e = intercept[IllegalStateException] {
+      spark.read.format("graft").load(dir).count()
+    }
+    assert(e.getMessage.contains("acceptDeletes"), e.getMessage)
+    assert(spark.read.format("graft").option("acceptDeletes", "true")
+      .load(dir).count() === 5L)
+    // the catalog door applies them like VersionLog.read
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.catalog.GraftCatalog].getName)
+    assert(spark.sql(s"SELECT k FROM graft.`$dir`")
+      .as[Long].collect().toSet === Set(1L, 3L, 4L))
+    // empty delete commits nothing; merge refuses until folded
+    assert(VersionLog.deleteKeysCommit(spark, dir,
+      Seq.empty[Long].toDF("k"), "k") === 2L)
+    val em = intercept[IllegalArgumentException] {
+      VersionLog.mergeByKeyCdc(spark, dir,
+        Seq((1L, "one2", "a")).toDF("k", "v", "p"), "k", "p")
+    }
+    assert(em.getMessage.contains("applyDeletesCommit"), em.getMessage)
+    // compaction carries manifests (key lists are layout-independent)
+    val (_, _, v3) = VersionLog.compactSnapshot(spark, dir,
+      targetBytes = 1L << 30)
+    if (v3 > v2)
+      assert(VersionLog.snapshot(spark, dir, None).deletes.nonEmpty)
+    assert(rows(VersionLog.read(spark, dir)) === Set(
+      (1L, "one", "a"), (3L, "three", "b"), (4L, "four", "b")))
+    // the fold rewrites ONLY files holding deleted keys, clears the
+    // manifests, and the raw door opens again
+    val before = VersionLog.snapshot(spark, dir, None)
+    val (nRewritten, v4) = VersionLog.applyDeletesCommit(spark, dir)
+    assert(nRewritten > 0 && v4 > v2)
+    val after = VersionLog.snapshot(spark, dir, None)
+    assert(after.deletes.isEmpty)
+    // untouched files carried by reference (p=b never held 2 or 6
+    // post-compact grouping — assert at least one carry exists)
+    assert(before.files.toSet.intersect(after.files.toSet).nonEmpty,
+      "files without deleted keys must carry by reference")
+    assert(rows(VersionLog.read(spark, dir)) === Set(
+      (1L, "one", "a"), (3L, "three", "b"), (4L, "four", "b")))
+    assert(spark.read.format("graft").load(dir).count() === 3L)
+    // pre-fold versions still time-travel: v1 whole, v2 masked
+    assert(rows(VersionLog.read(spark, dir, Some(1L))).size === 5)
+    assert(rows(VersionLog.read(spark, dir, Some(2L))) === Set(
+      (1L, "one", "a"), (3L, "three", "b"), (4L, "four", "b")))
+    // a merge works again after the fold
+    VersionLog.mergeByKeyCdc(spark, dir,
+      Seq((1L, "one2", "a")).toDF("k", "v", "p"), "k", "p")
+    assert(rows(VersionLog.read(spark, dir)).contains((1L, "one2", "a")))
+    // vacuum ages out the manifests once no retained version refers
+    val vic = VersionLog.vacuumVersions(spark, dir, keepLast = 1,
+      ttlMs = 0L)
+    assert(vic.exists(_.startsWith("deletes/")),
+      s"unreferenced delete manifests must vacuum, got $vic")
+  }
+
   test("MODEL-CHECKED lifecycle: 30 random merge/append/delete/compact/" +
       "vacuum steps match an in-memory model at every version") {
     import spark.implicits._

@@ -343,61 +343,122 @@ private final class GraftFileIndex(spark: SparkSession, dir: String,
 
   // ---- manifest (min/max box) pruning -----------------------------
 
-  /** (column, keep-file test over its [min,max] stats; None stats =
-    * all-null column, which no range/equality predicate matches).
+  /** A file's per-column statistic, TYPED: numerics/decimals/dates/
+    * timestamps normalize to BigDecimal (dates as epoch days,
+    * timestamps as epoch micros — the same scalars their pushed
+    * literals carry), strings to UTF8String so bound comparisons use
+    * the exact binary ordering Spark's min/max aggregates used to
+    * compute them (UTF-16 String ordering disagrees on
+    * supplementary-plane text — a wrong order here would over-prune,
+    * i.e. wrong results, not just a missed skip).
     */
-  private type StatsTest = (String, Option[(Long, Long)] => Boolean)
+  private type Stat = Either[BigDecimal, UTF8String]
 
-  private def longOf(l: Literal): Option[Long] = (l.dataType, l.value) match {
-    case (org.apache.spark.sql.types.LongType |
-          org.apache.spark.sql.types.IntegerType |
-          org.apache.spark.sql.types.ShortType |
-          org.apache.spark.sql.types.ByteType,
-          n: java.lang.Number) => Some(n.longValue)
+  private sealed trait ColStat
+  private case object AllNull extends ColStat // no range pred matches
+  private case object Opaque extends ColStat // un-normalizable: keep
+  private final case class Box(mi: Stat, ma: Stat) extends ColStat
+
+  /** Compare only within a family; across families (a manifest built
+    * on an older schema, a literal of another type) the answer is
+    * "unknown" and the file is kept.
+    */
+  private def cmp(a: Stat, b: Stat): Option[Int] = (a, b) match {
+    case (Left(x), Left(y)) => Some(x.compare(y))
+    case (Right(x), Right(y)) => Some(x.compareTo(y))
     case _ => None
   }
 
-  private def statsTests(dataFilters: Seq[Expression]): Seq[StatsTest] =
+  private def normLit(l: Literal): Option[Stat] = {
+    import org.apache.spark.sql.types._
+    (l.dataType, l.value) match {
+      case (_, null) => None
+      case (LongType | IntegerType | ShortType | ByteType,
+          n: java.lang.Number) => Some(Left(BigDecimal(n.longValue)))
+      case (FloatType | DoubleType, n: java.lang.Number) =>
+        Some(Left(BigDecimal(n.doubleValue)))
+      case (_: DecimalType, d: org.apache.spark.sql.types.Decimal) =>
+        Some(Left(d.toBigDecimal))
+      case (DateType, d: java.lang.Integer) =>
+        Some(Left(BigDecimal(d.intValue))) // epoch days
+      case (TimestampType | TimestampNTZType, t: java.lang.Long) =>
+        Some(Left(BigDecimal(t.longValue))) // epoch micros
+      case (StringType, s: UTF8String) => Some(Right(s))
+      case _ => None
+    }
+  }
+
+  private def normStat(v: Any): Option[Stat] = v match {
+    case null => None
+    case n: java.lang.Byte => Some(Left(BigDecimal(n.longValue)))
+    case n: java.lang.Short => Some(Left(BigDecimal(n.longValue)))
+    case n: java.lang.Integer => Some(Left(BigDecimal(n.longValue)))
+    case n: java.lang.Long => Some(Left(BigDecimal(n.longValue)))
+    case n: java.lang.Float => Some(Left(BigDecimal(n.doubleValue)))
+    case n: java.lang.Double => Some(Left(BigDecimal(n.doubleValue)))
+    case d: java.math.BigDecimal => Some(Left(BigDecimal(d)))
+    case s: String => Some(Right(UTF8String.fromString(s)))
+    case d: java.sql.Date =>
+      Some(Left(BigDecimal(d.toLocalDate.toEpochDay))) // epoch days
+    case t: java.sql.Timestamp => Some(Left(BigDecimal(
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L))) // micros
+    case t: java.time.LocalDateTime => Some(Left(BigDecimal(
+      t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        t.getNano / 1000L)))
+    case _ => None
+  }
+
+  /** (column, keep-file test over its [[ColStat]]). AllNull prunes
+    * (range/equality predicates never match null); Opaque and
+    * cross-family comparisons keep, conservatively.
+    */
+  private type StatsTest = (String, ColStat => Boolean)
+
+  private def boxTest(test: (Stat, Stat) => Boolean): ColStat => Boolean = {
+    case AllNull => false
+    case Opaque => true
+    case Box(mi, ma) => test(mi, ma)
+  }
+
+  private def statsTests(dataFilters: Seq[Expression]): Seq[StatsTest] = {
+    def eq(a: AttributeReference, l: Literal): Option[StatsTest] =
+      normLit(l).map(v => (a.name, boxTest((mi, ma) =>
+        cmp(mi, v).forall(_ <= 0) && cmp(v, ma).forall(_ <= 0))))
     dataFilters.flatMap {
-      case EqualTo(a: AttributeReference, l: Literal) =>
-        longOf(l).map(v => (a.name,
-          (s: Option[(Long, Long)]) => s.exists(mm => mm._1 <= v && v <= mm._2)))
-      case EqualTo(l: Literal, a: AttributeReference) =>
-        longOf(l).map(v => (a.name,
-          (s: Option[(Long, Long)]) => s.exists(mm => mm._1 <= v && v <= mm._2)))
+      case EqualTo(a: AttributeReference, l: Literal) => eq(a, l)
+      case EqualTo(l: Literal, a: AttributeReference) => eq(a, l)
       case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
-        longOf(l).map(v => (a.name,
-          (s: Option[(Long, Long)]) => s.exists(_._2 >= v)))
+        normLit(l).map(v => (a.name,
+          boxTest((_, ma) => cmp(ma, v).forall(_ >= 0))))
       case GreaterThan(a: AttributeReference, l: Literal) =>
-        longOf(l).map(v => (a.name,
-          (s: Option[(Long, Long)]) => s.exists(_._2 > v)))
+        normLit(l).map(v => (a.name,
+          boxTest((_, ma) => cmp(ma, v).forall(_ > 0))))
       case LessThanOrEqual(a: AttributeReference, l: Literal) =>
-        longOf(l).map(v => (a.name,
-          (s: Option[(Long, Long)]) => s.exists(_._1 <= v)))
+        normLit(l).map(v => (a.name,
+          boxTest((mi, _) => cmp(mi, v).forall(_ <= 0))))
       case LessThan(a: AttributeReference, l: Literal) =>
-        longOf(l).map(v => (a.name,
-          (s: Option[(Long, Long)]) => s.exists(_._1 < v)))
+        normLit(l).map(v => (a.name,
+          boxTest((mi, _) => cmp(mi, v).forall(_ < 0))))
       // reversed literal-first comparisons arrive canonicalized by the
       // optimizer; In on the bloom key is handled by pruneByBloom
       case _ => None
     }
+  }
 
-  /** Per-file (column -> [min,max]) from the manifest sidecar, keyed
-    * by normalized path. Loaded lazily once per index instance (a
-    * file-count-sized driver map, the planner's working set) and
+  /** Per-file (column -> [[ColStat]]) from the manifest sidecar,
+    * keyed by normalized path. Loaded lazily once per index instance
+    * (a file-count-sized driver map, the planner's working set) and
     * invalidated by [[refresh]].
     */
   @volatile private var manifestCache:
-      Option[Map[String, Map[String, Option[(Long, Long)]]]] = null
+      Option[Map[String, Map[String, ColStat]]] = null
 
-  private def manifestStats:
-      Option[Map[String, Map[String, Option[(Long, Long)]]]] = {
+  private def manifestStats: Option[Map[String, Map[String, ColStat]]] = {
     if (manifestCache == null) manifestCache = loadManifest()
     manifestCache
   }
 
-  private def loadManifest():
-      Option[Map[String, Map[String, Option[(Long, Long)]]]] = {
+  private def loadManifest(): Option[Map[String, Map[String, ColStat]]] = {
     val p = new Path(base, "._manifest")
     if (!fs.exists(p)) None
     else {
@@ -411,12 +472,13 @@ private final class GraftFileIndex(spark: SparkSession, dir: String,
         val stats = statCols.map { c =>
           val mi = row.getAs[Any](s"min_$c")
           val ma = row.getAs[Any](s"max_$c")
-          val mm = (mi, ma) match {
-            case (x: java.lang.Number, y: java.lang.Number) =>
-              Some((x.longValue, y.longValue))
-            case _ => None
-          }
-          c -> mm
+          val st: ColStat =
+            if (mi == null && ma == null) AllNull
+            else (normStat(mi), normStat(ma)) match {
+              case (Some(a), Some(b)) => Box(a, b)
+              case _ => Opaque
+            }
+          c -> st
         }.toMap
         file -> stats
       }.toMap)
@@ -440,6 +502,16 @@ private final class GraftFileIndex(spark: SparkSession, dir: String,
   }
 
   // ---- key-bloom (point lookup) pruning ----------------------------
+
+  /** Integral literal for bloom probes (the key-bloom hashes longs). */
+  private def longOf(l: Literal): Option[Long] = (l.dataType, l.value) match {
+    case (org.apache.spark.sql.types.LongType |
+          org.apache.spark.sql.types.IntegerType |
+          org.apache.spark.sql.types.ShortType |
+          org.apache.spark.sql.types.ByteType,
+          n: java.lang.Number) => Some(n.longValue)
+    case _ => None
+  }
 
   /** Probe keys the pushed filters pin on the bloom column: `k = v`
     * or `k IN (...)` with integral literals.

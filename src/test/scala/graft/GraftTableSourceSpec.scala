@@ -289,6 +289,41 @@ class GraftTableSourceSpec extends AnyFunSuite {
     assert(scanNumFiles(aOnly) < total)
   }
 
+  test("manifest pruning is TYPED: string and date bounds prune files " +
+      "at plan time (binary string order, epoch-day dates); exact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("gtyped").toString
+    val rows = (0 until 2048).map { i =>
+      (i.toLong, f"name-$i%05d",
+        java.sql.Date.valueOf(
+          java.time.LocalDate.of(2026, 1, 1).plusDays(i / 128)))
+    }
+    // range-clustered layout: each of the 16 files is a tight box on
+    // (id, s, d) — the typed manifest should open only the overlaps
+    VersionLog.init(spark, dir, rows.toDF("id", "s", "d")
+      .repartitionByRange(16, $"id").sortWithinPartitions($"id"))
+    Manifest.buildManifestFor(spark, dir,
+      VersionLog.read(spark, dir), Seq("s", "d"))
+    val t = spark.read.format("graft").load(dir)
+    val total = VersionLog.snapshot(spark, dir, None).files.size
+    // string range
+    val q1 = t.filter($"s" >= "name-00100" && $"s" <= "name-00200")
+    assert(q1.select($"id").as[Long].collect().toSet ===
+      (100L to 200L).toSet)
+    assert(scanNumFiles(q1) < total,
+      s"string bounds must prune (opened ${scanNumFiles(q1)}/$total)")
+    // date equality (day 5 holds ids 512..639)
+    val q2 = t.filter($"d" === java.sql.Date.valueOf("2026-01-05"))
+    assert(q2.select($"id").as[Long].collect().toSet ===
+      (512L until 640L).toSet)
+    assert(scanNumFiles(q2) < total,
+      s"date equality must prune (opened ${scanNumFiles(q2)}/$total)")
+    // a disjoint string box opens ~nothing and returns nothing
+    val q3 = t.filter($"s" > "zzz")
+    assert(q3.count() === 0L)
+    assert(scanNumFiles(q3) === 0L)
+  }
+
   test("graft format: a snapshot file missing on disk fails LOUDLY " +
       "at planning — never silently missing rows") {
     import spark.implicits._

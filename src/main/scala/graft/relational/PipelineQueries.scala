@@ -2002,6 +2002,22 @@ object PipelineQueries {
         FROM graft.`$dir`
         GROUP BY lang ORDER BY lang""")
     },
+    "q148_history_sql" -> { (s, d) =>
+      import s.implicits._
+      // DESCRIBE HISTORY as SQL TEXT: the same deterministic commit
+      // log as q143 (init fr -> append de -> tombstone merge), read
+      // through the statement the graft parser adds to Spark's
+      // grammar and routed by the catalog — the operational audit
+      // question answered with no API in sight. The oracle recomputes
+      // every version's row count independently; the q143 API twin
+      // and this SQL door must both hash-match it.
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.catalog.GraftCatalog].getName)
+      val dir = histTableDir(s, d)
+      s.sql(s"DESCRIBE HISTORY graft.`$dir`")
+        .select($"version", $"parent", $"action", $"n_rows")
+        .orderBy($"version")
+    },
     "q147_versioned_dv" -> { (s, d) =>
       import s.implicits._
       // EQUALITY-DELETE COMMITS: q139's merge-on-read workload on the
@@ -3595,6 +3611,23 @@ object PipelineQueries {
            CAST(sum(doc_id) AS BIGINT) AS sum_ids
          FROM documents GROUP BY lang ORDER BY lang""",
     "q143_table_history" ->
+      """WITH fr AS (SELECT count(*) AS c FROM documents
+             WHERE lang = 'fr'),
+         de AS (SELECT count(*) AS c FROM documents WHERE lang = 'de'),
+         del AS (SELECT count(*) AS c FROM documents
+             WHERE lang = 'fr' AND doc_id % 7 = 0)
+         SELECT * FROM (
+           SELECT CAST(1 AS BIGINT) AS version, CAST(0 AS BIGINT)
+               AS parent, 'init' AS action, CAST(fr.c AS BIGINT)
+               AS n_rows FROM fr
+           UNION ALL
+           SELECT 2, 1, 'append', CAST(fr.c + de.c AS BIGINT)
+           FROM fr, de
+           UNION ALL
+           SELECT 3, 2, 'merge', CAST(fr.c + de.c - del.c AS BIGINT)
+           FROM fr, de, del)
+         ORDER BY version""",
+    "q148_history_sql" ->
       """WITH fr AS (SELECT count(*) AS c FROM documents
              WHERE lang = 'fr'),
          de AS (SELECT count(*) AS c FROM documents WHERE lang = 'de'),

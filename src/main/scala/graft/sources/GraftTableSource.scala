@@ -281,15 +281,39 @@ private final class GraftFileIndex(spark: SparkSession, dir: String,
       spark.read.parquet(f.status.getPath.toString).schema)
     footers.reduce { (acc, next) =>
       val extra = next.fields.filterNot(f => acc.fieldNames.contains(f.name))
-      next.fields.filter(f => acc.fieldNames.contains(f.name)).foreach { f =>
-        val prior = acc(f.name).dataType
-        require(prior == f.dataType,
-          s"graft table at $base has conflicting types for column " +
-            s"'${f.name}': $prior vs ${f.dataType} — type changes " +
-            "require a rewriting commit (overwrite), not evolution")
+      val merged = acc.fields.map { f =>
+        next.fields.find(_.name == f.name).fold(f) { n =>
+          f.copy(dataType = widen(f.dataType, n.dataType).getOrElse(
+            throw new IllegalArgumentException(
+              s"graft table at $base has incompatible types for " +
+                s"column '${f.name}': ${f.dataType} vs ${n.dataType} " +
+                "— only widening evolution (byte/short/int->long, " +
+                "float->double) is supported; anything else requires " +
+                "a rewriting commit (overwrite)")))
+        }
       }
-      StructType(acc.fields ++ extra)
+      StructType(merged ++ extra)
     }
+  }
+
+  /** TYPE-WIDENING evolution: commits may up-cast a column along the
+    * integral chain or float->double — the parquet reader decodes the
+    * narrow files into the wide read schema natively (Spark 4's
+    * scan-level widening), so no rewrite is needed. Any other change
+    * is rejected loudly, never coerced.
+    */
+  private def widen(a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType):
+      Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    val ints = IndexedSeq[DataType](ByteType, ShortType, IntegerType,
+      LongType)
+    if (a == b) Some(a)
+    else if (ints.contains(a) && ints.contains(b))
+      Some(ints(math.max(ints.indexOf(a), ints.indexOf(b))))
+    else if ((a == FloatType || a == DoubleType) &&
+        (b == FloatType || b == DoubleType)) Some(DoubleType)
+    else None
   }
 
   override def rootPaths: Seq[Path] = Seq(basePath)

@@ -517,6 +517,44 @@ class VersionLogSpec extends AnyFunSuite {
       s"unreferenced delete manifests must vacuum, got $vic")
   }
 
+  test("TYPE-WIDENING evolution: int->long and float->double appends " +
+      "read back wide in both doors; incompatible changes reject " +
+      "loudly with the old data intact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("vwiden").toString
+    VersionLog.init(spark, dir,
+      Seq((1, 1.5f, "a")).toDF("n", "x", "p"), partitionBy = Some("p"))
+    // widening append: n int->long, x float->double
+    VersionLog.append(spark, dir,
+      Seq((5000000000L, 2.25d, "b")).toDF("n", "x", "p"),
+      partitionBy = Some("p"))
+    for (df <- Seq(VersionLog.read(spark, dir),
+        spark.read.format("graft").load(dir))) {
+      assert(df.schema("n").dataType ===
+        org.apache.spark.sql.types.LongType)
+      assert(df.schema("x").dataType ===
+        org.apache.spark.sql.types.DoubleType)
+      assert(df.select($"n", $"x").as[(Long, Double)].collect().toSet
+        === Set((1L, 1.5d), (5000000000L, 2.25d)))
+    }
+    // a merge against the widened table writes the wide schema
+    VersionLog.mergeByKeyCdc(spark, dir,
+      Seq((1L, 9.5d, "a")).toDF("n", "x", "p"), "n", "p")
+    assert(VersionLog.read(spark, dir).select($"n", $"x")
+      .as[(Long, Double)].collect().toSet ===
+      Set((1L, 9.5d), (5000000000L, 2.25d)))
+    // an incompatible change (long -> string) is refused loudly
+    VersionLog.append(spark, dir,
+      Seq(("oops", 1.0d, "c")).toDF("n", "x", "p"),
+      partitionBy = Some("p"))
+    val e = intercept[IllegalArgumentException] {
+      VersionLog.read(spark, dir).collect()
+    }
+    assert(e.getMessage.contains("incompatible types"), e.getMessage)
+    // ...and time travel to the pre-damage version still reads whole
+    assert(VersionLog.read(spark, dir, Some(3L)).count() === 2L)
+  }
+
   test("MODEL-CHECKED lifecycle: 30 random merge/append/delete/compact/" +
       "vacuum steps match an in-memory model at every version") {
     import spark.implicits._

@@ -115,10 +115,18 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadVersioned(ident, Some(v))
   }
 
-  override def loadTable(ident: Identifier, timestamp: Long): Table =
-    throw new UnsupportedOperationException(
-      "TIMESTAMP AS OF is not supported; use VERSION AS OF <commit id> " +
-        s"(see DESCRIBE HISTORY $catalogName.${ident.toString})")
+  /** `TIMESTAMP AS OF` — the analyzer hands micros since epoch; the
+    * version log resolves it against the monotonic commit timestamps
+    * ([[VersionLog.versionAtTimestamp]], the version-file-mtime
+    * convention `DESCRIBE HISTORY` surfaces as `commit_ts`).
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = dirFor(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val v = VersionLog.versionAtTimestamp(spark, dir,
+      Math.floorDiv(timestamp, 1000L))
+    loadVersioned(ident, Some(v))
+  }
 
   private def loadVersioned(ident: Identifier,
       versionAsOf: Option[Long]): GraftTable = {

@@ -14,7 +14,7 @@ import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType, TimestampType}
 import org.apache.spark.sql.graftbridge.Bridge
 
 import graft.io.{MergeSql, VersionLog}
@@ -116,6 +116,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val historyRe: Regex =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+(.+?)\s*;?\s*$""".r
 
+  private val cloneRe: Regex =
+    ("""(?is)^\s*CREATE\s+TABLE\s+(\S+)\s+(?:SHALLOW\s+)?CLONE\s+""" +
+      """(\S+?)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""").r
+
   override def parsePlan(sqlText: String): LogicalPlan =
     intercept(sqlText, () => delegate.parsePlan(sqlText))
 
@@ -136,7 +140,22 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
             s"DESCRIBE HISTORY requires a graft catalog table, got: " +
               parts.mkString("."))
         }
-      case None => rewriteMerge(parse())
+      case None => cloneRe.findFirstMatchIn(sqlText) match {
+        case Some(m) =>
+          def dirOf(raw: String, what: String): String = {
+            val parts = delegate.parseMultipartIdentifier(raw)
+            GraftCatalogRules.resolveGraftIdent(session, parts) match {
+              case Some((cat, ident)) => cat.dirFor(ident)
+              case None => throw new IllegalArgumentException(
+                s"CREATE TABLE ... CLONE requires graft catalog " +
+                  s"tables; $what ${parts.mkString(".")} is not one")
+            }
+          }
+          GraftCloneCommand(dirOf(m.group(2), "source"),
+            dirOf(m.group(1), "target"),
+            Option(m.group(3)).map(_.toLong))
+        case None => rewriteMerge(parse())
+      }
     }
 
   private def rewriteMerge(plan: LogicalPlan): LogicalPlan = plan match {
@@ -217,10 +236,31 @@ case class GraftCatalogMergeCommand(dir: String, source: LogicalPlan,
   }
 }
 
+/** `CREATE TABLE <dst> [SHALLOW] CLONE <src> [VERSION AS OF n]` —
+  * Delta's clone statement (not Spark grammar), routed to
+  * [[VersionLog.cloneTable]]: the pinned snapshot's files hard-link
+  * into the new table's directory and commit as its version 1 — zero
+  * data copied, and (unlike path-referencing clones) no cross-table
+  * vacuum hazard. Returns the cloned version id and live file count.
+  */
+case class GraftCloneCommand(srcDir: String, dstDir: String,
+    versionAsOf: Option[Long]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = VersionLog.cloneTable(spark, srcDir, dstDir, versionAsOf)
+    Seq(Row(v,
+      VersionLog.snapshot(spark, dstDir, None).files.size.toLong))
+  }
+}
+
 /** `DESCRIBE HISTORY <graft table>` — the commit log as a result set
-  * (version, parent, action, n_files, n_rows), straight from
-  * [[VersionLog.history]]: metadata plus parquet footer counts, never
-  * a data decode.
+  * (version, parent, action, commit_ts, n_files, n_rows), straight
+  * from [[VersionLog.history]]: metadata plus parquet footer counts,
+  * never a data decode.
   */
 case class GraftDescribeHistoryCommand(dir: String)
     extends LeafRunnableCommand {
@@ -229,6 +269,7 @@ case class GraftDescribeHistoryCommand(dir: String)
     AttributeReference("version", LongType, nullable = false)(),
     AttributeReference("parent", LongType, nullable = false)(),
     AttributeReference("action", StringType, nullable = false)(),
+    AttributeReference("commit_ts", TimestampType, nullable = false)(),
     AttributeReference("n_files", LongType, nullable = false)(),
     AttributeReference("n_rows", LongType, nullable = false)())
 

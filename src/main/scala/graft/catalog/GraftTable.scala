@@ -95,12 +95,33 @@ final class GraftTable(spark: SparkSession, val dir: String,
       s"cannot write to a time-travel read of $dir (VERSION AS OF)")
     new WriteBuilder with SupportsOverwrite {
       private var replace = false
+      // INSERT OVERWRITE t PARTITION (p='x'): the static partition
+      // spec arrives as pushed filters on the partition column —
+      // scope the commit to exactly those partitions (replaceWhere)
+      private var replaceValues: Option[Seq[String]] = None
       override def truncate(): WriteBuilder = { replace = true; this }
       override def overwrite(filters: Array[Filter]): WriteBuilder = {
-        require(filters.forall(_.isInstanceOf[AlwaysTrue]),
-          "graft supports only full-table INSERT OVERWRITE " +
-            s"(got filters: ${filters.mkString(", ")})")
-        replace = true
+        if (filters.forall(_.isInstanceOf[AlwaysTrue])) replace = true
+        else {
+          val pc = partColOpt.getOrElse(
+            throw new UnsupportedOperationException(
+              "partition-scoped INSERT OVERWRITE on an unpartitioned " +
+                s"graft table ($dir)"))
+          require(filters.length == 1,
+            "graft supports one partition predicate per INSERT " +
+              s"OVERWRITE, got: ${filters.mkString(", ")}")
+          replaceValues = Some(filters.head match {
+            case org.apache.spark.sql.sources.EqualTo(c, v) if c == pc =>
+              Seq(String.valueOf(v))
+            case org.apache.spark.sql.sources.EqualNullSafe(c, v)
+                if c == pc && v != null => Seq(String.valueOf(v))
+            case org.apache.spark.sql.sources.In(c, vs) if c == pc =>
+              vs.toSeq.map(String.valueOf)
+            case other => throw new UnsupportedOperationException(
+              "graft INSERT OVERWRITE filters must address the " +
+                s"partition column $pc (got: $other)")
+          })
+        }
         this
       }
       override def build(): Write = new V1Write {
@@ -108,11 +129,20 @@ final class GraftTable(spark: SparkSession, val dir: String,
           new InsertableRelation {
             override def insert(data: DataFrame,
                 overwrite: Boolean): Unit = {
-              val ow = replace || overwrite
               val pb = partColOpt
-              if (!exists) VersionLog.init(spark, dir, data, pb)
-              else if (ow) VersionLog.overwrite(spark, dir, data, pb)
-              else VersionLog.append(spark, dir, data, pb)
+              if (!exists) {
+                require(replaceValues.isEmpty,
+                  s"cannot partition-overwrite an empty table ($dir)")
+                VersionLog.init(spark, dir, data, pb)
+              } else replaceValues match {
+                case Some(vals) =>
+                  VersionLog.overwritePartitions(spark, dir, data,
+                    pb.get, vals)
+                case None =>
+                  if (replace || overwrite)
+                    VersionLog.overwrite(spark, dir, data, pb)
+                  else VersionLog.append(spark, dir, data, pb)
+              }
             }
           }
       }

@@ -304,11 +304,12 @@ object VersionLog {
     * (z-order/manifest-friendly). Returns the committed version (1).
     */
   def init(spark: SparkSession, dir: String, df: DataFrame,
-      partitionBy: Option[String] = None): Long = {
+      partitionBy: Option[String] = None,
+      actionTag: String = "init"): Long = {
     require(listVersions(spark, dir).isEmpty,
       s"$dir already has a version log; commit against it instead")
     val files = writeBatch(spark, dir, df, partitionBy, 1L)
-    commit(spark, dir, parent = 0L, action = "init", files = files)
+    commit(spark, dir, parent = 0L, action = actionTag, files = files)
   }
 
   /** Write a data batch under `data/b-<version>-<uuid>/` and return
@@ -547,13 +548,57 @@ object VersionLog {
     */
   def history(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val ts = commitTimestamps(spark, dir).toMap
     val rows = listVersions(spark, dir).map { v =>
       val snap = snapshot(spark, dir, Some(v))
-      (snap.version, snap.parent, snap.action, snap.files.size.toLong,
+      (snap.version, snap.parent, snap.action,
+        new java.sql.Timestamp(ts(v)), snap.files.size.toLong,
         readFiles(spark, dir, snap.files).count())
     }
-    rows.toDF("version", "parent", "action", "n_files", "n_rows")
+    rows.toDF("version", "parent", "action", "commit_ts", "n_files",
+        "n_rows")
       .orderBy(col("version"))
+  }
+
+  /** Commit timestamps — Delta's pre-ICT convention: a version's time
+    * is its version FILE's modification time (the file is created once
+    * by the atomic publish and never rewritten, so its mtime IS the
+    * commit instant), adjusted to be strictly monotonic in version
+    * order (clock skew between racing writers, or a coarse-mtime
+    * filesystem, can otherwise make a later version look older —
+    * Delta applies the same max(parent+1) clamp). Returns
+    * (version, adjustedMillis) ascending; metadata-only (one file
+    * status per retained version, never a data read).
+    */
+  def commitTimestamps(spark: SparkSession,
+      dir: String): Seq[(Long, Long)] = {
+    val fs = fsFor(spark, dir)
+    var last = Long.MinValue
+    listVersions(spark, dir).map { v =>
+      val raw = fs.getFileStatus(versionFile(dir, v)).getModificationTime
+      val adj = if (last == Long.MinValue) raw else math.max(raw, last + 1)
+      last = adj
+      (v, adj)
+    }
+  }
+
+  /** `TIMESTAMP AS OF` resolution: the newest version whose adjusted
+    * commit time is <= `tsMillis` — "the table as it stood at that
+    * instant". Fails loudly when the timestamp predates the first
+    * retained commit (nothing existed to read) rather than silently
+    * returning the oldest state.
+    */
+  def versionAtTimestamp(spark: SparkSession, dir: String,
+      tsMillis: Long): Long = {
+    val ts = commitTimestamps(spark, dir)
+    require(ts.nonEmpty,
+      s"requirement failed: $dir has no version log (_versions)")
+    val eligible = ts.takeWhile(_._2 <= tsMillis)
+    require(eligible.nonEmpty,
+      s"timestamp $tsMillis predates the first retained commit of " +
+        s"$dir (version ${ts.head._1} at ${ts.head._2}); use " +
+        "VERSION AS OF or a later timestamp")
+    eligible.last._1
   }
 
   /** Append `df` as a new commit: the next snapshot lists the parent's
@@ -562,13 +607,14 @@ object VersionLog {
     * (`partitionBy`) should match the table's. Returns the version.
     */
   def append(spark: SparkSession, dir: String, df: DataFrame,
-      partitionBy: Option[String] = None): Long = {
+      partitionBy: Option[String] = None,
+      actionTag: String = "append"): Long = {
     val snap = snapshot(spark, dir, None)
     val files = writeBatch(spark, dir, df, partitionBy, snap.version + 1)
     // outstanding delete manifests carry forward (equality deletes
     // are layout-independent); appending a still-deleted key is the
     // caller's violation of the documented re-insert rule
-    commit(spark, dir, snap.version, "append", snap.files ++ files,
+    commit(spark, dir, snap.version, actionTag, snap.files ++ files,
       deletes = snap.deletes)
   }
 
@@ -578,10 +624,49 @@ object VersionLog {
     * via [[vacuumVersions]]. Returns the version.
     */
   def overwrite(spark: SparkSession, dir: String, df: DataFrame,
-      partitionBy: Option[String] = None): Long = {
+      partitionBy: Option[String] = None,
+      actionTag: String = "overwrite"): Long = {
     val snap = snapshot(spark, dir, None)
     val files = writeBatch(spark, dir, df, partitionBy, snap.version + 1)
-    commit(spark, dir, snap.version, "overwrite", files)
+    commit(spark, dir, snap.version, actionTag, files)
+  }
+
+  /** Partition-scoped overwrite — Delta's `replaceWhere` on the
+    * partition column, the SQL `INSERT OVERWRITE t PARTITION (p=...)`
+    * semantics — as ONE commit: the next snapshot lists the parent's
+    * files MINUS every file under the named partitions PLUS the new
+    * batch. File-granular copy-on-write (untouched partitions carry by
+    * reference, readers of older versions undisturbed); blast radius =
+    * the named partitions, never the table. Every row of `df` must
+    * fall inside the replaced scope — a loud error otherwise, because
+    * silently widening is how "replace the fr partition" eats the
+    * table (Delta's replaceWhere enforces the same). Replacing a
+    * partition with zero rows (an empty `df` slice) legitimately
+    * DRAINS it. Outstanding equality-delete manifests carry forward
+    * (layout-independent, like [[append]]). Returns the version.
+    */
+  def overwritePartitions(spark: SparkSession, dir: String,
+      df: DataFrame, partitionBy: String,
+      values: Seq[String]): Long = {
+    require(values.nonEmpty, "overwritePartitions needs >= 1 partition")
+    require(!values.exists(v => v == null || v.isEmpty),
+      s"null/empty $partitionBy value: outside the partitioned " +
+        "layout's addressing")
+    val snap = snapshot(spark, dir, None)
+    val stray = df.filter(col(partitionBy).isNull ||
+        !col(partitionBy).isin(values.map(v => v: Any): _*))
+      .limit(1).count()
+    require(stray == 0L,
+      s"rows fall outside the replaced partitions " +
+        s"($partitionBy in ${values.mkString(",")}) — an overwrite " +
+        "must not silently widen; overwrite the whole table instead")
+    val frags = values.map(v =>
+      s"/$partitionBy=${MergeInto.escapePathName(v)}/")
+    val isReplaced = (f: String) => frags.exists(("/" + f).contains)
+    val files = writeBatch(spark, dir, df, Some(partitionBy),
+      snap.version + 1)
+    commit(spark, dir, snap.version, "overwrite_where",
+      snap.files.filterNot(isReplaced) ++ files, deletes = snap.deletes)
   }
 
   /** EQUALITY-DELETE commit — merge-on-read for the VERSIONED table
@@ -696,14 +781,94 @@ object VersionLog {
       updates: DataFrame, keyCol: String, partCol: String,
       deleteWhen: Option[Column] = None):
       Option[(MergeStats, DataFrame, Long)] = {
-    require(batchTag.nonEmpty && batchTag != "merge" &&
-      batchTag != "init" && batchTag != "compact",
-      s"batchTag '$batchTag' must be a distinct idempotency token")
-    val applied = listVersions(spark, dir)
-      .exists(v => snapshot(spark, dir, Some(v)).action == batchTag)
-    if (applied) None
+    requireTag(batchTag)
+    if (tagApplied(spark, dir, batchTag)) None
     else Some(mergeByKeyCdc(spark, dir, updates, keyCol, partCol,
       deleteWhen, actionTag = batchTag))
+  }
+
+  private def requireTag(batchTag: String): Unit =
+    require(batchTag.nonEmpty && !Set("merge", "init", "append",
+        "overwrite", "overwrite_where", "compact", "delete",
+        "apply-deletes").contains(batchTag),
+      s"batchTag '$batchTag' must be a distinct idempotency token")
+
+  private def tagApplied(spark: SparkSession, dir: String,
+      batchTag: String): Boolean =
+    listVersions(spark, dir)
+      .exists(v => snapshot(spark, dir, Some(v)).action == batchTag)
+
+  /** EXACTLY-ONCE append — the streaming-SINK twin of
+    * [[mergeBatchOnce]]: append `df` only if no retained version
+    * already carries `batchTag` as its action, so a redelivered
+    * micro-batch (at-least-once delivery after a restart) finds the
+    * tag and SKIPS whole. Bootstraps the table (init) when the log is
+    * empty — still under the tag, so a redelivered FIRST batch skips
+    * too. Returns None on a skipped replay, the committed version
+    * otherwise. Retention ([[vacuumVersions]] `keepLast`) must exceed
+    * the sink's maximum redelivery window — the contract every
+    * transaction log has.
+    */
+  def appendOnce(spark: SparkSession, dir: String, batchTag: String,
+      df: DataFrame, partitionBy: Option[String] = None): Option[Long] = {
+    requireTag(batchTag)
+    if (tagApplied(spark, dir, batchTag)) None
+    else if (listVersions(spark, dir).isEmpty)
+      Some(init(spark, dir, df, partitionBy, actionTag = batchTag))
+    else Some(append(spark, dir, df, partitionBy, actionTag = batchTag))
+  }
+
+  /** EXACTLY-ONCE overwrite — [[appendOnce]]'s Complete-output-mode
+    * twin: each tagged batch REPLACES the table's contents (older
+    * versions still time-travel). Returns None on a skipped replay.
+    */
+  def overwriteOnce(spark: SparkSession, dir: String, batchTag: String,
+      df: DataFrame, partitionBy: Option[String] = None): Option[Long] = {
+    requireTag(batchTag)
+    if (tagApplied(spark, dir, batchTag)) None
+    else if (listVersions(spark, dir).isEmpty)
+      Some(init(spark, dir, df, partitionBy, actionTag = batchTag))
+    else Some(overwrite(spark, dir, df, partitionBy, actionTag = batchTag))
+  }
+
+  /** ZERO-COPY SHALLOW CLONE (local filesystems): materialize `dstDir`
+    * as a fresh versioned table whose version 1 references the SAME
+    * bytes as the pinned snapshot of `srcDir` — every live data file
+    * and retained delete manifest is HARD-LINKED (no data copied, no
+    * parquet decoded), then committed as the clone's `init`-equivalent
+    * (`action = "clone"`). O(live files) metadata operations.
+    *
+    * Hard links (not path references) make the clone durable: POSIX
+    * keeps the bytes while ANY name references them, so the source's
+    * vacuum can never break the clone and the clone's vacuum can never
+    * break the source — the cross-table GC hazard that path-based
+    * shallow clones (Delta's documented caveat) carry simply does not
+    * exist. Mutations diverge freely after the clone: both tables are
+    * copy-on-write, so shared bytes split lazily as either side
+    * rewrites them. The CDC sidecar is NOT cloned (the feed is the
+    * source's history; the clone starts its own). On a non-local
+    * filesystem this refuses loudly — clone by
+    * `init(dst, read(src))` (a data copy) there.
+    */
+  def cloneTable(spark: SparkSession, srcDir: String, dstDir: String,
+      versionAsOf: Option[Long] = None): Long = {
+    val fs = fsFor(spark, srcDir)
+    require("file" == fs.getUri.getScheme,
+      "shallow clone hard-links files and needs a local filesystem; " +
+        "use init(dst, read(src)) to clone by copy")
+    require(listVersions(spark, dstDir).isEmpty,
+      s"$dstDir already has a version log")
+    val snap = snapshot(spark, srcDir, versionAsOf)
+    val srcBase = new Path(srcDir.stripSuffix("/")).toUri.getPath
+    val dstBase = new Path(dstDir.stripSuffix("/")).toUri.getPath
+    (snap.files ++ snap.deletes).foreach { rel =>
+      val from = java.nio.file.Paths.get(s"$srcBase/$rel")
+      val to = java.nio.file.Paths.get(s"$dstBase/$rel")
+      java.nio.file.Files.createDirectories(to.getParent)
+      java.nio.file.Files.createLink(to, from)
+    }
+    commit(spark, dstDir, parent = 0L, action = "clone",
+      files = snap.files, deletes = snap.deletes)
   }
 
   /** COMPACTION as a commit: bin-pack each over-fragmented partition

@@ -88,7 +88,7 @@ object PipelineQueries {
     * which the banding-probability contract wants to be the same
     * (Shingling.scala:3-9).
     */
-  private val shingleHashes64 = udf((s: String) => {
+  private[graft] val shingleHashes64 = udf((s: String) => {
     if (s == null) Seq.empty[Long]
     else {
       val seen = new java.util.HashSet[java.lang.Long]()
@@ -270,6 +270,31 @@ object PipelineQueries {
           WHEN MATCHED AND u._del THEN DELETE
           WHEN MATCHED THEN UPDATE SET *
           WHEN NOT MATCHED THEN INSERT *""")
+    }
+    dir
+  }
+
+  /** Shared build for the partition-overwrite query (q149): the
+    * documents corpus seeded lang-partitioned into a versioned table,
+    * then two `overwrite_where` commits — replace the fr partition
+    * with a transformed slice (fr%3, text + " [rw]") and DRAIN the de
+    * partition with an empty slice. Deterministic; built once per
+    * (sf, process).
+    */
+  private def replacePartitionDir(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val dir = s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft-rw-${Integer.toHexString(d.hashCode)}" +
+      s"-${ProcessHandle.current().pid()}"
+    buildOnce(dir) {
+      val docs = documents(s, d)
+      VersionLog.init(s, dir, docs, partitionBy = Some("lang"))
+      VersionLog.overwritePartitions(s, dir,
+        docs.filter($"lang" === "fr" && $"doc_id" % 3 === 0)
+          .withColumn("text", concat($"text", lit(" [rw]"))),
+        "lang", Seq("fr"))
+      VersionLog.overwritePartitions(s, dir,
+        docs.filter(lit(false)), "lang", Seq("de"))
     }
     dir
   }
@@ -2050,6 +2075,28 @@ object PipelineQueries {
           sum($"doc_id").as("sum_ids"))
         .orderBy($"lang")
     },
+    "q149_replace_partition" -> { (s, d) =>
+      import s.implicits._
+      // PARTITION-SCOPED OVERWRITE (Delta's replaceWhere / SQL
+      // `INSERT OVERWRITE ... PARTITION (p=v)`) on the versioned
+      // table: one commit replaces exactly the fr partition with a
+      // transformed slice, a second DRAINS de with an empty slice —
+      // file-granular copy-on-write (untouched partitions carry by
+      // reference; blast radius = the named partitions, never the
+      // table), full history still time-travelable. The oracle
+      // recomputes the end state from the pristine corpus: a
+      // widened overwrite (eaten partition), a leaked replaced row,
+      // or an undrained de row cannot hash-match. Scope refusal and
+      // the SQL door are spec-pinned in VersionLogSpec /
+      // GraftCatalogSpec.
+      val dir = replacePartitionDir(s, d)
+      VersionLog.read(s, dir)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(length($"text")).as("sum_len"),
+          sum($"doc_id").as("sum_ids"))
+        .orderBy($"lang")
+    },
     "q146_cdc_replay" -> { (s, d) =>
       import s.implicits._
       // CHANGE-DATA-CAPTURE REPLAY: reconstruct the CURRENT snapshot
@@ -3610,6 +3657,17 @@ object PipelineQueries {
            CAST(sum(length(text)) AS BIGINT) AS sum_len,
            CAST(sum(doc_id) AS BIGINT) AS sum_ids
          FROM documents GROUP BY lang ORDER BY lang""",
+    "q149_replace_partition" ->
+      """SELECT lang, count(*) AS n_rows,
+           CAST(sum(length(text)) AS BIGINT) AS sum_len,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         FROM (
+           SELECT doc_id, lang, text FROM documents
+           WHERE lang NOT IN ('fr', 'de')
+           UNION ALL
+           SELECT doc_id, lang, text || ' [rw]' FROM documents
+           WHERE lang = 'fr' AND doc_id % 3 = 0)
+         GROUP BY lang ORDER BY lang""",
     "q143_table_history" ->
       """WITH fr AS (SELECT count(*) AS c FROM documents
              WHERE lang = 'fr'),

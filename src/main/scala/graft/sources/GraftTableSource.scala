@@ -48,8 +48,46 @@ import graft.io.{KeyBloom, VersionLog}
   */
 final class GraftTableSource extends RelationProvider
     with org.apache.spark.sql.sources.CreatableRelationProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider
     with DataSourceRegister {
   override def shortName(): String = "graft"
+
+  /** `df.writeStream.format("graft")` — the versioned table as a
+    * STREAMING SINK with exactly-once micro-batches: every epoch is
+    * ONE tagged snapshot commit (`<txnApp>#<batchId>` as the version's
+    * action — the Delta `txn` idea via [[VersionLog.appendOnce]]), so
+    * an at-least-once redelivery after a restart finds its tag in the
+    * retained log and skips whole. Append output mode commits appends
+    * (bootstrapping version 1 on the first epoch); Complete commits
+    * overwrites (each trigger replaces the table, older versions still
+    * time-travel); Update is refused — an upsert stream needs a merge
+    * key this sink does not interpret (use foreachBatch +
+    * [[VersionLog.mergeBatchOnce]]). The idempotency scope defaults to
+    * the query's checkpointLocation option (unique per logical
+    * stream); `option("txnApp", ...)` overrides it. Batch readers and
+    * the commit-tail/CDC streaming sources see each epoch atomically —
+    * never a half-written micro-batch.
+    */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode):
+      org.apache.spark.sql.execution.streaming.Sink = {
+    val dir = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft streaming sink " +
+        "requires a path: df.writeStream.format(\"graft\").start(dir)"))
+    require(partitionColumns.size <= 1,
+      "graft tables support at most one partition column, got: " +
+        partitionColumns.mkString(", "))
+    val partCol = partitionColumns.headOption
+      .orElse(parameters.get("partitionBy"))
+    val txnApp = parameters.get("txnApp")
+      .orElse(parameters.get("checkpointLocation"))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft streaming sink needs option(\"checkpointLocation\", ...)" +
+          " (or option(\"txnApp\", ...)) as its exactly-once scope"))
+    new GraftStreamSink(dir, partCol, outputMode, txnApp)
+  }
 
   /** `df.write.format("graft")[.option("partitionBy", c)].mode(m)
     * .save(dir)` — every SaveMode maps onto a version-log commit, so
@@ -113,6 +151,40 @@ final class GraftTableSource extends RelationProvider
       fileFormat = new ParquetFileFormat,
       options = parameters)(spark)
   }
+}
+
+/** The micro-batch side of the graft streaming sink: one exactly-once
+  * tagged commit per epoch (see [[GraftTableSource.createSink]]). The
+  * incoming DataFrame is bound to the stream's incremental execution —
+  * it is re-wrapped as a plain batch frame over the already-planned
+  * InternalRow RDD (the [[org.apache.spark.sql.graftbridge.Bridge]]
+  * accessor, the same shape FileStreamSink/Delta use) so the
+  * version-log write path can treat it like any batch.
+  */
+private[sources] final class GraftStreamSink(dir: String,
+    partCol: Option[String],
+    mode: org.apache.spark.sql.streaming.OutputMode,
+    txnApp: String)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+  import org.apache.spark.sql.streaming.OutputMode
+
+  override def addBatch(batchId: Long,
+      data: org.apache.spark.sql.DataFrame): Unit = {
+    val spark = data.sparkSession
+    val batch = org.apache.spark.sql.graftbridge.Bridge
+      .internalCreateDataFrame(spark, data, isStreaming = false)
+    val tag = s"$txnApp#$batchId"
+    if (mode == OutputMode.Append())
+      VersionLog.appendOnce(spark, dir, tag, batch, partCol)
+    else if (mode == OutputMode.Complete())
+      VersionLog.overwriteOnce(spark, dir, tag, batch, partCol)
+    else throw new UnsupportedOperationException(
+      s"graft streaming sink supports Append and Complete, got $mode; " +
+        "for Update (upsert) streams use foreachBatch + " +
+        "VersionLog.mergeBatchOnce")
+  }
+
+  override def toString: String = s"GraftSink[$dir]"
 }
 
 /** One live data file of the pinned snapshot, with its parsed

@@ -137,18 +137,93 @@ class GraftCatalogSpec extends AnyFunSuite {
       s"partition pruning must open fewer than all $total files")
   }
 
-  test("time-travel reads are write-protected; TIMESTAMP AS OF and " +
-      "multi-column partitioning are refused loudly") {
+  test("CREATE TABLE ... CLONE ... VERSION AS OF as SQL: a zero-copy " +
+      "pinned-snapshot clone through the catalog; mutations diverge") {
     import spark.implicits._
     warehouse
-    spark.sql("CREATE TABLE graft.guard (k BIGINT, p STRING) " +
+    spark.sql("CREATE TABLE graft.csrc AS SELECT id AS k, " +
+      "CAST(id % 3 AS STRING) AS p FROM range(30)") // v1
+    spark.sql("INSERT INTO graft.csrc SELECT id + 100, '9' " +
+      "FROM range(5)") // v2
+    val res = spark.sql(
+      "CREATE TABLE graft.cdst CLONE graft.csrc VERSION AS OF 1")
+      .as[(Long, Long)].head()
+    assert(res._1 === 1L && res._2 > 0L)
+    // the clone is the PINNED v1 state, not the source's latest
+    assert(spark.sql("SELECT count(*) AS c FROM graft.cdst")
+      .as[Long].head() === 30L)
+    assert(spark.sql("SELECT count(*) AS c FROM graft.csrc")
+      .as[Long].head() === 35L)
+    // mutating the clone leaves the source untouched
+    spark.sql("INSERT OVERWRITE graft.cdst VALUES (1, 'x')")
+    assert(spark.sql("SELECT count(*) AS c FROM graft.cdst")
+      .as[Long].head() === 1L)
+    assert(spark.sql("SELECT count(*) AS c FROM graft.csrc")
+      .as[Long].head() === 35L)
+  }
+
+  test("INSERT OVERWRITE PARTITION (p=...) is a partition-scoped " +
+      "overwrite commit: named partition replaced, others carried by " +
+      "reference, full history time-travelable") {
+    import spark.implicits._
+    warehouse
+    spark.sql("CREATE TABLE graft.rw (k BIGINT, p STRING) " +
       "PARTITIONED BY (p)")
-    spark.sql("INSERT INTO graft.guard VALUES (1, 'a')")
+    spark.sql("INSERT INTO graft.rw VALUES " +
+      "(1, 'a'), (2, 'a'), (3, 'b'), (4, 'c')")
+    val dir = s"$warehouse/rw"
+    val before = VersionLog.snapshot(spark, dir, None)
+    spark.sql("INSERT OVERWRITE graft.rw PARTITION (p = 'a') " +
+      "VALUES (10), (11)")
+    assert(spark.sql("SELECT k, p FROM graft.rw")
+      .as[(Long, String)].collect().toSet ===
+      Set((10L, "a"), (11L, "a"), (3L, "b"), (4L, "c")))
+    val after = VersionLog.snapshot(spark, dir, None)
+    assert(after.action === "overwrite_where")
+    assert(before.files.filterNot(_.contains("/p=a/")).toSet
+      .subsetOf(after.files.toSet))
+    assert(spark.sql("SELECT k FROM graft.rw VERSION AS OF 1")
+      .as[Long].collect().toSet === Set(1L, 2L, 3L, 4L))
+  }
+
+  test("TIMESTAMP AS OF resolves against the commit timestamps that " +
+      "DESCRIBE HISTORY surfaces; a timestamp predating the first " +
+      "commit and multi-column partitioning are refused loudly") {
+    import spark.implicits._
+    warehouse
+    spark.sql("CREATE TABLE graft.tt (k BIGINT, p STRING) " +
+      "PARTITIONED BY (p)")
+    spark.sql("INSERT INTO graft.tt VALUES (1, 'a')") // v1
+    spark.sql("INSERT INTO graft.tt VALUES (2, 'b')") // v2
+    // pin the commit instants: a version FILE's mtime IS its commit
+    // time (created once by the atomic publish, never rewritten)
+    val dir = s"$warehouse/tt"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val t1 = java.sql.Timestamp.valueOf("2026-01-02 00:00:00").getTime
+    val t2 = java.sql.Timestamp.valueOf("2026-01-04 00:00:00").getTime
+    fs.setTimes(new org.apache.hadoop.fs.Path(
+      dir, "_versions/v-00000001.json"), t1, -1)
+    fs.setTimes(new org.apache.hadoop.fs.Path(
+      dir, "_versions/v-00000002.json"), t2, -1)
+    def at(ts: String) = spark.sql(
+      s"SELECT k FROM graft.tt TIMESTAMP AS OF '$ts'")
+      .as[Long].collect().toSet
+    assert(at("2026-01-03") === Set(1L)) // between the commits -> v1
+    assert(at("2026-01-04 00:00:00") === Set(1L, 2L)) // at v2 -> v2
+    assert(at("2026-01-05") === Set(1L, 2L)) // after both -> latest
+    // DESCRIBE HISTORY surfaces the same instants
+    val hist = spark.sql("DESCRIBE HISTORY graft.tt")
+      .select($"version", $"commit_ts")
+      .as[(Long, java.sql.Timestamp)].collect().toSeq
+    assert(hist.map { case (v, ts) => (v, ts.getTime) } ===
+      Seq((1L, t1), (2L, t2)))
     val e1 = intercept[Exception] {
-      spark.sql("SELECT * FROM graft.guard TIMESTAMP AS OF '2026-01-01'")
+      spark.sql("SELECT * FROM graft.tt TIMESTAMP AS OF '2026-01-01'")
         .collect()
     }
-    assert(e1.getMessage.contains("VERSION AS OF"), e1.getMessage)
+    assert(e1.getMessage.contains("predates the first retained commit"),
+      e1.getMessage)
     val e2 = intercept[Exception] {
       spark.sql("CREATE TABLE graft.two (a BIGINT, b STRING, c STRING) " +
         "PARTITIONED BY (b, c)")

@@ -649,4 +649,117 @@ class VersionLogSpec extends AnyFunSuite {
       VersionLog.read(spark, dir), feed, "k")
     assert(rows(byFeed) === rows(VersionLog.read(spark, dir, Some(1L))))
   }
+
+  test("overwritePartitions: replaces exactly the named partitions as " +
+      "one commit (untouched files carry by reference), drains on an " +
+      "empty slice, and refuses out-of-scope rows loudly") {
+    import spark.implicits._
+    val dir = seed() // a:{1,2} b:{3,4} c:{6}
+    val before = VersionLog.snapshot(spark, dir, None)
+    val v = VersionLog.overwritePartitions(spark, dir,
+      Seq((10L, "ten", "a"), (11L, "eleven", "a")).toDF("k", "v", "p"),
+      "p", Seq("a"))
+    assert(v === 2L)
+    assert(rows(VersionLog.read(spark, dir)) === Set(
+      (10L, "ten", "a"), (11L, "eleven", "a"), (3L, "three", "b"),
+      (4L, "four", "b"), (6L, "six", "c")))
+    val after = VersionLog.snapshot(spark, dir, None)
+    assert(after.action === "overwrite_where")
+    // b/c files carried by REFERENCE; every a-file is new
+    val untouched = before.files.filterNot(_.contains("/p=a/"))
+    assert(untouched.toSet.subsetOf(after.files.toSet))
+    assert(after.files.filter(_.contains("/p=a/"))
+      .forall(f => !before.files.contains(f)))
+    // time travel: the parent still reads whole
+    assert(rows(VersionLog.read(spark, dir, Some(1L))) === Set(
+      (1L, "one", "a"), (2L, "two", "a"), (3L, "three", "b"),
+      (4L, "four", "b"), (6L, "six", "c")))
+    // an empty slice legitimately DRAINS the partition
+    VersionLog.overwritePartitions(spark, dir,
+      Seq.empty[(Long, String, String)].toDF("k", "v", "p"),
+      "p", Seq("c"))
+    assert(rows(VersionLog.read(spark, dir))
+      .forall { case (_, _, p) => p != "c" })
+    // rows outside the replaced scope: loud refusal, nothing committed
+    val vNow = VersionLog.snapshot(spark, dir, None).version
+    val e = intercept[IllegalArgumentException] {
+      VersionLog.overwritePartitions(spark, dir,
+        Seq((9L, "nine", "zz")).toDF("k", "v", "p"), "p", Seq("a"))
+    }
+    assert(e.getMessage.contains("outside the replaced partitions"))
+    assert(VersionLog.snapshot(spark, dir, None).version === vNow)
+  }
+
+  test("shallow clone: zero data copy (hard links), free divergence " +
+      "after the clone, and vacuum on either side cannot break the " +
+      "other") {
+    import spark.implicits._
+    val src = seed()
+    val dst = Files.createTempDirectory("vclone").toString + "/t"
+    val v = VersionLog.cloneTable(spark, src, dst)
+    assert(v === 1L)
+    assert(VersionLog.snapshot(spark, dst, None).action === "clone")
+    val original = rows(VersionLog.read(spark, src))
+    assert(rows(VersionLog.read(spark, dst)) === original)
+    // zero-copy: every cloned file is the SAME bytes (a hard link —
+    // nlink >= 2 proves no data was copied)
+    VersionLog.snapshot(spark, dst, None).files.foreach { f =>
+      val n = java.nio.file.Files.getAttribute(
+        java.nio.file.Paths.get(s"$dst/$f"), "unix:nlink")
+        .asInstanceOf[Number].intValue
+      assert(n >= 2, s"$f must be hard-linked (nlink=$n)")
+    }
+    // divergence: a merge into the CLONE leaves the source
+    // byte-identical (same snapshot file list, same rows)
+    val srcFiles = VersionLog.snapshot(spark, src, None).files
+    VersionLog.mergeByKeyCdc(spark, dst,
+      Seq((2L, "two2", "a", false), (9L, "nine", "d", false))
+        .toDF("k", "v", "p", "_del"),
+      "k", "p", deleteWhen = Some($"_del"))
+    assert(rows(VersionLog.read(spark, src)) === original)
+    assert(VersionLog.snapshot(spark, src, None).files === srcFiles)
+    val cloneRows = rows(VersionLog.read(spark, dst))
+    assert(cloneRows === Set((1L, "one", "a"), (2L, "two2", "a"),
+      (3L, "three", "b"), (4L, "four", "b"), (6L, "six", "c"),
+      (9L, "nine", "d")))
+    // the source overwrites and HARD-vacuums: the clone's links keep
+    // its bytes alive — no cross-table GC hazard
+    VersionLog.overwrite(spark, src,
+      Seq((100L, "hundred", "z")).toDF("k", "v", "p"), Some("p"))
+    VersionLog.vacuumVersions(spark, src, keepLast = 1, ttlMs = 0L)
+    assert(rows(VersionLog.read(spark, dst)) === cloneRows)
+  }
+
+  test("commit timestamps are monotonic under clock skew (the Delta " +
+      "mtime clamp); versionAtTimestamp picks the newest commit " +
+      "at-or-before and refuses a pre-history timestamp") {
+    import spark.implicits._
+    val dir = seed() // v1
+    VersionLog.append(spark, dir,
+      Seq((10L, "ten", "a")).toDF("k", "v", "p"), Some("p")) // v2
+    VersionLog.append(spark, dir,
+      Seq((11L, "eleven", "b")).toDF("k", "v", "p"), Some("p")) // v3
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def pin(v: Int, ms: Long): Unit = fs.setTimes(
+      new org.apache.hadoop.fs.Path(dir, f"_versions/v-$v%08d.json"),
+      ms, -1)
+    // v2's wall clock is SKEWED to before v1's — a racing writer's
+    // host ran behind; the adjusted sequence must stay monotonic
+    pin(1, 1000000L); pin(2, 999000L); pin(3, 2000000L)
+    assert(VersionLog.commitTimestamps(spark, dir) ===
+      Seq((1L, 1000000L), (2L, 1000001L), (3L, 2000000L)))
+    assert(VersionLog.versionAtTimestamp(spark, dir, 1000000L) === 1L)
+    assert(VersionLog.versionAtTimestamp(spark, dir, 1000001L) === 2L)
+    assert(VersionLog.versionAtTimestamp(spark, dir, 5000000L) === 3L)
+    val e = intercept[IllegalArgumentException] {
+      VersionLog.versionAtTimestamp(spark, dir, 999999L)
+    }
+    assert(e.getMessage.contains("predates the first retained commit"))
+    // history surfaces the ADJUSTED instants (what resolution uses)
+    assert(VersionLog.history(spark, dir)
+      .select(col("commit_ts")).collect()
+      .map(_.getTimestamp(0).getTime).toSeq ===
+      Seq(1000000L, 1000001L, 2000000L))
+  }
 }

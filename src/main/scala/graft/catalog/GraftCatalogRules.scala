@@ -120,6 +120,21 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     ("""(?is)^\s*CREATE\s+TABLE\s+(\S+)\s+(?:SHALLOW\s+)?CLONE\s+""" +
       """(\S+?)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""").r
 
+  private val vacuumRe: Regex =
+    """(?is)^\s*VACUUM\s+(\S+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""".r
+
+  private val optimizeRe: Regex =
+    ("""(?is)^\s*OPTIMIZE\s+(\S+?)""" +
+      """(?:\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?\s*;?\s*$""").r
+
+  private val addConstraintRe: Regex =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(\S+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+""" +
+      """CHECK\s*\((.+)\)\s*;?\s*$""").r
+
+  private val dropConstraintRe: Regex =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(\S+)\s+DROP\s+CONSTRAINT\s+""" +
+      """(\w+)\s*;?\s*$""").r
+
   override def parsePlan(sqlText: String): LogicalPlan =
     intercept(sqlText, () => delegate.parsePlan(sqlText))
 
@@ -142,21 +157,51 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         }
       case None => cloneRe.findFirstMatchIn(sqlText) match {
         case Some(m) =>
-          def dirOf(raw: String, what: String): String = {
-            val parts = delegate.parseMultipartIdentifier(raw)
-            GraftCatalogRules.resolveGraftIdent(session, parts) match {
-              case Some((cat, ident)) => cat.dirFor(ident)
-              case None => throw new IllegalArgumentException(
-                s"CREATE TABLE ... CLONE requires graft catalog " +
-                  s"tables; $what ${parts.mkString(".")} is not one")
-            }
-          }
-          GraftCloneCommand(dirOf(m.group(2), "source"),
-            dirOf(m.group(1), "target"),
+          GraftCloneCommand(dirOf(m.group(2), "CLONE source"),
+            dirOf(m.group(1), "CLONE target"),
             Option(m.group(3)).map(_.toLong))
-        case None => rewriteMerge(parse())
+        case None => vacuumRe.findFirstMatchIn(sqlText) match {
+          case Some(m) =>
+            GraftVacuumCommand(dirOf(m.group(1), "VACUUM target"),
+              Option(m.group(2)).map(_.toInt).getOrElse(2))
+          case None => optimizeRe.findFirstMatchIn(sqlText) match {
+            case Some(m) =>
+              GraftOptimizeCommand(dirOf(m.group(1), "OPTIMIZE target"),
+                Option(m.group(2)).map(x => (x, m.group(3))))
+            case None => interceptConstraint(sqlText)
+              .getOrElse(rewriteMerge(parse()))
+          }
+        }
       }
     }
+
+  /** `ALTER TABLE t ADD CONSTRAINT n CHECK (e)` / `DROP CONSTRAINT n`
+    * on a GRAFT table only — non-graft ALTERs fall through to Spark's
+    * own grammar (None).
+    */
+  private def interceptConstraint(sqlText: String): Option[LogicalPlan] = {
+    def graftDir(raw: String): Option[String] =
+      GraftCatalogRules.resolveGraftIdent(session,
+          delegate.parseMultipartIdentifier(raw))
+        .map { case (cat, ident) => cat.dirFor(ident) }
+    addConstraintRe.findFirstMatchIn(sqlText)
+      .flatMap(m => graftDir(m.group(1)).map(d =>
+        GraftConstraintCommand(d, m.group(2), Some(m.group(3)))))
+      .orElse(dropConstraintRe.findFirstMatchIn(sqlText)
+        .flatMap(m => graftDir(m.group(1)).map(d =>
+          GraftConstraintCommand(d, m.group(2), None))))
+  }
+
+  /** Resolve a statement's table identifier to its directory, loudly. */
+  private def dirOf(raw: String, what: String): String = {
+    val parts = delegate.parseMultipartIdentifier(raw)
+    GraftCatalogRules.resolveGraftIdent(session, parts) match {
+      case Some((cat, ident)) => cat.dirFor(ident)
+      case None => throw new IllegalArgumentException(
+        s"$what must be a graft catalog table, got: " +
+          parts.mkString("."))
+    }
+  }
 
   private def rewriteMerge(plan: LogicalPlan): LogicalPlan = plan match {
     case m: MergeIntoTable =>
@@ -254,6 +299,105 @@ case class GraftCloneCommand(srcDir: String, dstDir: String,
     val v = VersionLog.cloneTable(spark, srcDir, dstDir, versionAsOf)
     Seq(Row(v,
       VersionLog.snapshot(spark, dstDir, None).files.size.toLong))
+  }
+}
+
+/** `ALTER TABLE <graft table> ADD CONSTRAINT <name> CHECK (<expr>)` /
+  * `DROP CONSTRAINT <name>` — CHECK constraints as version-log commits
+  * ([[VersionLog.addConstraintCommit]]): ADD validates the EXISTING
+  * rows first (a constraint the current state violates is refused),
+  * then every later write's batch is gated at commit time in every
+  * door (INSERT, MERGE, the batch and streaming sinks — they all
+  * funnel through the version log's constraint gate). Time travel to
+  * pre-constraint versions reads the old contract, like schema
+  * history.
+  */
+case class GraftConstraintCommand(dir: String, name: String,
+    checkExpr: Option[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("n_constraints", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = checkExpr match {
+      case Some(e) => VersionLog.addConstraintCommit(spark, dir, name, e)
+      case None => VersionLog.dropConstraintCommit(spark, dir, name)
+    }
+    Seq(Row(v, VersionLog.snapshot(spark, dir, None)
+      .constraints.size.toLong))
+  }
+}
+
+/** `VACUUM <graft table> [RETAIN n VERSIONS]` (Delta's statement, not
+  * Spark grammar): [[VersionLog.vacuumVersions]] — deletes only files
+  * unreferenced by EVERY retained version (default: keep the last 2),
+  * so no pinned reader of a retained snapshot can lose a file. The SQL
+  * door passes ttl 0: retention-by-reference is the gate; keep the
+  * TTL belt via the API when wall-clock aging matters too.
+  */
+case class GraftVacuumCommand(dir: String, keepLast: Int)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("removed_files", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = Seq(Row(
+    VersionLog.vacuumVersions(spark, dir, keepLast, ttlMs = 0L)
+      .size.toLong))
+}
+
+/** `OPTIMIZE <graft table> [ZORDER BY (x, y)]` (Delta's statement, not
+  * Spark grammar). Plain OPTIMIZE = [[VersionLog.compactSnapshot]]:
+  * bin-pack over-fragmented partition groups as ONE commit, compact
+  * groups carried by reference, readers undisturbed. ZORDER = rewrite
+  * the live rows in (x, y) z-order as an overwrite commit (flat
+  * tables only — interleaving across hive partitions would destroy
+  * the partition addressing) and rebuild the min-max manifest on
+  * (x, y) so the graft FileIndex prunes boxes against the new layout.
+  */
+case class GraftOptimizeCommand(dir: String,
+    zorder: Option[(String, String)]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("files_before", LongType, nullable = false)(),
+    AttributeReference("files_after", LongType, nullable = false)())
+
+  /** Target output file size: `spark.graft.optimize.targetBytes`
+    * (default 128 MiB — sized so a 100 TB table compacts toward
+    * ~1M files, the planner-metadata scale every format targets).
+    */
+  private def targetBytes(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.optimize.targetBytes",
+      (128L << 20).toString).toLong
+
+  override def run(spark: SparkSession): Seq[Row] = zorder match {
+    case None =>
+      val (before, after, v) =
+        VersionLog.compactSnapshot(spark, dir, targetBytes(spark))
+      Seq(Row(v, before.toLong, after.toLong))
+    case Some((x, y)) =>
+      val snap = VersionLog.snapshot(spark, dir, None)
+      require(!snap.files.exists(_.contains("=")),
+        s"OPTIMIZE ZORDER needs a flat (unpartitioned) layout at $dir")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val bytes = snap.files.map(f => fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(dir.stripSuffix("/"), f)).getLen)
+        .sum
+      val nOut = math.max(1,
+        math.ceil(bytes.toDouble / targetBytes(spark)).toInt)
+      val live = VersionLog.read(spark, dir)
+      val v = VersionLog.overwrite(spark, dir,
+        graft.io.ZOrder.zOrdered(live,
+          org.apache.spark.sql.functions.col(x),
+          org.apache.spark.sql.functions.col(y), nOut),
+        partitionBy = None, actionTag = "optimize-zorder")
+      graft.io.Manifest.buildManifestFor(spark, dir,
+        VersionLog.read(spark, dir), Seq(x, y))
+      Seq(Row(v, snap.files.size.toLong,
+        VersionLog.snapshot(spark, dir, None).files.size.toLong))
   }
 }
 

@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
   */
 case class TableSnapshot(version: Long, parent: Long, action: String,
     files: Seq[String], feed: Option[String] = None,
-    deletes: Seq[String] = Nil)
+    deletes: Seq[String] = Nil,
+    constraints: Seq[(String, String)] = Nil)
 
 /** Version-log commits — SNAPSHOT ISOLATION for the maintained table.
   *
@@ -247,14 +248,15 @@ object VersionLog {
   def commit(spark: SparkSession, dir: String, parent: Long,
       action: String, files: Seq[String],
       feed: Option[String] = None,
-      deletes: Seq[String] = Nil): Long = {
+      deletes: Seq[String] = Nil,
+      constraints: Seq[(String, String)] = Nil): Long = {
     val fs = fsFor(spark, dir)
     val root = versionsRoot(dir)
     fs.mkdirs(root)
     val next = parent + 1
     val target = new Path(root, f"v-$next%08d.json")
     val json = renderSnapshot(TableSnapshot(next, parent, action,
-      files.sorted, feed, deletes.sorted))
+      files.sorted, feed, deletes.sorted, constraints))
     if (!atomicCreate(fs, root, target, json))
       throw new java.util.ConcurrentModificationException(
         s"version $next at $dir was committed by another writer")
@@ -413,6 +415,10 @@ object VersionLog {
     val tombstones = deleteWhen.map(c => batch.filter(c))
     val upserts =
       deleteWhen.fold(batch)(c => batch.filter(!coalesce(c, lit(false))))
+    // CHECK constraints gate the incoming rows only (survivors were
+    // validated by the commits that wrote them)
+    enforceConstraints(upserts.select(table.columns.map(col).toSeq: _*),
+      snap.constraints, dir, "merge")
 
     val distinctParts = upserts.select(col(partCol)).distinct()
       .limit(maxTouchedPartitions + 1).collect().map(_.get(0))
@@ -501,7 +507,8 @@ object VersionLog {
     val keptFiles = snap.files.filterNot(isTouchedFile)
     val version =
       try commit(spark, dir, snap.version, actionTag,
-        keptFiles ++ newFiles, feed = Some(feedName))
+        keptFiles ++ newFiles, feed = Some(feedName),
+        constraints = snap.constraints)
       catch {
         case e: java.util.ConcurrentModificationException =>
           MergeInto.discardStagedFeed(spark, dir, feedName)
@@ -610,12 +617,63 @@ object VersionLog {
       partitionBy: Option[String] = None,
       actionTag: String = "append"): Long = {
     val snap = snapshot(spark, dir, None)
+    enforceConstraints(df, snap.constraints, dir, "append")
     val files = writeBatch(spark, dir, df, partitionBy, snap.version + 1)
     // outstanding delete manifests carry forward (equality deletes
     // are layout-independent); appending a still-deleted key is the
     // caller's violation of the documented re-insert rule
     commit(spark, dir, snap.version, actionTag, snap.files ++ files,
-      deletes = snap.deletes)
+      deletes = snap.deletes, constraints = snap.constraints)
+  }
+
+  /** CHECK-constraint gate on a write's incoming batch: every row must
+    * satisfy every table constraint as SQL TRUE — NULL counts as a
+    * violation (the strict CHECK reading, so a constraint doubles as
+    * NOT NULL). Cost: one limit(1) probe per constraint over the
+    * BATCH only, never the table. Loud error, nothing committed.
+    */
+  private def enforceConstraints(df: DataFrame,
+      cs: Seq[(String, String)], dir: String, what: String): Unit =
+    cs.foreach { case (name, sql) =>
+      val ok = expr(sql)
+      df.filter(ok.isNull || !ok).limit(1).collect().headOption
+        .foreach { row =>
+          throw new IllegalArgumentException(
+            s"CHECK constraint $name ($sql) violated by the $what " +
+              s"batch for $dir; first offending row: $row")
+        }
+    }
+
+  /** Add a named CHECK constraint as a COMMIT: the EXISTING live rows
+    * are validated first (one scan — a constraint the current state
+    * violates is refused), then the next snapshot carries the
+    * constraint and every later write's batch is gated on it
+    * ([[enforceConstraints]] inside append/overwrite/merge — all SQL
+    * and API doors funnel there). Time travel to versions before the
+    * constraint reads the old contract, exactly like schema history.
+    */
+  def addConstraintCommit(spark: SparkSession, dir: String,
+      name: String, sqlExpr: String): Long = {
+    val snap = snapshot(spark, dir, None)
+    require(!snap.constraints.exists(_._1 == name),
+      s"constraint $name already exists on $dir")
+    enforceConstraints(read(spark, dir), Seq(name -> sqlExpr), dir,
+      "existing table (ADD CONSTRAINT validates current rows)")
+    commit(spark, dir, snap.version, "add-constraint", snap.files,
+      deletes = snap.deletes,
+      constraints = snap.constraints :+ (name -> sqlExpr))
+  }
+
+  /** Drop a named CHECK constraint as a commit. */
+  def dropConstraintCommit(spark: SparkSession, dir: String,
+      name: String): Long = {
+    val snap = snapshot(spark, dir, None)
+    require(snap.constraints.exists(_._1 == name),
+      s"no constraint $name on $dir (have: " +
+        s"${snap.constraints.map(_._1).mkString(",")})")
+    commit(spark, dir, snap.version, "drop-constraint", snap.files,
+      deletes = snap.deletes,
+      constraints = snap.constraints.filterNot(_._1 == name))
   }
 
   /** Replace the table's contents with `df` in one commit: the next
@@ -627,8 +685,10 @@ object VersionLog {
       partitionBy: Option[String] = None,
       actionTag: String = "overwrite"): Long = {
     val snap = snapshot(spark, dir, None)
+    enforceConstraints(df, snap.constraints, dir, "overwrite")
     val files = writeBatch(spark, dir, df, partitionBy, snap.version + 1)
-    commit(spark, dir, snap.version, actionTag, files)
+    commit(spark, dir, snap.version, actionTag, files,
+      constraints = snap.constraints)
   }
 
   /** Partition-scoped overwrite — Delta's `replaceWhere` on the
@@ -663,10 +723,12 @@ object VersionLog {
     val frags = values.map(v =>
       s"/$partitionBy=${MergeInto.escapePathName(v)}/")
     val isReplaced = (f: String) => frags.exists(("/" + f).contains)
+    enforceConstraints(df, snap.constraints, dir, "overwrite_where")
     val files = writeBatch(spark, dir, df, Some(partitionBy),
       snap.version + 1)
     commit(spark, dir, snap.version, "overwrite_where",
-      snap.files.filterNot(isReplaced) ++ files, deletes = snap.deletes)
+      snap.files.filterNot(isReplaced) ++ files, deletes = snap.deletes,
+      constraints = snap.constraints)
   }
 
   /** EQUALITY-DELETE commit — merge-on-read for the VERSIONED table
@@ -707,7 +769,8 @@ object VersionLog {
     val manifest = listParquet(fsFor(spark, dir), new Path(base, rel))
       .map(p => relativize(base, p))
     commit(spark, dir, snap.version, "delete", snap.files,
-      deletes = snap.deletes ++ manifest)
+      deletes = snap.deletes ++ manifest,
+      constraints = snap.constraints)
   }
 
   /** Fold the delete debt into the layout as a COMMIT: rewrite ONLY
@@ -738,7 +801,7 @@ object VersionLog {
       .toSeq.sorted
     if (victims.isEmpty) // stale manifests (keys all gone): just clear
       return (0, commit(spark, dir, snap.version, "apply-deletes",
-        snap.files, deletes = Nil))
+        snap.files, deletes = Nil, constraints = snap.constraints))
     // rewrite victims per partition-segment group so survivors land
     // back under their part=value paths in the new batch
     val batchRel = f"data/b-${snap.version + 1}%08d-" +
@@ -761,7 +824,7 @@ object VersionLog {
       }
     val kept = snap.files.filterNot(victims.contains)
     (victims.size, commit(spark, dir, snap.version, "apply-deletes",
-      kept ++ newFiles, deletes = Nil))
+      kept ++ newFiles, deletes = Nil, constraints = snap.constraints))
   }
 
   /** EXACTLY-ONCE ingest: run the versioned merge only if no retained
@@ -868,7 +931,8 @@ object VersionLog {
       java.nio.file.Files.createLink(to, from)
     }
     commit(spark, dstDir, parent = 0L, action = "clone",
-      files = snap.files, deletes = snap.deletes)
+      files = snap.files, deletes = snap.deletes,
+      constraints = snap.constraints)
   }
 
   /** COMPACTION as a commit: bin-pack each over-fragmented partition
@@ -953,7 +1017,8 @@ object VersionLog {
     // equality-delete manifests are key lists, not positions — a
     // repack cannot invalidate them; carry them unchanged
     val version = commit(spark, dir, snap.version, "compact",
-      kept ++ newFiles, deletes = snap.deletes)
+      kept ++ newFiles, deletes = snap.deletes,
+      constraints = snap.constraints)
     (snap.files.length, kept.size + newFiles.size, version)
   }
 
@@ -1022,6 +1087,10 @@ object VersionLog {
       s.feed.fold("")(f => s""""feed":"${esc(f)}",""") +
       (if (s.deletes.isEmpty) ""
        else s""""deletes":[${arr(s.deletes)}],""") +
+      (if (s.constraints.isEmpty) ""
+       else s.constraints.map { case (n, e) =>
+         "\"" + esc(n) + "\":\"" + esc(e) + "\""
+       }.mkString("\"constraints\":{", ",", "},")) +
       s""""files":[${arr(s.files)}]}"""
   }
 
@@ -1037,6 +1106,9 @@ object VersionLog {
       node.get("action").asText,
       strings("files"),
       Option(node.get("feed")).map(_.asText), // absent pre-r13: None
-      strings("deletes")) // absent pre-r13: Nil
+      strings("deletes"), // absent pre-r13: Nil
+      Option(node.get("constraints")).toSeq // absent pre-r13: Nil
+        .flatMap(_.fields().asScala.map(e =>
+          (e.getKey, e.getValue.asText)).toSeq))
   }
 }

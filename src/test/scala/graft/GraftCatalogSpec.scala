@@ -137,6 +137,107 @@ class GraftCatalogSpec extends AnyFunSuite {
       s"partition pruning must open fewer than all $total files")
   }
 
+  test("maintenance as SQL statements: ALTER TABLE ADD/DROP " +
+      "CONSTRAINT gates every insert door; OPTIMIZE compacts as one " +
+      "commit; VACUUM RETAIN n VERSIONS sweeps unreferenced files") {
+    import spark.implicits._
+    warehouse
+    // constraints through SQL text
+    spark.sql("CREATE TABLE graft.cons (k BIGINT, p STRING) " +
+      "PARTITIONED BY (p)")
+    spark.sql("INSERT INTO graft.cons VALUES (1, 'a')")
+    spark.sql(
+      "ALTER TABLE graft.cons ADD CONSTRAINT k_pos CHECK (k > 0)")
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO graft.cons VALUES (-1, 'b')")
+    }
+    assert(e.getMessage.contains("CHECK constraint k_pos"),
+      e.getMessage)
+    spark.sql("ALTER TABLE graft.cons DROP CONSTRAINT k_pos")
+    spark.sql("INSERT INTO graft.cons VALUES (-1, 'b')")
+    assert(spark.sql("SELECT count(*) AS c FROM graft.cons")
+      .as[Long].head() === 2L)
+    // OPTIMIZE: three tiny appended batches bin-pack to one file
+    spark.sql("CREATE TABLE graft.frag AS SELECT id AS k FROM range(100)")
+    spark.sql("INSERT INTO graft.frag SELECT id + 100 FROM range(100)")
+    spark.sql("INSERT INTO graft.frag SELECT id + 200 FROM range(100)")
+    val fragDir = s"$warehouse/frag"
+    val filesBefore = VersionLog.snapshot(spark, fragDir, None).files.size
+    val (ov, ob, oa) = spark.sql("OPTIMIZE graft.frag")
+      .as[(Long, Long, Long)].head()
+    assert(ob === filesBefore.toLong && oa === 1L && ov === 4L)
+    assert(spark.sql("SELECT count(*) AS c, sum(k) AS s FROM graft.frag")
+      .as[(Long, Long)].head() === ((300L, (0L until 300L).sum)))
+    // VACUUM: only the latest version retained; retired files swept
+    val removed = spark.sql("VACUUM graft.frag RETAIN 1 VERSIONS")
+      .as[Long].head()
+    assert(removed > 0L)
+    assert(VersionLog.listVersions(spark, fragDir) === Seq(4L))
+    assert(spark.sql("SELECT count(*) AS c FROM graft.frag")
+      .as[Long].head() === 300L)
+  }
+
+  test("OPTIMIZE ... ZORDER BY rewrites the layout and rebuilds the " +
+      "manifest: a tight box prunes files at plan time") {
+    import spark.implicits._
+    warehouse
+    spark.sql("CREATE TABLE graft.zt AS SELECT id, id % 64 AS x, " +
+      "CAST(id / 64 AS BIGINT) AS y FROM range(4096)")
+    spark.conf.set("spark.graft.optimize.targetBytes", "4096")
+    val (v, _, after) =
+      try spark.sql("OPTIMIZE graft.zt ZORDER BY (x, y)")
+        .as[(Long, Long, Long)].head()
+      finally spark.conf.unset("spark.graft.optimize.targetBytes")
+    assert(v === 2L && after > 1L)
+    val boxed = spark.sql(
+      "SELECT count(*) AS c FROM graft.zt " +
+        "WHERE x BETWEEN 0 AND 7 AND y BETWEEN 0 AND 7")
+    assert(boxed.as[Long].head() === 64L)
+    // the rebuilt manifest prunes the scan to the box's files
+    boxed.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive
+          .QueryStageExec => scans(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    val opened = scans(boxed.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).sum
+    assert(opened > 0 && opened < after,
+      s"box scan must open < $after files, opened $opened")
+  }
+
+  test("CBO sizing: a small graft catalog table reports its pinned " +
+      "snapshot's bytes, so a join against a big frame broadcasts the " +
+      "graft side (no sort-merge shuffle of the big side)") {
+    import spark.implicits._
+    warehouse
+    spark.sql("CREATE TABLE graft.dim AS SELECT id AS k, " +
+      "CAST(id AS STRING) AS nm FROM range(100)")
+    val big = spark.range(200000L).selectExpr("id % 100 AS k", "id AS v")
+    val j = big.join(spark.table("graft.dim"), "k")
+      .groupBy($"nm").count()
+    j.collect()
+    def ops(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => ops(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive
+          .QueryStageExec => ops(q.plan)
+      case other => other +: other.children.flatMap(ops)
+    }
+    val plan = ops(j.queryExecution.executedPlan)
+    assert(plan.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      s"expected a broadcast join, got:\n${j.queryExecution.executedPlan}")
+    assert(!plan.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      "the dim side must broadcast, not shuffle the big side")
+  }
+
   test("CREATE TABLE ... CLONE ... VERSION AS OF as SQL: a zero-copy " +
       "pinned-snapshot clone through the catalog; mutations diverge") {
     import spark.implicits._

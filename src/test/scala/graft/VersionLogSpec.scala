@@ -690,6 +690,57 @@ class VersionLogSpec extends AnyFunSuite {
     assert(VersionLog.snapshot(spark, dir, None).version === vNow)
   }
 
+  test("CHECK constraints: ADD validates existing rows, every write " +
+      "door gates its batch at commit time (NULL = violation), DROP " +
+      "lifts, constraints carry across commits and clones") {
+    import spark.implicits._
+    val dir = seed() // k in {1,2,3,4,6}
+    // a constraint the CURRENT state violates is refused outright
+    val e0 = intercept[IllegalArgumentException] {
+      VersionLog.addConstraintCommit(spark, dir, "k_big", "k > 3")
+    }
+    assert(e0.getMessage.contains("CHECK constraint k_big"))
+    assert(VersionLog.snapshot(spark, dir, None).version === 1L)
+    val v = VersionLog.addConstraintCommit(spark, dir, "k_pos",
+      "k > 0 AND v IS NOT NULL")
+    assert(v === 2L)
+    val before = rows(VersionLog.read(spark, dir))
+    // violating append: loud, nothing committed
+    val e1 = intercept[IllegalArgumentException] {
+      VersionLog.append(spark, dir,
+        Seq((-1L, "neg", "a")).toDF("k", "v", "p"), Some("p"))
+    }
+    assert(e1.getMessage.contains("CHECK constraint k_pos"))
+    // NULL is a violation (strict CHECK doubles as NOT NULL)
+    intercept[IllegalArgumentException] {
+      VersionLog.append(spark, dir,
+        Seq((7L, null: String, "a")).toDF("k", "v", "p"), Some("p"))
+    }
+    // the merge door gates its upserts too
+    intercept[IllegalArgumentException] {
+      VersionLog.mergeByKeyCdc(spark, dir,
+        Seq((-5L, "bad", "a")).toDF("k", "v", "p"), "k", "p")
+    }
+    assert(VersionLog.snapshot(spark, dir, None).version === 2L)
+    assert(rows(VersionLog.read(spark, dir)) === before)
+    // a valid append passes and CARRIES the constraint forward
+    assert(VersionLog.append(spark, dir,
+      Seq((8L, "eight", "a")).toDF("k", "v", "p"), Some("p")) === 3L)
+    assert(VersionLog.snapshot(spark, dir, None).constraints ===
+      Seq("k_pos" -> "k > 0 AND v IS NOT NULL"))
+    // a clone inherits the contract
+    val cdir = Files.createTempDirectory("vcons").toString + "/t"
+    VersionLog.cloneTable(spark, dir, cdir)
+    intercept[IllegalArgumentException] {
+      VersionLog.append(spark, cdir,
+        Seq((-2L, "neg", "a")).toDF("k", "v", "p"), Some("p"))
+    }
+    // DROP lifts the gate
+    VersionLog.dropConstraintCommit(spark, dir, "k_pos")
+    assert(VersionLog.append(spark, dir,
+      Seq((-1L, "neg", "a")).toDF("k", "v", "p"), Some("p")) === 5L)
+  }
+
   test("shallow clone: zero data copy (hard links), free divergence " +
       "after the clone, and vacuum on either side cannot break the " +
       "other") {

@@ -127,6 +127,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     ("""(?is)^\s*OPTIMIZE\s+(\S+?)""" +
       """(?:\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?\s*;?\s*$""").r
 
+  private val restoreRe: Regex =
+    ("""(?is)^\s*RESTORE\s+TABLE\s+(\S+)\s+TO\s+VERSION\s+AS\s+OF""" +
+      """\s+(\d+)\s*;?\s*$""").r
+
+  private val detailRe: Regex =
+    """(?is)^\s*DESCRIBE\s+DETAIL\s+(\S+)\s*;?\s*$""".r
+
   private val addConstraintRe: Regex =
     ("""(?is)^\s*ALTER\s+TABLE\s+(\S+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+""" +
       """CHECK\s*\((.+)\)\s*;?\s*$""").r
@@ -168,8 +175,17 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
             case Some(m) =>
               GraftOptimizeCommand(dirOf(m.group(1), "OPTIMIZE target"),
                 Option(m.group(2)).map(x => (x, m.group(3))))
-            case None => interceptConstraint(sqlText)
-              .getOrElse(rewriteMerge(parse()))
+            case None => restoreRe.findFirstMatchIn(sqlText) match {
+              case Some(m) =>
+                GraftRestoreCommand(dirOf(m.group(1), "RESTORE target"),
+                  m.group(2).toLong)
+              case None => detailRe.findFirstMatchIn(sqlText) match {
+                case Some(m) => GraftDescribeDetailCommand(
+                  dirOf(m.group(1), "DESCRIBE DETAIL target"))
+                case None => interceptConstraint(sqlText)
+                  .getOrElse(rewriteMerge(parse()))
+              }
+            }
           }
         }
       }
@@ -299,6 +315,60 @@ case class GraftCloneCommand(srcDir: String, dstDir: String,
     val v = VersionLog.cloneTable(spark, srcDir, dstDir, versionAsOf)
     Seq(Row(v,
       VersionLog.snapshot(spark, dstDir, None).files.size.toLong))
+  }
+}
+
+/** `RESTORE TABLE <graft table> TO VERSION AS OF <n>` (Delta's
+  * statement): a metadata-only rollback commit
+  * ([[VersionLog.restoreCommit]]) — the new version re-lists the
+  * target's files; the undone versions stay time-travelable until
+  * vacuum. Returns (new version, restored-from version).
+  */
+case class GraftRestoreCommand(dir: String, toVersion: Long)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("restored_from", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(VersionLog.restoreCommit(spark, dir, toVersion), toVersion))
+}
+
+/** `DESCRIBE DETAIL <graft table>` (Delta's statement): one row of
+  * table-level metadata from the latest snapshot — location, version,
+  * live file count and bytes (one file status per live file, the
+  * planner's working set, never a data read), partition column,
+  * outstanding delete manifests, and constraint count.
+  */
+case class GraftDescribeDetailCommand(dir: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("format", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("partition_col", StringType, nullable = true)(),
+    AttributeReference("n_delete_manifests", LongType,
+      nullable = false)(),
+    AttributeReference("n_constraints", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val snap = VersionLog.snapshot(spark, dir, None)
+    val base = dir.stripSuffix("/")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = snap.files.map(f => fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(base, f)).getLen).sum
+    val partCol = snap.files.flatMap(_.split("/").filter(_.contains("="))
+      .map(_.split("=", 2)(0))).distinct match {
+      case Seq(one) => one
+      case _ => null
+    }
+    Seq(Row(dir, "graft", snap.version, snap.files.size.toLong, bytes,
+      partCol, snap.deletes.size.toLong, snap.constraints.size.toLong))
   }
 }
 

@@ -894,6 +894,27 @@ object VersionLog {
     else Some(overwrite(spark, dir, df, partitionBy, actionTag = batchTag))
   }
 
+  /** RESTORE the table to a retained older version as a NEW commit
+    * (Delta's `RESTORE TABLE`): the next snapshot re-lists exactly
+    * `toVersion`'s files, delete manifests, and constraints — a
+    * metadata-only rollback (no file is copied, moved, or deleted;
+    * the undone versions remain time-travelable until vacuum). Only a
+    * RETAINED version can be restored: vacuum deletes the version
+    * files of dropped versions first, so resolving the target fails
+    * loudly before any file could be missing. Returns the new
+    * version id.
+    */
+  def restoreCommit(spark: SparkSession, dir: String,
+      toVersion: Long): Long = {
+    val snap = snapshot(spark, dir, None)
+    require(toVersion != snap.version,
+      s"$dir is already at version $toVersion")
+    val target = snapshot(spark, dir, Some(toVersion))
+    commit(spark, dir, snap.version, s"restore-v$toVersion",
+      target.files, deletes = target.deletes,
+      constraints = target.constraints)
+  }
+
   /** ZERO-COPY SHALLOW CLONE (local filesystems): materialize `dstDir`
     * as a fresh versioned table whose version 1 references the SAME
     * bytes as the pinned snapshot of `srcDir` — every live data file

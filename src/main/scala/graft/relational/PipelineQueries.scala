@@ -299,6 +299,36 @@ object PipelineQueries {
     dir
   }
 
+  /** Shared build for the clone query (q150): a pristine versioned
+    * source table plus a hard-link SHALLOW CLONE that then diverges by
+    * one CDC merge (fr%17 text updates, de%13 tombstones) — zero bytes
+    * copied at clone time, and the source must remain bit-identical
+    * through the clone's mutation. Built once per (sf, process).
+    */
+  private def cloneTableDirs(s: SparkSession, d: String): (String, String) = {
+    import s.implicits._
+    val tag = s"${Integer.toHexString(d.hashCode)}" +
+      s"-${ProcessHandle.current().pid()}"
+    val src = s"${System.getProperty("java.io.tmpdir")}/graft-clsrc-$tag"
+    val dst = s"${System.getProperty("java.io.tmpdir")}/graft-cldst-$tag"
+    buildOnce(src) {
+      VersionLog.init(s, src, documents(s, d), partitionBy = Some("lang"))
+    }
+    buildOnce(dst) {
+      VersionLog.cloneTable(s, src, dst)
+      val docs = documents(s, d)
+      VersionLog.mergeByKeyCdc(s, dst,
+        docs.filter($"lang" === "fr" && $"doc_id" % 17 === 0)
+          .withColumn("text", concat($"text", lit(" [c2]")))
+          .withColumn("_del", lit(false))
+          .unionByName(docs
+            .filter($"lang" === "de" && $"doc_id" % 13 === 0)
+            .withColumn("_del", lit(true))),
+        "doc_id", "lang", deleteWhen = Some($"_del"))
+    }
+    (src, dst)
+  }
+
   /** Shared build for the feed/audit queries (q124/q130): the
     * documents corpus seeded lang-partitioned, then ONE CDC merge
     * (fr%17 updates, %31 inserts into 'xx', de%13 tombstone deletes)
@@ -2075,6 +2105,29 @@ object PipelineQueries {
           sum($"doc_id").as("sum_ids"))
         .orderBy($"lang")
     },
+    "q150_shallow_clone" -> { (s, d) =>
+      import s.implicits._
+      // ZERO-COPY SHALLOW CLONE, divergence-proofed: the clone is
+      // hard-linked from the source's pinned snapshot (no data
+      // copied), then diverges by one CDC merge — and BOTH sides are
+      // read back in one result. The oracle recomputes the source
+      // side from the pristine corpus (a clone mutation that leaked
+      // into the source cannot hash-match) and the clone side from
+      // the merge recipe (a clone missing source bytes cannot
+      // either). Hard-link nlink>=2 and vacuum independence are
+      // spec-pinned in VersionLogSpec.
+      val (src, dst) = cloneTableDirs(s, d)
+      def agg(dir: String, side: String) =
+        VersionLog.read(s, dir)
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(length($"text")).as("sum_len"),
+            sum($"doc_id").as("sum_ids"))
+          .select(lit(side).as("side"), $"lang", $"n_rows",
+            $"sum_len", $"sum_ids")
+      agg(src, "source").unionByName(agg(dst, "clone"))
+        .orderBy($"side", $"lang")
+    },
     "q149_replace_partition" -> { (s, d) =>
       import s.implicits._
       // PARTITION-SCOPED OVERWRITE (Delta's replaceWhere / SQL
@@ -3668,6 +3721,25 @@ object PipelineQueries {
            SELECT doc_id, lang, text || ' [rw]' FROM documents
            WHERE lang = 'fr' AND doc_id % 3 = 0)
          GROUP BY lang ORDER BY lang""",
+    "q150_shallow_clone" ->
+      """SELECT * FROM (
+           SELECT 'source' AS side, lang, count(*) AS n_rows,
+             CAST(sum(length(text)) AS BIGINT) AS sum_len,
+             CAST(sum(doc_id) AS BIGINT) AS sum_ids
+           FROM documents GROUP BY lang
+           UNION ALL
+           SELECT 'clone', lang, count(*),
+             CAST(sum(length(text)) AS BIGINT),
+             CAST(sum(doc_id) AS BIGINT)
+           FROM (
+             SELECT doc_id, lang, text || ' [c2]' AS text
+             FROM documents WHERE lang = 'fr' AND doc_id % 17 = 0
+             UNION ALL
+             SELECT doc_id, lang, text FROM documents
+             WHERE NOT (lang = 'fr' AND doc_id % 17 = 0)
+               AND NOT (lang = 'de' AND doc_id % 13 = 0))
+           GROUP BY lang)
+         ORDER BY side, lang""",
     "q143_table_history" ->
       """WITH fr AS (SELECT count(*) AS c FROM documents
              WHERE lang = 'fr'),

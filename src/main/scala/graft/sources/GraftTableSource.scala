@@ -60,9 +60,10 @@ final class GraftTableSource extends RelationProvider
     * retained log and skips whole. Append output mode commits appends
     * (bootstrapping version 1 on the first epoch); Complete commits
     * overwrites (each trigger replaces the table, older versions still
-    * time-travel); Update is refused — an upsert stream needs a merge
-    * key this sink does not interpret (use foreachBatch +
-    * [[VersionLog.mergeBatchOnce]]). The idempotency scope defaults to
+    * time-travel); Update with `option("mergeKey", col)` commits one
+    * exactly-once CDC merge per epoch (upsert stream; optional
+    * `option("deleteWhen", <sql>)` for tombstones). The idempotency
+    * scope defaults to
     * the query's checkpointLocation option (unique per logical
     * stream); `option("txnApp", ...)` overrides it. Batch readers and
     * the commit-tail/CDC streaming sources see each epoch atomically —
@@ -86,7 +87,8 @@ final class GraftTableSource extends RelationProvider
       .getOrElse(throw new IllegalArgumentException(
         "graft streaming sink needs option(\"checkpointLocation\", ...)" +
           " (or option(\"txnApp\", ...)) as its exactly-once scope"))
-    new GraftStreamSink(dir, partCol, outputMode, txnApp)
+    new GraftStreamSink(dir, partCol, outputMode, txnApp,
+      parameters.get("mergeKey"), parameters.get("deleteWhen"))
   }
 
   /** `df.write.format("graft")[.option("partitionBy", c)].mode(m)
@@ -164,7 +166,8 @@ final class GraftTableSource extends RelationProvider
 private[sources] final class GraftStreamSink(dir: String,
     partCol: Option[String],
     mode: org.apache.spark.sql.streaming.OutputMode,
-    txnApp: String)
+    txnApp: String, mergeKey: Option[String],
+    deleteWhen: Option[String])
     extends org.apache.spark.sql.execution.streaming.Sink {
   import org.apache.spark.sql.streaming.OutputMode
 
@@ -174,14 +177,23 @@ private[sources] final class GraftStreamSink(dir: String,
     val batch = org.apache.spark.sql.graftbridge.Bridge
       .internalCreateDataFrame(spark, data, isStreaming = false)
     val tag = s"$txnApp#$batchId"
-    if (mode == OutputMode.Append())
+    if (mode == OutputMode.Update()) {
+      // upsert stream: each epoch is one exactly-once CDC merge
+      val key = mergeKey.getOrElse(throw new IllegalArgumentException(
+        "Update-mode graft sink needs option(\"mergeKey\", <col>) — " +
+          "the column each epoch upserts by"))
+      val pc = partCol.getOrElse(throw new IllegalArgumentException(
+        "Update-mode graft sink needs a partition column " +
+          "(partitionBy or the table's layout)"))
+      VersionLog.mergeBatchOnce(spark, dir, tag, batch, key, pc,
+        deleteWhen.map(org.apache.spark.sql.functions.expr))
+    }
+    else if (mode == OutputMode.Append())
       VersionLog.appendOnce(spark, dir, tag, batch, partCol)
     else if (mode == OutputMode.Complete())
       VersionLog.overwriteOnce(spark, dir, tag, batch, partCol)
     else throw new UnsupportedOperationException(
-      s"graft streaming sink supports Append and Complete, got $mode; " +
-        "for Update (upsert) streams use foreachBatch + " +
-        "VersionLog.mergeBatchOnce")
+      s"graft streaming sink does not support output mode $mode")
   }
 
   override def toString: String = s"GraftSink[$dir]"

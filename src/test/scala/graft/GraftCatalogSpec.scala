@@ -210,6 +210,38 @@ class GraftCatalogSpec extends AnyFunSuite {
       s"box scan must open < $after files, opened $opened")
   }
 
+  test("RESTORE TABLE ... TO VERSION AS OF rolls back as a " +
+      "metadata-only commit (undone versions still travel); " +
+      "DESCRIBE DETAIL reports the latest snapshot") {
+    import spark.implicits._
+    warehouse
+    spark.sql("CREATE TABLE graft.rst (k BIGINT, p STRING) " +
+      "PARTITIONED BY (p)")
+    spark.sql("INSERT INTO graft.rst VALUES (1, 'a'), (2, 'b')") // v1
+    spark.sql("INSERT OVERWRITE graft.rst VALUES (9, 'z')") // v2
+    val res = spark.sql("RESTORE TABLE graft.rst TO VERSION AS OF 1")
+      .as[(Long, Long)].head()
+    assert(res === ((3L, 1L)))
+    assert(spark.sql("SELECT k FROM graft.rst").as[Long]
+      .collect().toSet === Set(1L, 2L))
+    val dir = s"$warehouse/rst"
+    // metadata-only: v3 re-lists v1's EXACT files
+    assert(VersionLog.snapshot(spark, dir, Some(3L)).files.toSet ===
+      VersionLog.snapshot(spark, dir, Some(1L)).files.toSet)
+    // the undone version still time-travels
+    assert(spark.sql("SELECT k FROM graft.rst VERSION AS OF 2")
+      .as[Long].collect().toSet === Set(9L))
+    val det = spark.sql("DESCRIBE DETAIL graft.rst").collect().head
+    assert(det.getAs[String]("location").endsWith("/rst"))
+    assert(det.getAs[Long]("version") === 3L)
+    assert(det.getAs[Long]("n_files") ===
+      VersionLog.snapshot(spark, dir, Some(1L)).files.size.toLong)
+    assert(det.getAs[Long]("size_bytes") > 0L)
+    assert(det.getAs[String]("partition_col") === "p")
+    assert(det.getAs[Long]("n_delete_manifests") === 0L)
+    assert(det.getAs[Long]("n_constraints") === 0L)
+  }
+
   test("CBO sizing: a small graft catalog table reports its pinned " +
       "snapshot's bytes, so a join against a big frame broadcasts the " +
       "graft side (no sort-merge shuffle of the big side)") {

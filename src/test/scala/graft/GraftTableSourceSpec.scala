@@ -274,6 +274,42 @@ class GraftTableSourceSpec extends AnyFunSuite {
       .collect().toSet === Set(("a", 1L)))
   }
 
+  test("Update-mode graft sink: each epoch is one exactly-once CDC " +
+      "merge by mergeKey (redelivered epochs skip); deleteWhen " +
+      "tombstones delete") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("gsink-up").toString + "/t"
+    VersionLog.init(spark, dir,
+      Seq((1L, "one", "a"), (2L, "two", "b")).toDF("k", "v", "p"),
+      partitionBy = Some("p"))
+    def rows() = VersionLog.read(spark, dir)
+      .select($"k", $"v", $"p").as[(Long, String, String)]
+      .collect().toSet
+    val sink = new graft.sources.GraftTableSource().createSink(
+      spark.sqlContext,
+      Map("path" -> dir, "txnApp" -> "up", "mergeKey" -> "k"),
+      Seq("p"), org.apache.spark.sql.streaming.OutputMode.Update())
+    sink.addBatch(0, Seq((2L, "two2", "b"), (3L, "three", "a"))
+      .toDF("k", "v", "p"))
+    assert(rows() === Set((1L, "one", "a"), (2L, "two2", "b"),
+      (3L, "three", "a")))
+    // the SAME epoch redelivered (restart replay): skipped whole
+    val vs = VersionLog.listVersions(spark, dir)
+    sink.addBatch(0, Seq((9L, "nine", "z")).toDF("k", "v", "p"))
+    assert(VersionLog.listVersions(spark, dir) === vs)
+    assert(rows().forall(_._1 != 9L))
+    // deleteWhen: tombstone rows delete, others upsert
+    val sink2 = new graft.sources.GraftTableSource().createSink(
+      spark.sqlContext,
+      Map("path" -> dir, "txnApp" -> "up", "mergeKey" -> "k",
+        "deleteWhen" -> "_del"),
+      Seq("p"), org.apache.spark.sql.streaming.OutputMode.Update())
+    sink2.addBatch(1, Seq((1L, "x", "a", true), (4L, "four", "b", false))
+      .toDF("k", "v", "p", "_del"))
+    assert(rows() === Set((2L, "two2", "b"), (3L, "three", "a"),
+      (4L, "four", "b")))
+  }
+
   test("graft format write path: every SaveMode is a version-log " +
       "commit — append/overwrite stay time-travelable") {
     import spark.implicits._

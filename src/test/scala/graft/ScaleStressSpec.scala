@@ -159,7 +159,12 @@ class ScaleStressSpec extends AnyFunSuite {
       // the declared O(N*Q) scan by contract (covered by the dedicated
       // q104 recall stress below).
       "q136_versioned_merge", "q139_dv_point_delete",
-      "q141_versioned_compact")
+      "q141_versioned_compact",
+      // round 13: q149's replace blast radius is the named partitions'
+      // file set; q150's clone is O(live files) hard links + a merge
+      // whose blast radius is the touched partitions — both flat
+      // lang-cardinality outputs, so the band pins the wall-time claims
+      "q149_replace_partition", "q150_shallow_clone")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

@@ -248,6 +248,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def listNamespaces(): Array[Array[String]] =
     listNamespaces(Array.empty)
 
+  /** A table's sidecar directory (`t._cdc`, `t._dv`, `t._manifest`…):
+    * a sibling whose name embeds `._` — internal state, never a
+    * namespace. (`.`-prefixed names are already hidden; sidecars
+    * contain but do not start with the dot.)
+    */
+  private def isSidecarName(name: String): Boolean = name.contains("._")
+
   override def listNamespaces(
       namespace: Array[String]): Array[Array[String]] = {
     val root = nsPath(namespace)
@@ -256,12 +263,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
       .filterNot(p => isTable(p.toUri.getPath))
       .filterNot(_.getName.startsWith("."))
+      .filterNot(p => isSidecarName(p.getName))
       .map(p => namespace :+ p.getName)
   }
 
   override def namespaceExists(namespace: Array[String]): Boolean = {
     val p = nsPath(namespace)
-    fsFor(p).exists(p) && !isTable(p.toUri.getPath)
+    fsFor(p).exists(p) && !isTable(p.toUri.getPath) &&
+      !isSidecarName(p.getName)
   }
 
   override def loadNamespaceMetadata(

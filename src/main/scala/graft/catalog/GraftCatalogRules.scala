@@ -84,12 +84,27 @@ case class GraftV2ToV1Reads(session: SparkSession)
       case r: DataSourceV2Relation
           if r.table.isInstanceOf[GraftTable] && !writeTargets(r) =>
         val t = r.table.asInstanceOf[GraftTable]
+        // r.output follows GraftTable.schema() (DECLARED column
+        // order); the V1 relation's schema puts data columns first
+        // and the partition column last — match by NAME, never by
+        // position, and restore the declared order with a Project
+        // (free: it reuses the same attributes / column pruning)
+        val resolver = session.sessionState.conf.resolver
         t.v1Relation match {
           case None => LocalRelation(r.output)
           case Some(rel)
               if VersionLog.snapshot(session, t.dir, t.versionAsOf)
                 .deletes.isEmpty =>
-            LogicalRelation(rel, r.output, None, isStreaming = false, None)
+            val natural = rel.schema.fieldNames.map(n =>
+              r.output.find(a => resolver(a.name, n)).getOrElse(
+                throw new IllegalStateException(
+                  s"graft table ${t.dir}: relation column $n missing " +
+                    s"from the table schema ${r.output.map(_.name)}")))
+            val lr = LogicalRelation(rel, natural.toIndexedSeq, None,
+              isStreaming = false, None)
+            if (natural.toSeq == r.output) lr
+            else org.apache.spark.sql.catalyst.plans.logical.Project(
+              r.output, lr)
           case Some(_) =>
             // merge-on-read: wrap the scan with the manifest
             // anti-join (VersionLog.read's plan) and re-root its
@@ -97,7 +112,12 @@ case class GraftV2ToV1Reads(session: SparkSession)
             val df = VersionLog.read(session, t.dir, t.versionAsOf)
             val child = df.queryExecution.analyzed
             org.apache.spark.sql.catalyst.plans.logical.Project(
-              r.output.zip(child.output).map { case (to, from) =>
+              r.output.map { to =>
+                val from = child.output.find(a =>
+                  resolver(a.name, to.name)).getOrElse(
+                  throw new IllegalStateException(
+                    s"graft table ${t.dir}: column ${to.name} missing " +
+                      s"from the read plan ${child.output.map(_.name)}"))
                 org.apache.spark.sql.catalyst.expressions.Alias(
                   from, to.name)(exprId = to.exprId)
               }, child)
@@ -150,38 +170,44 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     intercept(sqlText,
       () => delegate.parsePlanWithParameters(sqlText, ctx))
 
+  /** Every graft-only statement (not Spark grammar) is GATED on its
+    * identifier resolving to a graft catalog table: a non-graft
+    * `VACUUM x` / `DESCRIBE HISTORY x` / … FALLS THROUGH to the
+    * delegate (Spark's own parse error, or a coexisting extension
+    * that implements the same statement) instead of failing here —
+    * this parser must never capture another catalog's tables.
+    */
   private def intercept(sqlText: String,
-      parse: () => LogicalPlan): LogicalPlan =
+      parse: () => LogicalPlan): LogicalPlan = {
+    def orDelegate(cmd: Option[LogicalPlan]): LogicalPlan =
+      cmd.getOrElse(parse())
     historyRe.findFirstMatchIn(sqlText) match {
-      case Some(m) =>
-        val parts = delegate.parseMultipartIdentifier(m.group(1))
-        GraftCatalogRules.resolveGraftIdent(session, parts) match {
-          case Some((cat, ident)) =>
-            GraftDescribeHistoryCommand(cat.dirFor(ident))
-          case None => throw new IllegalArgumentException(
-            s"DESCRIBE HISTORY requires a graft catalog table, got: " +
-              parts.mkString("."))
-        }
+      case Some(m) => orDelegate(graftDir(m.group(1))
+        .map(GraftDescribeHistoryCommand))
       case None => cloneRe.findFirstMatchIn(sqlText) match {
         case Some(m) =>
-          GraftCloneCommand(dirOf(m.group(2), "CLONE source"),
-            dirOf(m.group(1), "CLONE target"),
-            Option(m.group(3)).map(_.toLong))
+          orDelegate(for {
+            src <- graftDir(m.group(2))
+            dst <- graftDir(m.group(1))
+          } yield GraftCloneCommand(src, dst,
+            Option(m.group(3)).map(_.toLong)))
         case None => vacuumRe.findFirstMatchIn(sqlText) match {
           case Some(m) =>
-            GraftVacuumCommand(dirOf(m.group(1), "VACUUM target"),
-              Option(m.group(2)).map(_.toInt).getOrElse(2))
+            orDelegate(graftDir(m.group(1)).map(d =>
+              GraftVacuumCommand(d,
+                Option(m.group(2)).map(_.toInt).getOrElse(2))))
           case None => optimizeRe.findFirstMatchIn(sqlText) match {
             case Some(m) =>
-              GraftOptimizeCommand(dirOf(m.group(1), "OPTIMIZE target"),
-                Option(m.group(2)).map(x => (x, m.group(3))))
+              orDelegate(graftDir(m.group(1)).map(d =>
+                GraftOptimizeCommand(d,
+                  Option(m.group(2)).map(x => (x, m.group(3))))))
             case None => restoreRe.findFirstMatchIn(sqlText) match {
               case Some(m) =>
-                GraftRestoreCommand(dirOf(m.group(1), "RESTORE target"),
-                  m.group(2).toLong)
+                orDelegate(graftDir(m.group(1)).map(d =>
+                  GraftRestoreCommand(d, m.group(2).toLong)))
               case None => detailRe.findFirstMatchIn(sqlText) match {
-                case Some(m) => GraftDescribeDetailCommand(
-                  dirOf(m.group(1), "DESCRIBE DETAIL target"))
+                case Some(m) => orDelegate(graftDir(m.group(1))
+                  .map(GraftDescribeDetailCommand))
                 case None => interceptConstraint(sqlText)
                   .getOrElse(rewriteMerge(parse()))
               }
@@ -190,34 +216,29 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         }
       }
     }
+  }
+
+  /** The statement's raw table identifier resolved to a graft table
+    * directory — None (delegate) when it does not parse as an
+    * identifier or does not name a graft catalog table.
+    */
+  private def graftDir(raw: String): Option[String] =
+    (try GraftCatalogRules.resolveGraftIdent(session,
+        delegate.parseMultipartIdentifier(raw))
+     catch { case _: Exception => None })
+      .map { case (cat, ident) => cat.dirFor(ident) }
 
   /** `ALTER TABLE t ADD CONSTRAINT n CHECK (e)` / `DROP CONSTRAINT n`
     * on a GRAFT table only — non-graft ALTERs fall through to Spark's
     * own grammar (None).
     */
-  private def interceptConstraint(sqlText: String): Option[LogicalPlan] = {
-    def graftDir(raw: String): Option[String] =
-      GraftCatalogRules.resolveGraftIdent(session,
-          delegate.parseMultipartIdentifier(raw))
-        .map { case (cat, ident) => cat.dirFor(ident) }
+  private def interceptConstraint(sqlText: String): Option[LogicalPlan] =
     addConstraintRe.findFirstMatchIn(sqlText)
       .flatMap(m => graftDir(m.group(1)).map(d =>
         GraftConstraintCommand(d, m.group(2), Some(m.group(3)))))
       .orElse(dropConstraintRe.findFirstMatchIn(sqlText)
         .flatMap(m => graftDir(m.group(1)).map(d =>
           GraftConstraintCommand(d, m.group(2), None))))
-  }
-
-  /** Resolve a statement's table identifier to its directory, loudly. */
-  private def dirOf(raw: String, what: String): String = {
-    val parts = delegate.parseMultipartIdentifier(raw)
-    GraftCatalogRules.resolveGraftIdent(session, parts) match {
-      case Some((cat, ident)) => cat.dirFor(ident)
-      case None => throw new IllegalArgumentException(
-        s"$what must be a graft catalog table, got: " +
-          parts.mkString("."))
-    }
-  }
 
   private def rewriteMerge(plan: LogicalPlan): LogicalPlan = plan match {
     case m: MergeIntoTable =>

@@ -74,10 +74,33 @@ final class GraftTable(spark: SparkSession, val dir: String,
 
   override def name(): String = identName
 
-  override def schema(): StructType =
-    v1Relation.map(_.schema).orElse(declaredSchema).getOrElse(
+  /** The table schema in DECLARED column order. The V1 relation
+    * surfaces data columns first and the partition column last
+    * (HadoopFsRelation's shape); positional `INSERT INTO` binds
+    * against THIS schema, so for a `CREATE TABLE (k, p, v)
+    * PARTITIONED BY (p)` table the live relation's (k, v, p) order
+    * must be re-ordered back to the declaration — otherwise the first
+    * insert (empty table: declared order) and every later one (live:
+    * relation order) would bind the same positions to different
+    * columns, silently landing values in the wrong columns whenever
+    * the types happen to coincide. Evolution-added columns (absent
+    * from the declaration) keep their relation order at the end.
+    * [[GraftCatalogRules.GraftV2ToV1Reads]] re-projects reads from
+    * the relation's order to this one.
+    */
+  override def schema(): StructType = v1Relation match {
+    case None => declaredSchema.getOrElse(
       throw new IllegalStateException(
         s"graft table at $dir has no data and no declared schema"))
+    case Some(rel) => declaredSchema.fold(rel.schema) { decl =>
+      val live = rel.schema
+      val inDecl = decl.fieldNames.flatMap(n =>
+        live.fields.find(f => spark.sessionState.conf.resolver(f.name, n)))
+      val extra = live.fields.filterNot(f => decl.fieldNames.exists(
+        spark.sessionState.conf.resolver(_, f.name)))
+      StructType((inDecl ++ extra).toSeq)
+    }
+  }
 
   override def partitioning(): Array[Transform] =
     partColOpt.map(Expressions.identity).toArray

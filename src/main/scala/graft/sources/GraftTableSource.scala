@@ -185,7 +185,26 @@ private[sources] final class GraftStreamSink(dir: String,
       val pc = partCol.getOrElse(throw new IllegalArgumentException(
         "Update-mode graft sink needs a partition column " +
           "(partitionBy or the table's layout)"))
-      VersionLog.mergeBatchOnce(spark, dir, tag, batch, key, pc,
+      if (VersionLog.listVersions(spark, dir).isEmpty) {
+        // BOOTSTRAP: the first epoch of a fresh upsert stream has no
+        // table to merge into — by definition it also has nothing to
+        // match, so it is an exactly-once tagged init of the
+        // non-tombstone rows (a delete for a key that never existed
+        // is a no-op, exactly what the merge would have done). Same
+        // duplicate-key contract as the merge, enforced up front.
+        val live = deleteWhen.fold(batch)(c => batch.filter(
+          !org.apache.spark.sql.functions.coalesce(
+            org.apache.spark.sql.functions.expr(c),
+            org.apache.spark.sql.functions.lit(false))))
+        val dup = live.groupBy(org.apache.spark.sql.functions.col(key))
+          .count().filter(org.apache.spark.sql.functions.col("count") > 1)
+          .limit(1).collect()
+        require(dup.isEmpty,
+          s"duplicate mergeKey $key in the bootstrap epoch " +
+            s"(e.g. ${dup.headOption}): an upsert epoch may carry " +
+            "each key at most once")
+        VersionLog.appendOnce(spark, dir, tag, live, Some(pc))
+      } else VersionLog.mergeBatchOnce(spark, dir, tag, batch, key, pc,
         deleteWhen.map(org.apache.spark.sql.functions.expr))
     }
     else if (mode == OutputMode.Append())
@@ -483,7 +502,11 @@ private final class GraftFileIndex(spark: SparkSession, dir: String,
       case (_, null) => None
       case (LongType | IntegerType | ShortType | ByteType,
           n: java.lang.Number) => Some(Left(BigDecimal(n.longValue)))
-      case (FloatType | DoubleType, n: java.lang.Number) =>
+      // non-finite literals (NaN, +/-Inf) have no BigDecimal form —
+      // "unknown", keep the file (NaN sorts greatest in Spark, so a
+      // NaN bound can genuinely match any file)
+      case (FloatType | DoubleType, n: java.lang.Number)
+          if java.lang.Double.isFinite(n.doubleValue) =>
         Some(Left(BigDecimal(n.doubleValue)))
       case (_: DecimalType, d: org.apache.spark.sql.types.Decimal) =>
         Some(Left(d.toBigDecimal))
@@ -502,8 +525,15 @@ private final class GraftFileIndex(spark: SparkSession, dir: String,
     case n: java.lang.Short => Some(Left(BigDecimal(n.longValue)))
     case n: java.lang.Integer => Some(Left(BigDecimal(n.longValue)))
     case n: java.lang.Long => Some(Left(BigDecimal(n.longValue)))
-    case n: java.lang.Float => Some(Left(BigDecimal(n.doubleValue)))
-    case n: java.lang.Double => Some(Left(BigDecimal(n.doubleValue)))
+    // Spark's min/max PROPAGATE NaN (it sorts greatest), so a stats
+    // column with one NaN row manifests as a NaN bound — BigDecimal
+    // would throw at planning time; treat the bound as unknowable
+    // (None -> Opaque -> keep the file) instead
+    case n: java.lang.Float if java.lang.Double.isFinite(n.doubleValue) =>
+      Some(Left(BigDecimal(n.doubleValue)))
+    case n: java.lang.Double if java.lang.Double.isFinite(n.doubleValue) =>
+      Some(Left(BigDecimal(n.doubleValue)))
+    case _: java.lang.Float | _: java.lang.Double => None
     case d: java.math.BigDecimal => Some(Left(BigDecimal(d)))
     case s: String => Some(Right(UTF8String.fromString(s)))
     case d: java.sql.Date =>

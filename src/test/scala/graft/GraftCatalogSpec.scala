@@ -363,4 +363,60 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("one identity"), e2.getMessage)
   }
+
+  test("declared column order is STABLE across the empty->live " +
+      "transition: positional INSERT INTO binds (k, p, v) the same " +
+      "way on every insert, and SELECT * reads it back in that order") {
+    import spark.implicits._
+    warehouse
+    // partition column in the MIDDLE of the declaration, flanked by
+    // two same-typed strings — the exact silent-swap shape: the V1
+    // relation surfaces (k, v, p), so an unordered schema would bind
+    // the second positional INSERT's values to the wrong columns
+    spark.sql("CREATE TABLE graft.ord (k BIGINT, p STRING, v STRING) " +
+      "PARTITIONED BY (p)")
+    spark.sql("INSERT INTO graft.ord VALUES (1, 'a', 'one')")
+    // table is LIVE now; the second insert must bind identically
+    spark.sql("INSERT INTO graft.ord VALUES (2, 'b', 'two')")
+    assert(spark.table("graft.ord").schema.fieldNames.toSeq ===
+      Seq("k", "p", "v"))
+    assert(spark.sql("SELECT * FROM graft.ord ORDER BY k")
+      .as[(Long, String, String)].collect().toSeq ===
+      Seq((1L, "a", "one"), (2L, "b", "two")))
+    // the rows landed in the right PARTITIONS, not just columns
+    assert(spark.sql("SELECT k FROM graft.ord WHERE p = 'b'")
+      .as[Long].collect().toSeq === Seq(2L))
+  }
+
+  test("table sidecar directories (t._cdc, t._dv) are not namespaces; " +
+      "graft-only statements on non-graft identifiers fall through " +
+      "to Spark's own parser") {
+    warehouse
+    spark.sql("CREATE TABLE graft.side AS SELECT id FROM range(5)")
+    new java.io.File(s"$warehouse/side._cdc/batch-00000").mkdirs()
+    new java.io.File(s"$warehouse/side._dv").mkdirs()
+    val ns = spark.sql("SHOW NAMESPACES IN graft").collect()
+      .map(_.getString(0)).toSet
+    assert(!ns.exists(_.contains("._")),
+      s"sidecars must not surface as namespaces, got $ns")
+    // a non-graft identifier must reach Spark's parser (its own parse
+    // error), never a graft error — the intercept is ident-gated
+    for (stmt <- Seq("VACUUM not_a_graft_table",
+        "OPTIMIZE not_a_graft_table",
+        "RESTORE TABLE not_a_graft_table TO VERSION AS OF 1")) {
+      intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+        spark.sql(stmt)
+      }
+    }
+    // DESCRIBE HISTORY/DETAIL on a non-graft ident parse under
+    // Spark's own DESCRIBE grammar (table HISTORY/DETAIL, column
+    // operand) and fail as Spark's missing-table error — never a
+    // graft error
+    for (stmt <- Seq("DESCRIBE HISTORY not_a_table",
+        "DESCRIBE DETAIL not_a_table")) {
+      val e = intercept[Exception] { spark.sql(stmt).collect() }
+      assert(e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"),
+        e.getMessage)
+    }
+  }
 }

@@ -206,7 +206,7 @@ object VersionLog {
         .distinct())
     }
 
-  private[io] def readFiles(spark: SparkSession, dir: String,
+  private[graft] def readFiles(spark: SparkSession, dir: String,
       files: Seq[String]): DataFrame = {
     require(files.nonEmpty,
       s"snapshot of $dir lists no data files; cannot infer a schema")
@@ -296,6 +296,97 @@ object VersionLog {
         val ok = fs.rename(tmp, target)
         if (!ok) fs.delete(tmp, false)
         ok
+      }
+    }
+  }
+
+  // ---- optimistic concurrency: auto-rebase on commit CAS loss ------
+
+  /** The interleaved commits between `parent` (exclusive) and `latest`
+    * (inclusive) with their per-commit file diffs — the conflict
+    * detector's read set. Metadata-only: one snapshot read per
+    * interleaved commit, file lists compared as strings.
+    */
+  private def interleaved(spark: SparkSession, dir: String,
+      parent: TableSnapshot, latest: TableSnapshot):
+      Seq[(TableSnapshot, Seq[String], Seq[String])] = {
+    var prev = parent
+    (parent.version + 1 to latest.version).map { v =>
+      val s = if (v == latest.version) latest
+        else snapshot(spark, dir, Some(v))
+      val prevFiles = prev.files.toSet
+      val added = s.files.filterNot(prevFiles)
+      val removed = prev.files.filterNot(s.files.toSet)
+      prev = s
+      (s, added, removed)
+    }
+  }
+
+  /** Generic rebase loop: try `commit` against `parent`; on CAS loss
+    * re-resolve the latest snapshot, hand the interleaved commits to
+    * `vet` (throw there to ABORT — the caller's data files become
+    * vacuum orphans), and retry against the new parent. Data files
+    * are immutable and uuid-named, so a rebase NEVER rewrites the
+    * batch — the Delta blind-append rule generalized: re-commit is
+    * metadata work, conflict analysis decides whether semantics
+    * survived the interleave.
+    */
+  private def commitRebasing(spark: SparkSession, dir: String,
+      first: TableSnapshot, action: String,
+      filesOf: TableSnapshot => Seq[String],
+      deletesOf: TableSnapshot => Seq[String],
+      vet: (TableSnapshot,
+        Seq[(TableSnapshot, Seq[String], Seq[String])]) => Unit,
+      feed: Option[String] = None,
+      maxAttempts: Int = 20): Long = {
+    var parent = first
+    var attempts = 0
+    while (true) {
+      try {
+        return commit(spark, dir, parent.version, action,
+          filesOf(parent), feed = feed, deletes = deletesOf(parent),
+          constraints = parent.constraints)
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempts += 1
+          if (attempts >= maxAttempts) throw e
+          val latest = snapshot(spark, dir, None)
+          vet(parent, interleaved(spark, dir, parent, latest))
+          parent = latest
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Vet shared by every rebase: CHECK constraints added by the
+    * interleave re-gate the batch (they were validated against a
+    * table that did not include it), and newly-added equality-delete
+    * manifests must not cover any of the batch's rows for the
+    * manifest's key column (the rebased commit would silently
+    * resurrect-then-swallow them). `batchFiles` is the already-written
+    * batch — both probes cost one bounded read of IT, never the table.
+    */
+  private def vetConstraintsAndDeletes(spark: SparkSession, dir: String,
+      parent: TableSnapshot, latest: TableSnapshot,
+      batchFiles: Seq[String], what: String): Unit = {
+    val newCs = latest.constraints.filterNot(parent.constraints.toSet)
+    if (newCs.nonEmpty && batchFiles.nonEmpty)
+      enforceConstraints(readFiles(spark, dir, batchFiles), newCs, dir,
+        s"$what (rebase: constraint added concurrently)")
+    val newDels = latest.deletes.filterNot(parent.deletes.toSet)
+    if (newDels.nonEmpty && batchFiles.nonEmpty) {
+      val base = dir.stripSuffix("/")
+      val keys = spark.read.parquet(newDels.map(f => s"$base/$f"): _*)
+        .distinct()
+      val c = keys.columns.head
+      val batch = readFiles(spark, dir, batchFiles)
+      if (batch.columns.contains(c)) {
+        val hit = batch.select(col(c))
+          .join(broadcast(keys), Seq(c), "left_semi").limit(1).count()
+        if (hit > 0L) throw new java.util.ConcurrentModificationException(
+          s"$what at $dir cannot rebase: a concurrent commit " +
+            s"equality-deleted keys ('$c') that this batch carries — " +
+            "re-run against the new snapshot")
       }
     }
   }
@@ -504,13 +595,53 @@ object VersionLog {
     val outputRows =
       if (newFiles.isEmpty) 0L
       else readFiles(spark, dir, newFiles).count()
-    val keptFiles = snap.files.filterNot(isTouchedFile)
+    // CAS loss rebases iff the interleave is provably disjoint from
+    // everything this merge READ: no interleaved file diff under the
+    // touched partitions (survivor arithmetic would be stale), no
+    // concurrently-added row carrying a batch key (the matched/insert
+    // classification would be stale — the whole-table key probe is
+    // part of the merge's read set), no interleaved equality-delete
+    // (merges refuse manifest debt), no duplicate exactly-once tag.
+    // The probes read only the INTERLEAVED commits' added files.
     val version =
-      try commit(spark, dir, snap.version, actionTag,
-        keptFiles ++ newFiles, feed = Some(feedName),
-        constraints = snap.constraints)
+      try commitRebasing(spark, dir, snap, actionTag,
+        filesOf = p => p.files.filterNot(isTouchedFile) ++ newFiles,
+        deletesOf = p => p.deletes,
+        vet = (p, inter) => {
+          vetTagUnique(actionTag, inter)
+          val latest = inter.last._1
+          if (latest.deletes.nonEmpty)
+            throw new java.util.ConcurrentModificationException(
+              s"merge at $dir cannot rebase: concurrent commits left " +
+                s"${latest.deletes.size} equality-delete manifests — " +
+                "applyDeletesCommit, then re-run")
+          inter.foreach { case (s, added, removed) =>
+            if ((added ++ removed).exists(isTouchedFile))
+              throw new java.util.ConcurrentModificationException(
+                s"merge at $dir cannot rebase: concurrent commit " +
+                  s"v${s.version} (${s.action}) touched partitions " +
+                  "this merge read — re-run")
+          }
+          val addedAll = inter.flatMap(_._2)
+          if (addedAll.nonEmpty) {
+            val hit = readFiles(spark, dir, addedAll)
+              .select(col(keyCol))
+              .join(allKeys, Seq(keyCol), "left_semi")
+              .limit(1).count()
+            if (hit > 0L)
+              throw new java.util.ConcurrentModificationException(
+                s"merge at $dir cannot rebase: a concurrent commit " +
+                  s"added rows whose $keyCol this merge matches — " +
+                  "re-run")
+          }
+          val newCs = latest.constraints.filterNot(p.constraints.toSet)
+          if (newCs.nonEmpty && newFiles.nonEmpty)
+            enforceConstraints(readFiles(spark, dir, newFiles), newCs,
+              dir, "merge (rebase: constraint added concurrently)")
+        },
+        feed = Some(feedName))
       catch {
-        case e: java.util.ConcurrentModificationException =>
+        case scala.util.control.NonFatal(e) =>
           MergeInto.discardStagedFeed(spark, dir, feedName)
           throw e
       }
@@ -612,6 +743,14 @@ object VersionLog {
     * files plus the new batch. Key uniqueness across commits is the
     * CALLER's contract (use [[mergeByKeyCdc]] for upserts); the layout
     * (`partitionBy`) should match the table's. Returns the version.
+    *
+    * A commit-CAS loss AUTO-REBASES (Delta's blind-append rule): the
+    * batch files are already on disk and version-independent, so the
+    * retry is one metadata re-commit against the new parent — no data
+    * rewrite, both racing appenders land. The rebase re-gates the
+    * batch against concurrently-added constraints and aborts loudly
+    * when a concurrent commit equality-deleted keys the batch carries
+    * or committed the same idempotency tag.
     */
   def append(spark: SparkSession, dir: String, df: DataFrame,
       partitionBy: Option[String] = None,
@@ -622,8 +761,29 @@ object VersionLog {
     // outstanding delete manifests carry forward (equality deletes
     // are layout-independent); appending a still-deleted key is the
     // caller's violation of the documented re-insert rule
-    commit(spark, dir, snap.version, actionTag, snap.files ++ files,
-      deletes = snap.deletes, constraints = snap.constraints)
+    commitRebasing(spark, dir, snap, actionTag,
+      filesOf = p => p.files ++ files,
+      deletesOf = p => p.deletes,
+      vet = (p, inter) => {
+        vetTagUnique(actionTag, inter)
+        vetConstraintsAndDeletes(spark, dir, p, inter.last._1, files,
+          "append")
+      })
+  }
+
+  /** Abort a rebase when an interleaved commit carries the same
+    * EXACTLY-ONCE idempotency tag — two deliveries of one tagged
+    * batch racing must not both land. Plain door names ("append",
+    * "overwrite", …) are not tags; concurrent plain writes rebase.
+    */
+  private def vetTagUnique(action: String,
+      inter: Seq[(TableSnapshot, Seq[String], Seq[String])]): Unit = {
+    if (ReservedActions.contains(action)) return
+    inter.find(_._1.action == action).foreach { case (s, _, _) =>
+      throw new java.util.ConcurrentModificationException(
+        s"action tag '$action' was committed concurrently as " +
+          s"version ${s.version} — duplicate delivery, not rebased")
+    }
   }
 
   /** CHECK-constraint gate on a write's incoming batch: every row must
@@ -687,8 +847,21 @@ object VersionLog {
     val snap = snapshot(spark, dir, None)
     enforceConstraints(df, snap.constraints, dir, "overwrite")
     val files = writeBatch(spark, dir, df, partitionBy, snap.version + 1)
-    commit(spark, dir, snap.version, actionTag, files,
-      constraints = snap.constraints)
+    // CAS loss auto-rebases: a full overwrite is "truncate + insert",
+    // so last-writer-wins over ANY interleave is its documented
+    // semantics — only concurrently-added constraints re-gate, and a
+    // duplicate exactly-once tag aborts
+    commitRebasing(spark, dir, snap, actionTag,
+      filesOf = _ => files,
+      deletesOf = _ => Nil,
+      vet = (p, inter) => {
+        vetTagUnique(actionTag, inter)
+        val newCs = inter.last._1.constraints
+          .filterNot(p.constraints.toSet)
+        if (newCs.nonEmpty)
+          enforceConstraints(readFiles(spark, dir, files), newCs, dir,
+            "overwrite (rebase: constraint added concurrently)")
+      })
   }
 
   /** Partition-scoped overwrite — Delta's `replaceWhere` on the
@@ -726,9 +899,25 @@ object VersionLog {
     enforceConstraints(df, snap.constraints, dir, "overwrite_where")
     val files = writeBatch(spark, dir, df, Some(partitionBy),
       snap.version + 1)
-    commit(spark, dir, snap.version, "overwrite_where",
-      snap.files.filterNot(isReplaced) ++ files, deletes = snap.deletes,
-      constraints = snap.constraints)
+    // CAS loss rebases iff the interleave is DISJOINT from the
+    // replaced partitions (its file diffs never touch them) — a
+    // concurrent write into a replaced partition would be silently
+    // clobbered by a blind retry, so that aborts loudly instead
+    commitRebasing(spark, dir, snap, "overwrite_where",
+      filesOf = p => p.files.filterNot(isReplaced) ++ files,
+      deletesOf = p => p.deletes,
+      vet = (p, inter) => {
+        inter.foreach { case (s, added, removed) =>
+          if ((added ++ removed).exists(isReplaced))
+            throw new java.util.ConcurrentModificationException(
+              s"overwrite_where at $dir cannot rebase: concurrent " +
+                s"commit v${s.version} (${s.action}) touched a " +
+                s"replaced partition ($partitionBy in " +
+                s"${values.mkString(",")}) — re-run")
+        }
+        vetConstraintsAndDeletes(spark, dir, p, inter.last._1, files,
+          "overwrite_where")
+      })
   }
 
   /** EQUALITY-DELETE commit — merge-on-read for the VERSIONED table
@@ -768,9 +957,36 @@ object VersionLog {
     k.coalesce(1).write.mode("error").parquet(s"$base/$rel")
     val manifest = listParquet(fsFor(spark, dir), new Path(base, rel))
       .map(p => relativize(base, p))
-    commit(spark, dir, snap.version, "delete", snap.files,
-      deletes = snap.deletes ++ manifest,
-      constraints = snap.constraints)
+    // CAS loss rebases (the manifest is file-independent) unless a
+    // concurrent commit added rows carrying deleted keys — the delete
+    // never saw them, and equality semantics would swallow them
+    // silently; or the manifest key column diverged
+    commitRebasing(spark, dir, snap, "delete",
+      filesOf = p => p.files,
+      deletesOf = p => p.deletes ++ manifest,
+      vet = (_, inter) => {
+        val latest = inter.last._1
+        deleteManifestFrame(spark, dir, latest).foreach { prior =>
+          if (prior.columns.head != keyCol)
+            throw new java.util.ConcurrentModificationException(
+              s"delete at $dir cannot rebase: concurrent manifests " +
+                s"key on '${prior.columns.head}', this one on " +
+                s"'$keyCol' — fold (applyDeletesCommit) and re-run")
+        }
+        val addedAll = inter.flatMap(_._2)
+        if (addedAll.nonEmpty) {
+          val b = readFiles(spark, dir, addedAll)
+          if (b.columns.contains(keyCol)) {
+            val hit = b.select(col(keyCol))
+              .join(broadcast(k), Seq(keyCol), "left_semi")
+              .limit(1).count()
+            if (hit > 0L)
+              throw new java.util.ConcurrentModificationException(
+                s"delete at $dir cannot rebase: a concurrent commit " +
+                  s"added rows carrying deleted $keyCol keys — re-run")
+          }
+        }
+      })
   }
 
   /** Fold the delete debt into the layout as a COMMIT: rewrite ONLY
@@ -850,10 +1066,13 @@ object VersionLog {
       deleteWhen, actionTag = batchTag))
   }
 
+  /** Built-in door action names — never idempotency tags. */
+  private val ReservedActions = Set("merge", "init", "append",
+    "overwrite", "overwrite_where", "compact", "delete",
+    "apply-deletes")
+
   private def requireTag(batchTag: String): Unit =
-    require(batchTag.nonEmpty && !Set("merge", "init", "append",
-        "overwrite", "overwrite_where", "compact", "delete",
-        "apply-deletes").contains(batchTag),
+    require(batchTag.nonEmpty && !ReservedActions.contains(batchTag),
       s"batchTag '$batchTag' must be a distinct idempotency token")
 
   private def tagApplied(spark: SparkSession, dir: String,

@@ -186,6 +186,46 @@ object PipelineQueries {
     dir
   }
 
+  /** Build for the all-doors CDC query (q146): a versioned table whose
+    * history interleaves EVERY write door — v1 init, v2 CDC merge
+    * (explicit images), v3 append (synthesized inserts), v4 equality
+    * deletes (synthesized delete images), v5 partition overwrite
+    * (synthesized delete+insert images) — so the row-level feed must
+    * cover commits no merge ever saw. Deterministic; built once per
+    * (sf, process).
+    */
+  private def cdcDoorsDir(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val dir = s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft-doors-${Integer.toHexString(d.hashCode)}" +
+      s"-${ProcessHandle.current().pid()}"
+    buildOnce(dir) {
+      val docs = documents(s, d)
+      VersionLog.init(s, dir, docs, partitionBy = Some("lang"))
+      VersionLog.mergeByKeyCdc(s, dir,
+        docs.filter($"lang" === "fr" && $"doc_id" % 17 === 0)
+          .withColumn("text", concat($"text", lit(" [v2]")))
+          .withColumn("_del", lit(false))
+          .unionByName(docs
+            .filter($"lang" === "de" && $"doc_id" % 13 === 0)
+            .withColumn("_del", lit(true))),
+        "doc_id", "lang", deleteWhen = Some($"_del"))
+      VersionLog.append(s, dir,
+        docs.filter($"doc_id" % 31 === 0)
+          .withColumn("doc_id", $"doc_id" + 100000000L)
+          .withColumn("lang", lit("xx")),
+        partitionBy = Some("lang"))
+      VersionLog.deleteKeysCommit(s, dir,
+        docs.filter($"lang" === "en" && $"doc_id" % 19 === 0)
+          .select($"doc_id"), "doc_id")
+      VersionLog.overwritePartitions(s, dir,
+        docs.filter($"lang" === "fr" && $"doc_id" % 3 === 0)
+          .withColumn("text", concat($"text", lit(" [rw]"))),
+        "lang", Seq("fr"))
+    }
+    dir
+  }
+
   /** Shared build for the graft-FORMAT queries (q137/q138): the
     * events fact table z-ordered by (user_id, cents) into 16 tight-
     * boxed files, committed as version 1 of a [[VersionLog]] table,
@@ -2152,31 +2192,33 @@ object PipelineQueries {
     },
     "q146_cdc_replay" -> { (s, d) =>
       import s.implicits._
-      // CHANGE-DATA-CAPTURE REPLAY: reconstruct the CURRENT snapshot
-      // from the v1 time-travel read plus the row-level feed, read
-      // through format("graft-cdc") — the downstream-mirror consumer
-      // pattern (apply each batch's update_pre/delete removals and
-      // update_post/insert additions in _feed_batch order). The
-      // oracle is q136's independent post-merge reconstruction: a
-      // feed missing a change, carrying a phantom (e.g. a CAS
-      // loser's batch), or mis-tagged ops cannot hash-match.
-      // Exactly-once streaming delivery and plan-time _feed_batch
-      // pruning are spec-pinned in GraftTableSourceSpec.
-      val dir = versionedTableDir(s, d)
-      val v1 = VersionLog.read(s, dir, Some(1L))
+      // ALL-DOORS CHANGE-DATA-CAPTURE REPLAY: reconstruct the CURRENT
+      // snapshot from NOTHING but the row-level feed, read through
+      // format("graft-cdc") over a history that interleaved every
+      // write door — init, CDC merge (the only door with explicit
+      // image files), append, equality delete, and partition
+      // overwrite (all synthesized from the commit log at read time,
+      // zero write amplification). The downstream-mirror consumer is
+      // ONE flat plan regardless of history depth: last-op-wins per
+      // key — rank images by (_feed_batch, op class) and keep the
+      // keys whose newest image is an addition — one shuffle + one
+      // window sort, never a per-commit join chain. The oracle
+      // independently recomputes the final state from the pristine
+      // corpus: a door whose changes the feed missed (the silent-
+      // mirror-drift failure), a phantom image, or a mis-tagged op
+      // cannot hash-match. Exactly-once streaming delivery, rate
+      // limiting, and per-door image shapes are spec-pinned in
+      // GraftTableSourceSpec.
+      val dir = cdcDoorsDir(s, d)
       val feed = s.read.format("graft-cdc").load(dir)
-      val batchIds = feed.select($"_feed_batch").distinct()
-        .as[Long].collect().sorted // metadata-sized: one id per merge
-      val replayed = batchIds.foldLeft(v1) { (state, b) =>
-        val fb = feed.filter($"_feed_batch" === b)
-        val removed = fb.filter($"_op".isin("update_pre", "delete"))
-          .select($"doc_id")
-        val added = fb.filter($"_op".isin("update_post", "insert"))
-          .select(state.columns.map(col).toIndexedSeq: _*)
-        state.join(removed, Seq("doc_id"), "left_anti")
-          .unionByName(added)
-      }
-      replayed.groupBy($"lang")
+      val opRank = when($"_op".isin("insert", "update_post"), 2)
+        .when($"_op" === "delete", 1).otherwise(lit(0))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id")
+        .orderBy($"_feed_batch".desc, opRank.desc)
+      feed.withColumn("_rn", row_number().over(w))
+        .filter($"_rn" === 1 && $"_op".isin("insert", "update_post"))
+        .groupBy($"lang")
         .agg(count(lit(1)).as("n_rows"),
           sum(length($"text")).as("sum_len"),
           sum($"doc_id").as("sum_ids"))
@@ -3838,26 +3880,23 @@ object PipelineQueries {
            CAST(sum(doc_id) AS BIGINT) AS sum_ids
          FROM merged GROUP BY lang ORDER BY lang""",
     "q146_cdc_replay" ->
-      """WITH upd AS (
-           SELECT doc_id, text || ' [v2]' AS text, lang
-           FROM documents WHERE lang = 'fr' AND doc_id % 17 = 0
+      """WITH finalstate AS (
+           SELECT doc_id, text || ' [rw]' AS text, 'fr' AS lang
+           FROM documents WHERE lang = 'fr' AND doc_id % 3 = 0
+           UNION ALL
+           SELECT doc_id, text, lang FROM documents
+           WHERE lang = 'de' AND doc_id % 13 <> 0
+           UNION ALL
+           SELECT doc_id, text, lang FROM documents
+           WHERE lang NOT IN ('fr', 'de')
+             AND NOT (lang = 'en' AND doc_id % 19 = 0)
            UNION ALL
            SELECT doc_id + 100000000, text, 'xx' AS lang
-           FROM documents WHERE doc_id % 31 = 0),
-         del AS (
-           SELECT doc_id FROM documents
-           WHERE lang = 'de' AND doc_id % 13 = 0),
-         merged AS (
-           SELECT d.doc_id, d.text, d.lang FROM documents d
-           WHERE NOT EXISTS (SELECT 1 FROM upd u
-                             WHERE u.doc_id = d.doc_id)
-             AND NOT EXISTS (SELECT 1 FROM del x
-                             WHERE x.doc_id = d.doc_id)
-           UNION ALL SELECT doc_id, text, lang FROM upd)
+           FROM documents WHERE doc_id % 31 = 0)
          SELECT lang, count(*) AS n_rows,
            CAST(sum(length(text)) AS BIGINT) AS sum_len,
            CAST(sum(doc_id) AS BIGINT) AS sum_ids
-         FROM merged GROUP BY lang ORDER BY lang""",
+         FROM finalstate GROUP BY lang ORDER BY lang""",
     "q145_catalog_sql" ->
       """WITH upd AS (
            SELECT doc_id, text || ' [v2]' AS text, lang

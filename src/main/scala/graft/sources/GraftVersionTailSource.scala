@@ -56,7 +56,12 @@ final class GraftVersionTailSource extends TableProvider
     new VersionTailTable(Option(properties.get("path")).getOrElse(
       throw new IllegalArgumentException(
         "graft-versions requires a path: " +
-          "spark.readStream.format(\"graft-versions\").load(dir)")))
+          "spark.readStream.format(\"graft-versions\").load(dir)")),
+      Option(properties.get("maxBatchesPerTrigger")).map(_.toLong)
+        .map { n =>
+          require(n >= 1, s"maxBatchesPerTrigger must be >= 1, got $n")
+          n
+        }.getOrElse(Long.MaxValue))
 }
 
 object GraftVersionTailSource {
@@ -87,7 +92,7 @@ object GraftVersionTailSource {
   }
 }
 
-private final class VersionTailTable(path: String)
+private final class VersionTailTable(path: String, maxPerTrigger: Long)
     extends Table with SupportsRead {
   override def name(): String = s"graft-versions($path)"
   override def schema(): StructType = GraftVersionTailSource.schema
@@ -97,15 +102,16 @@ private final class VersionTailTable(path: String)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new VersionTailScan(path)
+      override def build(): Scan = new VersionTailScan(path, maxPerTrigger)
     }
 }
 
-private final class VersionTailScan(path: String) extends Scan {
+private final class VersionTailScan(path: String, maxPerTrigger: Long)
+    extends Scan {
   override def readSchema(): StructType = GraftVersionTailSource.schema
   override def description(): String = s"graft version tail of $path"
   override def toMicroBatchStream(loc: String): MicroBatchStream =
-    new VersionTailStream(path)
+    new VersionTailStream(path, maxPerTrigger)
   // batch form: the whole retained history (same rows `history` keys)
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
@@ -125,8 +131,12 @@ private final case class VersionOffset(version: Long) extends Offset {
   override def json(): String = version.toString
 }
 
-private final class VersionTailStream(path: String)
-    extends MicroBatchStream {
+private final class VersionTailStream(path: String, maxPerTrigger: Long)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.ReadLimit
+
   private def spark = SparkSession.active
 
   override def initialOffset(): Offset = VersionOffset(0L)
@@ -135,6 +145,25 @@ private final class VersionTailStream(path: String)
     val vs = VersionLog.listVersions(spark, path)
     VersionOffset(if (vs.isEmpty) 0L else vs.max)
   }
+
+  /** Rate-limited offset advance (`maxBatchesPerTrigger`): a consumer
+    * resuming after a long lag drains the commit backlog at most
+    * `maxPerTrigger` VERSIONS per micro-batch instead of replanning
+    * the whole tail as one batch — exactly-once is untouched (the
+    * offset is still the version id, checkpointed per batch).
+    */
+  override def latestOffset(startOffset: Offset,
+      limit: ReadLimit): Offset = {
+    val start = startOffset.asInstanceOf[VersionOffset].version
+    val vs = VersionLog.listVersions(spark, path)
+    val latest = if (vs.isEmpty) 0L else vs.max
+    val capped =
+      if (Long.MaxValue - maxPerTrigger < start) Long.MaxValue
+      else start + maxPerTrigger
+    VersionOffset(math.max(start, math.min(latest, capped)))
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
   override def deserializeOffset(json: String): Offset =
     VersionOffset(json.trim.toLong)

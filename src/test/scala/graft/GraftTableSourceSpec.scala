@@ -149,12 +149,55 @@ class GraftTableSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("graft-cdc stream: row-level before/after images per feed " +
-      "batch, exactly-once across a checkpointed restart; batch form " +
-      "prunes _feed_batch at plan time; staged batches invisible") {
+  test("graft-versions rate limiting: a 4-commit backlog with " +
+      "maxBatchesPerTrigger=1 drains one version per micro-batch, " +
+      "exactly-once across a mid-drain restart") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("gtail-rate").toString
+    val ckpt = Files.createTempDirectory("gtail-rate-ckpt").toString
+    VersionLog.init(spark, dir, Seq((1L, "a")).toDF("k", "p"),
+      partitionBy = Some("p"))
+    VersionLog.append(spark, dir, Seq((2L, "a")).toDF("k", "p"),
+      partitionBy = Some("p"))
+    val seen = new scala.collection.mutable.ArrayBuffer[Seq[Long]]
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-versions")
+        .option("maxBatchesPerTrigger", "1").load(dir)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val vs = b.select($"version").as[Long].collect()
+            .distinct.sorted.toSeq
+          seen.synchronized { if (vs.nonEmpty) seen += vs }
+          ()
+        }
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // a 2-commit backlog drains as one VERSION per micro-batch
+    drain()
+    assert(seen.synchronized(seen.toSeq) === Seq(Seq(1L), Seq(2L)),
+      s"got ${seen.toSeq}")
+    // two more commits while the consumer is down; the restart
+    // resumes at version 3 from the checkpoint — nothing replayed,
+    // nothing skipped, still one version per batch
+    VersionLog.append(spark, dir, Seq((3L, "a")).toDF("k", "p"),
+      partitionBy = Some("p"))
+    VersionLog.append(spark, dir, Seq((4L, "a")).toDF("k", "p"),
+      partitionBy = Some("p"))
+    drain()
+    assert(seen.synchronized(seen.toSeq) ===
+      Seq(Seq(1L), Seq(2L), Seq(3L), Seq(4L)), s"got ${seen.toSeq}")
+  }
+
+  test("graft-cdc on a VERSIONED table covers EVERY write door " +
+      "(_feed_batch = version id): init/append inserts, merge images, " +
+      "equality-delete and replaceWhere images synthesized; " +
+      "exactly-once across a checkpointed restart; rate-limited " +
+      "catch-up; staged batches invisible") {
     import spark.implicits._
     val dir = Files.createTempDirectory("gcdc").toString
     val ckpt = Files.createTempDirectory("gcdc-ckpt").toString
+    // v1 init (synthesized inserts), v2 merge (explicit images)
     VersionLog.init(spark, dir,
       Seq((1L, "one", "a"), (2L, "two", "a"), (3L, "three", "b"))
         .toDF("k", "v", "p"), partitionBy = Some("p"))
@@ -166,12 +209,16 @@ class GraftTableSourceSpec extends AnyFunSuite {
     // foreachBatch (the recovery-capable sink shape consumers use)
     val sunk =
       new scala.collection.mutable.ArrayBuffer[(String, Long, Long)]
+    val nonEmptyBatches = new java.util.concurrent.atomic.AtomicInteger
     def startStream() = spark.readStream
-      .format("graft-cdc").load(dir)
+      .format("graft-cdc")
+      .option("maxBatchesPerTrigger", "1") // one COMMIT per trigger
+      .load(dir)
       .writeStream
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
         val rows = b.select($"_op", $"k", $"_feed_batch")
           .as[(String, Long, Long)].collect()
+        if (rows.nonEmpty) nonEmptyBatches.incrementAndGet()
         sunk.synchronized { sunk ++= rows }
         ()
       }
@@ -179,43 +226,116 @@ class GraftTableSourceSpec extends AnyFunSuite {
     val q1 = startStream()
     try {
       q1.processAllAvailable()
-      assert(sunk.synchronized(sunk.toSet) ===
-        Set(("update_pre", 2L, 0L), ("update_post", 2L, 0L),
-          ("insert", 4L, 0L), ("delete", 3L, 0L)))
+      assert(sunk.synchronized(sunk.toSet) === Set(
+        ("insert", 1L, 1L), ("insert", 2L, 1L), ("insert", 3L, 1L),
+        ("update_pre", 2L, 2L), ("update_post", 2L, 2L),
+        ("insert", 4L, 2L), ("delete", 3L, 2L)))
+      // rate limit: the 2-commit backlog drained as 2 micro-batches
+      assert(nonEmptyBatches.get() === 2,
+        s"maxBatchesPerTrigger=1 must drain one commit per trigger, " +
+          s"got ${nonEmptyBatches.get()} non-empty batches")
     } finally q1.stop()
     sunk.synchronized(sunk.clear())
-    // second merge lands feed batch 1 while no stream runs
+    // while no stream runs: v3 merge, v4 append, v5 equality delete
     VersionLog.mergeByKeyCdc(spark, dir,
       Seq((4L, "four2", "b")).toDF("k", "v", "p"), "k", "p")
+    VersionLog.append(spark, dir, Seq((5L, "five", "c")).toDF("k", "v", "p"),
+      partitionBy = Some("p"))
+    VersionLog.deleteKeysCommit(spark, dir, Seq(1L).toDF("k"), "k")
     // a torn staging dir is invisible to every consumer
     Seq((99L, "junk", "zz", "insert")).toDF("k", "v", "p", "_op")
       .write.parquet(s"$dir._cdc/.staging-batch-00099")
-    // restart from the SAME checkpoint: exactly the unconsumed batch
+    // restart from the SAME checkpoint: exactly the unconsumed
+    // versions, with the append's and delete's images SYNTHESIZED
     val q2 = startStream()
     try {
       q2.processAllAvailable()
       val replay = sunk.synchronized(sunk.toSet)
-      assert(replay === Set(("update_pre", 4L, 1L),
-        ("update_post", 4L, 1L)),
-        s"restart must deliver ONLY feed batch 1, got $replay")
+      assert(replay === Set(
+        ("update_pre", 4L, 3L), ("update_post", 4L, 3L),
+        ("insert", 5L, 4L), ("delete", 1L, 5L)),
+        s"restart must deliver ONLY versions 3..5, got $replay")
     } finally q2.stop()
-    // batch form: all published batches, staged junk excluded
+    // batch form: the whole feed (staged junk excluded), version-keyed
     val all = spark.read.format("graft-cdc").load(dir)
     assert(all.filter($"k" === 99L).count() === 0L)
-    assert(all.count() === 6L)
-    // _feed_batch is a partition column: the incremental consumer's
-    // predicate prunes to the new batches on the driver's file list
-    val inc = all.filter($"_feed_batch" >= 1L)
+    assert(all.count() === 11L)
+    // "changes since version 3": correct rows, and the pushed
+    // predicate prunes the version RANGE at plan time (conservative
+    // bounds, Spark re-applies the filter exactly above)
+    val inc = all.filter($"_feed_batch" >= 3L)
     assert(inc.select($"_op", $"k").as[(String, Long)].collect().toSet
-      === Set(("update_pre", 4L), ("update_post", 4L)))
-    val scan = inc.queryExecution.executedPlan.collect {
-      case s: FileSourceScanExec => s
-    }.head
-    inc.collect()
-    val totalFiles = spark.read.format("graft-cdc").load(dir)
-      .inputFiles.length
-    assert(scan.metrics("numFiles").value < totalFiles,
-      "_feed_batch predicate must prune batch directories at plan time")
+      === Set(("update_pre", 4L), ("update_post", 4L),
+        ("insert", 5L), ("delete", 1L)))
+    import org.apache.spark.sql.sources
+    assert(graft.sources.GraftCdcSource.versionBounds(Array(
+      sources.GreaterThanOrEqual("_feed_batch", 3L))) === ((2L, Long.MaxValue)))
+    assert(graft.sources.GraftCdcSource.versionBounds(Array(
+      sources.EqualTo("_feed_batch", 4L))) === ((3L, 4L)))
+    assert(graft.sources.GraftCdcSource.versionBounds(Array(
+      sources.GreaterThan("_feed_batch", 2L),
+      sources.LessThanOrEqual("_feed_batch", 4L))) === ((2L, 4L)))
+    // the replay CONVERGES to the live table: last-op-wins per key
+    val opRank = when($"_op".isin("insert", "update_post"), 2)
+      .when($"_op" === "delete", 1).otherwise(lit(0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"k").orderBy($"_feed_batch".desc, opRank.desc)
+    val mirrored = all.withColumn("_rn", row_number().over(w))
+      .filter($"_rn" === 1 && $"_op".isin("insert", "update_post"))
+      .select($"k", $"v", $"p").as[(Long, String, String)]
+      .collect().toSet
+    val live = VersionLog.read(spark, dir)
+      .select($"k", $"v", $"p").as[(Long, String, String)]
+      .collect().toSet
+    assert(mirrored === live)
+  }
+
+  test("graft-cdc synthesis: replaceWhere emits delete+insert images; " +
+      "restore un-deleting keys emits resurrect inserts; compaction " +
+      "emits nothing; a manifest+file mixed restore refuses loudly") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("gcdc-syn").toString
+    VersionLog.init(spark, dir,
+      Seq((1L, "one", "a"), (2L, "two", "a"), (3L, "three", "b"))
+        .toDF("k", "v", "p"), partitionBy = Some("p"))
+    // v2: replace partition a with a transformed slice
+    VersionLog.overwritePartitions(spark, dir,
+      Seq((1L, "one2", "a")).toDF("k", "v", "p"), "p", Seq("a"))
+    def changes(v: Long) = graft.sources.GraftCdcSource
+      .changesForVersion(spark, dir, v)
+      .select($"_op", $"k", $"v").as[(String, Long, String)]
+      .collect().toSet
+    assert(changes(2L) === Set(("delete", 1L, "one"),
+      ("delete", 2L, "two"), ("insert", 1L, "one2")))
+    // v3: equality delete; v4: restore to v2 resurrects it
+    VersionLog.deleteKeysCommit(spark, dir, Seq(3L).toDF("k"), "k")
+    assert(changes(3L) === Set(("delete", 3L, "three")))
+    VersionLog.restoreCommit(spark, dir, 2L)
+    assert(changes(4L) === Set(("insert", 3L, "three")))
+    // v5: append a second p=b file so compaction has real repacking;
+    // v6: the repack is row-preserving -> EMPTY changes
+    VersionLog.append(spark, dir, Seq((5L, "five", "b")).toDF("k", "v", "p"),
+      partitionBy = Some("p"))
+    assert(changes(5L) === Set(("insert", 5L, "five")))
+    val (_, _, v6) = VersionLog.compactSnapshot(spark, dir,
+      targetBytes = 1L << 30)
+    assert(v6 === 6L, "compaction must have committed a new version")
+    assert(changes(6L) === Set.empty)
+    // a restore that RE-ADDS delete manifests while changing files
+    // cannot be synthesized row-exactly: loud refusal, never a
+    // silent gap (snapshot-level consumers still replay across it)
+    val dir2 = Files.createTempDirectory("gcdc-mix").toString
+    VersionLog.init(spark, dir2,
+      Seq((1L, "one", "a"), (2L, "two", "b")).toDF("k", "v", "p"),
+      partitionBy = Some("p"))
+    VersionLog.deleteKeysCommit(spark, dir2, Seq(1L).toDF("k"), "k")
+    VersionLog.applyDeletesCommit(spark, dir2) // v3: fold, drop manifest
+    VersionLog.restoreCommit(spark, dir2, 2L)  // v4: files + manifests
+    val e = intercept[IllegalStateException] {
+      graft.sources.GraftCdcSource.changesForVersion(spark, dir2, 4L)
+        .collect()
+    }
+    assert(e.getMessage.contains("cannot synthesize"), e.getMessage)
   }
 
   test("graft streaming SINK: every epoch is one tagged exactly-once " +
@@ -414,6 +534,56 @@ class GraftTableSourceSpec extends AnyFunSuite {
     val q3 = t.filter($"s" > "zzz")
     assert(q3.count() === 0L)
     assert(scanNumFiles(q3) === 0L)
+  }
+
+  test("manifest over a double column containing NaN/Infinity plans " +
+      "without error (non-finite bounds keep the file, results exact)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("gnan").toString
+    // one file whose max(score) is NaN (NaN sorts greatest in Spark),
+    // one with an infinite bound, one finite
+    val rows = Seq((1L, 0.5), (2L, Double.NaN), (3L, 1.5),
+      (4L, Double.PositiveInfinity), (5L, 10.0), (6L, 11.0))
+    VersionLog.init(spark, dir,
+      rows.toDF("id", "score").repartitionByRange(3, $"id"))
+    Manifest.buildManifestFor(spark, dir,
+      VersionLog.read(spark, dir), Seq("score"))
+    val t = spark.read.format("graft").load(dir)
+    // planning with a range predicate over the NaN-bounded manifest
+    // must not throw (pre-fix: BigDecimal(NaN) crashed loadManifest)
+    assert(t.filter($"score" >= 10.0 && $"score" <= 11.0)
+      .select($"id").as[Long].collect().toSet === Set(5L, 6L))
+    assert(t.filter($"score" <= 1.0).select($"id").as[Long]
+      .collect().toSet === Set(1L))
+    assert(t.count() === 6L)
+  }
+
+  test("Update-mode graft sink BOOTSTRAPS on an empty directory: the " +
+      "first epoch inits the table (tombstones dropped), later epochs " +
+      "merge; the bootstrap epoch is exactly-once too") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("gsink-boot").toString + "/t"
+    val sink = new graft.sources.GraftTableSource().createSink(
+      spark.sqlContext,
+      Map("path" -> dir, "txnApp" -> "boot", "mergeKey" -> "k",
+        "deleteWhen" -> "_del", "partitionBy" -> "p"),
+      Seq.empty, org.apache.spark.sql.streaming.OutputMode.Update())
+    // first epoch of a fresh upsert stream: upserts + a no-op delete
+    sink.addBatch(0, Seq((1L, "one", "a", false), (2L, "two", "b", false),
+      (9L, "gone", "a", true)).toDF("k", "v", "p", "_del"))
+    assert(VersionLog.listVersions(spark, dir) === Seq(1L))
+    def rows() = VersionLog.read(spark, dir)
+      .select($"k", $"v", $"p").as[(Long, String, String)]
+      .collect().toSet
+    assert(rows() === Set((1L, "one", "a"), (2L, "two", "b")))
+    // the bootstrap epoch redelivered: skipped whole (tag found)
+    sink.addBatch(0, Seq((7L, "seven", "z", false))
+      .toDF("k", "v", "p", "_del"))
+    assert(VersionLog.listVersions(spark, dir) === Seq(1L))
+    // a later epoch merges normally against the bootstrapped table
+    sink.addBatch(1, Seq((2L, "two2", "b", false), (1L, "x", "a", true))
+      .toDF("k", "v", "p", "_del"))
+    assert(rows() === Set((2L, "two2", "b")))
   }
 
   test("graft format: a snapshot file missing on disk fails LOUDLY " +

@@ -813,4 +813,117 @@ class VersionLogSpec extends AnyFunSuite {
       .map(_.getTimestamp(0).getTime).toSeq ===
       Seq(1000000L, 1000001L, 2000000L))
   }
+
+  /** Run `a` and `b` on two threads whose data batches are GATED on a
+    * shared barrier inside a UDF: both writers resolve their parent
+    * snapshot and write their batch before EITHER can commit, so the
+    * commit CAS race is deterministic — one of them must lose and
+    * rebase (or abort). Returns (resultA, resultB) as Try.
+    */
+  private def race[A, B](a: => A, b: => B):
+      (scala.util.Try[A], scala.util.Try[B]) = {
+    val ta = new java.util.concurrent.FutureTask(() => a)
+    val tb = new java.util.concurrent.FutureTask(() => b)
+    new Thread(ta).start(); new Thread(tb).start()
+    def get[T](t: java.util.concurrent.FutureTask[T]) =
+      scala.util.Try(t.get(120, java.util.concurrent.TimeUnit.SECONDS))
+        .recoverWith { case e: java.util.concurrent.ExecutionException =>
+          scala.util.Failure(e.getCause)
+        }
+    (get(ta), get(tb))
+  }
+
+  /** A column that blocks until `parties` evaluations across the JVM
+    * reached the gate, then stays open (re-evaluation safe) — pure
+    * synchronization, value passes through.
+    */
+  private def gate(name: String, parties: Int)
+      : org.apache.spark.sql.Column = {
+    VersionLogSpec.gates.putIfAbsent(name,
+      new java.util.concurrent.CountDownLatch(parties))
+    udf((k: Long) => {
+      val g = VersionLogSpec.gates.get(name)
+      g.countDown()
+      require(g.await(60, java.util.concurrent.TimeUnit.SECONDS),
+        s"gate $name timed out")
+      k
+    }).apply(col("k"))
+  }
+
+  test("racing appenders: both resolve the same parent, the CAS loser " +
+      "REBASES — both land, each batch written exactly once") {
+    import spark.implicits._
+    val dir = seed()
+    // both writers must evaluate their one-row batch (hitting the
+    // barrier) before either commits — guaranteed same parent
+    val dfA = Seq((100L, "A", "a")).toDF("k", "v", "p")
+      .withColumn("k", gate("app", 2))
+    val dfB = Seq((200L, "B", "b")).toDF("k", "v", "p")
+      .withColumn("k", gate("app", 2))
+    val (ra, rb) = race(
+      VersionLog.append(spark, dir, dfA, Some("p")),
+      VersionLog.append(spark, dir, dfB, Some("p")))
+    assert(ra.isSuccess && rb.isSuccess, s"$ra / $rb")
+    assert(Set(ra.get, rb.get) === Set(2L, 3L))
+    val t = VersionLog.read(spark, dir)
+    assert(t.filter($"k" >= 100L).select($"k").as[Long]
+      .collect().toSet === Set(100L, 200L))
+    assert(t.count() === 7L, "no row lost, none duplicated")
+    // each writer committed exactly ONE batch write: the rebased
+    // commit re-listed the already-written files (no second copy)
+    val batchDirs = VersionLog.snapshot(spark, dir, None).files
+      .map(_.split("/")(1)).distinct
+    assert(batchDirs.length === 3, s"got $batchDirs") // seed + A + B
+  }
+
+  test("racing merge x append: disjoint partitions rebase (both land); " +
+      "an overlapping-partition append makes the merge abort loudly") {
+    import spark.implicits._
+    // disjoint: merge touches partition a, append lands in new c2
+    val dir = seed()
+    val mergeBatch = Seq((1L, "one*", "a")).toDF("k", "v", "p")
+      .withColumn("k", gate("mx1", 2))
+    val appendBatch = Seq((300L, "C", "c2")).toDF("k", "v", "p")
+      .withColumn("k", gate("mx1", 2))
+    val (rm, rap) = race(
+      VersionLog.mergeByKeyCdc(spark, dir, mergeBatch, "k", "p"),
+      VersionLog.append(spark, dir, appendBatch, Some("p")))
+    assert(rm.isSuccess && rap.isSuccess, s"$rm / $rap")
+    val t = rows(VersionLog.read(spark, dir))
+    assert(t.contains((1L, "one*", "a")), "merge update must land")
+    assert(t.contains((300L, "C", "c2")), "append must land")
+    assert(t.size === 6)
+    // overlapping: the appended row lands in the merge's touched
+    // partition — the loser (whichever it is) must surface a loud
+    // conflict, never silently drop the other writer's row
+    val dir2 = seed()
+    val mergeBatch2 = Seq((1L, "one!", "a")).toDF("k", "v", "p")
+      .withColumn("k", gate("mx2", 2))
+    val appendBatch2 = Seq((400L, "D", "a")).toDF("k", "v", "p")
+      .withColumn("k", gate("mx2", 2))
+    val (rm2, rap2) = race(
+      VersionLog.mergeByKeyCdc(spark, dir2, mergeBatch2, "k", "p"),
+      VersionLog.append(spark, dir2, appendBatch2, Some("p")))
+    // the append always lands (blind, rebases across anything); the
+    // merge either won the CAS outright or aborted loudly
+    if (rm2.isSuccess && rap2.isSuccess) {
+      // merge won the race; append rebased on top — both visible
+      val t2 = rows(VersionLog.read(spark, dir2))
+      assert(t2.contains((1L, "one!", "a")) &&
+        t2.contains((400L, "D", "a")))
+    } else {
+      assert(rap2.isSuccess, s"append must never abort: $rap2")
+      val e = rm2.failed.get
+      assert(e.isInstanceOf[java.util.ConcurrentModificationException] &&
+        e.getMessage.contains("touched partitions"), e.toString)
+      val t2 = rows(VersionLog.read(spark, dir2))
+      assert(t2.contains((400L, "D", "a")))
+      assert(!t2.contains((1L, "one!", "a")))
+    }
+  }
+}
+
+object VersionLogSpec {
+  val gates = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CountDownLatch]()
 }

@@ -186,12 +186,65 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
   }
 
+  /** `ALTER TABLE ADD COLUMN(S)` — a metadata-only schema-evolution
+    * commit ([[VersionLog.alterAddColumnCommit]]): existing rows read
+    * the new column as NULL, later writes populate it, time travel to
+    * pre-alter versions reads the pre-alter schema. Only top-level
+    * APPENDED nullable columns are supported; RENAME / DROP /
+    * retype are refused loudly (they would silently re-interpret
+    * existing files — a rewriting INSERT OVERWRITE is the honest
+    * spelling). The `_table.json` declaration (positional-INSERT
+    * binding order) is kept in sync.
+    */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE on graft tables is not supported; schema widens " +
-        "through appends (evolution) and rewrites through " +
-        "INSERT OVERWRITE")
+      changes: TableChange*): Table = {
+    val dir = dirFor(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          "graft tables support only top-level ADD COLUMN, got: " +
+            add.fieldNames.mkString("."))
+        require(add.position == null,
+          "graft ADD COLUMN appends at the end; FIRST/AFTER are not " +
+            "supported (column order is declared order)")
+        val name = add.fieldNames.head
+        if (VersionLog.listVersions(spark, dir).nonEmpty)
+          VersionLog.alterAddColumnCommit(spark, dir, name,
+            add.dataType, add.isNullable)
+        appendDeclaredColumn(dir, name, add.dataType)
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE ${other.getClass.getSimpleName} is not " +
+          "supported on graft tables: rename/drop/retype would " +
+          "re-interpret existing files — rewrite through " +
+          "INSERT OVERWRITE instead")
+    }
+    loadTable(ident)
+  }
+
+  /** Keep `_table.json` (the declared column order positional INSERT
+    * binds against) in sync with an ADD COLUMN commit. A table with
+    * no declaration (API-created) skips — the snapshot's schema
+    * commit is authoritative there.
+    */
+  private def appendDeclaredColumn(dir: String, name: String,
+      dataType: DataType): Unit = {
+    val (schemaOpt, partCol) = readMeta(dir)
+    schemaOpt.foreach { schema =>
+      require(!schema.fieldNames.exists(
+          spark.sessionState.conf.resolver(_, name)),
+        s"column $name already declared on $dir")
+      val widened = StructType(schema.fields :+
+        org.apache.spark.sql.types.StructField(name, dataType))
+      val p = metaPath(dir)
+      val fs = fsFor(p)
+      val json = s"""{"schema":${widened.json},""" +
+        s""""partCol":${partCol.fold("null")(c => "\"" + c + "\"")}}"""
+      val out = fs.create(p, true)
+      try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
 
   /** DROP TABLE: removes the table directory AND its dot-named
     * sidecar siblings (`<dir>._cdc`, `<dir>._dv` …).

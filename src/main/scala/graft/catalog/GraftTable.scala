@@ -156,7 +156,10 @@ final class GraftTable(spark: SparkSession, val dir: String,
               if (!exists) {
                 require(replaceValues.isEmpty,
                   s"cannot partition-overwrite an empty table ($dir)")
-                VersionLog.init(spark, dir, data, pb)
+                // root the DECLARED column order in the snapshot so
+                // the schema survives independent of file footers
+                VersionLog.init(spark, dir, data, pb,
+                  schemaJson = declaredSchema.map(_.json))
               } else replaceValues match {
                 case Some(vals) =>
                   VersionLog.overwritePartitions(spark, dir, data,

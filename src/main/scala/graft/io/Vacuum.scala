@@ -63,10 +63,18 @@ object Vacuum {
     val root = new Path(tableDir.stripSuffix("/") + "._cdc")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Nil
+    // on a VERSIONED table, a batch named by a RETAINED version file
+    // is the version's merge images — the graft-cdc source serves it
+    // for as long as the version resolves, so it is never a victim
+    // here (run VersionLog.vacuumVersions first to shrink retention)
+    val referenced: Set[String] =
+      VersionLog.listVersions(spark, tableDir).flatMap(v =>
+        VersionLog.snapshot(spark, tableDir, Some(v)).feed).toSet
     val batches = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch-"))
       .sortBy(_.getPath.getName.stripPrefix("batch-").toInt)
     val victims = batches.dropRight(keepLast)
+      .filterNot(s => referenced.contains(s.getPath.getName))
     victims.foreach { s =>
       fs.delete(s.getPath, true)
       // the batch's index-reservation marker lives exactly as long as

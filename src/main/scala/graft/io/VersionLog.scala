@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
 case class TableSnapshot(version: Long, parent: Long, action: String,
     files: Seq[String], feed: Option[String] = None,
     deletes: Seq[String] = Nil,
-    constraints: Seq[(String, String)] = Nil)
+    constraints: Seq[(String, String)] = Nil,
+    schemaJson: Option[String] = None)
 
 /** Version-log commits — SNAPSHOT ISOLATION for the maintained table.
   *
@@ -249,14 +250,15 @@ object VersionLog {
       action: String, files: Seq[String],
       feed: Option[String] = None,
       deletes: Seq[String] = Nil,
-      constraints: Seq[(String, String)] = Nil): Long = {
+      constraints: Seq[(String, String)] = Nil,
+      schemaJson: Option[String] = None): Long = {
     val fs = fsFor(spark, dir)
     val root = versionsRoot(dir)
     fs.mkdirs(root)
     val next = parent + 1
     val target = new Path(root, f"v-$next%08d.json")
     val json = renderSnapshot(TableSnapshot(next, parent, action,
-      files.sorted, feed, deletes.sorted, constraints))
+      files.sorted, feed, deletes.sorted, constraints, schemaJson))
     if (!atomicCreate(fs, root, target, json))
       throw new java.util.ConcurrentModificationException(
         s"version $next at $dir was committed by another writer")
@@ -345,7 +347,8 @@ object VersionLog {
       try {
         return commit(spark, dir, parent.version, action,
           filesOf(parent), feed = feed, deletes = deletesOf(parent),
-          constraints = parent.constraints)
+          constraints = parent.constraints,
+          schemaJson = parent.schemaJson)
       } catch {
         case e: java.util.ConcurrentModificationException =>
           attempts += 1
@@ -398,11 +401,13 @@ object VersionLog {
     */
   def init(spark: SparkSession, dir: String, df: DataFrame,
       partitionBy: Option[String] = None,
-      actionTag: String = "init"): Long = {
+      actionTag: String = "init",
+      schemaJson: Option[String] = None): Long = {
     require(listVersions(spark, dir).isEmpty,
       s"$dir already has a version log; commit against it instead")
     val files = writeBatch(spark, dir, df, partitionBy, 1L)
-    commit(spark, dir, parent = 0L, action = actionTag, files = files)
+    commit(spark, dir, parent = 0L, action = actionTag, files = files,
+      schemaJson = schemaJson)
   }
 
   /** Write a data batch under `data/b-<version>-<uuid>/` and return
@@ -821,7 +826,39 @@ object VersionLog {
       "existing table (ADD CONSTRAINT validates current rows)")
     commit(spark, dir, snap.version, "add-constraint", snap.files,
       deletes = snap.deletes,
-      constraints = snap.constraints :+ (name -> sqlExpr))
+      constraints = snap.constraints :+ (name -> sqlExpr),
+      schemaJson = snap.schemaJson)
+  }
+
+  /** `ALTER TABLE ADD COLUMN` as a METADATA-ONLY commit: the next
+    * snapshot carries the widened table schema (declared order, new
+    * nullable column appended); no file is touched — existing rows
+    * read the column as NULL (the parquet reader null-fills what a
+    * file lacks), later writes may populate it, and TIME TRAVEL to
+    * pre-alter versions reads the pre-alter schema, exactly like
+    * constraint history. The read path ([[graft.sources
+    * .GraftTableSource]]) widens its footer-merged schema with the
+    * snapshot's — so both front doors see the column immediately.
+    * Duplicate names and non-nullable additions are refused loudly
+    * (a NOT NULL column over existing rows has no valid value).
+    */
+  def alterAddColumnCommit(spark: SparkSession, dir: String,
+      name: String, dataType: org.apache.spark.sql.types.DataType,
+      nullable: Boolean = true): Long = {
+    require(nullable,
+      s"ADD COLUMN $name: new columns must be nullable (existing " +
+        "rows have no value for them)")
+    val snap = snapshot(spark, dir, None)
+    val current = read(spark, dir).schema
+    require(!current.fieldNames.exists(
+        spark.sessionState.conf.resolver(_, name)),
+      s"column $name already exists on $dir")
+    val widened = org.apache.spark.sql.types.StructType(
+      current.fields :+
+        org.apache.spark.sql.types.StructField(name, dataType))
+    commit(spark, dir, snap.version, s"add-column-$name", snap.files,
+      deletes = snap.deletes, constraints = snap.constraints,
+      schemaJson = Some(widened.json))
   }
 
   /** Drop a named CHECK constraint as a commit. */
@@ -833,7 +870,8 @@ object VersionLog {
         s"${snap.constraints.map(_._1).mkString(",")})")
     commit(spark, dir, snap.version, "drop-constraint", snap.files,
       deletes = snap.deletes,
-      constraints = snap.constraints.filterNot(_._1 == name))
+      constraints = snap.constraints.filterNot(_._1 == name),
+      schemaJson = snap.schemaJson)
   }
 
   /** Replace the table's contents with `df` in one commit: the next
@@ -1017,7 +1055,8 @@ object VersionLog {
       .toSeq.sorted
     if (victims.isEmpty) // stale manifests (keys all gone): just clear
       return (0, commit(spark, dir, snap.version, "apply-deletes",
-        snap.files, deletes = Nil, constraints = snap.constraints))
+        snap.files, deletes = Nil, constraints = snap.constraints,
+        schemaJson = snap.schemaJson))
     // rewrite victims per partition-segment group so survivors land
     // back under their part=value paths in the new batch
     val batchRel = f"data/b-${snap.version + 1}%08d-" +
@@ -1040,7 +1079,8 @@ object VersionLog {
       }
     val kept = snap.files.filterNot(victims.contains)
     (victims.size, commit(spark, dir, snap.version, "apply-deletes",
-      kept ++ newFiles, deletes = Nil, constraints = snap.constraints))
+      kept ++ newFiles, deletes = Nil, constraints = snap.constraints,
+      schemaJson = snap.schemaJson))
   }
 
   /** EXACTLY-ONCE ingest: run the versioned merge only if no retained
@@ -1131,7 +1171,8 @@ object VersionLog {
     val target = snapshot(spark, dir, Some(toVersion))
     commit(spark, dir, snap.version, s"restore-v$toVersion",
       target.files, deletes = target.deletes,
-      constraints = target.constraints)
+      constraints = target.constraints,
+      schemaJson = target.schemaJson)
   }
 
   /** ZERO-COPY SHALLOW CLONE (local filesystems): materialize `dstDir`
@@ -1172,7 +1213,7 @@ object VersionLog {
     }
     commit(spark, dstDir, parent = 0L, action = "clone",
       files = snap.files, deletes = snap.deletes,
-      constraints = snap.constraints)
+      constraints = snap.constraints, schemaJson = snap.schemaJson)
   }
 
   /** COMPACTION as a commit: bin-pack each over-fragmented partition
@@ -1258,7 +1299,7 @@ object VersionLog {
     // repack cannot invalidate them; carry them unchanged
     val version = commit(spark, dir, snap.version, "compact",
       kept ++ newFiles, deletes = snap.deletes,
-      constraints = snap.constraints)
+      constraints = snap.constraints, schemaJson = snap.schemaJson)
     (snap.files.length, kept.size + newFiles.size, version)
   }
 
@@ -1271,13 +1312,29 @@ object VersionLog {
     * still be running. Returns the deleted paths.
     */
   def vacuumVersions(spark: SparkSession, dir: String, keepLast: Int,
-      ttlMs: Long): Seq[String] = {
+      ttlMs: Long): Seq[String] =
+    vacuumVersions(spark, dir, keepLast, ttlMs, None)
+
+  /** As above, with a CONSUMER-LAG floor: every version >=
+    * `retainFromVersion` is retained regardless of `keepLast` — set
+    * it to the slowest streaming consumer's checkpointed offset
+    * (graft-versions / graft-cdc offsets ARE version ids), and vacuum
+    * can never delete state that consumer still needs: resuming at
+    * offset k reads versions k+1.. whose CDC synthesis needs k as the
+    * diff parent. Without the floor the contract is documentation
+    * only — a lagging consumer on a dropped version fails LOUDLY
+    * (version resolution error), never silently skips.
+    */
+  def vacuumVersions(spark: SparkSession, dir: String, keepLast: Int,
+      ttlMs: Long, retainFromVersion: Option[Long]): Seq[String] = {
     require(keepLast >= 1, "must retain at least the latest version")
     val fs = fsFor(spark, dir)
     val base = dir.stripSuffix("/")
     val versions = listVersions(spark, dir)
     if (versions.isEmpty) return Nil
-    val retained = versions.takeRight(keepLast)
+    val retained = (versions.takeRight(keepLast) ++
+      retainFromVersion.fold(Seq.empty[Long])(floor =>
+        versions.filter(_ >= floor))).distinct.sorted
     val retainedSnaps = retained.map(v => snapshot(spark, dir, Some(v)))
     val referenced = retainedSnaps.flatMap(_.files).toSet ++
       retainedSnaps.flatMap(_.deletes)
@@ -1309,7 +1366,7 @@ object VersionLog {
         }
       }
     }
-    versions.dropRight(keepLast).foreach { v =>
+    versions.filterNot(retained.toSet).foreach { v =>
       fs.delete(new Path(versionsRoot(dir), f"v-$v%08d.json"), false)
       victims += f"_versions/v-$v%08d.json"
     }
@@ -1331,6 +1388,8 @@ object VersionLog {
        else s.constraints.map { case (n, e) =>
          "\"" + esc(n) + "\":\"" + esc(e) + "\""
        }.mkString("\"constraints\":{", ",", "},")) +
+      // StructType.json is already a JSON object: splice it raw
+      s.schemaJson.fold("")(j => s""""schema":$j,""") +
       s""""files":[${arr(s.files)}]}"""
   }
 
@@ -1349,6 +1408,7 @@ object VersionLog {
       strings("deletes"), // absent pre-r13: Nil
       Option(node.get("constraints")).toSeq // absent pre-r13: Nil
         .flatMap(_.fields().asScala.map(e =>
-          (e.getKey, e.getValue.asText)).toSeq))
+          (e.getKey, e.getValue.asText)).toSeq),
+      Option(node.get("schema")).map(_.toString)) // absent pre-r14
   }
 }

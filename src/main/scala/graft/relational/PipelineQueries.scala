@@ -2190,6 +2190,39 @@ object PipelineQueries {
           sum($"doc_id").as("sum_ids"))
         .orderBy($"lang")
     },
+    "q151_schema_evolution" -> { (s, d) =>
+      import s.implicits._
+      // DDL SCHEMA EVOLUTION: `ALTER TABLE ADD COLUMN` through the
+      // SQL front door as a METADATA-ONLY commit (no file touched;
+      // time travel to the pre-alter version keeps the old schema —
+      // spec-pinned), then an append that populates the new column.
+      // Existing rows surface it as NULL through the same
+      // footer+schema-commit widening the append-evolution path uses.
+      // The oracle recomputes rows, non-null counts, and the new
+      // column's sum from the pristine corpus — a lost schema commit,
+      // a phantom default, or a mis-bound insert cannot hash-match.
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.catalog.GraftCatalog].getName)
+      val dir = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft-evo-${Integer.toHexString(d.hashCode)}" +
+        s"-${ProcessHandle.current().pid()}"
+      buildOnce(dir) {
+        val docs = documents(s, d)
+        VersionLog.init(s, dir, docs, partitionBy = Some("lang"))
+        s.sql(s"ALTER TABLE graft.`$dir` ADD COLUMN flag BIGINT")
+        VersionLog.append(s, dir,
+          docs.filter($"doc_id" % 5 === 0)
+            .withColumn("doc_id", $"doc_id" + 200000000L)
+            .withColumn("flag", $"doc_id" % 7),
+          partitionBy = Some("lang"))
+      }
+      VersionLog.read(s, dir)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_rows"),
+          count($"flag").as("n_flagged"),
+          sum($"flag").as("sum_flag"))
+        .orderBy($"lang")
+    },
     "q146_cdc_replay" -> { (s, d) =>
       import s.implicits._
       // ALL-DOORS CHANGE-DATA-CAPTURE REPLAY: reconstruct the CURRENT
@@ -3879,6 +3912,18 @@ object PipelineQueries {
            CAST(sum(length(text)) AS BIGINT) AS sum_len,
            CAST(sum(doc_id) AS BIGINT) AS sum_ids
          FROM merged GROUP BY lang ORDER BY lang""",
+    "q151_schema_evolution" ->
+      """WITH allrows AS (
+           SELECT doc_id, lang, CAST(NULL AS BIGINT) AS flag
+           FROM documents
+           UNION ALL
+           SELECT doc_id + 200000000, lang,
+             (doc_id + 200000000) % 7 AS flag
+           FROM documents WHERE doc_id % 5 = 0)
+         SELECT lang, count(*) AS n_rows,
+           count(flag) AS n_flagged,
+           CAST(sum(flag) AS BIGINT) AS sum_flag
+         FROM allrows GROUP BY lang ORDER BY lang""",
     "q146_cdc_replay" ->
       """WITH finalstate AS (
            SELECT doc_id, text || ' [rw]' AS text, 'fr' AS lang

@@ -239,6 +239,12 @@ private final class GraftFileIndex(spark: SparkSession, dir: String,
   private val fs =
     basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** The pinned snapshot's declared schema commit, when one exists
+    * (`ALTER TABLE ADD COLUMN` history) — set by [[resolve]], so time
+    * travel reads each version's own schema.
+    */
+  private var pinnedSchemaJson: Option[String] = None
+
   /** Pinned file list: the version log's snapshot when present, the
     * flat top-level parquet listing otherwise (a z-ordered unversioned
     * layout gets the same statistics-consulting scan). Resolved once;
@@ -250,6 +256,7 @@ private final class GraftFileIndex(spark: SparkSession, dir: String,
     val statuses: Seq[FileStatus] =
       if (VersionLog.listVersions(spark, base).nonEmpty) {
         val snap = VersionLog.snapshot(spark, base, versionAsOf)
+        pinnedSchemaJson = snap.schemaJson
         // merge-on-read: a snapshot with live equality-delete
         // manifests must not be scanned raw by a door that never
         // applies them — VersionLog.read and the graft catalog
@@ -382,20 +389,42 @@ private final class GraftFileIndex(spark: SparkSession, dir: String,
       .sortBy(batchDirOf)
     val footers = onePerBatch.map(f =>
       spark.read.parquet(f.status.getPath.toString).schema)
-    footers.reduce { (acc, next) =>
+    def widenOrFail(name: String, a: org.apache.spark.sql.types.DataType,
+        b: org.apache.spark.sql.types.DataType) =
+      widen(a, b).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft table at $base has incompatible types for " +
+            s"column '$name': $a vs $b " +
+            "— only widening evolution (byte/short/int->long, " +
+            "float->double) is supported; anything else requires " +
+            "a rewriting commit (overwrite)"))
+    val footerMerged = footers.reduce { (acc, next) =>
       val extra = next.fields.filterNot(f => acc.fieldNames.contains(f.name))
       val merged = acc.fields.map { f =>
         next.fields.find(_.name == f.name).fold(f) { n =>
-          f.copy(dataType = widen(f.dataType, n.dataType).getOrElse(
-            throw new IllegalArgumentException(
-              s"graft table at $base has incompatible types for " +
-                s"column '${f.name}': ${f.dataType} vs ${n.dataType} " +
-                "— only widening evolution (byte/short/int->long, " +
-                "float->double) is supported; anything else requires " +
-                "a rewriting commit (overwrite)")))
+          f.copy(dataType = widenOrFail(f.name, f.dataType, n.dataType))
         }
       }
       StructType(merged ++ extra)
+    }
+    // the snapshot's DECLARED schema commit (ALTER TABLE ADD COLUMN
+    // history) widens the footer view: declared-only columns surface
+    // (null-filled by the parquet reader — no file carries them yet)
+    // in declared order, footer-only columns keep their encounter
+    // order at the end, and declared types widen against footers
+    pinnedSchemaJson.fold(footerMerged) { json =>
+      val decl = org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[StructType]
+      val partSet = partColNames.toSet
+      val dataDecl = decl.fields.filterNot(f => partSet.contains(f.name))
+      val merged = dataDecl.map { f =>
+        footerMerged.fields.find(_.name == f.name).fold(f) { ff =>
+          f.copy(dataType = widenOrFail(f.name, f.dataType, ff.dataType))
+        }
+      }
+      val extra = footerMerged.fields.filterNot(f =>
+        dataDecl.exists(_.name == f.name))
+      StructType((merged ++ extra).toSeq)
     }
   }
 

@@ -364,6 +364,58 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("one identity"), e2.getMessage)
   }
 
+  test("ALTER TABLE ADD COLUMN is a metadata-only schema-evolution " +
+      "commit: existing rows read NULL, later inserts populate it, " +
+      "time travel reads the pre-alter schema; rename/drop refuse") {
+    import spark.implicits._
+    warehouse
+    spark.sql("CREATE TABLE graft.evo (k BIGINT, p STRING) " +
+      "PARTITIONED BY (p)")
+    spark.sql("INSERT INTO graft.evo VALUES (1, 'a')")
+    val filesBefore =
+      VersionLog.snapshot(spark, s"$warehouse/evo", None).files
+    spark.sql("ALTER TABLE graft.evo ADD COLUMN note STRING")
+    // metadata-only: the commit touched no data file
+    assert(VersionLog.snapshot(spark, s"$warehouse/evo", None).files
+      === filesBefore)
+    assert(spark.table("graft.evo").schema.fieldNames.toSeq ===
+      Seq("k", "p", "note"))
+    assert(spark.sql("SELECT k, note FROM graft.evo")
+      .as[(Long, Option[String])].collect().toSeq === Seq((1L, None)))
+    // later inserts bind the full declared order and populate it
+    spark.sql("INSERT INTO graft.evo VALUES (2, 'b', 'hello')")
+    assert(spark.sql("SELECT k, note FROM graft.evo ORDER BY k")
+      .as[(Long, Option[String])].collect().toSeq ===
+      Seq((1L, None), (2L, Some("hello"))))
+    // time travel to the pre-alter version reads the pre-alter schema
+    assert(spark.sql("SELECT * FROM graft.evo VERSION AS OF 1")
+      .schema.fieldNames.toSeq === Seq("k", "p"))
+    // the feed records no row change for the alter commit itself
+    assert(graft.sources.GraftCdcSource
+      .changesForVersion(spark, s"$warehouse/evo", 2L).count() === 0L)
+    // rename / drop / duplicate add refuse loudly
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.evo RENAME COLUMN note TO n2")
+    }
+    assert(e1.getMessage.contains("not supported"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.evo DROP COLUMN note")
+    }
+    assert(e2.getMessage.contains("not supported"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.evo ADD COLUMN note STRING")
+    }
+    assert(e3.getMessage.contains("already"), e3.getMessage)
+    // declared-but-empty table: the declaration widens, first insert
+    // binds the post-alter order
+    spark.sql("CREATE TABLE graft.evo2 (k BIGINT, p STRING) " +
+      "PARTITIONED BY (p)")
+    spark.sql("ALTER TABLE graft.evo2 ADD COLUMN v STRING")
+    spark.sql("INSERT INTO graft.evo2 VALUES (1, 'a', 'one')")
+    assert(spark.sql("SELECT k, v FROM graft.evo2")
+      .as[(Long, String)].collect().toSeq === Seq((1L, "one")))
+  }
+
   test("declared column order is STABLE across the empty->live " +
       "transition: positional INSERT INTO binds (k, p, v) the same " +
       "way on every insert, and SELECT * reads it back in that order") {

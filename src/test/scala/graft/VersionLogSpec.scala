@@ -850,6 +850,76 @@ class VersionLogSpec extends AnyFunSuite {
     }).apply(col("k"))
   }
 
+  test("vacuum consumer-lag floor: retainFromVersion keeps everything " +
+      "a lagging stream still needs; pruneCdcBatches never deletes a " +
+      "batch a retained version references; a dropped version fails " +
+      "LOUDLY, never silently") {
+    import spark.implicits._
+    val dir = seed() // v1
+    VersionLog.mergeByKeyCdc(spark, dir, // v2: explicit feed batch
+      Seq((1L, "one2", "a")).toDF("k", "v", "p"), "k", "p")
+    for (i <- 10L to 12L) // v3..v5
+      VersionLog.append(spark, dir, Seq((i, "x", "a")).toDF("k", "v", "p"),
+        partitionBy = Some("p"))
+    // keepLast 1 but a consumer checkpointed at offset 2: versions
+    // >= 2 must survive (its next batch needs v2 as the diff parent)
+    VersionLog.vacuumVersions(spark, dir, keepLast = 1, ttlMs = 0L,
+      retainFromVersion = Some(2L))
+    assert(VersionLog.listVersions(spark, dir) === Seq(2L, 3L, 4L, 5L))
+    // the consumer resumes and reads every change it was owed
+    val changes = graft.sources.GraftCdcSource.changesBetween(spark,
+      dir, 2L, 5L, graft.sources.GraftCdcSource
+        .changesForVersion(spark, dir, 3L)
+        .withColumn("_feed_batch", lit(0L)).schema)
+    assert(changes.select(col("k")).as[Long].collect().toSet ===
+      Set(10L, 11L, 12L))
+    // v2's merge images are REFERENCED by a retained version file:
+    // pruneCdcBatches(keepLast = 0) must leave them alone
+    assert(graft.io.Vacuum.pruneCdcBatches(spark, dir, keepLast = 0)
+      === Nil)
+    assert(graft.sources.GraftCdcSource
+      .changesForVersion(spark, dir, 2L).count() === 2L) // pre+post
+    // a consumer lagging BELOW retention fails loudly at resolution
+    val e = intercept[Exception] {
+      graft.sources.GraftCdcSource.changesForVersion(spark, dir, 1L)
+    }
+    assert(e.getMessage.contains("version 1 not in"), e.getMessage)
+  }
+
+  test("ALTER ADD COLUMN commit: metadata-only, reads NULL-fill, " +
+      "writes populate, pre-alter versions keep their schema in the " +
+      "format door too") {
+    import spark.implicits._
+    val dir = seed()
+    val v = VersionLog.alterAddColumnCommit(spark, dir, "score",
+      org.apache.spark.sql.types.DoubleType)
+    assert(v === 2L)
+    assert(VersionLog.snapshot(spark, dir, Some(2L)).files ===
+      VersionLog.snapshot(spark, dir, Some(1L)).files)
+    val t = VersionLog.read(spark, dir)
+    assert(t.schema.fieldNames.toSeq === Seq("k", "v", "score", "p"))
+    assert(t.filter($"score".isNotNull).count() === 0L)
+    // a later append populates it; both schemas union
+    VersionLog.append(spark, dir,
+      Seq((9L, "nine", 0.5, "a")).toDF("k", "v", "score", "p"),
+      partitionBy = Some("p"))
+    assert(VersionLog.read(spark, dir).filter($"score".isNotNull)
+      .select($"k").as[Long].collect().toSeq === Seq(9L))
+    // time travel: version 1 has no score column, in the format door
+    assert(spark.read.format("graft").option("versionAsOf", "1")
+      .load(dir).schema.fieldNames.toSeq === Seq("k", "v", "p"))
+    // the schema commit carries across a merge
+    VersionLog.mergeByKeyCdc(spark, dir,
+      Seq((1L, "one*", null.asInstanceOf[java.lang.Double], "a"))
+        .toDF("k", "v", "score", "p"), "k", "p")
+    assert(VersionLog.read(spark, dir).schema.fieldNames.toSeq ===
+      Seq("k", "v", "score", "p"))
+    intercept[IllegalArgumentException] {
+      VersionLog.alterAddColumnCommit(spark, dir, "score",
+        org.apache.spark.sql.types.StringType)
+    }
+  }
+
   test("racing appenders: both resolve the same parent, the CAS loser " +
       "REBASES — both land, each batch written exactly once") {
     import spark.implicits._

@@ -444,4 +444,80 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(big.head.getLong(2) === base.head.getLong(2),
       "top rank changed under disjoint copying")
   }
+
+  test("CDC replay plan depth is FLAT in feed-batch count: a 50-commit " +
+      "history replays with zero joins and one window, and converges " +
+      "to the live table", SlowStress) {
+    import spark.implicits._
+    import graft.io.VersionLog
+    // depth is the dimension under test, not volume: many SMALL
+    // commits — the pre-r14 foldLeft replay built one anti-join+union
+    // PER BATCH (lineage linear in history); the window replay must
+    // not
+    def build(dir: String, commits: Int): Unit = {
+      VersionLog.init(spark, dir,
+        (0L until 20L).map(k => (k, s"v$k", s"p${k % 3}"))
+          .toDF("k", "v", "p"), partitionBy = Some("p"))
+      for (i <- 1 to commits) {
+        if (i % 3 == 0) // update an existing key (merge images)
+          VersionLog.mergeByKeyCdc(spark, dir,
+            Seq((i % 20L, s"u$i", s"p${i % 20 % 3}")).toDF("k", "v", "p"),
+            "k", "p")
+        else if (i % 3 == 1) // append a new key (synthesized insert)
+          VersionLog.append(spark, dir,
+            Seq((1000L + i, s"a$i", s"p${i % 3}")).toDF("k", "v", "p"),
+            partitionBy = Some("p"))
+        else { // equality-delete an appended key (synthesized delete),
+          // folded immediately (merges refuse manifest debt) — the
+          // apply-deletes rewrite's verbose-but-convergent images ride
+          // through the replay too
+          VersionLog.deleteKeysCommit(spark, dir,
+            Seq(1000L + i - 1).toDF("k"), "k")
+          VersionLog.applyDeletesCommit(spark, dir)
+        }
+      }
+    }
+    def replay(dir: String) = {
+      val feed = spark.read.format("graft-cdc").load(dir)
+      val opRank = when($"_op".isin("insert", "update_post"), 2)
+        .when($"_op" === "delete", 1).otherwise(lit(0))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"k").orderBy($"_feed_batch".desc, opRank.desc)
+      feed.withColumn("_rn", row_number().over(w))
+        .filter($"_rn" === 1 && $"_op".isin("insert", "update_post"))
+        .select($"k", $"v", $"p")
+    }
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[String] = p match {
+      case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive
+          .QueryStageExec => q.nodeName +: nodes(q.plan)
+      case other => other.nodeName +: other.children.flatMap(nodes)
+    }
+    // exact "Window" — Spark 4 also inserts WindowGroupLimit nodes
+    // (the rank-limit pushdown that keeps only each key's top row
+    // before the sort: an optimization, not added depth)
+    def shape(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val ns = nodes(df.queryExecution.executedPlan)
+      (ns.count(_.contains("Join")), ns.count(_ == "Window"))
+    }
+    val shallow = java.nio.file.Files
+      .createTempDirectory("cdc-depth-5").toString
+    val deep = java.nio.file.Files
+      .createTempDirectory("cdc-depth-50").toString
+    build(shallow, 5)
+    build(deep, 50)
+    val rs = replay(shallow); rs.collect()
+    val rd = replay(deep)
+    val mirrored = rd.as[(Long, String, String)].collect().toSet
+    // flat shape at BOTH depths: no join chain, one window
+    assert(shape(rs) === ((0, 1)), s"shallow plan shape ${shape(rs)}")
+    assert(shape(rd) === ((0, 1)), s"deep plan shape ${shape(rd)}")
+    // convergence: the 50-commit replay equals the live table
+    val live = VersionLog.read(spark, deep)
+      .select($"k", $"v", $"p").as[(Long, String, String)]
+      .collect().toSet
+    assert(mirrored === live)
+  }
 }

@@ -387,8 +387,13 @@ private final class GraftFileIndex(spark: SparkSession, dir: String,
       .groupBy(batchDirOf)
       .map(_._2.minBy(_.status.getPath.toString)).toSeq
       .sortBy(batchDirOf)
-    val footers = onePerBatch.map(f =>
-      spark.read.parquet(f.status.getPath.toString).schema)
+    // ONE raw footer read per batch — not a spark.read per batch: a
+    // DataSource resolution costs ~50-100 ms each (its own file
+    // listing + schema inference session), which showed up as fixed
+    // per-query overhead on multi-commit tables (q126). Spark-written
+    // files carry the exact Spark schema in footer metadata; fall
+    // back to converting the parquet message type.
+    val footers = onePerBatch.map(f => footerSchema(f.status))
     def widenOrFail(name: String, a: org.apache.spark.sql.types.DataType,
         b: org.apache.spark.sql.types.DataType) =
       widen(a, b).getOrElse(
@@ -426,6 +431,28 @@ private final class GraftFileIndex(spark: SparkSession, dir: String,
         dataDecl.exists(_.name == f.name))
       StructType((merged ++ extra).toSeq)
     }
+  }
+
+  /** One parquet footer read, schema via the Spark row-metadata key
+    * (exact Spark types, the same source `spark.read` would use) or
+    * the parquet message-type conversion when absent.
+    */
+  private def footerSchema(status: FileStatus): StructType = {
+    val meta = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+      spark.sparkContext.hadoopConfiguration, status.getPath,
+      org.apache.parquet.format.converter.ParquetMetadataConverter
+        .NO_FILTER).getFileMetaData
+    val s = Option(meta.getKeyValueMetaData
+        .get("org.apache.spark.sql.parquet.row.metadata"))
+      .map(org.apache.spark.sql.types.DataType.fromJson(_)
+        .asInstanceOf[StructType])
+      .getOrElse(new org.apache.spark.sql.execution.datasources.parquet
+        .ParquetToSparkSchemaConverter(spark.sessionState.conf)
+        .convert(meta.getSchema))
+    // file sources read everything nullable (what spark.read reports);
+    // a required field in the read schema would refuse the null-fill
+    // other batches rely on under evolution
+    StructType(s.fields.map(_.copy(nullable = true)))
   }
 
   /** TYPE-WIDENING evolution: commits may up-cast a column along the

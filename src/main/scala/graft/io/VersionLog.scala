@@ -56,12 +56,22 @@ case class TableSnapshot(version: Long, parent: Long, action: String,
   * (`edsnlp/data/parquet.py:60-120`); this layer keeps that read
   * model sound while the table mutates underneath.
   *
-  * Scale notes: a version file is file-list-sized (one short string
-  * per live data file) — the same thing any format's planner
-  * materializes; resolving a snapshot costs one directory listing
-  * plus one small JSON read, never a data pass. The versioned merge
-  * reads only the pinned files of touched partitions and writes only
-  * the batch's partition footprint, exactly like [[MergeInto]].
+  * Scale notes: commits are DELTA-ENCODED (round 14) — a version file
+  * normally carries only the files its commit added and removed
+  * relative to its parent, so committing to a million-file table
+  * writes a batch-sized JSON, not a table-sized one (the Delta-log
+  * idea: O(change) per commit). Every [[CheckpointEvery]]-th commit
+  * additionally publishes a full file-list checkpoint
+  * (`_versions/c-<n>.json`, best-effort like the hint), and commits
+  * whose diff would exceed their full list (init, clone, overwrite,
+  * restore) stay full-form — so resolving any snapshot costs one
+  * checkpoint read plus at most [[CheckpointEvery]] delta-sized
+  * reads, never a data pass and never a whole-history replay.
+  * [[vacuumVersions]] writes a covering checkpoint at the oldest
+  * retained version before pruning, keeping every retained version
+  * resolvable. The versioned merge reads only the pinned files of
+  * touched partitions and writes only the batch's partition
+  * footprint, exactly like [[MergeInto]].
   */
 object VersionLog {
 
@@ -89,6 +99,18 @@ object VersionLog {
 
   private def versionFile(dir: String, v: Long): Path =
     new Path(versionsRoot(dir), f"v-$v%08d.json")
+
+  /** Publish a full file-list checkpoint every this-many commits:
+    * bounds any snapshot resolution to one checkpoint read plus at
+    * most this many delta reads, while keeping per-commit write cost
+    * O(change). 16 trades ~KB-sized resolution chains against one
+    * table-sized metadata write per 16 commits (Delta's default
+    * checkpoint interval is 10; same order).
+    */
+  private val CheckpointEvery = 16L
+
+  private def checkpointFile(dir: String, v: Long): Path =
+    new Path(versionsRoot(dir), f"c-$v%08d.json")
 
   private def hintPath(dir: String): Path =
     new Path(versionsRoot(dir), "_latest")
@@ -142,7 +164,9 @@ object VersionLog {
     * an unversioned directory. Latest-version resolution is one hint
     * read + one existence probe, not a listing; an explicit version
     * is one direct open (the listing happens only to build the error
-    * message).
+    * message). A delta-form version additionally walks its parent
+    * chain to the nearest checkpoint or full-form commit — at most
+    * [[CheckpointEvery]] delta-sized reads.
     */
   def snapshot(spark: SparkSession, dir: String,
       version: Option[Long] = None): TableSnapshot = {
@@ -157,9 +181,49 @@ object VersionLog {
       require(versions.contains(v),
         s"version $v not in $dir (have ${versions.mkString(",")})")
     }
+    val top = parseRaw(readJson(fs, p))
+    TableSnapshot(top.version, top.parent, top.action,
+      resolveFiles(fs, dir, top), top.feed, top.deletes,
+      top.constraints, top.schemaJson)
+  }
+
+  private def readJson(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
-    val bytes = try in.readAllBytes() finally in.close()
-    parseSnapshot(new String(bytes, StandardCharsets.UTF_8))
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  /** The full file list of a raw version: its own list when
+    * full-form; else its checkpoint if one exists; else the nearest
+    * ancestor checkpoint/full-form list with the delta chain applied
+    * oldest-first. Parent ids are contiguous (every commit CASes
+    * parent+1), so the walk visits each intermediate version once and
+    * a checkpoint every [[CheckpointEvery]] commits bounds it.
+    */
+  private def resolveFiles(fs: FileSystem, dir: String,
+      top: RawVersion): Seq[String] = top.full.getOrElse {
+    readCheckpoint(fs, dir, top.version).getOrElse {
+      val diffs =
+        scala.collection.mutable.ListBuffer.empty[(Seq[String], Seq[String])]
+      var cur = top
+      var base: Option[Seq[String]] = None
+      while (base.isEmpty) {
+        diffs.prepend((cur.adds, cur.removes))
+        val pv = cur.parent
+        base = readCheckpoint(fs, dir, pv)
+        if (base.isEmpty) {
+          val vf = versionFile(dir, pv)
+          if (!fs.exists(vf)) throw new IllegalStateException(
+            s"version chain of ${top.version} at $dir is broken: " +
+              s"ancestor $pv is missing (concurrent vacuum?) — retry")
+          val anc = parseRaw(readJson(fs, vf))
+          if (anc.full.isDefined) base = anc.full else cur = anc
+        }
+      }
+      var files = base.get.toSet
+      diffs.foreach { case (a, r) => files = files -- r ++ a }
+      files.toSeq.sorted
+    }
   }
 
   /** Read a snapshot as a DataFrame: exactly its file list, nothing
@@ -245,26 +309,94 @@ object VersionLog {
     * (another writer committed first) — the caller's data files are
     * then orphans for [[vacuumVersions]] and the operation must be
     * re-run against the new snapshot. Returns the committed version.
+    *
+    * `files` is always the FULL resolved file list of the new
+    * snapshot (the caller's truth); on disk the commit is
+    * delta-encoded against the parent whenever that is smaller —
+    * pass `parentFiles` (the parent snapshot's list, which every
+    * write door already holds) to avoid re-resolving it here.
     */
   def commit(spark: SparkSession, dir: String, parent: Long,
       action: String, files: Seq[String],
       feed: Option[String] = None,
       deletes: Seq[String] = Nil,
       constraints: Seq[(String, String)] = Nil,
-      schemaJson: Option[String] = None): Long = {
+      schemaJson: Option[String] = None,
+      parentFiles: Option[Seq[String]] = None): Long = {
     val fs = fsFor(spark, dir)
     val root = versionsRoot(dir)
     fs.mkdirs(root)
     val next = parent + 1
     val target = new Path(root, f"v-$next%08d.json")
+    val sorted = files.sorted
+    val delta = deltaAgainstParent(fs, dir, parent, sorted, parentFiles)
     val json = renderSnapshot(TableSnapshot(next, parent, action,
-      files.sorted, feed, deletes.sorted, constraints, schemaJson))
+      sorted, feed, deletes.sorted, constraints, schemaJson), delta)
     if (!atomicCreate(fs, root, target, json))
       throw new java.util.ConcurrentModificationException(
         s"version $next at $dir was committed by another writer")
     writeHint(fs, dir, next)
+    if (next % CheckpointEvery == 0L) writeCheckpoint(fs, dir, next, sorted)
+    // write-time data-skipping stats for the NEW files — O(change)
+    // footer reads, best-effort, skipped for clones (the hard links
+    // land under batch roots whose stats files link over with them)
+    if (action != "clone") {
+      val adds = delta.map(_._1).getOrElse(
+        parentFiles.fold(sorted) { pf =>
+          val pfSet = pf.toSet; sorted.filterNot(pfSet)
+        })
+      BatchStats.harvest(spark, dir, adds)
+    }
     next
   }
+
+  /** The (adds, removes) delta of `files` against the parent's list,
+    * or None when the commit should stay full-form: no parent
+    * (init/clone), a diff no smaller than the full list (overwrite,
+    * restore, compact), or an unresolvable parent (conservative
+    * fallback — a full-form file is always self-sufficient).
+    */
+  private def deltaAgainstParent(fs: FileSystem, dir: String,
+      parent: Long, files: Seq[String],
+      parentFiles: Option[Seq[String]]):
+      Option[(Seq[String], Seq[String])] =
+    if (parent < 1L) None
+    else try {
+      val pf = parentFiles.getOrElse(
+        resolveFiles(fs, dir, parseRaw(readJson(fs, versionFile(dir, parent)))))
+      val pfSet = pf.toSet
+      val fSet = files.toSet
+      val adds = files.filterNot(pfSet)
+      val removes = pf.filterNot(fSet)
+      if (adds.size + removes.size < files.size) Some((adds, removes))
+      else None
+    } catch { case _: Exception => None }
+
+  /** Best-effort full-list checkpoint publish (like [[writeHint]]:
+    * failure is harmless — resolution falls back to a longer delta
+    * walk until the next multiple-of-[[CheckpointEvery]] commit).
+    */
+  private def writeCheckpoint(fs: FileSystem, dir: String, v: Long,
+      files: Seq[String]): Unit =
+    try {
+      def esc(x: String) = x.replace("\\", "\\\\").replace("\"", "\\\"")
+      val json = s"""{"version":$v,"files":[""" +
+        files.map(f => "\"" + esc(f) + "\"").mkString(",") + "]}"
+      atomicCreate(fs, versionsRoot(dir), checkpointFile(dir, v), json)
+      ()
+    } catch { case _: Exception => () }
+
+  private def readCheckpoint(fs: FileSystem, dir: String,
+      v: Long): Option[Seq[String]] =
+    try {
+      val p = checkpointFile(dir, v)
+      if (!fs.exists(p)) None
+      else {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(readJson(fs, p))
+        Some(node.get("files").elements().asScala.map(_.asText).toSeq)
+      }
+    } catch { case _: Exception => None } // torn/corrupt: walk the chain
 
   /** Atomic no-replace publish of `content` at `target`. Local FS:
     * write a tmp file, HARD-LINK it to the target (POSIX link(2) is
@@ -348,7 +480,8 @@ object VersionLog {
         return commit(spark, dir, parent.version, action,
           filesOf(parent), feed = feed, deletes = deletesOf(parent),
           constraints = parent.constraints,
-          schemaJson = parent.schemaJson)
+          schemaJson = parent.schemaJson,
+          parentFiles = Some(parent.files))
       } catch {
         case e: java.util.ConcurrentModificationException =>
           attempts += 1
@@ -827,7 +960,7 @@ object VersionLog {
     commit(spark, dir, snap.version, "add-constraint", snap.files,
       deletes = snap.deletes,
       constraints = snap.constraints :+ (name -> sqlExpr),
-      schemaJson = snap.schemaJson)
+      schemaJson = snap.schemaJson, parentFiles = Some(snap.files))
   }
 
   /** `ALTER TABLE ADD COLUMN` as a METADATA-ONLY commit: the next
@@ -858,7 +991,7 @@ object VersionLog {
         org.apache.spark.sql.types.StructField(name, dataType))
     commit(spark, dir, snap.version, s"add-column-$name", snap.files,
       deletes = snap.deletes, constraints = snap.constraints,
-      schemaJson = Some(widened.json))
+      schemaJson = Some(widened.json), parentFiles = Some(snap.files))
   }
 
   /** Drop a named CHECK constraint as a commit. */
@@ -871,7 +1004,7 @@ object VersionLog {
     commit(spark, dir, snap.version, "drop-constraint", snap.files,
       deletes = snap.deletes,
       constraints = snap.constraints.filterNot(_._1 == name),
-      schemaJson = snap.schemaJson)
+      schemaJson = snap.schemaJson, parentFiles = Some(snap.files))
   }
 
   /** Replace the table's contents with `df` in one commit: the next
@@ -1056,7 +1189,7 @@ object VersionLog {
     if (victims.isEmpty) // stale manifests (keys all gone): just clear
       return (0, commit(spark, dir, snap.version, "apply-deletes",
         snap.files, deletes = Nil, constraints = snap.constraints,
-        schemaJson = snap.schemaJson))
+        schemaJson = snap.schemaJson, parentFiles = Some(snap.files)))
     // rewrite victims per partition-segment group so survivors land
     // back under their part=value paths in the new batch
     val batchRel = f"data/b-${snap.version + 1}%08d-" +
@@ -1080,7 +1213,7 @@ object VersionLog {
     val kept = snap.files.filterNot(victims.contains)
     (victims.size, commit(spark, dir, snap.version, "apply-deletes",
       kept ++ newFiles, deletes = Nil, constraints = snap.constraints,
-      schemaJson = snap.schemaJson))
+      schemaJson = snap.schemaJson, parentFiles = Some(snap.files)))
   }
 
   /** EXACTLY-ONCE ingest: run the versioned merge only if no retained
@@ -1172,7 +1305,7 @@ object VersionLog {
     commit(spark, dir, snap.version, s"restore-v$toVersion",
       target.files, deletes = target.deletes,
       constraints = target.constraints,
-      schemaJson = target.schemaJson)
+      schemaJson = target.schemaJson, parentFiles = Some(snap.files))
   }
 
   /** ZERO-COPY SHALLOW CLONE (local filesystems): materialize `dstDir`
@@ -1210,6 +1343,16 @@ object VersionLog {
       val to = java.nio.file.Paths.get(s"$dstBase/$rel")
       java.nio.file.Files.createDirectories(to.getParent)
       java.nio.file.Files.createLink(to, from)
+    }
+    // carry each batch's write-time stats sidecar with its files
+    snap.files.map(batchRoot).distinct.foreach { broot =>
+      val from = java.nio.file.Paths.get(
+        s"$srcBase/$broot/${BatchStats.FileName}")
+      val to = java.nio.file.Paths.get(
+        s"$dstBase/$broot/${BatchStats.FileName}")
+      if (java.nio.file.Files.exists(from) &&
+          !java.nio.file.Files.exists(to))
+        java.nio.file.Files.createLink(to, from)
     }
     commit(spark, dstDir, parent = 0L, action = "clone",
       files = snap.files, deletes = snap.deletes,
@@ -1299,7 +1442,8 @@ object VersionLog {
     // repack cannot invalidate them; carry them unchanged
     val version = commit(spark, dir, snap.version, "compact",
       kept ++ newFiles, deletes = snap.deletes,
-      constraints = snap.constraints, schemaJson = snap.schemaJson)
+      constraints = snap.constraints, schemaJson = snap.schemaJson,
+      parentFiles = Some(snap.files))
     (snap.files.length, kept.size + newFiles.size, version)
   }
 
@@ -1338,6 +1482,10 @@ object VersionLog {
     val retainedSnaps = retained.map(v => snapshot(spark, dir, Some(v)))
     val referenced = retainedSnaps.flatMap(_.files).toSet ++
       retainedSnaps.flatMap(_.deletes)
+    // a batch's write-time stats sidecar lives exactly as long as any
+    // retained snapshot references a file of its batch
+    val liveStatsRoots = retainedSnaps.flatMap(_.files).map(batchRoot)
+      .toSet
     val cutoff = System.currentTimeMillis() - ttlMs
     val victims = Seq.newBuilder[String]
     // data files AND equality-delete manifests sweep by the same
@@ -1351,6 +1499,8 @@ object VersionLog {
           val rel = relativize(base, f.getPath.toUri.getPath)
           if (f.isFile && !referenced.contains(rel) &&
               f.getModificationTime < cutoff &&
+              !(f.getPath.getName == BatchStats.FileName &&
+                liveStatsRoots.contains(batchRoot(rel))) &&
               (rel.endsWith(".parquet") || rel.endsWith(".crc") ||
                 f.getPath.getName.startsWith("_"))) {
             fs.delete(f.getPath, false)
@@ -1366,16 +1516,48 @@ object VersionLog {
         }
       }
     }
+    // Before dropping any version file: make the oldest retained
+    // version self-sufficient. Its on-disk form may be a delta whose
+    // resolution chain walks through versions about to be deleted —
+    // publish a full checkpoint at it first (retained versions are a
+    // contiguous suffix, so every newer retained walk stops there).
+    // This write is REQUIRED here, unlike the best-effort periodic
+    // one: refuse to prune rather than strand a retained version.
+    retained.headOption.foreach { oldest =>
+      val raw = parseRaw(readJson(fs, versionFile(dir, oldest)))
+      if (raw.full.isEmpty && readCheckpoint(fs, dir, oldest).isEmpty) {
+        val files =
+          retainedSnaps.find(_.version == oldest).get.files
+        def esc(x: String) = x.replace("\\", "\\\\").replace("\"", "\\\"")
+        val json = s"""{"version":$oldest,"files":[""" +
+          files.map(f => "\"" + esc(f) + "\"").mkString(",") + "]}"
+        require(atomicCreate(fs, versionsRoot(dir),
+            checkpointFile(dir, oldest), json) ||
+            readCheckpoint(fs, dir, oldest).isDefined,
+          s"cannot publish covering checkpoint c-$oldest at $dir; " +
+            "refusing to prune version files")
+      }
+    }
     versions.filterNot(retained.toSet).foreach { v =>
       fs.delete(new Path(versionsRoot(dir), f"v-$v%08d.json"), false)
       victims += f"_versions/v-$v%08d.json"
+      if (fs.delete(checkpointFile(dir, v), false))
+        victims += f"_versions/c-$v%08d.json"
     }
     victims.result().sorted
   }
 
   // ---- snapshot (de)serialization: one tiny JSON object ------------
 
-  private def renderSnapshot(s: TableSnapshot): String = {
+  /** Render a version file. With `delta` = Some((adds, removes)) the
+    * file carries the parent-relative diff instead of the full list
+    * (O(change) on disk); everything else — feed pointer, delete
+    * manifests, constraints, schema — is small and stays full in
+    * every file so a single read answers everything but the file
+    * list.
+    */
+  private def renderSnapshot(s: TableSnapshot,
+      delta: Option[(Seq[String], Seq[String])] = None): String = {
     def esc(x: String) = x.replace("\\", "\\\\").replace("\"", "\\\"")
     def arr(xs: Seq[String]) =
       xs.map(f => "\"" + esc(f) + "\"").mkString(",")
@@ -1390,20 +1572,35 @@ object VersionLog {
        }.mkString("\"constraints\":{", ",", "},")) +
       // StructType.json is already a JSON object: splice it raw
       s.schemaJson.fold("")(j => s""""schema":$j,""") +
-      s""""files":[${arr(s.files)}]}"""
+      (delta match {
+        case Some((a, r)) =>
+          s""""adds":[${arr(a)}],"removes":[${arr(r)}]}"""
+        case None => s""""files":[${arr(s.files)}]}"""
+      })
   }
 
-  private def parseSnapshot(json: String): TableSnapshot = {
+  /** The on-disk form of one version file: `full` present for a
+    * full-form commit (also every pre-r14 file), else the
+    * parent-relative `adds`/`removes` diff.
+    */
+  private case class RawVersion(version: Long, parent: Long,
+      action: String, full: Option[Seq[String]], adds: Seq[String],
+      removes: Seq[String], feed: Option[String], deletes: Seq[String],
+      constraints: Seq[(String, String)], schemaJson: Option[String])
+
+  private def parseRaw(json: String): RawVersion = {
     val node = new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(json)
     def strings(field: String): Seq[String] =
       Option(node.get(field)).toSeq
         .flatMap(_.elements().asScala.map(_.asText).toSeq)
-    TableSnapshot(
+    RawVersion(
       node.get("version").asLong,
       node.get("parent").asLong,
       node.get("action").asText,
-      strings("files"),
+      if (node.has("files")) Some(strings("files")) else None,
+      strings("adds"),
+      strings("removes"),
       Option(node.get("feed")).map(_.asText), // absent pre-r13: None
       strings("deletes"), // absent pre-r13: Nil
       Option(node.get("constraints")).toSeq // absent pre-r13: Nil

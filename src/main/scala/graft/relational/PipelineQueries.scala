@@ -2223,6 +2223,46 @@ object PipelineQueries {
           sum($"flag").as("sum_flag"))
         .orderBy($"lang")
     },
+    "q152_stats_skipping" -> { (s, d) =>
+      import s.implicits._
+      // WRITE-TIME STATS SKIPPING end-to-end: a versioned FLAT table
+      // (no partition directories — any file skipped is the
+      // commit-time `_stats.json` layer's work, io.BatchStats) built
+      // as four range-disjoint append batches over doc_id, probed
+      // with a quarter-range predicate that box-prunes three of the
+      // four batches at PLAN time (executed numFiles pinned in
+      // GraftTableSourceSpec; pruning is conservative so results
+      // cannot depend on it). The oracle recomputes the same quarter
+      // from the pristine corpus: a box that over-prunes (dropping a
+      // live file) or a mis-normalized bound cannot hash-match.
+      val dir = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft-skip-${Integer.toHexString(d.hashCode)}" +
+        s"-${ProcessHandle.current().pid()}"
+      buildOnce(dir) {
+        val docs = documents(s, d)
+        val m = docs.agg(max($"doc_id")).as[Long].head()
+        val cuts = Seq(m / 4, m / 2, 3 * m / 4)
+        VersionLog.init(s, dir,
+          docs.filter($"doc_id" <= cuts(0)).coalesce(1))
+        VersionLog.append(s, dir,
+          docs.filter($"doc_id" > cuts(0) && $"doc_id" <= cuts(1))
+            .coalesce(1))
+        VersionLog.append(s, dir,
+          docs.filter($"doc_id" > cuts(1) && $"doc_id" <= cuts(2))
+            .coalesce(1))
+        VersionLog.append(s, dir,
+          docs.filter($"doc_id" > cuts(2)).coalesce(1))
+      }
+      val docs = documents(s, d)
+      val m = docs.agg(max($"doc_id")).as[Long].head()
+      VersionLog.read(s, dir)
+        .filter($"doc_id" > m / 2 && $"doc_id" <= 3 * m / 4)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length($"text")).as("sum_len"),
+          min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+        .orderBy($"lang")
+    },
     "q146_cdc_replay" -> { (s, d) =>
       import s.implicits._
       // ALL-DOORS CHANGE-DATA-CAPTURE REPLAY: reconstruct the CURRENT
@@ -3924,6 +3964,14 @@ object PipelineQueries {
            count(flag) AS n_flagged,
            CAST(sum(flag) AS BIGINT) AS sum_flag
          FROM allrows GROUP BY lang ORDER BY lang""",
+    "q152_stats_skipping" ->
+      """WITH cuts AS (SELECT max(doc_id) AS m FROM documents)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS sum_len,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM documents, cuts
+         WHERE doc_id > m // 2 AND doc_id <= (3 * m) // 4
+         GROUP BY lang ORDER BY lang""",
     "q146_cdc_replay" ->
       """WITH finalstate AS (
            SELECT doc_id, text || ' [rw]' AS text, 'fr' AS lang

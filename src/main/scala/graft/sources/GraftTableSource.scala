@@ -486,6 +486,7 @@ private final class GraftFileIndex(spark: SparkSession, dir: String,
     filesPinned = resolve()
     manifestCache = null
     bloomCache = null
+    batchStatsCache = null
   }
 
   override def listFiles(partitionFilters: Seq[Expression],
@@ -683,16 +684,73 @@ private final class GraftFileIndex(spark: SparkSession, dir: String,
       dataFilters: Seq[Expression]): Seq[GraftFile] = {
     val tests = statsTests(dataFilters)
     if (tests.isEmpty) return files
-    manifestStats.fold(files) { stats =>
-      files.filter { f =>
-        stats.get(f.status.getPath.toUri.getPath) match {
-          case None => true // unmanifested file: keep, conservatively
-          case Some(byCol) => tests.forall { case (c, keep) =>
-            byCol.get(c).forall(keep) // un-stat'd column: keep
-          }
+    val explicit = manifestStats.getOrElse(Map.empty)
+    val auto = batchStatsMap
+    if (explicit.isEmpty && auto.isEmpty) return files
+    files.filter { f =>
+      val p = f.status.getPath.toUri.getPath
+      // explicit manifest entries win per file (a post-layout rebuild
+      // may be fresher); write-time batch stats cover the rest
+      explicit.get(p).orElse(auto.get(p)) match {
+        case None => true // un-stat'd file: keep, conservatively
+        case Some(byCol) => tests.forall { case (c, keep) =>
+          byCol.get(c).forall(keep) // un-stat'd column: keep
         }
       }
     }
+  }
+
+  /** Per-file stats harvested at COMMIT time ([[graft.io.BatchStats]]):
+    * one tiny JSON read per pinned batch directory (the same class as
+    * the per-batch footer-schema read), so a versioned table box-prunes
+    * out of the box — no explicit manifest build required, and time
+    * travel prunes with each batch's own immutable stats.
+    */
+  @volatile private var batchStatsCache:
+      Map[String, Map[String, ColStat]] = null
+
+  private def batchStatsMap: Map[String, Map[String, ColStat]] = {
+    if (batchStatsCache == null) batchStatsCache = loadBatchStats()
+    batchStatsCache
+  }
+
+  private def loadBatchStats(): Map[String, Map[String, ColStat]] = {
+    val stop = basePath.toUri.getPath.stripSuffix("/")
+    val roots = filesPinned.map { f =>
+      val rel = f.status.getPath.toUri.getPath.stripPrefix(stop + "/")
+      val segs = rel.split("/")
+      if (segs.length >= 2 && segs(0) == "data")
+        segs.take(2).mkString("/")
+      else segs.dropRight(1).mkString("/")
+    }.distinct.filter(_.nonEmpty)
+    roots.flatMap { root =>
+      try {
+        val p = new Path(new Path(base, root),
+          graft.io.BatchStats.FileName)
+        if (!fs.exists(p)) Nil
+        else {
+          val in = fs.open(p)
+          val json = try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+          graft.io.BatchStats.parse(json).toSeq.map { case (rel, cols) =>
+            (s"$stop/$rel": String) -> cols.flatMap {
+              case (c, (t, mi, ma)) =>
+                val st: Option[ColStat] = t match {
+                  case "allnull" => Some(AllNull)
+                  case "num" =>
+                    try Some(Box(Left(BigDecimal(mi)), Left(BigDecimal(ma))))
+                    catch { case _: Exception => None }
+                  case "str" => Some(Box(Right(UTF8String.fromString(mi)),
+                    Right(UTF8String.fromString(ma))))
+                  case _ => None // unknown tag: keep conservatively
+                }
+                st.map(c -> _)
+            }
+          }
+        }
+      } catch { case _: Exception => Nil } // malformed sidecar: keep
+    }.toMap
   }
 
   // ---- key-bloom (point lookup) pruning ----------------------------

@@ -18,9 +18,13 @@ import graft.io.{KeyBloom, Manifest, VersionLog, ZOrder}
 class GraftTableSourceSpec extends AnyFunSuite {
   import TestSpark._
 
-  /** numFiles actually read by the (executed) parquet scans of df. */
+  /** numFiles actually read by the (executed) parquet scans of df.
+    * Executes df ITSELF (collect): `df.count()` would build a separate
+    * QueryExecution and leave df's own plan metrics at zero — every
+    * assertion here would then trivially pass.
+    */
   private def scanNumFiles(df: DataFrame): Long = {
-    df.count()
+    df.collect()
     def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
       case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
       case q: QueryStageExec => scans(q.plan)
@@ -600,5 +604,135 @@ class GraftTableSourceSpec extends AnyFunSuite {
       spark.read.format("graft").load(dir).count()
     }
     assert(e.getMessage.contains(victim.split("/").last), e.getMessage)
+  }
+
+  test("WRITE-TIME batch stats: a versioned table box-prunes out of " +
+      "the box — no manifest build — on numeric, string and date " +
+      "columns; NaN and all-null columns stay safe; time travel " +
+      "prunes with each batch's own stats") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("autostats").toString
+    // four appends with DISJOINT k-ranges, one file each; a string
+    // column with disjoint prefixes; a double column where batch 2
+    // carries a NaN; a date column; an always-null column
+    def batch(lo: Long, tag: String, nan: Boolean) =
+      (lo until lo + 100L).map { i =>
+        (i, s"$tag-$i",
+          if (nan && i == lo) Double.NaN else i.toDouble,
+          java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i)),
+          null.asInstanceOf[String])
+      }.toDF("k", "s", "d", "day", "nothing").coalesce(1)
+    VersionLog.init(spark, dir, batch(0L, "aa", nan = false))
+    VersionLog.append(spark, dir, batch(100L, "bb", nan = true))
+    VersionLog.append(spark, dir, batch(200L, "cc", nan = false))
+    VersionLog.append(spark, dir, batch(300L, "dd", nan = false))
+    // the harvest landed one sidecar per batch directory
+    val statsFiles = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(dir))
+      .filter(_.getFileName.toString == "_stats.json").count()
+    assert(statsFiles === 4L)
+    val t = VersionLog.read(spark, dir)
+    assert(t.count() === 400L)
+    // numeric box: k=250 lives in exactly one batch
+    val onek = t.filter($"k" === 250L)
+    assert(onek.select($"s").as[String].collect().toSeq === Seq("cc-250"))
+    assert(scanNumFiles(onek) === 1L, "k box must prune to one file")
+    // string box: prefix-disjoint batches prune on a string equality
+    val ones = t.filter($"s" === "dd-301")
+    assert(ones.select($"k").as[Long].collect().toSeq === Seq(301L))
+    assert(scanNumFiles(ones) === 1L, "s box must prune to one file")
+    // date box: one batch's day range
+    val oneday = t.filter(
+      $"day" === java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(42)))
+    assert(oneday.select($"k").as[Long].collect().toSeq === Seq(42L))
+    assert(scanNumFiles(oneday) === 1L, "date box must prune to one file")
+    // the NaN batch (k=100 carries d=NaN) has no d-box — it must
+    // still be READ for any d predicate (conservative keep), while
+    // the three finite-boxed batches prune
+    val dhits = t.filter($"d" >= 100.5 && $"d" < 101.5)
+    assert(dhits.select($"k").as[Long].collect().toSet === Set(101L))
+    assert(scanNumFiles(dhits) === 1L,
+      "NaN batch must be kept, finite boxes pruned")
+    // all-null column: a range predicate on it matches nothing and
+    // prunes EVERY file at plan time
+    val none = t.filter($"nothing" === "x")
+    assert(none.count() === 0L)
+    assert(scanNumFiles(none) === 0L, "all-null column must prune all")
+    // time travel prunes with the pinned version's own batches
+    val old = VersionLog.read(spark, dir, Some(2L)).filter($"k" === 50L)
+    assert(old.select($"s").as[String].collect().toSeq === Seq("aa-50"))
+    assert(scanNumFiles(old) === 1L)
+  }
+
+  test("WRITE-TIME batch stats survive clone and vacuum with their " +
+      "batches, and a lost/garbled sidecar only disables skipping") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("autostats2").toString
+    def batch(lo: Long) = (lo until lo + 50L).map(i => (i, s"v$i"))
+      .toDF("k", "v").coalesce(1)
+    VersionLog.init(spark, dir, batch(0L))
+    VersionLog.append(spark, dir, batch(100L))
+    // clone carries the sidecars by hard link: the clone prunes too
+    val dst = Files.createTempDirectory("autostats2c").toString + "/t"
+    VersionLog.cloneTable(spark, dir, dst)
+    val cloned = VersionLog.read(spark, dst).filter($"k" === 120L)
+    assert(cloned.select($"v").as[String].collect().toSeq === Seq("v120"))
+    assert(scanNumFiles(cloned) === 1L, "clone must inherit batch stats")
+    // overwrite retires both batches; vacuum sweeps the old batches
+    // AND their sidecars, but keeps the live batch's sidecar
+    VersionLog.overwrite(spark, dir, batch(500L))
+    val victims = VersionLog.vacuumVersions(spark, dir, keepLast = 1,
+      ttlMs = 0L)
+    assert(victims.exists(_.endsWith("_stats.json")),
+      s"orphaned batch sidecars must be swept, got $victims")
+    val live = VersionLog.read(spark, dir).filter($"k" === 510L)
+    assert(live.select($"v").as[String].collect().toSeq === Seq("v510"))
+    assert(scanNumFiles(live) === 1L, "live sidecar must survive vacuum")
+    // a garbled sidecar never breaks reads — only skipping
+    val sidecar = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(_.getFileName.toString == "_stats.json")
+      .findFirst().get()
+    java.nio.file.Files.write(sidecar, "not json".getBytes)
+    assert(VersionLog.read(spark, dir).filter($"k" === 510L).count() === 1L)
+  }
+
+  test("DYNAMIC partition pruning reaches the graft FileIndex: a " +
+      "star join whose dimension filter selects one partition opens " +
+      "only that partition's files at execution time") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("gdpp").toString
+    // fact: 8 partitions x 4 files; dim: maps partition -> attribute
+    val fact = (0L until 8000L).map(i => (i, s"p${i % 8}"))
+      .toDF("id", "p").repartition(4)
+    VersionLog.init(spark, dir, fact, partitionBy = Some("p"))
+    val totalFiles = VersionLog.snapshot(spark, dir, None).files.size
+    // dim must be a FILE source: over a local relation the optimizer
+    // folds the filter into the relation and DPP sees no selective
+    // predicate to derive the pruning subquery from
+    val dimDir = Files.createTempDirectory("gdpp-dim").toString
+    (0 until 8).map(i => (s"p$i", i)).toDF("dp", "attr")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val t = spark.read.format("graft").load(dir)
+    val joined = t.join(dim.filter($"attr" === 3), $"p" === $"dp")
+    assert(joined.select($"id").as[Long].collect().toSet ===
+      (0L until 8000L).filter(_ % 8 == 3).toSet)
+    val proj = joined.select($"id")
+    proj.collect()
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case sc: FileSourceScanExec => Seq(sc)
+      case other => other.children.flatMap(scans)
+    }
+    val graftScan = scans(proj.queryExecution.executedPlan)
+      .filter(_.relation.location.getClass.getName.contains("GraftFileIndex"))
+    assert(graftScan.nonEmpty, "expected a graft scan in the plan")
+    assert(graftScan.exists(_.partitionFilters.exists(
+        _.toString.contains("dynamicpruning"))),
+      "the graft scan must carry a dynamic pruning partition filter")
+    val opened = graftScan.map(_.metrics("numFiles").value).sum
+    assert(opened <= totalFiles / 8 + 1,
+      s"DPP must open ~1/8 of the graft files, opened $opened/$totalFiles")
   }
 }

@@ -991,6 +991,88 @@ class VersionLogSpec extends AnyFunSuite {
       assert(!t2.contains((1L, "one!", "a")))
     }
   }
+
+  test("DELTA-ENCODED commits: append version files are O(batch) not " +
+      "O(table), every 16th commit checkpoints, overwrite stays " +
+      "full-form, and resolution survives a lost checkpoint") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("vdelta").toString
+    def vjson(v: Long): String = new String(java.nio.file.Files
+      .readAllBytes(java.nio.file.Paths.get(
+        dir, "_versions", f"v-$v%08d.json")))
+    VersionLog.init(spark, dir,
+      (0L until 64L).map(i => (i, s"v$i", "a")).toDF("k", "v", "p")
+        .repartition(8),
+      partitionBy = Some("p"))
+    (1L until 20L).foreach { i =>
+      VersionLog.append(spark, dir,
+        Seq((1000L + i, s"n$i", "b")).toDF("k", "v", "p").coalesce(1),
+        partitionBy = Some("p"))
+    }
+    // on-disk form: init full, appends delta — and the delta files
+    // stay batch-sized while the table's file count grows
+    assert(vjson(1).contains("\"files\"") && !vjson(1).contains("\"adds\""))
+    (2L to 20L).foreach { v =>
+      assert(vjson(v).contains("\"adds\"") && !vjson(v).contains("\"files\""),
+        s"append v$v must be delta-form")
+    }
+    val early = vjson(2).length
+    val late = vjson(20).length
+    assert(math.abs(late - early) < 120,
+      s"delta commit size must not grow with the table ($early -> $late)")
+    // every CheckpointEvery-th commit published a full checkpoint
+    val cp16 = java.nio.file.Paths.get(dir, "_versions", "c-00000016.json")
+    assert(java.nio.file.Files.exists(cp16))
+    // resolution agrees with ground truth at every version...
+    val snap20 = VersionLog.snapshot(spark, dir, None)
+    assert(snap20.version === 20L)
+    assert(VersionLog.read(spark, dir).count() === 64L + 19L)
+    assert(VersionLog.read(spark, dir, Some(10L)).count() === 64L + 9L)
+    // ...including when the checkpoint is lost (walks to v1's full form)
+    java.nio.file.Files.delete(cp16)
+    assert(VersionLog.snapshot(spark, dir, Some(20L)).files ===
+      snap20.files)
+    // an overwrite's diff exceeds its list: full-form by construction
+    VersionLog.overwrite(spark, dir,
+      Seq((1L, "only", "a")).toDF("k", "v", "p").coalesce(1),
+      partitionBy = Some("p"))
+    assert(vjson(21).contains("\"files\"") && !vjson(21).contains("\"adds\""))
+    assert(rows(VersionLog.read(spark, dir)) === Set((1L, "only", "a")))
+  }
+
+  test("VACUUM on a delta-log history: publishes a covering checkpoint " +
+      "at the oldest retained version, prunes old version+checkpoint " +
+      "files, and every retained version still resolves") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("vdeltavac").toString
+    VersionLog.init(spark, dir,
+      Seq((0L, "v0", "a")).toDF("k", "v", "p"),
+      partitionBy = Some("p"))
+    (1L until 20L).foreach { i =>
+      VersionLog.append(spark, dir,
+        Seq((i, s"v$i", "a")).toDF("k", "v", "p").coalesce(1),
+        partitionBy = Some("p"))
+    }
+    val expect18 = VersionLog.snapshot(spark, dir, Some(18L)).files
+    val victims = VersionLog.vacuumVersions(spark, dir, keepLast = 3,
+      ttlMs = 0L)
+    // oldest retained (18) was delta-form: a covering checkpoint must
+    // exist so its resolution never walks into the pruned range
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      dir, "_versions", "c-00000018.json")))
+    // the periodic checkpoint at 16 fell with its version file
+    assert(victims.contains("_versions/c-00000016.json") &&
+      victims.contains("_versions/v-00000016.json"))
+    assert(VersionLog.snapshot(spark, dir, Some(18L)).files === expect18)
+    (18L to 20L).foreach { v =>
+      assert(VersionLog.read(spark, dir, Some(v)).count() === v)
+    }
+    // pruned versions fail loudly, exactly as before
+    val e = intercept[IllegalArgumentException] {
+      VersionLog.snapshot(spark, dir, Some(5L))
+    }
+    assert(e.getMessage.contains("version 5 not in"))
+  }
 }
 
 object VersionLogSpec {

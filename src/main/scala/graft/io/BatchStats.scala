@@ -66,10 +66,15 @@ object BatchStats {
         try {
           val target = new Path(s"$base/$root", FileName)
           if (!fs.exists(target)) {
-            val entries = files.sorted.flatMap { rel =>
-              fileStats(spark, fs, new Path(s"$base/$rel"))
-                .map(rel -> _)
-            }
+            // footer reads are independent metadata round trips —
+            // overlap them (an object store's ~10ms latency would
+            // otherwise serialize a 10k-file batch into 100s)
+            import scala.collection.parallel.CollectionConverters._
+            val entries = files.sorted.par
+              .map { rel =>
+                fileStats(spark, fs, new Path(s"$base/$rel"))
+                  .map(rel -> _)
+              }.seq.flatten
             if (entries.nonEmpty) {
               val out = fs.create(target, false)
               try out.write(

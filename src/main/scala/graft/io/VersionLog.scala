@@ -187,6 +187,46 @@ object VersionLog {
       top.constraints, top.schemaJson)
   }
 
+  /** One commit's file diff vs its parent, computed WITHOUT resolving
+    * full snapshots when avoidable: a delta-form commit's raw version
+    * file IS the diff (one small read — the graft-cdc / graft-versions
+    * consumers' per-commit cost stays O(change) regardless of table
+    * size); a full-form commit resolves its parent, and an
+    * unresolvable parent (vacuumed beyond the floor) degrades to "all
+    * files added", the batch bootstrap shape.
+    */
+  private[graft] case class CommitDiff(parent: Long, action: String,
+      added: Seq[String], removed: Seq[String],
+      deletesAdded: Seq[String], deletesRemoved: Seq[String])
+
+  private[graft] def commitDiff(spark: SparkSession, dir: String,
+      v: Long): CommitDiff = {
+    val fs = fsFor(spark, dir)
+    val raw = parseRaw(readJson(fs, versionFile(dir, v)))
+    val parentDeletes =
+      if (raw.parent == 0L) Seq.empty[String]
+      else scala.util.Try(
+        parseRaw(readJson(fs, versionFile(dir, raw.parent))).deletes)
+        .getOrElse(Seq.empty[String])
+    val dAdded = raw.deletes.filterNot(parentDeletes.toSet)
+    val dRemoved = parentDeletes.filterNot(raw.deletes.toSet)
+    raw.full match {
+      case None =>
+        CommitDiff(raw.parent, raw.action, raw.adds, raw.removes,
+          dAdded, dRemoved)
+      case Some(files) =>
+        val parentFiles =
+          if (raw.parent == 0L) Seq.empty[String]
+          else scala.util.Try(
+            snapshot(spark, dir, Some(raw.parent)).files)
+            .getOrElse(Seq.empty[String])
+        val pfSet = parentFiles.toSet
+        val fSet = files.toSet
+        CommitDiff(raw.parent, raw.action, files.filterNot(pfSet),
+          parentFiles.filterNot(fSet), dAdded, dRemoved)
+    }
+  }
+
   private def readJson(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
     try new String(in.readAllBytes(), StandardCharsets.UTF_8)

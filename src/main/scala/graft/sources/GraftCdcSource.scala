@@ -185,16 +185,13 @@ object GraftCdcSource {
   private def synthesizeChanges(spark: SparkSession, dir: String,
       snap: TableSnapshot): DataFrame = {
     val base = dir.stripSuffix("/")
-    val (parentFiles, parentDeletes) =
-      if (snap.parent == 0L) (Seq.empty[String], Seq.empty[String])
-      else {
-        val p = VersionLog.snapshot(spark, dir, Some(snap.parent))
-        (p.files, p.deletes)
-      }
-    val added = snap.files.filterNot(parentFiles.toSet)
-    val removed = parentFiles.filterNot(snap.files.toSet)
-    val dAdded = snap.deletes.filterNot(parentDeletes.toSet)
-    val dRemoved = parentDeletes.filterNot(snap.deletes.toSet)
+    // delta-form commits hand the diff over in one small read — the
+    // per-commit synthesis cost stays O(change) at any table size
+    val diff = VersionLog.commitDiff(spark, dir, snap.version)
+    val added = diff.added
+    val removed = diff.removed
+    val dAdded = diff.deletesAdded
+    val dRemoved = diff.deletesRemoved
 
     if (snap.action == "compact")
       return emptyChanges(spark, dir, snap.version) // row-preserving

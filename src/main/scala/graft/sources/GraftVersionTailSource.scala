@@ -80,14 +80,12 @@ object GraftVersionTailSource {
     val versions = VersionLog.listVersions(spark, dir)
       .filter(v => v > start && v <= end)
     versions.flatMap { v =>
-      val snap = VersionLog.snapshot(spark, dir, Some(v))
-      val parentFiles =
-        if (snap.parent == 0L) Set.empty[String]
-        else scala.util.Try(
-          VersionLog.snapshot(spark, dir, Some(snap.parent)).files.toSet
-        ).getOrElse(Set.empty[String]) // vacuumed parent: full list
-      snap.files.filterNot(parentFiles)
-        .map(f => (snap.version, snap.parent, snap.action, f))
+      // delta-form commits carry their added files verbatim — one
+      // small read per commit, no snapshot resolution (full-form
+      // commits resolve the parent; a vacuumed parent degrades to
+      // "all files added", the bootstrap shape)
+      val diff = VersionLog.commitDiff(spark, dir, v)
+      diff.added.map(f => (v, diff.parent, diff.action, f))
     }
   }
 }

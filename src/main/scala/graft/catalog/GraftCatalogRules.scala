@@ -4,10 +4,10 @@ import scala.util.matching.Regex
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
-import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
 import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
-import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LocalRelation, LogicalPlan, MergeIntoTable, SubqueryAlias, V2WriteCommand}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertIntoStatement, LocalRelation, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateTable, V2WriteCommand}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.{CatalogNotFoundException, Identifier}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -240,22 +240,60 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         .flatMap(m => graftDir(m.group(1)).map(d =>
           GraftConstraintCommand(d, m.group(2), None))))
 
+  /** Re-root graft-catalog DML (MERGE / DELETE / UPDATE) parse trees
+    * as eager graft commands; non-graft targets pass through
+    * untouched to Spark's own row-level machinery.
+    */
   private def rewriteMerge(plan: LogicalPlan): LogicalPlan = plan match {
     case m: MergeIntoTable =>
-      val target = m.targetTable match {
-        case SubqueryAlias(_, u: UnresolvedRelation) => Some(u)
-        case u: UnresolvedRelation => Some(u)
-        case _ => None
-      }
-      target.flatMap(u => GraftCatalogRules
-          .resolveGraftIdent(session, u.multipartIdentifier)) match {
-        case Some((cat, ident)) =>
+      graftTargetDir(m.targetTable) match {
+        case Some(dir) =>
           val (keyCol, deleteWhenSql) = MergeSql.interpretShape(m)
-          GraftCatalogMergeCommand(cat.dirFor(ident), m.sourceTable,
+          GraftCatalogMergeCommand(dir, m.sourceTable,
             keyCol, deleteWhenSql)
         case None => m
       }
+    case d @ DeleteFromTable(target, condition) =>
+      graftTargetDir(target) match {
+        case Some(dir) =>
+          GraftDeleteCommand(dir, stripQualifiers(condition).sql)
+        case None => d
+      }
+    case u @ UpdateTable(target, assignments, condition) =>
+      graftTargetDir(target) match {
+        case Some(dir) =>
+          val sets = assignments.map {
+            case Assignment(k: UnresolvedAttribute, v) =>
+              (k.nameParts.last, stripQualifiers(v).sql)
+            case a => throw new IllegalArgumentException(
+              s"UPDATE SET target must be a column, got: ${a.sql}")
+          }
+          GraftUpdateCommand(dir, sets,
+            condition.map(c => stripQualifiers(c).sql))
+        case None => u
+      }
     case other => other
+  }
+
+  /** The statement target's graft table directory, or None when the
+    * target is not an (aliased) identifier of a graft catalog table.
+    */
+  private def graftTargetDir(target: LogicalPlan): Option[String] = {
+    val rel = target match {
+      case SubqueryAlias(_, u: UnresolvedRelation) => Some(u)
+      case u: UnresolvedRelation => Some(u)
+      case _ => None
+    }
+    rel.flatMap(u => GraftCatalogRules
+        .resolveGraftIdent(session, u.multipartIdentifier))
+      .map { case (cat, ident) => cat.dirFor(ident) }
+  }
+
+  /** Strip table/alias qualifiers so predicates and assignment values
+    * evaluate over the bare table frame (`t.k` -> `k`).
+    */
+  private def stripQualifiers(e: Expression): Expression = e.transform {
+    case a: UnresolvedAttribute => UnresolvedAttribute(Seq(a.nameParts.last))
   }
 
   override def parseExpression(sqlText: String): Expression =
@@ -315,6 +353,48 @@ case class GraftCatalogMergeCommand(dir: String, source: LogicalPlan,
       keyCol, partCol, deleteWhenSql.map(expr))
     Seq(Row(version, stats.outputRows, stats.touchedPartitions.size,
       stats.removedPartitions.size))
+  }
+}
+
+/** `DELETE FROM <graft table> [WHERE cond]` — copy-on-write commit
+  * via [[VersionLog.deleteWhereCommit]]: only files holding a matching
+  * live row rewrite; older versions still time-travel to the
+  * pre-delete state. Point-in-time semantics (a later insert of an
+  * identical row lives), unlike the merge-on-read equality-delete
+  * door.
+  */
+case class GraftDeleteCommand(dir: String, condSql: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("deleted_rows", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (n, v) = VersionLog.deleteWhereCommit(spark, dir, expr(condSql))
+    Seq(Row(v, n))
+  }
+}
+
+/** `UPDATE <graft table> SET c = e, … [WHERE cond]` — copy-on-write
+  * commit via [[VersionLog.updateWhereCommit]]: assignments evaluate
+  * against the old row, values cast to the column's type, CHECK
+  * constraints re-gate the rewritten batch, partition-column
+  * assignments refuse loudly (use MERGE).
+  */
+case class GraftUpdateCommand(dir: String, sets: Seq[(String, String)],
+    condSql: Option[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("updated_rows", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (n, v) = VersionLog.updateWhereCommit(spark, dir,
+      sets.map { case (c, e) => (c, expr(e)) },
+      condSql.map(expr).getOrElse(
+        org.apache.spark.sql.functions.lit(true)))
+    Seq(Row(v, n))
   }
 }
 

@@ -1232,28 +1232,148 @@ object VersionLog {
         schemaJson = snap.schemaJson, parentFiles = Some(snap.files)))
     // rewrite victims per partition-segment group so survivors land
     // back under their part=value paths in the new batch
-    val batchRel = f"data/b-${snap.version + 1}%08d-" +
+    val newFiles = rewriteVictims(spark, dir, snap.version + 1, victims,
+      _.join(broadcast(keys), Seq(keyCol), "left_anti"))
+    val kept = snap.files.filterNot(victims.contains)
+    (victims.size, commit(spark, dir, snap.version, "apply-deletes",
+      kept ++ newFiles, deletes = Nil, constraints = snap.constraints,
+      schemaJson = snap.schemaJson, parentFiles = Some(snap.files)))
+  }
+
+  /** Rewrite each victim file group through `transform` into a new
+    * batch: survivors land back under their `part=value` paths
+    * (partition columns dropped for the write — AFTER the transform,
+    * which may reference them). Returns the new files' dir-relative
+    * paths. Cost is one read+write of the victim files only.
+    */
+  private def rewriteVictims(spark: SparkSession, dir: String,
+      nextVersion: Long, victims: Seq[String],
+      transform: DataFrame => DataFrame): Seq[String] = {
+    val base = dir.stripSuffix("/")
+    val batchRel = f"data/b-$nextVersion%08d-" +
       java.util.UUID.randomUUID.toString.take(8)
     def groupOf(f: String): String = {
       val segs = f.split("/").dropRight(1)
       segs.dropWhile(s => !s.contains("=")).mkString("/")
     }
     val fs = fsFor(spark, dir)
-    val newFiles = victims.groupBy(groupOf).toSeq.sortBy(_._1)
+    victims.groupBy(groupOf).toSeq.sortBy(_._1)
       .flatMap { case (g, fls) =>
         val out = s"$base/$batchRel" + (if (g.isEmpty) "" else s"/$g")
         val partColNames = g.split("/").filter(_.contains("="))
           .map(_.split("=", 2)(0))
-        val src = readFiles(spark, dir, fls)
+        val src = transform(readFiles(spark, dir, fls))
         partColNames.foldLeft(src)(_ drop _)
-          .join(broadcast(keys), Seq(keyCol), "left_anti")
           .write.mode("error").parquet(out)
         listParquet(fs, new Path(out)).map(p => relativize(base, p))
       }
-    val kept = snap.files.filterNot(victims.contains)
-    (victims.size, commit(spark, dir, snap.version, "apply-deletes",
-      kept ++ newFiles, deletes = Nil, constraints = snap.constraints,
-      schemaJson = snap.schemaJson, parentFiles = Some(snap.files)))
+  }
+
+  /** The victim FILES of a row predicate: every pinned file holding at
+    * least one row of `frame` (already manifest-filtered by the
+    * caller when needed) matching `hit` — one column-pruned pass, the
+    * blast-radius discovery shared by the SQL DELETE/UPDATE doors.
+    */
+  private def victimFiles(spark: SparkSession, dir: String,
+      frame: DataFrame, hit: Column): Seq[String] = {
+    val base = dir.stripSuffix("/")
+    frame.filter(hit).select(input_file_name().as("_f"))
+      .distinct().collect()
+      .map(r => relativize(base,
+        new Path(new java.net.URI(r.getString(0))).toUri.getPath))
+      .toSeq.sorted
+  }
+
+  /** SQL `DELETE FROM t WHERE cond` as a copy-on-write COMMIT: one
+    * column-pruned pass finds the files holding a matching LIVE row
+    * (the blast radius — every other file carries by reference); each
+    * victim is rewritten without its matching rows. Outstanding
+    * equality-delete manifests carry forward unchanged (a raw copy of
+    * a manifest-deleted row stays suppressed by the carried
+    * manifests). SQL three-valued logic: a NULL predicate keeps the
+    * row. Unlike [[deleteKeysCommit]] this is point-in-time — a later
+    * append of an identical row lives. Returns
+    * (deletedRows, version); a no-match DELETE commits nothing.
+    */
+  def deleteWhereCommit(spark: SparkSession, dir: String,
+      cond: Column): (Long, Long) = {
+    val snap = snapshot(spark, dir, None)
+    val raw = readFiles(spark, dir, snap.files)
+    def liveOf(df: DataFrame): DataFrame =
+      deleteManifestFrame(spark, dir, snap).fold(df)(k =>
+        df.join(broadcast(k), Seq(k.columns.head), "left_anti"))
+    val hit = coalesce(cond, lit(false))
+    val victims = victimFiles(spark, dir, liveOf(raw), hit)
+    if (victims.isEmpty) return (0L, snap.version)
+    val deleted =
+      liveOf(readFiles(spark, dir, victims)).filter(hit).count()
+    val newFiles = rewriteVictims(spark, dir, snap.version + 1, victims,
+      _.filter(!hit))
+    val kept = snap.files.filterNot(victims.toSet)
+    val v = commit(spark, dir, snap.version, "delete-where",
+      kept ++ newFiles, deletes = snap.deletes,
+      constraints = snap.constraints, schemaJson = snap.schemaJson,
+      parentFiles = Some(snap.files))
+    (deleted, v)
+  }
+
+  /** SQL `UPDATE t SET c = e, … WHERE cond` as a copy-on-write
+    * COMMIT, same blast radius as [[deleteWhereCommit]]. All
+    * assignments evaluate against the OLD row (one projection — a
+    * `SET a = b, b = a` swap is a swap); values cast to the column's
+    * existing type; CHECK constraints re-gate the rewritten batch.
+    * Partition-column assignments (a row MOVE) and tables with
+    * outstanding equality-delete manifests (a raw rewrite could
+    * resurrect deleted keys into un-manifested files) are refused
+    * loudly. Returns (updatedRows, version); no-match commits nothing.
+    */
+  def updateWhereCommit(spark: SparkSession, dir: String,
+      sets: Seq[(String, Column)], cond: Column): (Long, Long) = {
+    val snap = snapshot(spark, dir, None)
+    require(snap.deletes.isEmpty,
+      s"UPDATE on $dir with outstanding equality-delete manifests: " +
+        "fold them first (applyDeletesCommit)")
+    require(sets.nonEmpty, "UPDATE needs at least one assignment")
+    val resolver = spark.sessionState.conf.resolver
+    require(sets.map(_._1.toLowerCase).distinct.size == sets.size,
+      s"duplicate assignment targets: ${sets.map(_._1).mkString(",")}")
+    val partCols = snap.files.flatMap(_.split("/")
+      .filter(_.contains("=")).map(_.split("=", 2)(0))).distinct
+    sets.foreach { case (c, _) =>
+      require(!partCols.exists(resolver(_, c)),
+        s"UPDATE SET on partition column '$c' is a row move between " +
+          "partitions: use MERGE INTO")
+    }
+    val raw = readFiles(spark, dir, snap.files)
+    val schema = raw.schema
+    sets.foreach { case (c, _) =>
+      require(schema.fieldNames.exists(resolver(_, c)),
+        s"UPDATE SET: no column '$c' on $dir " +
+          s"(have ${schema.fieldNames.mkString(",")})")
+    }
+    val hit = coalesce(cond, lit(false))
+    val victims = victimFiles(spark, dir, raw, hit)
+    if (victims.isEmpty) return (0L, snap.version)
+    val updated = readFiles(spark, dir, victims).filter(hit).count()
+    // ONE projection: every assignment sees the pre-update row
+    val transform: DataFrame => DataFrame = df => df.select(
+      df.schema.fields.map { f =>
+        sets.find(s => resolver(s._1, f.name)) match {
+          case Some((_, e)) =>
+            when(hit, e.cast(f.dataType)).otherwise(col(f.name))
+              .as(f.name)
+          case None => col(f.name)
+        }
+      }.toIndexedSeq: _*)
+    enforceConstraints(transform(readFiles(spark, dir, victims)),
+      snap.constraints, dir, "update")
+    val newFiles = rewriteVictims(spark, dir, snap.version + 1, victims,
+      transform)
+    val kept = snap.files.filterNot(victims.toSet)
+    val v = commit(spark, dir, snap.version, "update-where",
+      kept ++ newFiles, constraints = snap.constraints,
+      schemaJson = snap.schemaJson, parentFiles = Some(snap.files))
+    (updated, v)
   }
 
   /** EXACTLY-ONCE ingest: run the versioned merge only if no retained

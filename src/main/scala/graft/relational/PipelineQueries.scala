@@ -2263,6 +2263,37 @@ object PipelineQueries {
           min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
         .orderBy($"lang")
     },
+    "q153_sql_dml" -> { (s, d) =>
+      import s.implicits._
+      // SQL DELETE + UPDATE as copy-on-write COMMITS through the
+      // catalog front door: DELETE FROM drops the short-document
+      // tail, UPDATE stamps half the French corpus — each rewriting
+      // ONLY the files holding matching rows (blast radius pinned in
+      // GraftCatalogSpec), each a time-travelable version, both
+      // feeding graft-cdc delete/insert images (spec-pinned). The
+      // oracle replays both statements relationally over the pristine
+      // corpus: an over-eager rewrite (dropping a survivor), a
+      // misapplied assignment, or an UPDATE evaluated against
+      // already-updated rows cannot hash-match.
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.catalog.GraftCatalog].getName)
+      val dir = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft-dml-${Integer.toHexString(d.hashCode)}" +
+        s"-${ProcessHandle.current().pid()}"
+      buildOnce(dir) {
+        VersionLog.init(s, dir, documents(s, d),
+          partitionBy = Some("lang"))
+        s.sql(s"DELETE FROM graft.`$dir` WHERE length(text) < 80")
+        s.sql(s"UPDATE graft.`$dir` SET text = concat(text, ' [u]') " +
+          "WHERE lang = 'fr' AND doc_id % 2 = 0")
+      }
+      VersionLog.read(s, dir)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length($"text")).as("sum_len"),
+          sum($"doc_id").as("sum_id"))
+        .orderBy($"lang")
+    },
     "q146_cdc_replay" -> { (s, d) =>
       import s.implicits._
       // ALL-DOORS CHANGE-DATA-CAPTURE REPLAY: reconstruct the CURRENT
@@ -3972,6 +4003,16 @@ object PipelineQueries {
          FROM documents, cuts
          WHERE doc_id > m // 2 AND doc_id <= (3 * m) // 4
          GROUP BY lang ORDER BY lang""",
+    "q153_sql_dml" ->
+      """WITH survivors AS (
+           SELECT doc_id, lang,
+             CASE WHEN lang = 'fr' AND doc_id % 2 = 0
+               THEN text || ' [u]' ELSE text END AS text
+           FROM documents WHERE NOT (length(text) < 80))
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS sum_len,
+           CAST(sum(doc_id) AS BIGINT) AS sum_id
+         FROM survivors GROUP BY lang ORDER BY lang""",
     "q146_cdc_replay" ->
       """WITH finalstate AS (
            SELECT doc_id, text || ' [rw]' AS text, 'fr' AS lang

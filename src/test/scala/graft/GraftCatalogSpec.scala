@@ -471,4 +471,97 @@ class GraftCatalogSpec extends AnyFunSuite {
         e.getMessage)
     }
   }
+
+  test("DELETE FROM: copy-on-write commit with file-granular blast " +
+      "radius — untouched files carry by reference, prior versions " +
+      "time-travel whole, NULL predicates keep rows, no-match " +
+      "commits nothing, non-graft DELETE is untouched") {
+    import spark.implicits._
+    warehouse
+    spark.sql("CREATE TABLE graft.del1 (k BIGINT, v STRING, p STRING) " +
+      "PARTITIONED BY (p)")
+    spark.sql("INSERT INTO graft.del1 VALUES (1, 'one', 'a'), " +
+      "(2, 'two', 'a'), (3, NULL, 'b'), (4, 'four', 'b'), (5, 'five', 'c')")
+    val dir = s"$warehouse/del1"
+    val before = VersionLog.snapshot(spark, dir, None)
+    // v = 'two' deletes k=2; v IS NULL (k=3) is a NULL predicate -> kept
+    val res = spark.sql("DELETE FROM graft.del1 WHERE v = 'two'")
+      .as[(Long, Long)].head()
+    assert(res === ((2L, 1L)), s"(version, deleted_rows) was $res")
+    assert(spark.sql("SELECT k FROM graft.del1").as[Long].collect()
+      .toSet === Set(1L, 3L, 4L, 5L))
+    // blast radius: only partition a's file rewrote; b and c carried
+    val after = VersionLog.snapshot(spark, dir, None)
+    val carried = before.files.toSet intersect after.files.toSet
+    assert(before.files.filter(_.contains("p=b")).forall(carried) &&
+      before.files.filter(_.contains("p=c")).forall(carried),
+      "untouched partitions must carry by reference")
+    // the pre-delete version still reads whole
+    assert(spark.sql("SELECT k FROM graft.del1 VERSION AS OF 1")
+      .as[Long].collect().toSet === Set(1L, 2L, 3L, 4L, 5L))
+    // no-match DELETE commits nothing
+    val res2 = spark.sql("DELETE FROM graft.del1 WHERE k = 999")
+      .as[(Long, Long)].head()
+    assert(res2 === ((2L, 0L)))
+    assert(VersionLog.listVersions(spark, dir) === Seq(1L, 2L))
+    // point-in-time: re-inserting a deleted row LIVES (unlike the
+    // equality-delete manifest door)
+    spark.sql("INSERT INTO graft.del1 VALUES (2, 'two', 'a')")
+    assert(spark.sql("SELECT k FROM graft.del1").as[Long].collect()
+      .toSet === Set(1L, 2L, 3L, 4L, 5L))
+    // a DELETE on a non-graft target is not intercepted
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM no_such_graft_tbl WHERE x = 1").collect()
+    }
+    assert(e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"),
+      e.getMessage)
+  }
+
+  test("UPDATE: assignments evaluate against the OLD row (a swap is " +
+      "a swap), values cast to the column type, constraints re-gate, " +
+      "partition-column assignment refuses, prior versions intact") {
+    import spark.implicits._
+    warehouse
+    spark.sql("CREATE TABLE graft.up1 (a BIGINT, b BIGINT, v STRING, " +
+      "p STRING) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO graft.up1 VALUES (1, 10, 'x', 'a'), " +
+      "(2, 20, 'y', 'a'), (3, 30, 'z', 'b')")
+    val dir = s"$warehouse/up1"
+    // swap a and b where p='a': both read the pre-update row
+    val res = spark.sql(
+      "UPDATE graft.up1 SET a = b, b = a WHERE p = 'a'")
+      .as[(Long, Long)].head()
+    assert(res === ((2L, 2L)), s"(version, updated_rows) was $res")
+    assert(spark.sql("SELECT a, b FROM graft.up1 ORDER BY v")
+      .as[(Long, Long)].collect().toSeq ===
+      Seq((10L, 1L), (20L, 2L), (3L, 30L)))
+    // blast radius: p=b carried by reference
+    assert(VersionLog.snapshot(spark, dir, Some(1L)).files
+      .filter(_.contains("p=b")).toSet.subsetOf(
+        VersionLog.snapshot(spark, dir, None).files.toSet))
+    // the pre-update version is intact
+    assert(spark.sql(
+      "SELECT a, b FROM graft.up1 VERSION AS OF 1 ORDER BY a")
+      .as[(Long, Long)].collect().toSeq ===
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    // value casts to the column's type (int literal into BIGINT)
+    spark.sql("UPDATE graft.up1 SET a = 99 WHERE v = 'z'")
+    assert(spark.sql("SELECT a FROM graft.up1 WHERE v = 'z'")
+      .as[Long].head() === 99L)
+    // partition-column assignment is a row move: refused
+    val em = intercept[Exception] {
+      spark.sql("UPDATE graft.up1 SET p = 'c' WHERE a = 99")
+    }
+    assert(em.getMessage.contains("partition column"), em.getMessage)
+    // CHECK constraints re-gate the rewritten rows
+    spark.sql(
+      "ALTER TABLE graft.up1 ADD CONSTRAINT pos CHECK (a > 0)")
+    val ec = intercept[Exception] {
+      spark.sql("UPDATE graft.up1 SET a = -1 WHERE v = 'z'")
+    }
+    assert(ec.getMessage.contains("CHECK constraint pos"),
+      ec.getMessage)
+    assert(spark.sql("SELECT a FROM graft.up1 WHERE v = 'z'")
+      .as[Long].head() === 99L, "refused UPDATE must change nothing")
+  }
 }

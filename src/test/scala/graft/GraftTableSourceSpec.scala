@@ -735,4 +735,47 @@ class GraftTableSourceSpec extends AnyFunSuite {
     assert(opened <= totalFiles / 8 + 1,
       s"DPP must open ~1/8 of the graft files, opened $opened/$totalFiles")
   }
+
+  test("graft-cdc synthesis covers the SQL DELETE/UPDATE doors: " +
+      "delete-where emits delete images for the removed rows, " +
+      "update-where the file-granular delete+insert pair, and the " +
+      "last-op-wins mirror converges to the live table") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("gcdc-dml").toString
+    VersionLog.init(spark, dir,
+      Seq((1L, "one", "a"), (2L, "two", "a"), (3L, "three", "b"))
+        .toDF("k", "v", "p").coalesce(1), partitionBy = Some("p"))
+    val (nDel, v2) = VersionLog.deleteWhereCommit(spark, dir,
+      $"v" === "two")
+    assert((nDel, v2) === ((1L, 2L)))
+    val (nUp, v3) = VersionLog.updateWhereCommit(spark, dir,
+      Seq("v" -> concat($"v", lit("!"))), $"k" === 3L)
+    assert((nUp, v3) === ((1L, 3L)))
+    val feed = spark.read.format("graft-cdc").load(dir)
+    // the delete-where commit: k=2 leaves as a delete image; its
+    // file-mate k=1 rewrites (delete+insert pair, replay-convergent)
+    val b2 = feed.filter($"_feed_batch" === 2L)
+      .select($"_op", $"k").as[(String, Long)].collect().toSet
+    assert(b2 === Set(("delete", 1L), ("delete", 2L), ("insert", 1L)))
+    // the update-where commit: old and new images of the victim file
+    val b3 = feed.filter($"_feed_batch" === 3L)
+      .select($"_op", $"k", $"v").as[(String, Long, String)]
+      .collect().toSet
+    assert(b3 === Set(("delete", 3L, "three"),
+      ("insert", 3L, "three!")))
+    // a mirror replaying the whole feed converges to the live table
+    val opRank = when($"_op" === "insert", 2)
+      .when($"_op" === "delete", 1).otherwise(lit(0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"k").orderBy($"_feed_batch".desc, opRank.desc)
+    val mirrored = feed.withColumn("_rn", row_number().over(w))
+      .filter($"_rn" === 1 && $"_op" === "insert")
+      .select($"k", $"v", $"p").as[(Long, String, String)]
+      .collect().toSet
+    val live = VersionLog.read(spark, dir)
+      .select($"k", $"v", $"p").as[(Long, String, String)]
+      .collect().toSet
+    assert(mirrored === live)
+    assert(live === Set((1L, "one", "a"), (3L, "three!", "b")))
+  }
 }

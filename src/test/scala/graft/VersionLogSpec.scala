@@ -555,8 +555,9 @@ class VersionLogSpec extends AnyFunSuite {
     assert(VersionLog.read(spark, dir, Some(3L)).count() === 2L)
   }
 
-  test("MODEL-CHECKED lifecycle: 30 random merge/append/delete/compact/" +
-      "vacuum steps match an in-memory model at every version") {
+  test("MODEL-CHECKED lifecycle: 40 random merge/append/delete/compact/" +
+      "vacuum/delete-where/update-where steps match an in-memory " +
+      "model at every version") {
     import spark.implicits._
     // The strongest correctness artifact for a mutation protocol: a
     // seeded random walk over the whole operation surface, where after
@@ -585,8 +586,8 @@ class VersionLogSpec extends AnyFunSuite {
         .collect().map(r => r._1 -> (r._2, r._3)).toMap
       assert(got === m, s"divergence at version $version")
     }
-    for (step <- 1 to 30) {
-      rng.nextInt(6) match {
+    for (step <- 1 to 40) {
+      rng.nextInt(8) match {
         case 0 | 1 => // upsert merge: random keys, some moving partition
           val keys = rng.shuffle(model.keys.toVector)
             .take(1 + rng.nextInt(4))
@@ -627,6 +628,27 @@ class VersionLogSpec extends AnyFunSuite {
             .takeRight(3).toSet
           VersionLog.vacuumVersions(spark, dir, keepLast = 3, ttlMs = 0L)
           history.keys.toSeq.filterNot(retained).foreach(history.remove)
+        case 6 => // SQL DELETE: copy-on-write predicate delete
+          val m = 2 + rng.nextInt(4)
+          val r = rng.nextInt(m)
+          val (n, v) = VersionLog.deleteWhereCommit(spark, dir,
+            $"k" % m === r)
+          val doomed = model.keys.filter(_ % m == r)
+          assert(n === doomed.size.toLong,
+            s"delete-where step $step: counted $n, model ${doomed.size}")
+          model = model -- doomed
+          history(v) = model
+        case 7 => // SQL UPDATE: old-row assignment over a predicate
+          val m = 2 + rng.nextInt(4)
+          val r = rng.nextInt(m)
+          val (n, v) = VersionLog.updateWhereCommit(spark, dir,
+            Seq("v" -> concat($"v", lit(s"+u$step"))), $"k" % m === r)
+          val hit = model.filter { case (k, _) => k % m == r }
+          assert(n === hit.size.toLong,
+            s"update-where step $step: counted $n, model ${hit.size}")
+          model = model ++ hit.map { case (k, (vv, p)) =>
+            k -> (vv + s"+u$step", p) }
+          history(v) = model
       }
       liveEquals(model, None)
       // a random RETAINED older version must still read as it was

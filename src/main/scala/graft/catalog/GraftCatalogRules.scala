@@ -141,7 +141,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       """(\S+?)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""").r
 
   private val vacuumRe: Regex =
-    """(?is)^\s*VACUUM\s+(\S+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""".r
+    ("""(?is)^\s*VACUUM\s+(\S+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?""" +
+      """(\s+DRY\s+RUN)?\s*;?\s*$""").r
 
   private val optimizeRe: Regex =
     ("""(?is)^\s*OPTIMIZE\s+(\S+?)""" +
@@ -195,7 +196,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           case Some(m) =>
             orDelegate(graftDir(m.group(1)).map(d =>
               GraftVacuumCommand(d,
-                Option(m.group(2)).map(_.toInt).getOrElse(2))))
+                Option(m.group(2)).map(_.toInt).getOrElse(2),
+                dryRun = m.group(3) != null)))
           case None => optimizeRe.findFirstMatchIn(sqlText) match {
             case Some(m) =>
               orDelegate(graftDir(m.group(1)).map(d =>
@@ -507,15 +509,17 @@ case class GraftConstraintCommand(dir: String, name: String,
   * door passes ttl 0: retention-by-reference is the gate; keep the
   * TTL belt via the API when wall-clock aging matters too.
   */
-case class GraftVacuumCommand(dir: String, keepLast: Int)
-    extends LeafRunnableCommand {
+case class GraftVacuumCommand(dir: String, keepLast: Int,
+    dryRun: Boolean = false) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
-    AttributeReference("removed_files", LongType, nullable = false)())
+    AttributeReference("removed_files", LongType, nullable = false)(),
+    AttributeReference("dry_run", org.apache.spark.sql.types.BooleanType,
+      nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = Seq(Row(
-    VersionLog.vacuumVersions(spark, dir, keepLast, ttlMs = 0L)
-      .size.toLong))
+    VersionLog.vacuumVersions(spark, dir, keepLast, ttlMs = 0L,
+      retainFromVersion = None, dryRun = dryRun).size.toLong, dryRun))
 }
 
 /** `OPTIMIZE <graft table> [ZORDER BY (x, y)]` (Delta's statement, not

@@ -1630,7 +1630,18 @@ object VersionLog {
     * (version resolution error), never silently skips.
     */
   def vacuumVersions(spark: SparkSession, dir: String, keepLast: Int,
-      ttlMs: Long, retainFromVersion: Option[Long]): Seq[String] = {
+      ttlMs: Long, retainFromVersion: Option[Long]): Seq[String] =
+    vacuumVersions(spark, dir, keepLast, ttlMs, retainFromVersion,
+      dryRun = false)
+
+  /** As above with `dryRun = true`: return what WOULD be deleted and
+    * touch nothing — no file deletion, no covering checkpoint. The
+    * preview uses the same listing and retention math as the real
+    * sweep, so it is exact up to concurrent commits.
+    */
+  def vacuumVersions(spark: SparkSession, dir: String, keepLast: Int,
+      ttlMs: Long, retainFromVersion: Option[Long],
+      dryRun: Boolean): Seq[String] = {
     require(keepLast >= 1, "must retain at least the latest version")
     val fs = fsFor(spark, dir)
     val base = dir.stripSuffix("/")
@@ -1663,12 +1674,30 @@ object VersionLog {
                 liveStatsRoots.contains(batchRoot(rel))) &&
               (rel.endsWith(".parquet") || rel.endsWith(".crc") ||
                 f.getPath.getName.startsWith("_"))) {
-            fs.delete(f.getPath, false)
+            if (!dryRun) fs.delete(f.getPath, false)
             victims += rel
           }
         }
-        // drop directories the file sweep emptied (orphan shells)
-        fs.listStatus(root).foreach { s =>
+        // drop directories the file sweep emptied (orphan shells);
+        // the dry run SIMULATES the same rule (every contained file
+        // is a victim) so the preview equals the real sweep exactly
+        if (dryRun) {
+          val flagged = victims.result().toSet
+          fs.listStatus(root).foreach { s =>
+            if (s.isDirectory) {
+              val it2 = fs.listFiles(s.getPath, true)
+              var allVictims = true
+              var any = false
+              while (it2.hasNext) {
+                any = true
+                val rel2 = relativize(base, it2.next().getPath.toUri.getPath)
+                if (!flagged.contains(rel2)) allVictims = false
+              }
+              if (!any || allVictims)
+                victims += relativize(base, s.getPath.toUri.getPath)
+            }
+          }
+        } else fs.listStatus(root).foreach { s =>
           if (s.isDirectory && !fs.listFiles(s.getPath, true).hasNext) {
             fs.delete(s.getPath, true)
             victims += relativize(base, s.getPath.toUri.getPath)
@@ -1683,7 +1712,7 @@ object VersionLog {
     // contiguous suffix, so every newer retained walk stops there).
     // This write is REQUIRED here, unlike the best-effort periodic
     // one: refuse to prune rather than strand a retained version.
-    retained.headOption.foreach { oldest =>
+    if (!dryRun) retained.headOption.foreach { oldest =>
       val raw = parseRaw(readJson(fs, versionFile(dir, oldest)))
       if (raw.full.isEmpty && readCheckpoint(fs, dir, oldest).isEmpty) {
         val files =
@@ -1699,10 +1728,16 @@ object VersionLog {
       }
     }
     versions.filterNot(retained.toSet).foreach { v =>
-      fs.delete(new Path(versionsRoot(dir), f"v-$v%08d.json"), false)
-      victims += f"_versions/v-$v%08d.json"
-      if (fs.delete(checkpointFile(dir, v), false))
-        victims += f"_versions/c-$v%08d.json"
+      if (dryRun) {
+        victims += f"_versions/v-$v%08d.json"
+        if (fs.exists(checkpointFile(dir, v)))
+          victims += f"_versions/c-$v%08d.json"
+      } else {
+        fs.delete(new Path(versionsRoot(dir), f"v-$v%08d.json"), false)
+        victims += f"_versions/v-$v%08d.json"
+        if (fs.delete(checkpointFile(dir, v), false))
+          victims += f"_versions/c-$v%08d.json"
+      }
     }
     victims.result().sorted
   }

@@ -168,10 +168,18 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(ob === filesBefore.toLong && oa === 1L && ov === 4L)
     assert(spark.sql("SELECT count(*) AS c, sum(k) AS s FROM graft.frag")
       .as[(Long, Long)].head() === ((300L, (0L until 300L).sum)))
+    // VACUUM DRY RUN: the exact preview, nothing touched
+    val (preview, wasDry) = spark
+      .sql("VACUUM graft.frag RETAIN 1 VERSIONS DRY RUN")
+      .as[(Long, Boolean)].head()
+    assert(preview > 0L && wasDry)
+    assert(VersionLog.listVersions(spark, fragDir) ===
+      Seq(1L, 2L, 3L, 4L), "DRY RUN must delete nothing")
     // VACUUM: only the latest version retained; retired files swept
     val removed = spark.sql("VACUUM graft.frag RETAIN 1 VERSIONS")
-      .as[Long].head()
-    assert(removed > 0L)
+      .select($"removed_files").as[Long].head()
+    assert(removed === preview,
+      "the dry run must preview exactly the real sweep")
     assert(VersionLog.listVersions(spark, fragDir) === Seq(4L))
     assert(spark.sql("SELECT count(*) AS c FROM graft.frag")
       .as[Long].head() === 300L)

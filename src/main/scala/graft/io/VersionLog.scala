@@ -191,9 +191,10 @@ object VersionLog {
     * full snapshots when avoidable: a delta-form commit's raw version
     * file IS the diff (one small read — the graft-cdc / graft-versions
     * consumers' per-commit cost stays O(change) regardless of table
-    * size); a full-form commit resolves its parent, and an
-    * unresolvable parent (vacuumed beyond the floor) degrades to "all
-    * files added", the batch bootstrap shape.
+    * size); a full-form commit resolves its parent. A vacuumed-away
+    * parent fails LOUDLY (the manifest diff — and for full-form
+    * commits the file diff — cannot be known without it); a consumer
+    * that can accept a degraded answer catches and decides itself.
     */
   private[graft] case class CommitDiff(parent: Long, action: String,
       added: Seq[String], removed: Seq[String],
@@ -205,9 +206,14 @@ object VersionLog {
     val raw = parseRaw(readJson(fs, versionFile(dir, v)))
     val parentDeletes =
       if (raw.parent == 0L) Seq.empty[String]
-      else scala.util.Try(
-        parseRaw(readJson(fs, versionFile(dir, raw.parent))).deletes)
-        .getOrElse(Seq.empty[String])
+      else {
+        val pf = versionFile(dir, raw.parent)
+        if (!fs.exists(pf)) throw new IllegalStateException(
+          s"cannot diff version $v of $dir: parent ${raw.parent} was " +
+            "vacuumed — resume from a retained version (set the " +
+            "vacuum consumer-lag floor) or bootstrap from a snapshot")
+        parseRaw(readJson(fs, pf)).deletes
+      }
     val dAdded = raw.deletes.filterNot(parentDeletes.toSet)
     val dRemoved = parentDeletes.filterNot(raw.deletes.toSet)
     raw.full match {
@@ -217,9 +223,7 @@ object VersionLog {
       case Some(files) =>
         val parentFiles =
           if (raw.parent == 0L) Seq.empty[String]
-          else scala.util.Try(
-            snapshot(spark, dir, Some(raw.parent)).files)
-            .getOrElse(Seq.empty[String])
+          else snapshot(spark, dir, Some(raw.parent)).files
         val pfSet = parentFiles.toSet
         val fSet = files.toSet
         CommitDiff(raw.parent, raw.action, files.filterNot(pfSet),

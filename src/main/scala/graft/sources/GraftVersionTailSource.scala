@@ -81,11 +81,19 @@ object GraftVersionTailSource {
       .filter(v => v > start && v <= end)
     versions.flatMap { v =>
       // delta-form commits carry their added files verbatim — one
-      // small read per commit, no snapshot resolution (full-form
-      // commits resolve the parent; a vacuumed parent degrades to
-      // "all files added", the bootstrap shape)
-      val diff = VersionLog.commitDiff(spark, dir, v)
-      diff.added.map(f => (v, diff.parent, diff.action, f))
+      // small read per commit, no snapshot resolution. This source
+      // emits FILE-level adds (no row images), so a vacuumed parent
+      // can safely degrade to "all files added" — the documented
+      // bootstrap shape (graft-cdc, which synthesizes row images,
+      // fails loudly instead: a degraded diff would be silent drift)
+      try {
+        val diff = VersionLog.commitDiff(spark, dir, v)
+        diff.added.map(f => (v, diff.parent, diff.action, f))
+      } catch {
+        case _: IllegalStateException =>
+          val snap = VersionLog.snapshot(spark, dir, Some(v))
+          snap.files.map(f => (v, snap.parent, snap.action, f))
+      }
     }
   }
 }

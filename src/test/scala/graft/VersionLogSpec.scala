@@ -1094,6 +1094,14 @@ class VersionLogSpec extends AnyFunSuite {
       VersionLog.snapshot(spark, dir, Some(5L))
     }
     assert(e.getMessage.contains("version 5 not in"))
+    // CDC synthesis of the oldest retained version fails LOUDLY: its
+    // diff parent (17) is gone — a degraded diff would be silent
+    // mirror drift (the file-level graft-versions tail, which emits
+    // no row images, degrades to all-files-added instead)
+    val ecdc = intercept[IllegalStateException] {
+      graft.sources.GraftCdcSource.changesForVersion(spark, dir, 18L)
+    }
+    assert(ecdc.getMessage.contains("vacuumed"), ecdc.getMessage)
   }
 }
 

@@ -124,7 +124,9 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("INSERT INTO graft.pp VALUES " +
       "(1, 'a'), (2, 'a'), (3, 'b'), (4, 'c')")
     val pruned = spark.sql("SELECT k FROM graft.pp WHERE p = 'a'")
-    assert(pruned.as[Long].collect().toSet === Set(1L, 2L))
+    // execute pruned ITSELF (.as[] re-plans from the logical plan and
+    // would leave these metrics at a trivially-passing zero)
+    assert(pruned.collect().map(_.getLong(0)).toSet === Set(1L, 2L))
     val scans = pruned.queryExecution.executedPlan.collect {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s
     }
@@ -133,8 +135,36 @@ class GraftCatalogSpec extends AnyFunSuite {
       pruned.queryExecution.executedPlan)
     val total = VersionLog.snapshot(spark, s"$warehouse/pp", None)
       .files.size
-    assert(scans.head.metrics("numFiles").value < total,
-      s"partition pruning must open fewer than all $total files")
+    val opened = scans.map(_.metrics("numFiles").value).sum
+    assert(opened > 0 && opened < total,
+      s"partition pruning must open 0 < n < $total files, opened $opened")
+  }
+
+  test("WRITE-TIME stats prune through the SQL door too: a point " +
+      "predicate on a FLAT catalog table opens one file out of many, " +
+      "with no manifest ever built") {
+    import spark.implicits._
+    warehouse
+    spark.sql("CREATE TABLE graft.skipsql (k BIGINT, v STRING)")
+    // four range-disjoint append commits = four boxed files
+    for (lo <- Seq(0L, 100L, 200L, 300L)) {
+      spark.createDataset((lo until lo + 100L).map(i => (i, s"v$i")))
+        .toDF("k", "v").coalesce(1)
+        .createOrReplaceTempView("skip_batch")
+      spark.sql("INSERT INTO graft.skipsql SELECT * FROM skip_batch")
+    }
+    val dir = s"$warehouse/skipsql"
+    assert(VersionLog.snapshot(spark, dir, None).files.size === 4)
+    val hit = spark.sql("SELECT v FROM graft.skipsql WHERE k = 250")
+    // execute hit ITSELF: .as[String] re-plans from the logical plan,
+    // leaving hit's own metrics untouched
+    assert(hit.collect().map(_.getString(0)).toSeq === Seq("v250"))
+    val scans = hit.queryExecution.executedPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+    }
+    assert(scans.nonEmpty)
+    assert(scans.map(_.metrics("numFiles").value).sum === 1L,
+      "the k box must prune to one file through the catalog door")
   }
 
   test("maintenance as SQL statements: ALTER TABLE ADD/DROP " +

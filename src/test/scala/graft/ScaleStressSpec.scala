@@ -521,6 +521,40 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(mirrored === live)
   }
 
+  test("STRESS: write-time stats skipping holds at 40-batch depth — " +
+      "a point probe opens ONE file of 40, planning stays sane") {
+    import spark.implicits._
+    import graft.io.VersionLog
+    val dir = java.nio.file.Files
+      .createTempDirectory("stress-skip").toString
+    VersionLog.init(spark, dir,
+      (0L until 1000L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1))
+    (1 until 40).foreach { b =>
+      val lo = b * 1000L
+      VersionLog.append(spark, dir,
+        (lo until lo + 1000L).map(i => (i, s"v$i")).toDF("k", "v")
+          .coalesce(1))
+    }
+    assert(VersionLog.snapshot(spark, dir, None).files.size === 40)
+    val hit = VersionLog.read(spark, dir).filter($"k" === 25500L)
+    assert(hit.select($"v").as[String].collect().toSeq === Seq("v25500"))
+    hit.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive
+          .QueryStageExec => scans(q.plan)
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+        Seq(sc)
+      case other => other.children.flatMap(scans)
+    }
+    val opened = scans(hit.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).sum
+    assert(opened === 1L,
+      s"40-batch point probe must open exactly one file, opened $opened")
+  }
+
   test("STRESS: 8 concurrent appenders on one table — every CAS loser " +
       "auto-rebases, all 8 land exactly once, no batch is ever " +
       "rewritten, and the delta-log chain resolves") {

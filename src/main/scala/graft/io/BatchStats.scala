@@ -115,8 +115,13 @@ object BatchStats {
   private def foldColumn(name: String, pt: PrimitiveType,
       blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData]):
       Option[Stat] = {
-    val chunks = blocks.flatMap(_.getColumns.asScala.find(
-      _.getPath.toDotString == name))
+    // match the exact single-segment path: a dot-string compare would
+    // confuse a top-level column literally named "a.b" with the leaf
+    // of a nested group a -> b (both render "a.b")
+    val chunks = blocks.flatMap(_.getColumns.asScala.find { c =>
+      val segs = c.getPath.toArray
+      segs.length == 1 && segs(0) == name
+    })
     if (chunks.size != blocks.size) return None // absent in a block
     val sts = chunks.map(_.getStatistics)
     // every row group must carry trustworthy statistics — parquet-mr

@@ -60,12 +60,13 @@ case class TableSnapshot(version: Long, parent: Long, action: String,
   * normally carries only the files its commit added and removed
   * relative to its parent, so committing to a million-file table
   * writes a batch-sized JSON, not a table-sized one (the Delta-log
-  * idea: O(change) per commit). Every [[CheckpointEvery]]-th commit
+  * idea: O(change) per commit). Every checkpoint-interval-th commit (default 16,
+  * `spark.graft.checkpointEvery`)
   * additionally publishes a full file-list checkpoint
   * (`_versions/c-<n>.json`, best-effort like the hint), and commits
   * whose diff would exceed their full list (init, clone, overwrite,
   * restore) stay full-form — so resolving any snapshot costs one
-  * checkpoint read plus at most [[CheckpointEvery]] delta-sized
+  * checkpoint read plus at most checkpoint-interval-many delta-sized
   * reads, never a data pass and never a whole-history replay.
   * [[vacuumVersions]] writes a covering checkpoint at the oldest
   * retained version before pruning, keeping every retained version
@@ -103,11 +104,22 @@ object VersionLog {
   /** Publish a full file-list checkpoint every this-many commits:
     * bounds any snapshot resolution to one checkpoint read plus at
     * most this many delta reads, while keeping per-commit write cost
-    * O(change). 16 trades ~KB-sized resolution chains against one
-    * table-sized metadata write per 16 commits (Delta's default
-    * checkpoint interval is 10; same order).
+    * O(change). The default 16 trades ~KB-sized resolution chains
+    * against one table-sized metadata write per 16 commits (Delta's
+    * default checkpoint interval is 10; same order). Override with
+    * `spark.graft.checkpointEvery` — a WRITER-side knob only: readers
+    * walk to whatever checkpoint or full-form commit exists, so
+    * mixed-interval histories resolve fine.
     */
-  private val CheckpointEvery = 16L
+  private val CheckpointEveryDefault = 16L
+
+  private def checkpointEvery(spark: SparkSession): Long =
+    try {
+      val v = spark.conf
+        .get("spark.graft.checkpointEvery",
+          CheckpointEveryDefault.toString).toLong
+      if (v >= 1L) v else CheckpointEveryDefault
+    } catch { case _: NumberFormatException => CheckpointEveryDefault }
 
   private def checkpointFile(dir: String, v: Long): Path =
     new Path(versionsRoot(dir), f"c-$v%08d.json")
@@ -166,7 +178,7 @@ object VersionLog {
     * is one direct open (the listing happens only to build the error
     * message). A delta-form version additionally walks its parent
     * chain to the nearest checkpoint or full-form commit — at most
-    * [[CheckpointEvery]] delta-sized reads.
+    * checkpoint-interval-many delta-sized reads.
     */
   def snapshot(spark: SparkSession, dir: String,
       version: Option[Long] = None): TableSnapshot = {
@@ -242,7 +254,7 @@ object VersionLog {
     * ancestor checkpoint/full-form list with the delta chain applied
     * oldest-first. Parent ids are contiguous (every commit CASes
     * parent+1), so the walk visits each intermediate version once and
-    * a checkpoint every [[CheckpointEvery]] commits bounds it.
+    * a checkpoint every checkpoint-interval commits bounds it.
     */
   private def resolveFiles(fs: FileSystem, dir: String,
       top: RawVersion): Seq[String] = top.full.getOrElse {
@@ -380,7 +392,8 @@ object VersionLog {
       throw new java.util.ConcurrentModificationException(
         s"version $next at $dir was committed by another writer")
     writeHint(fs, dir, next)
-    if (next % CheckpointEvery == 0L) writeCheckpoint(fs, dir, next, sorted)
+    if (next % checkpointEvery(spark) == 0L)
+      writeCheckpoint(fs, dir, next, sorted)
     // write-time data-skipping stats for the NEW files — O(change)
     // footer reads, best-effort, skipped for clones (the hard links
     // land under batch roots whose stats files link over with them)
@@ -418,7 +431,7 @@ object VersionLog {
 
   /** Best-effort full-list checkpoint publish (like [[writeHint]]:
     * failure is harmless — resolution falls back to a longer delta
-    * walk until the next multiple-of-[[CheckpointEvery]] commit).
+    * walk until the next multiple-of-interval commit).
     */
   private def writeCheckpoint(fs: FileSystem, dir: String, v: Long,
       files: Seq[String]): Unit =

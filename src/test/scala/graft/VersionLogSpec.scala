@@ -1060,6 +1060,23 @@ class VersionLogSpec extends AnyFunSuite {
       partitionBy = Some("p"))
     assert(vjson(21).contains("\"files\"") && !vjson(21).contains("\"adds\""))
     assert(rows(VersionLog.read(spark, dir)) === Set((1L, "only", "a")))
+    // the checkpoint interval is a writer-side conf: at 4, commits 24
+    // and 28 checkpoint (multiples of 4 past 21); readers resolve
+    // mixed-interval histories unchanged
+    spark.conf.set("spark.graft.checkpointEvery", "4")
+    try {
+      (1L to 7L).foreach { i =>
+        VersionLog.append(spark, dir,
+          Seq((2000L + i, s"c$i", "b")).toDF("k", "v", "p").coalesce(1),
+          partitionBy = Some("p"))
+      }
+      for (cv <- Seq(24L, 28L)) {
+        assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+          dir, "_versions", f"c-$cv%08d.json")), s"missing c-$cv")
+      }
+      assert(VersionLog.read(spark, dir).count() === 8L)
+      assert(VersionLog.read(spark, dir, Some(25L)).count() === 5L)
+    } finally spark.conf.unset("spark.graft.checkpointEvery")
   }
 
   test("VACUUM on a delta-log history: publishes a covering checkpoint " +

@@ -250,32 +250,54 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case m: MergeIntoTable =>
       graftTargetDir(m.targetTable) match {
         case Some(dir) =>
-          val (keyCol, deleteWhenSql) = MergeSql.interpretShape(m)
+          val (keyCol, deleteWhenSql, bySourceSql) =
+            MergeSql.interpretShape(m)
           GraftCatalogMergeCommand(dir, m.sourceTable,
-            keyCol, deleteWhenSql)
+            keyCol, deleteWhenSql, bySourceSql)
         case None => m
       }
     case d @ DeleteFromTable(target, condition) =>
       graftTargetDir(target) match {
         case Some(dir) =>
-          GraftDeleteCommand(dir, stripQualifiers(condition).sql)
+          GraftDeleteCommand(dir,
+            stripQualifiers(condition, targetQualifiers(target)).sql)
         case None => d
       }
     case u @ UpdateTable(target, assignments, condition) =>
       graftTargetDir(target) match {
         case Some(dir) =>
+          val quals = targetQualifiers(target)
           val sets = assignments.map {
             case Assignment(k: UnresolvedAttribute, v) =>
-              (k.nameParts.last, stripQualifiers(v).sql)
+              val bare = stripQualifiers(k, quals) match {
+                case a: UnresolvedAttribute => a
+                case other => throw new IllegalArgumentException(
+                  s"UPDATE SET target must be a column, got: $other")
+              }
+              require(bare.nameParts.length == 1,
+                s"UPDATE SET target '${k.sql}' is a struct field; " +
+                  "only top-level columns are assignable")
+              (bare.nameParts.head, stripQualifiers(v, quals).sql)
             case a => throw new IllegalArgumentException(
               s"UPDATE SET target must be a column, got: ${a.sql}")
           }
           GraftUpdateCommand(dir, sets,
-            condition.map(c => stripQualifiers(c).sql))
+            condition.map(c => stripQualifiers(c, quals).sql))
         case None => u
       }
     case other => other
   }
+
+  /** The names that may QUALIFY a column reference in this statement:
+    * the target's alias (if any) and its table identifier's last part.
+    */
+  private def targetQualifiers(target: LogicalPlan): Seq[String] =
+    target match {
+      case SubqueryAlias(id, u: UnresolvedRelation) =>
+        Seq(id.name, u.multipartIdentifier.last)
+      case u: UnresolvedRelation => Seq(u.multipartIdentifier.last)
+      case _ => Nil
+    }
 
   /** The statement target's graft table directory, or None when the
     * target is not an (aliased) identifier of a graft catalog table.
@@ -291,11 +313,22 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       .map { case (cat, ident) => cat.dirFor(ident) }
   }
 
-  /** Strip table/alias qualifiers so predicates and assignment values
-    * evaluate over the bare table frame (`t.k` -> `k`).
+  /** Strip the LEADING table/alias qualifier — and only that — so
+    * predicates and assignment values evaluate over the bare table
+    * frame (`t.k` -> `k`, `t.meta.ts` -> `meta.ts`). A multi-part
+    * reference whose head is NOT the statement's table name or alias
+    * is left intact: `meta.ts` stays a struct-field access instead of
+    * being silently collapsed to a bare `ts` (which could rebind to a
+    * same-named top-level column and mutate the wrong rows).
     */
-  private def stripQualifiers(e: Expression): Expression = e.transform {
-    case a: UnresolvedAttribute => UnresolvedAttribute(Seq(a.nameParts.last))
+  private def stripQualifiers(e: Expression,
+      quals: Seq[String]): Expression = {
+    val resolver = session.sessionState.conf.resolver
+    e.transform {
+      case a: UnresolvedAttribute if a.nameParts.length > 1 &&
+          quals.exists(resolver(_, a.nameParts.head)) =>
+        UnresolvedAttribute(a.nameParts.tail)
+    }
   }
 
   override def parseExpression(sqlText: String): Expression =
@@ -326,7 +359,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   * drained partition counts.
   */
 case class GraftCatalogMergeCommand(dir: String, source: LogicalPlan,
-    keyCol: String, deleteWhenSql: Option[String])
+    keyCol: String, deleteWhenSql: Option[String],
+    bySourceDeleteSql: Option[String] = None)
     extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
@@ -344,15 +378,18 @@ case class GraftCatalogMergeCommand(dir: String, source: LogicalPlan,
     require(VersionLog.listVersions(spark, dir).nonEmpty,
       s"MERGE INTO target $dir is not a versioned graft table")
     val snap = VersionLog.snapshot(spark, dir, None)
-    val partCol = snap.files.flatMap(_.split("/").filter(_.contains("="))
-        .map(_.split("=", 2)(0))).distinct match {
+    // directory segments only: a data file basename containing '='
+    // must not be misparsed as a partition column
+    val partCol = snap.files.flatMap(_.split("/").dropRight(1)
+        .filter(_.contains("=")).map(_.split("=", 2)(0))).distinct match {
       case Seq(one) => one
       case other => throw new IllegalArgumentException(
         s"MERGE INTO requires exactly one partition level at $dir, " +
           s"found: ${other.mkString(",")}")
     }
     val (stats, _, version) = VersionLog.mergeByKeyCdc(spark, dir, src,
-      keyCol, partCol, deleteWhenSql.map(expr))
+      keyCol, partCol, deleteWhenSql.map(expr),
+      bySourceDelete = bySourceDeleteSql.map(expr))
     Seq(Row(version, stats.outputRows, stats.touchedPartitions.size,
       stats.removedPartitions.size))
   }
@@ -465,8 +502,8 @@ case class GraftDescribeDetailCommand(dir: String)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = snap.files.map(f => fs.getFileStatus(
       new org.apache.hadoop.fs.Path(base, f)).getLen).sum
-    val partCol = snap.files.flatMap(_.split("/").filter(_.contains("="))
-      .map(_.split("=", 2)(0))).distinct match {
+    val partCol = snap.files.flatMap(_.split("/").dropRight(1)
+      .filter(_.contains("=")).map(_.split("=", 2)(0))).distinct match {
       case Seq(one) => one
       case _ => null
     }

@@ -76,10 +76,13 @@ object BatchStats {
                   .map(rel -> _)
               }.seq.flatten
             if (entries.nonEmpty) {
-              val out = fs.create(target, false)
-              try out.write(
-                renderJson(entries).getBytes(StandardCharsets.UTF_8))
-              finally out.close()
+              // publish through the same tmp + atomic no-replace path
+              // as version files: a crash mid-write must never leave a
+              // torn sidecar (it would both disable skipping for the
+              // batch AND block re-harvest via the exists-check above)
+              VersionLog.atomicCreate(fs, new Path(s"$base/$root"),
+                target, renderJson(entries))
+              ()
             }
           }
         } catch { case _: Exception => () } // conservative: no stats

@@ -124,19 +124,31 @@ object MergeInto {
     * semantics: a target row may match at most one source row —
     * silently letting both through would make the change feed and the
     * survivor anti-join disagree).
+    *
+    * `bySourceDelete` adds Delta's `WHEN NOT MATCHED BY SOURCE
+    * [AND <cond>] THEN DELETE` clause — the full-sync mirror: target
+    * rows whose key is ABSENT from the batch and whose condition
+    * (over the target row; `lit(true)` = unconditional) holds are
+    * deleted, with `delete` images in the feed. The clause widens the
+    * blast radius to every partition holding such a row (a true
+    * mirror of a full source rewrites everything the source no longer
+    * covers — the inherent cost of the clause, same as Delta's);
+    * discovery stays a column-pruned scan.
     */
   def mergeByKeyCdc(spark: SparkSession, dir: String, updates: DataFrame,
       keyCol: String, partCol: String, deleteWhen: Option[Column] = None,
-      maxTouchedPartitions: Int = 4096): (MergeStats, DataFrame) = {
+      maxTouchedPartitions: Int = 4096,
+      bySourceDelete: Option[Column] = None): (MergeStats, DataFrame) = {
     val (stats, feed) = merge(spark, dir, updates, keyCol, partCol,
-      deleteWhen, maxTouchedPartitions, cdc = true)
+      deleteWhen, maxTouchedPartitions, cdc = true, bySourceDelete)
     (stats, feed.get)
   }
 
   private def merge(spark: SparkSession, dir: String, updates: DataFrame,
       keyCol: String, partCol: String, deleteWhen: Option[Column],
-      maxTouchedPartitions: Int,
-      cdc: Boolean): (MergeStats, Option[DataFrame]) = {
+      maxTouchedPartitions: Int, cdc: Boolean,
+      bySourceDelete: Option[Column] = None):
+      (MergeStats, Option[DataFrame]) = {
     // heal FIRST, before any scan of the target: a previous run that
     // crashed between a partition delete and its rename left that
     // partition's only copy (survivors included) under staging — the
@@ -190,7 +202,26 @@ object MergeInto {
         v == null || String.valueOf(v).isEmpty),
       s"matched keys live in the null/empty-$partCol default " +
         "partition, which this merge cannot address")
-    val touched = (distinctParts ++ matchedHomes).distinct
+    // WHEN NOT MATCHED BY SOURCE: homes of target rows whose key is
+    // absent from the batch and whose delete condition holds — the
+    // full-sync mirror clause widens the blast radius to wherever
+    // such rows live (Delta's clause scans the whole target the same
+    // way; the scan here is column-pruned to key+partition+condition)
+    val bySourceHomes = bySourceDelete.fold(Array.empty[Any]) { c =>
+      target.filter(coalesce(c, lit(false)))
+        .join(allKeys, Seq(keyCol), "left_anti")
+        .select(col(partCol)).distinct()
+        .limit(maxTouchedPartitions + 1).collect().map(_.get(0))
+    }
+    require(bySourceHomes.length <= maxTouchedPartitions,
+      s"NOT MATCHED BY SOURCE rows live in > $maxTouchedPartitions " +
+        "partitions")
+    require(!bySourceHomes.exists(v =>
+        v == null || String.valueOf(v).isEmpty),
+      s"NOT MATCHED BY SOURCE rows live in the null/empty-$partCol " +
+        "default partition, which this merge cannot address")
+    val touched = (distinctParts ++ matchedHomes ++ bySourceHomes)
+      .distinct
     if (touched.isEmpty) {
       val empty =
         if (!cdc) None
@@ -200,6 +231,10 @@ object MergeInto {
 
     val targetTouched = target.filter(col(partCol).isin(touched: _*))
     val dataCols = target.columns.map(col).toIndexedSeq
+    // touched-partition rows whose key the batch does not carry: they
+    // survive, unless the NOT MATCHED BY SOURCE condition deletes them
+    // (NULL condition = not satisfied = the row survives, 3VL)
+    val notMatched = targetTouched.join(allKeys, Seq(keyCol), "left_anti")
     val changes = if (!cdc) None else {
       // before-images: full rows of every matched key (their homes are
       // all inside `touched` by construction)
@@ -214,13 +249,17 @@ object MergeInto {
       val deletes = tombstones.fold(oldMatched.limit(0)) { t =>
         oldMatched.join(t.select(col(keyCol)), Seq(keyCol), "left_semi")
       }
+      val bySourceDeletes = bySourceDelete.fold(oldMatched.limit(0))(c =>
+        notMatched.filter(coalesce(c, lit(false))))
       Some(updatePre.withColumn("_op", lit("update_pre"))
         .unionByName(updatePost.withColumn("_op", lit("update_post")))
         .unionByName(inserts.withColumn("_op", lit("insert")))
-        .unionByName(deletes.withColumn("_op", lit("delete"))))
+        .unionByName(deletes.withColumn("_op", lit("delete")))
+        .unionByName(bySourceDeletes.withColumn("_op", lit("delete"))))
     }
 
-    val survivors = targetTouched.join(allKeys, Seq(keyCol), "left_anti")
+    val survivors = bySourceDelete.fold(notMatched)(c =>
+      notMatched.filter(!coalesce(c, lit(false))))
     val merged = survivors.unionByName(upserts.select(dataCols: _*))
     // land the merged rows in a sibling staging directory, then publish
     // per partition via delete + rename: ONE data write, and the write

@@ -23,7 +23,12 @@ import org.apache.spark.sql.functions.expr
   *   [WHEN MATCHED AND <cond> THEN DELETE]
   *   WHEN MATCHED THEN UPDATE SET *
   *   WHEN NOT MATCHED THEN INSERT *
+  *   [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE]
   * }}}
+  *
+  * The BY SOURCE clause (Delta's full-sync mirror) deletes target
+  * rows whose key is absent from the source; its condition evaluates
+  * over the TARGET row.
   *
   * `<target>` resolves to a partitioned parquet directory via the
   * caller's mapping (a path-based layout has no catalog); `<source>`
@@ -61,25 +66,28 @@ object MergeSql {
       case other => throw new IllegalArgumentException(
         s"unsupported MERGE source: $other")
     }
-    val (keyCol, deleteWhenSql) = interpretShape(m)
+    val (keyCol, deleteWhenSql, bySourceSql) = interpretShape(m)
     val partCol = discoverPartCol(spark, dir)
     // tombstone marker columns live only on the source; project the
     // target's schema plus whatever the delete predicate needs —
     // mergeByKeyCdc ignores extra columns via its own projections
     MergeInto.mergeByKeyCdc(spark, dir, source, keyCol, partCol,
-      deleteWhenSql.map(expr), maxTouchedPartitions)
+      deleteWhenSql.map(expr), maxTouchedPartitions,
+      bySourceDelete = bySourceSql.map(expr))
   }
 
   /** Interpret the engine-supported MERGE shape out of Spark's raw
-    * parse tree: the single key column from the ON condition and the
-    * optional tombstone predicate (qualifier-stripped SQL, to
-    * evaluate over the bare source frame). Refuses anything the merge
-    * does not implement — shared by the view-mapped [[mergeSql]] front
+    * parse tree: the single key column from the ON condition, the
+    * optional tombstone predicate (qualifier-stripped SQL, evaluating
+    * over the bare source frame), and the optional NOT MATCHED BY
+    * SOURCE delete predicate (over the bare TARGET frame; `"true"`
+    * for the unconditional clause). Refuses anything the merge does
+    * not implement — shared by the view-mapped [[mergeSql]] front
     * door and the catalog's
     * [[graft.catalog.GraftCatalogMergeCommand]].
     */
-  private[graft] def interpretShape(
-      m: MergeIntoTable): (String, Option[String]) = {
+  private[graft] def interpretShape(m: MergeIntoTable):
+      (String, Option[String], Option[String]) = {
     val keyCol = m.mergeCondition match {
       case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
           if a.nameParts.last.equalsIgnoreCase(b.nameParts.last) =>
@@ -88,12 +96,24 @@ object MergeSql {
         "MERGE ON must be target.<k> = source.<k> on one key column, " +
           s"got: ${other.sql}")
     }
+    // the DELETE condition evaluates over the bare SOURCE frame:
+    // strip only the source's alias/table qualifier, leaving other
+    // multi-part references (struct fields) intact
+    val srcQuals = m.sourceTable match {
+      case org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(
+          id, u: UnresolvedRelation) =>
+        Seq(id.name, u.multipartIdentifier.last)
+      case u: UnresolvedRelation => Seq(u.multipartIdentifier.last)
+      case org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(
+          id, _) => Seq(id.name)
+      case _ => Nil
+    }
     // WHEN MATCHED clauses: at most one conditional DELETE plus the
     // unconditional UPDATE SET * (standard first-match-wins order)
     val deleteWhenSql = m.matchedActions match {
       case Seq(UpdateStarAction(None)) => None
       case Seq(DeleteAction(Some(cond)), UpdateStarAction(None)) =>
-        Some(stripQualifiers(cond).sql)
+        Some(stripQualifiers(cond, srcQuals).sql)
       case other => throw new IllegalArgumentException(
         "supported WHEN MATCHED forms: [AND <cond> THEN DELETE,] " +
           s"THEN UPDATE SET * — got: $other")
@@ -103,9 +123,25 @@ object MergeSql {
       case other => throw new IllegalArgumentException(
         s"WHEN NOT MATCHED must be THEN INSERT *, got: $other")
     }
-    require(m.notMatchedBySourceActions.isEmpty,
-      "WHEN NOT MATCHED BY SOURCE is not supported")
-    (keyCol, deleteWhenSql)
+    // the BY SOURCE condition evaluates over the bare TARGET frame:
+    // strip the target's alias/table qualifier only
+    val tgtQuals = m.targetTable match {
+      case org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(
+          id, u: UnresolvedRelation) =>
+        Seq(id.name, u.multipartIdentifier.last)
+      case u: UnresolvedRelation => Seq(u.multipartIdentifier.last)
+      case _ => Nil
+    }
+    val bySourceSql = m.notMatchedBySourceActions match {
+      case Seq() => None
+      case Seq(DeleteAction(None)) => Some("true")
+      case Seq(DeleteAction(Some(cond))) =>
+        Some(stripQualifiers(cond, tgtQuals).sql)
+      case other => throw new IllegalArgumentException(
+        "WHEN NOT MATCHED BY SOURCE supports only [AND <cond>] THEN " +
+          s"DELETE, got: $other")
+    }
+    (keyCol, deleteWhenSql, bySourceSql)
   }
 
   /** The partition column of a hive-layout dataset, from its
@@ -124,10 +160,17 @@ object MergeSql {
     names.head
   }
 
-  /** Strip table/alias qualifiers so the predicate evaluates over the
-    * bare source frame (`updates._del` -> `_del`).
+  /** Strip the LEADING source alias/table qualifier — and only that —
+    * so the predicate evaluates over the bare source frame
+    * (`updates._del` -> `_del`, `updates.meta.flag` -> `meta.flag`).
+    * Other multi-part references stay intact (struct-field accesses
+    * must not collapse to their leaf name). Case-insensitive match,
+    * like Spark's default resolver.
     */
-  private def stripQualifiers(e: Expression): Expression = e.transform {
-    case a: UnresolvedAttribute => UnresolvedAttribute(Seq(a.nameParts.last))
+  private def stripQualifiers(e: Expression,
+      quals: Seq[String]): Expression = e.transform {
+    case a: UnresolvedAttribute if a.nameParts.length > 1 &&
+        quals.exists(_.equalsIgnoreCase(a.nameParts.head)) =>
+      UnresolvedAttribute(a.nameParts.tail)
   }
 }

@@ -387,7 +387,8 @@ object VersionLog {
     val sorted = files.sorted
     val delta = deltaAgainstParent(fs, dir, parent, sorted, parentFiles)
     val json = renderSnapshot(TableSnapshot(next, parent, action,
-      sorted, feed, deletes.sorted, constraints, schemaJson), delta)
+      sorted, feed, deletes.sorted, constraints, schemaJson), delta,
+      tsMillis = Some(System.currentTimeMillis()))
     if (!atomicCreate(fs, root, target, json))
       throw new java.util.ConcurrentModificationException(
         s"version $next at $dir was committed by another writer")
@@ -463,7 +464,7 @@ object VersionLog {
     * destination exists. Either way a torn write is impossible at the
     * target: content lands complete before the name becomes visible.
     */
-  private def atomicCreate(fs: FileSystem, root: Path, target: Path,
+  private[io] def atomicCreate(fs: FileSystem, root: Path, target: Path,
       content: String): Boolean = {
     val tmp = new Path(root,
       s".tmp-${target.getName}-${java.util.UUID.randomUUID.toString.take(8)}")
@@ -666,7 +667,9 @@ object VersionLog {
   def mergeByKeyCdc(spark: SparkSession, dir: String, updates: DataFrame,
       keyCol: String, partCol: String, deleteWhen: Option[Column] = None,
       maxTouchedPartitions: Int = 4096,
-      actionTag: String = "merge"): (MergeStats, DataFrame, Long) = {
+      actionTag: String = "merge",
+      bySourceDelete: Option[Column] = None):
+      (MergeStats, DataFrame, Long) = {
     val snap = snapshot(spark, dir, None)
     healStagedFeeds(spark, dir)
     // a merge's matched/survivor arithmetic would have to thread the
@@ -729,7 +732,24 @@ object VersionLog {
         v == null || String.valueOf(v).isEmpty),
       s"matched keys live in the null/empty-$partCol default " +
         "partition, which this merge cannot address")
-    val touched = (distinctParts ++ matchedHomes).distinct
+    // WHEN NOT MATCHED BY SOURCE: homes of pinned rows whose key the
+    // batch does not carry and whose delete condition holds — the
+    // mirror clause's blast radius (column-pruned discovery scan)
+    val bySourceHomes = bySourceDelete.fold(Array.empty[Any]) { c =>
+      table.filter(coalesce(c, lit(false)))
+        .join(allKeys, Seq(keyCol), "left_anti")
+        .select(col(partCol)).distinct()
+        .limit(maxTouchedPartitions + 1).collect().map(_.get(0))
+    }
+    require(bySourceHomes.length <= maxTouchedPartitions,
+      s"NOT MATCHED BY SOURCE rows live in > $maxTouchedPartitions " +
+        "partitions")
+    require(!bySourceHomes.exists(v =>
+        v == null || String.valueOf(v).isEmpty),
+      s"NOT MATCHED BY SOURCE rows live in the null/empty-$partCol " +
+        "default partition, which this merge cannot address")
+    val touched = (distinctParts ++ matchedHomes ++ bySourceHomes)
+      .distinct
     if (touched.isEmpty) {
       val feed = MergeInto.writeFeedBatch(spark, dir,
         table.limit(0).withColumn("_op", lit("insert")))
@@ -770,12 +790,19 @@ object VersionLog {
     val deletes = tombstones.fold(oldMatched.limit(0)) { t =>
       oldMatched.join(t.select(col(keyCol)), Seq(keyCol), "left_semi")
     }
+    // rows the batch does not match: survive, unless the NOT MATCHED
+    // BY SOURCE condition deletes them (NULL = not satisfied = kept)
+    val notMatched = targetTouched.join(allKeys, Seq(keyCol), "left_anti")
+    val bySourceDeletes = bySourceDelete.fold(oldMatched.limit(0))(c =>
+      notMatched.filter(coalesce(c, lit(false))))
     val changes = updatePre.withColumn("_op", lit("update_pre"))
       .unionByName(updatePost.withColumn("_op", lit("update_post")))
       .unionByName(inserts.withColumn("_op", lit("insert")))
       .unionByName(deletes.withColumn("_op", lit("delete")))
+      .unionByName(bySourceDeletes.withColumn("_op", lit("delete")))
 
-    val survivors = targetTouched.join(allKeys, Seq(keyCol), "left_anti")
+    val survivors = bySourceDelete.fold(notMatched)(c =>
+      notMatched.filter(!coalesce(c, lit(false))))
     val merged = survivors.unionByName(upserts.select(dataCols: _*))
     // the feed STAGING and the batch write are independent actions
     // that both only read pinned (immutable) files — run them
@@ -811,6 +838,15 @@ object VersionLog {
                 s"${latest.deletes.size} equality-delete manifests — " +
                 "applyDeletesCommit, then re-run")
           inter.foreach { case (s, added, removed) =>
+            // a NOT MATCHED BY SOURCE merge read the WHOLE table (any
+            // row absent from the source is a potential victim) — no
+            // interleaved file change is provably disjoint from it
+            if (bySourceDelete.isDefined &&
+                (added.nonEmpty || removed.nonEmpty))
+              throw new java.util.ConcurrentModificationException(
+                s"merge at $dir cannot rebase: NOT MATCHED BY SOURCE " +
+                  "reads the whole table and concurrent commit " +
+                  s"v${s.version} (${s.action}) changed files — re-run")
             if ((added ++ removed).exists(isTouchedFile))
               throw new java.util.ConcurrentModificationException(
                 s"merge at $dir cannot rebase: concurrent commit " +
@@ -893,22 +929,27 @@ object VersionLog {
       .orderBy(col("version"))
   }
 
-  /** Commit timestamps — Delta's pre-ICT convention: a version's time
-    * is its version FILE's modification time (the file is created once
-    * by the atomic publish and never rewritten, so its mtime IS the
-    * commit instant), adjusted to be strictly monotonic in version
-    * order (clock skew between racing writers, or a coarse-mtime
-    * filesystem, can otherwise make a later version look older —
-    * Delta applies the same max(parent+1) clamp). Returns
-    * (version, adjustedMillis) ascending; metadata-only (one file
-    * status per retained version, never a data read).
+  /** Commit timestamps — IN-COMMIT instants (Delta's ICT feature):
+    * every r15+ version file carries the writer's commit instant in
+    * its JSON (`"ts"`), so the answer survives any copy, sync, or
+    * backup tool that does not preserve mtimes — the pre-ICT
+    * convention (the version FILE's modification time) silently
+    * shifted every `TIMESTAMP AS OF` answer after such a copy.
+    * Pre-r15 files without the field fall back to their mtime.
+    * Either way the sequence is adjusted to be strictly monotonic in
+    * version order (clock skew between racing writers can make a
+    * later version look older — Delta applies the same clamp).
+    * Returns (version, adjustedMillis) ascending; metadata-only (one
+    * small JSON read per retained version, never a data read).
     */
   def commitTimestamps(spark: SparkSession,
       dir: String): Seq[(Long, Long)] = {
     val fs = fsFor(spark, dir)
     var last = Long.MinValue
     listVersions(spark, dir).map { v =>
-      val raw = fs.getFileStatus(versionFile(dir, v)).getModificationTime
+      val p = versionFile(dir, v)
+      val raw = parseRaw(readJson(fs, p)).tsMillis.getOrElse(
+        fs.getFileStatus(p).getModificationTime)
       val adj = if (last == Long.MinValue) raw else math.max(raw, last + 1)
       last = adj
       (v, adj)
@@ -1352,9 +1393,15 @@ object VersionLog {
         "fold them first (applyDeletesCommit)")
     require(sets.nonEmpty, "UPDATE needs at least one assignment")
     val resolver = spark.sessionState.conf.resolver
-    require(sets.map(_._1.toLowerCase).distinct.size == sets.size,
-      s"duplicate assignment targets: ${sets.map(_._1).mkString(",")}")
-    val partCols = snap.files.flatMap(_.split("/")
+    // duplicate detection with the SAME resolver the column matching
+    // uses: under spark.sql.caseSensitive=true two columns differing
+    // only in case are legitimately distinct targets
+    for (i <- sets.indices; j <- i + 1 until sets.size)
+      require(!resolver(sets(i)._1, sets(j)._1),
+        s"duplicate assignment target '${sets(j)._1}'")
+    // partition columns come from DIRECTORY segments only — a data
+    // file whose basename contains '=' must not be misparsed as one
+    val partCols = snap.files.flatMap(_.split("/").dropRight(1)
       .filter(_.contains("=")).map(_.split("=", 2)(0))).distinct
     sets.foreach { case (c, _) =>
       require(!partCols.exists(resolver(_, c)),
@@ -1769,12 +1816,14 @@ object VersionLog {
     * list.
     */
   private def renderSnapshot(s: TableSnapshot,
-      delta: Option[(Seq[String], Seq[String])] = None): String = {
+      delta: Option[(Seq[String], Seq[String])] = None,
+      tsMillis: Option[Long] = None): String = {
     def esc(x: String) = x.replace("\\", "\\\\").replace("\"", "\\\"")
     def arr(xs: Seq[String]) =
       xs.map(f => "\"" + esc(f) + "\"").mkString(",")
     s"""{"version":${s.version},"parent":${s.parent},""" +
       s""""action":"${esc(s.action)}",""" +
+      tsMillis.fold("")(t => s""""ts":$t,""") +
       s.feed.fold("")(f => s""""feed":"${esc(f)}",""") +
       (if (s.deletes.isEmpty) ""
        else s""""deletes":[${arr(s.deletes)}],""") +
@@ -1798,7 +1847,8 @@ object VersionLog {
   private case class RawVersion(version: Long, parent: Long,
       action: String, full: Option[Seq[String]], adds: Seq[String],
       removes: Seq[String], feed: Option[String], deletes: Seq[String],
-      constraints: Seq[(String, String)], schemaJson: Option[String])
+      constraints: Seq[(String, String)], schemaJson: Option[String],
+      tsMillis: Option[Long])
 
   private def parseRaw(json: String): RawVersion = {
     val node = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -1818,6 +1868,7 @@ object VersionLog {
       Option(node.get("constraints")).toSeq // absent pre-r13: Nil
         .flatMap(_.fields().asScala.map(e =>
           (e.getKey, e.getValue.asText)).toSeq),
-      Option(node.get("schema")).map(_.toString)) // absent pre-r14
+      Option(node.get("schema")).map(_.toString), // absent pre-r14
+      Option(node.get("ts")).map(_.asLong)) // absent pre-r15: mtime
   }
 }

@@ -2294,6 +2294,53 @@ object PipelineQueries {
           sum($"doc_id").as("sum_id"))
         .orderBy($"lang")
     },
+    "q154_merge_mirror" -> { (s, d) =>
+      import s.implicits._
+      // FULL-SYNC MIRROR MERGE: the three-clause `MERGE INTO` with
+      // `WHEN NOT MATCHED BY SOURCE AND t.lang = 'de' THEN DELETE`
+      // through the catalog SQL front door — matched rows update (or
+      // tombstone-delete), source-only keys insert, and target rows
+      // the source no longer covers are deleted where the condition
+      // holds (Delta's mirror clause; public protocol semantics
+      // re-implemented on the version-log commit). One copy-on-write
+      // commit; the CDC feed carries delete images for the by-source
+      // victims (spec-pinned in GraftCatalogSpec). The oracle replays
+      // the statement relationally over the pristine corpus: a
+      // by-source delete that over- or under-fires, or an upsert
+      // misclassified by the widened blast radius, cannot hash-match.
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.catalog.GraftCatalog].getName)
+      val dir = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft-mirror-${Integer.toHexString(d.hashCode)}" +
+        s"-${ProcessHandle.current().pid()}"
+      buildOnce(dir) {
+        val docs = documents(s, d)
+        VersionLog.init(s, dir, docs, partitionBy = Some("lang"))
+        docs.filter($"lang" === "fr" && $"doc_id" % 17 === 0)
+          .withColumn("text", concat($"text", lit(" [v2]")))
+          .withColumn("_del", lit(false))
+          .unionByName(docs.filter($"doc_id" % 31 === 0)
+            .withColumn("doc_id", $"doc_id" + 100000000L)
+            .withColumn("lang", lit("xx"))
+            .withColumn("_del", lit(false)))
+          .unionByName(docs
+            .filter($"lang" === "de" && $"doc_id" % 13 === 0)
+            .withColumn("_del", lit(true)))
+          .createOrReplaceTempView("q154_source")
+        s.sql(s"""MERGE INTO graft.`$dir` AS t USING q154_source AS u
+            ON t.doc_id = u.doc_id
+            WHEN MATCHED AND u._del THEN DELETE
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+            WHEN NOT MATCHED BY SOURCE AND t.lang = 'de' THEN DELETE""")
+      }
+      VersionLog.read(s, dir)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(length($"text")).as("sum_len"),
+          sum($"doc_id").as("sum_ids"))
+        .orderBy($"lang")
+    },
     "q146_cdc_replay" -> { (s, d) =>
       import s.implicits._
       // ALL-DOORS CHANGE-DATA-CAPTURE REPLAY: reconstruct the CURRENT
@@ -4013,6 +4060,23 @@ object PipelineQueries {
            CAST(sum(length(text)) AS BIGINT) AS sum_len,
            CAST(sum(doc_id) AS BIGINT) AS sum_id
          FROM survivors GROUP BY lang ORDER BY lang""",
+    "q154_merge_mirror" ->
+      """WITH upd AS (
+           SELECT doc_id, text || ' [v2]' AS text, lang
+           FROM documents WHERE lang = 'fr' AND doc_id % 17 = 0
+           UNION ALL
+           SELECT doc_id + 100000000, text, 'xx' AS lang
+           FROM documents WHERE doc_id % 31 = 0),
+         merged AS (
+           SELECT d.doc_id, d.text, d.lang FROM documents d
+           WHERE NOT EXISTS (SELECT 1 FROM upd u
+                             WHERE u.doc_id = d.doc_id)
+             AND d.lang <> 'de'
+           UNION ALL SELECT doc_id, text, lang FROM upd)
+         SELECT lang, count(*) AS n_rows,
+           CAST(sum(length(text)) AS BIGINT) AS sum_len,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         FROM merged GROUP BY lang ORDER BY lang""",
     "q146_cdc_replay" ->
       """WITH finalstate AS (
            SELECT doc_id, text || ' [rw]' AS text, 'fr' AS lang

@@ -461,18 +461,46 @@ private final class GraftFileIndex(spark: SparkSession, dir: String,
     * scan-level widening), so no rewrite is needed. Any other change
     * is rejected loudly, never coerced.
     */
+  /** Unify two batch types: widening evolution on primitives, and
+    * RECURSIVE unification through structs/arrays/maps where
+    * nullability differences resolve to the more-nullable side (a
+    * batch written from non-null literals must union with a declared
+    * nullable struct — nested nullability is a property of one batch,
+    * never a reason to refuse the table). Struct fields match by
+    * name; a field present on one side only surfaces nullable.
+    */
   private def widen(a: org.apache.spark.sql.types.DataType,
       b: org.apache.spark.sql.types.DataType):
       Option[org.apache.spark.sql.types.DataType] = {
     import org.apache.spark.sql.types._
     val ints = IndexedSeq[DataType](ByteType, ShortType, IntegerType,
       LongType)
-    if (a == b) Some(a)
-    else if (ints.contains(a) && ints.contains(b))
-      Some(ints(math.max(ints.indexOf(a), ints.indexOf(b))))
-    else if ((a == FloatType || a == DoubleType) &&
-        (b == FloatType || b == DoubleType)) Some(DoubleType)
-    else None
+    (a, b) match {
+      case _ if a == b => Some(a)
+      case _ if ints.contains(a) && ints.contains(b) =>
+        Some(ints(math.max(ints.indexOf(a), ints.indexOf(b))))
+      case (FloatType | DoubleType, FloatType | DoubleType) =>
+        Some(DoubleType)
+      case (sa: StructType, sb: StructType) =>
+        val extra = sb.fields.filterNot(f =>
+          sa.fieldNames.contains(f.name))
+        val merged = sa.fields.map { f =>
+          sb.fields.find(_.name == f.name) match {
+            case None => Some(f.copy(nullable = true))
+            case Some(g) => widen(f.dataType, g.dataType).map(t =>
+              f.copy(dataType = t, nullable = f.nullable || g.nullable))
+          }
+        }
+        if (merged.exists(_.isEmpty)) None
+        else Some(StructType(
+          merged.flatten ++ extra.map(_.copy(nullable = true))))
+      case (ArrayType(ea, na), ArrayType(eb, nb)) =>
+        widen(ea, eb).map(ArrayType(_, na || nb))
+      case (MapType(ka, va, na), MapType(kb, vb, nb)) =>
+        for (k <- widen(ka, kb); v <- widen(va, vb))
+          yield MapType(k, v, na || nb)
+      case _ => None
+    }
   }
 
   override def rootPaths: Seq[Path] = Seq(basePath)

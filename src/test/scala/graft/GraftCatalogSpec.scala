@@ -115,6 +115,68 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(feedSig(sqlFeed) === feedSig(apiFeed))
   }
 
+  test("MERGE WHEN NOT MATCHED BY SOURCE through the catalog: the " +
+      "full-sync mirror commits as ONE version, prior versions " +
+      "time-travel whole, the CDC feed carries delete images for the " +
+      "by-source victims, and a conditional clause leaves " +
+      "out-of-scope partitions carried by reference") {
+    import spark.implicits._
+    warehouse
+    val dir = Files.createTempDirectory("vmirror").toString
+    VersionLog.init(spark,
+      dir, Seq((1L, "one", "a"), (2L, "two", "a"), (3L, "three", "b"),
+        (4L, "four", "b"), (6L, "six", "c"), (8L, "eight", "d"))
+        .toDF("k", "v", "p"), partitionBy = Some("p"))
+    val v1Files = VersionLog.snapshot(spark, dir, None).files
+    Seq((2L, "two2", "a", false), (7L, "seven", "b", false),
+        (6L, "gone", "zz", true)).toDF("k", "v", "p", "_del")
+      .createOrReplaceTempView("mirror_cat_v")
+    spark.sql(
+      s"""MERGE INTO graft.`$dir` AS t USING mirror_cat_v AS s
+          ON t.k = s.k
+          WHEN MATCHED AND s._del THEN DELETE
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *
+          WHEN NOT MATCHED BY SOURCE AND t.p = 'b' THEN DELETE""")
+    assert(VersionLog.read(spark, dir).select($"k", $"v", $"p")
+      .as[(Long, String, String)].collect().toSet ===
+      Set((1L, "one", "a"), (2L, "two2", "a"), (7L, "seven", "b"),
+        (8L, "eight", "d")))
+    // one commit; the pre-mirror version reads whole
+    assert(VersionLog.listVersions(spark, dir) === Seq(1L, 2L))
+    assert(VersionLog.read(spark, dir, Some(1L)).count() === 6L)
+    // p=d (no upsert, no victim): carried by reference in the new list
+    val v2 = VersionLog.snapshot(spark, dir, None)
+    assert(v1Files.filter(_.contains("p=d")).toSet.subsetOf(
+      v2.files.toSet), "out-of-scope partition must carry by reference")
+    // feed images: by-source victims are `delete` rows with before
+    // images, same shape as tombstone deletes (graft-cdc door)
+    val feed = spark.read.format("graft-cdc").load(dir)
+      .filter($"_feed_batch" === 2L)
+    assert(feed.select($"_op", $"k").as[(String, Long)].collect()
+      .toSet === Set(("update_pre", 2L), ("update_post", 2L),
+      ("insert", 7L), ("delete", 6L), ("delete", 3L), ("delete", 4L)))
+    assert(feed.filter($"_op" === "delete" && $"k" === 4L)
+      .select($"v", $"p").as[(String, String)].head() ===
+      (("four", "b")))
+    // UNCONDITIONAL mirror: the table becomes exactly the source's
+    // upserts (every uncovered key deleted, wherever it lives)
+    val dir2 = Files.createTempDirectory("vmirror2").toString
+    VersionLog.init(spark, dir2,
+      Seq((1L, "one", "a"), (2L, "two", "a"), (9L, "nine", "z"))
+        .toDF("k", "v", "p"), partitionBy = Some("p"))
+    spark.sql(
+      s"""MERGE INTO graft.`$dir2` AS t USING mirror_cat_v AS s
+          ON t.k = s.k
+          WHEN MATCHED AND s._del THEN DELETE
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *
+          WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    assert(VersionLog.read(spark, dir2).select($"k", $"v", $"p")
+      .as[(Long, String, String)].collect().toSet ===
+      Set((2L, "two2", "a"), (7L, "seven", "b")))
+  }
+
   test("catalog reads plan through the SHARED pruning FileIndex: a " +
       "partition predicate reduces the scan's file count") {
     import spark.implicits._
@@ -366,17 +428,28 @@ class GraftCatalogSpec extends AnyFunSuite {
       "PARTITIONED BY (p)")
     spark.sql("INSERT INTO graft.tt VALUES (1, 'a')") // v1
     spark.sql("INSERT INTO graft.tt VALUES (2, 'b')") // v2
-    // pin the commit instants: a version FILE's mtime IS its commit
-    // time (created once by the atomic publish, never rewritten)
+    // pin the commit instants by rewriting each version file's STORED
+    // in-commit timestamp (r15+: the "ts" field is the commit time;
+    // mtimes are irrelevant — VersionLogSpec pins the fallback)
     val dir = s"$warehouse/tt"
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val t1 = java.sql.Timestamp.valueOf("2026-01-02 00:00:00").getTime
     val t2 = java.sql.Timestamp.valueOf("2026-01-04 00:00:00").getTime
-    fs.setTimes(new org.apache.hadoop.fs.Path(
-      dir, "_versions/v-00000001.json"), t1, -1)
-    fs.setTimes(new org.apache.hadoop.fs.Path(
-      dir, "_versions/v-00000002.json"), t2, -1)
+    def pinTs(v: Int, ms: Long): Unit = {
+      val p = new org.apache.hadoop.fs.Path(
+        dir, f"_versions/v-$v%08d.json")
+      val in = fs.open(p)
+      val json = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      val pinned = json.replaceFirst("\"ts\":\\d+", s""""ts":$ms""")
+      assert(pinned != json, s"v$v carried no stored ts")
+      fs.delete(p, false)
+      val out = fs.create(p, false)
+      try out.write(pinned.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
+    }
+    pinTs(1, t1); pinTs(2, t2)
     def at(ts: String) = spark.sql(
       s"SELECT k FROM graft.tt TIMESTAMP AS OF '$ts'")
       .as[Long].collect().toSet
@@ -601,5 +674,39 @@ class GraftCatalogSpec extends AnyFunSuite {
       ec.getMessage)
     assert(spark.sql("SELECT a FROM graft.up1 WHERE v = 'z'")
       .as[Long].head() === 99L, "refused UPDATE must change nothing")
+  }
+
+  test("DML qualifier handling: struct-field predicates survive (only " +
+      "the table alias is stripped, a struct leaf never rebinds to a " +
+      "same-named top-level column), struct-field SET refuses loudly") {
+    import spark.implicits._
+    warehouse
+    // top-level `ts` deliberately DISAGREES with the struct leaf
+    // `meta.ts` — the r14 stripQualifiers bug would have deleted by
+    // the wrong column
+    spark.sql("CREATE TABLE graft.sq1 (k BIGINT, ts BIGINT, " +
+      "meta STRUCT<ts: BIGINT, tag: STRING>)")
+    spark.sql("INSERT INTO graft.sq1 VALUES " +
+      "(1, 100, named_struct('ts', 5L, 'tag', 'old')), " +
+      "(2, 1, named_struct('ts', 500L, 'tag', 'new')), " +
+      "(3, 100, named_struct('ts', 500L, 'tag', 'new'))")
+    // deletes k=1 (meta.ts=5 < 10) — NOT k=2 (whose top-level ts=1)
+    spark.sql("DELETE FROM graft.sq1 WHERE meta.ts < 10")
+    assert(spark.sql("SELECT k FROM graft.sq1").as[Long].collect()
+      .toSet === Set(2L, 3L))
+    // alias-qualified struct reference: t.meta.ts -> meta.ts
+    spark.sql("UPDATE graft.sq1 t SET ts = 7 WHERE t.meta.ts = 500 " +
+      "AND t.k = 2")
+    assert(spark.sql("SELECT ts FROM graft.sq1 WHERE k = 2")
+      .as[Long].head() === 7L)
+    assert(spark.sql("SELECT ts FROM graft.sq1 WHERE k = 3")
+      .as[Long].head() === 100L)
+    // struct-field assignment target: refused loudly, nothing commits
+    val before = VersionLog.listVersions(spark, s"$warehouse/sq1")
+    val e = intercept[Exception] {
+      spark.sql("UPDATE graft.sq1 SET meta.ts = 9 WHERE k = 2")
+    }
+    assert(e.getMessage.contains("struct field"), e.getMessage)
+    assert(VersionLog.listVersions(spark, s"$warehouse/sq1") === before)
   }
 }

@@ -597,6 +597,53 @@ class IoSpec extends AnyFunSuite {
     }
   }
 
+  test("MERGE WHEN NOT MATCHED BY SOURCE (full-sync mirror): rows the " +
+      "source no longer covers are deleted where the condition holds, " +
+      "with delete images in the feed; partitions with no victims and " +
+      "no upserts carry by reference") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("mergebysrc").toString
+    Seq((1L, "one", "a"), (2L, "two", "a"), (3L, "three", "b"),
+        (4L, "four", "b"), (6L, "six", "c"), (8L, "eight", "d"))
+      .toDF("k", "v", "p")
+      .write.mode("overwrite").partitionBy("p").parquet(dir)
+    val dBefore = new java.io.File(s"$dir/p=d")
+      .listFiles.filter(_.getName.endsWith(".parquet"))
+      .map(x => (x.getName, x.lastModified)).toSet
+    Seq((2L, "two2", "a", false), (7L, "seven", "b", false),
+        (6L, "gone", "zz", true)).toDF("k", "v", "p", "_del")
+      .createOrReplaceTempView("mirror_v")
+    val (stats, feed) = graft.io.MergeSql.mergeSql(spark,
+      """MERGE INTO corpus USING mirror_v ON corpus.k = mirror_v.k
+         WHEN MATCHED AND mirror_v._del THEN DELETE
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *
+         WHEN NOT MATCHED BY SOURCE AND corpus.p = 'b' THEN DELETE""",
+      Map("corpus" -> dir))
+    // k=3,4 (p=b, not in source) deleted by the BY SOURCE clause;
+    // k=1 (p=a) and k=8 (p=d) fail its condition and survive;
+    // k=6 deleted by the tombstone clause (c drains); 2 updates; 7 inserts
+    assert(spark.read.parquet(dir).select($"k", $"v", $"p")
+      .as[(Long, String, String)].collect().toSet ===
+      Set((1L, "one", "a"), (2L, "two2", "a"), (7L, "seven", "b"),
+        (8L, "eight", "d")))
+    assert(feed.select($"_op", $"k").as[(String, Long)].collect()
+      .toSet === Set(("update_pre", 2L), ("update_post", 2L),
+      ("insert", 7L), ("delete", 6L), ("delete", 3L), ("delete", 4L)))
+    // delete images carry the BEFORE rows
+    assert(feed.filter($"_op" === "delete" && $"k" === 3L)
+      .select($"v", $"p").as[(String, String)].head() ===
+      (("three", "b")))
+    // p=d had no upsert, no matched key, no by-source victim: its
+    // file must carry by reference (same name + mtime)
+    assert(new java.io.File(s"$dir/p=d")
+      .listFiles.filter(_.getName.endsWith(".parquet"))
+      .map(x => (x.getName, x.lastModified)).toSet === dBefore)
+    assert(stats.removedPartitions === Seq("c"))
+    assert(!stats.touchedPartitions.contains("d"))
+  }
+
   test("deletion vectors: a delete writes NO data file, reads apply " +
       "the vector exactly, batches append monotonically") {
     import spark.implicits._

@@ -803,37 +803,63 @@ class VersionLogSpec extends AnyFunSuite {
     assert(rows(VersionLog.read(spark, dst)) === cloneRows)
   }
 
-  test("commit timestamps are monotonic under clock skew (the Delta " +
-      "mtime clamp); versionAtTimestamp picks the newest commit " +
-      "at-or-before and refuses a pre-history timestamp") {
+  test("in-commit timestamps: TIMESTAMP AS OF survives an " +
+      "mtime-destroying copy (the stored instant wins over the " +
+      "version file's mtime); pre-r15 files without the field fall " +
+      "back to mtime under the monotonic clamp") {
     import spark.implicits._
+    val before = System.currentTimeMillis()
     val dir = seed() // v1
     VersionLog.append(spark, dir,
       Seq((10L, "ten", "a")).toDF("k", "v", "p"), Some("p")) // v2
     VersionLog.append(spark, dir,
       Seq((11L, "eleven", "b")).toDF("k", "v", "p"), Some("p")) // v3
+    val after = System.currentTimeMillis()
+    val stored = VersionLog.commitTimestamps(spark, dir)
+    assert(stored.map(_._1) === Seq(1L, 2L, 3L))
+    assert(stored.forall { case (_, t) => t >= before && t <= after },
+      s"stored instants $stored outside [$before, $after]")
+    assert(stored.map(_._2) === stored.map(_._2).sorted)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def pin(v: Int, ms: Long): Unit = fs.setTimes(
-      new org.apache.hadoop.fs.Path(dir, f"_versions/v-$v%08d.json"),
-      ms, -1)
-    // v2's wall clock is SKEWED to before v1's — a racing writer's
-    // host ran behind; the adjusted sequence must stay monotonic
+    def vfile(v: Int) =
+      new org.apache.hadoop.fs.Path(dir, f"_versions/v-$v%08d.json")
+    def pin(v: Int, ms: Long): Unit = fs.setTimes(vfile(v), ms, -1)
+    // a copy/backup tool that does not preserve mtimes: every answer
+    // below must be UNCHANGED (the r14 mtime convention shifted them)
+    pin(1, 1000000L); pin(2, 999000L); pin(3, 2000000L)
+    assert(VersionLog.commitTimestamps(spark, dir) === stored,
+      "TIMESTAMP AS OF resolution must not depend on file mtimes")
+    assert(VersionLog.versionAtTimestamp(spark, dir,
+      stored(1)._2) === 2L)
+    assert(VersionLog.versionAtTimestamp(spark, dir,
+      stored(2)._2 + 1000L) === 3L)
+    val e = intercept[IllegalArgumentException] {
+      VersionLog.versionAtTimestamp(spark, dir, stored.head._2 - 1L)
+    }
+    assert(e.getMessage.contains("predates the first retained commit"))
+    // DESCRIBE HISTORY surfaces the stored instants
+    assert(VersionLog.history(spark, dir)
+      .select(col("commit_ts")).collect()
+      .map(_.getTimestamp(0).getTime).toSeq === stored.map(_._2))
+    // pre-r15 files carry no "ts" — simulate by stripping the field;
+    // resolution falls back to mtime, clamped monotonic (v2's wall
+    // clock skewed behind v1's: a racing writer's host ran behind)
+    for (v <- 1 to 3) {
+      val in = fs.open(vfile(v))
+      val json = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      val stripped = json.replaceFirst("\"ts\":\\d+,", "")
+      assert(stripped != json, s"v$v carried no ts field")
+      fs.delete(vfile(v), false)
+      val out = fs.create(vfile(v), false)
+      try out.write(stripped.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
+    }
     pin(1, 1000000L); pin(2, 999000L); pin(3, 2000000L)
     assert(VersionLog.commitTimestamps(spark, dir) ===
       Seq((1L, 1000000L), (2L, 1000001L), (3L, 2000000L)))
-    assert(VersionLog.versionAtTimestamp(spark, dir, 1000000L) === 1L)
     assert(VersionLog.versionAtTimestamp(spark, dir, 1000001L) === 2L)
-    assert(VersionLog.versionAtTimestamp(spark, dir, 5000000L) === 3L)
-    val e = intercept[IllegalArgumentException] {
-      VersionLog.versionAtTimestamp(spark, dir, 999999L)
-    }
-    assert(e.getMessage.contains("predates the first retained commit"))
-    // history surfaces the ADJUSTED instants (what resolution uses)
-    assert(VersionLog.history(spark, dir)
-      .select(col("commit_ts")).collect()
-      .map(_.getTimestamp(0).getTime).toSeq ===
-      Seq(1000000L, 1000001L, 2000000L))
   }
 
   /** Run `a` and `b` on two threads whose data batches are GATED on a

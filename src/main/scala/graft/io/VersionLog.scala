@@ -1327,15 +1327,20 @@ object VersionLog {
       }
   }
 
-  /** The victim FILES of a row predicate: every pinned file holding at
-    * least one row of `frame` (already manifest-filtered by the
-    * caller when needed) matching `hit` — one column-pruned pass, the
-    * blast-radius discovery shared by the SQL DELETE/UPDATE doors.
+  /** The victim FILES of a row predicate: every pinned file holding
+    * at least one LIVE row of `frame` matching `hit` — one
+    * column-pruned pass, the blast-radius discovery shared by the SQL
+    * DELETE/UPDATE doors. `live` (the manifest anti-join, when the
+    * table is merge-on-read) applies AFTER the file tag is captured:
+    * `input_file_name()` must bind while the plan still has ONE
+    * source — above the join Spark refuses it outright.
     */
   private def victimFiles(spark: SparkSession, dir: String,
-      frame: DataFrame, hit: Column): Seq[String] = {
+      frame: DataFrame, hit: Column,
+      live: DataFrame => DataFrame = identity): Seq[String] = {
     val base = dir.stripSuffix("/")
-    frame.filter(hit).select(input_file_name().as("_f"))
+    live(frame.withColumn("_f", input_file_name()))
+      .filter(hit).select(col("_f"))
       .distinct().collect()
       .map(r => relativize(base,
         new Path(new java.net.URI(r.getString(0))).toUri.getPath))
@@ -1361,12 +1366,16 @@ object VersionLog {
       deleteManifestFrame(spark, dir, snap).fold(df)(k =>
         df.join(broadcast(k), Seq(k.columns.head), "left_anti"))
     val hit = coalesce(cond, lit(false))
-    val victims = victimFiles(spark, dir, liveOf(raw), hit)
+    val victims = victimFiles(spark, dir, raw, hit, liveOf)
     if (victims.isEmpty) return (0L, snap.version)
     val deleted =
       liveOf(readFiles(spark, dir, victims)).filter(hit).count()
+    // outstanding equality-delete manifests FOLD into the rewritten
+    // victims (their deleted rows drop out of the new files); the
+    // manifests still carry forward for the non-victim files, where
+    // re-suppressing the now-absent keys is a no-op
     val newFiles = rewriteVictims(spark, dir, snap.version + 1, victims,
-      _.filter(!hit))
+      df => liveOf(df).filter(!hit))
     val kept = snap.files.filterNot(victims.toSet)
     val v = commit(spark, dir, snap.version, "delete-where",
       kept ++ newFiles, deletes = snap.deletes,
@@ -1380,17 +1389,21 @@ object VersionLog {
     * assignments evaluate against the OLD row (one projection — a
     * `SET a = b, b = a` swap is a swap); values cast to the column's
     * existing type; CHECK constraints re-gate the rewritten batch.
-    * Partition-column assignments (a row MOVE) and tables with
-    * outstanding equality-delete manifests (a raw rewrite could
-    * resurrect deleted keys into un-manifested files) are refused
-    * loudly. Returns (updatedRows, version); no-match commits nothing.
+    * Partition-column assignments (a row MOVE) are refused loudly.
+    *
+    * MERGE-ON-READ tables work out of the box: outstanding
+    * equality-delete manifests FOLD into the victim rewrite (the
+    * update only sees and only rewrites LIVE rows; a victim file's
+    * manifest-deleted rows drop out of its replacement), while the
+    * manifests carry forward for the non-victim files. The one
+    * refusal left is an assignment to the manifest's key column —
+    * the carried manifests would silently swallow an updated row
+    * whose new key value is a deleted key.
+    * Returns (updatedRows, version); no-match commits nothing.
     */
   def updateWhereCommit(spark: SparkSession, dir: String,
       sets: Seq[(String, Column)], cond: Column): (Long, Long) = {
     val snap = snapshot(spark, dir, None)
-    require(snap.deletes.isEmpty,
-      s"UPDATE on $dir with outstanding equality-delete manifests: " +
-        "fold them first (applyDeletesCommit)")
     require(sets.nonEmpty, "UPDATE needs at least one assignment")
     val resolver = spark.sessionState.conf.resolver
     // duplicate detection with the SAME resolver the column matching
@@ -1415,12 +1428,27 @@ object VersionLog {
         s"UPDATE SET: no column '$c' on $dir " +
           s"(have ${schema.fieldNames.mkString(",")})")
     }
+    val manifestKeys = deleteManifestFrame(spark, dir, snap)
+    manifestKeys.foreach { k =>
+      val kc = k.columns.head
+      sets.foreach { case (c, _) =>
+        require(!resolver(c, kc),
+          s"UPDATE SET on '$c' while equality-delete manifests key " +
+            s"on '$kc': a reassigned key could be silently swallowed " +
+            "by the carried manifests — applyDeletesCommit first")
+      }
+    }
+    def liveOf(df: DataFrame): DataFrame =
+      manifestKeys.fold(df)(k =>
+        df.join(broadcast(k), Seq(k.columns.head), "left_anti"))
     val hit = coalesce(cond, lit(false))
-    val victims = victimFiles(spark, dir, raw, hit)
+    val victims = victimFiles(spark, dir, raw, hit, liveOf)
     if (victims.isEmpty) return (0L, snap.version)
-    val updated = readFiles(spark, dir, victims).filter(hit).count()
-    // ONE projection: every assignment sees the pre-update row
-    val transform: DataFrame => DataFrame = df => df.select(
+    val updated =
+      liveOf(readFiles(spark, dir, victims)).filter(hit).count()
+    // ONE projection over the LIVE rows: every assignment sees the
+    // pre-update row; manifest-deleted rows drop out of the rewrite
+    val transform: DataFrame => DataFrame = df => liveOf(df).select(
       df.schema.fields.map { f =>
         sets.find(s => resolver(s._1, f.name)) match {
           case Some((_, e)) =>
@@ -1435,7 +1463,8 @@ object VersionLog {
       transform)
     val kept = snap.files.filterNot(victims.toSet)
     val v = commit(spark, dir, snap.version, "update-where",
-      kept ++ newFiles, constraints = snap.constraints,
+      kept ++ newFiles, deletes = snap.deletes,
+      constraints = snap.constraints,
       schemaJson = snap.schemaJson, parentFiles = Some(snap.files))
     (updated, v)
   }

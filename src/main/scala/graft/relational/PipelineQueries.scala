@@ -2341,6 +2341,42 @@ object PipelineQueries {
           sum($"doc_id").as("sum_ids"))
         .orderBy($"lang")
     },
+    "q155_dml_mor" -> { (s, d) =>
+      import s.implicits._
+      // SQL DML OVER A MERGE-ON-READ TABLE: the q153 statements run
+      // against a table carrying outstanding equality-delete
+      // manifests (q147's shape: de%13 ∪ fr%29 keys deleted as a
+      // KB-sized manifest, no data rewritten). The doors fold the
+      // manifests into the victim rewrite — the UPDATE/DELETE see
+      // only live rows, a victim file's manifest-deleted rows drop
+      // out of its replacement, and the manifests carry unchanged
+      // for non-victim files. The oracle replays manifest + DELETE +
+      // UPDATE relationally: a resurrected manifest key, a DML
+      // statement touching a dead row, or a dropped survivor cannot
+      // hash-match.
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.catalog.GraftCatalog].getName)
+      val dir = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft-dmlmor-${Integer.toHexString(d.hashCode)}" +
+        s"-${ProcessHandle.current().pid()}"
+      buildOnce(dir) {
+        val docs = documents(s, d)
+        VersionLog.init(s, dir, docs, partitionBy = Some("lang"))
+        VersionLog.deleteKeysCommit(s, dir,
+          docs.filter(($"lang" === "de" && $"doc_id" % 13 === 0) ||
+              ($"lang" === "fr" && $"doc_id" % 29 === 0))
+            .select($"doc_id"), "doc_id")
+        s.sql(s"DELETE FROM graft.`$dir` WHERE length(text) < 80")
+        s.sql(s"UPDATE graft.`$dir` SET text = concat(text, ' [u]') " +
+          "WHERE lang = 'fr' AND doc_id % 2 = 0")
+      }
+      VersionLog.read(s, dir)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length($"text")).as("sum_len"),
+          sum($"doc_id").as("sum_id"))
+        .orderBy($"lang")
+    },
     "q146_cdc_replay" -> { (s, d) =>
       import s.implicits._
       // ALL-DOORS CHANGE-DATA-CAPTURE REPLAY: reconstruct the CURRENT
@@ -4077,6 +4113,20 @@ object PipelineQueries {
            CAST(sum(length(text)) AS BIGINT) AS sum_len,
            CAST(sum(doc_id) AS BIGINT) AS sum_ids
          FROM merged GROUP BY lang ORDER BY lang""",
+    "q155_dml_mor" ->
+      """WITH live AS (
+           SELECT doc_id, lang, text FROM documents
+           WHERE NOT ((lang = 'de' AND doc_id % 13 = 0)
+                   OR (lang = 'fr' AND doc_id % 29 = 0))),
+         survivors AS (
+           SELECT doc_id, lang,
+             CASE WHEN lang = 'fr' AND doc_id % 2 = 0
+               THEN text || ' [u]' ELSE text END AS text
+           FROM live WHERE NOT (length(text) < 80))
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS sum_len,
+           CAST(sum(doc_id) AS BIGINT) AS sum_id
+         FROM survivors GROUP BY lang ORDER BY lang""",
     "q146_cdc_replay" ->
       """WITH finalstate AS (
            SELECT doc_id, text || ' [rw]' AS text, 'fr' AS lang

@@ -676,6 +676,58 @@ class GraftCatalogSpec extends AnyFunSuite {
       .as[Long].head() === 99L, "refused UPDATE must change nothing")
   }
 
+  test("UPDATE/DELETE on a merge-on-read table fold the outstanding " +
+      "equality-delete manifests into the victim rewrite: DML sees " +
+      "only live rows, rewritten files physically drop dead rows, " +
+      "manifests carry for non-victims, key-column SET refuses") {
+    import spark.implicits._
+    warehouse
+    val dir = Files.createTempDirectory("dmlmor").toString
+    VersionLog.init(spark, dir,
+      Seq((1L, "one", "a"), (2L, "two", "a"), (3L, "three", "b"),
+        (4L, "four", "b"), (5L, "five", "c"))
+        .toDF("k", "v", "p").coalesce(1), partitionBy = Some("p"))
+    // manifest-delete k=2 (partition a) and k=4 (partition b)
+    VersionLog.deleteKeysCommit(spark, dir,
+      Seq(2L, 4L).toDF("k"), "k")
+    // UPDATE hits partition a's live row only (k=1); k=2 is dead and
+    // must be neither updated nor resurrected
+    val (nUpd, _) = (spark.sql(
+      s"UPDATE graft.`$dir` SET v = concat(v, '!') WHERE p = 'a'")
+      .as[(Long, Long)].head() match { case (v, n) => (n, v) })
+    assert(nUpd === 1L, "only the live row updates")
+    assert(VersionLog.read(spark, dir).select($"k", $"v")
+      .as[(Long, String)].collect().toSet ===
+      Set((1L, "one!"), (3L, "three"), (5L, "five")))
+    // the REWRITTEN victim files physically lack the dead key; the
+    // untouched partition b still holds k=4 raw (suppressed by the
+    // carried manifest)
+    val snap = VersionLog.snapshot(spark, dir, None)
+    assert(snap.deletes.nonEmpty, "manifests must carry forward")
+    val base = dir.stripSuffix("/")
+    val aRaw = spark.read.parquet(
+      snap.files.filter(_.contains("p=a")).map(f => s"$base/$f"): _*)
+    assert(aRaw.select($"k").as[Long].collect().toSet === Set(1L))
+    val bRaw = spark.read.parquet(
+      snap.files.filter(_.contains("p=b")).map(f => s"$base/$f"): _*)
+    assert(bRaw.select($"k").as[Long].collect().toSet === Set(3L, 4L))
+    // DELETE likewise folds: removes live k=3, drops dead k=4 from
+    // the rewritten file, keeps the manifests
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE p = 'b'")
+    val snap2 = VersionLog.snapshot(spark, dir, None)
+    assert(VersionLog.read(spark, dir).select($"k").as[Long]
+      .collect().toSet === Set(1L, 5L))
+    val b2 = snap2.files.filter(_.contains("p=b"))
+    assert(b2.isEmpty || spark.read.parquet(
+      b2.map(f => s"$base/$f"): _*).count() === 0L)
+    // assignment to the manifest key column: refused loudly
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE graft.`$dir` SET k = 99 WHERE p = 'a'")
+    }
+    assert(e.getMessage.contains("equality-delete manifests key"),
+      e.getMessage)
+  }
+
   test("DML qualifier handling: struct-field predicates survive (only " +
       "the table alias is stripped, a struct leaf never rebinds to a " +
       "same-named top-level column), struct-field SET refuses loudly") {

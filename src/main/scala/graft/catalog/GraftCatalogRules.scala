@@ -479,7 +479,11 @@ case class GraftRestoreCommand(dir: String, toVersion: Long)
   * table-level metadata from the latest snapshot — location, version,
   * live file count and bytes (one file status per live file, the
   * planner's working set, never a data read), partition column,
-  * outstanding delete manifests, and constraint count.
+  * outstanding delete manifests, constraint count, and the
+  * write-time-stats coverage pair (`n_batch_roots` vs
+  * `n_stats_sidecars`): a gap means some batches' harvest failed or
+  * predates stats-on-write, so those files never data-skip — the
+  * observable for a silently degrading harvest.
   */
 case class GraftDescribeDetailCommand(dir: String)
     extends LeafRunnableCommand {
@@ -493,7 +497,10 @@ case class GraftDescribeDetailCommand(dir: String)
     AttributeReference("partition_col", StringType, nullable = true)(),
     AttributeReference("n_delete_manifests", LongType,
       nullable = false)(),
-    AttributeReference("n_constraints", LongType, nullable = false)())
+    AttributeReference("n_constraints", LongType, nullable = false)(),
+    AttributeReference("n_batch_roots", LongType, nullable = false)(),
+    AttributeReference("n_stats_sidecars", LongType,
+      nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
     val snap = VersionLog.snapshot(spark, dir, None)
@@ -507,8 +514,13 @@ case class GraftDescribeDetailCommand(dir: String)
       case Seq(one) => one
       case _ => null
     }
+    val roots = snap.files.map(graft.io.BatchStats.batchRootOf).distinct
+    val sidecars = roots.count(r => fs.exists(
+      new org.apache.hadoop.fs.Path(s"$base/$r",
+        graft.io.BatchStats.FileName)))
     Seq(Row(dir, "graft", snap.version, snap.files.size.toLong, bytes,
-      partCol, snap.deletes.size.toLong, snap.constraints.size.toLong))
+      partCol, snap.deletes.size.toLong, snap.constraints.size.toLong,
+      roots.size.toLong, sidecars.toLong))
   }
 }
 

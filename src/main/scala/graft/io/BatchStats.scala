@@ -41,6 +41,9 @@ object BatchStats {
 
   val FileName = "_stats.json"
 
+  private lazy val log =
+    org.slf4j.LoggerFactory.getLogger(BatchStats.getClass)
+
   /** One column's harvested stat in on-disk form. */
   private sealed trait Stat
   private case object AllNull extends Stat
@@ -85,17 +88,36 @@ object BatchStats {
               ()
             }
           }
-        } catch { case _: Exception => () } // conservative: no stats
+        } catch {
+          // conservative contract: the reader keeps un-stat'd files —
+          // but a SYSTEMATICALLY failing harvest (permissions, codec)
+          // would silently degrade every future scan, so it is LOGGED
+          // per root (DESCRIBE DETAIL surfaces the sidecar-coverage
+          // gap: n_stats_sidecars vs n_batch_roots)
+          case e: Exception => log.warn(
+            s"stats harvest failed for batch $root of $dir — files " +
+              "will be kept conservatively (no data skipping for " +
+              s"this batch): $e")
+        }
       }
   }
 
-  private def batchRootOf(file: String): String = {
+  private[graft] def batchRootOf(file: String): String = {
     val segs = file.split("/")
     if (segs.length >= 2 && segs(0) == "data") segs.take(2).mkString("/")
     else segs.dropRight(1).mkString("/")
   }
 
-  /** Per-column stats of one file, folded across its row groups. */
+  /** Per-column stats of one file, folded across its row groups:
+    * top-level primitives plus ONE-LEVEL struct leaves (keyed
+    * `parent.leaf` — the same dotted name the reader's
+    * `GetStructField` pruning binds). List/map-annotated and repeated
+    * groups contribute nothing (their leaves are multi-valued per
+    * row; a min/max box still holds but the engine's canonical nested
+    * filters are struct leaves — conservative). A table carrying BOTH
+    * a literally-dotted top-level column `"a.b"` and a struct leaf
+    * `a` -> `b` is ambiguous under one key: neither is harvested.
+    */
   private def fileStats(spark: SparkSession, fs: FileSystem,
       p: Path): Option[Map[String, Stat]] = {
     val meta = ParquetFileReader.readFooter(
@@ -104,26 +126,40 @@ object BatchStats {
     val schema = meta.getFileMetaData.getSchema
     val blocks = meta.getBlocks.asScala.toSeq
     if (blocks.isEmpty) return None
-    // top-level primitive fields only (nested stats are per-leaf and
-    // the pruner binds top-level attributes)
-    val cols = schema.getFields.asScala.collect {
-      case f if f.isPrimitive => f.getName -> f.asPrimitiveType()
+    val top = schema.getFields.asScala.collect {
+      case f if f.isPrimitive =>
+        (Seq(f.getName), f.getName, f.asPrimitiveType())
     }.toSeq
-    val stats = cols.flatMap { case (name, pt) =>
-      foldColumn(name, pt, blocks).map(name -> _)
-    }.toMap
+    val nested = schema.getFields.asScala.collect {
+      case g if !g.isPrimitive &&
+          g.getLogicalTypeAnnotation == null &&
+          !g.isRepetition(org.apache.parquet.schema.Type.Repetition.REPEATED) =>
+        g.asGroupType().getFields.asScala.collect {
+          case leaf if leaf.isPrimitive =>
+            (Seq(g.getName, leaf.getName),
+              s"${g.getName}.${leaf.getName}", leaf.asPrimitiveType())
+        }.toSeq
+    }.toSeq.flatten
+    // a key claimed by BOTH a literally-dotted top-level column and a
+    // struct leaf is dropped WHOLE: keeping either side would let the
+    // pruner apply the wrong column's box (over-pruning = wrongness)
+    val cols = top ++ nested
+    val dupKeys = cols.groupBy(_._2).filter(_._2.size > 1).keySet
+    val stats = cols.filterNot(c => dupKeys.contains(c._2))
+      .flatMap { case (path, key, pt) =>
+        foldColumn(path, pt, blocks).map(key -> _)
+      }.toMap
     if (stats.isEmpty) None else Some(stats)
   }
 
-  private def foldColumn(name: String, pt: PrimitiveType,
+  private def foldColumn(path: Seq[String], pt: PrimitiveType,
       blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData]):
       Option[Stat] = {
-    // match the exact single-segment path: a dot-string compare would
-    // confuse a top-level column literally named "a.b" with the leaf
-    // of a nested group a -> b (both render "a.b")
+    // match the exact SEGMENT path (never a dot-joined string): a
+    // top-level column literally named "a.b" and the leaf of a
+    // nested group a -> b both render "a.b" but have different paths
     val chunks = blocks.flatMap(_.getColumns.asScala.find { c =>
-      val segs = c.getPath.toArray
-      segs.length == 1 && segs(0) == name
+      c.getPath.toArray.toSeq == path
     })
     if (chunks.size != blocks.size) return None // absent in a block
     val sts = chunks.map(_.getStatistics)

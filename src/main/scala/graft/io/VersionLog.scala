@@ -496,23 +496,24 @@ object VersionLog {
 
   /** The interleaved commits between `parent` (exclusive) and `latest`
     * (inclusive) with their per-commit file diffs — the conflict
-    * detector's read set. Metadata-only: one snapshot read per
-    * interleaved commit, file lists compared as strings.
+    * detector's read set. O(change) per interleaved commit via
+    * [[commitDiff]]: a delta-form commit's raw version file IS its
+    * diff (one small read — vet cost stays flat as the table grows;
+    * the pre-r15 path resolved one FULL snapshot per interleaved
+    * commit). Only `latest` is a fully-resolved snapshot (the caller
+    * already holds it — vets read its constraints/deletes); the
+    * intermediate tuples carry a files-free placeholder, which no vet
+    * inspects beyond (version, action).
     */
-  private def interleaved(spark: SparkSession, dir: String,
+  private[graft] def interleaved(spark: SparkSession, dir: String,
       parent: TableSnapshot, latest: TableSnapshot):
-      Seq[(TableSnapshot, Seq[String], Seq[String])] = {
-    var prev = parent
+      Seq[(TableSnapshot, Seq[String], Seq[String])] =
     (parent.version + 1 to latest.version).map { v =>
+      val d = commitDiff(spark, dir, v)
       val s = if (v == latest.version) latest
-        else snapshot(spark, dir, Some(v))
-      val prevFiles = prev.files.toSet
-      val added = s.files.filterNot(prevFiles)
-      val removed = prev.files.filterNot(s.files.toSet)
-      prev = s
-      (s, added, removed)
+        else TableSnapshot(v, d.parent, d.action, files = Nil)
+      (s, d.added, d.removed)
     }
-  }
 
   /** Generic rebase loop: try `commit` against `parent`; on CAS loss
     * re-resolve the latest snapshot, hand the interleaved commits to
@@ -1368,14 +1369,22 @@ object VersionLog {
     val hit = coalesce(cond, lit(false))
     val victims = victimFiles(spark, dir, raw, hit, liveOf)
     if (victims.isEmpty) return (0L, snap.version)
-    val deleted =
-      liveOf(readFiles(spark, dir, victims)).filter(hit).count()
     // outstanding equality-delete manifests FOLD into the rewritten
     // victims (their deleted rows drop out of the new files); the
     // manifests still carry forward for the non-victim files, where
-    // re-suppressing the now-absent keys is a no-op
+    // re-suppressing the now-absent keys is a no-op. The deleted-row
+    // count RIDES the rewrite as an observed metric — the door costs
+    // two jobs (discover + rewrite), never a separate count pass.
+    val counts =
+      scala.collection.mutable.Buffer.empty[org.apache.spark.sql.Observation]
     val newFiles = rewriteVictims(spark, dir, snap.version + 1, victims,
-      df => liveOf(df).filter(!hit))
+      df => {
+        val o = org.apache.spark.sql.Observation()
+        counts += o
+        liveOf(df).observe(o, count(when(hit, lit(1))).as("n"))
+          .filter(!hit)
+      })
+    val deleted = counts.map(_.get("n").asInstanceOf[Long]).sum
     val kept = snap.files.filterNot(victims.toSet)
     val v = commit(spark, dir, snap.version, "delete-where",
       kept ++ newFiles, deletes = snap.deletes,
@@ -1444,11 +1453,16 @@ object VersionLog {
     val hit = coalesce(cond, lit(false))
     val victims = victimFiles(spark, dir, raw, hit, liveOf)
     if (victims.isEmpty) return (0L, snap.version)
-    val updated =
-      liveOf(readFiles(spark, dir, victims)).filter(hit).count()
     // ONE projection over the LIVE rows: every assignment sees the
-    // pre-update row; manifest-deleted rows drop out of the rewrite
-    val transform: DataFrame => DataFrame = df => liveOf(df).select(
+    // pre-update row; manifest-deleted rows drop out of the rewrite.
+    // The updated-row count AND the CHECK-constraint gate both RIDE
+    // the rewrite as observed metrics (two jobs total: discover +
+    // rewrite; the pre-r15 door paid four). A violation is detected
+    // after the batch write but BEFORE the commit — nothing becomes
+    // visible, the written files are vacuum orphans (the same class
+    // as a commit-CAS loss), and the error re-probes the victims
+    // once for the first offending row (error path only).
+    val projection: DataFrame => DataFrame = df => df.select(
       df.schema.fields.map { f =>
         sets.find(s => resolver(s._1, f.name)) match {
           case Some((_, e)) =>
@@ -1457,10 +1471,40 @@ object VersionLog {
           case None => col(f.name)
         }
       }.toIndexedSeq: _*)
-    enforceConstraints(transform(readFiles(spark, dir, victims)),
-      snap.constraints, dir, "update")
+    // hit counts observe the PRE-update rows; constraint violations
+    // observe the POST-update rows (the gate's subject)
+    val cViol = snap.constraints.zipWithIndex.map { case ((_, sql), i) =>
+      val ok = expr(sql)
+      count(when(ok.isNull || !ok, lit(1))).as(s"c$i")
+    }
+    val obsN =
+      scala.collection.mutable.Buffer.empty[org.apache.spark.sql.Observation]
+    val obsC =
+      scala.collection.mutable.Buffer.empty[org.apache.spark.sql.Observation]
     val newFiles = rewriteVictims(spark, dir, snap.version + 1, victims,
-      transform)
+      df => {
+        val oN = org.apache.spark.sql.Observation()
+        obsN += oN
+        val post = projection(
+          liveOf(df).observe(oN, count(when(hit, lit(1))).as("n")))
+        if (cViol.isEmpty) post
+        else {
+          val oC = org.apache.spark.sql.Observation()
+          obsC += oC
+          post.observe(oC, cViol.head, cViol.tail: _*)
+        }
+      })
+    val updated = obsN.map(_.get("n").asInstanceOf[Long]).sum
+    snap.constraints.zipWithIndex.foreach { case ((name, sql), i) =>
+      if (obsC.map(_.get(s"c$i").asInstanceOf[Long]).sum > 0L) {
+        enforceConstraints(
+          projection(liveOf(readFiles(spark, dir, victims))),
+          Seq(name -> sql), dir, "update")
+        throw new IllegalArgumentException( // observed, not re-probed
+          s"CHECK constraint $name ($sql) violated by the update " +
+            s"batch for $dir")
+      }
+    }
     val kept = snap.files.filterNot(victims.toSet)
     val v = commit(spark, dir, snap.version, "update-where",
       kept ++ newFiles, deletes = snap.deletes,

@@ -79,32 +79,7 @@ object Embeddings {
     // ROWS ever exist (the first-cut posexplode form materialized
     // n·d(d+1)/2 structs and was 10x slower at sf0.1); per-task state
     // is d²-bounded regardless of corpus size.
-    val agg = new org.apache.spark.sql.expressions
-        .Aggregator[Seq[Long], Array[Long], Array[Long]] {
-      def zero: Array[Long] = new Array[Long](nPairs + d + 1)
-      def reduce(b: Array[Long], q: Seq[Long]): Array[Long] = {
-        val qa = q.toArray
-        var idx = 0
-        var i = 0
-        while (i < d) {
-          val qi = qa(i)
-          var j = i
-          while (j < d) { b(idx) += qi * qa(j); idx += 1; j += 1 }
-          b(nPairs + i) += qi
-          i += 1
-        }
-        b(nPairs + d) += 1
-        b
-      }
-      def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
-        var i = 0
-        while (i < a.length) { a(i) += b(i); i += 1 }
-        a
-      }
-      def finish(b: Array[Long]): Array[Long] = b
-      def bufferEncoder = implicitly[Encoder[Array[Long]]]
-      def outputEncoder = implicitly[Encoder[Array[Long]]]
-    }
+    val agg = new MomentAggregator(d, nPairs)
     // the finished moment vector is d²-bounded (2,145 longs at d = 64)
     // — a documented driver-side bound, like the IVF centroid collects
     val m = qds.select(agg.toColumn).head()
@@ -116,5 +91,44 @@ object Embeddings {
       (i, j, m(idx) * n - m(nPairs + i) * m(nPairs + j))
     }
     spark.createDataFrame(rows).toDF("i", "j", "cov_num")
+  }
+
+  /** The running-moment Aggregator of [[covariance]], a TOP-LEVEL
+    * class on purpose: an anonymous Aggregator inside the method
+    * closed over the SparkSession (through `spark.implicits`
+    * encoders), and a session reference in an executor-serialized
+    * object is a landmine — it serializes only while the session's
+    * lazily-initialized fields (e.g. the observation manager, which
+    * initializes the first time ANY `Dataset.observe` runs) are
+    * still null. Session-free `ExpressionEncoder`s capture nothing.
+    */
+  private final class MomentAggregator(d: Int, nPairs: Int)
+      extends org.apache.spark.sql.expressions
+        .Aggregator[Seq[Long], Array[Long], Array[Long]] {
+    def zero: Array[Long] = new Array[Long](nPairs + d + 1)
+    def reduce(b: Array[Long], q: Seq[Long]): Array[Long] = {
+      val qa = q.toArray
+      var idx = 0
+      var i = 0
+      while (i < d) {
+        val qi = qa(i)
+        var j = i
+        while (j < d) { b(idx) += qi * qa(j); idx += 1; j += 1 }
+        b(nPairs + i) += qi
+        i += 1
+      }
+      b(nPairs + d) += 1
+      b
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    def finish(b: Array[Long]): Array[Long] = b
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
 }

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, BasePredicate, BoundReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Predicate}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, BasePredicate, BoundReference, EqualTo, Expression, GetStructField, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Predicate}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
@@ -643,24 +643,44 @@ private final class GraftFileIndex(spark: SparkSession, dir: String,
     case Box(mi, ma) => test(mi, ma)
   }
 
+  /** The stats-map name a pushed comparison binds: a bare column, or
+    * a ONE-LEVEL struct leaf as its dotted `parent.leaf` name — the
+    * key [[graft.io.BatchStats]] harvests for it (harvest drops the
+    * key whole when a literally-dotted top-level column collides, so
+    * the dotted binding can never apply the wrong column's box).
+    */
+  private object StatCol {
+    def unapply(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case GetStructField(a: AttributeReference, ord, _) =>
+        a.dataType match {
+          case s: org.apache.spark.sql.types.StructType
+              if ord >= 0 && ord < s.length =>
+            Some(s"${a.name}.${s(ord).name}")
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
   private def statsTests(dataFilters: Seq[Expression]): Seq[StatsTest] = {
-    def eq(a: AttributeReference, l: Literal): Option[StatsTest] =
-      normLit(l).map(v => (a.name, boxTest((mi, ma) =>
+    def eq(n: String, l: Literal): Option[StatsTest] =
+      normLit(l).map(v => (n, boxTest((mi, ma) =>
         cmp(mi, v).forall(_ <= 0) && cmp(v, ma).forall(_ <= 0))))
     dataFilters.flatMap {
-      case EqualTo(a: AttributeReference, l: Literal) => eq(a, l)
-      case EqualTo(l: Literal, a: AttributeReference) => eq(a, l)
-      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
-        normLit(l).map(v => (a.name,
+      case EqualTo(StatCol(n), l: Literal) => eq(n, l)
+      case EqualTo(l: Literal, StatCol(n)) => eq(n, l)
+      case GreaterThanOrEqual(StatCol(n), l: Literal) =>
+        normLit(l).map(v => (n,
           boxTest((_, ma) => cmp(ma, v).forall(_ >= 0))))
-      case GreaterThan(a: AttributeReference, l: Literal) =>
-        normLit(l).map(v => (a.name,
+      case GreaterThan(StatCol(n), l: Literal) =>
+        normLit(l).map(v => (n,
           boxTest((_, ma) => cmp(ma, v).forall(_ > 0))))
-      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
-        normLit(l).map(v => (a.name,
+      case LessThanOrEqual(StatCol(n), l: Literal) =>
+        normLit(l).map(v => (n,
           boxTest((mi, _) => cmp(mi, v).forall(_ <= 0))))
-      case LessThan(a: AttributeReference, l: Literal) =>
-        normLit(l).map(v => (a.name,
+      case LessThan(StatCol(n), l: Literal) =>
+        normLit(l).map(v => (n,
           boxTest((mi, _) => cmp(mi, v).forall(_ < 0))))
       // reversed literal-first comparisons arrive canonicalized by the
       // optimizer; In on the bloom key is handled by pruneByBloom

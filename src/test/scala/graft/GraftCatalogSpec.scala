@@ -340,6 +340,32 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(det.getAs[String]("partition_col") === "p")
     assert(det.getAs[Long]("n_delete_manifests") === 0L)
     assert(det.getAs[Long]("n_constraints") === 0L)
+    // stats-on-write coverage: every live batch carries its sidecar
+    assert(det.getAs[Long]("n_batch_roots") > 0L)
+    assert(det.getAs[Long]("n_stats_sidecars") ===
+      det.getAs[Long]("n_batch_roots"))
+    // a harvest gap is VISIBLE: delete one sidecar, the pair diverges,
+    // reads stay correct (files kept conservatively)
+    val root = VersionLog.snapshot(spark, dir, None).files
+      .map(graft.io.BatchStats.batchRootOf).distinct.head
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$dir/$root", graft.io.BatchStats.FileName), false)
+    val det2 = spark.sql("DESCRIBE DETAIL graft.rst").collect().head
+    assert(det2.getAs[Long]("n_stats_sidecars") ===
+      det2.getAs[Long]("n_batch_roots") - 1L)
+    assert(spark.sql("SELECT k FROM graft.rst").as[Long]
+      .collect().toSet === Set(1L, 2L))
+    // a garbled data file fails the harvest LOUDLY-IN-LOGS but never
+    // throws, and leaves no torn sidecar
+    val bad = Files.createTempDirectory("badbatch").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$bad/junk.parquet"),
+      "not a parquet file".getBytes)
+    graft.io.BatchStats.harvest(spark, bad, Seq("junk.parquet"))
+    assert(!new java.io.File(s"$bad/${graft.io.BatchStats.FileName}")
+      .exists())
   }
 
   test("CBO sizing: a small graft catalog table reports its pinned " +
@@ -726,6 +752,76 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("equality-delete manifests key"),
       e.getMessage)
+  }
+
+  test("DML door job-count parity: DELETE and UPDATE each cost two " +
+      "Spark jobs (victim discovery + rewrite) — the row count and " +
+      "the constraint gate ride the rewrite as observed metrics") {
+    import spark.implicits._
+    warehouse
+    spark.sql("CREATE TABLE graft.jc (k BIGINT, v STRING, p STRING) " +
+      "PARTITIONED BY (p)")
+    spark.sql("INSERT INTO graft.jc VALUES (1, 'one', 'a'), " +
+      "(2, 'two', 'a'), (3, 'three', 'b')")
+    spark.sql("ALTER TABLE graft.jc ADD CONSTRAINT nz CHECK (k > 0)")
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = jobs.incrementAndGet()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = jobs.incrementAndGet()
+    }
+    // listener events are async: wait for the count to go stable
+    // (no change for 500 ms) before and after the statement
+    def settle(): Long = {
+      var last = jobs.get()
+      var since = System.nanoTime()
+      val deadline = System.nanoTime() + 15000000000L
+      while (System.nanoTime() - since < 500000000L &&
+          System.nanoTime() < deadline) {
+        Thread.sleep(30)
+        val cur = jobs.get()
+        if (cur != last) { last = cur; since = System.nanoTime() }
+      }
+      last
+    }
+    def jobsOf(stmt: => Unit): Long = {
+      spark.listenerManager.register(listener)
+      try {
+        val base = settle()
+        stmt
+        settle() - base
+      } finally spark.listenerManager.unregister(listener)
+    }
+    // graft commands execute EAGERLY inside spark.sql(); reading the
+    // result row afterwards is its own (uncounted) local execution
+    var res: org.apache.spark.sql.DataFrame = null
+    val delJobs = jobsOf {
+      res = spark.sql("DELETE FROM graft.jc WHERE v = 'two'")
+    }
+    assert(res.as[(Long, Long)].head()._2 === 1L)
+    // the statement's own command execution is one of them; the DOOR
+    // itself must run exactly 2 (discover + rewrite) — the pre-r15
+    // path ran 3 (a separate count pass)
+    assert(delJobs <= 3, s"DELETE ran $delJobs query executions, " +
+      "expected <= 3 (command + discover + rewrite)")
+    val updJobs = jobsOf {
+      res = spark.sql(
+        "UPDATE graft.jc SET v = concat(v, '!') WHERE p = 'a'")
+    }
+    assert(res.as[(Long, Long)].head()._2 === 1L)
+    assert(updJobs <= 3, s"UPDATE ran $updJobs query executions, " +
+      "expected <= 3 (command + discover + rewrite); the count and " +
+      "constraint gate must ride the rewrite — the pre-r15 path ran 5")
+    // the observed constraint gate still REFUSES violations loudly
+    val e = intercept[Exception] {
+      spark.sql("UPDATE graft.jc SET k = 0 - k WHERE p = 'b'")
+    }
+    assert(e.getMessage.contains("CHECK constraint nz"), e.getMessage)
+    assert(spark.sql("SELECT k FROM graft.jc").as[Long].collect()
+      .toSet === Set(1L, 3L), "refused UPDATE must change nothing")
   }
 
   test("DML qualifier handling: struct-field predicates survive (only " +

@@ -106,6 +106,41 @@ class GraftTableSourceSpec extends AnyFunSuite {
       "numeric range predicate must prune partition files")
   }
 
+  test("write-time stats cover ONE-LEVEL struct leaves: a range " +
+      "predicate on meta.ts box-prunes batches at plan time (executed " +
+      "numFiles), results exact; a same-named top-level column is " +
+      "never confused with the leaf") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("gnested").toString
+    // 4 range-disjoint batches over the struct leaf meta.ts; the
+    // TOP-LEVEL ts deliberately runs the OPPOSITE direction so a
+    // mis-bound box (leaf predicate against the top-level column's
+    // stats) would prune the wrong batches and break the row check
+    def batch(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, 1000L - i)).toDF("id", "ts")
+        .select($"id", $"ts",
+          struct(($"id").as("ts"), lit("x").as("tag")).as("meta"))
+        .coalesce(1)
+    VersionLog.init(spark, dir, batch(0, 100))
+    VersionLog.append(spark, dir, batch(100, 200))
+    VersionLog.append(spark, dir, batch(200, 300))
+    VersionLog.append(spark, dir, batch(300, 400))
+    val t = spark.read.format("graft").load(dir)
+    assert(t.count() === 400L)
+    // leaf predicate: meta.ts in [250, 260) lives in batch 3 only
+    val leaf = t.filter($"meta.ts" >= 250L && $"meta.ts" < 260L)
+      .select($"id")
+    assert(leaf.as[Long].collect().toSet ===
+      (250L until 260L).toSet)
+    assert(scanNumFiles(leaf) === 1L,
+      "nested-leaf range must open exactly the covering batch")
+    // top-level ts still prunes on ITS OWN stats (runs 600..1000 in
+    // batch 1): ts >= 901 selects batch 1 only
+    val topSel = t.filter($"ts" >= 901L).select($"id")
+    assert(topSel.as[Long].collect().toSet === (0L until 100L).toSet)
+    assert(scanNumFiles(topSel) === 1L)
+  }
+
   test("version-tail stream: commits surface exactly once with their " +
       "added files; uncommitted data stays invisible; batch form agrees") {
     import spark.implicits._

@@ -1403,6 +1403,15 @@ class PipelineOpsSpec extends AnyFunSuite {
         df.withColumn("label", lit("x")), $"label", $"vec")
       .collect().head.getLong(2)
     assert(got((0, 0)) + got((1, 1)) === disp)
+    // regression (r15): the moment Aggregator must NOT capture the
+    // SparkSession — it serialized only while the session's lazy
+    // observation manager was uninitialized, so the first
+    // Dataset.observe anywhere in the session (the DML doors use it)
+    // broke every later covariance with Task-not-serializable
+    val o = org.apache.spark.sql.Observation()
+    df.observe(o, count(lit(1)).as("n")).collect()
+    assert(o.get("n").asInstanceOf[Long] === 2L)
+    assert(Embeddings.covariance(df, $"vec").collect().length === 3)
   }
 
   test("scene-change counts flip exactly at the threshold boundary") {

@@ -803,6 +803,42 @@ class VersionLogSpec extends AnyFunSuite {
     assert(rows(VersionLog.read(spark, dst)) === cloneRows)
   }
 
+  test("rebase vetting reads per-commit DIFFS, not snapshots: " +
+      "interleaved() equals the consecutive-snapshot file diffs " +
+      "across a mixed delta/full-form history (append, merge, " +
+      "overwrite, compact)") {
+    import spark.implicits._
+    val dir = seed() // v1 (full-form init)
+    VersionLog.append(spark, dir,
+      Seq((10L, "ten", "a")).toDF("k", "v", "p"), Some("p")) // v2 delta
+    VersionLog.mergeByKeyCdc(spark, dir,
+      Seq((10L, "ten2", "a", false)).toDF("k", "v", "p", "_del"),
+      "k", "p", deleteWhen = Some($"_del")) // v3 delta
+    VersionLog.overwrite(spark, dir,
+      Seq((99L, "ninetynine", "z")).toDF("k", "v", "p"),
+      Some("p")) // v4 FULL-FORM (diff >= list)
+    VersionLog.append(spark, dir,
+      Seq((100L, "hundred", "z")).toDF("k", "v", "p"), Some("p")) // v5
+    val v1 = VersionLog.snapshot(spark, dir, Some(1L))
+    val latest = VersionLog.snapshot(spark, dir, None)
+    val got = VersionLog.interleaved(spark, dir, v1, latest)
+    assert(got.map(_._1.version) === Seq(2L, 3L, 4L, 5L))
+    assert(got.map(_._1.action) ===
+      Seq("append", "merge", "overwrite", "append"))
+    // every diff equals the consecutive snapshots' set difference
+    for (((s, added, removed), v) <- got.zip(2L to 5L)) {
+      val prev = VersionLog.snapshot(spark, dir, Some(v - 1)).files.toSet
+      val cur = VersionLog.snapshot(spark, dir, Some(v)).files.toSet
+      assert(added.toSet === cur -- prev, s"added of v$v")
+      assert(removed.toSet === prev -- cur, s"removed of v$v")
+      assert(s.version === v)
+    }
+    // the LAST tuple is the fully-resolved latest (vets read its
+    // constraints/deletes); intermediates are files-free placeholders
+    assert(got.last._1 eq latest)
+    assert(got.init.forall(_._1.files.isEmpty))
+  }
+
   test("in-commit timestamps: TIMESTAMP AS OF survives an " +
       "mtime-destroying copy (the stored instant wins over the " +
       "version file's mtime); pre-r15 files without the field fall " +

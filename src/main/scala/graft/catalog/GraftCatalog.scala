@@ -186,15 +186,18 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
   }
 
-  /** `ALTER TABLE ADD COLUMN(S)` — a metadata-only schema-evolution
-    * commit ([[VersionLog.alterAddColumnCommit]]): existing rows read
-    * the new column as NULL, later writes populate it, time travel to
-    * pre-alter versions reads the pre-alter schema. Only top-level
-    * APPENDED nullable columns are supported; RENAME / DROP /
-    * retype are refused loudly (they would silently re-interpret
-    * existing files — a rewriting INSERT OVERWRITE is the honest
-    * spelling). The `_table.json` declaration (positional-INSERT
-    * binding order) is kept in sync.
+  /** `ALTER TABLE ADD / RENAME / DROP COLUMN` — metadata-only
+    * schema-evolution commits. ADD: existing rows read the new column
+    * as NULL, later writes populate it. RENAME/DROP ride COLUMN
+    * MAPPING ([[VersionLog.alterRenameColumnCommit]] /
+    * [[VersionLog.alterDropColumnCommit]]): the logical name changes
+    * or disappears while physical files keep theirs — no file is
+    * touched, time travel reads each version's own names, and a
+    * re-added dropped name gets a fresh physical identity so old
+    * bytes never resurface. Retype/reorder are refused loudly (they
+    * would re-interpret existing files — a rewriting INSERT OVERWRITE
+    * is the honest spelling). The `_table.json` declaration
+    * (positional-INSERT binding order) is kept in sync.
     */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
@@ -213,13 +216,55 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
           VersionLog.alterAddColumnCommit(spark, dir, name,
             add.dataType, add.isNullable)
         appendDeclaredColumn(dir, name, add.dataType)
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames.length == 1,
+          "graft tables support only top-level RENAME COLUMN, got: " +
+            ren.fieldNames.mkString("."))
+        if (VersionLog.listVersions(spark, dir).nonEmpty)
+          VersionLog.alterRenameColumnCommit(spark, dir,
+            ren.fieldNames.head, ren.newName)
+        rewriteDeclaredSchema(dir, s =>
+          org.apache.spark.sql.types.StructType(s.fields.map(f =>
+            if (spark.sessionState.conf.resolver(f.name,
+                ren.fieldNames.head)) f.copy(name = ren.newName)
+            else f)))
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          "graft tables support only top-level DROP COLUMN, got: " +
+            del.fieldNames.mkString("."))
+        if (VersionLog.listVersions(spark, dir).nonEmpty)
+          VersionLog.alterDropColumnCommit(spark, dir,
+            del.fieldNames.head)
+        rewriteDeclaredSchema(dir, s =>
+          org.apache.spark.sql.types.StructType(s.fields.filterNot(f =>
+            spark.sessionState.conf.resolver(f.name,
+              del.fieldNames.head))))
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE ${other.getClass.getSimpleName} is not " +
-          "supported on graft tables: rename/drop/retype would " +
+          "supported on graft tables: retype/reorder would " +
           "re-interpret existing files — rewrite through " +
           "INSERT OVERWRITE instead")
     }
     loadTable(ident)
+  }
+
+  /** Rewrite `_table.json`'s declared schema in place (rename/drop
+    * sync). Tables without a declaration (API-created) skip — the
+    * snapshot's schema commit is authoritative there.
+    */
+  private def rewriteDeclaredSchema(dir: String,
+      f: StructType => StructType): Unit = {
+    val (schemaOpt, partCol) = readMeta(dir)
+    schemaOpt.foreach { schema =>
+      val next = f(schema)
+      val p = metaPath(dir)
+      val fs = fsFor(p)
+      val json = s"""{"schema":${next.json},""" +
+        s""""partCol":${partCol.fold("null")(c => "\"" + c + "\"")}}"""
+      val out = fs.create(p, true)
+      try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
   }
 
   /** Keep `_table.json` (the declared column order positional INSERT

@@ -93,8 +93,16 @@ case class GraftV2ToV1Reads(session: SparkSession)
         t.v1Relation match {
           case None => LocalRelation(r.output)
           case Some(rel)
-              if VersionLog.snapshot(session, t.dir, t.versionAsOf)
-                .deletes.isEmpty =>
+              if {
+                val snap =
+                  VersionLog.snapshot(session, t.dir, t.versionAsOf)
+                // merge-on-read manifests AND column mapping both
+                // take the projection branch below (the V1 relation
+                // is physical; renamed/dropped columns need the
+                // logical re-projection VersionLog.read builds)
+                snap.deletes.isEmpty && snap.colMap.isEmpty &&
+                  snap.droppedPhys.isEmpty
+              } =>
             val natural = rel.schema.fieldNames.map(n =>
               r.output.find(a => resolver(a.name, n)).getOrElse(
                 throw new IllegalStateException(

@@ -92,14 +92,21 @@ final class GraftTable(spark: SparkSession, val dir: String,
     case None => declaredSchema.getOrElse(
       throw new IllegalStateException(
         s"graft table at $dir has no data and no declared schema"))
-    case Some(rel) => declaredSchema.fold(rel.schema) { decl =>
-      val live = rel.schema
-      val inDecl = decl.fieldNames.flatMap(n =>
-        live.fields.find(f => spark.sessionState.conf.resolver(f.name, n)))
-      val extra = live.fields.filterNot(f => decl.fieldNames.exists(
-        spark.sessionState.conf.resolver(_, f.name)))
-      StructType((inDecl ++ extra).toSeq)
-    }
+    case Some(rel) =>
+      // the V1 relation is PHYSICAL; surface LOGICAL names (identity
+      // unless the snapshot carries a column mapping)
+      val snap = VersionLog.snapshot(spark, dir, versionAsOf)
+      val logicalOf = snap.colMap.map(_.swap).toMap
+      val live = StructType(rel.schema.fields.map(f =>
+        f.copy(name = logicalOf.getOrElse(f.name, f.name))))
+      declaredSchema.fold(live) { decl =>
+        val inDecl = decl.fieldNames.flatMap(n =>
+          live.fields.find(f =>
+            spark.sessionState.conf.resolver(f.name, n)))
+        val extra = live.fields.filterNot(f => decl.fieldNames.exists(
+          spark.sessionState.conf.resolver(_, f.name)))
+        StructType((inDecl ++ extra).toSeq)
+      }
   }
 
   override def partitioning(): Array[Transform] =

@@ -13,11 +13,25 @@ import org.apache.spark.sql.functions._
   * (dir-relative paths) a reader of this version scans — nothing
   * else on disk exists for that reader.
   */
+/** @param colMap COLUMN MAPPING (logical name -> physical name, the
+  *   name stored in parquet files) for columns whose logical name has
+  *   diverged — RENAME is a colMap entry, data untouched (Delta's
+  *   column-mapping idea, public protocol, re-implemented). Identity
+  *   mappings are omitted; empty = names coincide (every pre-r15
+  *   table).
+  * @param droppedPhys physical names retired by DROP COLUMN (or by a
+  *   rename+drop): still present in old files, projected away on
+  *   read, and NEVER reused as a physical name — a re-added column of
+  *   the same logical name gets a fresh physical name, so old bytes
+  *   can never leak into it.
+  */
 case class TableSnapshot(version: Long, parent: Long, action: String,
     files: Seq[String], feed: Option[String] = None,
     deletes: Seq[String] = Nil,
     constraints: Seq[(String, String)] = Nil,
-    schemaJson: Option[String] = None)
+    schemaJson: Option[String] = None,
+    colMap: Seq[(String, String)] = Nil,
+    droppedPhys: Seq[String] = Nil)
 
 /** Version-log commits — SNAPSHOT ISOLATION for the maintained table.
   *
@@ -196,7 +210,7 @@ object VersionLog {
     val top = parseRaw(readJson(fs, p))
     TableSnapshot(top.version, top.parent, top.action,
       resolveFiles(fs, dir, top), top.feed, top.deletes,
-      top.constraints, top.schemaJson)
+      top.constraints, top.schemaJson, top.colMap, top.droppedPhys)
   }
 
   /** One commit's file diff vs its parent, computed WITHOUT resolving
@@ -309,10 +323,39 @@ object VersionLog {
     // plan shape as DeletionVectors.readWithDeletes, never a table
     // shuffle). Versions committed before a delete carry no manifests
     // and read the full state.
-    deleteManifestFrame(spark, dir, snap).fold(df) { keys =>
+    val applied = deleteManifestFrame(spark, dir, snap).fold(df) { keys =>
       df.join(broadcast(keys), Seq(keys.columns.head), "left_anti")
     }
+    // column mapping: project the PHYSICAL relation to the snapshot's
+    // LOGICAL view — dropped physicals out, renamed physicals under
+    // their logical names. Identity (no alias node at all) for every
+    // table that never renamed/dropped.
+    toLogicalView(applied, snap)
   }
+
+  /** Physical frame -> the snapshot's logical view: drop retired
+    * physical columns, rename mapped physicals to their logical
+    * names. A no-op returning `df` itself when the snapshot carries
+    * no mapping.
+    */
+  private[graft] def toLogicalView(df: DataFrame,
+      snap: TableSnapshot): DataFrame =
+    if (snap.colMap.isEmpty && snap.droppedPhys.isEmpty) df
+    else {
+      val dropped = snap.droppedPhys.foldLeft(df)(_ drop _)
+      snap.colMap.foldLeft(dropped) { case (d, (log, phys)) =>
+        if (d.columns.contains(phys)) d.withColumnRenamed(phys, log)
+        else d
+      }
+    }
+
+  /** Logical frame -> physical column names for a batch write. */
+  private[graft] def toPhysical(df: DataFrame,
+      colMap: Seq[(String, String)]): DataFrame =
+    colMap.foldLeft(df) { case (d, (log, phys)) =>
+      if (d.columns.contains(log)) d.withColumnRenamed(log, phys)
+      else d
+    }
 
   /** The retained equality-delete keys of a snapshot (one column,
     * named for the key the manifests were committed with), or None
@@ -378,7 +421,9 @@ object VersionLog {
       deletes: Seq[String] = Nil,
       constraints: Seq[(String, String)] = Nil,
       schemaJson: Option[String] = None,
-      parentFiles: Option[Seq[String]] = None): Long = {
+      parentFiles: Option[Seq[String]] = None,
+      colMap: Seq[(String, String)] = Nil,
+      droppedPhys: Seq[String] = Nil): Long = {
     val fs = fsFor(spark, dir)
     val root = versionsRoot(dir)
     fs.mkdirs(root)
@@ -387,7 +432,8 @@ object VersionLog {
     val sorted = files.sorted
     val delta = deltaAgainstParent(fs, dir, parent, sorted, parentFiles)
     val json = renderSnapshot(TableSnapshot(next, parent, action,
-      sorted, feed, deletes.sorted, constraints, schemaJson), delta,
+      sorted, feed, deletes.sorted, constraints, schemaJson,
+      colMap, droppedPhys), delta,
       tsMillis = Some(System.currentTimeMillis()))
     if (!atomicCreate(fs, root, target, json))
       throw new java.util.ConcurrentModificationException(
@@ -540,7 +586,8 @@ object VersionLog {
           filesOf(parent), feed = feed, deletes = deletesOf(parent),
           constraints = parent.constraints,
           schemaJson = parent.schemaJson,
-          parentFiles = Some(parent.files))
+          parentFiles = Some(parent.files),
+          colMap = parent.colMap, droppedPhys = parent.droppedPhys)
       } catch {
         case e: java.util.ConcurrentModificationException =>
           attempts += 1
@@ -566,15 +613,17 @@ object VersionLog {
       batchFiles: Seq[String], what: String): Unit = {
     val newCs = latest.constraints.filterNot(parent.constraints.toSet)
     if (newCs.nonEmpty && batchFiles.nonEmpty)
-      enforceConstraints(readFiles(spark, dir, batchFiles), newCs, dir,
-        s"$what (rebase: constraint added concurrently)")
+      enforceConstraints(
+        toLogicalView(readFiles(spark, dir, batchFiles), latest),
+        newCs, dir, s"$what (rebase: constraint added concurrently)")
     val newDels = latest.deletes.filterNot(parent.deletes.toSet)
     if (newDels.nonEmpty && batchFiles.nonEmpty) {
       val base = dir.stripSuffix("/")
       val keys = spark.read.parquet(newDels.map(f => s"$base/$f"): _*)
         .distinct()
       val c = keys.columns.head
-      val batch = readFiles(spark, dir, batchFiles)
+      val batch =
+        toLogicalView(readFiles(spark, dir, batchFiles), latest)
       if (batch.columns.contains(c)) {
         val hit = batch.select(col(c))
           .join(broadcast(keys), Seq(c), "left_semi").limit(1).count()
@@ -771,7 +820,8 @@ object VersionLog {
     val targetTouched =
       if (touchedFiles.isEmpty) table.filter(lit(false))
       else {
-        val raw = readFiles(spark, dir, touchedFiles)
+        val raw =
+          toLogicalView(readFiles(spark, dir, touchedFiles), snap)
         table.columns.foldLeft(raw) { (df, c) =>
           if (df.columns.contains(c)) df
           else df.withColumn(c,
@@ -813,7 +863,8 @@ object VersionLog {
     var newFiles: Seq[String] = Nil
     graft.core.Par.run(
       () => { feedName = MergeInto.stageFeedBatch(spark, dir, changes)._2 },
-      () => { newFiles = writeBatch(spark, dir, merged, Some(partCol),
+      () => { newFiles = writeBatch(spark, dir,
+        toPhysical(merged, snap.colMap), Some(partCol),
         snap.version + 1) })
     val outputRows =
       if (newFiles.isEmpty) 0L
@@ -856,7 +907,8 @@ object VersionLog {
           }
           val addedAll = inter.flatMap(_._2)
           if (addedAll.nonEmpty) {
-            val hit = readFiles(spark, dir, addedAll)
+            val hit =
+              toLogicalView(readFiles(spark, dir, addedAll), latest)
               .select(col(keyCol))
               .join(allKeys, Seq(keyCol), "left_semi")
               .limit(1).count()
@@ -868,8 +920,10 @@ object VersionLog {
           }
           val newCs = latest.constraints.filterNot(p.constraints.toSet)
           if (newCs.nonEmpty && newFiles.nonEmpty)
-            enforceConstraints(readFiles(spark, dir, newFiles), newCs,
-              dir, "merge (rebase: constraint added concurrently)")
+            enforceConstraints(
+              toLogicalView(readFiles(spark, dir, newFiles), latest),
+              newCs, dir,
+              "merge (rebase: constraint added concurrently)")
         },
         feed = Some(feedName))
       catch {
@@ -994,7 +1048,8 @@ object VersionLog {
       actionTag: String = "append"): Long = {
     val snap = snapshot(spark, dir, None)
     enforceConstraints(df, snap.constraints, dir, "append")
-    val files = writeBatch(spark, dir, df, partitionBy, snap.version + 1)
+    val files = writeBatch(spark, dir, toPhysical(df, snap.colMap),
+      partitionBy, snap.version + 1)
     // outstanding delete manifests carry forward (equality deletes
     // are layout-independent); appending a still-deleted key is the
     // caller's violation of the documented re-insert rule
@@ -1059,7 +1114,8 @@ object VersionLog {
     commit(spark, dir, snap.version, "add-constraint", snap.files,
       deletes = snap.deletes,
       constraints = snap.constraints :+ (name -> sqlExpr),
-      schemaJson = snap.schemaJson, parentFiles = Some(snap.files))
+      schemaJson = snap.schemaJson, parentFiles = Some(snap.files),
+      colMap = snap.colMap, droppedPhys = snap.droppedPhys)
   }
 
   /** `ALTER TABLE ADD COLUMN` as a METADATA-ONLY commit: the next
@@ -1085,12 +1141,122 @@ object VersionLog {
     require(!current.fieldNames.exists(
         spark.sessionState.conf.resolver(_, name)),
       s"column $name already exists on $dir")
+    // the new column's PHYSICAL name: its own name unless that name
+    // is already claimed by a renamed column's physical or was
+    // retired by a DROP — old bytes under a reused physical name
+    // would silently leak into the re-added column (the reason Delta
+    // column mapping assigns fresh physical ids)
+    val takenPhys = current.fieldNames.map(physicalOf(snap, _)).toSet ++
+      snap.droppedPhys
+    val colMap =
+      if (!takenPhys.contains(name)) snap.colMap
+      else snap.colMap :+ (name -> s"$name#v${snap.version + 1}")
     val widened = org.apache.spark.sql.types.StructType(
       current.fields :+
         org.apache.spark.sql.types.StructField(name, dataType))
     commit(spark, dir, snap.version, s"add-column-$name", snap.files,
       deletes = snap.deletes, constraints = snap.constraints,
-      schemaJson = Some(widened.json), parentFiles = Some(snap.files))
+      schemaJson = Some(widened.json), parentFiles = Some(snap.files),
+      colMap = colMap, droppedPhys = snap.droppedPhys)
+  }
+
+  /** The physical (on-file) name of a logical column. */
+  private[graft] def physicalOf(snap: TableSnapshot,
+      logical: String): String =
+    snap.colMap.find(_._1 == logical).map(_._2).getOrElse(logical)
+
+  /** Shared ALTER guards: the column must exist, must not be the
+    * partition column (path-encoded — renaming it would orphan every
+    * directory), must not be an outstanding equality-delete
+    * manifest's key (the stored key lists bind by name), and must not
+    * be referenced by a CHECK constraint (stored as SQL text binding
+    * by name).
+    */
+  private def requireAlterable(spark: SparkSession, dir: String,
+      snap: TableSnapshot, name: String, what: String): Unit = {
+    val partCols = snap.files.flatMap(_.split("/").dropRight(1)
+      .filter(_.contains("=")).map(_.split("=", 2)(0))).distinct
+    require(!partCols.exists(spark.sessionState.conf.resolver(_, name)),
+      s"$what $name: it is the partition column of $dir (path-" +
+        "encoded); repartition through a rewriting overwrite instead")
+    deleteManifestFrame(spark, dir, snap).foreach { k =>
+      require(!spark.sessionState.conf.resolver(k.columns.head, name),
+        s"$what $name: outstanding equality-delete manifests key on " +
+          "it — applyDeletesCommit first")
+    }
+    snap.constraints.foreach { case (cn, sql) =>
+      val refs = spark.sessionState.sqlParser.parseExpression(sql)
+        .collect {
+          case a: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedAttribute => a.nameParts.head
+        }
+      require(!refs.exists(spark.sessionState.conf.resolver(_, name)),
+        s"$what $name: CHECK constraint $cn ($sql) references it — " +
+          "drop the constraint first")
+    }
+  }
+
+  /** `ALTER TABLE RENAME COLUMN` as a METADATA-ONLY commit (Delta
+    * column mapping): the logical name changes, the physical files
+    * keep theirs, and a colMap entry binds them. Time travel to
+    * pre-rename versions reads the old name; old files' bytes flow
+    * into the renamed column on read (identity preserved).
+    */
+  def alterRenameColumnCommit(spark: SparkSession, dir: String,
+      from: String, to: String): Long = {
+    val snap = snapshot(spark, dir, None)
+    val resolver = spark.sessionState.conf.resolver
+    val decl = snap.schemaJson
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .getOrElse(read(spark, dir).schema)
+    require(decl.fieldNames.exists(resolver(_, from)),
+      s"RENAME COLUMN: no column '$from' on $dir " +
+        s"(have ${decl.fieldNames.mkString(",")})")
+    require(!decl.fieldNames.exists(resolver(_, to)),
+      s"RENAME COLUMN: column '$to' already exists on $dir")
+    requireAlterable(spark, dir, snap, from, "RENAME COLUMN")
+    val phys = physicalOf(snap, from)
+    val renamed = org.apache.spark.sql.types.StructType(
+      decl.fields.map(f =>
+        if (resolver(f.name, from)) f.copy(name = to) else f))
+    val colMap = snap.colMap.filterNot(_._1 == from) :+ (to -> phys)
+    commit(spark, dir, snap.version, s"rename-column-$from-$to",
+      snap.files, deletes = snap.deletes,
+      constraints = snap.constraints,
+      schemaJson = Some(renamed.json), parentFiles = Some(snap.files),
+      colMap = colMap, droppedPhys = snap.droppedPhys)
+  }
+
+  /** `ALTER TABLE DROP COLUMN` as a METADATA-ONLY commit: the logical
+    * column disappears (reads project it away; later batch rewrites
+    * physically shed it), its physical name is retired forever
+    * (`droppedPhys` — a re-added same-name column gets a fresh
+    * physical, so old bytes can never resurface), and time travel to
+    * pre-drop versions still reads it.
+    */
+  def alterDropColumnCommit(spark: SparkSession, dir: String,
+      name: String): Long = {
+    val snap = snapshot(spark, dir, None)
+    val resolver = spark.sessionState.conf.resolver
+    val decl = snap.schemaJson
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .getOrElse(read(spark, dir).schema)
+    require(decl.fieldNames.exists(resolver(_, name)),
+      s"DROP COLUMN: no column '$name' on $dir " +
+        s"(have ${decl.fieldNames.mkString(",")})")
+    require(decl.fields.length > 1,
+      s"DROP COLUMN $name: it is the only column of $dir")
+    requireAlterable(spark, dir, snap, name, "DROP COLUMN")
+    val phys = physicalOf(snap, name)
+    val narrowed = org.apache.spark.sql.types.StructType(
+      decl.fields.filterNot(f => resolver(f.name, name)))
+    commit(spark, dir, snap.version, s"drop-column-$name", snap.files,
+      deletes = snap.deletes, constraints = snap.constraints,
+      schemaJson = Some(narrowed.json), parentFiles = Some(snap.files),
+      colMap = snap.colMap.filterNot(_._1 == name),
+      droppedPhys = (snap.droppedPhys :+ phys).distinct)
   }
 
   /** Drop a named CHECK constraint as a commit. */
@@ -1103,7 +1269,8 @@ object VersionLog {
     commit(spark, dir, snap.version, "drop-constraint", snap.files,
       deletes = snap.deletes,
       constraints = snap.constraints.filterNot(_._1 == name),
-      schemaJson = snap.schemaJson, parentFiles = Some(snap.files))
+      schemaJson = snap.schemaJson, parentFiles = Some(snap.files),
+      colMap = snap.colMap, droppedPhys = snap.droppedPhys)
   }
 
   /** Replace the table's contents with `df` in one commit: the next
@@ -1116,7 +1283,8 @@ object VersionLog {
       actionTag: String = "overwrite"): Long = {
     val snap = snapshot(spark, dir, None)
     enforceConstraints(df, snap.constraints, dir, "overwrite")
-    val files = writeBatch(spark, dir, df, partitionBy, snap.version + 1)
+    val files = writeBatch(spark, dir, toPhysical(df, snap.colMap),
+      partitionBy, snap.version + 1)
     // CAS loss auto-rebases: a full overwrite is "truncate + insert",
     // so last-writer-wins over ANY interleave is its documented
     // semantics — only concurrently-added constraints re-gate, and a
@@ -1129,7 +1297,9 @@ object VersionLog {
         val newCs = inter.last._1.constraints
           .filterNot(p.constraints.toSet)
         if (newCs.nonEmpty)
-          enforceConstraints(readFiles(spark, dir, files), newCs, dir,
+          enforceConstraints(
+            toLogicalView(readFiles(spark, dir, files), inter.last._1),
+            newCs, dir,
             "overwrite (rebase: constraint added concurrently)")
       })
   }
@@ -1167,8 +1337,8 @@ object VersionLog {
       s"/$partitionBy=${MergeInto.escapePathName(v)}/")
     val isReplaced = (f: String) => frags.exists(("/" + f).contains)
     enforceConstraints(df, snap.constraints, dir, "overwrite_where")
-    val files = writeBatch(spark, dir, df, Some(partitionBy),
-      snap.version + 1)
+    val files = writeBatch(spark, dir, toPhysical(df, snap.colMap),
+      Some(partitionBy), snap.version + 1)
     // CAS loss rebases iff the interleave is DISJOINT from the
     // replaced partitions (its file diffs never touch them) — a
     // concurrent write into a replaced partition would be silently
@@ -1245,7 +1415,8 @@ object VersionLog {
         }
         val addedAll = inter.flatMap(_._2)
         if (addedAll.nonEmpty) {
-          val b = readFiles(spark, dir, addedAll)
+          val b = toLogicalView(readFiles(spark, dir, addedAll),
+            inter.last._1)
           if (b.columns.contains(keyCol)) {
             val hit = b.select(col(keyCol))
               .join(broadcast(k), Seq(keyCol), "left_semi")
@@ -1288,7 +1459,8 @@ object VersionLog {
     if (victims.isEmpty) // stale manifests (keys all gone): just clear
       return (0, commit(spark, dir, snap.version, "apply-deletes",
         snap.files, deletes = Nil, constraints = snap.constraints,
-        schemaJson = snap.schemaJson, parentFiles = Some(snap.files)))
+        schemaJson = snap.schemaJson, parentFiles = Some(snap.files),
+        colMap = snap.colMap, droppedPhys = snap.droppedPhys))
     // rewrite victims per partition-segment group so survivors land
     // back under their part=value paths in the new batch
     val newFiles = rewriteVictims(spark, dir, snap.version + 1, victims,
@@ -1296,7 +1468,8 @@ object VersionLog {
     val kept = snap.files.filterNot(victims.contains)
     (victims.size, commit(spark, dir, snap.version, "apply-deletes",
       kept ++ newFiles, deletes = Nil, constraints = snap.constraints,
-      schemaJson = snap.schemaJson, parentFiles = Some(snap.files)))
+      schemaJson = snap.schemaJson, parentFiles = Some(snap.files),
+      colMap = snap.colMap, droppedPhys = snap.droppedPhys))
   }
 
   /** Rewrite each victim file group through `transform` into a new
@@ -1362,7 +1535,8 @@ object VersionLog {
   def deleteWhereCommit(spark: SparkSession, dir: String,
       cond: Column): (Long, Long) = {
     val snap = snapshot(spark, dir, None)
-    val raw = readFiles(spark, dir, snap.files)
+    // the predicate binds LOGICAL names; files carry physical ones
+    val raw = toLogicalView(readFiles(spark, dir, snap.files), snap)
     def liveOf(df: DataFrame): DataFrame =
       deleteManifestFrame(spark, dir, snap).fold(df)(k =>
         df.join(broadcast(k), Seq(k.columns.head), "left_anti"))
@@ -1381,15 +1555,19 @@ object VersionLog {
       df => {
         val o = org.apache.spark.sql.Observation()
         counts += o
-        liveOf(df).observe(o, count(when(hit, lit(1))).as("n"))
-          .filter(!hit)
+        toPhysical(
+          liveOf(toLogicalView(df, snap))
+            .observe(o, count(when(hit, lit(1))).as("n"))
+            .filter(!hit),
+          snap.colMap)
       })
     val deleted = counts.map(_.get("n").asInstanceOf[Long]).sum
     val kept = snap.files.filterNot(victims.toSet)
     val v = commit(spark, dir, snap.version, "delete-where",
       kept ++ newFiles, deletes = snap.deletes,
       constraints = snap.constraints, schemaJson = snap.schemaJson,
-      parentFiles = Some(snap.files))
+      parentFiles = Some(snap.files),
+      colMap = snap.colMap, droppedPhys = snap.droppedPhys)
     (deleted, v)
   }
 
@@ -1430,7 +1608,8 @@ object VersionLog {
         s"UPDATE SET on partition column '$c' is a row move between " +
           "partitions: use MERGE INTO")
     }
-    val raw = readFiles(spark, dir, snap.files)
+    // assignments and predicates bind LOGICAL names
+    val raw = toLogicalView(readFiles(spark, dir, snap.files), snap)
     val schema = raw.schema
     sets.foreach { case (c, _) =>
       require(schema.fieldNames.exists(resolver(_, c)),
@@ -1486,19 +1665,23 @@ object VersionLog {
         val oN = org.apache.spark.sql.Observation()
         obsN += oN
         val post = projection(
-          liveOf(df).observe(oN, count(when(hit, lit(1))).as("n")))
-        if (cViol.isEmpty) post
-        else {
-          val oC = org.apache.spark.sql.Observation()
-          obsC += oC
-          post.observe(oC, cViol.head, cViol.tail: _*)
-        }
+          liveOf(toLogicalView(df, snap))
+            .observe(oN, count(when(hit, lit(1))).as("n")))
+        val gated =
+          if (cViol.isEmpty) post
+          else {
+            val oC = org.apache.spark.sql.Observation()
+            obsC += oC
+            post.observe(oC, cViol.head, cViol.tail: _*)
+          }
+        toPhysical(gated, snap.colMap)
       })
     val updated = obsN.map(_.get("n").asInstanceOf[Long]).sum
     snap.constraints.zipWithIndex.foreach { case ((name, sql), i) =>
       if (obsC.map(_.get(s"c$i").asInstanceOf[Long]).sum > 0L) {
         enforceConstraints(
-          projection(liveOf(readFiles(spark, dir, victims))),
+          projection(liveOf(toLogicalView(
+            readFiles(spark, dir, victims), snap))),
           Seq(name -> sql), dir, "update")
         throw new IllegalArgumentException( // observed, not re-probed
           s"CHECK constraint $name ($sql) violated by the update " +
@@ -1509,7 +1692,8 @@ object VersionLog {
     val v = commit(spark, dir, snap.version, "update-where",
       kept ++ newFiles, deletes = snap.deletes,
       constraints = snap.constraints,
-      schemaJson = snap.schemaJson, parentFiles = Some(snap.files))
+      schemaJson = snap.schemaJson, parentFiles = Some(snap.files),
+      colMap = snap.colMap, droppedPhys = snap.droppedPhys)
     (updated, v)
   }
 
@@ -1602,7 +1786,8 @@ object VersionLog {
     commit(spark, dir, snap.version, s"restore-v$toVersion",
       target.files, deletes = target.deletes,
       constraints = target.constraints,
-      schemaJson = target.schemaJson, parentFiles = Some(snap.files))
+      schemaJson = target.schemaJson, parentFiles = Some(snap.files),
+      colMap = target.colMap, droppedPhys = target.droppedPhys)
   }
 
   /** ZERO-COPY SHALLOW CLONE (local filesystems): materialize `dstDir`
@@ -1653,7 +1838,8 @@ object VersionLog {
     }
     commit(spark, dstDir, parent = 0L, action = "clone",
       files = snap.files, deletes = snap.deletes,
-      constraints = snap.constraints, schemaJson = snap.schemaJson)
+      constraints = snap.constraints, schemaJson = snap.schemaJson,
+      colMap = snap.colMap, droppedPhys = snap.droppedPhys)
   }
 
   /** COMPACTION as a commit: bin-pack each over-fragmented partition
@@ -1740,7 +1926,8 @@ object VersionLog {
     val version = commit(spark, dir, snap.version, "compact",
       kept ++ newFiles, deletes = snap.deletes,
       constraints = snap.constraints, schemaJson = snap.schemaJson,
-      parentFiles = Some(snap.files))
+      parentFiles = Some(snap.files),
+      colMap = snap.colMap, droppedPhys = snap.droppedPhys)
     (snap.files.length, kept.size + newFiles.size, version)
   }
 
@@ -1904,6 +2091,12 @@ object VersionLog {
        else s.constraints.map { case (n, e) =>
          "\"" + esc(n) + "\":\"" + esc(e) + "\""
        }.mkString("\"constraints\":{", ",", "},")) +
+      (if (s.colMap.isEmpty) ""
+       else s.colMap.map { case (l, p) =>
+         "\"" + esc(l) + "\":\"" + esc(p) + "\""
+       }.mkString("\"colmap\":{", ",", "},")) +
+      (if (s.droppedPhys.isEmpty) ""
+       else s""""droppedPhys":[${arr(s.droppedPhys)}],""") +
       // StructType.json is already a JSON object: splice it raw
       s.schemaJson.fold("")(j => s""""schema":$j,""") +
       (delta match {
@@ -1921,7 +2114,8 @@ object VersionLog {
       action: String, full: Option[Seq[String]], adds: Seq[String],
       removes: Seq[String], feed: Option[String], deletes: Seq[String],
       constraints: Seq[(String, String)], schemaJson: Option[String],
-      tsMillis: Option[Long])
+      tsMillis: Option[Long], colMap: Seq[(String, String)],
+      droppedPhys: Seq[String])
 
   private def parseRaw(json: String): RawVersion = {
     val node = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -1942,6 +2136,10 @@ object VersionLog {
         .flatMap(_.fields().asScala.map(e =>
           (e.getKey, e.getValue.asText)).toSeq),
       Option(node.get("schema")).map(_.toString), // absent pre-r14
-      Option(node.get("ts")).map(_.asLong)) // absent pre-r15: mtime
+      Option(node.get("ts")).map(_.asLong), // absent pre-r15: mtime
+      Option(node.get("colmap")).toSeq // absent pre-r15: identity
+        .flatMap(_.fields().asScala.map(e =>
+          (e.getKey, e.getValue.asText)).toSeq),
+      strings("droppedPhys")) // absent pre-r15: Nil
   }
 }

@@ -2192,15 +2192,19 @@ object PipelineQueries {
     },
     "q151_schema_evolution" -> { (s, d) =>
       import s.implicits._
-      // DDL SCHEMA EVOLUTION: `ALTER TABLE ADD COLUMN` through the
-      // SQL front door as a METADATA-ONLY commit (no file touched;
-      // time travel to the pre-alter version keeps the old schema —
-      // spec-pinned), then an append that populates the new column.
-      // Existing rows surface it as NULL through the same
-      // footer+schema-commit widening the append-evolution path uses.
-      // The oracle recomputes rows, non-null counts, and the new
-      // column's sum from the pristine corpus — a lost schema commit,
-      // a phantom default, or a mis-bound insert cannot hash-match.
+      // DDL SCHEMA EVOLUTION, full cycle: `ALTER TABLE ADD COLUMN`
+      // as a METADATA-ONLY commit, an append populating it, then the
+      // COLUMN-MAPPING alters (r15) — RENAME flag->marker (data
+      // carried by physical identity, no file touched), an add+drop
+      // round trip (tmp), and a RE-ADD of the original name `flag`,
+      // which must mint a FRESH physical identity: the old flag
+      // bytes still sit in every pre-rename file under the physical
+      // name, and leaking them into the re-added column is the
+      // classic column-mapping bug (the reason Delta assigns field
+      // ids). The oracle recomputes rows, the carried marker counts/
+      // sums, and the re-added column's count (0 — all NULL) from
+      // the pristine corpus: a lost rename, a leak into the fresh
+      // column, or a mis-bound insert cannot hash-match.
       s.conf.set("spark.sql.catalog.graft",
         classOf[graft.catalog.GraftCatalog].getName)
       val dir = s"${System.getProperty("java.io.tmpdir")}" +
@@ -2215,12 +2219,17 @@ object PipelineQueries {
             .withColumn("doc_id", $"doc_id" + 200000000L)
             .withColumn("flag", $"doc_id" % 7),
           partitionBy = Some("lang"))
+        s.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN flag TO marker")
+        s.sql(s"ALTER TABLE graft.`$dir` ADD COLUMN tmp STRING")
+        s.sql(s"ALTER TABLE graft.`$dir` DROP COLUMN tmp")
+        s.sql(s"ALTER TABLE graft.`$dir` ADD COLUMN flag BIGINT")
       }
       VersionLog.read(s, dir)
         .groupBy($"lang")
         .agg(count(lit(1)).as("n_rows"),
-          count($"flag").as("n_flagged"),
-          sum($"flag").as("sum_flag"))
+          count($"marker").as("n_flagged"),
+          sum($"marker").as("sum_flag"),
+          count($"flag").as("n_fresh"))
         .orderBy($"lang")
     },
     "q152_stats_skipping" -> { (s, d) =>
@@ -4068,15 +4077,16 @@ object PipelineQueries {
          FROM merged GROUP BY lang ORDER BY lang""",
     "q151_schema_evolution" ->
       """WITH allrows AS (
-           SELECT doc_id, lang, CAST(NULL AS BIGINT) AS flag
+           SELECT doc_id, lang, CAST(NULL AS BIGINT) AS marker
            FROM documents
            UNION ALL
            SELECT doc_id + 200000000, lang,
-             (doc_id + 200000000) % 7 AS flag
+             (doc_id + 200000000) % 7 AS marker
            FROM documents WHERE doc_id % 5 = 0)
          SELECT lang, count(*) AS n_rows,
-           count(flag) AS n_flagged,
-           CAST(sum(flag) AS BIGINT) AS sum_flag
+           count(marker) AS n_flagged,
+           CAST(sum(marker) AS BIGINT) AS sum_flag,
+           CAST(0 AS BIGINT) AS n_fresh
          FROM allrows GROUP BY lang ORDER BY lang""",
     "q152_stats_skipping" ->
       """WITH cuts AS (SELECT max(doc_id) AS m FROM documents)

@@ -166,6 +166,20 @@ object GraftCdcSource {
       v: Long): DataFrame = {
     val base = dir.stripSuffix("/")
     val snap = VersionLog.snapshot(spark, dir, Some(v))
+    // column mapping: images align to the CURRENT logical schema by
+    // name — a version whose mapping differs (a rename/drop landed
+    // after it) would silently null-fill the renamed column, so it
+    // refuses LOUDLY instead (consume the feed before renaming, or
+    // replay snapshot-level via graft-versions)
+    val latest = VersionLog.snapshot(spark, dir, None)
+    if (snap.colMap != latest.colMap ||
+        snap.droppedPhys != latest.droppedPhys)
+      throw new IllegalStateException(
+        s"graft-cdc cannot replay version $v of $dir across a " +
+          "column-mapping change (a later RENAME/DROP COLUMN): its " +
+          "row images bind names that differ from the current " +
+          "schema — consume the feed before altering, or replay " +
+          "through graft-versions")
     snap.feed match {
       case Some(name) =>
         spark.read.parquet(s"$base._cdc/$name")
@@ -231,12 +245,14 @@ object GraftCdcSource {
     // delete can never resurrect through the feed.
     val del =
       if (removed.isEmpty) None
-      else Some(VersionLog.readFiles(spark, dir, removed)
+      else Some(VersionLog.toLogicalView(
+          VersionLog.readFiles(spark, dir, removed), snap)
         .withColumn("_op", lit("delete")))
     val ins =
       if (added.isEmpty) None
       else {
-        val raw = VersionLog.readFiles(spark, dir, added)
+        val raw = VersionLog.toLogicalView(
+          VersionLog.readFiles(spark, dir, added), snap)
         val live =
           if (snap.deletes.isEmpty) raw
           else {

@@ -245,6 +245,16 @@ private final class GraftFileIndex(spark: SparkSession, dir: String,
     */
   private var pinnedSchemaJson: Option[String] = None
 
+  /** The pinned snapshot's column mapping (logical -> physical) and
+    * retired physical names — this RELATION stays fully PHYSICAL
+    * (file column names; stats/bloom/manifest sidecars key on them);
+    * `VersionLog.read` / the catalog rule project physical ->
+    * logical above it. Retired physicals are excluded from the
+    * schema so a dropped column can never surface.
+    */
+  private var pinnedColMap: Seq[(String, String)] = Nil
+  private var pinnedDropped: Seq[String] = Nil
+
   /** Pinned file list: the version log's snapshot when present, the
     * flat top-level parquet listing otherwise (a z-ordered unversioned
     * layout gets the same statistics-consulting scan). Resolved once;
@@ -257,6 +267,8 @@ private final class GraftFileIndex(spark: SparkSession, dir: String,
       if (VersionLog.listVersions(spark, base).nonEmpty) {
         val snap = VersionLog.snapshot(spark, base, versionAsOf)
         pinnedSchemaJson = snap.schemaJson
+        pinnedColMap = snap.colMap
+        pinnedDropped = snap.droppedPhys
         // merge-on-read: a snapshot with live equality-delete
         // manifests must not be scanned raw by a door that never
         // applies them — VersionLog.read and the graft catalog
@@ -412,22 +424,31 @@ private final class GraftFileIndex(spark: SparkSession, dir: String,
       }
       StructType(merged ++ extra)
     }
+    // retired physical columns (DROP COLUMN history) never surface
+    val droppedSet = pinnedDropped.toSet
+    val footerLive = StructType(
+      footerMerged.fields.filterNot(f => droppedSet.contains(f.name)))
     // the snapshot's DECLARED schema commit (ALTER TABLE ADD COLUMN
     // history) widens the footer view: declared-only columns surface
     // (null-filled by the parquet reader — no file carries them yet)
     // in declared order, footer-only columns keep their encounter
-    // order at the end, and declared types widen against footers
-    pinnedSchemaJson.fold(footerMerged) { json =>
+    // order at the end, and declared types widen against footers.
+    // Declared names are LOGICAL; this relation is PHYSICAL — each
+    // declared field contributes under its mapped physical name
+    // (identity for every never-renamed column).
+    pinnedSchemaJson.fold(footerLive) { json =>
       val decl = org.apache.spark.sql.types.DataType.fromJson(json)
         .asInstanceOf[StructType]
+      val physOf = pinnedColMap.toMap
       val partSet = partColNames.toSet
       val dataDecl = decl.fields.filterNot(f => partSet.contains(f.name))
+        .map(f => f.copy(name = physOf.getOrElse(f.name, f.name)))
       val merged = dataDecl.map { f =>
-        footerMerged.fields.find(_.name == f.name).fold(f) { ff =>
+        footerLive.fields.find(_.name == f.name).fold(f) { ff =>
           f.copy(dataType = widenOrFail(f.name, f.dataType, ff.dataType))
         }
       }
-      val extra = footerMerged.fields.filterNot(f =>
+      val extra = footerLive.fields.filterNot(f =>
         dataDecl.exists(_.name == f.name))
       StructType((merged ++ extra).toSeq)
     }

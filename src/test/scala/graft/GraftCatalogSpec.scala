@@ -503,7 +503,7 @@ class GraftCatalogSpec extends AnyFunSuite {
 
   test("ALTER TABLE ADD COLUMN is a metadata-only schema-evolution " +
       "commit: existing rows read NULL, later inserts populate it, " +
-      "time travel reads the pre-alter schema; rename/drop refuse") {
+      "time travel reads the pre-alter schema; retype refuses") {
     import spark.implicits._
     warehouse
     spark.sql("CREATE TABLE graft.evo (k BIGINT, p STRING) " +
@@ -530,15 +530,12 @@ class GraftCatalogSpec extends AnyFunSuite {
     // the feed records no row change for the alter commit itself
     assert(graft.sources.GraftCdcSource
       .changesForVersion(spark, s"$warehouse/evo", 2L).count() === 0L)
-    // rename / drop / duplicate add refuse loudly
+    // retype / duplicate add refuse loudly (rename/drop ride column
+    // mapping since r15 — pinned in the COLUMN MAPPING test)
     val e1 = intercept[Exception] {
-      spark.sql("ALTER TABLE graft.evo RENAME COLUMN note TO n2")
+      spark.sql("ALTER TABLE graft.evo ALTER COLUMN note TYPE BIGINT")
     }
     assert(e1.getMessage.contains("not supported"), e1.getMessage)
-    val e2 = intercept[Exception] {
-      spark.sql("ALTER TABLE graft.evo DROP COLUMN note")
-    }
-    assert(e2.getMessage.contains("not supported"), e2.getMessage)
     val e3 = intercept[Exception] {
       spark.sql("ALTER TABLE graft.evo ADD COLUMN note STRING")
     }
@@ -752,6 +749,76 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("equality-delete manifests key"),
       e.getMessage)
+  }
+
+  test("COLUMN MAPPING: RENAME/DROP COLUMN are metadata-only commits " +
+      "(files untouched, data carried by physical identity, time " +
+      "travel reads each version's own names), a re-added dropped " +
+      "name gets a fresh physical so old bytes never resurface, and " +
+      "writes/DML keep working through the mapping") {
+    import spark.implicits._
+    warehouse
+    spark.sql("CREATE TABLE graft.cm (k BIGINT, v STRING, p STRING) " +
+      "PARTITIONED BY (p)")
+    spark.sql("INSERT INTO graft.cm VALUES (1, 'one', 'a'), " +
+      "(2, 'two', 'b')") // v1
+    val dir = s"$warehouse/cm"
+    val v1Files = VersionLog.snapshot(spark, dir, None).files
+    // RENAME: metadata-only, data carried
+    spark.sql("ALTER TABLE graft.cm RENAME COLUMN v TO label") // v2
+    assert(VersionLog.snapshot(spark, dir, None).files === v1Files,
+      "rename must touch no data file")
+    assert(spark.sql("SELECT k, label FROM graft.cm ORDER BY k")
+      .as[(Long, String)].collect().toSeq ===
+      Seq((1L, "one"), (2L, "two")))
+    intercept[Exception] {
+      spark.sql("SELECT v FROM graft.cm").collect()
+    }
+    // time travel reads the PRE-RENAME name
+    assert(spark.sql("SELECT v FROM graft.cm VERSION AS OF 1")
+      .as[String].collect().toSet === Set("one", "two"))
+    // writes keep working: logical 'label' lands under physical 'v'
+    spark.sql("INSERT INTO graft.cm VALUES (3, 'three', 'a')") // v3
+    assert(spark.sql("SELECT label FROM graft.cm WHERE k = 3")
+      .as[String].head() === "three")
+    // filter pushdown through the mapping stays correct
+    assert(spark.sql("SELECT k FROM graft.cm WHERE label = 'two'")
+      .as[Long].collect().toSeq === Seq(2L))
+    // DML through the mapping: assignments bind the logical name
+    spark.sql("UPDATE graft.cm SET label = 'ONE' WHERE k = 1")
+    assert(spark.sql("SELECT label FROM graft.cm WHERE k = 1")
+      .as[String].head() === "ONE")
+    // DROP: metadata-only; pre-drop versions still read it
+    val preDrop = VersionLog.snapshot(spark, dir, None)
+    spark.sql("ALTER TABLE graft.cm DROP COLUMN label")
+    assert(VersionLog.snapshot(spark, dir, None).files ===
+      preDrop.files, "drop must touch no data file")
+    assert(spark.sql("SELECT * FROM graft.cm").columns.toSeq
+      .sorted === Seq("k", "p"))
+    assert(spark.sql(
+      s"SELECT label FROM graft.cm VERSION AS OF ${preDrop.version}")
+      .as[String].collect().toSet === Set("ONE", "two", "three"))
+    // RE-ADD the ORIGINAL name: fresh physical identity — the old
+    // 'v' bytes (still in every pre-drop file) must NOT leak in
+    spark.sql("ALTER TABLE graft.cm ADD COLUMN v STRING")
+    assert(spark.sql("SELECT v FROM graft.cm").as[String]
+      .collect().forall(_ == null),
+      "re-added column must read NULL, never the retired bytes")
+    // populate it: positional order is the declared order (k, p, v)
+    spark.sql("INSERT INTO graft.cm VALUES (4, 'b', 'fresh')")
+    assert(spark.sql("SELECT k, v FROM graft.cm ORDER BY k")
+      .as[(Long, Option[String])].collect().toSeq ===
+      Seq((1L, None), (2L, None), (3L, None), (4L, Some("fresh"))))
+    // guards: partition column refuses; constraint-referenced refuses
+    val ep = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.cm RENAME COLUMN p TO q")
+    }
+    assert(ep.getMessage.contains("partition column"), ep.getMessage)
+    spark.sql("ALTER TABLE graft.cm ADD CONSTRAINT kc CHECK (k > 0)")
+    val ec = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.cm DROP COLUMN k")
+    }
+    assert(ec.getMessage.contains("CHECK constraint kc"), ec.getMessage)
   }
 
   test("DML door job-count parity: DELETE and UPDATE each cost two " +

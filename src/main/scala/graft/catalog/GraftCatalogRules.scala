@@ -258,10 +258,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case m: MergeIntoTable =>
       graftTargetDir(m.targetTable) match {
         case Some(dir) =>
-          val (keyCol, deleteWhenSql, bySourceSql) =
+          val (keyCol, deleteWhenSql, bySourceDel, bySourceUpd) =
             MergeSql.interpretShape(m)
           GraftCatalogMergeCommand(dir, m.sourceTable,
-            keyCol, deleteWhenSql, bySourceSql)
+            keyCol, deleteWhenSql, bySourceDel, bySourceUpd)
         case None => m
       }
     case d @ DeleteFromTable(target, condition) =>
@@ -368,7 +368,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   */
 case class GraftCatalogMergeCommand(dir: String, source: LogicalPlan,
     keyCol: String, deleteWhenSql: Option[String],
-    bySourceDeleteSql: Option[String] = None)
+    bySourceDeleteSql: Option[String] = None,
+    bySourceUpdateSql: Option[(String, Seq[(String, String)])] = None)
     extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
@@ -397,7 +398,10 @@ case class GraftCatalogMergeCommand(dir: String, source: LogicalPlan,
     }
     val (stats, _, version) = VersionLog.mergeByKeyCdc(spark, dir, src,
       keyCol, partCol, deleteWhenSql.map(expr),
-      bySourceDelete = bySourceDeleteSql.map(expr))
+      bySourceDelete = bySourceDeleteSql.map(expr),
+      bySourceUpdate = bySourceUpdateSql.map { case (c, sets) =>
+        (expr(c), sets.map { case (k, v) => (k, expr(v)) })
+      })
     Seq(Row(version, stats.outputRows, stats.touchedPartitions.size,
       stats.removedPartitions.size))
   }

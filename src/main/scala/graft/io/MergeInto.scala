@@ -138,17 +138,23 @@ object MergeInto {
   def mergeByKeyCdc(spark: SparkSession, dir: String, updates: DataFrame,
       keyCol: String, partCol: String, deleteWhen: Option[Column] = None,
       maxTouchedPartitions: Int = 4096,
-      bySourceDelete: Option[Column] = None): (MergeStats, DataFrame) = {
+      bySourceDelete: Option[Column] = None,
+      bySourceUpdate: Option[(Column, Seq[(String, Column)])] = None):
+      (MergeStats, DataFrame) = {
     val (stats, feed) = merge(spark, dir, updates, keyCol, partCol,
-      deleteWhen, maxTouchedPartitions, cdc = true, bySourceDelete)
+      deleteWhen, maxTouchedPartitions, cdc = true, bySourceDelete,
+      bySourceUpdate)
     (stats, feed.get)
   }
 
   private def merge(spark: SparkSession, dir: String, updates: DataFrame,
       keyCol: String, partCol: String, deleteWhen: Option[Column],
       maxTouchedPartitions: Int, cdc: Boolean,
-      bySourceDelete: Option[Column] = None):
+      bySourceDelete: Option[Column] = None,
+      bySourceUpdate: Option[(Column, Seq[(String, Column)])] = None):
       (MergeStats, Option[DataFrame]) = {
+    require(bySourceDelete.isEmpty || bySourceUpdate.isEmpty,
+      "at most one WHEN NOT MATCHED BY SOURCE action")
     // heal FIRST, before any scan of the target: a previous run that
     // crashed between a partition delete and its rename left that
     // partition's only copy (survivors included) under staging — the
@@ -207,7 +213,20 @@ object MergeInto {
     // full-sync mirror clause widens the blast radius to wherever
     // such rows live (Delta's clause scans the whole target the same
     // way; the scan here is column-pruned to key+partition+condition)
-    val bySourceHomes = bySourceDelete.fold(Array.empty[Any]) { c =>
+    bySourceUpdate.foreach { case (_, sets) =>
+      val resolver = spark.sessionState.conf.resolver
+      require(sets.nonEmpty,
+        "NOT MATCHED BY SOURCE UPDATE needs >= 1 assignment")
+      sets.foreach { case (c, _) =>
+        require(!resolver(c, partCol),
+          s"NOT MATCHED BY SOURCE UPDATE SET on partition column " +
+            s"'$c' is a row move: not supported")
+        require(target.columns.exists(resolver(_, c)),
+          s"NOT MATCHED BY SOURCE UPDATE SET: no column '$c' on $dir")
+      }
+    }
+    val bySourceCond = bySourceDelete.orElse(bySourceUpdate.map(_._1))
+    val bySourceHomes = bySourceCond.fold(Array.empty[Any]) { c =>
       target.filter(coalesce(c, lit(false)))
         .join(allKeys, Seq(keyCol), "left_anti")
         .select(col(partCol)).distinct()
@@ -235,6 +254,21 @@ object MergeInto {
     // survive, unless the NOT MATCHED BY SOURCE condition deletes them
     // (NULL condition = not satisfied = the row survives, 3VL)
     val notMatched = targetTouched.join(allKeys, Seq(keyCol), "left_anti")
+    // UPDATE form of the BY SOURCE clause: assignments over the OLD
+    // row, applied to the cond-matching unmatched rows (they stay)
+    def bySourceProject(df: DataFrame): DataFrame =
+      bySourceUpdate.fold(df) { case (c, sets) =>
+        val resolver = spark.sessionState.conf.resolver
+        val bsHit = coalesce(c, lit(false))
+        df.select(df.schema.fields.map { f =>
+          sets.find(s => resolver(s._1, f.name)) match {
+            case Some((_, e)) =>
+              when(bsHit, e.cast(f.dataType)).otherwise(col(f.name))
+                .as(f.name)
+            case None => col(f.name)
+          }
+        }.toIndexedSeq: _*)
+      }
     val changes = if (!cdc) None else {
       // before-images: full rows of every matched key (their homes are
       // all inside `touched` by construction)
@@ -251,15 +285,23 @@ object MergeInto {
       }
       val bySourceDeletes = bySourceDelete.fold(oldMatched.limit(0))(c =>
         notMatched.filter(coalesce(c, lit(false))))
+      val bySourceUpdPre = bySourceUpdate.fold(oldMatched.limit(0)) {
+        case (c, _) => notMatched.filter(coalesce(c, lit(false)))
+      }
       Some(updatePre.withColumn("_op", lit("update_pre"))
         .unionByName(updatePost.withColumn("_op", lit("update_post")))
         .unionByName(inserts.withColumn("_op", lit("insert")))
         .unionByName(deletes.withColumn("_op", lit("delete")))
-        .unionByName(bySourceDeletes.withColumn("_op", lit("delete"))))
+        .unionByName(bySourceDeletes.withColumn("_op", lit("delete")))
+        .unionByName(
+          bySourceUpdPre.withColumn("_op", lit("update_pre")))
+        .unionByName(bySourceProject(bySourceUpdPre)
+          .withColumn("_op", lit("update_post"))))
     }
 
-    val survivors = bySourceDelete.fold(notMatched)(c =>
+    val afterDelete = bySourceDelete.fold(notMatched)(c =>
       notMatched.filter(!coalesce(c, lit(false))))
+    val survivors = bySourceProject(afterDelete)
     val merged = survivors.unionByName(upserts.select(dataCols: _*))
     // land the merged rows in a sibling staging directory, then publish
     // per partition via delete + rename: ONE data write, and the write

@@ -66,28 +66,34 @@ object MergeSql {
       case other => throw new IllegalArgumentException(
         s"unsupported MERGE source: $other")
     }
-    val (keyCol, deleteWhenSql, bySourceSql) = interpretShape(m)
+    val (keyCol, deleteWhenSql, bySourceDel, bySourceUpd) =
+      interpretShape(m)
     val partCol = discoverPartCol(spark, dir)
     // tombstone marker columns live only on the source; project the
     // target's schema plus whatever the delete predicate needs —
     // mergeByKeyCdc ignores extra columns via its own projections
     MergeInto.mergeByKeyCdc(spark, dir, source, keyCol, partCol,
       deleteWhenSql.map(expr), maxTouchedPartitions,
-      bySourceDelete = bySourceSql.map(expr))
+      bySourceDelete = bySourceDel.map(expr),
+      bySourceUpdate = bySourceUpd.map { case (c, sets) =>
+        (expr(c), sets.map { case (k, v) => (k, expr(v)) })
+      })
   }
 
   /** Interpret the engine-supported MERGE shape out of Spark's raw
     * parse tree: the single key column from the ON condition, the
     * optional tombstone predicate (qualifier-stripped SQL, evaluating
-    * over the bare source frame), and the optional NOT MATCHED BY
-    * SOURCE delete predicate (over the bare TARGET frame; `"true"`
-    * for the unconditional clause). Refuses anything the merge does
-    * not implement — shared by the view-mapped [[mergeSql]] front
-    * door and the catalog's
-    * [[graft.catalog.GraftCatalogMergeCommand]].
+    * over the bare source frame), the optional NOT MATCHED BY SOURCE
+    * delete predicate (over the bare TARGET frame; `"true"` for the
+    * unconditional clause), and the optional NOT MATCHED BY SOURCE
+    * UPDATE form (cond + assignments over the target row — Delta's
+    * "flag stale rows" variant). Refuses anything the merge does not
+    * implement — shared by the view-mapped [[mergeSql]] front door
+    * and the catalog's [[graft.catalog.GraftCatalogMergeCommand]].
     */
   private[graft] def interpretShape(m: MergeIntoTable):
-      (String, Option[String], Option[String]) = {
+      (String, Option[String], Option[String],
+        Option[(String, Seq[(String, String)])]) = {
     val keyCol = m.mergeCondition match {
       case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
           if a.nameParts.last.equalsIgnoreCase(b.nameParts.last) =>
@@ -132,16 +138,35 @@ object MergeSql {
       case u: UnresolvedRelation => Seq(u.multipartIdentifier.last)
       case _ => Nil
     }
-    val bySourceSql = m.notMatchedBySourceActions match {
-      case Seq() => None
-      case Seq(DeleteAction(None)) => Some("true")
+    def interpretSets(
+        assignments: Seq[org.apache.spark.sql.catalyst.plans.logical
+          .Assignment]): Seq[(String, String)] =
+      assignments.map { a =>
+        val key = stripQualifiers(a.key, tgtQuals) match {
+          case u: UnresolvedAttribute if u.nameParts.length == 1 =>
+            u.nameParts.head
+          case other => throw new IllegalArgumentException(
+            "NOT MATCHED BY SOURCE UPDATE SET target must be a " +
+              s"top-level column, got: ${other.sql}")
+        }
+        (key, stripQualifiers(a.value, tgtQuals).sql)
+      }
+    val (bySourceDel, bySourceUpd) = m.notMatchedBySourceActions match {
+      case Seq() => (None, None)
+      case Seq(DeleteAction(None)) => (Some("true"), None)
       case Seq(DeleteAction(Some(cond))) =>
-        Some(stripQualifiers(cond, tgtQuals).sql)
+        (Some(stripQualifiers(cond, tgtQuals).sql), None)
+      case Seq(org.apache.spark.sql.catalyst.plans.logical
+          .UpdateAction(cond, assignments, _)) =>
+        (None, Some((
+          cond.map(c => stripQualifiers(c, tgtQuals).sql)
+            .getOrElse("true"),
+          interpretSets(assignments))))
       case other => throw new IllegalArgumentException(
-        "WHEN NOT MATCHED BY SOURCE supports only [AND <cond>] THEN " +
-          s"DELETE, got: $other")
+        "WHEN NOT MATCHED BY SOURCE supports [AND <cond>] THEN " +
+          s"DELETE or [AND <cond>] THEN UPDATE SET …, got: $other")
     }
-    (keyCol, deleteWhenSql, bySourceSql)
+    (keyCol, deleteWhenSql, bySourceDel, bySourceUpd)
   }
 
   /** The partition column of a hive-layout dataset, from its

@@ -718,8 +718,11 @@ object VersionLog {
       keyCol: String, partCol: String, deleteWhen: Option[Column] = None,
       maxTouchedPartitions: Int = 4096,
       actionTag: String = "merge",
-      bySourceDelete: Option[Column] = None):
+      bySourceDelete: Option[Column] = None,
+      bySourceUpdate: Option[(Column, Seq[(String, Column)])] = None):
       (MergeStats, DataFrame, Long) = {
+    require(bySourceDelete.isEmpty || bySourceUpdate.isEmpty,
+      "at most one WHEN NOT MATCHED BY SOURCE action")
     val snap = snapshot(spark, dir, None)
     healStagedFeeds(spark, dir)
     // a merge's matched/survivor arithmetic would have to thread the
@@ -783,9 +786,25 @@ object VersionLog {
       s"matched keys live in the null/empty-$partCol default " +
         "partition, which this merge cannot address")
     // WHEN NOT MATCHED BY SOURCE: homes of pinned rows whose key the
-    // batch does not carry and whose delete condition holds — the
-    // mirror clause's blast radius (column-pruned discovery scan)
-    val bySourceHomes = bySourceDelete.fold(Array.empty[Any]) { c =>
+    // batch does not carry and whose clause condition holds — the
+    // mirror clause's blast radius (column-pruned discovery scan).
+    // The UPDATE form additionally refuses partition-column and
+    // unknown assignment targets up front.
+    bySourceUpdate.foreach { case (_, sets) =>
+      val resolver = spark.sessionState.conf.resolver
+      require(sets.nonEmpty,
+        "NOT MATCHED BY SOURCE UPDATE needs >= 1 assignment")
+      sets.foreach { case (c, _) =>
+        require(!resolver(c, partCol),
+          s"NOT MATCHED BY SOURCE UPDATE SET on partition column " +
+            s"'$c' is a row move: not supported")
+        require(table.columns.exists(resolver(_, c)),
+          s"NOT MATCHED BY SOURCE UPDATE SET: no column '$c' on $dir")
+      }
+    }
+    val bySourceCond =
+      bySourceDelete.orElse(bySourceUpdate.map(_._1))
+    val bySourceHomes = bySourceCond.fold(Array.empty[Any]) { c =>
       table.filter(coalesce(c, lit(false)))
         .join(allKeys, Seq(keyCol), "left_anti")
         .select(col(partCol)).distinct()
@@ -842,18 +861,47 @@ object VersionLog {
       oldMatched.join(t.select(col(keyCol)), Seq(keyCol), "left_semi")
     }
     // rows the batch does not match: survive, unless the NOT MATCHED
-    // BY SOURCE condition deletes them (NULL = not satisfied = kept)
+    // BY SOURCE clause deletes them (NULL = not satisfied = kept) or
+    // rewrites them (UPDATE form: assignments over the OLD row, the
+    // same one-projection semantics as the UPDATE door)
     val notMatched = targetTouched.join(allKeys, Seq(keyCol), "left_anti")
     val bySourceDeletes = bySourceDelete.fold(oldMatched.limit(0))(c =>
       notMatched.filter(coalesce(c, lit(false))))
+    def bySourceProject(df: DataFrame): DataFrame =
+      bySourceUpdate.fold(df) { case (c, sets) =>
+        val resolver = spark.sessionState.conf.resolver
+        val hit = coalesce(c, lit(false))
+        df.select(df.schema.fields.map { f =>
+          sets.find(s => resolver(s._1, f.name)) match {
+            case Some((_, e)) =>
+              when(hit, e.cast(f.dataType)).otherwise(col(f.name))
+                .as(f.name)
+            case None => col(f.name)
+          }
+        }.toIndexedSeq: _*)
+      }
+    val bySourceUpdPre = bySourceUpdate.fold(oldMatched.limit(0)) {
+      case (c, _) => notMatched.filter(coalesce(c, lit(false)))
+    }
+    val bySourceUpdPost = bySourceProject(bySourceUpdPre)
+    // rewritten stale rows carry NEW values: re-gate the constraints
+    // (normal survivors are exempt — validated when first written)
+    bySourceUpdate.foreach { _ =>
+      enforceConstraints(bySourceUpdPost, snap.constraints, dir,
+        "merge (NOT MATCHED BY SOURCE UPDATE)")
+    }
     val changes = updatePre.withColumn("_op", lit("update_pre"))
       .unionByName(updatePost.withColumn("_op", lit("update_post")))
       .unionByName(inserts.withColumn("_op", lit("insert")))
       .unionByName(deletes.withColumn("_op", lit("delete")))
       .unionByName(bySourceDeletes.withColumn("_op", lit("delete")))
+      .unionByName(bySourceUpdPre.withColumn("_op", lit("update_pre")))
+      .unionByName(
+        bySourceUpdPost.withColumn("_op", lit("update_post")))
 
-    val survivors = bySourceDelete.fold(notMatched)(c =>
+    val afterDelete = bySourceDelete.fold(notMatched)(c =>
       notMatched.filter(!coalesce(c, lit(false))))
+    val survivors = bySourceProject(afterDelete)
     val merged = survivors.unionByName(upserts.select(dataCols: _*))
     // the feed STAGING and the batch write are independent actions
     // that both only read pinned (immutable) files — run them
@@ -893,7 +941,7 @@ object VersionLog {
             // a NOT MATCHED BY SOURCE merge read the WHOLE table (any
             // row absent from the source is a potential victim) — no
             // interleaved file change is provably disjoint from it
-            if (bySourceDelete.isDefined &&
+            if ((bySourceDelete.isDefined || bySourceUpdate.isDefined) &&
                 (added.nonEmpty || removed.nonEmpty))
               throw new java.util.ConcurrentModificationException(
                 s"merge at $dir cannot rebase: NOT MATCHED BY SOURCE " +
@@ -957,8 +1005,11 @@ object VersionLog {
       .filter(_.startsWith(".staging-batch-"))
       .map(_.stripPrefix(".staging-")).toSet
     if (staged.isEmpty) return
+    // raw JSON reads only — the feed pointer is in the version file;
+    // resolving file lists here would walk a delta chain per version
     listVersions(spark, dir).foreach { v =>
-      snapshot(spark, dir, Some(v)).feed.filter(staged.contains)
+      parseRaw(readJson(fs, versionFile(dir, v))).feed
+        .filter(staged.contains)
         .foreach(name => MergeInto.publishStagedFeed(spark, dir, name))
     }
   }
@@ -1729,10 +1780,18 @@ object VersionLog {
     require(batchTag.nonEmpty && !ReservedActions.contains(batchTag),
       s"batchTag '$batchTag' must be a distinct idempotency token")
 
+  /** One raw-JSON read per retained version — never a snapshot
+    * resolution: the action tag lives in the version file itself,
+    * and resolving FILE LISTS here would walk a delta chain per
+    * version (O(versions²) small reads on a deep history) for
+    * nothing.
+    */
   private def tagApplied(spark: SparkSession, dir: String,
-      batchTag: String): Boolean =
-    listVersions(spark, dir)
-      .exists(v => snapshot(spark, dir, Some(v)).action == batchTag)
+      batchTag: String): Boolean = {
+    val fs = fsFor(spark, dir)
+    listVersions(spark, dir).exists(v =>
+      parseRaw(readJson(fs, versionFile(dir, v))).action == batchTag)
+  }
 
   /** EXACTLY-ONCE append — the streaming-SINK twin of
     * [[mergeBatchOnce]]: append `df` only if no retained version

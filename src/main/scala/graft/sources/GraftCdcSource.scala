@@ -163,7 +163,16 @@ object GraftCdcSource {
     * the one loud refusal.
     */
   def changesForVersion(spark: SparkSession, dir: String,
-      v: Long): DataFrame = {
+      v: Long): DataFrame =
+    changesForVersionVs(spark, dir, v,
+      VersionLog.snapshot(spark, dir, None))
+
+  /** [[changesForVersion]] with the LATEST snapshot supplied by the
+    * caller — [[changesBetween]] resolves it once per batch instead
+    * of once per replayed version.
+    */
+  private def changesForVersionVs(spark: SparkSession, dir: String,
+      v: Long, latest: graft.io.TableSnapshot): DataFrame = {
     val base = dir.stripSuffix("/")
     val snap = VersionLog.snapshot(spark, dir, Some(v))
     // column mapping: images align to the CURRENT logical schema by
@@ -171,7 +180,6 @@ object GraftCdcSource {
     // after it) would silently null-fill the renamed column, so it
     // refuses LOUDLY instead (consume the feed before renaming, or
     // replay snapshot-level via graft-versions)
-    val latest = VersionLog.snapshot(spark, dir, None)
     if (snap.colMap != latest.colMap ||
         snap.droppedPhys != latest.droppedPhys)
       throw new IllegalStateException(
@@ -325,10 +333,13 @@ object GraftCdcSource {
       if (versions.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[Row], schema)
-      else versions.map { v =>
-          changesForVersion(spark, dir, v)
+      else {
+        val latest = VersionLog.snapshot(spark, dir, None)
+        versions.map { v =>
+          changesForVersionVs(spark, dir, v, latest)
             .withColumn("_feed_batch", lit(v))
         }.reduce(_.unionByName(_, allowMissingColumns = true))
+      }
     schema.fields.foldLeft(batch) { (df, f) =>
         if (df.columns.contains(f.name)) df
         else df.withColumn(f.name, lit(null).cast(f.dataType))

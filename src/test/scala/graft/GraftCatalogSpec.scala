@@ -175,6 +175,29 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(VersionLog.read(spark, dir2).select($"k", $"v", $"p")
       .as[(Long, String, String)].collect().toSet ===
       Set((2L, "two2", "a"), (7L, "seven", "b")))
+    // UPDATE form: flag stale rows instead of deleting them — the
+    // Delta "mark rows the source no longer covers" pattern
+    val dir3 = Files.createTempDirectory("vmirror3").toString
+    VersionLog.init(spark, dir3,
+      Seq((1L, "one", "a"), (2L, "two", "a"), (9L, "nine", "z"))
+        .toDF("k", "v", "p"), partitionBy = Some("p"))
+    spark.sql(
+      s"""MERGE INTO graft.`$dir3` AS t USING mirror_cat_v AS s
+          ON t.k = s.k
+          WHEN MATCHED AND s._del THEN DELETE
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *
+          WHEN NOT MATCHED BY SOURCE AND t.p = 'z'
+            THEN UPDATE SET v = 'stale'""")
+    assert(VersionLog.read(spark, dir3).select($"k", $"v", $"p")
+      .as[(Long, String, String)].collect().toSet ===
+      Set((1L, "one", "a"), (2L, "two2", "a"), (7L, "seven", "b"),
+        (9L, "stale", "z")))
+    // feed carries update images for the flagged stale row
+    val feed3 = spark.read.format("graft-cdc").load(dir3)
+      .filter($"_feed_batch" === 2L && $"k" === 9L)
+    assert(feed3.select($"_op", $"v").as[(String, String)].collect()
+      .toSet === Set(("update_pre", "nine"), ("update_post", "stale")))
   }
 
   test("catalog reads plan through the SHARED pruning FileIndex: a " +

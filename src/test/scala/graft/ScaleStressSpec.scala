@@ -602,4 +602,48 @@ class ScaleStressSpec extends AnyFunSuite {
       assert(VersionLog.read(spark, dir, Some(v)).count() === v)
     }
   }
+
+  test("STRESS: contended rebase on a DEEP delta history — the vet " +
+      "reads per-commit diffs (raw version JSON), so 4 racers over a " +
+      "40-commit chain all land without resolving a snapshot per " +
+      "interleaved commit") {
+    import spark.implicits._
+    import graft.io.VersionLog
+    val dir = java.nio.file.Files
+      .createTempDirectory("stress-deep").toString
+    VersionLog.init(spark, dir,
+      Seq((0L, "seed", "a")).toDF("k", "v", "p").coalesce(1),
+      partitionBy = Some("p"))
+    // 39 delta-form appends -> a 40-commit chain (checkpoints every
+    // 16 keep resolution bounded; the vet must not even need them)
+    (1 to 39).foreach { i =>
+      VersionLog.append(spark, dir,
+        Seq((i.toLong, s"c$i", "a")).toDF("k", "v", "p").coalesce(1),
+        Some("p"))
+    }
+    val writers = 4
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val barrier = new java.util.concurrent.CyclicBarrier(writers)
+    val futures = (1 to writers).map { i =>
+      scala.concurrent.Future {
+        val df = Seq((1000L + i, s"r$i", "a"))
+          .toDF("k", "v", "p").coalesce(1)
+        df.count()
+        barrier.await(60, java.util.concurrent.TimeUnit.SECONDS)
+        VersionLog.append(spark, dir, df, Some("p"))
+      }
+    }
+    val versions = scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futures),
+      scala.concurrent.duration.Duration(300, "s"))
+    pool.shutdown()
+    assert(versions.toSet === (41L to 44L).toSet,
+      s"every racer must land exactly once on the deep chain, got " +
+        s"$versions")
+    assert(VersionLog.read(spark, dir).count() === 44L)
+    // the whole raced-deep history still time-travels
+    assert(VersionLog.read(spark, dir, Some(40L)).count() === 40L)
+  }
 }

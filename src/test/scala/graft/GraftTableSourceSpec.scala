@@ -141,6 +141,29 @@ class GraftTableSourceSpec extends AnyFunSuite {
     assert(scanNumFiles(topSel) === 1L)
   }
 
+  test("COLUMN MAPPING keeps plan-time pruning: after RENAME, a range " +
+      "predicate on the NEW logical name still box-prunes batches " +
+      "(the pushed filter reaches the physical stats keys through " +
+      "the read projection's aliases) — executed numFiles") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("gcolmap").toString
+    def batch(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, s"r$i")).toDF("id", "v").coalesce(1)
+    VersionLog.init(spark, dir, batch(0, 100))
+    VersionLog.append(spark, dir, batch(100, 200))
+    VersionLog.append(spark, dir, batch(200, 300))
+    VersionLog.append(spark, dir, batch(300, 400))
+    VersionLog.alterRenameColumnCommit(spark, dir, "id", "key")
+    val t = VersionLog.read(spark, dir)
+    assert(t.columns.toSeq === Seq("key", "v"))
+    val sel = t.filter($"key" >= 250L && $"key" < 260L).select($"key")
+    assert(sel.as[Long].collect().toSet === (250L until 260L).toSet)
+    assert(scanNumFiles(sel) === 1L,
+      "the renamed column's range must still open exactly the " +
+        "covering batch — pruning lost through the mapping would be " +
+        "a full scan at 100TB")
+  }
+
   test("version-tail stream: commits surface exactly once with their " +
       "added files; uncommitted data stays invisible; batch form agrees") {
     import spark.implicits._

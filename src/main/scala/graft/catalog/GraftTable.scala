@@ -51,8 +51,12 @@ final class GraftTable(spark: SparkSession, val dir: String,
     if (!exists) None
     // acceptDeletes: the catalog read path ([[GraftCatalogRules]])
     // anti-joins any equality-delete manifests above this relation
+    // acceptPhysicalNames: the catalog read path projects physical ->
+    // logical (GraftCatalogRules routes mapped tables through
+    // VersionLog.read) and schema() maps names itself
     else Some(new GraftTableSource().createRelation(spark.sqlContext,
-      Map("path" -> dir, "acceptDeletes" -> "true") ++
+      Map("path" -> dir, "acceptDeletes" -> "true",
+        "acceptPhysicalNames" -> "true") ++
         versionAsOf.map(v => "versionAsOf" -> v.toString)))
 
   /** The table's single hive partition column: discovered from the

@@ -313,9 +313,13 @@ object VersionLog {
   def read(spark: SparkSession, dir: String,
       version: Option[Long] = None): DataFrame = {
     val snap = snapshot(spark, dir, version)
+    // acceptDeletes/acceptPhysicalNames: this door APPLIES the
+    // manifests and projects physical -> logical below, so it may
+    // open the raw relation
     val rel = new graft.sources.GraftTableSource().createRelation(
       spark.sqlContext,
       Map("path" -> dir, "acceptDeletes" -> "true",
+        "acceptPhysicalNames" -> "true",
         "versionAsOf" -> snap.version.toString))
     val df = spark.baseRelationToDataFrame(rel)
     // merge-on-read: anti-join the snapshot's retained equality-delete

@@ -144,7 +144,8 @@ final class GraftTableSource extends RelationProvider
       parameters.get("bloomKey"),
       parameters.get("bloomLog2Bits").map(_.toInt).getOrElse(16),
       parameters.get("bloomK").map(_.toInt).getOrElse(4),
-      parameters.get("acceptDeletes").exists(_.toBoolean))
+      parameters.get("acceptDeletes").exists(_.toBoolean),
+      parameters.get("acceptPhysicalNames").exists(_.toBoolean))
     HadoopFsRelation(
       location = index,
       partitionSchema = index.partitionSchema,
@@ -232,7 +233,8 @@ private final case class GraftFile(status: FileStatus,
 private final class GraftFileIndex(spark: SparkSession, dir: String,
     versionAsOf: Option[Long], bloomKey: Option[String],
     bloomLog2Bits: Int, bloomK: Int,
-    acceptDeletes: Boolean = false) extends FileIndex {
+    acceptDeletes: Boolean = false,
+    acceptPhysicalNames: Boolean = false) extends FileIndex {
 
   private val base = dir.stripSuffix("/")
   private val basePath = new Path(base)
@@ -282,6 +284,19 @@ private final class GraftFileIndex(spark: SparkSession, dir: String,
               "apply them), fold them with applyDeletesCommit, or " +
               "acknowledge raw rows with option(\"acceptDeletes\", " +
               "\"true\")")
+        // same no-silently-diverging-door rule for column mapping:
+        // this relation surfaces PHYSICAL names (a renamed column
+        // under its old name, dropped columns hidden) — a direct
+        // format("graft") read of a mapped table must acknowledge
+        // that or go through a door that projects to logical names
+        if ((snap.colMap.nonEmpty || snap.droppedPhys.nonEmpty) &&
+            !acceptPhysicalNames)
+          throw new IllegalStateException(
+            s"snapshot v${snap.version} of $base carries a column " +
+              "mapping (RENAME/DROP COLUMN history); read through " +
+              "VersionLog.read / the graft catalog (which surface " +
+              "logical names), or acknowledge physical file names " +
+              "with option(\"acceptPhysicalNames\", \"true\")")
         // one listStatus per parent directory instead of one
         // getFileStatus RPC per file
         val byParent = snap.files.groupBy(f =>

@@ -842,6 +842,20 @@ class GraftCatalogSpec extends AnyFunSuite {
       spark.sql("ALTER TABLE graft.cm DROP COLUMN k")
     }
     assert(ec.getMessage.contains("CHECK constraint kc"), ec.getMessage)
+    // the DIRECT format("graft") door surfaces PHYSICAL names — on a
+    // mapped table it must refuse unless the caller acknowledges,
+    // exactly like the acceptDeletes rule (no silently-diverging door)
+    val ed = intercept[Exception] {
+      spark.read.format("graft").load(dir).collect()
+    }
+    assert(ed.getMessage.contains("acceptPhysicalNames"), ed.getMessage)
+    assert(spark.read.format("graft")
+      .option("acceptPhysicalNames", "true").load(dir)
+      .columns.contains("v#v6") ||
+      spark.read.format("graft")
+        .option("acceptPhysicalNames", "true").load(dir)
+        .columns.exists(_.startsWith("v#")),
+      "acknowledged raw read surfaces the physical name")
   }
 
   test("DML door job-count parity: DELETE and UPDATE each cost two " +

@@ -92,6 +92,15 @@ final class GraftTable(spark: SparkSession, val dir: String,
     * [[GraftCatalogRules.GraftV2ToV1Reads]] re-projects reads from
     * the relation's order to this one.
     */
+  /** physical -> logical name map of the pinned snapshot, resolved
+    * ONCE per table handle (schema() is called repeatedly during
+    * analysis; a snapshot resolution per call would tax every
+    * catalog query for a feature most tables never use).
+    */
+  private lazy val logicalOf: Map[String, String] =
+    VersionLog.snapshot(spark, dir, versionAsOf).colMap
+      .map(_.swap).toMap
+
   override def schema(): StructType = v1Relation match {
     case None => declaredSchema.getOrElse(
       throw new IllegalStateException(
@@ -99,8 +108,6 @@ final class GraftTable(spark: SparkSession, val dir: String,
     case Some(rel) =>
       // the V1 relation is PHYSICAL; surface LOGICAL names (identity
       // unless the snapshot carries a column mapping)
-      val snap = VersionLog.snapshot(spark, dir, versionAsOf)
-      val logicalOf = snap.colMap.map(_.swap).toMap
       val live = StructType(rel.schema.fields.map(f =>
         f.copy(name = logicalOf.getOrElse(f.name, f.name))))
       declaredSchema.fold(live) { decl =>

@@ -194,10 +194,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * or disappears while physical files keep theirs — no file is
     * touched, time travel reads each version's own names, and a
     * re-added dropped name gets a fresh physical identity so old
-    * bytes never resurface. Retype/reorder are refused loudly (they
-    * would re-interpret existing files — a rewriting INSERT OVERWRITE
-    * is the honest spelling). The `_table.json` declaration
-    * (positional-INSERT binding order) is kept in sync.
+    * bytes never resurface. ALTER COLUMN TYPE commits metadata-only
+    * WIDENING (integral up-chain, float -> double — Delta's
+    * type-widening idea; the scan decodes narrow files into the wide
+    * schema natively); narrowing/cross-family retype and reorder are
+    * refused loudly (they would re-interpret existing files — a
+    * rewriting INSERT OVERWRITE is the honest spelling). The
+    * `_table.json` declaration (positional-INSERT binding order) is
+    * kept in sync.
     */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
@@ -239,9 +243,22 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
           org.apache.spark.sql.types.StructType(s.fields.filterNot(f =>
             spark.sessionState.conf.resolver(f.name,
               del.fieldNames.head))))
+      case upd: TableChange.UpdateColumnType =>
+        require(upd.fieldNames.length == 1,
+          "graft tables support only top-level ALTER COLUMN TYPE, " +
+            "got: " + upd.fieldNames.mkString("."))
+        if (VersionLog.listVersions(spark, dir).nonEmpty)
+          VersionLog.alterColumnTypeCommit(spark, dir,
+            upd.fieldNames.head, upd.newDataType)
+        rewriteDeclaredSchema(dir, s =>
+          org.apache.spark.sql.types.StructType(s.fields.map(f =>
+            if (spark.sessionState.conf.resolver(f.name,
+                upd.fieldNames.head))
+              f.copy(dataType = upd.newDataType)
+            else f)))
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE ${other.getClass.getSimpleName} is not " +
-          "supported on graft tables: retype/reorder would " +
+          "supported on graft tables: reorder/narrowing would " +
           "re-interpret existing files — rewrite through " +
           "INSERT OVERWRITE instead")
     }

@@ -322,19 +322,23 @@ object VersionLog {
         "acceptPhysicalNames" -> "true",
         "versionAsOf" -> snap.version.toString))
     val df = spark.baseRelationToDataFrame(rel)
+    // column mapping FIRST: project the PHYSICAL relation to the
+    // snapshot's LOGICAL view — dropped physicals out, renamed
+    // physicals under their logical names. Identity (no alias node at
+    // all) for every table that never renamed/dropped.
+    val logical = toLogicalView(df, snap)
     // merge-on-read: anti-join the snapshot's retained equality-delete
     // manifests (KB-sized key lists on the broadcast side — the same
     // plan shape as DeletionVectors.readWithDeletes, never a table
-    // shuffle). Versions committed before a delete carry no manifests
-    // and read the full state.
-    val applied = deleteManifestFrame(spark, dir, snap).fold(df) { keys =>
-      df.join(broadcast(keys), Seq(keys.columns.head), "left_anti")
+    // shuffle). Manifests bind LOGICAL key names, so the join sits
+    // ABOVE the mapping projection: after rename a->b a manifest keyed
+    // on the physical frame would either miss (no physical 'b') or —
+    // after a fresh re-add of 'a' — suppress the WRONG rows. Versions
+    // committed before a delete carry no manifests and read the full
+    // state.
+    deleteManifestFrame(spark, dir, snap).fold(logical) { keys =>
+      logical.join(broadcast(keys), Seq(keys.columns.head), "left_anti")
     }
-    // column mapping: project the PHYSICAL relation to the snapshot's
-    // LOGICAL view — dropped physicals out, renamed physicals under
-    // their logical names. Identity (no alias node at all) for every
-    // table that never renamed/dropped.
-    toLogicalView(applied, snap)
   }
 
   /** Physical frame -> the snapshot's logical view: drop retired
@@ -346,19 +350,40 @@ object VersionLog {
       snap: TableSnapshot): DataFrame =
     if (snap.colMap.isEmpty && snap.droppedPhys.isEmpty) df
     else {
-      val dropped = snap.droppedPhys.foldLeft(df)(_ drop _)
-      snap.colMap.foldLeft(dropped) { case (d, (log, phys)) =>
-        if (d.columns.contains(phys)) d.withColumnRenamed(phys, log)
-        else d
+      // ONE simultaneous projection, never a withColumnRenamed fold:
+      // sequential renames scramble cyclic mappings (rename a->tmp,
+      // b->a, tmp->b leaves colMap [(a,b),(b,a)]; folding renames
+      // physical b to a — duplicating a — then renames BOTH to b).
+      // Position is preserved; a physical name that is some mapping's
+      // value never passes through as itself, and a stray physical
+      // column shadowing a mapped LOGICAL name (foreign bytes — fresh
+      // physical ids make this unreachable from DDL) is hidden rather
+      // than surfaced.
+      val dropped = snap.droppedPhys.toSet
+      val physToLog = snap.colMap.map(_.swap).toMap
+      val mappedLog = snap.colMap.map(_._1).toSet
+      val out = df.columns.toIndexedSeq.flatMap { c =>
+        physToLog.get(c) match {
+          case Some(log) => Some(col(c).as(log))
+          case None if dropped.contains(c) || mappedLog.contains(c) =>
+            None
+          case None => Some(col(c))
+        }
       }
+      df.select(out: _*)
     }
 
-  /** Logical frame -> physical column names for a batch write. */
+  /** Logical frame -> physical column names for a batch write. One
+    * simultaneous projection (see [[toLogicalView]] for why a rename
+    * fold is wrong on cyclic mappings).
+    */
   private[graft] def toPhysical(df: DataFrame,
       colMap: Seq[(String, String)]): DataFrame =
-    colMap.foldLeft(df) { case (d, (log, phys)) =>
-      if (d.columns.contains(log)) d.withColumnRenamed(log, phys)
-      else d
+    if (colMap.isEmpty) df
+    else {
+      val logToPhys = colMap.toMap
+      df.select(df.columns.toIndexedSeq.map(c =>
+        logToPhys.get(c).map(p => col(c).as(p)).getOrElse(col(c))): _*)
     }
 
   /** The retained equality-delete keys of a snapshot (one column,
@@ -544,25 +569,31 @@ object VersionLog {
 
   // ---- optimistic concurrency: auto-rebase on commit CAS loss ------
 
+  /** One interleaved commit as the conflict detector sees it: its
+    * identity plus its file diff — DELIBERATELY not a [[TableSnapshot]]
+    * (the pre-r16 placeholder snapshots carried empty `files`/
+    * `constraints`/`colMap` typed identically to real ones, so a vet
+    * reading those fields would silently see nothing instead of
+    * failing). Vets needing resolved state read the `latest` snapshot
+    * they are handed alongside.
+    */
+  private[graft] case class InterleavedCommit(version: Long,
+      action: String, added: Seq[String], removed: Seq[String])
+
   /** The interleaved commits between `parent` (exclusive) and `latest`
     * (inclusive) with their per-commit file diffs — the conflict
     * detector's read set. O(change) per interleaved commit via
     * [[commitDiff]]: a delta-form commit's raw version file IS its
     * diff (one small read — vet cost stays flat as the table grows;
     * the pre-r15 path resolved one FULL snapshot per interleaved
-    * commit). Only `latest` is a fully-resolved snapshot (the caller
-    * already holds it — vets read its constraints/deletes); the
-    * intermediate tuples carry a files-free placeholder, which no vet
-    * inspects beyond (version, action).
+    * commit).
     */
   private[graft] def interleaved(spark: SparkSession, dir: String,
       parent: TableSnapshot, latest: TableSnapshot):
-      Seq[(TableSnapshot, Seq[String], Seq[String])] =
+      Seq[InterleavedCommit] =
     (parent.version + 1 to latest.version).map { v =>
       val d = commitDiff(spark, dir, v)
-      val s = if (v == latest.version) latest
-        else TableSnapshot(v, d.parent, d.action, files = Nil)
-      (s, d.added, d.removed)
+      InterleavedCommit(v, d.action, d.added, d.removed)
     }
 
   /** Generic rebase loop: try `commit` against `parent`; on CAS loss
@@ -578,8 +609,8 @@ object VersionLog {
       first: TableSnapshot, action: String,
       filesOf: TableSnapshot => Seq[String],
       deletesOf: TableSnapshot => Seq[String],
-      vet: (TableSnapshot,
-        Seq[(TableSnapshot, Seq[String], Seq[String])]) => Unit,
+      vet: (TableSnapshot, TableSnapshot,
+        Seq[InterleavedCommit]) => Unit,
       feed: Option[String] = None,
       maxAttempts: Int = 20): Long = {
     var parent = first
@@ -597,7 +628,7 @@ object VersionLog {
           attempts += 1
           if (attempts >= maxAttempts) throw e
           val latest = snapshot(spark, dir, None)
-          vet(parent, interleaved(spark, dir, parent, latest))
+          vet(parent, latest, interleaved(spark, dir, parent, latest))
           parent = latest
       }
     }
@@ -933,31 +964,37 @@ object VersionLog {
       try commitRebasing(spark, dir, snap, actionTag,
         filesOf = p => p.files.filterNot(isTouchedFile) ++ newFiles,
         deletesOf = p => p.deletes,
-        vet = (p, inter) => {
+        vet = (p, latest, inter) => {
           vetTagUnique(actionTag, inter)
-          val latest = inter.last._1
           if (latest.deletes.nonEmpty)
             throw new java.util.ConcurrentModificationException(
               s"merge at $dir cannot rebase: concurrent commits left " +
                 s"${latest.deletes.size} equality-delete manifests — " +
                 "applyDeletesCommit, then re-run")
-          inter.foreach { case (s, added, removed) =>
+          inter.foreach { ic =>
             // a NOT MATCHED BY SOURCE merge read the WHOLE table (any
-            // row absent from the source is a potential victim) — no
-            // interleaved file change is provably disjoint from it
-            if ((bySourceDelete.isDefined || bySourceUpdate.isDefined) &&
-                (added.nonEmpty || removed.nonEmpty))
+            // row absent from the source is a potential victim) — a
+            // file REMOVAL or an added file under a touched partition
+            // is never disjoint from it. A pure blind APPEND outside
+            // the touched partitions gets one more chance below: it
+            // only conflicts if its rows could have been by-source
+            // victims or matched the batch's keys, both checkable
+            // against its added files alone (O(change)).
+            val bySource =
+              bySourceDelete.isDefined || bySourceUpdate.isDefined
+            if (bySource && ic.removed.nonEmpty)
               throw new java.util.ConcurrentModificationException(
                 s"merge at $dir cannot rebase: NOT MATCHED BY SOURCE " +
                   "reads the whole table and concurrent commit " +
-                  s"v${s.version} (${s.action}) changed files — re-run")
-            if ((added ++ removed).exists(isTouchedFile))
+                  s"v${ic.version} (${ic.action}) removed files — " +
+                  "re-run")
+            if ((ic.added ++ ic.removed).exists(isTouchedFile))
               throw new java.util.ConcurrentModificationException(
                 s"merge at $dir cannot rebase: concurrent commit " +
-                  s"v${s.version} (${s.action}) touched partitions " +
+                  s"v${ic.version} (${ic.action}) touched partitions " +
                   "this merge read — re-run")
           }
-          val addedAll = inter.flatMap(_._2)
+          val addedAll = inter.flatMap(_.added)
           if (addedAll.nonEmpty) {
             val hit =
               toLogicalView(readFiles(spark, dir, addedAll), latest)
@@ -969,6 +1006,29 @@ object VersionLog {
                 s"merge at $dir cannot rebase: a concurrent commit " +
                   s"added rows whose $keyCol this merge matches — " +
                   "re-run")
+            // precision vet for the by-source clause: a blind append
+            // outside the touched partitions survives the rebase ONLY
+            // if none of its rows satisfies the clause condition (a
+            // serial append-then-merge would have left them alone
+            // too). Key matches were excluded just above; an
+            // unconditional mirror (cond TRUE) aborts on any append —
+            // the strict reading of "make target equal source".
+            bySourceCond.foreach { c =>
+              val b = toLogicalView(readFiles(spark, dir, addedAll),
+                latest)
+              val aligned = table.columns.foldLeft(b) { (df, cn) =>
+                if (df.columns.contains(cn)) df
+                else df.withColumn(cn,
+                  lit(null).cast(table.schema(cn).dataType))
+              }
+              val victim = aligned.filter(coalesce(c, lit(false)))
+                .limit(1).count()
+              if (victim > 0L)
+                throw new java.util.ConcurrentModificationException(
+                  s"merge at $dir cannot rebase: a concurrent commit " +
+                    "added rows satisfying the NOT MATCHED BY SOURCE " +
+                    "condition — re-run")
+            }
           }
           val newCs = latest.constraints.filterNot(p.constraints.toSet)
           if (newCs.nonEmpty && newFiles.nonEmpty)
@@ -1111,9 +1171,9 @@ object VersionLog {
     commitRebasing(spark, dir, snap, actionTag,
       filesOf = p => p.files ++ files,
       deletesOf = p => p.deletes,
-      vet = (p, inter) => {
+      vet = (p, latest, inter) => {
         vetTagUnique(actionTag, inter)
-        vetConstraintsAndDeletes(spark, dir, p, inter.last._1, files,
+        vetConstraintsAndDeletes(spark, dir, p, latest, files,
           "append")
       })
   }
@@ -1124,12 +1184,12 @@ object VersionLog {
     * "overwrite", …) are not tags; concurrent plain writes rebase.
     */
   private def vetTagUnique(action: String,
-      inter: Seq[(TableSnapshot, Seq[String], Seq[String])]): Unit = {
+      inter: Seq[InterleavedCommit]): Unit = {
     if (ReservedActions.contains(action)) return
-    inter.find(_._1.action == action).foreach { case (s, _, _) =>
+    inter.find(_.action == action).foreach { ic =>
       throw new java.util.ConcurrentModificationException(
         s"action tag '$action' was committed concurrently as " +
-          s"version ${s.version} — duplicate delivery, not rebased")
+          s"version ${ic.version} — duplicate delivery, not rebased")
     }
   }
 
@@ -1215,20 +1275,38 @@ object VersionLog {
       colMap = colMap, droppedPhys = snap.droppedPhys)
   }
 
-  /** The physical (on-file) name of a logical column. */
+  /** The physical (on-file) name of a logical column. Exact-name
+    * match: callers resolve user input to the DECLARED field's exact
+    * case first ([[declaredSchema]] + the session resolver) — colMap
+    * entries store declared names verbatim.
+    */
   private[graft] def physicalOf(snap: TableSnapshot,
       logical: String): String =
     snap.colMap.find(_._1 == logical).map(_._2).getOrElse(logical)
 
+  /** The snapshot's declared LOGICAL schema: the committed schemaJson
+    * when present (every schema-evolving commit writes one), else the
+    * read-side inferred schema.
+    */
+  private[graft] def declaredSchema(spark: SparkSession, dir: String,
+      snap: TableSnapshot): org.apache.spark.sql.types.StructType =
+    snap.schemaJson
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .getOrElse(read(spark, dir, Some(snap.version)).schema)
+
   /** Shared ALTER guards: the column must exist, must not be the
     * partition column (path-encoded — renaming it would orphan every
     * directory), must not be an outstanding equality-delete
-    * manifest's key (the stored key lists bind by name), and must not
-    * be referenced by a CHECK constraint (stored as SQL text binding
-    * by name).
+    * manifest's key (the stored key lists bind by name), and — for
+    * DROP, where no rewrite can save it — must not be referenced by a
+    * CHECK constraint (stored as SQL text binding by name; RENAME
+    * rewrites the stored SQL through the mapping instead, see
+    * [[rewriteConstraintSql]]).
     */
   private def requireAlterable(spark: SparkSession, dir: String,
-      snap: TableSnapshot, name: String, what: String): Unit = {
+      snap: TableSnapshot, name: String, what: String,
+      constraintRefsBlock: Boolean = true): Unit = {
     val partCols = snap.files.flatMap(_.split("/").dropRight(1)
       .filter(_.contains("=")).map(_.split("=", 2)(0))).distinct
     require(!partCols.exists(spark.sessionState.conf.resolver(_, name)),
@@ -1239,16 +1317,40 @@ object VersionLog {
         s"$what $name: outstanding equality-delete manifests key on " +
           "it — applyDeletesCommit first")
     }
-    snap.constraints.foreach { case (cn, sql) =>
-      val refs = spark.sessionState.sqlParser.parseExpression(sql)
-        .collect {
-          case a: org.apache.spark.sql.catalyst.analysis
-              .UnresolvedAttribute => a.nameParts.head
-        }
-      require(!refs.exists(spark.sessionState.conf.resolver(_, name)),
+    if (constraintRefsBlock) snap.constraints.foreach { case (cn, sql) =>
+      require(!constraintReferences(spark, sql, name),
         s"$what $name: CHECK constraint $cn ($sql) references it — " +
           "drop the constraint first")
     }
+  }
+
+  /** Does the stored CHECK SQL reference column `name` (top-level
+    * attribute, resolver-matched)?
+    */
+  private def constraintReferences(spark: SparkSession, sql: String,
+      name: String): Boolean =
+    spark.sessionState.sqlParser.parseExpression(sql).collect {
+      case a: org.apache.spark.sql.catalyst.analysis
+          .UnresolvedAttribute => a.nameParts.head
+    }.exists(spark.sessionState.conf.resolver(_, name))
+
+  /** Rewrite a stored CHECK constraint's SQL for a column rename:
+    * parse, substitute the attribute, re-generate SQL — so RENAME
+    * COLUMN keeps the constraint gating under the new name instead of
+    * refusing (the stored text is the only thing binding by name).
+    * Constraints that never reference the column keep their original
+    * text byte-for-byte.
+    */
+  private[graft] def rewriteConstraintSql(spark: SparkSession,
+      sql: String, from: String, to: String): String = {
+    if (!constraintReferences(spark, sql, from)) return sql
+    val resolver = spark.sessionState.conf.resolver
+    spark.sessionState.sqlParser.parseExpression(sql).transform {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if resolver(a.nameParts.head, from) =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+          to +: a.nameParts.tail)
+    }.sql
   }
 
   /** `ALTER TABLE RENAME COLUMN` as a METADATA-ONLY commit (Delta
@@ -1258,27 +1360,37 @@ object VersionLog {
     * into the renamed column on read (identity preserved).
     */
   def alterRenameColumnCommit(spark: SparkSession, dir: String,
-      from: String, to: String): Long = {
+      from0: String, to: String): Long = {
     val snap = snapshot(spark, dir, None)
     val resolver = spark.sessionState.conf.resolver
-    val decl = snap.schemaJson
-      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
-      .getOrElse(read(spark, dir).schema)
-    require(decl.fieldNames.exists(resolver(_, from)),
-      s"RENAME COLUMN: no column '$from' on $dir " +
-        s"(have ${decl.fieldNames.mkString(",")})")
+    val decl = declaredSchema(spark, dir, snap)
+    // resolve the user's spelling to the DECLARED field's exact case:
+    // physicalOf and the colMap filter match exactly, so 'RENAME
+    // COLUMN V TO label' on a column stored as 'v' must operate on
+    // 'v', not record a colMap entry pointing at a physical 'V' that
+    // no file carries
+    val from = decl.fieldNames.find(resolver(_, from0)).getOrElse(
+      throw new IllegalArgumentException(
+        s"RENAME COLUMN: no column '$from0' on $dir " +
+          s"(have ${decl.fieldNames.mkString(",")})"))
     require(!decl.fieldNames.exists(resolver(_, to)),
       s"RENAME COLUMN: column '$to' already exists on $dir")
-    requireAlterable(spark, dir, snap, from, "RENAME COLUMN")
+    requireAlterable(spark, dir, snap, from, "RENAME COLUMN",
+      constraintRefsBlock = false)
     val phys = physicalOf(snap, from)
     val renamed = org.apache.spark.sql.types.StructType(
       decl.fields.map(f =>
         if (resolver(f.name, from)) f.copy(name = to) else f))
     val colMap = snap.colMap.filterNot(_._1 == from) :+ (to -> phys)
+    // CHECK constraints referencing the column RIDE the rename: the
+    // stored SQL rewrites through the mapping (still gating every
+    // later write under the new name) instead of blocking the DDL
+    val constraints = snap.constraints.map { case (cn, sql) =>
+      (cn, rewriteConstraintSql(spark, sql, from, to))
+    }
     commit(spark, dir, snap.version, s"rename-column-$from-$to",
       snap.files, deletes = snap.deletes,
-      constraints = snap.constraints,
+      constraints = constraints,
       schemaJson = Some(renamed.json), parentFiles = Some(snap.files),
       colMap = colMap, droppedPhys = snap.droppedPhys)
   }
@@ -1291,16 +1403,16 @@ object VersionLog {
     * pre-drop versions still reads it.
     */
   def alterDropColumnCommit(spark: SparkSession, dir: String,
-      name: String): Long = {
+      name0: String): Long = {
     val snap = snapshot(spark, dir, None)
     val resolver = spark.sessionState.conf.resolver
-    val decl = snap.schemaJson
-      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
-      .getOrElse(read(spark, dir).schema)
-    require(decl.fieldNames.exists(resolver(_, name)),
-      s"DROP COLUMN: no column '$name' on $dir " +
-        s"(have ${decl.fieldNames.mkString(",")})")
+    val decl = declaredSchema(spark, dir, snap)
+    // exact-case resolution, same reason as RENAME: retiring a
+    // wrong-cased physical name would fail to hide the column
+    val name = decl.fieldNames.find(resolver(_, name0)).getOrElse(
+      throw new IllegalArgumentException(
+        s"DROP COLUMN: no column '$name0' on $dir " +
+          s"(have ${decl.fieldNames.mkString(",")})"))
     require(decl.fields.length > 1,
       s"DROP COLUMN $name: it is the only column of $dir")
     requireAlterable(spark, dir, snap, name, "DROP COLUMN")
@@ -1312,6 +1424,60 @@ object VersionLog {
       schemaJson = Some(narrowed.json), parentFiles = Some(snap.files),
       colMap = snap.colMap.filterNot(_._1 == name),
       droppedPhys = (snap.droppedPhys :+ phys).distinct)
+  }
+
+  /** `ALTER TABLE ALTER COLUMN TYPE` as a METADATA-ONLY commit — type
+    * WIDENING (Delta's type-widening feature, public protocol,
+    * re-implemented): the declared type moves up the integral chain
+    * (byte -> short -> int -> long) or float -> double. No file is
+    * touched: existing files keep their written type and the scan
+    * decodes them into the wide read schema natively (the relation
+    * merges declared types against footers — the same machinery that
+    * already serves widening APPENDS). Stats boxes need no rewrite:
+    * sidecar min/max normalize to BigDecimal at plan time, so an
+    * int-era box still prunes a long-typed probe. Time travel to
+    * pre-widen versions reads the narrow type. Any non-widening
+    * change (narrowing, cross-family, string) refuses loudly — it
+    * would re-interpret written bytes.
+    */
+  def alterColumnTypeCommit(spark: SparkSession, dir: String,
+      name0: String,
+      newType: org.apache.spark.sql.types.DataType): Long = {
+    import org.apache.spark.sql.types._
+    val snap = snapshot(spark, dir, None)
+    val resolver = spark.sessionState.conf.resolver
+    val decl = declaredSchema(spark, dir, snap)
+    val name = decl.fieldNames.find(resolver(_, name0)).getOrElse(
+      throw new IllegalArgumentException(
+        s"ALTER COLUMN TYPE: no column '$name0' on $dir " +
+          s"(have ${decl.fieldNames.mkString(",")})"))
+    // the partition column's type comes from directory-segment
+    // inference, not from any file — a declared retype would diverge
+    val partCols = snap.files.flatMap(_.split("/").dropRight(1)
+      .filter(_.contains("=")).map(_.split("=", 2)(0))).distinct
+    require(!partCols.exists(resolver(_, name)),
+      s"ALTER COLUMN TYPE $name: it is the partition column of $dir " +
+        "(path-encoded); repartition through a rewriting overwrite")
+    val old = decl(name).dataType
+    val ints = IndexedSeq[DataType](ByteType, ShortType, IntegerType,
+      LongType)
+    val widens = (old, newType) match {
+      case (a, b) if ints.contains(a) && ints.contains(b) =>
+        ints.indexOf(b) > ints.indexOf(a)
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+    require(widens,
+      s"ALTER COLUMN TYPE $name: $old -> $newType is not a widening " +
+        "(byte/short/int -> a wider integral, float -> double) — " +
+        "anything else re-interprets written bytes; rewrite through " +
+        "overwrite instead")
+    val widened = StructType(decl.fields.map(f =>
+      if (f.name == name) f.copy(dataType = newType) else f))
+    commit(spark, dir, snap.version, s"retype-column-$name", snap.files,
+      deletes = snap.deletes, constraints = snap.constraints,
+      schemaJson = Some(widened.json), parentFiles = Some(snap.files),
+      colMap = snap.colMap, droppedPhys = snap.droppedPhys)
   }
 
   /** Drop a named CHECK constraint as a commit. */
@@ -1347,13 +1513,12 @@ object VersionLog {
     commitRebasing(spark, dir, snap, actionTag,
       filesOf = _ => files,
       deletesOf = _ => Nil,
-      vet = (p, inter) => {
+      vet = (p, latest, inter) => {
         vetTagUnique(actionTag, inter)
-        val newCs = inter.last._1.constraints
-          .filterNot(p.constraints.toSet)
+        val newCs = latest.constraints.filterNot(p.constraints.toSet)
         if (newCs.nonEmpty)
           enforceConstraints(
-            toLogicalView(readFiles(spark, dir, files), inter.last._1),
+            toLogicalView(readFiles(spark, dir, files), latest),
             newCs, dir,
             "overwrite (rebase: constraint added concurrently)")
       })
@@ -1401,16 +1566,16 @@ object VersionLog {
     commitRebasing(spark, dir, snap, "overwrite_where",
       filesOf = p => p.files.filterNot(isReplaced) ++ files,
       deletesOf = p => p.deletes,
-      vet = (p, inter) => {
-        inter.foreach { case (s, added, removed) =>
-          if ((added ++ removed).exists(isReplaced))
+      vet = (p, latest, inter) => {
+        inter.foreach { ic =>
+          if ((ic.added ++ ic.removed).exists(isReplaced))
             throw new java.util.ConcurrentModificationException(
               s"overwrite_where at $dir cannot rebase: concurrent " +
-                s"commit v${s.version} (${s.action}) touched a " +
+                s"commit v${ic.version} (${ic.action}) touched a " +
                 s"replaced partition ($partitionBy in " +
                 s"${values.mkString(",")}) — re-run")
         }
-        vetConstraintsAndDeletes(spark, dir, p, inter.last._1, files,
+        vetConstraintsAndDeletes(spark, dir, p, latest, files,
           "overwrite_where")
       })
   }
@@ -1436,10 +1601,21 @@ object VersionLog {
     * keys is a no-op; an empty key frame commits nothing.
     */
   def deleteKeysCommit(spark: SparkSession, dir: String,
-      keys: DataFrame, keyCol: String): Long = {
+      keys: DataFrame, keyCol0: String): Long = {
     val snap = snapshot(spark, dir, None)
     val base = dir.stripSuffix("/")
-    val k = keys.select(col(keyCol)).distinct().localCheckpoint()
+    // the manifest binds a LOGICAL column name (reads apply it above
+    // the column-mapping projection) — resolve to the declared field's
+    // exact case so the stored key list and every later anti-join
+    // agree on one spelling
+    val resolver = spark.sessionState.conf.resolver
+    val decl = declaredSchema(spark, dir, snap)
+    val keyCol = decl.fieldNames.find(resolver(_, keyCol0)).getOrElse(
+      throw new IllegalArgumentException(
+        s"deleteKeys: no column '$keyCol0' on $dir " +
+          s"(have ${decl.fieldNames.mkString(",")})"))
+    val k = keys.select(col(keyCol0).as(keyCol)).distinct()
+      .localCheckpoint()
     if (k.isEmpty) return snap.version
     deleteManifestFrame(spark, dir, snap).foreach { prior =>
       require(prior.columns.head == keyCol,
@@ -1459,8 +1635,16 @@ object VersionLog {
     commitRebasing(spark, dir, snap, "delete",
       filesOf = p => p.files,
       deletesOf = p => p.deletes ++ manifest,
-      vet = (_, inter) => {
-        val latest = inter.last._1
+      vet = (_, latest, inter) => {
+        // the manifest binds the LOGICAL key name: a concurrent
+        // RENAME/DROP of that column (legal while no manifest is
+        // committed yet) would leave it dangling — abort, re-run
+        // against the new name
+        if (!declaredSchema(spark, dir, latest).fieldNames
+            .contains(keyCol))
+          throw new java.util.ConcurrentModificationException(
+            s"delete at $dir cannot rebase: key column '$keyCol' was " +
+              "renamed or dropped concurrently — re-run")
         deleteManifestFrame(spark, dir, latest).foreach { prior =>
           if (prior.columns.head != keyCol)
             throw new java.util.ConcurrentModificationException(
@@ -1468,10 +1652,10 @@ object VersionLog {
                 s"key on '${prior.columns.head}', this one on " +
                 s"'$keyCol' — fold (applyDeletesCommit) and re-run")
         }
-        val addedAll = inter.flatMap(_._2)
+        val addedAll = inter.flatMap(_.added)
         if (addedAll.nonEmpty) {
           val b = toLogicalView(readFiles(spark, dir, addedAll),
-            inter.last._1)
+            latest)
           if (b.columns.contains(keyCol)) {
             val hit = b.select(col(keyCol))
               .join(broadcast(k), Seq(keyCol), "left_semi")
@@ -1503,8 +1687,12 @@ object VersionLog {
     val keys = keysOpt.get.localCheckpoint()
     val keyCol = keys.columns.head
     val base = dir.stripSuffix("/")
-    // one column-pruned pass finds the victim FILES
-    val raw = readFiles(spark, dir, snap.files)
+    // one column-pruned pass finds the victim FILES. The manifest key
+    // is a LOGICAL name: discovery and rewrite both run on the logical
+    // view (toLogicalView is a projection over the single parquet
+    // source, so input_file_name() still binds) — on the raw physical
+    // frame a post-rename key would miss, or match the wrong bytes.
+    val raw = toLogicalView(readFiles(spark, dir, snap.files), snap)
     val victims = raw.select(col(keyCol), input_file_name().as("_f"))
       .join(broadcast(keys), Seq(keyCol), "left_semi")
       .select(col("_f")).distinct().collect()
@@ -1517,9 +1705,13 @@ object VersionLog {
         schemaJson = snap.schemaJson, parentFiles = Some(snap.files),
         colMap = snap.colMap, droppedPhys = snap.droppedPhys))
     // rewrite victims per partition-segment group so survivors land
-    // back under their part=value paths in the new batch
+    // back under their part=value paths in the new batch; the
+    // anti-join binds logical names, the written files physical ones
     val newFiles = rewriteVictims(spark, dir, snap.version + 1, victims,
-      _.join(broadcast(keys), Seq(keyCol), "left_anti"))
+      df => toPhysical(
+        toLogicalView(df, snap)
+          .join(broadcast(keys), Seq(keyCol), "left_anti"),
+        snap.colMap))
     val kept = snap.files.filterNot(victims.contains)
     (victims.size, commit(spark, dir, snap.version, "apply-deletes",
       kept ++ newFiles, deletes = Nil, constraints = snap.constraints,

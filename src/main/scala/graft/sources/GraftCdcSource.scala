@@ -175,24 +175,46 @@ object GraftCdcSource {
       v: Long, latest: graft.io.TableSnapshot): DataFrame = {
     val base = dir.stripSuffix("/")
     val snap = VersionLog.snapshot(spark, dir, Some(v))
-    // column mapping: images align to the CURRENT logical schema by
-    // name — a version whose mapping differs (a rename/drop landed
-    // after it) would silently null-fill the renamed column, so it
-    // refuses LOUDLY instead (consume the feed before renaming, or
-    // replay snapshot-level via graft-versions)
-    if (snap.colMap != latest.colMap ||
-        snap.droppedPhys != latest.droppedPhys)
-      throw new IllegalStateException(
-        s"graft-cdc cannot replay version $v of $dir across a " +
-          "column-mapping change (a later RENAME/DROP COLUMN): its " +
-          "row images bind names that differ from the current " +
-          "schema — consume the feed before altering, or replay " +
-          "through graft-versions")
-    snap.feed match {
+    val images = snap.feed match {
       case Some(name) =>
         spark.read.parquet(s"$base._cdc/$name")
       case None => synthesizeChanges(spark, dir, snap)
     }
+    remapToCurrent(images, snap, latest)
+  }
+
+  /** Project one replayed version's images — bound to THAT version's
+    * logical names — into the CURRENT logical schema, through
+    * PHYSICAL identity: a column renamed after the version keeps
+    * flowing under its new name (a metadata-only RENAME must not
+    * brick every downstream graft-cdc mirror), a column dropped after
+    * it projects away (it no longer exists for consumers), and a
+    * fresh re-add of a retired name null-fills downstream (the
+    * replayed version never carried the new physical identity — the
+    * leak-proof direction). Identity when the mapping never changed.
+    */
+  private def remapToCurrent(df: DataFrame, snap: TableSnapshot,
+      latest: TableSnapshot): DataFrame = {
+    if (snap.colMap == latest.colMap &&
+        snap.droppedPhys == latest.droppedPhys) return df
+    val dropped = latest.droppedPhys.toSet
+    val out = df.columns.toIndexedSeq.flatMap { c =>
+      if (c == "_op") Some(col(c))
+      else {
+        // the column's physical identity at the replayed version; a
+        // later rename keeps the physical and re-binds the logical,
+        // so the latest colMap entry holding that physical IS the
+        // current name (rename-backs store identity entries, so the
+        // value lookup stays authoritative)
+        val p = VersionLog.physicalOf(snap, c)
+        latest.colMap.find(_._2 == p).map(_._1) match {
+          case Some(cur) => Some(col(c).as(cur))
+          case None if dropped.contains(p) => None
+          case None => Some(col(c))
+        }
+      }
+    }
+    df.select(out: _*)
   }
 
   private def emptyChanges(spark: SparkSession, dir: String,

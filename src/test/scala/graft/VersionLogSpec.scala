@@ -822,21 +822,23 @@ class VersionLogSpec extends AnyFunSuite {
     val v1 = VersionLog.snapshot(spark, dir, Some(1L))
     val latest = VersionLog.snapshot(spark, dir, None)
     val got = VersionLog.interleaved(spark, dir, v1, latest)
-    assert(got.map(_._1.version) === Seq(2L, 3L, 4L, 5L))
-    assert(got.map(_._1.action) ===
+    assert(got.map(_.version) === Seq(2L, 3L, 4L, 5L))
+    assert(got.map(_.action) ===
       Seq("append", "merge", "overwrite", "append"))
     // every diff equals the consecutive snapshots' set difference
-    for (((s, added, removed), v) <- got.zip(2L to 5L)) {
+    for ((ic, v) <- got.zip(2L to 5L)) {
       val prev = VersionLog.snapshot(spark, dir, Some(v - 1)).files.toSet
       val cur = VersionLog.snapshot(spark, dir, Some(v)).files.toSet
-      assert(added.toSet === cur -- prev, s"added of v$v")
-      assert(removed.toSet === prev -- cur, s"removed of v$v")
-      assert(s.version === v)
+      assert(ic.added.toSet === cur -- prev, s"added of v$v")
+      assert(ic.removed.toSet === prev -- cur, s"removed of v$v")
+      assert(ic.version === v)
     }
-    // the LAST tuple is the fully-resolved latest (vets read its
-    // constraints/deletes); intermediates are files-free placeholders
-    assert(got.last._1 eq latest)
-    assert(got.init.forall(_._1.files.isEmpty))
+    // the result is a dedicated diff type, NOT a TableSnapshot: a vet
+    // can never mistake an intermediate commit's empty placeholder
+    // fields for resolved state (vets read resolved constraints/
+    // deletes/colMap from the `latest` snapshot they are handed)
+    assert(got.forall(
+      _.isInstanceOf[VersionLog.InterleavedCommit]))
   }
 
   test("in-commit timestamps: TIMESTAMP AS OF survives an " +
@@ -1181,6 +1183,218 @@ class VersionLogSpec extends AnyFunSuite {
       graft.sources.GraftCdcSource.changesForVersion(spark, dir, 18L)
     }
     assert(ecdc.getMessage.contains("vacuumed"), ecdc.getMessage)
+  }
+
+  test("CYCLIC rename swap (k->tmpc, v->k, tmpc->v): the mapping " +
+      "applies as ONE simultaneous projection — reads unscrambled, " +
+      "writes land under the right physical names, time travel " +
+      "pre-swap intact") {
+    import spark.implicits._
+    val dir = seed()
+    VersionLog.alterRenameColumnCommit(spark, dir, "k", "tmpc") // v2
+    VersionLog.alterRenameColumnCommit(spark, dir, "v", "k")    // v3
+    VersionLog.alterRenameColumnCommit(spark, dir, "tmpc", "v") // v4
+    // logical k now holds the old v (strings), logical v the old k
+    val t = VersionLog.read(spark, dir)
+    assert(t.schema("k").dataType ===
+      org.apache.spark.sql.types.StringType)
+    assert(t.schema("v").dataType ===
+      org.apache.spark.sql.types.LongType)
+    val swapped = t.select($"v", $"k", $"p")
+      .as[(Long, String, String)].collect().toSet
+    assert(swapped === Set((1L, "one", "a"), (2L, "two", "a"),
+      (3L, "three", "b"), (4L, "four", "b"), (6L, "six", "c")))
+    // a write through the swapped mapping round-trips
+    VersionLog.append(spark, dir,
+      Seq(("seven", 7L, "c")).toDF("k", "v", "p"), Some("p"))
+    assert(VersionLog.read(spark, dir).filter($"v" === 7L)
+      .select($"k").as[String].collect().toSeq === Seq("seven"))
+    // time travel reads the pre-swap names and values
+    assert(rows(VersionLog.read(spark, dir, Some(1L))) ===
+      Set((1L, "one", "a"), (2L, "two", "a"), (3L, "three", "b"),
+        (4L, "four", "b"), (6L, "six", "c")))
+  }
+
+  test("equality-delete manifests bind LOGICAL names: deleting on a " +
+      "RENAMED column suppresses and folds the right rows; after a " +
+      "fresh re-add of the retired name, a delete on it can never " +
+      "touch the renamed column's data") {
+    import spark.implicits._
+    val dir = seed()
+    VersionLog.alterRenameColumnCommit(spark, dir, "v", "label") // v2
+    // delete keyed on the NEW logical name: read() must suppress k=2
+    VersionLog.deleteKeysCommit(spark, dir,
+      Seq("two").toDF("label"), "label") // v3
+    assert(VersionLog.read(spark, dir).select($"k").as[Long]
+      .collect().toSet === Set(1L, 3L, 4L, 6L))
+    // fold: the rewrite drops exactly the manifest-deleted row
+    val (nRewritten, v4) = VersionLog.applyDeletesCommit(spark, dir)
+    assert(nRewritten >= 1 && v4 === 4L)
+    assert(VersionLog.snapshot(spark, dir, None).deletes.isEmpty)
+    assert(VersionLog.read(spark, dir)
+      .select($"k", $"label").as[(Long, String)].collect().toSet ===
+      Set((1L, "one"), (3L, "three"), (4L, "four"), (6L, "six")))
+    // re-add the retired name 'v' (fresh physical), populate it, then
+    // delete on it: only the NEW column's rows may match — the old
+    // bytes (now logical `label`) must never be consulted
+    VersionLog.alterAddColumnCommit(spark, dir, "v",
+      org.apache.spark.sql.types.StringType) // v5
+    VersionLog.append(spark, dir,
+      Seq((7L, "seven", "x", "c"), (8L, "eight", "one", "c"))
+        .toDF("k", "label", "v", "p"), Some("p")) // v6
+    // keyed "one": matches ONLY the fresh v column's row k=8 — never
+    // k=1, whose LABEL (old physical v) holds "one"
+    VersionLog.deleteKeysCommit(spark, dir,
+      Seq("one").toDF("v"), "v") // v7
+    assert(VersionLog.read(spark, dir).select($"k").as[Long]
+      .collect().toSet === Set(1L, 3L, 4L, 6L, 7L))
+    // ...and the fold rewrites only the fresh row's file
+    val (_, v8) = VersionLog.applyDeletesCommit(spark, dir)
+    assert(v8 === 8L)
+    assert(VersionLog.read(spark, dir).filter($"label" === "one")
+      .select($"k").as[Long].collect().toSeq === Seq(1L))
+  }
+
+  test("case-insensitive ALTER: RENAME/DROP/RETYPE resolve the " +
+      "user's spelling to the DECLARED field's exact case — the " +
+      "mapping binds the real physical name, never a phantom") {
+    import spark.implicits._
+    val dir = seed()
+    // rename spelled upper-case against a lower-case declared field
+    VersionLog.alterRenameColumnCommit(spark, dir, "V", "label")
+    val t = VersionLog.read(spark, dir)
+    assert(t.columns.toSeq === Seq("k", "label", "p"))
+    // the data flows (a wrong-cased colMap entry would null-fill)
+    assert(t.select($"k", $"label").as[(Long, String)].collect().toSet
+      === Set((1L, "one"), (2L, "two"), (3L, "three"), (4L, "four"),
+        (6L, "six")))
+    // drop spelled upper-case: the column actually disappears
+    VersionLog.alterDropColumnCommit(spark, dir, "LABEL")
+    assert(VersionLog.read(spark, dir).columns.toSeq === Seq("k", "p"))
+  }
+
+  test("RENAME COLUMN rewrites referencing CHECK constraints through " +
+      "the mapping: the gate keeps enforcing under the new name; " +
+      "non-referencing constraints keep their text byte-for-byte") {
+    import spark.implicits._
+    val dir = seed()
+    VersionLog.addConstraintCommit(spark, dir, "kpos", "k > 0")
+    VersionLog.addConstraintCommit(spark, dir, "vlen",
+      "length(v) >= 3")
+    VersionLog.alterRenameColumnCommit(spark, dir, "k", "id")
+    val cs = VersionLog.snapshot(spark, dir, None).constraints.toMap
+    assert(cs("vlen") === "length(v) >= 3",
+      "non-referencing constraint must keep its original text")
+    assert(!cs("kpos").contains("k >") && cs("kpos").contains("id"),
+      s"kpos must rewrite to the new name, got: ${cs("kpos")}")
+    // the rewritten constraint still GATES writes
+    val e = intercept[IllegalArgumentException] {
+      VersionLog.append(spark, dir,
+        Seq((-5L, "minus", "a")).toDF("id", "v", "p"), Some("p"))
+    }
+    assert(e.getMessage.contains("kpos"), e.getMessage)
+    VersionLog.append(spark, dir,
+      Seq((9L, "nine", "a")).toDF("id", "v", "p"), Some("p"))
+    assert(VersionLog.read(spark, dir).filter($"id" === 9L).count()
+      === 1L)
+  }
+
+  test("ALTER COLUMN TYPE widening: int->long is a METADATA-ONLY " +
+      "commit — old int files decode into the wide schema, new long " +
+      "appends land, time travel reads the narrow type, and " +
+      "narrowing/cross-family retypes refuse loudly") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("vretype").toString
+    VersionLog.init(spark, dir,
+      Seq((1, 10, "a"), (2, 20, "b")).toDF("k", "n", "p"),
+      partitionBy = Some("p"))
+    val preFiles = VersionLog.snapshot(spark, dir, None).files
+    val v2 = VersionLog.alterColumnTypeCommit(spark, dir, "n",
+      org.apache.spark.sql.types.LongType)
+    assert(v2 === 2L)
+    // metadata-only: the file list is untouched
+    assert(VersionLog.snapshot(spark, dir, None).files === preFiles)
+    for (df <- Seq(VersionLog.read(spark, dir),
+        spark.read.format("graft").load(dir))) {
+      assert(df.schema("n").dataType ===
+        org.apache.spark.sql.types.LongType)
+    }
+    // a long append beyond int range reads back whole
+    VersionLog.append(spark, dir,
+      Seq((3, 5000000000L, "c")).toDF("k", "n", "p"), Some("p"))
+    assert(VersionLog.read(spark, dir).select($"k", $"n")
+      .as[(Int, Long)].collect().toSet ===
+      Set((1, 10L), (2, 20L), (3, 5000000000L)))
+    // time travel to the pre-widen version reads int
+    assert(VersionLog.read(spark, dir, Some(1L)).schema("n").dataType
+      === org.apache.spark.sql.types.IntegerType)
+    // narrowing and cross-family refuse
+    for (bad <- Seq(org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.StringType))
+      assert(intercept[IllegalArgumentException] {
+        VersionLog.alterColumnTypeCommit(spark, dir, "n", bad)
+      }.getMessage.contains("not a widening"))
+    // the partition column refuses (its type comes from directory
+    // inference, not files) — table partitioned by an int column
+    val dir2 = Files.createTempDirectory("vretypep").toString
+    VersionLog.init(spark, dir2,
+      Seq((1, "x"), (2, "y")).toDF("part", "v"),
+      partitionBy = Some("part"))
+    assert(intercept[IllegalArgumentException] {
+      VersionLog.alterColumnTypeCommit(spark, dir2, "part",
+        org.apache.spark.sql.types.LongType)
+    }.getMessage.contains("partition column"))
+  }
+
+  test("PRECISION rebase vet for the mirror merge: a concurrent " +
+      "blind append whose rows cannot satisfy the by-source clause " +
+      "lands alongside the merge; one that satisfies it aborts the " +
+      "merge loudly") {
+    import spark.implicits._
+    // by-source condition restricted to p='a': an append into a NEW
+    // partition c2 with rows NOT satisfying it is provably disjoint
+    val dir = seed()
+    val mergeBatch = Seq((1L, "one*", "a")).toDF("k", "v", "p")
+      .withColumn("k", gate("pv1", 2))
+    val appendBatch = Seq((300L, "C", "c2")).toDF("k", "v", "p")
+      .withColumn("k", gate("pv1", 2))
+    val (rm, rap) = race(
+      VersionLog.mergeByKeyCdc(spark, dir, mergeBatch, "k", "p",
+        bySourceDelete = Some(col("p") === "a")),
+      VersionLog.append(spark, dir, appendBatch, Some("p")))
+    assert(rap.isSuccess, s"append must never abort: $rap")
+    assert(rm.isSuccess,
+      s"disjoint append must not abort the by-source merge: $rm")
+    val t = rows(VersionLog.read(spark, dir))
+    assert(t.contains((1L, "one*", "a")), "merge update must land")
+    assert(t.contains((300L, "C", "c2")), "append must land")
+    assert(!t.contains((2L, "two", "a")),
+      "the by-source clause must delete the unmatched p=a row")
+    // an append whose row SATISFIES the clause (p='a', key not in the
+    // batch) must abort the merge: a serial append-then-merge would
+    // have deleted it — silence either way is wrong
+    val dir2 = seed()
+    val mergeBatch2 = Seq((1L, "one!", "a")).toDF("k", "v", "p")
+      .withColumn("k", gate("pv2", 2))
+    val appendBatch2 = Seq((400L, "D", "a")).toDF("k", "v", "p")
+      .withColumn("k", gate("pv2", 2))
+    val (rm2, rap2) = race(
+      VersionLog.mergeByKeyCdc(spark, dir2, mergeBatch2, "k", "p",
+        bySourceDelete = Some(col("p") === "a")),
+      VersionLog.append(spark, dir2, appendBatch2, Some("p")))
+    assert(rap2.isSuccess, s"append must never abort: $rap2")
+    if (rm2.isFailure) {
+      val e = rm2.failed.get
+      assert(e.isInstanceOf[java.util.ConcurrentModificationException],
+        e.toString)
+      assert(rows(VersionLog.read(spark, dir2))
+        .contains((400L, "D", "a")))
+    } else {
+      // merge won the CAS outright; append rebased on top — both land
+      val t2 = rows(VersionLog.read(spark, dir2))
+      assert(t2.contains((1L, "one!", "a")) &&
+        t2.contains((400L, "D", "a")))
+    }
   }
 }
 

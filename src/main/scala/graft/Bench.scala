@@ -51,6 +51,27 @@ object Bench {
         .getOperatingSystemMXBean.getSystemLoadAverage
       if (la < 0) -1.0 else math.rint(la * 100) / 100
     }
+    // Single-thread CPU CALIBRATION: fixed integer work, best of 3 —
+    // the round-15 lesson is that loadavg alone cannot see a DEGRADED
+    // host (empty process table, loadavg ~1.6, yet every query 1.31×
+    // slower; proving it cost a round-close control experiment). A
+    // fixed-work probe in the same JVM makes cross-session recordings
+    // normalizable from the artifact alone: divide any two rounds'
+    // medians by their cal_sec ratio before calling a regression.
+    def calibrate(): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        var acc = 0L
+        var i = 0L
+        while (i < 200000000L) {
+          acc ^= i * 0x9E3779B97F4A7C15L + (acc >>> 13); i += 1
+        }
+        if (acc == 42L) System.err.print("") // defeat DCE
+        (System.nanoTime() - t0) / 1e9
+      }
+      val best = Seq(once(), once(), once()).min
+      math.rint(best * 1000) / 1000
+    }
     // Load gate (round-7 verdict): a contended box produces phantom
     // regressions that needed a judge re-run to clear. Wait (bounded)
     // for the 1-minute load to drop below cpus/4 before timing; if it
@@ -65,6 +86,7 @@ object Bench {
     }
     val loadBefore = loadAvg()
     val contended = loadBefore > loadGate
+    val calBefore = calibrate()
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val repTimes =
       scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
@@ -88,6 +110,7 @@ object Bench {
       name -> median
     }
     val loadAfter = loadAvg()
+    val calAfter = calibrate()
     def jstr(s: String) = "\"" + s + "\""
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
@@ -99,7 +122,7 @@ object Bench {
       .mkString("{", ",", "}")
     val ok = results.count(_._2 >= 0)
     val total = results.values.filter(_ >= 0).sum
-    val record = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rep_times":$rs,"load_avg":{"before":$loadBefore,"after":$loadAfter,"cpus":$cpus,"gate":$loadGate,"gate_waited_sec":$gateWaited},"contended":$contended,"reps":$reps,"ok":$ok,"failed":${errors.size},"errors":$es,"sf":"$sfDir"}"""
+    val record = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rep_times":$rs,"load_avg":{"before":$loadBefore,"after":$loadAfter,"cpus":$cpus,"gate":$loadGate,"gate_waited_sec":$gateWaited},"cal_sec":{"before":$calBefore,"after":$calAfter},"contended":$contended,"reps":$reps,"ok":$ok,"failed":${errors.size},"errors":$es,"sf":"$sfDir"}"""
     // The full self-diagnosing record (per-rep arrays, load averages,
     // error strings) lands ONLY in the file: the driver keeps a
     // bounded TAIL of stdout (~2000 chars, rounds 10/11 verdicts), so
@@ -119,7 +142,7 @@ object Bench {
       val shortQs = results.map { case (k, v) =>
         jstr(k.split("_").head) + ":" + fmt(v)
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","reps":$reps,"ok":$ok,"failed":${errors.size},"contended":$contended,"full":"BENCH_LAST.json","queries":$shortQs}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","reps":$reps,"ok":$ok,"failed":${errors.size},"contended":$contended,"load_avg":[$loadBefore,$loadAfter],"cal_sec":[$calBefore,$calAfter],"full":"BENCH_LAST.json","queries":$shortQs}"""
     }
     // short keys are unique by construction (query numbers); fall back
     // to 1 decimal if the surface ever outgrows the tail budget

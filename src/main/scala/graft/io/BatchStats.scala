@@ -109,14 +109,15 @@ object BatchStats {
   }
 
   /** Per-column stats of one file, folded across its row groups:
-    * top-level primitives plus ONE-LEVEL struct leaves (keyed
-    * `parent.leaf` — the same dotted name the reader's
+    * top-level primitives plus struct leaves at ANY depth (keyed by
+    * their dotted path `a.b.c` — the same name the reader's chained
     * `GetStructField` pruning binds). List/map-annotated and repeated
     * groups contribute nothing (their leaves are multi-valued per
     * row; a min/max box still holds but the engine's canonical nested
-    * filters are struct leaves — conservative). A table carrying BOTH
-    * a literally-dotted top-level column `"a.b"` and a struct leaf
-    * `a` -> `b` is ambiguous under one key: neither is harvested.
+    * filters are struct leaves — conservative). A key claimed by more
+    * than one distinct column path (a literally-dotted column name
+    * colliding with a struct leaf, at any level) is ambiguous: none
+    * of its claimants is harvested.
     */
   private def fileStats(spark: SparkSession, fs: FileSystem,
       p: Path): Option[Map[String, Stat]] = {
@@ -126,24 +127,24 @@ object BatchStats {
     val schema = meta.getFileMetaData.getSchema
     val blocks = meta.getBlocks.asScala.toSeq
     if (blocks.isEmpty) return None
-    val top = schema.getFields.asScala.collect {
-      case f if f.isPrimitive =>
-        (Seq(f.getName), f.getName, f.asPrimitiveType())
-    }.toSeq
-    val nested = schema.getFields.asScala.collect {
-      case g if !g.isPrimitive &&
-          g.getLogicalTypeAnnotation == null &&
-          !g.isRepetition(org.apache.parquet.schema.Type.Repetition.REPEATED) =>
-        g.asGroupType().getFields.asScala.collect {
-          case leaf if leaf.isPrimitive =>
-            (Seq(g.getName, leaf.getName),
-              s"${g.getName}.${leaf.getName}", leaf.asPrimitiveType())
-        }.toSeq
-    }.toSeq.flatten
-    // a key claimed by BOTH a literally-dotted top-level column and a
-    // struct leaf is dropped WHOLE: keeping either side would let the
+    // recursive leaf walk: plain (unannotated, non-repeated) groups
+    // are structs — descend; list/map annotations and repeated types
+    // stop the walk (multi-valued leaves)
+    def walk(prefix: Seq[String], t: org.apache.parquet.schema.Type):
+        Seq[(Seq[String], String, PrimitiveType)] =
+      if (t.isRepetition(
+          org.apache.parquet.schema.Type.Repetition.REPEATED)) Nil
+      else if (t.isPrimitive) {
+        val path = prefix :+ t.getName
+        Seq((path, path.mkString("."), t.asPrimitiveType()))
+      } else if (t.getLogicalTypeAnnotation == null)
+        t.asGroupType().getFields.asScala.toSeq
+          .flatMap(walk(prefix :+ t.getName, _))
+      else Nil
+    // a key claimed by BOTH a literally-dotted column and a struct
+    // leaf is dropped WHOLE: keeping either side would let the
     // pruner apply the wrong column's box (over-pruning = wrongness)
-    val cols = top ++ nested
+    val cols = schema.getFields.asScala.toSeq.flatMap(walk(Nil, _))
     val dupKeys = cols.groupBy(_._2).filter(_._2.size > 1).keySet
     val stats = cols.filterNot(c => dupKeys.contains(c._2))
       .flatMap { case (path, key, pt) =>

@@ -1898,10 +1898,17 @@ object VersionLog {
         }
       }.toIndexedSeq: _*)
     // hit counts observe the PRE-update rows; constraint violations
-    // observe the POST-update rows (the gate's subject)
-    val cViol = snap.constraints.zipWithIndex.map { case ((_, sql), i) =>
-      val ok = expr(sql)
-      count(when(ok.isNull || !ok, lit(1))).as(s"c$i")
+    // observe the POST-update rows (the gate's subject). Each
+    // constraint carries BOTH its violation count and the first
+    // offending row (as JSON) on the same pass — the abort message
+    // costs no re-probe job (pre-r16 it re-read every victim file).
+    val cViol = snap.constraints.zipWithIndex.flatMap {
+      case ((_, sql), i) =>
+        val ok = expr(sql)
+        val bad = ok.isNull || !ok
+        Seq(count(when(bad, lit(1))).as(s"c$i"),
+          first(when(bad, to_json(struct(col("*")))),
+            ignoreNulls = true).as(s"row$i"))
     }
     val obsN =
       scala.collection.mutable.Buffer.empty[org.apache.spark.sql.Observation]
@@ -1926,13 +1933,15 @@ object VersionLog {
     val updated = obsN.map(_.get("n").asInstanceOf[Long]).sum
     snap.constraints.zipWithIndex.foreach { case ((name, sql), i) =>
       if (obsC.map(_.get(s"c$i").asInstanceOf[Long]).sum > 0L) {
-        enforceConstraints(
-          projection(liveOf(toLogicalView(
-            readFiles(spark, dir, victims), snap))),
-          Seq(name -> sql), dir, "update")
-        throw new IllegalArgumentException( // observed, not re-probed
+        // the offending row rode the rewrite as an observation — the
+        // abort costs ZERO extra jobs (the written files are vacuum
+        // orphans, nothing committed)
+        val offending = obsC.flatMap(o =>
+          Option(o.get(s"row$i")).map(String.valueOf)).headOption
+        throw new IllegalArgumentException(
           s"CHECK constraint $name ($sql) violated by the update " +
-            s"batch for $dir")
+            s"batch for $dir; first offending row: " +
+            offending.getOrElse("(unavailable)"))
       }
     }
     val kept = snap.files.filterNot(victims.toSet)

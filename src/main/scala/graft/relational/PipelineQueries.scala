@@ -2386,6 +2386,104 @@ object PipelineQueries {
           sum($"doc_id").as("sum_id"))
         .orderBy($"lang")
     },
+    "q156_type_widening" -> { (s, d) =>
+      import s.implicits._
+      // ALTER COLUMN TYPE WIDENING end-to-end: a versioned table
+      // whose `score` column starts INT, widens to BIGINT through
+      // the SQL front door as a METADATA-ONLY commit (no file
+      // touched — the scan decodes the narrow files into the wide
+      // read schema natively, Spark 4 scan-level widening / Delta's
+      // type-widening idea), then an append lands values beyond int
+      // range. The oracle recomputes the union in BIGINT from the
+      // pristine corpus: a lost widen (overflowing int arithmetic),
+      // a mis-decoded narrow file, or a dropped append cannot
+      // hash-match.
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.catalog.GraftCatalog].getName)
+      val dir = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft-widen-${Integer.toHexString(d.hashCode)}" +
+        s"-${ProcessHandle.current().pid()}"
+      buildOnce(dir) {
+        val docs = documents(s, d)
+        VersionLog.init(s, dir,
+          docs.select($"doc_id", $"lang", $"text",
+            (length($"text") % 1000).cast("int").as("score")),
+          partitionBy = Some("lang"))
+        s.sql(s"ALTER TABLE graft.`$dir` ALTER COLUMN score " +
+          "TYPE BIGINT")
+        VersionLog.append(s, dir,
+          docs.filter($"doc_id" % 7 === 0)
+            .select(($"doc_id" + 300000000L).as("doc_id"), $"lang",
+              $"text",
+              (length($"text").cast("long") + 3000000000L)
+                .as("score")),
+          partitionBy = Some("lang"))
+      }
+      VersionLog.read(s, dir)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"score").as("sum_score"),
+          max($"score").as("max_score"),
+          sum(when($"score" > 2000000000L, 1L).otherwise(0L))
+            .as("n_wide"))
+        .orderBy($"lang")
+    },
+    "q157_cdc_rename_replay" -> { (s, d) =>
+      import s.implicits._
+      // CDC REPLAY ACROSS A COLUMN-MAPPING CHANGE: the table renames
+      // text -> body MID-HISTORY (a metadata-only commit), and the
+      // row-level feed must keep serving every older version's
+      // images under the CURRENT name — projected through physical
+      // identity, the fix for "a cheap rename bricks every
+      // downstream graft-cdc mirror". History: v1 init, v2 CDC merge
+      // (explicit image files written under the OLD name), v3
+      // RENAME, v4 append under the new name. The mirror
+      // reconstructs the final state from the feed alone
+      // (last-op-wins per key, one window — q146's consumer shape);
+      // the oracle recomputes it from the pristine corpus: a
+      // null-filled renamed column, a dropped pre-rename image, or a
+      // mis-projected name cannot hash-match. The streaming twin
+      // (checkpoint crossing the rename boundary) is spec-pinned in
+      // GraftTableSourceSpec.
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.catalog.GraftCatalog].getName)
+      val dir = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft-cdcren-${Integer.toHexString(d.hashCode)}" +
+        s"-${ProcessHandle.current().pid()}"
+      buildOnce(dir) {
+        val docs = documents(s, d)
+          .select($"doc_id", $"text", $"lang")
+        VersionLog.init(s, dir, docs, partitionBy = Some("lang"))
+        VersionLog.mergeByKeyCdc(s, dir,
+          docs.filter($"lang" === "fr" && $"doc_id" % 17 === 0)
+            .withColumn("text", concat($"text", lit(" [v2]")))
+            .withColumn("_del", lit(false))
+            .unionByName(docs
+              .filter($"lang" === "de" && $"doc_id" % 13 === 0)
+              .withColumn("_del", lit(true))),
+          "doc_id", "lang", deleteWhen = Some($"_del"))
+        s.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN text TO body")
+        VersionLog.append(s, dir,
+          docs.filter($"doc_id" % 31 === 0)
+            .withColumn("doc_id", $"doc_id" + 100000000L)
+            .withColumn("lang", lit("xx"))
+            .withColumnRenamed("text", "body"),
+          partitionBy = Some("lang"))
+      }
+      val feed = s.read.format("graft-cdc").load(dir)
+      val opRank = when($"_op".isin("insert", "update_post"), 2)
+        .when($"_op" === "delete", 1).otherwise(lit(0))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id")
+        .orderBy($"_feed_batch".desc, opRank.desc)
+      feed.withColumn("_rn", row_number().over(w))
+        .filter($"_rn" === 1 && $"_op".isin("insert", "update_post"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(length($"body")).as("sum_len"),
+          sum($"doc_id").as("sum_ids"))
+        .orderBy($"lang")
+    },
     "q146_cdc_replay" -> { (s, d) =>
       import s.implicits._
       // ALL-DOORS CHANGE-DATA-CAPTURE REPLAY: reconstruct the CURRENT
@@ -4137,6 +4235,42 @@ object PipelineQueries {
            CAST(sum(length(text)) AS BIGINT) AS sum_len,
            CAST(sum(doc_id) AS BIGINT) AS sum_id
          FROM survivors GROUP BY lang ORDER BY lang""",
+    "q156_type_widening" ->
+      """WITH allrows AS (
+           SELECT doc_id, lang,
+             CAST(length(text) % 1000 AS BIGINT) AS score
+           FROM documents
+           UNION ALL
+           SELECT doc_id + 300000000, lang,
+             CAST(length(text) AS BIGINT) + 3000000000 AS score
+           FROM documents WHERE doc_id % 7 = 0)
+         SELECT lang, count(*) AS n_rows,
+           CAST(sum(score) AS BIGINT) AS sum_score,
+           CAST(max(score) AS BIGINT) AS max_score,
+           CAST(sum(CASE WHEN score > 2000000000 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_wide
+         FROM allrows GROUP BY lang ORDER BY lang""",
+    "q157_cdc_rename_replay" ->
+      """WITH upd AS (
+           SELECT doc_id, text || ' [v2]' AS body, lang
+           FROM documents WHERE lang = 'fr' AND doc_id % 17 = 0),
+         del AS (
+           SELECT doc_id FROM documents
+           WHERE lang = 'de' AND doc_id % 13 = 0),
+         finalstate AS (
+           SELECT d.doc_id, d.text AS body, d.lang FROM documents d
+           WHERE NOT EXISTS (SELECT 1 FROM upd u
+                             WHERE u.doc_id = d.doc_id)
+             AND NOT EXISTS (SELECT 1 FROM del x
+                             WHERE x.doc_id = d.doc_id)
+           UNION ALL SELECT doc_id, body, lang FROM upd
+           UNION ALL
+           SELECT doc_id + 100000000, text, 'xx' AS lang
+           FROM documents WHERE doc_id % 31 = 0)
+         SELECT lang, count(*) AS n_rows,
+           CAST(sum(length(body)) AS BIGINT) AS sum_len,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         FROM finalstate GROUP BY lang ORDER BY lang""",
     "q146_cdc_replay" ->
       """WITH finalstate AS (
            SELECT doc_id, text || ' [rw]' AS text, 'fr' AS lang

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, BasePredicate, BoundReference, EqualTo, Expression, GetStructField, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Predicate}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, BasePredicate, BoundReference, EqualTo, Expression, GetStructField, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal, Predicate}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
@@ -680,20 +680,23 @@ private final class GraftFileIndex(spark: SparkSession, dir: String,
   }
 
   /** The stats-map name a pushed comparison binds: a bare column, or
-    * a ONE-LEVEL struct leaf as its dotted `parent.leaf` name — the
-    * key [[graft.io.BatchStats]] harvests for it (harvest drops the
-    * key whole when a literally-dotted top-level column collides, so
-    * the dotted binding can never apply the wrong column's box).
+    * a struct leaf at ANY depth as its dotted `a.b.c` path (chained
+    * `GetStructField`s over an attribute) — the key
+    * [[graft.io.BatchStats]] harvests for it (harvest drops a key
+    * whole when distinct column paths collide on it, so the dotted
+    * binding can never apply the wrong column's box).
     */
   private object StatCol {
     def unapply(e: Expression): Option[String] = e match {
       case a: AttributeReference => Some(a.name)
-      case GetStructField(a: AttributeReference, ord, _) =>
-        a.dataType match {
-          case s: org.apache.spark.sql.types.StructType
-              if ord >= 0 && ord < s.length =>
-            Some(s"${a.name}.${s(ord).name}")
-          case _ => None
+      case GetStructField(child, ord, _) =>
+        unapply(child).flatMap { basePath =>
+          child.dataType match {
+            case s: org.apache.spark.sql.types.StructType
+                if ord >= 0 && ord < s.length =>
+              Some(s"$basePath.${s(ord).name}")
+            case _ => None
+          }
         }
       case _ => None
     }
@@ -718,8 +721,40 @@ private final class GraftFileIndex(spark: SparkSession, dir: String,
       case LessThan(StatCol(n), l: Literal) =>
         normLit(l).map(v => (n,
           boxTest((mi, _) => cmp(mi, v).forall(_ < 0))))
+      // IN-list as a disjunction of box point tests (capped — a
+      // thousand-value IN would cost 1000 cmp per file for little
+      // skip value). NULL literals never match (x = NULL is UNKNOWN,
+      // filtered), so pruning on the non-null values alone is exact;
+      // an un-normalizable value makes the whole test unknowable.
+      case In(StatCol(n), vs)
+          if vs.nonEmpty && vs.length <= 20 &&
+            vs.forall(_.isInstanceOf[Literal]) =>
+        val nonNull = vs.map(_.asInstanceOf[Literal])
+          .filter(_.value != null)
+        val norms = nonNull.map(normLit)
+        if (nonNull.isEmpty || norms.exists(_.isEmpty)) None
+        else {
+          val vals = norms.flatten
+          Some((n, boxTest((mi, ma) => vals.exists(v =>
+            cmp(mi, v).forall(_ <= 0) && cmp(v, ma).forall(_ <= 0)))))
+        }
+      // the optimizer converts longer IN lists (> inSetConversion
+      // threshold, default 10) into InSet carrying INTERNAL values —
+      // same disjunction-of-points test, literals reconstructed from
+      // the child's type
+      case InSet(child @ StatCol(n), hset)
+          if hset.nonEmpty && hset.size <= 20 =>
+        val nonNull = hset.toSeq.filter(_ != null)
+        val norms = nonNull.map(v => normLit(Literal(v, child.dataType)))
+        if (nonNull.isEmpty || norms.exists(_.isEmpty)) None
+        else {
+          val vals = norms.flatten
+          Some((n, boxTest((mi, ma) => vals.exists(v =>
+            cmp(mi, v).forall(_ <= 0) && cmp(v, ma).forall(_ <= 0)))))
+        }
       // reversed literal-first comparisons arrive canonicalized by the
-      // optimizer; In on the bloom key is handled by pruneByBloom
+      // optimizer; In on the bloom key is also consulted by
+      // pruneByBloom (exact membership beats a box when present)
       case _ => None
     }
   }

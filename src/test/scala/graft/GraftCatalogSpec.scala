@@ -919,11 +919,26 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(updJobs <= 3, s"UPDATE ran $updJobs query executions, " +
       "expected <= 3 (command + discover + rewrite); the count and " +
       "constraint gate must ride the rewrite — the pre-r15 path ran 5")
-    // the observed constraint gate still REFUSES violations loudly
-    val e = intercept[Exception] {
-      spark.sql("UPDATE graft.jc SET k = 0 - k WHERE p = 'b'")
+    // the observed constraint gate still REFUSES violations loudly —
+    // and the ABORT path stays within the same execution budget: the
+    // first offending row rides the rewrite as an observation
+    // (pre-r16 the error path re-probed every victim file to build
+    // the message, one extra whole-victim job)
+    var err: Exception = null
+    val vioJobs = jobsOf {
+      err = intercept[Exception] {
+        spark.sql("UPDATE graft.jc SET k = 0 - k WHERE p = 'b'")
+      }
     }
-    assert(e.getMessage.contains("CHECK constraint nz"), e.getMessage)
+    assert(err.getMessage.contains("CHECK constraint nz"),
+      err.getMessage)
+    assert(err.getMessage.contains("offending row"), err.getMessage)
+    assert(err.getMessage.contains("\"k\":-3"),
+      s"the abort message must carry the observed offending row: " +
+        err.getMessage)
+    assert(vioJobs <= 3, s"violating UPDATE ran $vioJobs query " +
+      "executions, expected <= 3 — the offending-row message must " +
+      "not re-probe the victims")
     assert(spark.sql("SELECT k FROM graft.jc").as[Long].collect()
       .toSet === Set(1L, 3L), "refused UPDATE must change nothing")
   }

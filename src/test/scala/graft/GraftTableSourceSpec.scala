@@ -141,6 +141,62 @@ class GraftTableSourceSpec extends AnyFunSuite {
     assert(scanNumFiles(topSel) === 1L)
   }
 
+  test("write-time stats cover struct leaves at DEPTH 2: a range " +
+      "predicate on meta.inner.ts box-prunes batches at plan time " +
+      "(executed numFiles), results exact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("gnested2").toString
+    def batch(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, 1000L - i)).toDF("id", "ts")
+        .select($"id", $"ts",
+          struct(
+            struct(($"id").as("ts"), lit(1L).as("z")).as("inner"),
+            lit("x").as("tag")).as("meta"))
+        .coalesce(1)
+    VersionLog.init(spark, dir, batch(0, 100))
+    VersionLog.append(spark, dir, batch(100, 200))
+    VersionLog.append(spark, dir, batch(200, 300))
+    VersionLog.append(spark, dir, batch(300, 400))
+    val t = spark.read.format("graft").load(dir)
+    val leaf = t.filter($"meta.inner.ts" >= 250L &&
+        $"meta.inner.ts" < 260L).select($"id")
+    assert(leaf.as[Long].collect().toSet === (250L until 260L).toSet)
+    assert(scanNumFiles(leaf) === 1L,
+      "a depth-2 struct-leaf range must open exactly the covering " +
+        "batch — the canonical doc schema nests two levels in places")
+  }
+
+  test("IN-list stats pruning: an IN probe over range-disjoint " +
+      "batches opens only the batches whose box covers a listed " +
+      "value (executed numFiles); an all-miss IN opens nothing") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ginlist").toString
+    def batch(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, s"r$i")).toDF("id", "v").coalesce(1)
+    VersionLog.init(spark, dir, batch(0, 100))
+    VersionLog.append(spark, dir, batch(100, 200))
+    VersionLog.append(spark, dir, batch(200, 300))
+    VersionLog.append(spark, dir, batch(300, 400))
+    val t = spark.read.format("graft").load(dir)
+    // values land in batches 1 and 3 only — 2 of 4 files open
+    val probe = t.filter($"id".isin(5L, 250L, 251L)).select($"id")
+    assert(probe.as[Long].collect().toSet === Set(5L, 250L, 251L))
+    assert(scanNumFiles(probe) === 2L,
+      "IN must prune to the batches whose boxes cover a listed " +
+        "value — pre-r16 the list scanned every file (bloom-only)")
+    // every value outside every box: zero files open, empty result
+    val miss = t.filter($"id".isin(9999L, 8888L)).select($"id")
+    assert(miss.as[Long].collect().isEmpty)
+    assert(scanNumFiles(miss) === 0L)
+    // a 12-value list crosses the optimizer's In->InSet conversion
+    // threshold (10) — the InSet form must prune identically
+    val big = (0L until 11L).map(_ + 250L) :+ 5L
+    val inset = t.filter($"id".isin(big: _*)).select($"id")
+    assert(inset.as[Long].collect().toSet === big.toSet)
+    assert(scanNumFiles(inset) === 2L,
+      "InSet (the >10-value IN form) must box-prune like In")
+  }
+
   test("COLUMN MAPPING keeps plan-time pruning: after RENAME, a range " +
       "predicate on the NEW logical name still box-prunes batches " +
       "(the pushed filter reaches the physical stats keys through " +
@@ -350,6 +406,88 @@ class GraftTableSourceSpec extends AnyFunSuite {
       .select($"k", $"v", $"p").as[(Long, String, String)]
       .collect().toSet
     assert(mirrored === live)
+  }
+
+  test("graft-cdc replays ACROSS column-mapping changes: images of " +
+      "versions older than a RENAME flow under the current name, a " +
+      "DROP projects the column away, a checkpointed stream crosses " +
+      "the boundary, and the mirror still converges") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("gcdc-ren").toString
+    val ckpt = Files.createTempDirectory("gcdc-ren-ckpt").toString
+    VersionLog.init(spark, dir,
+      Seq((1L, "one", "w1", "a"), (2L, "two", "w2", "a"),
+        (3L, "three", "w3", "b")).toDF("k", "v", "w", "p"),
+      partitionBy = Some("p")) // v1
+    VersionLog.mergeByKeyCdc(spark, dir,
+      Seq((2L, "two2", "w2", "a", false),
+        (4L, "four", "w4", "b", false),
+        (3L, "x", "x", "zz", true)).toDF("k", "v", "w", "p", "_del"),
+      "k", "p", deleteWhen = Some($"_del")) // v2 (explicit images)
+    val sunk =
+      new scala.collection.mutable.ArrayBuffer[(String, Long, Long)]
+    def startStream() = spark.readStream.format("graft-cdc").load(dir)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.select($"_op", $"k", $"_feed_batch")
+          .as[(String, Long, Long)].collect()
+        sunk.synchronized { sunk ++= rows }
+        ()
+      }
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = startStream()
+    try {
+      q1.processAllAvailable()
+      assert(sunk.synchronized(sunk.size) === 7) // 3 init + 4 merge
+    } finally q1.stop()
+    sunk.synchronized(sunk.clear())
+    // the mapping boundary lands while no stream runs: a RENAME, an
+    // append under the NEW name, and a DROP — the pre-r16 feed
+    // refused every replay crossing this point, bricking the mirror
+    VersionLog.alterRenameColumnCommit(spark, dir, "v", "label") // v3
+    VersionLog.append(spark, dir,
+      Seq((5L, "five", "w5", "c")).toDF("k", "label", "w", "p"),
+      partitionBy = Some("p")) // v4
+    VersionLog.alterDropColumnCommit(spark, dir, "w") // v5
+    // restart on the SAME checkpoint: v3..v5 replay (the two
+    // metadata-only commits contribute nothing), current names
+    val q2 = startStream()
+    try {
+      q2.processAllAvailable()
+      assert(sunk.synchronized(sunk.toSet) ===
+        Set(("insert", 5L, 4L)),
+        s"restart must deliver only v4's insert, got " +
+          sunk.synchronized(sunk.toSet))
+    } finally q2.stop()
+    // batch form: the whole feed under the CURRENT schema — the
+    // pre-rename images flow under 'label', 'w' is gone entirely
+    val all = spark.read.format("graft-cdc").load(dir)
+    assert(!all.columns.contains("v") && !all.columns.contains("w"),
+      all.columns.mkString(","))
+    assert(all.filter($"_feed_batch" === 1L).select($"k", $"label")
+      .as[(Long, String)].collect().toSet ===
+      Set((1L, "one"), (2L, "two"), (3L, "three")))
+    assert(all.filter($"_feed_batch" === 2L)
+      .select($"_op", $"k", $"label").as[(String, Long, String)]
+      .collect().toSet ===
+      Set(("update_pre", 2L, "two"), ("update_post", 2L, "two2"),
+        ("insert", 4L, "four"), ("delete", 3L, "three")))
+    // last-op-wins mirror converges to the live table across the
+    // boundary
+    val opRank = when($"_op".isin("insert", "update_post"), 2)
+      .when($"_op" === "delete", 1).otherwise(lit(0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"k").orderBy($"_feed_batch".desc, opRank.desc)
+    val mirrored = all.withColumn("_rn", row_number().over(w))
+      .filter($"_rn" === 1 && $"_op".isin("insert", "update_post"))
+      .select($"k", $"label", $"p").as[(Long, String, String)]
+      .collect().toSet
+    val live = VersionLog.read(spark, dir)
+      .select($"k", $"label", $"p").as[(Long, String, String)]
+      .collect().toSet
+    assert(mirrored === live)
+    assert(live === Set((1L, "one", "a"), (2L, "two2", "a"),
+      (4L, "four", "b"), (5L, "five", "c")))
   }
 
   test("graft-cdc synthesis: replaceWhere emits delete+insert images; " +

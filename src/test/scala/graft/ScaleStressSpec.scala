@@ -555,21 +555,24 @@ class ScaleStressSpec extends AnyFunSuite {
       s"40-batch point probe must open exactly one file, opened $opened")
   }
 
-  test("STRESS: 8 concurrent appenders on one table — every CAS loser " +
-      "auto-rebases, all 8 land exactly once, no batch is ever " +
-      "rewritten, and the delta-log chain resolves") {
+  test("STRESS: 8 concurrent appenders + 1 MIRROR MERGER on one " +
+      "table — every CAS loser auto-rebases (the by-source precision " +
+      "vet admits the provably-disjoint appends), all 9 land exactly " +
+      "once, no batch is ever rewritten, the delta-log chain resolves") {
     import spark.implicits._
     import graft.io.VersionLog
     val dir = java.nio.file.Files
       .createTempDirectory("stress-race").toString
     VersionLog.init(spark, dir,
-      Seq((0L, "seed", "a")).toDF("k", "v", "p").coalesce(1),
+      Seq((0L, "seed", "a"), (9L, "stale", "z"))
+        .toDF("k", "v", "p").coalesce(1),
       partitionBy = Some("p"))
     val writers = 8
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    val pool =
+      java.util.concurrent.Executors.newFixedThreadPool(writers + 1)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
-    val barrier = new java.util.concurrent.CyclicBarrier(writers)
+    val barrier = new java.util.concurrent.CyclicBarrier(writers + 1)
     val futures = (1 to writers).map { i =>
       scala.concurrent.Future {
         val df = Seq((i.toLong * 100L, s"w$i", "a"))
@@ -580,27 +583,42 @@ class ScaleStressSpec extends AnyFunSuite {
         barrier.await(60, java.util.concurrent.TimeUnit.SECONDS)
         VersionLog.append(spark, dir, df, Some("p"))
       }
+    } :+ scala.concurrent.Future {
+      // the mirror merger: upserts into its OWN partition b and
+      // by-source-deletes the stale z row — condition p='z', which no
+      // appended row can satisfy, so the precision vet must rebase it
+      // across every interleaved append instead of aborting
+      val df = Seq((50L, "m", "b")).toDF("k", "v", "p").coalesce(1)
+      df.count()
+      barrier.await(60, java.util.concurrent.TimeUnit.SECONDS)
+      VersionLog.mergeByKeyCdc(spark, dir, df, "k", "p",
+        bySourceDelete = Some(col("p") === "z"))._3
     }
     val versions = scala.concurrent.Await.result(
       scala.concurrent.Future.sequence(futures),
       scala.concurrent.duration.Duration(300, "s"))
     pool.shutdown()
-    // all 8 landed on distinct consecutive versions
-    assert(versions.toSet === (2L to 9L).toSet,
-      s"every appender must land exactly once, got $versions")
+    // all 9 landed on distinct consecutive versions
+    assert(versions.toSet === (2L to 10L).toSet,
+      s"every writer must land exactly once, got $versions")
     val t = VersionLog.read(spark, dir)
     assert(t.select($"k").as[Long].collect().toSet ===
-      (Set(0L) ++ (1 to writers).map(_.toLong * 100L)),
-      "no row lost, none duplicated")
-    // each writer wrote its batch exactly once: seed + 8 batch dirs
+      (Set(0L, 50L) ++ (1 to writers).map(_.toLong * 100L)),
+      "no row lost, none duplicated, the z row by-source-deleted")
+    // each writer wrote its batch exactly once: seed + 9 batch dirs
     val batchDirs = VersionLog.snapshot(spark, dir, None).files
       .map(_.split("/")(1)).distinct
-    assert(batchDirs.length === 1 + writers, s"got $batchDirs")
+    assert(batchDirs.length === 1 + writers + 1, s"got $batchDirs")
     // the raced history is a healthy delta-log chain: every version
-    // time-travels, append commits are delta-form
-    (1L to 9L).foreach { v =>
-      assert(VersionLog.read(spark, dir, Some(v)).count() === v)
+    // resolves and time-travels. Exact per-version counts depend on
+    // the interleave order (the merge is row-neutral: +1 upsert,
+    // -1 by-source delete; each append +1), so the walk asserts the
+    // count lands in the feasible band instead of one fixed value.
+    (1L to 10L).foreach { v =>
+      val n = VersionLog.read(spark, dir, Some(v)).count()
+      assert(n >= 2L && n <= 10L, s"v$v resolved to $n rows")
     }
+    assert(VersionLog.read(spark, dir, Some(10L)).count() === 10L)
   }
 
   test("STRESS: contended rebase on a DEEP delta history — the vet " +

@@ -261,7 +261,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           val (keyCol, deleteWhenSql, bySourceDel, bySourceUpd) =
             MergeSql.interpretShape(m)
           GraftCatalogMergeCommand(dir, m.sourceTable,
-            keyCol, deleteWhenSql, bySourceDel, bySourceUpd)
+            keyCol, deleteWhenSql, bySourceDel, bySourceUpd,
+            schemaEvolution = m.withSchemaEvolution)
         case None => m
       }
     case d @ DeleteFromTable(target, condition) =>
@@ -369,7 +370,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 case class GraftCatalogMergeCommand(dir: String, source: LogicalPlan,
     keyCol: String, deleteWhenSql: Option[String],
     bySourceDeleteSql: Option[String] = None,
-    bySourceUpdateSql: Option[(String, Seq[(String, String)])] = None)
+    bySourceUpdateSql: Option[(String, Seq[(String, String)])] = None,
+    schemaEvolution: Boolean = false)
     extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
@@ -401,7 +403,8 @@ case class GraftCatalogMergeCommand(dir: String, source: LogicalPlan,
       bySourceDelete = bySourceDeleteSql.map(expr),
       bySourceUpdate = bySourceUpdateSql.map { case (c, sets) =>
         (expr(c), sets.map { case (k, v) => (k, expr(v)) })
-      })
+      },
+      schemaEvolution = schemaEvolution)
     Seq(Row(version, stats.outputRows, stats.touchedPartitions.size,
       stats.removedPartitions.size))
   }

@@ -52,6 +52,11 @@ object MergeSql {
       case other => throw new IllegalArgumentException(
         s"not a MERGE statement: ${other.getClass.getSimpleName}")
     }
+    // schema evolution needs the version log's metadata-only schema
+    // commits — the in-place door this front end drives has none
+    require(!m.withSchemaEvolution,
+      "MERGE WITH SCHEMA EVOLUTION is supported on versioned graft " +
+        "tables only (the catalog door)")
     val targetName = m.targetTable match {
       case u: UnresolvedRelation => u.multipartIdentifier.last
       case other => throw new IllegalArgumentException(

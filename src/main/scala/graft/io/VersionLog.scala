@@ -754,10 +754,42 @@ object VersionLog {
       maxTouchedPartitions: Int = 4096,
       actionTag: String = "merge",
       bySourceDelete: Option[Column] = None,
-      bySourceUpdate: Option[(Column, Seq[(String, Column)])] = None):
+      bySourceUpdate: Option[(Column, Seq[(String, Column)])] = None,
+      schemaEvolution: Boolean = false):
       (MergeStats, DataFrame, Long) = {
     require(bySourceDelete.isEmpty || bySourceUpdate.isEmpty,
       "at most one WHEN NOT MATCHED BY SOURCE action")
+    // MERGE SCHEMA EVOLUTION (Delta autoMerge / Spark's `MERGE WITH
+    // SCHEMA EVOLUTION`): source columns the target lacks auto-ADD as
+    // metadata-only commits BEFORE the merge pins its snapshot —
+    // existing rows read them as NULL, the batch populates them.
+    // Columns the tombstone predicate references are HELPERS, never
+    // table columns. Type evolution needs no door here: a wider
+    // source column unions/coerces into the written batch and the
+    // footer merge widens the read schema (the same path widening
+    // appends take). Without the flag, extra source columns are
+    // simply not written (the merge projects the target's schema).
+    if (schemaEvolution) {
+      val resolver = spark.sessionState.conf.resolver
+      val decl = declaredSchema(spark, dir, snapshot(spark, dir, None))
+      // resolve the tombstone predicate AGAINST THE SOURCE frame to
+      // learn its column references (driver-only analysis, no job) —
+      // Column expressions are lazy in Spark 4 (SqlExpression nodes),
+      // so walking the unresolved tree would see nothing
+      val delRefs = deleteWhen.toSeq.flatMap { c =>
+        scala.util.Try {
+          updates.filter(c).queryExecution.analyzed.collect {
+            case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+              f.condition.references.map(_.name).toSeq
+          }.flatten
+        }.getOrElse(Nil)
+      }
+      updates.schema.fields
+        .filterNot(f => decl.fieldNames.exists(resolver(_, f.name)))
+        .filterNot(f => delRefs.exists(resolver(_, f.name)))
+        .foreach(f =>
+          alterAddColumnCommit(spark, dir, f.name, f.dataType))
+    }
     val snap = snapshot(spark, dir, None)
     healStagedFeeds(spark, dir)
     // a merge's matched/survivor arithmetic would have to thread the
@@ -1461,17 +1493,40 @@ object VersionLog {
     val old = decl(name).dataType
     val ints = IndexedSeq[DataType](ByteType, ShortType, IntegerType,
       LongType)
+    def digitsOf(t: DataType): Int = t match {
+      case ByteType => 3; case ShortType => 5
+      case IntegerType => 10; case LongType => 19; case _ => 0
+    }
+    // accepted set = exactly what the Spark 4 vectorized parquet
+    // reader decodes natively from the NARROW written files into the
+    // wide read schema (probe-verified): integral up-chain,
+    // byte/short/int -> double (exact under the 53-bit mantissa;
+    // long -> double is lossy and the reader refuses it), float ->
+    // double, integral -> decimal with enough integer digits, and
+    // decimal growth (scale and integer digits both non-decreasing).
+    // date -> timestamp_ntz decodes too but is EXCLUDED: stale stats
+    // boxes store epoch DAYS while a timestamp probe normalizes to
+    // MICROS — a unit mismatch inside one numeric family would
+    // over-prune (wrong results), so it waits for unit-aware stats.
     val widens = (old, newType) match {
       case (a, b) if ints.contains(a) && ints.contains(b) =>
         ints.indexOf(b) > ints.indexOf(a)
       case (FloatType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case (t, d: DecimalType) if ints.contains(t) =>
+        d.precision - d.scale >= digitsOf(t)
+      case (a: DecimalType, b: DecimalType) =>
+        b != a && b.scale >= a.scale &&
+          b.precision - b.scale >= a.precision - a.scale
       case _ => false
     }
     require(widens,
       s"ALTER COLUMN TYPE $name: $old -> $newType is not a widening " +
-        "(byte/short/int -> a wider integral, float -> double) — " +
-        "anything else re-interprets written bytes; rewrite through " +
-        "overwrite instead")
+        "(integral up-chain, byte/short/int -> double, float -> " +
+        "double, integral -> decimal with enough integer digits, " +
+        "decimal scale/precision growth) — anything else " +
+        "re-interprets written bytes; rewrite through overwrite " +
+        "instead")
     val widened = StructType(decl.fields.map(f =>
       if (f.name == name) f.copy(dataType = newType) else f))
     commit(spark, dir, snap.version, s"retype-column-$name", snap.files,
@@ -2173,8 +2228,14 @@ object VersionLog {
         val partColNames = g.split("/").filter(_.contains("="))
           .map(_.split("=", 2)(0))
         val out = s"$base/$batchRel" + (if (g.isEmpty) "" else s"/$g")
+        // a repack is the natural moment to SHED retired physical
+        // columns (DROP COLUMN's doc: later rewrites physically shed
+        // them — the DML doors already do via their logical round
+        // trip); carrying dead bytes forward forever would defeat the
+        // point of dropping at 100 TB
         val dataFields = tableSchema.fields
-          .filterNot(f => partColNames.contains(f.name))
+          .filterNot(f => partColNames.contains(f.name) ||
+            snap.droppedPhys.contains(f.name))
         val srcData = partColNames.foldLeft(src)(_ drop _)
         dataFields.foldLeft(srcData) { (df, f) =>
             if (df.columns.contains(f.name)) df

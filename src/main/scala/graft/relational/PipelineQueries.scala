@@ -2484,6 +2484,54 @@ object PipelineQueries {
           sum($"doc_id").as("sum_ids"))
         .orderBy($"lang")
     },
+    "q158_merge_schema_evolution" -> { (s, d) =>
+      import s.implicits._
+      // MERGE WITH SCHEMA EVOLUTION (Delta autoMerge / Spark 4's
+      // keyword) through the catalog front door: the source carries a
+      // column the target lacks (`rev`) plus a tombstone helper
+      // (`_del`) — the merge auto-ADDS `rev` as a metadata-only
+      // commit (existing rows NULL, merged rows populate), while the
+      // helper (referenced only by the tombstone clause) never
+      // becomes a table column. The oracle replays update + insert +
+      // delete + the new column relationally: a leaked helper column,
+      // a lost auto-add, or a mis-populated NULL cannot hash-match.
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.catalog.GraftCatalog].getName)
+      val dir = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft-mevo-${Integer.toHexString(d.hashCode)}" +
+        s"-${ProcessHandle.current().pid()}"
+      buildOnce(dir) {
+        val docs = documents(s, d)
+          .select($"doc_id", $"text", $"lang")
+        VersionLog.init(s, dir, docs, partitionBy = Some("lang"))
+        docs.filter($"lang" === "fr" && $"doc_id" % 17 === 0)
+          .withColumn("text", concat($"text", lit(" [v2]")))
+          .withColumn("rev", $"doc_id" % 5)
+          .withColumn("_del", lit(false))
+          .unionByName(docs.filter($"doc_id" % 31 === 0)
+            .withColumn("doc_id", $"doc_id" + 100000000L)
+            .withColumn("lang", lit("xx"))
+            .withColumn("rev", $"doc_id" % 5)
+            .withColumn("_del", lit(false)))
+          .unionByName(docs
+            .filter($"lang" === "de" && $"doc_id" % 13 === 0)
+            .withColumn("rev", lit(0L)).withColumn("_del", lit(true)))
+          .createOrReplaceTempView("q158_source")
+        s.sql(
+          s"""MERGE WITH SCHEMA EVOLUTION INTO graft.`$dir` AS t
+              USING q158_source AS u ON t.doc_id = u.doc_id
+              WHEN MATCHED AND u._del THEN DELETE
+              WHEN MATCHED THEN UPDATE SET *
+              WHEN NOT MATCHED THEN INSERT *""")
+      }
+      VersionLog.read(s, dir)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_rows"),
+          count($"rev").as("n_rev"),
+          sum($"rev").as("sum_rev"),
+          sum(length($"text")).as("sum_len"))
+        .orderBy($"lang")
+    },
     "q146_cdc_replay" -> { (s, d) =>
       import s.implicits._
       // ALL-DOORS CHANGE-DATA-CAPTURE REPLAY: reconstruct the CURRENT
@@ -4270,6 +4318,32 @@ object PipelineQueries {
          SELECT lang, count(*) AS n_rows,
            CAST(sum(length(body)) AS BIGINT) AS sum_len,
            CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         FROM finalstate GROUP BY lang ORDER BY lang""",
+    "q158_merge_schema_evolution" ->
+      """WITH upd AS (
+           SELECT doc_id, text || ' [v2]' AS text, lang,
+             doc_id % 5 AS rev
+           FROM documents WHERE lang = 'fr' AND doc_id % 17 = 0),
+         ins AS (
+           SELECT doc_id + 100000000 AS doc_id, text, 'xx' AS lang,
+             (doc_id + 100000000) % 5 AS rev
+           FROM documents WHERE doc_id % 31 = 0),
+         del AS (
+           SELECT doc_id FROM documents
+           WHERE lang = 'de' AND doc_id % 13 = 0),
+         finalstate AS (
+           SELECT d.doc_id, d.text, d.lang,
+             CAST(NULL AS BIGINT) AS rev
+           FROM documents d
+           WHERE NOT EXISTS (SELECT 1 FROM upd u
+                             WHERE u.doc_id = d.doc_id)
+             AND NOT EXISTS (SELECT 1 FROM del x
+                             WHERE x.doc_id = d.doc_id)
+           UNION ALL SELECT doc_id, text, lang, rev FROM upd
+           UNION ALL SELECT doc_id, text, lang, rev FROM ins)
+         SELECT lang, count(*) AS n_rows, count(rev) AS n_rev,
+           CAST(sum(rev) AS BIGINT) AS sum_rev,
+           CAST(sum(length(text)) AS BIGINT) AS sum_len
          FROM finalstate GROUP BY lang ORDER BY lang""",
     "q146_cdc_replay" ->
       """WITH finalstate AS (

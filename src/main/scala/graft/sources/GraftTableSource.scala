@@ -427,9 +427,10 @@ private final class GraftFileIndex(spark: SparkSession, dir: String,
         throw new IllegalArgumentException(
           s"graft table at $base has incompatible types for " +
             s"column '$name': $a vs $b " +
-            "— only widening evolution (byte/short/int->long, " +
-            "float->double) is supported; anything else requires " +
-            "a rewriting commit (overwrite)"))
+            "— only widening evolution (integral up-chain, " +
+            "byte/short/int->double, float->double, " +
+            "integral->decimal, decimal growth) is supported; " +
+            "anything else requires a rewriting commit (overwrite)"))
     val footerMerged = footers.reduce { (acc, next) =>
       val extra = next.fields.filterNot(f => acc.fieldNames.contains(f.name))
       val merged = acc.fields.map { f =>
@@ -511,12 +512,44 @@ private final class GraftFileIndex(spark: SparkSession, dir: String,
     import org.apache.spark.sql.types._
     val ints = IndexedSeq[DataType](ByteType, ShortType, IntegerType,
       LongType)
+    // integer digits a parquet value of each integral type may need —
+    // the decimal unification bound
+    def digitsOf(t: DataType): Int = t match {
+      case ByteType => 3; case ShortType => 5
+      case IntegerType => 10; case LongType => 19; case _ => 0
+    }
+    // the widest decimal readable from BOTH sides: max scale, max
+    // integer digits (fail past decimal's 38-digit ceiling). Every
+    // arm below is verified against the Spark 4 vectorized reader:
+    // narrow-decimal and integral parquet columns decode natively
+    // into a wider read-schema decimal.
+    def decimalWith(intDigits: Int, scale: Int): Option[DataType] =
+      if (intDigits + scale <= 38) Some(DecimalType(intDigits + scale,
+        scale))
+      else None
     (a, b) match {
       case _ if a == b => Some(a)
       case _ if ints.contains(a) && ints.contains(b) =>
         Some(ints(math.max(ints.indexOf(a), ints.indexOf(b))))
       case (FloatType | DoubleType, FloatType | DoubleType) =>
         Some(DoubleType)
+      // byte/short/int decode natively into a double read schema
+      // (exact — 53-bit mantissa); long does NOT (lossy, the reader
+      // refuses), so it stays out of this arm
+      case (ByteType | ShortType | IntegerType,
+          FloatType | DoubleType) => Some(DoubleType)
+      case (FloatType | DoubleType,
+          ByteType | ShortType | IntegerType) => Some(DoubleType)
+      case (da: DecimalType, db: DecimalType) =>
+        decimalWith(
+          math.max(da.precision - da.scale, db.precision - db.scale),
+          math.max(da.scale, db.scale))
+      case (t, d: DecimalType) if ints.contains(t) =>
+        decimalWith(math.max(digitsOf(t), d.precision - d.scale),
+          d.scale)
+      case (d: DecimalType, t) if ints.contains(t) =>
+        decimalWith(math.max(digitsOf(t), d.precision - d.scale),
+          d.scale)
       case (sa: StructType, sb: StructType) =>
         val extra = sb.fields.filterNot(f =>
           sa.fieldNames.contains(f.name))
@@ -806,6 +839,21 @@ private final class GraftFileIndex(spark: SparkSession, dir: String,
     val explicit = manifestStats.getOrElse(Map.empty)
     val auto = batchStatsMap
     if (explicit.isEmpty && auto.isEmpty) return files
+    // COLUMN MAPPING: pushed names here are PHYSICAL, but an explicit
+    // manifest rebuilt over the logical view (post-rename) keys on
+    // LOGICAL names — fall back to the physical's logical alias when
+    // the physical key misses. Fresh-minted physicals (`name#vN`,
+    // re-adds) are EXCLUDED: their logical alias can collide with a
+    // STALE pre-rename manifest key holding the OLD column's box, and
+    // a misbound box over-prunes (wrong results, not a missed skip).
+    val physToLog = pinnedColMap.collect {
+      case (log, phys) if !phys.contains("#v") => phys -> log
+    }.toMap
+    def logicalAlias(c: String): Option[String] = {
+      val i = c.indexOf('.')
+      if (i < 0) physToLog.get(c)
+      else physToLog.get(c.take(i)).map(_ + c.drop(i))
+    }
     files.filter { f =>
       val p = f.status.getPath.toUri.getPath
       // explicit manifest entries win per file (a post-layout rebuild
@@ -813,7 +861,9 @@ private final class GraftFileIndex(spark: SparkSession, dir: String,
       explicit.get(p).orElse(auto.get(p)) match {
         case None => true // un-stat'd file: keep, conservatively
         case Some(byCol) => tests.forall { case (c, keep) =>
-          byCol.get(c).forall(keep) // un-stat'd column: keep
+          byCol.get(c)
+            .orElse(logicalAlias(c).flatMap(byCol.get))
+            .forall(keep) // un-stat'd column: keep
         }
       }
     }

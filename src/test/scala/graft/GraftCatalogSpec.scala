@@ -943,6 +943,66 @@ class GraftCatalogSpec extends AnyFunSuite {
       .toSet === Set(1L, 3L), "refused UPDATE must change nothing")
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION: new source columns auto-ADD as " +
+      "metadata-only commits (existing rows NULL, batch populates); " +
+      "tombstone helper columns never become table columns; without " +
+      "the keyword extra source columns are ignored") {
+    import spark.implicits._
+    warehouse
+    val dir = Files.createTempDirectory("vevo").toString
+    VersionLog.init(spark,
+      dir, Seq((1L, "one", "a"), (2L, "two", "b")).toDF("k", "v", "p"),
+      partitionBy = Some("p"))
+    // source carries a NEW column `score` and a tombstone helper
+    Seq((2L, "two2", "b", 0.5d, false), (3L, "three", "a", 0.7d, false))
+      .toDF("k", "v", "p", "score", "_del")
+      .createOrReplaceTempView("evo_src")
+    // WITHOUT the keyword: extra columns silently not written
+    spark.sql(s"""MERGE INTO graft.`$dir` AS t USING evo_src AS s
+        ON t.k = s.k
+        WHEN MATCHED AND s._del THEN DELETE
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+    assert(VersionLog.read(spark, dir).columns.toSeq ===
+      Seq("k", "v", "p"))
+    // WITH SCHEMA EVOLUTION: `score` auto-adds (one metadata commit),
+    // `_del` (referenced only by the tombstone clause) does NOT
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO graft.`$dir` AS t
+          USING evo_src AS s ON t.k = s.k
+          WHEN MATCHED AND s._del THEN DELETE
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""")
+    val t = VersionLog.read(spark, dir)
+    assert(t.columns.toSeq === Seq("k", "v", "score", "p"),
+      t.columns.mkString(","))
+    assert(t.select($"k", $"score").as[(Long, Option[Double])]
+      .collect().toSet ===
+      Set((1L, None), (2L, Some(0.5d)), (3L, Some(0.7d))),
+      "existing rows NULL-fill, merged rows populate the new column")
+    // the tombstone path still works with evolution on
+    Seq((3L, "x", "a", 0.0d, true)).toDF("k", "v", "p", "score", "_del")
+      .createOrReplaceTempView("evo_src2")
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO graft.`$dir` AS t
+          USING evo_src2 AS s ON t.k = s.k
+          WHEN MATCHED AND s._del THEN DELETE
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""")
+    assert(VersionLog.read(spark, dir).select($"k").as[Long]
+      .collect().toSet === Set(1L, 2L))
+    // the in-place front door refuses the keyword loudly
+    val e = intercept[IllegalArgumentException] {
+      graft.io.MergeSql.mergeSql(spark,
+        """MERGE WITH SCHEMA EVOLUTION INTO t USING s ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""",
+        Map("t" -> dir))
+    }
+    assert(e.getMessage.contains("versioned graft tables only"),
+      e.getMessage)
+  }
+
   test("DML qualifier handling: struct-field predicates survive (only " +
       "the table alias is stripped, a struct leaf never rebinds to a " +
       "same-named top-level column), struct-field SET refuses loudly") {

@@ -220,6 +220,45 @@ class GraftTableSourceSpec extends AnyFunSuite {
         "a full scan at 100TB")
   }
 
+  test("explicit manifest rebuilt AFTER a rename (logical keys) still " +
+      "prunes physical-name probes; a stale manifest key can never " +
+      "misbind a re-added fresh column's probe") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("gmapman").toString
+    def batch(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, s"r$i")).toDF("id", "v").coalesce(1)
+    VersionLog.init(spark, dir, batch(0, 100))
+    VersionLog.append(spark, dir, batch(100, 200))
+    VersionLog.append(spark, dir, batch(200, 300))
+    VersionLog.append(spark, dir, batch(300, 400))
+    VersionLog.alterRenameColumnCommit(spark, dir, "id", "key")
+    // the user rebuilds the manifest over the LOGICAL view: keys are
+    // min_key/max_key while pushed filters bind the physical 'id' —
+    // the alias fallback must connect them (explicit entries mask the
+    // write-time auto stats per file, so without it nothing prunes)
+    graft.io.Manifest.buildManifestFor(spark, dir,
+      VersionLog.read(spark, dir), Seq("key"))
+    val t = VersionLog.read(spark, dir)
+    val sel = t.filter($"key" >= 250L && $"key" < 260L).select($"key")
+    assert(sel.as[Long].collect().toSet === (250L until 260L).toSet)
+    assert(scanNumFiles(sel) === 1L,
+      "a post-rename manifest rebuild must keep pruning")
+    // safety direction: re-add the retired name and probe it — the
+    // stale manifest's 'id'-era boxes (now logical `key`) must NEVER
+    // serve the fresh column's probe (it would over-prune: the fresh
+    // rows live in a batch whose old-id box does not cover them)
+    VersionLog.alterRenameColumnCommit(spark, dir, "key", "id2")
+    VersionLog.alterAddColumnCommit(spark, dir, "id",
+      org.apache.spark.sql.types.LongType)
+    VersionLog.append(spark, dir,
+      Seq((400L, "fresh", 5L)).toDF("id2", "v", "id").coalesce(1))
+    val fresh = VersionLog.read(spark, dir)
+      .filter($"id" === 5L).select($"id2")
+    assert(fresh.as[Long].collect().toSet === Set(400L),
+      "the fresh column's probe must find its row — a stale-box " +
+        "misbind would have pruned its file")
+  }
+
   test("version-tail stream: commits surface exactly once with their " +
       "added files; uncommitted data stays invisible; batch form agrees") {
     import spark.implicits._

@@ -1346,6 +1346,80 @@ class VersionLogSpec extends AnyFunSuite {
     }.getMessage.contains("partition column"))
   }
 
+  test("compaction SHEDS retired physical columns: after DROP COLUMN " +
+      "a repack writes files WITHOUT the dropped bytes; pre-drop " +
+      "versions still time-travel to them") {
+    import spark.implicits._
+    val dir = seed() // v1: (k, v, p)
+    VersionLog.append(spark, dir,
+      Seq((7L, "seven", "a")).toDF("k", "v", "p"), Some("p")) // v2
+    VersionLog.append(spark, dir,
+      Seq((8L, "eight", "a")).toDF("k", "v", "p"), Some("p")) // v3
+    VersionLog.alterDropColumnCommit(spark, dir, "v") // v4
+    val (before, after, v5) =
+      VersionLog.compactSnapshot(spark, dir, targetBytes = 1L << 30)
+    assert(after < before && v5 === 5L)
+    val base = dir.stripSuffix("/")
+    val newFiles = VersionLog.snapshot(spark, dir, None).files
+      .filter(_.startsWith(f"data/b-$v5%08d"))
+    assert(newFiles.nonEmpty, "compaction must have repacked")
+    newFiles.foreach { f =>
+      val cols = spark.read.parquet(s"$base/$f").columns.toSet
+      assert(!cols.contains("v"),
+        s"repacked file $f still carries the dropped physical: $cols")
+    }
+    assert(VersionLog.read(spark, dir).columns.toSeq === Seq("k", "p"))
+    // pre-drop versions still read the column from the OLD files
+    assert(VersionLog.read(spark, dir, Some(3L))
+      .filter($"v" === "seven").count() === 1L)
+  }
+
+  test("ALTER COLUMN TYPE extended matrix: int->double and decimal " +
+      "growth are metadata-only; int->decimal needs enough integer " +
+      "digits; long->double and date retypes refuse") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("vretype2").toString
+    VersionLog.init(spark, dir,
+      Seq((1, 10), (2, 20)).toDF("n", "m")
+        .selectExpr("n", "m", "CAST(m AS DECIMAL(5,2)) AS dec"))
+    // int -> double: old int files decode into the double schema
+    VersionLog.alterColumnTypeCommit(spark, dir, "n", DoubleType)
+    // decimal growth: (5,2) -> (20,4)
+    VersionLog.alterColumnTypeCommit(spark, dir, "dec",
+      DecimalType(20, 4))
+    // int -> decimal with enough integer digits
+    VersionLog.alterColumnTypeCommit(spark, dir, "m",
+      DecimalType(12, 2))
+    VersionLog.append(spark, dir,
+      Seq((3.5d, BigDecimal("30.25"), BigDecimal("123456789.50")))
+        .toDF("n", "m", "dec")
+        .select($"n", $"m".cast(DecimalType(12, 2)),
+          $"dec".cast(DecimalType(20, 4))))
+    val t = VersionLog.read(spark, dir)
+    assert(t.schema("n").dataType === DoubleType)
+    assert(t.schema("m").dataType === DecimalType(12, 2))
+    assert(t.schema("dec").dataType === DecimalType(20, 4))
+    assert(t.agg(sum($"n")).as[Double].head() === 6.5d)
+    assert(t.agg(sum($"m")).head().getDecimal(0).doubleValue ===
+      60.25d)
+    // refusals: lossy and unit-hazard retypes
+    for ((c, bad) <- Seq(
+        ("m", DecimalType(10, 4)), // integer digits shrink below int's
+        ("dec", DecimalType(10, 2)), // precision narrows
+        ("n", FloatType))) // narrowing
+      assert(intercept[IllegalArgumentException] {
+        VersionLog.alterColumnTypeCommit(spark, dir, c, bad)
+      }.getMessage.contains("not a widening"), s"$c -> $bad")
+    // long -> double is LOSSY and the parquet reader refuses the
+    // decode — the door must refuse it up front
+    val dir2 = Files.createTempDirectory("vretype3").toString
+    VersionLog.init(spark, dir2, Seq((5000000000L, "x")).toDF("l", "v"))
+    assert(intercept[IllegalArgumentException] {
+      VersionLog.alterColumnTypeCommit(spark, dir2, "l", DoubleType)
+    }.getMessage.contains("not a widening"))
+  }
+
   test("PRECISION rebase vet for the mirror merge: a concurrent " +
       "blind append whose rows cannot satisfy the by-source clause " +
       "lands alongside the merge; one that satisfies it aborts the " +

@@ -1833,6 +1833,10 @@ object VersionLog {
     * row. Unlike [[deleteKeysCommit]] this is point-in-time — a later
     * append of an identical row lives. Returns
     * (deletedRows, version); a no-match DELETE commits nothing.
+    * A commit-CAS loss AUTO-REBASES when no interleaved commit
+    * rewrote a victim file (Delta's WriteSerializable reading —
+    * concurrently-appended matches survive, exactly as the serial
+    * DELETE-then-append order would leave them).
     */
   def deleteWhereCommit(spark: SparkSession, dir: String,
       cond: Column): (Long, Long) = {
@@ -1864,12 +1868,26 @@ object VersionLog {
           snap.colMap)
       })
     val deleted = counts.map(_.get("n").asInstanceOf[Long]).sum
-    val kept = snap.files.filterNot(victims.toSet)
-    val v = commit(spark, dir, snap.version, "delete-where",
-      kept ++ newFiles, deletes = snap.deletes,
-      constraints = snap.constraints, schemaJson = snap.schemaJson,
-      parentFiles = Some(snap.files),
-      colMap = snap.colMap, droppedPhys = snap.droppedPhys)
+    val victimSet = victims.toSet
+    // CAS loss AUTO-REBASES (Delta's WriteSerializable reading): the
+    // rewrite stands as long as no interleaved commit REMOVED a
+    // victim file (a concurrent DML/compaction rewrote the rows this
+    // door rewrote — stale arithmetic, abort loudly). Concurrently
+    // APPENDED rows matching the predicate survive — the serial order
+    // "this DELETE, then the append". Interleaved equality-delete
+    // manifests carry in the commit and apply on read; a
+    // concurrently-added CHECK needs no re-gate here (survivors are a
+    // subset of rows the constraint's own commit already validated).
+    val v = commitRebasing(spark, dir, snap, "delete-where",
+      filesOf = p => p.files.filterNot(victimSet) ++ newFiles,
+      deletesOf = p => p.deletes,
+      vet = (_, _, inter) => inter.foreach { ic =>
+        if (ic.removed.exists(victimSet))
+          throw new java.util.ConcurrentModificationException(
+            s"DELETE at $dir cannot rebase: concurrent commit " +
+              s"v${ic.version} (${ic.action}) rewrote a file this " +
+              "DELETE victimized — re-run")
+      })
     (deleted, v)
   }
 
@@ -1889,6 +1907,10 @@ object VersionLog {
     * the carried manifests would silently swallow an updated row
     * whose new key value is a deleted key.
     * Returns (updatedRows, version); no-match commits nothing.
+    * A commit-CAS loss AUTO-REBASES like DELETE's, with two extra
+    * guards: concurrent manifests keyed on a SET column abort, and
+    * concurrently-added CHECK constraints re-gate the rewritten
+    * files.
     */
   def updateWhereCommit(spark: SparkSession, dir: String,
       sets: Seq[(String, Column)], cond: Column): (Long, Long) = {
@@ -1999,12 +2021,41 @@ object VersionLog {
             offending.getOrElse("(unavailable)"))
       }
     }
-    val kept = snap.files.filterNot(victims.toSet)
-    val v = commit(spark, dir, snap.version, "update-where",
-      kept ++ newFiles, deletes = snap.deletes,
-      constraints = snap.constraints,
-      schemaJson = snap.schemaJson, parentFiles = Some(snap.files),
-      colMap = snap.colMap, droppedPhys = snap.droppedPhys)
+    val victimSet = victims.toSet
+    // CAS loss AUTO-REBASES like DELETE's (victim files untouched by
+    // the interleave), with two extra guards: a concurrent manifest
+    // keyed on a SET column could silently swallow reassigned rows
+    // (the same refusal as at pin time), and a concurrently-added
+    // CHECK constraint re-gates the rewritten files (their rows are
+    // NEW values no prior validation has seen).
+    val v = commitRebasing(spark, dir, snap, "update-where",
+      filesOf = p => p.files.filterNot(victimSet) ++ newFiles,
+      deletesOf = p => p.deletes,
+      vet = (p, latest, inter) => {
+        inter.foreach { ic =>
+          if (ic.removed.exists(victimSet))
+            throw new java.util.ConcurrentModificationException(
+              s"UPDATE at $dir cannot rebase: concurrent commit " +
+                s"v${ic.version} (${ic.action}) rewrote a file this " +
+                "UPDATE victimized — re-run")
+        }
+        deleteManifestFrame(spark, dir, latest).foreach { k =>
+          val kc = k.columns.head
+          sets.foreach { case (c, _) =>
+            if (resolver(c, kc))
+              throw new java.util.ConcurrentModificationException(
+                s"UPDATE at $dir cannot rebase: a concurrent commit " +
+                  s"added equality-delete manifests keyed on '$kc', " +
+                  "a SET target — re-run")
+          }
+        }
+        val newCs = latest.constraints.filterNot(p.constraints.toSet)
+        if (newCs.nonEmpty && newFiles.nonEmpty)
+          enforceConstraints(
+            toLogicalView(readFiles(spark, dir, newFiles), latest),
+            newCs, dir,
+            "update-where (rebase: constraint added concurrently)")
+      })
     (updated, v)
   }
 
@@ -2034,7 +2085,7 @@ object VersionLog {
   /** Built-in door action names — never idempotency tags. */
   private val ReservedActions = Set("merge", "init", "append",
     "overwrite", "overwrite_where", "compact", "delete",
-    "apply-deletes")
+    "apply-deletes", "delete-where", "update-where")
 
   private def requireTag(batchTag: String): Unit =
     require(batchTag.nonEmpty && !ReservedActions.contains(batchTag),

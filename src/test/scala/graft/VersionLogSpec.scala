@@ -556,38 +556,44 @@ class VersionLogSpec extends AnyFunSuite {
   }
 
   test("MODEL-CHECKED lifecycle: 40 random merge/append/delete/compact/" +
-      "vacuum/delete-where/update-where steps match an in-memory " +
-      "model at every version") {
+      "vacuum/delete-where/update-where/RENAME steps match an " +
+      "in-memory model at every version — under column mapping, " +
+      "every older version reads with ITS OWN names") {
     import spark.implicits._
     // The strongest correctness artifact for a mutation protocol: a
     // seeded random walk over the whole operation surface, where after
     // EVERY step the live table equals an independently-maintained
     // in-memory model, and a randomly chosen RETAINED older version
-    // still equals the model as it was when that version committed.
-    // A lost survivor, leaked tombstone, double-applied batch, stale
-    // compaction carry, or over-eager vacuum breaks the walk at the
-    // step that introduced it.
+    // still equals the model as it was when that version committed —
+    // read under the logical column name THAT version declared (the
+    // walk renames the value column mid-history, so every other door
+    // is exercised against a mapped table). A lost survivor, leaked
+    // tombstone, double-applied batch, stale compaction carry,
+    // over-eager vacuum, or a name-scrambling mapping breaks the walk
+    // at the step that introduced it.
     val rng = new scala.util.Random(20260815L)
     val dir = Files.createTempDirectory("vmodel").toString
     val parts = Vector("a", "b", "c", "d")
-    def df(rows: Seq[(Long, String, String)]) = rows.toDF("k", "v", "p")
+    var vCol = "v" // the value column's CURRENT logical name
+    def df(rows: Seq[(Long, String, String)]) =
+      rows.toDF("k", vCol, "p")
     var model = (0L until 12L).map(k =>
       k -> (s"v$k", parts((k % 4).toInt))).toMap
     VersionLog.init(spark, dir,
       df(model.toSeq.map { case (k, (v, p)) => (k, v, p) }),
       partitionBy = Some("p"))
     val history = scala.collection.mutable.Map(
-      1L -> model) // version -> model state at that commit
+      1L -> ((model, vCol))) // version -> (state, value-column name)
     var nextFreshKey = 1000L
-    def liveEquals(m: Map[Long, (String, String)], version: Option[Long])
-        : Unit = {
+    def liveEquals(m: Map[Long, (String, String)], name: String,
+        version: Option[Long]): Unit = {
       val got = VersionLog.read(spark, dir, version)
-        .select($"k", $"v", $"p").as[(Long, String, String)]
+        .select($"k", col(name), $"p").as[(Long, String, String)]
         .collect().map(r => r._1 -> (r._2, r._3)).toMap
       assert(got === m, s"divergence at version $version")
     }
     for (step <- 1 to 40) {
-      rng.nextInt(8) match {
+      rng.nextInt(9) match {
         case 0 | 1 => // upsert merge: random keys, some moving partition
           val keys = rng.shuffle(model.keys.toVector)
             .take(1 + rng.nextInt(4))
@@ -600,16 +606,16 @@ class VersionLogSpec extends AnyFunSuite {
           val (_, _, v) = VersionLog.mergeByKeyCdc(spark, dir,
             df(batch), "k", "p")
           model = model ++ batch.map(r => r._1 -> (r._2, r._3))
-          history(v) = model
+          history(v) = (model, vCol)
         case 2 => // tombstone merge: delete a few existing keys
           val doomed = rng.shuffle(model.keys.toVector)
             .take(1 + rng.nextInt(3))
           val batch = doomed.map(k => (k, "x", "zz", true))
-            .toDF("k", "v", "p", "_del")
+            .toDF("k", vCol, "p", "_del")
           val (_, _, v) = VersionLog.mergeByKeyCdc(spark, dir, batch,
             "k", "p", deleteWhen = Some($"_del"))
           model = model -- doomed
-          history(v) = model
+          history(v) = (model, vCol)
         case 3 => // append fresh keys
           val fresh = (1 to 1 + rng.nextInt(3)).map { _ =>
             nextFreshKey += 1
@@ -618,11 +624,11 @@ class VersionLogSpec extends AnyFunSuite {
           val v = VersionLog.append(spark, dir, df(fresh),
             partitionBy = Some("p"))
           model = model ++ fresh.map(r => r._1 -> (r._2, r._3))
-          history(v) = model
+          history(v) = (model, vCol)
         case 4 => // compaction: content must be invariant
           val (_, _, v) = VersionLog.compactSnapshot(spark, dir,
             targetBytes = 1L << 30)
-          history(v) = model // no-op when v already recorded
+          history(v) = (model, vCol) // no-op when v already recorded
         case 5 => // vacuum: retained history only shrinks
           val retained = VersionLog.listVersions(spark, dir)
             .takeRight(3).toSet
@@ -637,25 +643,35 @@ class VersionLogSpec extends AnyFunSuite {
           assert(n === doomed.size.toLong,
             s"delete-where step $step: counted $n, model ${doomed.size}")
           model = model -- doomed
-          history(v) = model
+          history(v) = (model, vCol)
         case 7 => // SQL UPDATE: old-row assignment over a predicate
           val m = 2 + rng.nextInt(4)
           val r = rng.nextInt(m)
           val (n, v) = VersionLog.updateWhereCommit(spark, dir,
-            Seq("v" -> concat($"v", lit(s"+u$step"))), $"k" % m === r)
+            Seq(vCol -> concat(col(vCol), lit(s"+u$step"))),
+            $"k" % m === r)
           val hit = model.filter { case (k, _) => k % m == r }
           assert(n === hit.size.toLong,
             s"update-where step $step: counted $n, model ${hit.size}")
           model = model ++ hit.map { case (k, (vv, p)) =>
             k -> (vv + s"+u$step", p) }
-          history(v) = model
+          history(v) = (model, vCol)
+        case 8 => // RENAME the value column: metadata-only commit —
+          // every later door must keep working through the mapping
+          val next = s"v_r$step"
+          val v = VersionLog.alterRenameColumnCommit(spark, dir,
+            vCol, next)
+          vCol = next
+          history(v) = (model, vCol)
       }
-      liveEquals(model, None)
-      // a random RETAINED older version must still read as it was
+      liveEquals(model, vCol, None)
+      // a random RETAINED older version must still read as it was,
+      // under the logical name IT declared
       val vs = VersionLog.listVersions(spark, dir)
         .filter(history.contains)
       val probe = vs(rng.nextInt(vs.size))
-      liveEquals(history(probe), Some(probe))
+      val (pm, pName) = history(probe)
+      liveEquals(pm, pName, Some(probe))
     }
   }
 
@@ -1344,6 +1360,79 @@ class VersionLogSpec extends AnyFunSuite {
       VersionLog.alterColumnTypeCommit(spark, dir2, "part",
         org.apache.spark.sql.types.LongType)
     }.getMessage.contains("partition column"))
+  }
+
+  test("racing DML x append: DELETE auto-rebases across a blind " +
+      "append (both land; the appended match SURVIVES — serial " +
+      "DELETE-then-append); a concurrent rewrite of a victim file " +
+      "aborts the loser loudly") {
+    import spark.implicits._
+    // a gated predicate: the first evaluation counts down the shared
+    // latch, then blocks until `parties` queries arrived — so both
+    // writers provably pin the SAME parent before either commits. The
+    // tables are SINGLE-FILE flat layouts so each discovery scan is
+    // exactly ONE task (a blocked task stops evaluating its further
+    // rows, so parties must count tasks, not rows).
+    def gatedPred(name: String, parties: Int, matchV: String) = {
+      VersionLogSpec.gates.putIfAbsent(name,
+        new java.util.concurrent.CountDownLatch(parties))
+      udf((v: String) => {
+        val g = VersionLogSpec.gates.get(name)
+        g.countDown()
+        require(g.await(60, java.util.concurrent.TimeUnit.SECONDS),
+          s"gate $name timed out")
+        v == matchV
+      })
+    }
+    def flatSeed(): String = {
+      val d = Files.createTempDirectory("vdml").toString
+      VersionLog.init(spark, d,
+        Seq((1L, "one", "a"), (2L, "two", "a"), (3L, "three", "b"))
+          .toDF("k", "v", "p").coalesce(1))
+      d
+    }
+    // scenario 1: DELETE races an append whose row MATCHES the
+    // predicate — one blocking task each, parties 2
+    val dir = flatSeed()
+    val delCond = gatedPred("dml1", 2, "two")
+    val appendBatch = Seq((500L, "two", "c2")).toDF("k", "v", "p")
+      .coalesce(1).withColumn("k", gate("dml1", 2))
+    val (rd, rap) = race(
+      VersionLog.deleteWhereCommit(spark, dir, delCond($"v")),
+      VersionLog.append(spark, dir, appendBatch))
+    assert(rap.isSuccess, s"append must never abort: $rap")
+    assert(rd.isSuccess, s"DELETE must rebase across the append: $rd")
+    assert(rd.get._1 === 1L, "exactly the pinned k=2 row deleted")
+    val t = rows(VersionLog.read(spark, dir))
+    assert(!t.contains((2L, "two", "a")), "pinned match deleted")
+    assert(t.contains((500L, "two", "c2")),
+      "the concurrently-appended match survives (serial order: " +
+        "DELETE, then append)")
+    // scenario 2: UPDATE and DELETE both victimize the one seed file;
+    // both pin v1, so the CAS loser must see its victim REWRITTEN by
+    // the winner and abort loudly — never silently resurrect the
+    // winner's change
+    val dir2 = flatSeed()
+    val updCond = gatedPred("dml2", 2, "one")
+    val delCond2 = gatedPred("dml2", 2, "two")
+    val (ru, rd2) = race(
+      VersionLog.updateWhereCommit(spark, dir2,
+        Seq("v" -> lit("ONE")), updCond($"v")),
+      VersionLog.deleteWhereCommit(spark, dir2, delCond2($"v")))
+    val failures = Seq(ru.failed.toOption, rd2.failed.toOption).flatten
+    assert(failures.size === 1,
+      s"exactly one of the two conflicting DMLs must abort: $ru / $rd2")
+    assert(failures.head
+      .isInstanceOf[java.util.ConcurrentModificationException],
+      failures.head.toString)
+    assert(failures.head.getMessage.contains("victimized"),
+      failures.head.getMessage)
+    val t2 = rows(VersionLog.read(spark, dir2))
+    if (ru.isSuccess) // UPDATE won: k=1 stamped, k=2 intact
+      assert(t2.contains((1L, "ONE", "a")) &&
+        t2.contains((2L, "two", "a")))
+    else // DELETE won: k=2 gone, k=1 untouched
+      assert(!t2.exists(_._1 == 2L) && t2.contains((1L, "one", "a")))
   }
 
   test("compaction SHEDS retired physical columns: after DROP COLUMN " +

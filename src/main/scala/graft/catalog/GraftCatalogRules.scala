@@ -160,6 +160,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     ("""(?is)^\s*RESTORE\s+TABLE\s+(\S+)\s+TO\s+VERSION\s+AS\s+OF""" +
       """\s+(\d+)\s*;?\s*$""").r
 
+  private val restoreTsRe: Regex =
+    ("""(?is)^\s*RESTORE\s+TABLE\s+(\S+)\s+TO\s+TIMESTAMP\s+AS\s+""" +
+      """OF\s+'([^']+)'\s*;?\s*$""").r
+
   private val detailRe: Regex =
     """(?is)^\s*DESCRIBE\s+DETAIL\s+(\S+)\s*;?\s*$""".r
 
@@ -215,11 +219,16 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
               case Some(m) =>
                 orDelegate(graftDir(m.group(1)).map(d =>
                   GraftRestoreCommand(d, m.group(2).toLong)))
-              case None => detailRe.findFirstMatchIn(sqlText) match {
-                case Some(m) => orDelegate(graftDir(m.group(1))
-                  .map(GraftDescribeDetailCommand))
-                case None => interceptConstraint(sqlText)
-                  .getOrElse(rewriteMerge(parse()))
+              case None => restoreTsRe.findFirstMatchIn(sqlText) match {
+                case Some(m) =>
+                  orDelegate(graftDir(m.group(1)).map(d =>
+                    GraftRestoreTimestampCommand(d, m.group(2))))
+                case None => detailRe.findFirstMatchIn(sqlText) match {
+                  case Some(m) => orDelegate(graftDir(m.group(1))
+                    .map(GraftDescribeDetailCommand))
+                  case None => interceptConstraint(sqlText)
+                    .getOrElse(rewriteMerge(parse()))
+                }
               }
             }
           }
@@ -490,6 +499,27 @@ case class GraftRestoreCommand(dir: String, toVersion: Long)
     Seq(Row(VersionLog.restoreCommit(spark, dir, toVersion), toVersion))
 }
 
+/** `RESTORE TABLE <graft table> TO TIMESTAMP AS OF '<instant>'` —
+  * [[GraftRestoreCommand]] with the version resolved against the
+  * in-commit instants ([[VersionLog.versionAtTimestamp]]): "the table
+  * as it stood at that moment". Accepts epoch millis or a
+  * `yyyy-MM-dd HH:mm:ss[.SSS]` literal.
+  */
+case class GraftRestoreTimestampCommand(dir: String, ts: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("restored_from", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val millis = scala.util.Try(ts.toLong).getOrElse(
+      java.sql.Timestamp.valueOf(ts.replace('T', ' ')).getTime)
+    val v = VersionLog.versionAtTimestamp(spark, dir, millis)
+    Seq(Row(VersionLog.restoreCommit(spark, dir, v), v))
+  }
+}
+
 /** `DESCRIBE DETAIL <graft table>` (Delta's statement): one row of
   * table-level metadata from the latest snapshot — location, version,
   * live file count and bytes (one file status per live file, the
@@ -515,6 +545,10 @@ case class GraftDescribeDetailCommand(dir: String)
     AttributeReference("n_constraints", LongType, nullable = false)(),
     AttributeReference("n_batch_roots", LongType, nullable = false)(),
     AttributeReference("n_stats_sidecars", LongType,
+      nullable = false)(),
+    AttributeReference("n_mapped_columns", LongType,
+      nullable = false)(),
+    AttributeReference("n_dropped_columns", LongType,
       nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
@@ -535,7 +569,8 @@ case class GraftDescribeDetailCommand(dir: String)
         graft.io.BatchStats.FileName)))
     Seq(Row(dir, "graft", snap.version, snap.files.size.toLong, bytes,
       partCol, snap.deletes.size.toLong, snap.constraints.size.toLong,
-      roots.size.toLong, sidecars.toLong))
+      roots.size.toLong, sidecars.toLong,
+      snap.colMap.size.toLong, snap.droppedPhys.size.toLong))
   }
 }
 

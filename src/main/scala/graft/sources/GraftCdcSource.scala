@@ -83,6 +83,18 @@ final class GraftCdcSource extends StreamSourceProvider
     (shortName(), GraftCdcSource.feedSchema(
       sqlContext.sparkSession, pathOf(parameters)))
 
+  /** `option("startingVersion", n)` — Delta's CDF option: the feed
+    * starts at commit n (inclusive); versions below never plan.
+    * Versioned tables only.
+    */
+  private def startingVersion(parameters: Map[String, String]):
+      Option[Long] =
+    parameters.get("startingVersion").map { v =>
+      val n = v.toLong
+      require(n >= 1, s"startingVersion must be >= 1, got $n")
+      n
+    }
+
   override def createSource(sqlContext: SQLContext,
       metadataPath: String, schema: Option[StructType],
       providerName: String,
@@ -90,9 +102,13 @@ final class GraftCdcSource extends StreamSourceProvider
     val spark = sqlContext.sparkSession
     val dir = pathOf(parameters)
     if (VersionLog.listVersions(spark, dir).nonEmpty)
-      new VersionedCdcStreamSource(spark, dir, maxPerTrigger(parameters))
-    else
+      new VersionedCdcStreamSource(spark, dir, maxPerTrigger(parameters),
+        startingVersion(parameters))
+    else {
+      require(startingVersion(parameters).isEmpty,
+        "startingVersion is supported on versioned tables only")
       new CdcFeedStreamSource(spark, dir, maxPerTrigger(parameters))
+    }
   }
 
   override def createRelation(sqlContext: SQLContext,
@@ -100,8 +116,10 @@ final class GraftCdcSource extends StreamSourceProvider
     val spark = sqlContext.sparkSession
     val dir = pathOf(parameters)
     if (VersionLog.listVersions(spark, dir).nonEmpty)
-      new VersionedCdcRelation(spark, dir)
+      new VersionedCdcRelation(spark, dir, startingVersion(parameters))
     else {
+      require(startingVersion(parameters).isEmpty,
+        "startingVersion is supported on versioned tables only")
       val index = new CdcFeedFileIndex(spark, dir)
       HadoopFsRelation(
         location = index,
@@ -378,7 +396,8 @@ object GraftCdcSource {
   * scans row-copy-free.
   */
 private final class VersionedCdcRelation(spark: SparkSession,
-    dir: String) extends BaseRelation with PrunedFilteredScan {
+    dir: String, startingVersion: Option[Long] = None)
+    extends BaseRelation with PrunedFilteredScan {
   import org.apache.spark.sql.sources
 
   override def sqlContext: SQLContext = spark.sqlContext
@@ -389,7 +408,8 @@ private final class VersionedCdcRelation(spark: SparkSession,
 
   override def buildScan(requiredColumns: Array[String],
       filters: Array[sources.Filter]): RDD[Row] = {
-    val (lo, hi) = GraftCdcSource.versionBounds(filters)
+    val (lo0, hi) = GraftCdcSource.versionBounds(filters)
+    val lo = math.max(lo0, startingVersion.map(_ - 1).getOrElse(0L))
     val df = GraftCdcSource.changesBetween(spark, dir, lo, hi, schema)
       .select(requiredColumns.map(col).toIndexedSeq: _*)
     // needConversion = false: hand back the planned InternalRow RDD
@@ -406,16 +426,18 @@ private final class VersionedCdcRelation(spark: SparkSession,
   * `maxPerTrigger` versions (backlog catch-up is incremental).
   */
 private final class VersionedCdcStreamSource(spark: SparkSession,
-    dir: String, maxPerTrigger: Long) extends Source {
+    dir: String, maxPerTrigger: Long,
+    startingVersion: Option[Long] = None) extends Source {
 
   override val schema: StructType = GraftCdcSource.feedSchema(spark, dir)
 
   /** Highest offset this source has planned or recovered — the rate
     * limit's base. Recovery (getBatch from the checkpoint) bumps it
     * before the first getOffset, exactly like FileStreamSource's
-    * internal log.
+    * internal log. A fresh start (no checkpoint) begins at
+    * `startingVersion` when given — versions below never plan.
     */
-  private var seenUpTo = 0L
+  private var seenUpTo = startingVersion.map(_ - 1L).getOrElse(0L)
 
   private def parseOffset(o: Offset): Long = o.json.trim.toLong
 
@@ -430,7 +452,11 @@ private final class VersionedCdcStreamSource(spark: SparkSession,
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val lo = start.map(parseOffset).getOrElse(0L)
+    // a fresh query (start = None) begins at startingVersion, not 0 —
+    // getOffset may legitimately hand back an offset below it when
+    // the log is shorter than the requested start
+    val lo = math.max(start.map(parseOffset).getOrElse(0L),
+      startingVersion.map(_ - 1L).getOrElse(0L))
     val hi = parseOffset(end)
     synchronized { seenUpTo = math.max(seenUpTo, hi) }
     Bridge.internalCreateDataFrame(spark,

@@ -139,8 +139,18 @@ final class GraftTableSource extends RelationProvider
     val dir = parameters.getOrElse("path",
       throw new IllegalArgumentException(
         "graft source requires a path: spark.read.format(\"graft\").load(dir)"))
+    // timestampAsOf (Delta's option): resolve against the in-commit
+    // instants, then proceed exactly like versionAsOf. Both given =
+    // ambiguous, refuse.
+    val tsVersion = parameters.get("timestampAsOf").map { ts =>
+      require(!parameters.contains("versionAsOf"),
+        "give versionAsOf OR timestampAsOf, not both")
+      val millis = scala.util.Try(ts.toLong).getOrElse(
+        java.sql.Timestamp.valueOf(ts.replace('T', ' ')).getTime)
+      VersionLog.versionAtTimestamp(spark, dir, millis)
+    }
     val index = new GraftFileIndex(spark, dir,
-      parameters.get("versionAsOf").map(_.toLong),
+      parameters.get("versionAsOf").map(_.toLong).orElse(tsVersion),
       parameters.get("bloomKey"),
       parameters.get("bloomLog2Bits").map(_.toInt).getOrElse(16),
       parameters.get("bloomK").map(_.toInt).getOrElse(4),

@@ -367,6 +367,14 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(det.getAs[Long]("n_batch_roots") > 0L)
     assert(det.getAs[Long]("n_stats_sidecars") ===
       det.getAs[Long]("n_batch_roots"))
+    // column-mapping observability: no mapping yet, then a RENAME
+    // surfaces as one mapped column
+    assert(det.getAs[Long]("n_mapped_columns") === 0L)
+    assert(det.getAs[Long]("n_dropped_columns") === 0L)
+    spark.sql("ALTER TABLE graft.rst RENAME COLUMN k TO id")
+    val detM = spark.sql("DESCRIBE DETAIL graft.rst").collect().head
+    assert(detM.getAs[Long]("n_mapped_columns") === 1L)
+    spark.sql("ALTER TABLE graft.rst RENAME COLUMN id TO k")
     // a harvest gap is VISIBLE: delete one sidecar, the pair diverges,
     // reads stay correct (files kept conservatively)
     val root = VersionLog.snapshot(spark, dir, None).files
@@ -941,6 +949,30 @@ class GraftCatalogSpec extends AnyFunSuite {
       "not re-probe the victims")
     assert(spark.sql("SELECT k FROM graft.jc").as[Long].collect()
       .toSet === Set(1L, 3L), "refused UPDATE must change nothing")
+  }
+
+  test("RESTORE TABLE ... TO TIMESTAMP AS OF resolves against " +
+      "in-commit instants and rolls back metadata-only") {
+    import spark.implicits._
+    warehouse
+    spark.sql("CREATE TABLE graft.rts (k BIGINT, p STRING) " +
+      "PARTITIONED BY (p)")
+    spark.sql("INSERT INTO graft.rts VALUES (1, 'a')") // v1
+    spark.sql("INSERT INTO graft.rts VALUES (2, 'b')") // v2
+    spark.sql("INSERT INTO graft.rts VALUES (3, 'c')") // v3
+    val dir = s"$warehouse/rts"
+    val ts = VersionLog.commitTimestamps(spark, dir).toMap
+    val res = spark.sql(
+      s"RESTORE TABLE graft.rts TO TIMESTAMP AS OF '${ts(2L)}'")
+      .as[(Long, Long)].head()
+    assert(res === ((4L, 2L)))
+    assert(spark.sql("SELECT k FROM graft.rts").as[Long]
+      .collect().toSet === Set(1L, 2L))
+    // a pre-history timestamp refuses loudly
+    val e = intercept[Exception] {
+      spark.sql("RESTORE TABLE graft.rts TO TIMESTAMP AS OF '10'")
+    }
+    assert(e.getMessage.contains("predates"), e.getMessage)
   }
 
   test("MERGE WITH SCHEMA EVOLUTION: new source columns auto-ADD as " +

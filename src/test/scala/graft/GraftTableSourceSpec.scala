@@ -529,6 +529,65 @@ class GraftTableSourceSpec extends AnyFunSuite {
       (4L, "four", "b"), (5L, "five", "c")))
   }
 
+  test("graft-cdc startingVersion (batch + stream) skips older " +
+      "commits; format(graft) timestampAsOf resolves against " +
+      "in-commit instants") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("gcdc-sv").toString
+    VersionLog.init(spark, dir,
+      Seq((1L, "one", "a")).toDF("k", "v", "p"),
+      partitionBy = Some("p")) // v1
+    VersionLog.append(spark, dir,
+      Seq((2L, "two", "b")).toDF("k", "v", "p"), Some("p")) // v2
+    VersionLog.append(spark, dir,
+      Seq((3L, "three", "c")).toDF("k", "v", "p"), Some("p")) // v3
+    // batch: only v3's images plan
+    val since3 = spark.read.format("graft-cdc")
+      .option("startingVersion", "3").load(dir)
+    assert(since3.select($"_op", $"k", $"_feed_batch")
+      .as[(String, Long, Long)].collect().toSet ===
+      Set(("insert", 3L, 3L)))
+    // stream: a fresh checkpoint starts at v3, replays nothing older
+    val sunk =
+      new scala.collection.mutable.ArrayBuffer[(String, Long, Long)]
+    val q = spark.readStream.format("graft-cdc")
+      .option("startingVersion", "3").load(dir)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        sunk.synchronized {
+          sunk ++= b.select($"_op", $"k", $"_feed_batch")
+            .as[(String, Long, Long)].collect()
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("gcdc-sv-ck").toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(sunk.synchronized(sunk.toSet) ===
+        Set(("insert", 3L, 3L)),
+        s"stream must start at v3, got ${sunk.synchronized(sunk.toSet)}")
+    } finally q.stop()
+    // unversioned tables refuse the option loudly
+    val flat = Files.createTempDirectory("gcdc-flat").toString
+    Seq((1L, "x")).toDF("k", "v").write.parquet(flat + "/data")
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-cdc")
+        .option("startingVersion", "2").load(flat + "/data").collect()
+    }
+    // timestampAsOf on the format reader: v2's in-commit instant
+    // reads v2's state; both options together refuse
+    val ts = VersionLog.commitTimestamps(spark, dir).toMap
+    val atV2 = spark.read.format("graft")
+      .option("timestampAsOf", ts(2L).toString).load(dir)
+    assert(atV2.select($"k").as[Long].collect().toSet === Set(1L, 2L))
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("timestampAsOf", "123")
+        .option("versionAsOf", "1").load(dir)
+    }
+  }
+
   test("graft-cdc synthesis: replaceWhere emits delete+insert images; " +
       "restore un-deleting keys emits resurrect inserts; compaction " +
       "emits nothing; a manifest+file mixed restore refuses loudly") {

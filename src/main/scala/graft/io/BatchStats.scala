@@ -44,10 +44,18 @@ object BatchStats {
   private lazy val log =
     org.slf4j.LoggerFactory.getLogger(BatchStats.getClass)
 
-  /** One column's harvested stat in on-disk form. */
+  /** One column's harvested stat in on-disk form. DATE columns carry
+    * their own tag (`days`): the bounds are epoch DAYS, and a reader
+    * serving the column under a WIDENED timestamp_ntz declaration
+    * must scale them to micros at plan time — an untagged day bound
+    * compared against a micros literal inside one numeric family
+    * would over-prune (wrong results).
+    */
   private sealed trait Stat
   private case object AllNull extends Stat
   private final case class Num(min: BigDecimal, max: BigDecimal)
+    extends Stat
+  private final case class Days(min: BigDecimal, max: BigDecimal)
     extends Stat
   private final case class Str(min: String, max: String) extends Stat
 
@@ -175,11 +183,14 @@ object BatchStats {
     val mins = sts.map(s => convert(pt, s, isMin = true))
     val maxs = sts.map(s => convert(pt, s, isMin = false))
     if (mins.exists(_.isEmpty) || maxs.exists(_.isEmpty)) return None
+    val isDate = pt.getLogicalTypeAnnotation
+      .isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation]
     (mins.flatten, maxs.flatten) match {
       case (ms: Seq[Any], xs: Seq[Any])
           if ms.forall(_.isInstanceOf[BigDecimal]) =>
-        Some(Num(ms.map(_.asInstanceOf[BigDecimal]).min,
-          xs.map(_.asInstanceOf[BigDecimal]).max))
+        val lo = ms.map(_.asInstanceOf[BigDecimal]).min
+        val hi = xs.map(_.asInstanceOf[BigDecimal]).max
+        Some(if (isDate) Days(lo, hi) else Num(lo, hi))
       case (ms, xs) if ms.forall(_.isInstanceOf[String]) =>
         // binary (unsigned byte) order — the order parquet used
         def bin(s: String) = Binary.fromString(s)
@@ -263,6 +274,8 @@ object BatchStats {
         case (c, AllNull) => s""""${esc(c)}":{"t":"allnull"}"""
         case (c, Num(mi, ma)) =>
           s""""${esc(c)}":{"t":"num","min":"$mi","max":"$ma"}"""
+        case (c, Days(mi, ma)) =>
+          s""""${esc(c)}":{"t":"days","min":"$mi","max":"$ma"}"""
         case (c, Str(mi, ma)) =>
           s""""${esc(c)}":{"t":"str","min":"${esc(mi)}","max":"${esc(ma)}"}"""
       }.mkString(",")

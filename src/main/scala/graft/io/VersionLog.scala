@@ -1502,12 +1502,11 @@ object VersionLog {
     // wide read schema (probe-verified): integral up-chain,
     // byte/short/int -> double (exact under the 53-bit mantissa;
     // long -> double is lossy and the reader refuses it), float ->
-    // double, integral -> decimal with enough integer digits, and
-    // decimal growth (scale and integer digits both non-decreasing).
-    // date -> timestamp_ntz decodes too but is EXCLUDED: stale stats
-    // boxes store epoch DAYS while a timestamp probe normalizes to
-    // MICROS — a unit mismatch inside one numeric family would
-    // over-prune (wrong results), so it waits for unit-aware stats.
+    // double, integral -> decimal with enough integer digits, decimal
+    // growth (scale and integer digits both non-decreasing), and
+    // date -> timestamp_ntz (midnight instants; stats stay exact —
+    // date boxes are unit-TAGGED and scale days -> micros at plan
+    // time, see the re-harvest below).
     val widens = (old, newType) match {
       case (a, b) if ints.contains(a) && ints.contains(b) =>
         ints.indexOf(b) > ints.indexOf(a)
@@ -1518,15 +1517,33 @@ object VersionLog {
       case (a: DecimalType, b: DecimalType) =>
         b != a && b.scale >= a.scale &&
           b.precision - b.scale >= a.precision - a.scale
+      case (DateType, TimestampNTZType) => true
       case _ => false
     }
     require(widens,
       s"ALTER COLUMN TYPE $name: $old -> $newType is not a widening " +
         "(integral up-chain, byte/short/int -> double, float -> " +
         "double, integral -> decimal with enough integer digits, " +
-        "decimal scale/precision growth) — anything else " +
-        "re-interprets written bytes; rewrite through overwrite " +
-        "instead")
+        "decimal scale/precision growth, date -> timestamp_ntz) — " +
+        "anything else re-interprets written bytes; rewrite through " +
+        "overwrite instead")
+    if (old == DateType && newType == TimestampNTZType) {
+      // pre-r16 sidecars stored date bounds as UNTAGGED numbers
+      // (epoch days); under the widened declaration those would
+      // compare against micros literals and over-prune. Re-harvest
+      // every live batch's sidecar so date columns carry the `days`
+      // tag — O(live files) footer reads, a DDL-time cost. Clones
+      // keep their own hard-linked copies (the rewrite creates a new
+      // inode); time travel is unaffected (same bounds, tagged).
+      val fs = fsFor(spark, dir)
+      val base = dir.stripSuffix("/")
+      snap.files.filter(_.endsWith(".parquet"))
+        .map(BatchStats.batchRootOf).distinct.foreach { root =>
+          val p = new Path(s"$base/$root", BatchStats.FileName)
+          if (fs.exists(p)) fs.delete(p, false)
+        }
+      BatchStats.harvest(spark, dir, snap.files)
+    }
     val widened = StructType(decl.fields.map(f =>
       if (f.name == name) f.copy(dataType = newType) else f))
     commit(spark, dir, snap.version, s"retype-column-$name", snap.files,

@@ -560,6 +560,11 @@ private final class GraftFileIndex(spark: SparkSession, dir: String,
       case (d: DecimalType, t) if ints.contains(t) =>
         decimalWith(math.max(digitsOf(t), d.precision - d.scale),
           d.scale)
+      // date files decode natively into a timestamp_ntz read schema
+      // (midnight instants); stats stay exact through the days-tagged
+      // boxes scaled at plan time
+      case (DateType, TimestampNTZType) | (TimestampNTZType, DateType) =>
+        Some(TimestampNTZType)
       case (sa: StructType, sb: StructType) =>
         val extra = sb.fields.filterNot(f =>
           sa.fieldNames.contains(f.name))
@@ -824,6 +829,16 @@ private final class GraftFileIndex(spark: SparkSession, dir: String,
         .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
         .filter(c => df.schema.fieldNames.contains(s"max_$c"))
         .toSeq
+      // a manifest column written as DATE under a since-widened
+      // timestamp_ntz declaration: its day bounds scale to the
+      // covering micros range (the manifest's OWN schema carries the
+      // vintage, so no heuristic is needed)
+      val dayScaled = statCols.filter { c =>
+        df.schema(s"min_$c").dataType ==
+          org.apache.spark.sql.types.DateType &&
+        fieldTypeOf(c).contains(
+          org.apache.spark.sql.types.TimestampNTZType)
+      }.toSet
       Some(df.collect().map { row =>
         val file = new Path(row.getAs[String]("file")).toUri.getPath
         val stats = statCols.map { c =>
@@ -832,6 +847,10 @@ private final class GraftFileIndex(spark: SparkSession, dir: String,
           val st: ColStat =
             if (mi == null && ma == null) AllNull
             else (normStat(mi), normStat(ma)) match {
+              case (Some(Left(a)), Some(Left(b)))
+                  if dayScaled.contains(c) =>
+                Box(Left(a * MicrosPerDay),
+                  Left((b + 1) * MicrosPerDay - 1))
               case (Some(a), Some(b)) => Box(a, b)
               case _ => Opaque
             }
@@ -893,6 +912,35 @@ private final class GraftFileIndex(spark: SparkSession, dir: String,
     batchStatsCache
   }
 
+  private val MicrosPerDay = BigDecimal(86400000000L)
+
+  /** The PHYSICAL frame type of a stats key: a top-level field under
+    * its exact name, else the dotted struct-leaf path. None when the
+    * key resolves to nothing (dropped, or a vanished column).
+    */
+  private def fieldTypeOf(key: String):
+      Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types.StructType
+    def walk(t: org.apache.spark.sql.types.DataType,
+        segs: List[String]):
+        Option[org.apache.spark.sql.types.DataType] = segs match {
+      case Nil => Some(t)
+      case h :: rest => t match {
+        case st: StructType =>
+          st.fields.find(_.name == h).flatMap(f => walk(f.dataType, rest))
+        case _ => None
+      }
+    }
+    dataSchema.fields.find(_.name == key).map(_.dataType).orElse {
+      key.split("\\.").toList match {
+        case h :: rest if rest.nonEmpty =>
+          dataSchema.fields.find(_.name == h)
+            .flatMap(f => walk(f.dataType, rest))
+        case _ => None
+      }
+    }
+  }
+
   private def loadBatchStats(): Map[String, Map[String, ColStat]] = {
     val stop = basePath.toUri.getPath.stripSuffix("/")
     val roots = filesPinned.map { f =>
@@ -920,6 +968,21 @@ private final class GraftFileIndex(spark: SparkSession, dir: String,
                   case "num" =>
                     try Some(Box(Left(BigDecimal(mi)), Left(BigDecimal(ma))))
                     catch { case _: Exception => None }
+                  // date-era bounds are epoch DAYS: under a widened
+                  // timestamp_ntz declaration they scale to the
+                  // covering micros range at load (day d covers
+                  // [d*86.4e9, (d+1)*86.4e9)); under a date
+                  // declaration they compare as days directly
+                  case "days" =>
+                    try {
+                      val lo = BigDecimal(mi); val hi = BigDecimal(ma)
+                      Some(
+                        if (fieldTypeOf(c).contains(
+                            org.apache.spark.sql.types.TimestampNTZType))
+                          Box(Left(lo * MicrosPerDay),
+                            Left((hi + 1) * MicrosPerDay - 1))
+                        else Box(Left(lo), Left(hi)))
+                    } catch { case _: Exception => None }
                   case "str" => Some(Box(Right(UTF8String.fromString(mi)),
                     Right(UTF8String.fromString(ma))))
                   case _ => None // unknown tag: keep conservatively

@@ -197,6 +197,46 @@ class GraftTableSourceSpec extends AnyFunSuite {
       "InSet (the >10-value IN form) must box-prune like In")
   }
 
+  test("date -> timestamp_ntz widening: metadata-only; day-tagged " +
+      "stat boxes AND date-era explicit manifests scale to micros at " +
+      "plan time, so a timestamp probe still prunes exactly " +
+      "(executed numFiles)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("gdatewiden").toString
+    def batch(lo: Int, hi: Int) =
+      (lo until hi).map(i => (i.toLong,
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
+          19000L + i)))).toDF("id", "d").coalesce(1)
+    VersionLog.init(spark, dir, batch(0, 100))
+    VersionLog.append(spark, dir, batch(100, 200))
+    VersionLog.append(spark, dir, batch(200, 300))
+    VersionLog.append(spark, dir, batch(300, 400))
+    // a date-era explicit manifest too: its DateType bounds must
+    // scale the same way (the manifest's own schema is the vintage)
+    graft.io.Manifest.buildManifestFor(spark, dir,
+      VersionLog.read(spark, dir), Seq("d"))
+    VersionLog.alterColumnTypeCommit(spark, dir, "d",
+      org.apache.spark.sql.types.TimestampNTZType)
+    val t = spark.read.format("graft").load(dir)
+    assert(t.schema("d").dataType ===
+      org.apache.spark.sql.types.TimestampNTZType)
+    def ntz(day: Long) = java.time.LocalDateTime.of(
+      java.time.LocalDate.ofEpochDay(day), java.time.LocalTime.MIDNIGHT)
+    val sel = t.filter($"d" >= lit(ntz(19250L)) &&
+        $"d" < lit(ntz(19260L))).select($"id")
+    assert(sel.as[Long].collect().toSet === (250L until 260L).toSet)
+    assert(scanNumFiles(sel) === 1L,
+      "a timestamp probe over day-era boxes must open exactly the " +
+        "covering batch — an unscaled day bound would either " +
+        "over-prune (wrongness) or never skip")
+    // a genuine timestamp append unions and prunes on its own micros
+    VersionLog.append(spark, dir,
+      Seq((400L, ntz(20000L).plusHours(6))).toDF("id", "d").coalesce(1))
+    val sel2 = VersionLog.read(spark, dir)
+      .filter($"d" >= lit(ntz(20000L))).select($"id")
+    assert(sel2.as[Long].collect().toSet === Set(400L))
+  }
+
   test("COLUMN MAPPING keeps plan-time pruning: after RENAME, a range " +
       "predicate on the NEW logical name still box-prunes batches " +
       "(the pushed filter reaches the physical stats keys through " +

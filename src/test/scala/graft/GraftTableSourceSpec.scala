@@ -569,6 +569,42 @@ class GraftTableSourceSpec extends AnyFunSuite {
       (4L, "four", "b"), (5L, "five", "c")))
   }
 
+  test("graft-cdc replays across a TYPE WIDENING: pre-widen int " +
+      "images surface under the wide feed schema, batch and stream") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("gcdc-widen").toString
+    VersionLog.init(spark, dir,
+      Seq((1, 10), (2, 20)).toDF("k", "n")) // v1 (int, int)
+    VersionLog.alterColumnTypeCommit(spark, dir, "n",
+      org.apache.spark.sql.types.LongType) // v2 metadata-only
+    VersionLog.append(spark, dir,
+      Seq((3, 5000000000L)).toDF("k", "n")) // v3 long
+    val all = spark.read.format("graft-cdc").load(dir)
+    assert(all.schema("n").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(all.select($"_op", $"k", $"n", $"_feed_batch")
+      .as[(String, Int, Long, Long)].collect().toSet ===
+      Set(("insert", 1, 10L, 1L), ("insert", 2, 20L, 1L),
+        ("insert", 3, 5000000000L, 3L)))
+    val sunk = new scala.collection.mutable.ArrayBuffer[(Int, Long)]
+    val q = spark.readStream.format("graft-cdc").load(dir)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        sunk.synchronized {
+          sunk ++= b.select($"k", $"n").as[(Int, Long)].collect()
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("gcdc-widen-ck").toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(sunk.synchronized(sunk.toSet) ===
+        Set((1, 10L), (2, 20L), (3, 5000000000L)))
+    } finally q.stop()
+  }
+
   test("graft-cdc startingVersion (batch + stream) skips older " +
       "commits; format(graft) timestampAsOf resolves against " +
       "in-commit instants") {

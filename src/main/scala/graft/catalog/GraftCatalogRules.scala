@@ -149,7 +149,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       """(\S+?)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""").r
 
   private val vacuumRe: Regex =
-    ("""(?is)^\s*VACUUM\s+(\S+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?""" +
+    ("""(?is)^\s*VACUUM\s+(\S+?)""" +
+      """(?:\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS))?""" +
       """(\s+DRY\s+RUN)?\s*;?\s*$""").r
 
   private val optimizeRe: Regex =
@@ -206,10 +207,16 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
             Option(m.group(3)).map(_.toLong)))
         case None => vacuumRe.findFirstMatchIn(sqlText) match {
           case Some(m) =>
+            val hours = Option(m.group(3))
+              .exists(_.equalsIgnoreCase("HOURS"))
             orDelegate(graftDir(m.group(1)).map(d =>
               GraftVacuumCommand(d,
-                Option(m.group(2)).map(_.toInt).getOrElse(2),
-                dryRun = m.group(3) != null)))
+                keepLast =
+                  if (hours) 1
+                  else Option(m.group(2)).map(_.toInt).getOrElse(2),
+                retainHours =
+                  if (hours) Option(m.group(2)).map(_.toInt) else None,
+                dryRun = m.group(4) != null)))
           case None => optimizeRe.findFirstMatchIn(sqlText) match {
             case Some(m) =>
               orDelegate(graftDir(m.group(1)).map(d =>
@@ -609,6 +616,7 @@ case class GraftConstraintCommand(dir: String, name: String,
   * TTL belt via the API when wall-clock aging matters too.
   */
 case class GraftVacuumCommand(dir: String, keepLast: Int,
+    retainHours: Option[Int] = None,
     dryRun: Boolean = false) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
@@ -616,9 +624,21 @@ case class GraftVacuumCommand(dir: String, keepLast: Int,
     AttributeReference("dry_run", org.apache.spark.sql.types.BooleanType,
       nullable = false)())
 
-  override def run(spark: SparkSession): Seq[Row] = Seq(Row(
-    VersionLog.vacuumVersions(spark, dir, keepLast, ttlMs = 0L,
-      retainFromVersion = None, dryRun = dryRun).size.toLong, dryRun))
+  override def run(spark: SparkSession): Seq[Row] = {
+    // RETAIN n HOURS (Delta's default retention unit): keep every
+    // version whose in-commit instant is inside the window — resolved
+    // to a retainFromVersion floor against commitTimestamps; the
+    // newest version always survives (keepLast >= 1)
+    val floor = retainHours.flatMap { h =>
+      val cutoff = System.currentTimeMillis() - h * 3600000L
+      VersionLog.commitTimestamps(spark, dir)
+        .find(_._2 >= cutoff).map(_._1)
+    }
+    Seq(Row(
+      VersionLog.vacuumVersions(spark, dir, keepLast, ttlMs = 0L,
+        retainFromVersion = floor, dryRun = dryRun).size.toLong,
+      dryRun))
+  }
 }
 
 /** `OPTIMIZE <graft table> [ZORDER BY (x, y)]` (Delta's statement, not

@@ -298,6 +298,26 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(VersionLog.listVersions(spark, fragDir) === Seq(4L))
     assert(spark.sql("SELECT count(*) AS c FROM graft.frag")
       .as[Long].head() === 300L)
+    // VACUUM RETAIN n HOURS (Delta's default unit): every commit is
+    // seconds old, so a 1-hour window retains ALL versions — nothing
+    // sweeps; a fresh history proves the time-based floor holds
+    spark.sql("CREATE TABLE graft.vh AS SELECT id AS k FROM range(10)")
+    spark.sql("INSERT INTO graft.vh SELECT id + 10 FROM range(10)")
+    spark.sql("INSERT OVERWRITE graft.vh SELECT id FROM range(5)")
+    val vhDir = s"$warehouse/vh"
+    spark.sql("VACUUM graft.vh RETAIN 1 HOURS").collect()
+    assert(VersionLog.listVersions(spark, vhDir) === Seq(1L, 2L, 3L),
+      "a 1-hour retention window must keep every seconds-old version")
+    // every retained version still reads (only orphan markers swept)
+    assert(spark.sql("SELECT count(*) AS c FROM graft.vh VERSION AS " +
+      "OF 2").as[Long].head() === 20L)
+    // RETAIN 0 HOURS: only the newest version's window — the
+    // overwritten files sweep
+    val removed0 = spark.sql("VACUUM graft.vh RETAIN 0 HOURS")
+      .select($"removed_files").as[Long].head()
+    assert(removed0 > 0L)
+    assert(spark.sql("SELECT count(*) AS c FROM graft.vh")
+      .as[Long].head() === 5L)
   }
 
   test("OPTIMIZE ... ZORDER BY rewrites the layout and rebuilds the " +

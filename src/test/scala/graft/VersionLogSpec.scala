@@ -1315,6 +1315,44 @@ class VersionLogSpec extends AnyFunSuite {
       === 1L)
   }
 
+  test("constraint-SQL rewrite round-trips representative CHECK " +
+      "shapes: the regenerated text parses, references the new name " +
+      "only, and gates identically") {
+    import spark.implicits._
+    val shapes = Seq(
+      "k > 0 AND length(v) < 100",
+      "k IN (1, 2, 3, 6)",
+      "k BETWEEN 1 AND 9",
+      "coalesce(k, 0) > 0",
+      "k % 2 = 0 OR v = 'one'",
+      "NOT (k < 0)",
+      "CASE WHEN v = 'one' THEN k > 0 ELSE k >= 0 END")
+    val frame = Seq((1L, "one"), (2L, "two"), (6L, "six"))
+      .toDF("id", "v")
+    for (sql <- shapes) {
+      val rewritten =
+        VersionLog.rewriteConstraintSql(spark, sql, "k", "id")
+      // parses and references only the new name
+      val refs = spark.sessionState.sqlParser
+        .parseExpression(rewritten).collect {
+          case a: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedAttribute => a.nameParts.head
+        }
+      assert(!refs.contains("k"), s"$sql -> $rewritten")
+      // gates identically: evaluate original over (k, v) and the
+      // rewrite over (id, v) — same verdict per row
+      val orig = frame.withColumnRenamed("id", "k")
+        .select(expr(sql).cast("boolean")).as[Option[Boolean]]
+        .collect().toSeq
+      val re = frame.select(expr(rewritten).cast("boolean"))
+        .as[Option[Boolean]].collect().toSeq
+      assert(orig === re, s"$sql -> $rewritten gates differently")
+    }
+    // a non-referencing constraint keeps its text verbatim
+    assert(VersionLog.rewriteConstraintSql(spark,
+      "length(v) < 100", "k", "id") === "length(v) < 100")
+  }
+
   test("ALTER COLUMN TYPE widening: int->long is a METADATA-ONLY " +
       "commit — old int files decode into the wide schema, new long " +
       "appends land, time travel reads the narrow type, and " +

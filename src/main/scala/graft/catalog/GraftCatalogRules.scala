@@ -509,8 +509,10 @@ case class GraftRestoreCommand(dir: String, toVersion: Long)
 /** `RESTORE TABLE <graft table> TO TIMESTAMP AS OF '<instant>'` —
   * [[GraftRestoreCommand]] with the version resolved against the
   * in-commit instants ([[VersionLog.versionAtTimestamp]]): "the table
-  * as it stood at that moment". Accepts epoch millis or a
-  * `yyyy-MM-dd HH:mm:ss[.SSS]` literal.
+  * as it stood at that moment". Accepts epoch millis, a timestamp
+  * literal, or a date-only literal — parsed in the SESSION time zone
+  * ([[VersionLog.timestampLiteralMillis]], shared with the
+  * `timestampAsOf` reader option).
   */
 case class GraftRestoreTimestampCommand(dir: String, ts: String)
     extends LeafRunnableCommand {
@@ -520,9 +522,8 @@ case class GraftRestoreTimestampCommand(dir: String, ts: String)
     AttributeReference("restored_from", LongType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val millis = scala.util.Try(ts.toLong).getOrElse(
-      java.sql.Timestamp.valueOf(ts.replace('T', ' ')).getTime)
-    val v = VersionLog.versionAtTimestamp(spark, dir, millis)
+    val v = VersionLog.versionAtTimestamp(spark, dir,
+      VersionLog.timestampLiteralMillis(spark, ts))
     Seq(Row(VersionLog.restoreCommit(spark, dir, v), v))
   }
 }

@@ -578,7 +578,8 @@ object VersionLog {
     * they are handed alongside.
     */
   private[graft] case class InterleavedCommit(version: Long,
-      action: String, added: Seq[String], removed: Seq[String])
+      action: String, added: Seq[String], removed: Seq[String],
+      deletesAdded: Seq[String] = Nil, deletesRemoved: Seq[String] = Nil)
 
   /** The interleaved commits between `parent` (exclusive) and `latest`
     * (inclusive) with their per-commit file diffs — the conflict
@@ -593,7 +594,8 @@ object VersionLog {
       Seq[InterleavedCommit] =
     (parent.version + 1 to latest.version).map { v =>
       val d = commitDiff(spark, dir, v)
-      InterleavedCommit(v, d.action, d.added, d.removed)
+      InterleavedCommit(v, d.action, d.added, d.removed,
+        d.deletesAdded, d.deletesRemoved)
     }
 
   /** Generic rebase loop: try `commit` against `parent`; on CAS loss
@@ -667,6 +669,31 @@ object VersionLog {
             s"equality-deleted keys ('$c') that this batch carries — " +
             "re-run against the new snapshot")
       }
+    }
+  }
+
+  /** Vet for doors that FOLD the pinned snapshot's equality-delete
+    * manifests into rewritten victim files (DELETE WHERE / UPDATE):
+    * an interleaved commit that REMOVES one of those manifests — a
+    * RESTORE un-deleting keys, or a racing [[applyDeletesCommit]] —
+    * invalidates the fold. The un-deleted rows would resurrect in the
+    * kept files yet stay permanently dropped in the victims'
+    * replacements (silently lost rows). File diffs alone cannot see a
+    * manifest-only commit, so this reads the interleave's MANIFEST
+    * diff. Abort loudly; the caller re-runs against the new snapshot.
+    */
+  private def vetPinnedManifestsIntact(dir: String, what: String,
+      pinned: TableSnapshot, inter: Seq[InterleavedCommit]): Unit = {
+    val mine = pinned.deletes.toSet
+    if (mine.isEmpty) return
+    inter.foreach { ic =>
+      val gone = ic.deletesRemoved.filter(mine)
+      if (gone.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"$what at $dir cannot rebase: concurrent commit " +
+            s"v${ic.version} (${ic.action}) removed equality-delete " +
+            s"manifest(s) ${gone.mkString(",")} this rewrite already " +
+            "folded into its victim files — re-run")
     }
   }
 
@@ -776,13 +803,24 @@ object VersionLog {
       // learn its column references (driver-only analysis, no job) —
       // Column expressions are lazy in Spark 4 (SqlExpression nodes),
       // so walking the unresolved tree would see nothing
+      // an analysis FAILURE here must not default to "no helper
+      // columns" — that would silently auto-commit the helpers
+      // (e.g. `_del`) into the table's schema. Fail loudly instead;
+      // the caller's predicate is wrong or the source frame changed.
       val delRefs = deleteWhen.toSeq.flatMap { c =>
-        scala.util.Try {
+        try {
           updates.filter(c).queryExecution.analyzed.collect {
             case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
               f.condition.references.map(_.name).toSeq
           }.flatten
-        }.getOrElse(Nil)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            throw new IllegalArgumentException(
+              "MERGE WITH SCHEMA EVOLUTION: the tombstone predicate " +
+                "does not analyze against the source frame, so " +
+                "helper columns cannot be told apart from new table " +
+                s"columns — fix the predicate: ${e.getMessage}", e)
+        }
       }
       updates.schema.fields
         .filterNot(f => decl.fieldNames.exists(resolver(_, f.name)))
@@ -1157,6 +1195,29 @@ object VersionLog {
       (v, adj)
     }
   }
+
+  /** Parse a `timestampAsOf` / `TIMESTAMP AS OF` string literal into
+    * epoch millis — ONE parser for the reader option and the RESTORE
+    * command. Bare digits are epoch millis verbatim; anything else
+    * parses through the SESSION time zone
+    * (`spark.sql.session.timeZone`) via Catalyst's own timestamp
+    * parser, which also accepts date-only literals ('2026-08-16' =
+    * that zone's midnight). `java.sql.Timestamp.valueOf` would bind
+    * the JVM default zone and throw on date-only strings — both
+    * diverge from SQL TIMESTAMP AS OF semantics.
+    */
+  def timestampLiteralMillis(spark: SparkSession, ts: String): Long =
+    scala.util.Try(ts.trim.toLong).getOrElse {
+      val zone = org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .getZoneId(spark.sessionState.conf.sessionLocalTimeZone)
+      val micros = org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .stringToTimestamp(
+          org.apache.spark.unsafe.types.UTF8String.fromString(ts), zone)
+        .getOrElse(throw new IllegalArgumentException(
+          s"cannot parse timestamp literal '$ts' (epoch millis or " +
+            "yyyy-MM-dd[ HH:mm:ss[.SSSSSS]], session time zone)"))
+      Math.floorDiv(micros, 1000L)
+    }
 
   /** `TIMESTAMP AS OF` resolution: the newest version whose adjusted
     * commit time is <= `tsMillis` — "the table as it stood at that
@@ -1898,12 +1959,18 @@ object VersionLog {
     val v = commitRebasing(spark, dir, snap, "delete-where",
       filesOf = p => p.files.filterNot(victimSet) ++ newFiles,
       deletesOf = p => p.deletes,
-      vet = (_, _, inter) => inter.foreach { ic =>
-        if (ic.removed.exists(victimSet))
-          throw new java.util.ConcurrentModificationException(
-            s"DELETE at $dir cannot rebase: concurrent commit " +
-              s"v${ic.version} (${ic.action}) rewrote a file this " +
-              "DELETE victimized — re-run")
+      vet = (_, _, inter) => {
+        inter.foreach { ic =>
+          if (ic.removed.exists(victimSet))
+            throw new java.util.ConcurrentModificationException(
+              s"DELETE at $dir cannot rebase: concurrent commit " +
+                s"v${ic.version} (${ic.action}) rewrote a file this " +
+                "DELETE victimized — re-run")
+        }
+        // the rewrite FOLDED the pinned manifests into its victims; a
+        // concurrent manifest REMOVAL (restore / apply-deletes) makes
+        // that fold wrong even though no file diff shows it
+        vetPinnedManifestsIntact(dir, "DELETE", snap, inter)
       })
     (deleted, v)
   }
@@ -2056,6 +2123,10 @@ object VersionLog {
                 s"v${ic.version} (${ic.action}) rewrote a file this " +
                 "UPDATE victimized — re-run")
         }
+        // the rewrite FOLDED the pinned manifests into its victims; a
+        // concurrent manifest REMOVAL (restore / apply-deletes) makes
+        // that fold wrong even though no file diff shows it
+        vetPinnedManifestsIntact(dir, "UPDATE", snap, inter)
         deleteManifestFrame(spark, dir, latest).foreach { k =>
           val kc = k.columns.head
           sets.foreach { case (c, _) =>

@@ -454,9 +454,13 @@ private final class VersionedCdcStreamSource(spark: SparkSession,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     // a fresh query (start = None) begins at startingVersion, not 0 —
     // getOffset may legitimately hand back an offset below it when
-    // the log is shorter than the requested start
-    val lo = math.max(start.map(parseOffset).getOrElse(0L),
-      startingVersion.map(_ - 1L).getOrElse(0L))
+    // the log is shorter than the requested start. On CHECKPOINT
+    // RECOVERY (start = Some) the committed offset is truth: a
+    // restart with a HIGHER startingVersion must not shrink the
+    // committed-but-unprocessed batch (exactly-once replay — Delta
+    // likewise ignores startingVersion once a checkpoint exists).
+    val lo = start.map(parseOffset)
+      .getOrElse(startingVersion.map(_ - 1L).getOrElse(0L))
     val hi = parseOffset(end)
     synchronized { seenUpTo = math.max(seenUpTo, hi) }
     Bridge.internalCreateDataFrame(spark,

@@ -145,9 +145,8 @@ final class GraftTableSource extends RelationProvider
     val tsVersion = parameters.get("timestampAsOf").map { ts =>
       require(!parameters.contains("versionAsOf"),
         "give versionAsOf OR timestampAsOf, not both")
-      val millis = scala.util.Try(ts.toLong).getOrElse(
-        java.sql.Timestamp.valueOf(ts.replace('T', ' ')).getTime)
-      VersionLog.versionAtTimestamp(spark, dir, millis)
+      VersionLog.versionAtTimestamp(spark, dir,
+        VersionLog.timestampLiteralMillis(spark, ts))
     }
     val index = new GraftFileIndex(spark, dir,
       parameters.get("versionAsOf").map(_.toLong).orElse(tsVersion),
@@ -875,8 +874,15 @@ private final class GraftFileIndex(spark: SparkSession, dir: String,
     // re-adds) are EXCLUDED: their logical alias can collide with a
     // STALE pre-rename manifest key holding the OLD column's box, and
     // a misbound box over-prunes (wrong results, not a missed skip).
+    // Same exclusion when the LOGICAL name reuses a retired physical
+    // (DROP COLUMN a, then RENAME c TO a is legal — 'a' left the
+    // declared schema): a pre-drop manifest entry keyed 'a' holds the
+    // DROPPED column's box, and the reused name carries no '#v'
+    // marker to give the collision away.
+    val retired = pinnedDropped.toSet
     val physToLog = pinnedColMap.collect {
-      case (log, phys) if !phys.contains("#v") => phys -> log
+      case (log, phys) if !phys.contains("#v") && !retired(log) =>
+        phys -> log
     }.toMap
     def logicalAlias(c: String): Option[String] = {
       val i = c.indexOf('.')

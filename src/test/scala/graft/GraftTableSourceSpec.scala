@@ -1148,4 +1148,75 @@ class GraftTableSourceSpec extends AnyFunSuite {
     assert(mirrored === live)
     assert(live === Set((1L, "one", "a"), (3L, "three!", "b")))
   }
+
+  test("DROP then name-reuse RENAME cannot resurrect a stale manifest " +
+      "box: after DROP COLUMN a; RENAME c TO a, a probe on the " +
+      "reused 'a' is not pruned by the pre-drop manifest's 'a' boxes") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("gdropreuse").toString
+    // two files with DISJOINT ranges in both columns
+    def batch(aLo: Long, cLo: Long) =
+      (0L until 50L).map(i => (aLo + i, cLo + i, s"r$i"))
+        .toDF("a", "c", "v").coalesce(1)
+    VersionLog.init(spark, dir, batch(0L, 1000L))
+    VersionLog.append(spark, dir, batch(100L, 2000L))
+    // the user manifests 'a' ONLY: file entries carry NO 'c' key, so
+    // post-DDL the physical probe can only bind via the logical alias
+    Manifest.buildManifestFor(spark, dir,
+      VersionLog.read(spark, dir), Seq("a"))
+    VersionLog.alterDropColumnCommit(spark, dir, "a")
+    VersionLog.alterRenameColumnCommit(spark, dir, "c", "a")
+    // logical 'a' is now physical 'c'. Row a=2030 lives in file 2,
+    // whose PRE-DROP manifest box for 'a' is [100,149] — a misbound
+    // alias (no '#v' marker to give the reuse away) would prune the
+    // file and silently lose the row.
+    val sel = VersionLog.read(spark, dir)
+      .filter($"a" === 2030L).select($"v")
+    assert(sel.as[String].collect().toSeq === Seq("r30"),
+      "stale pre-drop manifest box misbound onto the reused name")
+  }
+
+  test("graft-cdc checkpoint recovery IGNORES a raised " +
+      "startingVersion: the committed-but-unprocessed backlog replays " +
+      "in full (exactly-once), like Delta once a checkpoint exists") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("gcdc-rec").toString
+    val ck = Files.createTempDirectory("gcdc-rec-ck").toString
+    VersionLog.init(spark, dir,
+      Seq((1L, "one", "a")).toDF("k", "v", "p"),
+      partitionBy = Some("p")) // v1
+    VersionLog.append(spark, dir,
+      Seq((2L, "two", "b")).toDF("k", "v", "p"), Some("p")) // v2
+    val sunk = new scala.collection.mutable.ArrayBuffer[(String, Long)]
+    def run(startingVersion: String): Unit = {
+      val q = spark.readStream.format("graft-cdc")
+        .option("startingVersion", startingVersion).load(dir)
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          sunk.synchronized {
+            sunk ++= b.select($"_op", $"k")
+              .as[(String, Long)].collect()
+          }
+          ()
+        }
+        .option("checkpointLocation", ck)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run("1") // consumes v1..v2, checkpoint committed through v2
+    assert(sunk.synchronized(sunk.toSet) ===
+      Set(("insert", 1L), ("insert", 2L)))
+    VersionLog.append(spark, dir,
+      Seq((3L, "three", "c")).toDF("k", "v", "p"), Some("p")) // v3
+    VersionLog.append(spark, dir,
+      Seq((4L, "four", "d")).toDF("k", "v", "p"), Some("p")) // v4
+    sunk.synchronized(sunk.clear())
+    // restart the SAME checkpoint with startingVersion=4: the option
+    // must not shrink the v3 replay — the checkpointed offset (v2) is
+    // the truth on recovery
+    run("4")
+    assert(sunk.synchronized(sunk.toSet) ===
+      Set(("insert", 3L), ("insert", 4L)),
+      "a raised startingVersion must not swallow v3 on recovery")
+  }
 }

@@ -1597,6 +1597,108 @@ class VersionLogSpec extends AnyFunSuite {
         t2.contains((400L, "D", "a")))
     }
   }
+
+  test("rebase vet sees MANIFEST-ONLY interleaves: a DELETE WHERE " +
+      "that folded pinned equality-delete manifests into its victim " +
+      "rewrite aborts when a concurrent RESTORE removes those " +
+      "manifests (un-deleting keys with NO file diff to see)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("vmrestore").toString
+    VersionLog.init(spark, dir,
+      Seq((1L, "one", "a"), (2L, "two", "a"), (3L, "three", "b"))
+        .toDF("k", "v", "p").coalesce(1)) // v1
+    VersionLog.deleteKeysCommit(spark, dir,
+      Seq(1L).toDF("k"), "k") // v2: manifest suppresses k=1
+    // the DELETE pins v2 (manifest outstanding) and BLOCKS inside its
+    // victim-discovery scan; the main thread then RESTOREs to v1 — a
+    // manifest-ONLY removal (file set identical, k=1 un-deleted). The
+    // DELETE's rewrite already folded the manifest in (k=1 dropped
+    // from the replacement file), so a successful rebase would lose
+    // the restored row permanently in the victim while it resurrects
+    // everywhere else. The vet must read the interleave's MANIFEST
+    // diff and abort.
+    VersionLogSpec.gates.putIfAbsent("mrestore",
+      new java.util.concurrent.CountDownLatch(2))
+    val pred = udf((v: String) => {
+      val g = VersionLogSpec.gates.get("mrestore")
+      g.countDown()
+      require(g.await(60, java.util.concurrent.TimeUnit.SECONDS),
+        "gate mrestore timed out")
+      v == "two"
+    })
+    val task = new java.util.concurrent.FutureTask(() =>
+      VersionLog.deleteWhereCommit(spark, dir, pred($"v")))
+    new Thread(task).start()
+    val g = VersionLogSpec.gates.get("mrestore")
+    val deadline = System.nanoTime + 60L * 1000 * 1000 * 1000
+    while (g.getCount > 1 && System.nanoTime < deadline)
+      Thread.sleep(10)
+    assert(g.getCount === 1L, "DELETE never reached its discovery scan")
+    VersionLog.restoreCommit(spark, dir, 1L) // v3: manifest removed
+    g.countDown() // release the DELETE
+    val r = scala.util.Try(
+        task.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      .recoverWith { case e: java.util.concurrent.ExecutionException =>
+        scala.util.Failure(e.getCause)
+      }
+    assert(r.isFailure, s"DELETE must abort on the manifest removal: $r")
+    assert(r.failed.get
+      .isInstanceOf[java.util.ConcurrentModificationException],
+      r.failed.get.toString)
+    assert(r.failed.get.getMessage.contains("folded"),
+      r.failed.get.getMessage)
+    // the restored table is intact: k=1 resurrected, nothing lost
+    assert(rows(VersionLog.read(spark, dir)) === Set(
+      (1L, "one", "a"), (2L, "two", "a"), (3L, "three", "b")))
+  }
+
+  test("timestampAsOf literals parse in the SESSION time zone and " +
+      "accept date-only strings; bare digits are epoch millis") {
+    val tzKey = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "UTC")
+      val utcMidnight = VersionLog
+        .timestampLiteralMillis(spark, "2026-08-16")
+      assert(utcMidnight ===
+        java.time.Instant.parse("2026-08-16T00:00:00Z").toEpochMilli)
+      assert(VersionLog
+        .timestampLiteralMillis(spark, "2026-08-16 01:02:03") ===
+        java.time.Instant.parse("2026-08-16T01:02:03Z").toEpochMilli)
+      // the SESSION zone governs, not the JVM default: Tokyo midnight
+      // is 9 hours before UTC midnight of the same date
+      spark.conf.set(tzKey, "Asia/Tokyo")
+      assert(VersionLog.timestampLiteralMillis(spark, "2026-08-16") ===
+        utcMidnight - 9L * 3600 * 1000)
+      // epoch millis pass through verbatim regardless of zone
+      assert(VersionLog.timestampLiteralMillis(spark, "123456") ===
+        123456L)
+      intercept[IllegalArgumentException] {
+        VersionLog.timestampLiteralMillis(spark, "not a time")
+      }
+    } finally spark.conf.set(tzKey, saved)
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION: a tombstone predicate that does " +
+      "not analyze fails LOUDLY instead of silently auto-adding the " +
+      "helper column to the table's schema") {
+    import spark.implicits._
+    val dir = seed()
+    val decl = VersionLog.read(spark, dir).schema.fieldNames.toSeq
+    val batch = Seq((2L, "two2", "a", true))
+      .toDF("k", "v", "p", "_del")
+    // predicate references a column the SOURCE does not carry —
+    // analysis fails; pre-fix the Try(...).getOrElse(Nil) classified
+    // `_del` as a table column and committed it via auto-ADD
+    val e = intercept[IllegalArgumentException] {
+      VersionLog.mergeByKeyCdc(spark, dir, batch, "k", "p",
+        deleteWhen = Some(col("no_such_column")),
+        schemaEvolution = true)
+    }
+    assert(e.getMessage.contains("tombstone predicate"), e.getMessage)
+    assert(VersionLog.read(spark, dir).schema.fieldNames.toSeq === decl,
+      "no helper/garbage column may have been auto-added")
+  }
 }
 
 object VersionLogSpec {

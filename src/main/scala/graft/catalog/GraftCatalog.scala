@@ -207,7 +207,27 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       changes: TableChange*): Table = {
     val dir = dirFor(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
+    // SET/UNSET TBLPROPERTIES: one metadata-only commit for the whole
+    // statement ([[VersionLog.setTablePropertiesCommit]]) — the
+    // properties ride the SNAPSHOT, so they survive sessions and
+    // every later commit inherits them
+    val setProps = changes.collect {
+      case s: TableChange.SetProperty => s.property -> s.value
+    }
+    val rmProps = changes.collect {
+      case r: TableChange.RemoveProperty => r.property
+    }
+    if (setProps.nonEmpty || rmProps.nonEmpty) {
+      require(VersionLog.listVersions(spark, dir).nonEmpty,
+        s"TBLPROPERTIES need a version log at $dir (write to the " +
+          "table first); an unversioned directory has nowhere " +
+          "durable to keep them")
+      VersionLog.setTablePropertiesCommit(spark, dir, setProps,
+        rmProps)
+    }
     changes.foreach {
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty =>
+        () // handled above, one commit for the statement
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
           "graft tables support only top-level ADD COLUMN, got: " +
@@ -220,42 +240,36 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
           VersionLog.alterAddColumnCommit(spark, dir, name,
             add.dataType, add.isNullable)
         appendDeclaredColumn(dir, name, add.dataType)
+      // RENAME/DROP/ALTER TYPE accept NESTED paths (`s.x`): the
+      // version-log doors resolve each segment against the declared
+      // schema and refuse paths through array/map element types; the
+      // `_table.json` sync reuses the same schema surgery so the
+      // positional-INSERT declaration tracks the commit exactly
+      // (nested renames land at the END of their parent struct —
+      // the read-side rebuild's order).
       case ren: TableChange.RenameColumn =>
-        require(ren.fieldNames.length == 1,
-          "graft tables support only top-level RENAME COLUMN, got: " +
-            ren.fieldNames.mkString("."))
+        val path = ren.fieldNames.mkString(".")
         if (VersionLog.listVersions(spark, dir).nonEmpty)
-          VersionLog.alterRenameColumnCommit(spark, dir,
-            ren.fieldNames.head, ren.newName)
+          VersionLog.alterRenameColumnCommit(spark, dir, path,
+            ren.newName)
         rewriteDeclaredSchema(dir, s =>
-          org.apache.spark.sql.types.StructType(s.fields.map(f =>
-            if (spark.sessionState.conf.resolver(f.name,
-                ren.fieldNames.head)) f.copy(name = ren.newName)
-            else f)))
+          VersionLog.renameInSchema(s,
+            resolveMetaPath(s, ren.fieldNames), ren.newName))
       case del: TableChange.DeleteColumn =>
-        require(del.fieldNames.length == 1,
-          "graft tables support only top-level DROP COLUMN, got: " +
-            del.fieldNames.mkString("."))
+        val path = del.fieldNames.mkString(".")
         if (VersionLog.listVersions(spark, dir).nonEmpty)
-          VersionLog.alterDropColumnCommit(spark, dir,
-            del.fieldNames.head)
+          VersionLog.alterDropColumnCommit(spark, dir, path)
         rewriteDeclaredSchema(dir, s =>
-          org.apache.spark.sql.types.StructType(s.fields.filterNot(f =>
-            spark.sessionState.conf.resolver(f.name,
-              del.fieldNames.head))))
+          VersionLog.dropInSchema(s,
+            resolveMetaPath(s, del.fieldNames)))
       case upd: TableChange.UpdateColumnType =>
-        require(upd.fieldNames.length == 1,
-          "graft tables support only top-level ALTER COLUMN TYPE, " +
-            "got: " + upd.fieldNames.mkString("."))
+        val path = upd.fieldNames.mkString(".")
         if (VersionLog.listVersions(spark, dir).nonEmpty)
-          VersionLog.alterColumnTypeCommit(spark, dir,
-            upd.fieldNames.head, upd.newDataType)
+          VersionLog.alterColumnTypeCommit(spark, dir, path,
+            upd.newDataType)
         rewriteDeclaredSchema(dir, s =>
-          org.apache.spark.sql.types.StructType(s.fields.map(f =>
-            if (spark.sessionState.conf.resolver(f.name,
-                upd.fieldNames.head))
-              f.copy(dataType = upd.newDataType)
-            else f)))
+          VersionLog.retypeInSchema(s,
+            resolveMetaPath(s, upd.fieldNames), upd.newDataType))
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE ${other.getClass.getSimpleName} is not " +
           "supported on graft tables: reorder/narrowing would " +
@@ -269,6 +283,25 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * sync). Tables without a declaration (API-created) skip — the
     * snapshot's schema commit is authoritative there.
     */
+  /** Resolve user-spelled path segments to the meta schema's exact
+    * case (the shared surgery in [[VersionLog]] matches names
+    * exactly); unknown segments pass through verbatim, making the
+    * surgery a no-op rather than an error (the version-log door has
+    * already validated the path when a log exists).
+    */
+  private def resolveMetaPath(s: StructType,
+      fieldNames: Array[String]): String = {
+    val resolver = spark.sessionState.conf.resolver
+    var st: Option[StructType] = Some(s)
+    fieldNames.map { seg =>
+      val f = st.flatMap(_.fields.find(x => resolver(x.name, seg)))
+      st = f.map(_.dataType).collect {
+        case n: StructType => n
+      }
+      f.map(_.name).getOrElse(seg)
+    }.mkString(".")
+  }
+
   private def rewriteDeclaredSchema(dir: String,
       f: StructType => StructType): Unit = {
     val (schemaOpt, partCol) = readMeta(dir)

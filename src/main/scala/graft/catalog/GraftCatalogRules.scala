@@ -216,7 +216,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
                   else Option(m.group(2)).map(_.toInt).getOrElse(2),
                 retainHours =
                   if (hours) Option(m.group(2)).map(_.toInt) else None,
-                dryRun = m.group(4) != null)))
+                dryRun = m.group(4) != null,
+                explicitRetain = m.group(2) != null)))
           case None => optimizeRe.findFirstMatchIn(sqlText) match {
             case Some(m) =>
               orDelegate(graftDir(m.group(1)).map(d =>
@@ -557,7 +558,8 @@ case class GraftDescribeDetailCommand(dir: String)
     AttributeReference("n_mapped_columns", LongType,
       nullable = false)(),
     AttributeReference("n_dropped_columns", LongType,
-      nullable = false)())
+      nullable = false)(),
+    AttributeReference("properties", StringType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
     val snap = VersionLog.snapshot(spark, dir, None)
@@ -575,10 +577,12 @@ case class GraftDescribeDetailCommand(dir: String)
     val sidecars = roots.count(r => fs.exists(
       new org.apache.hadoop.fs.Path(s"$base/$r",
         graft.io.BatchStats.FileName)))
+    val props = snap.properties.sortBy(_._1)
+      .map { case (k, v) => s"$k=$v" }.mkString(",")
     Seq(Row(dir, "graft", snap.version, snap.files.size.toLong, bytes,
       partCol, snap.deletes.size.toLong, snap.constraints.size.toLong,
       roots.size.toLong, sidecars.toLong,
-      snap.colMap.size.toLong, snap.droppedPhys.size.toLong))
+      snap.colMap.size.toLong, snap.droppedPhys.size.toLong, props))
   }
 }
 
@@ -618,7 +622,8 @@ case class GraftConstraintCommand(dir: String, name: String,
   */
 case class GraftVacuumCommand(dir: String, keepLast: Int,
     retainHours: Option[Int] = None,
-    dryRun: Boolean = false) extends LeafRunnableCommand {
+    dryRun: Boolean = false,
+    explicitRetain: Boolean = true) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("removed_files", LongType, nullable = false)(),
@@ -630,7 +635,14 @@ case class GraftVacuumCommand(dir: String, keepLast: Int,
     // version whose in-commit instant is inside the window — resolved
     // to a retainFromVersion floor against commitTimestamps; the
     // newest version always survives (keepLast >= 1)
-    val floor = retainHours.flatMap { h =>
+    // no RETAIN clause: the TABLE's own persisted retention window
+    // (`graft.retentionHours` TBLPROPERTY) governs — retention is a
+    // property of the table, not of whoever happens to run VACUUM
+    val effectiveHours = retainHours.orElse(
+      if (explicitRetain) None
+      else VersionLog.tableProperty(spark, dir, "graft.retentionHours")
+        .flatMap(v => scala.util.Try(v.toInt).toOption))
+    val floor = effectiveHours.flatMap { h =>
       val cutoff = System.currentTimeMillis() - h * 3600000L
       VersionLog.commitTimestamps(spark, dir)
         .find(_._2 >= cutoff).map(_._1)

@@ -123,8 +123,17 @@ final class GraftTable(spark: SparkSession, val dir: String,
   override def partitioning(): Array[Transform] =
     partColOpt.map(Expressions.identity).toArray
 
-  override def properties(): util.Map[String, String] =
-    Map("location" -> dir, "provider" -> "graft").asJava
+  override def properties(): util.Map[String, String] = {
+    // the snapshot's persisted TBLPROPERTIES surface here (SHOW
+    // TBLPROPERTIES / DESCRIBE EXTENDED read this map); the two
+    // reserved keys always win
+    val persisted =
+      if (exists)
+        VersionLog.snapshot(spark, dir, versionAsOf).properties.toMap
+      else Map.empty[String, String]
+    (persisted ++
+      Map("location" -> dir, "provider" -> "graft")).asJava
+  }
 
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,

@@ -31,7 +31,8 @@ case class TableSnapshot(version: Long, parent: Long, action: String,
     constraints: Seq[(String, String)] = Nil,
     schemaJson: Option[String] = None,
     colMap: Seq[(String, String)] = Nil,
-    droppedPhys: Seq[String] = Nil)
+    droppedPhys: Seq[String] = Nil,
+    properties: Seq[(String, String)] = Nil)
 
 /** Version-log commits — SNAPSHOT ISOLATION for the maintained table.
   *
@@ -210,7 +211,8 @@ object VersionLog {
     val top = parseRaw(readJson(fs, p))
     TableSnapshot(top.version, top.parent, top.action,
       resolveFiles(fs, dir, top), top.feed, top.deletes,
-      top.constraints, top.schemaJson, top.colMap, top.droppedPhys)
+      top.constraints, top.schemaJson, top.colMap, top.droppedPhys,
+      top.props)
   }
 
   /** One commit's file diff vs its parent, computed WITHOUT resolving
@@ -341,10 +343,102 @@ object VersionLog {
     }
   }
 
+  // ---- dotted-path helpers (NESTED schema evolution) ---------------
+  // colMap entries may carry dotted paths on both sides (a RENAME of
+  // a struct field records `parentLog.newLeaf -> parentPhys.oldLeaf`,
+  // both FULL paths in their own namespace); droppedPhys may carry
+  // dotted physical paths. Resolution is longest-prefix: an entry for
+  // a parent covers its unmapped children.
+
+  private[graft] def headSeg(p: String): String = {
+    val i = p.indexOf('.')
+    if (i < 0) p else p.take(i)
+  }
+
+  /** The physical dotted path of a logical dotted path: the LONGEST
+    * mapped logical prefix is replaced by its physical value, the
+    * remaining (unmapped) segments pass through under their own
+    * names. Identity when nothing maps.
+    */
+  private[graft] def physicalPathOf(colMap: Seq[(String, String)],
+      logical: String): String = {
+    val parts = logical.split("\\.")
+    (parts.length to 1 by -1).iterator.map { n =>
+      val prefix = parts.take(n).mkString(".")
+      colMap.find(_._1 == prefix)
+        .map(e => (e._2 +: parts.drop(n)).mkString("."))
+    }.collectFirst { case Some(p) => p }.getOrElse(logical)
+  }
+
+  /** Rebuild a struct column: drop the `drops` rel paths and move
+    * each `(from, to)` rel path. UpdateFields-based (`dropFields`/
+    * `withField`) — the ONE formulation that both preserves null
+    * parents and lets Catalyst simplify extractions over the result
+    * back to the source column (a bare `struct()` rebuild turns null
+    * structs into structs of nulls; an if/when null guard blocks
+    * pushdown — probed on the Spark 4 optimizer). A moved field lands
+    * at the END of its parent struct (UpdateFields semantics); the
+    * declared schema records the same position, so the contract stays
+    * consistent.
+    */
+  private[graft] def relocated(top: String, drops: Seq[String],
+      moves: Seq[(String, String)]): Column =
+    rebuildStruct(col(top), drops, moves)
+
+  /** One recursion level of [[relocated]]: leaf drops apply here,
+    * deeper ops rebuild the child subtree IN PLACE under its physical
+    * name (position preserved), then leaf renames relocate fields —
+    * values captured BEFORE any rename and landed through temp names,
+    * so a cyclic swap (x->w, w->x) never overwrites its own sources
+    * and no intermediate expression is ever field-less (UpdateFields
+    * refuses to drop the last field; every drop here follows an add).
+    */
+  private def rebuildStruct(orig: Column, drops: Seq[String],
+      moves: Seq[(String, String)]): Column = {
+    var e = orig
+    val (leafDrops, deepDrops) = drops.partition(!_.contains('.'))
+    leafDrops.distinct.foreach(d => e = e.dropFields(d))
+    // an op under a dropped parent died with it (the DDL maintenance
+    // removes such mappings; this is belt and braces)
+    val gone = leafDrops.toSet
+    val (leafMoves, deepMoves) = moves
+      .filter(m => m._1 != m._2 && !gone.contains(headSeg(m._1)))
+      .partition(!_._1.contains('.'))
+    val deepOps =
+      (deepDrops.filterNot(d => gone.contains(headSeg(d)))
+        .map(d => headSeg(d) -> Left(d)) ++
+        deepMoves.map(m => headSeg(m._1) -> Right(m)))
+        .groupBy(_._1)
+    deepOps.toSeq.sortBy(_._1).foreach { case (h, ops) =>
+      val childDrops = ops.collect {
+        case (_, Left(d)) => d.drop(h.length + 1)
+      }
+      val childMoves = ops.collect {
+        case (_, Right((f, t))) =>
+          (f.drop(h.length + 1), t.drop(headSeg(t).length + 1))
+      }
+      e = e.withField(h,
+        rebuildStruct(orig.getField(h), childDrops, childMoves))
+    }
+    // leaf renames: capture every source value from the deep-rebuilt
+    // frame FIRST (a later rename must see pre-rename values), then
+    // two-phase through temp names (add-before-drop throughout)
+    val vals = leafMoves.map { case (f, _) => e.getField(f) }
+    leafMoves.zip(vals).foreach { case ((f, t), v) =>
+      e = e.withField(s"__graft_mv_$t", v).dropFields(f)
+    }
+    leafMoves.foreach { case (_, t) =>
+      val tmp = s"__graft_mv_$t"
+      e = e.withField(t, e.getField(tmp)).dropFields(tmp)
+    }
+    e
+  }
+
   /** Physical frame -> the snapshot's logical view: drop retired
     * physical columns, rename mapped physicals to their logical
-    * names. A no-op returning `df` itself when the snapshot carries
-    * no mapping.
+    * names; NESTED entries (dotted paths) rebuild the affected struct
+    * columns via [[relocated]]. A no-op returning `df` itself when
+    * the snapshot carries no mapping.
     */
   private[graft] def toLogicalView(df: DataFrame,
       snap: TableSnapshot): DataFrame =
@@ -359,15 +453,29 @@ object VersionLog {
       // column shadowing a mapped LOGICAL name (foreign bytes — fresh
       // physical ids make this unreachable from DDL) is hidden rather
       // than surfaced.
-      val dropped = snap.droppedPhys.toSet
-      val physToLog = snap.colMap.map(_.swap).toMap
-      val mappedLog = snap.colMap.map(_._1).toSet
+      val (topMap, nestedMap) = snap.colMap.partition(e =>
+        !e._1.contains('.') && !e._2.contains('.'))
+      val (topDropped, nestedDropped) =
+        snap.droppedPhys.partition(!_.contains('.'))
+      val dropped = topDropped.toSet
+      val physToLog = topMap.map(_.swap).toMap
+      val mappedLog = topMap.map(_._1).toSet
       val out = df.columns.toIndexedSeq.flatMap { c =>
+        val drops = nestedDropped.filter(headSeg(_) == c)
+          .map(_.drop(c.length + 1))
+        val moves = nestedMap.filter(e => headSeg(e._2) == c).map {
+          case (log, phys) =>
+            (phys.drop(c.length + 1),
+              log.drop(headSeg(log).length + 1))
+        }
+        val base =
+          if (drops.isEmpty && moves.isEmpty) col(c)
+          else relocated(c, drops, moves)
         physToLog.get(c) match {
-          case Some(log) => Some(col(c).as(log))
+          case Some(log) => Some(base.as(log))
           case None if dropped.contains(c) || mappedLog.contains(c) =>
             None
-          case None => Some(col(c))
+          case None => Some(base.as(c))
         }
       }
       df.select(out: _*)
@@ -375,15 +483,27 @@ object VersionLog {
 
   /** Logical frame -> physical column names for a batch write. One
     * simultaneous projection (see [[toLogicalView]] for why a rename
-    * fold is wrong on cyclic mappings).
+    * fold is wrong on cyclic mappings); nested entries rebuild the
+    * struct in the files' physical shape, so every batch keeps ONE
+    * nested layout regardless of rename history.
     */
   private[graft] def toPhysical(df: DataFrame,
       colMap: Seq[(String, String)]): DataFrame =
     if (colMap.isEmpty) df
     else {
-      val logToPhys = colMap.toMap
-      df.select(df.columns.toIndexedSeq.map(c =>
-        logToPhys.get(c).map(p => col(c).as(p)).getOrElse(col(c))): _*)
+      val (topMap, nestedMap) = colMap.partition(e =>
+        !e._1.contains('.') && !e._2.contains('.'))
+      val logToPhys = topMap.toMap
+      df.select(df.columns.toIndexedSeq.map { c =>
+        val moves = nestedMap.filter(e => headSeg(e._1) == c).map {
+          case (log, phys) =>
+            (log.drop(c.length + 1),
+              phys.drop(headSeg(phys).length + 1))
+        }
+        val base =
+          if (moves.isEmpty) col(c) else relocated(c, Nil, moves)
+        base.as(logToPhys.getOrElse(c, c))
+      }: _*)
     }
 
   /** The retained equality-delete keys of a snapshot (one column,
@@ -452,23 +572,41 @@ object VersionLog {
       schemaJson: Option[String] = None,
       parentFiles: Option[Seq[String]] = None,
       colMap: Seq[(String, String)] = Nil,
-      droppedPhys: Seq[String] = Nil): Long = {
+      droppedPhys: Seq[String] = Nil,
+      properties: Option[Seq[(String, String)]] = None): Long = {
     val fs = fsFor(spark, dir)
     val root = versionsRoot(dir)
     fs.mkdirs(root)
     val next = parent + 1
     val target = new Path(root, f"v-$next%08d.json")
     val sorted = files.sorted
+    // table PROPERTIES inherit from the parent unless a door sets
+    // them explicitly (SET/UNSET TBLPROPERTIES, RESTORE) — one small
+    // parent read instead of threading them through every write door.
+    // A missing parent file here can only mean this commit is about
+    // to lose the CAS race anyway (vacuum never deletes the newest
+    // version), so the Nil fallback can never publish.
+    val props = properties.getOrElse(
+      if (parent == 0L) Nil
+      else try parseRaw(readJson(fs, versionFile(dir, parent))).props
+      catch { case scala.util.control.NonFatal(_) => Nil })
     val delta = deltaAgainstParent(fs, dir, parent, sorted, parentFiles)
     val json = renderSnapshot(TableSnapshot(next, parent, action,
       sorted, feed, deletes.sorted, constraints, schemaJson,
-      colMap, droppedPhys), delta,
+      colMap, droppedPhys, props), delta,
       tsMillis = Some(System.currentTimeMillis()))
     if (!atomicCreate(fs, root, target, json))
       throw new java.util.ConcurrentModificationException(
         s"version $next at $dir was committed by another writer")
     writeHint(fs, dir, next)
-    if (next % checkpointEvery(spark) == 0L)
+    // the checkpoint interval is a TABLE property when set (it rides
+    // the snapshot, so every writer paces the same), else the session
+    // knob / default
+    val ckEvery = props.collectFirst {
+      case ("graft.checkpointEvery", v) =>
+        scala.util.Try(v.toLong).toOption
+    }.flatten.filter(_ >= 1L).getOrElse(checkpointEvery(spark))
+    if (next % ckEvery == 0L)
       writeCheckpoint(fs, dir, next, sorted)
     // write-time data-skipping stats for the NEW files — O(change)
     // footer reads, best-effort, skipped for clones (the hard links
@@ -1368,14 +1506,15 @@ object VersionLog {
       colMap = colMap, droppedPhys = snap.droppedPhys)
   }
 
-  /** The physical (on-file) name of a logical column. Exact-name
-    * match: callers resolve user input to the DECLARED field's exact
-    * case first ([[declaredSchema]] + the session resolver) — colMap
+  /** The physical (on-file) path of a logical column or dotted path.
+    * Exact-name match per entry, longest-prefix across the path:
+    * callers resolve user input to the DECLARED field's exact case
+    * first ([[declaredSchema]] + the session resolver) — colMap
     * entries store declared names verbatim.
     */
   private[graft] def physicalOf(snap: TableSnapshot,
       logical: String): String =
-    snap.colMap.find(_._1 == logical).map(_._2).getOrElse(logical)
+    physicalPathOf(snap.colMap, logical)
 
   /** The snapshot's declared LOGICAL schema: the committed schemaJson
     * when present (every schema-evolving commit writes one), else the
@@ -1387,6 +1526,101 @@ object VersionLog {
       .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
       .getOrElse(read(spark, dir, Some(snap.version)).schema)
+
+  /** Resolve a user-spelled (possibly dotted) path against the
+    * declared schema: each segment resolves to the declared field's
+    * EXACT case (the session resolver decides matching); the walk
+    * refuses paths through arrays/maps — field DDL inside element
+    * types would re-shape every element and needs a rewriting
+    * commit. Returns the exact-case dotted path and its field.
+    */
+  private def resolvePath(spark: SparkSession,
+      decl: org.apache.spark.sql.types.StructType, path0: String,
+      what: String, dir: String):
+      (String, org.apache.spark.sql.types.StructField) = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val resolver = spark.sessionState.conf.resolver
+    val parts = path0.split("\\.")
+    var st = decl
+    val out = scala.collection.mutable.Buffer.empty[String]
+    var field: StructField = null
+    parts.zipWithIndex.foreach { case (s, i) =>
+      field = st.fields.find(f => resolver(f.name, s)).getOrElse(
+        throw new IllegalArgumentException(
+          s"$what: no column '$path0' on $dir (no field '$s' " +
+            (if (i == 0) "" else s"under '${out.mkString(".")}' ") +
+            s"— have ${st.fieldNames.mkString(",")})"))
+      out += field.name
+      if (i < parts.length - 1) field.dataType match {
+        case n: StructType => st = n
+        case other => throw new IllegalArgumentException(
+          s"$what $path0: '${out.mkString(".")}' is $other, not a " +
+            "struct — nested DDL inside array/map element types " +
+            "re-shapes every element; rewrite through overwrite")
+      }
+    }
+    (out.mkString("."), field)
+  }
+
+  /** Rewrite the struct at `parentSegs` inside `decl` through `f`
+    * (the whole schema when the path is empty).
+    */
+  private def updateParentStruct(
+      decl: org.apache.spark.sql.types.StructType,
+      parentSegs: Seq[String],
+      f: org.apache.spark.sql.types.StructType =>
+        org.apache.spark.sql.types.StructType):
+      org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.StructType
+    if (parentSegs.isEmpty) f(decl)
+    else StructType(decl.fields.map { fd =>
+      if (fd.name == parentSegs.head)
+        fd.copy(dataType = updateParentStruct(
+          fd.dataType.asInstanceOf[StructType], parentSegs.tail, f))
+      else fd
+    })
+  }
+
+  /** Declared-schema surgery shared by the version-log DDL doors and
+    * the catalog's `_table.json` sync. `renameInSchema` moves the
+    * renamed field to the END of its parent struct for NESTED paths —
+    * the read-side rebuild ([[relocated]], UpdateFields semantics)
+    * produces that order, and declaring it keeps the contract
+    * consistent; top-level renames keep their position (the read
+    * projection preserves it).
+    */
+  private[graft] def renameInSchema(
+      decl: org.apache.spark.sql.types.StructType, path: String,
+      to: String): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.StructType
+    val segs = path.split("\\.").toSeq
+    if (segs.length == 1)
+      StructType(decl.fields.map(f =>
+        if (f.name == path) f.copy(name = to) else f))
+    else updateParentStruct(decl, segs.dropRight(1), st =>
+      StructType(st.fields.filterNot(_.name == segs.last) :+
+        st.fields.find(_.name == segs.last).get.copy(name = to)))
+  }
+
+  private[graft] def dropInSchema(
+      decl: org.apache.spark.sql.types.StructType, path: String):
+      org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.StructType
+    val segs = path.split("\\.").toSeq
+    updateParentStruct(decl, segs.dropRight(1), st =>
+      StructType(st.fields.filterNot(_.name == segs.last)))
+  }
+
+  private[graft] def retypeInSchema(
+      decl: org.apache.spark.sql.types.StructType, path: String,
+      t: org.apache.spark.sql.types.DataType):
+      org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.StructType
+    val segs = path.split("\\.").toSeq
+    updateParentStruct(decl, segs.dropRight(1), st =>
+      StructType(st.fields.map(f =>
+        if (f.name == segs.last) f.copy(dataType = t) else f)))
+  }
 
   /** Shared ALTER guards: the column must exist, must not be the
     * partition column (path-encoded — renaming it would orphan every
@@ -1417,15 +1651,28 @@ object VersionLog {
     }
   }
 
-  /** Does the stored CHECK SQL reference column `name` (top-level
-    * attribute, resolver-matched)?
+  /** Does the stored CHECK SQL reference column or dotted path
+    * `name`? True when some attribute IS the path or a descendant of
+    * it (`s.x` referenced by `s.x` or `s.x.q`), and — conservatively
+    * — when an attribute is a strict ANCESTOR of the path (`s` alone
+    * means the whole struct value, whose shape a nested DDL changes).
+    * Resolver-matched per segment.
     */
   private def constraintReferences(spark: SparkSession, sql: String,
-      name: String): Boolean =
+      name: String): Boolean = {
+    val resolver = spark.sessionState.conf.resolver
+    val path = name.split("\\.").toSeq
+    def overlaps(attr: Seq[String]): Boolean = {
+      val n = math.min(attr.length, path.length)
+      attr.take(n).zip(path.take(n)).forall {
+        case (a, p) => resolver(a, p)
+      }
+    }
     spark.sessionState.sqlParser.parseExpression(sql).collect {
       case a: org.apache.spark.sql.catalyst.analysis
-          .UnresolvedAttribute => a.nameParts.head
-    }.exists(spark.sessionState.conf.resolver(_, name))
+          .UnresolvedAttribute => a.nameParts
+    }.exists(overlaps)
+  }
 
   /** Rewrite a stored CHECK constraint's SQL for a column rename:
     * parse, substitute the attribute, re-generate SQL — so RENAME
@@ -1438,11 +1685,18 @@ object VersionLog {
       sql: String, from: String, to: String): String = {
     if (!constraintReferences(spark, sql, from)) return sql
     val resolver = spark.sessionState.conf.resolver
+    // `from`/`to` are full (possibly dotted) paths: an attribute whose
+    // nameParts START with from's segments rewrites that prefix to
+    // to's segments — `s.x` -> `s.y` also carries `s.x.q` to `s.y.q`
+    val fromSegs = from.split("\\.").toSeq
+    val toSegs = to.split("\\.").toSeq
     spark.sessionState.sqlParser.parseExpression(sql).transform {
       case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-          if resolver(a.nameParts.head, from) =>
+          if a.nameParts.length >= fromSegs.length &&
+            a.nameParts.take(fromSegs.length).zip(fromSegs)
+              .forall { case (x, y) => resolver(x, y) } =>
         org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
-          to +: a.nameParts.tail)
+          toSegs ++ a.nameParts.drop(fromSegs.length))
     }.sql
   }
 
@@ -1457,31 +1711,49 @@ object VersionLog {
     val snap = snapshot(spark, dir, None)
     val resolver = spark.sessionState.conf.resolver
     val decl = declaredSchema(spark, dir, snap)
+    require(!to.contains('.'),
+      s"RENAME COLUMN: the new name must be a bare field name, " +
+        s"got '$to' (a rename never moves a field between structs)")
     // resolve the user's spelling to the DECLARED field's exact case:
     // physicalOf and the colMap filter match exactly, so 'RENAME
     // COLUMN V TO label' on a column stored as 'v' must operate on
     // 'v', not record a colMap entry pointing at a physical 'V' that
-    // no file carries
-    val from = decl.fieldNames.find(resolver(_, from0)).getOrElse(
-      throw new IllegalArgumentException(
-        s"RENAME COLUMN: no column '$from0' on $dir " +
-          s"(have ${decl.fieldNames.mkString(",")})"))
-    require(!decl.fieldNames.exists(resolver(_, to)),
-      s"RENAME COLUMN: column '$to' already exists on $dir")
+    // no file carries. Dotted paths resolve segment by segment
+    // (NESTED rename — a field inside a struct column).
+    val (from, _) = resolvePath(spark, decl, from0, "RENAME COLUMN",
+      dir)
+    val parentSegs = from.split("\\.").toSeq.dropRight(1)
+    val siblingNames =
+      if (parentSegs.isEmpty) decl.fieldNames.toSeq
+      else parentSegs.foldLeft(decl) { (st, s) =>
+        st(s).dataType.asInstanceOf[org.apache.spark.sql.types
+          .StructType]
+      }.fieldNames.toSeq
+    require(!siblingNames.exists(resolver(_, to)),
+      s"RENAME COLUMN: column '$to' already exists " +
+        (if (parentSegs.isEmpty) s"on $dir"
+         else s"under '${parentSegs.mkString(".")}' on $dir"))
     requireAlterable(spark, dir, snap, from, "RENAME COLUMN",
       constraintRefsBlock = false)
+    val newLogical = (parentSegs :+ to).mkString(".")
     val phys = physicalOf(snap, from)
-    val renamed = org.apache.spark.sql.types.StructType(
-      decl.fields.map(f =>
-        if (resolver(f.name, from)) f.copy(name = to) else f))
-    val colMap = snap.colMap.filterNot(_._1 == from) :+ (to -> phys)
+    val renamed = renameInSchema(decl, from, to)
+    // descendants of the renamed path RIDE it: their colMap keys
+    // rewrite to the new logical prefix (values stay physical)
+    val colMap = snap.colMap.flatMap { case (l, p) =>
+      if (l == from) None
+      else if (l.startsWith(from + "."))
+        Some((newLogical + l.stripPrefix(from), p))
+      else Some((l, p))
+    } :+ (newLogical -> phys)
     // CHECK constraints referencing the column RIDE the rename: the
     // stored SQL rewrites through the mapping (still gating every
     // later write under the new name) instead of blocking the DDL
     val constraints = snap.constraints.map { case (cn, sql) =>
-      (cn, rewriteConstraintSql(spark, sql, from, to))
+      (cn, rewriteConstraintSql(spark, sql, from, newLogical))
     }
-    commit(spark, dir, snap.version, s"rename-column-$from-$to",
+    commit(spark, dir, snap.version,
+      s"rename-column-${from.replace('.', '_')}-$to",
       snap.files, deletes = snap.deletes,
       constraints = constraints,
       schemaJson = Some(renamed.json), parentFiles = Some(snap.files),
@@ -1498,24 +1770,33 @@ object VersionLog {
   def alterDropColumnCommit(spark: SparkSession, dir: String,
       name0: String): Long = {
     val snap = snapshot(spark, dir, None)
-    val resolver = spark.sessionState.conf.resolver
     val decl = declaredSchema(spark, dir, snap)
     // exact-case resolution, same reason as RENAME: retiring a
-    // wrong-cased physical name would fail to hide the column
-    val name = decl.fieldNames.find(resolver(_, name0)).getOrElse(
-      throw new IllegalArgumentException(
-        s"DROP COLUMN: no column '$name0' on $dir " +
-          s"(have ${decl.fieldNames.mkString(",")})"))
-    require(decl.fields.length > 1,
-      s"DROP COLUMN $name: it is the only column of $dir")
+    // wrong-cased physical name would fail to hide the column.
+    // Dotted paths resolve segment by segment (NESTED drop).
+    val (name, _) = resolvePath(spark, decl, name0, "DROP COLUMN", dir)
+    val parentSegs = name.split("\\.").toSeq.dropRight(1)
+    val siblingCount =
+      if (parentSegs.isEmpty) decl.fields.length
+      else parentSegs.foldLeft(decl) { (st, s) =>
+        st(s).dataType.asInstanceOf[org.apache.spark.sql.types
+          .StructType]
+      }.fields.length
+    require(siblingCount > 1,
+      s"DROP COLUMN $name: it is the only field of " +
+        (if (parentSegs.isEmpty) dir
+         else s"struct '${parentSegs.mkString(".")}' on $dir — an " +
+           "empty struct cannot be read or written"))
     requireAlterable(spark, dir, snap, name, "DROP COLUMN")
     val phys = physicalOf(snap, name)
-    val narrowed = org.apache.spark.sql.types.StructType(
-      decl.fields.filterNot(f => resolver(f.name, name)))
-    commit(spark, dir, snap.version, s"drop-column-$name", snap.files,
+    val narrowed = dropInSchema(decl, name)
+    // the dropped path's own mapping AND its descendants' die with it
+    commit(spark, dir, snap.version,
+      s"drop-column-${name.replace('.', '_')}", snap.files,
       deletes = snap.deletes, constraints = snap.constraints,
       schemaJson = Some(narrowed.json), parentFiles = Some(snap.files),
-      colMap = snap.colMap.filterNot(_._1 == name),
+      colMap = snap.colMap.filterNot(e =>
+        e._1 == name || e._1.startsWith(name + ".")),
       droppedPhys = (snap.droppedPhys :+ phys).distinct)
   }
 
@@ -1540,10 +1821,9 @@ object VersionLog {
     val snap = snapshot(spark, dir, None)
     val resolver = spark.sessionState.conf.resolver
     val decl = declaredSchema(spark, dir, snap)
-    val name = decl.fieldNames.find(resolver(_, name0)).getOrElse(
-      throw new IllegalArgumentException(
-        s"ALTER COLUMN TYPE: no column '$name0' on $dir " +
-          s"(have ${decl.fieldNames.mkString(",")})"))
+    // dotted paths resolve segment by segment (NESTED retype)
+    val (name, field) = resolvePath(spark, decl, name0,
+      "ALTER COLUMN TYPE", dir)
     // the partition column's type comes from directory-segment
     // inference, not from any file — a declared retype would diverge
     val partCols = snap.files.flatMap(_.split("/").dropRight(1)
@@ -1551,7 +1831,7 @@ object VersionLog {
     require(!partCols.exists(resolver(_, name)),
       s"ALTER COLUMN TYPE $name: it is the partition column of $dir " +
         "(path-encoded); repartition through a rewriting overwrite")
-    val old = decl(name).dataType
+    val old = field.dataType
     val ints = IndexedSeq[DataType](ByteType, ShortType, IntegerType,
       LongType)
     def digitsOf(t: DataType): Int = t match {
@@ -1605,13 +1885,45 @@ object VersionLog {
         }
       BatchStats.harvest(spark, dir, snap.files)
     }
-    val widened = StructType(decl.fields.map(f =>
-      if (f.name == name) f.copy(dataType = newType) else f))
-    commit(spark, dir, snap.version, s"retype-column-$name", snap.files,
+    val widened = retypeInSchema(decl, name, newType)
+    commit(spark, dir, snap.version,
+      s"retype-column-${name.replace('.', '_')}", snap.files,
       deletes = snap.deletes, constraints = snap.constraints,
       schemaJson = Some(widened.json), parentFiles = Some(snap.files),
       colMap = snap.colMap, droppedPhys = snap.droppedPhys)
   }
+
+  /** `ALTER TABLE … SET/UNSET TBLPROPERTIES` as a METADATA-ONLY
+    * commit: properties belong to the TABLE, not the calling session
+    * — retention windows (`graft.retentionHours` — VACUUM's default),
+    * checkpoint pacing (`graft.checkpointEvery` — every writer
+    * follows the snapshot's own value), and the mapped-read
+    * acknowledgment (`graft.acceptPhysicalNames`) resolve from the
+    * snapshot, so they survive sessions and bind every engine that
+    * opens the table. Every ordinary commit inherits the parent's
+    * properties; time travel reads each version's own. `set` wins
+    * over an existing key; `unset` of an absent key is a no-op
+    * (Delta's semantics).
+    */
+  def setTablePropertiesCommit(spark: SparkSession, dir: String,
+      set: Seq[(String, String)], unset: Seq[String] = Nil): Long = {
+    val snap = snapshot(spark, dir, None)
+    val keys = set.map(_._1)
+    require(keys.distinct.size == keys.size,
+      s"duplicate property keys: ${keys.mkString(",")}")
+    val gone = (keys ++ unset).toSet
+    val next = snap.properties.filterNot(p => gone(p._1)) ++ set
+    commit(spark, dir, snap.version, "set-tblproperties", snap.files,
+      deletes = snap.deletes, constraints = snap.constraints,
+      schemaJson = snap.schemaJson, parentFiles = Some(snap.files),
+      colMap = snap.colMap, droppedPhys = snap.droppedPhys,
+      properties = Some(next))
+  }
+
+  /** One table property from the LATEST snapshot, or None. */
+  def tableProperty(spark: SparkSession, dir: String,
+      key: String): Option[String] =
+    snapshot(spark, dir, None).properties.find(_._1 == key).map(_._2)
 
   /** Drop a named CHECK constraint as a commit. */
   def dropConstraintCommit(spark: SparkSession, dir: String,
@@ -2375,11 +2687,21 @@ object VersionLog {
         val dataFields = tableSchema.fields
           .filterNot(f => partColNames.contains(f.name) ||
             snap.droppedPhys.contains(f.name))
+        // NESTED drops shed too: the repacked struct loses the
+        // retired field (dropFields is a no-op on batches written
+        // after the drop, whose structs never carried it)
+        val nestedDrops = snap.droppedPhys.filter(_.contains('.'))
         val srcData = partColNames.foldLeft(src)(_ drop _)
         dataFields.foldLeft(srcData) { (df, f) =>
             if (df.columns.contains(f.name)) df
             else df.withColumn(f.name, lit(null).cast(f.dataType))
-          }.select(dataFields.map(f => col(f.name)).toIndexedSeq: _*)
+          }.select(dataFields.map { f =>
+            val drops = nestedDrops
+              .filter(d => headSeg(d) == f.name)
+              .map(_.drop(f.name.length + 1))
+            if (drops.isEmpty) col(f.name)
+            else relocated(f.name, drops, Nil).as(f.name)
+          }.toIndexedSeq: _*)
           .repartition(nOut)
           .write.mode("error").parquet(out)
         listParquet(fs, new Path(out)).map(p => relativize(base, p))
@@ -2561,6 +2883,10 @@ object VersionLog {
        }.mkString("\"colmap\":{", ",", "},")) +
       (if (s.droppedPhys.isEmpty) ""
        else s""""droppedPhys":[${arr(s.droppedPhys)}],""") +
+      (if (s.properties.isEmpty) ""
+       else s.properties.map { case (k, v) =>
+         "\"" + esc(k) + "\":\"" + esc(v) + "\""
+       }.mkString("\"props\":{", ",", "},")) +
       // StructType.json is already a JSON object: splice it raw
       s.schemaJson.fold("")(j => s""""schema":$j,""") +
       (delta match {
@@ -2579,7 +2905,7 @@ object VersionLog {
       removes: Seq[String], feed: Option[String], deletes: Seq[String],
       constraints: Seq[(String, String)], schemaJson: Option[String],
       tsMillis: Option[Long], colMap: Seq[(String, String)],
-      droppedPhys: Seq[String])
+      droppedPhys: Seq[String], props: Seq[(String, String)])
 
   private def parseRaw(json: String): RawVersion = {
     val node = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -2604,6 +2930,9 @@ object VersionLog {
       Option(node.get("colmap")).toSeq // absent pre-r15: identity
         .flatMap(_.fields().asScala.map(e =>
           (e.getKey, e.getValue.asText)).toSeq),
-      strings("droppedPhys")) // absent pre-r15: Nil
+      strings("droppedPhys"), // absent pre-r15: Nil
+      Option(node.get("props")).toSeq // absent pre-r17: Nil
+        .flatMap(_.fields().asScala.map(e =>
+          (e.getKey, e.getValue.asText)).toSeq))
   }
 }

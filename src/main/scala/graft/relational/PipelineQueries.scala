@@ -2532,6 +2532,66 @@ object PipelineQueries {
           sum(length($"text")).as("sum_len"))
         .orderBy($"lang")
     },
+    "q159_nested_rename_replay" -> { (s, d) =>
+      import s.implicits._
+      // NESTED schema evolution end-to-end: the canonical doc schema
+      // is nested, and a field INSIDE a struct column renames
+      // mid-history as a metadata-only commit (dotted colMap path;
+      // the read side rebuilds the struct via UpdateFields so null
+      // parents stay null and pushdown survives). History: v1 init
+      // with `meta: struct<len,src>`, v2 CDC merge (explicit images
+      // under the OLD nested name), v3 `RENAME COLUMN meta.len TO
+      // chars` through the SQL door, v4 append under the NEW name.
+      // The mirror reconstructs the final state from the feed alone —
+      // every replayed version's struct projected into the CURRENT
+      // nested names; the oracle recomputes relationally, so a
+      // null-filled renamed leaf, a scrambled struct rebuild, or a
+      // dropped pre-rename image cannot hash-match. The numFiles
+      // pruning twin (the renamed leaf still box-prunes) is
+      // spec-pinned in GraftTableSourceSpec.
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.catalog.GraftCatalog].getName)
+      val dir = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft-nestren-${Integer.toHexString(d.hashCode)}" +
+        s"-${ProcessHandle.current().pid()}"
+      buildOnce(dir) {
+        val docs = documents(s, d).select($"doc_id",
+          struct($"n_chars".as("len"), $"source".as("src"))
+            .as("meta"),
+          $"lang")
+        VersionLog.init(s, dir, docs, partitionBy = Some("lang"))
+        VersionLog.mergeByKeyCdc(s, dir,
+          documents(s, d)
+            .filter($"lang" === "fr" && $"doc_id" % 17 === 0)
+            .select($"doc_id",
+              struct(($"n_chars" + 1000L).as("len"),
+                $"source".as("src")).as("meta"),
+              $"lang"),
+          "doc_id", "lang")
+        s.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN meta.len " +
+          "TO chars")
+        VersionLog.append(s, dir,
+          documents(s, d).filter($"doc_id" % 31 === 0)
+            .select(($"doc_id" + 100000000L).as("doc_id"),
+              struct($"source".as("src"),
+                $"n_chars".as("chars")).as("meta"),
+              lit("xx").as("lang")),
+          partitionBy = Some("lang"))
+      }
+      val feed = s.read.format("graft-cdc").load(dir)
+      val opRank = when($"_op".isin("insert", "update_post"), 2)
+        .when($"_op" === "delete", 1).otherwise(lit(0))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id")
+        .orderBy($"_feed_batch".desc, opRank.desc)
+      feed.withColumn("_rn", row_number().over(w))
+        .filter($"_rn" === 1 && $"_op".isin("insert", "update_post"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"meta.chars").as("sum_chars"),
+          sum($"doc_id").as("sum_ids"))
+        .orderBy($"lang")
+    },
     "q146_cdc_replay" -> { (s, d) =>
       import s.implicits._
       // ALL-DOORS CHANGE-DATA-CAPTURE REPLAY: reconstruct the CURRENT
@@ -4344,6 +4404,23 @@ object PipelineQueries {
          SELECT lang, count(*) AS n_rows, count(rev) AS n_rev,
            CAST(sum(rev) AS BIGINT) AS sum_rev,
            CAST(sum(length(text)) AS BIGINT) AS sum_len
+         FROM finalstate GROUP BY lang ORDER BY lang""",
+    "q159_nested_rename_replay" ->
+      """WITH upd AS (
+           SELECT doc_id, n_chars + 1000 AS chars, lang
+           FROM documents WHERE lang = 'fr' AND doc_id % 17 = 0),
+         finalstate AS (
+           SELECT d.doc_id, d.n_chars AS chars, d.lang
+           FROM documents d
+           WHERE NOT EXISTS (SELECT 1 FROM upd u
+                             WHERE u.doc_id = d.doc_id)
+           UNION ALL SELECT doc_id, chars, lang FROM upd
+           UNION ALL
+           SELECT doc_id + 100000000, n_chars, 'xx' AS lang
+           FROM documents WHERE doc_id % 31 = 0)
+         SELECT lang, count(*) AS n_rows,
+           CAST(sum(chars) AS BIGINT) AS sum_chars,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
          FROM finalstate GROUP BY lang ORDER BY lang""",
     "q146_cdc_replay" ->
       """WITH finalstate AS (

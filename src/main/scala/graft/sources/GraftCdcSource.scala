@@ -95,6 +95,19 @@ final class GraftCdcSource extends StreamSourceProvider
       n
     }
 
+  /** `option("requireColumns", "a,b")` — an exactly-once consumer
+    * names the columns its logic cannot lose (its merge key, a
+    * partition router): every replayed version must be able to serve
+    * them through the column mapping, else the batch/stream REFUSES
+    * loudly naming the version — instead of the default consumer's
+    * null-fill (correct for generic mirrors, silent key loss for that
+    * one). Versioned tables only.
+    */
+  private def requireColumns(parameters: Map[String, String]):
+      Seq[String] =
+    parameters.get("requireColumns").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
   override def createSource(sqlContext: SQLContext,
       metadataPath: String, schema: Option[StructType],
       providerName: String,
@@ -103,10 +116,12 @@ final class GraftCdcSource extends StreamSourceProvider
     val dir = pathOf(parameters)
     if (VersionLog.listVersions(spark, dir).nonEmpty)
       new VersionedCdcStreamSource(spark, dir, maxPerTrigger(parameters),
-        startingVersion(parameters))
+        startingVersion(parameters), requireColumns(parameters))
     else {
       require(startingVersion(parameters).isEmpty,
         "startingVersion is supported on versioned tables only")
+      require(requireColumns(parameters).isEmpty,
+        "requireColumns is supported on versioned tables only")
       new CdcFeedStreamSource(spark, dir, maxPerTrigger(parameters))
     }
   }
@@ -116,10 +131,13 @@ final class GraftCdcSource extends StreamSourceProvider
     val spark = sqlContext.sparkSession
     val dir = pathOf(parameters)
     if (VersionLog.listVersions(spark, dir).nonEmpty)
-      new VersionedCdcRelation(spark, dir, startingVersion(parameters))
+      new VersionedCdcRelation(spark, dir, startingVersion(parameters),
+        requireColumns(parameters))
     else {
       require(startingVersion(parameters).isEmpty,
         "startingVersion is supported on versioned tables only")
+      require(requireColumns(parameters).isEmpty,
+        "requireColumns is supported on versioned tables only")
       val index = new CdcFeedFileIndex(spark, dir)
       HadoopFsRelation(
         location = index,
@@ -215,24 +233,16 @@ object GraftCdcSource {
       latest: TableSnapshot): DataFrame = {
     if (snap.colMap == latest.colMap &&
         snap.droppedPhys == latest.droppedPhys) return df
-    val dropped = latest.droppedPhys.toSet
-    val out = df.columns.toIndexedSeq.flatMap { c =>
-      if (c == "_op") Some(col(c))
-      else {
-        // the column's physical identity at the replayed version; a
-        // later rename keeps the physical and re-binds the logical,
-        // so the latest colMap entry holding that physical IS the
-        // current name (rename-backs store identity entries, so the
-        // value lookup stays authoritative)
-        val p = VersionLog.physicalOf(snap, c)
-        latest.colMap.find(_._2 == p).map(_._1) match {
-          case Some(cur) => Some(col(c).as(cur))
-          case None if dropped.contains(p) => None
-          case None => Some(col(c))
-        }
-      }
-    }
-    df.select(out: _*)
+    // the images bind the REPLAYED version's logical names: project
+    // them to PHYSICAL identity under that version's mapping, then
+    // lift the physical frame into the CURRENT logical view — a later
+    // rename keeps the physical and re-binds the logical, a later
+    // drop projects away, a fresh re-add never receives old bytes
+    // (its physical id is new). Both hops are the ONE pair of
+    // projections every read/write door uses, so NESTED mappings ride
+    // for free. `_op` is unmapped on both sides and passes through.
+    VersionLog.toLogicalView(
+      VersionLog.toPhysical(df, snap.colMap), latest)
   }
 
   private def emptyChanges(spark: SparkSession, dir: String,
@@ -366,7 +376,11 @@ object GraftCdcSource {
     * vectorized scan branch (or a semi-join for delete commits).
     */
   def changesBetween(spark: SparkSession, dir: String, lo: Long,
-      hi: Long, schema: StructType): DataFrame = {
+      hi: Long, schema: StructType,
+      requireColumns: Seq[String] = Nil): DataFrame = {
+    requireColumns.foreach(c => require(schema.fieldNames.contains(c),
+      s"requireColumns: no column '$c' on the feed of $dir " +
+        s"(have ${schema.fieldNames.mkString(",")})"))
     val versions = VersionLog.listVersions(spark, dir)
       .filter(v => v > lo && v <= hi)
     val batch =
@@ -376,8 +390,22 @@ object GraftCdcSource {
       else {
         val latest = VersionLog.snapshot(spark, dir, None)
         versions.map { v =>
-          changesForVersionVs(spark, dir, v, latest)
-            .withColumn("_feed_batch", lit(v))
+          val remapped = changesForVersionVs(spark, dir, v, latest)
+          // a required column the replayed version cannot serve
+          // through the mapping (dropped-then-re-added name, or the
+          // version predates the column) would silently null-fill
+          // below — the consumer declared it cannot survive that
+          requireColumns.filterNot(remapped.columns.contains)
+            .foreach { c =>
+              throw new IllegalStateException(
+                s"graft-cdc at $dir: version $v cannot serve " +
+                  s"required column '$c' through the column mapping " +
+                  "(dropped/re-added or not yet added at that " +
+                  "version) — resume past it with startingVersion, " +
+                  "or drop the requireColumns guard to accept " +
+                  "null-filled images")
+            }
+          remapped.withColumn("_feed_batch", lit(v))
         }.reduce(_.unionByName(_, allowMissingColumns = true))
       }
     schema.fields.foldLeft(batch) { (df, f) =>
@@ -396,7 +424,8 @@ object GraftCdcSource {
   * scans row-copy-free.
   */
 private final class VersionedCdcRelation(spark: SparkSession,
-    dir: String, startingVersion: Option[Long] = None)
+    dir: String, startingVersion: Option[Long] = None,
+    requireColumns: Seq[String] = Nil)
     extends BaseRelation with PrunedFilteredScan {
   import org.apache.spark.sql.sources
 
@@ -410,7 +439,8 @@ private final class VersionedCdcRelation(spark: SparkSession,
       filters: Array[sources.Filter]): RDD[Row] = {
     val (lo0, hi) = GraftCdcSource.versionBounds(filters)
     val lo = math.max(lo0, startingVersion.map(_ - 1).getOrElse(0L))
-    val df = GraftCdcSource.changesBetween(spark, dir, lo, hi, schema)
+    val df = GraftCdcSource.changesBetween(spark, dir, lo, hi, schema,
+        requireColumns)
       .select(requiredColumns.map(col).toIndexedSeq: _*)
     // needConversion = false: hand back the planned InternalRow RDD
     // (the inner vectorized scans and the column pruning stay inside
@@ -427,7 +457,8 @@ private final class VersionedCdcRelation(spark: SparkSession,
   */
 private final class VersionedCdcStreamSource(spark: SparkSession,
     dir: String, maxPerTrigger: Long,
-    startingVersion: Option[Long] = None) extends Source {
+    startingVersion: Option[Long] = None,
+    requireColumns: Seq[String] = Nil) extends Source {
 
   override val schema: StructType = GraftCdcSource.feedSchema(spark, dir)
 
@@ -464,7 +495,8 @@ private final class VersionedCdcStreamSource(spark: SparkSession,
     val hi = parseOffset(end)
     synchronized { seenUpTo = math.max(seenUpTo, hi) }
     Bridge.internalCreateDataFrame(spark,
-      GraftCdcSource.changesBetween(spark, dir, lo, hi, schema),
+      GraftCdcSource.changesBetween(spark, dir, lo, hi, schema,
+        requireColumns),
       isStreaming = true)
   }
 

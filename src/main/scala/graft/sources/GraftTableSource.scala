@@ -298,8 +298,15 @@ private final class GraftFileIndex(spark: SparkSession, dir: String,
         // under its old name, dropped columns hidden) — a direct
         // format("graft") read of a mapped table must acknowledge
         // that or go through a door that projects to logical names
+        // the acknowledgment can also be persisted as a TABLE
+        // property (`graft.acceptPhysicalNames`): a table whose owner
+        // declares every consumer physical-name-aware reads raw
+        // without the per-reader option
+        val tableAcksPhysical = snap.properties.exists(p =>
+          p._1 == "graft.acceptPhysicalNames" &&
+            p._2.equalsIgnoreCase("true"))
         if ((snap.colMap.nonEmpty || snap.droppedPhys.nonEmpty) &&
-            !acceptPhysicalNames)
+            !acceptPhysicalNames && !tableAcksPhysical)
           throw new IllegalStateException(
             s"snapshot v${snap.version} of $base carries a column " +
               "mapping (RENAME/DROP COLUMN history); read through " +
@@ -449,10 +456,20 @@ private final class GraftFileIndex(spark: SparkSession, dir: String,
       }
       StructType(merged ++ extra)
     }
-    // retired physical columns (DROP COLUMN history) never surface
+    // retired physical columns (DROP COLUMN history) never surface —
+    // including NESTED paths (a dropped struct field is pruned out of
+    // its parent's footer type recursively)
     val droppedSet = pinnedDropped.toSet
-    val footerLive = StructType(
-      footerMerged.fields.filterNot(f => droppedSet.contains(f.name)))
+    def removeDropped(st: StructType, prefix: String): StructType =
+      StructType(st.fields.flatMap { f =>
+        val p = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+        if (droppedSet.contains(p)) None
+        else Some(f.dataType match {
+          case n: StructType => f.copy(dataType = removeDropped(n, p))
+          case _ => f
+        })
+      })
+    val footerLive = removeDropped(footerMerged, "")
     // the snapshot's DECLARED schema commit (ALTER TABLE ADD COLUMN
     // history) widens the footer view: declared-only columns surface
     // (null-filled by the parquet reader — no file carries them yet)
@@ -464,10 +481,25 @@ private final class GraftFileIndex(spark: SparkSession, dir: String,
     pinnedSchemaJson.fold(footerLive) { json =>
       val decl = org.apache.spark.sql.types.DataType.fromJson(json)
         .asInstanceOf[StructType]
-      val physOf = pinnedColMap.toMap
       val partSet = partColNames.toSet
-      val dataDecl = decl.fields.filterNot(f => partSet.contains(f.name))
-        .map(f => f.copy(name = physOf.getOrElse(f.name, f.name)))
+      // declared names are logical at EVERY depth: each field's
+      // physical name is the leaf of its mapped physical path
+      // (longest-prefix through the colMap — nested renames included)
+      def declPhys(st: StructType, prefix: String): StructType =
+        StructType(st.fields.map { f =>
+          val lpath =
+            if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+          val pleaf = graft.io.VersionLog
+            .physicalPathOf(pinnedColMap, lpath).split("\\.").last
+          val dt = f.dataType match {
+            case n: StructType => declPhys(n, lpath)
+            case other => other
+          }
+          f.copy(name = pleaf, dataType = dt)
+        })
+      val dataDecl = declPhys(StructType(
+        decl.fields.filterNot(f => partSet.contains(f.name))), "")
+        .fields
       val merged = dataDecl.map { f =>
         footerLive.fields.find(_.name == f.name).fold(f) { ff =>
           f.copy(dataType = widenOrFail(f.name, f.dataType, ff.dataType))
@@ -885,9 +917,16 @@ private final class GraftFileIndex(spark: SparkSession, dir: String,
         phys -> log
     }.toMap
     def logicalAlias(c: String): Option[String] = {
-      val i = c.indexOf('.')
-      if (i < 0) physToLog.get(c)
-      else physToLog.get(c.take(i)).map(_ + c.drop(i))
+      // exact full-path entry first (NESTED mappings store full
+      // dotted paths), then the longest mapped physical prefix with
+      // the unmapped tail carried over
+      physToLog.get(c).orElse {
+        val parts = c.split("\\.")
+        (parts.length - 1 to 1 by -1).iterator.map { n =>
+          physToLog.get(parts.take(n).mkString("."))
+            .map(_ + "." + parts.drop(n).mkString("."))
+        }.collectFirst { case Some(x) => x }
+      }.filterNot(retired)
     }
     files.filter { f =>
       val p = f.status.getPath.toUri.getPath

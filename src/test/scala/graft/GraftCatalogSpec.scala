@@ -1088,4 +1088,100 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("struct field"), e.getMessage)
     assert(VersionLog.listVersions(spark, s"$warehouse/sq1") === before)
   }
+
+  test("SET/UNSET TBLPROPERTIES persist as metadata-only commits: " +
+      "properties survive a fresh snapshot resolution, ride ordinary " +
+      "commits, surface in SHOW TBLPROPERTIES and DESCRIBE DETAIL, " +
+      "and time travel reads each version's own") {
+    import spark.implicits._
+    warehouse
+    val dir = Files.createTempDirectory("gprops").toString
+    VersionLog.init(spark, dir,
+      Seq((1L, "one", "a")).toDF("k", "v", "p"),
+      partitionBy = Some("p")) // v1
+    spark.sql(s"ALTER TABLE graft.`$dir` SET TBLPROPERTIES (" +
+      "'team'='nlp', 'graft.retentionHours'='1000000')") // v2
+    // persisted on DISK (a fresh snapshot resolution = a new session)
+    assert(VersionLog.snapshot(spark, dir, None).properties.toMap ===
+      Map("team" -> "nlp", "graft.retentionHours" -> "1000000"))
+    // ordinary commits INHERIT
+    VersionLog.append(spark, dir,
+      Seq((2L, "two", "b")).toDF("k", "v", "p"), Some("p")) // v3
+    assert(VersionLog.tableProperty(spark, dir, "team") ===
+      Some("nlp"))
+    // SQL surfaces
+    val shown = spark.sql(s"SHOW TBLPROPERTIES graft.`$dir`")
+      .as[(String, String)].collect().toMap
+    assert(shown.get("team") === Some("nlp"))
+    val detail = spark.sql(s"DESCRIBE DETAIL graft.`$dir`")
+      .select("properties").as[String].head()
+    assert(detail.contains("team=nlp"), detail)
+    // time travel: v1 had none
+    assert(VersionLog.snapshot(spark, dir, Some(1L)).properties
+      === Nil)
+    // UNSET removes one, keeps the other, later commits inherit that
+    spark.sql(s"ALTER TABLE graft.`$dir` UNSET TBLPROPERTIES " +
+      "('team')")
+    VersionLog.append(spark, dir,
+      Seq((3L, "three", "c")).toDF("k", "v", "p"), Some("p"))
+    assert(VersionLog.snapshot(spark, dir, None).properties.toMap ===
+      Map("graft.retentionHours" -> "1000000"))
+  }
+
+  test("VACUUM honors the TABLE's own retention property when no " +
+      "RETAIN clause is given; an explicit clause overrides it") {
+    import spark.implicits._
+    warehouse
+    val dir = Files.createTempDirectory("gpropvac").toString
+    def row(k: Long) = {
+      import spark.implicits._
+      Seq((k, s"r$k", "a")).toDF("k", "v", "p")
+    }
+    VersionLog.init(spark, dir, row(1L), partitionBy = Some("p"))
+    (2L to 5L).foreach(k =>
+      VersionLog.overwrite(spark, dir, row(k), Some("p")))
+    spark.sql(s"ALTER TABLE graft.`$dir` SET TBLPROPERTIES (" +
+      "'graft.retentionHours'='1000000')")
+    // the table's retention window covers every commit: a bare VACUUM
+    // retains all versions (only unreferenced markers sweep) and v1
+    // stays readable
+    val before = VersionLog.listVersions(spark, dir)
+    spark.sql(s"VACUUM graft.`$dir`").collect()
+    assert(VersionLog.listVersions(spark, dir) === before,
+      "the table's retention window must keep every version")
+    assert(VersionLog.read(spark, dir, Some(1L)).count() === 1L)
+    // an explicit clause overrides the property (the operator asked)
+    spark.sql(s"VACUUM graft.`$dir` RETAIN 2 VERSIONS").collect()
+    assert(VersionLog.listVersions(spark, dir).size === 2,
+      "explicit RETAIN must override the property")
+  }
+
+  test("graft.checkpointEvery TBLPROPERTY paces checkpoints from the " +
+      "snapshot itself; graft.acceptPhysicalNames lifts the raw-read " +
+      "refusal for mapped tables") {
+    import spark.implicits._
+    warehouse
+    val dir = Files.createTempDirectory("gpropck").toString
+    VersionLog.init(spark, dir,
+      Seq((1L, "one")).toDF("k", "v").coalesce(1)) // v1
+    spark.sql(s"ALTER TABLE graft.`$dir` SET TBLPROPERTIES (" +
+      "'graft.checkpointEvery'='1')") // v2
+    VersionLog.append(spark, dir,
+      Seq((2L, "two")).toDF("k", "v").coalesce(1)) // v3
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir,
+      "_versions/c-00000003.json")),
+      "every commit must checkpoint under graft.checkpointEvery=1")
+    // mapped-read acknowledgment as a TABLE policy
+    VersionLog.alterRenameColumnCommit(spark, dir, "v", "label")
+    intercept[IllegalStateException] {
+      spark.read.format("graft").load(dir).collect()
+    }
+    spark.sql(s"ALTER TABLE graft.`$dir` SET TBLPROPERTIES (" +
+      "'graft.acceptPhysicalNames'='true')")
+    val raw = spark.read.format("graft").load(dir)
+    assert(raw.columns.toSet === Set("k", "v"),
+      "the acknowledged raw read surfaces PHYSICAL names")
+  }
 }

@@ -1149,6 +1149,34 @@ class GraftTableSourceSpec extends AnyFunSuite {
     assert(live === Set((1L, "one", "a"), (3L, "three!", "b")))
   }
 
+  test("NESTED rename keeps plan-time stats pruning: after RENAME " +
+      "s.x -> y (SQL door), a range predicate on s.y still box-prunes " +
+      "to the covering batch (executed numFiles) — the filter " +
+      "simplifies through the struct rebuild to the physical leaf") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("gnested").toString
+    def batch(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, i, s"r$i")).toDF("id", "x", "v")
+        .select($"id", struct($"x", $"v").as("s")).coalesce(1)
+    VersionLog.init(spark, dir, batch(0, 100))
+    VersionLog.append(spark, dir, batch(100, 200))
+    VersionLog.append(spark, dir, batch(200, 300))
+    VersionLog.append(spark, dir, batch(300, 400))
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN s.x TO y")
+    val t = VersionLog.read(spark, dir)
+    assert(t.schema("s").dataType.asInstanceOf[
+      org.apache.spark.sql.types.StructType].fieldNames.toSeq ===
+      Seq("v", "y"))
+    val sel = t.filter($"s.y" >= 250L && $"s.y" < 260L).select($"s.y")
+    assert(sel.as[Long].collect().toSet === (250L until 260L).toSet)
+    assert(scanNumFiles(sel) === 1L,
+      "the renamed nested leaf's range must open exactly the " +
+        "covering batch — pruning lost through the struct rebuild " +
+        "would be a full scan at 100TB")
+  }
+
   test("DROP then name-reuse RENAME cannot resurrect a stale manifest " +
       "box: after DROP COLUMN a; RENAME c TO a, a probe on the " +
       "reused 'a' is not pruned by the pre-drop manifest's 'a' boxes") {
@@ -1174,6 +1202,65 @@ class GraftTableSourceSpec extends AnyFunSuite {
       .filter($"a" === 2030L).select($"v")
     assert(sel.as[String].collect().toSeq === Seq("r30"),
       "stale pre-drop manifest box misbound onto the reused name")
+  }
+
+  test("graft-cdc requireColumns: a consumer keyed on a column a " +
+      "DROP made unmappable refuses LOUDLY naming the version; the " +
+      "default consumer keeps its null-filled replay") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("gcdc-req").toString
+    VersionLog.init(spark, dir,
+      Seq((1L, "one", "a")).toDF("k", "v", "p"),
+      partitionBy = Some("p")) // v1
+    VersionLog.alterDropColumnCommit(spark, dir, "v") // v2
+    VersionLog.alterAddColumnCommit(spark, dir, "v",
+      org.apache.spark.sql.types.StringType) // v3: fresh identity
+    VersionLog.append(spark, dir,
+      Seq((2L, "two", "b")).toDF("k", "v", "p"), Some("p")) // v4
+    // default consumer: v1's images replay with v null-filled (the
+    // generic-mirror contract)
+    val relaxed = spark.read.format("graft-cdc").load(dir)
+      .select($"_feed_batch", $"k", $"v")
+      .as[(Long, Long, Option[String])].collect().toSet
+    assert(relaxed === Set((1L, 1L, None), (4L, 2L, Some("two"))))
+    // guarded consumer: v1 cannot serve 'v' through the mapping
+    val e = intercept[Exception] {
+      spark.read.format("graft-cdc")
+        .option("requireColumns", "v").load(dir).collect()
+    }
+    assert(e.getMessage.contains("version 1") &&
+      e.getMessage.contains("'v'"), e.getMessage)
+    // the guard names real columns only
+    val e2 = intercept[Exception] {
+      spark.read.format("graft-cdc")
+        .option("requireColumns", "nope").load(dir).collect()
+    }
+    assert(e2.getMessage.contains("nope"), e2.getMessage)
+    // startingVersion past the gap satisfies the guard
+    val since3 = spark.read.format("graft-cdc")
+      .option("requireColumns", "v")
+      .option("startingVersion", "3").load(dir)
+      .select($"k", $"v").as[(Long, String)].collect().toSet
+    assert(since3 === Set((2L, "two")))
+    // the STREAM refuses the same way
+    val err = new java.util.concurrent.atomic.AtomicReference[String]
+    val q = spark.readStream.format("graft-cdc")
+      .option("requireColumns", "v").load(dir)
+      .writeStream.format("noop")
+      .option("checkpointLocation",
+        Files.createTempDirectory("gcdc-req-ck").toString)
+      .start()
+    try {
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        q.awaitTermination(10000)
+      }
+    } finally {
+      err.set(Option(q.exception.map(_.getMessage).orNull).getOrElse(""))
+      q.stop()
+    }
+    assert(err.get.contains("required column") ||
+      err.get.contains("'v'"), err.get)
   }
 
   test("graft-cdc checkpoint recovery IGNORES a raised " +

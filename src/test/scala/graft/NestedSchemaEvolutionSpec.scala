@@ -1,0 +1,293 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.VersionLog
+
+/** NESTED schema evolution: RENAME/DROP/ALTER COLUMN TYPE on dotted
+  * paths inside struct columns — metadata-only commits whose colMap
+  * carries full dotted paths, with the read/write projections
+  * rebuilding the affected structs (UpdateFields — null parents stay
+  * null, extraction simplifies back to the source column so pushdown
+  * and stats pruning survive). A renamed nested field lands at the
+  * END of its parent struct (the rebuild's natural order, declared to
+  * match); top-level renames keep their position as before.
+  */
+class NestedSchemaEvolutionSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def seed(): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("nested").toString
+    val df = Seq(
+      (1L, Some((10L, "a1")), "p1"),
+      (2L, Some((20L, "a2")), "p1"),
+      (3L, None: Option[(Long, String)], "p2"))
+      .toDF("k", "s", "p")
+      .select($"k",
+        $"s".cast("struct<x:bigint,w:string>").as("s"), $"p")
+    VersionLog.init(spark, dir, df.coalesce(1))
+    dir
+  }
+
+  test("nested RENAME s.x -> y: metadata-only, values flow, null " +
+      "structs stay null, appends under the new name land, time " +
+      "travel reads the old name, round-trip rename restores it") {
+    import spark.implicits._
+    val dir = seed()
+    val filesBefore = VersionLog.snapshot(spark, dir, None).files
+    VersionLog.alterRenameColumnCommit(spark, dir, "s.x", "y") // v2
+    assert(VersionLog.snapshot(spark, dir, None).files ===
+      filesBefore, "nested rename must touch no file")
+    val t = VersionLog.read(spark, dir)
+    // the renamed field moves to the END of its parent struct
+    assert(t.schema("s").dataType ===
+      StructType(Seq(StructField("w", StringType),
+        StructField("y", LongType))))
+    val got = t.select($"k", $"s.y", $"s.w").as[(Long,
+      Option[Long], Option[String])].collect().toSet
+    assert(got === Set((1L, Some(10L), Some("a1")),
+      (2L, Some(20L), Some("a2")), (3L, None, None)))
+    // a NULL struct stays null — not a struct of nulls
+    assert(t.filter($"k" === 3L).select($"s".isNull)
+      .as[Boolean].head())
+    // append under the NEW name: written physically under the OLD
+    // leaf, so every batch keeps one nested layout
+    VersionLog.append(spark, dir,
+      Seq((4L, "a4", 40L, "p2")).toDF("k", "w", "y", "p")
+        .select($"k", struct($"w", $"y").as("s"), $"p").coalesce(1))
+    val t2 = VersionLog.read(spark, dir)
+    assert(t2.count() === 4L)
+    // time travel: v1 reads the original name
+    val v1 = VersionLog.read(spark, dir, Some(1L))
+    assert(v1.schema("s").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq === Seq("x", "w"))
+    assert(v1.select($"s.x").where($"k" === 1L)
+      .as[Long].head() === 10L)
+    // rename back: identity mapping, data intact
+    VersionLog.alterRenameColumnCommit(spark, dir, "s.y", "x")
+    val t3 = VersionLog.read(spark, dir)
+    assert(t3.select($"k", $"s.x").where($"k" === 4L)
+      .as[(Long, Long)].head() === ((4L, 40L)))
+  }
+
+  test("nested rename append writes the PHYSICAL leaf: footers of " +
+      "the new batch carry the original field name") {
+    import spark.implicits._
+    val dir = seed()
+    VersionLog.alterRenameColumnCommit(spark, dir, "s.x", "y")
+    VersionLog.append(spark, dir,
+      Seq((4L, 40L, "a4", "p2")).toDF("k", "y", "w", "p")
+        .select($"k", struct($"w", $"y").as("s"), $"p").coalesce(1))
+    val snap = VersionLog.snapshot(spark, dir, None)
+    val newFile = snap.files.filterNot(
+      VersionLog.snapshot(spark, dir, Some(2L)).files.toSet)
+    assert(newFile.size === 1)
+    val phys = spark.read.parquet(s"$dir/${newFile.head}")
+    assert(phys.schema("s").dataType.asInstanceOf[StructType]
+      .fieldNames.toSet === Set("x", "w"),
+      "the batch must store the physical leaf 'x', not 'y'")
+    // and the logical read still serves both batches under 'y'
+    val ys = VersionLog.read(spark, dir).select($"s.y")
+      .as[Option[Long]].collect().toSet
+    assert(ys === Set(Some(10L), Some(20L), None, Some(40L)))
+  }
+
+  test("nested DROP s.w: metadata-only hide, re-read shows the " +
+      "narrowed struct, compaction SHEDS the retired nested field " +
+      "from repacked footers; dropping the only field refuses") {
+    import spark.implicits._
+    val dir = seed()
+    VersionLog.append(spark, dir,
+      Seq((4L, (40L, "a4"), "p2")).toDF("k", "s", "p")
+        .select($"k", $"s".cast("struct<x:bigint,w:string>").as("s"),
+          $"p").coalesce(1))
+    VersionLog.alterDropColumnCommit(spark, dir, "s.w")
+    val t = VersionLog.read(spark, dir)
+    assert(t.schema("s").dataType ===
+      StructType(Seq(StructField("x", LongType))))
+    assert(t.select($"s.x").as[Option[Long]].collect().toSet ===
+      Set(Some(10L), Some(20L), None, Some(40L)))
+    // the only REMAINING field cannot be dropped
+    val e = intercept[IllegalArgumentException] {
+      VersionLog.alterDropColumnCommit(spark, dir, "s.x")
+    }
+    assert(e.getMessage.contains("only field"), e.getMessage)
+    // compaction sheds the dead nested bytes from repacked files
+    val (in, out, _) = VersionLog.compactSnapshot(spark, dir)
+    assert(in >= 2 && out >= 1)
+    val snap = VersionLog.snapshot(spark, dir, None)
+    snap.files.foreach { f =>
+      val phys = spark.read.parquet(s"$dir/$f")
+      assert(phys.schema("s").dataType.asInstanceOf[StructType]
+        .fieldNames.toSeq === Seq("x"),
+        s"repacked $f must not carry the dropped nested field")
+    }
+    assert(VersionLog.read(spark, dir).select($"s.x")
+      .as[Option[Long]].collect().toSet ===
+      Set(Some(10L), Some(20L), None, Some(40L)))
+  }
+
+  test("nested ALTER COLUMN TYPE s.x bigint stays refused for " +
+      "narrowing; int -> bigint widens metadata-only") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("nestedw").toString
+    val df = Seq((1L, (10, "a1")), (2L, (20, "a2")))
+      .toDF("k", "s")
+      .select($"k", $"s".cast("struct<x:int,w:string>").as("s"))
+    VersionLog.init(spark, dir, df.coalesce(1))
+    val filesBefore = VersionLog.snapshot(spark, dir, None).files
+    VersionLog.alterColumnTypeCommit(spark, dir, "s.x", LongType)
+    assert(VersionLog.snapshot(spark, dir, None).files === filesBefore)
+    val t = VersionLog.read(spark, dir)
+    assert(t.schema("s").dataType ===
+      StructType(Seq(StructField("x", LongType),
+        StructField("w", StringType))))
+    assert(t.select($"s.x").as[Long].collect().toSet ===
+      Set(10L, 20L))
+    // append at the WIDE type unions with the narrow batch
+    VersionLog.append(spark, dir,
+      Seq((3L, (3000000000L, "a3"))).toDF("k", "s")
+        .select($"k", $"s".cast("struct<x:bigint,w:string>").as("s"))
+        .coalesce(1))
+    assert(VersionLog.read(spark, dir).select($"s.x")
+      .as[Long].collect().toSet === Set(10L, 20L, 3000000000L))
+    intercept[IllegalArgumentException] {
+      VersionLog.alterColumnTypeCommit(spark, dir, "s.x", IntegerType)
+    }
+  }
+
+  test("nested rename SWAP (s.x -> tmpc, s.w -> x, s.tmpc -> w): " +
+      "the mapping composes without scrambling, writes round-trip") {
+    import spark.implicits._
+    val dir = seed()
+    VersionLog.alterRenameColumnCommit(spark, dir, "s.x", "tmpc")
+    VersionLog.alterRenameColumnCommit(spark, dir, "s.w", "x")
+    VersionLog.alterRenameColumnCommit(spark, dir, "s.tmpc", "w")
+    val t = VersionLog.read(spark, dir)
+    // logical x is the OLD w (string), logical w the OLD x (long)
+    assert(t.select($"s.x").where($"k" === 1L)
+      .as[String].head() === "a1")
+    assert(t.select($"s.w").where($"k" === 1L)
+      .as[Long].head() === 10L)
+    VersionLog.append(spark, dir,
+      Seq((5L, "a5", 50L, "p2")).toDF("k", "x", "w", "p")
+        .select($"k", struct($"x", $"w").as("s"), $"p").coalesce(1))
+    val got = VersionLog.read(spark, dir)
+      .select($"k", $"s.x", $"s.w")
+      .as[(Long, Option[String], Option[Long])].collect().toSet
+    assert(got === Set((1L, Some("a1"), Some(10L)),
+      (2L, Some("a2"), Some(20L)), (3L, None, None),
+      (5L, Some("a5"), Some(50L))))
+  }
+
+  test("renaming a PARENT struct carries its children's nested " +
+      "mappings: RENAME s.x -> y, then s -> t reads t.y") {
+    import spark.implicits._
+    val dir = seed()
+    VersionLog.alterRenameColumnCommit(spark, dir, "s.x", "y")
+    VersionLog.alterRenameColumnCommit(spark, dir, "s", "t")
+    val t = VersionLog.read(spark, dir)
+    assert(t.columns.toSeq === Seq("k", "t", "p"))
+    assert(t.select($"t.y").where($"k" === 2L)
+      .as[Long].head() === 20L)
+    // and a further nested rename under the NEW parent name works
+    VersionLog.alterRenameColumnCommit(spark, dir, "t.w", "label")
+    assert(VersionLog.read(spark, dir).select($"t.label")
+      .where($"k" === 1L).as[String].head() === "a1")
+  }
+
+  test("nested DDL guards: unknown segment, path through an array, " +
+      "rename to an existing sibling, dotted new name — all refuse " +
+      "loudly") {
+    import spark.implicits._
+    val dir = seed()
+    intercept[IllegalArgumentException] {
+      VersionLog.alterRenameColumnCommit(spark, dir, "s.nope", "y")
+    }
+    intercept[IllegalArgumentException] {
+      VersionLog.alterRenameColumnCommit(spark, dir, "s.x.deep", "y")
+    }
+    intercept[IllegalArgumentException] {
+      VersionLog.alterRenameColumnCommit(spark, dir, "s.x", "w")
+    }
+    intercept[IllegalArgumentException] {
+      VersionLog.alterRenameColumnCommit(spark, dir, "s.x", "a.b")
+    }
+    val adir = Files.createTempDirectory("nestedarr").toString
+    VersionLog.init(spark, adir,
+      Seq((1L, Seq((1L, "e")))).toDF("k", "ents")
+        .select($"k",
+          $"ents".cast("array<struct<b:bigint,l:string>>").as("ents"))
+        .coalesce(1))
+    val e = intercept[IllegalArgumentException] {
+      VersionLog.alterRenameColumnCommit(spark, adir, "ents.b", "q")
+    }
+    assert(e.getMessage.contains("array") ||
+      e.getMessage.contains("not a struct"), e.getMessage)
+  }
+
+  test("CHECK constraints RIDE a nested rename: the stored SQL " +
+      "rewrites s.x to its new path and keeps gating writes; nested " +
+      "DROP of a referenced field refuses") {
+    import spark.implicits._
+    val dir = seed()
+    VersionLog.addConstraintCommit(spark, dir, "pos_x",
+      "s.x IS NULL OR s.x > 0")
+    VersionLog.alterRenameColumnCommit(spark, dir, "s.x", "y")
+    val snap = VersionLog.snapshot(spark, dir, None)
+    val sql = snap.constraints.find(_._1 == "pos_x").get._2
+    assert(sql.contains("y") && !sql.matches(".*\\bx\\b.*"), sql)
+    // the rewritten constraint still gates: a violating append aborts
+    val bad = Seq((9L, "bad", -5L, "p1")).toDF("k", "w", "y", "p")
+      .select($"k", struct($"w", $"y").as("s"), $"p")
+    val e = intercept[IllegalArgumentException] {
+      VersionLog.append(spark, dir, bad.coalesce(1))
+    }
+    assert(e.getMessage.contains("pos_x"), e.getMessage)
+    // DROP of the (renamed) referenced field refuses while the
+    // constraint stands
+    val e2 = intercept[IllegalArgumentException] {
+      VersionLog.alterDropColumnCommit(spark, dir, "s.y")
+    }
+    assert(e2.getMessage.contains("pos_x"), e2.getMessage)
+  }
+
+  test("CDC replay ACROSS a nested rename: images written under the " +
+      "old nested name replay under the CURRENT one") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("nestedcdc").toString
+    def mk(k: Long, x: Long, w: String, p: String) =
+      Seq((k, (x, w), p)).toDF("k", "s", "p")
+        .select($"k", $"s".cast("struct<x:bigint,w:string>").as("s"),
+          $"p")
+    VersionLog.init(spark, dir, mk(1L, 10L, "a1", "p1")
+      .unionByName(mk(2L, 20L, "a2", "p2")),
+      partitionBy = Some("p")) // v1
+    VersionLog.mergeByKeyCdc(spark, dir, // v2: explicit feed, OLD name
+      mk(2L, 21L, "a2b", "p2"), "k", "p")
+    VersionLog.alterRenameColumnCommit(spark, dir, "s.x", "y") // v3
+    VersionLog.append(spark, dir, // v4: new name
+      Seq((3L, ("a3", 30L), "p1")).toDF("k", "s", "p")
+        .select($"k", $"s".cast("struct<w:string,y:bigint>").as("s"),
+          $"p"), partitionBy = Some("p"))
+    val feed = spark.read.format("graft-cdc").load(dir)
+    assert(feed.schema("s").dataType.asInstanceOf[StructType]
+      .fieldNames.toSet === Set("w", "y"),
+      "replayed images must surface the CURRENT nested names")
+    val opRank = when($"_op".isin("insert", "update_post"), 2)
+      .when($"_op" === "delete", 1).otherwise(lit(0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"k").orderBy($"_feed_batch".desc, opRank.desc)
+    val mirrored = feed.withColumn("_rn", row_number().over(w))
+      .filter($"_rn" === 1 && $"_op".isin("insert", "update_post"))
+      .select($"k", $"s.y", $"s.w")
+      .as[(Long, Long, String)].collect().toSet
+    assert(mirrored === Set((1L, 10L, "a1"), (2L, 21L, "a2b"),
+      (3L, 30L, "a3")))
+  }
+}

@@ -35,6 +35,13 @@ object Bench {
         .selectExpr("max(xxhash64(struct(*)))").collect()
       catch { case _: Throwable => }
     } catch { case _: Throwable => }
+    // BUILD vs PROBE: the index families deliberately appear twice —
+    // qN times the honest one-time BUILD+probe (q88 BM25, q76 IVF,
+    // q105 IVF+PQ, q102 near-dup index; q89 is a full corpus-assembly
+    // recipe), while the qNp twin times the amortized per-query PROBE
+    // behind the build's completion marker. The bench tail is
+    // {one-time build} + {cheap steady state}, not five hot queries —
+    // see COVERAGE.md "Bench-tail amortization".
     // Per-query: `reps` timed repeats, report the MEDIAN — single-shot
     // timings on a contended box vary up to 8x run-to-run (judge-measured)
     // and make round-over-round deltas meaningless. Failures are NEVER

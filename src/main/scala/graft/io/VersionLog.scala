@@ -937,6 +937,27 @@ object VersionLog {
     if (schemaEvolution) {
       val resolver = spark.sessionState.conf.resolver
       val decl = declaredSchema(spark, dir, snapshot(spark, dir, None))
+      // SAME-NAME type guard: a shared atomic column must be a
+      // lossless widening in ONE direction (source wider rides the
+      // footer-merge widen, source narrower upcasts into the batch).
+      // Without it a lossy pair (double source x long files) would
+      // coerce the touched partitions and leave the table's mixed
+      // footers unreadable — refuse before any file is written.
+      updates.schema.fields.foreach { f =>
+        decl.fields.find(d => resolver(d.name, f.name)).foreach { d =>
+          val atomic = !d.dataType.isInstanceOf[
+            org.apache.spark.sql.types.StructType] &&
+            !f.dataType.isInstanceOf[
+              org.apache.spark.sql.types.StructType]
+          if (atomic && d.dataType != f.dataType)
+            require(widensLosslessly(f.dataType, d.dataType) ||
+              widensLosslessly(d.dataType, f.dataType),
+              s"merge source column '${f.name}' arrives as " +
+                s"${f.dataType.simpleString} but the table declares " +
+                s"${d.dataType.simpleString} — neither is a lossless " +
+                "widening of the other; cast the source first")
+        }
+      }
       // resolve the tombstone predicate AGAINST THE SOURCE frame to
       // learn its column references (driver-only analysis, no job) —
       // Column expressions are lazy in Spark 4 (SqlExpression nodes),
@@ -1800,6 +1821,42 @@ object VersionLog {
       droppedPhys = (snap.droppedPhys :+ phys).distinct)
   }
 
+  /** The probe-verified LOSSLESS widening relation (narrow -> wide) —
+    * exactly what the Spark 4 vectorized parquet reader decodes
+    * natively from NARROW written files into the wide read schema:
+    * integral up-chain, byte/short/int -> double (exact under the
+    * 53-bit mantissa; long -> double is LOSSY and the reader refuses
+    * it — Catalyst's `Cast.canUpCast` wrongly calls it an upcast),
+    * float -> double, integral -> decimal with enough integer digits,
+    * decimal growth (scale and integer digits both non-decreasing),
+    * and date -> timestamp_ntz. Shared by [[alterColumnTypeCommit]]
+    * and the merge door's same-name type guard.
+    */
+  private[graft] def widensLosslessly(
+      old: org.apache.spark.sql.types.DataType,
+      newType: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    val ints = IndexedSeq[DataType](ByteType, ShortType, IntegerType,
+      LongType)
+    def digitsOf(t: DataType): Int = t match {
+      case ByteType => 3; case ShortType => 5
+      case IntegerType => 10; case LongType => 19; case _ => 0
+    }
+    (old, newType) match {
+      case (a, b) if ints.contains(a) && ints.contains(b) =>
+        ints.indexOf(b) > ints.indexOf(a)
+      case (FloatType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case (t, d: DecimalType) if ints.contains(t) =>
+        d.precision - d.scale >= digitsOf(t)
+      case (a: DecimalType, b: DecimalType) =>
+        b != a && b.scale >= a.scale &&
+          b.precision - b.scale >= a.precision - a.scale
+      case (DateType, TimestampNTZType) => true
+      case _ => false
+    }
+  }
+
   /** `ALTER TABLE ALTER COLUMN TYPE` as a METADATA-ONLY commit — type
     * WIDENING (Delta's type-widening feature, public protocol,
     * re-implemented): the declared type moves up the integral chain
@@ -1832,36 +1889,7 @@ object VersionLog {
       s"ALTER COLUMN TYPE $name: it is the partition column of $dir " +
         "(path-encoded); repartition through a rewriting overwrite")
     val old = field.dataType
-    val ints = IndexedSeq[DataType](ByteType, ShortType, IntegerType,
-      LongType)
-    def digitsOf(t: DataType): Int = t match {
-      case ByteType => 3; case ShortType => 5
-      case IntegerType => 10; case LongType => 19; case _ => 0
-    }
-    // accepted set = exactly what the Spark 4 vectorized parquet
-    // reader decodes natively from the NARROW written files into the
-    // wide read schema (probe-verified): integral up-chain,
-    // byte/short/int -> double (exact under the 53-bit mantissa;
-    // long -> double is lossy and the reader refuses it), float ->
-    // double, integral -> decimal with enough integer digits, decimal
-    // growth (scale and integer digits both non-decreasing), and
-    // date -> timestamp_ntz (midnight instants; stats stay exact —
-    // date boxes are unit-TAGGED and scale days -> micros at plan
-    // time, see the re-harvest below).
-    val widens = (old, newType) match {
-      case (a, b) if ints.contains(a) && ints.contains(b) =>
-        ints.indexOf(b) > ints.indexOf(a)
-      case (FloatType, DoubleType) => true
-      case (ByteType | ShortType | IntegerType, DoubleType) => true
-      case (t, d: DecimalType) if ints.contains(t) =>
-        d.precision - d.scale >= digitsOf(t)
-      case (a: DecimalType, b: DecimalType) =>
-        b != a && b.scale >= a.scale &&
-          b.precision - b.scale >= a.precision - a.scale
-      case (DateType, TimestampNTZType) => true
-      case _ => false
-    }
-    require(widens,
+    require(widensLosslessly(old, newType),
       s"ALTER COLUMN TYPE $name: $old -> $newType is not a widening " +
         "(integral up-chain, byte/short/int -> double, float -> " +
         "double, integral -> decimal with enough integer digits, " +

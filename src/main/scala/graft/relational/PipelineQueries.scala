@@ -2592,6 +2592,54 @@ object PipelineQueries {
           sum($"doc_id").as("sum_ids"))
         .orderBy($"lang")
     },
+    "q160_merge_widen" -> { (s, d) =>
+      import s.implicits._
+      // MERGE WITH SCHEMA EVOLUTION x TYPE WIDENING through the SQL
+      // keyword door: the source arrives WIDER on two axes — int
+      // where the target wrote tinyint (values past Byte.MaxValue),
+      // decimal(14,4) where it wrote decimal(10,2) — and the merge
+      // rides the same widen machinery as ALTER COLUMN TYPE: the
+      // batch lands wide, untouched partitions keep narrow footers,
+      // the footer merge widens the READ schema, no declared-schema
+      // rewrite. A lossy pair (e.g. double x long) refuses before any
+      // file is written (spec-pinned in VersionLogSpec). The oracle
+      // replays the update relationally in exact DECIMAL arithmetic —
+      // a truncated value, a lost scale, or a miscoerced partition
+      // cannot hash-match.
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.catalog.GraftCatalog].getName)
+      val dir = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft-mwiden-${Integer.toHexString(d.hashCode)}" +
+        s"-${ProcessHandle.current().pid()}"
+      buildOnce(dir) {
+        val docs = documents(s, d)
+        VersionLog.init(s, dir,
+          docs.select($"doc_id",
+            ($"n_chars" % 100).cast("tinyint").as("score"),
+            ($"n_chars" % 1000).cast("decimal(10,2)").as("price"),
+            $"lang"),
+          partitionBy = Some("lang"))
+        docs.filter($"lang" === "fr" && $"doc_id" % 17 === 0)
+          .select($"doc_id",
+            ($"n_chars" + 1000L).cast("int").as("score"),
+            (($"n_chars" * 7).cast("decimal(14,4)") +
+              lit("0.1234").cast("decimal(14,4)"))
+              .cast("decimal(14,4)").as("price"),
+            $"lang")
+          .createOrReplaceTempView("q160_source")
+        s.sql(
+          s"""MERGE WITH SCHEMA EVOLUTION INTO graft.`$dir` AS t
+              USING q160_source AS u ON t.doc_id = u.doc_id
+              WHEN MATCHED THEN UPDATE SET *
+              WHEN NOT MATCHED THEN INSERT *""")
+      }
+      VersionLog.read(s, dir)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"score").as("sum_score"),
+          sum($"price").cast("string").as("sum_price"))
+        .orderBy($"lang")
+    },
     "q146_cdc_replay" -> { (s, d) =>
       import s.implicits._
       // ALL-DOORS CHANGE-DATA-CAPTURE REPLAY: reconstruct the CURRENT
@@ -4421,6 +4469,25 @@ object PipelineQueries {
          SELECT lang, count(*) AS n_rows,
            CAST(sum(chars) AS BIGINT) AS sum_chars,
            CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         FROM finalstate GROUP BY lang ORDER BY lang""",
+    "q160_merge_widen" ->
+      """WITH upd AS (
+           SELECT doc_id, n_chars + 1000 AS score,
+             CAST(CAST(n_chars * 7 AS DECIMAL(14,4)) +
+                  CAST(0.1234 AS DECIMAL(14,4)) AS DECIMAL(14,4))
+               AS price, lang
+           FROM documents WHERE lang = 'fr' AND doc_id % 17 = 0),
+         finalstate AS (
+           SELECT d.doc_id, d.n_chars % 100 AS score,
+             CAST(CAST(d.n_chars % 1000 AS DECIMAL(10,2))
+               AS DECIMAL(14,4)) AS price, d.lang
+           FROM documents d
+           WHERE NOT EXISTS (SELECT 1 FROM upd u
+                             WHERE u.doc_id = d.doc_id)
+           UNION ALL SELECT doc_id, score, price, lang FROM upd)
+         SELECT lang, count(*) AS n_rows,
+           CAST(sum(score) AS BIGINT) AS sum_score,
+           CAST(sum(price) AS VARCHAR) AS sum_price
          FROM finalstate GROUP BY lang ORDER BY lang""",
     "q146_cdc_replay" ->
       """WITH finalstate AS (

@@ -239,7 +239,8 @@ private final case class GraftFile(status: FileStatus,
   * pushed partition filters against parsed `part=value` path segments
   * and the pushed data filters against the manifest/bloom sidecars.
   */
-private final class GraftFileIndex(spark: SparkSession, dir: String,
+private[graft] final class GraftFileIndex(spark: SparkSession,
+    dir: String,
     versionAsOf: Option[Long], bloomKey: Option[String],
     bloomLog2Bits: Int, bloomK: Int,
     acceptDeletes: Boolean = false,
@@ -627,7 +628,8 @@ private final class GraftFileIndex(spark: SparkSession, dir: String,
 
   override def refresh(): Unit = {
     filesPinned = resolve()
-    manifestCache = null
+    manifestChainCache = Map.empty
+    manifestExistsCache = null
     bloomCache = null
     batchStatsCache = null
   }
@@ -839,23 +841,55 @@ private final class GraftFileIndex(spark: SparkSession, dir: String,
   }
 
   /** Per-file (column -> [[ColStat]]) from the manifest sidecar,
-    * keyed by normalized path. Loaded lazily once per index instance
-    * (a file-count-sized driver map, the planner's working set) and
-    * invalidated by [[refresh]].
+    * keyed by normalized path. Loaded lazily PER PARTITION CHAIN
+    * ("p=a", "" for flat layouts) and invalidated by [[refresh]]: a
+    * partition-scoped probe on a 100k-file table reads only the
+    * matching manifest rows (the checkpoint-parquet form is already
+    * columnar on disk), never the whole file-count-sized map — the
+    * driver's working set follows the probe, not the table.
     */
-  @volatile private var manifestCache:
-      Option[Map[String, Map[String, ColStat]]] = null
+  @volatile private var manifestChainCache:
+      Map[String, Map[String, Map[String, ColStat]]] = Map.empty
+  @volatile private var manifestExistsCache: java.lang.Boolean = null
 
-  private def manifestStats: Option[Map[String, Map[String, ColStat]]] = {
-    if (manifestCache == null) manifestCache = loadManifest()
-    manifestCache
+  /** Manifest rows materialized on the driver by this index so far —
+    * the observable the partition-scoped loading is specced on.
+    */
+  private[graft] var manifestRowsLoaded: Long = 0L
+
+  private def manifestExists: Boolean = {
+    if (manifestExistsCache == null)
+      manifestExistsCache = fs.exists(new Path(base, "._manifest"))
+    manifestExistsCache
   }
 
-  private def loadManifest(): Option[Map[String, Map[String, ColStat]]] = {
+  /** The file's hive partition-segment chain ("p=a", "p=a/q=b", ""
+    * when flat) — the manifest slice key.
+    */
+  private def chainOf(f: GraftFile): String =
+    f.status.getPath.toUri.getPath.split("/").dropRight(1)
+      .filter(_.contains("=")).mkString("/")
+
+  private def manifestFor(chain: String):
+      Map[String, Map[String, ColStat]] =
+    manifestChainCache.getOrElse(chain, this.synchronized {
+      manifestChainCache.getOrElse(chain, {
+        val m = loadManifest(chain).getOrElse(Map.empty)
+        manifestChainCache = manifestChainCache + (chain -> m)
+        m
+      })
+    })
+
+  private def loadManifest(chain: String):
+      Option[Map[String, Map[String, ColStat]]] = {
     val p = new Path(base, "._manifest")
-    if (!fs.exists(p)) None
+    if (!manifestExists) None
     else {
-      val df = spark.read.parquet(p.toString)
+      val all = spark.read.parquet(p.toString)
+      val df =
+        if (chain.isEmpty) all
+        else all.filter(org.apache.spark.sql.functions.col("file")
+          .contains(s"/$chain/"))
       val statCols = df.schema.fieldNames
         .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
         .filter(c => df.schema.fieldNames.contains(s"max_$c"))
@@ -870,7 +904,9 @@ private final class GraftFileIndex(spark: SparkSession, dir: String,
         fieldTypeOf(c).contains(
           org.apache.spark.sql.types.TimestampNTZType)
       }.toSet
-      Some(df.collect().map { row =>
+      val rows = df.collect()
+      manifestRowsLoaded += rows.length
+      Some(rows.map { row =>
         val file = new Path(row.getAs[String]("file")).toUri.getPath
         val stats = statCols.map { c =>
           val mi = row.getAs[Any](s"min_$c")
@@ -896,9 +932,8 @@ private final class GraftFileIndex(spark: SparkSession, dir: String,
       dataFilters: Seq[Expression]): Seq[GraftFile] = {
     val tests = statsTests(dataFilters)
     if (tests.isEmpty) return files
-    val explicit = manifestStats.getOrElse(Map.empty)
     val auto = batchStatsMap
-    if (explicit.isEmpty && auto.isEmpty) return files
+    if (!manifestExists && auto.isEmpty) return files
     // COLUMN MAPPING: pushed names here are PHYSICAL, but an explicit
     // manifest rebuilt over the logical view (post-rename) keys on
     // LOGICAL names — fall back to the physical's logical alias when
@@ -931,7 +966,13 @@ private final class GraftFileIndex(spark: SparkSession, dir: String,
     files.filter { f =>
       val p = f.status.getPath.toUri.getPath
       // explicit manifest entries win per file (a post-layout rebuild
-      // may be fresher); write-time batch stats cover the rest
+      // may be fresher); write-time batch stats cover the rest. The
+      // manifest slice loads lazily per the file's PARTITION CHAIN —
+      // a partition-scoped probe never materializes the whole table's
+      // manifest on the driver.
+      val explicit =
+        if (manifestExists) manifestFor(chainOf(f))
+        else Map.empty[String, Map[String, ColStat]]
       explicit.get(p).orElse(auto.get(p)) match {
         case None => true // un-stat'd file: keep, conservatively
         case Some(byCol) => tests.forall { case (c, keep) =>

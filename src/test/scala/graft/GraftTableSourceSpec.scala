@@ -1204,6 +1204,47 @@ class GraftTableSourceSpec extends AnyFunSuite {
       "stale pre-drop manifest box misbound onto the reused name")
   }
 
+  test("manifest loading is PARTITION-SCOPED: a probe carrying a " +
+      "partition predicate materializes only the matching partition's " +
+      "manifest rows on the driver (spec on loaded-row counts); " +
+      "repeat probes hit the per-chain cache") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, GreaterThanOrEqual, LessThan, Literal}
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val dir = Files.createTempDirectory("gmanpart").toString
+    // 4 partitions x 3 files (disjoint x ranges per file)
+    def mk(lo: Long) = (0 until 4).flatMap(j =>
+      (0 until 10).map(i =>
+        (j * 1000L + lo + i, Seq("a", "b", "c", "d")(j))))
+      .toDF("x", "p").repartition(1)
+    VersionLog.init(spark, dir, mk(0), partitionBy = Some("p"))
+    VersionLog.append(spark, dir, mk(100), Some("p"))
+    VersionLog.append(spark, dir, mk(200), Some("p"))
+    Manifest.buildManifestFor(spark, dir,
+      VersionLog.read(spark, dir), Seq("x"))
+    val idx = new graft.sources.GraftFileIndex(spark, dir, None,
+      None, 16, 4)
+    assert(idx.manifestRowsLoaded === 0L)
+    val pAttr = AttributeReference("p", StringType)()
+    val xAttr = AttributeReference("x", LongType)()
+    val kept = idx.listFiles(Seq(EqualTo(pAttr, Literal("a"))),
+      Seq(GreaterThanOrEqual(xAttr, Literal(100L))))
+    assert(idx.manifestRowsLoaded === 3L,
+      "only partition a's manifest slice may materialize — a " +
+        "100k-file table's full map on the driver is the thing " +
+        "this path exists to avoid")
+    assert(kept.map(_.files.length).sum === 2,
+      "x >= 100 must box-prune partition a's first file")
+    // same chain again: served from the cache, zero further rows
+    idx.listFiles(Seq(EqualTo(pAttr, Literal("a"))),
+      Seq(LessThan(xAttr, Literal(50L))))
+    assert(idx.manifestRowsLoaded === 3L)
+    // a different partition adds only ITS slice
+    idx.listFiles(Seq(EqualTo(pAttr, Literal("b"))),
+      Seq(GreaterThanOrEqual(xAttr, Literal(1100L))))
+    assert(idx.manifestRowsLoaded === 6L)
+  }
+
   test("graft-cdc requireColumns: a consumer keyed on a column a " +
       "DROP made unmappable refuses LOUDLY naming the version; the " +
       "default consumer keeps its null-filled replay") {

@@ -621,6 +621,73 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(VersionLog.read(spark, dir, Some(10L)).count() === 10L)
   }
 
+  test("STRESS: DDL racers in the writer band — 6 appenders race a " +
+      "RENAMER and a RETYPER on one table; every append lands " +
+      "exactly once (blind appends rebase across metadata-only DDL: " +
+      "physical names never change), each DDL lands exactly once or " +
+      "aborts loudly, and the raced history resolves under whichever " +
+      "mapping won") {
+    import spark.implicits._
+    import graft.io.VersionLog
+    val dir = java.nio.file.Files
+      .createTempDirectory("stress-ddl").toString
+    VersionLog.init(spark, dir,
+      Seq((0L, "seed", 0, "a")).toDF("k", "v", "w", "p").coalesce(1),
+      partitionBy = Some("p"))
+    val appenders = 6
+    val pool =
+      java.util.concurrent.Executors.newFixedThreadPool(appenders + 2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val barrier = new java.util.concurrent.CyclicBarrier(appenders + 2)
+    def guarded(body: => Long):
+        scala.concurrent.Future[Either[Throwable, Long]] =
+      scala.concurrent.Future {
+        barrier.await(60, java.util.concurrent.TimeUnit.SECONDS)
+        try Right(body)
+        catch {
+          case e: java.util.ConcurrentModificationException => Left(e)
+        }
+      }
+    val appends = (1 to appenders).map { i =>
+      val df = Seq((i.toLong, s"w$i", i, "a"))
+        .toDF("k", "v", "w", "p").coalesce(1)
+      df.count() // materialize, then race the commits tightly
+      guarded(VersionLog.append(spark, dir, df, Some("p")))
+    }
+    val racers = appends :+
+      guarded(VersionLog
+        .alterRenameColumnCommit(spark, dir, "v", "label")) :+
+      guarded(VersionLog.alterColumnTypeCommit(spark, dir, "w",
+        org.apache.spark.sql.types.LongType))
+    val rs = scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(racers),
+      scala.concurrent.duration.Duration(300, "s"))
+    pool.shutdown()
+    // appends NEVER abort (blind-append rule: a metadata-only DDL
+    // interleave rewrites no file and retires no physical the batch
+    // carries)
+    assert(rs.take(appenders).forall(_.isRight),
+      s"an append aborted: ${rs.take(appenders)}")
+    val landed = rs.collect { case Right(v) => v }
+    assert(landed.distinct.size === landed.size,
+      s"two writers claimed one version: $landed")
+    assert(landed.forall(v => v >= 2L && v <= 9L), landed.toString)
+    val t = VersionLog.read(spark, dir)
+    // whichever name won, every appended row's value flows through it
+    val valueCol = if (t.columns.contains("label")) "label" else "v"
+    assert(t.select(col(valueCol)).as[String].collect().toSet ===
+      (Set("seed") ++ (1 to appenders).map(i => s"w$i")))
+    if (rs.last.isRight)
+      assert(t.schema("w").dataType ===
+        org.apache.spark.sql.types.LongType)
+    assert(t.selectExpr("sum(w)").as[Long].head() ===
+      (1 to appenders).sum.toLong)
+    // the raced history is healthy: every retained version resolves
+    VersionLog.listVersions(spark, dir).foreach(v =>
+      VersionLog.read(spark, dir, Some(v)).count())
+  }
+
   test("STRESS: contended rebase on a DEEP delta history — the vet " +
       "reads per-commit diffs (raw version JSON), so 4 racers over a " +
       "40-commit chain all land without resolving a snapshot per " +

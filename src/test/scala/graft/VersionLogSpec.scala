@@ -1598,6 +1598,71 @@ class VersionLogSpec extends AnyFunSuite {
     }
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION rides the widen machinery for " +
+      "SAME-NAME wider source columns: byte target x int source and " +
+      "decimal growth land with NO declared-schema change; the read " +
+      "schema widens via the footer merge; a lossy width refuses") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("vmw").toString
+    val init = Seq((1L, 1, "a", "1.25"), (2L, 2, "a", "2.50"))
+      .toDF("k", "score", "p", "price")
+      .select($"k", $"score".cast("tinyint").as("score"), $"p",
+        $"price".cast("decimal(10,2)").as("price"))
+    VersionLog.init(spark, dir, init, partitionBy = Some("p"))
+    val declBefore = VersionLog.snapshot(spark, dir, None).schemaJson
+    // the source arrives WIDER on both axes: int where the target
+    // wrote tinyint, decimal(14,4) where it wrote decimal(10,2) —
+    // values past the narrow ranges prove real decoding, not luck
+    val batch = Seq((2L, 70000, "a", "9999999999.1234"),
+      (3L, 1000, "a", "3.0001"))
+      .toDF("k", "score", "p", "price")
+      .select($"k", $"score".cast("int").as("score"), $"p",
+        $"price".cast("decimal(14,4)").as("price"))
+    VersionLog.mergeByKeyCdc(spark, dir, batch, "k", "p",
+      schemaEvolution = true)
+    // metadata-only on the schema side: the union coercion wrote the
+    // batch wide, the footer merge widens the READ schema — the same
+    // machinery ALTER COLUMN TYPE leans on
+    assert(VersionLog.snapshot(spark, dir, None).schemaJson ===
+      declBefore, "a same-name wider column must not rewrite the " +
+        "declared schema")
+    val t = VersionLog.read(spark, dir)
+    assert(t.schema("score").dataType === IntegerType)
+    assert(t.schema("price").dataType === DecimalType(14, 4))
+    val got = t.select($"k", $"score", $"price".cast("string"))
+      .as[(Long, Int, String)].collect().toSet
+    assert(got === Set((1L, 1, "1.2500"), (2L, 70000, "9999999999.1234"),
+      (3L, 1000, "3.0001")))
+    // untouched-partition files keep their narrow footers: add a 'b'
+    // row, merge a wider batch into 'a' only, then read both
+    VersionLog.append(spark, dir,
+      Seq((10L, 5, "b", "5.00")).toDF("k", "score", "p", "price")
+        .select($"k", $"score".cast("tinyint").as("score"), $"p",
+          $"price".cast("decimal(10,2)").as("price")),
+      partitionBy = Some("p"))
+    assert(VersionLog.read(spark, dir).where($"p" === "b")
+      .select($"score").as[Int].head() === 5)
+    // LOSSY pairs refuse BEFORE any file is written: a DOUBLE source
+    // where files hold LONG would coerce the touched partition and
+    // leave mixed footers unreadable — the guard names the column
+    val dir2 = Files.createTempDirectory("vmw2").toString
+    VersionLog.init(spark, dir2,
+      Seq((1L, 1L, "a")).toDF("k", "big", "p"),
+      partitionBy = Some("p"))
+    val before2 = VersionLog.snapshot(spark, dir2, None).version
+    val e = intercept[IllegalArgumentException] {
+      VersionLog.mergeByKeyCdc(spark, dir2,
+        Seq((2L, 1.5, "a")).toDF("k", "big", "p"), "k", "p",
+        schemaEvolution = true)
+    }
+    assert(e.getMessage.contains("lossless") &&
+      e.getMessage.contains("big"), e.getMessage)
+    assert(VersionLog.snapshot(spark, dir2, None).version === before2)
+    assert(VersionLog.read(spark, dir2).count() === 1L,
+      "the refused merge must leave the table readable and intact")
+  }
+
   test("rebase vet sees MANIFEST-ONLY interleaves: a DELETE WHERE " +
       "that folded pinned equality-delete manifests into its victim " +
       "rewrite aborts when a concurrent RESTORE removes those " +

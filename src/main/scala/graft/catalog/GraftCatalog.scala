@@ -134,7 +134,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!isTable(dir)) throw new NoSuchTableException(ident)
     val (declSchema, declPart) = readMeta(dir)
     new GraftTable(spark, dir, ident.toString, versionAsOf,
-      declSchema, declPart)
+      declSchema, declPart, readMetaProps(dir))
   }
 
   /** CREATE TABLE: persists the declared schema/partitioning as
@@ -157,15 +157,60 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
     partCol.foreach(c => require(schema.fieldNames.contains(c),
       s"partition column $c not in schema"))
+    fsFor(metaPath(dir)).mkdirs(new Path(dir))
+    // USER TBLPROPERTIES declared at CREATE persist in the meta file
+    // and SEED the version log on the first insert — silently
+    // dropping them would lose the table's own retention/checkpoint
+    // policy. Spark-reserved entries are not user properties.
+    val reserved =
+      Set("provider", "location", "owner", "comment", "external")
+    val userProps = properties.asScala.toSeq
+      .filterNot { case (k, _) =>
+        reserved(k) || k.startsWith("option.")
+      }.sortBy(_._1)
+    writeMeta(dir, schema, partCol, userProps, overwrite = false)
+    new GraftTable(spark, dir, ident.toString, None, Some(schema),
+      partCol, userProps)
+  }
+
+  /** The meta file's persisted USER properties (CREATE TABLE
+    * TBLPROPERTIES, pre-first-commit) — Nil once absent.
+    */
+  private def readMetaProps(dir: String): Seq[(String, String)] = {
     val p = metaPath(dir)
     val fs = fsFor(p)
-    fs.mkdirs(new Path(dir))
+    if (!fs.exists(p)) Nil
+    else {
+      val in = fs.open(p)
+      val bytes = try in.readAllBytes() finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new String(bytes,
+          java.nio.charset.StandardCharsets.UTF_8))
+      Option(node.get("props")).toSeq.flatMap(
+        _.fields().asScala.map(e => (e.getKey, e.getValue.asText))
+          .toSeq)
+    }
+  }
+
+  private def writeMeta(dir: String, schema: StructType,
+      partCol: Option[String], props: Seq[(String, String)],
+      overwrite: Boolean): Unit = {
+    def esc(x: String) = x.replace("\\", "\\\\")
+      .replace("\"", "\\\"")
+    val propsJson =
+      if (props.isEmpty) ""
+      else props.map { case (k, v) =>
+        "\"" + esc(k) + "\":\"" + esc(v) + "\""
+      }.mkString(""","props":{""", ",", "}")
+    val p = metaPath(dir)
+    val fs = fsFor(p)
     val json = s"""{"schema":${schema.json},""" +
-      s""""partCol":${partCol.fold("null")(c => "\"" + c + "\"")}}"""
-    val out = fs.create(p, false)
-    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      s""""partCol":${partCol.fold("null")(c => "\"" + c + "\"")}""" +
+      propsJson + "}"
+    val out = fs.create(p, overwrite)
+    try out.write(json.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    new GraftTable(spark, dir, ident.toString, None, Some(schema), partCol)
   }
 
   private def readMeta(dir: String):
@@ -229,17 +274,19 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case _: TableChange.SetProperty | _: TableChange.RemoveProperty =>
         () // handled above, one commit for the statement
       case add: TableChange.AddColumn =>
-        require(add.fieldNames.length == 1,
-          "graft tables support only top-level ADD COLUMN, got: " +
-            add.fieldNames.mkString("."))
         require(add.position == null,
           "graft ADD COLUMN appends at the end; FIRST/AFTER are not " +
             "supported (column order is declared order)")
-        val name = add.fieldNames.head
+        val name = add.fieldNames.mkString(".")
         if (VersionLog.listVersions(spark, dir).nonEmpty)
           VersionLog.alterAddColumnCommit(spark, dir, name,
             add.dataType, add.isNullable)
-        appendDeclaredColumn(dir, name, add.dataType)
+        if (add.fieldNames.length == 1)
+          appendDeclaredColumn(dir, add.fieldNames.head, add.dataType)
+        else
+          rewriteDeclaredSchema(dir, s =>
+            VersionLog.addInSchema(s,
+              resolveMetaPath(s, add.fieldNames), add.dataType))
       // RENAME/DROP/ALTER TYPE accept NESTED paths (`s.x`): the
       // version-log doors resolve each segment against the declared
       // schema and refuse paths through array/map element types; the
@@ -306,14 +353,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       f: StructType => StructType): Unit = {
     val (schemaOpt, partCol) = readMeta(dir)
     schemaOpt.foreach { schema =>
-      val next = f(schema)
-      val p = metaPath(dir)
-      val fs = fsFor(p)
-      val json = s"""{"schema":${next.json},""" +
-        s""""partCol":${partCol.fold("null")(c => "\"" + c + "\"")}}"""
-      val out = fs.create(p, true)
-      try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
+      writeMeta(dir, f(schema), partCol, readMetaProps(dir),
+        overwrite = true)
     }
   }
 
@@ -331,13 +372,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
         s"column $name already declared on $dir")
       val widened = StructType(schema.fields :+
         org.apache.spark.sql.types.StructField(name, dataType))
-      val p = metaPath(dir)
-      val fs = fsFor(p)
-      val json = s"""{"schema":${widened.json},""" +
-        s""""partCol":${partCol.fold("null")(c => "\"" + c + "\"")}}"""
-      val out = fs.create(p, true)
-      try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
+      writeMeta(dir, widened, partCol, readMetaProps(dir),
+        overwrite = true)
     }
   }
 

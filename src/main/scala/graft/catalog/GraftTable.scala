@@ -35,7 +35,8 @@ import graft.sources.GraftTableSource
   */
 final class GraftTable(spark: SparkSession, val dir: String,
     identName: String, val versionAsOf: Option[Long],
-    declaredSchema: Option[StructType], declaredPartCol: Option[String])
+    declaredSchema: Option[StructType], declaredPartCol: Option[String],
+    declaredProps: Seq[(String, String)] = Nil)
     extends Table with SupportsWrite {
 
   /** Live = at least one committed version. Checked per call site so
@@ -130,7 +131,7 @@ final class GraftTable(spark: SparkSession, val dir: String,
     val persisted =
       if (exists)
         VersionLog.snapshot(spark, dir, versionAsOf).properties.toMap
-      else Map.empty[String, String]
+      else declaredProps.toMap // CREATE-declared, pre-first-commit
     (persisted ++
       Map("location" -> dir, "provider" -> "graft")).asJava
   }
@@ -184,9 +185,13 @@ final class GraftTable(spark: SparkSession, val dir: String,
                 require(replaceValues.isEmpty,
                   s"cannot partition-overwrite an empty table ($dir)")
                 // root the DECLARED column order in the snapshot so
-                // the schema survives independent of file footers
+                // the schema survives independent of file footers;
+                // CREATE-declared TBLPROPERTIES seed the first commit
                 VersionLog.init(spark, dir, data, pb,
-                  schemaJson = declaredSchema.map(_.json))
+                  schemaJson = declaredSchema.map(_.json),
+                  properties =
+                    if (declaredProps.nonEmpty) Some(declaredProps)
+                    else None)
               } else replaceValues match {
                 case Some(vals) =>
                   VersionLog.overwritePartitions(spark, dir, data,

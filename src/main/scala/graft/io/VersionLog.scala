@@ -370,6 +370,24 @@ object VersionLog {
     }.collectFirst { case Some(p) => p }.getOrElse(logical)
   }
 
+  /** Does `dt` contain the dotted rel path (struct walk)? Guards the
+    * struct rebuild: a raw batch written BEFORE a nested re-add lacks
+    * the fresh `#v` leaf, and a `withField` over a missing source
+    * would fail analysis — the move simply does not apply to that
+    * frame (same contract as a missing top-level mapped column).
+    */
+  private def hasPath(dt: org.apache.spark.sql.types.DataType,
+      rel: String): Boolean = {
+    import org.apache.spark.sql.types.StructType
+    rel.split("\\.").foldLeft(Option(dt)) { (cur, seg) =>
+      cur.flatMap {
+        case st: StructType =>
+          st.fields.find(_.name == seg).map(_.dataType)
+        case _ => None
+      }
+    }.isDefined
+  }
+
   /** Rebuild a struct column: drop the `drops` rel paths and move
     * each `(from, to)` rel path. UpdateFields-based (`dropFields`/
     * `withField`) — the ONE formulation that both preserves null
@@ -393,11 +411,19 @@ object VersionLog {
     * and no intermediate expression is ever field-less (UpdateFields
     * refuses to drop the last field; every drop here follows an add).
     */
+  /** Backtick-quote every segment of a rel path for the UpdateFields
+    * doors (`withField`/`dropFields` PARSE their name argument, and a
+    * fresh-minted `#v` physical leaf is not a bare identifier).
+    */
+  private def quotedRel(rel: String): String =
+    rel.split("\\.").map(s => "`" + s.replace("`", "``") + "`")
+      .mkString(".")
+
   private def rebuildStruct(orig: Column, drops: Seq[String],
       moves: Seq[(String, String)]): Column = {
     var e = orig
     val (leafDrops, deepDrops) = drops.partition(!_.contains('.'))
-    leafDrops.distinct.foreach(d => e = e.dropFields(d))
+    leafDrops.distinct.foreach(d => e = e.dropFields(quotedRel(d)))
     // an op under a dropped parent died with it (the DDL maintenance
     // removes such mappings; this is belt and braces)
     val gone = leafDrops.toSet
@@ -417,7 +443,7 @@ object VersionLog {
         case (_, Right((f, t))) =>
           (f.drop(h.length + 1), t.drop(headSeg(t).length + 1))
       }
-      e = e.withField(h,
+      e = e.withField(quotedRel(h),
         rebuildStruct(orig.getField(h), childDrops, childMoves))
     }
     // leaf renames: capture every source value from the deep-rebuilt
@@ -425,11 +451,13 @@ object VersionLog {
     // two-phase through temp names (add-before-drop throughout)
     val vals = leafMoves.map { case (f, _) => e.getField(f) }
     leafMoves.zip(vals).foreach { case ((f, t), v) =>
-      e = e.withField(s"__graft_mv_$t", v).dropFields(f)
+      e = e.withField(quotedRel(s"__graft_mv_$t"), v)
+        .dropFields(quotedRel(f))
     }
     leafMoves.foreach { case (_, t) =>
       val tmp = s"__graft_mv_$t"
-      e = e.withField(t, e.getField(tmp)).dropFields(tmp)
+      e = e.withField(quotedRel(t), e.getField(tmp))
+        .dropFields(quotedRel(tmp))
     }
     e
   }
@@ -463,11 +491,12 @@ object VersionLog {
       val out = df.columns.toIndexedSeq.flatMap { c =>
         val drops = nestedDropped.filter(headSeg(_) == c)
           .map(_.drop(c.length + 1))
+        val ct = df.schema(c).dataType
         val moves = nestedMap.filter(e => headSeg(e._2) == c).map {
           case (log, phys) =>
             (phys.drop(c.length + 1),
               log.drop(headSeg(log).length + 1))
-        }
+        }.filter { case (from, _) => hasPath(ct, from) }
         val base =
           if (drops.isEmpty && moves.isEmpty) col(c)
           else relocated(c, drops, moves)
@@ -499,7 +528,8 @@ object VersionLog {
           case (log, phys) =>
             (log.drop(c.length + 1),
               phys.drop(headSeg(phys).length + 1))
-        }
+        }.filter { case (from, _) => hasPath(df.schema(c).dataType,
+          from) }
         val base =
           if (moves.isEmpty) col(c) else relocated(c, Nil, moves)
         base.as(logToPhys.getOrElse(c, c))
@@ -843,12 +873,13 @@ object VersionLog {
   def init(spark: SparkSession, dir: String, df: DataFrame,
       partitionBy: Option[String] = None,
       actionTag: String = "init",
-      schemaJson: Option[String] = None): Long = {
+      schemaJson: Option[String] = None,
+      properties: Option[Seq[(String, String)]] = None): Long = {
     require(listVersions(spark, dir).isEmpty,
       s"$dir already has a version log; commit against it instead")
     val files = writeBatch(spark, dir, df, partitionBy, 1L)
     commit(spark, dir, parent = 0L, action = actionTag, files = files,
-      schemaJson = schemaJson)
+      schemaJson = schemaJson, properties = properties)
   }
 
   /** Write a data batch under `data/b-<version>-<uuid>/` and return
@@ -1500,31 +1531,72 @@ object VersionLog {
   def alterAddColumnCommit(spark: SparkSession, dir: String,
       name: String, dataType: org.apache.spark.sql.types.DataType,
       nullable: Boolean = true): Long = {
+    import org.apache.spark.sql.types.{StructField, StructType}
     require(nullable,
       s"ADD COLUMN $name: new columns must be nullable (existing " +
         "rows have no value for them)")
     val snap = snapshot(spark, dir, None)
-    val current = read(spark, dir).schema
-    require(!current.fieldNames.exists(
-        spark.sessionState.conf.resolver(_, name)),
-      s"column $name already exists on $dir")
-    // the new column's PHYSICAL name: its own name unless that name
-    // is already claimed by a renamed column's physical or was
-    // retired by a DROP — old bytes under a reused physical name
-    // would silently leak into the re-added column (the reason Delta
-    // column mapping assigns fresh physical ids)
-    val takenPhys = current.fieldNames.map(physicalOf(snap, _)).toSet ++
-      snap.droppedPhys
-    val colMap =
-      if (!takenPhys.contains(name)) snap.colMap
-      else snap.colMap :+ (name -> s"$name#v${snap.version + 1}")
-    val widened = org.apache.spark.sql.types.StructType(
-      current.fields :+
-        org.apache.spark.sql.types.StructField(name, dataType))
-    commit(spark, dir, snap.version, s"add-column-$name", snap.files,
-      deletes = snap.deletes, constraints = snap.constraints,
-      schemaJson = Some(widened.json), parentFiles = Some(snap.files),
-      colMap = colMap, droppedPhys = snap.droppedPhys)
+    val resolver = spark.sessionState.conf.resolver
+    if (!name.contains('.')) {
+      val current = read(spark, dir).schema
+      require(!current.fieldNames.exists(resolver(_, name)),
+        s"column $name already exists on $dir")
+      // the new column's PHYSICAL name: its own name unless that name
+      // is already claimed by a renamed column's physical or was
+      // retired by a DROP — old bytes under a reused physical name
+      // would silently leak into the re-added column (the reason
+      // Delta column mapping assigns fresh physical ids)
+      val takenPhys = current.fieldNames.map(physicalOf(snap, _))
+        .toSet ++ snap.droppedPhys
+      val colMap =
+        if (!takenPhys.contains(name)) snap.colMap
+        else snap.colMap :+ (name -> s"$name#v${snap.version + 1}")
+      val widened = StructType(current.fields :+
+        StructField(name, dataType))
+      commit(spark, dir, snap.version, s"add-column-$name", snap.files,
+        deletes = snap.deletes, constraints = snap.constraints,
+        schemaJson = Some(widened.json), parentFiles = Some(snap.files),
+        colMap = colMap, droppedPhys = snap.droppedPhys)
+    } else {
+      // NESTED add (`ALTER TABLE … ADD COLUMNS (s.newfield T)`): the
+      // PARENT path must resolve to a struct; the new field lands at
+      // the END of it, metadata-only (existing rows read NULL — the
+      // parquet reader null-fills a requested nested field the file
+      // lacks, exactly like a top-level add)
+      val decl = declaredSchema(spark, dir, snap)
+      val segs = name.split("\\.").toSeq
+      val (parentPath, parentField) = resolvePath(spark, decl,
+        segs.dropRight(1).mkString("."), "ADD COLUMN", dir)
+      val parentSt = parentField.dataType match {
+        case st: StructType => st
+        case other => throw new IllegalArgumentException(
+          s"ADD COLUMN $name: '$parentPath' is $other, not a struct")
+      }
+      val leaf = segs.last
+      require(!parentSt.fieldNames.exists(resolver(_, leaf)),
+        s"ADD COLUMN: field '$leaf' already exists under " +
+          s"'$parentPath' on $dir")
+      val logical = s"$parentPath.$leaf"
+      // re-add safety, nested edition: the natural physical path may
+      // be retired (DROP s.x history) or claimed by a renamed
+      // sibling's physical — mint a fresh `#v` leaf in either case
+      val parentPhys = physicalOf(snap, parentPath)
+      val natural = s"$parentPhys.$leaf"
+      val takenPhys = snap.droppedPhys.toSet ++
+        parentSt.fieldNames.map(f => physicalOf(snap, s"$parentPath.$f"))
+      val colMap =
+        if (!takenPhys.contains(natural)) snap.colMap
+        else snap.colMap :+
+          (logical -> s"$parentPhys.$leaf#v${snap.version + 1}")
+      val widened = updateParentStruct(decl,
+        parentPath.split("\\.").toSeq, st =>
+          StructType(st.fields :+ StructField(leaf, dataType)))
+      commit(spark, dir, snap.version,
+        s"add-column-${name.replace('.', '_')}", snap.files,
+        deletes = snap.deletes, constraints = snap.constraints,
+        schemaJson = Some(widened.json), parentFiles = Some(snap.files),
+        colMap = colMap, droppedPhys = snap.droppedPhys)
+    }
   }
 
   /** The physical (on-file) path of a logical column or dotted path.
@@ -1630,6 +1702,17 @@ object VersionLog {
     val segs = path.split("\\.").toSeq
     updateParentStruct(decl, segs.dropRight(1), st =>
       StructType(st.fields.filterNot(_.name == segs.last)))
+  }
+
+  private[graft] def addInSchema(
+      decl: org.apache.spark.sql.types.StructType, path: String,
+      t: org.apache.spark.sql.types.DataType):
+      org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val segs = path.split("\\.").toSeq
+    updateParentStruct(decl, segs.dropRight(1), st =>
+      if (st.fieldNames.contains(segs.last)) st
+      else StructType(st.fields :+ StructField(segs.last, t)))
   }
 
   private[graft] def retypeInSchema(
@@ -2637,7 +2720,11 @@ object VersionLog {
     commit(spark, dstDir, parent = 0L, action = "clone",
       files = snap.files, deletes = snap.deletes,
       constraints = snap.constraints, schemaJson = snap.schemaJson,
-      colMap = snap.colMap, droppedPhys = snap.droppedPhys)
+      colMap = snap.colMap, droppedPhys = snap.droppedPhys,
+      // the clone inherits the source's TBLPROPERTIES (Delta's
+      // CLONE semantics — retention/checkpoint policy travels with
+      // the table, not the operator)
+      properties = Some(snap.properties))
   }
 
   /** COMPACTION as a commit: bin-pack each over-fragmented partition

@@ -1128,6 +1128,30 @@ class GraftCatalogSpec extends AnyFunSuite {
       Map("graft.retentionHours" -> "1000000"))
   }
 
+  test("CREATE TABLE ... TBLPROPERTIES persists the declared " +
+      "properties: visible before the first commit, SEEDED into the " +
+      "version log by the first INSERT, inherited by later commits") {
+    import spark.implicits._
+    warehouse
+    spark.sql("CREATE TABLE graft.tprops (k BIGINT, p STRING) " +
+      "PARTITIONED BY (p) TBLPROPERTIES (" +
+      "'graft.retentionHours'='48', 'team'='nlp')")
+    // declared-but-empty: the properties already surface
+    val declared = spark.sql("SHOW TBLPROPERTIES graft.tprops")
+      .as[(String, String)].collect().toMap
+    assert(declared.get("team") === Some("nlp"))
+    assert(declared.get("graft.retentionHours") === Some("48"))
+    // first INSERT bootstraps the log WITH the declared properties
+    spark.sql("INSERT INTO graft.tprops VALUES (1, 'a')")
+    val dir = s"$warehouse/tprops"
+    assert(VersionLog.snapshot(spark, dir, None).properties.toMap ===
+      Map("graft.retentionHours" -> "48", "team" -> "nlp"))
+    // and later commits inherit
+    spark.sql("INSERT INTO graft.tprops VALUES (2, 'b')")
+    assert(VersionLog.tableProperty(spark, dir, "team") ===
+      Some("nlp"))
+  }
+
   test("VACUUM honors the TABLE's own retention property when no " +
       "RETAIN clause is given; an explicit clause overrides it") {
     import spark.implicits._

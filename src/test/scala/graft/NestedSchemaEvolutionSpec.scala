@@ -257,6 +257,56 @@ class NestedSchemaEvolutionSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("pos_x"), e2.getMessage)
   }
 
+  test("nested ADD COLUMN s.extra: metadata-only, existing rows read " +
+      "NULL, writes populate; a re-ADD of a dropped nested name gets " +
+      "a FRESH physical identity so old bytes never resurface; the " +
+      "SQL door spells it ADD COLUMNS (s.more STRING)") {
+    import spark.implicits._
+    val dir = seed() // s{x:bigint, w:string}
+    VersionLog.alterAddColumnCommit(spark, dir, "s.extra", LongType)
+    val t = VersionLog.read(spark, dir)
+    assert(t.schema("s").dataType === StructType(Seq(
+      StructField("x", LongType), StructField("w", StringType),
+      StructField("extra", LongType))))
+    assert(t.select($"s.extra").as[Option[Long]].collect().toSet ===
+      Set(None), "existing rows read the new nested field as NULL")
+    VersionLog.append(spark, dir,
+      Seq((4L, 40L, "a4", 99L, "p2")).toDF("k", "x", "w", "extra", "p")
+        .select($"k", struct($"x", $"w", $"extra").as("s"), $"p")
+        .coalesce(1))
+    assert(VersionLog.read(spark, dir).where($"k" === 4L)
+      .select($"s.extra").as[Long].head() === 99L)
+    // RE-ADD: drop s.x, add s.x back — the natural physical path is
+    // retired, so the re-add mints a fresh `#v` leaf and the old
+    // bytes (10, 20, 40) can never resurface under the new name
+    VersionLog.alterDropColumnCommit(spark, dir, "s.x")
+    VersionLog.alterAddColumnCommit(spark, dir, "s.x", LongType)
+    assert(VersionLog.read(spark, dir).select($"s.x")
+      .as[Option[Long]].collect().toSet === Set(None),
+      "re-added nested field must NOT leak the dropped bytes")
+    VersionLog.append(spark, dir,
+      Seq((5L, "a5", 0L, 7L, "p1")).toDF("k", "w", "extra", "x", "p")
+        .select($"k", struct($"w", $"extra", $"x").as("s"), $"p")
+        .coalesce(1))
+    val t2 = VersionLog.read(spark, dir)
+    assert(t2.where($"k" === 5L).select($"s.x").as[Long].head() === 7L)
+    assert(t2.where($"k" === 1L).select($"s.x".isNull)
+      .as[Boolean].head())
+    // SQL door
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMNS (s.more STRING)")
+    assert(VersionLog.read(spark, dir).schema("s").dataType
+      .asInstanceOf[StructType].fieldNames.contains("more"))
+    // guards: duplicate field, non-struct parent
+    intercept[IllegalArgumentException] {
+      VersionLog.alterAddColumnCommit(spark, dir, "s.extra", LongType)
+    }
+    intercept[IllegalArgumentException] {
+      VersionLog.alterAddColumnCommit(spark, dir, "k.sub", LongType)
+    }
+  }
+
   test("CDC replay ACROSS a nested rename: images written under the " +
       "old nested name replay under the CURRENT one") {
     import spark.implicits._

@@ -784,10 +784,16 @@ class VersionLogSpec extends AnyFunSuite {
       "other") {
     import spark.implicits._
     val src = seed()
+    VersionLog.setTablePropertiesCommit(spark, src,
+      Seq("graft.retentionHours" -> "24"))
     val dst = Files.createTempDirectory("vclone").toString + "/t"
     val v = VersionLog.cloneTable(spark, src, dst)
     assert(v === 1L)
     assert(VersionLog.snapshot(spark, dst, None).action === "clone")
+    // the clone carries the source's TBLPROPERTIES (policy travels
+    // with the table)
+    assert(VersionLog.tableProperty(spark, dst,
+      "graft.retentionHours") === Some("24"))
     val original = rows(VersionLog.read(spark, src))
     assert(rows(VersionLog.read(spark, dst)) === original)
     // zero-copy: every cloned file is the SAME bytes (a hard link —

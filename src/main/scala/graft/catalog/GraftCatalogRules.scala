@@ -300,10 +300,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
                 case other => throw new IllegalArgumentException(
                   s"UPDATE SET target must be a column, got: $other")
               }
-              require(bare.nameParts.length == 1,
-                s"UPDATE SET target '${k.sql}' is a struct field; " +
-                  "only top-level columns are assignable")
-              (bare.nameParts.head, stripQualifiers(v, quals).sql)
+              // dotted targets (`SET s.x = e`) pass through whole:
+              // the door rewrites them into one withField-based
+              // struct assignment per head
+              (bare.nameParts.mkString("."),
+                stripQualifiers(v, quals).sql)
             case a => throw new IllegalArgumentException(
               s"UPDATE SET target must be a column, got: ${a.sql}")
           }

@@ -2430,11 +2430,46 @@ object VersionLog {
     for (i <- sets.indices; j <- i + 1 until sets.size)
       require(!resolver(sets(i)._1, sets(j)._1),
         s"duplicate assignment target '${sets(j)._1}'")
+    // NESTED targets (`SET s.x = e`) rewrite into ONE whole-struct
+    // assignment per head via withField — UpdateFields semantics:
+    // null parents stay null, sibling fields carry, and every value
+    // still evaluates against the OLD row (the one-projection
+    // contract below). Ancestor/descendant or struct-and-leaf mixes
+    // are ambiguous and refuse; paths through arrays/maps refuse in
+    // resolvePath.
+    val declU = declaredSchema(spark, dir, snap)
+    val (nested0, topSets) = sets.partition(_._1.contains('.'))
+    val nested = nested0.map { case (path0, e) =>
+      val (path, field) = resolvePath(spark, declU, path0,
+        "UPDATE SET", dir)
+      require(!topSets.exists(t => resolver(t._1, headSeg(path))),
+        s"UPDATE SET assigns both '$path0' and its whole struct " +
+          s"'${headSeg(path)}' — ambiguous")
+      (path, field, e)
+    }
+    for (i <- nested.indices; j <- i + 1 until nested.size) {
+      val a = nested(i)._1; val b = nested(j)._1
+      require(a != b && !a.startsWith(b + ".") &&
+          !b.startsWith(a + "."),
+        s"UPDATE SET: conflicting nested targets '$a' and '$b'")
+    }
+    val sets1 = topSets ++ nested.groupBy(n => headSeg(n._1)).toSeq
+      .sortBy(_._1).map { case (h, ns) =>
+        val structExpr = ns.foldLeft(col(h)) {
+          case (acc, (p, f, e)) =>
+            acc.withField(
+              p.split("\\.").drop(1)
+                .map(sg => "`" + sg.replace("`", "``") + "`")
+                .mkString("."),
+              e.cast(f.dataType))
+        }
+        (h, structExpr)
+      }
     // partition columns come from DIRECTORY segments only — a data
     // file whose basename contains '=' must not be misparsed as one
     val partCols = snap.files.flatMap(_.split("/").dropRight(1)
       .filter(_.contains("=")).map(_.split("=", 2)(0))).distinct
-    sets.foreach { case (c, _) =>
+    sets1.foreach { case (c, _) =>
       require(!partCols.exists(resolver(_, c)),
         s"UPDATE SET on partition column '$c' is a row move between " +
           "partitions: use MERGE INTO")
@@ -2442,7 +2477,7 @@ object VersionLog {
     // assignments and predicates bind LOGICAL names
     val raw = toLogicalView(readFiles(spark, dir, snap.files), snap)
     val schema = raw.schema
-    sets.foreach { case (c, _) =>
+    sets1.foreach { case (c, _) =>
       require(schema.fieldNames.exists(resolver(_, c)),
         s"UPDATE SET: no column '$c' on $dir " +
           s"(have ${schema.fieldNames.mkString(",")})")
@@ -2450,7 +2485,7 @@ object VersionLog {
     val manifestKeys = deleteManifestFrame(spark, dir, snap)
     manifestKeys.foreach { k =>
       val kc = k.columns.head
-      sets.foreach { case (c, _) =>
+      sets1.foreach { case (c, _) =>
         require(!resolver(c, kc),
           s"UPDATE SET on '$c' while equality-delete manifests key " +
             s"on '$kc': a reassigned key could be silently swallowed " +
@@ -2474,7 +2509,7 @@ object VersionLog {
     // once for the first offending row (error path only).
     val projection: DataFrame => DataFrame = df => df.select(
       df.schema.fields.map { f =>
-        sets.find(s => resolver(s._1, f.name)) match {
+        sets1.find(s => resolver(s._1, f.name)) match {
           case Some((_, e)) =>
             when(hit, e.cast(f.dataType)).otherwise(col(f.name))
               .as(f.name)
@@ -2552,7 +2587,7 @@ object VersionLog {
         vetPinnedManifestsIntact(dir, "UPDATE", snap, inter)
         deleteManifestFrame(spark, dir, latest).foreach { k =>
           val kc = k.columns.head
-          sets.foreach { case (c, _) =>
+          sets1.foreach { case (c, _) =>
             if (resolver(c, kc))
               throw new java.util.ConcurrentModificationException(
                 s"UPDATE at $dir cannot rebase: a concurrent commit " +

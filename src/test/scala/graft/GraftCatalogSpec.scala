@@ -1057,7 +1057,8 @@ class GraftCatalogSpec extends AnyFunSuite {
 
   test("DML qualifier handling: struct-field predicates survive (only " +
       "the table alias is stripped, a struct leaf never rebinds to a " +
-      "same-named top-level column), struct-field SET refuses loudly") {
+      "same-named top-level column), struct-field SET updates the " +
+      "LEAF in place") {
     import spark.implicits._
     warehouse
     // top-level `ts` deliberately DISAGREES with the struct leaf
@@ -1080,13 +1081,14 @@ class GraftCatalogSpec extends AnyFunSuite {
       .as[Long].head() === 7L)
     assert(spark.sql("SELECT ts FROM graft.sq1 WHERE k = 3")
       .as[Long].head() === 100L)
-    // struct-field assignment target: refused loudly, nothing commits
-    val before = VersionLog.listVersions(spark, s"$warehouse/sq1")
-    val e = intercept[Exception] {
-      spark.sql("UPDATE graft.sq1 SET meta.ts = 9 WHERE k = 2")
-    }
-    assert(e.getMessage.contains("struct field"), e.getMessage)
-    assert(VersionLog.listVersions(spark, s"$warehouse/sq1") === before)
+    // struct-field assignment target (r17): updates the LEAF in
+    // place — sibling fields carry, the TOP-LEVEL same-named column
+    // is untouched (the leaf never rebinds)
+    spark.sql("UPDATE graft.sq1 SET meta.ts = 9 WHERE k = 2")
+    assert(spark.sql(
+        "SELECT ts, meta.ts, meta.tag FROM graft.sq1 WHERE k = 2")
+      .as[(Long, Long, String)].head() === ((7L, 9L, "new")),
+      "leaf updated, sibling and same-named top-level column intact")
   }
 
   test("SET/UNSET TBLPROPERTIES persist as metadata-only commits: " +

@@ -1204,6 +1204,34 @@ class GraftTableSourceSpec extends AnyFunSuite {
       "stale pre-drop manifest box misbound onto the reused name")
   }
 
+  test("explicit manifest rebuilt AFTER a nested rename (dotted " +
+      "logical keys) still prunes the physical-path probe: the alias " +
+      "resolves the full dotted entry — executed numFiles") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("gmannest").toString
+    def batch(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, i, s"r$i")).toDF("id", "x", "v")
+        .select($"id", struct($"x", $"v").as("s")).coalesce(1)
+    VersionLog.init(spark, dir, batch(0, 100))
+    VersionLog.append(spark, dir, batch(100, 200))
+    VersionLog.append(spark, dir, batch(200, 300))
+    VersionLog.alterRenameColumnCommit(spark, dir, "s.x", "y")
+    // the user rebuilds the manifest over the LOGICAL view keyed on
+    // the DOTTED logical path: entries land as min_s.y/max_s.y while
+    // the pushed physical probe binds s.x — only the full-dotted
+    // alias (exact colMap entry) connects them, and explicit entries
+    // MASK the write-time batch stats per file, so a missed alias
+    // would mean a full scan
+    Manifest.buildManifestFor(spark, dir,
+      VersionLog.read(spark, dir), Seq("s.y"))
+    val t = VersionLog.read(spark, dir)
+    val sel = t.filter($"s.y" >= 150L && $"s.y" < 160L).select($"s.y")
+    assert(sel.as[Long].collect().toSet === (150L until 160L).toSet)
+    assert(scanNumFiles(sel) === 1L,
+      "a nested-renamed leaf's range must still open exactly the " +
+        "covering batch")
+  }
+
   test("manifest loading is PARTITION-SCOPED: a probe carrying a " +
       "partition predicate materializes only the matching partition's " +
       "manifest rows on the driver (spec on loaded-row counts); " +

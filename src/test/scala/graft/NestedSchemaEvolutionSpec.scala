@@ -307,6 +307,47 @@ class NestedSchemaEvolutionSpec extends AnyFunSuite {
     }
   }
 
+  test("UPDATE on NESTED fields: SET s.x rewrites into one struct " +
+      "assignment per head; sibling leaves compose and SEE THE OLD " +
+      "ROW; null parents stay null; ambiguous targets refuse; the " +
+      "SQL door accepts the dotted spelling after a nested rename") {
+    import spark.implicits._
+    val dir = seed() // k=1 s{10,a1}, k=2 s{20,a2}, k=3 s null
+    // sibling leaves in one statement: both evaluate the OLD row
+    val (n, _) = VersionLog.updateWhereCommit(spark, dir,
+      Seq("s.x" -> length($"s.w").cast("long"),
+        "s.w" -> concat($"s.w", lit("+"), $"s.x".cast("string"))),
+      $"k" === 1L)
+    assert(n === 1L)
+    assert(VersionLog.read(spark, dir).where($"k" === 1L)
+      .select($"s.x", $"s.w").as[(Long, String)].head() ===
+      ((2L, "a1+10")))
+    // a matched row whose parent struct is NULL stays null — the
+    // withField door never fabricates a struct of nulls
+    val (n2, _) = VersionLog.updateWhereCommit(spark, dir,
+      Seq("s.x" -> lit(777L)), $"k" === 3L)
+    assert(n2 === 1L)
+    assert(VersionLog.read(spark, dir).where($"k" === 3L)
+      .select($"s".isNull).as[Boolean].head())
+    // ambiguous / conflicting targets refuse loudly
+    intercept[IllegalArgumentException] {
+      VersionLog.updateWhereCommit(spark, dir,
+        Seq("s" -> struct(lit(1L).as("x"), lit("z").as("w")),
+          "s.x" -> lit(2L)), lit(true))
+    }
+    intercept[IllegalArgumentException] {
+      VersionLog.updateWhereCommit(spark, dir,
+        Seq("s.x" -> lit(1L), "s.x" -> lit(2L)), lit(true))
+    }
+    // SQL door, dotted spelling, composed with a nested RENAME
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN s.x TO y")
+    spark.sql(s"UPDATE graft.`$dir` SET s.y = s.y * 10 WHERE k = 2")
+    assert(VersionLog.read(spark, dir).where($"k" === 2L)
+      .select($"s.y").as[Long].head() === 200L)
+  }
+
   test("CDC replay ACROSS a nested rename: images written under the " +
       "old nested name replay under the CURRENT one") {
     import spark.implicits._
@@ -320,11 +361,44 @@ class NestedSchemaEvolutionSpec extends AnyFunSuite {
       partitionBy = Some("p")) // v1
     VersionLog.mergeByKeyCdc(spark, dir, // v2: explicit feed, OLD name
       mk(2L, 21L, "a2b", "p2"), "k", "p")
+    // STREAMING twin: a checkpointed stream consumes v1..v2 under the
+    // OLD nested name, stops, and the rename boundary lands while no
+    // stream runs
+    val ckpt = Files.createTempDirectory("nestedcdc-ck").toString
+    val sunk =
+      new scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]
+    def startStream() = spark.readStream.format("graft-cdc").load(dir)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val leaf = b.schema("s").dataType
+          .asInstanceOf[StructType].fieldNames
+          .find(n => n == "x" || n == "y").get
+        val rows = b.select($"k", col(s"s.$leaf"), $"_feed_batch")
+          .as[(Long, Long, Long)].collect()
+        sunk.synchronized { sunk ++= rows }
+        ()
+      }
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = startStream()
+    try {
+      q1.processAllAvailable()
+      assert(sunk.synchronized(sunk.size) === 4) // 2 init + pre/post
+    } finally q1.stop()
+    sunk.synchronized(sunk.clear())
     VersionLog.alterRenameColumnCommit(spark, dir, "s.x", "y") // v3
     VersionLog.append(spark, dir, // v4: new name
       Seq((3L, ("a3", 30L), "p1")).toDF("k", "s", "p")
         .select($"k", $"s".cast("struct<w:string,y:bigint>").as("s"),
           $"p"), partitionBy = Some("p"))
+    // restart on the SAME checkpoint: the nested boundary crosses —
+    // only v4's insert arrives, under the CURRENT nested name
+    val q2 = startStream()
+    try {
+      q2.processAllAvailable()
+      assert(sunk.synchronized(sunk.toSet) === Set((3L, 30L, 4L)),
+        s"restart across the nested rename must deliver v4's " +
+          s"insert, got ${sunk.synchronized(sunk.toSet)}")
+    } finally q2.stop()
     val feed = spark.read.format("graft-cdc").load(dir)
     assert(feed.schema("s").dataType.asInstanceOf[StructType]
       .fieldNames.toSet === Set("w", "y"),

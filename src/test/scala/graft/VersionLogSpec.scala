@@ -556,9 +556,10 @@ class VersionLogSpec extends AnyFunSuite {
   }
 
   test("MODEL-CHECKED lifecycle: 40 random merge/append/delete/compact/" +
-      "vacuum/delete-where/update-where/RENAME steps match an " +
-      "in-memory model at every version — under column mapping, " +
-      "every older version reads with ITS OWN names") {
+      "vacuum/delete-where/update-where/RENAME/NESTED-RENAME steps " +
+      "match an in-memory model at every version — under column " +
+      "mapping, every older version reads with ITS OWN names, " +
+      "top-level AND nested") {
     import spark.implicits._
     // The strongest correctness artifact for a mutation protocol: a
     // seeded random walk over the whole operation surface, where after
@@ -575,25 +576,35 @@ class VersionLogSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("vmodel").toString
     val parts = Vector("a", "b", "c", "d")
     var vCol = "v" // the value column's CURRENT logical name
+    var tagCol = "tag" // the NESTED field's current name (meta.tag)
+    // the nested invariant: meta.<tagCol> always MIRRORS the value
+    // column — every write door must carry the struct through its
+    // mapping, so a scrambled nested rebuild or a lost nested rename
+    // breaks the walk at the step that introduced it
     def df(rows: Seq[(Long, String, String)]) =
       rows.toDF("k", vCol, "p")
+        .withColumn("meta", struct(col(vCol).as(tagCol)))
     var model = (0L until 12L).map(k =>
       k -> (s"v$k", parts((k % 4).toInt))).toMap
     VersionLog.init(spark, dir,
       df(model.toSeq.map { case (k, (v, p)) => (k, v, p) }),
       partitionBy = Some("p"))
     val history = scala.collection.mutable.Map(
-      1L -> ((model, vCol))) // version -> (state, value-column name)
+      1L -> ((model, vCol, tagCol))) // version -> (state, names)
     var nextFreshKey = 1000L
     def liveEquals(m: Map[Long, (String, String)], name: String,
-        version: Option[Long]): Unit = {
-      val got = VersionLog.read(spark, dir, version)
-        .select($"k", col(name), $"p").as[(Long, String, String)]
-        .collect().map(r => r._1 -> (r._2, r._3)).toMap
+        tagName: String, version: Option[Long]): Unit = {
+      val rowsGot = VersionLog.read(spark, dir, version)
+        .select($"k", col(name), $"p", col(s"meta.$tagName"))
+        .as[(Long, String, String, String)].collect()
+      val got = rowsGot.map(r => r._1 -> (r._2, r._3)).toMap
       assert(got === m, s"divergence at version $version")
+      rowsGot.foreach(r => assert(r._4 === r._2,
+        s"nested meta.$tagName diverged from $name at k=${r._1}, " +
+          s"version $version"))
     }
     for (step <- 1 to 40) {
-      rng.nextInt(9) match {
+      rng.nextInt(10) match {
         case 0 | 1 => // upsert merge: random keys, some moving partition
           val keys = rng.shuffle(model.keys.toVector)
             .take(1 + rng.nextInt(4))
@@ -606,16 +617,17 @@ class VersionLogSpec extends AnyFunSuite {
           val (_, _, v) = VersionLog.mergeByKeyCdc(spark, dir,
             df(batch), "k", "p")
           model = model ++ batch.map(r => r._1 -> (r._2, r._3))
-          history(v) = (model, vCol)
+          history(v) = (model, vCol, tagCol)
         case 2 => // tombstone merge: delete a few existing keys
           val doomed = rng.shuffle(model.keys.toVector)
             .take(1 + rng.nextInt(3))
           val batch = doomed.map(k => (k, "x", "zz", true))
             .toDF("k", vCol, "p", "_del")
+            .withColumn("meta", struct(col(vCol).as(tagCol)))
           val (_, _, v) = VersionLog.mergeByKeyCdc(spark, dir, batch,
             "k", "p", deleteWhen = Some($"_del"))
           model = model -- doomed
-          history(v) = (model, vCol)
+          history(v) = (model, vCol, tagCol)
         case 3 => // append fresh keys
           val fresh = (1 to 1 + rng.nextInt(3)).map { _ =>
             nextFreshKey += 1
@@ -624,11 +636,11 @@ class VersionLogSpec extends AnyFunSuite {
           val v = VersionLog.append(spark, dir, df(fresh),
             partitionBy = Some("p"))
           model = model ++ fresh.map(r => r._1 -> (r._2, r._3))
-          history(v) = (model, vCol)
+          history(v) = (model, vCol, tagCol)
         case 4 => // compaction: content must be invariant
           val (_, _, v) = VersionLog.compactSnapshot(spark, dir,
             targetBytes = 1L << 30)
-          history(v) = (model, vCol) // no-op when v already recorded
+          history(v) = (model, vCol, tagCol) // no-op if v recorded
         case 5 => // vacuum: retained history only shrinks
           val retained = VersionLog.listVersions(spark, dir)
             .takeRight(3).toSet
@@ -643,35 +655,46 @@ class VersionLogSpec extends AnyFunSuite {
           assert(n === doomed.size.toLong,
             s"delete-where step $step: counted $n, model ${doomed.size}")
           model = model -- doomed
-          history(v) = (model, vCol)
-        case 7 => // SQL UPDATE: old-row assignment over a predicate
+          history(v) = (model, vCol, tagCol)
+        case 7 => // SQL UPDATE: old-row assignment over a predicate —
+          // the value column AND its nested mirror update together
+          // (both assignments see the OLD row, so they stay equal)
           val m = 2 + rng.nextInt(4)
           val r = rng.nextInt(m)
           val (n, v) = VersionLog.updateWhereCommit(spark, dir,
-            Seq(vCol -> concat(col(vCol), lit(s"+u$step"))),
+            Seq(vCol -> concat(col(vCol), lit(s"+u$step")),
+              "meta" -> struct(concat(col(vCol), lit(s"+u$step"))
+                .as(tagCol))),
             $"k" % m === r)
           val hit = model.filter { case (k, _) => k % m == r }
           assert(n === hit.size.toLong,
             s"update-where step $step: counted $n, model ${hit.size}")
           model = model ++ hit.map { case (k, (vv, p)) =>
             k -> (vv + s"+u$step", p) }
-          history(v) = (model, vCol)
+          history(v) = (model, vCol, tagCol)
         case 8 => // RENAME the value column: metadata-only commit —
           // every later door must keep working through the mapping
           val next = s"v_r$step"
           val v = VersionLog.alterRenameColumnCommit(spark, dir,
             vCol, next)
           vCol = next
-          history(v) = (model, vCol)
+          history(v) = (model, vCol, tagCol)
+        case 9 => // NESTED RENAME of meta.<tag>: metadata-only — every
+          // later door carries the struct through the dotted mapping
+          val next = s"tag_r$step"
+          val v = VersionLog.alterRenameColumnCommit(spark, dir,
+            s"meta.$tagCol", next)
+          tagCol = next
+          history(v) = (model, vCol, tagCol)
       }
-      liveEquals(model, vCol, None)
+      liveEquals(model, vCol, tagCol, None)
       // a random RETAINED older version must still read as it was,
-      // under the logical name IT declared
+      // under the logical names IT declared (top-level AND nested)
       val vs = VersionLog.listVersions(spark, dir)
         .filter(history.contains)
       val probe = vs(rng.nextInt(vs.size))
-      val (pm, pName) = history(probe)
-      liveEquals(pm, pName, Some(probe))
+      val (pm, pName, pTag) = history(probe)
+      liveEquals(pm, pName, pTag, Some(probe))
     }
   }
 

@@ -195,8 +195,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def writeMeta(dir: String, schema: StructType,
       partCol: Option[String], props: Seq[(String, String)],
       overwrite: Boolean): Unit = {
-    def esc(x: String) = x.replace("\\", "\\\\")
-      .replace("\"", "\\\"")
+    // control-char-safe escaping (shared with the version log): a
+    // CREATE-time property value containing \n must not publish an
+    // unparseable meta file
+    def esc(x: String) = VersionLog.jsonEsc(x)
     val propsJson =
       if (props.isEmpty) ""
       else props.map { case (k, v) =>
@@ -205,7 +207,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val p = metaPath(dir)
     val fs = fsFor(p)
     val json = s"""{"schema":${schema.json},""" +
-      s""""partCol":${partCol.fold("null")(c => "\"" + c + "\"")}""" +
+      s""""partCol":${partCol.fold("null")(c => "\"" + esc(c) + "\"")}""" +
       propsJson + "}"
     val out = fs.create(p, overwrite)
     try out.write(json.getBytes(
@@ -270,6 +272,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       VersionLog.setTablePropertiesCommit(spark, dir, setProps,
         rmProps)
     }
+    // on a declared-but-never-written table (no version log) the
+    // meta-file surgery is the ONLY door, so IT must validate the
+    // dotted path — strict resolution below
+    val hasLog = VersionLog.listVersions(spark, dir).nonEmpty
     changes.foreach {
       case _: TableChange.SetProperty | _: TableChange.RemoveProperty =>
         () // handled above, one commit for the statement
@@ -278,7 +284,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
           "graft ADD COLUMN appends at the end; FIRST/AFTER are not " +
             "supported (column order is declared order)")
         val name = add.fieldNames.mkString(".")
-        if (VersionLog.listVersions(spark, dir).nonEmpty)
+        if (hasLog)
           VersionLog.alterAddColumnCommit(spark, dir, name,
             add.dataType, add.isNullable)
         if (add.fieldNames.length == 1)
@@ -286,7 +292,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
         else
           rewriteDeclaredSchema(dir, s =>
             VersionLog.addInSchema(s,
-              resolveMetaPath(s, add.fieldNames), add.dataType))
+              resolveMetaPath(s, add.fieldNames, "ADD COLUMN",
+                strict = !hasLog, lastMayBeNew = true),
+              add.dataType))
       // RENAME/DROP/ALTER TYPE accept NESTED paths (`s.x`): the
       // version-log doors resolve each segment against the declared
       // schema and refuse paths through array/map element types; the
@@ -296,27 +304,30 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       // the read-side rebuild's order).
       case ren: TableChange.RenameColumn =>
         val path = ren.fieldNames.mkString(".")
-        if (VersionLog.listVersions(spark, dir).nonEmpty)
+        if (hasLog)
           VersionLog.alterRenameColumnCommit(spark, dir, path,
             ren.newName)
         rewriteDeclaredSchema(dir, s =>
           VersionLog.renameInSchema(s,
-            resolveMetaPath(s, ren.fieldNames), ren.newName))
+            resolveMetaPath(s, ren.fieldNames, "RENAME COLUMN",
+              strict = !hasLog), ren.newName))
       case del: TableChange.DeleteColumn =>
         val path = del.fieldNames.mkString(".")
-        if (VersionLog.listVersions(spark, dir).nonEmpty)
+        if (hasLog)
           VersionLog.alterDropColumnCommit(spark, dir, path)
         rewriteDeclaredSchema(dir, s =>
           VersionLog.dropInSchema(s,
-            resolveMetaPath(s, del.fieldNames)))
+            resolveMetaPath(s, del.fieldNames, "DROP COLUMN",
+              strict = !hasLog)))
       case upd: TableChange.UpdateColumnType =>
         val path = upd.fieldNames.mkString(".")
-        if (VersionLog.listVersions(spark, dir).nonEmpty)
+        if (hasLog)
           VersionLog.alterColumnTypeCommit(spark, dir, path,
             upd.newDataType)
         rewriteDeclaredSchema(dir, s =>
           VersionLog.retypeInSchema(s,
-            resolveMetaPath(s, upd.fieldNames), upd.newDataType))
+            resolveMetaPath(s, upd.fieldNames, "ALTER COLUMN TYPE",
+              strict = !hasLog), upd.newDataType))
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE ${other.getClass.getSimpleName} is not " +
           "supported on graft tables: reorder/narrowing would " +
@@ -332,20 +343,53 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     */
   /** Resolve user-spelled path segments to the meta schema's exact
     * case (the shared surgery in [[VersionLog]] matches names
-    * exactly); unknown segments pass through verbatim, making the
-    * surgery a no-op rather than an error (the version-log door has
-    * already validated the path when a log exists).
+    * exactly). When a version log exists its DDL door has already
+    * validated the path, so unknown segments pass through verbatim
+    * (lenient). On a DECLARED-BUT-NEVER-WRITTEN table the meta file
+    * is the only door — there, validate: an unknown segment or a
+    * path through a non-struct refuses loudly instead of silently
+    * no-oping the surgery (or hitting a raw ClassCastException in
+    * the shared schema walk). ADD COLUMN's LAST segment is the new
+    * field and may be unknown (`lastMayBeNew`).
     */
   private def resolveMetaPath(s: StructType,
-      fieldNames: Array[String]): String = {
+      fieldNames: Array[String], what: String = "ALTER",
+      strict: Boolean = false,
+      lastMayBeNew: Boolean = false): String = {
+    import org.apache.spark.sql.types.{ArrayType, MapType}
     val resolver = spark.sessionState.conf.resolver
-    var st: Option[StructType] = Some(s)
-    fieldNames.map { seg =>
-      val f = st.flatMap(_.fields.find(x => resolver(x.name, seg)))
-      st = f.map(_.dataType).collect {
-        case n: StructType => n
+    var cur: Option[DataType] = Some(s)
+    val path = fieldNames.mkString(".")
+    fieldNames.zipWithIndex.map { case (seg, i) =>
+      val last = i == fieldNames.length - 1
+      cur match {
+        // container MARKERS (the version-log doors' spelling):
+        // `a.element.x`, `m.key.…`, `m.value.…`
+        case Some(ArrayType(et, _)) if resolver(seg, "element") =>
+          cur = Some(et); "element"
+        case Some(MapType(kt, _, _)) if resolver(seg, "key") =>
+          cur = Some(kt); "key"
+        case Some(MapType(_, vt, _)) if resolver(seg, "value") =>
+          cur = Some(vt); "value"
+        case _ =>
+          val f = cur.collect { case st: StructType => st }
+            .flatMap(_.fields.find(x => resolver(x.name, seg)))
+          if (strict && f.isEmpty && !(last && lastMayBeNew)) {
+            val nonStruct = cur.exists(t =>
+              !t.isInstanceOf[StructType] && !t.isInstanceOf[ArrayType]
+                && !t.isInstanceOf[MapType])
+            if (nonStruct) throw new IllegalArgumentException(
+              s"$what $path: '${fieldNames.take(i).mkString(".")}' " +
+                s"is ${cur.get.simpleString}, not a struct — it has " +
+                "no fields to address")
+            throw new IllegalArgumentException(
+              s"$what: no column '$path' on this table (no field " +
+                s"'$seg'" + (if (i == 0) "" else s" under '${fieldNames
+                  .take(i).mkString(".")}'") + ")")
+          }
+          cur = f.map(_.dataType)
+          f.map(_.name).getOrElse(seg)
       }
-      f.map(_.name).getOrElse(seg)
     }.mkString(".")
   }
 

@@ -93,6 +93,27 @@ object VersionLog {
 
   private val VersionFile: Regex = """v-(\d{8})\.json""".r
 
+  /** JSON string escape for every hand-rendered metadata file:
+    * backslash, quote, AND control characters. A TBLPROPERTIES value
+    * containing a newline (Spark string literals expand `\n`) must
+    * not publish an unparseable version file — the CAS has already
+    * committed it, so invalid JSON would brick the table head until
+    * the file is hand-edited.
+    */
+  private[graft] def jsonEsc(x: String): String = {
+    val sb = new StringBuilder
+    x.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
   private def versionsRoot(dir: String): Path =
     new Path(dir.stripSuffix("/"), "_versions")
 
@@ -370,19 +391,24 @@ object VersionLog {
     }.collectFirst { case Some(p) => p }.getOrElse(logical)
   }
 
-  /** Does `dt` contain the dotted rel path (struct walk)? Guards the
-    * struct rebuild: a raw batch written BEFORE a nested re-add lacks
-    * the fresh `#v` leaf, and a `withField` over a missing source
-    * would fail analysis — the move simply does not apply to that
-    * frame (same contract as a missing top-level mapped column).
+  /** Does `dt` contain the dotted rel path? Guards the struct
+    * rebuild: a raw batch written BEFORE a nested re-add lacks the
+    * fresh `#v` leaf, and a `withField` over a missing source would
+    * fail analysis — the move simply does not apply to that frame
+    * (same contract as a missing top-level mapped column). The walk
+    * is TYPE-DIRECTED through container markers (`element`, map
+    * `key`/`value`), exactly like [[resolvePath]].
     */
-  private def hasPath(dt: org.apache.spark.sql.types.DataType,
+  private[graft] def hasPath(dt: org.apache.spark.sql.types.DataType,
       rel: String): Boolean = {
-    import org.apache.spark.sql.types.StructType
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
     rel.split("\\.").foldLeft(Option(dt)) { (cur, seg) =>
       cur.flatMap {
         case st: StructType =>
           st.fields.find(_.name == seg).map(_.dataType)
+        case ArrayType(et, _) if seg == "element" => Some(et)
+        case MapType(kt, _, _) if seg == "key" => Some(kt)
+        case MapType(_, vt, _) if seg == "value" => Some(vt)
         case _ => None
       }
     }.isDefined
@@ -397,11 +423,17 @@ object VersionLog {
     * pushdown — probed on the Spark 4 optimizer). A moved field lands
     * at the END of its parent struct (UpdateFields semantics); the
     * declared schema records the same position, so the contract stays
-    * consistent.
+    * consistent. Paths through container MARKERS rebuild via the
+    * higher-order functions (`transform` for arrays,
+    * `transform_keys`/`transform_values` for maps) — null containers
+    * stay null (the functions null-propagate), element order is
+    * preserved, and the per-element body is the same UpdateFields
+    * recursion.
     */
-  private[graft] def relocated(top: String, drops: Seq[String],
+  private[graft] def relocated(top: String,
+      dt: org.apache.spark.sql.types.DataType, drops: Seq[String],
       moves: Seq[(String, String)]): Column =
-    rebuildStruct(col(top), drops, moves)
+    rebuildStruct(col(top), dt, drops, moves)
 
   /** One recursion level of [[relocated]]: leaf drops apply here,
     * deeper ops rebuild the child subtree IN PLACE under its physical
@@ -419,47 +451,86 @@ object VersionLog {
     rel.split("\\.").map(s => "`" + s.replace("`", "``") + "`")
       .mkString(".")
 
-  private def rebuildStruct(orig: Column, drops: Seq[String],
+  private def rebuildStruct(orig: Column,
+      dt: org.apache.spark.sql.types.DataType, drops: Seq[String],
       moves: Seq[(String, String)]): Column = {
-    var e = orig
-    val (leafDrops, deepDrops) = drops.partition(!_.contains('.'))
-    leafDrops.distinct.foreach(d => e = e.dropFields(quotedRel(d)))
-    // an op under a dropped parent died with it (the DDL maintenance
-    // removes such mappings; this is belt and braces)
-    val gone = leafDrops.toSet
-    val (leafMoves, deepMoves) = moves
-      .filter(m => m._1 != m._2 && !gone.contains(headSeg(m._1)))
-      .partition(!_._1.contains('.'))
-    val deepOps =
-      (deepDrops.filterNot(d => gone.contains(headSeg(d)))
-        .map(d => headSeg(d) -> Left(d)) ++
-        deepMoves.map(m => headSeg(m._1) -> Right(m)))
-        .groupBy(_._1)
-    deepOps.toSeq.sortBy(_._1).foreach { case (h, ops) =>
-      val childDrops = ops.collect {
-        case (_, Left(d)) => d.drop(h.length + 1)
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    def under(marker: String, xs: Seq[String]): Seq[String] =
+      xs.filter(headSeg(_) == marker).map(_.drop(marker.length + 1))
+    def moveUnder(marker: String, xs: Seq[(String, String)]):
+        Seq[(String, String)] =
+      xs.collect { case (f, t) if headSeg(f) == marker =>
+        (f.drop(marker.length + 1), t.drop(marker.length + 1))
       }
-      val childMoves = ops.collect {
-        case (_, Right((f, t))) =>
-          (f.drop(h.length + 1), t.drop(headSeg(t).length + 1))
-      }
-      e = e.withField(quotedRel(h),
-        rebuildStruct(orig.getField(h), childDrops, childMoves))
+    dt match {
+      case ArrayType(et, _) =>
+        // every rel path rides through the `element` marker: one
+        // transform() per affected array column, the element body is
+        // this same recursion — a NULL array stays null, order and
+        // length are preserved
+        transform(orig, x =>
+          rebuildStruct(x, et, under("element", drops),
+            moveUnder("element", moves)))
+      case MapType(kt, vt, _) =>
+        var e = orig
+        val (kd, km) = (under("key", drops), moveUnder("key", moves))
+        val (vd, vm) =
+          (under("value", drops), moveUnder("value", moves))
+        if (kd.nonEmpty || km.nonEmpty)
+          e = transform_keys(e, (k, _) => rebuildStruct(k, kt, kd, km))
+        if (vd.nonEmpty || vm.nonEmpty)
+          e = transform_values(e,
+            (_, v) => rebuildStruct(v, vt, vd, vm))
+        e
+      case st: StructType =>
+        var e = orig
+        val (leafDrops, deepDrops) = drops.partition(!_.contains('.'))
+        leafDrops.distinct.foreach(d => e = e.dropFields(quotedRel(d)))
+        // an op under a dropped parent died with it (the DDL
+        // maintenance removes such mappings; this is belt and braces)
+        val gone = leafDrops.toSet
+        val (leafMoves, deepMoves) = moves
+          .filter(m => m._1 != m._2 && !gone.contains(headSeg(m._1)))
+          .partition(!_._1.contains('.'))
+        val deepOps =
+          (deepDrops.filterNot(d => gone.contains(headSeg(d)))
+            .map(d => headSeg(d) -> Left(d)) ++
+            deepMoves.map(m => headSeg(m._1) -> Right(m)))
+            .groupBy(_._1)
+        deepOps.toSeq.sortBy(_._1).foreach { case (h, ops) =>
+          val childDrops = ops.collect {
+            case (_, Left(d)) => d.drop(h.length + 1)
+          }
+          val childMoves = ops.collect {
+            case (_, Right((f, t))) =>
+              (f.drop(h.length + 1), t.drop(headSeg(t).length + 1))
+          }
+          val childType = st.fields.find(_.name == h).map(_.dataType)
+            .getOrElse(throw new IllegalStateException(
+              s"struct rebuild: no field '$h' in ${st.simpleString}"))
+          e = e.withField(quotedRel(h),
+            rebuildStruct(orig.getField(h), childType, childDrops,
+              childMoves))
+        }
+        // leaf renames: capture every source value from the
+        // deep-rebuilt frame FIRST (a later rename must see
+        // pre-rename values), then two-phase through temp names
+        // (add-before-drop throughout)
+        val vals = leafMoves.map { case (f, _) => e.getField(f) }
+        leafMoves.zip(vals).foreach { case ((f, t), v) =>
+          e = e.withField(quotedRel(s"__graft_mv_$t"), v)
+            .dropFields(quotedRel(f))
+        }
+        leafMoves.foreach { case (_, t) =>
+          val tmp = s"__graft_mv_$t"
+          e = e.withField(quotedRel(t), e.getField(tmp))
+            .dropFields(quotedRel(tmp))
+        }
+        e
+      case other => throw new IllegalStateException(
+        s"struct rebuild over ${other.simpleString}: paths " +
+          s"${(drops ++ moves.map(_._1)).mkString(",")} do not apply")
     }
-    // leaf renames: capture every source value from the deep-rebuilt
-    // frame FIRST (a later rename must see pre-rename values), then
-    // two-phase through temp names (add-before-drop throughout)
-    val vals = leafMoves.map { case (f, _) => e.getField(f) }
-    leafMoves.zip(vals).foreach { case ((f, t), v) =>
-      e = e.withField(quotedRel(s"__graft_mv_$t"), v)
-        .dropFields(quotedRel(f))
-    }
-    leafMoves.foreach { case (_, t) =>
-      val tmp = s"__graft_mv_$t"
-      e = e.withField(quotedRel(t), e.getField(tmp))
-        .dropFields(quotedRel(tmp))
-    }
-    e
   }
 
   /** Physical frame -> the snapshot's logical view: drop retired
@@ -499,7 +570,7 @@ object VersionLog {
         }.filter { case (from, _) => hasPath(ct, from) }
         val base =
           if (drops.isEmpty && moves.isEmpty) col(c)
-          else relocated(c, drops, moves)
+          else relocated(c, ct, drops, moves)
         physToLog.get(c) match {
           case Some(log) => Some(base.as(log))
           case None if dropped.contains(c) || mappedLog.contains(c) =>
@@ -531,7 +602,8 @@ object VersionLog {
         }.filter { case (from, _) => hasPath(df.schema(c).dataType,
           from) }
         val base =
-          if (moves.isEmpty) col(c) else relocated(c, Nil, moves)
+          if (moves.isEmpty) col(c)
+          else relocated(c, df.schema(c).dataType, Nil, moves)
         base.as(logToPhys.getOrElse(c, c))
       }: _*)
     }
@@ -680,9 +752,8 @@ object VersionLog {
   private def writeCheckpoint(fs: FileSystem, dir: String, v: Long,
       files: Seq[String]): Unit =
     try {
-      def esc(x: String) = x.replace("\\", "\\\\").replace("\"", "\\\"")
       val json = s"""{"version":$v,"files":[""" +
-        files.map(f => "\"" + esc(f) + "\"").mkString(",") + "]}"
+        files.map(f => "\"" + jsonEsc(f) + "\"").mkString(",") + "]}"
       atomicCreate(fs, versionsRoot(dir), checkpointFile(dir, v), json)
       ()
     } catch { case _: Exception => () }
@@ -973,20 +1044,45 @@ object VersionLog {
       // footer-merge widen, source narrower upcasts into the batch).
       // Without it a lossy pair (double source x long files) would
       // coerce the touched partitions and leave the table's mixed
-      // footers unreadable — refuse before any file is written.
-      updates.schema.fields.foreach { f =>
-        decl.fields.find(d => resolver(d.name, f.name)).foreach { d =>
-          val atomic = !d.dataType.isInstanceOf[
-            org.apache.spark.sql.types.StructType] &&
-            !f.dataType.isInstanceOf[
-              org.apache.spark.sql.types.StructType]
-          if (atomic && d.dataType != f.dataType)
-            require(widensLosslessly(f.dataType, d.dataType) ||
-              widensLosslessly(d.dataType, f.dataType),
-              s"merge source column '${f.name}' arrives as " +
-                s"${f.dataType.simpleString} but the table declares " +
-                s"${d.dataType.simpleString} — neither is a lossless " +
+      // footers unreadable — refuse before any file is written. The
+      // check RECURSES into matching struct pairs (and array/map
+      // element types): a lossy mismatch on a NESTED leaf (source
+      // s.x double vs declared s.x bigint) writes files just as
+      // surely, and used to surface only at the read-time footer
+      // merge — the exact failure mode the guard exists to refuse.
+      locally {
+        import org.apache.spark.sql.types.{ArrayType, DataType,
+          MapType, StructType}
+        def vetLossless(path: String, dT: DataType,
+            sT: DataType): Unit = (dT, sT) match {
+          case (ds: StructType, ss: StructType) =>
+            ss.fields.foreach { sf =>
+              ds.fields.find(d => resolver(d.name, sf.name)).foreach(
+                df => vetLossless(s"$path.${sf.name}", df.dataType,
+                  sf.dataType))
+            }
+          case (ArrayType(de, _), ArrayType(se, _)) =>
+            vetLossless(s"$path.element", de, se)
+          case (MapType(dk, dv, _), MapType(sk, sv, _)) =>
+            vetLossless(s"$path.key", dk, sk)
+            vetLossless(s"$path.value", dv, sv)
+          // cross-shape mismatches (struct x atomic, array x map)
+          // fail loudly at the write's own analysis — nothing lands
+          case (_: StructType, _) | (_, _: StructType) => ()
+          case (_: ArrayType, _) | (_, _: ArrayType) => ()
+          case (_: MapType, _) | (_, _: MapType) => ()
+          case _ if dT != sT =>
+            require(widensLosslessly(sT, dT) ||
+              widensLosslessly(dT, sT),
+              s"merge source column '$path' arrives as " +
+                s"${sT.simpleString} but the table declares " +
+                s"${dT.simpleString} — neither is a lossless " +
                 "widening of the other; cast the source first")
+          case _ => ()
+        }
+        updates.schema.fields.foreach { f =>
+          decl.fields.find(d => resolver(d.name, f.name)).foreach(d =>
+            vetLossless(f.name, d.dataType, f.dataType))
         }
       }
       // resolve the tombstone predicate AGAINST THE SOURCE frame to
@@ -1565,9 +1661,12 @@ object VersionLog {
       // lacks, exactly like a top-level add)
       val decl = declaredSchema(spark, dir, snap)
       val segs = name.split("\\.").toSeq
-      val (parentPath, parentField) = resolvePath(spark, decl,
-        segs.dropRight(1).mkString("."), "ADD COLUMN", dir)
-      val parentSt = parentField.dataType match {
+      // the parent may legitimately END at a container marker
+      // (`entities.element.newf` adds inside every element struct)
+      val (parentPath, parentType) = resolvePath(spark, decl,
+        segs.dropRight(1).mkString("."), "ADD COLUMN", dir,
+        allowTrailingMarker = true)
+      val parentSt = parentType match {
         case st: StructType => st
         case other => throw new IllegalArgumentException(
           s"ADD COLUMN $name: '$parentPath' is $other, not a struct")
@@ -1620,43 +1719,119 @@ object VersionLog {
         .asInstanceOf[org.apache.spark.sql.types.StructType])
       .getOrElse(read(spark, dir, Some(snap.version)).schema)
 
+  /** The container-traversal MARKER segments (Delta's spelling):
+    * `a.element.x` addresses field x inside `a: array<struct<…>>`,
+    * `m.key.…` / `m.value.…` inside a map. Markers ride the dotted
+    * paths (colMap, droppedPhys, stats keys) like ordinary segments;
+    * the TYPE at each step decides whether a segment is a struct
+    * field or a marker, so a struct field literally named `element`
+    * stays addressable (the type there is a struct, never an array).
+    */
+  private[graft] val Markers = Set("element", "key", "value")
+
   /** Resolve a user-spelled (possibly dotted) path against the
     * declared schema: each segment resolves to the declared field's
-    * EXACT case (the session resolver decides matching); the walk
-    * refuses paths through arrays/maps — field DDL inside element
-    * types would re-shape every element and needs a rewriting
-    * commit. Returns the exact-case dotted path and its field.
+    * EXACT case (the session resolver decides matching); inside an
+    * array the segment must be `element`, inside a map `key` or
+    * `value` — nested DDL through container element types is
+    * METADATA-ONLY like everything else (the read/write projections
+    * rebuild via `transform`/`transform_keys`/`transform_values`).
+    * Returns the exact-case dotted path and the type AT it. The last
+    * segment must name a struct FIELD — DDL on a bare `a.element`
+    * would re-shape the whole element — unless `allowTrailingMarker`
+    * (ADD COLUMN's parent path may legitimately end at one).
     */
   private def resolvePath(spark: SparkSession,
       decl: org.apache.spark.sql.types.StructType, path0: String,
-      what: String, dir: String):
-      (String, org.apache.spark.sql.types.StructField) = {
-    import org.apache.spark.sql.types.{StructField, StructType}
+      what: String, dir: String,
+      allowTrailingMarker: Boolean = false,
+      allowMarkers: Boolean = true):
+      (String, org.apache.spark.sql.types.DataType) = {
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType,
+      StructType}
     val resolver = spark.sessionState.conf.resolver
     val parts = path0.split("\\.")
-    var st = decl
     val out = scala.collection.mutable.Buffer.empty[String]
-    var field: StructField = null
+    var cur: DataType = decl
+    var lastWasMarker = false
+    def noMarkers(): Unit =
+      if (!allowMarkers) throw new IllegalArgumentException(
+        s"$what $path0: paths through array/map element types are " +
+          s"not assignable here — assign the '${headSeg(path0)}' " +
+          "column whole")
     parts.zipWithIndex.foreach { case (s, i) =>
-      field = st.fields.find(f => resolver(f.name, s)).getOrElse(
-        throw new IllegalArgumentException(
-          s"$what: no column '$path0' on $dir (no field '$s' " +
-            (if (i == 0) "" else s"under '${out.mkString(".")}' ") +
-            s"— have ${st.fieldNames.mkString(",")})"))
-      out += field.name
-      if (i < parts.length - 1) field.dataType match {
-        case n: StructType => st = n
+      cur match {
+        case st: StructType =>
+          val field = st.fields.find(f => resolver(f.name, s))
+            .getOrElse(throw new IllegalArgumentException(
+              s"$what: no column '$path0' on $dir (no field '$s' " +
+                (if (i == 0) "" else s"under '${out.mkString(".")}' ") +
+                s"— have ${st.fieldNames.mkString(",")})"))
+          out += field.name
+          cur = field.dataType
+          lastWasMarker = false
+        case ArrayType(et, _) if resolver(s, "element") =>
+          noMarkers()
+          out += "element"; cur = et; lastWasMarker = true
+        case MapType(kt, _, _) if resolver(s, "key") =>
+          noMarkers()
+          out += "key"; cur = kt; lastWasMarker = true
+        case MapType(_, vt, _) if resolver(s, "value") =>
+          noMarkers()
+          out += "value"; cur = vt; lastWasMarker = true
+        case a: ArrayType => throw new IllegalArgumentException(
+          s"$what $path0: '${out.mkString(".")}' is " +
+            s"${a.simpleString} — address its element fields " +
+            s"through '.element.' (got '$s')")
+        case m: MapType => throw new IllegalArgumentException(
+          s"$what $path0: '${out.mkString(".")}' is " +
+            s"${m.simpleString} — address its entries through " +
+            s"'.key.' / '.value.' (got '$s')")
         case other => throw new IllegalArgumentException(
           s"$what $path0: '${out.mkString(".")}' is $other, not a " +
-            "struct — nested DDL inside array/map element types " +
-            "re-shapes every element; rewrite through overwrite")
+            "struct — it has no fields to address")
       }
     }
-    (out.mkString("."), field)
+    if (lastWasMarker && !allowTrailingMarker)
+      throw new IllegalArgumentException(
+        s"$what $path0: the path ends at a container marker " +
+          s"('${out.last}') — name a field inside it, or operate on " +
+          s"the ${headSeg(out.mkString("."))} column whole")
+    (out.mkString("."), cur)
+  }
+
+  /** The struct at an exact-case RESOLVED dotted path (markers
+    * included) — the sibling-set walk rename/drop validate against.
+    */
+  private def structAt(decl: org.apache.spark.sql.types.StructType,
+      segs: Seq[String]): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType,
+      StructType}
+    segs.foldLeft(decl: DataType) { (t, s) =>
+      t match {
+        case st: StructType => st.fields.find(_.name == s).map(
+          _.dataType).getOrElse(throw new IllegalStateException(
+            s"no field '$s' in ${st.simpleString}"))
+        case ArrayType(et, _) if s == "element" => et
+        case MapType(kt, _, _) if s == "key" => kt
+        case MapType(_, vt, _) if s == "value" => vt
+        case other => throw new IllegalStateException(
+          s"segment '$s' does not apply to ${other.simpleString}")
+      }
+    } match {
+      case st: StructType => st
+      case other => throw new IllegalStateException(
+        s"'${segs.mkString(".")}' is ${other.simpleString}, " +
+          "not a struct")
+    }
   }
 
   /** Rewrite the struct at `parentSegs` inside `decl` through `f`
-    * (the whole schema when the path is empty).
+    * (the whole schema when the path is empty). TYPE-DIRECTED: a
+    * marker segment descends into the container's element/key/value
+    * type, an ordinary segment into the named field — and anything
+    * that does not line up fails LOUDLY (never a raw
+    * ClassCastException).
     */
   private def updateParentStruct(
       decl: org.apache.spark.sql.types.StructType,
@@ -1664,14 +1839,35 @@ object VersionLog {
       f: org.apache.spark.sql.types.StructType =>
         org.apache.spark.sql.types.StructType):
       org.apache.spark.sql.types.StructType = {
-    import org.apache.spark.sql.types.StructType
-    if (parentSegs.isEmpty) f(decl)
-    else StructType(decl.fields.map { fd =>
-      if (fd.name == parentSegs.head)
-        fd.copy(dataType = updateParentStruct(
-          fd.dataType.asInstanceOf[StructType], parentSegs.tail, f))
-      else fd
-    })
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType,
+      StructType}
+    def at(t: DataType, segs: Seq[String]): DataType =
+      if (segs.isEmpty) t match {
+        case st: StructType => f(st)
+        case other => throw new IllegalArgumentException(
+          s"schema surgery target is ${other.simpleString}, " +
+            "not a struct")
+      }
+      else t match {
+        case st: StructType =>
+          require(st.fieldNames.contains(segs.head),
+            s"no field '${segs.head}' in ${st.simpleString}")
+          StructType(st.fields.map { fd =>
+            if (fd.name == segs.head)
+              fd.copy(dataType = at(fd.dataType, segs.tail))
+            else fd
+          })
+        case ArrayType(et, n) if segs.head == "element" =>
+          ArrayType(at(et, segs.tail), n)
+        case MapType(k, v, n) if segs.head == "key" =>
+          MapType(at(k, segs.tail), v, n)
+        case MapType(k, v, n) if segs.head == "value" =>
+          MapType(k, at(v, segs.tail), n)
+        case other => throw new IllegalArgumentException(
+          s"path segment '${segs.head}' does not apply to " +
+            s"${other.simpleString}")
+      }
+    at(decl, parentSegs).asInstanceOf[StructType]
   }
 
   /** Declared-schema surgery shared by the version-log DDL doors and
@@ -1829,10 +2025,7 @@ object VersionLog {
     val parentSegs = from.split("\\.").toSeq.dropRight(1)
     val siblingNames =
       if (parentSegs.isEmpty) decl.fieldNames.toSeq
-      else parentSegs.foldLeft(decl) { (st, s) =>
-        st(s).dataType.asInstanceOf[org.apache.spark.sql.types
-          .StructType]
-      }.fieldNames.toSeq
+      else structAt(decl, parentSegs).fieldNames.toSeq
     require(!siblingNames.exists(resolver(_, to)),
       s"RENAME COLUMN: column '$to' already exists " +
         (if (parentSegs.isEmpty) s"on $dir"
@@ -1882,10 +2075,7 @@ object VersionLog {
     val parentSegs = name.split("\\.").toSeq.dropRight(1)
     val siblingCount =
       if (parentSegs.isEmpty) decl.fields.length
-      else parentSegs.foldLeft(decl) { (st, s) =>
-        st(s).dataType.asInstanceOf[org.apache.spark.sql.types
-          .StructType]
-      }.fields.length
+      else structAt(decl, parentSegs).fields.length
     require(siblingCount > 1,
       s"DROP COLUMN $name: it is the only field of " +
         (if (parentSegs.isEmpty) dir
@@ -1961,8 +2151,10 @@ object VersionLog {
     val snap = snapshot(spark, dir, None)
     val resolver = spark.sessionState.conf.resolver
     val decl = declaredSchema(spark, dir, snap)
-    // dotted paths resolve segment by segment (NESTED retype)
-    val (name, field) = resolvePath(spark, decl, name0,
+    // dotted paths resolve segment by segment (NESTED retype —
+    // container markers included: `a.element.x` widens the element
+    // field of an array<struct> column)
+    val (name, oldType) = resolvePath(spark, decl, name0,
       "ALTER COLUMN TYPE", dir)
     // the partition column's type comes from directory-segment
     // inference, not from any file — a declared retype would diverge
@@ -1971,7 +2163,7 @@ object VersionLog {
     require(!partCols.exists(resolver(_, name)),
       s"ALTER COLUMN TYPE $name: it is the partition column of $dir " +
         "(path-encoded); repartition through a rewriting overwrite")
-    val old = field.dataType
+    val old = oldType
     require(widensLosslessly(old, newType),
       s"ALTER COLUMN TYPE $name: $old -> $newType is not a widening " +
         "(integral up-chain, byte/short/int -> double, float -> " +
@@ -2440,12 +2632,14 @@ object VersionLog {
     val declU = declaredSchema(spark, dir, snap)
     val (nested0, topSets) = sets.partition(_._1.contains('.'))
     val nested = nested0.map { case (path0, e) =>
-      val (path, field) = resolvePath(spark, declU, path0,
-        "UPDATE SET", dir)
+      // markers refuse here: `SET a.element.x = e` would assign into
+      // every element — spell it as a whole-column transform instead
+      val (path, ftype) = resolvePath(spark, declU, path0,
+        "UPDATE SET", dir, allowMarkers = false)
       require(!topSets.exists(t => resolver(t._1, headSeg(path))),
         s"UPDATE SET assigns both '$path0' and its whole struct " +
           s"'${headSeg(path)}' — ambiguous")
-      (path, field, e)
+      (path, ftype, e)
     }
     for (i <- nested.indices; j <- i + 1 until nested.size) {
       val a = nested(i)._1; val b = nested(j)._1
@@ -2461,7 +2655,7 @@ object VersionLog {
               p.split("\\.").drop(1)
                 .map(sg => "`" + sg.replace("`", "``") + "`")
                 .mkString("."),
-              e.cast(f.dataType))
+              e.cast(f))
         }
         (h, structExpr)
       }
@@ -2699,11 +2893,17 @@ object VersionLog {
     require(toVersion != snap.version,
       s"$dir is already at version $toVersion")
     val target = snapshot(spark, dir, Some(toVersion))
+    // TBLPROPERTIES revert WITH the restore (Delta's RESTORE reverts
+    // table configuration): a policy key set after the restore point
+    // (graft.retentionHours, graft.acceptPhysicalNames) must not
+    // silently survive the rollback — commit()'s inherit-from-parent
+    // default would keep the current head's map.
     commit(spark, dir, snap.version, s"restore-v$toVersion",
       target.files, deletes = target.deletes,
       constraints = target.constraints,
       schemaJson = target.schemaJson, parentFiles = Some(snap.files),
-      colMap = target.colMap, droppedPhys = target.droppedPhys)
+      colMap = target.colMap, droppedPhys = target.droppedPhys,
+      properties = Some(target.properties))
   }
 
   /** ZERO-COPY SHALLOW CLONE (local filesystems): materialize `dstDir`
@@ -2850,7 +3050,7 @@ object VersionLog {
               .filter(d => headSeg(d) == f.name)
               .map(_.drop(f.name.length + 1))
             if (drops.isEmpty) col(f.name)
-            else relocated(f.name, drops, Nil).as(f.name)
+            else relocated(f.name, f.dataType, drops, Nil).as(f.name)
           }.toIndexedSeq: _*)
           .repartition(nOut)
           .write.mode("error").parquet(out)
@@ -2977,9 +3177,8 @@ object VersionLog {
       if (raw.full.isEmpty && readCheckpoint(fs, dir, oldest).isEmpty) {
         val files =
           retainedSnaps.find(_.version == oldest).get.files
-        def esc(x: String) = x.replace("\\", "\\\\").replace("\"", "\\\"")
         val json = s"""{"version":$oldest,"files":[""" +
-          files.map(f => "\"" + esc(f) + "\"").mkString(",") + "]}"
+          files.map(f => "\"" + jsonEsc(f) + "\"").mkString(",") + "]}"
         require(atomicCreate(fs, versionsRoot(dir),
             checkpointFile(dir, oldest), json) ||
             readCheckpoint(fs, dir, oldest).isDefined,
@@ -3014,7 +3213,7 @@ object VersionLog {
   private def renderSnapshot(s: TableSnapshot,
       delta: Option[(Seq[String], Seq[String])] = None,
       tsMillis: Option[Long] = None): String = {
-    def esc(x: String) = x.replace("\\", "\\\\").replace("\"", "\\\"")
+    def esc(x: String) = jsonEsc(x)
     def arr(xs: Seq[String]) =
       xs.map(f => "\"" + esc(f) + "\"").mkString(",")
     s"""{"version":${s.version},"parent":${s.parent},""" +

@@ -459,16 +459,28 @@ private[graft] final class GraftFileIndex(spark: SparkSession,
     }
     // retired physical columns (DROP COLUMN history) never surface —
     // including NESTED paths (a dropped struct field is pruned out of
-    // its parent's footer type recursively)
+    // its parent's footer type recursively, container markers
+    // `element`/`key`/`value` riding the dotted path like the DDL
+    // doors spell them)
     val droppedSet = pinnedDropped.toSet
+    def removeDroppedIn(dt: org.apache.spark.sql.types.DataType,
+        prefix: String): org.apache.spark.sql.types.DataType =
+      dt match {
+        case n: StructType => removeDropped(n, prefix)
+        case org.apache.spark.sql.types.ArrayType(et, nn) =>
+          org.apache.spark.sql.types.ArrayType(
+            removeDroppedIn(et, s"$prefix.element"), nn)
+        case org.apache.spark.sql.types.MapType(kt, vt, nn) =>
+          org.apache.spark.sql.types.MapType(
+            removeDroppedIn(kt, s"$prefix.key"),
+            removeDroppedIn(vt, s"$prefix.value"), nn)
+        case other => other
+      }
     def removeDropped(st: StructType, prefix: String): StructType =
       StructType(st.fields.flatMap { f =>
         val p = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
         if (droppedSet.contains(p)) None
-        else Some(f.dataType match {
-          case n: StructType => f.copy(dataType = removeDropped(n, p))
-          case _ => f
-        })
+        else Some(f.copy(dataType = removeDroppedIn(f.dataType, p)))
       })
     val footerLive = removeDropped(footerMerged, "")
     // the snapshot's DECLARED schema commit (ALTER TABLE ADD COLUMN
@@ -485,18 +497,28 @@ private[graft] final class GraftFileIndex(spark: SparkSession,
       val partSet = partColNames.toSet
       // declared names are logical at EVERY depth: each field's
       // physical name is the leaf of its mapped physical path
-      // (longest-prefix through the colMap — nested renames included)
+      // (longest-prefix through the colMap — nested renames included,
+      // container markers riding the dotted path)
+      def declPhysIn(dt0: org.apache.spark.sql.types.DataType,
+          lpath: String): org.apache.spark.sql.types.DataType =
+        dt0 match {
+          case n: StructType => declPhys(n, lpath)
+          case org.apache.spark.sql.types.ArrayType(et, nn) =>
+            org.apache.spark.sql.types.ArrayType(
+              declPhysIn(et, s"$lpath.element"), nn)
+          case org.apache.spark.sql.types.MapType(kt, vt, nn) =>
+            org.apache.spark.sql.types.MapType(
+              declPhysIn(kt, s"$lpath.key"),
+              declPhysIn(vt, s"$lpath.value"), nn)
+          case other => other
+        }
       def declPhys(st: StructType, prefix: String): StructType =
         StructType(st.fields.map { f =>
           val lpath =
             if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
           val pleaf = graft.io.VersionLog
             .physicalPathOf(pinnedColMap, lpath).split("\\.").last
-          val dt = f.dataType match {
-            case n: StructType => declPhys(n, lpath)
-            case other => other
-          }
-          f.copy(name = pleaf, dataType = dt)
+          f.copy(name = pleaf, dataType = declPhysIn(f.dataType, lpath))
         })
       val dataDecl = declPhys(StructType(
         decl.fields.filterNot(f => partSet.contains(f.name))), "")
@@ -1006,7 +1028,7 @@ private[graft] final class GraftFileIndex(spark: SparkSession,
     */
   private def fieldTypeOf(key: String):
       Option[org.apache.spark.sql.types.DataType] = {
-    import org.apache.spark.sql.types.StructType
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
     def walk(t: org.apache.spark.sql.types.DataType,
         segs: List[String]):
         Option[org.apache.spark.sql.types.DataType] = segs match {
@@ -1014,6 +1036,9 @@ private[graft] final class GraftFileIndex(spark: SparkSession,
       case h :: rest => t match {
         case st: StructType =>
           st.fields.find(_.name == h).flatMap(f => walk(f.dataType, rest))
+        case ArrayType(et, _) if h == "element" => walk(et, rest)
+        case MapType(kt, _, _) if h == "key" => walk(kt, rest)
+        case MapType(_, vt, _) if h == "value" => walk(vt, rest)
         case _ => None
       }
     }

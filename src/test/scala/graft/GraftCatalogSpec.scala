@@ -1210,4 +1210,34 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(raw.columns.toSet === Set("k", "v"),
       "the acknowledged raw read surfaces PHYSICAL names")
   }
+
+  test("nested DDL on a DECLARED-but-never-written table validates " +
+      "the dotted path: bad paths refuse loudly instead of silently " +
+      "no-oping or throwing a raw ClassCastException") {
+    warehouse
+    spark.sql("CREATE TABLE graft.declnest (k BIGINT, " +
+      "s STRUCT<x: BIGINT, w: STRING>, t STRING)")
+    // valid nested rename applies to the declared schema
+    spark.sql("ALTER TABLE graft.declnest RENAME COLUMN s.x TO y")
+    val sType = spark.table("graft.declnest").schema("s").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(sType.fieldNames.toSet === Set("w", "y"))
+    // unknown nested segment: loud refusal, not a silent no-op
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.declnest RENAME COLUMN s.nope TO z")
+    }
+    assert(e1.getMessage.contains("nope"), e1.getMessage)
+    // path THROUGH a non-struct: loud refusal, not ClassCastException
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.declnest RENAME COLUMN t.x TO z")
+    }
+    assert(!e2.isInstanceOf[ClassCastException], e2.toString)
+    assert(e2.getMessage.contains("not a struct") ||
+      e2.getMessage.contains("t.x"), e2.getMessage)
+    // schema unchanged by the two refusals
+    assert(spark.table("graft.declnest").schema("s").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSet === Set("w", "y"))
+    spark.sql("DROP TABLE graft.declnest")
+  }
 }

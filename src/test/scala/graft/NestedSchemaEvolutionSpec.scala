@@ -414,4 +414,205 @@ class NestedSchemaEvolutionSpec extends AnyFunSuite {
     assert(mirrored === Set((1L, 10L, "a1"), (2L, 21L, "a2b"),
       (3L, 30L, "a3")))
   }
+
+  // ---- DDL through ARRAY/MAP element types (round 18) --------------
+  // The canonical doc schema IS `entities: array<struct<…>>`; field
+  // DDL inside element types rides the same dotted-path machinery
+  // with `element` / `key` / `value` MARKER segments (Delta's
+  // spelling), still metadata-only — the read/write projections
+  // rebuild through transform()/transform_keys()/transform_values().
+
+  /** k, entities: array<struct<label:string, begin:int>>, p — with an
+    * empty array and a NULL array row (both must survive rebuilds).
+    */
+  private def seedArr(): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("nestarr").toString
+    val df = Seq(
+      (1L, Seq(("a", 1), ("b", 2)), "p1"),
+      (2L, Seq(("c", 3)), "p1"),
+      (3L, Seq.empty[(String, Int)], "p2"),
+      (4L, null.asInstanceOf[Seq[(String, Int)]], "p2"))
+      .toDF("k", "entities", "p")
+      .select($"k", $"entities"
+        .cast("array<struct<label:string,begin:int>>").as("entities"),
+        $"p")
+    VersionLog.init(spark, dir, df.coalesce(1))
+    dir
+  }
+
+  test("ARRAY-element RENAME entities.element.label -> tag: " +
+      "metadata-only transform() rebuild — values flow, empty arrays " +
+      "stay empty, null arrays stay null, appends land physically " +
+      "under the OLD leaf, time travel reads the old name") {
+    import spark.implicits._
+    val dir = seedArr()
+    val filesBefore = VersionLog.snapshot(spark, dir, None).files
+    VersionLog.alterRenameColumnCommit(spark, dir,
+      "entities.element.label", "tag") // v2
+    val snap2 = VersionLog.snapshot(spark, dir, None)
+    assert(snap2.files === filesBefore,
+      "array-element rename must touch no file")
+    assert(snap2.colMap.contains(
+      "entities.element.tag" -> "entities.element.label"))
+    val t = VersionLog.read(spark, dir)
+    // renamed leaf lands at the END of the element struct
+    assert(t.schema("entities").dataType ===
+      ArrayType(StructType(Seq(StructField("begin", IntegerType),
+        StructField("tag", StringType))), true))
+    val got = t.select($"k",
+        expr("transform(entities, e -> e.tag)"),
+        expr("transform(entities, e -> e.begin)"))
+      .as[(Long, Option[Seq[String]], Option[Seq[Int]])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((Some(Seq("a", "b")), Some(Seq(1, 2)))))
+    assert(got(2L) === ((Some(Seq("c")), Some(Seq(3)))))
+    assert(got(3L) === ((Some(Nil), Some(Nil))),
+      "an EMPTY array must stay empty, not null")
+    assert(got(4L) === ((None, None)),
+      "a NULL array must stay null, not become empty/struct-of-nulls")
+    // append under the NEW shape: stored physically under 'label'
+    VersionLog.append(spark, dir,
+      Seq((5L, Seq((7, "d")), "p2")).toDF("k", "entities", "p")
+        .select($"k", $"entities"
+          .cast("array<struct<begin:int,tag:string>>").as("entities"),
+          $"p").coalesce(1)) // v3
+    val newFile = VersionLog.snapshot(spark, dir, None).files
+      .filterNot(snap2.files.toSet)
+    assert(newFile.size === 1)
+    val physT = spark.read.parquet(s"$dir/${newFile.head}")
+      .schema("entities").dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType].fieldNames.toSet
+    assert(physT === Set("begin", "label"),
+      "the batch must store the physical element leaf 'label'")
+    assert(VersionLog.read(spark, dir)
+      .select(expr("transform(entities, e -> e.tag)"))
+      .where($"k" === 5L).as[Seq[String]].head() === Seq("d"))
+    // time travel to v1: the ORIGINAL element names
+    val v1 = VersionLog.read(spark, dir, Some(1L))
+    assert(v1.schema("entities").dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType].fieldNames.toSeq ===
+      Seq("label", "begin"))
+  }
+
+  test("ARRAY-element DROP entities.element.begin hides the leaf; " +
+      "re-ADD mints a fresh #v physical so old bytes never " +
+      "resurface; compaction sheds the retired element leaf") {
+    import spark.implicits._
+    val dir = seedArr()
+    VersionLog.alterDropColumnCommit(spark, dir,
+      "entities.element.begin") // v2
+    val t = VersionLog.read(spark, dir)
+    assert(t.schema("entities").dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType].fieldNames.toSeq ===
+      Seq("label"))
+    // re-add the same leaf name: fresh physical identity, reads NULL
+    VersionLog.alterAddColumnCommit(spark, dir,
+      "entities.element.begin", LongType) // v3
+    val snap3 = VersionLog.snapshot(spark, dir, None)
+    assert(snap3.colMap.exists { case (l, p) =>
+      l == "entities.element.begin" &&
+        p.startsWith("entities.element.begin#v") },
+      s"re-added element leaf must mint a fresh physical, " +
+        s"got ${snap3.colMap}")
+    val re = VersionLog.read(spark, dir)
+      .select($"k", expr("transform(entities, e -> e.begin)"))
+      .where($"k" === 1L).as[(Long, Seq[Option[Long]])].head()
+    assert(re._2 === Seq(None, None),
+      "old begin bytes must NOT leak into the re-added leaf")
+    // writes under the re-added leaf land under the #v physical
+    VersionLog.append(spark, dir,
+      Seq((6L, Seq(("e", Some(60L))), "p1")).toDF("k", "entities", "p")
+        .select($"k", $"entities"
+          .cast("array<struct<label:string,begin:bigint>>")
+          .as("entities"), $"p").coalesce(1)) // v4
+    assert(VersionLog.read(spark, dir)
+      .select(expr("transform(entities, e -> e.begin)"))
+      .where($"k" === 6L).as[Seq[Option[Long]]].head() ===
+      Seq(Some(60L)))
+    // compaction sheds the RETIRED element leaf from repacked footers
+    // (two one-file batches bin-pack into one at the default target)
+    val (_, _, v5) = VersionLog.compactSnapshot(spark, dir)
+    val snap5 = VersionLog.snapshot(spark, dir, None)
+    assert(v5 === snap5.version)
+    val shed = snap5.files.forall { f =>
+      val et = spark.read.parquet(s"$dir/$f").schema("entities")
+        .dataType.asInstanceOf[ArrayType].elementType
+        .asInstanceOf[StructType].fieldNames.toSet
+      !et.contains("begin") // the RETIRED plain 'begin' never remains
+    }
+    assert(shed, "repacked footers must not carry the retired leaf")
+    assert(VersionLog.read(spark, dir)
+      .select(expr("transform(entities, e -> e.begin)"))
+      .where($"k" === 6L).as[Seq[Option[Long]]].head() ===
+      Seq(Some(60L)), "the re-added #v leaf survives compaction")
+  }
+
+  test("ARRAY-element RETYPE widens int -> bigint metadata-only; " +
+      "MAP value rename m.value.x -> y rebuilds via " +
+      "transform_values") {
+    import spark.implicits._
+    // array retype
+    val dir = seedArr()
+    val filesBefore = VersionLog.snapshot(spark, dir, None).files
+    VersionLog.alterColumnTypeCommit(spark, dir,
+      "entities.element.begin", LongType)
+    assert(VersionLog.snapshot(spark, dir, None).files === filesBefore)
+    val t = VersionLog.read(spark, dir)
+    assert(t.schema("entities").dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]("begin").dataType ===
+      LongType)
+    assert(t.select(expr("transform(entities, e -> e.begin)"))
+      .where($"k" === 1L).as[Seq[Long]].head() === Seq(1L, 2L))
+    // narrowing refuses
+    intercept[IllegalArgumentException] {
+      VersionLog.alterColumnTypeCommit(spark, dir,
+        "entities.element.begin", IntegerType)
+    }
+    // map VALUE rename
+    val dir2 = Files.createTempDirectory("nestmap").toString
+    VersionLog.init(spark, dir2,
+      Seq((1L, Map("k1" -> (10L, "v1")), "p1"))
+        .toDF("k", "m", "p")
+        .select($"k",
+          $"m".cast("map<string,struct<x:bigint,w:string>>").as("m"),
+          $"p").coalesce(1))
+    VersionLog.alterRenameColumnCommit(spark, dir2, "m.value.x", "y")
+    val m = VersionLog.read(spark, dir2)
+    assert(m.schema("m").dataType.asInstanceOf[MapType].valueType
+      .asInstanceOf[StructType].fieldNames.toSeq === Seq("w", "y"))
+    assert(m.select(expr("m['k1'].y")).as[Long].head() === 10L)
+    // and a write under the new value shape lands physically as 'x'
+    VersionLog.append(spark, dir2,
+      Seq((2L, Map("k2" -> ("v2", 20L)), "p1"))
+        .toDF("k", "m", "p")
+        .select($"k",
+          $"m".cast("map<string,struct<w:string,y:bigint>>").as("m"),
+          $"p").coalesce(1))
+    assert(VersionLog.read(spark, dir2)
+      .select(expr("m['k2'].y")).where($"k" === 2L)
+      .as[Long].head() === 20L)
+  }
+
+  test("ARRAY/MAP marker guards: a trailing marker refuses, a " +
+      "non-element segment under an array refuses naming the " +
+      "spelling, UPDATE SET through a marker refuses") {
+    import spark.implicits._
+    val dir = seedArr()
+    val e1 = intercept[IllegalArgumentException] {
+      VersionLog.alterRenameColumnCommit(spark, dir,
+        "entities.element", "items")
+    }
+    assert(e1.getMessage.contains("marker"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      VersionLog.alterRenameColumnCommit(spark, dir,
+        "entities.label", "tag")
+    }
+    assert(e2.getMessage.contains(".element."), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      VersionLog.updateWhereCommit(spark, dir,
+        Seq("entities.element.begin" -> lit(0)), $"k" === 1L)
+    }
+    assert(e3.getMessage.contains("not assignable"), e3.getMessage)
+  }
 }

@@ -1793,6 +1793,78 @@ class VersionLogSpec extends AnyFunSuite {
     assert(VersionLog.read(spark, dir).schema.fieldNames.toSeq === decl,
       "no helper/garbage column may have been auto-added")
   }
+
+  test("RESTORE reverts TBLPROPERTIES to the restored version's map: " +
+      "a policy key set after the restore point does not survive " +
+      "the rollback") {
+    val dir = seed()
+    VersionLog.setTablePropertiesCommit(spark, dir,
+      Seq("graft.retentionHours" -> "1")) // v2
+    VersionLog.setTablePropertiesCommit(spark, dir,
+      Seq("graft.acceptPhysicalNames" -> "true")) // v3
+    VersionLog.restoreCommit(spark, dir, 2L) // v4 = v2's state
+    val props = VersionLog.snapshot(spark, dir, None).properties.toMap
+    assert(props === Map("graft.retentionHours" -> "1"),
+      s"RESTORE must carry the TARGET version's properties, got $props")
+    // and ordinary commits after the restore inherit the reverted map
+    import spark.implicits._
+    VersionLog.append(spark, dir,
+      Seq((9L, "nine", "a")).toDF("k", "v", "p"),
+      partitionBy = Some("p"))
+    assert(VersionLog.snapshot(spark, dir, None).properties.toMap ===
+      Map("graft.retentionHours" -> "1"))
+  }
+
+  test("property values with control characters publish VALID JSON: " +
+      "the committed head stays readable and the value round-trips") {
+    val dir = seed()
+    val nasty = "line1\nline2\ttabbed\r\"quoted\" back\\slash "
+    VersionLog.setTablePropertiesCommit(spark, dir,
+      Seq("graft.comment" -> nasty, "plain" -> "ok"))
+    // pre-fix this parseRaw threw (invalid JSON already CAS-published)
+    // and the table head was unreadable until hand-edited
+    val snap = VersionLog.snapshot(spark, dir, None)
+    assert(snap.properties.toMap.apply("graft.comment") === nasty)
+    assert(snap.properties.toMap.apply("plain") === "ok")
+    // the next commit inherits and re-renders it — still readable
+    import spark.implicits._
+    VersionLog.append(spark, dir,
+      Seq((9L, "nine", "a")).toDF("k", "v", "p"),
+      partitionBy = Some("p"))
+    assert(VersionLog.snapshot(spark, dir, None)
+      .properties.toMap.apply("graft.comment") === nasty)
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION same-name guard recurses into " +
+      "NESTED leaves: a lossy double x bigint mismatch inside a " +
+      "struct refuses before any file is written") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("vlog").toString
+    VersionLog.init(spark, dir,
+      Seq((1L, 10L, "m1", "a"), (2L, 20L, "m2", "b"))
+        .toDF("k", "x", "w", "p")
+        .select($"k", struct($"x", $"w").as("s"), $"p"),
+      partitionBy = Some("p"))
+    val filesBefore = VersionLog.snapshot(spark, dir, None).files
+    val bad = Seq((1L, 1.5, "m1b", "a")).toDF("k", "x", "w", "p")
+      .select($"k", struct($"x", $"w").as("s"), $"p")
+    val e = intercept[IllegalArgumentException] {
+      VersionLog.mergeByKeyCdc(spark, dir, bad, "k", "p",
+        schemaEvolution = true)
+    }
+    assert(e.getMessage.contains("s.x"), e.getMessage)
+    assert(VersionLog.snapshot(spark, dir, None).files === filesBefore,
+      "the refused merge must not have committed or written files")
+    // the NESTED widening direction still passes: long source into a
+    // declared long is identity; int source into long upcasts
+    VersionLog.mergeByKeyCdc(spark, dir,
+      Seq((1L, 11, "m1b", "a")).toDF("k", "x", "w", "p")
+        .select($"k", struct($"x".cast("int").as("x"), $"w").as("s"),
+          $"p"),
+      "k", "p", schemaEvolution = true)
+    assert(VersionLog.read(spark, dir).filter($"k" === 1L)
+      .select($"s.x").as[Long].head() === 11L)
+  }
 }
 
 object VersionLogSpec {

@@ -114,8 +114,13 @@ object PipelineQueries {
   /** The same pipeline over an arbitrary (doc_id, text) frame — q89
     * composes it over the gated/deduped pool instead of the raw table.
     */
-  private[graft] def verifiedNearDupPairsOf(docs: DataFrame,
+  private[graft] def verifiedNearDupPairsOf(docs0: DataFrame,
       threshold: Double): DataFrame = {
+    // the fused MinHash walk (64 universal-hash minima per shingle) is
+    // this pipeline's dominant CPU and runs in the scan stage — spread
+    // it when the corpus arrives as fewer splits than cores (measured
+    // q69: 2.45 -> 1.71 s; no-op at real corpus sizes)
+    val docs = graft.core.Spread.cpuFloor(docs0)
     val withShingles = docs.select(col("doc_id"),
       shingleHashes64(col("text")).as("sh"))
     val sigs = docs.select(col("doc_id").as("id"),
@@ -1281,6 +1286,9 @@ object PipelineQueries {
       // near-dup members come back as a broadcast anti-join (the drop
       // set is bounded by the duplicate mass, not the corpus).
       val docs = documents(s, d)
+      // NOT spread (Spread.cpuFloor): measured — q89's stages are each
+      // 0.1-0.5 s of CPU, below the ~1 s/stage where a 32-way spread
+      // pays for its exchange + scheduling (profiled wall unchanged)
       val gated = docs
         .withColumn("g", TextStats.gopherRules($"text",
           Seq("the", "a", "of", "to", "in", "and")))
@@ -2685,13 +2693,18 @@ object PipelineQueries {
       // Integer hit counts and basis-point recalls, so every point on
       // the curve is hash-checked; monotonicity and per-level floors
       // are spec-asserted (PipelineOpsSpec).
-      Seq(1, 2, 4).map { b =>
-        PortableLsh.recallAtK(noisyVecs(s, d), col("id") % 25 === 0,
-            dIn = 16, bands = b, rBits = 16, k = 7)
-          .agg(count(lit(1)).as("n_queries"),
-            sum($"n_hits").cast("long").as("n_hits"))
-          .select(lit(b).as("bands"), $"n_queries", $"n_hits")
-      }.reduce(_ unionByName _)
+      // one-pass curve: the vector checkpoint, the signature table
+      // (plane signs are a pure function of the band INDEX, so the
+      // max-level table contains every level as its band < lvl prefix)
+      // and the exact O(N·Q) ground truth are shared across the three
+      // levels instead of recomputed per level — bit-identical hits
+      // (PortableLsh.recallCurve; spec-pinned against per-level
+      // recallAtK)
+      PortableLsh.recallCurve(noisyVecs(s, d), col("id") % 25 === 0,
+          dIn = 16, bandLevels = Seq(1, 2, 4), rBits = 16, k = 7)
+        .groupBy($"bands")
+        .agg(count(lit(1)).as("n_queries"),
+          sum($"n_hits").cast("long").as("n_hits"))
         .withColumn("recall_bp",
           expr("n_hits * 10000 div (n_queries * 7)"))
         .orderBy($"bands")

@@ -132,6 +132,68 @@ object PortableLsh {
         coalesce(col("n_hits"), lit(0)).as("n_hits"))
   }
 
+  /** The recall CURVE over several band counts in one pass — the q140
+    * shape. Equivalent to one [[recallAtK]] per level unioned with a
+    * `bands` literal, but the level-INDEPENDENT work is shared: the
+    * plane signs are a pure function of the band INDEX (`planeSign(b,
+    * p, j)` never sees the level), so the signature table computed at
+    * max(levels) contains every smaller level as its `band < level`
+    * prefix; the exact integer-L2 ground truth does not depend on the
+    * level at all. One vector checkpoint, one signature projection,
+    * one O(N·Q) exact baseline — instead of one of each PER level
+    * (measured: the exact baseline was 3x-recomputed in q140).
+    * Returns (bands, query_id, n_hits), bit-identical per level to
+    * [[recallAtK]].
+    */
+  def recallCurve(vecs: DataFrame, queryFilter: Column, dIn: Int,
+      bandLevels: Seq[Int], rBits: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    require(bandLevels.nonEmpty, "bandLevels must be non-empty")
+    val v = vecs.localCheckpoint()
+    val maxBands = bandLevels.max
+    val sigs = v.select(col("id"),
+        posexplode(bandSigs(col("vec"), dIn, maxBands, rBits)))
+      .select(col("id"), col("pos").as("band"), col("col").as("sig"))
+      .localCheckpoint()
+    val qv = v.select(col("id").as("query_id"), col("vec").as("qv"))
+    val cv = v.select(col("id").as("neighbor_id"), col("vec").as("cv"))
+    val d2 = (0 until dIn).map { j =>
+      val diff = element_at(col("qv"), j + 1) -
+        element_at(col("cv"), j + 1)
+      diff * diff
+    }.reduce(_ + _)
+    val topk = udaf(new TopKLongAggregator(k), Encoders.product[ScoredL])
+    def topkOf(scored: DataFrame): DataFrame =
+      scored.groupBy("query_id")
+        .agg(topk(col("neighbor_id"), col("d2")).as("t"))
+        .select(col("query_id"), explode(col("t")).as("s"))
+        .select(col("query_id"), col("s.neighbor_id").as("neighbor_id"))
+    val queries = v.filter(queryFilter)
+      .select(col("id").as("query_id"), col("vec").as("qv"))
+    val exact = topkOf(
+      cv.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), d2.as("d2")))
+      .localCheckpoint(false)
+    bandLevels.map { lvl =>
+      val lvlSigs = sigs.filter(col("band") < lvl)
+      val cands = lvlSigs.filter(queryFilter)
+        .select(col("id").as("query_id"), col("band"), col("sig"))
+        .join(lvlSigs.select(col("id").as("neighbor_id"), col("band"),
+          col("sig")), Seq("band", "sig"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select("query_id", "neighbor_id").distinct()
+      val approx = topkOf(
+        cands.join(qv, "query_id").join(cv, "neighbor_id")
+          .select(col("query_id"), col("neighbor_id"), d2.as("d2")))
+      val hits = approx.join(exact, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).cast("int").as("n_hits"))
+      queries.select(col("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(lit(lvl).as("bands"), col("query_id"),
+          coalesce(col("n_hits"), lit(0)).as("n_hits"))
+    }.reduce(_ unionByName _)
+  }
+
   private def bandSigsUdf(dIn: Int, bands: Int, rBits: Int)
       : org.apache.spark.sql.expressions.UserDefinedFunction = {
     require(rBits > 0 && rBits < 63, "rBits must be in [1, 62]")

@@ -70,8 +70,13 @@ object Bm25 {
     * `stats` table (N, total length). Query-time I/O is O(postings of
     * the query terms), independent of corpus breadth.
     */
-  def buildIndex(docs: DataFrame, idCol: String, textCol: String,
+  def buildIndex(docs0: DataFrame, idCol: String, textCol: String,
       dir: String, nBuckets: Int = 64): Unit = {
+    // the postings explode + (id, term) partial aggregate is the
+    // build's dominant CPU (measured 3.2 s single-task at sf0.1 when
+    // the corpus arrives as one parquet split) — give it the session's
+    // parallelism; no-op once the corpus has >= cores splits
+    val docs = graft.core.Spread.cpuFloor(docs0)
     val words = split(trim(col(textCol)), "\\s+")
     val postings = docs.select(col(idCol).as("id"),
         size(words).cast("long").as("dl"), explode(words).as("term"))

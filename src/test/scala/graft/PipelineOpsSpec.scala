@@ -119,6 +119,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows(4) <= 10000L)
   }
 
+  test("recallCurve equals per-level recallAtK bit-for-bit — the " +
+      "shared signature table and shared exact baseline change nothing") {
+    import graft.similarity.PortableLsh
+    val vecs = relational.PipelineQueries.noisyVecs(spark, sf)
+    val curve = PortableLsh.recallCurve(vecs, col("id") % 25 === 0,
+        dIn = 16, bandLevels = Seq(1, 2, 4), rBits = 16, k = 7)
+      .collect()
+      .map(r => (r.getAs[Int]("bands"), r.getAs[Long]("query_id")) ->
+        r.getAs[Int]("n_hits")).toMap
+    Seq(1, 2, 4).foreach { b =>
+      val single = PortableLsh.recallAtK(vecs, col("id") % 25 === 0,
+          dIn = 16, bands = b, rBits = 16, k = 7)
+        .collect()
+        .map(r => r.getAs[Long]("query_id") -> r.getAs[Int]("n_hits"))
+        .toMap
+      val atLevel = curve.collect { case ((`b`, q), h) => q -> h }
+      assert(atLevel === single, s"recallCurve diverges at bands=$b")
+    }
+  }
+
   test("text-hash expressions survive CODEGEN_ONLY and match interpreted") {
     // the simhash/minhash projections are native expressions now —
     // forcing codegen-only evaluation proves doGenCode's generated Java

@@ -451,17 +451,11 @@ object Ann {
       explode(probeUdf(centers, nprobe)(col("vec"))).as("cell"))
     val probed = qs.select(col("cell")).distinct()
       .collect().map(_.getInt(0))
-    // probed cells are few small files by design — spread the exact
-    // cosine scoring across the session's cores (see Pq.probePqIndex)
-    val cs = graft.core.Spread.cpuFloor(
-      spark.read.parquet(s"$indexDir/cells.parquet")
-        .filter(col("cell").isin(probed.toSeq: _*))
-        .select(col("id").as("neighbor_id"), col("vec").as("cv"),
-          col("cell")))
-    // queries are the small side by contract — broadcast them so the
-    // exact-cosine stage runs on the spread candidate partitions (see
-    // Pq.probePqIndex)
-    probeJoinTopK(cs, broadcast(qs), k)
+    val cs = spark.read.parquet(s"$indexDir/cells.parquet")
+      .filter(col("cell").isin(probed.toSeq: _*))
+      .select(col("id").as("neighbor_id"), col("vec").as("cv"),
+        col("cell"))
+    probeJoinTopK(cs, qs, k)
   }
 
   /** Signature width that keeps expected bucket population bounded:

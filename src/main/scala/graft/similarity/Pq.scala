@@ -262,22 +262,10 @@ object Pq {
       explode(Ann.probeUdf(centers, nprobe)(col("vec"))).as("cell"))
     val probed = qs.select(col("cell")).distinct()
       .collect().map(_.getInt(0))
-    // the probed cells are FEW small files by design (nprobe/nlist of
-    // the code store), so their scan is 1-2 tasks while the ADC scoring
-    // against every query is the probe's whole CPU (measured 1.3 s
-    // single-task at sf0.1) — spread the candidate side to the
-    // session's parallelism; the serving-latency shape at any scale
-    val cs = graft.core.Spread.cpuFloor(
-      spark.read.parquet(s"$dir/codes.parquet")
-        .filter(col("cell").isin(probed.toSeq: _*))
-        .select(col("id").as("neighbor_id"), col("code"), col("cell")))
-    // queries are the small side BY CONTRACT (the online-lookup shape)
-    // — broadcast them explicitly so the ADC scoring stage runs on the
-    // spread candidate partitions; left to size estimates the planner
-    // broadcast the KB-sized code side instead and scored every
-    // candidate on the query scan's single split (measured 0.9 s
-    // single-task at sf0.1)
-    val scored = cs.join(broadcast(qs), "cell")
+    val cs = spark.read.parquet(s"$dir/codes.parquet")
+      .filter(col("cell").isin(probed.toSeq: _*))
+      .select(col("id").as("neighbor_id"), col("code"), col("cell"))
+    val scored = cs.join(qs, "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", adc.score(col("qv"), col("qn"), col("code")))
     rankTopK(scored, k)

@@ -484,15 +484,23 @@ object Dedup {
     * after it, probing is indistinguishable from a fresh full build
     * (spec-pinned).
     */
-  def buildNearDupIndex(docs: DataFrame, idCol: String, textCol: String,
+  def buildNearDupIndex(docs0: DataFrame, idCol: String, textCol: String,
       dir: String, bands: Int = 16, sigLength: Int = 64): Unit = {
+    // spread the corpus for the two CPU-dense walks (MinHash minima,
+    // distinct shingles — both single-task on a single-split corpus),
+    // and land the two independent artifacts CONCURRENTLY (graft.core
+    // .Par, the Bm25/Pq build pattern) so the shingle write hides
+    // behind the bucket write's shuffle instead of adding a sequential
+    // commit round
+    val docs = graft.core.Spread.cpuFloor(docs0)
     val sigs = docs.select(col(idCol).as("id"),
       minHashSignatureFromText(col(textCol), 3, sigLength).as("sig"))
-    bandBuckets(sigs, "id", bands)
-      .write.mode("overwrite").parquet(s"$dir/buckets")
-    docs.select(col(idCol).as("id"),
-        distinctShingleHashes64(3)(col(textCol)).as("sh"))
-      .write.mode("overwrite").parquet(s"$dir/shingles")
+    graft.core.Par.run(
+      () => bandBuckets(sigs, "id", bands)
+        .write.mode("overwrite").parquet(s"$dir/buckets"),
+      () => docs.select(col(idCol).as("id"),
+          distinctShingleHashes64(3)(col(textCol)).as("sh"))
+        .write.mode("overwrite").parquet(s"$dir/shingles"))
   }
 
   def appendToNearDupIndex(newDocs: DataFrame, idCol: String,

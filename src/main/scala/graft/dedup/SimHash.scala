@@ -217,7 +217,10 @@ object SimHash {
   def nearDuplicatesPortable(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, radius: Int = 3, nbits: Int = 60): DataFrame = {
-    val fp = df.filter(col(textCol).isNotNull)
+    // the per-shingle MD5 walk is the pipeline's dominant CPU and runs
+    // in the scan stage — spread a single-split corpus across the
+    // session's cores (no-op at real corpus sizes)
+    val fp = graft.core.Spread.cpuFloor(df.filter(col(textCol).isNotNull))
       .select(col(idCol).as("id"),
         simhashPortable(col(textCol), n, nbits).as("fp"))
     pairsFromFingerprints(fp, radius, nbits)

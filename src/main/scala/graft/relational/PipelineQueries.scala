@@ -470,9 +470,15 @@ object PipelineQueries {
       // the declared surface itself proves the rewrite: the oracle is
       // q33's verbatim, and PlanLintSpec bans the cartesian this query
       // would otherwise plan.
-      val fp = documents(s, d).filter($"text".isNotNull)
+      // spread + materialize the fingerprints once: the rewrite's 9
+      // band joins otherwise re-evaluate the per-shingle MD5 UDF on
+      // every side of every band (the 8-byte fingerprint table is the
+      // artifact to share, not recompute)
+      val fp = graft.core.Spread.cpuFloor(
+          documents(s, d).filter($"text".isNotNull))
         .select($"doc_id",
           SimHash.simhashPortable($"text", n = 3).as("fp"))
+        .localCheckpoint()
       fp.as("a").join(fp.as("b"),
           col("a.doc_id") < col("b.doc_id") &&
             expr("bit_count(a.fp ^ b.fp) <= 8"))

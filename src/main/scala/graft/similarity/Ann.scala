@@ -449,13 +449,21 @@ object Ann {
     val qs = queries.select(col("id").as("query_id"),
       col("vec").as("qv"),
       explode(probeUdf(centers, nprobe)(col("vec"))).as("cell"))
-    val probed = qs.select(col("cell")).distinct()
-      .collect().map(_.getInt(0))
+    // one job yields the probed-cell set AND the probe-row count that
+    // gates the large-batch spread (same reasoning as Pq.probePqIndex:
+    // big batches pay the scoring on a single-split scan's one task;
+    // point lookups must not pay the exchange)
+    val cellCounts = qs.groupBy(col("cell")).count().collect()
+    val probed = cellCounts.map(_.getInt(0))
+    val qRows = cellCounts.map(_.getLong(1)).sum
+    val p = spark.sparkContext.defaultParallelism
+    val qsIn = if (qRows >= math.max(1024, 32L * p)) qs.repartition(p)
+               else qs
     val cs = spark.read.parquet(s"$indexDir/cells.parquet")
       .filter(col("cell").isin(probed.toSeq: _*))
       .select(col("id").as("neighbor_id"), col("vec").as("cv"),
         col("cell"))
-    probeJoinTopK(cs, qs, k)
+    probeJoinTopK(cs, qsIn, k)
   }
 
   /** Signature width that keeps expected bucket population bounded:

@@ -260,12 +260,25 @@ object Pq {
     val qs = queries.select(col("id").as("query_id"),
       col("vec").as("qv"), adc.qnorm(col("vec")).as("qn"),
       explode(Ann.probeUdf(centers, nprobe)(col("vec"))).as("cell"))
-    val probed = qs.select(col("cell")).distinct()
-      .collect().map(_.getInt(0))
+    // one job yields BOTH the probed-cell set (the static pruning cut)
+    // and, for free, the probe-row count that gates the spread below
+    val cellCounts = qs.groupBy(col("cell")).count().collect()
+    val probed = cellCounts.map(_.getInt(0))
+    val qRows = cellCounts.map(_.getLong(1)).sum
+    // a LARGE query batch makes the ADC scoring the probe's whole CPU,
+    // and with the KB-sized code side broadcast the scoring runs on
+    // the query scan's partitioning — ONE task on a single-split batch
+    // (measured 0.9-1.3 s at sf0.1). Spread big batches; leave online
+    // point lookups (small batches) alone — for them the exchange
+    // would cost more than it buys (measured +0.3 s on the q105p twin
+    // when applied unconditionally).
+    val p = spark.sparkContext.defaultParallelism
+    val qsIn = if (qRows >= math.max(1024, 32L * p)) qs.repartition(p)
+               else qs
     val cs = spark.read.parquet(s"$dir/codes.parquet")
       .filter(col("cell").isin(probed.toSeq: _*))
       .select(col("id").as("neighbor_id"), col("code"), col("cell"))
-    val scored = cs.join(qs, "cell")
+    val scored = cs.join(qsIn, "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", adc.score(col("qv"), col("qn"), col("code")))
     rankTopK(scored, k)

@@ -81,10 +81,25 @@ object Bench {
     }
     // Load gate (round-7 verdict): a contended box produces phantom
     // regressions that needed a judge re-run to clear. Wait (bounded)
-    // for the 1-minute load to drop below cpus/4 before timing; if it
-    // never does, still run but stamp the record "contended": true so
-    // the artifact is self-disqualifying rather than silently noisy.
-    val loadGate = cpus.toDouble / 4.0
+    // for the 1-minute load to drop below the QUIET threshold before
+    // timing; if it never does, still run but stamp the record
+    // "contended": true so the artifact is self-disqualifying rather
+    // than silently noisy.
+    // Round-19 measurement fix (declared in OPTIMIZATION_r19.md): the
+    // old gate (cpus/4 = 8 on a 32-core box) stamped the r18 run
+    // "contended: false" at load 5.9-7.1 while this box's measured
+    // noise threshold is ~2.2 — 20 of that round's 37 "regressions"
+    // were phantoms that an 8-core control run had to clear. The gate
+    // now uses min(cpus/4, quietLoad≈2.5), and `contended` is ALSO
+    // stamped when the fixed-work calibration probe exceeds its
+    // quiet-host envelope (cal_sec > ~0.32 vs the 0.23-0.28 measured
+    // across r15-r18 hosts) — loadavg cannot see a degraded host, the
+    // probe can (the round-15 lesson). Both knobs are env-overridable;
+    // nothing else about the record or the stdout contract changes.
+    val quietLoad = sys.env.getOrElse("SPARK_GRAFT_QUIET_LOAD", "2.5").toDouble
+    val calQuietMax =
+      sys.env.getOrElse("SPARK_GRAFT_QUIET_CAL_SEC", "0.32").toDouble
+    val loadGate = math.min(cpus.toDouble / 4.0, quietLoad)
     val gateWaitMax = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_SEC", "180").toInt
     val gateDeadline = System.nanoTime() + gateWaitMax * 1000000000L
     var gateWaited = 0
@@ -92,7 +107,6 @@ object Bench {
       Thread.sleep(5000); gateWaited += 5
     }
     val loadBefore = loadAvg()
-    val contended = loadBefore > loadGate
     val calBefore = calibrate()
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val repTimes =
@@ -118,6 +132,12 @@ object Bench {
     }
     val loadAfter = loadAvg()
     val calAfter = calibrate()
+    // stamped from every signal the record carries: load before the
+    // run AND the calibration probes on both sides of it (a competitor
+    // that appears mid-run inflates calAfter even when loadBefore was
+    // quiet)
+    val contended = loadBefore > loadGate ||
+      calBefore > calQuietMax || calAfter > calQuietMax
     def jstr(s: String) = "\"" + s + "\""
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
@@ -129,7 +149,7 @@ object Bench {
       .mkString("{", ",", "}")
     val ok = results.count(_._2 >= 0)
     val total = results.values.filter(_ >= 0).sum
-    val record = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rep_times":$rs,"load_avg":{"before":$loadBefore,"after":$loadAfter,"cpus":$cpus,"gate":$loadGate,"gate_waited_sec":$gateWaited},"cal_sec":{"before":$calBefore,"after":$calAfter},"contended":$contended,"reps":$reps,"ok":$ok,"failed":${errors.size},"errors":$es,"sf":"$sfDir"}"""
+    val record = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rep_times":$rs,"load_avg":{"before":$loadBefore,"after":$loadAfter,"cpus":$cpus,"gate":$loadGate,"gate_waited_sec":$gateWaited},"cal_sec":{"before":$calBefore,"after":$calAfter,"gate":$calQuietMax},"contended":$contended,"reps":$reps,"ok":$ok,"failed":${errors.size},"errors":$es,"sf":"$sfDir"}"""
     // The full self-diagnosing record (per-rep arrays, load averages,
     // error strings) lands ONLY in the file: the driver keeps a
     // bounded TAIL of stdout (~2000 chars, rounds 10/11 verdicts), so

@@ -1291,18 +1291,43 @@ object PipelineQueries {
       // histogram descent are the only wide stages; the dropped
       // near-dup members come back as a broadcast anti-join (the drop
       // set is bounded by the duplicate mass, not the corpus).
-      val docs = documents(s, d)
-      // NOT spread (Spread.cpuFloor): measured — q89's stages are each
-      // 0.1-0.5 s of CPU, below the ~1 s/stage where a 32-way spread
-      // pays for its exchange + scheduling (profiled wall unchanged)
+      // SPREAD AT ENTRY (r19, guide §2.5): the gopher gate, the exact-dup
+      // sha2, the broadcast semi-join back to text, and the MinHash +
+      // shingle walks all FUSE into one stage rooted at the docs scan —
+      // on a single-split corpus that whole chain ran as ~2.5 s of
+      // sequential single-task CPU (ProfQuery stages 70/73/74/75
+      // at 0.2-0.7 s each). One round-robin exchange of the raw rows
+      // spreads every downstream walk; no-op at >= cores splits. (The
+      // r18 attempt gated on the JOINED pool, where cpuFloor refuses
+      // non-narrow plans and correctly no-ops — entry is the right
+      // place.)
+      val docs = graft.core.Spread.cpuFloor(documents(s, d))
       val gated = docs
         .withColumn("g", TextStats.gopherRules($"text",
           Seq("the", "a", "of", "to", "in", "and")))
         .filter($"g.keep")
         .select($"doc_id", $"text")
-      val keepExact = Dedup.exactDuplicates(gated, "doc_id", "text")
-        .select($"keep_id".as("doc_id"))
-      val pool = gated.join(keepExact, Seq("doc_id"), "left_semi")
+      // Exact-dedup survivorship as ONE aggregate (r19, guide §2.4):
+      // keep the min-id row per content hash via min_by — semantically
+      // identical to the old exactDuplicates + left-semi self-join
+      // (both keep exactly the rows whose doc_id == min(doc_id) over
+      // sha2(text)), but with one exchange instead of two plan branches
+      // over the gated scan (measured: the branched shape re-ran the
+      // scan+spread map per branch per action — 5 single-task ~0.25 s
+      // stages per run). At scale the partial min_by keeps one row per
+      // distinct text per map task, so the exchange carries less than
+      // the old agg+join pair did.
+      val pool0 = gated
+        .groupBy(sha2($"text", 256))
+        .agg(min_by(struct($"doc_id", $"text"), $"doc_id").as("r"))
+        .select($"r.doc_id".as("doc_id"), $"r.text".as("text"))
+      // LAZY-CHECKPOINT the survivor pool — consumed by the pair
+      // pipeline (sig + shingle walks), the rep anti-join, and through
+      // it the budget descent; without the cut every consumer re-ran
+      // the gate+dedup lineage. The tiny post-agg output coalesces to
+      // ~1 partition, so give the CPU-dense downstream walks the
+      // session's parallelism again (block-read exchange, ~0.03 s).
+      val pool = graft.core.Spread.cpuFloor(pool0.localCheckpoint(false))
       val nonReps = Dedup.connectedComponents(
           verifiedNearDupPairsOf(pool, threshold = 0.8)
             .select($"id_a", $"id_b"))
